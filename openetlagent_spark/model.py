@@ -1,0 +1,405 @@
+"""Pipeline IR: operation specs, file definitions, pipeline config/flow.
+
+Mirrors the *capability surface* of the reference's Pydantic model layer
+(reference: app/models.py:40-149) as plain dataclasses: eleven operation
+types discriminated by ``operation_type``, a file/schema model, and the
+flat ``PipelineFlow`` op-list IR.  The engine compiles a flow into ONE
+lazy Spark DataFrame chain (see runner.py) instead of eagerly
+materializing after every op like the reference (app/main.py:402-412).
+
+Extension operations beyond the reference surface (filter, aggregate,
+sort, limit, distinct, union, window) use the same discriminated-spec
+shape so flows can mix parity ops and extensions freely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+class SpecError(ValueError):
+    """Raised when an operation spec is structurally invalid."""
+
+
+# ---------------------------------------------------------------------------
+# Operation specs (reference: app/models.py:40-137)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Operation:
+    """Base spec: every op has a type and most produce one output column
+    (reference: app/models.py:40-42)."""
+
+    output_column: str | None = None
+
+    operation_type: str = ""
+
+
+@dataclass
+class EqualityOperation(Operation):
+    """Copy a column under a new name (reference: app/models.py:46-48)."""
+
+    input_column: str = ""
+    operation_type: str = "equality"
+
+
+@dataclass
+class ConcatenationOperation(Operation):
+    """Null-propagating string concat with separator
+    (reference: app/models.py:50-53; null semantics per concat_str,
+    app/operations/concatenation.py:10-13)."""
+
+    input_columns: list[str] = field(default_factory=list)
+    separator: str = ""
+    operation_type: str = "concatenation"
+
+
+@dataclass
+class ApplicationOperation(Operation):
+    """Row-wise sandboxed lambda over named input columns
+    (reference: app/models.py:55-58, app/operations/application.py:5-33)."""
+
+    input_columns: list[str] = field(default_factory=list)
+    function_str: str = ""
+    # Engine extension: declared Spark-side return logical type.  The
+    # reference relies on Polars type inference; Spark UDFs need a declared
+    # type, so we accept one and fall back to probe-based inference.
+    return_type: str | None = None
+    operation_type: str = "application"
+
+
+@dataclass
+class SwitchingOperation(Operation):
+    """Multi-way CASE copying from mapped *source columns*
+    (reference: app/models.py:60-76).  Exactly one of default_column /
+    default_value must be set (validator at app/models.py:67-76)."""
+
+    switch_column: str = ""
+    mapping: dict[Any, str] = field(default_factory=dict)
+    default_column: str | None = None
+    default_value: Any = None
+    operation_type: str = "switching"
+
+    def __post_init__(self) -> None:
+        if (self.default_column is None) == (self.default_value is None):
+            raise SpecError(
+                "switching requires exactly one of default_column / default_value "
+                "(reference validator: app/models.py:67-76)"
+            )
+
+
+@dataclass
+class AssignationOperation(Operation):
+    """Constant column from a literal (reference: app/models.py:78-80)."""
+
+    value: Any = None
+    operation_type: str = "assignation"
+
+
+@dataclass
+class CastingOperation(Operation):
+    """Cast one column to one of the logical types
+    (reference: app/models.py:82-85)."""
+
+    input_column: str = ""
+    target_type: str = "string"
+    operation_type: str = "casting"
+
+
+@dataclass
+class ArithmeticOperation(Operation):
+    """Binary + - * / between exactly two columns
+    (reference: app/models.py:87-90)."""
+
+    input_columns: list[str] = field(default_factory=list)
+    operator: str = "+"
+    operation_type: str = "arithmetic"
+
+    def __post_init__(self) -> None:
+        if len(self.input_columns) != 2:
+            raise SpecError(
+                f"arithmetic requires exactly two input columns, got "
+                f"{self.input_columns} (reference: app/models.py:88)"
+            )
+        if self.operator not in ("+", "-", "*", "/"):
+            raise SpecError(f"arithmetic operator must be one of + - * /, got {self.operator!r}")
+
+
+@dataclass
+class ComparisonOperation(Operation):
+    """Compare a column to a literal producing a boolean *column* — a
+    projection, NOT a row filter (reference: app/models.py:92-96)."""
+
+    input_column: str = ""
+    operator: str = "=="
+    value: Any = None
+    operation_type: str = "comparison"
+
+    def __post_init__(self) -> None:
+        if self.operator not in ("==", "!=", ">", "<", ">=", "<="):
+            raise SpecError(f"comparison operator must be one of == != > < >= <=, got {self.operator!r}")
+
+
+@dataclass
+class BindOperation(Operation):
+    """Join against an external file or named input
+    (reference: app/models.py:98-105, app/operations/bind.py:7-59).
+    Right side is projected to {right_on} ∪ columns_to_add before the
+    join; colliding right columns are renamed ``{col}_right`` and the
+    right key is dropped (Polars semantics, SURVEY §2.3.2)."""
+
+    right_file_path: str = ""
+    right_schema_columns: dict[str, str] = field(default_factory=dict)
+    left_on: str = ""
+    right_on: str = ""
+    how: str = "left"
+    columns_to_add: list[str] = field(default_factory=list)
+    operation_type: str = "bind"
+
+    def __post_init__(self) -> None:
+        if self.how not in ("left", "inner", "outer", "cross"):
+            raise SpecError(
+                f"bind how must be one of left/inner/outer/cross, got {self.how!r} "
+                "(reference: app/models.py:104)"
+            )
+
+
+@dataclass
+class FoldOperation(Operation):
+    """Unpivot wide→long (reference: app/models.py:107-112,
+    app/operations/fold.py:6-32).  id/value overlap is legal."""
+
+    id_columns: list[str] = field(default_factory=list)
+    value_columns: list[str] = field(default_factory=list)
+    key_column_name: str = "key"
+    value_column_name: str = "value"
+    operation_type: str = "fold"
+
+
+@dataclass
+class UnfoldOperation(Operation):
+    """Pivot long→wide; duplicate (index, key) resolved by FIRST
+    (reference: app/models.py:114-118; hard-coded first at
+    app/operations/unfold.py:34).  ``order_column`` is an engine
+    extension giving 'first' a deterministic meaning under distributed
+    execution (min_by over that column); when absent, a stable row id
+    captured at scan time is used."""
+
+    index_columns: list[str] = field(default_factory=list)
+    key_column: str = ""
+    value_column: str = ""
+    order_column: str | None = None
+    operation_type: str = "unfold"
+
+
+# --- Extension operations (beyond the reference surface, SURVEY §2.2) ------
+
+
+@dataclass
+class FilterOperation(Operation):
+    """Row filter — absent from the reference (SURVEY §2.2: 'no
+    row-filtering operator exists'); added because any real pipeline
+    needs one.  Either a boolean ``input_column`` or a (column, operator,
+    value) predicate like comparison."""
+
+    input_column: str = ""
+    operator: str | None = None
+    value: Any = None
+    operation_type: str = "filter"
+
+
+@dataclass
+class AggregationOperation(Operation):
+    """Group-by aggregation — absent from the reference (SURVEY §2.2).
+    aggregations: {output_name: {"column": c, "agg": fn}} with
+    fn ∈ sum/min/max/avg/count/count_distinct/first/collect_set."""
+
+    group_by: list[str] = field(default_factory=list)
+    aggregations: dict[str, dict[str, str]] = field(default_factory=dict)
+    operation_type: str = "aggregation"
+
+
+@dataclass
+class SortOperation(Operation):
+    columns: list[str] = field(default_factory=list)
+    descending: list[bool] = field(default_factory=list)
+    operation_type: str = "sort"
+
+
+@dataclass
+class LimitOperation(Operation):
+    n: int = 0
+    operation_type: str = "limit"
+
+
+@dataclass
+class DistinctOperation(Operation):
+    subset: list[str] = field(default_factory=list)
+    operation_type: str = "distinct"
+
+
+@dataclass
+class UnionOperation(Operation):
+    """Union by name with another named input."""
+
+    right_input: str = ""
+    operation_type: str = "union"
+
+
+@dataclass
+class WindowOperation(Operation):
+    """Window function over partition/order: fn ∈ row_number/rank/
+    dense_rank/lag/lead/sum/avg/min/max/count."""
+
+    function: str = "row_number"
+    partition_by: list[str] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+    descending: list[bool] = field(default_factory=list)
+    value_column: str | None = None
+    offset: int = 1
+    operation_type: str = "window"
+
+
+OPERATION_TYPES: dict[str, type[Operation]] = {
+    "equality": EqualityOperation,
+    "concatenation": ConcatenationOperation,
+    "application": ApplicationOperation,
+    "switching": SwitchingOperation,
+    "assignation": AssignationOperation,
+    "casting": CastingOperation,
+    "arithmetic": ArithmeticOperation,
+    "comparison": ComparisonOperation,
+    "bind": BindOperation,
+    "fold": FoldOperation,
+    "unfold": UnfoldOperation,
+    # extensions
+    "filter": FilterOperation,
+    "aggregation": AggregationOperation,
+    "sort": SortOperation,
+    "limit": LimitOperation,
+    "distinct": DistinctOperation,
+    "union": UnionOperation,
+    "window": WindowOperation,
+}
+
+
+def parse_operation(raw: dict[str, Any]) -> Operation:
+    """Parse one raw op dict via the ``operation_type`` discriminator
+    (reference: discriminated union at app/models.py:122-137)."""
+    if not isinstance(raw, dict) or "operation_type" not in raw:
+        raise SpecError(f"operation spec must be a dict with operation_type, got {raw!r}")
+    op_type = raw["operation_type"]
+    cls = OPERATION_TYPES.get(op_type)
+    if cls is None:
+        raise SpecError(
+            f"Unknown operation_type {op_type!r}. Known: {sorted(OPERATION_TYPES)}"
+        )
+    known = {f for f in cls.__dataclass_fields__}  # type: ignore[attr-defined]
+    kwargs = {k: v for k, v in raw.items() if k in known}
+    try:
+        return cls(**kwargs)
+    except TypeError as exc:
+        raise SpecError(f"Invalid spec for {op_type}: {exc}") from exc
+
+
+# ---------------------------------------------------------------------------
+# File / pipeline model (reference: app/models.py:21-35,141-149)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ColumnDefinition:
+    type: str
+    description: str | None = None
+
+
+@dataclass
+class FileSchema:
+    name: str
+    columns: dict[str, ColumnDefinition]
+
+    def logical_types(self) -> dict[str, str]:
+        return {name: cd.type for name, cd in self.columns.items()}
+
+
+@dataclass
+class FileDefinition:
+    path: str
+    file_schema: FileSchema
+    format: str = "csv"
+
+    def __post_init__(self) -> None:
+        if self.format not in ("csv", "json", "parquet"):
+            raise SpecError(f"format must be csv/json/parquet, got {self.format!r}")
+
+
+@dataclass
+class PipelineConfig:
+    inputs: dict[str, FileDefinition]
+    outputs: dict[str, FileDefinition]
+
+    def __post_init__(self) -> None:
+        if not self.inputs or not self.outputs:
+            raise SpecError(
+                "pipeline config needs at least one input and one output "
+                "(reference: app/main.py:348-351)"
+            )
+
+
+@dataclass
+class PipelineFlow:
+    """The flat op-list IR (reference: app/models.py:146-149)."""
+
+    source: str
+    operations: list[Operation]
+
+
+def _parse_file_definition(raw: dict[str, Any]) -> FileDefinition:
+    schema_raw = raw.get("file_schema", {})
+    cols = {
+        name: ColumnDefinition(
+            type=cd["type"] if isinstance(cd, dict) else str(cd),
+            description=(cd.get("description") if isinstance(cd, dict) else None),
+        )
+        for name, cd in schema_raw.get("columns", {}).items()
+    }
+    return FileDefinition(
+        path=raw["path"],
+        format=raw.get("format", "csv"),
+        file_schema=FileSchema(name=schema_raw.get("name", ""), columns=cols),
+    )
+
+
+def load_pipeline_config(path: str) -> PipelineConfig:
+    """YAML → PipelineConfig (reference: app/main.py:337-358)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return PipelineConfig(
+        inputs={k: _parse_file_definition(v) for k, v in raw.get("inputs", {}).items()},
+        outputs={k: _parse_file_definition(v) for k, v in raw.get("outputs", {}).items()},
+    )
+
+
+def load_pipeline_flow(path: str) -> PipelineFlow:
+    """YAML → PipelineFlow (reference: app/main.py:483-499)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return PipelineFlow(
+        source=raw["source"],
+        operations=[parse_operation(op) for op in raw.get("operations", [])],
+    )
+
+
+def save_pipeline_flow(flow: PipelineFlow, path: str) -> None:
+    """PipelineFlow → YAML (reference: app/main.py:502-513)."""
+    ops = []
+    for op in flow.operations:
+        d = {k: v for k, v in op.__dict__.items() if v is not None}
+        d["operation_type"] = op.operation_type
+        ops.append(d)
+    with open(path, "w") as f:
+        yaml.safe_dump({"source": flow.source, "operations": ops}, f, sort_keys=False)

