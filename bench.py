@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is forced to full materialization with the ``noop`` sink —
+every row is computed and serialized through the physical plan, but no
+driver-side collect or disk write distorts the timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openetlagent_spark.plans import HARNESS_QUERIES  # noqa: E402
+from openetlagent_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship plus the operators whose plans are
+# interesting at scale (joins, shuffles, pivot, UDF path).
+HEADLINE = [
+    "flagship",
+    "aggregation",
+    "bind",
+    "window",
+    "unfold",
+    "fold",
+    "filter",
+    "switching",
+    "application",
+    "sort_limit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # Warm the JVM/codegen once so per-query numbers measure the plan,
+    # not session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = HARNESS_QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,430 @@
+"""Correctness-harness queries: one per engine operator (SURVEY §2.1),
+each built THROUGH the engine's operator implementations and paired with
+an ANSI-SQL oracle DuckDB runs on the same parquet tables.
+
+Oracle-compat rules used throughout:
+- Column names are aliased identically on both sides (the driver sorts
+  columns by name before hashing values).
+- FP-sensitive AGGREGATES accumulate in DECIMAL (exact, order-independent
+  — a double sum would differ in the last ulp between engines/partition
+  orders) and cast the final value to DOUBLE on both sides.  Per-row
+  double arithmetic (no accumulation) is bit-identical and stays double.
+- Timestamp columns are cast to DATE or epoch seconds where used, to be
+  independent of engine timestamp normalization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import (
+    AggregationOperation,
+    ApplicationOperation,
+    ArithmeticOperation,
+    AssignationOperation,
+    BindOperation,
+    CastingOperation,
+    ComparisonOperation,
+    ConcatenationOperation,
+    DistinctOperation,
+    EqualityOperation,
+    FilterOperation,
+    FoldOperation,
+    LimitOperation,
+    SortOperation,
+    SwitchingOperation,
+    UnfoldOperation,
+    UnionOperation,
+    WindowOperation,
+)
+from ..operators import (
+    OPERATION_DISPATCHER,
+    apply_aggregation,
+    apply_application,
+    apply_arithmetic,
+    apply_assignation,
+    apply_bind,
+    apply_casting,
+    apply_comparison,
+    apply_concatenation,
+    apply_distinct,
+    apply_equality,
+    apply_filter,
+    apply_fold,
+    apply_limit,
+    apply_sort,
+    apply_switching,
+    apply_unfold,
+    apply_union,
+    apply_window,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --- parity operators ------------------------------------------------------
+
+
+def q_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return apply_equality(
+        df, EqualityOperation(input_column="p_retailprice", output_column="retailprice_copy")
+    )
+
+
+def q_concatenation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    out = apply_concatenation(
+        df,
+        ConcatenationOperation(
+            input_columns=["c_name", "c_mktsegment"], separator="-", output_column="label"
+        ),
+    )
+    return out.select("c_custkey", "label")
+
+
+def q_application(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = apply_application(
+        df,
+        ApplicationOperation(
+            input_columns=["p_name"],
+            function_str="lambda r: str(r['p_name']).upper()",
+            return_type="string",
+            output_column="name_upper",
+        ),
+    )
+    return out.select("p_partkey", "name_upper")
+
+
+def q_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    out = apply_switching(
+        df,
+        SwitchingOperation(
+            switch_column="l_returnflag",
+            mapping={"A": "l_extendedprice", "N": "l_quantity"},
+            default_value=0.0,
+            output_column="switched_value",
+        ),
+    )
+    return out.select("l_orderkey", "l_linenumber", "switched_value")
+
+
+def q_assignation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "region")
+    return apply_assignation(df, AssignationOperation(value="ACTIVE", output_column="status"))
+
+
+def q_casting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    out = apply_casting(
+        df, CastingOperation(input_column="l_shipdate", target_type="date", output_column="ship_date")
+    )
+    out = apply_casting(
+        out, CastingOperation(input_column="l_quantity", target_type="integer", output_column="qty_int")
+    )
+    return out.select("l_orderkey", "l_linenumber", "ship_date", "qty_int")
+
+
+def q_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    out = apply_arithmetic(
+        df,
+        ArithmeticOperation(
+            input_columns=["l_extendedprice", "l_discount"], operator="*", output_column="discount_amount"
+        ),
+    )
+    out = apply_arithmetic(
+        out,
+        ArithmeticOperation(
+            input_columns=["l_extendedprice", "l_tax"], operator="-", output_column="price_less_tax"
+        ),
+    )
+    return out.select("l_orderkey", "l_linenumber", "discount_amount", "price_less_tax")
+
+
+def q_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return apply_comparison(
+        df,
+        ComparisonOperation(
+            input_column="o_totalprice", operator=">", value=150000.0, output_column="is_large"
+        ),
+    )
+
+
+def q_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    op = BindOperation(
+        right_file_path=f"{sf_dir}/customer.parquet",
+        left_on="o_custkey",
+        right_on="c_custkey",
+        how="left",
+        columns_to_add=["c_name", "c_mktsegment"],
+    )
+    return apply_bind(df, op, spark).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+
+
+def q_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    return apply_fold(
+        df,
+        FoldOperation(
+            id_columns=["p_partkey"],
+            value_columns=["p_brand", "p_type"],
+            key_column_name="attr",
+            value_column_name="val",
+        ),
+    )
+
+
+def q_unfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order totals per customer by order status; "first" made
+    deterministic by ordering on the globally-unique o_orderkey (the
+    testdata's l_linenumber is NOT unique within an order, so lineitem
+    would have ambiguous ties)."""
+    df = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus", "o_totalprice", "o_orderkey")
+    return apply_unfold(
+        df,
+        UnfoldOperation(
+            index_columns=["o_custkey"],
+            key_column="o_orderstatus",
+            value_column="o_totalprice",
+            order_column="o_orderkey",
+        ),
+    )
+
+
+# --- extension operators ---------------------------------------------------
+
+
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return apply_filter(
+        df, FilterOperation(input_column="l_quantity", operator=">", value=45.0)
+    )
+
+
+def q_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary.  Decimal accumulation for exact,
+    order-independent sums; final cast to double on both sides."""
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .withColumn("qty_dec", F.col("l_quantity").cast("decimal(18,2)"))
+        .withColumn("price_dec", F.col("l_extendedprice").cast("decimal(18,2)"))
+    )
+    out = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["l_returnflag", "l_linestatus"],
+            aggregations={
+                "sum_qty": {"column": "qty_dec", "agg": "sum"},
+                "sum_base_price": {"column": "price_dec", "agg": "sum"},
+                "count_order": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        "count_order",
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = apply_sort(
+        df, SortOperation(columns=["o_totalprice", "o_orderkey"], descending=[True, False])
+    )
+    return apply_limit(out, LimitOperation(n=10))
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "customer").select("c_mktsegment")
+    return apply_distinct(df, DistinctOperation())
+
+
+def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top order per customer via row_number + filter."""
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = apply_window(
+        df,
+        WindowOperation(
+            function="row_number",
+            partition_by=["o_custkey"],
+            order_by=["o_totalprice", "o_orderkey"],
+            descending=[True, False],
+            output_column="rn",
+        ),
+    )
+    out = apply_filter(out, FilterOperation(input_column="rn", operator="==", value=1))
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    right = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return apply_union(left, UnionOperation(right_input="supplier"), right)
+
+
+# --- flagship --------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's enriched-orders pipeline re-shaped onto TPC-H
+    (SURVEY §7.2 step 2): fact table two-way bind + derived revenue +
+    comparison flag, built entirely from engine operators."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    df = apply_bind(
+        df,
+        BindOperation(
+            right_file_path=f"{sf_dir}/orders.parquet",
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+            how="left",
+            columns_to_add=["o_custkey", "o_orderpriority"],
+        ),
+        spark,
+    )
+    df = apply_bind(
+        df,
+        BindOperation(
+            right_file_path=f"{sf_dir}/part.parquet",
+            left_on="l_partkey",
+            right_on="p_partkey",
+            how="left",
+            columns_to_add=["p_brand", "p_retailprice"],
+        ),
+        spark,
+    )
+    df = apply_assignation(df, AssignationOperation(value=1.0, output_column="_one_"))
+    df = apply_arithmetic(
+        df, ArithmeticOperation(input_columns=["_one_", "l_discount"], operator="-", output_column="_disc_factor_")
+    )
+    df = apply_arithmetic(
+        df,
+        ArithmeticOperation(
+            input_columns=["l_extendedprice", "_disc_factor_"], operator="*", output_column="revenue"
+        ),
+    )
+    df = apply_comparison(
+        df, ComparisonOperation(input_column="revenue", operator=">", value=2000.0, output_column="is_high_value")
+    )
+    return df.select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_orderpriority", "p_brand", "revenue", "is_high_value"
+    )
+
+
+# --- registry --------------------------------------------------------------
+
+HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "equality": q_equality,
+    "concatenation": q_concatenation,
+    "application": q_application,
+    "switching": q_switching,
+    "assignation": q_assignation,
+    "casting": q_casting,
+    "arithmetic": q_arithmetic,
+    "comparison": q_comparison,
+    "bind": q_bind,
+    "fold": q_fold,
+    "unfold": q_unfold,
+    "filter": q_filter,
+    "aggregation": q_aggregation,
+    "sort_limit": q_sort_limit,
+    "distinct": q_distinct,
+    "window": q_window,
+    "union": q_union,
+    "flagship": flagship,
+}
+
+HARNESS_ORACLES: dict[str, str] = {
+    "equality": (
+        "SELECT p_partkey, p_retailprice, p_retailprice AS retailprice_copy FROM part"
+    ),
+    "concatenation": (
+        "SELECT c_custkey, c_name || '-' || c_mktsegment AS label FROM customer"
+    ),
+    "application": "SELECT p_partkey, UPPER(p_name) AS name_upper FROM part",
+    "switching": (
+        "SELECT l_orderkey, l_linenumber, "
+        "CASE WHEN l_returnflag = 'A' THEN l_extendedprice "
+        "WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END AS switched_value "
+        "FROM lineitem"
+    ),
+    "assignation": "SELECT r_regionkey, r_name, 'ACTIVE' AS status FROM region",
+    "casting": (
+        "SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, "
+        "CAST(l_quantity AS BIGINT) AS qty_int FROM lineitem"
+    ),
+    "arithmetic": (
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * l_discount AS discount_amount, "
+        "l_extendedprice - l_tax AS price_less_tax FROM lineitem"
+    ),
+    "comparison": (
+        "SELECT o_orderkey, o_totalprice, o_totalprice > 150000.0 AS is_large FROM orders"
+    ),
+    "bind": (
+        "SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment "
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"
+    ),
+    "fold": (
+        "SELECT p_partkey, 'p_brand' AS attr, p_brand AS val FROM part "
+        "UNION ALL SELECT p_partkey, 'p_type' AS attr, p_type AS val FROM part"
+    ),
+    "unfold": (
+        "SELECT o_custkey, "
+        "arg_min(o_totalprice, o_orderkey) FILTER (WHERE o_orderstatus = 'F') AS \"F\", "
+        "arg_min(o_totalprice, o_orderkey) FILTER (WHERE o_orderstatus = 'O') AS \"O\", "
+        "arg_min(o_totalprice, o_orderkey) FILTER (WHERE o_orderstatus = 'P') AS \"P\" "
+        "FROM orders GROUP BY o_custkey"
+    ),
+    "filter": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45.0"
+    ),
+    "aggregation": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "sort_limit": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+    "window": (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) t WHERE rn = 1"
+    ),
+    "union": (
+        "SELECT c_name AS name FROM customer UNION ALL SELECT s_name AS name FROM supplier"
+    ),
+    "flagship": (
+        "SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderpriority, p.p_brand, "
+        "l.l_extendedprice * (1.0 - l.l_discount) AS revenue, "
+        "(l.l_extendedprice * (1.0 - l.l_discount)) > 2000.0 AS is_high_value "
+        "FROM lineitem l "
+        "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "LEFT JOIN part p ON l.l_partkey = p.p_partkey"
+    ),
+}
