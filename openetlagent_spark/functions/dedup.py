@@ -1,0 +1,394 @@
+"""Deduplication at training-data scale.
+
+Five strategies (north-star surface, BASELINE.json):
+
+- exact_dedup: hash-groupBy keep-first — one shuffle on the key.
+- minhash_lsh_pairs / minhash_dedup: word-shingle MinHash signatures →
+  LSH band buckets → bucket-local candidate pairs → exact Jaccard
+  verification.  The classic near-dup pipeline (Broder-style MinHash,
+  banding as in the standard LSH formulation): candidate generation is
+  a shuffle on (band, band_hash), never an all-pairs join.
+- simhash64 / simhash_pairs: 64-bit SimHash; Hamming-≤k candidates via
+  pigeonhole banding (k+1 bands ⇒ at least one identical band), verified
+  with bit_count(xor).
+- ngram_jaccard_pairs: character-n-gram Jaccard within deterministic
+  blocks (length bucket + leading token) — fully SQL-expressible, so it
+  is oracle-checkable end to end.
+- embedding_neardup_pairs: cosine ≥ threshold via sign-LSH blocking over
+  random hyperplanes, exact cosine verification.
+
+All signature math is JVM-side (higher-order array functions over
+xxhash64) except SimHash's 64-bit popcount accumulation, which uses one
+Arrow-batched pandas UDF over precomputed token hashes (numpy bit ops —
+the JVM side still does all string hashing).
+
+Scale notes: every strategy is (scan → narrow transforms → one shuffle
+on a blocking key → bounded bucket-local pairing).  ``max_bucket``
+guards against degenerate buckets (e.g. thousands of identical docs)
+going quadratic; oversized buckets are dropped and counted, not
+silently exploded.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (a*h + b) % M stays under 2^62, so the modular
+# permutation math never overflows a long even in ANSI mode.
+_MERSENNE = 2_147_483_647
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key — the one with the smallest
+    ``order_col`` (deterministic, unlike dropDuplicates).  One shuffle."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_perm)]
+
+
+def _token_col(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def word_shingles(text_col: Column, k: int) -> Column:
+    """Array of k-word shingles (distinct).  k=1 degenerates to the
+    distinct token set."""
+    tokens = _token_col(text_col)
+    if k == 1:
+        return F.array_distinct(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))
+    )
+
+
+def shingle_hashes(text_col: Column, shingle_size: int = 3) -> Column:
+    """Distinct word-shingle hashes folded into [0, MERSENNE)."""
+    return F.transform(
+        word_shingles(text_col, shingle_size), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    )
+
+
+def minhash_from_hashes(hashes_col: Column, num_perm: int = 64, seed: int = 42) -> Column:
+    """MinHash signature (array<long>) from a PRE-MATERIALIZED column of
+    shingle hashes: sig[i] = min over hashes of (a_i*h + b_i) mod M.
+
+    Take the hashes from a persisted column: Catalyst does not eliminate
+    common subtrees across lambda bodies, so referencing a raw
+    shingle-construction expression here would recompute the (expensive)
+    shingling once per permutation — measured 64× slower."""
+
+    def perm(a: int, b: int):
+        # Closure factory: defaults in the lambda signature would change
+        # its arity and break PySpark's higher-order-function binding.
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)
+
+    params = _perm_params(num_perm, seed)
+    return F.array(
+        *[F.array_min(F.transform(hashes_col, perm(a, b))) for a, b in params]
+    )
+
+
+def minhash_signature(
+    text_col: Column, num_perm: int = 64, shingle_size: int = 3, seed: int = 42
+) -> Column:
+    """Single-expression MinHash signature.  Convenient for one-off use;
+    pipelines should stage shingle_hashes() through a persisted column
+    and call minhash_from_hashes() (see note there)."""
+    return minhash_from_hashes(shingle_hashes(text_col, shingle_size), num_perm, seed)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan shape: scan → signature (narrow) → explode bands → shuffle on
+    (band, band_hash) → bucket-local self-join → exact Jaccard verify on
+    the shingle sets.  Buckets larger than ``max_bucket`` are dropped
+    (degenerate mass-duplicate clusters; handle those with exact_dedup
+    on the fingerprint first)."""
+    rows_per_band = num_perm // bands
+    # Stage 1 — materialize shingle hashes once per row.  The signature
+    # derives 64 mins from this array; without the persist boundary each
+    # permutation would recompute the whole shingling subtree (Catalyst
+    # does no CSE across lambda bodies — measured 64× slower).
+    hashed = df.select(
+        F.col(id_col).alias("__id__"),
+        shingle_hashes(F.col(text_col), shingle_size).alias("__shingles__"),
+    ).persist()
+    # Stage 2 — signatures from the cached hash arrays.  Persisted too:
+    # referenced by bucket counting and both self-join sides.  Jaccard
+    # verification also runs on the hash sets (identical to shingle-set
+    # Jaccard up to xxhash64 collisions).  ~1 KB/row, MEMORY_AND_DISK-style
+    # eviction handled by Spark's block manager; mirrors how Spark MLlib's
+    # MinHashLSH materializes its transformed dataset.
+    base = hashed.select(
+        "__id__",
+        "__shingles__",
+        minhash_from_hashes(F.col("__shingles__"), num_perm, seed).alias("__sig__"),
+    ).persist()
+
+    # Bands carry ONLY (id, band, bhash) — the (large) shingle arrays
+    # never enter the banding shuffles; they are joined back from the
+    # persisted base solely for final candidate verification.
+    banded = base.select(
+        "__id__",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("__sig__", j * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bhash"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("__band__"),
+    ).select("__id__", "__band__.band", "__band__.bhash")
+
+    bucket_counts = banded.groupBy("band", "bhash").count()
+    banded = banded.join(
+        bucket_counts.filter(F.col("count") <= max_bucket).drop("count"),
+        ["band", "bhash"],
+    )
+
+    left = banded.select("band", "bhash", F.col("__id__").alias("id_a"))
+    right = banded.select("band", "bhash", F.col("__id__").alias("id_b"))
+    candidates = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    shingle_sets = base.select("__id__", "__shingles__")
+    candidates = (
+        candidates.join(
+            shingle_sets.select(F.col("__id__").alias("id_a"), F.col("__shingles__").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            shingle_sets.select(F.col("__id__").alias("id_b"), F.col("__shingles__").alias("sh_b")),
+            "id_b",
+        )
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5, **kwargs
+) -> DataFrame:
+    """Drop near-duplicates: any row with a lower-id near-dup partner is
+    removed (single-hop min-id clustering — transitive chains longer
+    than one hop are handled by re-running; documented approximation,
+    avoids an iterative connected-components job)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Add ``simhash``: 64-bit SimHash of the token multiset.  Token
+    hashing (xxhash64) runs JVM-side; the per-bit popcount accumulation
+    runs in one Arrow-batched pandas UDF over the hash arrays (numpy
+    vectorized — Python never touches strings)."""
+    hashes = F.transform(_token_col(F.col(text_col)), lambda t: F.xxhash64(t))
+
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _simhash(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for arr in hash_arrays:
+            if arr is None or len(arr) == 0:
+                out.append(0)
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out.append(np.int64(sig).item())
+        return pd.Series(out)
+
+    return df.withColumn("simhash", _simhash(hashes))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, max_bucket: int = 1000
+) -> DataFrame:
+    """Candidate pairs with Hamming(simhash) <= max_hamming, via
+    pigeonhole banding: split 64 bits into (max_hamming+1) bands — any
+    pair within the Hamming budget must agree exactly on ≥1 band.
+    Verification is bit_count(xor) on the JVM."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    # Persist: the signature (one pandas-UDF pass) feeds bucket counting
+    # and both self-join sides — without persist the UDF runs 3×.
+    with_sig = simhash64(df, id_col, text_col).select(
+        F.col(id_col).alias("__id__"), "simhash"
+    ).persist()
+
+    bands = with_sig.select(
+        "__id__",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), j * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id__", "simhash", "b.band", "b.bval")
+
+    counts = bands.groupBy("band", "bval").count()
+    bands = bands.join(counts.filter(F.col("count") <= max_bucket).drop("count"), ["band", "bval"])
+
+    left = bands.select("band", "bval", F.col("__id__").alias("id_a"), F.col("simhash").alias("sh_a"))
+    right = bands.select("band", "bval", F.col("__id__").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        left.join(right, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- character n-gram Jaccard ---------------------------------------------
+
+
+def char_ngrams(text_col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text."""
+    norm = F.lower(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    length_bucket: int = 50,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard over deterministic blocks:
+    candidates share a length bucket (len // length_bucket) AND their
+    first whitespace token.  Fully SQL-expressible (oracle-checkable),
+    and the blocking keys bound each bucket at scale."""
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        (F.length(text_col) / F.lit(length_bucket)).cast("long").alias("lbucket"),
+        F.element_at(_token_col(F.col(text_col)), 1).alias("tok0"),
+        char_ngrams(F.col(text_col), n).alias("grams"),
+    ).persist()  # referenced by both self-join sides
+    left = base.select(
+        "lbucket", "tok0", F.col("__id__").alias("id_a"), F.col("grams").alias("g_a")
+    )
+    right = base.select(
+        "lbucket", "tok0", F.col("__id__").alias("id_b"), F.col("grams").alias("g_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    return (
+        left.join(right, ["lbucket", "tok0"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- embedding near-dup ----------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Cosine-similar pairs (cos >= threshold) via sign-LSH blocking:
+    ``n_tables`` independent sets of ``n_planes`` random hyperplanes;
+    candidates share a full sign pattern in at least one table; exact
+    cosine verifies.  Recall < 1 by construction (documented LSH
+    trade-off); raise n_tables for higher recall."""
+    from .similarity import cosine_expr, hyperplane_signature
+
+    base = df.select(F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__v__"))
+    tables = []
+    for t in range(n_tables):
+        sig = hyperplane_signature(F.col("__v__"), n_planes=n_planes, seed=seed + t)
+        tables.append(base.select("__id__", "__v__", F.lit(t).alias("tbl"), sig.alias("bucket")))
+    banded = tables[0]
+    for other in tables[1:]:
+        banded = banded.unionByName(other)
+    banded = banded.persist()  # hyperplane dot products feed 3 consumers
+
+    counts = banded.groupBy("tbl", "bucket").count()
+    banded = banded.join(counts.filter(F.col("count") <= max_bucket).drop("count"), ["tbl", "bucket"])
+
+    left = banded.select("tbl", "bucket", F.col("__id__").alias("id_a"), F.col("__v__").alias("v_a"))
+    right = banded.select("tbl", "bucket", F.col("__id__").alias("id_b"), F.col("__v__").alias("v_b"))
+    return (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,190 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+two ways (clearly marked):
+- ``decoder="fake"`` (default): a deterministic pure-numpy stand-in —
+  byte histograms / byte statistics — so the full Spark plumbing
+  (schema, batching, partitioning, UDF signatures) is real and testable.
+- ``decoder="real"``: raises NotImplementedError with the dependency
+  that would be needed (Pillow/librosa/av).
+
+Everything else — the media struct schema, batch iteration, partition
+sizing, feature schemas — is the production shape: at 100 TB these run
+as embarrassingly parallel mapInPandas stages over binary columns, with
+``spark.sql.files.maxPartitionBytes`` controlling scan granularity and
+no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata accompanying an opaque payload.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
+    """STUB decode: deterministic byte-histogram 'feature' — stands in
+    for a real decode+embed (see module docstring)."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    return (hist / max(len(arr), 1)).astype(np.float32)
+
+
+def extract_image_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    dim: int = 16,
+    decoder: Literal["fake", "real"] = "fake",
+) -> DataFrame:
+    """Binary payload → fixed-dim feature vector, one mapInPandas stage.
+
+    Batches stream through Arrow; nothing is collected.  Swap the fake
+    decoder for a real one (Pillow + a vision model) without touching
+    the Spark plumbing."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "Real image decode requires Pillow/torchvision, not present in "
+            "this container; use decoder='fake' for the deterministic stub."
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "mime": pdf[mime_col],
+                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                    "feature": payloads.map(lambda b: _fake_decode_features(b, dim).tolist()),
+                }
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    target_width: int = 64,
+    target_height: int = 64,
+    decoder: Literal["fake", "real"] = "fake",
+) -> DataFrame:
+    """'Resize' stage: passes metadata through and rewrites width/height;
+    the payload transform is the stubbed decode (fake: truncate/pad bytes
+    deterministically to w*h, standing in for decode→resize→re-encode)."""
+    if decoder == "real":
+        raise NotImplementedError("Real resize requires an image codec (Pillow).")
+
+    out_schema = df.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_width * target_height
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[payload_col] = pdf[payload_col].map(
+                lambda b: (b or b"")[:n].ljust(n, b"\0")
+            )
+            if "width" in pdf.columns:
+                pdf["width"] = np.int32(target_width)
+            if "height" in pdf.columns:
+                pdf["height"] = np.int32(target_height)
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames: int = 4,
+    decoder: Literal["fake", "real"] = "fake",
+) -> DataFrame:
+    """Video → frame rows (one output row per sampled frame): the
+    row-expanding mapInPandas shape.  Fake decode slices the payload into
+    n equal chunks as stand-in frames."""
+    if decoder == "real":
+        raise NotImplementedError("Real frame sampling requires PyAV/ffmpeg.")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_payload = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = payload or b""
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_payload.append(payload[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_index": out_idx, "frame_payload": out_payload}
+            )
+
+    return df.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a deterministic media table from any text table (test/demo
+    helper): payload = utf-8 bytes, mime by id modulo.  Lets the media
+    pipeline run against the driver's documents table."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.when(F.col(id_col) % 2 == 0, F.lit("image/png"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("mime"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        (F.length(F.col(text_col)) * 10).cast("long").alias("duration_ms"),
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — broadcast the (small) query
+  set against the corpus, JVM-side dot products (zip_with + aggregate,
+  no Python), window top-k per query.  The correctness baseline.
+- lsh_topk: sign-LSH bucketed approximate top-k — candidates share a
+  hyperplane sign pattern in ≥1 table, exact cosine re-ranks.  The
+  scale path: candidate generation is a bucket equi-join (shuffle on
+  bucket), not a cross join; recall < 1, tunable via n_tables/n_planes.
+- ivf_topk: inverted-file index — k-means-style centroids fitted on a
+  driver-side sample (deterministic numpy), corpus assigned to nearest
+  centroid (broadcast centroid array, JVM expressions), queries probe
+  the ``nprobe`` nearest centroid partitions only.
+
+All cosines are computed in double with a fixed left-to-right fold
+order, so results are deterministic and engine-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product — deterministic fold order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector: (query_id,
+    neighbor_id, rank).  Self-matches excluded.  The query side is
+    broadcast — the corpus is never shuffled, the join is a broadcast
+    nested loop scanning the corpus once."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine", cosine_expr(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
+    """Sign pattern of the vector against ``n_planes`` deterministic
+    random hyperplanes, packed into a long.  Hyperplane coefficients are
+    literal arrays — evaluated entirely JVM-side."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(dot_expr(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share a bucket in ≥1 LSH table,
+    exact cosine re-ranks.  Shuffles on (table, bucket) only."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c_b, q_b = [], []
+    for t in range(n_tables):
+        csig = hyperplane_signature(F.col("cv"), n_planes, seed + t)
+        qsig = hyperplane_signature(F.col("qv"), n_planes, seed + t)
+        c_b.append(c.select("neighbor_id", "cv", F.lit(t).alias("tbl"), csig.alias("bucket")))
+        q_b.append(q.select("query_id", "qv", F.lit(t).alias("tbl"), qsig.alias("bucket")))
+    c_all, q_all = c_b[0], q_b[0]
+    for x in c_b[1:]:
+        c_all = c_all.unionByName(x)
+    for x in q_b[1:]:
+        q_all = q_all.unionByName(x)
+
+    cand = (
+        c_all.join(F.broadcast(q_all), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    iters: int = 10,
+) -> DataFrame:
+    """IVF approximate top-k: fit centroids on a bounded driver-side
+    sample (deterministic Lloyd's iterations in numpy), assign corpus
+    rows to their nearest centroid (broadcast literals, JVM exprs), then
+    each query scans only its ``nprobe`` closest centroid lists."""
+    sample = np.asarray(
+        [
+            r[0]
+            for r in corpus.select(F.col(vec_col).cast("array<double>"))
+            .limit(sample_size)
+            .collect()
+        ]
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for ci in range(len(centroids)):
+            members = sample[assign == ci]
+            if len(members):
+                centroids[ci] = members.mean(axis=0)
+
+    def nearest_expr(vec: Column, n: int) -> Column:
+        """Array of the n nearest centroid ids for a vector."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in centroids[ci]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(ci).alias("cid"),
+                )
+                for ci in range(len(centroids))
+            ]
+        )
+        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cid", nearest_expr(F.col("cv"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("cid", F.explode(nearest_expr(F.col("qv"), nprobe)))
+
+    cand = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,154 @@
+"""Text-analysis functions over document tables.
+
+All transforms are pure built-in Spark SQL expressions (JVM-side,
+whole-stage-codegen'd, no Python in the hot path) and each has an exact
+ANSI-SQL mirror used by the correctness oracle.  At 100 TB these are
+embarrassingly parallel scans — no shuffle, no state.
+
+Capabilities (north-star extension surface, BASELINE.json):
+- token counting: whitespace tokens + a BPE-ish regex tokenizer
+- character-class profiling + quality scoring
+- language ID: stopword-hit scoring over a fixed language set
+- document fingerprinting: md5 over whitespace-normalized text
+  (md5 is available and bit-identical in both Spark and DuckDB, which
+  makes fingerprints oracle-checkable; use xxhash64 variants when only
+  Spark-side speed matters)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately small, fixed stopword sets — the heuristic's quality comes
+# from coverage of top-frequency function words; the sets are part of the
+# deterministic contract (the SQL oracle embeds the same lists).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "für"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "para"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+# Priority order for deterministic tie-breaks (first wins).
+LANG_PRIORITY = ["en", "fr", "de", "es", "zh"]
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space symbols
+# — a cheap regex approximation of byte-pair pretokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``token_count`` (whitespace tokens) and ``bpe_token_count``
+    (regex word-piece count)."""
+    col = F.col(text_col)
+    ws_count = F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+    bpe_count = F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return df.withColumn("token_count", ws_count).withColumn("bpe_token_count", bpe_count)
+
+
+def with_char_classes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add character-class counts: n_chars, n_letters, n_digits, n_spaces,
+    n_punct (= everything else)."""
+    col = F.col(text_col)
+    n_chars = F.length(col)
+    n_letters = n_chars - F.length(F.regexp_replace(col, r"[A-Za-z]", ""))
+    n_digits = n_chars - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(col, r"\s", ""))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_letters", n_letters)
+        .withColumn("n_digits", n_digits)
+        .withColumn("n_spaces", n_spaces)
+        .withColumn("n_punct", n_chars - n_letters - n_digits - n_spaces)
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a deterministic quality score in [0, 1]:
+
+        0.4 * length_score        (chars/500 capped at 1)
+      + 0.3 * letter_ratio        (letters / chars)
+      + 0.3 * stopword_score      (english stopword hits / tokens, ×5 capped at 1)
+
+    Every term is a double computed in a fixed order, so the SQL mirror
+    produces bit-identical values.
+    """
+    col = F.col(text_col)
+    n_chars = F.length(col).cast("double")
+    n_letters = (F.length(col) - F.length(F.regexp_replace(col, r"[A-Za-z]", ""))).cast("double")
+    tokens = _tokens(col)
+    n_tokens = F.size(tokens).cast("double")
+    stop_hits = _stopword_hits(tokens, LANG_STOPWORDS["en"]).cast("double")
+
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    letter_ratio = F.when(n_chars > 0, n_letters / n_chars).otherwise(F.lit(0.0))
+    stop_score = F.when(
+        n_tokens > 0, F.least(stop_hits / n_tokens * F.lit(5.0), F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.4) * length_score + F.lit(0.3) * letter_ratio + F.lit(0.3) * stop_score
+    )
+    return df.withColumn("quality", quality)
+
+
+def _stopword_hits(tokens: Column, stopwords: list[str]) -> Column:
+    """Count of tokens (occurrences, not distinct) present in the
+    stopword list.  A closure factory — a plain ``lambda t, sw=sw:``
+    would read to PySpark as a binary (element, index) lambda."""
+
+    def pred(t: Column) -> Column:
+        return t.isin(*stopwords)
+
+    return F.size(F.filter(tokens, pred))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``lang_pred``: the language whose stopword set scores the most
+    token hits; ties resolve by LANG_PRIORITY order.  A scan-only
+    heuristic — no shuffle, no model."""
+    tokens = _tokens(F.col(text_col))
+    scores = {lang: _stopword_hits(tokens, sw) for lang, sw in LANG_STOPWORDS.items()}
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    expr = F.lit(LANG_PRIORITY[0])
+    # Build the CASE in reverse priority so earlier languages win ties.
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    expr = F.when(best == 0, F.lit("unknown")).otherwise(expr)
+    return df.withColumn("lang_pred", expr)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``fingerprint``: md5 hex of lowercased, whitespace-collapsed
+    text — the exact-dedup key for near-identical formatting variants."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(normalized.cast("binary")))
+
+
+def lang_id_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+    """The DuckDB mirror of with_lang_id, generated from the same
+    stopword tables so the two can never drift apart."""
+
+    def score(lang: str) -> str:
+        lits = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split_regex(trim(lower({text_col})), '\\s+'), "
+            f"t -> list_contains([{lits}], t)))"
+        )
+
+    scores = {lang: score(lang) for lang in LANG_PRIORITY}
+    best = "greatest(" + ", ".join(scores[lang] for lang in LANG_PRIORITY) + ")"
+    case = f"'{LANG_PRIORITY[0]}'"
+    for lang in reversed(LANG_PRIORITY):
+        case = f"CASE WHEN {scores[lang]} = best THEN '{lang}' ELSE {case} END"
+    return (
+        f"SELECT doc_id, CASE WHEN best = 0 THEN 'unknown' ELSE {case} END AS lang_pred "
+        f"FROM (SELECT doc_id, {text_col}, {best} AS best FROM {table}) t"
+    )

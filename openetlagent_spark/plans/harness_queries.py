@@ -330,6 +330,110 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data extensions (north-star surface) -------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import with_char_classes, with_token_counts
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_char_classes(with_token_counts(df))
+    return out.select("doc_id", "token_count", "bpe_token_count", "n_letters", "n_digits", "n_punct")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import with_quality
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_quality(df).select("doc_id", "quality")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import with_lang_id
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_lang_id(df).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import with_fingerprint
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_fingerprint(df).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on (lang, source): keep the lowest doc_id."""
+    from ..functions.dedup import exact_dedup
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return exact_dedup(df, ["lang", "source"], "doc_id")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash LSH — rows-only check (signature
+    permutations are not SQL-expressible)."""
+    from ..functions.dedup import minhash_lsh_pairs
+
+    df = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤10 pairs — rows-only check."""
+    from ..functions.dedup import simhash_pairs
+
+    df = _t(spark, sf_dir, "documents")
+    return simhash_pairs(df, "doc_id", "text", max_hamming=10)
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard pairs within (length bucket, first token)
+    blocks — fully SQL-expressible, oracle-checked."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs via sign-LSH — rows-only check
+    (LSH recall is probabilistic by construction)."""
+    from ..functions.dedup import embedding_neardup_pairs
+
+    df = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k for the first 20 vectors.  DuckDB's
+    list_cosine_similarity over double arrays ranks identically to the
+    engine's fold-order double cosine (verified bit-for-bit at sf0.01)."""
+    from ..functions.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries, k=10)
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate over the event table (the batch
+    side of the streaming operator — identical plan under readStream)."""
+    from ..streaming import read_event_table, windowed_event_counts
+
+    df = read_event_table(spark, f"{sf_dir}/events.parquet")
+    return windowed_event_counts(df, window_duration="1 hour")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), batch path of the stateful
+    streaming operator; lag/cumsum formulation mirrors the SQL oracle."""
+    from ..streaming import read_event_table, sessionize
+
+    df = read_event_table(spark, f"{sf_dir}/events.parquet")
+    return sessionize(df, gap_seconds=1800)
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -351,7 +455,27 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window": q_window,
     "union": q_union,
     "flagship": flagship,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "events_window": q_events_window,
+    "sessionize": q_sessionize,
 }
+
+# SQL fragments shared by several text oracles (mirror text.py exactly).
+_SQL_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+_SQL_N_LETTERS = r"(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))"
+_SQL_EN_HITS = (
+    "len(list_filter(" + _SQL_TOKENS + ", t -> list_contains("
+    "['the','a','and','of','to','in','is','that','it','for'], t)))"
+)
 
 HARNESS_ORACLES: dict[str, str] = {
     "equality": (
@@ -427,4 +551,79 @@ HARNESS_ORACLES: dict[str, str] = {
         "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "LEFT JOIN part p ON l.l_partkey = p.p_partkey"
     ),
+    "text_stats": (
+        "SELECT doc_id, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(" + _SQL_TOKENS + ") END AS token_count, "
+        r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_token_count, "
+        + _SQL_N_LETTERS + " AS n_letters, "
+        r"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digits, "
+        "(length(text) - " + _SQL_N_LETTERS + " - "
+        r"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) - "
+        r"(length(text) - length(regexp_replace(text, '\s', '', 'g')))) AS n_punct "
+        "FROM documents"
+    ),
+    "text_quality": (
+        "SELECT doc_id, "
+        "0.4 * least(length(text)::DOUBLE / 500.0, 1.0) "
+        "+ 0.3 * (CASE WHEN length(text) > 0 THEN " + _SQL_N_LETTERS + "::DOUBLE / length(text)::DOUBLE ELSE 0.0 END) "
+        "+ 0.3 * (CASE WHEN len(" + _SQL_TOKENS + ") > 0 THEN "
+        "least(" + _SQL_EN_HITS + "::DOUBLE / len(" + _SQL_TOKENS + ")::DOUBLE * 5.0, 1.0) ELSE 0.0 END) "
+        "AS quality FROM documents"
+    ),
+    # lang_id oracle is generated from the same stopword tables as the
+    # Spark implementation (functions.text.lang_id_oracle_sql) and
+    # spliced in below — the two can never drift apart.
+    "fingerprint": (
+        r"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint "
+        "FROM documents"
+    ),
+    "dedup_exact": (
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY lang, source)"
+    ),
+    "dedup_ngram": (
+        "WITH g AS (SELECT doc_id, CAST(floor(length(text) / 50) AS BIGINT) AS lbucket, "
+        + _SQL_TOKENS + "[1] AS tok0, "
+        "list_distinct(list_transform(generate_series(1, greatest(length(lower(text)) - 2, 1)), "
+        "i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS grams FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "len(list_intersect(a.grams, b.grams))::DOUBLE / "
+        "len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jaccard "
+        "FROM g a JOIN g b ON a.lbucket = b.lbucket AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE / "
+        "len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5"
+    ),
+    "ann_cosine_topk": (
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank "
+        "FROM embeddings q, embeddings c "
+        "WHERE q.vec_id < 20 AND q.vec_id != c.vec_id) t WHERE rank <= 10"
+    ),
+    "events_window": (
+        "SELECT date_trunc('hour', ts) AS window_start, "
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+        "event_type, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2, 3"
+    ),
+    "sessionize": (
+        "WITH marked AS ("
+        "  SELECT user_id, ts, value, "
+        "  CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 "
+        "       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_session "
+        "  FROM events), "
+        "sess AS ("
+        "  SELECT user_id, ts, value, "
+        "  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id "
+        "  FROM marked) "
+        "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM sess GROUP BY user_id, session_id"
+    ),
 }
+
+from ..functions.text import lang_id_oracle_sql as _lang_id_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["lang_id"] = _lang_id_oracle_sql()

@@ -1,0 +1,210 @@
+"""Structured Streaming surface over event tables.
+
+The reference has NO streaming (SURVEY §2.2); this module is the
+engine's Spark-native extension for event data: file-source streams,
+watermarked tumbling/sliding window aggregation, and custom stateful
+sessionization via applyInPandasWithState.
+
+Batch/stream parity: every transformation here also accepts a batch
+DataFrame (same code path — Structured Streaming's unified API), which
+is how the correctness harness exercises the window logic against a SQL
+oracle, while the streaming tests drive the same plans through
+``readStream`` + ``availableNow`` triggers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_table(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of an event parquet whose timestamps may be
+    nanosecond-precision (Spark's native reader rejects TIMESTAMP(NANOS);
+    read them as longs and truncate to microseconds — the same ns→µs
+    truncation DuckDB applies)."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        df = None
+    if df is None or not isinstance(df.schema["ts"].dataType, T.TimestampType):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if not isinstance(df.schema["ts"].dataType, T.TimestampType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (parquet directory).  At scale this is
+    the landing-zone pattern: readStream over an append-only directory,
+    exactly-once per file, checkpointed consumption."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) per-type window aggregate with a watermark
+    for late-data handling.  Works identically on batch and streaming
+    inputs; on a stream the watermark bounds state so 100 TB/day of
+    events doesn't accumulate unbounded window state."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    win = F.window(F.col("ts"), window_duration, slide) if slide else F.window(F.col("ts"), window_duration)
+    return (
+        src.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame, *, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization.
+
+    Streaming path: applyInPandasWithState keyed by user_id — state is
+    one open session per user, emitted when the inactivity gap passes or
+    the group times out (the canonical custom-stateful-operator shape;
+    state size is O(active users), bounded by the timeout).
+
+    Batch path (non-streaming input): the classic lag/cumsum session
+    assignment — same output schema, used by tests and the SQL oracle.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts")
+        gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        marked = events.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        )
+        sess = marked.withColumn("session_id", F.sum("new_session").over(w))
+        return (
+            sess.groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            )
+            .drop("session_id")
+            .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, sv = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start, unit="s")],
+                        "session_end": [pd.Timestamp(last, unit="s")],
+                        "n_events": [n],
+                        "sum_value": [sv],
+                    }
+                )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        out: list[tuple[float, float, int, float]] = []
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start, last, n, sv = None, None, 0, 0.0
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t = ts.timestamp()
+            if start is None:
+                start, last, n, sv = t, t, 1, float(value or 0.0)
+            elif t - last > gap_seconds:
+                out.append((start, last, n, sv))
+                start, last, n, sv = t, t, 1, float(value or 0.0)
+            else:
+                last, n, sv = t, n + 1, sv + float(value or 0.0)
+        state.update((start, last, n, sv))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _, _ in out],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _, _ in out],
+                    "n_events": [n for _, _, n, _ in out],
+                    "sum_value": [v for _, _, _, v in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

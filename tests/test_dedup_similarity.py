@@ -1,0 +1,110 @@
+"""Unit tests for dedup and similarity search on constructed corpora
+with known duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from openetlagent_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from openetlagent_spark.functions.similarity import cosine_topk, ivf_topk, lsh_topk
+
+BASE = (
+    "spark executes distributed dataframe pipelines with catalyst optimizing "
+    "joins aggregations and scans across many partitions of columnar data "
+    "while tungsten generates compact code for each stage of the physical plan"
+)
+NEAR_DUP = BASE.replace("compact", "efficient")  # one-word edit
+UNRELATED = (
+    "completely different content about cooking recipes with tomatoes basil "
+    "olive oil garlic and fresh bread baked slowly in a warm stone oven"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE),
+            Row(doc_id=2, text=NEAR_DUP),
+            Row(doc_id=3, text=UNRELATED),
+            Row(doc_id=4, text=BASE),  # exact dup of 1
+        ]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", id=3), Row(k="a", id=1), Row(k="b", id=2)]
+    )
+    got = sorted((r.k, r.id) for r in exact_dedup(df, ["k"], "id").collect())
+    assert got == [("a", 1), ("b", 2)]
+
+
+def test_minhash_finds_near_and_exact_dups(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+
+def test_simhash_hamming(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(corpus, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 0 and 1 nearly parallel; 2 orthogonal; 3 anti-parallel to 0.
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.99, 0.1, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact_ranking(vectors):
+    out = cosine_topk(vectors, vectors.filter("vec_id = 0"), k=4)
+    ranked = [r.neighbor_id for r in out.orderBy("rank").collect()]
+    assert ranked == [1, 4, 2, 3]
+
+
+def test_lsh_topk_subset_of_brute(vectors):
+    # LSH may miss candidates (recall < 1) but must never invent wrong
+    # ones: every returned neighbor's cosine ordering must be consistent.
+    out = lsh_topk(vectors, vectors.filter("vec_id = 0"), k=4, n_planes=2, n_tables=4)
+    rows = out.orderBy("rank").collect()
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_finds_nearest(vectors):
+    out = ivf_topk(vectors, vectors.filter("vec_id = 0"), k=2, n_centroids=2, nprobe=2)
+    top = out.orderBy("rank").first()
+    assert top.neighbor_id == 1

@@ -1,0 +1,90 @@
+"""Tests for multimodal column plumbing (stubbed decode, real Spark
+pipeline) and the structured-streaming surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openetlagent_spark.functions.multimodal import (
+    extract_image_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+from openetlagent_spark.streaming import windowed_event_counts
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello media world"), Row(doc_id=2, text="x" * 100)]
+    )
+    return synthesize_media(docs)
+
+
+def test_media_schema(media):
+    assert set(media.columns) == {"media_id", "payload", "mime", "width", "height", "duration_ms"}
+    assert dict(media.dtypes)["payload"] == "binary"
+
+
+def test_extract_features_deterministic(media):
+    a = {r.media_id: r.feature for r in extract_image_features(media, dim=8).collect()}
+    b = {r.media_id: r.feature for r in extract_image_features(media, dim=8).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+    n = {r.media_id: r.n_bytes for r in extract_image_features(media).collect()}
+    assert n[1] == len("hello media world") and n[2] == 100
+
+
+def test_real_decoder_is_stubbed(media):
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        extract_image_features(media, decoder="real")
+
+
+def test_resize_rewrites_dims_and_payload(media):
+    out = resize_images(media, target_width=4, target_height=4)
+    rows = {r.media_id: r for r in out.collect()}
+    assert all(len(r.payload) == 16 for r in rows.values())
+    assert all(r.width == 4 and r.height == 4 for r in rows.values())
+
+
+def test_sample_frames_expands_rows(media):
+    out = sample_frames(media, n_frames=3)
+    assert out.count() == 2 * 3
+    idx = sorted(r.frame_index for r in out.filter("media_id = 1").collect())
+    assert idx == [0, 1, 2]
+
+
+def test_streaming_window_counts_match_batch(spark, tmp_path):
+    rows = [
+        Row(event_id=i, ts=f"2024-01-01 0{i % 3}:1{i}:00", user_id=i % 2, event_type="click", value=float(i), props="{}")
+        for i in range(5)
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events_src")
+    batch.write.parquet(src)
+
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(batch, window_duration="1 hour").collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream, window_duration="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == expected

@@ -1,0 +1,78 @@
+"""Unit tests for text-analysis functions on constructed inputs
+(the synthetic documents table is word-soup, so language/quality
+behavior is pinned here on real sentences)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from openetlagent_spark.functions.text import (
+    with_char_classes,
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_counts,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hello world  foo"),
+            Row(doc_id=2, text=""),
+            Row(doc_id=3, text="   "),
+            Row(doc_id=4, text="a-b c3d!"),
+        ]
+    )
+    got = {r.doc_id: (r.token_count, r.bpe_token_count) for r in with_token_counts(df).collect()}
+    assert got[1] == (3, 3)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    # "a-b c3d!" -> bpe pieces: a, -, b, c, 3, d, !
+    assert got[4] == (2, 7)
+
+
+def test_char_classes(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="ab1 .x")])
+    r = with_char_classes(df).collect()[0]
+    assert (r.n_chars, r.n_letters, r.n_digits, r.n_spaces, r.n_punct) == (6, 3, 1, 1, 1)
+
+
+def test_quality_bounds_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat and it is a good day for everyone " * 8),
+            Row(doc_id=2, text="$$$ ### 123"),
+        ]
+    )
+    got = {r.doc_id: r.quality for r in with_quality(df).collect()}
+    assert 0.0 <= got[2] < got[1] <= 1.0
+
+
+def test_lang_id_real_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog and it is fast"),
+            Row(doc_id=2, text="le chat est sur la table et il mange une pomme pour le dîner"),
+            Row(doc_id=3, text="der hund ist ein gutes tier und die katze ist nicht schlecht"),
+            Row(doc_id=4, text="el perro es un animal y la casa es grande para los niños"),
+            Row(doc_id=5, text="我 的 朋友 是 一个 好 人 他 不 在 这 里"),
+            Row(doc_id=6, text="zzz qqq xxx"),
+        ]
+    )
+    got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "zh", 6: "unknown"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello   World"),
+            Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text="different entirely"),
+        ]
+    )
+    got = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert len(got[1]) == 32  # md5 hex
