@@ -65,7 +65,9 @@ def _read_right_side(
     if fmt == "csv":
         if struct is None:
             return reader.option("header", True).option("inferSchema", True).csv(path)
-        return reader.schema(struct).option("header", True).csv(path)
+        from ..sources.io import read_csv_with_declared_schema
+
+        return read_csv_with_declared_schema(spark, path, struct)
     if fmt == "json":
         return reader.schema(struct).json(path) if struct else reader.json(path)
     return reader.parquet(path)

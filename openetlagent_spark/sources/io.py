@@ -22,11 +22,44 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..model import FileDefinition
 from ..types import schema_to_struct
 
 logger = logging.getLogger(__name__)
+
+
+def read_csv_with_declared_schema(spark: SparkSession, path: str, struct: "T.StructType") -> DataFrame:
+    """CSV scan binding the declared schema BY NAME via the header row.
+
+    Passing an explicit schema to Spark's CSV reader binds it by
+    POSITION — silently misaligned data whenever the declared column
+    order differs from the file's.  The reference's Polars scan applies
+    dtype overrides by name (app/main.py:381), so name-binding is the
+    parity-correct semantics.  Declared-but-absent columns warn (the
+    reference's drift warning, app/main.py:383-390); extra file columns
+    are kept as strings."""
+    raw = spark.read.option("header", True).csv(path)
+    declared = {f.name: f.dataType for f in struct.fields}
+    missing = [c for c in declared if c not in raw.columns]
+    if missing:
+        logger.warning("scan %s: declared columns missing from CSV: %s", path, missing)
+    cols = []
+    for f in struct.fields:
+        if f.name not in raw.columns:
+            continue
+        src = F.col(f.name)
+        if isinstance(f.dataType, T.DateType):
+            cols.append(F.to_date(src, "yyyy-MM-dd").alias(f.name))
+        else:
+            cols.append(src.cast(f.dataType).alias(f.name))
+    extra_names = [c for c in raw.columns if c not in declared]
+    if extra_names:
+        logger.warning(
+            "scan %s: CSV columns not in declared schema kept as strings: %s", path, extra_names
+        )
+    return raw.select(*cols, *[F.col(c) for c in extra_names])
 
 
 def scan_data(spark: SparkSession, fd: FileDefinition) -> DataFrame:
@@ -35,7 +68,7 @@ def scan_data(spark: SparkSession, fd: FileDefinition) -> DataFrame:
     file metadata / header, no full read."""
     struct = schema_to_struct(fd.file_schema.logical_types())
     if fd.format == "csv":
-        df = spark.read.schema(struct).option("header", True).csv(fd.path)
+        df = read_csv_with_declared_schema(spark, fd.path, struct)
     elif fd.format == "json":
         df = spark.read.schema(struct).json(fd.path)
     elif fd.format == "parquet":

@@ -1,0 +1,252 @@
+"""End-to-end parity tests reproducing the reference's two committed
+pipelines (semantics per SURVEY §5 / FIXTURES.md — the reference's
+golden outputs predate a data-file rename, so fixtures use the CSV's
+consistent naming and these tests re-derive the golden SEMANTICS):
+
+- enriched_orders: 3-way enrichment, $-strip lambda, date casts,
+  price/cost/profit arithmetic, profit>100 flag, constant status
+  (reference: pipelines/enriched_output_def.yaml, 14 ops)
+- profit_by_region_category: per-category profit columns via switching,
+  then a fold that replicates each row len(value_columns)×
+  (reference: pipelines/summary_output_def.yaml, 10 ops)
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+import yaml
+
+from openetlagent_spark.model import load_pipeline_config, load_pipeline_flow
+from openetlagent_spark.runner import run_flow
+
+ORDERS_CSV = """order_id,customer_id,order_date,product_name,quantity,unit_price
+101,1,2024-01-15,Laptop Pro,1,$1050.00
+102,2,2024-01-16,Wireless Mouse,2,$25.50
+103,1,2024-01-17,Keyboard Pro,1,$80.00
+104,3,2024-01-18,Office Chair,1,$220.00
+105,2,2024-01-19,Notebook,5,$3.50
+106,4,2024-01-20,Laptop Pro,1,$1050.00
+107,5,2024-01-21,Desk Lamp,2,$45.00
+108,1,2024-01-22,Monitor 4K,1,$380.00
+109,3,2024-01-23,Pen Set,3,$12.00
+110,4,2024-01-24,Unknown Gadget,1,$99.99
+"""
+
+CUSTOMERS_CSV = """customer_id,customer_name,city,country,signup_date
+1,Alice Smith,New York,USA,2023-03-01
+2,Bob Jones,London,UK,2023-04-12
+3,Carol White,Paris,France,2023-05-20
+4,David Brown,Toronto,Canada,2023-06-08
+5,Eva Green,Berlin,Germany,2023-07-15
+"""
+
+PRODUCTS_CSV = """product_name,category,cost_price
+Laptop Pro,Electronics,850.00
+Wireless Mouse,Electronics,15.00
+Keyboard Pro,Electronics,45.00
+Office Chair,Furniture,120.00
+Notebook,Stationery,1.20
+Desk Lamp,Furniture,22.00
+Monitor 4K,Electronics,290.00
+Pen Set,Stationery,5.00
+"""
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refpipe")
+    (d / "orders.csv").write_text(ORDERS_CSV)
+    (d / "customers.csv").write_text(CUSTOMERS_CSV)
+    (d / "products.csv").write_text(PRODUCTS_CSV)
+
+    config = {
+        "inputs": {
+            "orders": {
+                "path": str(d / "orders.csv"),
+                "format": "csv",
+                "file_schema": {
+                    "name": "orders",
+                    "columns": {
+                        "order_id": {"type": "integer"},
+                        "customer_id": {"type": "integer"},
+                        "order_date": {"type": "string"},
+                        "product_name": {"type": "string"},
+                        "quantity": {"type": "integer"},
+                        "unit_price": {"type": "string"},
+                    },
+                },
+            },
+            "customers": {
+                "path": str(d / "customers.csv"),
+                "format": "csv",
+                "file_schema": {
+                    "name": "customers",
+                    "columns": {
+                        "customer_id": {"type": "integer"},
+                        "customer_name": {"type": "string"},
+                        "city": {"type": "string"},
+                        "country": {"type": "string"},
+                        "signup_date": {"type": "string"},
+                    },
+                },
+            },
+            "products": {
+                "path": str(d / "products.csv"),
+                "format": "csv",
+                "file_schema": {
+                    "name": "products",
+                    "columns": {
+                        "product_name": {"type": "string"},
+                        "category": {"type": "string"},
+                        "cost_price": {"type": "string"},
+                    },
+                },
+            },
+        },
+        "outputs": {
+            "enriched_orders": {
+                "path": str(d / "out_enriched"),
+                "format": "csv",
+                "file_schema": {
+                    "name": "enriched_orders",
+                    "columns": {
+                        "order_id": {"type": "integer"},
+                        "customer_id": {"type": "integer"},
+                        "order_date_dt": {"type": "date"},
+                        "product_name": {"type": "string"},
+                        "quantity": {"type": "integer"},
+                        "unit_price_float": {"type": "float"},
+                        "total_price": {"type": "float"},
+                        "customer_name": {"type": "string"},
+                        "city": {"type": "string"},
+                        "country": {"type": "string"},
+                        "signup_date_dt": {"type": "date"},
+                        "category": {"type": "string"},
+                        "cost_price_float": {"type": "float"},
+                        "total_cost": {"type": "float"},
+                        "profit": {"type": "float"},
+                        "is_high_profit": {"type": "boolean"},
+                        "order_status": {"type": "string"},
+                    },
+                },
+            },
+            "profit_by_region_category": {
+                "path": str(d / "out_summary"),
+                "format": "csv",
+                "file_schema": {
+                    "name": "profit_by_region_category",
+                    "columns": {
+                        "customer_region": {"type": "string"},
+                        "product_name": {"type": "string"},
+                        "Electronics": {"type": "float"},
+                        "Furniture": {"type": "float"},
+                        "Stationery": {"type": "float"},
+                        "other_column": {"type": "float"},
+                    },
+                },
+            },
+        },
+    }
+    (d / "config.yaml").write_text(yaml.safe_dump(config, sort_keys=False))
+    return d
+
+
+ENRICH_OPS = [
+    {"operation_type": "bind", "right_file_path": "customers", "left_on": "customer_id",
+     "right_on": "customer_id", "how": "left",
+     "columns_to_add": ["customer_name", "city", "country", "signup_date"]},
+    {"operation_type": "bind", "right_file_path": "products", "left_on": "product_name",
+     "right_on": "product_name", "how": "left", "columns_to_add": ["category", "cost_price"]},
+    {"operation_type": "casting", "input_column": "order_date", "target_type": "date",
+     "output_column": "order_date_dt"},
+    {"operation_type": "casting", "input_column": "signup_date", "target_type": "date",
+     "output_column": "signup_date_dt"},
+    {"operation_type": "application", "input_columns": ["unit_price"],
+     "function_str": "lambda r: r['unit_price'].replace('$', '')",
+     "return_type": "string", "output_column": "_unit_price_clean_"},
+    {"operation_type": "casting", "input_column": "_unit_price_clean_", "target_type": "float",
+     "output_column": "unit_price_float"},
+    {"operation_type": "casting", "input_column": "cost_price", "target_type": "float",
+     "output_column": "cost_price_float"},
+    {"operation_type": "arithmetic", "input_columns": ["unit_price_float", "quantity"],
+     "operator": "*", "output_column": "total_price"},
+    {"operation_type": "arithmetic", "input_columns": ["cost_price_float", "quantity"],
+     "operator": "*", "output_column": "total_cost"},
+    {"operation_type": "arithmetic", "input_columns": ["total_price", "total_cost"],
+     "operator": "-", "output_column": "profit"},
+    {"operation_type": "comparison", "input_column": "profit", "operator": ">", "value": 100,
+     "output_column": "is_high_profit"},
+    {"operation_type": "assignation", "value": "UNKNOWN", "output_column": "order_status"},
+]
+
+
+def test_enriched_orders_pipeline(spark, workdir):
+    (workdir / "enriched_flow.yaml").write_text(
+        yaml.safe_dump({"source": "orders", "operations": ENRICH_OPS})
+    )
+    config = load_pipeline_config(str(workdir / "config.yaml"))
+    flow = load_pipeline_flow(str(workdir / "enriched_flow.yaml"))
+    result, ok, feedback = run_flow(spark, config, flow, "enriched_orders", save=True, single_file=True)
+    assert ok, feedback
+
+    rows = {r.order_id: r for r in result.collect()}
+    assert len(rows) == 10
+    r101 = rows[101]
+    assert r101.customer_name == "Alice Smith" and r101.country == "USA"
+    assert r101.order_date_dt == datetime.date(2024, 1, 15)
+    assert r101.unit_price_float == 1050.0 and r101.total_price == 1050.0
+    assert r101.cost_price_float == 850.0 and r101.profit == 200.0
+    assert r101.is_high_profit is True
+    assert r101.order_status == "UNKNOWN"
+    # temp column dropped
+    assert "_unit_price_clean_" not in result.columns
+    # left-join null row: product absent from products
+    r110 = rows[110]
+    assert r110.category is None and r110.cost_price_float is None
+    # low-profit boolean coverage
+    assert rows[105].is_high_profit is False
+    # written file exists with schema-ordered header
+    out_files = list((workdir / "out_enriched").glob("part-*.csv"))
+    header = out_files[0].read_text().splitlines()[0]
+    assert header.startswith("order_id,customer_id,order_date_dt")
+
+
+SUMMARY_PREFIX = ENRICH_OPS[:2] + ENRICH_OPS[4:10]  # binds + price/cost/profit derivation
+
+SUMMARY_OPS = SUMMARY_PREFIX + [
+    {"operation_type": "switching", "switch_column": "category",
+     "mapping": {"Electronics": "profit"}, "default_value": 0.0, "output_column": "Electronics"},
+    {"operation_type": "switching", "switch_column": "category",
+     "mapping": {"Furniture": "profit"}, "default_value": 0.0, "output_column": "Furniture"},
+    {"operation_type": "switching", "switch_column": "category",
+     "mapping": {"Stationery": "profit"}, "default_value": 0.0, "output_column": "Stationery"},
+    {"operation_type": "equality", "input_column": "country", "output_column": "customer_region"},
+    {"operation_type": "fold",
+     "id_columns": ["customer_region", "product_name", "Electronics", "Furniture", "Stationery"],
+     "value_columns": ["order_id", "customer_id", "quantity", "unit_price_float", "total_price",
+                        "cost_price_float", "total_cost", "profit", "Electronics", "Furniture",
+                        "Stationery"],
+     "key_column_name": "_fold_key_", "value_column_name": "other_column"},
+]
+
+
+def test_summary_pipeline_fold_replication(spark, workdir):
+    (workdir / "summary_flow.yaml").write_text(
+        yaml.safe_dump({"source": "orders", "operations": SUMMARY_OPS})
+    )
+    config = load_pipeline_config(str(workdir / "config.yaml"))
+    flow = load_pipeline_flow(str(workdir / "summary_flow.yaml"))
+    result, ok, feedback = run_flow(spark, config, flow, "profit_by_region_category", save=False)
+    assert ok, feedback
+
+    rows = result.collect()
+    # fold replicates each of the 10 orders 11× (11 value columns) —
+    # the reference's committed summary replicates 15× with 15 value
+    # columns; same semantics, FIXTURES.md documents the mechanism.
+    assert len(rows) == 10 * 11
+    laptops = [r for r in rows if r.product_name == "Laptop Pro" and r.customer_region == "USA"]
+    assert laptops and all(r.Electronics == 200.0 and r.Furniture == 0.0 for r in laptops)
+    chairs = [r for r in rows if r.product_name == "Office Chair"]
+    assert chairs and all(r.Furniture == 100.0 and r.Electronics == 0.0 for r in chairs)
