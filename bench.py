@@ -23,7 +23,8 @@ from openetlagent_spark.plans import HARNESS_QUERIES  # noqa: E402
 from openetlagent_spark.session import get_spark  # noqa: E402
 
 # Headline set: the flagship plus the operators whose plans are
-# interesting at scale (joins, shuffles, pivot, UDF path).
+# interesting at scale (joins, shuffles, pivot, UDF path), plus the
+# training-data extension pipelines (dedup, similarity, text, events).
 HEADLINE = [
     "flagship",
     "aggregation",
@@ -35,6 +36,18 @@ HEADLINE = [
     "switching",
     "application",
     "sort_limit",
+    "text_stats",
+    "text_quality",
+    "lang_id",
+    "fingerprint",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram",
+    "dedup_embedding",
+    "ann_cosine_topk",
+    "events_window",
+    "sessionize",
 ]
 
 

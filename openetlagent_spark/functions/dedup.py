@@ -42,6 +42,17 @@ from pyspark.sql import functions as F
 _MERSENNE = 2_147_483_647
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once and feed it to ``fn`` as a lambda
+    variable.  An outer expression referenced inside a higher-order
+    lambda body is re-evaluated per element (Catalyst does no CSE across
+    lambda scopes) — e.g. slicing a token array inside transform() would
+    re-run the tokenizing regex split once per output element.  Wrapping
+    the expression in a single-element array and transform()ing it binds
+    it to a variable instead (measured ~10× on shingling)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Keep exactly one row per key — the one with the smallest
     ``order_col`` (deterministic, unlike dropDuplicates).  One shuffle."""
@@ -64,14 +75,18 @@ def _token_col(text_col: Column) -> Column:
 
 def word_shingles(text_col: Column, k: int) -> Column:
     """Array of k-word shingles (distinct).  k=1 degenerates to the
-    distinct token set."""
+    distinct token set.  The token array is bound once (see bind_once)."""
     tokens = _token_col(text_col)
     if k == 1:
         return F.array_distinct(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))
-    )
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        )
+
+    return bind_once(tokens, build)
 
 
 def shingle_hashes(text_col: Column, shingle_size: int = 3) -> Column:
@@ -308,10 +323,14 @@ def simhash_pairs(
 
 
 def char_ngrams(text_col: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of the lowercased text."""
-    norm = F.lower(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+    """Distinct character n-grams of the lowercased text.  The
+    normalized string is bound once (see bind_once)."""
+
+    def build(norm: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+
+    return bind_once(F.lower(text_col), build)
 
 
 def ngram_jaccard_pairs(

@@ -380,11 +380,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤10 pairs — rows-only check."""
+    """SimHash Hamming-≤3 pairs (the standard near-dup radius; a loose
+    radius like 10 degrades banding to 5-bit buckets and goes quadratic)
+    — rows-only check."""
     from ..functions.dedup import simhash_pairs
 
     df = _t(spark, sf_dir, "documents")
-    return simhash_pairs(df, "doc_id", "text", max_hamming=10)
+    return simhash_pairs(df, "doc_id", "text", max_hamming=3)
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
