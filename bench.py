@@ -48,6 +48,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "events_window",
     "sessionize",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
 ]
 
 

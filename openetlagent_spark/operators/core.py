@@ -126,7 +126,17 @@ def apply_arithmetic(df: DataFrame, op: ArithmeticOperation) -> DataFrame:
     elif op.operator == "*":
         expr = left * right
     else:
-        expr = left / right
+        # IEEE-754 division parity with the reference (Polars): x/0 is
+        # ±inf and 0/0 is NaN.  Spark diverges in BOTH modes (ANSI
+        # raises, non-ANSI nulls), so build the IEEE result explicitly;
+        # null operands stay null like any arithmetic.
+        expr = (
+            F.when(left.isNull() | right.isNull(), F.lit(None).cast("double"))
+            .when(right != 0, F.try_divide(left, right))
+            .when(left > 0, F.lit(float("inf")))
+            .when(left < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan")))
+        )
     return df.withColumn(op.output_column, expr)
 
 
