@@ -330,6 +330,80 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bind_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer bind: customers without orders survive with the key
+    coalesced into the left column (engine outer-join semantics)."""
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    op = BindOperation(
+        right_file_path=f"{sf_dir}/customer.parquet",
+        left_on="o_custkey",
+        right_on="c_custkey",
+        how="outer",
+        columns_to_add=["c_name"],
+    )
+    return apply_bind(df, op, spark).select("o_orderkey", "o_custkey", "c_name")
+
+
+def q_bind_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "region").select("r_name")
+    op = BindOperation(
+        right_file_path=f"{sf_dir}/nation.parquet",
+        how="cross",
+        columns_to_add=["n_name"],
+    )
+    return apply_bind(df, op, spark)
+
+
+def q_fold_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold across string+int+double value columns — the Polars
+    supercast-to-string path."""
+    df = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    return apply_fold(
+        df,
+        FoldOperation(
+            id_columns=["p_partkey"],
+            value_columns=["p_brand", "p_size", "p_retailprice"],
+            key_column_name="attr",
+            value_column_name="val",
+        ),
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation variants: count_distinct, min, max, avg."""
+    df = _t(spark, sf_dir, "customer")
+    out = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["c_mktsegment"],
+            aggregations={
+                "n_nations": {"column": "c_nationkey", "agg": "count_distinct"},
+                "min_bal": {"column": "c_acctbal", "agg": "min"},
+                "max_bal": {"column": "c_acctbal", "agg": "max"},
+                "n_customers": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    return out
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): each order's previous total for the same customer in
+    orderkey sequence."""
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return apply_window(
+        df,
+        WindowOperation(
+            function="lag",
+            partition_by=["o_custkey"],
+            order_by=["o_orderkey"],
+            value_column="o_totalprice",
+            offset=1,
+            output_column="prev_totalprice",
+        ),
+    )
+
+
 # --- training-data extensions (north-star surface) -------------------------
 
 
@@ -457,6 +531,11 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window": q_window,
     "union": q_union,
     "flagship": flagship,
+    "bind_outer": q_bind_outer,
+    "bind_cross": q_bind_cross,
+    "fold_mixed": q_fold_mixed,
+    "agg_stats": q_agg_stats,
+    "window_lag": q_window_lag,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -552,6 +631,26 @@ HARNESS_ORACLES: dict[str, str] = {
         "FROM lineitem l "
         "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "LEFT JOIN part p ON l.l_partkey = p.p_partkey"
+    ),
+    "bind_outer": (
+        "SELECT o.o_orderkey, COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, c.c_name "
+        "FROM orders o FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"
+    ),
+    "bind_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "fold_mixed": (
+        "SELECT p_partkey, 'p_brand' AS attr, p_brand AS val FROM part "
+        "UNION ALL SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS VARCHAR) AS val FROM part "
+        "UNION ALL SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS VARCHAR) AS val FROM part"
+    ),
+    "agg_stats": (
+        "SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, "
+        "MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal, COUNT(*) AS n_customers "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
+    "window_lag": (
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_totalprice "
+        "FROM orders"
     ),
     "text_stats": (
         "SELECT doc_id, "

@@ -1,0 +1,91 @@
+"""Source/sink tests: csv/json/parquet scans with declared schemas and
+the reference-shaped JSON array sink (date formatting quirk included)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql import Row
+
+from openetlagent_spark.model import ColumnDefinition, FileDefinition, FileSchema
+from openetlagent_spark.sources import save_data, scan_data
+from openetlagent_spark.validate import validate_schema
+
+
+def _fd(path: str, fmt: str, cols: dict[str, str], name: str = "t") -> FileDefinition:
+    return FileDefinition(
+        path=path,
+        format=fmt,
+        file_schema=FileSchema(name=name, columns={k: ColumnDefinition(type=v) for k, v in cols.items()}),
+    )
+
+
+def test_csv_scan_binds_by_name_not_position(spark, tmp_path):
+    # File order differs from declared order — values must still land in
+    # the right columns (Polars dtype-override-by-name semantics).
+    p = tmp_path / "t.csv"
+    p.write_text("b,a\n2,one\n4,two\n")
+    fd = _fd(str(p), "csv", {"a": "string", "b": "integer"})
+    rows = scan_data(spark, fd).orderBy("b").collect()
+    assert [(r.a, r.b) for r in rows] == [("one", 2), ("two", 4)]
+
+
+def test_csv_scan_extra_and_missing_columns(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,zz\nx,9\n")
+    fd = _fd(str(p), "csv", {"a": "string", "missing_col": "integer"})
+    df = scan_data(spark, fd)
+    assert df.columns == ["a", "zz"]  # declared-present first, extras kept
+
+
+def test_csv_scan_date_column(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("d\n2024-01-15\n")
+    fd = _fd(str(p), "csv", {"d": "date"})
+    assert scan_data(spark, fd).collect()[0].d == datetime.date(2024, 1, 15)
+
+
+def test_json_scan_with_schema(spark, tmp_path):
+    p = tmp_path / "t.json"
+    p.write_text('{"a": "x", "n": 5}\n{"a": "y", "n": 6}\n')
+    fd = _fd(str(p), "json", {"a": "string", "n": "integer"})
+    rows = scan_data(spark, fd).orderBy("n").collect()
+    assert [(r.a, r.n) for r in rows] == [("x", 5), ("y", 6)]
+
+
+def test_json_array_sink_reference_shape(spark, tmp_path):
+    # Reference JSON sink: single file, indented array of row objects,
+    # dates as %Y-%m-%d strings (app/main.py:464-470).
+    df = spark.createDataFrame(
+        [Row(name="a", d=datetime.date(2024, 1, 15)), Row(name="b", d=datetime.date(2024, 2, 1))]
+    )
+    out = tmp_path / "out.json"
+    fd = _fd(str(out), "json", {"name": "string", "d": "date"})
+    save_data(df, fd, json_array=True)
+    data = json.loads(out.read_text())
+    assert sorted(data, key=lambda r: r["name"]) == [
+        {"name": "a", "d": "2024-01-15"},
+        {"name": "b", "d": "2024-02-01"},
+    ]
+
+
+def test_parquet_sink_roundtrip_with_projection(spark, tmp_path):
+    df = spark.createDataFrame([Row(a=1, b="x", extra="drop-me")])
+    out = str(tmp_path / "out_parquet")
+    fd = _fd(out, "parquet", {"b": "string", "a": "integer"})
+    save_data(df, fd)
+    back = spark.read.parquet(out)
+    assert back.columns == ["b", "a"]  # declared order, extras dropped
+    assert back.collect()[0].b == "x"
+
+
+def test_validate_schema_feedback(spark):
+    df = spark.createDataFrame([Row(a=1)])
+    fd = _fd("/nonexistent", "csv", {"a": "integer", "b": "string"})
+    ok, feedback = validate_schema(df, fd)
+    assert not ok and "Missing target column 'b'" in feedback[0]
+    ok2, fb2 = validate_schema(df, _fd("/n", "csv", {"a": "string"}))
+    assert not ok2 and "requires string" in fb2[0]
+    ok3, _ = validate_schema(df, _fd("/n", "csv", {"a": "positive integer"}))
+    assert ok3  # positivity never enforced (reference waiver)
