@@ -217,12 +217,20 @@ def minhash_lsh_pairs(
         )
     )
 
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        candidates.withColumn("jaccard", inter / union)
+        candidates.withColumn("jaccard", _jaccard_expr("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _jaccard_expr(a: str, b: str) -> Column:
+    """Exact Jaccard of two distinct-element arrays, computing the
+    intersection ONCE: |A∪B| = |A|+|B|-|A∩B| (bind_once avoids both a
+    second intersect and a materialized union array)."""
+    return bind_once(
+        F.size(F.array_intersect(a, b)),
+        lambda i: i.cast("double") / (F.size(a) + F.size(b) - i).cast("double"),
     )
 
 
@@ -357,12 +365,10 @@ def ngram_jaccard_pairs(
     right = base.select(
         "lbucket", "tok0", F.col("__id__").alias("id_b"), F.col("grams").alias("g_b")
     )
-    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
-    union = F.size(F.array_union("g_a", "g_b")).cast("double")
     return (
         left.join(right, ["lbucket", "tok0"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", inter / union)
+        .withColumn("jaccard", _jaccard_expr("g_a", "g_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -251,6 +251,17 @@ class UnionOperation(Operation):
 
 
 @dataclass
+class RepartitionOperation(Operation):
+    """Explicit partitioning control — pre-shuffle on join/agg keys to
+    co-locate downstream stages, or rebalance after a skewing filter.
+    ``columns`` empty → round-robin rebalance to ``num_partitions``."""
+
+    columns: list[str] = field(default_factory=list)
+    num_partitions: int | None = None
+    operation_type: str = "repartition"
+
+
+@dataclass
 class WindowOperation(Operation):
     """Window function over partition/order: fn ∈ row_number/rank/
     dense_rank/lag/lead/sum/avg/min/max/count."""
@@ -284,6 +295,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "distinct": DistinctOperation,
     "union": UnionOperation,
     "window": WindowOperation,
+    "repartition": RepartitionOperation,
 }
 
 

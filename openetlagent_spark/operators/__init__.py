@@ -20,6 +20,7 @@ from .extensions import (
     apply_distinct,
     apply_filter,
     apply_limit,
+    apply_repartition,
     apply_sort,
     apply_union,
     apply_window,
@@ -45,6 +46,7 @@ OPERATION_DISPATCHER = {
     "limit": apply_limit,
     "distinct": apply_distinct,
     "window": apply_window,
+    "repartition": apply_repartition,
 }
 
 __all__ = [
@@ -62,6 +64,7 @@ __all__ = [
     "apply_filter",
     "apply_fold",
     "apply_limit",
+    "apply_repartition",
     "apply_sort",
     "apply_switching",
     "apply_unfold",

@@ -19,6 +19,7 @@ from ..model import (
     DistinctOperation,
     FilterOperation,
     LimitOperation,
+    RepartitionOperation,
     SortOperation,
     UnionOperation,
     WindowOperation,
@@ -84,6 +85,18 @@ def apply_distinct(df: DataFrame, op: DistinctOperation) -> DataFrame:
 
 def apply_union(df: DataFrame, op: UnionOperation, right_df: DataFrame) -> DataFrame:
     return df.unionByName(right_df, allowMissingColumns=False)
+
+
+def apply_repartition(df: DataFrame, op: RepartitionOperation) -> DataFrame:
+    if op.columns:
+        require_columns(df, op.columns, "repartition")
+        cols = [F.col(c) for c in op.columns]
+        return (
+            df.repartition(op.num_partitions, *cols) if op.num_partitions else df.repartition(*cols)
+        )
+    if not op.num_partitions:
+        raise ValueError("repartition requires columns and/or num_partitions")
+    return df.repartition(op.num_partitions)
 
 
 def apply_window(df: DataFrame, op: WindowOperation) -> DataFrame:

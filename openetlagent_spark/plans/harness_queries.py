@@ -501,6 +501,19 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(df, window_duration="1 hour")
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the event props column (a scalar-
+    function capability the reference lacks entirely — SURVEY §2.2
+    'no array/map/json functions')."""
+    from ..streaming import read_event_table
+
+    df = read_event_table(spark, f"{sf_dir}/events.parquet")
+    return df.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min), batch path of the stateful
     streaming operator; lag/cumsum formulation mirrors the SQL oracle."""
@@ -547,6 +560,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
     "events_window": q_events_window,
+    "json_extract": q_json_extract,
     "sessionize": q_sessionize,
 }
 
@@ -708,6 +722,9 @@ HARNESS_ORACLES: dict[str, str] = {
         "event_type, COUNT(*) AS n_events, "
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1, 2, 3"
+    ),
+    "json_extract": (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k FROM events"
     ),
     "sessionize": (
         "WITH marked AS ("

@@ -100,25 +100,45 @@ def _ordered_projection(df: DataFrame, fd: FileDefinition) -> DataFrame:
     return df.select(*present) if present else df
 
 
-def save_data(df: DataFrame, fd: FileDefinition, *, single_file: bool = False, json_array: bool = False) -> None:
+def save_data(
+    df: DataFrame,
+    fd: FileDefinition,
+    *,
+    single_file: bool = False,
+    json_array: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
     """Write with schema-ordered projection.
 
     ``single_file`` coalesces to one partition (small outputs / parity
     with the reference's one-file CSVs); default is parallel many-file
-    output, the scalable form.
+    output, the scalable form.  ``partition_by`` produces a
+    hive-partitioned layout (e.g. by date/category) so downstream scans
+    get partition pruning — the 100 TB sink shape.
     """
     out = _ordered_projection(df, fd)
-    writer_df = out.coalesce(1) if single_file else out
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"save: partition_by columns {missing} not in result columns {df.columns}")
+        # Partition columns must survive the declared-schema projection.
+        out = df.select(
+            *[c for c in out.columns if c not in partition_by], *partition_by
+        )
+    writer_df = out.coalesce(1) if single_file and not partition_by else out
+    writer = writer_df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
 
     if fd.format == "csv":
-        writer_df.write.mode("overwrite").option("header", True).csv(fd.path)
+        writer.option("header", True).csv(fd.path)
     elif fd.format == "parquet":
-        writer_df.write.mode("overwrite").parquet(fd.path)
+        writer.parquet(fd.path)
     elif fd.format == "json":
         if json_array:
             _write_json_array(out, fd.path)
         else:
-            writer_df.write.mode("overwrite").json(fd.path)
+            writer.json(fd.path)
     else:
         raise NotImplementedError(f"Unsupported output format: {fd.format}")
 

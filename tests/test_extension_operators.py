@@ -1,0 +1,134 @@
+"""Unit tests for the relational extension operators (SURVEY §2.2
+gaps the engine fills): filter, aggregation, sort/limit, distinct,
+union, window variants, repartition, partitioned sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from openetlagent_spark.model import (
+    AggregationOperation,
+    ColumnDefinition,
+    FileDefinition,
+    FileSchema,
+    FilterOperation,
+    RepartitionOperation,
+    UnionOperation,
+    WindowOperation,
+)
+from openetlagent_spark.operators import (
+    apply_aggregation,
+    apply_filter,
+    apply_repartition,
+    apply_union,
+    apply_window,
+)
+from openetlagent_spark.sources import save_data
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    return spark.createDataFrame(
+        [
+            Row(region="E", amount=10.0, flag=True),
+            Row(region="E", amount=20.0, flag=False),
+            Row(region="W", amount=5.0, flag=True),
+        ]
+    )
+
+
+def test_filter_boolean_column(sales):
+    out = apply_filter(sales, FilterOperation(input_column="flag"))
+    assert out.count() == 2
+
+
+def test_aggregation_collect_set_and_avg(sales):
+    out = apply_aggregation(
+        sales,
+        AggregationOperation(
+            group_by=["region"],
+            aggregations={
+                "avg_amount": {"column": "amount", "agg": "avg"},
+                "flags": {"column": "flag", "agg": "collect_set"},
+            },
+        ),
+    )
+    got = {r.region: r for r in out.collect()}
+    assert got["E"].avg_amount == 15.0
+    assert sorted(got["E"].flags) == [False, True]
+
+
+def test_aggregation_global_no_groupby(sales):
+    out = apply_aggregation(
+        sales,
+        AggregationOperation(group_by=[], aggregations={"total": {"column": "amount", "agg": "sum"}}),
+    )
+    assert out.collect()[0].total == 35.0
+
+
+def test_aggregation_unknown_fn_raises(sales):
+    with pytest.raises(ValueError, match="unknown agg fn"):
+        apply_aggregation(
+            sales,
+            AggregationOperation(group_by=[], aggregations={"x": {"column": "amount", "agg": "median99"}}),
+        )
+
+
+@pytest.mark.parametrize("fn,expected", [("rank", [1, 1, 3]), ("dense_rank", [1, 1, 2]), ("row_number", [1, 2, 3])])
+def test_window_rank_variants(spark, fn, expected):
+    df = spark.createDataFrame(
+        [Row(g="a", v=1.0), Row(g="a", v=1.0), Row(g="a", v=2.0)]
+    )
+    out = apply_window(
+        df,
+        WindowOperation(function=fn, partition_by=["g"], order_by=["v"], output_column="r"),
+    )
+    assert sorted(r.r for r in out.collect()) == expected
+
+
+def test_window_lead(spark):
+    df = spark.createDataFrame([Row(g="a", t=1, v=10.0), Row(g="a", t=2, v=20.0)])
+    out = apply_window(
+        df,
+        WindowOperation(
+            function="lead", partition_by=["g"], order_by=["t"], value_column="v", output_column="nxt"
+        ),
+    )
+    got = {r.t: r.nxt for r in out.collect()}
+    assert got == {1: 20.0, 2: None}
+
+
+def test_union_by_name(spark):
+    a = spark.createDataFrame([Row(x=1, y="a")])
+    b = spark.createDataFrame([Row(y="b", x=2)])  # different column order
+    out = apply_union(a, UnionOperation(right_input="b"), b)
+    assert sorted((r.x, r.y) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_repartition_by_columns_and_count(sales):
+    out = apply_repartition(sales, RepartitionOperation(columns=["region"], num_partitions=2))
+    assert out.rdd.getNumPartitions() == 2
+    assert out.count() == 3
+    out2 = apply_repartition(sales, RepartitionOperation(num_partitions=3))
+    assert out2.rdd.getNumPartitions() == 3
+    with pytest.raises(ValueError, match="columns and/or num_partitions"):
+        apply_repartition(sales, RepartitionOperation())
+
+
+def test_partitioned_parquet_sink(sales, tmp_path):
+    out = str(tmp_path / "pp")
+    fd = FileDefinition(
+        path=out,
+        format="parquet",
+        file_schema=FileSchema(
+            name="s",
+            columns={"region": ColumnDefinition("string"), "amount": ColumnDefinition("float")},
+        ),
+    )
+    save_data(sales, fd, partition_by=["region"])
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("region=")) == ["region=E", "region=W"]
+    back = sales.sparkSession.read.parquet(out)
+    assert back.count() == 3
