@@ -498,7 +498,18 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_event_table, windowed_event_counts
 
     df = read_event_table(spark, f"{sf_dir}/events.parquet")
-    return windowed_event_counts(df, window_duration="1 hour")
+    out = windowed_event_counts(df, window_duration="1 hour")
+    # Timestamps leave the harness as epoch seconds: PySpark's collect()
+    # renders timestamps in the HOST timezone (independent of the
+    # session tz), while DuckDB returns naive UTC — epoch doubles are
+    # identical in both engines on any host.
+    return out.select(
+        F.col("window_start").cast("double").alias("window_start_epoch"),
+        F.col("window_end").cast("double").alias("window_end_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,7 +531,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_event_table, sessionize
 
     df = read_event_table(spark, f"{sf_dir}/events.parquet")
-    return sessionize(df, gap_seconds=1800)
+    out = sessionize(df, gap_seconds=1800)
+    # Epoch output for host-tz independence (see q_events_window).
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("double").alias("session_start_epoch"),
+        F.col("session_end").cast("double").alias("session_end_epoch"),
+        "n_events",
+        "sum_value",
+    )
 
 
 # --- registry --------------------------------------------------------------
@@ -717,8 +736,8 @@ HARNESS_ORACLES: dict[str, str] = {
         "WHERE q.vec_id < 20 AND q.vec_id != c.vec_id) t WHERE rank <= 10"
     ),
     "events_window": (
-        "SELECT date_trunc('hour', ts) AS window_start, "
-        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+        "SELECT epoch(date_trunc('hour', ts)) AS window_start_epoch, "
+        "epoch(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_epoch, "
         "event_type, COUNT(*) AS n_events, "
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1, 2, 3"
@@ -736,7 +755,7 @@ HARNESS_ORACLES: dict[str, str] = {
         "  SELECT user_id, ts, value, "
         "  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id "
         "  FROM marked) "
-        "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        "SELECT user_id, epoch(MIN(ts)) AS session_start_epoch, epoch(MAX(ts)) AS session_end_epoch, "
         "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
         "FROM sess GROUP BY user_id, session_id"
     ),
