@@ -5,6 +5,7 @@ Catalyst optimization, distributed execution, plus large-scale
 training-data-pipeline extensions (dedup, similarity search, text
 analysis, multimodal columns)."""
 
+from .generator import generate_pipeline_step_by_step
 from .model import (
     PipelineConfig,
     PipelineFlow,
@@ -21,6 +22,7 @@ __all__ = [
     "PipelineConfig",
     "PipelineFlow",
     "apply_operations",
+    "generate_pipeline_step_by_step",
     "get_spark",
     "load_pipeline_config",
     "load_pipeline_flow",
