@@ -1,3 +1,3 @@
-from .io import read_csv_with_declared_schema, save_data, scan_data
+from .io import read_csv_with_declared_schema, save_data, scan_data, write_bucketed
 
-__all__ = ["read_csv_with_declared_schema", "save_data", "scan_data"]
+__all__ = ["read_csv_with_declared_schema", "save_data", "scan_data", "write_bucketed"]

@@ -143,6 +143,21 @@ def save_data(
         raise NotImplementedError(f"Unsupported output format: {fd.format}")
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_cols: list[str], num_buckets: int = 32
+) -> None:
+    """Write a bucketed parquet table (hash-bucketed on ``bucket_cols``).
+
+    The co-located-join scale path: two tables bucketed on the same key
+    with the same bucket count join WITHOUT a shuffle (Catalyst sees the
+    compatible output partitioning).  Bucketing requires the table
+    catalog, so this writes via saveAsTable into the session warehouse —
+    on a cluster, that is the metastore-backed lakehouse path."""
+    df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols).sortBy(
+        *bucket_cols
+    ).saveAsTable(table_name)
+
+
 def _write_json_array(df: DataFrame, path: str) -> None:
     """Reference JSON shape: one file holding an indented array of row
     objects, dates as %Y-%m-%d strings (app/main.py:464-470).  Collects —

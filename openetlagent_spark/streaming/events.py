@@ -52,15 +52,36 @@ def read_event_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    nanos: bool = False,
 ) -> DataFrame:
     """File-source event stream (parquet directory).  At scale this is
     the landing-zone pattern: readStream over an append-only directory,
-    exactly-once per file, checkpointed consumption."""
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    exactly-once per file, checkpointed consumption.
+
+    ``nanos=True`` reads TIMESTAMP(NANOS) parquet (which Spark's reader
+    rejects as timestamps): ts arrives as int64 nanos and is truncated
+    to microseconds, same convention as read_event_table."""
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENT_SCHEMA.fields
+            ]
+        )
+    else:
+        schema = EVENT_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    df = reader.parquet(path)
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def windowed_event_counts(
