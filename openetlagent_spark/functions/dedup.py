@@ -230,7 +230,9 @@ def _jaccard_expr(a: str, b: str) -> Column:
     second intersect and a materialized union array)."""
     return bind_once(
         F.size(F.array_intersect(a, b)),
-        lambda i: i.cast("double") / (F.size(a) + F.size(b) - i).cast("double"),
+        # try_divide: degenerate empty-set pairs yield NULL (dropped by
+        # the threshold filter) instead of raising under ANSI mode.
+        lambda i: F.try_divide(i.cast("double"), (F.size(a) + F.size(b) - i).cast("double")),
     )
 
 

@@ -35,7 +35,10 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # try_divide: a zero-norm vector yields NULL cosine (sorted last /
+    # filtered out) instead of raising under ANSI mode — the driver's
+    # session runs Spark 4's ANSI default.
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def cosine_topk(
