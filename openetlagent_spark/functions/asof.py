@@ -1,0 +1,103 @@
+"""As-of (point-in-time) join — a temporal operator Spark's DataFrame
+API lacks as a built-in, composed here from existing operators (the
+SURVEY §7 guidance for custom operators: composition first, UDFs only
+if semantics demand).
+
+Semantics (direction="backward"): for each left row, attach the right
+row with the LARGEST right_time ≤ left_time among rows sharing the key
+— the classic "most recent quote for each trade" join.
+direction="forward" takes the smallest right_time ≥ left_time.
+
+Plan shape (scale-first): tag and union the two sides, hash-shuffle
+ONCE on the key, sort within partitions by (time, side-order), and
+carry the right side's payload forward with ``last(ignorenulls)`` /
+``first(ignorenulls)`` over an unbounded-preceding window — then keep
+only left rows.  No range explosion, no per-key loops, one shuffle:
+the same cost as a single window function.  Skewed keys are handled by
+AQE skew splitting on the shuffle; ties (equal timestamps) resolve
+with the right row counted BEFORE the left row (standard as-of
+convention: a quote at exactly trade time matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    value_columns: list[str],
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Attach ``value_columns`` (+ the matched right time as
+    ``{right_time}{suffix}``) from the as-of matching right row; left
+    rows with no match keep nulls."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward/forward, got {direction!r}")
+
+    def time_to_double(df: DataFrame, col_name: str):
+        # TIMESTAMP_NTZ has no direct double cast; route timestamps
+        # through TIMESTAMP (epoch seconds), numerics cast directly.
+        dtype = dict(df.dtypes)[col_name]
+        col = F.col(col_name)
+        if dtype.startswith("timestamp"):
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
+    left_cols = left.columns
+
+    tagged_left = left.select(
+        F.col(left_on).alias("__k__"),
+        time_to_double(left, left_time).alias("__t__"),
+        # Right side sorts before left on ties for backward (a right row
+        # at exactly t matches), after left for forward.
+        F.lit(1 if direction == "backward" else 0).alias("__side__"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__left__"),
+        F.lit(None).cast("double").alias("__rt__"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__rv_{c}__") for c in value_columns],
+    )
+    tagged_right = right.select(
+        F.col(right_on).alias("__k__"),
+        time_to_double(right, right_time).alias("__t__"),
+        F.lit(0 if direction == "backward" else 1).alias("__side__"),
+        F.lit(None).cast(tagged_left.schema["__left__"].dataType).alias("__left__"),
+        time_to_double(right, right_time).alias("__rt__"),
+        *[F.col(c).alias(f"__rv_{c}__") for c in value_columns],
+    )
+
+    unioned = tagged_left.unionByName(tagged_right)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k__")
+            .orderBy(F.col("__t__").asc(), F.col("__side__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [F.last(f"__rv_{c}__", ignorenulls=True).over(w).alias(f"__m_{c}__") for c in value_columns]
+        matched_time = F.last("__rt__", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("__k__")
+            .orderBy(F.col("__t__").asc(), F.col("__side__").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = [F.first(f"__rv_{c}__", ignorenulls=True).over(w).alias(f"__m_{c}__") for c in value_columns]
+        matched_time = F.first("__rt__", ignorenulls=True).over(w)
+
+    joined = unioned.select(
+        "__side__", "__left__", matched_time.alias(f"{right_time}{suffix}"), *carried
+    ).filter(F.col("__left__").isNotNull())
+
+    return joined.select(
+        *[F.col("__left__")[c].alias(c) for c in left_cols],
+        f"{right_time}{suffix}",
+        *[F.col(f"__m_{c}__").alias(f"{c}{suffix}") for c in value_columns],
+    )

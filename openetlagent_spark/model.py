@@ -216,11 +216,18 @@ class FilterOperation(Operation):
 class AggregationOperation(Operation):
     """Group-by aggregation — absent from the reference (SURVEY §2.2).
     aggregations: {output_name: {"column": c, "agg": fn}} with
-    fn ∈ sum/min/max/avg/count/count_distinct/first/collect_set."""
+    fn ∈ sum/min/max/avg/count/count_distinct/first/collect_set.
+    ``grouping``: "groupby" (default) | "rollup" | "cube" for
+    hierarchical / all-combinations subtotals."""
 
     group_by: list[str] = field(default_factory=list)
     aggregations: dict[str, dict[str, str]] = field(default_factory=dict)
+    grouping: str = "groupby"
     operation_type: str = "aggregation"
+
+    def __post_init__(self) -> None:
+        if self.grouping not in ("groupby", "rollup", "cube"):
+            raise SpecError(f"aggregation grouping must be groupby/rollup/cube, got {self.grouping!r}")
 
 
 @dataclass

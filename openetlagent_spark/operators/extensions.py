@@ -62,7 +62,13 @@ def apply_aggregation(df: DataFrame, op: AggregationOperation) -> DataFrame:
         aggs.append(fn(target).alias(out_name))
     if not aggs:
         raise ValueError("aggregation requires at least one aggregate")
-    return df.groupBy(*op.group_by).agg(*aggs) if op.group_by else df.agg(*aggs)
+    if not op.group_by:
+        return df.agg(*aggs)
+    if op.grouping == "rollup":
+        return df.rollup(*op.group_by).agg(*aggs)
+    if op.grouping == "cube":
+        return df.cube(*op.group_by).agg(*aggs)
+    return df.groupBy(*op.group_by).agg(*aggs)
 
 
 def apply_sort(df: DataFrame, op: SortOperation) -> DataFrame:

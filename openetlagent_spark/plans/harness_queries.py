@@ -525,6 +525,52 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the most recent order (by orderdate
+    ≤ event time) of the same customer.  Right side deduped to one order
+    per (custkey, orderdate) — smallest orderkey — so the match is
+    well-defined; mirrors DuckDB's native ASOF JOIN in the oracle."""
+    from ..functions.asof import asof_join
+    from ..functions.dedup import exact_dedup
+    from ..streaming import read_event_table
+
+    events = read_event_table(spark, f"{sf_dir}/events.parquet").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    orders_1 = exact_dedup(orders, ["o_custkey", "o_orderdate"], "o_orderkey")
+    out = asof_join(
+        events,
+        orders_1,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_columns=["o_totalprice"],
+    )
+    return out.select("event_id", "user_id", "o_orderdate_asof", "o_totalprice_asof")
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup (reference gap: 'no grouping
+    sets, cube, rollup' — SURVEY §2.2)."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["l_returnflag", "l_linestatus"],
+            grouping="rollup",
+            aggregations={
+                "sum_qty": {"column": "qty_dec", "agg": "sum"},
+                "n": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", F.col("sum_qty").cast("double").alias("sum_qty"), "n"
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min), batch path of the stateful
     streaming operator; lag/cumsum formulation mirrors the SQL oracle."""
@@ -581,6 +627,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window": q_events_window,
     "json_extract": q_json_extract,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "rollup": q_rollup,
 }
 
 # SQL fragments shared by several text oracles (mirror text.py exactly).
@@ -744,6 +792,20 @@ HARNESS_ORACLES: dict[str, str] = {
     ),
     "json_extract": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k FROM events"
+    ),
+    "asof_join": (
+        "WITH orders_1 AS ("
+        "  SELECT * FROM orders QUALIFY ROW_NUMBER() OVER "
+        "  (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) = 1) "
+        "SELECT e.event_id, e.user_id, "
+        "epoch(o.o_orderdate) AS o_orderdate_asof, o.o_totalprice AS o_totalprice_asof "
+        "FROM events e ASOF LEFT JOIN orders_1 o "
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
+    "rollup": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
     ),
     "sessionize": (
         "WITH marked AS ("
