@@ -52,6 +52,8 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "asof_join",
+    "rollup",
 ]
 
 

@@ -171,6 +171,17 @@ def test_switching_default_column(spark):
     assert got == {"a": 1.0, "z": 9.0}
 
 
+def test_switching_non_string_mapping_keys(spark):
+    # Mapping keys may be any YAML scalar, matched by equality against
+    # the switch column (reference: app/models.py:63, SURVEY §2.3.4).
+    df = spark.createDataFrame([Row(code=1, a=10.0, b=20.0), Row(code=2, a=10.0, b=20.0), Row(code=9, a=10.0, b=20.0)])
+    op = SwitchingOperation(
+        switch_column="code", mapping={1: "a", 2: "b"}, default_value=-1.0, output_column="v"
+    )
+    got = {r.code: r.v for r in apply_switching(df, op).collect()}
+    assert got == {1: 10.0, 2: 20.0, 9: -1.0}
+
+
 def test_switching_requires_exactly_one_default():
     with pytest.raises(SpecError, match="exactly one"):
         SwitchingOperation(switch_column="k", mapping={}, output_column="o")
