@@ -27,6 +27,12 @@ on a blocking key → bounded bucket-local pairing).  ``max_bucket``
 guards against degenerate buckets (e.g. thousands of identical docs)
 going quadratic; oversized buckets are dropped and counted, not
 silently exploded.
+
+Persist lifecycle: the signature tables these functions persist stay
+cached for the session (same policy as Spark MLlib's LSH models) —
+Spark's block manager evicts LRU under memory pressure, and a caller
+running many corpora through one session can reclaim eagerly with
+``spark.catalog.clearCache()``.
 """
 
 from __future__ import annotations
@@ -394,12 +400,13 @@ def embedding_neardup_pairs(
     candidates share a full sign pattern in at least one table; exact
     cosine verifies.  Recall < 1 by construction (documented LSH
     trade-off); raise n_tables for higher recall."""
-    from .similarity import cosine_expr, hyperplane_signature
+    from .similarity import cosine_expr, hyperplane_signature, infer_dim
 
+    dim = infer_dim(df, vec_col)
     base = df.select(F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__v__"))
     tables = []
     for t in range(n_tables):
-        sig = hyperplane_signature(F.col("__v__"), n_planes=n_planes, seed=seed + t)
+        sig = hyperplane_signature(F.col("__v__"), n_planes=n_planes, seed=seed + t, dim=dim)
         tables.append(base.select("__id__", "__v__", F.lit(t).alias("tbl"), sig.alias("bucket")))
     banded = tables[0]
     for other in tables[1:]:

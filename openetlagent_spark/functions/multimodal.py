@@ -87,15 +87,6 @@ def extract_image_features(
             "this container; use decoder='fake' for the deterministic stub."
         )
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("mime", T.StringType()),
-            T.StructField("n_bytes", T.LongType()),
-            T.StructField("feature", T.ArrayType(T.FloatType())),
-        ]
-    )
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
@@ -108,7 +99,7 @@ def extract_image_features(
                 }
             )
 
-    return df.mapInPandas(batches, schema)
+    return df.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
 def resize_images(

@@ -71,10 +71,22 @@ def cosine_topk(
     )
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from one row (tiny probe job).  The
+    hyperplane literals must match the vector length exactly —
+    zip_with pads mismatches with nulls, which would NULL every dot
+    product and silently collapse all buckets to 0."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dimension from column '{vec_col}'")
+    return int(row["d"])
+
+
 def hyperplane_signature(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
     """Sign pattern of the vector against ``n_planes`` deterministic
     random hyperplanes, packed into a long.  Hyperplane coefficients are
-    literal arrays — evaluated entirely JVM-side."""
+    literal arrays — evaluated entirely JVM-side.  ``dim`` MUST equal
+    the embedding length (see infer_dim)."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     sig = F.lit(0).cast("long")
@@ -111,10 +123,11 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
+    dim = infer_dim(corpus, vec_col)
     c_b, q_b = [], []
     for t in range(n_tables):
-        csig = hyperplane_signature(F.col("cv"), n_planes, seed + t)
-        qsig = hyperplane_signature(F.col("qv"), n_planes, seed + t)
+        csig = hyperplane_signature(F.col("cv"), n_planes, seed + t, dim)
+        qsig = hyperplane_signature(F.col("qv"), n_planes, seed + t, dim)
         c_b.append(c.select("neighbor_id", "cv", F.lit(t).alias("tbl"), csig.alias("bucket")))
         q_b.append(q.select("query_id", "qv", F.lit(t).alias("tbl"), qsig.alias("bucket")))
     c_all, q_all = c_b[0], q_b[0]

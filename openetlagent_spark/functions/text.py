@@ -82,10 +82,12 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     produces bit-identical values.
     """
     col = F.col(text_col)
-    n_chars = F.length(col).cast("double")
+    # coalesce: a NULL document must score 0, not ride F.least's
+    # null-skipping up to the maximum length score.
+    n_chars = F.coalesce(F.length(col).cast("double"), F.lit(0.0))
     n_letters = (F.length(col) - F.length(F.regexp_replace(col, r"[A-Za-z]", ""))).cast("double")
     tokens = _tokens(col)
-    n_tokens = F.size(tokens).cast("double")
+    n_tokens = F.coalesce(F.size(tokens).cast("double"), F.lit(0.0))
     stop_hits = _stopword_hits(tokens, LANG_STOPWORDS["en"]).cast("double")
 
     length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))

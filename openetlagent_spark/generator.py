@@ -201,7 +201,9 @@ def generate_pipeline_step_by_step(
             try:
                 raw = extract_yaml_block(reply)
                 if isinstance(raw, dict) and raw.get("operation_type") == "done":
-                    ok, messages = validate_schema(current, config.outputs[output_key])
+                    from .runner import drop_temp_columns as _sweep
+
+                    ok, messages = validate_schema(_sweep(current), config.outputs[output_key])
                     if ok:
                         transcript.append("done")
                         return GenerationResult(
@@ -218,7 +220,11 @@ def generate_pipeline_step_by_step(
                     raise SpecError(f"unsupported operation_type {op.operation_type!r}")
                 # Trial execution on the lazy chain (probe forces analysis
                 # plus a 3-row evaluation, surfacing executor-side errors).
-                candidate = apply_operations(current, [op], spark, config.inputs)
+                # Temp columns must survive across per-op calls: they drop
+                # only after the FULL flow (runner drop_temp_columns).
+                candidate = apply_operations(
+                    current, [op], spark, config.inputs, drop_temp_columns=False
+                )
                 probe(candidate, 3)
             except Exception as exc:
                 feedback = f"{type(exc).__name__}: {exc}"

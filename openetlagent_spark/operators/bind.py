@@ -87,20 +87,23 @@ def apply_bind(
     if right_df is None:
         right_df = _read_right_side(spark, op, inputs)
 
+    # The right projection is {right_on} ∪ columns_to_add (a SET in the
+    # reference, app/operations/bind.py:51-52) — dedupe so right_on
+    # appearing in columns_to_add doesn't produce a duplicate column.
+    add_cols = [c for c in op.columns_to_add if c != op.right_on or op.how == "cross"]
     if op.how != "cross":
         require_columns(df, [op.left_on], "bind")
         require_columns(right_df, [op.right_on] + op.columns_to_add, "bind")
-        right = right_df.select(op.right_on, *op.columns_to_add)
+        right = right_df.select(op.right_on, *add_cols)
     else:
         require_columns(right_df, op.columns_to_add, "bind")
-        right = right_df.select(*op.columns_to_add)
+        right = right_df.select(*add_cols)
 
-    # Polars-style collision handling: right columns (other than the join
-    # key, which is dropped) that collide with a left name get `_right`.
+    # Polars-style collision handling: EVERY added right column that
+    # collides with a left name gets `_right` (the join key itself is
+    # handled separately below and dropped after the join).
     left_cols = set(df.columns)
-    renames = {
-        c: f"{c}_right" for c in op.columns_to_add if c in left_cols and c != op.left_on
-    }
+    renames = {c: f"{c}_right" for c in add_cols if c in left_cols}
     # The right key collides with itself when left_on == right_on; it is
     # dropped after the join, so rename it out of the way first.
     key_alias = op.right_on

@@ -127,14 +127,18 @@ def apply_arithmetic(df: DataFrame, op: ArithmeticOperation) -> DataFrame:
         expr = left * right
     else:
         # IEEE-754 division parity with the reference (Polars): x/0 is
-        # ±inf and 0/0 is NaN.  Spark diverges in BOTH modes (ANSI
-        # raises, non-ANSI nulls), so build the IEEE result explicitly;
-        # null operands stay null like any arithmetic.
+        # ±inf (sign includes the ZERO's sign: 1.0/-0.0 = -inf) and 0/0
+        # is NaN.  Spark diverges in BOTH modes (ANSI raises, non-ANSI
+        # nulls), so build the IEEE result explicitly; null operands stay
+        # null like any arithmetic.  Negative zero compares equal to 0,
+        # so its sign is recovered from the string form ("-0.0").
+        neg_zero = right.cast("string").startswith("-")
+        signed_inf = F.when(neg_zero, F.lit(float("-inf"))).otherwise(F.lit(float("inf")))
         expr = (
             F.when(left.isNull() | right.isNull(), F.lit(None).cast("double"))
             .when(right != 0, F.try_divide(left, right))
-            .when(left > 0, F.lit(float("inf")))
-            .when(left < 0, F.lit(float("-inf")))
+            .when(left > 0, signed_inf)
+            .when(left < 0, -signed_inf)
             .otherwise(F.lit(float("nan")))
         )
     return df.withColumn(op.output_column, expr)

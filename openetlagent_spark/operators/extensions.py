@@ -71,11 +71,20 @@ def apply_aggregation(df: DataFrame, op: AggregationOperation) -> DataFrame:
     return df.groupBy(*op.group_by).agg(*aggs)
 
 
+def _order_cols(columns: list[str], descending: list[bool], op_name: str):
+    """Pair sort columns with direction flags; a short ``descending``
+    list pads ascending (zip would silently DROP the tail columns)."""
+    if len(descending) > len(columns):
+        raise ValueError(
+            f"{op_name}: descending has {len(descending)} entries for {len(columns)} columns"
+        )
+    desc = list(descending) + [False] * (len(columns) - len(descending))
+    return [F.col(c).desc() if d else F.col(c).asc() for c, d in zip(columns, desc)]
+
+
 def apply_sort(df: DataFrame, op: SortOperation) -> DataFrame:
     require_columns(df, op.columns, "sort")
-    desc = op.descending or [False] * len(op.columns)
-    cols = [F.col(c).desc() if d else F.col(c).asc() for c, d in zip(op.columns, desc)]
-    return df.orderBy(*cols)
+    return df.orderBy(*_order_cols(op.columns, op.descending, "sort"))
 
 
 def apply_limit(df: DataFrame, op: LimitOperation) -> DataFrame:
@@ -107,8 +116,7 @@ def apply_repartition(df: DataFrame, op: RepartitionOperation) -> DataFrame:
 
 def apply_window(df: DataFrame, op: WindowOperation) -> DataFrame:
     require_columns(df, op.partition_by + op.order_by, "window")
-    desc = op.descending or [False] * len(op.order_by)
-    order_cols = [F.col(c).desc() if d else F.col(c).asc() for c, d in zip(op.order_by, desc)]
+    order_cols = _order_cols(op.order_by, op.descending, "window")
     w = Window.partitionBy(*op.partition_by)
     if order_cols:
         w = w.orderBy(*order_cols)

@@ -42,10 +42,18 @@ def apply_operations(
     operations: list[Operation],
     spark: SparkSession,
     inputs: dict[str, FileDefinition] | None = None,
+    *,
+    drop_temp_columns: bool = True,
 ) -> DataFrame:
     """Fold the op list over the lazy DataFrame (reference loop:
     app/main.py:397-429 — ours builds one plan instead of executing
-    per-op)."""
+    per-op).
+
+    ``drop_temp_columns=False`` keeps ``_x_`` temp columns alive —
+    required when a caller applies ops one at a time (the generator's
+    trial loop): temps must survive across calls and only drop after the
+    FULL flow, matching the reference's end-of-pipeline drop
+    (app/main.py:413-427)."""
     current = df
     temp_columns: list[str] = []
     for op in operations:
@@ -67,8 +75,17 @@ def apply_operations(
         if out and _TEMP_COLUMN.match(out):
             temp_columns.append(out)
 
+    if not drop_temp_columns:
+        return current
     drops = [c for c in temp_columns if c in current.columns]
     return current.drop(*drops) if drops else current
+
+
+def drop_temp_columns(df: DataFrame) -> DataFrame:
+    """Drop all ``_x_``-named columns (the end-of-flow temp sweep for
+    callers that built the chain incrementally)."""
+    drops = [c for c in df.columns if _TEMP_COLUMN.match(c)]
+    return df.drop(*drops) if drops else df
 
 
 def run_flow(

@@ -34,6 +34,23 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def _with_nanos_as_long(spark: SparkSession, read_fn):
+    """Run a parquet read with nanosAsLong enabled, restoring the prior
+    setting afterwards — the converted schema is captured at read time,
+    so scoping the flag avoids silently changing how OTHER parquet reads
+    in the session treat TIMESTAMP(NANOS) columns."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    previous = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return read_fn()
+    finally:
+        if previous is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, previous)
+
+
 def read_event_table(spark: SparkSession, path: str) -> DataFrame:
     """Batch read of an event parquet whose timestamps may be
     nanosecond-precision (Spark's native reader rejects TIMESTAMP(NANOS);
@@ -44,8 +61,7 @@ def read_event_table(spark: SparkSession, path: str) -> DataFrame:
     except Exception:
         df = None
     if df is None or not isinstance(df.schema["ts"].dataType, T.TimestampType):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _with_nanos_as_long(spark, lambda: spark.read.parquet(path))
         if not isinstance(df.schema["ts"].dataType, T.TimestampType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
@@ -66,7 +82,6 @@ def read_event_stream(
     rejects as timestamps): ts arrives as int64 nanos and is truncated
     to microseconds, same convention as read_event_table."""
     if nanos:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = T.StructType(
             [
                 f if f.name != "ts" else T.StructField("ts", T.LongType())
@@ -75,6 +90,12 @@ def read_event_stream(
         )
     else:
         schema = EVENT_SCHEMA
+
+    if nanos:
+        # Streaming reads NEW files on every microbatch, so the flag must
+        # stay set for the stream's lifetime — deliberately NOT scoped
+        # like the batch reader's (_with_nanos_as_long).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -154,6 +154,36 @@ def test_bind_reads_csv_with_declared_schema(spark, tmp_path):
     assert rows == {101: "one", 102: "two", 103: None}
 
 
+def test_bind_collision_with_left_join_key_gets_suffixed(spark):
+    # A right column named like the LEFT join key must still be suffixed
+    # (it is a data column, not the key — the key is right_on).
+    left = spark.createDataFrame([Row(customer_id=1, x="l")])
+    right = spark.createDataFrame([Row(rid=1, customer_id=999, y="r")])
+    op = BindOperation(
+        right_file_path="x",
+        left_on="customer_id",
+        right_on="rid",
+        how="left",
+        columns_to_add=["customer_id", "y"],
+    )
+    out = apply_bind(left, op, spark, right_df=right)
+    assert set(out.columns) == {"customer_id", "x", "customer_id_right", "y"}
+    r = out.collect()[0]
+    assert r.customer_id == 1 and r.customer_id_right == 999
+
+
+def test_bind_right_key_in_columns_to_add_deduped(spark):
+    left = spark.createDataFrame([Row(k=1, x="l")])
+    right = spark.createDataFrame([Row(k=1, y="r")])
+    op = BindOperation(
+        right_file_path="x", left_on="k", right_on="k", how="inner",
+        columns_to_add=["k", "y"],
+    )
+    out = apply_bind(left, op, spark, right_df=right)
+    assert out.columns.count("k") == 1
+    assert set(out.columns) == {"k", "x", "y"}
+
+
 def test_bind_missing_column_error_names_available(spark):
     op = BindOperation(
         right_file_path="x",

@@ -1,0 +1,113 @@
+"""Regression tests for code-review findings: generator temp-column
+lifetime, non-64-dim embeddings, NULL-text quality, short descending
+lists, negative-zero division."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from openetlagent_spark.functions.dedup import embedding_neardup_pairs
+from openetlagent_spark.functions.text import with_quality
+from openetlagent_spark.generator import generate_pipeline_step_by_step
+from openetlagent_spark.model import (
+    ArithmeticOperation,
+    ColumnDefinition,
+    FileDefinition,
+    FileSchema,
+    PipelineConfig,
+    SortOperation,
+)
+from openetlagent_spark.operators import apply_arithmetic, apply_sort
+
+
+def test_generator_temp_columns_survive_across_steps(spark, tmp_path):
+    """A temp column created in one generation step must be visible to
+    the next step (drop happens only at end of flow, not per trial)."""
+    (tmp_path / "t.csv").write_text("id,price\n1,$10\n2,$30\n")
+    config = PipelineConfig(
+        inputs={
+            "t": FileDefinition(
+                path=str(tmp_path / "t.csv"),
+                format="csv",
+                file_schema=FileSchema(
+                    name="t",
+                    columns={"id": ColumnDefinition("integer"), "price": ColumnDefinition("string")},
+                ),
+            )
+        },
+        outputs={
+            "o": FileDefinition(
+                path=str(tmp_path / "o"),
+                format="csv",
+                file_schema=FileSchema(
+                    name="o",
+                    columns={"id": ColumnDefinition("integer"), "price_f": ColumnDefinition("float")},
+                ),
+            )
+        },
+    )
+    replies = iter(
+        [
+            "t",
+            # step 0 creates a TEMP column
+            "```yaml\n- operation_type: application\n  input_columns: [price]\n"
+            "  function_str: \"lambda r: r['price'].replace('$','')\"\n"
+            "  return_type: string\n  output_column: _clean_\n```",
+            # step 1 consumes the temp column — fails if it was dropped
+            "```yaml\n- operation_type: casting\n  input_column: _clean_\n"
+            "  target_type: float\n  output_column: price_f\n```",
+            "```yaml\n- operation_type: done\n```",
+        ]
+    )
+    result = generate_pipeline_step_by_step(spark, config, "o", lambda p: next(replies))
+    assert result.success, result.transcript
+    assert len(result.flow.operations) == 2
+
+
+def test_embedding_neardup_works_for_non_64_dims(spark):
+    # 8-dim vectors: two near-parallel pairs must be found (dim used to
+    # be hard-coded to 64, nulling every dot product).
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.99, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.9, n_planes=2, n_tables=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_quality_null_text_scores_zero(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="the cat is on the mat and it is good")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.quality for r in with_quality(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] > 0.0
+
+
+def test_sort_short_descending_pads_ascending(spark):
+    df = spark.createDataFrame([Row(a=1, b=2), Row(a=1, b=1), Row(a=0, b=9)])
+    out = apply_sort(df, SortOperation(columns=["a", "b"], descending=[True]))
+    assert [(r.a, r.b) for r in out.collect()] == [(1, 1), (1, 2), (0, 9)]
+    with pytest.raises(ValueError, match="descending has"):
+        apply_sort(df, SortOperation(columns=["a"], descending=[True, False]))
+
+
+def test_division_negative_zero_ieee(spark):
+    df = spark.createDataFrame(
+        [Row(i=1, a=1.0, b=-0.0), Row(i=2, a=-1.0, b=-0.0), Row(i=3, a=1.0, b=0.0)],
+        "i int, a double, b double",
+    )
+    out = apply_arithmetic(
+        df, ArithmeticOperation(input_columns=["a", "b"], operator="/", output_column="q")
+    )
+    got = {r.i: r.q for r in out.collect()}
+    assert got[1] == -math.inf
+    assert got[2] == math.inf
+    assert got[3] == math.inf
