@@ -161,10 +161,11 @@ class BindOperation(Operation):
     operation_type: str = "bind"
 
     def __post_init__(self) -> None:
-        if self.how not in ("left", "inner", "outer", "cross"):
+        if self.how not in ("left", "inner", "outer", "cross", "semi", "anti"):
             raise SpecError(
-                f"bind how must be one of left/inner/outer/cross, got {self.how!r} "
-                "(reference: app/models.py:104)"
+                f"bind how must be one of left/inner/outer/cross/semi/anti, got {self.how!r} "
+                "(reference surface is left/inner/outer/cross, app/models.py:104; "
+                "semi/anti are engine extensions — SURVEY §2.2 gap)"
             )
 
 

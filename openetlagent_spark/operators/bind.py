@@ -87,6 +87,18 @@ def apply_bind(
     if right_df is None:
         right_df = _read_right_side(spark, op, inputs)
 
+    # Semi/anti joins filter left rows by key existence — no right
+    # columns are added (engine extension beyond the reference's four
+    # join types).
+    if op.how in ("semi", "anti"):
+        require_columns(df, [op.left_on], "bind")
+        require_columns(right_df, [op.right_on], "bind")
+        right = right_df.select(op.right_on)
+        if broadcast:
+            right = F.broadcast(right)
+        how = "left_semi" if op.how == "semi" else "left_anti"
+        return df.join(right, df[op.left_on] == right[op.right_on], how)
+
     # The right projection is {right_on} ∪ columns_to_add (a SET in the
     # reference, app/operations/bind.py:51-52) — dedupe so right_on
     # appearing in columns_to_add doesn't produce a duplicate column.

@@ -344,6 +344,33 @@ def q_bind_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bind(df, op, spark).select("o_orderkey", "o_custkey", "c_name")
 
 
+def q_bind_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no HIGH-VALUE orders (engine extension
+    — the reference has no semi/anti, SURVEY §2.2).  The value filter
+    keeps the result selective (every customer has SOME order)."""
+    df = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    op = BindOperation(
+        right_file_path="orders",
+        left_on="c_custkey",
+        right_on="o_custkey",
+        how="anti",
+    )
+    return apply_bind(df, op, spark, right_df=big_orders)
+
+
+def q_bind_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: suppliers that appear in lineitem."""
+    df = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    op = BindOperation(
+        right_file_path=f"{sf_dir}/lineitem.parquet",
+        left_on="s_suppkey",
+        right_on="l_suppkey",
+        how="semi",
+    )
+    return apply_bind(df, op, spark)
+
+
 def q_bind_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "region").select("r_name")
     op = BindOperation(
@@ -611,6 +638,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": flagship,
     "bind_outer": q_bind_outer,
     "bind_cross": q_bind_cross,
+    "bind_semi": q_bind_semi,
+    "bind_anti": q_bind_anti,
     "fold_mixed": q_fold_mixed,
     "agg_stats": q_agg_stats,
     "window_lag": q_window_lag,
@@ -718,6 +747,15 @@ HARNESS_ORACLES: dict[str, str] = {
         "FROM orders o FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"
     ),
     "bind_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "bind_semi": (
+        "SELECT s_suppkey, s_name FROM supplier s "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)"
+    ),
+    "bind_anti": (
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)"
+    ),
     "fold_mixed": (
         "SELECT p_partkey, 'p_brand' AS attr, p_brand AS val FROM part "
         "UNION ALL SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS VARCHAR) AS val FROM part "
