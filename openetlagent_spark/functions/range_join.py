@@ -1,0 +1,136 @@
+"""Range (interval) joins without a cross join.
+
+Spark compiles an inequality-only join condition to a broadcast nested
+loop / cartesian product — quadratic and unusable at scale.  The
+standard fix is BUCKETED EXPANSION: quantize the time axis into
+buckets of width ≥ the tolerance window, explode one side into its
+bucket and the adjacent bucket(s), equi-join on (key, bucket) — a
+plain hash shuffle — and apply the exact range predicate as a post-
+filter.  Every true pair shares a bucket after expansion, so the
+result is exact; the expansion factor is a small constant (3 for a
+symmetric window).
+
+Provided shapes:
+- within_tolerance_pairs: self-join — pairs of rows with the same key
+  whose times differ by at most ``tolerance`` seconds.
+- point_in_interval_join: left points joined to right [start, end]
+  intervals sharing a key; intervals explode into each bucket they
+  overlap (capped by ``max_interval_buckets`` — refuse pathological
+  intervals loudly rather than exploding quadratically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _time_double(df: DataFrame, col_name: str) -> Column:
+    dtype = dict(df.dtypes)[col_name]
+    col = F.col(col_name)
+    if dtype.startswith("timestamp"):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
+def within_tolerance_pairs(
+    df: DataFrame,
+    *,
+    key: str,
+    time_col: str,
+    id_col: str,
+    tolerance: float,
+) -> DataFrame:
+    """Pairs (id_a < id_b) sharing ``key`` with |t_a - t_b| <= tolerance
+    seconds.  Plan: bucket by floor(t/tolerance); side A expands into
+    {bucket-1, bucket, bucket+1}; equi-join on (key, bucket); exact
+    filter.  One shuffle on (key, bucket)."""
+    base = df.select(
+        F.col(key).alias("__k__"),
+        F.col(id_col).alias("__id__"),
+        _time_double(df, time_col).alias("__t__"),
+    ).withColumn("__bucket__", F.floor(F.col("__t__") / F.lit(tolerance)).cast("long"))
+
+    expanded = base.withColumn(
+        "__bucket__", F.explode(F.array(F.col("__bucket__") - 1, F.col("__bucket__"), F.col("__bucket__") + 1))
+    ).select("__k__", "__bucket__", F.col("__id__").alias("id_a"), F.col("__t__").alias("t_a"))
+
+    right = base.select("__k__", "__bucket__", F.col("__id__").alias("id_b"), F.col("__t__").alias("t_b"))
+
+    return (
+        expanded.join(right, ["__k__", "__bucket__"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("t_a") - F.col("t_b")) <= F.lit(float(tolerance)))
+        )
+        .select(F.col("__k__").alias(key), "id_a", "id_b",
+                (F.abs(F.col("t_a") - F.col("t_b"))).alias("dt_seconds"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    value_columns: list[str],
+    bucket_width: float = 3600.0,
+    max_interval_buckets: int = 10_000,
+) -> DataFrame:
+    """Inner join: each left point row matched to every right interval
+    (same key) with start <= t <= end.  Intervals explode into the
+    buckets they span; degenerate intervals spanning more than
+    ``max_interval_buckets`` buckets raise instead of exploding."""
+    p = points.withColumn("__t__", _time_double(points, time_col)).withColumn(
+        "__bucket__", F.floor(F.col("__t__") / F.lit(bucket_width)).cast("long")
+    )
+    iv = (
+        intervals.withColumn("__s__", _time_double(intervals, start_col))
+        .withColumn("__e__", _time_double(intervals, end_col))
+    )
+    span = (F.floor(F.col("__e__") / F.lit(bucket_width)) - F.floor(F.col("__s__") / F.lit(bucket_width))).cast("long")
+    iv = iv.withColumn("__span__", span)
+    # Loud refusal on pathological intervals (cf. MAX_PIVOT_KEYS).
+    iv = iv.withColumn(
+        "__span__",
+        F.when(
+            F.col("__span__") > max_interval_buckets,
+            F.raise_error(
+                F.concat(
+                    F.lit("point_in_interval_join: interval spans more than "),
+                    F.lit(str(max_interval_buckets)),
+                    F.lit(" buckets; raise bucket_width"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__span__")),
+    )
+    iv = iv.withColumn(
+        "__bucket__",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__span__")),
+                lambda i: F.floor(F.col("__s__") / F.lit(bucket_width)).cast("long") + i,
+            )
+        ),
+    )
+
+    right = iv.select(
+        F.col(right_on).alias("__rk__"),
+        F.col("__bucket__").alias("__rbucket__"),
+        "__s__",
+        "__e__",
+        *[F.col(c) for c in value_columns],
+    )
+    joined = p.join(
+        right,
+        (F.col(left_on) == F.col("__rk__")) & (F.col("__bucket__") == F.col("__rbucket__")),
+    )
+    return (
+        joined.filter((F.col("__t__") >= F.col("__s__")) & (F.col("__t__") <= F.col("__e__")))
+        .drop("__rk__", "__rbucket__", "__bucket__", "__s__", "__e__", "__t__")
+    )

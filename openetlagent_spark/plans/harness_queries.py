@@ -576,6 +576,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "o_orderdate_asof", "o_totalprice_asof")
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: pairs of events by the same user within 60s —
+    bucketed expansion (one equi-shuffle), never a cross join.  The
+    oracle states the same semantics as a plain inequality join."""
+    from ..functions.range_join import within_tolerance_pairs
+    from ..streaming import read_event_table
+
+    events = read_event_table(spark, f"{sf_dir}/events.parquet")
+    return within_tolerance_pairs(
+        events, key="user_id", time_col="ts", id_col="event_id", tolerance=60.0
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via rollup (reference gap: 'no grouping
     sets, cube, rollup' — SURVEY §2.2)."""
@@ -657,6 +670,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "rollup": q_rollup,
 }
 
@@ -839,6 +853,13 @@ HARNESS_ORACLES: dict[str, str] = {
         "epoch(o.o_orderdate) AS o_orderdate_asof, o.o_totalprice AS o_totalprice_asof "
         "FROM events e ASOF LEFT JOIN orders_1 o "
         "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
+    "range_join": (
+        "SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b, "
+        "abs(epoch(a.ts) - epoch(b.ts)) AS dt_seconds "
+        "FROM events a JOIN events b "
+        "ON a.user_id = b.user_id AND a.event_id < b.event_id "
+        "AND abs(epoch(a.ts) - epoch(b.ts)) <= 60.0"
     ),
     "rollup": (
         "SELECT l_returnflag, l_linestatus, "
