@@ -53,6 +53,7 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "asof_join",
+    "range_join",
     "rollup",
 ]
 

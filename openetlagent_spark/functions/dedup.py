@@ -96,7 +96,11 @@ def word_shingles(text_col: Column, k: int) -> Column:
 
 
 def shingle_hashes(text_col: Column, shingle_size: int = 3) -> Column:
-    """Distinct word-shingle hashes folded into [0, MERSENNE)."""
+    """Distinct word-shingle hashes folded into [0, MERSENNE).
+
+    (A numeric rolling-combine over per-token hashes was tried here and
+    measured SLOWER than hashing the joined shingle strings — nested
+    element_at chains lose to the native slice + array_join kernels.)"""
     return F.transform(
         word_shingles(text_col, shingle_size), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
     )
@@ -361,11 +365,15 @@ def ngram_jaccard_pairs(
     candidates share a length bucket (len // length_bucket) AND their
     first whitespace token.  Fully SQL-expressible (oracle-checkable),
     and the blocking keys bound each bucket at scale."""
+    # Grams are hashed to longs for the pairwise set math — 8-byte
+    # compares instead of string hashing in array_intersect (xxhash64
+    # collisions are negligible at these set sizes and cannot change the
+    # Jaccard beyond ~1e-10 probability per corpus).
     base = df.select(
         F.col(id_col).alias("__id__"),
         (F.length(text_col) / F.lit(length_bucket)).cast("long").alias("lbucket"),
         F.element_at(_token_col(F.col(text_col)), 1).alias("tok0"),
-        char_ngrams(F.col(text_col), n).alias("grams"),
+        F.transform(char_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("grams"),
     ).persist()  # referenced by both self-join sides
     left = base.select(
         "lbucket", "tok0", F.col("__id__").alias("id_a"), F.col("grams").alias("g_a")
