@@ -69,13 +69,13 @@ def test_arithmetic_matches_python_ieee(spark, pairs, op_sym):
     fns = {"+": pyop.add, "-": pyop.sub, "*": pyop.mul, "/": pyop.truediv}
     for i, (a, b) in enumerate(pairs):
         if op_sym == "/" and b == 0.0:
-            # IEEE parity with Polars: x/0 = ±inf, 0/0 = NaN.
-            if a > 0:
-                assert got[i] == math.inf
-            elif a < 0:
-                assert got[i] == -math.inf
-            else:
+            # IEEE parity with Polars: x/0 = ±inf with the SIGN OF THE
+            # ZERO included (1.0/-0.0 = -inf), 0/0 = NaN.
+            if a == 0.0:
                 assert math.isnan(got[i])
+            else:
+                sign = math.copysign(1.0, a) * math.copysign(1.0, b)
+                assert got[i] == sign * math.inf
             continue
         expected = fns[op_sym](a, b)
         assert got[i] == expected or (math.isnan(expected) and math.isnan(got[i]))
