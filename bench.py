@@ -52,9 +52,18 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
     "asof_join",
     "range_join",
     "rollup",
+    "grouping_sets",
+    "window_moving_avg",
+    "topk_per_group",
+    "approx_distinct",
 ]
 
 

@@ -217,18 +217,25 @@ class FilterOperation(Operation):
 class AggregationOperation(Operation):
     """Group-by aggregation — absent from the reference (SURVEY §2.2).
     aggregations: {output_name: {"column": c, "agg": fn}} with
-    fn ∈ sum/min/max/avg/count/count_distinct/first/collect_set.
-    ``grouping``: "groupby" (default) | "rollup" | "cube" for
-    hierarchical / all-combinations subtotals."""
+    fn ∈ sum/min/max/avg/count/count_distinct/first/collect_set/
+    percentile (extra key "p", exact interpolated)/approx_count_distinct
+    (HLL sketch, extra key "rsd").
+    ``grouping``: "groupby" (default) | "rollup" | "cube" |
+    "sets" (explicit ``grouping_sets``) for subtotal combinations."""
 
     group_by: list[str] = field(default_factory=list)
     aggregations: dict[str, dict[str, str]] = field(default_factory=dict)
     grouping: str = "groupby"
+    grouping_sets: list[list[str]] = field(default_factory=list)
     operation_type: str = "aggregation"
 
     def __post_init__(self) -> None:
-        if self.grouping not in ("groupby", "rollup", "cube"):
-            raise SpecError(f"aggregation grouping must be groupby/rollup/cube, got {self.grouping!r}")
+        if self.grouping not in ("groupby", "rollup", "cube", "sets"):
+            raise SpecError(
+                f"aggregation grouping must be groupby/rollup/cube/sets, got {self.grouping!r}"
+            )
+        if self.grouping == "sets" and not self.grouping_sets:
+            raise SpecError("aggregation grouping='sets' requires grouping_sets")
 
 
 @dataclass
@@ -272,7 +279,10 @@ class RepartitionOperation(Operation):
 @dataclass
 class WindowOperation(Operation):
     """Window function over partition/order: fn ∈ row_number/rank/
-    dense_rank/lag/lead/sum/avg/min/max/count."""
+    dense_rank/ntile/lag/lead/sum/avg/min/max/count.  For the aggregate
+    functions an optional ``frame`` = [start, end] row offsets
+    (negative = preceding, e.g. [-2, 0] = 2 PRECEDING .. CURRENT ROW)
+    turns the running aggregate into a sliding one."""
 
     function: str = "row_number"
     partition_by: list[str] = field(default_factory=list)
@@ -280,7 +290,12 @@ class WindowOperation(Operation):
     descending: list[bool] = field(default_factory=list)
     value_column: str | None = None
     offset: int = 1
+    frame: list[int] = field(default_factory=list)
     operation_type: str = "window"
+
+    def __post_init__(self) -> None:
+        if self.frame and len(self.frame) != 2:
+            raise SpecError(f"window frame must be [start, end] row offsets, got {self.frame!r}")
 
 
 OPERATION_TYPES: dict[str, type[Operation]] = {

@@ -52,16 +52,35 @@ def apply_aggregation(df: DataFrame, op: AggregationOperation) -> DataFrame:
     aggs = []
     for out_name, spec in op.aggregations.items():
         fn_name = spec.get("agg", "sum")
-        fn = _AGG_FNS.get(fn_name)
-        if fn is None:
-            raise ValueError(f"aggregation: unknown agg fn {fn_name!r}; known: {sorted(_AGG_FNS)}")
         col = spec.get("column", "*")
         target = F.lit(1) if col == "*" and fn_name == "count" else F.col(col)
         if col != "*":
             require_columns(df, [col], "aggregation")
-        aggs.append(fn(target).alias(out_name))
+        if fn_name == "percentile":
+            # Exact interpolated percentile (= ANSI PERCENTILE_CONT /
+            # DuckDB quantile_cont).  Exact means a full sort per group —
+            # fine for grouped aggregation; use approx_percentile for
+            # global quantiles over 100 TB.
+            expr = F.percentile(target, F.lit(float(spec["p"])))
+        elif fn_name == "approx_count_distinct":
+            # HLL++ sketch: one pass, fixed memory, mergeable across
+            # partitions — the 100 TB path for distinct counts.
+            expr = F.approx_count_distinct(target, float(spec.get("rsd", 0.05)))
+        else:
+            fn = _AGG_FNS.get(fn_name)
+            if fn is None:
+                known = sorted([*_AGG_FNS, "percentile", "approx_count_distinct"])
+                raise ValueError(f"aggregation: unknown agg fn {fn_name!r}; known: {known}")
+            expr = fn(target)
+        aggs.append(expr.alias(out_name))
     if not aggs:
         raise ValueError("aggregation requires at least one aggregate")
+    if op.grouping == "sets":
+        for s in op.grouping_sets:
+            require_columns(df, s, "aggregation")
+        keys = op.group_by or sorted({c for s in op.grouping_sets for c in s})
+        sets = [[F.col(c) for c in s] for s in op.grouping_sets]
+        return df.groupingSets(sets, *[F.col(c) for c in keys]).agg(*aggs)
     if not op.group_by:
         return df.agg(*aggs)
     if op.grouping == "rollup":
@@ -128,12 +147,16 @@ def apply_window(df: DataFrame, op: WindowOperation) -> DataFrame:
         expr = F.rank().over(w)
     elif fn == "dense_rank":
         expr = F.dense_rank().over(w)
+    elif fn == "ntile":
+        expr = F.ntile(op.offset).over(w)
     elif fn in ("lag", "lead"):
         require_columns(df, [op.value_column], "window")
         shift = F.lag if fn == "lag" else F.lead
         expr = shift(F.col(op.value_column), op.offset).over(w)
     elif fn in ("sum", "avg", "min", "max", "count"):
         require_columns(df, [op.value_column], "window")
+        if op.frame:
+            w = w.rowsBetween(op.frame[0], op.frame[1])
         expr = getattr(F, fn)(F.col(op.value_column)).over(w)
     else:
         raise ValueError(f"window: unknown function {fn!r}")

@@ -1,0 +1,538 @@
+"""Analytics coverage queries beyond the first TPC-H batch: semi-join
+aggregation (Q4 shape), multi-way join top-k (Q10), conditional
+aggregation (Q12/Q14 shapes), having + join-back (Q18), grouping sets,
+exact percentiles, moment statistics, sliding window frames, top-k per
+group, and HLL approximate distinct counts.
+
+All are built through the engine's operators where the operator surface
+expresses them, composing with raw DataFrame expressions for the pieces
+the reference-derived spec layer has no vocabulary for (conditional
+flags, semi-join against a filtered build side) — the same split the
+earlier TPC-H plans use.
+
+Oracle-compat rules (see harness_queries.py): identical column aliases
+both sides; FP aggregates accumulate in DECIMAL and cast to DOUBLE at
+the end; derived per-group scalar math (mean, variance) runs the same
+double formula on both sides; timestamps leave as DATE or epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import (
+    AggregationOperation,
+    BindOperation,
+    FilterOperation,
+    LimitOperation,
+    SortOperation,
+    WindowOperation,
+)
+from ..operators import (
+    apply_aggregation,
+    apply_bind,
+    apply_filter,
+    apply_limit,
+    apply_sort,
+    apply_window,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — order-priority counts for orders with at least one
+    returned line: date-windowed orders LEFT SEMI a filtered lineitem.
+    The semi-join never widens the row, so only the orders side
+    shuffles at full width; the build side is a 1-column projection."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    hit = orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+    return apply_aggregation(
+        hit,
+        AggregationOperation(
+            group_by=["o_orderpriority"],
+            aggregations={"order_count": {"column": "*", "agg": "count"}},
+        ),
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — top 20 customers by returned-item revenue:
+    lineitem(R) ⋈ orders(date window) ⋈ customer ⋈ nation.  customer
+    and nation are broadcast; the only shuffle is the final group-by."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    li = apply_bind(
+        li,
+        BindOperation(
+            right_file_path=f"{sf_dir}/orders.parquet",
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+            how="inner",
+            columns_to_add=["o_custkey", "o_orderdate"],
+        ),
+        spark,
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = apply_bind(
+        li,
+        BindOperation(
+            right_file_path=f"{sf_dir}/customer.parquet",
+            left_on="o_custkey",
+            right_on="c_custkey",
+            how="inner",
+            columns_to_add=["c_name", "c_acctbal", "c_nationkey"],
+        ),
+        spark,
+    )
+    li = apply_bind(
+        li,
+        BindOperation(
+            right_file_path=f"{sf_dir}/nation.parquet",
+            left_on="c_nationkey",
+            right_on="n_nationkey",
+            how="inner",
+            columns_to_add=["n_name"],
+        ),
+        spark,
+    )
+    li = li.withColumn(
+        "rev_dec",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)"),
+    )
+    agg = apply_aggregation(
+        li,
+        AggregationOperation(
+            group_by=["o_custkey", "c_name", "c_acctbal", "n_name"],
+            aggregations={"revenue_dec": {"column": "rev_dec", "agg": "sum"}},
+        ),
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        "n_name",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+    )
+    ranked = apply_sort(agg, SortOperation(columns=["revenue", "c_custkey"], descending=[True, False]))
+    return apply_limit(ranked, LimitOperation(n=20))
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — conditional aggregation: per line status, how many
+    lines belong to high-priority vs low-priority orders.  The CASE
+    collapses to a 0/1 flag column summed with map-side partial
+    aggregation; no extra shuffle beyond the join + group-by."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    li = apply_bind(
+        li,
+        BindOperation(
+            right_file_path=f"{sf_dir}/orders.parquet",
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+            how="inner",
+            columns_to_add=["o_orderpriority"],
+        ),
+        spark,
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = li.withColumn("high_flag", F.when(high, F.lit(1)).otherwise(F.lit(0))).withColumn(
+        "low_flag", F.when(high, F.lit(0)).otherwise(F.lit(1))
+    )
+    return apply_aggregation(
+        li,
+        AggregationOperation(
+            group_by=["l_linestatus"],
+            aggregations={
+                "high_line_count": {"column": "high_flag", "agg": "sum"},
+                "low_line_count": {"column": "low_flag", "agg": "sum"},
+            },
+        ),
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promo revenue share: date-windowed lineitem ⋈
+    broadcast part; the ratio of two decimal sums, divided as doubles
+    at the very end (one global aggregate, no second pass)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    li = apply_bind(
+        li,
+        BindOperation(
+            right_file_path=f"{sf_dir}/part.parquet",
+            left_on="l_partkey",
+            right_on="p_partkey",
+            how="inner",
+            columns_to_add=["p_type"],
+        ),
+        spark,
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+    li = li.withColumn("rev_dec", rev).withColumn(
+        "promo_rev_dec",
+        F.when(F.col("p_type").startswith("PROMO"), F.col("rev_dec")).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        ),
+    )
+    agg = apply_aggregation(
+        li,
+        AggregationOperation(
+            group_by=[],
+            aggregations={
+                "promo_dec": {"column": "promo_rev_dec", "agg": "sum"},
+                "total_dec": {"column": "rev_dec", "agg": "sum"},
+            },
+        ),
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("promo_dec").cast("double") / F.col("total_dec").cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — large-volume orders: group lineitem by order, HAVING
+    sum(qty) > 300, join the few survivors back to orders ⋈ customer.
+    The having-filter runs BEFORE the join-back, so the second join's
+    probe side is tiny (classic aggregate-then-join ordering)."""
+    qty = apply_aggregation(
+        _t(spark, sf_dir, "lineitem").withColumn(
+            "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+        ),
+        AggregationOperation(
+            group_by=["l_orderkey"],
+            aggregations={"sum_qty_dec": {"column": "qty_dec", "agg": "sum"}},
+        ),
+    )
+    big = apply_filter(
+        qty.withColumn("sum_qty", F.col("sum_qty_dec").cast("double")),
+        FilterOperation(input_column="sum_qty", operator=">", value=300),
+    )
+    out = apply_bind(
+        big,
+        BindOperation(
+            right_file_path=f"{sf_dir}/orders.parquet",
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+            how="inner",
+            columns_to_add=["o_custkey", "o_orderdate", "o_totalprice"],
+        ),
+        spark,
+    )
+    out = apply_bind(
+        out,
+        BindOperation(
+            right_file_path=f"{sf_dir}/customer.parquet",
+            left_on="o_custkey",
+            right_on="c_custkey",
+            how="inner",
+            columns_to_add=["c_name"],
+        ),
+        spark,
+    )
+    out = out.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "c_name",
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+        "sum_qty",
+    )
+    ranked = apply_sort(
+        out, SortOperation(columns=["o_totalprice", "o_orderkey"], descending=[True, False])
+    )
+    return apply_limit(ranked, LimitOperation(n=100))
+
+
+TPCH_Q18_SQL = """
+SELECT o_custkey AS c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice, sum_qty
+FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey) q
+JOIN orders o ON q.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE sum_qty > 300
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-returnflag, per-linestatus, and
+    grand-total subtotals in ONE pass (Catalyst expands to a single
+    Expand + hash aggregate; no union of three scans)."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    agg = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["l_returnflag", "l_linestatus"],
+            grouping="sets",
+            grouping_sets=[["l_returnflag"], ["l_linestatus"], []],
+            aggregations={
+                "sum_qty_dec": {"column": "qty_dec", "agg": "sum"},
+                "n_rows": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "n_rows",
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) of
+    l_quantity per return flag.  Exact percentile sorts within each
+    group — appropriate grouped; the sketch path for global quantiles
+    at 100 TB is approx_percentile (see q_approx_distinct for the
+    sketch-family rationale)."""
+    return apply_aggregation(
+        _t(spark, sf_dir, "lineitem"),
+        AggregationOperation(
+            group_by=["l_returnflag"],
+            aggregations={
+                "p25_qty": {"column": "l_quantity", "agg": "percentile", "p": "0.25"},
+                "median_qty": {"column": "l_quantity", "agg": "percentile", "p": "0.5"},
+                "p75_qty": {"column": "l_quantity", "agg": "percentile", "p": "0.75"},
+            },
+        ),
+    ).select("l_returnflag", "p25_qty", "median_qty", "p75_qty")
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.5)  AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample variance / stddev per group, computed from EXACT
+    decimal power sums (sum, sum of squares) so the result is
+    partition-order independent — a double-accumulating stddev differs
+    in the last ulp between engines and across shuffle orders.  The
+    closed-form combine is also how a 1000-executor cluster merges
+    per-partition moments without a second pass."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    df = df.withColumn("qty_sq_dec", (F.col("qty_dec") * F.col("qty_dec")).cast("decimal(28,4)"))
+    agg = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["l_returnflag"],
+            aggregations={
+                "s1_dec": {"column": "qty_dec", "agg": "sum"},
+                "s2_dec": {"column": "qty_sq_dec", "agg": "sum"},
+                "n": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    s1 = F.col("s1_dec").cast("double")
+    s2 = F.col("s2_dec").cast("double")
+    n = F.col("n").cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (s1 / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+STATS_MOMENTS_SQL = """
+SELECT l_returnflag, n AS n_rows, s1 / n AS mean_qty,
+       (s2 - s1 * s1 / n) / (n - 1.0) AS var_qty,
+       sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev_qty
+FROM (SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM lineitem GROUP BY l_returnflag)
+"""
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window: 3-order moving average of o_totalprice per
+    customer in (date, key) order.  One shuffle on the partition key;
+    the frame is evaluated in a single sorted pass per partition."""
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    out = apply_window(
+        df,
+        WindowOperation(
+            function="avg",
+            partition_by=["o_custkey"],
+            order_by=["o_orderdate", "o_orderkey"],
+            value_column="o_totalprice",
+            frame=[-2, 0],
+            output_column="moving_avg_price",
+        ),
+    )
+    return out.select("o_orderkey", "o_custkey", "moving_avg_price")
+
+
+WINDOW_MOVING_AVG_SQL = """
+SELECT o_orderkey, o_custkey,
+       AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_price
+FROM orders
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price within each brand: rank with a
+    window, then filter the rank column — the distributed top-k-per-
+    group idiom (no per-group collect; one shuffle on the group key)."""
+    df = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    ranked = apply_window(
+        df,
+        WindowOperation(
+            function="row_number",
+            partition_by=["p_brand"],
+            order_by=["p_retailprice", "p_partkey"],
+            descending=[True, False],
+            output_column="rk",
+        ),
+    )
+    return apply_filter(ranked, FilterOperation(input_column="rk", operator="<=", value=3))
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT p_partkey, p_brand, p_retailprice, rk
+FROM (SELECT p_partkey, p_brand, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part)
+WHERE rk <= 3
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct parts and suppliers per return flag —
+    the sketch path for distinct counts at 100 TB: one pass, fixed
+    memory per group, partial sketches merged across executors (an
+    exact count_distinct re-shuffles every distinct value).  Estimates
+    are engine-specific, so this query takes the driver's rows-only
+    check (no DuckDB oracle)."""
+    return apply_aggregation(
+        _t(spark, sf_dir, "lineitem"),
+        AggregationOperation(
+            group_by=["l_returnflag"],
+            aggregations={
+                "approx_parts": {"column": "l_partkey", "agg": "approx_count_distinct", "rsd": "0.02"},
+                "approx_suppliers": {
+                    "column": "l_suppkey",
+                    "agg": "approx_count_distinct",
+                    "rsd": "0.02",
+                },
+                "n_rows": {"column": "*", "agg": "count"},
+            },
+        ),
+    ).select("l_returnflag", "approx_parts", "approx_suppliers", "n_rows")
+
+
+ANALYTICS_QUERIES = {
+    "tpch_q4": q_tpch_q4,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "grouping_sets": q_grouping_sets,
+    "percentile": q_percentile,
+    "stats_moments": q_stats_moments,
+    "window_moving_avg": q_window_moving_avg,
+    "topk_per_group": q_topk_per_group,
+    "approx_distinct": q_approx_distinct,
+}
+
+ANALYTICS_ORACLES = {
+    "tpch_q4": TPCH_Q4_SQL,
+    "tpch_q10": TPCH_Q10_SQL,
+    "tpch_q12": TPCH_Q12_SQL,
+    "tpch_q14": TPCH_Q14_SQL,
+    "tpch_q18": TPCH_Q18_SQL,
+    "grouping_sets": GROUPING_SETS_SQL,
+    "percentile": PERCENTILE_SQL,
+    "stats_moments": STATS_MOMENTS_SQL,
+    "window_moving_avg": WINDOW_MOVING_AVG_SQL,
+    "topk_per_group": TOPK_PER_GROUP_SQL,
+}

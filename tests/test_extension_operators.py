@@ -132,3 +132,91 @@ def test_partitioned_parquet_sink(sales, tmp_path):
     assert sorted(d for d in os.listdir(out) if d.startswith("region=")) == ["region=E", "region=W"]
     back = sales.sparkSession.read.parquet(out)
     assert back.count() == 3
+
+
+def test_aggregation_grouping_sets(sales):
+    out = apply_aggregation(
+        sales,
+        AggregationOperation(
+            group_by=["region", "flag"],
+            grouping="sets",
+            grouping_sets=[["region"], ["flag"], []],
+            aggregations={"total": {"column": "amount", "agg": "sum"}},
+        ),
+    )
+    got = {(r.region, r.flag): r.total for r in out.collect()}
+    # per-region, per-flag, and grand-total rows — one pass, no union.
+    assert got[("E", None)] == 30.0
+    assert got[("W", None)] == 5.0
+    assert got[(None, True)] == 15.0
+    assert got[(None, False)] == 20.0
+    assert got[(None, None)] == 35.0
+    assert len(got) == 5
+
+
+def test_aggregation_grouping_sets_requires_sets():
+    with pytest.raises(Exception, match="grouping_sets"):
+        AggregationOperation(group_by=["g"], grouping="sets", aggregations={"n": {"agg": "count"}})
+
+
+def test_aggregation_percentile_exact(spark):
+    df = spark.createDataFrame([Row(g="a", v=float(x)) for x in [1, 2, 3, 4]])
+    out = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["g"],
+            aggregations={
+                "med": {"column": "v", "agg": "percentile", "p": "0.5"},
+                "p25": {"column": "v", "agg": "percentile", "p": "0.25"},
+            },
+        ),
+    )
+    row = out.collect()[0]
+    # PERCENTILE_CONT interpolation: median of 1..4 = 2.5, p25 = 1.75.
+    assert row.med == 2.5
+    assert row.p25 == 1.75
+
+
+def test_aggregation_approx_count_distinct(spark):
+    df = spark.createDataFrame([Row(g="a", v=i % 50) for i in range(500)])
+    out = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["g"],
+            aggregations={"nd": {"column": "v", "agg": "approx_count_distinct", "rsd": "0.02"}},
+        ),
+    )
+    nd = out.collect()[0].nd
+    assert 45 <= nd <= 55  # HLL estimate of 50 distinct at 2% rsd
+
+
+def test_window_sliding_frame_avg(spark):
+    df = spark.createDataFrame([Row(g="a", t=i, v=float(i)) for i in range(1, 5)])
+    out = apply_window(
+        df,
+        WindowOperation(
+            function="avg",
+            partition_by=["g"],
+            order_by=["t"],
+            value_column="v",
+            frame=[-1, 0],
+            output_column="mv",
+        ),
+    )
+    got = {r.t: r.mv for r in out.collect()}
+    assert got == {1: 1.0, 2: 1.5, 3: 2.5, 4: 3.5}
+
+
+def test_window_ntile(spark):
+    df = spark.createDataFrame([Row(g="a", v=i) for i in range(1, 5)])
+    out = apply_window(
+        df,
+        WindowOperation(function="ntile", partition_by=["g"], order_by=["v"], offset=2, output_column="q"),
+    )
+    got = sorted((r.v, r.q) for r in out.collect())
+    assert got == [(1, 1), (2, 1), (3, 2), (4, 2)]
+
+
+def test_window_bad_frame_raises():
+    with pytest.raises(Exception, match="frame"):
+        WindowOperation(function="avg", value_column="v", frame=[1], output_column="x")
