@@ -64,6 +64,8 @@ HEADLINE = [
     "window_moving_avg",
     "topk_per_group",
     "approx_distinct",
+    "explode_tokens",
+    "dataset_split",
 ]
 
 

@@ -153,6 +153,53 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(normalized.cast("binary")))
 
 
+def with_split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, int] | None = None,
+    output_column: str = "split",
+) -> DataFrame:
+    """Assign each row to a named dataset split (train/val/test by
+    default) from a hash of its key — the reproducible-split primitive
+    for training-data pipelines.
+
+    ``splits`` maps name → percentage (must total 100).  The bucket is
+    the first 8 hex chars of md5(key) mod 100, so the assignment is
+    deterministic, engine-independent (DuckDB md5 matches Spark's
+    bit-for-bit), independent of partitioning and cluster layout, and
+    STABLE AS THE DATASET GROWS — a row keeps its split when new data
+    arrives, which seeded ``sample()`` cannot guarantee.  Pure JVM
+    expressions; embarrassingly parallel at 100 TB."""
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must total 100, got {splits}")
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    expr = None
+    upper = 0
+    for name, pct in splits.items():
+        upper += pct
+        cond = bucket < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(output_column, expr)
+
+
+def split_assign_oracle_sql(
+    key_col: str, splits: dict[str, int] | None = None, output_column: str = "split"
+) -> str:
+    """DuckDB mirror of with_split_assign — same md5-prefix bucketing,
+    generated from the same split table so the two cannot drift."""
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    bucket = f"(CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 8)) AS BIGINT) % 100)"
+    case = "CASE"
+    upper = 0
+    for name, pct in splits.items():
+        upper += pct
+        case += f" WHEN {bucket} < {upper} THEN '{name}'"
+    return case + f" END AS {output_column}"
+
+
 def lang_id_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
     """The DuckDB mirror of with_lang_id, generated from the same
     stopword tables so the two can never drift apart."""

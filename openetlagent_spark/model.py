@@ -259,10 +259,53 @@ class DistinctOperation(Operation):
 
 @dataclass
 class UnionOperation(Operation):
-    """Union by name with another named input."""
+    """Set operation by name with another named input.  mode ∈
+    all (UNION ALL, default) / distinct (UNION) / intersect / except —
+    the reference has NO set ops (SURVEY §2.2); intersect/except use
+    Spark's DISTINCT set semantics, matching SQL INTERSECT/EXCEPT."""
 
     right_input: str = ""
+    mode: str = "all"
     operation_type: str = "union"
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("all", "distinct", "intersect", "except"):
+            raise SpecError(
+                f"union mode must be all/distinct/intersect/except, got {self.mode!r}"
+            )
+
+
+@dataclass
+class SelectOperation(Operation):
+    """Mid-pipeline projection: keep exactly ``columns`` in order, or
+    drop ``drop_columns`` (exactly one must be given).  The reference
+    can only drop columns via the ``_x_`` temp convention at flow end
+    (SURVEY §1.4); set ops and sinks need explicit shape control."""
+
+    columns: list[str] = field(default_factory=list)
+    drop_columns: list[str] = field(default_factory=list)
+    operation_type: str = "select"
+
+    def __post_init__(self) -> None:
+        if bool(self.columns) == bool(self.drop_columns):
+            raise SpecError("select requires exactly one of columns / drop_columns")
+
+
+@dataclass
+class SampleOperation(Operation):
+    """Seeded Bernoulli row sample (without replacement).  fraction in
+    (0, 1]; the seed makes re-runs reproducible WITHIN Spark, but the
+    row subset is partitioning-dependent — for a split that is stable
+    across engines and cluster layouts, hash a key column instead (see
+    functions.text.split_assign)."""
+
+    fraction: float = 0.1
+    seed: int = 42
+    operation_type: str = "sample"
+
+    def __post_init__(self) -> None:
+        if not (0.0 < self.fraction <= 1.0):
+            raise SpecError(f"sample fraction must be in (0, 1], got {self.fraction!r}")
 
 
 @dataclass
@@ -319,6 +362,8 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "union": UnionOperation,
     "window": WindowOperation,
     "repartition": RepartitionOperation,
+    "sample": SampleOperation,
+    "select": SelectOperation,
 }
 
 

@@ -21,6 +21,8 @@ from .extensions import (
     apply_filter,
     apply_limit,
     apply_repartition,
+    apply_sample,
+    apply_select,
     apply_sort,
     apply_union,
     apply_window,
@@ -47,6 +49,8 @@ OPERATION_DISPATCHER = {
     "distinct": apply_distinct,
     "window": apply_window,
     "repartition": apply_repartition,
+    "sample": apply_sample,
+    "select": apply_select,
 }
 
 __all__ = [
@@ -65,6 +69,8 @@ __all__ = [
     "apply_fold",
     "apply_limit",
     "apply_repartition",
+    "apply_sample",
+    "apply_select",
     "apply_sort",
     "apply_switching",
     "apply_unfold",

@@ -20,6 +20,8 @@ from ..model import (
     FilterOperation,
     LimitOperation,
     RepartitionOperation,
+    SampleOperation,
+    SelectOperation,
     SortOperation,
     UnionOperation,
     WindowOperation,
@@ -118,7 +120,25 @@ def apply_distinct(df: DataFrame, op: DistinctOperation) -> DataFrame:
 
 
 def apply_union(df: DataFrame, op: UnionOperation, right_df: DataFrame) -> DataFrame:
+    if op.mode == "distinct":
+        return df.unionByName(right_df, allowMissingColumns=False).distinct()
+    if op.mode == "intersect":
+        return df.intersect(right_df)
+    if op.mode == "except":
+        return df.subtract(right_df)
     return df.unionByName(right_df, allowMissingColumns=False)
+
+
+def apply_sample(df: DataFrame, op: SampleOperation) -> DataFrame:
+    return df.sample(withReplacement=False, fraction=op.fraction, seed=op.seed)
+
+
+def apply_select(df: DataFrame, op: SelectOperation) -> DataFrame:
+    if op.columns:
+        require_columns(df, op.columns, "select")
+        return df.select(*op.columns)
+    require_columns(df, op.drop_columns, "select")
+    return df.drop(*op.drop_columns)
 
 
 def apply_repartition(df: DataFrame, op: RepartitionOperation) -> DataFrame:

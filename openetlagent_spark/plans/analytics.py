@@ -21,12 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import split_assign_oracle_sql, with_split_assign
 from ..model import (
     AggregationOperation,
     BindOperation,
     FilterOperation,
     LimitOperation,
     SortOperation,
+    UnionOperation,
     WindowOperation,
 )
 from ..operators import (
@@ -35,6 +37,7 @@ from ..operators import (
     apply_filter,
     apply_limit,
     apply_sort,
+    apply_union,
     apply_window,
 )
 
@@ -510,6 +513,107 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag", "approx_parts", "approx_suppliers", "n_rows")
 
 
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: nations that have BUILDING-segment customers
+    AND a high-balance supplier.  Compiles to a distinct + left-semi
+    hash join — the small distinct sides make both shuffles tiny
+    regardless of input scale."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return apply_union(cust, UnionOperation(right_input="supplier", mode="intersect"), supp)
+
+
+SET_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: customer nations with NO high-balance supplier."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return apply_union(cust, UnionOperation(right_input="supplier", mode="except"), supp)
+
+
+SET_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+"""
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency via explode: split each document on whitespace,
+    explode to one row per token, count, top 20.  The explode happens
+    map-side (generate, no shuffle); only the per-token partial counts
+    shuffle — the canonical vocabulary-building pass over a corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    agg = apply_aggregation(
+        tokens,
+        AggregationOperation(
+            group_by=["token"],
+            aggregations={"n_occurrences": {"column": "*", "agg": "count"}},
+        ),
+    )
+    ranked = apply_sort(
+        agg, SortOperation(columns=["n_occurrences", "token"], descending=[True, False])
+    )
+    return apply_limit(ranked, LimitOperation(n=20))
+
+
+EXPLODE_TOKENS_SQL = """
+SELECT token, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from md5(doc_id) —
+    engine-independent, partitioning-independent, stable as the corpus
+    grows (rows keep their split when data is appended; a seeded
+    sample() cannot promise that).  Output: per-split doc counts and
+    total characters."""
+    docs = with_split_assign(_t(spark, sf_dir, "documents"), key_col="doc_id")
+    return apply_aggregation(
+        docs,
+        AggregationOperation(
+            group_by=["split"],
+            aggregations={
+                "n_docs": {"column": "*", "agg": "count"},
+                "sum_chars": {"column": "n_chars", "agg": "sum"},
+            },
+        ),
+    )
+
+
+DATASET_SPLIT_SQL = f"""
+SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM (SELECT n_chars, {split_assign_oracle_sql("doc_id")} FROM documents)
+GROUP BY split
+"""
+
+
 ANALYTICS_QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q10": q_tpch_q10,
@@ -522,6 +626,10 @@ ANALYTICS_QUERIES = {
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "explode_tokens": q_explode_tokens,
+    "dataset_split": q_dataset_split,
 }
 
 ANALYTICS_ORACLES = {
@@ -535,4 +643,8 @@ ANALYTICS_ORACLES = {
     "stats_moments": STATS_MOMENTS_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
+    "set_intersect": SET_INTERSECT_SQL,
+    "set_except": SET_EXCEPT_SQL,
+    "explode_tokens": EXPLODE_TOKENS_SQL,
+    "dataset_split": DATASET_SPLIT_SQL,
 }

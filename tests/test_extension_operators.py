@@ -220,3 +220,95 @@ def test_window_ntile(spark):
 def test_window_bad_frame_raises():
     with pytest.raises(Exception, match="frame"):
         WindowOperation(function="avg", value_column="v", frame=[1], output_column="x")
+
+
+def test_union_modes(spark):
+    left = spark.createDataFrame([Row(k=1), Row(k=1), Row(k=2), Row(k=3)])
+    right = spark.createDataFrame([Row(k=2), Row(k=4)])
+    from openetlagent_spark.model import UnionOperation
+
+    def run(mode):
+        out = apply_union(left, UnionOperation(right_input="r", mode=mode), right)
+        return sorted(r.k for r in out.collect())
+
+    assert run("all") == [1, 1, 2, 2, 3, 4]
+    assert run("distinct") == [1, 2, 3, 4]
+    assert run("intersect") == [2]
+    assert run("except") == [1, 3]
+
+
+def test_union_bad_mode_raises():
+    from openetlagent_spark.model import SpecError, UnionOperation
+
+    with pytest.raises(SpecError, match="mode"):
+        UnionOperation(right_input="r", mode="xor")
+
+
+def test_sample_seeded_deterministic(spark):
+    from openetlagent_spark.model import SampleOperation
+    from openetlagent_spark.operators import apply_sample
+
+    df = spark.range(1000)
+    op = SampleOperation(fraction=0.2, seed=7)
+    a = sorted(r.id for r in apply_sample(df, op).collect())
+    b = sorted(r.id for r in apply_sample(df, op).collect())
+    assert a == b
+    assert 100 < len(a) < 300
+
+
+def test_sample_bad_fraction_raises():
+    from openetlagent_spark.model import SampleOperation, SpecError
+
+    with pytest.raises(SpecError, match="fraction"):
+        SampleOperation(fraction=1.5)
+
+
+def test_split_assign_stable_and_complete(spark):
+    from openetlagent_spark.functions.text import with_split_assign
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    out = with_split_assign(df, key_col="doc_id")
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert set(got.values()) <= {"train", "val", "test"}
+    assert all(v is not None for v in got.values())
+    # growing the dataset must NOT move existing rows between splits
+    bigger = with_split_assign(
+        spark.createDataFrame([Row(doc_id=i) for i in range(400)]), key_col="doc_id"
+    )
+    got2 = {r.doc_id: r.split for r in bigger.collect()}
+    assert all(got2[k] == v for k, v in got.items())
+
+
+def test_split_assign_bad_percentages(spark):
+    from openetlagent_spark.functions.text import with_split_assign
+
+    df = spark.createDataFrame([Row(doc_id=1)])
+    with pytest.raises(ValueError, match="total 100"):
+        with_split_assign(df, key_col="doc_id", splits={"train": 50, "test": 40})
+
+
+def test_select_keep_and_drop(sales):
+    from openetlagent_spark.model import SelectOperation
+    from openetlagent_spark.operators import apply_select
+
+    kept = apply_select(sales, SelectOperation(columns=["amount", "region"]))
+    assert kept.columns == ["amount", "region"]
+    dropped = apply_select(sales, SelectOperation(drop_columns=["flag"]))
+    assert dropped.columns == ["region", "amount"]
+
+
+def test_select_requires_exactly_one():
+    from openetlagent_spark.model import SelectOperation, SpecError
+
+    with pytest.raises(SpecError, match="exactly one"):
+        SelectOperation()
+    with pytest.raises(SpecError, match="exactly one"):
+        SelectOperation(columns=["a"], drop_columns=["b"])
+
+
+def test_select_missing_column_raises(sales):
+    from openetlagent_spark.model import SelectOperation
+    from openetlagent_spark.operators import apply_select
+
+    with pytest.raises(ValueError, match="nope"):
+        apply_select(sales, SelectOperation(columns=["nope"]))
