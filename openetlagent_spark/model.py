@@ -413,8 +413,8 @@ class FileDefinition:
     format: str = "csv"
 
     def __post_init__(self) -> None:
-        if self.format not in ("csv", "json", "parquet"):
-            raise SpecError(f"format must be csv/json/parquet, got {self.format!r}")
+        if self.format not in ("csv", "json", "parquet", "orc"):
+            raise SpecError(f"format must be csv/json/parquet/orc, got {self.format!r}")
 
 
 @dataclass

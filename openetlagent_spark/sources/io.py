@@ -71,8 +71,11 @@ def scan_data(spark: SparkSession, fd: FileDefinition) -> DataFrame:
         df = read_csv_with_declared_schema(spark, fd.path, struct)
     elif fd.format == "json":
         df = spark.read.schema(struct).json(fd.path)
-    elif fd.format == "parquet":
-        df = spark.read.parquet(fd.path)
+    elif fd.format in ("parquet", "orc"):
+        # Both are columnar self-describing formats: scan, warn on
+        # declared-schema drift, project/cast to the declared columns
+        # (column pruning reaches the file reader either way).
+        df = spark.read.parquet(fd.path) if fd.format == "parquet" else spark.read.orc(fd.path)
         declared = set(struct.fieldNames())
         actual = set(df.columns)
         if declared - actual:
@@ -134,6 +137,8 @@ def save_data(
         writer.option("header", True).csv(fd.path)
     elif fd.format == "parquet":
         writer.parquet(fd.path)
+    elif fd.format == "orc":
+        writer.orc(fd.path)
     elif fd.format == "json":
         if json_array:
             _write_json_array(out, fd.path)

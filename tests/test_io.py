@@ -89,3 +89,12 @@ def test_validate_schema_feedback(spark):
     assert not ok2 and "requires string" in fb2[0]
     ok3, _ = validate_schema(df, _fd("/n", "csv", {"a": "positive integer"}))
     assert ok3  # positivity never enforced (reference waiver)
+
+
+def test_orc_sink_and_scan_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    out = str(tmp_path / "out_orc")
+    fd = _fd(out, "orc", {"b": "string", "a": "integer"})
+    save_data(df, fd)
+    back = scan_data(spark, fd).orderBy("a").collect()
+    assert [(r.b, r.a) for r in back] == [("x", 1), ("y", 2)]
