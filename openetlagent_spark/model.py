@@ -154,10 +154,11 @@ class BindOperation(Operation):
 
     right_file_path: str = ""
     right_schema_columns: dict[str, str] = field(default_factory=dict)
-    left_on: str = ""
-    right_on: str = ""
+    left_on: str | list[str] = ""
+    right_on: str | list[str] = ""
     how: str = "left"
     columns_to_add: list[str] = field(default_factory=list)
+    skew_salt: int = 0
     operation_type: str = "bind"
 
     def __post_init__(self) -> None:
@@ -167,6 +168,23 @@ class BindOperation(Operation):
                 "(reference surface is left/inner/outer/cross, app/models.py:104; "
                 "semi/anti are engine extensions — SURVEY §2.2 gap)"
             )
+        if len(self.left_keys()) != len(self.right_keys()):
+            raise SpecError(
+                f"bind left_on/right_on key counts differ: {self.left_on!r} vs {self.right_on!r}"
+            )
+        if self.skew_salt < 0:
+            raise SpecError(f"bind skew_salt must be >= 0, got {self.skew_salt!r}")
+        if self.skew_salt > 1 and self.how not in ("inner", "left"):
+            raise SpecError("bind skew_salt applies to inner/left joins only")
+
+    def left_keys(self) -> list[str]:
+        """Join keys, single-key string or multi-key list (multi-key is
+        an engine extension — the reference joins on one equi-key,
+        app/models.py:104)."""
+        return [self.left_on] if isinstance(self.left_on, str) else list(self.left_on)
+
+    def right_keys(self) -> list[str]:
+        return [self.right_on] if isinstance(self.right_on, str) else list(self.right_on)
 
 
 @dataclass

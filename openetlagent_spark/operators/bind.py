@@ -33,6 +33,13 @@ from .base import require_columns
 BROADCAST_FILE_BYTES = 256 * 1024 * 1024  # pre-compression parquet/csv bytes
 
 
+def _and_all(conds) -> "F.Column":
+    out = None
+    for c in conds:
+        out = c if out is None else out & c
+    return out
+
+
 def _file_size(path: str) -> int | None:
     try:
         if os.path.isdir(path):
@@ -87,41 +94,48 @@ def apply_bind(
     if right_df is None:
         right_df = _read_right_side(spark, op, inputs)
 
+    lk, rk = op.left_keys(), op.right_keys()
+
     # Semi/anti joins filter left rows by key existence — no right
     # columns are added (engine extension beyond the reference's four
     # join types).
     if op.how in ("semi", "anti"):
-        require_columns(df, [op.left_on], "bind")
-        require_columns(right_df, [op.right_on], "bind")
-        right = right_df.select(op.right_on)
+        require_columns(df, lk, "bind")
+        require_columns(right_df, rk, "bind")
+        right = right_df.select(*rk)
         if broadcast:
             right = F.broadcast(right)
         how = "left_semi" if op.how == "semi" else "left_anti"
-        return df.join(right, df[op.left_on] == right[op.right_on], how)
+        cond = _and_all(df[l] == right[r] for l, r in zip(lk, rk))
+        return df.join(right, cond, how)
 
     # The right projection is {right_on} ∪ columns_to_add (a SET in the
     # reference, app/operations/bind.py:51-52) — dedupe so right_on
     # appearing in columns_to_add doesn't produce a duplicate column.
-    add_cols = [c for c in op.columns_to_add if c != op.right_on or op.how == "cross"]
+    add_cols = [c for c in op.columns_to_add if c not in rk or op.how == "cross"]
     if op.how != "cross":
-        require_columns(df, [op.left_on], "bind")
-        require_columns(right_df, [op.right_on] + op.columns_to_add, "bind")
-        right = right_df.select(op.right_on, *add_cols)
+        require_columns(df, lk, "bind")
+        require_columns(right_df, rk + op.columns_to_add, "bind")
+        right = right_df.select(*rk, *add_cols)
     else:
         require_columns(right_df, op.columns_to_add, "bind")
         right = right_df.select(*add_cols)
 
     # Polars-style collision handling: EVERY added right column that
-    # collides with a left name gets `_right` (the join key itself is
+    # collides with a left name gets `_right` (the join keys are
     # handled separately below and dropped after the join).
     left_cols = set(df.columns)
     renames = {c: f"{c}_right" for c in add_cols if c in left_cols}
-    # The right key collides with itself when left_on == right_on; it is
-    # dropped after the join, so rename it out of the way first.
-    key_alias = op.right_on
-    if op.how != "cross" and op.right_on in left_cols:
-        key_alias = f"__bind_key_{op.right_on}__"
-        renames = {**renames, op.right_on: key_alias}
+    # A right key collides with itself when left and right use the same
+    # name; it is dropped after the join, so rename it out of the way.
+    key_aliases = []
+    for r in rk:
+        if op.how != "cross" and r in left_cols:
+            alias = f"__bind_key_{r}__"
+            renames[r] = alias
+            key_aliases.append(alias)
+        else:
+            key_aliases.append(r)
     for old, new in renames.items():
         right = right.withColumnRenamed(old, new)
 
@@ -139,9 +153,40 @@ def apply_bind(
         return df.crossJoin(right)
 
     how = {"left": "left", "inner": "inner", "outer": "full_outer"}[op.how]
-    joined = df.join(right, df[op.left_on] == right[key_alias], how)
+
+    if op.skew_salt > 1 and not broadcast:
+        # Skew salting: spread one hot key over N shuffle partitions by
+        # appending a pseudo-random salt to the left rows and
+        # replicating the (small) right side N×.  Same join semantics —
+        # every left row has exactly one salt, every right row matches
+        # all salts — at the cost of an N× right-side blowup, so salt
+        # only non-broadcast joins where one side's keys are skewed.
+        # (AQE's skew-join split handles sort-merge skew automatically;
+        # explicit salting also covers aggregate-style buildups AQE
+        # can't split.)
+        n = op.skew_salt
+        left = df.withColumn(
+            "__skew_salt__", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n))
+        )
+        salts = spark.range(n).select(F.col("id").alias("__skew_salt_r__"))
+        right = right.crossJoin(salts)
+        cond = _and_all(left[l] == right[a] for l, a in zip(lk, key_aliases))
+        cond = cond & (left["__skew_salt__"] == right["__skew_salt_r__"])
+        joined = left.join(right, cond, how)
+        if op.how == "outer":
+            for l, a in zip(lk, key_aliases):
+                joined = joined.withColumn(l, F.coalesce(left[l], right[a]))
+        for a in key_aliases:
+            joined = joined.drop(right[a])
+        return joined.drop("__skew_salt__", "__skew_salt_r__")
+
+    cond = _and_all(df[l] == right[a] for l, a in zip(lk, key_aliases))
+    joined = df.join(right, cond, how)
 
     if op.how == "outer":
-        # Keep the key for unmatched right rows: coalesce into left_on.
-        joined = joined.withColumn(op.left_on, F.coalesce(df[op.left_on], right[key_alias]))
-    return joined.drop(right[key_alias])
+        # Keep the keys for unmatched right rows: coalesce into left_on.
+        for l, a in zip(lk, key_aliases):
+            joined = joined.withColumn(l, F.coalesce(df[l], right[a]))
+    for a in key_aliases:
+        joined = joined.drop(right[a])
+    return joined

@@ -614,6 +614,93 @@ GROUP BY split
 """
 
 
+def q_bind_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key equi-join (engine extension — the reference joins on
+    ONE key): per-(order, returnflag) quantity totals joined back to
+    the line level on BOTH keys.  The aggregate and the join share the
+    same key set, so with co-partitioned input the second shuffle
+    disappears; here AQE plans the join-back as broadcast because the
+    aggregated side is small."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linenumber", "l_quantity"
+    )
+    grp = apply_aggregation(
+        li.withColumn("qty_dec", F.col("l_quantity").cast("decimal(18,2)")),
+        AggregationOperation(
+            group_by=["l_orderkey", "l_returnflag"],
+            aggregations={"grp_qty_dec": {"column": "qty_dec", "agg": "sum"}},
+        ),
+    ).select(
+        "l_orderkey", "l_returnflag", F.col("grp_qty_dec").cast("double").alias("grp_qty")
+    )
+    out = apply_bind(
+        li,
+        BindOperation(
+            left_on=["l_orderkey", "l_returnflag"],
+            right_on=["l_orderkey", "l_returnflag"],
+            how="inner",
+            columns_to_add=["grp_qty"],
+        ),
+        spark,
+        right_df=grp,
+    )
+    return out.select("l_orderkey", "l_returnflag", "l_linenumber", "l_quantity", "grp_qty")
+
+
+BIND_MULTIKEY_SQL = """
+SELECT l.l_orderkey, l.l_returnflag, l.l_linenumber, l.l_quantity, g.grp_qty
+FROM lineitem l
+JOIN (SELECT l_orderkey, l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS grp_qty
+      FROM lineitem GROUP BY l_orderkey, l_returnflag) g
+  ON l.l_orderkey = g.l_orderkey AND l.l_returnflag = g.l_returnflag
+"""
+
+
+def q_bind_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, oracle-checked against the PLAIN join SQL —
+    proving salting changes the shuffle layout, never the result.  The
+    left side gets a pseudo-random salt, the right side replicates 8×,
+    and the hot key's rows spread over 8 shuffle partitions instead of
+    one straggler."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    out = apply_bind(
+        li,
+        BindOperation(
+            right_file_path=f"{sf_dir}/orders.parquet",
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+            how="inner",
+            columns_to_add=["o_orderpriority"],
+            skew_salt=8,
+        ),
+        spark,
+        broadcast=False,
+    )
+    agg = apply_aggregation(
+        out.withColumn("qty_dec", F.col("l_quantity").cast("decimal(18,2)")),
+        AggregationOperation(
+            group_by=["o_orderpriority"],
+            aggregations={
+                "sum_qty_dec": {"column": "qty_dec", "agg": "sum"},
+                "n_lines": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    return agg.select(
+        "o_orderpriority", F.col("sum_qty_dec").cast("double").alias("sum_qty"), "n_lines"
+    )
+
+
+BIND_SALTED_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 ANALYTICS_QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q10": q_tpch_q10,
@@ -630,6 +717,8 @@ ANALYTICS_QUERIES = {
     "set_except": q_set_except,
     "explode_tokens": q_explode_tokens,
     "dataset_split": q_dataset_split,
+    "bind_multikey": q_bind_multikey,
+    "bind_salted": q_bind_salted,
 }
 
 ANALYTICS_ORACLES = {
@@ -647,4 +736,6 @@ ANALYTICS_ORACLES = {
     "set_except": SET_EXCEPT_SQL,
     "explode_tokens": EXPLODE_TOKENS_SQL,
     "dataset_split": DATASET_SPLIT_SQL,
+    "bind_multikey": BIND_MULTIKEY_SQL,
+    "bind_salted": BIND_SALTED_SQL,
 }

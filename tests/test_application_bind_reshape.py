@@ -279,3 +279,78 @@ def test_fold_then_unfold_roundtrip(spark):
     )
     got = {r.id: (r.x, r.y) for r in unfolded.collect()}
     assert got == {1: (10.0, 20.0), 2: (30.0, 40.0)}
+
+
+def test_bind_multikey_join(spark):
+    from openetlagent_spark.model import BindOperation
+    from openetlagent_spark.operators import apply_bind
+
+    left = spark.createDataFrame(
+        [Row(k1=1, k2="a", v=10), Row(k1=1, k2="b", v=20), Row(k1=2, k2="a", v=30)]
+    )
+    right = spark.createDataFrame(
+        [Row(k1=1, k2="a", extra="x"), Row(k1=2, k2="a", extra="y"), Row(k1=9, k2="z", extra="n")]
+    )
+    op = BindOperation(
+        left_on=["k1", "k2"], right_on=["k1", "k2"], how="inner", columns_to_add=["extra"]
+    )
+    out = apply_bind(left, op, spark, right_df=right)
+    got = sorted((r.k1, r.k2, r.v, r.extra) for r in out.collect())
+    assert got == [(1, "a", 10, "x"), (2, "a", 30, "y")]
+    # both right key columns dropped, no duplicates
+    assert out.columns == ["k1", "k2", "v", "extra"]
+
+
+def test_bind_multikey_outer_coalesces_all_keys(spark):
+    from openetlagent_spark.model import BindOperation
+    from openetlagent_spark.operators import apply_bind
+
+    left = spark.createDataFrame([Row(k1=1, k2="a", v=10)])
+    right = spark.createDataFrame([Row(k1=2, k2="b", extra="y")])
+    op = BindOperation(
+        left_on=["k1", "k2"], right_on=["k1", "k2"], how="outer", columns_to_add=["extra"]
+    )
+    got = sorted(
+        (r.k1, r.k2, r.v, r.extra) for r in apply_bind(left, op, spark, right_df=right).collect()
+    )
+    assert got == [(1, "a", 10, None), (2, "b", None, "y")]
+
+
+def test_bind_key_count_mismatch_raises():
+    from openetlagent_spark.model import BindOperation, SpecError
+
+    with pytest.raises(SpecError, match="key counts differ"):
+        BindOperation(left_on=["a", "b"], right_on="a", how="inner")
+
+
+def test_bind_salted_join_matches_unsalted(spark):
+    from openetlagent_spark.model import BindOperation
+    from openetlagent_spark.operators import apply_bind
+
+    # Skewed left: one hot key with many rows.
+    left = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(200)] + [Row(k=2, v=-1), Row(k=3, v=-2)]
+    )
+    right = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+
+    plain = BindOperation(left_on="k", right_on="k", how="left", columns_to_add=["name"])
+    salted = BindOperation(
+        left_on="k", right_on="k", how="left", columns_to_add=["name"], skew_salt=8
+    )
+    want = sorted(
+        (r.k, r.v, r.name)
+        for r in apply_bind(left, plain, spark, right_df=right, broadcast=False).collect()
+    )
+    got = sorted(
+        (r.k, r.v, r.name)
+        for r in apply_bind(left, salted, spark, right_df=right, broadcast=False).collect()
+    )
+    assert got == want
+    assert len(got) == 202
+
+
+def test_bind_salt_invalid_how_raises():
+    from openetlagent_spark.model import BindOperation, SpecError
+
+    with pytest.raises(SpecError, match="skew_salt"):
+        BindOperation(left_on="k", right_on="k", how="outer", skew_salt=4)
