@@ -519,6 +519,31 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10)
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate cosine top-k (the scale path: candidates
+    share a hyperplane-signature bucket in ≥1 of 8 tables; only bucket
+    collisions pay the exact-cosine re-rank).  Approximate by design →
+    rows-only check; recall floors vs the brute-force baseline are
+    asserted in tests/test_similarity_recall.py."""
+    from ..functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(emb, queries, k=10)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-k: k-means centroids fit on a bounded
+    sample, corpus partitioned into inverted lists, queries probe only
+    the 4 nearest lists.  Approximate by design → rows-only check;
+    recall floors asserted in tests/test_similarity_recall.py."""
+    from ..functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=10)
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregate over the event table (the batch
     side of the streaming operator — identical plan under readStream)."""
@@ -537,6 +562,19 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-dedup via the streaming operator's batch-degenerate path
+    (dropDuplicatesWithinWatermark on a stream, dropDuplicates here —
+    tests/test_multimodal_streaming.py asserts the two agree).  The
+    output projects to per-type distinct-key counts so the result is
+    deterministic regardless of which duplicate row survives."""
+    from ..streaming import dedup_events, read_event_table
+
+    df = read_event_table(spark, f"{sf_dir}/events.parquet")
+    deduped = dedup_events(df, keys=["user_id", "event_type"])
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_active_users"))
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,7 +704,10 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "events_window": q_events_window,
+    "stream_dedup": q_stream_dedup,
     "json_extract": q_json_extract,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
@@ -841,6 +882,10 @@ HARNESS_ORACLES: dict[str, str] = {
         "event_type, COUNT(*) AS n_events, "
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1, 2, 3"
+    ),
+    "stream_dedup": (
+        "SELECT event_type, COUNT(*) AS n_active_users "
+        "FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY event_type"
     ),
     "json_extract": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k FROM events"

@@ -1,8 +1,15 @@
 from .events import (
+    dedup_events,
     read_event_stream,
     read_event_table,
     sessionize,
     windowed_event_counts,
 )
 
-__all__ = ["read_event_stream", "read_event_table", "sessionize", "windowed_event_counts"]
+__all__ = [
+    "dedup_events",
+    "read_event_stream",
+    "read_event_table",
+    "sessionize",
+    "windowed_event_counts",
+]

@@ -136,6 +136,26 @@ def windowed_event_counts(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup by key.
+
+    On a stream: ``dropDuplicatesWithinWatermark`` — the dedup state for
+    a key is dropped once the watermark passes it, so state stays
+    bounded at (event rate × watermark horizon) no matter how long the
+    stream runs; a duplicate arriving later than the watermark is the
+    documented trade-off.  On batch input the same call degrades to
+    plain ``dropDuplicates`` over the whole frame."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 _SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_start", T.DoubleType()),

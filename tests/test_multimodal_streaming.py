@@ -88,3 +88,36 @@ def test_streaming_window_counts_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    from openetlagent_spark.streaming import dedup_events
+
+    # event_id 0..4 each written TWICE (second batch of files duplicates
+    # the first) — streaming dedup must keep exactly one per key.
+    rows = [
+        Row(event_id=i, ts=f"2024-01-01 00:0{i}:00", user_id=i, event_type="click", value=float(i), props="{}")
+        for i in range(5)
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "dedup_src")
+    batch.write.parquet(src)
+    batch.write.mode("append").parquet(src)
+
+    doubled = spark.read.parquet(src)
+    assert doubled.count() == 10
+    expected = sorted(r.event_id for r in dedup_events(doubled).collect())
+    assert expected == [0, 1, 2, 3, 4]
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        dedup_events(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == expected
