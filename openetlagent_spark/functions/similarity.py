@@ -71,30 +71,105 @@ def cosine_topk(
     )
 
 
+_DIM_CACHE: dict[tuple[int, str], int] = {}
+
+
 def infer_dim(df: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality from one row (tiny probe job).  The
-    hyperplane literals must match the vector length exactly —
-    zip_with pads mismatches with nulls, which would NULL every dot
-    product and silently collapse all buckets to 0."""
+    """Embedding dimensionality from one row (tiny probe job, memoized
+    per semantically-equal plan so repeated calls in a session pay one
+    job).  The hyperplane literals must match the vector length
+    exactly — zip_with pads mismatches with nulls, which would NULL
+    every dot product and silently collapse all buckets to 0."""
+    try:
+        key = (df.semanticHash(), vec_col)
+    except Exception:
+        key = None
+    if key is not None and key in _DIM_CACHE:
+        return _DIM_CACHE[key]
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer embedding dimension from column '{vec_col}'")
-    return int(row["d"])
+    dim = int(row["d"])
+    if key is not None:
+        _DIM_CACHE[key] = dim
+    return dim
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
     """Sign pattern of the vector against ``n_planes`` deterministic
-    random hyperplanes, packed into a long.  Hyperplane coefficients are
-    literal arrays — evaluated entirely JVM-side.  ``dim`` MUST equal
-    the embedding length (see infer_dim)."""
+    random hyperplanes, packed into a long.  Hyperplane coefficients
+    enter as ONE nested-array literal and the whole signature is a
+    single transform+aggregate expression — still evaluated entirely
+    JVM-side, but built with a handful of py4j calls instead of
+    n_planes × dim literal round-trips (the per-literal form cost
+    seconds of driver time per query).  ``dim`` MUST equal the
+    embedding length (see infer_dim)."""
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
-    sig = F.lit(0).cast("long")
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(dot_expr(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        sig = sig + F.shiftleft(bit, i)
-    return sig
+    planes_lit = _array_literal(rng.randn(n_planes, dim))
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            )
+            > 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    # Pack to a long, first plane = most significant bit.  Any bijection
+    # of the bit vector gives the same collision structure.
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, bit: acc * F.lit(2).cast("long") + bit
+    )
+
+
+def _array_literal(values) -> Column:
+    """Deeply nested double-array literal via ONE parsed SQL string.
+    ``F.lit`` on a nested Python list pays a py4j element-by-element
+    conversion (measured 1.4 s for 8×4×64 doubles); formatting the
+    same values as ``array(array(...))`` SQL text and parsing it
+    JVM-side is ~30 ms.  ``repr(float)`` is the shortest round-trip
+    form, so values survive exactly."""
+
+    def fmt(v) -> str:
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array(" + ",".join(fmt(x) for x in v) + ")"
+        return f"{float(v)!r}D"
+
+    return F.expr(fmt(values))
+
+
+def multi_table_signatures(
+    vec: Column, n_planes: int, n_tables: int, seed: int, dim: int
+) -> Column:
+    """``array<long>`` of hyperplane signatures, one per LSH table, from
+    ONE 3-D plane literal and one nested transform/aggregate expression.
+    Building per-table signature columns costs n_tables × n_planes × dim
+    py4j literal round-trips (measured: seconds of driver time); this
+    form is a handful of calls and evaluates in one JVM pass."""
+    rng = np.random.RandomState(seed)
+    tables_lit = _array_literal(rng.randn(n_tables, n_planes, dim))
+    return F.transform(
+        tables_lit,
+        lambda planes: F.aggregate(
+            F.transform(
+                planes,
+                lambda p: F.when(
+                    F.aggregate(
+                        F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+                    )
+                    > 0,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * F.lit(2).cast("long") + bit,
+        ),
+    )
 
 
 def lsh_topk(
@@ -108,7 +183,10 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share a bucket in ≥1 LSH table,
-    exact cosine re-ranks.  Shuffles on (table, bucket) only.
+    exact cosine re-ranks.  Each side is ONE scan: the per-table
+    signatures come out of multi_table_signatures as an array and
+    posexplode to (tbl, bucket) rows — no n_tables-way union, and the
+    only shuffle is on (tbl, bucket).
 
     Knobs: fewer planes → coarser buckets → more candidates and higher
     recall; more tables → more chances to collide → higher recall.  The
@@ -117,24 +195,25 @@ def lsh_topk(
     do much better.  Near-dup detection (high-cosine pairs only) should
     instead use tight buckets (8+ planes), as embedding_neardup_pairs
     does."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
     dim = infer_dim(corpus, vec_col)
-    c_b, q_b = [], []
-    for t in range(n_tables):
-        csig = hyperplane_signature(F.col("cv"), n_planes, seed + t, dim)
-        qsig = hyperplane_signature(F.col("qv"), n_planes, seed + t, dim)
-        c_b.append(c.select("neighbor_id", "cv", F.lit(t).alias("tbl"), csig.alias("bucket")))
-        q_b.append(q.select("query_id", "qv", F.lit(t).alias("tbl"), qsig.alias("bucket")))
-    c_all, q_all = c_b[0], q_b[0]
-    for x in c_b[1:]:
-        c_all = c_all.unionByName(x)
-    for x in q_b[1:]:
-        q_all = q_all.unionByName(x)
+    c_all = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.posexplode(
+            multi_table_signatures(
+                F.col(vec_col).cast("array<double>"), n_planes, n_tables, seed, dim
+            )
+        ).alias("tbl", "bucket"),
+    )
+    q_all = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.posexplode(
+            multi_table_signatures(
+                F.col(vec_col).cast("array<double>"), n_planes, n_tables, seed, dim
+            )
+        ).alias("tbl", "bucket"),
+    )
 
     cand = (
         c_all.join(F.broadcast(q_all), ["tbl", "bucket"])
@@ -184,24 +263,22 @@ def ivf_topk(
             if len(members):
                 centroids[ci] = members.mean(axis=0)
 
+    cents_lit = _array_literal(centroids)
+
     def nearest_expr(vec: Column, n: int) -> Column:
-        """Array of the n nearest centroid ids for a vector."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(float(x)) for x in centroids[ci]]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(ci).alias("cid"),
-                )
-                for ci in range(len(centroids))
-            ]
+        """Array of the n nearest centroid ids for a vector — one
+        transform over the centroid literal (py4j-cheap, JVM-evaluated)
+        instead of a per-centroid literal array."""
+        dists = F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                i.alias("cid"),
+            ),
         )
         return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
 
