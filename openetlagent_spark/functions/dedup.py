@@ -115,14 +115,17 @@ def minhash_from_hashes(hashes_col: Column, num_perm: int = 64, seed: int = 42) 
     shingle-construction expression here would recompute the (expensive)
     shingling once per permutation — measured 64× slower."""
 
-    def perm(a: int, b: int):
-        # Closure factory: defaults in the lambda signature would change
-        # its arity and break PySpark's higher-order-function binding.
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)
-
     params = _perm_params(num_perm, seed)
-    return F.array(
-        *[F.array_min(F.transform(hashes_col, perm(a, b))) for a, b in params]
+    # One parsed literal of (a, b) pairs + one nested transform: a
+    # per-permutation F.array_min(F.transform(...)) column costs
+    # hundreds of py4j round-trips of driver time (cf. similarity.
+    # _array_literal); this builds the same expression in a few calls.
+    params_sql = "array(" + ",".join(f"array({a}L,{b}L)" for a, b in params) + ")"
+    return F.transform(
+        F.expr(params_sql),
+        lambda p: F.array_min(
+            F.transform(hashes_col, lambda h: (p[0] * h + p[1]) % F.lit(_MERSENNE))
+        ),
     )
 
 
@@ -180,38 +183,48 @@ def minhash_lsh_pairs(
     banded = base.select(
         "__id__",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("__sig__", j * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bhash"),
-                    )
-                    for j in range(bands)
-                ]
+            F.transform(
+                F.expr(f"sequence(0, {bands - 1})"),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("__sig__"), j * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bhash"),
+                ),
             )
         ).alias("__band__"),
     ).select("__id__", "__band__.band", "__band__.bhash")
 
-    bucket_counts = banded.groupBy("band", "bhash").count()
-    banded = banded.join(
-        bucket_counts.filter(F.col("count") <= max_bucket).drop("count"),
-        ["band", "bhash"],
+    # Bucket-local pair generation WITHOUT a self-join: one shuffle
+    # gathers each (band, bhash) bucket's ids into an array, then the
+    # id_a < id_b pairs expand as a JVM array expression.  The old
+    # count-filter-join + self-join layout cost three shuffles of the
+    # banded table; this costs one, and the max_bucket guard bounds the
+    # per-bucket O(n²) expansion exactly as before.
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.collect_list("__id__").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-
-    left = banded.select("band", "bhash", F.col("__id__").alias("id_a"))
-    right = banded.select("band", "bhash", F.col("__id__").alias("id_b"))
+    ids = F.col("ids")
+    pair_expr = F.flatten(
+        F.transform(
+            ids,
+            lambda a: F.transform(
+                F.filter(ids, lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     candidates = (
-        left.join(right, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
