@@ -352,11 +352,16 @@ class WindowOperation(Operation):
     value_column: str | None = None
     offset: int = 1
     frame: list[int] = field(default_factory=list)
+    frame_type: str = "rows"
     operation_type: str = "window"
 
     def __post_init__(self) -> None:
         if self.frame and len(self.frame) != 2:
-            raise SpecError(f"window frame must be [start, end] row offsets, got {self.frame!r}")
+            raise SpecError(f"window frame must be [start, end] offsets, got {self.frame!r}")
+        if self.frame_type not in ("rows", "range"):
+            raise SpecError(f"window frame_type must be rows/range, got {self.frame_type!r}")
+        if self.frame_type == "range" and len(self.order_by) != 1:
+            raise SpecError("window range frames require exactly one (numeric) order_by column")
 
 
 OPERATION_TYPES: dict[str, type[Operation]] = {

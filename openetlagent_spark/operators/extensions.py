@@ -176,7 +176,13 @@ def apply_window(df: DataFrame, op: WindowOperation) -> DataFrame:
     elif fn in ("sum", "avg", "min", "max", "count"):
         require_columns(df, [op.value_column], "window")
         if op.frame:
-            w = w.rowsBetween(op.frame[0], op.frame[1])
+            # rows = physical row offsets; range = ORDER-BY VALUE offsets
+            # (e.g. order by epoch seconds, frame [-3600, 0] = trailing
+            # hour) — value-based frames need a single numeric sort key.
+            if op.frame_type == "range":
+                w = w.rangeBetween(op.frame[0], op.frame[1])
+            else:
+                w = w.rowsBetween(op.frame[0], op.frame[1])
         expr = getattr(F, fn)(F.col(op.value_column)).over(w)
     else:
         raise ValueError(f"window: unknown function {fn!r}")

@@ -701,6 +701,49 @@ GROUP BY o_orderpriority
 """
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based (RANGE) window frame: per-user trailing-1-hour sum of
+    event values, ordered by epoch seconds.  Unlike a rows frame, the
+    window extends by the ORDER-BY value — the time-series rolling
+    aggregate shape.  One shuffle on user_id; decimal accumulation keeps
+    the sum order-independent."""
+    from ..streaming import read_event_table
+
+    df = read_event_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        F.col("value").cast("decimal(18,6)").alias("val_dec"),
+    )
+    out = apply_window(
+        df,
+        WindowOperation(
+            function="sum",
+            partition_by=["user_id"],
+            order_by=["ts_epoch"],
+            value_column="val_dec",
+            frame=[-3600, 0],
+            frame_type="range",
+            output_column="trailing_hour_dec",
+        ),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.col("trailing_hour_dec").cast("double").alias("trailing_hour_sum"),
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_hour_sum
+FROM events
+"""
+
+
 ANALYTICS_QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q10": q_tpch_q10,
@@ -719,6 +762,7 @@ ANALYTICS_QUERIES = {
     "dataset_split": q_dataset_split,
     "bind_multikey": q_bind_multikey,
     "bind_salted": q_bind_salted,
+    "window_range_frame": q_window_range_frame,
 }
 
 ANALYTICS_ORACLES = {
@@ -738,4 +782,5 @@ ANALYTICS_ORACLES = {
     "dataset_split": DATASET_SPLIT_SQL,
     "bind_multikey": BIND_MULTIKEY_SQL,
     "bind_salted": BIND_SALTED_SQL,
+    "window_range_frame": WINDOW_RANGE_FRAME_SQL,
 }

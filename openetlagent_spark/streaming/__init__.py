@@ -1,5 +1,6 @@
 from .events import (
     dedup_events,
+    enrich_stream,
     read_event_stream,
     read_event_table,
     sessionize,
@@ -8,6 +9,7 @@ from .events import (
 
 __all__ = [
     "dedup_events",
+    "enrich_stream",
     "read_event_stream",
     "read_event_table",
     "sessionize",

@@ -136,6 +136,25 @@ def windowed_event_counts(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    left_on: str = "user_id",
+    right_on: str,
+    columns_to_add: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    (possibly streaming) event frame.  The static side is re-read per
+    micro-batch by Structured Streaming, so a slowly-changing dimension
+    table picks up updates without restarting the query; Spark requires
+    the stream to be the LEFT side for left joins.  Works identically
+    on batch input (same lazy plan, one broadcast-able join)."""
+    right = dim.select(right_on, *columns_to_add)
+    return events.join(right, events[left_on] == right[right_on], how).drop(right[right_on])
+
+
 def dedup_events(
     events: DataFrame,
     *,

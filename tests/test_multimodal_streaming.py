@@ -121,3 +121,39 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == expected
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path):
+    from openetlagent_spark.streaming import enrich_stream
+
+    rows = [
+        Row(event_id=i, ts="2024-01-01 00:00:00", user_id=i % 3, event_type="click", value=float(i), props="{}")
+        for i in range(6)
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    dim = spark.createDataFrame(
+        [Row(cust_id=0, segment="gold"), Row(cust_id=1, segment="silver")]
+    )
+    src = str(tmp_path / "enrich_src")
+    batch.write.parquet(src)
+
+    expected = sorted(
+        (r.event_id, r.segment)
+        for r in enrich_stream(
+            batch, dim, right_on="cust_id", columns_to_add=["segment"]
+        ).collect()
+    )
+    assert expected == [(0, "gold"), (1, "silver"), (2, None), (3, "gold"), (4, "silver"), (5, None)]
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        enrich_stream(stream, dim, right_on="cust_id", columns_to_add=["segment"])
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.event_id, r.segment) for r in spark.sql("SELECT * FROM enriched").collect())
+    assert got == expected
