@@ -71,58 +71,28 @@ def cosine_topk(
     )
 
 
-_DIM_CACHE: dict[tuple[int, str], int] = {}
-
-
 def infer_dim(df: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality from one row (tiny probe job, memoized
-    per semantically-equal plan so repeated calls in a session pay one
-    job).  The hyperplane literals must match the vector length
-    exactly — zip_with pads mismatches with nulls, which would NULL
-    every dot product and silently collapse all buckets to 0."""
-    try:
-        key = (df.semanticHash(), vec_col)
-    except Exception:
-        key = None
-    if key is not None and key in _DIM_CACHE:
-        return _DIM_CACHE[key]
+    """Embedding dimensionality from one row (tiny probe job — NOT
+    memoized: a cache keyed on the plan can go stale when the
+    underlying file is rewritten with different-dimension vectors, and
+    a wrong dim silently collapses every LSH bucket; see below).  The
+    hyperplane literals must match the vector length exactly —
+    zip_with pads mismatches with nulls, which would NULL every dot
+    product and collapse all signatures to one bucket."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer embedding dimension from column '{vec_col}'")
-    dim = int(row["d"])
-    if key is not None:
-        _DIM_CACHE[key] = dim
-    return dim
+    return int(row["d"])
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
     """Sign pattern of the vector against ``n_planes`` deterministic
-    random hyperplanes, packed into a long.  Hyperplane coefficients
-    enter as ONE nested-array literal and the whole signature is a
-    single transform+aggregate expression — still evaluated entirely
-    JVM-side, but built with a handful of py4j calls instead of
-    n_planes × dim literal round-trips (the per-literal form cost
-    seconds of driver time per query).  ``dim`` MUST equal the
-    embedding length (see infer_dim)."""
-    rng = np.random.RandomState(seed)
-    planes_lit = _array_literal(rng.randn(n_planes, dim))
-    bits = F.transform(
-        planes_lit,
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-            )
-            > 0,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("long"),
-    )
-    # Pack to a long, first plane = most significant bit.  Any bijection
-    # of the bit vector gives the same collision structure.
-    return F.aggregate(
-        bits, F.lit(0).cast("long"), lambda acc, bit: acc * F.lit(2).cast("long") + bit
-    )
+    random hyperplanes, packed into a long.  Single-table special case
+    of multi_table_signatures — numpy's RNG stream makes the 1-table
+    planes identical to a standalone draw, so existing signatures are
+    unchanged.  ``dim`` MUST equal the embedding length (see
+    infer_dim)."""
+    return F.element_at(multi_table_signatures(vec, n_planes, 1, seed, dim), 1)
 
 
 def _array_literal(values) -> Column:
@@ -156,15 +126,7 @@ def multi_table_signatures(
         lambda planes: F.aggregate(
             F.transform(
                 planes,
-                lambda p: F.when(
-                    F.aggregate(
-                        F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-                    )
-                    > 0,
-                    F.lit(1),
-                )
-                .otherwise(F.lit(0))
-                .cast("long"),
+                lambda p: F.when(dot_expr(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
             ),
             F.lit(0).cast("long"),
             lambda acc, bit: acc * F.lit(2).cast("long") + bit,

@@ -172,6 +172,10 @@ class BindOperation(Operation):
             raise SpecError(
                 f"bind left_on/right_on key counts differ: {self.left_on!r} vs {self.right_on!r}"
             )
+        # An empty key set on a keyed join would join unconditionally —
+        # a silent cartesian product.  Cross joins must be asked for.
+        if self.how != "cross" and not [k for k in self.left_keys() if k]:
+            raise SpecError(f"bind how={self.how!r} requires join keys (use how='cross' for none)")
         if self.skew_salt < 0:
             raise SpecError(f"bind skew_salt must be >= 0, got {self.skew_salt!r}")
         if self.skew_salt > 1 and self.how not in ("inner", "left"):
@@ -358,6 +362,12 @@ class WindowOperation(Operation):
     def __post_init__(self) -> None:
         if self.frame and len(self.frame) != 2:
             raise SpecError(f"window frame must be [start, end] offsets, got {self.frame!r}")
+        if self.frame and self.frame[0] > self.frame[1]:
+            raise SpecError(f"window frame start must be <= end, got {self.frame!r}")
+        if self.frame and self.function not in ("sum", "avg", "min", "max", "count"):
+            raise SpecError(
+                f"window frame applies to aggregate functions only, not {self.function!r}"
+            )
         if self.frame_type not in ("rows", "range"):
             raise SpecError(f"window frame_type must be rows/range, got {self.frame_type!r}")
         if self.frame_type == "range" and len(self.order_by) != 1:

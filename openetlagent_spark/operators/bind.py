@@ -66,7 +66,7 @@ def _read_right_side(
         struct = schema_to_struct(op.right_schema_columns) if op.right_schema_columns else None
         path = op.right_file_path
         ext = os.path.splitext(path)[1].lower().lstrip(".")
-        fmt = ext if ext in ("csv", "json", "parquet") else "csv"
+        fmt = ext if ext in ("csv", "json", "parquet", "orc") else "csv"
 
     reader = spark.read
     if fmt == "csv":
@@ -77,6 +77,8 @@ def _read_right_side(
         return read_csv_with_declared_schema(spark, path, struct)
     if fmt == "json":
         return reader.schema(struct).json(path) if struct else reader.json(path)
+    if fmt == "orc":
+        return reader.orc(path)
     return reader.parquet(path)
 
 
@@ -172,10 +174,9 @@ def apply_bind(
         right = right.crossJoin(salts)
         cond = _and_all(left[l] == right[a] for l, a in zip(lk, key_aliases))
         cond = cond & (left["__skew_salt__"] == right["__skew_salt_r__"])
+        # No outer-coalesce here: the model validator restricts salting
+        # to inner/left joins, where the left key always survives.
         joined = left.join(right, cond, how)
-        if op.how == "outer":
-            for l, a in zip(lk, key_aliases):
-                joined = joined.withColumn(l, F.coalesce(left[l], right[a]))
         for a in key_aliases:
             joined = joined.drop(right[a])
         return joined.drop("__skew_salt__", "__skew_salt_r__")

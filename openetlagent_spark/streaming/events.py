@@ -150,9 +150,21 @@ def enrich_stream(
     micro-batch by Structured Streaming, so a slowly-changing dimension
     table picks up updates without restarting the query; Spark requires
     the stream to be the LEFT side for left joins.  Works identically
-    on batch input (same lazy plan, one broadcast-able join)."""
-    right = dim.select(right_on, *columns_to_add)
-    return events.join(right, events[left_on] == right[right_on], how).drop(right[right_on])
+    on batch input (same lazy plan, one broadcast-able join).  Added
+    columns colliding with a stream column are renamed ``{col}_right``
+    (bind's convention); the join key never duplicates."""
+    add_cols = [c for c in columns_to_add if c != right_on]
+    right = dim.select(right_on, *add_cols)
+    stream_cols = set(events.columns)
+    for c in add_cols:
+        if c in stream_cols:
+            right = right.withColumnRenamed(c, f"{c}_right")
+    key_alias = right_on
+    if right_on in stream_cols:
+        key_alias = f"__enrich_key_{right_on}__"
+        right = right.withColumnRenamed(right_on, key_alias)
+    joined = events.join(right, events[left_on] == right[key_alias], how)
+    return joined.drop(right[key_alias])
 
 
 def dedup_events(

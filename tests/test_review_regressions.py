@@ -111,3 +111,60 @@ def test_division_negative_zero_ieee(spark):
     assert got[1] == -math.inf
     assert got[2] == math.inf
     assert got[3] == math.inf
+
+
+# --- round-1 second review pass -------------------------------------------
+
+
+def test_bind_orc_right_side(spark, tmp_path):
+    """ORC right sides must dispatch to the ORC reader, not the CSV/
+    parquet fallbacks (review: bind gained no ORC path when IO did)."""
+    from openetlagent_spark.model import BindOperation
+    from openetlagent_spark.operators import apply_bind
+
+    right_path = str(tmp_path / "dim.orc")
+    spark.createDataFrame([Row(k=1, name="x")]).write.orc(right_path)
+    left = spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)])
+    out = apply_bind(
+        left,
+        BindOperation(
+            right_file_path=right_path, left_on="k", right_on="k", how="left",
+            columns_to_add=["name"],
+        ),
+        spark,
+    )
+    got = sorted((r.k, r.name) for r in out.collect())
+    assert got == [(1, "x"), (2, None)]
+
+
+def test_bind_empty_keys_rejected():
+    """Empty key lists on a keyed join would silently cross-join."""
+    from openetlagent_spark.model import BindOperation, SpecError
+
+    with pytest.raises(SpecError, match="requires join keys"):
+        BindOperation(left_on=[], right_on=[], how="inner")
+    # cross is the explicit way to ask for no keys
+    BindOperation(how="cross")
+
+
+def test_window_frame_validation():
+    from openetlagent_spark.model import SpecError, WindowOperation
+
+    with pytest.raises(SpecError, match="start must be <= end"):
+        WindowOperation(function="sum", value_column="v", frame=[0, -2], output_column="x")
+    with pytest.raises(SpecError, match="aggregate functions only"):
+        WindowOperation(function="row_number", frame=[-2, 0], output_column="x")
+
+
+def test_enrich_stream_collision_renames(spark):
+    from openetlagent_spark.streaming import enrich_stream
+
+    events = spark.createDataFrame([Row(user_id=1, value=5.0)])
+    dim = spark.createDataFrame([Row(user_id=1, value=99.0, segment="gold")])
+    out = enrich_stream(
+        events, dim, left_on="user_id", right_on="user_id",
+        columns_to_add=["value", "segment"],
+    )
+    row = out.collect()[0]
+    assert row.value == 5.0 and row.value_right == 99.0 and row.segment == "gold"
+    assert out.columns == ["user_id", "value", "value_right", "segment"]
