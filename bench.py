@@ -66,6 +66,11 @@ HEADLINE = [
     "approx_distinct",
     "explode_tokens",
     "dataset_split",
+    "window_range_frame",
+    "bind_multikey",
+    "bind_salted",
+    "set_intersect",
+    "stream_dedup",
 ]
 
 
