@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (broadcast dimension joins, predicate pushdown, bounded
+shuffle counts, no accidental cartesians) asserted against the actual
+Catalyst output, so a refactor can't silently trade them away.
+
+These run on sf0.001 — plan SHAPE is scale-invariant for these queries
+(file-size broadcast heuristics all trigger at every test SF)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from openetlagent_spark.plans import HARNESS_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = HARNESS_QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().toString()
+
+
+def count_shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange (hash|range)partitioning", plan))
+
+
+@pytest.mark.parametrize("name", ["flagship", "tpch_q3", "tpch_q5", "tpch_q10"])
+def test_dimension_joins_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: dimension joins must broadcast"
+    assert "SortMergeJoin" not in plan, f"{name}: no sort-merge join expected at this shape"
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [("tpch_q1", 1), ("tpch_q5", 1), ("tpch_q6", 0), ("tpch_q10", 1), ("grouping_sets", 1)],
+)
+def test_shuffle_budget(spark, name, max_shuffles):
+    assert count_shuffles(plan_of(spark, name)) <= max_shuffles
+
+
+def test_q6_filters_reach_scan(spark):
+    # Spark's plan text truncates long filter lists with "...", so match
+    # line-wise instead of bracket-to-bracket.
+    plan = plan_of(spark, "tpch_q6")
+    pushed = [l for l in plan.splitlines() if "PushedFilters: [" in l]
+    assert pushed, "tpch_q6 must push filters into the parquet scan"
+    assert any("l_shipdate" in l for l in pushed)
+    assert re.search(r"DataFilters: \[[^\n]*l_discount", plan)
+
+
+def test_scan_prunes_columns(spark):
+    # tpch_q6 touches 4 lineitem columns; the scan schema must not read
+    # the full 11-column table.
+    plan = plan_of(spark, "tpch_q6")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_no_accidental_cartesian(spark):
+    # Cartesian/nested-loop joins are legal ONLY where they are the
+    # semantics: explicit cross bind, the brute-force ANN baseline, and
+    # the salt-replication step.
+    allowed = {"bind_cross", "ann_cosine_topk", "bind_salted", "dedup_embedding"}
+    for name in ["flagship", "tpch_q5", "tpch_q18", "range_join", "asof_join", "bind_multikey"]:
+        assert name not in allowed
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} must not cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} must not nested-loop"
