@@ -68,10 +68,20 @@ def apply_aggregation(df: DataFrame, op: AggregationOperation) -> DataFrame:
             # HLL++ sketch: one pass, fixed memory, mergeable across
             # partitions — the 100 TB path for distinct counts.
             expr = F.approx_count_distinct(target, float(spec.get("rsd", 0.05)))
+        elif fn_name == "approx_percentile":
+            # KLL-style quantile sketch (bounded memory, mergeable) —
+            # the 100 TB path for quantiles; exact `percentile` sorts
+            # per group.  accuracy = 1/relative-error (Spark default
+            # 10000).
+            expr = F.approx_percentile(
+                target, F.lit(float(spec["p"])), F.lit(int(spec.get("accuracy", 10000)))
+            )
         else:
             fn = _AGG_FNS.get(fn_name)
             if fn is None:
-                known = sorted([*_AGG_FNS, "percentile", "approx_count_distinct"])
+                known = sorted(
+                    [*_AGG_FNS, "percentile", "approx_count_distinct", "approx_percentile"]
+                )
                 raise ValueError(f"aggregation: unknown agg fn {fn_name!r}; known: {known}")
             expr = fn(target)
         aggs.append(expr.alias(out_name))

@@ -490,12 +490,13 @@ WHERE rk <= 3
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct parts and suppliers per return flag —
-    the sketch path for distinct counts at 100 TB: one pass, fixed
-    memory per group, partial sketches merged across executors (an
-    exact count_distinct re-shuffles every distinct value).  Estimates
-    are engine-specific, so this query takes the driver's rows-only
-    check (no DuckDB oracle)."""
+    """Sketch-family aggregates per return flag: HLL++ approximate
+    distinct counts and a KLL-style approximate median — the 100 TB
+    paths (one pass, fixed memory per group, partial sketches merged
+    across executors; exact count_distinct re-shuffles every distinct
+    value and exact percentile sorts per group).  Estimates are
+    engine-specific, so this query takes the driver's rows-only check
+    (no DuckDB oracle)."""
     return apply_aggregation(
         _t(spark, sf_dir, "lineitem"),
         AggregationOperation(
@@ -507,10 +508,13 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "agg": "approx_count_distinct",
                     "rsd": "0.02",
                 },
+                "approx_median_qty": {"column": "l_quantity", "agg": "approx_percentile", "p": "0.5"},
                 "n_rows": {"column": "*", "agg": "count"},
             },
         ),
-    ).select("l_returnflag", "approx_parts", "approx_suppliers", "n_rows")
+    ).select(
+        "l_returnflag", "approx_parts", "approx_suppliers", "approx_median_qty", "n_rows"
+    )
 
 
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:

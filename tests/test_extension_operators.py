@@ -312,3 +312,17 @@ def test_select_missing_column_raises(sales):
 
     with pytest.raises(ValueError, match="nope"):
         apply_select(sales, SelectOperation(columns=["nope"]))
+
+
+def test_aggregation_approx_percentile(spark):
+    df = spark.createDataFrame([Row(g="a", v=float(i)) for i in range(1, 101)])
+    out = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["g"],
+            aggregations={"med": {"column": "v", "agg": "approx_percentile", "p": "0.5"}},
+        ),
+    )
+    med = out.collect()[0].med
+    # sketch is exact at this size/accuracy: returns an actual data value
+    assert med in (50.0, 51.0)
