@@ -38,6 +38,7 @@ _AGG_FNS = {
     "count_distinct": F.count_distinct,
     "first": F.first,
     "collect_set": F.collect_set,
+    "collect_list": F.collect_list,
     "stddev": F.stddev,
 }
 

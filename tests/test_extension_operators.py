@@ -326,3 +326,15 @@ def test_aggregation_approx_percentile(spark):
     med = out.collect()[0].med
     # sketch is exact at this size/accuracy: returns an actual data value
     assert med in (50.0, 51.0)
+
+
+def test_aggregation_collect_list(sales):
+    out = apply_aggregation(
+        sales,
+        AggregationOperation(
+            group_by=["region"],
+            aggregations={"amts": {"column": "amount", "agg": "collect_list"}},
+        ),
+    )
+    got = {r.region: sorted(r.amts) for r in out.collect()}
+    assert got == {"E": [10.0, 20.0], "W": [5.0]}
