@@ -69,6 +69,14 @@ def apply_aggregation(df: DataFrame, op: AggregationOperation) -> DataFrame:
             # HLL++ sketch: one pass, fixed memory, mergeable across
             # partitions — the 100 TB path for distinct counts.
             expr = F.approx_count_distinct(target, float(spec.get("rsd", 0.05)))
+        elif fn_name in ("min_by", "max_by"):
+            # argmin/argmax: the value of `column` on the row where `by`
+            # is smallest/largest.  Ties are nondeterministic under
+            # distributed execution — disambiguate via a composite `by`
+            # upstream when determinism matters.
+            by = spec["by"]
+            require_columns(df, [by], "aggregation")
+            expr = (F.min_by if fn_name == "min_by" else F.max_by)(target, F.col(by))
         elif fn_name == "approx_percentile":
             # KLL-style quantile sketch (bounded memory, mergeable) —
             # the 100 TB path for quantiles; exact `percentile` sorts
@@ -81,7 +89,14 @@ def apply_aggregation(df: DataFrame, op: AggregationOperation) -> DataFrame:
             fn = _AGG_FNS.get(fn_name)
             if fn is None:
                 known = sorted(
-                    [*_AGG_FNS, "percentile", "approx_count_distinct", "approx_percentile"]
+                    [
+                        *_AGG_FNS,
+                        "percentile",
+                        "approx_count_distinct",
+                        "approx_percentile",
+                        "min_by",
+                        "max_by",
+                    ]
                 )
                 raise ValueError(f"aggregation: unknown agg fn {fn_name!r}; known: {known}")
             expr = fn(target)

@@ -338,3 +338,21 @@ def test_aggregation_collect_list(sales):
     )
     got = {r.region: sorted(r.amts) for r in out.collect()}
     assert got == {"E": [10.0, 20.0], "W": [5.0]}
+
+
+def test_aggregation_min_by_max_by(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", name="x", score=1.0), Row(g="a", name="y", score=9.0), Row(g="b", name="z", score=5.0)]
+    )
+    out = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["g"],
+            aggregations={
+                "best": {"column": "name", "agg": "max_by", "by": "score"},
+                "worst": {"column": "name", "agg": "min_by", "by": "score"},
+            },
+        ),
+    )
+    got = {r.g: (r.best, r.worst) for r in out.collect()}
+    assert got == {"a": ("y", "x"), "b": ("z", "z")}
