@@ -5,6 +5,7 @@ from .events import (
     read_event_table,
     sessionize,
     windowed_event_counts,
+    write_stream_idempotent,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "read_event_table",
     "sessionize",
     "windowed_event_counts",
+    "write_stream_idempotent",
 ]

@@ -136,6 +136,39 @@ def windowed_event_counts(
     )
 
 
+def write_stream_idempotent(
+    df: DataFrame,
+    path: str,
+    *,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+    query_name: str = "sink",
+):
+    """Exactly-once parquet sink via foreachBatch: each micro-batch
+    lands under ``path/batch_id=N`` with overwrite mode, so a replayed
+    batch (failure between write and checkpoint commit) rewrites the
+    SAME directory instead of duplicating rows — write idempotence +
+    the checkpoint's batch tracking = end-to-end exactly-once.  The
+    batch_id directory column doubles as an audit trail of stream
+    progress.  Returns the StreamingQuery (caller awaits/stops)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(f"{path}/batch_id={batch_id}")
+
+    writer = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

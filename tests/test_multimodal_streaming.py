@@ -157,3 +157,32 @@ def test_stream_static_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.event_id, r.segment) for r in spark.sql("SELECT * FROM enriched").collect())
     assert got == expected
+
+
+def test_idempotent_stream_sink_exactly_once(spark, tmp_path):
+    from openetlagent_spark.streaming import write_stream_idempotent
+
+    rows = [
+        Row(event_id=i, ts="2024-01-01 00:00:00", user_id=i, event_type="click", value=float(i), props="{}")
+        for i in range(4)
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "sink_src")
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = write_stream_idempotent(stream, out, checkpoint=ckpt)
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3]
+
+    # Restarting against the same checkpoint with no new data must not
+    # duplicate anything (batch tracking) — the exactly-once half the
+    # batch_id-overwrite layout provides on replay.
+    stream2 = spark.readStream.schema(batch.schema).parquet(src)
+    q2 = write_stream_idempotent(stream2, out, checkpoint=ckpt)
+    q2.awaitTermination(120)
+    got2 = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got2 == [0, 1, 2, 3]
