@@ -344,10 +344,11 @@ class RepartitionOperation(Operation):
 @dataclass
 class WindowOperation(Operation):
     """Window function over partition/order: fn ∈ row_number/rank/
-    dense_rank/ntile/lag/lead/sum/avg/min/max/count.  For the aggregate
-    functions an optional ``frame`` = [start, end] row offsets
-    (negative = preceding, e.g. [-2, 0] = 2 PRECEDING .. CURRENT ROW)
-    turns the running aggregate into a sliding one."""
+    dense_rank/ntile/percent_rank/cume_dist/lag/lead/sum/avg/min/max/
+    count.  For the aggregate functions an optional ``frame`` =
+    [start, end] offsets (negative = preceding, e.g. [-2, 0] =
+    2 PRECEDING .. CURRENT ROW; ``frame_type`` rows|range) turns the
+    running aggregate into a sliding one."""
 
     function: str = "row_number"
     partition_by: list[str] = field(default_factory=list)

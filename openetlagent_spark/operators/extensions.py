@@ -195,6 +195,10 @@ def apply_window(df: DataFrame, op: WindowOperation) -> DataFrame:
         expr = F.dense_rank().over(w)
     elif fn == "ntile":
         expr = F.ntile(op.offset).over(w)
+    elif fn == "percent_rank":
+        expr = F.percent_rank().over(w)
+    elif fn == "cume_dist":
+        expr = F.cume_dist().over(w)
     elif fn in ("lag", "lead"):
         require_columns(df, [op.value_column], "window")
         shift = F.lag if fn == "lag" else F.lead

@@ -748,6 +748,91 @@ FROM events
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution window functions: percent_rank and cume_dist
+    of retail price within each brand — purely rank-based, so results
+    are exact across engines (no FP accumulation)."""
+    df = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    out = apply_window(
+        df,
+        WindowOperation(
+            function="percent_rank",
+            partition_by=["p_brand"],
+            order_by=["p_retailprice", "p_partkey"],
+            output_column="price_pct_rank",
+        ),
+    )
+    out = apply_window(
+        out,
+        WindowOperation(
+            function="cume_dist",
+            partition_by=["p_brand"],
+            order_by=["p_retailprice", "p_partkey"],
+            output_column="price_cume_dist",
+        ),
+    )
+    return out
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT p_partkey, p_brand, p_retailprice,
+       PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS price_pct_rank,
+       CUME_DIST() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS price_cume_dist
+FROM part
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: users whose first 'view' is followed by a
+    'purchase' within one hour, with the conversion latency.  Two
+    grouped aggregations + one join — no per-user collect, no
+    cross-event explosion; the event-sequence shape behind retention /
+    conversion metrics at 100 TB of events."""
+    from ..streaming import read_event_table
+
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("epoch")
+    )
+    first_view = apply_aggregation(
+        apply_filter(ev, FilterOperation(input_column="event_type", operator="==", value="view")),
+        AggregationOperation(
+            group_by=["user_id"], aggregations={"view_epoch": {"column": "epoch", "agg": "min"}}
+        ),
+    )
+    purchases = apply_filter(
+        ev, FilterOperation(input_column="event_type", operator="==", value="purchase")
+    )
+    joined = apply_bind(
+        purchases,
+        BindOperation(left_on="user_id", right_on="user_id", how="inner", columns_to_add=["view_epoch"]),
+        spark,
+        right_df=first_view,
+    ).filter(F.col("epoch") > F.col("view_epoch"))
+    conv = apply_aggregation(
+        joined,
+        AggregationOperation(
+            group_by=["user_id", "view_epoch"],
+            aggregations={"purchase_epoch": {"column": "epoch", "agg": "min"}},
+        ),
+    ).withColumn("latency_s", F.col("purchase_epoch") - F.col("view_epoch"))
+    return apply_filter(
+        conv, FilterOperation(input_column="latency_s", operator="<=", value=3600)
+    ).select("user_id", "view_epoch", "purchase_epoch", "latency_s")
+
+
+FUNNEL_SQL = """
+SELECT v.user_id, v.view_epoch, MIN(p.epoch) AS purchase_epoch,
+       MIN(p.epoch) - v.view_epoch AS latency_s
+FROM (SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS view_epoch
+      FROM events WHERE event_type = 'view' GROUP BY user_id) v
+JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+      FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND p.epoch > v.view_epoch
+GROUP BY v.user_id, v.view_epoch
+HAVING MIN(p.epoch) - v.view_epoch <= 3600
+"""
+
+
 ANALYTICS_QUERIES = {
     "tpch_q4": q_tpch_q4,
     "tpch_q10": q_tpch_q10,
@@ -767,6 +852,8 @@ ANALYTICS_QUERIES = {
     "bind_multikey": q_bind_multikey,
     "bind_salted": q_bind_salted,
     "window_range_frame": q_window_range_frame,
+    "window_distribution": q_window_distribution,
+    "funnel": q_funnel,
 }
 
 ANALYTICS_ORACLES = {
@@ -787,4 +874,6 @@ ANALYTICS_ORACLES = {
     "bind_multikey": BIND_MULTIKEY_SQL,
     "bind_salted": BIND_SALTED_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
+    "window_distribution": WINDOW_DISTRIBUTION_SQL,
+    "funnel": FUNNEL_SQL,
 }

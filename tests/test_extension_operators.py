@@ -356,3 +356,15 @@ def test_aggregation_min_by_max_by(spark):
     )
     got = {r.g: (r.best, r.worst) for r in out.collect()}
     assert got == {"a": ("y", "x"), "b": ("z", "z")}
+
+
+def test_window_percent_rank_cume_dist(spark):
+    df = spark.createDataFrame([Row(g="a", v=i) for i in range(1, 5)])
+    pr = apply_window(
+        df, WindowOperation(function="percent_rank", partition_by=["g"], order_by=["v"], output_column="pr")
+    )
+    cd = apply_window(
+        df, WindowOperation(function="cume_dist", partition_by=["g"], order_by=["v"], output_column="cd")
+    )
+    assert sorted(r.pr for r in pr.collect()) == [0.0, 1 / 3, 2 / 3, 1.0]
+    assert sorted(r.cd for r in cd.collect()) == [0.25, 0.5, 0.75, 1.0]
