@@ -67,6 +67,8 @@ HEADLINE = [
     "explode_tokens",
     "dataset_split",
     "window_range_frame",
+    "window_distribution",
+    "funnel",
     "bind_multikey",
     "bind_salted",
     "set_intersect",
