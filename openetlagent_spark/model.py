@@ -298,6 +298,24 @@ class UnionOperation(Operation):
 
 
 @dataclass
+class JsonExtractOperation(Operation):
+    """Extract a scalar from a JSON-string column by JSONPath (e.g.
+    ``$.user.id``), optionally cast to a logical type — a scalar-
+    function capability the reference lacks entirely (SURVEY §2.2
+    'no array/map/json functions').  Malformed JSON or a missing path
+    yields NULL (get_json_object semantics)."""
+
+    input_column: str = ""
+    json_path: str = "$"
+    target_type: str | None = None
+    operation_type: str = "json_extract"
+
+    def __post_init__(self) -> None:
+        if not self.json_path.startswith("$"):
+            raise SpecError(f"json_extract path must start with '$', got {self.json_path!r}")
+
+
+@dataclass
 class SelectOperation(Operation):
     """Mid-pipeline projection: keep exactly ``columns`` in order, or
     drop ``drop_columns`` (exactly one must be given).  The reference
@@ -398,6 +416,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "repartition": RepartitionOperation,
     "sample": SampleOperation,
     "select": SelectOperation,
+    "json_extract": JsonExtractOperation,
 }
 
 

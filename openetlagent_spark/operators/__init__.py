@@ -19,6 +19,7 @@ from .extensions import (
     apply_aggregation,
     apply_distinct,
     apply_filter,
+    apply_json_extract,
     apply_limit,
     apply_repartition,
     apply_sample,
@@ -43,6 +44,7 @@ OPERATION_DISPATCHER = {
     "fold": apply_fold,
     "unfold": apply_unfold,
     "filter": apply_filter,
+    "json_extract": apply_json_extract,
     "aggregation": apply_aggregation,
     "sort": apply_sort,
     "limit": apply_limit,
@@ -66,6 +68,7 @@ __all__ = [
     "apply_distinct",
     "apply_equality",
     "apply_filter",
+    "apply_json_extract",
     "apply_fold",
     "apply_limit",
     "apply_repartition",

@@ -18,6 +18,7 @@ from ..model import (
     AggregationOperation,
     DistinctOperation,
     FilterOperation,
+    JsonExtractOperation,
     LimitOperation,
     RepartitionOperation,
     SampleOperation,
@@ -157,6 +158,20 @@ def apply_union(df: DataFrame, op: UnionOperation, right_df: DataFrame) -> DataF
 
 def apply_sample(df: DataFrame, op: SampleOperation) -> DataFrame:
     return df.sample(withReplacement=False, fraction=op.fraction, seed=op.seed)
+
+
+def apply_json_extract(df: DataFrame, op: JsonExtractOperation) -> DataFrame:
+    """get_json_object: JVM-side JSON scan, NULL on malformed/missing.
+    For repeated extraction of many paths from huge payloads prefer
+    from_json with an explicit schema (single parse); this per-path
+    form matches the flow model's one-output-column shape."""
+    require_columns(df, [op.input_column], "json_extract")
+    expr = F.get_json_object(F.col(op.input_column), op.json_path)
+    if op.target_type is not None:
+        from ..types import logical_to_spark
+
+        expr = expr.try_cast(logical_to_spark(op.target_type))
+    return df.withColumn(op.output_column or op.input_column, expr)
 
 
 def apply_select(df: DataFrame, op: SelectOperation) -> DataFrame:

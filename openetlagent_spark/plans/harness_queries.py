@@ -578,16 +578,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar extraction from the event props column (a scalar-
-    function capability the reference lacks entirely — SURVEY §2.2
-    'no array/map/json functions')."""
+    """JSON scalar extraction from the event props column through the
+    json_extract flow operator (a scalar-function capability the
+    reference lacks entirely — SURVEY §2.2 'no array/map/json
+    functions')."""
+    from ..model import JsonExtractOperation
+    from ..operators import apply_json_extract
     from ..streaming import read_event_table
 
     df = read_event_table(spark, f"{sf_dir}/events.parquet")
-    return df.select(
-        "event_id",
-        F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
+    out = apply_json_extract(
+        df,
+        JsonExtractOperation(
+            input_column="props", json_path="$.k", target_type="integer", output_column="prop_k"
+        ),
     )
+    return out.select("event_id", "prop_k")
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -368,3 +368,30 @@ def test_window_percent_rank_cume_dist(spark):
     )
     assert sorted(r.pr for r in pr.collect()) == [0.0, 1 / 3, 2 / 3, 1.0]
     assert sorted(r.cd for r in cd.collect()) == [0.25, 0.5, 0.75, 1.0]
+
+
+def test_json_extract_operator(spark):
+    from openetlagent_spark.model import JsonExtractOperation, SpecError
+    from openetlagent_spark.operators import apply_json_extract
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, props='{"k": 42, "tags": {"env": "prod"}}'),
+            Row(id=2, props='{"tags": {}}'),
+            Row(id=3, props="not json"),
+        ]
+    )
+    out = apply_json_extract(
+        df,
+        JsonExtractOperation(
+            input_column="props", json_path="$.k", target_type="integer", output_column="k"
+        ),
+    )
+    got = {r.id: r.k for r in out.collect()}
+    assert got == {1: 42, 2: None, 3: None}
+    nested = apply_json_extract(
+        df, JsonExtractOperation(input_column="props", json_path="$.tags.env", output_column="env")
+    )
+    assert {r.id: r.env for r in nested.collect()} == {1: "prod", 2: None, 3: None}
+    with pytest.raises(SpecError, match="must start"):
+        JsonExtractOperation(input_column="props", json_path="k")
