@@ -310,14 +310,17 @@ def simhash_pairs(
     """Candidate pairs with Hamming(simhash) <= max_hamming, via
     pigeonhole banding: split 64 bits into (max_hamming+1) bands — any
     pair within the Hamming budget must agree exactly on ≥1 band.
-    Verification is bit_count(xor) on the JVM."""
+    Verification is bit_count(xor) on the JVM.
+
+    Plan shape mirrors minhash_lsh_pairs: one shuffle gathers each
+    (band, bval) bucket's (id, simhash) structs, the id_a < id_b pairs
+    expand as a JVM array expression, and one dropDuplicates removes
+    pairs that agree on multiple bands.  The signature carries in the
+    bucket payload (8 bytes), so no join-back — and the pandas-UDF
+    signature pass sits in a single linear chain, needing no persist."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    # Persist: the signature (one pandas-UDF pass) feeds bucket counting
-    # and both self-join sides — without persist the UDF runs 3×.
-    with_sig = simhash64(df, id_col, text_col).select(
-        F.col(id_col).alias("__id__"), "simhash"
-    ).persist()
+    with_sig = simhash64(df, id_col, text_col).select(F.col(id_col).alias("__id__"), "simhash")
 
     bands = with_sig.select(
         "__id__",
@@ -337,18 +340,34 @@ def simhash_pairs(
         ).alias("b"),
     ).select("__id__", "simhash", "b.band", "b.bval")
 
-    counts = bands.groupBy("band", "bval").count()
-    bands = bands.join(counts.filter(F.col("count") <= max_bucket).drop("count"), ["band", "bval"])
-
-    left = bands.select("band", "bval", F.col("__id__").alias("id_a"), F.col("simhash").alias("sh_a"))
-    right = bands.select("band", "bval", F.col("__id__").alias("id_b"), F.col("simhash").alias("sh_b"))
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("__id__").alias("id"), F.col("simhash").alias("sh"))
+            ).alias("items")
+        )
+        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket))
+    )
+    items = F.col("items")
+    pair_expr = F.flatten(
+        F.transform(
+            items,
+            lambda a: F.transform(
+                F.filter(items, lambda b: b["id"] > a["id"]),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    F.bit_count(a["sh"].bitwiseXOR(b["sh"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "bval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -373,11 +392,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     length_bucket: int = 50,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard over deterministic blocks:
     candidates share a length bucket (len // length_bucket) AND their
     first whitespace token.  Fully SQL-expressible (oracle-checkable),
-    and the blocking keys bound each bucket at scale."""
+    and the blocking keys bound each block at scale — with ``max_bucket``
+    as the hard guard: a degenerate block (thousands of same-length docs
+    starting with the same token) is dropped, not expanded quadratically.
+
+    Plan shape mirrors minhash_lsh_pairs: one shuffle gathers each
+    block's ids, pairs expand as a JVM array expression, and the (large)
+    gram arrays never enter the blocking shuffle — they join back from
+    the persisted base only for the final Jaccard verification."""
     # Grams are hashed to longs for the pairwise set math — 8-byte
     # compares instead of string hashing in array_intersect (xxhash64
     # collisions are negligible at these set sizes and cannot change the
@@ -387,17 +414,33 @@ def ngram_jaccard_pairs(
         (F.length(text_col) / F.lit(length_bucket)).cast("long").alias("lbucket"),
         F.element_at(_token_col(F.col(text_col)), 1).alias("tok0"),
         F.transform(char_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("grams"),
-    ).persist()  # referenced by both self-join sides
-    left = base.select(
-        "lbucket", "tok0", F.col("__id__").alias("id_a"), F.col("grams").alias("g_a")
+    ).persist()  # feeds the block groupBy and both verification join-backs
+
+    buckets = (
+        base.groupBy("lbucket", "tok0")
+        .agg(F.collect_list("__id__").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    right = base.select(
-        "lbucket", "tok0", F.col("__id__").alias("id_b"), F.col("grams").alias("g_b")
+    ids = F.col("ids")
+    pair_expr = F.flatten(
+        F.transform(
+            ids,
+            lambda a: F.transform(
+                F.filter(ids, lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
     )
+    # Each row belongs to exactly ONE (lbucket, tok0) block, so the
+    # expanded pairs are already distinct — no dropDuplicates shuffle.
+    candidates = buckets.select(F.explode(pair_expr).alias("p")).select("p.id_a", "p.id_b")
+
+    grams = base.select("__id__", "grams")
+    candidates = candidates.join(
+        grams.select(F.col("__id__").alias("id_a"), F.col("grams").alias("g_a")), "id_a"
+    ).join(grams.select(F.col("__id__").alias("id_b"), F.col("grams").alias("g_b")), "id_b")
     return (
-        left.join(right, ["lbucket", "tok0"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", _jaccard_expr("g_a", "g_b"))
+        candidates.withColumn("jaccard", _jaccard_expr("g_a", "g_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -863,14 +863,19 @@ HARNESS_ORACLES: dict[str, str] = {
         "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY lang, source)"
     ),
     "dedup_ngram": (
+        # The ok CTE is the max_bucket guard (dedup.ngram_jaccard_pairs):
+        # blocks larger than 1000 rows are dropped, not expanded.
         "WITH g AS (SELECT doc_id, CAST(floor(length(text) / 50) AS BIGINT) AS lbucket, "
         + _SQL_TOKENS + "[1] AS tok0, "
         "list_distinct(list_transform(generate_series(1, greatest(length(lower(text)) - 2, 1)), "
-        "i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS grams FROM documents) "
+        "i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS grams FROM documents), "
+        "ok AS (SELECT lbucket, tok0 FROM g GROUP BY lbucket, tok0 "
+        "HAVING count(*) > 1 AND count(*) <= 1000) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "len(list_intersect(a.grams, b.grams))::DOUBLE / "
         "len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jaccard "
         "FROM g a JOIN g b ON a.lbucket = b.lbucket AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id "
+        "JOIN ok ON a.lbucket = ok.lbucket AND a.tok0 = ok.tok0 "
         "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE / "
         "len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5"
     ),

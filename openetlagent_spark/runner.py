@@ -9,9 +9,9 @@ semantics, one optimized distributed plan, no intermediate
 materialization.
 
 Also implements the engine-level conventions:
-- temp-column drop: an ``assignation``/any op whose output column is
-  named ``_x_`` (leading AND trailing underscore) is dropped after all
-  ops run (reference: app/main.py:413-416,423-427);
+- temp-column drop: an ``assignation`` op whose output column is named
+  ``_x_`` (leading AND trailing underscore) is dropped after all ops
+  run (reference drops assignation outputs only: app/main.py:413-416);
 - save-time schema-ordered projection + validation (via sources/io.py
   and validate.py).
 """
@@ -23,6 +23,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from .model import (
+    AssignationOperation,
     BindOperation,
     FileDefinition,
     Operation,
@@ -71,8 +72,11 @@ def apply_operations(
             if fn is None:
                 raise ValueError(f"Unknown operation type: {op.operation_type!r}")
             current = fn(current, op)
+        # Only ASSIGNATION outputs participate in the temp-column sweep —
+        # the reference drops exactly those (app/main.py:413-416); a
+        # casting/equality output that happens to be named `_x_` survives.
         out = getattr(op, "output_column", None)
-        if out and _TEMP_COLUMN.match(out):
+        if isinstance(op, AssignationOperation) and out and _TEMP_COLUMN.match(out):
             temp_columns.append(out)
 
     if not drop_temp_columns:

@@ -94,13 +94,26 @@ def scan_data(spark: SparkSession, fd: FileDefinition) -> DataFrame:
 def _ordered_projection(df: DataFrame, fd: FileDefinition) -> DataFrame:
     """Schema-ordered save-time projection; missing declared columns are
     skipped with a warning, extra columns silently dropped
-    (reference: app/main.py:443-455)."""
+    (reference: app/main.py:443-455).  When NO declared column is
+    present the reference logs an error and writes the empty selection;
+    Spark's file sinks reject zero-column frames, so raise the same
+    error instead of silently writing an undeclared schema."""
     declared = list(fd.file_schema.columns)
     present = [c for c in declared if c in df.columns]
     for c in declared:
         if c not in df.columns:
             logger.warning("save: declared output column '%s' missing from result; skipping", c)
-    return df.select(*present) if present else df
+    if not present:
+        logger.error(
+            "save: no declared output column present in result (declared=%s, result=%s)",
+            declared,
+            df.columns,
+        )
+        raise ValueError(
+            f"save: none of the declared output columns {declared} are present in the "
+            f"result columns {df.columns}"
+        )
+    return df.select(*present)
 
 
 def save_data(

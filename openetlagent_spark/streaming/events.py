@@ -51,19 +51,50 @@ def _with_nanos_as_long(spark: SparkSession, read_fn):
             spark.conf.set(key, previous)
 
 
+def _parquet_ts_is_nanos(path: str, column: str = "ts") -> bool | None:
+    """Whether ``column`` is TIMESTAMP(NANOS), read from the parquet
+    footer on the DRIVER via pyarrow — no Spark job, so a nanos file
+    never aborts a task (the old probe let ``spark.read.parquet`` fail a
+    real footer-read task, spraying an executor ERROR stack trace into
+    every log).  Returns None when the footer can't be inspected here
+    (e.g. an object-store URI pyarrow lacks a filesystem for) — callers
+    then fall back to the scoped-flag Spark read."""
+    import os
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(root, fn)
+                for root, _, fns in os.walk(p)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+            if not files:
+                return None
+            p = files[0]
+        schema = pq.read_schema(p)
+        if column not in schema.names:
+            return None
+        t = schema.field(column).type
+        return pa.types.is_timestamp(t) and t.unit == "ns"
+    except Exception:
+        return None
+
+
 def read_event_table(spark: SparkSession, path: str) -> DataFrame:
     """Batch read of an event parquet whose timestamps may be
     nanosecond-precision (Spark's native reader rejects TIMESTAMP(NANOS);
     read them as longs and truncate to microseconds — the same ns→µs
     truncation DuckDB applies)."""
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        df = None
-    if df is None or not isinstance(df.schema["ts"].dataType, T.TimestampType):
-        df = _with_nanos_as_long(spark, lambda: spark.read.parquet(path))
-        if not isinstance(df.schema["ts"].dataType, T.TimestampType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _parquet_ts_is_nanos(path) is False:
+        return spark.read.parquet(path)
+    df = _with_nanos_as_long(spark, lambda: spark.read.parquet(path))
+    if not isinstance(df.schema["ts"].dataType, T.TimestampType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -205,6 +236,7 @@ def dedup_events(
     *,
     keys: list[str] | None = None,
     watermark: str = "2 hours",
+    order_col: str = "ts",
 ) -> DataFrame:
     """Exactly-once event dedup by key.
 
@@ -212,12 +244,33 @@ def dedup_events(
     a key is dropped once the watermark passes it, so state stays
     bounded at (event rate × watermark horizon) no matter how long the
     stream runs; a duplicate arriving later than the watermark is the
-    documented trade-off.  On batch input the same call degrades to
-    plain ``dropDuplicates`` over the whole frame."""
+    documented trade-off.
+
+    On batch input: deterministic keep-min — the survivor is the row
+    smallest under (``order_col``, then every remaining column), so the
+    result is identical under any partitioning (``dropDuplicates`` picks
+    an arbitrary survivor under distributed execution; ties across the
+    FULL column list mean the candidate rows are indistinguishable, so
+    the output is still unique).  Same keep-min pattern as
+    functions.dedup.exact_dedup."""
     keys = keys or ["event_id"]
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
-    return events.dropDuplicates(keys)
+    from pyspark.sql import Window
+
+    order_cols = [c for c in [order_col] if c in events.columns] + [
+        c for c in events.columns if c not in keys and c != order_col
+    ]
+    if not order_cols:
+        # Every column is a key: duplicate rows are identical, so any
+        # survivor is the same row — plain dropDuplicates is deterministic.
+        return events.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
+    return (
+        events.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
 
 
 _SESSION_STATE_SCHEMA = T.StructType(
