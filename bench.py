@@ -73,6 +73,9 @@ HEADLINE = [
     "bind_salted",
     "set_intersect",
     "stream_dedup",
+    "stream_enrich",
+    "stream_sink",
+    "multimodal_features",
 ]
 
 

@@ -672,6 +672,84 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → synthetic media table
+    (payload = utf-8 bytes, typed metadata) → extract_image_features
+    (Arrow-batched mapInPandas with the stub byte-histogram decode).
+    The histogram itself isn't SQL-expressible, but its deterministic
+    invariants are: n_bytes is the utf-8 byte length, and the 16 bins
+    sum to exactly 1 for any non-empty payload — so the mapInPandas
+    stage still gets a full hash-checked oracle."""
+    from ..functions.multimodal import extract_image_features, synthesize_media
+
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    feats = extract_image_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("f_sum"),
+    )
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch form (identical lazy plan to
+    what each micro-batch executes — streaming/events.enrich_stream):
+    events enriched with customer attributes over a broadcast-able
+    dimension side.  Oracle: plain LEFT JOIN."""
+    from ..streaming import enrich_stream, read_event_table
+
+    events = read_event_table(spark, f"{sf_dir}/events.parquet")
+    dim = _t(spark, sf_dir, "customer")
+    out = enrich_stream(
+        events, dim, right_on="c_custkey", columns_to_add=["c_name", "c_mktsegment"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("double").alias("ts_epoch"),
+        "value",
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once sink end-to-end: events parquet → file-source stream
+    (availableNow trigger) → foreachBatch idempotent sink (overwritten
+    ``path/batch_id=N`` dirs) → read the landed layout back and
+    aggregate.  Hash-matching a plain SQL aggregate over the SOURCE
+    proves no loss or duplication through the stream+sink round trip."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming import read_event_stream, write_stream_idempotent
+
+    tmp = tempfile.mkdtemp(prefix="ela_stream_sink_")
+    # Spark's file stream source requires a DIRECTORY (the landing-zone
+    # shape); stage the single test file into one.
+    src_dir = f"{tmp}/landing"
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    out_dir = f"{tmp}/out"
+    stream = read_event_stream(spark, src_dir, nanos=True)
+    q = write_stream_idempotent(
+        stream.select("event_id", "event_type", "value"),
+        out_dir,
+        checkpoint=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out_dir)
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -714,6 +792,9 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "events_window": q_events_window,
     "stream_dedup": q_stream_dedup,
+    "stream_enrich": q_stream_enrich,
+    "stream_sink": q_stream_sink,
+    "multimodal_features": q_multimodal_features,
     "json_extract": q_json_extract,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
@@ -897,6 +978,25 @@ HARNESS_ORACLES: dict[str, str] = {
     "stream_dedup": (
         "SELECT event_type, COUNT(*) AS n_active_users "
         "FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY event_type"
+    ),
+    "stream_enrich": (
+        "SELECT e.event_id, e.user_id, e.event_type, epoch(e.ts) AS ts_epoch, e.value, "
+        "c.c_name, c.c_mktsegment "
+        "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
+    ),
+    "stream_sink": (
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY event_type"
+    ),
+    "multimodal_features": (
+        # Deterministic invariants of the stub byte-histogram decode:
+        # n_bytes = utf-8 length, bins sum to 1 for non-empty payloads.
+        "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime, "
+        "CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes, "
+        "CASE WHEN COALESCE(octet_length(encode(text)), 0) > 0 THEN 1.0 ELSE 0.0 END AS f_sum "
+        "FROM documents"
     ),
     "json_extract": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k FROM events"
