@@ -80,6 +80,16 @@ Available operation_type values and their fields:
 - filter: keep rows matching a predicate. {input_column, operator, value}
 - aggregation: group-by aggregate. {group_by: [..], aggregations: {out_name: {column, agg}}}
 - sort / limit / distinct / window / repartition: see engine docs.
+- dedup: remove duplicate/near-duplicate rows. {strategy (exact/minhash/simhash/
+  ngram/embedding), mode (drop/pairs), keys+order_column for exact,
+  id_column+text_column (or vector_column) + threshold for the rest}
+- asof_join: latest-right-row-at-or-before join. {right_file_path: input_key,
+  left_on, right_on, left_time, right_time, value_columns, direction}
+- range_join: time-proximity join. {kind: tolerance (self pairs: key,
+  time_column, id_column, tolerance) or interval (right_file_path, left_on,
+  right_on, time_column, start_column, end_column, value_columns)}
+- similarity: top-k nearest vectors. {method (brute/lsh/ivf),
+  queries_path: input_key, id_column, vector_column, k}
 
 Name temporary working columns with leading AND trailing underscores
 (e.g. _clean_price_) — they are dropped automatically at the end.
@@ -216,7 +226,9 @@ def generate_pipeline_step_by_step(
                     transcript.append(f"done-rejected: {feedback}")
                     continue
                 op = parse_operation(raw)
-                if op.operation_type not in OPERATION_DISPATCHER and op.operation_type not in ("bind", "union"):
+                if op.operation_type not in OPERATION_DISPATCHER and op.operation_type not in (
+                    "bind", "union", "asof_join", "range_join", "similarity"
+                ):
                     raise SpecError(f"unsupported operation_type {op.operation_type!r}")
                 # Trial execution on the lazy chain (probe forces analysis
                 # plus a 3-row evaluation, surfacing executor-side errors).

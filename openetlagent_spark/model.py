@@ -393,6 +393,172 @@ class WindowOperation(Operation):
             raise SpecError("window range frames require exactly one (numeric) order_by column")
 
 
+# --- North-star operations as flow ops (SURVEY §2 extension surface) -------
+# These make the training-data operators reachable from a GENERATED
+# pipeline (the reference's LLM flow path, app/main.py:85-283): an LLM
+# emitting YAML can now dispatch dedup / similarity / asof / range joins
+# like any parity op.
+
+
+@dataclass
+class DedupOperation(Operation):
+    """Deduplication as a flow op (functions/dedup.py strategies).
+
+    strategy ∈ exact / minhash / simhash / ngram / embedding;
+    mode ∈ drop (return the deduplicated frame — rows with a lower-id
+    near-dup partner removed) / pairs (return the pair table
+    id_a, id_b, score).  ``exact`` supports only drop (its keep-min
+    semantics have no pair form)."""
+
+    strategy: str = "exact"
+    mode: str = "drop"
+    # exact
+    keys: list[str] = field(default_factory=list)
+    order_column: str = ""
+    # approximate strategies
+    id_column: str = ""
+    text_column: str = ""
+    vector_column: str = ""
+    threshold: float = 0.5
+    num_perm: int = 64
+    bands: int = 16
+    shingle_size: int = 3
+    max_hamming: int = 3
+    ngram_size: int = 3
+    length_bucket: int = 50
+    n_planes: int = 8
+    n_tables: int = 2
+    seed: int = 42
+    max_bucket: int = 1000
+    operation_type: str = "dedup"
+
+    def __post_init__(self) -> None:
+        if self.strategy not in ("exact", "minhash", "simhash", "ngram", "embedding"):
+            raise SpecError(
+                f"dedup strategy must be exact/minhash/simhash/ngram/embedding, "
+                f"got {self.strategy!r}"
+            )
+        if self.mode not in ("drop", "pairs"):
+            raise SpecError(f"dedup mode must be drop/pairs, got {self.mode!r}")
+        if self.strategy == "exact":
+            if self.mode != "drop":
+                raise SpecError("dedup strategy='exact' supports mode='drop' only")
+            if not self.keys or not self.order_column:
+                raise SpecError("dedup strategy='exact' requires keys and order_column")
+        elif self.strategy == "embedding":
+            if not self.id_column or not self.vector_column:
+                raise SpecError(
+                    "dedup strategy='embedding' requires id_column and vector_column"
+                )
+        elif not self.id_column or not self.text_column:
+            raise SpecError(f"dedup strategy={self.strategy!r} requires id_column and text_column")
+
+
+@dataclass
+class SimilarityOperation(Operation):
+    """ANN top-k as a flow op: the CURRENT frame is the corpus, the
+    query side resolves like bind's right side (named input key or file
+    path).  method ∈ brute (exact broadcast baseline) / lsh / ivf
+    (approximate scale paths — functions/similarity.py)."""
+
+    method: str = "brute"
+    queries_path: str = ""
+    queries_schema_columns: dict[str, str] = field(default_factory=dict)
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    k: int = 10
+    n_planes: int = 4
+    n_tables: int = 8
+    n_centroids: int = 16
+    nprobe: int = 4
+    seed: int = 42
+    operation_type: str = "similarity"
+
+    def __post_init__(self) -> None:
+        if self.method not in ("brute", "lsh", "ivf"):
+            raise SpecError(f"similarity method must be brute/lsh/ivf, got {self.method!r}")
+        if not self.queries_path:
+            raise SpecError("similarity requires queries_path (named input or file path)")
+        if self.k <= 0:
+            raise SpecError(f"similarity k must be positive, got {self.k!r}")
+
+
+@dataclass
+class AsofJoinOperation(Operation):
+    """As-of join as a flow op (functions/asof.py): attach the latest
+    (backward) / earliest (forward) right row's value_columns per key;
+    right side resolves like bind's."""
+
+    right_file_path: str = ""
+    right_schema_columns: dict[str, str] = field(default_factory=dict)
+    left_on: str = ""
+    right_on: str = ""
+    left_time: str = ""
+    right_time: str = ""
+    value_columns: list[str] = field(default_factory=list)
+    direction: str = "backward"
+    suffix: str = "_asof"
+    operation_type: str = "asof_join"
+
+    def __post_init__(self) -> None:
+        if self.direction not in ("backward", "forward"):
+            raise SpecError(
+                f"asof_join direction must be backward/forward, got {self.direction!r}"
+            )
+        for f_name in ("right_file_path", "left_on", "right_on", "left_time", "right_time"):
+            if not getattr(self, f_name):
+                raise SpecError(f"asof_join requires {f_name}")
+        if not self.value_columns:
+            raise SpecError("asof_join requires value_columns")
+
+
+@dataclass
+class RangeJoinOperation(Operation):
+    """Range join as a flow op (functions/range_join.py).
+
+    kind='tolerance': SELF pair join — rows sharing ``key`` with
+    |t_a - t_b| <= tolerance seconds (bucketed, one shuffle).
+    kind='interval': point-in-interval join against a right side
+    resolved like bind's (start_column <= t <= end_column per key)."""
+
+    kind: str = "tolerance"
+    # tolerance (self-join)
+    key: str = ""
+    time_column: str = ""
+    id_column: str = ""
+    tolerance: float = 60.0
+    # interval (two-sided)
+    right_file_path: str = ""
+    right_schema_columns: dict[str, str] = field(default_factory=dict)
+    left_on: str = ""
+    right_on: str = ""
+    start_column: str = ""
+    end_column: str = ""
+    value_columns: list[str] = field(default_factory=list)
+    bucket_width: float = 3600.0
+    operation_type: str = "range_join"
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("tolerance", "interval"):
+            raise SpecError(f"range_join kind must be tolerance/interval, got {self.kind!r}")
+        if self.kind == "tolerance":
+            if not self.key or not self.time_column or not self.id_column:
+                raise SpecError(
+                    "range_join kind='tolerance' requires key, time_column, id_column"
+                )
+            if self.tolerance <= 0:
+                raise SpecError(f"range_join tolerance must be positive, got {self.tolerance!r}")
+        else:
+            for f_name in (
+                "right_file_path", "left_on", "right_on",
+                "time_column", "start_column", "end_column",
+            ):
+                if not getattr(self, f_name):
+                    raise SpecError(f"range_join kind='interval' requires {f_name}")
+            if not self.value_columns:
+                raise SpecError("range_join kind='interval' requires value_columns")
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -417,6 +583,11 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "sample": SampleOperation,
     "select": SelectOperation,
     "json_extract": JsonExtractOperation,
+    # north-star operations (dedup/similarity/asof/range — SURVEY §2 ext)
+    "dedup": DedupOperation,
+    "similarity": SimilarityOperation,
+    "asof_join": AsofJoinOperation,
+    "range_join": RangeJoinOperation,
 }
 
 

@@ -4,6 +4,12 @@ operators plus the engine's extension operators."""
 
 from __future__ import annotations
 
+from .advanced import (
+    apply_asof_join,
+    apply_dedup,
+    apply_range_join,
+    apply_similarity,
+)
 from .application import apply_application, compile_lambda
 from .bind import apply_bind
 from .core import (
@@ -30,9 +36,11 @@ from .extensions import (
 )
 from .reshape import apply_fold, apply_unfold
 
-# Simple (df, op) -> df operators; bind/union need extra context and are
+# Simple (df, op) -> df operators; bind/union/similarity/asof_join/
+# range_join need extra context (spark + named inputs) and are
 # dispatched specially by the runner.
 OPERATION_DISPATCHER = {
+    "dedup": apply_dedup,
     "equality": apply_equality,
     "concatenation": apply_concatenation,
     "application": apply_application,
@@ -60,8 +68,10 @@ __all__ = [
     "apply_aggregation",
     "apply_application",
     "apply_arithmetic",
+    "apply_asof_join",
     "apply_assignation",
     "apply_bind",
+    "apply_dedup",
     "apply_casting",
     "apply_comparison",
     "apply_concatenation",
@@ -71,9 +81,11 @@ __all__ = [
     "apply_json_extract",
     "apply_fold",
     "apply_limit",
+    "apply_range_join",
     "apply_repartition",
     "apply_sample",
     "apply_select",
+    "apply_similarity",
     "apply_sort",
     "apply_switching",
     "apply_unfold",

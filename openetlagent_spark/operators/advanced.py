@@ -1,0 +1,147 @@
+"""Flow-op adapters for the north-star operators (dedup, similarity,
+asof join, range join) — thin spec→function bridges so a GENERATED
+pipeline (the reference's LLM flow path, app/main.py:85-283) can reach
+the training-data operators through the same YAML dispatch as the
+parity ops.  All heavy lifting lives in functions/{dedup,similarity,
+asof,range_join}.py; these adapters only resolve secondary frames
+(bind's named-input-or-path convention) and map spec fields to keyword
+arguments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import (
+    AsofJoinOperation,
+    DedupOperation,
+    FileDefinition,
+    RangeJoinOperation,
+    SimilarityOperation,
+)
+from .bind import resolve_side
+
+
+def apply_dedup(df: DataFrame, op: DedupOperation) -> DataFrame:
+    """Dispatch one dedup strategy.  mode='drop' removes every row with
+    a lower-id duplicate partner (exact keeps the keep-min survivor);
+    mode='pairs' returns the (id_a, id_b, score) pair table."""
+    from ..functions import dedup as D
+
+    if op.strategy == "exact":
+        return D.exact_dedup(df, op.keys, op.order_column)
+    if op.strategy == "minhash":
+        pairs = D.minhash_lsh_pairs(
+            df,
+            op.id_column,
+            op.text_column,
+            num_perm=op.num_perm,
+            bands=op.bands,
+            shingle_size=op.shingle_size,
+            threshold=op.threshold,
+            seed=op.seed,
+            max_bucket=op.max_bucket,
+        )
+    elif op.strategy == "simhash":
+        pairs = D.simhash_pairs(
+            df, op.id_column, op.text_column,
+            max_hamming=op.max_hamming, max_bucket=op.max_bucket,
+        )
+    elif op.strategy == "ngram":
+        pairs = D.ngram_jaccard_pairs(
+            df, op.id_column, op.text_column,
+            n=op.ngram_size, threshold=op.threshold,
+            length_bucket=op.length_bucket, max_bucket=op.max_bucket,
+        )
+    else:  # embedding
+        pairs = D.embedding_neardup_pairs(
+            df, op.id_column, op.vector_column,
+            threshold=op.threshold, n_planes=op.n_planes,
+            n_tables=op.n_tables, seed=op.seed, max_bucket=op.max_bucket,
+        )
+    if op.mode == "pairs":
+        return pairs
+    # drop: single-hop min-id clustering, same semantics as minhash_dedup.
+    losers = pairs.select(F.col("id_b").alias(op.id_column)).distinct()
+    return df.join(losers, op.id_column, "left_anti")
+
+
+def apply_similarity(
+    df: DataFrame,
+    op: SimilarityOperation,
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    queries_df: DataFrame | None = None,
+) -> DataFrame:
+    """ANN top-k: current frame = corpus, queries resolved like bind's
+    right side (or injected by the caller)."""
+    from ..functions import similarity as S
+
+    if queries_df is None:
+        queries_df = resolve_side(spark, op.queries_path, op.queries_schema_columns, inputs)
+    kwargs = dict(k=op.k, id_col=op.id_column, vec_col=op.vector_column)
+    if op.method == "brute":
+        return S.cosine_topk(df, queries_df, **kwargs)
+    if op.method == "lsh":
+        return S.lsh_topk(
+            df, queries_df, n_planes=op.n_planes, n_tables=op.n_tables,
+            seed=op.seed, **kwargs,
+        )
+    return S.ivf_topk(
+        df, queries_df, n_centroids=op.n_centroids, nprobe=op.nprobe,
+        seed=op.seed, **kwargs,
+    )
+
+
+def apply_asof_join(
+    df: DataFrame,
+    op: AsofJoinOperation,
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    right_df: DataFrame | None = None,
+) -> DataFrame:
+    from ..functions.asof import asof_join
+
+    if right_df is None:
+        right_df = resolve_side(spark, op.right_file_path, op.right_schema_columns, inputs)
+    return asof_join(
+        df,
+        right_df,
+        left_on=op.left_on,
+        right_on=op.right_on,
+        left_time=op.left_time,
+        right_time=op.right_time,
+        value_columns=op.value_columns,
+        direction=op.direction,
+        suffix=op.suffix,
+    )
+
+
+def apply_range_join(
+    df: DataFrame,
+    op: RangeJoinOperation,
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    right_df: DataFrame | None = None,
+) -> DataFrame:
+    from ..functions import range_join as R
+
+    if op.kind == "tolerance":
+        return R.within_tolerance_pairs(
+            df, key=op.key, time_col=op.time_column,
+            id_col=op.id_column, tolerance=op.tolerance,
+        )
+    if right_df is None:
+        right_df = resolve_side(spark, op.right_file_path, op.right_schema_columns, inputs)
+    return R.point_in_interval_join(
+        df,
+        right_df,
+        left_on=op.left_on,
+        right_on=op.right_on,
+        time_col=op.time_column,
+        start_col=op.start_column,
+        end_col=op.end_column,
+        value_columns=op.value_columns,
+        bucket_width=op.bucket_width,
+    )

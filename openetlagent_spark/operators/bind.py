@@ -53,18 +53,22 @@ def _file_size(path: str) -> int | None:
         return None
 
 
-def _read_right_side(
-    spark: SparkSession, op: BindOperation, inputs: dict[str, FileDefinition] | None
+def resolve_side(
+    spark: SparkSession,
+    path_or_key: str,
+    schema_columns: dict[str, str] | None,
+    inputs: dict[str, FileDefinition] | None,
 ) -> DataFrame:
-    """Resolve by input key first, then direct path
-    (reference: app/operations/bind.py:10-17)."""
-    if inputs and op.right_file_path in inputs:
-        fd = inputs[op.right_file_path]
+    """Resolve a secondary frame by named input key first, then direct
+    path (reference: app/operations/bind.py:10-17).  Shared by bind and
+    the advanced two-sided operators (asof/range/similarity)."""
+    if inputs and path_or_key in inputs:
+        fd = inputs[path_or_key]
         struct = schema_to_struct(fd.file_schema.logical_types())
         path, fmt = fd.path, fd.format
     else:
-        struct = schema_to_struct(op.right_schema_columns) if op.right_schema_columns else None
-        path = op.right_file_path
+        struct = schema_to_struct(schema_columns) if schema_columns else None
+        path = path_or_key
         ext = os.path.splitext(path)[1].lower().lstrip(".")
         fmt = ext if ext in ("csv", "json", "parquet", "orc") else "csv"
 
@@ -80,6 +84,12 @@ def _read_right_side(
     if fmt == "orc":
         return reader.orc(path)
     return reader.parquet(path)
+
+
+def _read_right_side(
+    spark: SparkSession, op: BindOperation, inputs: dict[str, FileDefinition] | None
+) -> DataFrame:
+    return resolve_side(spark, op.right_file_path, op.right_schema_columns, inputs)
 
 
 def apply_bind(

@@ -23,15 +23,25 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from .model import (
+    AsofJoinOperation,
     AssignationOperation,
     BindOperation,
     FileDefinition,
     Operation,
     PipelineConfig,
     PipelineFlow,
+    RangeJoinOperation,
+    SimilarityOperation,
     UnionOperation,
 )
-from .operators import OPERATION_DISPATCHER, apply_bind, apply_union
+from .operators import (
+    OPERATION_DISPATCHER,
+    apply_asof_join,
+    apply_bind,
+    apply_range_join,
+    apply_similarity,
+    apply_union,
+)
 from .sources import save_data, scan_data
 from .validate import validate_schema
 
@@ -60,6 +70,12 @@ def apply_operations(
     for op in operations:
         if isinstance(op, BindOperation):
             current = apply_bind(current, op, spark, inputs)
+        elif isinstance(op, AsofJoinOperation):
+            current = apply_asof_join(current, op, spark, inputs)
+        elif isinstance(op, RangeJoinOperation):
+            current = apply_range_join(current, op, spark, inputs)
+        elif isinstance(op, SimilarityOperation):
+            current = apply_similarity(current, op, spark, inputs)
         elif isinstance(op, UnionOperation):
             if not inputs or op.right_input not in inputs:
                 raise ValueError(

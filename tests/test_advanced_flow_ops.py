@@ -1,0 +1,144 @@
+"""North-star operators dispatched from YAML flows (VERDICT r1 item 4):
+dedup / similarity / asof_join / range_join specs parse, round-trip
+through YAML, and execute through apply_operations — so a generated
+pipeline (the reference's LLM flow path, app/main.py:85-283) can reach
+the training-data operators like any parity op."""
+
+from __future__ import annotations
+
+import pytest
+
+from openetlagent_spark.model import (
+    SpecError,
+    PipelineFlow,
+    load_pipeline_flow,
+    parse_operation,
+    save_pipeline_flow,
+)
+from openetlagent_spark.runner import apply_operations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_advanced_specs_roundtrip(tmp_path):
+    ops = [
+        {"operation_type": "dedup", "strategy": "exact",
+         "keys": ["lang", "source"], "order_column": "doc_id"},
+        {"operation_type": "dedup", "strategy": "ngram", "mode": "pairs",
+         "id_column": "doc_id", "text_column": "text", "threshold": 0.5},
+        {"operation_type": "asof_join", "right_file_path": "orders",
+         "left_on": "user_id", "right_on": "o_custkey",
+         "left_time": "ts", "right_time": "o_orderdate",
+         "value_columns": ["o_totalprice"]},
+        {"operation_type": "range_join", "kind": "tolerance", "key": "user_id",
+         "time_column": "ts", "id_column": "event_id", "tolerance": 60.0},
+        {"operation_type": "similarity", "method": "brute",
+         "queries_path": "queries", "k": 5},
+    ]
+    flow = PipelineFlow(source="documents", operations=[parse_operation(o) for o in ops])
+    path = str(tmp_path / "flow.yaml")
+    save_pipeline_flow(flow, path)
+    back = load_pipeline_flow(path)
+    assert [op.operation_type for op in back.operations] == [
+        "dedup", "dedup", "asof_join", "range_join", "similarity"
+    ]
+    assert back.operations[0].keys == ["lang", "source"]
+    assert back.operations[1].mode == "pairs"
+    assert back.operations[2].value_columns == ["o_totalprice"]
+    assert back.operations[3].tolerance == 60.0
+    assert back.operations[4].k == 5
+
+
+def test_advanced_spec_validation():
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "dedup", "strategy": "nope"})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "dedup", "strategy": "exact"})  # no keys
+    with pytest.raises(SpecError):
+        parse_operation(
+            {"operation_type": "dedup", "strategy": "exact", "mode": "pairs",
+             "keys": ["k"], "order_column": "o"}
+        )
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "similarity", "method": "brute"})  # no queries
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "asof_join", "right_file_path": "r"})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "range_join", "kind": "interval"})
+
+
+def test_yaml_dedup_exact_then_ngram_pairs(spark):
+    """A flow chaining two dedup ops end-to-end: exact keep-min dedup,
+    then ngram near-dup drop, all from parsed specs."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ops = [
+        parse_operation(
+            {"operation_type": "dedup", "strategy": "exact",
+             "keys": ["lang", "source"], "order_column": "doc_id"}
+        ),
+        parse_operation(
+            {"operation_type": "dedup", "strategy": "ngram",
+             "id_column": "doc_id", "text_column": "text", "threshold": 0.5}
+        ),
+    ]
+    out = apply_operations(docs, ops, spark)
+    n_docs = docs.count()
+    n_exact = docs.select("lang", "source").distinct().count()
+    assert out.count() <= n_exact <= n_docs
+    # exact stage kept the min doc_id per (lang, source)
+    from openetlagent_spark.functions.dedup import exact_dedup
+
+    expected = exact_dedup(docs, ["lang", "source"], "doc_id")
+    assert out.count() <= expected.count()
+
+
+def test_yaml_asof_join_matches_function(spark):
+    """asof_join from a YAML spec equals the direct function call."""
+    from openetlagent_spark.functions.asof import asof_join
+    from openetlagent_spark.streaming import read_event_table
+
+    events = read_event_table(spark, f"{SF}/events.parquet").limit(500)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    op = parse_operation(
+        {"operation_type": "asof_join", "right_file_path": f"{SF}/orders.parquet",
+         "left_on": "user_id", "right_on": "o_custkey",
+         "left_time": "ts", "right_time": "o_orderdate",
+         "value_columns": ["o_totalprice"]}
+    )
+    via_flow = apply_operations(events, [op], spark)
+    direct = asof_join(
+        events, orders,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        value_columns=["o_totalprice"],
+    )
+    assert via_flow.columns == direct.columns
+    a = {tuple(r) for r in via_flow.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b
+
+
+def test_yaml_range_tolerance_and_similarity(spark):
+    """range_join (self tolerance pairs) and similarity (brute top-k)
+    from YAML specs produce sane, non-empty results."""
+    from openetlagent_spark.streaming import read_event_table
+
+    events = read_event_table(spark, f"{SF}/events.parquet").limit(2000)
+    op = parse_operation(
+        {"operation_type": "range_join", "kind": "tolerance", "key": "user_id",
+         "time_column": "ts", "id_column": "event_id", "tolerance": 3600.0}
+    )
+    pairs = apply_operations(events, [op], spark)
+    assert pairs.columns == ["user_id", "id_a", "id_b", "dt_seconds"]
+    assert pairs.filter("dt_seconds > 3600").count() == 0
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    op2 = parse_operation(
+        {"operation_type": "similarity", "method": "brute",
+         "queries_path": f"{SF}/embeddings.parquet", "k": 3}
+    )
+    # corpus = current frame; queries resolved from the path
+    topk = apply_operations(emb.limit(200), [op2], spark)
+    assert topk.columns == ["query_id", "neighbor_id", "rank"]
+    assert topk.groupBy("query_id").count().filter("count > 3").count() == 0
