@@ -84,13 +84,18 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Optional subset filter (comma-separated names) — used by the
+    # SCALE.md growth study to time specific queries at larger SFs.
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    headline = [q for q in HEADLINE if q in only.split(",")] if only else HEADLINE
+
     spark = get_spark("bench")
     # Warm the JVM/codegen once so per-query numbers measure the plan,
     # not session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = HARNESS_QUERIES.get(name)
         if fn is None:
             continue

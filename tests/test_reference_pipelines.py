@@ -200,8 +200,11 @@ def test_enriched_orders_pipeline(spark, workdir):
     assert r101.cost_price_float == 850.0 and r101.profit == 200.0
     assert r101.is_high_profit is True
     assert r101.order_status == "UNKNOWN"
-    # temp column dropped
-    assert "_unit_price_clean_" not in result.columns
+    # Reference temp-drop semantics (app/main.py:413-416): ONLY
+    # assignation outputs named _x_ are swept; an application output
+    # with that name SURVIVES in the frame (and is excluded from the
+    # sink by the declared-schema projection instead).
+    assert "_unit_price_clean_" in result.columns
     # left-join null row: product absent from products
     r110 = rows[110]
     assert r110.category is None and r110.cost_price_float is None
