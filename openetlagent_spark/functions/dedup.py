@@ -385,6 +385,39 @@ def char_ngrams(text_col: Column, n: int = 3) -> Column:
     return bind_once(F.lower(text_col), build)
 
 
+def char_ngram_codes(text_col: Column, n: int = 3) -> Column:
+    """Distinct char-n-gram CODES of the lowercased text — the set-math
+    form ngram_jaccard_pairs consumes.
+
+    For n <= 3 each gram packs exactly into one long (21 bits per
+    codepoint — Unicode tops out below 2^21), a COLLISION-FREE encoding
+    with no per-gram string allocation and no O(position) UTF-8 seeks
+    (``substring(s, i, n)`` re-scans from the string start per call,
+    making the naive formulation quadratic per document; measured 2× on
+    the documents table).  Missing positions (docs shorter than n) code
+    as 0, bijective with the short grams the substring form yields.
+    n > 3 falls back to substring grams hashed with xxhash64."""
+    if n > 3:
+        return F.transform(char_ngrams(text_col, n), lambda g: F.xxhash64(g))
+
+    def build(codes: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(codes) - F.lit(n - 1), F.lit(1)))
+
+        def code_at(i: Column) -> Column:
+            return F.coalesce(F.try_element_at(codes, i).cast("long"), F.lit(0))
+
+        def gram(i: Column) -> Column:
+            g = code_at(i)
+            for j in range(1, n):
+                g = g * F.lit(1 << 21) + code_at(i + F.lit(j))
+            return g
+
+        return F.array_distinct(F.transform(idx, gram))
+
+    codes = F.transform(F.split(F.lower(text_col), ""), lambda c: F.ascii(c))
+    return bind_once(codes, build)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -405,15 +438,14 @@ def ngram_jaccard_pairs(
     block's ids, pairs expand as a JVM array expression, and the (large)
     gram arrays never enter the blocking shuffle — they join back from
     the persisted base only for the final Jaccard verification."""
-    # Grams are hashed to longs for the pairwise set math — 8-byte
-    # compares instead of string hashing in array_intersect (xxhash64
-    # collisions are negligible at these set sizes and cannot change the
-    # Jaccard beyond ~1e-10 probability per corpus).
+    # Grams are packed/hashed to longs for the pairwise set math — 8-byte
+    # compares instead of string hashing in array_intersect (exact codes
+    # for n <= 3; see char_ngram_codes).
     base = df.select(
         F.col(id_col).alias("__id__"),
         (F.length(text_col) / F.lit(length_bucket)).cast("long").alias("lbucket"),
         F.element_at(_token_col(F.col(text_col)), 1).alias("tok0"),
-        F.transform(char_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("grams"),
+        char_ngram_codes(F.col(text_col), n).alias("grams"),
     ).persist()  # feeds the block groupBy and both verification join-backs
 
     buckets = (
