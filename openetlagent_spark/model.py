@@ -425,7 +425,6 @@ class DedupOperation(Operation):
     shingle_size: int = 3
     max_hamming: int = 3
     ngram_size: int = 3
-    length_bucket: int = 50
     n_planes: int = 8
     n_tables: int = 2
     seed: int = 42

@@ -52,7 +52,7 @@ def apply_dedup(df: DataFrame, op: DedupOperation) -> DataFrame:
         pairs = D.ngram_jaccard_pairs(
             df, op.id_column, op.text_column,
             n=op.ngram_size, threshold=op.threshold,
-            length_bucket=op.length_bucket, max_bucket=op.max_bucket,
+            seed=op.seed, max_bucket=op.max_bucket,
         )
     else:  # embedding
         pairs = D.embedding_neardup_pairs(

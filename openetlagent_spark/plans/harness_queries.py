@@ -491,12 +491,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-3-gram Jaccard pairs within (length bucket, first token)
-    blocks — fully SQL-expressible, oracle-checked."""
+    """Char-3-gram Jaccard pairs via deterministic MinHash banding —
+    every stage (packed gram codes, integer band keys, exact Jaccard)
+    is SQL-expressible, so the FULL LSH pipeline is hash-checked against
+    the generated DuckDB oracle (ngram_pairs_oracle_sql)."""
     from ..functions.dedup import ngram_jaccard_pairs
 
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(df, "doc_id", "text")
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,23 +945,9 @@ HARNESS_ORACLES: dict[str, str] = {
         "SELECT doc_id, lang, source FROM documents "
         "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY lang, source)"
     ),
-    "dedup_ngram": (
-        # The ok CTE is the max_bucket guard (dedup.ngram_jaccard_pairs):
-        # blocks larger than 1000 rows are dropped, not expanded.
-        "WITH g AS (SELECT doc_id, CAST(floor(length(text) / 50) AS BIGINT) AS lbucket, "
-        + _SQL_TOKENS + "[1] AS tok0, "
-        "list_distinct(list_transform(generate_series(1, greatest(length(lower(text)) - 2, 1)), "
-        "i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS grams FROM documents), "
-        "ok AS (SELECT lbucket, tok0 FROM g GROUP BY lbucket, tok0 "
-        "HAVING count(*) > 1 AND count(*) <= 1000) "
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-        "len(list_intersect(a.grams, b.grams))::DOUBLE / "
-        "len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jaccard "
-        "FROM g a JOIN g b ON a.lbucket = b.lbucket AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id "
-        "JOIN ok ON a.lbucket = ok.lbucket AND a.tok0 = ok.tok0 "
-        "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE / "
-        "len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5"
-    ),
+    # dedup_ngram oracle is GENERATED from the same band parameters as
+    # the Spark plan (functions.dedup.ngram_pairs_oracle_sql) and
+    # spliced in below — the two can never drift.
     "ann_cosine_topk": (
         "SELECT query_id, neighbor_id, rank FROM ("
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
@@ -1038,6 +1026,8 @@ HARNESS_ORACLES: dict[str, str] = {
     ),
 }
 
+from ..functions.dedup import ngram_pairs_oracle_sql as _ngram_pairs_oracle_sql  # noqa: E402
 from ..functions.text import lang_id_oracle_sql as _lang_id_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["lang_id"] = _lang_id_oracle_sql()
+HARNESS_ORACLES["dedup_ngram"] = _ngram_pairs_oracle_sql()

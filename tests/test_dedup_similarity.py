@@ -76,6 +76,24 @@ def test_ngram_jaccard_pairs(corpus):
     assert not any(3 in p for p in pairs)
 
 
+def test_char_ngram_codes_bijective(spark):
+    """char_ngram_codes (the packed exact char-gram form) yields the
+    same distinct-set sizes as the substring grams it encodes — the
+    bijection that makes code-array Jaccard equal string-gram Jaccard."""
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.dedup import char_ngram_codes, char_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "ab"), (3, ""), (4, "héllo wörld")], ["i", "t"]
+    )
+    rows = df.select(
+        F.size(char_ngrams(F.col("t"), 3)).alias("n_str"),
+        F.size(char_ngram_codes(F.col("t"), 3)).alias("n_code"),
+    ).collect()
+    assert all(r.n_str == r.n_code for r in rows)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     # 0 and 1 nearly parallel; 2 orthogonal; 3 anti-parallel to 0.
