@@ -87,7 +87,7 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     config = ela.load_pipeline_config(os.path.join(here, "config.yaml"))
-    out_key = sorted(config.outputs)[0]
+    out_key = "enriched_orders"
     spark = get_spark("litellm-adapter-example")
 
     # The recorded "LLM replies": the enrichment pipeline an actual model
