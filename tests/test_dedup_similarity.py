@@ -76,6 +76,27 @@ def test_ngram_jaccard_pairs(corpus):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_udf_matches_expression(spark):
+    """The vectorized numpy signature (minhash_udf) is value-identical
+    to the JVM expression form (minhash_from_hashes) — the speedup must
+    not change a single hash."""
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.dedup import (
+        minhash_from_hashes,
+        minhash_udf,
+        shingle_hashes,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    h = df.select("doc_id", shingle_hashes(F.col("text"), 3).alias("h"))
+    both = h.select(
+        minhash_from_hashes(F.col("h"), 16).alias("expr_sig"),
+        minhash_udf(16)(F.col("h")).alias("udf_sig"),
+    )
+    assert both.filter("expr_sig IS DISTINCT FROM udf_sig").count() == 0
+
+
 def test_char_ngram_codes_bijective(spark):
     """char_ngram_codes (the packed exact char-gram form) yields the
     same distinct-set sizes as the substring grams it encodes — the
