@@ -57,6 +57,8 @@ HEADLINE = [
     "tpch_q12",
     "tpch_q14",
     "tpch_q18",
+    "tpch_q2",
+    "tpch_q19",
     "asof_join",
     "range_join",
     "rollup",

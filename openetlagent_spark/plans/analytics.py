@@ -320,6 +320,160 @@ LIMIT 100
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — min-cost supplier (reference has no correlated
+    subqueries; TPC-H Q2's `= (SELECT min(...))` is re-expressed as a
+    window rank, the standard decorrelation).  The testdata has no
+    partsupp table, so supply cost derives from lineitem: min unit
+    price per (part, supplier).  Plan: one shuffle for the (part,
+    supplier) aggregate; part/supplier/nation/region all broadcast;
+    rank-1 filter picks the min-cost EUROPE supplier per STANDARD
+    part deterministically (cost, then s_suppkey tiebreak)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    supply = apply_aggregation(
+        li,
+        AggregationOperation(
+            group_by=["l_partkey", "l_suppkey"],
+            aggregations={"supply_cost": {"column": "unit_price", "agg": "min"}},
+        ),
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    out = apply_bind(
+        supply,
+        BindOperation(
+            right_file_path=f"{sf_dir}/part.parquet",
+            left_on="l_partkey",
+            right_on="p_partkey",
+            how="inner",
+            columns_to_add=["p_type", "p_size"],
+        ),
+        spark,
+        right_df=part,
+    )
+    out = apply_bind(
+        out,
+        BindOperation(
+            right_file_path=f"{sf_dir}/supplier.parquet",
+            left_on="l_suppkey",
+            right_on="s_suppkey",
+            how="inner",
+            columns_to_add=["s_name", "s_acctbal", "s_nationkey"],
+        ),
+        spark,
+    )
+    out = apply_bind(
+        out,
+        BindOperation(
+            right_file_path=f"{sf_dir}/nation.parquet",
+            left_on="s_nationkey",
+            right_on="n_nationkey",
+            how="inner",
+            columns_to_add=["n_name", "n_regionkey"],
+        ),
+        spark,
+    )
+    europe = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    out = apply_bind(
+        out,
+        BindOperation(
+            right_file_path=f"{sf_dir}/region.parquet",
+            left_on="n_regionkey",
+            right_on="r_regionkey",
+            how="inner",
+            columns_to_add=["r_name"],
+        ),
+        spark,
+        right_df=europe,
+    )
+    ranked = apply_window(
+        out,
+        WindowOperation(
+            function="row_number",
+            partition_by=["l_partkey"],
+            order_by=["supply_cost", "l_suppkey"],
+            descending=[False, False],
+            output_column="cost_rank",
+        ),
+    )
+    out = ranked.filter(F.col("cost_rank") == 1).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        F.col("l_partkey").alias("p_partkey"),
+        "supply_cost",
+    )
+    ranked_out = apply_sort(
+        out, SortOperation(columns=["s_acctbal", "p_partkey"], descending=[True, False])
+    )
+    return apply_limit(ranked_out, LimitOperation(n=100))
+
+
+TPCH_Q2_SQL = """
+SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+FROM (
+  SELECT s.s_acctbal, s.s_name, n.n_name, sc.l_partkey AS p_partkey, sc.supply_cost,
+         ROW_NUMBER() OVER (PARTITION BY sc.l_partkey
+                            ORDER BY sc.supply_cost, sc.l_suppkey) AS cost_rank
+  FROM (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey) sc
+  JOIN part p ON sc.l_partkey = p.p_partkey AND p.p_type = 'STANDARD' AND p.p_size <= 10
+  JOIN supplier s ON sc.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+)
+WHERE cost_rank = 1
+ORDER BY s_acctbal DESC, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — disjunctive multi-attribute predicate over the
+    lineitem ⋈ part join: three (brand, size, quantity-range) arms
+    OR-ed together.  Catalyst pushes the common-attribute disjunction
+    into both scans (partial pushdown of an OR) and the join stays a
+    single broadcast hash join — the query exists to pin that plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5)) & (
+        F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 10)) & (
+        F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15)) & (
+        F.col("l_quantity").between(20, 30)
+    )
+    return (
+        j.filter(arm1 | arm2 | arm3)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — per-returnflag, per-linestatus, and
     grand-total subtotals in ONE pass (Catalyst expands to a single
@@ -834,11 +988,13 @@ HAVING MIN(p.epoch) - v.view_epoch <= 3600
 
 
 ANALYTICS_QUERIES = {
+    "tpch_q2": q_tpch_q2,
     "tpch_q4": q_tpch_q4,
     "tpch_q10": q_tpch_q10,
     "tpch_q12": q_tpch_q12,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
     "grouping_sets": q_grouping_sets,
     "percentile": q_percentile,
     "stats_moments": q_stats_moments,
@@ -857,11 +1013,13 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "tpch_q2": TPCH_Q2_SQL,
     "tpch_q4": TPCH_Q4_SQL,
     "tpch_q10": TPCH_Q10_SQL,
     "tpch_q12": TPCH_Q12_SQL,
     "tpch_q14": TPCH_Q14_SQL,
     "tpch_q18": TPCH_Q18_SQL,
+    "tpch_q19": TPCH_Q19_SQL,
     "grouping_sets": GROUPING_SETS_SQL,
     "percentile": PERCENTILE_SQL,
     "stats_moments": STATS_MOMENTS_SQL,

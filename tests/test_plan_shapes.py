@@ -61,6 +61,18 @@ def test_scan_prunes_columns(spark):
     assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
 
 
+def test_q19_disjunction_pushes_and_broadcasts(spark):
+    """Q19's OR-of-ANDs must partially push into BOTH parquet scans
+    (the common-attribute disjunction) and join as one broadcast hash
+    join — the plan this query exists to pin."""
+    plan = plan_of(spark, "tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters: [" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), "lineitem OR not pushed"
+    assert any("p_brand" in l and "Or(" in l for l in pushed), "part OR not pushed"
+
+
 def test_no_accidental_cartesian(spark):
     # Cartesian/nested-loop joins are legal ONLY where they are the
     # semantics: explicit cross bind, the brute-force ANN baseline, and
