@@ -684,28 +684,52 @@ def embedding_neardup_pairs(
     candidates share a full sign pattern in at least one table; exact
     cosine verifies.  Recall < 1 by construction (documented LSH
     trade-off); raise n_tables for higher recall."""
-    from .similarity import cosine_expr, hyperplane_signature, infer_dim
+    from .similarity import cosine_expr, infer_dim, multi_table_signatures
 
     dim = infer_dim(df, vec_col)
-    base = df.select(F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__v__"))
-    tables = []
-    for t in range(n_tables):
-        sig = hyperplane_signature(F.col("__v__"), n_planes=n_planes, seed=seed + t, dim=dim)
-        tables.append(base.select("__id__", "__v__", F.lit(t).alias("tbl"), sig.alias("bucket")))
-    banded = tables[0]
-    for other in tables[1:]:
-        banded = banded.unionByName(other)
-    banded = banded.persist()  # hyperplane dot products feed 3 consumers
+    base = df.select(
+        F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__v__")
+    ).persist()  # feeds the banding pass and both verification join-backs
 
-    counts = banded.groupBy("tbl", "bucket").count()
-    banded = banded.join(counts.filter(F.col("count") <= max_bucket).drop("count"), ["tbl", "bucket"])
-
-    left = banded.select("tbl", "bucket", F.col("__id__").alias("id_a"), F.col("__v__").alias("v_a"))
-    right = banded.select("tbl", "bucket", F.col("__id__").alias("id_b"), F.col("__v__").alias("v_b"))
-    return (
-        left.join(right, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    # All table signatures in ONE pass via the 3-D plane literal +
+    # posexplode (no n_tables-way union — cf. similarity.lsh_topk), then
+    # the same single-shuffle collect_list pair expansion as minhash:
+    # buckets carry only ids (never the vectors), the id_a < id_b pairs
+    # expand as a JVM array expression, and vectors join back from the
+    # persisted base solely for exact-cosine verification.
+    banded = base.select(
+        "__id__",
+        F.posexplode(
+            multi_table_signatures(F.col("__v__"), n_planes, n_tables, seed, dim)
+        ).alias("tbl", "bucket"),
+    )
+    buckets = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.collect_list("__id__").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    ids = F.col("ids")
+    pair_expr = F.flatten(
+        F.transform(
+            ids,
+            lambda a: F.transform(
+                F.filter(ids, lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        # a pair can share a bucket in several tables
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = base.select("__id__", "__v__")
+    return (
+        candidates.join(
+            vecs.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("v_a")), "id_a"
+        )
+        .join(vecs.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("v_b")), "id_b")
         .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
