@@ -76,6 +76,7 @@ HEADLINE = [
     "set_intersect",
     "stream_dedup",
     "stream_enrich",
+    "stream_join",
     "stream_sink",
     "multimodal_features",
 ]

@@ -719,6 +719,28 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch form (identical lazy plan):
+    every view paired with the same user's purchases within the next
+    hour — the watermark-bounded two-stream join shape.  Oracle: plain
+    range self-join."""
+    from ..streaming import join_event_streams, read_event_table
+
+    events = read_event_table(spark, f"{sf_dir}/events.parquet")
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = join_event_streams(views, purchases, key="user_id", within="1 hour")
+    return out.select(
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        "user_id",
+        (F.col("ts_r").cast("double") - F.col("ts").cast("double")).alias("dt_seconds"),
+        F.col("value_r").alias("purchase_value"),
+    )
+
+
 def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once sink end-to-end: events parquet → file-source stream
     (availableNow trigger) → foreachBatch idempotent sink (overwritten
@@ -795,6 +817,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window": q_events_window,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
+    "stream_join": q_stream_join,
     "stream_sink": q_stream_sink,
     "multimodal_features": q_multimodal_features,
     "json_extract": q_json_extract,
@@ -971,6 +994,13 @@ HARNESS_ORACLES: dict[str, str] = {
         "SELECT e.event_id, e.user_id, e.event_type, epoch(e.ts) AS ts_epoch, e.value, "
         "c.c_name, c.c_mktsegment "
         "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
+    ),
+    "stream_join": (
+        "SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id, "
+        "epoch(p.ts) - epoch(v.ts) AS dt_seconds, p.value AS purchase_value "
+        "FROM events v JOIN events p ON v.user_id = p.user_id "
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR "
+        "WHERE v.event_type = 'view' AND p.event_type = 'purchase'"
     ),
     "stream_sink": (
         "SELECT event_type, COUNT(*) AS n_events, "

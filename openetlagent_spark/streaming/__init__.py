@@ -1,5 +1,6 @@
 from .events import (
     dedup_events,
+    join_event_streams,
     enrich_stream,
     read_event_stream,
     read_event_table,
@@ -10,6 +11,7 @@ from .events import (
 
 __all__ = [
     "dedup_events",
+    "join_event_streams",
     "enrich_stream",
     "read_event_stream",
     "read_event_table",

@@ -231,6 +231,44 @@ def enrich_stream(
     return joined.drop(right[key_alias])
 
 
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_time: str = "ts",
+    right_time: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events sharing ``key`` whose time falls in [left_time, left_time +
+    within].  On streaming inputs both sides get watermarks and the
+    time-range predicate — exactly what Structured Streaming requires
+    to BOUND the join state (each side's buffered rows age out once the
+    watermark passes the interval; without the range condition the
+    state would grow forever).  On batch inputs the same plan is a
+    plain range join, which is how the harness oracle-checks it.
+
+    Right-side columns are renamed ``{col}{suffix}`` (except none
+    collide-free), so the output schema is left.* ++ renamed right."""
+    if left.isStreaming:
+        left = left.withWatermark(left_time, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_time, watermark)
+    renamed = right
+    for c in right.columns:
+        renamed = renamed.withColumnRenamed(c, f"{c}{suffix}")
+    cond = (
+        (left[key] == renamed[f"{key}{suffix}"])
+        & (renamed[f"{right_time}{suffix}"] >= left[left_time])
+        & (renamed[f"{right_time}{suffix}"] <= left[left_time] + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(renamed, cond, how).drop(renamed[f"{key}{suffix}"])
+
+
 def dedup_events(
     events: DataFrame,
     *,

@@ -186,3 +186,53 @@ def test_idempotent_stream_sink_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got2 == [0, 1, 2, 3]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """join_event_streams on two REAL streams (watermarks + time-range
+    condition bounding state) produces the same pairs as its batch
+    form."""
+    from openetlagent_spark.streaming import join_event_streams
+
+    views = [
+        Row(event_id=i, ts=f"2024-01-01 00:{10*i:02d}:00", user_id=i % 2, event_type="view",
+            value=0.0, props="{}")
+        for i in range(4)
+    ]
+    buys = [
+        Row(event_id=100 + i, ts=f"2024-01-01 00:{10*i+5:02d}:00", user_id=i % 2,
+            event_type="purchase", value=float(i), props="{}")
+        for i in range(4)
+    ]
+    vb = spark.createDataFrame(views).withColumn("ts", F.to_timestamp("ts"))
+    pb = spark.createDataFrame(buys).withColumn("ts", F.to_timestamp("ts"))
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "buys")
+    vb.write.parquet(vsrc)
+    pb.write.parquet(psrc)
+
+    def project(df):
+        return df.select("event_id", "user_id", "ts")
+
+    expected = sorted(
+        (r.event_id, r.event_id_r)
+        for r in join_event_streams(
+            project(vb), project(pb).withColumn("value", F.lit(0.0)), within="30 minutes"
+        ).collect()
+    )
+    assert expected, "batch form must produce pairs"
+
+    vs = spark.readStream.schema(vb.schema).parquet(vsrc)
+    ps = spark.readStream.schema(pb.schema).parquet(psrc)
+    q = (
+        join_event_streams(
+            project(vs), project(ps).withColumn("value", F.lit(0.0)), within="30 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.event_id, r.event_id_r) for r in spark.sql("SELECT * FROM ssjoin").collect())
+    assert got == expected
