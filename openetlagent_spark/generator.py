@@ -80,6 +80,8 @@ Available operation_type values and their fields:
 - filter: keep rows matching a predicate. {input_column, operator, value}
 - aggregation: group-by aggregate. {group_by: [..], aggregations: {out_name: {column, agg}}}
 - sort / limit / distinct / window / repartition: see engine docs.
+- sample: {fraction, seed, key_column} — key_column set = deterministic
+  engine-stable hash sample; unset = Bernoulli.
 - dedup: remove duplicate/near-duplicate rows. {strategy (exact/minhash/simhash/
   ngram/embedding), mode (drop/pairs), keys+order_column for exact,
   id_column+text_column (or vector_column) + threshold for the rest}

@@ -333,14 +333,19 @@ class SelectOperation(Operation):
 
 @dataclass
 class SampleOperation(Operation):
-    """Seeded Bernoulli row sample (without replacement).  fraction in
-    (0, 1]; the seed makes re-runs reproducible WITHIN Spark, but the
-    row subset is partitioning-dependent — for a split that is stable
-    across engines and cluster layouts, hash a key column instead (see
-    functions.text.split_assign)."""
+    """Row sample (without replacement), two modes:
+
+    - default: seeded Bernoulli — reproducible WITHIN Spark, but the
+      row subset is partitioning-dependent;
+    - ``key_column`` set: deterministic md5-bucket sample of rows whose
+      hashed key falls under ``fraction`` (basis-point granularity) —
+      stable across engines, cluster layouts, and dataset growth (the
+      same hashing contract as functions.text.split_assign), and
+      therefore oracle-checkable."""
 
     fraction: float = 0.1
     seed: int = 42
+    key_column: str = ""
     operation_type: str = "sample"
 
     def __post_init__(self) -> None:

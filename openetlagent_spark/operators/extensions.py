@@ -156,8 +156,40 @@ def apply_union(df: DataFrame, op: UnionOperation, right_df: DataFrame) -> DataF
     return df.unionByName(right_df, allowMissingColumns=False)
 
 
+SAMPLE_BUCKETS = 10_000  # basis-point granularity of the hash sample
+
+
 def apply_sample(df: DataFrame, op: SampleOperation) -> DataFrame:
+    """Bernoulli by default; with ``key_column``, a deterministic
+    md5-bucket sample (seed-salted) — identical row set on any engine
+    or partitioning, the contract split_assign uses.  DuckDB mirror:
+    sample_hash_oracle_predicate()."""
+    if op.key_column:
+        require_columns(df, [op.key_column], "sample")
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(op.key_column).cast("string"), F.lit(f":{op.seed}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % SAMPLE_BUCKETS
+        )
+        return df.filter(bucket < int(round(op.fraction * SAMPLE_BUCKETS)))
     return df.sample(withReplacement=False, fraction=op.fraction, seed=op.seed)
+
+
+def sample_hash_oracle_predicate(key_col: str, fraction: float, seed: int = 42) -> str:
+    """DuckDB WHERE-clause mirror of the key_column sample — generated
+    from the same constants so the two cannot drift."""
+    bucket = (
+        f"(CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR) || ':{seed}'), 1, 8)) AS BIGINT) "
+        f"% {SAMPLE_BUCKETS})"
+    )
+    return f"{bucket} < {int(round(fraction * SAMPLE_BUCKETS))}"
 
 
 def apply_json_extract(df: DataFrame, op: JsonExtractOperation) -> DataFrame:

@@ -579,6 +579,20 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_active_users"))
 
 
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket sample (SampleOperation.key_column):
+    engine-exact row selection — the sample a training pipeline can
+    reproduce on any engine or cluster layout — hash-checked against
+    the generated DuckDB predicate."""
+    from ..model import SampleOperation
+    from ..operators.extensions import apply_sample
+
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return apply_sample(
+        df, SampleOperation(fraction=0.25, seed=42, key_column="o_orderkey")
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the event props column through the
     json_extract flow operator (a scalar-function capability the
@@ -821,6 +835,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sink": q_stream_sink,
     "multimodal_features": q_multimodal_features,
     "json_extract": q_json_extract,
+    "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1061,3 +1076,10 @@ from ..functions.text import lang_id_oracle_sql as _lang_id_oracle_sql  # noqa: 
 
 HARNESS_ORACLES["lang_id"] = _lang_id_oracle_sql()
 HARNESS_ORACLES["dedup_ngram"] = _ngram_pairs_oracle_sql()
+
+from ..operators.extensions import sample_hash_oracle_predicate as _sample_pred  # noqa: E402
+
+HARNESS_ORACLES["sample_hash"] = (
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE "
+    + _sample_pred("o_orderkey", 0.25, 42)
+)
