@@ -1,3 +1,15 @@
-from .io import read_csv_with_declared_schema, save_data, scan_data, write_bucketed
+from .io import (
+    read_csv_with_declared_schema,
+    save_data,
+    scan_data,
+    write_bucketed,
+    write_compacted,
+)
 
-__all__ = ["read_csv_with_declared_schema", "save_data", "scan_data", "write_bucketed"]
+__all__ = [
+    "read_csv_with_declared_schema",
+    "save_data",
+    "scan_data",
+    "write_bucketed",
+    "write_compacted",
+]

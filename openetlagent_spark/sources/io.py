@@ -161,6 +161,41 @@ def save_data(
         raise NotImplementedError(f"Unsupported output format: {fd.format}")
 
 
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Small-file-safe sink: ``rebalance`` hint + AQE choose the output
+    partition count at RUNTIME from actual shuffle statistics (target
+    size = ``spark.sql.adaptive.advisoryPartitionSizeInBytes``, 64 MB
+    default) — the standard cure for the 100 TB small-files problem,
+    where a filtered/skewed plan otherwise lands thousands of KB-sized
+    files (or one executor writes one giant file).  Unlike a static
+    ``repartition(n)``, no size estimate is needed and skewed
+    partitions are split.  With ``partition_by``, rebalancing on the
+    partition columns additionally co-locates each hive partition's
+    rows into whole files instead of every task writing a sliver of
+    every partition."""
+    cols = [F.col(c) for c in (partition_by or [])]
+    out = df.hint("rebalance", *cols) if cols else df.hint("rebalance")
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        raise NotImplementedError(f"Unsupported compacted output format: {fmt}")
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_cols: list[str], num_buckets: int = 32
 ) -> None:

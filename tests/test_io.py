@@ -7,6 +7,7 @@ import datetime
 import json
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from openetlagent_spark.model import ColumnDefinition, FileDefinition, FileSchema
 from openetlagent_spark.sources import save_data, scan_data
@@ -98,3 +99,32 @@ def test_orc_sink_and_scan_roundtrip(spark, tmp_path):
     save_data(df, fd)
     back = scan_data(spark, fd).orderBy("a").collect()
     assert [(r.b, r.a) for r in back] == [("x", 1), ("y", 2)]
+
+
+def test_write_compacted_merges_small_partitions(spark, tmp_path):
+    """A many-partition frame lands as FEW size-targeted files (AQE
+    rebalance), not one file per input partition."""
+    import glob
+
+    from openetlagent_spark.sources import write_compacted
+
+    df = spark.range(0, 10_000, 1, 64).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "compacted")
+    write_compacted(df, out)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert 1 <= len(files) < 64, f"expected coalesced output, got {len(files)} files"
+
+
+def test_write_compacted_partitioned_layout(spark, tmp_path):
+    """partition_by co-locates each hive partition's rows: one file per
+    partition directory instead of a sliver from every task."""
+    import glob
+
+    from openetlagent_spark.sources import write_compacted
+
+    df = spark.range(0, 1_000, 1, 32).withColumn("bucket", (F.col("id") % 3).cast("string"))
+    out = str(tmp_path / "compacted_hive")
+    write_compacted(df, out, partition_by=["bucket"])
+    for b in ("0", "1", "2"):
+        files = glob.glob(f"{out}/bucket={b}/part-*.parquet")
+        assert len(files) == 1, f"bucket={b}: expected 1 compacted file, got {len(files)}"
