@@ -11,16 +11,19 @@ Five strategies (north-star surface, BASELINE.json):
 - simhash64 / simhash_pairs: 64-bit SimHash; Hamming-≤k candidates via
   pigeonhole banding (k+1 bands ⇒ at least one identical band), verified
   with bit_count(xor).
-- ngram_jaccard_pairs: character-n-gram Jaccard within deterministic
-  blocks (length bucket + leading token) — fully SQL-expressible, so it
-  is oracle-checkable end to end.
+- ngram_jaccard_pairs: word-n-gram Jaccard with DETERMINISTIC MinHash
+  banding built entirely from engine-exact hashing (md5-prefix token
+  ints, Mersenne modular folds) — the full LSH pipeline, blocking
+  included, hash-matches a generated DuckDB oracle end to end.
 - embedding_neardup_pairs: cosine ≥ threshold via sign-LSH blocking over
   random hyperplanes, exact cosine verification.
 
-All signature math is JVM-side (higher-order array functions over
-xxhash64) except SimHash's 64-bit popcount accumulation, which uses one
-Arrow-batched pandas UDF over precomputed token hashes (numpy bit ops —
-the JVM side still does all string hashing).
+String hashing (xxhash64/md5) and set math stay JVM-side; the two
+per-element-math hot spots — MinHash's 64-permutation min-reduce and
+SimHash's 64-bit popcount accumulation — run as Arrow-batched numpy
+pandas UDFs over precomputed hash arrays, because Spark's higher-order
+functions evaluate interpreted (never whole-stage codegen; measured
+~6× — see SCALE.md).
 
 Scale notes: every strategy is (scan → narrow transforms → one shuffle
 on a blocking key → bounded bucket-local pairing).  ``max_bucket``

@@ -761,13 +761,19 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``path/batch_id=N`` dirs) → read the landed layout back and
     aggregate.  Hash-matching a plain SQL aggregate over the SOURCE
     proves no loss or duplication through the stream+sink round trip."""
+    import hashlib
     import os
     import shutil
     import tempfile
 
     from ..streaming import read_event_stream, write_stream_idempotent
 
-    tmp = tempfile.mkdtemp(prefix="ela_stream_sink_")
+    # Deterministic per-dataset scratch dir, wiped on entry — repeated
+    # harness/bench runs must not accumulate tmp dirs or resume a stale
+    # checkpoint against changed data.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"ela_stream_sink_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
     # Spark's file stream source requires a DIRECTORY (the landing-zone
     # shape); stage the single test file into one.
     src_dir = f"{tmp}/landing"
