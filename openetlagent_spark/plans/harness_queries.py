@@ -491,10 +491,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-3-gram Jaccard pairs via deterministic MinHash banding —
-    every stage (packed gram codes, integer band keys, exact Jaccard)
-    is SQL-expressible, so the FULL LSH pipeline is hash-checked against
-    the generated DuckDB oracle (ngram_pairs_oracle_sql)."""
+    """Word-3-gram Jaccard pairs via deterministic MinHash banding —
+    every stage (md5-int shingle codes, integer band keys, exact
+    Jaccard) is SQL-expressible, so the FULL LSH pipeline is
+    hash-checked against the generated DuckDB oracle
+    (ngram_pairs_oracle_sql)."""
     from ..functions.dedup import ngram_jaccard_pairs
 
     df = _t(spark, sf_dir, "documents").select("doc_id", "text")

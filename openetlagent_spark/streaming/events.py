@@ -252,8 +252,9 @@ def join_event_streams(
     state would grow forever).  On batch inputs the same plan is a
     plain range join, which is how the harness oracle-checks it.
 
-    Right-side columns are renamed ``{col}{suffix}`` (except none
-    collide-free), so the output schema is left.* ++ renamed right."""
+    Every right-side column is renamed ``{col}{suffix}``, so the output
+    schema is collision-free: left.* ++ renamed right (the join key's
+    right copy is dropped)."""
     if left.isStreaming:
         left = left.withWatermark(left_time, watermark)
     if right.isStreaming:
