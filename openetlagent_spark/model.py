@@ -367,8 +367,10 @@ class RepartitionOperation(Operation):
 @dataclass
 class WindowOperation(Operation):
     """Window function over partition/order: fn ∈ row_number/rank/
-    dense_rank/ntile/percent_rank/cume_dist/lag/lead/sum/avg/min/max/
-    count.  For the aggregate functions an optional ``frame`` =
+    dense_rank/ntile/percent_rank/cume_dist/lag/lead/first_value/
+    last_value/sum/avg/min/max/count.  first/last span the WHOLE
+    partition (deterministic given a total order), not the default
+    running frame.  For the aggregate functions an optional ``frame`` =
     [start, end] offsets (negative = preceding, e.g. [-2, 0] =
     2 PRECEDING .. CURRENT ROW; ``frame_type`` rows|range) turns the
     running aggregate into a sliding one."""

@@ -250,6 +250,15 @@ def apply_window(df: DataFrame, op: WindowOperation) -> DataFrame:
         require_columns(df, [op.value_column], "window")
         shift = F.lag if fn == "lag" else F.lead
         expr = shift(F.col(op.value_column), op.offset).over(w)
+    elif fn in ("first_value", "last_value"):
+        require_columns(df, [op.value_column], "window")
+        # last_value over the default running frame returns the CURRENT
+        # row — rarely what anyone means; span the whole partition so
+        # first/last are the partition's extremes under the declared
+        # order (deterministic given a total order).
+        w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        getter = F.first if fn == "first_value" else F.last
+        expr = getter(F.col(op.value_column)).over(w)
     elif fn in ("sum", "avg", "min", "max", "count"):
         require_columns(df, [op.value_column], "window")
         if op.frame:

@@ -431,6 +431,36 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over the full partition (deterministic
+    under the (date, orderkey) total order): each order row carries its
+    customer's first and latest order totals."""
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    out = apply_window(
+        df,
+        WindowOperation(
+            function="first_value",
+            partition_by=["o_custkey"],
+            order_by=["o_orderdate", "o_orderkey"],
+            value_column="o_totalprice",
+            output_column="first_total",
+        ),
+    )
+    out = apply_window(
+        out,
+        WindowOperation(
+            function="last_value",
+            partition_by=["o_custkey"],
+            order_by=["o_orderdate", "o_orderkey"],
+            value_column="o_totalprice",
+            output_column="last_total",
+        ),
+    )
+    return out.select("o_orderkey", "o_custkey", "first_total", "last_total")
+
+
 # --- training-data extensions (north-star surface) -------------------------
 
 
@@ -823,6 +853,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fold_mixed": q_fold_mixed,
     "agg_stats": q_agg_stats,
     "window_lag": q_window_lag,
+    "window_first_last": q_window_first_last,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -959,6 +990,14 @@ HARNESS_ORACLES: dict[str, str] = {
         "SELECT o_orderkey, o_custkey, o_totalprice, "
         "LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_totalprice "
         "FROM orders"
+    ),
+    "window_first_last": (
+        "SELECT o_orderkey, o_custkey, "
+        "FIRST_VALUE(o_totalprice) OVER w AS first_total, "
+        "LAST_VALUE(o_totalprice) OVER w AS last_total "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     ),
     "text_stats": (
         "SELECT doc_id, "
