@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
         help="coalesce each output to one file (small outputs / reference parity)",
     )
     parser.add_argument("--master", default=None, help="Spark master (default local[ncpus])")
+    parser.add_argument(
+        "--explain",
+        action="store_true",
+        help="print each flow's optimized physical plan (joins, pushdown, "
+        "shuffles) WITHOUT executing or writing anything — the "
+        "scale-hygiene preflight for a new pipeline",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
@@ -58,6 +65,15 @@ def main(argv: list[str] | None = None) -> int:
             continue
         try:
             flow = load_pipeline_flow(flow_path)
+            if args.explain:
+                from .runner import apply_operations
+                from .sources import scan_data
+
+                df = scan_data(spark, config.inputs[flow.source])
+                result = apply_operations(df, flow.operations, spark, config.inputs)
+                print(f"=== {output_key} ===")
+                result.explain("formatted")
+                continue
             _, ok, feedback = run_flow(
                 spark, config, flow, output_key, save=True, single_file=args.single_file
             )
