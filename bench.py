@@ -59,6 +59,7 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q2",
     "tpch_q19",
+    "tpch_q22",
     "asof_join",
     "range_join",
     "rollup",

@@ -474,6 +474,60 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETW
 """
 
 
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — positive-balance customers above the global average
+    with no LARGE (>250k) orders.  The scalar subquery decorrelates to a broadcast
+    1-row cross join (no collect, no second pass from the driver); the
+    NOT IN decorrelates to a left-anti bind.  Plan: customer scans ×2
+    (one aggregated to a single row), anti join against orders'
+    custkeys, one final group-by shuffle."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            # exact decimal sum cast to double BEFORE the divide — the
+            # same operand doubles as the oracle's CAST(SUM..)/COUNT(*),
+            # so the threshold is bit-identical (decimal division would
+            # round differently in the last ulp).
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    no_orders = apply_bind(
+        rich,
+        BindOperation(
+            right_file_path=f"{sf_dir}/orders.parquet",
+            left_on="c_custkey",
+            right_on="o_custkey",
+            how="anti",
+        ),
+        spark,
+        right_df=big_orders,
+    )
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+TPCH_Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+GROUP BY c_mktsegment
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — per-returnflag, per-linestatus, and
     grand-total subtotals in ONE pass (Catalyst expands to a single
@@ -995,6 +1049,7 @@ ANALYTICS_QUERIES = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
     "grouping_sets": q_grouping_sets,
     "percentile": q_percentile,
     "stats_moments": q_stats_moments,
@@ -1020,6 +1075,7 @@ ANALYTICS_ORACLES = {
     "tpch_q14": TPCH_Q14_SQL,
     "tpch_q18": TPCH_Q18_SQL,
     "tpch_q19": TPCH_Q19_SQL,
+    "tpch_q22": TPCH_Q22_SQL,
     "grouping_sets": GROUPING_SETS_SQL,
     "percentile": PERCENTILE_SQL,
     "stats_moments": STATS_MOMENTS_SQL,
