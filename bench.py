@@ -58,6 +58,7 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q18",
     "tpch_q2",
+    "tpch_q7",
     "tpch_q19",
     "tpch_q22",
     "asof_join",

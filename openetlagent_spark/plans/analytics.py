@@ -474,6 +474,90 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETW
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — cross-nation trade volume: the NATION dimension joins
+    TWICE under different roles (supplier's vs customer's), which
+    exercises alias handling in the bind layer; both copies broadcast.
+    Revenue per (supp_nation, cust_nation, ship_year) for one nation
+    pair, both directions."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    li = apply_bind(
+        li,
+        BindOperation(
+            right_file_path=f"{sf_dir}/supplier.parquet",
+            left_on="l_suppkey",
+            right_on="s_suppkey",
+            how="inner",
+            columns_to_add=["s_nationkey"],
+        ),
+        spark,
+    )
+    li = apply_bind(
+        li,
+        BindOperation(
+            right_file_path=f"{sf_dir}/orders.parquet",
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+            how="inner",
+            columns_to_add=["o_custkey"],
+        ),
+        spark,
+    )
+    li = apply_bind(
+        li,
+        BindOperation(
+            right_file_path=f"{sf_dir}/customer.parquet",
+            left_on="o_custkey",
+            right_on="c_custkey",
+            how="inner",
+            columns_to_add=["c_nationkey"],
+        ),
+        spark,
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = li.join(F.broadcast(supp_nation), li.s_nationkey == supp_nation.sn_key).join(
+        F.broadcast(cust_nation), li.c_nationkey == cust_nation.cn_key
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.filter(pair)
+        .withColumn("ship_year", F.year(F.col("l_shipdate").cast("date")))
+        .withColumn(
+            "rev_dec",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)"),
+        )
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY sn.n_name, cn.n_name, ship_year
+"""
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape — positive-balance customers above the global average
     with no LARGE (>250k) orders.  The scalar subquery decorrelates to a broadcast
@@ -1044,6 +1128,7 @@ HAVING MIN(p.epoch) - v.view_epoch <= 3600
 ANALYTICS_QUERIES = {
     "tpch_q2": q_tpch_q2,
     "tpch_q4": q_tpch_q4,
+    "tpch_q7": q_tpch_q7,
     "tpch_q10": q_tpch_q10,
     "tpch_q12": q_tpch_q12,
     "tpch_q14": q_tpch_q14,
@@ -1070,6 +1155,7 @@ ANALYTICS_QUERIES = {
 ANALYTICS_ORACLES = {
     "tpch_q2": TPCH_Q2_SQL,
     "tpch_q4": TPCH_Q4_SQL,
+    "tpch_q7": TPCH_Q7_SQL,
     "tpch_q10": TPCH_Q10_SQL,
     "tpch_q12": TPCH_Q12_SQL,
     "tpch_q14": TPCH_Q14_SQL,
