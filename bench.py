@@ -61,6 +61,15 @@ HEADLINE = [
     "tpch_q7",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
     "asof_join",
     "range_join",
     "rollup",

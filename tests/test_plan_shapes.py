@@ -73,6 +73,44 @@ def test_q19_disjunction_pushes_and_broadcasts(spark):
     assert any("p_brand" in l and "Or(" in l for l in pushed), "part OR not pushed"
 
 
+@pytest.mark.parametrize("name", ["tpch_q8", "tpch_q9"])
+def test_second_batch_star_joins_broadcast(spark, name):
+    # Q8 joins five dimensions, Q9 four — every one must broadcast;
+    # the fact table shuffles exactly once (the final group-by).
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert count_shuffles(plan) <= 1
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("tpch_q11", 2),   # per-part agg + kept-rows exchange; scalar is 1-row broadcast
+        ("tpch_q13", 2),   # outer-join fan + two cascaded aggs share one exchange each
+        ("tpch_q15", 2),   # revenue view agg + argmax equality (Catalyst rewrites the
+                           # 1-row cross join + equality filter into a broadcast EQUI-join)
+        ("tpch_q16", 2),   # distinct-pair expand + final count
+        ("tpch_q17", 1),   # decorrelated per-part avg joined back co-partitioned
+        ("tpch_q20", 1),   # semi-join chain: one agg shuffle, everything else broadcast
+        ("tpch_q21", 3),   # per-order stats agg + join-back + final per-supplier count
+    ],
+)
+def test_second_batch_shuffle_budget(spark, name, max_shuffles):
+    assert count_shuffles(plan_of(spark, name)) <= max_shuffles
+
+
+def test_q11_scalar_is_one_row_broadcast(spark):
+    # The global-total threshold must reach the plan as a broadcast of
+    # the re-aggregated group-by output — NOT a second fact-table scan
+    # subtree. One BroadcastNestedLoopJoin against a 1-row side is the
+    # expected (and intended) shape for a non-equi scalar compare.
+    plan = plan_of(spark, "tpch_q11")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # exactly one lineitem scan feeds the whole plan
+    assert plan.count("lineitem.parquet") <= 2  # logical + physical mention
+
+
 def test_no_accidental_cartesian(spark):
     # Cartesian/nested-loop joins are legal ONLY where they are the
     # semantics: explicit cross bind, the brute-force ANN baseline, and
