@@ -79,6 +79,8 @@ HEADLINE = [
     "approx_distinct",
     "explode_tokens",
     "dataset_split",
+    "contamination",
+    "pack_sequences",
     "window_range_frame",
     "window_distribution",
     "funnel",

@@ -1,0 +1,253 @@
+"""Training-data curation operators: benchmark-contamination checking
+and sequence packing (concat-and-chunk into fixed context windows).
+
+Both are standard stages of an LLM pretraining pipeline that the
+reference engine (Antix5/OpenETLAgent) has no vocabulary for — they
+extend the engine the same way the dedup/similarity families do
+(SURVEY §2 extension surface), and both are EXACTLY oracle-checkable:
+
+- ``contamination_check``: flag corpus documents whose word-n-gram
+  shingles overlap an evaluation/benchmark set.  Shingle codes are the
+  engine-exact md5-prefix folds shared with ``dedup.word_ngram_codes``
+  (Spark ``conv(substring(md5(w),1,8),16,10)`` == DuckDB
+  ``('0x'||substr(md5(w),1,8))::BIGINT``), so the whole check — set
+  build, overlap counts, contamination rates — hash-matches a plain
+  SQL oracle.
+
+- ``pack_sequences``: assign each document a global token offset and
+  context-window chunk id (the concat-and-chunk layout used to build
+  fixed-length training batches).  The global prefix sum runs as a
+  DISTRIBUTED two-phase scan — per-range-partition local cumulative
+  sums plus a tiny per-partition base-offset table — never a
+  single-partition global window.  Integer token counts make the
+  result bit-identical to the oracle's ``SUM() OVER (ORDER BY ...)``.
+
+Scale notes (100 TB):
+- contamination: the benchmark side is small by nature (eval sets);
+  its distinct shingle-code set BROADCASTS into a left-semi join
+  against the exploded corpus shingles — the corpus never shuffles at
+  full text width, only (id, code) pairs into one per-doc count.
+- packing: phase 1 aggregates one BIGINT per range partition (a
+  driver-side list bounded by the partition count — same bounded
+  -collect class as IVF centroid sampling); phase 2 is a window
+  PARTITIONED BY the range partition id, so every partition computes
+  its local cumulative sum in parallel.  This is the textbook
+  distributed prefix scan, expressed in DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_ngram_codes
+
+# --- benchmark contamination ------------------------------------------------
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 3,
+    rate_threshold: float = 0.3,
+) -> DataFrame:
+    """Per-document benchmark overlap: ``n_shingles`` (distinct word
+    n-grams), ``n_hits`` (of those, how many appear anywhere in the
+    benchmark set), ``contamination_rate`` = hits/shingles, and the
+    ``contaminated`` flag at ``rate_threshold``.
+
+    Word shingles (not char grams) are the overlap signal for the same
+    reason as near-dup mining: random word-3-gram collision is ~0.004
+    while true contamination (copied/near-copied text) sits ~0.9 — see
+    dedup.word_ngram_codes.  Zero-hit documents are preserved with
+    rate 0.0 (left join back onto the full corpus)."""
+    bench_text = bench_text_col or text_col
+    bench_codes = (
+        bench.select(F.explode(word_ngram_codes(F.col(bench_text), n)).alias("code"))
+        .distinct()
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id__"),
+        word_ngram_codes(F.col(text_col), n).alias("__codes__"),
+    )
+    exploded = base.select("__id__", F.explode(F.col("__codes__")).alias("code"))
+    hits = (
+        exploded.join(F.broadcast(bench_codes), "code", "left_semi")
+        .groupBy("__id__")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = (
+        base.select("__id__", F.size("__codes__").alias("n_shingles"))
+        .join(hits, "__id__", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+    )
+    rate = F.col("n_hits").cast("double") / F.col("n_shingles").cast("double")
+    return out.select(
+        F.col("__id__").alias(id_col),
+        "n_shingles",
+        "n_hits",
+        rate.alias("contamination_rate"),
+        (rate >= F.lit(rate_threshold)).alias("contaminated"),
+    )
+
+
+def contamination_oracle_sql(
+    corpus_sql: str,
+    bench_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    rate_threshold: float = 0.3,
+) -> str:
+    """DuckDB oracle for contamination_check, generated from the same
+    shingle formulas (cf. dedup.ngram_pairs_oracle_sql) so the Spark
+    plan and the oracle cannot drift.  ``corpus_sql``/``bench_sql`` are
+    relation expressions (table names or parenthesized subqueries)."""
+    from .dedup import _FOLD_PRIME, _MERSENNE  # same constants as the plan
+
+    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    wcodes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))"
+
+    def code_at(off: int) -> str:
+        return f"COALESCE(wc[CAST(i AS INTEGER) + {off}], 0)"
+
+    shingle = code_at(0)
+    for j in range(1, n):
+        shingle = f"(({shingle}) * {_FOLD_PRIME} + {code_at(j)}) % {_MERSENNE}"
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, greatest(len(wc) - {n - 1}, 1)), "
+        f"i -> {shingle}))"
+    )
+    return f"""
+WITH corpus AS (SELECT {id_col} AS did, {grams} AS grams
+                FROM (SELECT {id_col}, {wcodes} AS wc FROM {corpus_sql})),
+bench_set AS (SELECT DISTINCT code
+              FROM (SELECT unnest(grams) AS code
+                    FROM (SELECT {grams} AS grams
+                          FROM (SELECT {wcodes} AS wc FROM {bench_sql})))),
+hits AS (SELECT did, COUNT(*) AS n_hits
+         FROM (SELECT did, unnest(grams) AS code FROM corpus) e
+         JOIN bench_set b ON e.code = b.code
+         GROUP BY did)
+SELECT c.did AS {id_col},
+       len(c.grams) AS n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0)::DOUBLE / len(c.grams)::DOUBLE AS contamination_rate,
+       COALESCE(h.n_hits, 0)::DOUBLE / len(c.grams)::DOUBLE >= {rate_threshold}
+         AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.did = h.did
+"""
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def _ws_token_count(text_col: Column) -> Column:
+    # Same whitespace tokenizer as text.with_token_counts (oracle:
+    # CASE WHEN trim(t)='' THEN 0 ELSE len(string_split_regex(...)) END).
+    return F.when(F.trim(text_col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text_col), r"\s+"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk packing layout: documents are laid end-to-end
+    in ``id_col`` order and cut into ``ctx``-token context windows.
+    Returns per document: ``n_tokens``, ``start_offset`` (global token
+    position), ``chunk_id`` (window containing the first token), and
+    ``n_chunks`` (windows the document spans).
+
+    The global prefix sum is a two-phase distributed scan:
+
+    1. range-repartition by id, local per-partition token sums →
+       exclusive per-partition base offsets (one BIGINT per partition,
+       computed on the driver — bounded by the partition count);
+    2. a window PARTITIONED BY the range-partition id adds the local
+       cumulative sum in parallel.
+
+    Any order-preserving range split yields the same global offsets
+    (integer addition is associative), so the result is independent of
+    partition boundaries — asserted against a single-window reference
+    in tests."""
+    base = df.select(
+        F.col(id_col).alias("__oid__"), _ws_token_count(F.col(text_col)).alias("n_tokens")
+    )
+    parts = base.repartitionByRange(F.col("__oid__")).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    # Phase 1: one row per partition → exclusive prefix of partition sums.
+    psums = (
+        parts.groupBy("__pid__").agg(F.sum("n_tokens").alias("psum")).collect()
+    )
+    bases: dict[int, int] = {}
+    running = 0
+    for row in sorted(psums, key=lambda r: r["__pid__"]):
+        bases[row["__pid__"]] = running
+        running += row["psum"] or 0
+    base_map = F.create_map(
+        *[F.lit(x) for kv in sorted(bases.items()) for x in kv]
+    ) if bases else F.create_map()
+    # Phase 2: parallel local cumulative sums + the broadcast base.
+    local = (
+        Window.partitionBy("__pid__")
+        .orderBy("__oid__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = parts.withColumn(
+        "start_offset",
+        (
+            F.element_at(base_map, F.col("__pid__"))
+            + F.sum("n_tokens").over(local)
+            - F.col("n_tokens")
+        ).cast("long"),
+    )
+    chunk_id = F.floor(F.col("start_offset") / F.lit(float(ctx))).cast("long")
+    last_chunk = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - F.lit(1)) / F.lit(float(ctx))
+    ).cast("long")
+    return packed.select(
+        F.col("__oid__").alias(id_col),
+        "n_tokens",
+        "start_offset",
+        chunk_id.alias("chunk_id"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(last_chunk - chunk_id + F.lit(1))
+        .alias("n_chunks"),
+    )
+
+
+def pack_sequences_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx: int = 512,
+) -> str:
+    """DuckDB oracle for pack_sequences — the single-window reference
+    formulation of the same prefix sum (exact: integer token counts)."""
+    ntok = (
+        f"CASE WHEN trim({text_col}) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim({text_col}), '\\s+')) END"
+    )
+    return f"""
+WITH toks AS (SELECT {id_col}, {ntok} AS n_tokens FROM {table}),
+offs AS (SELECT {id_col}, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY {id_col}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                  AS start_offset
+         FROM toks)
+SELECT {id_col}, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / {ctx}.0) AS BIGINT) AS chunk_id,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE CAST(FLOOR((start_offset + n_tokens - 1) / {ctx}.0) AS BIGINT)
+                 - CAST(FLOOR(start_offset / {ctx}.0) AS BIGINT) + 1 END
+         AS n_chunks
+FROM offs
+"""

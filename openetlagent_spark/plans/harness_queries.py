@@ -825,6 +825,32 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: documents with doc_id % 20 == 0
+    act as the held-out eval set; every other document is scored for
+    word-3-gram overlap against it (functions/curation.py).  The
+    benchmark's distinct shingle set broadcasts into a left-semi join —
+    the corpus never shuffles at text width.  Exact oracle generated
+    from the same md5-fold shingle formulas as dedup_ngram."""
+    from ..functions.curation import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_check(corpus, bench)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout over the documents table: global
+    token offsets via the two-phase distributed prefix scan, 512-token
+    context windows (functions/curation.py).  Oracle is the single-
+    window SUM() OVER (ORDER BY) reference — integer-exact."""
+    from ..functions.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, ctx=512)
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -878,6 +904,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "rollup": q_rollup,
+    "contamination": q_contamination,
+    "pack_sequences": q_pack_sequences,
 }
 
 # SQL fragments shared by several text oracles (mirror text.py exactly).
@@ -1129,3 +1157,14 @@ HARNESS_ORACLES["sample_hash"] = (
     "SELECT o_orderkey, o_totalprice FROM orders WHERE "
     + _sample_pred("o_orderkey", 0.25, 42)
 )
+
+from ..functions.curation import (  # noqa: E402
+    contamination_oracle_sql as _contamination_oracle_sql,
+    pack_sequences_oracle_sql as _pack_sequences_oracle_sql,
+)
+
+HARNESS_ORACLES["contamination"] = _contamination_oracle_sql(
+    "(SELECT * FROM documents WHERE doc_id % 20 <> 0)",
+    "(SELECT * FROM documents WHERE doc_id % 20 = 0)",
+)
+HARNESS_ORACLES["pack_sequences"] = _pack_sequences_oracle_sql()

@@ -1,0 +1,136 @@
+"""Curation operators: benchmark-contamination checking and sequence
+packing (functions/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from openetlagent_spark.functions.curation import contamination_check, pack_sequences
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# --- contamination ----------------------------------------------------------
+
+
+def test_self_contamination_is_total(spark):
+    # A document checked against a benchmark containing itself overlaps
+    # on every shingle.
+    docs = _docs(spark).limit(20)
+    out = contamination_check(docs, docs, rate_threshold=0.99)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["contamination_rate"] == 1.0 for r in rows)
+    assert all(r["contaminated"] for r in rows)
+    assert all(r["n_hits"] == r["n_shingles"] for r in rows)
+
+
+def test_zero_hit_docs_survive_with_rate_zero(spark):
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") < 30)
+    bench = spark.createDataFrame(
+        [(999999, "completely disjoint vocabulary zz qq xx ww vv uu tt ss rr")],
+        "doc_id long, text string",
+    )
+    out = contamination_check(corpus, bench)
+    rows = out.collect()
+    # every corpus doc must appear, none dropped by the hit join
+    assert len(rows) == corpus.count()
+    assert all(r["n_hits"] == 0 and r["contamination_rate"] == 0.0 for r in rows)
+    assert not any(r["contaminated"] for r in rows)
+
+
+def test_contamination_flags_near_dups_only(spark):
+    # sf0.001 documents contain deliberate near-dup replicas; a
+    # benchmark slice should contaminate its replicas (~0.9 overlap)
+    # but not unrelated word-soup docs (~0.05 noise).
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    rows = contamination_check(corpus, bench, rate_threshold=0.5).collect()
+    rates = sorted(r["contamination_rate"] for r in rows)
+    assert rates[0] < 0.3, "unrelated docs must score low"
+    flagged = [r for r in rows if r["contaminated"]]
+    clean = [r for r in rows if not r["contaminated"]]
+    assert clean, "noise-level docs must stay clean"
+    for r in flagged:
+        assert r["contamination_rate"] >= 0.5
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def _naive_packing(spark, df, ctx):
+    """Single-window reference formulation (correct, but serial at
+    scale) for equivalence checks."""
+    toks = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select("doc_id", toks.alias("n_tokens"))
+    off = base.withColumn(
+        "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    chunk = F.floor(F.col("start_offset") / F.lit(float(ctx))).cast("long")
+    last = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - F.lit(1)) / F.lit(float(ctx))
+    ).cast("long")
+    return off.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        chunk.alias("chunk_id"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(last - chunk + F.lit(1))
+        .alias("n_chunks"),
+    )
+
+
+def test_two_phase_scan_matches_single_window(spark):
+    docs = _docs(spark)
+    got = {r["doc_id"]: r for r in pack_sequences(docs, ctx=128).collect()}
+    want = {r["doc_id"]: r for r in _naive_packing(spark, docs, 128).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], f"doc {k}: {got[k]} != {want[k]}"
+
+
+def test_packing_is_partitioning_independent(spark):
+    # The two-phase scan's offsets must not depend on how the input
+    # arrives — range repartition re-establishes the global order.
+    docs = _docs(spark)
+    a = sorted(pack_sequences(docs, ctx=256).collect())
+    b = sorted(pack_sequences(docs.repartition(7), ctx=256).collect())
+    assert a == b
+
+
+def test_packing_layout_invariants(spark):
+    rows = sorted(pack_sequences(_docs(spark), ctx=512).collect())
+    # documents lie end-to-end: each starts where the previous ended
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos
+        pos += r["n_tokens"]
+        if r["n_tokens"] > 0:
+            # chunk span matches the token interval the doc occupies
+            first = r["start_offset"] // 512
+            last = (r["start_offset"] + r["n_tokens"] - 1) // 512
+            assert r["chunk_id"] == first
+            assert r["n_chunks"] == last - first + 1
+
+
+def test_packing_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "three token doc"), (2, ""), (3, "one")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, ctx=2).collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[1]["n_chunks"] == 2
+    assert rows[2]["n_tokens"] == 0 and rows[2]["n_chunks"] == 0
+    assert rows[2]["start_offset"] == 3
+    assert rows[3]["start_offset"] == 3 and rows[3]["chunk_id"] == 1
