@@ -1,0 +1,131 @@
+"""Distributed connected components — the clustering step that turns
+near-duplicate PAIRS (dedup.py emits them) into duplicate CLUSTERS and
+a deterministic survivor set.  This closes the dedup loop the
+single-hop approximation in ``dedup.minhash_dedup`` documents as
+deferred: transitive chains (A~B, B~C, but A≁C) collapse into one
+component here, so exactly one document per duplicate cluster
+survives.
+
+Algorithm: iterative min-label propagation over the undirected edge
+set.  Each round every node takes the minimum component label among
+itself and its neighbors; the fixpoint labels every node with the
+smallest node id reachable from it.  Rounds are pure DataFrame ops —
+one shuffle join (labels onto edges) + one groupBy min per round —
+and the driver only inspects a per-round CHANGE COUNT (a scalar), not
+data.  Convergence needs O(graph diameter) rounds; near-dup clusters
+are shallow (a handful of hops), and ``max_iter`` bounds adversarial
+chains.  At 100 TB scale the same loop holds (each round is a
+key-partitioned shuffle of (node, label) pairs — no collect, no
+cartesian); for graphs with genuinely deep diameters, switch to the
+large-star/small-star contraction of Kiveris et al. ("Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log n) rounds with the same per-round primitive mix.
+
+Determinism: the fixpoint is unique (min over a fixed set), so the
+result is independent of partitioning and iteration interleaving —
+exactly oracle-checkable via a recursive transitive-closure CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node that appears in ``edges`` with its component id
+    (= the minimum node id in its component).  Returns (node, component).
+
+    Isolated nodes never enter the edge list, so they are not emitted —
+    callers treat absence as "its own singleton component" (see
+    dedup_by_components)."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()  # re-joined every round
+    )
+    # localCheckpoint (not persist): each round references the previous
+    # labels TWICE (union + join), so the un-truncated logical plan
+    # doubles per round — 20 rounds is a 2^20-node tree that OOMs the
+    # JVM before any data moves.  Checkpointing truncates lineage to
+    # the materialized result, which is what every Spark iterative
+    # algorithm (GraphX, MLlib) does; on a cluster with a checkpoint
+    # dir configured, swap for reliable checkpoint() for fault
+    # tolerance beyond executor storage.
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    # Convergence probe: propagation only ever DECREASES labels, so the
+    # fixpoint is reached exactly when the label sum stops changing —
+    # one cheap aggregate per round instead of a join + count job.
+    # DECIMAL(38,0) keeps the sum exact at any node-id scale.
+    def label_sum(lbl: DataFrame):
+        return lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iter):
+        # each node's neighbors push their current label to it
+        pushed = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("component")
+        )
+        new_labels = (
+            labels.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        new_sum = label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep exactly one row (the minimum id) per duplicate cluster:
+    connected components over the near-dup pairs, then an anti-join
+    dropping every node that is NOT its component's minimum.  Rows
+    never involved in any pair survive untouched (they are absent from
+    the component table — singleton clusters by definition)."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    losers = comps.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def components_oracle_sql(pairs_sql: str, id_alias: str = "doc_id") -> str:
+    """DuckDB oracle for connected_components over a pair relation:
+    recursive transitive closure, then component = min reachable id.
+    ``pairs_sql`` is any SELECT producing (id_a, id_b) — e.g. the
+    generated near-dup-pair oracle, so the WHOLE pipeline (LSH pair
+    mining → clustering) is checked end-to-end.  Closure size is
+    Σ |component|², fine for oracle-scale data (components are small
+    near-dup clusters); the Spark side never materializes it."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS {id_alias}, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""

@@ -840,6 +840,24 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, bench)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end duplicate CLUSTERING: the exact-oracle ngram LSH
+    pairs (same params as dedup_ngram) fed through distributed
+    connected components (functions/graph.py) — every document in a
+    near-dup cluster labeled with the cluster's minimum doc_id.  The
+    oracle runs the SAME generated pair SQL through a recursive
+    transitive-closure CTE, so pair mining AND clustering are checked
+    together."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    from ..functions.graph import connected_components
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing layout over the documents table: global
     token offsets via the two-phase distributed prefix scan, 512-token
@@ -906,6 +924,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "contamination": q_contamination,
     "pack_sequences": q_pack_sequences,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 # SQL fragments shared by several text oracles (mirror text.py exactly).
@@ -1168,3 +1187,11 @@ HARNESS_ORACLES["contamination"] = _contamination_oracle_sql(
     "(SELECT * FROM documents WHERE doc_id % 20 = 0)",
 )
 HARNESS_ORACLES["pack_sequences"] = _pack_sequences_oracle_sql()
+
+from ..functions.graph import components_oracle_sql as _components_oracle_sql  # noqa: E402
+
+# the clustering oracle embeds the SAME generated pair SQL the
+# dedup_ngram oracle uses — mining and clustering checked end-to-end
+HARNESS_ORACLES["dedup_clusters"] = _components_oracle_sql(
+    _ngram_pairs_oracle_sql(), id_alias="doc_id"
+)
