@@ -72,7 +72,9 @@ def contamination_check(
     base = docs.select(
         F.col(id_col).alias("__id__"),
         word_ngram_codes(F.col(text_col), n).alias("__codes__"),
-    )
+    ).persist()  # feeds the explode AND the per-doc shingle counts —
+    # without the boundary the md5 shingling runs twice (Catalyst does
+    # no CSE across plan branches; measured ~2× at sf1)
     exploded = base.select("__id__", F.explode(F.col("__codes__")).alias("code"))
     hits = (
         exploded.join(F.broadcast(bench_codes), "code", "left_semi")
@@ -180,8 +182,14 @@ def pack_sequences(
     base = df.select(
         F.col(id_col).alias("__oid__"), _ws_token_count(F.col(text_col)).alias("n_tokens")
     )
-    parts = base.repartitionByRange(F.col("__oid__")).withColumn(
-        "__pid__", F.spark_partition_id()
+    parts = (
+        base.repartitionByRange(F.col("__oid__"))
+        .withColumn("__pid__", F.spark_partition_id())
+        .persist()  # consumed by the phase-1 sums AND the phase-2
+        # window — the boundary also guarantees both phases see the
+        # SAME range partitioning (a re-executed exchange may sample
+        # different range bounds; offsets stay correct either way, but
+        # one materialization is strictly cheaper)
     )
     # Phase 1: one row per partition → exclusive prefix of partition sums.
     psums = (
