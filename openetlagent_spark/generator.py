@@ -83,8 +83,13 @@ Available operation_type values and their fields:
 - sample: {fraction, seed, key_column} — key_column set = deterministic
   engine-stable hash sample; unset = Bernoulli.
 - dedup: remove duplicate/near-duplicate rows. {strategy (exact/minhash/simhash/
-  ngram/embedding), mode (drop/pairs), keys+order_column for exact,
-  id_column+text_column (or vector_column) + threshold for the rest}
+  ngram/embedding), mode (drop/pairs/components/cluster_drop — cluster_drop
+  keeps ONE row per transitive duplicate cluster), keys+order_column for
+  exact, id_column+text_column (or vector_column) + threshold for the rest}
+- contamination: benchmark-overlap check. {benchmark_path: input_key,
+  id_column, text_column, mode (annotate/filter), rate_threshold}
+- pack_sequences: concat-and-chunk packing layout. {id_column, text_column,
+  context_length} — adds n_tokens/start_offset/chunk_id/n_chunks
 - asof_join: latest-right-row-at-or-before join. {right_file_path: input_key,
   left_on, right_on, left_time, right_time, value_columns, direction}
 - range_join: time-proximity join. {kind: tolerance (self pairs: key,
@@ -229,7 +234,8 @@ def generate_pipeline_step_by_step(
                     continue
                 op = parse_operation(raw)
                 if op.operation_type not in OPERATION_DISPATCHER and op.operation_type not in (
-                    "bind", "union", "asof_join", "range_join", "similarity"
+                    "bind", "union", "asof_join", "range_join", "similarity",
+                    "contamination",
                 ):
                     raise SpecError(f"unsupported operation_type {op.operation_type!r}")
                 # Trial execution on the lazy chain (probe forces analysis

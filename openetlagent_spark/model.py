@@ -412,10 +412,13 @@ class DedupOperation(Operation):
     """Deduplication as a flow op (functions/dedup.py strategies).
 
     strategy ∈ exact / minhash / simhash / ngram / embedding;
-    mode ∈ drop (return the deduplicated frame — rows with a lower-id
-    near-dup partner removed) / pairs (return the pair table
-    id_a, id_b, score).  ``exact`` supports only drop (its keep-min
-    semantics have no pair form)."""
+    mode ∈ drop (single-hop: rows with a lower-id near-dup partner
+    removed) / pairs (the pair table id_a, id_b, score) / components
+    (cluster labels: node, component via distributed connected
+    components — functions/graph.py) / cluster_drop (TRANSITIVE dedup:
+    exactly one survivor, the minimum id, per duplicate cluster).
+    ``exact`` supports only drop (its keep-min semantics have no pair
+    form)."""
 
     strategy: str = "exact"
     mode: str = "drop"
@@ -444,8 +447,10 @@ class DedupOperation(Operation):
                 f"dedup strategy must be exact/minhash/simhash/ngram/embedding, "
                 f"got {self.strategy!r}"
             )
-        if self.mode not in ("drop", "pairs"):
-            raise SpecError(f"dedup mode must be drop/pairs, got {self.mode!r}")
+        if self.mode not in ("drop", "pairs", "components", "cluster_drop"):
+            raise SpecError(
+                f"dedup mode must be drop/pairs/components/cluster_drop, got {self.mode!r}"
+            )
         if self.strategy == "exact":
             if self.mode != "drop":
                 raise SpecError("dedup strategy='exact' supports mode='drop' only")
@@ -565,6 +570,56 @@ class RangeJoinOperation(Operation):
                 raise SpecError("range_join kind='interval' requires value_columns")
 
 
+@dataclass
+class ContaminationOperation(Operation):
+    """Benchmark-contamination check as a flow op
+    (functions/curation.py): the CURRENT frame is the corpus, the
+    benchmark side resolves like bind's right side (named input key or
+    file path).  mode ∈ annotate (return per-doc overlap stats:
+    id, n_shingles, n_hits, contamination_rate, contaminated) /
+    filter (return the corpus with contaminated rows removed)."""
+
+    benchmark_path: str = ""
+    benchmark_schema_columns: dict[str, str] = field(default_factory=dict)
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    benchmark_text_column: str = ""
+    ngram_size: int = 3
+    rate_threshold: float = 0.3
+    mode: str = "annotate"
+    operation_type: str = "contamination"
+
+    def __post_init__(self) -> None:
+        if not self.benchmark_path:
+            raise SpecError(
+                "contamination requires benchmark_path (named input or file path)"
+            )
+        if self.mode not in ("annotate", "filter"):
+            raise SpecError(
+                f"contamination mode must be annotate/filter, got {self.mode!r}"
+            )
+
+
+@dataclass
+class PackSequencesOperation(Operation):
+    """Sequence packing (concat-and-chunk) as a flow op
+    (functions/curation.py): annotates every row with its global token
+    offset, context-window chunk id, and span in ``id_column`` order —
+    the two-phase distributed prefix scan, never a global single
+    -partition window."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    context_length: int = 512
+    operation_type: str = "pack_sequences"
+
+    def __post_init__(self) -> None:
+        if self.context_length <= 0:
+            raise SpecError(
+                f"pack_sequences context_length must be positive, got {self.context_length!r}"
+            )
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -594,6 +649,8 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "similarity": SimilarityOperation,
     "asof_join": AsofJoinOperation,
     "range_join": RangeJoinOperation,
+    "contamination": ContaminationOperation,
+    "pack_sequences": PackSequencesOperation,
 }
 
 

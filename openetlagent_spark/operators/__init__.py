@@ -6,7 +6,9 @@ from __future__ import annotations
 
 from .advanced import (
     apply_asof_join,
+    apply_contamination,
     apply_dedup,
+    apply_pack_sequences,
     apply_range_join,
     apply_similarity,
 )
@@ -41,6 +43,7 @@ from .reshape import apply_fold, apply_unfold
 # dispatched specially by the runner.
 OPERATION_DISPATCHER = {
     "dedup": apply_dedup,
+    "pack_sequences": apply_pack_sequences,
     "equality": apply_equality,
     "concatenation": apply_concatenation,
     "application": apply_application,

@@ -15,12 +15,58 @@ from pyspark.sql import functions as F
 
 from ..model import (
     AsofJoinOperation,
+    ContaminationOperation,
     DedupOperation,
     FileDefinition,
+    PackSequencesOperation,
     RangeJoinOperation,
     SimilarityOperation,
 )
 from .bind import resolve_side
+
+
+def apply_contamination(
+    df: DataFrame,
+    op: ContaminationOperation,
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    bench_df: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark-contamination check: current frame = corpus, benchmark
+    resolved like bind's right side.  mode='annotate' returns the
+    per-doc overlap stats; mode='filter' drops contaminated rows from
+    the ORIGINAL frame (all columns preserved)."""
+    from ..functions.curation import contamination_check
+
+    if bench_df is None:
+        bench_df = resolve_side(
+            spark, op.benchmark_path, op.benchmark_schema_columns, inputs
+        )
+    ann = contamination_check(
+        df,
+        bench_df,
+        id_col=op.id_column,
+        text_col=op.text_column,
+        bench_text_col=op.benchmark_text_column or None,
+        n=op.ngram_size,
+        rate_threshold=op.rate_threshold,
+    )
+    if op.mode == "annotate":
+        return ann
+    bad = ann.filter(F.col("contaminated")).select(op.id_column)
+    return df.join(bad, op.id_column, "left_anti")
+
+
+def apply_pack_sequences(df: DataFrame, op: PackSequencesOperation) -> DataFrame:
+    """Annotate each row with its packing layout: the packed columns
+    join back onto the ORIGINAL frame by id, so downstream ops see all
+    source columns plus (n_tokens, start_offset, chunk_id, n_chunks)."""
+    from ..functions.curation import pack_sequences
+
+    packed = pack_sequences(
+        df, id_col=op.id_column, text_col=op.text_column, ctx=op.context_length
+    )
+    return df.join(packed, op.id_column)
 
 
 def apply_dedup(df: DataFrame, op: DedupOperation) -> DataFrame:
@@ -62,6 +108,16 @@ def apply_dedup(df: DataFrame, op: DedupOperation) -> DataFrame:
         )
     if op.mode == "pairs":
         return pairs
+    if op.mode == "components":
+        from ..functions.graph import connected_components
+
+        return connected_components(pairs)
+    if op.mode == "cluster_drop":
+        # transitive: exactly one survivor (the min id) per duplicate
+        # cluster, via distributed connected components
+        from ..functions.graph import dedup_by_components
+
+        return dedup_by_components(df, pairs, op.id_column)
     # drop: single-hop min-id clustering, same semantics as minhash_dedup.
     losers = pairs.select(F.col("id_b").alias(op.id_column)).distinct()
     return df.join(losers, op.id_column, "left_anti")

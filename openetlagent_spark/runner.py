@@ -27,6 +27,7 @@ from .model import (
     AssignationOperation,
     BindOperation,
     FileDefinition,
+    ContaminationOperation,
     Operation,
     PipelineConfig,
     PipelineFlow,
@@ -38,6 +39,7 @@ from .operators import (
     OPERATION_DISPATCHER,
     apply_asof_join,
     apply_bind,
+    apply_contamination,
     apply_range_join,
     apply_similarity,
     apply_union,
@@ -76,6 +78,8 @@ def apply_operations(
             current = apply_range_join(current, op, spark, inputs)
         elif isinstance(op, SimilarityOperation):
             current = apply_similarity(current, op, spark, inputs)
+        elif isinstance(op, ContaminationOperation):
+            current = apply_contamination(current, op, spark, inputs)
         elif isinstance(op, UnionOperation):
             if not inputs or op.right_input not in inputs:
                 raise ValueError(

@@ -142,3 +142,89 @@ def test_yaml_range_tolerance_and_similarity(spark):
     topk = apply_operations(emb.limit(200), [op2], spark)
     assert topk.columns == ["query_id", "neighbor_id", "rank"]
     assert topk.groupBy("query_id").count().filter("count > 3").count() == 0
+
+
+def test_curation_specs_roundtrip_and_validation(tmp_path):
+    ops = [
+        {"operation_type": "contamination", "benchmark_path": "bench",
+         "id_column": "doc_id", "text_column": "text", "mode": "filter",
+         "rate_threshold": 0.4},
+        {"operation_type": "pack_sequences", "id_column": "doc_id",
+         "text_column": "text", "context_length": 256},
+        {"operation_type": "dedup", "strategy": "ngram", "mode": "cluster_drop",
+         "id_column": "doc_id", "text_column": "text"},
+    ]
+    flow = PipelineFlow(source="documents", operations=[parse_operation(o) for o in ops])
+    path = str(tmp_path / "flow.yaml")
+    save_pipeline_flow(flow, path)
+    back = load_pipeline_flow(path)
+    assert back.operations[0].mode == "filter"
+    assert back.operations[1].context_length == 256
+    assert back.operations[2].mode == "cluster_drop"
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "contamination"})  # no benchmark
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "contamination",
+                         "benchmark_path": "b", "mode": "nope"})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "pack_sequences", "context_length": 0})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "dedup", "strategy": "ngram",
+                         "mode": "bogus", "id_column": "i", "text_column": "t"})
+
+
+def test_yaml_contamination_filter_then_pack(spark):
+    """The full curation chain from parsed specs: drop benchmark-
+    contaminated docs, then annotate the survivors with their packing
+    layout — matching the direct function calls."""
+    from openetlagent_spark.functions.curation import contamination_check
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(docs.doc_id % 20 == 0)
+    corpus = docs.filter(docs.doc_id % 20 != 0)
+    inputs = None  # benchmark resolves by direct path below
+
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    bench_path = os.path.join(tmp, "bench.parquet")
+    bench.write.mode("overwrite").parquet(bench_path)
+
+    ops = [
+        parse_operation(
+            {"operation_type": "contamination", "benchmark_path": bench_path,
+             "id_column": "doc_id", "text_column": "text",
+             "mode": "filter", "rate_threshold": 0.5}
+        ),
+        parse_operation(
+            {"operation_type": "pack_sequences", "id_column": "doc_id",
+             "text_column": "text", "context_length": 128}
+        ),
+    ]
+    out = apply_operations(corpus, ops, spark, inputs)
+    rows = out.collect()
+    ann = contamination_check(corpus, bench, rate_threshold=0.5)
+    expected_kept = {r["doc_id"] for r in ann.filter(~ann.contaminated).collect()}
+    assert {r["doc_id"] for r in rows} == expected_kept
+    # packing columns joined onto the original frame, all source cols kept
+    assert {"text", "n_tokens", "start_offset", "chunk_id", "n_chunks"} <= set(
+        out.columns
+    )
+
+
+def test_yaml_dedup_cluster_drop_transitive(spark):
+    """cluster_drop keeps exactly one doc per TRANSITIVE duplicate
+    cluster — equal to dedup_by_components over the same pairs."""
+    from openetlagent_spark.functions.dedup import ngram_jaccard_pairs
+    from openetlagent_spark.functions.graph import dedup_by_components
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    op = parse_operation(
+        {"operation_type": "dedup", "strategy": "ngram", "mode": "cluster_drop",
+         "id_column": "doc_id", "text_column": "text", "threshold": 0.5}
+    )
+    got = sorted(r["doc_id"] for r in apply_operations(docs, [op], spark).collect())
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    want = sorted(
+        r["doc_id"] for r in dedup_by_components(docs, pairs, "doc_id").collect()
+    )
+    assert got == want and len(got) < docs.count()
