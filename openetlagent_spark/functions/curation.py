@@ -144,6 +144,46 @@ FROM corpus c LEFT JOIN hits h ON c.did = h.did
 """
 
 
+# --- text scrubbing / redaction --------------------------------------------
+
+# Default redaction rules, applied IN ORDER (order matters: IPs must be
+# rewritten before bare digit runs).  Patterns stay within the regex
+# subset Java (Spark) and RE2 (DuckDB) interpret identically — character
+# classes, bounded/unbounded repeats, \b, alternation; no lookaround,
+# no backreferences — so the scrub is exactly oracle-checkable.
+DEFAULT_SCRUB_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\d+", "<NUM>"),
+]
+
+
+def scrub_text(
+    text_col: Column, rules: list[tuple[str, str]] | None = None
+) -> Column:
+    """Chain of regexp_replace redactions over a string column — all
+    JVM-side (whole-stage codegen), no UDF.  Spark's regexp_replace
+    replaces every match (DuckDB needs the explicit 'g' flag — the
+    generated oracle sets it)."""
+    out = text_col
+    for pattern, repl in rules or DEFAULT_SCRUB_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def scrub_oracle_expr(
+    col_sql: str, rules: list[tuple[str, str]] | None = None
+) -> str:
+    """DuckDB expression equivalent of scrub_text, generated from the
+    SAME rule list so the two cannot drift."""
+    out = col_sql
+    for pattern, repl in rules or DEFAULT_SCRUB_RULES:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
 # --- sequence packing -------------------------------------------------------
 
 

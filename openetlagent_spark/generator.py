@@ -90,6 +90,9 @@ Available operation_type values and their fields:
   id_column, text_column, mode (annotate/filter), rate_threshold}
 - pack_sequences: concat-and-chunk packing layout. {id_column, text_column,
   context_length} — adds n_tokens/start_offset/chunk_id/n_chunks
+- scrub: redact a string column with ordered regex rules. {input_column,
+  output_column?, rules: [[pattern, replacement], ...]} — empty rules =
+  default PII set (emails/URLs/IPs/digit runs)
 - asof_join: latest-right-row-at-or-before join. {right_file_path: input_key,
   left_on, right_on, left_time, right_time, value_columns, direction}
 - range_join: time-proximity join. {kind: tolerance (self pairs: key,

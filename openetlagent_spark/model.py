@@ -601,6 +601,26 @@ class ContaminationOperation(Operation):
 
 
 @dataclass
+class ScrubOperation(Operation):
+    """Text scrubbing / redaction as a flow op (functions/curation.py
+    scrub_text): an ordered regexp_replace chain.  ``rules`` is a list
+    of [pattern, replacement] pairs; empty = the default PII set
+    (emails, URLs, IPv4s, digit runs)."""
+
+    input_column: str = "text"
+    output_column: str = ""
+    rules: list[list[str]] = field(default_factory=list)
+    operation_type: str = "scrub"
+
+    def __post_init__(self) -> None:
+        for r in self.rules:
+            if len(r) != 2:
+                raise SpecError(
+                    f"scrub rules must be [pattern, replacement] pairs, got {r!r}"
+                )
+
+
+@dataclass
 class PackSequencesOperation(Operation):
     """Sequence packing (concat-and-chunk) as a flow op
     (functions/curation.py): annotates every row with its global token
@@ -651,6 +671,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "range_join": RangeJoinOperation,
     "contamination": ContaminationOperation,
     "pack_sequences": PackSequencesOperation,
+    "scrub": ScrubOperation,
 }
 
 

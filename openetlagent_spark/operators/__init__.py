@@ -10,6 +10,7 @@ from .advanced import (
     apply_dedup,
     apply_pack_sequences,
     apply_range_join,
+    apply_scrub,
     apply_similarity,
 )
 from .application import apply_application, compile_lambda
@@ -44,6 +45,7 @@ from .reshape import apply_fold, apply_unfold
 OPERATION_DISPATCHER = {
     "dedup": apply_dedup,
     "pack_sequences": apply_pack_sequences,
+    "scrub": apply_scrub,
     "equality": apply_equality,
     "concatenation": apply_concatenation,
     "application": apply_application,

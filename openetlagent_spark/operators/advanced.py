@@ -20,6 +20,7 @@ from ..model import (
     FileDefinition,
     PackSequencesOperation,
     RangeJoinOperation,
+    ScrubOperation,
     SimilarityOperation,
 )
 from .bind import resolve_side
@@ -55,6 +56,15 @@ def apply_contamination(
         return ann
     bad = ann.filter(F.col("contaminated")).select(op.id_column)
     return df.join(bad, op.id_column, "left_anti")
+
+
+def apply_scrub(df: DataFrame, op: "ScrubOperation") -> DataFrame:
+    """Redact a string column in place (or into output_column)."""
+    from ..functions.curation import scrub_text
+
+    rules = [tuple(r) for r in op.rules] or None
+    out_col = op.output_column or op.input_column
+    return df.withColumn(out_col, scrub_text(F.col(op.input_column), rules))
 
 
 def apply_pack_sequences(df: DataFrame, op: PackSequencesOperation) -> DataFrame:

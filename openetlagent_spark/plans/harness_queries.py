@@ -840,6 +840,30 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, bench)
 
 
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (functions/curation.py scrub_text): emails,
+    URLs, IPs, then digit runs → placeholder tokens, as a pure JVM
+    regexp_replace chain.  The input synthesizes all four pattern kinds
+    deterministically from event columns (the word-soup corpus has no
+    natural PII), and the oracle applies the SAME generated rule chain
+    with DuckDB's 'g' flag — Java and RE2 agree on this regex subset."""
+    from ..functions.curation import scrub_text
+    from ..streaming import read_event_table
+
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("user_id").cast("string"),
+        F.lit("@mail.example.com or http://ex.com/"),
+        F.col("event_type"),
+        F.lit(" ip 10.1."),
+        (F.col("user_id") % 200).cast("string"),
+        F.lit(".9 code "),
+        F.col("event_id").cast("string"),
+    )
+    return ev.select("event_id", scrub_text(raw).alias("scrubbed"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end duplicate CLUSTERING: the exact-oracle ngram LSH
     pairs (same params as dedup_ngram) fed through distributed
@@ -925,6 +949,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "pack_sequences": q_pack_sequences,
     "dedup_clusters": q_dedup_clusters,
+    "text_scrub": q_text_scrub,
 }
 
 # SQL fragments shared by several text oracles (mirror text.py exactly).
@@ -1194,4 +1219,15 @@ from ..functions.graph import components_oracle_sql as _components_oracle_sql  #
 # dedup_ngram oracle uses — mining and clustering checked end-to-end
 HARNESS_ORACLES["dedup_clusters"] = _components_oracle_sql(
     _ngram_pairs_oracle_sql(), id_alias="doc_id"
+)
+
+from ..functions.curation import scrub_oracle_expr as _scrub_oracle_expr  # noqa: E402
+
+_SCRUB_RAW_SQL = (
+    "('contact user' || CAST(user_id AS VARCHAR) || '@mail.example.com or "
+    "http://ex.com/' || event_type || ' ip 10.1.' || "
+    "CAST(user_id % 200 AS VARCHAR) || '.9 code ' || CAST(event_id AS VARCHAR))"
+)
+HARNESS_ORACLES["text_scrub"] = (
+    f"SELECT event_id, {_scrub_oracle_expr(_SCRUB_RAW_SQL)} AS scrubbed FROM events"
 )

@@ -134,3 +134,58 @@ def test_packing_empty_doc(spark):
     assert rows[2]["n_tokens"] == 0 and rows[2]["n_chunks"] == 0
     assert rows[2]["start_offset"] == 3
     assert rows[3]["start_offset"] == 3 and rows[3]["chunk_id"] == 1
+
+
+# --- text scrubbing ---------------------------------------------------------
+
+
+def test_scrub_default_rules(spark):
+    from openetlagent_spark.functions.curation import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "see https://a.b/c?d=1 and http://plain.io"),
+            (3, "host 192.168.0.1 port 8080"),
+            (4, "clean text stays clean"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["s"] for r in df.select("id", scrub_text(F.col("text")).alias("s")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "see <URL> and <URL>"
+    # IP rewritten BEFORE the digit-run rule; remaining digits redacted
+    assert got[3] == "host <IP> port <NUM>"
+    assert got[4] == "clean text stays clean"
+
+
+def test_scrub_custom_rules_and_order(spark):
+    from openetlagent_spark.functions.curation import scrub_text
+
+    df = spark.createDataFrame([(1, "abc abc")], "id long, text string")
+    # order matters: first rule consumes, second sees its output
+    out = df.select(
+        scrub_text(F.col("text"), [("abc", "x"), ("x x", "y")]).alias("s")
+    ).collect()[0]["s"]
+    assert out == "y"
+
+
+def test_scrub_flow_op(spark):
+    from openetlagent_spark.model import parse_operation
+    from openetlagent_spark.runner import apply_operations
+
+    df = spark.createDataFrame(
+        [(1, "id 12345 mail a@b.co")], "id long, text string"
+    )
+    op = parse_operation(
+        {"operation_type": "scrub", "input_column": "text",
+         "output_column": "clean", "rules": []}
+    )
+    row = apply_operations(df, [op], spark).collect()[0]
+    assert row["text"] == "id 12345 mail a@b.co"  # original preserved
+    assert row["clean"] == "id <NUM> mail <EMAIL>"
+
+    import pytest
+    from openetlagent_spark.model import SpecError
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "scrub", "rules": [["only-pattern"]]})
