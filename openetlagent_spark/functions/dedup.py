@@ -316,12 +316,28 @@ def minhash_dedup(
 # --- SimHash ---------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Add ``simhash``: 64-bit SimHash of the token multiset.  Token
-    hashing (xxhash64) runs JVM-side; the per-bit popcount accumulation
-    runs in one Arrow-batched pandas UDF over the hash arrays (numpy
-    vectorized — Python never touches strings)."""
-    hashes = F.transform(_token_col(F.col(text_col)), lambda t: F.xxhash64(t))
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, md5_mode: bool = False
+) -> DataFrame:
+    """Add ``simhash``: SimHash of the token multiset.  Token hashing
+    runs JVM-side; the per-bit popcount accumulation runs in one
+    Arrow-batched pandas UDF over the hash arrays (numpy vectorized —
+    Python never touches strings).
+
+    Default: 64-bit xxhash64 tokens (fastest JVM hash).  ``md5_mode``:
+    60-bit md5-prefix tokens (``conv(substring(md5(w),1,15),16,10)`` ==
+    DuckDB ``('0x'||substr(md5(w),1,15))::BIGINT``) — slower hashing,
+    but every stage becomes engine-exact integer math, so the FULL
+    pipeline is oracle-checkable (simhash_pairs_oracle_sql)."""
+    tokens = _token_col(F.col(text_col))
+    if md5_mode:
+        n_bits = 60
+        hashes = F.transform(
+            tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        n_bits = 64
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
     import numpy as np
     from pyspark.sql.types import LongType
@@ -329,7 +345,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     @F.pandas_udf(LongType())
     def _simhash(hash_arrays: pd.Series) -> pd.Series:
         out = []
-        bit_idx = np.arange(64, dtype=np.uint64)
+        bit_idx = np.arange(n_bits, dtype=np.uint64)
         for arr in hash_arrays:
             if arr is None or len(arr) == 0:
                 out.append(0)
@@ -347,7 +363,12 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, max_bucket: int = 1000
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    md5_mode: bool = False,
 ) -> DataFrame:
     """Candidate pairs with Hamming(simhash) <= max_hamming, via
     pigeonhole banding: split 64 bits into (max_hamming+1) bands — any
@@ -361,8 +382,10 @@ def simhash_pairs(
     bucket payload (8 bytes), so no join-back — and the pandas-UDF
     signature pass sits in a single linear chain, needing no persist."""
     n_bands = max_hamming + 1
-    width = 64 // n_bands
-    with_sig = simhash64(df, id_col, text_col).select(F.col(id_col).alias("__id__"), "simhash")
+    width = (60 if md5_mode else 64) // n_bands
+    with_sig = simhash64(df, id_col, text_col, md5_mode=md5_mode).select(
+        F.col(id_col).alias("__id__"), "simhash"
+    )
 
     bands = with_sig.select(
         "__id__",
@@ -411,6 +434,46 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB oracle for simhash_pairs(md5_mode=True): the same 60-bit
+    md5-prefix token hashes, per-bit vote sums via unnest ×
+    generate_series, signature assembly by shifted bit sums, pigeonhole
+    banding, and bit_count(xor) Hamming verification — every stage
+    integer-exact, generated from the same parameters as the plan."""
+    n_bands = max_hamming + 1
+    width = 60 // n_bands
+    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    hashes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))"
+    return f"""
+WITH th AS (SELECT {id_col} AS did, {hashes} AS hs FROM {table}
+            WHERE {text_col} IS NOT NULL),
+votes AS (SELECT did, j, SUM(2 * ((h >> j) & 1) - 1) AS v
+          FROM (SELECT did, unnest(hs) AS h FROM th), generate_series(0, 59) s(j)
+          GROUP BY did, j),
+sig AS (SELECT did,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY did),
+banded AS (SELECT did, simhash, j AS band,
+                  (simhash >> ({width} * j)) & {(1 << width) - 1} AS bval
+           FROM sig, generate_series(0, {n_bands - 1}) b(j)),
+ok AS (SELECT band, bval FROM banded GROUP BY band, bval
+       HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}),
+cand AS (SELECT DISTINCT x.did AS id_a, y.did AS id_b,
+                bit_count(xor(x.simhash, y.simhash)) AS hamming
+         FROM banded x
+         JOIN ok o ON x.band = o.band AND x.bval = o.bval
+         JOIN banded y ON y.band = x.band AND y.bval = x.bval AND y.did > x.did)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
 
 
 # --- character n-gram Jaccard ---------------------------------------------

@@ -512,12 +512,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 pairs (the standard near-dup radius; a loose
-    radius like 10 degrades banding to 5-bit buckets and goes quadratic)
-    — rows-only check."""
+    radius like 10 degrades banding to 5-bit buckets and goes
+    quadratic).  md5_mode: 60-bit md5-prefix token hashes make every
+    stage — vote sums, signature bits, pigeonhole bands, Hamming
+    verify — engine-exact integer math, so the FULL pipeline
+    hash-checks against the generated oracle (simhash_pairs_oracle_sql;
+    the xxhash64 fast path stays the production default)."""
     from ..functions.dedup import simhash_pairs
 
-    df = _t(spark, sf_dir, "documents")
-    return simhash_pairs(df, "doc_id", "text", max_hamming=3)
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return simhash_pairs(df, "doc_id", "text", max_hamming=3, md5_mode=True)
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,6 +1198,10 @@ from ..functions.text import lang_id_oracle_sql as _lang_id_oracle_sql  # noqa: 
 
 HARNESS_ORACLES["lang_id"] = _lang_id_oracle_sql()
 HARNESS_ORACLES["dedup_ngram"] = _ngram_pairs_oracle_sql()
+
+from ..functions.dedup import simhash_pairs_oracle_sql as _simhash_pairs_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["dedup_simhash"] = _simhash_pairs_oracle_sql()
 
 from ..operators.extensions import sample_hash_oracle_predicate as _sample_pred  # noqa: E402
 
