@@ -188,6 +188,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int = 1000,
+    md5_mode: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -195,15 +196,28 @@ def minhash_lsh_pairs(
     (band, band_hash) → bucket-local self-join → exact Jaccard verify on
     the shingle sets.  Buckets larger than ``max_bucket`` are dropped
     (degenerate mass-duplicate clusters; handle those with exact_dedup
-    on the fingerprint first)."""
+    on the fingerprint first).
+
+    ``md5_mode``: engine-exact hashing end to end — shingle codes are
+    the md5-fold word_ngram_codes and band keys are Mersenne folds of
+    the signature slice (instead of xxhash64 on both) — so the FULL
+    pipeline hash-checks against ngram_pairs_oracle_sql with the same
+    parameters.  The numpy signature UDF is shared by both modes (its
+    ``(a*h+b) mod M`` permutations are already oracle-equal integer
+    math); only the shingle/band hash functions differ."""
     rows_per_band = num_perm // bands
     # Stage 1 — materialize shingle hashes once per row.  The signature
     # derives 64 mins from this array; without the persist boundary each
     # permutation would recompute the whole shingling subtree (Catalyst
     # does no CSE across lambda bodies — measured 64× slower).
+    shingle_expr = (
+        word_ngram_codes(F.col(text_col), shingle_size)
+        if md5_mode
+        else shingle_hashes(F.col(text_col), shingle_size)
+    )
     hashed = df.select(
         F.col(id_col).alias("__id__"),
-        shingle_hashes(F.col(text_col), shingle_size).alias("__shingles__"),
+        shingle_expr.alias("__shingles__"),
     ).persist()
     # Stage 2 — signatures from the cached hash arrays.  Persisted too:
     # referenced by bucket counting and both self-join sides.  Jaccard
@@ -222,23 +236,35 @@ def minhash_lsh_pairs(
     # Bands carry ONLY (id, band, bhash) — the (large) shingle arrays
     # never enter the banding shuffles; they are joined back from the
     # persisted base solely for final candidate verification.
+    if md5_mode:
+        # Mersenne fold of the slice (oracle-equal integer math,
+        # matching ngram_pairs_oracle_sql's band_key)
+        def band_hash(j):
+            return F.aggregate(
+                F.slice(F.col("__sig__"), j * rows_per_band + 2, rows_per_band - 1),
+                F.element_at(F.col("__sig__"), j * rows_per_band + 1),
+                lambda k, v: (k * F.lit(_FOLD_PRIME) + v) % F.lit(_MERSENNE),
+            )
+    else:
+        def band_hash(j):
+            return F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("__sig__"), j * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            )
+
     banded = base.select(
         "__id__",
         F.explode(
-            F.transform(
-                F.expr(f"sequence(0, {bands - 1})"),
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("__sig__"), j * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bhash"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), band_hash(j).alias("bhash"))
+                    for j in range(bands)
+                ]
             )
         ).alias("__band__"),
     ).select("__id__", "__band__.band", "__band__.bhash")

@@ -502,12 +502,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash LSH — rows-only check (signature
-    permutations are not SQL-expressible)."""
+    """Near-dup pairs via MinHash LSH (64 perms, 16 bands).  md5_mode
+    swaps the two xxhash64 stages for engine-exact md5-fold shingle
+    codes and Mersenne band folds, so the numpy-UDF signatures, the
+    banded candidate set, AND the exact-Jaccard verify all hash-check
+    against the generated oracle (ngram_pairs_oracle_sql with the same
+    band geometry); the xxhash64 path stays the production default."""
     from ..functions.dedup import minhash_lsh_pairs
 
-    df = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3)
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3, md5_mode=True)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,6 +1206,12 @@ HARNESS_ORACLES["dedup_ngram"] = _ngram_pairs_oracle_sql()
 from ..functions.dedup import simhash_pairs_oracle_sql as _simhash_pairs_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["dedup_simhash"] = _simhash_pairs_oracle_sql()
+
+# minhash md5_mode shares the ngram oracle generator — same shingle
+# codes, same permutations, same band folds; only the geometry differs
+HARNESS_ORACLES["dedup_minhash"] = _ngram_pairs_oracle_sql(
+    n=3, threshold=0.3, bands=16, rows_per_band=4, seed=42, max_bucket=1000
+)
 
 from ..operators.extensions import sample_hash_oracle_predicate as _sample_pred  # noqa: E402
 
