@@ -81,6 +81,7 @@ HEADLINE = [
     "dataset_split",
     "contamination",
     "pack_sequences",
+    "dataset_mixture",
     "window_range_frame",
     "window_distribution",
     "funnel",

@@ -299,3 +299,143 @@ SELECT {id_col}, n_tokens, start_offset,
          AS n_chunks
 FROM offs
 """
+
+# --- dataset mixture weighting ---------------------------------------------
+
+MIX_BUCKETS = 10_000  # basis-point granularity of the mixture hash
+
+
+def _mix_weight_parts(weight: float) -> tuple[int, int]:
+    """Split a non-negative sampling weight into (whole copies,
+    fractional basis points).  All downstream arithmetic is integer —
+    the Spark plan and the generated oracle share these exact ints, so
+    no float rounding can ever diverge between engines."""
+    if weight < 0:
+        raise ValueError(f"mixture weight must be >= 0, got {weight!r}")
+    base = int(weight)
+    frac_bp = int(round((weight - base) * MIX_BUCKETS))
+    if frac_bp == MIX_BUCKETS:  # e.g. 1.99999 rounds up to the next whole copy
+        base, frac_bp = base + 1, 0
+    return base, frac_bp
+
+
+def _mix_bucket(key_col: str, seed: int) -> Column:
+    # Same md5 basis-point bucket as operators.extensions.apply_sample
+    # (the split_assign hashing contract): deterministic on the KEY, so
+    # the selected subset is stable across engines, partitionings, and
+    # reruns with the same seed.
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIX_BUCKETS
+    )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_weight: float = 1.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic per-group dataset mixing — the domain/epoch
+    re-weighting stage of an LLM pretraining pipeline (downsample
+    over-represented sources, repeat under-represented ones).  Each row
+    in group ``g`` with weight ``w`` appears ``floor(w)`` times, plus
+    once more iff its md5 bucket falls under ``frac(w)`` of the key
+    space; ``copy_col`` numbers the replicas 1..n.  ``w = 0`` drops the
+    group, ``w = 1`` keeps it verbatim, ``w = 2.5`` repeats every row
+    twice and half the rows (a deterministic, hash-chosen half) a third
+    time.  Groups absent from ``weights`` (and NULL groups) get
+    ``default_weight``.
+
+    The realized rate is exact at basis-point granularity over the
+    hashed key population, and the SAME key subset survives a
+    downsample or gains the extra replica (the hash plays the role of a
+    per-key uniform draw, cf. SampleOperation.key_column).
+
+    Scale: one narrow projection + explode — no shuffle, no UDF; the
+    replication factor applies BEFORE any downstream shuffle, so a 0.1×
+    group costs 0.1× everywhere downstream.  This is ``df.sampleBy``
+    plus replication, made engine-exact (sampleBy's Bernoulli draw is
+    partitioning-dependent and can't be oracle-checked).
+
+    Reference parity: none — the reference engine (Antix5/OpenETLAgent)
+    has no sampling vocabulary at all (SURVEY §2.2); this extends the
+    engine the way dedup/contamination do."""
+    parts = {g: _mix_weight_parts(w) for g, w in weights.items()}
+    dbase, dfrac = _mix_weight_parts(default_weight)
+    bucket = _mix_bucket(key_col, seed)
+
+    def n_for(base: int, frac_bp: int) -> Column:
+        n = F.lit(base).cast("long")
+        if frac_bp:
+            n = n + (bucket < F.lit(frac_bp)).cast("long")
+        return n
+
+    n_copies = None
+    for g, (base, frac_bp) in parts.items():
+        cond = F.col(group_col) == F.lit(g)
+        n_copies = (
+            F.when(cond, n_for(base, frac_bp))
+            if n_copies is None
+            else n_copies.when(cond, n_for(base, frac_bp))
+        )
+    default_n = n_for(dbase, dfrac)
+    n_copies = default_n if n_copies is None else n_copies.otherwise(default_n)
+
+    return (
+        df.withColumn("__n_copies__", n_copies)
+        .filter(F.col("__n_copies__") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n_copies__"))),
+        )
+        .drop("__n_copies__")
+    )
+
+
+def mixture_oracle_sql(
+    table: str,
+    group_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_weight: float = 1.0,
+    copy_col: str = "copy",
+    select_cols: list[str] | None = None,
+) -> str:
+    """DuckDB oracle for weighted_mixture, generated from the same
+    (base, frac_bp) integer pairs and the same md5 bucket formula, so
+    the two cannot drift.  ``generate_series(1, 0)`` is empty in DuckDB
+    and ``unnest`` of an empty list yields no rows — the n = 0 case
+    drops rows exactly like the Spark filter."""
+    parts = {g: _mix_weight_parts(w) for g, w in weights.items()}
+    dbase, dfrac = _mix_weight_parts(default_weight)
+    bucket = (
+        f"(CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR) || ':{seed}'), 1, 8)) "
+        f"AS BIGINT) % {MIX_BUCKETS})"
+    )
+
+    def n_for(base: int, frac_bp: int) -> str:
+        if frac_bp:
+            return f"{base} + CASE WHEN {bucket} < {frac_bp} THEN 1 ELSE 0 END"
+        return str(base)
+
+    branches = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {n_for(b, f)}" for g, (b, f) in parts.items()
+    )
+    case = f"CASE {branches} ELSE {n_for(dbase, dfrac)} END" if branches else n_for(dbase, dfrac)
+    cols = ", ".join(select_cols) if select_cols else "*"
+    return (
+        f"WITH n AS (SELECT {cols}, CAST({case} AS BIGINT) AS __n__ FROM {table}) "
+        f"SELECT * EXCLUDE (__n__), CAST(unnest(generate_series(1, __n__)) AS BIGINT) "
+        f"AS {copy_col} FROM n WHERE __n__ > 0"
+    )

@@ -93,6 +93,10 @@ Available operation_type values and their fields:
 - scrub: redact a string column with ordered regex rules. {input_column,
   output_column?, rules: [[pattern, replacement], ...]} — empty rules =
   default PII set (emails/URLs/IPs/digit runs)
+- mixture: deterministic per-group up/down-sampling (domain re-weighting).
+  {group_column, key_column, weights: {group: weight}, default_weight,
+  copy_column} — weight 0 drops the group, 2.5 = two copies of every row
+  plus a hash-chosen half a third time
 - asof_join: latest-right-row-at-or-before join. {right_file_path: input_key,
   left_on, right_on, left_time, right_time, value_columns, direction}
 - range_join: time-proximity join. {kind: tolerance (self pairs: key,

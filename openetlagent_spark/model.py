@@ -640,6 +640,31 @@ class PackSequencesOperation(Operation):
             )
 
 
+@dataclass
+class MixtureOperation(Operation):
+    """Deterministic per-group dataset mixing as a flow op
+    (functions/curation.py weighted_mixture): each row in group ``g``
+    with weight ``w`` is kept/replicated ``floor(w)`` times plus a
+    hash-chosen extra copy with probability ``frac(w)`` — domain/epoch
+    re-weighting for training-data pipelines, engine-exact (same md5
+    bucket contract as SampleOperation.key_column)."""
+
+    group_column: str = ""
+    key_column: str = ""
+    weights: dict[str, float] = field(default_factory=dict)
+    default_weight: float = 1.0
+    seed: int = 42
+    copy_column: str = "copy"
+    operation_type: str = "mixture"
+
+    def __post_init__(self) -> None:
+        if not self.group_column or not self.key_column:
+            raise SpecError("mixture requires group_column and key_column")
+        for g, w in {**self.weights, "<default>": self.default_weight}.items():
+            if not isinstance(w, (int, float)) or w < 0:
+                raise SpecError(f"mixture weight for {g!r} must be >= 0, got {w!r}")
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -672,6 +697,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "contamination": ContaminationOperation,
     "pack_sequences": PackSequencesOperation,
     "scrub": ScrubOperation,
+    "mixture": MixtureOperation,
 }
 
 

@@ -8,6 +8,7 @@ from .advanced import (
     apply_asof_join,
     apply_contamination,
     apply_dedup,
+    apply_mixture,
     apply_pack_sequences,
     apply_range_join,
     apply_scrub,
@@ -46,6 +47,7 @@ OPERATION_DISPATCHER = {
     "dedup": apply_dedup,
     "pack_sequences": apply_pack_sequences,
     "scrub": apply_scrub,
+    "mixture": apply_mixture,
     "equality": apply_equality,
     "concatenation": apply_concatenation,
     "application": apply_application,
@@ -77,6 +79,7 @@ __all__ = [
     "apply_assignation",
     "apply_bind",
     "apply_dedup",
+    "apply_mixture",
     "apply_casting",
     "apply_comparison",
     "apply_concatenation",

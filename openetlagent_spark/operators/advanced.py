@@ -18,6 +18,7 @@ from ..model import (
     ContaminationOperation,
     DedupOperation,
     FileDefinition,
+    MixtureOperation,
     PackSequencesOperation,
     RangeJoinOperation,
     ScrubOperation,
@@ -77,6 +78,21 @@ def apply_pack_sequences(df: DataFrame, op: PackSequencesOperation) -> DataFrame
         df, id_col=op.id_column, text_col=op.text_column, ctx=op.context_length
     )
     return df.join(packed, op.id_column)
+
+
+def apply_mixture(df: DataFrame, op: "MixtureOperation") -> DataFrame:
+    """Deterministic per-group up/down-sampling (domain re-weighting)."""
+    from ..functions.curation import weighted_mixture
+
+    return weighted_mixture(
+        df,
+        group_col=op.group_column,
+        weights=op.weights,
+        key_col=op.key_column,
+        seed=op.seed,
+        default_weight=op.default_weight,
+        copy_col=op.copy_column,
+    )
 
 
 def apply_dedup(df: DataFrame, op: DedupOperation) -> DataFrame:

@@ -901,6 +901,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, ctx=512)
 
 
+# weights shared by the Spark query and the generated oracle — they
+# cannot drift (en downsampled, zh repeated 2.5×, fr dropped, rest kept)
+_MIXTURE_WEIGHTS = {"en": 0.5, "zh": 2.5, "fr": 0.0}
+
+
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain re-weighting over the documents table
+    (functions/curation.py weighted_mixture): English halved, Chinese
+    repeated 2.5× (every row twice, a hash-chosen half a third time),
+    French dropped, other languages kept verbatim; ``copy`` numbers the
+    replicas.  One narrow projection + explode — no shuffle, no UDF —
+    and the md5 bucket choice makes the surviving/replicated key set
+    identical in any engine, so the oracle is exact."""
+    from ..functions.curation import weighted_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    return weighted_mixture(docs, "lang", _MIXTURE_WEIGHTS, key_col="doc_id", seed=42)
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -956,6 +977,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "contamination": q_contamination,
     "pack_sequences": q_pack_sequences,
+    "dataset_mixture": q_dataset_mixture,
     "dedup_clusters": q_dedup_clusters,
     "text_scrub": q_text_scrub,
 }
@@ -1230,6 +1252,17 @@ HARNESS_ORACLES["contamination"] = _contamination_oracle_sql(
     "(SELECT * FROM documents WHERE doc_id % 20 = 0)",
 )
 HARNESS_ORACLES["pack_sequences"] = _pack_sequences_oracle_sql()
+
+from ..functions.curation import mixture_oracle_sql as _mixture_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["dataset_mixture"] = _mixture_oracle_sql(
+    "documents",
+    "lang",
+    _MIXTURE_WEIGHTS,
+    key_col="doc_id",
+    seed=42,
+    select_cols=["doc_id", "lang", "source"],
+)
 
 from ..functions.graph import components_oracle_sql as _components_oracle_sql  # noqa: E402
 
