@@ -770,12 +770,19 @@ def embedding_neardup_pairs(
     n_tables: int = 2,
     seed: int = 42,
     max_bucket: int = 2000,
+    rademacher: bool = False,
 ) -> DataFrame:
     """Cosine-similar pairs (cos >= threshold) via sign-LSH blocking:
     ``n_tables`` independent sets of ``n_planes`` random hyperplanes;
     candidates share a full sign pattern in at least one table; exact
     cosine verifies.  Recall < 1 by construction (documented LSH
-    trade-off); raise n_tables for higher recall."""
+    trade-off); raise n_tables for higher recall.
+
+    ``rademacher``: ±1.0 planes (similarity.rademacher_planes) instead
+    of Gaussian — identical LSH family guarantees, but every projection
+    becomes an exact-float add/subtract chain, so the WHOLE pipeline
+    (bucket assignment included) hash-checks against the generated
+    DuckDB oracle (embedding_pairs_oracle_sql with the same seed)."""
     from .similarity import cosine_expr, infer_dim, multi_table_signatures
 
     dim = infer_dim(df, vec_col)
@@ -792,7 +799,9 @@ def embedding_neardup_pairs(
     banded = base.select(
         "__id__",
         F.posexplode(
-            multi_table_signatures(F.col("__v__"), n_planes, n_tables, seed, dim)
+            multi_table_signatures(
+                F.col("__v__"), n_planes, n_tables, seed, dim, rademacher=rademacher
+            )
         ).alias("tbl", "bucket"),
     )
     buckets = (
@@ -825,4 +834,74 @@ def embedding_neardup_pairs(
         .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_pairs_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    max_bucket: int = 2000,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for embedding_neardup_pairs(rademacher=True),
+    generated from the SAME ±1.0 planes (similarity.rademacher_planes
+    with the same seed) — the two cannot drift.  Each sign projection
+    unrolls to the identical left-to-right add/subtract chain Spark's
+    dot fold evaluates (±1.0 products are exact, float addition order
+    matches), the bucket id is the same bit-pack integer, and the final
+    cosine is the same fold-order double arithmetic (dot and norms
+    spelled out; DuckDB's list_cosine_similarity normalizes with
+    sqrt(na·nb), which is NOT bit-equal to Spark's sqrt(na)·sqrt(nb))."""
+    from .similarity import rademacher_planes
+
+    planes = rademacher_planes(n_tables, n_planes, dim, seed)
+
+    def proj(vec: str, plane: list[float]) -> str:
+        # ((0.0 + v[1]) - v[2]) + ...: left-assoc, same order and the
+        # same exact ±v_i terms as Spark's zip_with/aggregate fold
+        terms = "0.0"
+        for i, s in enumerate(plane):
+            op = "+" if s > 0 else "-"
+            terms = f"({terms} {op} {vec}[{i + 1}])"
+        return terms
+
+    def bucket(vec: str, t: int) -> str:
+        bits = [
+            f"(CASE WHEN {proj(vec, p)} > 0.0 THEN 1 ELSE 0 END)"
+            for p in planes[t]
+        ]
+        packed = " + ".join(
+            f"{b} * {1 << (n_planes - 1 - j)}" for j, b in enumerate(bits)
+        )
+        return f"CAST({packed} AS BIGINT)"
+
+    banded_selects = " UNION ALL ".join(
+        f"SELECT vid, {t} AS tbl, {bucket('v', t)} AS bucket FROM base"
+        for t in range(n_tables)
+    )
+    # fold-order-exact dot and norms: explicit left-to-right chains
+    dot_terms = "0.0"
+    na_terms = "0.0"
+    nb_terms = "0.0"
+    for i in range(1, dim + 1):
+        dot_terms = f"({dot_terms} + a.v[{i}] * b.v[{i}])"
+        na_terms = f"({na_terms} + a.v[{i}] * a.v[{i}])"
+        nb_terms = f"({nb_terms} + b.v[{i}] * b.v[{i}])"
+    cosine = f"({dot_terms}) / (sqrt({na_terms}) * sqrt({nb_terms}))"
+    return (
+        f"WITH base AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM {table}), "
+        f"banded AS ({banded_selects}), "
+        f"ok AS (SELECT tbl, bucket FROM banded GROUP BY tbl, bucket "
+        f"HAVING count(*) > 1 AND count(*) <= {max_bucket}), "
+        f"cand AS (SELECT DISTINCT x.vid AS id_a, y.vid AS id_b "
+        f"FROM banded x JOIN ok o ON x.tbl = o.tbl AND x.bucket = o.bucket "
+        f"JOIN banded y ON y.tbl = x.tbl AND y.bucket = x.bucket WHERE x.vid < y.vid), "
+        f"scored AS (SELECT c.id_a, c.id_b, {cosine} AS cosine "
+        f"FROM cand c JOIN base a ON a.vid = c.id_a JOIN base b ON b.vid = c.id_b) "
+        f"SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}"
     )

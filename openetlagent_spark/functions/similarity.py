@@ -111,16 +111,45 @@ def _array_literal(values) -> Column:
     return F.expr(fmt(values))
 
 
+def rademacher_planes(
+    n_tables: int, n_planes: int, dim: int, seed: int
+) -> list[list[list[float]]]:
+    """±1.0 hyperplanes from a seeded Python RNG — the Rademacher
+    sign-projection LSH family (same angular-distance guarantees as
+    Gaussian planes, a standard sparse/binary simplification).  Because
+    every coefficient is ±1.0, each projection is an exact-float
+    add/subtract chain any engine evaluates bit-identically in the same
+    fold order — which makes the ENTIRE sign-LSH blocking stage
+    SQL-oracle-checkable (see dedup.embedding_pairs_oracle_sql).  The
+    same Python list feeds the Spark literal and the generated SQL, so
+    the two cannot drift."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        [[float(rng.choice((-1.0, 1.0))) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
 def multi_table_signatures(
-    vec: Column, n_planes: int, n_tables: int, seed: int, dim: int
+    vec: Column, n_planes: int, n_tables: int, seed: int, dim: int,
+    rademacher: bool = False,
 ) -> Column:
     """``array<long>`` of hyperplane signatures, one per LSH table, from
     ONE 3-D plane literal and one nested transform/aggregate expression.
     Building per-table signature columns costs n_tables × n_planes × dim
     py4j literal round-trips (measured: seconds of driver time); this
-    form is a handful of calls and evaluates in one JVM pass."""
-    rng = np.random.RandomState(seed)
-    tables_lit = _array_literal(rng.randn(n_tables, n_planes, dim))
+    form is a handful of calls and evaluates in one JVM pass.
+
+    ``rademacher``: draw ±1.0 planes (rademacher_planes) instead of
+    Gaussian — engine-exact, enabling a full SQL oracle over the
+    blocking stage."""
+    if rademacher:
+        tables_lit = _array_literal(rademacher_planes(n_tables, n_planes, dim, seed))
+    else:
+        rng = np.random.RandomState(seed)
+        tables_lit = _array_literal(rng.randn(n_tables, n_planes, dim))
     return F.transform(
         tables_lit,
         lambda planes: F.aggregate(

@@ -541,12 +541,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs via sign-LSH — rows-only check
-    (LSH recall is probabilistic by construction)."""
+    """Embedding cosine near-dup pairs via sign-LSH with ±1.0
+    (Rademacher) hyperplanes: every projection is an exact-float
+    add/subtract chain, so bucket assignment, candidate pairing, AND
+    the fold-order cosine verify all hash-match the generated DuckDB
+    oracle (functions/dedup.py embedding_pairs_oracle_sql, same seed).
+    Gaussian planes remain the library default for callers that don't
+    need SQL checkability."""
     from ..functions.dedup import embedding_neardup_pairs
 
     df = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.3)
+    return embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.3, rademacher=True
+    )
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1234,6 +1241,10 @@ HARNESS_ORACLES["dedup_simhash"] = _simhash_pairs_oracle_sql()
 HARNESS_ORACLES["dedup_minhash"] = _ngram_pairs_oracle_sql(
     n=3, threshold=0.3, bands=16, rows_per_band=4, seed=42, max_bucket=1000
 )
+
+from ..functions.dedup import embedding_pairs_oracle_sql as _embedding_pairs_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["dedup_embedding"] = _embedding_pairs_oracle_sql(threshold=0.3)
 
 from ..operators.extensions import sample_hash_oracle_predicate as _sample_pred  # noqa: E402
 

@@ -147,3 +147,46 @@ def test_ivf_topk_finds_nearest(vectors):
     out = ivf_topk(vectors, vectors.filter("vec_id = 0"), k=2, n_centroids=2, nprobe=2)
     top = out.orderBy("rank").first()
     assert top.neighbor_id == 1
+
+
+def test_embedding_rademacher_matches_generated_oracle(spark):
+    """Rademacher (±1 plane) sign-LSH: bucket assignment, candidate
+    pairing, and the fold-order cosine verify are all bit-identical to
+    the generated DuckDB oracle (the exactness dedup_embedding's
+    harness check relies on)."""
+    import duckdb
+
+    from openetlagent_spark.functions.dedup import (
+        embedding_neardup_pairs,
+        embedding_pairs_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, rademacher=True, seed=11
+    )
+    got = sorted((r.id_a, r.id_b, r.cosine) for r in out.collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    sql = embedding_pairs_oracle_sql(threshold=0.3, seed=11)
+    want = sorted(tuple(t) for t in con.execute(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_embedding_rademacher_finds_parallel_vectors(vectors):
+    """±1 planes are a real LSH family: near-parallel vectors (cos
+    ~0.995) agree with every ±1 plane whose dominant coordinate they
+    share, so the planted (0, 1) pair is ALWAYS blocked together and
+    survives the exact-cosine verify.  The anti-parallel pair (0, 3)
+    never can (cosine -1 < threshold)."""
+    from openetlagent_spark.functions.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.9, n_planes=4, n_tables=2,
+        rademacher=True,
+    )
+    pairs = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 3) not in pairs
