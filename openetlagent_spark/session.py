@@ -24,6 +24,12 @@ def get_spark(app_name: str = "openetlagent-spark", master: str | None = None) -
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark still DEFAULTS parquet timestamps to legacy INT96, which
+        # carries no min/max statistics and no filter pushdown — every
+        # time-range scan over an INT96-written table reads everything.
+        # INT64 micros restores stats, row-group skipping, and pushdown
+        # (see tests/test_sorted_layout.py for the measured difference).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

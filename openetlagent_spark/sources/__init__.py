@@ -4,6 +4,7 @@ from .io import (
     scan_data,
     write_bucketed,
     write_compacted,
+    write_sorted,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "scan_data",
     "write_bucketed",
     "write_compacted",
+    "write_sorted",
 ]

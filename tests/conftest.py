@@ -13,6 +13,9 @@ def spark() -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # match session.get_spark: INT64 micros timestamps carry parquet
+        # min/max stats (INT96 does not), needed for range-layout pruning
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,0 +1,101 @@
+"""Range-sorted write layout (sources/io.py write_sorted): the parquet
+footers must prove the scale story — disjoint per-file key ranges,
+sorted row groups, and quantified row-group skipping for a narrow
+predicate vs an unsorted layout."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from openetlagent_spark.sources import write_sorted
+from openetlagent_spark.streaming import read_event_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rg_ranges(path_glob: str, col: str):
+    """[(min, max)] for every row group of every file under the glob."""
+    ranges = []
+    for f in sorted(glob.glob(path_glob)):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            ranges.append((f, st.min, st.max))
+    return ranges
+
+
+def _file_ranges(path_glob: str, col: str):
+    per_file: dict[str, tuple] = {}
+    for f, lo, hi in _rg_ranges(path_glob, col):
+        cur = per_file.get(f)
+        per_file[f] = (
+            (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+        )
+    return list(per_file.values())
+
+
+def test_sorted_layout_disjoint_files_and_skipping(spark, tmp_path):
+    ev = read_event_table(spark, f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    sorted_path = str(tmp_path / "sorted")
+    unsorted_path = str(tmp_path / "unsorted")
+    write_sorted(ev, sorted_path, ["ts"], num_files=8)
+    # unsorted control: same data, hash-scattered across the same count
+    ev.repartition(8).write.mode("overwrite").parquet(unsorted_path)
+
+    # 1. files own disjoint ts ranges (range partitioner boundaries)
+    franges = sorted(_file_ranges(f"{sorted_path}/part-*.parquet", "ts"))
+    assert len(franges) > 2
+    for (_, hi_prev), (lo_next, _) in zip(franges, franges[1:]):
+        assert hi_prev <= lo_next
+
+    # 2. row groups inside each file are sorted (monotonic mins)
+    by_file: dict[str, list] = {}
+    for f, lo, hi in _rg_ranges(f"{sorted_path}/part-*.parquet", "ts"):
+        by_file.setdefault(f, []).append((lo, hi))
+    for rgs in by_file.values():
+        mins = [lo for lo, _ in rgs]
+        assert mins == sorted(mins)
+
+    # 3. quantified pruning: a narrow ts window (~5 % of the span)
+    #    intersects few sorted row groups but nearly all unsorted ones
+    all_sorted = _rg_ranges(f"{sorted_path}/part-*.parquet", "ts")
+    all_unsorted = _rg_ranges(f"{unsorted_path}/part-*.parquet", "ts")
+    lo = min(r[1] for r in all_sorted)
+    hi = max(r[2] for r in all_sorted)
+    span = hi - lo
+    w_lo, w_hi = lo + span * 0.50, lo + span * 0.55
+
+    def hit(ranges):
+        return sum(1 for _, a, b in ranges if not (b < w_lo or a > w_hi))
+
+    sorted_frac = hit(all_sorted) / len(all_sorted)
+    unsorted_frac = hit(all_unsorted) / len(all_unsorted)
+    assert sorted_frac <= 0.35
+    assert unsorted_frac >= 0.9  # hash layout: every row group spans ~everything
+    assert sorted_frac < unsorted_frac / 2
+
+    # 4. round trip: the filtered read-back agrees with the source, and
+    #    the predicate reaches the scan (PushedFilters in the plan)
+    back = spark.read.parquet(sorted_path).filter(
+        (F.col("ts") >= F.lit(w_lo)) & (F.col("ts") <= F.lit(w_hi))
+    )
+    want = ev.filter((F.col("ts") >= F.lit(w_lo)) & (F.col("ts") <= F.lit(w_hi)))
+    assert back.count() == want.count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(ts)" in plan
+
+
+def test_sorted_layout_orc_and_bad_format(spark, tmp_path):
+    ev = read_event_table(spark, f"{SF_DIR}/events.parquet").limit(100)
+    write_sorted(ev, str(tmp_path / "o"), ["ts"], fmt="orc", num_files=2)
+    assert spark.read.orc(str(tmp_path / "o")).count() == 100
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        write_sorted(ev, str(tmp_path / "x"), ["ts"], fmt="avro")
