@@ -840,6 +840,78 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout end-to-end (sources/io.py write_sorted):
+    events rewritten with repartitionByRange(ts) + sortWithinPartitions
+    so each file owns a disjoint time range, then a 1-day window
+    (3 % of the 30-day span) is scanned off the sorted copy and
+    aggregated.  At 100 TB this layout is what turns a time-window
+    query into a touch of the few files covering the window — the
+    footer-level pruning evidence is in tests/test_sorted_layout.py.
+    Hash-matching a plain aggregate over the SOURCE proves the
+    sort+rewrite is lossless and the pruned read returns exactly the
+    window's rows."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import write_sorted
+    from ..streaming import read_event_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"ela_sorted_layout_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    write_sorted(ev, tmp, ["ts"], num_files=8)
+    back = spark.read.parquet(tmp).filter(
+        (F.col("ts") >= F.lit("2024-01-15 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-16 00:00:00"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end (sources/io.py write_zorder):
+    events rewritten on a (user_id, value) Morton code, then a 2-D box
+    predicate is scanned off the clustered copy and aggregated per
+    user.  Each z-ordered file bounds BOTH dimensions, so at 100 TB
+    the box predicate touches a handful of files where a single-column
+    sort could only prune one dimension (footer evidence:
+    tests/test_sorted_layout.py).  Hash-matching a plain aggregate
+    over the SOURCE proves the quantile-bucket rewrite is lossless and
+    the clustered read returns exactly the box's rows."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import write_zorder
+    from ..streaming import read_event_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"ela_zorder_layout_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_zorder(ev, tmp, ["user_id", "value"], num_files=8)
+    back = spark.read.parquet(tmp).filter(
+        (F.col("user_id") <= 7)
+        & (F.col("value") >= 100.0)
+        & (F.col("value") <= 150.0)
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination sweep: documents with doc_id % 20 == 0
     act as the held-out eval set; every other document is scored for
@@ -975,6 +1047,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "stream_join": q_stream_join,
     "stream_sink": q_stream_sink,
+    "sorted_layout": q_sorted_layout,
+    "zorder_layout": q_zorder_layout,
     "multimodal_features": q_multimodal_features,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
@@ -1176,6 +1250,18 @@ HARNESS_ORACLES: dict[str, str] = {
         "SELECT event_type, COUNT(*) AS n_events, "
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY event_type"
+    ),
+    "sorted_layout": (
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type"
+    ),
+    "zorder_layout": (
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events WHERE user_id <= 7 AND value >= 100.0 AND value <= 150.0 "
+        "GROUP BY user_id"
     ),
     "multimodal_features": (
         # Deterministic invariants of the stub byte-histogram decode:

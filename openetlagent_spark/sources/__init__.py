@@ -5,6 +5,7 @@ from .io import (
     write_bucketed,
     write_compacted,
     write_sorted,
+    write_zorder,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "write_bucketed",
     "write_compacted",
     "write_sorted",
+    "write_zorder",
 ]

@@ -237,6 +237,88 @@ def write_sorted(
         raise NotImplementedError(f"Unsupported sorted output format: {fmt}")
 
 
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    *,
+    fmt: str = "parquet",
+    num_files: int | None = None,
+    bits: int = 8,
+) -> None:
+    """Multi-dimension z-order clustering: interleave the bits of
+    per-column quantile-bucket ids into one Morton code, then range-
+    partition + sort on that code.  Each output file then covers a
+    small, bounded range in EVERY z-ordered dimension at once, so
+    footer min/max stats prune scans filtered on ANY of the columns —
+    the layout behind "OPTIMIZE ZORDER BY" in lakehouse engines, and
+    the multi-dim generalization of ``write_sorted`` (which clusters
+    one dimension perfectly and the others not at all).
+
+    Scale shape: ONE ``approxQuantile`` pass computes all columns'
+    2^bits bucket boundaries (bounded driver result, ~(2^bits)*ncols
+    doubles); bucket lookup is a JVM array-filter expression per row;
+    the only shuffle is the final range partitioning on the code.
+    Quantile (not uniform min/max) binning keeps buckets balanced
+    under skew, so no file degenerates into owning the whole range.
+    Columns must be numeric / timestamp (cast to double); nulls land
+    in bucket 0.  Evidence: tests/test_sorted_layout.py asserts per-
+    file footer ranges are bounded in both dimensions and quantifies
+    row-group skipping vs a hash layout for single-column and 2-D box
+    predicates."""
+    if not (1 <= bits <= 10):
+        raise ValueError(f"zorder bits must be in [1, 10], got {bits}")
+    ncols = len(zorder_cols)
+    if ncols < 1:
+        raise ValueError("write_zorder needs at least one column")
+    nbins = 1 << bits
+    probs = [i / nbins for i in range(1, nbins)]
+    doubled = df.select(
+        *[F.col(c).cast("double").alias(f"_q{i}") for i, c in enumerate(zorder_cols)]
+    )
+    all_bounds = doubled.approxQuantile(
+        [f"_q{i}" for i in range(ncols)], probs, 0.001
+    )
+    zparts = []
+    for ci, (col_name, bounds) in enumerate(zip(zorder_cols, all_bounds)):
+        uniq = sorted(set(bounds))  # ≤ nbins-1 boundaries → bucket < 2^bits
+        dcol = F.col(col_name).cast("double")
+        arr = F.array(*[F.lit(float(b)) for b in uniq])
+        bucket = F.size(F.filter(arr, lambda b: b <= dcol))
+        # Low-cardinality columns dedupe to few boundaries, leaving the
+        # HIGH bits of the bucket id always zero — the dimension would
+        # then only occupy the least-significant interleave positions
+        # and never influence which file a row lands in.  Rescale so
+        # the max bucket hits 2^bits-1 and every dimension contends for
+        # the significant bits equally.
+        if uniq and len(uniq) < nbins - 1:
+            bucket = F.floor(bucket * (nbins - 1) / len(uniq)).cast("int")
+        for bit in range(bits):
+            zparts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * ncols + ci,
+                )
+            )
+    zcode = zparts[0]
+    for p in zparts[1:]:
+        zcode = zcode.bitwiseOR(p)
+    tagged = df.withColumn("_x_zorder", zcode)
+    out = (
+        tagged.repartitionByRange(num_files, "_x_zorder")
+        if num_files
+        else tagged.repartitionByRange("_x_zorder")
+    )
+    out = out.sortWithinPartitions("_x_zorder").drop("_x_zorder")
+    writer = out.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    else:
+        raise NotImplementedError(f"Unsupported zorder output format: {fmt}")
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_cols: list[str], num_buckets: int = 32
 ) -> None:

@@ -91,6 +91,71 @@ def test_sorted_layout_disjoint_files_and_skipping(spark, tmp_path):
     assert "PushedFilters: [" in plan and "IsNotNull(ts)" in plan
 
 
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Morton-code clustering (write_zorder) must bound EVERY z-ordered
+    dimension per file: a narrow predicate on either column alone
+    skips files, and a 2-D box predicate skips nearly all of them —
+    which a single-column sort cannot do for the second dimension."""
+    from openetlagent_spark.sources import write_zorder
+
+    ev = read_event_table(spark, f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    zpath = str(tmp_path / "z")
+    upath = str(tmp_path / "u")
+    write_zorder(ev, zpath, ["user_id", "value"], num_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(upath)
+
+    # lossless rewrite
+    assert spark.read.parquet(zpath).count() == ev.count()
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    ulo, uhi, vlo, vhi = stats
+
+    def window(lo, hi, a, b):
+        span = hi - lo
+        return lo + span * a, lo + span * b
+
+    def hit_frac(pat, col, w):
+        r = _rg_ranges(pat, col)
+        return sum(1 for _, a, b in r if not (b < w[0] or a > w[1])) / len(r)
+
+    uw = window(ulo, uhi, 0.50, 0.55)
+    vw = window(vlo, vhi, 0.50, 0.55)
+    # each single dimension prunes vs the hash layout
+    assert hit_frac(f"{zpath}/part-*.parquet", "user_id", uw) <= 0.7
+    assert hit_frac(f"{zpath}/part-*.parquet", "value", vw) <= 0.5
+    assert hit_frac(f"{upath}/part-*.parquet", "user_id", uw) >= 0.85
+    assert hit_frac(f"{upath}/part-*.parquet", "value", vw) >= 0.85
+
+    # the 2-D box predicate touches almost nothing
+    uw2 = window(ulo, uhi, 0.50, 0.60)
+    vw2 = window(vlo, vhi, 0.50, 0.60)
+    ru = dict(
+        (f, (a, b)) for f, a, b in _rg_ranges(f"{zpath}/part-*.parquet", "user_id")
+    )
+    rv = dict(
+        (f, (a, b)) for f, a, b in _rg_ranges(f"{zpath}/part-*.parquet", "value")
+    )
+    box_hits = sum(
+        1
+        for f in ru
+        if not (ru[f][1] < uw2[0] or ru[f][0] > uw2[1])
+        and not (rv[f][1] < vw2[0] or rv[f][0] > vw2[1])
+    )
+    assert box_hits / len(ru) <= 0.25
+
+    # filtered read-back agrees with the source
+    pred = (
+        (F.col("user_id") >= F.lit(uw2[0]))
+        & (F.col("user_id") <= F.lit(uw2[1]))
+        & (F.col("value") >= F.lit(vw2[0]))
+        & (F.col("value") <= F.lit(vw2[1]))
+    )
+    assert spark.read.parquet(zpath).filter(pred).count() == ev.filter(pred).count()
+
+
 def test_sorted_layout_orc_and_bad_format(spark, tmp_path):
     ev = read_event_table(spark, f"{SF_DIR}/events.parquet").limit(100)
     write_sorted(ev, str(tmp_path / "o"), ["ts"], fmt="orc", num_files=2)
