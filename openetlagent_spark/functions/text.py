@@ -153,6 +153,60 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(normalized.cast("binary")))
 
 
+def with_repetition(df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Intra-document repetition signals: for each n in ``ns``, add
+    ``dup_{n}gram_frac`` — the fraction of the document's word n-grams
+    that are repeats (1 - distinct/total, 0 for docs shorter than n
+    tokens).  This is the classic repetitious-text quality filter for
+    pretraining corpora (boilerplate, keyword stuffing, decoder loops
+    score high).  Pure JVM expressions — one ``transform`` over a
+    ``sequence`` builds the n-gram list per row, no shuffle, no Python.
+    Mirrored exactly by :func:`repetition_oracle_sql`."""
+    # Factory, not default-args: pyspark's HOF bridge introspects the
+    # lambda's arity, so extra bound parameters would be treated as
+    # lambda variables.
+    def _gram_fn(n: int, toks: Column):
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        )
+
+    out = df
+    for n in ns:
+        toks = _tokens(F.col(text_col))
+        nt = F.size(toks)
+        total = nt - n + 1
+        grams = F.transform(F.sequence(F.lit(1), total), _gram_fn(n, toks))
+        frac = F.when(
+            total > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(f"dup_{n}gram_frac", frac)
+    return out
+
+
+def repetition_oracle_sql(
+    table: str = "documents", text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> str:
+    """DuckDB mirror of with_repetition, generated from the same n list
+    so the two cannot drift."""
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    exprs = []
+    for n in ns:
+        gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+        grams = f"list_transform(range(1, len(t) - {n} + 2), i -> {gram})"
+        frac = (
+            f"CASE WHEN len(t) - {n} + 1 > 0 THEN "
+            f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / (len(t) - {n} + 1) "
+            f"ELSE 0.0 END AS dup_{n}gram_frac"
+        )
+        exprs.append(frac)
+    return (
+        f"SELECT doc_id, {', '.join(exprs)} "
+        f"FROM (SELECT doc_id, {toks} AS t FROM {table}) s"
+    )
+
+
 def with_split_assign(
     df: DataFrame,
     key_col: str,

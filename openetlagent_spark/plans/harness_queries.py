@@ -493,6 +493,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(df).select("doc_id", "fingerprint")
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition quality filter (functions/text.py
+    with_repetition): per-doc duplicate word-2/3-gram fractions — the
+    standard repetitious-text screen for pretraining corpora.  Pure
+    JVM transform/sequence expressions, shuffle-free; oracle generated
+    from the same n list."""
+    from ..functions.text import with_repetition
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_repetition(df).select("doc_id", "dup_2gram_frac", "dup_3gram_frac")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keyed on (lang, source): keep the lowest doc_id."""
     from ..functions.dedup import exact_dedup
@@ -725,6 +737,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_event_table(spark, f"{sf_dir}/events.parquet")
     out = sessionize(df, gap_seconds=1800)
     # Epoch output for host-tz independence (see q_events_window).
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("double").alias("session_start_epoch"),
+        F.col("session_end").cast("double").alias("session_end_epoch"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (streaming/events.py session_window_agg):
+    Spark's built-in ``session_window`` merges gap-based sessions inside
+    the aggregation operator — no per-key Python state, identical plan
+    on batch and stream.  Boundary semantics differ from the custom
+    ``sessionize``: a new session opens at gap >= 30 min and the window
+    end carries the trailing gap; the oracle mirrors both."""
+    from ..streaming import read_event_table, session_window_agg
+
+    df = read_event_table(spark, f"{sf_dir}/events.parquet")
+    out = session_window_agg(df, gap="30 minutes")
     return out.select(
         "user_id",
         F.col("session_start").cast("double").alias("session_start_epoch"),
@@ -1034,6 +1066,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "doc_repetition": q_doc_repetition,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1053,6 +1086,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
+    "session_window": q_session_window,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "rollup": q_rollup,
@@ -1310,13 +1344,32 @@ HARNESS_ORACLES: dict[str, str] = {
         "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
         "FROM sess GROUP BY user_id, session_id"
     ),
+    "session_window": (
+        # Strict session_window contract: new session at gap >= 1800 s,
+        # window end = last event + gap.
+        "WITH marked AS ("
+        "  SELECT user_id, ts, value, "
+        "  CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800 "
+        "       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_session "
+        "  FROM events), "
+        "sess AS ("
+        "  SELECT user_id, ts, value, "
+        "  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id "
+        "  FROM marked) "
+        "SELECT user_id, epoch(MIN(ts)) AS session_start_epoch, "
+        "epoch(MAX(ts)) + 1800 AS session_end_epoch, "
+        "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM sess GROUP BY user_id, session_id"
+    ),
 }
 
 from ..functions.dedup import ngram_pairs_oracle_sql as _ngram_pairs_oracle_sql  # noqa: E402
 from ..functions.text import lang_id_oracle_sql as _lang_id_oracle_sql  # noqa: E402
+from ..functions.text import repetition_oracle_sql as _repetition_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["lang_id"] = _lang_id_oracle_sql()
 HARNESS_ORACLES["dedup_ngram"] = _ngram_pairs_oracle_sql()
+HARNESS_ORACLES["doc_repetition"] = _repetition_oracle_sql()
 
 from ..functions.dedup import simhash_pairs_oracle_sql as _simhash_pairs_oracle_sql  # noqa: E402
 

@@ -4,6 +4,7 @@ from .events import (
     enrich_stream,
     read_event_stream,
     read_event_table,
+    session_window_agg,
     sessionize,
     windowed_event_counts,
     write_stream_idempotent,
@@ -15,6 +16,7 @@ __all__ = [
     "enrich_stream",
     "read_event_stream",
     "read_event_table",
+    "session_window_agg",
     "sessionize",
     "windowed_event_counts",
     "write_stream_idempotent",

@@ -167,6 +167,43 @@ def windowed_event_counts(
     )
 
 
+def session_window_agg(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``session_window`` — the
+    built-in counterpart to the custom ``sessionize`` operator below.
+    The native form merges windows inside the aggregation operator
+    (no per-key Python state), works identically on batch and
+    streaming inputs, and on a stream the watermark closes sessions
+    and evicts their state, so state stays O(open sessions).
+
+    Semantics note vs ``sessionize``: Spark's session window spans
+    ``[first_event, last_event + gap)`` — the reported ``session_end``
+    includes the trailing gap, and an event lands in a new session when
+    its ts is ``>= last + gap`` (strict session_window contract).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def write_stream_idempotent(
     df: DataFrame,
     path: str,

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from openetlagent_spark.streaming import sessionize
+from openetlagent_spark.streaming import session_window_agg, sessionize
 from openetlagent_spark.streaming.events import EVENT_SCHEMA
 
 
@@ -53,3 +53,46 @@ def test_streaming_sessionize_emits_closed_sessions(spark, tmp_path):
     assert s.n_events == 2 and s.sum_value == 3.0
     assert s.session_start.strftime("%H:%M") == "10:00"
     assert s.session_end.strftime("%H:%M") == "10:10"
+
+def test_session_window_agg_stream_matches_batch(spark, tmp_path):
+    """Native session_window: the streaming run (watermark-closed
+    sessions, append mode) must emit exactly the batch result for
+    sessions the watermark has passed."""
+    rows = [
+        Row(event_id=1, ts="2024-01-01 10:00:00", user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=2, ts="2024-01-01 10:10:00", user_id=1, event_type="click", value=2.0, props="{}"),
+        Row(event_id=3, ts="2024-01-01 13:00:00", user_id=1, event_type="click", value=4.0, props="{}"),
+        Row(event_id=4, ts="2024-01-01 09:00:00", user_id=2, event_type="view", value=8.0, props="{}"),
+        # late sentinel far ahead so the watermark passes every session above
+        Row(event_id=5, ts="2024-01-02 09:00:00", user_id=3, event_type="view", value=0.5, props="{}"),
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events_src_sw")
+    batch.write.parquet(src)
+
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in session_window_agg(batch).collect()
+    }
+    assert len(want) == 4  # u1 two sessions, u2 one, u3 one
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        session_window_agg(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sw_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sw_out").collect()
+    }
+    q.stop()
+    # every emitted session is a batch session, and the watermark-passed
+    # ones (all but the final sentinel) are all present
+    assert got <= want
+    closed = {w for w in want if w[0] != 3}
+    assert closed <= got

@@ -76,3 +76,26 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     assert got[1] == got[2]
     assert got[1] != got[3]
     assert len(got[1]) == 32  # md5 hex
+
+
+def test_repetition_fractions(spark):
+    from openetlagent_spark.functions.text import with_repetition
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b c a b"),   # 6 2-grams, 4 distinct
+            Row(doc_id=2, text="spam spam spam spam"),  # all 2-grams identical
+            Row(doc_id=3, text="all words here differ"),
+            Row(doc_id=4, text="x"),               # shorter than n
+            Row(doc_id=5, text=""),
+        ]
+    )
+    got = {
+        r.doc_id: (round(r.dup_2gram_frac, 6), round(r.dup_3gram_frac, 6))
+        for r in with_repetition(df).collect()
+    }
+    assert got[1] == (round(1 - 4 / 6, 6), 0.0)
+    assert got[2] == (round(1 - 1 / 3, 6), 0.5)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (0.0, 0.0)
