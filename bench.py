@@ -92,6 +92,8 @@ HEADLINE = [
     "stream_enrich",
     "stream_join",
     "stream_sink",
+    "session_window",
+    "doc_repetition",
     "sorted_layout",
     "zorder_layout",
     "multimodal_features",

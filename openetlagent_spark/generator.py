@@ -93,6 +93,9 @@ Available operation_type values and their fields:
 - scrub: redact a string column with ordered regex rules. {input_column,
   output_column?, rules: [[pattern, replacement], ...]} — empty rules =
   default PII set (emails/URLs/IPs/digit runs)
+- repetition: intra-document repetition quality signals. {input_column,
+  ns: [2, 3]} — adds dup_{n}gram_frac (duplicate word-n-gram fraction)
+  per n, the repetitious-text screen for pretraining corpora
 - mixture: deterministic per-group up/down-sampling (domain re-weighting).
   {group_column, key_column, weights: {group: weight}, default_weight,
   copy_column} — weight 0 drops the group, 2.5 = two copies of every row

@@ -641,6 +641,21 @@ class PackSequencesOperation(Operation):
 
 
 @dataclass
+class RepetitionOperation(Operation):
+    """Intra-document repetition signals as a flow op (functions/text.py
+    with_repetition): adds ``dup_{n}gram_frac`` per n — the repetitious-
+    text quality screen for pretraining corpora."""
+
+    input_column: str = "text"
+    ns: list[int] = field(default_factory=lambda: [2, 3])
+    operation_type: str = "repetition"
+
+    def __post_init__(self) -> None:
+        if not self.ns or any((not isinstance(n, int)) or n < 1 for n in self.ns):
+            raise SpecError(f"repetition ns must be positive ints, got {self.ns!r}")
+
+
+@dataclass
 class MixtureOperation(Operation):
     """Deterministic per-group dataset mixing as a flow op
     (functions/curation.py weighted_mixture): each row in group ``g``
@@ -697,6 +712,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "contamination": ContaminationOperation,
     "pack_sequences": PackSequencesOperation,
     "scrub": ScrubOperation,
+    "repetition": RepetitionOperation,
     "mixture": MixtureOperation,
 }
 

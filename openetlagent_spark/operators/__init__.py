@@ -11,6 +11,7 @@ from .advanced import (
     apply_mixture,
     apply_pack_sequences,
     apply_range_join,
+    apply_repetition,
     apply_scrub,
     apply_similarity,
 )
@@ -47,6 +48,7 @@ OPERATION_DISPATCHER = {
     "dedup": apply_dedup,
     "pack_sequences": apply_pack_sequences,
     "scrub": apply_scrub,
+    "repetition": apply_repetition,
     "mixture": apply_mixture,
     "equality": apply_equality,
     "concatenation": apply_concatenation,

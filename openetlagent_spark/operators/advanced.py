@@ -21,6 +21,7 @@ from ..model import (
     MixtureOperation,
     PackSequencesOperation,
     RangeJoinOperation,
+    RepetitionOperation,
     ScrubOperation,
     SimilarityOperation,
 )
@@ -66,6 +67,13 @@ def apply_scrub(df: DataFrame, op: "ScrubOperation") -> DataFrame:
     rules = [tuple(r) for r in op.rules] or None
     out_col = op.output_column or op.input_column
     return df.withColumn(out_col, scrub_text(F.col(op.input_column), rules))
+
+
+def apply_repetition(df: DataFrame, op: "RepetitionOperation") -> DataFrame:
+    """Add dup_{n}gram_frac columns for each configured n."""
+    from ..functions.text import with_repetition
+
+    return with_repetition(df, text_col=op.input_column, ns=tuple(op.ns))
 
 
 def apply_pack_sequences(df: DataFrame, op: PackSequencesOperation) -> DataFrame:

@@ -228,3 +228,28 @@ def test_yaml_dedup_cluster_drop_transitive(spark):
         r["doc_id"] for r in dedup_by_components(docs, pairs, "doc_id").collect()
     )
     assert got == want and len(got) < docs.count()
+
+
+def test_yaml_repetition_op(spark):
+    """The repetition quality filter dispatched from a parsed spec
+    matches the direct function call, and bad ns fail fast."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    op = parse_operation(
+        {"operation_type": "repetition", "input_column": "text", "ns": [2]}
+    )
+    out = apply_operations(docs, [op], spark)
+    assert "dup_2gram_frac" in out.columns
+
+    from openetlagent_spark.functions.text import with_repetition
+
+    direct = {
+        r.doc_id: r.dup_2gram_frac
+        for r in with_repetition(docs, ns=(2,)).select(
+            "doc_id", "dup_2gram_frac"
+        ).collect()
+    }
+    via = {r.doc_id: r.dup_2gram_frac for r in out.select("doc_id", "dup_2gram_frac").collect()}
+    assert via == direct
+
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "repetition", "ns": [0]})
