@@ -283,8 +283,13 @@ def write_zorder(
     for ci, (col_name, bounds) in enumerate(zip(zorder_cols, all_bounds)):
         uniq = sorted(set(bounds))  # ≤ nbins-1 boundaries → bucket < 2^bits
         dcol = F.col(col_name).cast("double")
-        arr = F.array(*[F.lit(float(b)) for b in uniq])
-        bucket = F.size(F.filter(arr, lambda b: b <= dcol))
+        # bucket = #boundaries at or below the value, as a SUM of
+        # indicator whens — Spark HOFs (array filter) run interpreted,
+        # never codegen, so a 255-element lambda scan per row costs ~5×
+        # a flat chain of compiled comparisons.
+        bucket = F.lit(0)
+        for b in uniq:
+            bucket = bucket + F.when(dcol >= F.lit(float(b)), 1).otherwise(0)
         # Low-cardinality columns dedupe to few boundaries, leaving the
         # HIGH bits of the bucket id always zero — the dimension would
         # then only occupy the least-significant interleave positions
