@@ -161,8 +161,15 @@ def with_repetition(df: DataFrame, text_col: str = "text", ns: tuple[int, ...] =
     pretraining corpora (boilerplate, keyword stuffing, decoder loops
     score high).  Pure JVM expressions — one ``transform`` over a
     ``sequence`` builds the n-gram list per row, no shuffle, no Python.
-    Mirrored exactly by :func:`repetition_oracle_sql`."""
-    # Factory, not default-args: pyspark's HOF bridge introspects the
+    Mirrored exactly by :func:`repetition_oracle_sql`.
+
+    Expression shape: the token split is bound ONCE per row as a lambda
+    variable (the same single-element-transform trick as
+    :func:`with_lang_id`).  Referencing the split expression directly
+    from the gram lambda would re-evaluate the regex split for every
+    element_at — n × (tokens − n + 1) splits per row, measured ~10×
+    slower on real documents."""
+    # Factories, not default-args: pyspark's HOF bridge introspects the
     # lambda's arity, so extra bound parameters would be treated as
     # lambda variables.
     def _gram_fn(n: int, toks: Column):
@@ -170,17 +177,24 @@ def with_repetition(df: DataFrame, text_col: str = "text", ns: tuple[int, ...] =
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         )
 
+    def _frac_fn(n: int):
+        def inner(toks: Column) -> Column:
+            total = F.size(toks) - n + 1
+            grams = F.transform(F.sequence(F.lit(1), total), _gram_fn(n, toks))
+            return F.when(
+                total > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)).cast("double")
+                / total.cast("double"),
+            ).otherwise(F.lit(0.0))
+
+        return inner
+
     out = df
     for n in ns:
-        toks = _tokens(F.col(text_col))
-        nt = F.size(toks)
-        total = nt - n + 1
-        grams = F.transform(F.sequence(F.lit(1), total), _gram_fn(n, toks))
-        frac = F.when(
-            total > 0,
-            F.lit(1.0)
-            - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
-        ).otherwise(F.lit(0.0))
+        frac = F.element_at(
+            F.transform(F.array(_tokens(F.col(text_col))), _frac_fn(n)), 1
+        )
         out = out.withColumn(f"dup_{n}gram_frac", frac)
     return out
 

@@ -67,6 +67,19 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan + ``rebalance_scan`` — for the CPU-bound map-side pipelines
+    (text analysis, shingling, similarity math, media decode).  The test
+    tables are single-row-group parquet files, so a plain scan runs as
+    ONE task and serializes all per-row compute; at 100 TB the input is
+    many splittable files and the rebalance is a no-op (see
+    sources/io.py:rebalance_scan).  Not used for queries whose first
+    step is a join/groupBy — their own exchange already spreads."""
+    from ..sources import rebalance_scan
+
+    return rebalance_scan(_t(spark, sf_dir, table))
+
+
 # --- parity operators ------------------------------------------------------
 
 
@@ -467,7 +480,7 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import with_char_classes, with_token_counts
 
-    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     out = with_char_classes(with_token_counts(df))
     return out.select("doc_id", "token_count", "bpe_token_count", "n_letters", "n_digits", "n_punct")
 
@@ -475,21 +488,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import with_quality
 
-    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     return with_quality(df).select("doc_id", "quality")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import with_lang_id
 
-    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     return with_lang_id(df).select("doc_id", "lang_pred")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import with_fingerprint
 
-    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     return with_fingerprint(df).select("doc_id", "fingerprint")
 
 
@@ -501,7 +514,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same n list."""
     from ..functions.text import with_repetition
 
-    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     return with_repetition(df).select("doc_id", "dup_2gram_frac", "dup_3gram_frac")
 
 
@@ -522,7 +535,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band geometry); the xxhash64 path stays the production default."""
     from ..functions.dedup import minhash_lsh_pairs
 
-    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    df = _ts(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3, md5_mode=True)
 
 
@@ -536,7 +549,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the xxhash64 fast path stays the production default)."""
     from ..functions.dedup import simhash_pairs
 
-    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    df = _ts(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return simhash_pairs(df, "doc_id", "text", max_hamming=3, md5_mode=True)
 
 
@@ -548,7 +561,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ngram_pairs_oracle_sql)."""
     from ..functions.dedup import ngram_jaccard_pairs
 
-    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     return ngram_jaccard_pairs(df, "doc_id", "text")
 
 
@@ -562,7 +575,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     need SQL checkability."""
     from ..functions.dedup import embedding_neardup_pairs
 
-    df = _t(spark, sf_dir, "embeddings")
+    df = _ts(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
         df, "vec_id", "embedding", threshold=0.3, rademacher=True
     )
@@ -574,7 +587,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's fold-order double cosine (verified bit-for-bit at sf0.01)."""
     from ..functions.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return cosine_topk(emb, queries, k=10)
 
@@ -587,7 +600,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_similarity_recall.py."""
     from ..functions.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return lsh_topk(emb, queries, k=10)
 
@@ -599,7 +612,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall floors asserted in tests/test_similarity_recall.py."""
     from ..functions.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(emb, queries, k=10)
 
@@ -776,7 +789,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage still gets a full hash-checked oracle."""
     from ..functions.multimodal import extract_image_features, synthesize_media
 
-    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    media = synthesize_media(_ts(spark, sf_dir, "documents"))
     feats = extract_image_features(media, dim=16)
     return feats.select(
         "media_id",
@@ -953,7 +966,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same md5-fold shingle formulas as dedup_ngram."""
     from ..functions.curation import contamination_check
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources import rebalance_scan
+
+    docs = rebalance_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     return contamination_check(corpus, bench)
@@ -994,7 +1009,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import ngram_jaccard_pairs
     from ..functions.graph import connected_components
 
-    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = ngram_jaccard_pairs(df, "doc_id", "text")
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"

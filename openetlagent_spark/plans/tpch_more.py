@@ -357,6 +357,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggregations={"rev_sum_dec": {"column": "rev_dec", "agg": "sum"}},
         ),
     ).withColumn("total_rev", F.col("rev_sum_dec").cast("double"))
+    # The revenue view feeds BOTH the MAX probe and the winner filter;
+    # without a persist boundary each consumer re-scans and re-shuffles
+    # lineitem (Spark plans share nothing across actions' subtrees).
+    rev = rev.persist()
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     top = rev.join(F.broadcast(mx)).filter(F.col("total_rev") == F.col("max_rev"))
     top = apply_bind(

@@ -4,6 +4,7 @@ from .io import (
     scan_data,
     write_bucketed,
     write_compacted,
+    rebalance_scan,
     write_sorted,
     write_zorder,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "scan_data",
     "write_bucketed",
     "write_compacted",
+    "rebalance_scan",
     "write_sorted",
     "write_zorder",
 ]

@@ -20,7 +20,7 @@ from __future__ import annotations
 import logging
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -276,20 +276,40 @@ def write_zorder(
     doubled = df.select(
         *[F.col(c).cast("double").alias(f"_q{i}") for i, c in enumerate(zorder_cols)]
     )
+    # 1% relative error is plenty for LAYOUT boundaries (they only steer
+    # which file a row lands in, never query results) and keeps the
+    # Greenwald-Khanna sketch state small on wide scans.
     all_bounds = doubled.approxQuantile(
-        [f"_q{i}" for i in range(ncols)], probs, 0.001
+        [f"_q{i}" for i in range(ncols)], probs, 0.01
     )
-    zparts = []
+
+    def _searchsorted(dcol: Column, uniq: list[float], lo: int, hi: int) -> Column:
+        """Balanced binary-search when-tree: the count of boundaries at
+        or below the value, resolved in ⌈log2⌉ comparisons per row.  A
+        flat indicator-sum chain costs len(uniq) comparisons per row —
+        and the bucket expression is consumed once per interleave bit,
+        so at 8 bits the flat form evaluates ~8×255 comparisons per row
+        per dimension.  NULLs fail every >= test and fall through to
+        bucket 0, same as the indicator-sum form."""
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            dcol >= F.lit(float(uniq[mid])), _searchsorted(dcol, uniq, mid + 1, hi)
+        ).otherwise(_searchsorted(dcol, uniq, lo, mid))
+
+    # Materialize each dimension's bucket id as a real column FIRST: the
+    # interleave below references the bucket once per bit, and an alias
+    # boundary (withColumn) makes those references attribute reads
+    # instead of `bits` inlined copies of the search tree (Catalyst's
+    # CollapseProject declines to inline non-cheap aliases used more
+    # than once, so the boundary holds).
+    tagged = df
+    bucket_names: list[str] = []
     for ci, (col_name, bounds) in enumerate(zip(zorder_cols, all_bounds)):
         uniq = sorted(set(bounds))  # ≤ nbins-1 boundaries → bucket < 2^bits
         dcol = F.col(col_name).cast("double")
-        # bucket = #boundaries at or below the value, as a SUM of
-        # indicator whens — Spark HOFs (array filter) run interpreted,
-        # never codegen, so a 255-element lambda scan per row costs ~5×
-        # a flat chain of compiled comparisons.
-        bucket = F.lit(0)
-        for b in uniq:
-            bucket = bucket + F.when(dcol >= F.lit(float(b)), 1).otherwise(0)
+        bucket = _searchsorted(dcol, uniq, 0, len(uniq))
         # Low-cardinality columns dedupe to few boundaries, leaving the
         # HIGH bits of the bucket id always zero — the dimension would
         # then only occupy the least-significant interleave positions
@@ -298,17 +318,23 @@ def write_zorder(
         # the significant bits equally.
         if uniq and len(uniq) < nbins - 1:
             bucket = F.floor(bucket * (nbins - 1) / len(uniq)).cast("int")
+        name = f"_x_zbucket{ci}"
+        tagged = tagged.withColumn(name, bucket.cast("int"))
+        bucket_names.append(name)
+    zparts = []
+    for ci in range(ncols):
+        b = F.col(bucket_names[ci])
         for bit in range(bits):
             zparts.append(
                 F.shiftleft(
-                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
                     bit * ncols + ci,
                 )
             )
     zcode = zparts[0]
     for p in zparts[1:]:
         zcode = zcode.bitwiseOR(p)
-    tagged = df.withColumn("_x_zorder", zcode)
+    tagged = tagged.withColumn("_x_zorder", zcode).drop(*bucket_names)
     out = (
         tagged.repartitionByRange(num_files, "_x_zorder")
         if num_files
@@ -356,3 +382,29 @@ def _write_json_array(df: DataFrame, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump(rows, f, indent=2)
+
+
+def rebalance_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster when the file layout
+    under-parallelizes CPU-bound downstream work.
+
+    Parquet splits at row-group boundaries, so a table written as few
+    files with one row group each scans as that many tasks NO MATTER the
+    executor count — and every per-row transform downstream of the scan
+    (shingling, tokenization, media decode, similarity math) inherits
+    that parallelism until the first shuffle.  This helper round-robins
+    the rows up to the session's default parallelism, but ONLY when the
+    scan is narrower than that target: on a 100 TB input laid out as
+    thousands of splittable files the condition is false and this is a
+    free no-op, while on a compacted/small input it trades one shuffle of
+    the (by assumption small) input for full-width compute.
+
+    Use it between the scan and expensive map-side work; do NOT use it
+    before a groupBy/join (the shuffle would duplicate work the
+    aggregation's own exchange already does).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
