@@ -97,6 +97,10 @@ HEADLINE = [
     "sorted_layout",
     "zorder_layout",
     "multimodal_features",
+    "merge_changes",
+    "scd2_history",
+    "stratified_sample",
+    "chunk_docs",
 ]
 
 

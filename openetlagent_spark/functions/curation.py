@@ -439,3 +439,142 @@ def mixture_oracle_sql(
         f"SELECT * EXCLUDE (__n__), CAST(unnest(generate_series(1, __n__)) AS BIGINT) "
         f"AS {copy_col} FROM n WHERE __n__ > 0"
     )
+
+
+# --- stratified sampling ----------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    seed: int = 42,
+    rank_column: str | None = None,
+) -> DataFrame:
+    """Deterministic exact-``k``-per-group sample: within each group the
+    rows are ranked by ``md5(key || '-' || seed)`` (key as tiebreak) and
+    the first ``k`` survive.
+
+    This is the curation-grade replacement for ``sampleBy``: the
+    fraction-based sampler gives only EXPECTED counts and reshuffles
+    membership when the data is re-partitioned, while the hash rank is
+    an exact per-group quota, independent of partitioning and of
+    engine, and REPRODUCIBLE — the same (key, seed) always lands on the
+    same side.  One shuffle on the group key; per-group state is a
+    top-k heap-sized window.  For heavily skewed groups at 100 TB, the
+    rank window is the same shape Spark uses for any top-k-per-group —
+    AQE skew-split applies.
+
+    ``rank_column`` optionally exposes the 1-based rank in the output
+    (e.g. to take nested subsamples downstream without re-hashing).
+    """
+    if k <= 0:
+        raise ValueError(f"stratified_sample k must be positive, got {k}")
+    if not group_cols:
+        raise ValueError("stratified_sample requires group_cols")
+    h = F.md5(F.concat_ws("-", F.col(key_col).cast("string"), F.lit(str(seed))))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("_x_rank", F.row_number().over(w))
+    out = ranked.filter(F.col("_x_rank") <= k)
+    if rank_column:
+        return out.withColumnRenamed("_x_rank", rank_column)
+    return out.drop("_x_rank")
+
+
+def stratified_sample_oracle_sql(
+    source_sql: str,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    seed: int = 42,
+    out_cols: list[str] | None = None,
+) -> str:
+    """ANSI mirror of :func:`stratified_sample` (DuckDB md5 is
+    bit-identical to Spark's, so the rank order matches exactly)."""
+    groups = ", ".join(group_cols)
+    cols = ", ".join(out_cols) if out_cols else "* EXCLUDE (rnk)"
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {groups} "
+        f"ORDER BY md5(CAST({key_col} AS VARCHAR) || '-' || '{seed}'), {key_col}) AS rnk "
+        f"FROM ({source_sql})) WHERE rnk <= {k}"
+    )
+
+
+# --- overlapping chunking ---------------------------------------------------
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``chunk_size`` tokens advancing by ``chunk_size - overlap`` — the
+    RAG/embedding chunking layout (overlap keeps context that straddles
+    a boundary retrievable from both sides).  Returns one row per chunk:
+    ``(id, chunk_idx, chunk_text, chunk_tokens)``; documents with NULL
+    text yield no rows.
+
+    Pure JVM expressions: the token split binds ONCE per row as a
+    lambda variable (same pattern as text.with_repetition), chunk
+    starts come from a stride ``sequence``, and each window is an
+    ``slice`` + join — no shuffle, no Python, embarrassingly parallel.
+    The trailing window is included even when shorter than
+    ``chunk_size`` (it holds the document's tail tokens).
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_text chunk_size must be positive, got {chunk_size}")
+    if not (0 <= overlap < chunk_size):
+        raise ValueError(
+            f"chunk_text overlap must be in [0, chunk_size), got {overlap}"
+        )
+    stride = chunk_size - overlap
+
+    def _chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+        return F.transform(
+            F.filter(starts, lambda s: s <= n),
+            lambda s: F.struct(
+                F.floor((s - 1) / stride).cast("long").alias("idx"),
+                F.concat_ws(" ", F.slice(toks, s, chunk_size)).alias("txt"),
+                F.least(n - s + 1, F.lit(chunk_size)).cast("long").alias("ntok"),
+            ),
+        )
+
+    toks_expr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    chunks = F.element_at(F.transform(F.array(toks_expr), _chunks), 1)
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("_x_c"))
+        .select(
+            id_col,
+            F.col("_x_c.idx").alias("chunk_idx"),
+            F.col("_x_c.txt").alias("chunk_text"),
+            F.col("_x_c.ntok").alias("chunk_tokens"),
+        )
+    )
+
+
+def chunk_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 512,
+    overlap: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`chunk_text`, generated from the same
+    geometry so the two cannot drift."""
+    stride = chunk_size - overlap
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    return (
+        f"SELECT {id_col}, "
+        f"CAST((s - 1) // {stride} AS BIGINT) AS chunk_idx, "
+        f"array_to_string(t[s : s + {chunk_size} - 1], ' ') AS chunk_text, "
+        f"CAST(least(len(t) - s + 1, {chunk_size}) AS BIGINT) AS chunk_tokens "
+        f"FROM (SELECT {id_col}, t, unnest(range(1, len(t) + 1, {stride})) AS s "
+        f"FROM (SELECT {id_col}, {toks} AS t FROM {table}) base)"
+    )

@@ -1,0 +1,207 @@
+"""Incremental table maintenance: CDC merge (upsert/delete apply) and
+SCD2 (slowly-changing-dimension type 2) history building.
+
+The reference is a full-reload ETL engine — every run re-reads whole
+inputs (app/main.py:361-394 loads eagerly, no notion of a prior run).
+Real pipelines at 100 TB are incremental: a base snapshot plus a (much
+smaller) change feed.  These operators provide the two standard
+incremental shapes as pure DataFrame plans:
+
+- :func:`merge_changes` — MERGE INTO semantics (latest change per key
+  wins; deletes drop; everything else upserts) without a lakehouse
+  table format: the output is the next snapshot, written wherever the
+  caller sinks it.
+- :func:`scd2_history` — collapse a change log into validity intervals
+  (valid_from / valid_to / is_current), the standard dimension-history
+  layout.
+
+Scale shape: both are ONE shuffle on the business key.  merge's anti
+join broadcasts when the change feed is small (AQE decides from runtime
+stats — the common CDC case); scd2 is a single window pass, state
+bounded per key.  Exact SQL mirrors for both live beside them, so the
+driver hash-checks every row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    op_col: str | None = None,
+    delete_value: str = "D",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Apply a change feed to a base snapshot; returns the next snapshot
+    with the base's columns.
+
+    - ``seq_col``: change-sequence column (e.g. a log offset or commit
+      timestamp); when several changes share a key, the highest sequence
+      wins.  Without it, the feed must hold at most one change per key
+      (enforced semantics: duplicates would be nondeterministic, so the
+      latest-pick uses a deterministic ORDER BY on the key itself as a
+      tiebreak and the result is still stable, but callers should pass
+      a real sequence).
+    - ``op_col``: optional operation marker; rows whose marker equals
+      ``delete_value`` remove the key, all other rows upsert.  Without
+      it, every change row upserts.
+
+    Plan: latest-change pick (one shuffle of the FEED on key) → base
+    LEFT ANTI touched-keys (one shuffle of base on key, or a broadcast
+    when the feed is small) → union of survivors and upserts.  The base
+    never sorts and never carries the feed's metadata columns.
+    """
+    if not keys:
+        raise ValueError("merge_changes requires at least one key column")
+    out_cols = base.columns
+    meta = [c for c in (op_col, seq_col) if c]
+    for c in keys + meta:
+        if c not in changes.columns:
+            raise ValueError(
+                f"merge_changes: column '{c}' missing from changes "
+                f"(available: {changes.columns})"
+            )
+    missing = [c for c in out_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"merge_changes: changes lacks base columns {missing} — the feed "
+            "must carry the full row payload for upserts"
+        )
+
+    order = [F.col(seq_col).desc()] if seq_col else []
+    # Deterministic tiebreak: payload columns in schema order — two
+    # changes with the same (key, seq) resolve identically on any
+    # cluster layout.
+    order += [F.col(c).desc() for c in out_cols if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        changes.withColumn("_x_rn", F.row_number().over(w))
+        .filter(F.col("_x_rn") == 1)
+        .drop("_x_rn")
+    )
+
+    touched = changes.select(*keys).distinct()
+    survivors = base.join(touched, keys, "left_anti")
+    upserts = latest
+    if op_col:
+        upserts = upserts.filter(
+            ~F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
+        )
+    return survivors.select(*out_cols).unionByName(upserts.select(*out_cols))
+
+
+def merge_oracle_sql(
+    base_sql: str,
+    changes_sql: str,
+    keys: list[str],
+    out_cols: list[str],
+    *,
+    op_col: str | None = None,
+    delete_value: str = "D",
+    seq_col: str | None = None,
+) -> str:
+    """ANSI mirror of :func:`merge_changes` (DuckDB-ready), generated
+    from the same parameters so the two cannot drift."""
+    cols = ", ".join(out_cols)
+    order = []
+    if seq_col:
+        order.append(f"{seq_col} DESC")
+    order += [f"{c} DESC" for c in out_cols if c not in keys]
+    keylist = ", ".join(keys)
+    delete_filter = (
+        f"AND COALESCE({op_col} = '{delete_value}', FALSE) = FALSE" if op_col else ""
+    )
+    join_cond = " AND ".join(f"b.{k} = t.{k}" for k in keys)
+    return (
+        f"WITH ch AS ({changes_sql}), "
+        f"latest AS (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY {keylist} ORDER BY {', '.join(order)}) AS rn FROM ch) "
+        f"SELECT {cols} FROM ({base_sql}) b "
+        f"WHERE NOT EXISTS (SELECT 1 FROM ch t WHERE {join_cond}) "
+        f"UNION ALL SELECT {cols} FROM latest WHERE rn = 1 {delete_filter}"
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    *,
+    order_col: str | None = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """Build SCD2 validity intervals from a change log: one row per
+    version with ``valid_from`` (the change's timestamp), ``valid_to``
+    (the NEXT version's timestamp, NULL while current) and
+    ``is_current``.
+
+    ``collapse=True`` (the default, and standard SCD2) opens a new
+    version only when an attribute actually changes — consecutive
+    identical rows merge into one interval (null-safe comparison, so
+    NULL→NULL is "no change" and NULL→value is a change).
+    ``order_col`` breaks timestamp ties deterministically (same-instant
+    changes resolve identically on any partitioning).
+
+    One shuffle on the key; per-key state is a single lag/lead frame —
+    bounded, streaming-friendly, skew only if one key dominates the log.
+    """
+    if not keys or not attr_cols:
+        raise ValueError("scd2_history requires keys and attr_cols")
+    order = [F.col(ts_col).asc()] + ([F.col(order_col).asc()] if order_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    cur = df
+    if collapse:
+        changed = F.row_number().over(w) == 1
+        for a in attr_cols:
+            changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+        cur = df.withColumn("_x_chg", changed).filter(F.col("_x_chg")).drop("_x_chg")
+
+    # Re-derive the window over the collapsed rows: valid_to must be the
+    # next VERSION's start, not the next raw log row's.
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    out = (
+        cur.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    return out.select(*keys, *attr_cols, "valid_from", "valid_to", "is_current")
+
+
+def scd2_oracle_sql(
+    source_sql: str,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    *,
+    order_col: str | None = None,
+    collapse: bool = True,
+) -> str:
+    """ANSI mirror of :func:`scd2_history` (DuckDB-ready)."""
+    keylist = ", ".join(keys)
+    order = ts_col + (f", {order_col}" if order_col else "")
+    attrs = ", ".join(attr_cols)
+    win = f"PARTITION BY {keylist} ORDER BY {order}"
+    if collapse:
+        change_terms = " OR ".join(
+            f"{a} IS DISTINCT FROM lag({a}) OVER ({win})" for a in attr_cols
+        )
+        versions = (
+            f"SELECT * FROM (SELECT *, "
+            f"(ROW_NUMBER() OVER ({win}) = 1 OR {change_terms}) AS chg "
+            f"FROM ({source_sql})) WHERE chg"
+        )
+    else:
+        versions = f"SELECT * FROM ({source_sql})"
+    return (
+        f"SELECT {keylist}, {attrs}, {ts_col} AS valid_from, "
+        f"lead({ts_col}) OVER ({win}) AS valid_to, "
+        f"lead({ts_col}) OVER ({win}) IS NULL AS is_current "
+        f"FROM ({versions})"
+    )

@@ -680,6 +680,91 @@ class MixtureOperation(Operation):
                 raise SpecError(f"mixture weight for {g!r} must be >= 0, got {w!r}")
 
 
+@dataclass
+class MergeOperation(Operation):
+    """CDC merge as a flow op (functions/incremental.py merge_changes):
+    the CURRENT frame is the base snapshot, the change feed resolves
+    like bind's right side (named input key or file path).  The feed
+    must carry the base's full column payload plus optional
+    ``op_column`` (rows equal to ``delete_value`` remove the key) and
+    ``seq_column`` (highest sequence wins per key)."""
+
+    right_file_path: str = ""
+    right_schema_columns: dict[str, str] = field(default_factory=dict)
+    keys: list[str] = field(default_factory=list)
+    op_column: str = ""
+    delete_value: str = "D"
+    seq_column: str = ""
+    operation_type: str = "merge"
+
+    def __post_init__(self) -> None:
+        if not self.right_file_path:
+            raise SpecError("merge requires right_file_path (named input or file path)")
+        if not self.keys:
+            raise SpecError("merge requires keys")
+
+
+@dataclass
+class Scd2Operation(Operation):
+    """SCD2 history build as a flow op (functions/incremental.py
+    scd2_history): collapse a change log into validity intervals
+    (valid_from / valid_to / is_current) per key.  ``collapse`` opens a
+    new version only when an attr_column actually changes (null-safe)."""
+
+    keys: list[str] = field(default_factory=list)
+    ts_column: str = ""
+    attr_columns: list[str] = field(default_factory=list)
+    order_column: str = ""
+    collapse: bool = True
+    operation_type: str = "scd2"
+
+    def __post_init__(self) -> None:
+        if not self.keys or not self.ts_column or not self.attr_columns:
+            raise SpecError("scd2 requires keys, ts_column and attr_columns")
+
+
+@dataclass
+class StratifiedSampleOperation(Operation):
+    """Exact-quota stratified sampling as a flow op (functions/
+    curation.py stratified_sample): k rows per group, ranked by
+    md5(key ∥ seed) — deterministic and partition-independent, unlike
+    fraction-based sampling."""
+
+    group_columns: list[str] = field(default_factory=list)
+    key_column: str = ""
+    k: int = 0
+    seed: int = 42
+    rank_column: str = ""
+    operation_type: str = "stratified_sample"
+
+    def __post_init__(self) -> None:
+        if not self.group_columns or not self.key_column:
+            raise SpecError("stratified_sample requires group_columns and key_column")
+        if self.k <= 0:
+            raise SpecError(f"stratified_sample k must be positive, got {self.k!r}")
+
+
+@dataclass
+class ChunkOperation(Operation):
+    """Overlapping-window text chunking as a flow op (functions/
+    curation.py chunk_text): one output row per ``chunk_size``-token
+    window advancing ``chunk_size - overlap`` tokens."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    chunk_size: int = 512
+    overlap: int = 0
+    operation_type: str = "chunk"
+
+    def __post_init__(self) -> None:
+        if self.chunk_size <= 0:
+            raise SpecError(f"chunk chunk_size must be positive, got {self.chunk_size!r}")
+        if not (0 <= self.overlap < self.chunk_size):
+            raise SpecError(
+                f"chunk overlap must be in [0, chunk_size), got {self.overlap!r}"
+            )
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -714,6 +799,11 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "scrub": ScrubOperation,
     "repetition": RepetitionOperation,
     "mixture": MixtureOperation,
+    # incremental maintenance + curation (round 3)
+    "merge": MergeOperation,
+    "scd2": Scd2Operation,
+    "stratified_sample": StratifiedSampleOperation,
+    "chunk": ChunkOperation,
 }
 
 

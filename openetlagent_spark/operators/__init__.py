@@ -6,14 +6,18 @@ from __future__ import annotations
 
 from .advanced import (
     apply_asof_join,
+    apply_chunk,
     apply_contamination,
     apply_dedup,
+    apply_merge,
     apply_mixture,
     apply_pack_sequences,
     apply_range_join,
     apply_repetition,
+    apply_scd2,
     apply_scrub,
     apply_similarity,
+    apply_stratified_sample,
 )
 from .application import apply_application, compile_lambda
 from .bind import apply_bind
@@ -50,6 +54,9 @@ OPERATION_DISPATCHER = {
     "scrub": apply_scrub,
     "repetition": apply_repetition,
     "mixture": apply_mixture,
+    "scd2": apply_scd2,
+    "stratified_sample": apply_stratified_sample,
+    "chunk": apply_chunk,
     "equality": apply_equality,
     "concatenation": apply_concatenation,
     "application": apply_application,
@@ -81,7 +88,11 @@ __all__ = [
     "apply_assignation",
     "apply_bind",
     "apply_dedup",
+    "apply_chunk",
+    "apply_merge",
     "apply_mixture",
+    "apply_scd2",
+    "apply_stratified_sample",
     "apply_casting",
     "apply_comparison",
     "apply_concatenation",

@@ -15,15 +15,19 @@ from pyspark.sql import functions as F
 
 from ..model import (
     AsofJoinOperation,
+    ChunkOperation,
     ContaminationOperation,
     DedupOperation,
     FileDefinition,
+    MergeOperation,
     MixtureOperation,
     PackSequencesOperation,
     RangeJoinOperation,
     RepetitionOperation,
+    Scd2Operation,
     ScrubOperation,
     SimilarityOperation,
+    StratifiedSampleOperation,
 )
 from .bind import resolve_side
 
@@ -234,4 +238,67 @@ def apply_range_join(
         end_col=op.end_column,
         value_columns=op.value_columns,
         bucket_width=op.bucket_width,
+    )
+
+
+def apply_merge(
+    df: DataFrame,
+    op: MergeOperation,
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    changes_df: DataFrame | None = None,
+) -> DataFrame:
+    """CDC merge: current frame = base snapshot, change feed resolved
+    like bind's right side."""
+    from ..functions.incremental import merge_changes
+
+    if changes_df is None:
+        changes_df = resolve_side(
+            spark, op.right_file_path, op.right_schema_columns, inputs
+        )
+    return merge_changes(
+        df,
+        changes_df,
+        op.keys,
+        op_col=op.op_column or None,
+        delete_value=op.delete_value,
+        seq_col=op.seq_column or None,
+    )
+
+
+def apply_scd2(df: DataFrame, op: Scd2Operation) -> DataFrame:
+    from ..functions.incremental import scd2_history
+
+    return scd2_history(
+        df,
+        op.keys,
+        op.ts_column,
+        op.attr_columns,
+        order_col=op.order_column or None,
+        collapse=op.collapse,
+    )
+
+
+def apply_stratified_sample(df: DataFrame, op: StratifiedSampleOperation) -> DataFrame:
+    from ..functions.curation import stratified_sample
+
+    return stratified_sample(
+        df,
+        op.group_columns,
+        op.key_column,
+        op.k,
+        seed=op.seed,
+        rank_column=op.rank_column or None,
+    )
+
+
+def apply_chunk(df: DataFrame, op: ChunkOperation) -> DataFrame:
+    from ..functions.curation import chunk_text
+
+    return chunk_text(
+        df,
+        op.id_column,
+        op.text_column,
+        chunk_size=op.chunk_size,
+        overlap=op.overlap,
     )

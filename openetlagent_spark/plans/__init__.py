@@ -32,8 +32,8 @@ _ROUND3_FRONT = [
     "bind_multikey", "bind_salted", "set_intersect", "set_except",
     "explode_tokens", "dataset_split", "dataset_mixture",
     "contamination", "pack_sequences", "dedup_clusters", "text_scrub",
-    # sentinel re-checks already green in r02 (4)
-    "flagship", "bind", "aggregation", "dedup_exact",
+    # new this round — first driver check (4)
+    "merge_changes", "scd2_history", "stratified_sample", "chunk_docs",
 ]
 
 

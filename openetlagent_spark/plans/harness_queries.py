@@ -1048,6 +1048,81 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mixture(docs, "lang", _MIXTURE_WEIGHTS, key_col="doc_id", seed=42)
 
 
+def q_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (functions/incremental.py merge_changes): a synthetic
+    change feed over orders — keys ≡ 0 (mod 7) get TWO competing
+    updates (the higher sequence wins), keys ≡ 1 (mod 7) are deletes —
+    applied to the base snapshot.  Latest-pick, delete, anti-join and
+    union are all plain SQL, so the merged snapshot hash-checks row for
+    row (per-row double arithmetic, no accumulation — bit-exact)."""
+    from ..functions.incremental import merge_changes
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    feed = base.filter(F.col("o_orderkey") % 7 < 2).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 1, "D").otherwise("U").alias("op"),
+        (F.col("o_orderkey") % 3).alias("seq"),
+    )
+    feed = feed.unionByName(
+        feed.withColumn("o_totalprice", F.col("o_totalprice") * 1.05).withColumn(
+            "seq", F.col("seq") + 1
+        )
+    )
+    return merge_changes(base, feed, ["o_orderkey"], op_col="op", seq_col="seq")
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (functions/incremental.py scd2_history):
+    the event log collapsed into per-user validity intervals of
+    event_type — a new version opens only when the type actually
+    changes; `is_current` marks the open interval.  One window pass;
+    timestamps leave as epoch doubles (engine-independent)."""
+    from ..functions.incremental import scd2_history
+    from ..streaming import read_event_table
+
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = scd2_history(ev, ["user_id"], "ts", ["event_type"], order_col="event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("double").alias("valid_from_epoch"),
+        F.col("valid_to").cast("double").alias("valid_to_epoch"),
+        "is_current",
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling (functions/curation.py
+    stratified_sample): 30 documents per language, ranked by
+    md5(doc_id ∥ seed) — deterministic, partition-independent, and
+    engine-exact (Spark and DuckDB md5 agree bit for bit), unlike
+    fraction-based sampleBy which only hits quotas in expectation."""
+    from ..functions.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, ["lang"], "doc_id", k=30, rank_column="rank").select(
+        "doc_id", "lang", "rank"
+    )
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (functions/curation.py chunk_text):
+    64-token windows advancing 48 tokens (16-token overlap) — the
+    RAG/embedding chunk layout.  Token split binds once per row; chunk
+    starts, slices and joins are JVM array expressions, shuffle-free."""
+    from ..functions.curation import chunk_text
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text(docs, "doc_id", "text", chunk_size=64, overlap=16)
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1110,6 +1185,10 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mixture": q_dataset_mixture,
     "dedup_clusters": q_dedup_clusters,
     "text_scrub": q_text_scrub,
+    "merge_changes": q_merge_changes,
+    "scd2_history": q_scd2_history,
+    "stratified_sample": q_stratified_sample,
+    "chunk_docs": q_chunk_docs,
 }
 
 # SQL fragments shared by several text oracles (mirror text.py exactly).
@@ -1446,4 +1525,60 @@ _SCRUB_RAW_SQL = (
 )
 HARNESS_ORACLES["text_scrub"] = (
     f"SELECT event_id, {_scrub_oracle_expr(_SCRUB_RAW_SQL)} AS scrubbed FROM events"
+)
+
+from ..functions.curation import (  # noqa: E402
+    chunk_oracle_sql as _chunk_oracle_sql,
+    stratified_sample_oracle_sql as _stratified_sample_oracle_sql,
+)
+from ..functions.incremental import (  # noqa: E402
+    merge_oracle_sql as _merge_oracle_sql,
+    scd2_oracle_sql as _scd2_oracle_sql,
+)
+
+# The feed SQL mirrors q_merge_changes' synthetic change set exactly:
+# two competing updates per 0-mod-7 key (seq and seq+1 — highest wins),
+# deletes on the 1-mod-7 keys.
+_MERGE_FEED_SQL = (
+    "SELECT o_orderkey, o_custkey, o_totalprice*1.1 AS o_totalprice, o_orderpriority, "
+    "CASE WHEN o_orderkey%7=1 THEN 'D' ELSE 'U' END AS op, o_orderkey%3 AS seq "
+    "FROM orders WHERE o_orderkey%7<2 "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, o_totalprice*1.1*1.05, o_orderpriority, "
+    "CASE WHEN o_orderkey%7=1 THEN 'D' ELSE 'U' END, o_orderkey%3+1 "
+    "FROM orders WHERE o_orderkey%7<2"
+)
+HARNESS_ORACLES["merge_changes"] = _merge_oracle_sql(
+    "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders",
+    _MERGE_FEED_SQL,
+    ["o_orderkey"],
+    ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    op_col="op",
+    seq_col="seq",
+)
+
+HARNESS_ORACLES["scd2_history"] = (
+    "SELECT user_id, event_type, "
+    "CAST(epoch(valid_from) AS DOUBLE) AS valid_from_epoch, "
+    "CAST(epoch(valid_to) AS DOUBLE) AS valid_to_epoch, is_current FROM ("
+    + _scd2_oracle_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events",
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        order_col="event_id",
+    )
+    + ")"
+)
+
+HARNESS_ORACLES["stratified_sample"] = _stratified_sample_oracle_sql(
+    "SELECT doc_id, lang, source FROM documents",
+    ["lang"],
+    "doc_id",
+    30,
+    out_cols=["doc_id", "lang", 'rnk AS "rank"'],
+)
+
+HARNESS_ORACLES["chunk_docs"] = _chunk_oracle_sql(
+    "documents", "doc_id", "text", chunk_size=64, overlap=16
 )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .model import (
     AsofJoinOperation,
+    MergeOperation,
     AssignationOperation,
     BindOperation,
     FileDefinition,
@@ -40,6 +41,7 @@ from .operators import (
     apply_asof_join,
     apply_bind,
     apply_contamination,
+    apply_merge,
     apply_range_join,
     apply_similarity,
     apply_union,
@@ -80,6 +82,8 @@ def apply_operations(
             current = apply_similarity(current, op, spark, inputs)
         elif isinstance(op, ContaminationOperation):
             current = apply_contamination(current, op, spark, inputs)
+        elif isinstance(op, MergeOperation):
+            current = apply_merge(current, op, spark, inputs)
         elif isinstance(op, UnionOperation):
             if not inputs or op.right_input not in inputs:
                 raise ValueError(

@@ -91,10 +91,23 @@ def read_event_table(spark: SparkSession, path: str) -> DataFrame:
     read them as longs and truncate to microseconds — the same ns→µs
     truncation DuckDB applies)."""
     if _parquet_ts_is_nanos(path) is False:
-        return spark.read.parquet(path)
+        return _normalize_ts(spark.read.parquet(path))
     df = _with_nanos_as_long(spark, lambda: spark.read.parquet(path))
     if not isinstance(df.schema["ts"].dataType, T.TimestampType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(df)
+
+
+def _normalize_ts(df: DataFrame, column: str = "ts") -> DataFrame:
+    """Parquet µs timestamps written without a timezone surface as
+    TIMESTAMP_NTZ, which downstream epoch casts (``cast("double")``)
+    reject.  The engine runs a UTC session, so NTZ → TIMESTAMP is a
+    pure type change (identical wall-clock instant) that restores the
+    classic timestamp behavior everywhere downstream."""
+    if column in df.columns and isinstance(
+        df.schema[column].dataType, T.TimestampNTZType
+    ):
+        df = df.withColumn(column, F.col(column).cast("timestamp"))
     return df
 
 

@@ -88,8 +88,13 @@ def test_second_batch_star_joins_broadcast(spark, name):
     [
         ("tpch_q11", 2),   # per-part agg + kept-rows exchange; scalar is 1-row broadcast
         ("tpch_q13", 2),   # outer-join fan + two cascaded aggs share one exchange each
-        ("tpch_q15", 2),   # revenue view agg + argmax equality (Catalyst rewrites the
-                           # 1-row cross join + equality filter into a broadcast EQUI-join)
+        ("tpch_q15", 4),   # revenue view agg + argmax equality (Catalyst rewrites the
+                           # 1-row cross join + equality filter into a broadcast EQUI-join).
+                           # The view is PERSISTED (it feeds both the MAX probe and the
+                           # winner filter — one lineitem pass at runtime, measured 5×);
+                           # explain() reprints the cached subtree's exchange under BOTH
+                           # InMemoryTableScans, so the textual count is 4 while the
+                           # runtime count stays 2 (cache built once).
         ("tpch_q16", 2),   # distinct-pair expand + final count
         ("tpch_q17", 1),   # decorrelated per-part avg joined back co-partitioned
         ("tpch_q20", 1),   # semi-join chain: one agg shuffle, everything else broadcast
