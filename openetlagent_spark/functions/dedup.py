@@ -905,3 +905,109 @@ def embedding_pairs_oracle_sql(
         f"FROM cand c JOIN base a ON a.vid = c.id_a JOIN base b ON b.vid = c.id_b) "
         f"SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}"
     )
+
+
+# --- exact substring-run overlap -------------------------------------------
+
+
+def substring_run_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    run_len: int = 8,
+    min_shared: int = 1,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` distinct EXACT
+    ``run_len``-token runs — the substring-duplication signal of
+    suffix-array dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"), re-expressed as a distributed shingle
+    equi-join: a shared word-``run_len``-gram code IS a shared exact
+    token run (up to md5-fold collision, deterministic and identical in
+    the oracle).  Unlike the Jaccard families this targets *partial*
+    duplication — boilerplate headers, quoted passages, license blocks —
+    where whole-document similarity stays low.
+
+    Output: ``id_a < id_b``, ``n_shared`` = number of distinct shared
+    run codes (counted over buckets within ``max_bucket``; degenerate
+    boilerplate runs shared by more docs than that are dropped loudly
+    rather than expanded quadratically — same guard as every other
+    blocking family here).
+
+    Scale shape (100 TB): scan → per-doc distinct run codes (narrow) →
+    explode → ONE shuffle on the run code → capped in-bucket pair
+    expansion as a JVM array expression → one integer-count shuffle on
+    the pair key.  Documents shorter than ``run_len`` tokens fold with
+    zero padding (word_ngram_codes), so byte-identical short docs still
+    pair.  No full-text column ever enters a shuffle.
+
+    Extends the reference's operator surface (its dedup vocabulary is
+    absent entirely — SURVEY §2.2); sibling of ngram_jaccard_pairs
+    (word-gram Jaccard) and minhash_lsh_pairs (approximate Jaccard)."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id__"),
+        word_ngram_codes(F.col(text_col), run_len).alias("runs"),
+    )
+    exploded = base.select("__id__", F.explode("runs").alias("code"))
+    buckets = (
+        exploded.groupBy("code")
+        .agg(F.collect_list("__id__").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    ids = F.col("ids")
+    pair_expr = F.flatten(
+        F.transform(
+            ids,
+            lambda a: F.transform(
+                F.filter(ids, lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def substring_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    run_len: int = 8,
+    min_shared: int = 1,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB oracle for substring_run_pairs, generated from the same
+    md5-fold run codes (cf. ngram_pairs_oracle_sql) so plan and oracle
+    cannot drift.  Every stage — token codes, run folds, bucket cap,
+    integer pair counts — is engine-exact."""
+    m = _MERSENNE
+    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    wcodes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))"
+
+    def code_at(off: int) -> str:
+        return f"COALESCE(wc[CAST(i AS INTEGER) + {off}], 0)"
+
+    run = code_at(0)
+    for j in range(1, run_len):
+        run = f"(({run}) * {_FOLD_PRIME} + {code_at(j)}) % {m}"
+    runs = (
+        f"list_distinct(list_transform(generate_series(1, greatest(len(wc) - {run_len - 1}, 1)), "
+        f"i -> {run}))"
+    )
+    return (
+        f"WITH g AS (SELECT did, {runs} AS runs FROM "
+        f"(SELECT {id_col} AS did, {wcodes} AS wc FROM {table} "
+        f"WHERE {text_col} IS NOT NULL)), "
+        f"e AS (SELECT did, unnest(runs) AS code FROM g), "
+        f"ok AS (SELECT code FROM e GROUP BY code "
+        f"HAVING count(*) > 1 AND count(*) <= {max_bucket}) "
+        f"SELECT x.did AS id_a, y.did AS id_b, count(*) AS n_shared "
+        f"FROM e x JOIN ok o ON x.code = o.code "
+        f"JOIN e y ON y.code = x.code WHERE x.did < y.did "
+        f"GROUP BY x.did, y.did HAVING count(*) >= {min_shared}"
+    )

@@ -411,7 +411,8 @@ class WindowOperation(Operation):
 class DedupOperation(Operation):
     """Deduplication as a flow op (functions/dedup.py strategies).
 
-    strategy ∈ exact / minhash / simhash / ngram / embedding;
+    strategy ∈ exact / minhash / simhash / ngram / embedding / substring
+    (exact shared token runs — partial-duplication signal);
     mode ∈ drop (single-hop: rows with a lower-id near-dup partner
     removed) / pairs (the pair table id_a, id_b, score) / components
     (cluster labels: node, component via distributed connected
@@ -439,13 +440,17 @@ class DedupOperation(Operation):
     n_tables: int = 2
     seed: int = 42
     max_bucket: int = 1000
+    run_len: int = 8
+    min_shared: int = 1
     operation_type: str = "dedup"
 
     def __post_init__(self) -> None:
-        if self.strategy not in ("exact", "minhash", "simhash", "ngram", "embedding"):
+        if self.strategy not in (
+            "exact", "minhash", "simhash", "ngram", "embedding", "substring"
+        ):
             raise SpecError(
-                f"dedup strategy must be exact/minhash/simhash/ngram/embedding, "
-                f"got {self.strategy!r}"
+                f"dedup strategy must be exact/minhash/simhash/ngram/embedding/"
+                f"substring, got {self.strategy!r}"
             )
         if self.mode not in ("drop", "pairs", "components", "cluster_drop"):
             raise SpecError(

@@ -138,6 +138,12 @@ def apply_dedup(df: DataFrame, op: DedupOperation) -> DataFrame:
             n=op.ngram_size, threshold=op.threshold,
             seed=op.seed, max_bucket=op.max_bucket,
         )
+    elif op.strategy == "substring":
+        pairs = D.substring_run_pairs(
+            df, op.id_column, op.text_column,
+            run_len=op.run_len, min_shared=op.min_shared,
+            max_bucket=op.max_bucket,
+        )
     else:  # embedding
         pairs = D.embedding_neardup_pairs(
             df, op.id_column, op.vector_column,

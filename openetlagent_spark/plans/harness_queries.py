@@ -565,6 +565,18 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(df, "doc_id", "text")
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs sharing exact 8-token runs — the suffix-array substring-dup
+    signal (partial duplication: boilerplate, quoted passages) as a
+    distributed shingle equi-join; every stage integer-exact, so the
+    full pipeline hash-checks against the generated oracle
+    (dedup.substring_pairs_oracle_sql)."""
+    from ..functions.dedup import substring_run_pairs
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_run_pairs(df, "doc_id", "text", run_len=8)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs via sign-LSH with ±1.0
     (Rademacher) hyperplanes: every projection is an exact-float
@@ -1161,6 +1173,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_substring": q_dedup_substring,
     "dedup_embedding": q_dedup_embedding,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1478,6 +1491,10 @@ HARNESS_ORACLES["dedup_minhash"] = _ngram_pairs_oracle_sql(
 from ..functions.dedup import embedding_pairs_oracle_sql as _embedding_pairs_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["dedup_embedding"] = _embedding_pairs_oracle_sql(threshold=0.3)
+
+from ..functions.dedup import substring_pairs_oracle_sql as _substring_pairs_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["dedup_substring"] = _substring_pairs_oracle_sql(run_len=8)
 
 from ..operators.extensions import sample_hash_oracle_predicate as _sample_pred  # noqa: E402
 

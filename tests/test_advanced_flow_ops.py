@@ -92,6 +92,20 @@ def test_yaml_dedup_exact_then_ngram_pairs(spark):
     assert out.count() <= expected.count()
 
 
+def test_yaml_dedup_substring_pairs(spark):
+    """substring strategy from a parsed spec equals the direct call."""
+    from openetlagent_spark.functions.dedup import substring_run_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    op = parse_operation(
+        {"operation_type": "dedup", "strategy": "substring", "mode": "pairs",
+         "id_column": "doc_id", "text_column": "text", "run_len": 6}
+    )
+    via_flow = apply_operations(docs, [op], spark)
+    direct = substring_run_pairs(docs, "doc_id", "text", run_len=6)
+    assert sorted(map(tuple, via_flow.collect())) == sorted(map(tuple, direct.collect()))
+
+
 def test_yaml_asof_join_matches_function(spark):
     """asof_join from a YAML spec equals the direct function call."""
     from openetlagent_spark.functions.asof import asof_join

@@ -11,6 +11,7 @@ from openetlagent_spark.functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    substring_run_pairs,
 )
 from openetlagent_spark.functions.similarity import cosine_topk, ivf_topk, lsh_topk
 
@@ -74,6 +75,25 @@ def test_ngram_jaccard_pairs(corpus):
     assert pairs[(1, 4)] == 1.0
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_substring_run_pairs(corpus):
+    # BASE and NEAR_DUP differ by one word mid-text, so they still share
+    # long exact runs on both sides of the edit; 1/4 are byte-identical.
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in substring_run_pairs(corpus, "doc_id", "text", run_len=8).collect()
+    }
+    assert (1, 4) in pairs and (1, 2) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+    # the identical pair shares every run; the near-dup pair fewer
+    assert pairs[(1, 4)] > pairs[(1, 2)]
+
+
+def test_substring_run_pairs_min_shared_filters(corpus):
+    loose = substring_run_pairs(corpus, "doc_id", "text", run_len=8)
+    strict = substring_run_pairs(corpus, "doc_id", "text", run_len=8, min_shared=10_000)
+    assert loose.count() > 0 and strict.count() == 0
 
 
 def test_minhash_udf_matches_expression(spark):
