@@ -288,3 +288,79 @@ def lang_id_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
         f"SELECT doc_id, CASE WHEN best = 0 THEN 'unknown' ELSE {case} END AS lang_pred "
         f"FROM (SELECT doc_id, {text_col}, {best} AS best FROM {table}) t"
     )
+
+
+def vocab_oov(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate against the corpus's own top-``top_k``
+    vocabulary — the classic rare-token quality signal (gibberish, OCR
+    noise, and wrong-language text score high; ordinary prose scores
+    low).  Two stages, both corpus-level (unlike the scan-only signals
+    above):
+
+    1. vocabulary: token occurrence counts, top-``top_k`` with the
+       deterministic tie-break (count desc, token asc) so both engines
+       select the identical set at the boundary;
+    2. per-document: total tokens and tokens outside the vocabulary,
+       plus ``oov_rate`` = n_oov / n_tokens (single per-row double
+       division — bit-identical across engines; all accumulation is
+       integer counts).
+
+    Scale shape (100 TB): explode → one map-side-combined shuffle for
+    the counts → TakeOrdered top-k (driver holds top_k rows, bounded
+    like the IVF centroid sample) → the vocab BROADCASTS into a left
+    join against the exploded tokens (no shuffle) → one integer-count
+    shuffle on the doc id.  Full text never enters a shuffle."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id__"), F.explode(_tokens(F.col(text_col))).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_k)
+        .select("tok", F.lit(1).alias("__iv__"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("__iv__")).alias("n_oov"),
+        )
+        .select(
+            F.col("__id__").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def vocab_oov_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> str:
+    """DuckDB mirror of vocab_oov, generated from the same top_k and the
+    same (count desc, token asc) tie-break so the vocabulary boundary is
+    identical in both engines."""
+    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    return (
+        f"WITH e AS (SELECT {id_col} AS did, unnest({toks}) AS tok "
+        f"FROM {table} WHERE {text_col} IS NOT NULL), "
+        f"v AS (SELECT tok FROM (SELECT tok, row_number() OVER "
+        f"(ORDER BY count(*) DESC, tok) AS rn FROM e GROUP BY tok) WHERE rn <= {top_k}) "
+        f"SELECT did AS {id_col}, count(*) AS n_tokens, "
+        f"count(*) - count(v.tok) AS n_oov, "
+        f"CAST(count(*) - count(v.tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate "
+        f"FROM e LEFT JOIN v ON e.tok = v.tok GROUP BY did"
+    )

@@ -518,6 +518,18 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition(df).select("doc_id", "dup_2gram_frac", "dup_3gram_frac")
 
 
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus's own top-k vocabulary (the
+    rare-token quality filter).  top_k=20 because the synthetic corpus
+    has a ~31-token vocabulary — the production default (1000) would
+    cover it entirely and zero the signal; the tie-break (count desc,
+    token asc) keeps the boundary identical in both engines."""
+    from ..functions.text import vocab_oov
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_oov(df, "doc_id", "text", top_k=20)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keyed on (lang, source): keep the lowest doc_id."""
     from ..functions.dedup import exact_dedup
@@ -1169,6 +1181,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "doc_repetition": q_doc_repetition,
+    "vocab_oov": q_vocab_oov,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1495,6 +1508,10 @@ HARNESS_ORACLES["dedup_embedding"] = _embedding_pairs_oracle_sql(threshold=0.3)
 from ..functions.dedup import substring_pairs_oracle_sql as _substring_pairs_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["dedup_substring"] = _substring_pairs_oracle_sql(run_len=8)
+
+from ..functions.text import vocab_oov_oracle_sql as _vocab_oov_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["vocab_oov"] = _vocab_oov_oracle_sql(top_k=20)
 
 from ..operators.extensions import sample_hash_oracle_predicate as _sample_pred  # noqa: E402
 

@@ -99,3 +99,33 @@ def test_repetition_fractions(spark):
     assert got[3] == (0.0, 0.0)
     assert got[4] == (0.0, 0.0)
     assert got[5] == (0.0, 0.0)
+
+
+def test_vocab_oov(spark):
+    from openetlagent_spark.functions.text import vocab_oov
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat"),
+            Row(doc_id=2, text="the dog sat on the rug"),
+            Row(doc_id=3, text="zyxwv qqqq zzzz"),  # all rare
+        ]
+    )
+    # vocabulary of size 4 = {the(4), on(2), sat(2), cat? ...} — ties on
+    # count 2 break token-asc: on < sat, so vocab = {the, on, sat, cat}
+    got = {r.doc_id: r for r in vocab_oov(df, top_k=4).collect()}
+    assert got[1].n_tokens == 6
+    # in-vocab for doc1: the, sat, on, the, cat -> 5; oov: mat
+    assert got[1].n_oov == 1
+    assert got[3].n_oov == 3 and got[3].oov_rate == 1.0
+    assert abs(got[1].oov_rate - 1 / 6) < 1e-12
+
+
+def test_vocab_oov_deterministic_tiebreak(spark):
+    from openetlagent_spark.functions.text import vocab_oov
+
+    # every token appears exactly once: top_k selects lexicographically
+    df = spark.createDataFrame([Row(doc_id=1, text="b a d c")])
+    out = vocab_oov(df, top_k=2).collect()[0]
+    # vocab = {a, b}; oov = {c, d}
+    assert out.n_tokens == 4 and out.n_oov == 2
