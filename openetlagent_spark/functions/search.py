@@ -1,0 +1,221 @@
+"""Keyword retrieval over document tables: BM25-style ranked search and
+inverted-index construction.
+
+The reference engine (Antix5/OpenETLAgent) has no search vocabulary at
+all (SURVEY §2.2 — its scalar surface is concat + a row lambda); these
+extend the engine the same way the dedup/similarity families do, and
+both are EXACTLY oracle-checkable:
+
+- ``keyword_search_topk``: rank documents against a fixed list of query
+  terms with the BM25 *rational-idf* variant — Robertson idf WITHOUT the
+  log.  ``ln`` is not correctly-rounded IEEE (libm results differ in the
+  last ulp across engines), so a log-based score could never hash-match
+  a DuckDB oracle; the rational form ``(N - df + 0.5) / (df + 0.5)``
+  keeps every operation inside +,-,*,/ — all correctly-rounded IEEE,
+  bit-identical across engines — and preserves the idf ordering (the
+  log is monotonic).  Term scores sum in the fixed query-term order
+  (left-associated), so the whole score is deterministic per row.
+
+- ``inverted_index``: term → document frequency, total term frequency,
+  and an id-sorted posting-list string ``"id:tf id:tf ..."`` (strings,
+  not nested arrays, so the driver's value hash is engine-neutral).
+  Terms with ``df > max_df`` keep their statistics but skip posting
+  materialization — and the skip happens BEFORE the collect (a
+  broadcast semi-join of the under-cap term set), so a 100 TB "the"
+  never gathers a billion-element list on one reducer.
+
+Scale shapes (100 TB):
+- search: per-doc tf/dl are scan-local array expressions (no explode,
+  no shuffle); corpus stats (N, Σdl, per-term df) reduce to ONE row that
+  broadcasts back; ranking is a TakeOrdered top-k.  ZERO wide shuffles.
+- index: explode → one map-side-combined (term, doc) count → a tiny
+  per-term stats aggregate → semi-join-guarded posting collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import _tokens
+
+
+def keyword_search_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` under rational-idf BM25
+    (see module docstring).  Ties break on ascending id so the result
+    SET is deterministic.  Returns (id, dl, tf_<term>..., score).
+
+    The per-doc branch is computed once and feeds both the corpus-stats
+    aggregate and the scoring projection; the stats side reduces to a
+    single row and broadcasts, so the document table is scanned exactly
+    twice and never shuffled."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    def tf_expr(term: str) -> Column:
+        # closure factory (a default-arg lambda would change arity)
+        def pred(x: Column) -> Column:
+            return x == F.lit(term)
+
+        return F.size(F.filter(F.col("__toks__"), pred))
+
+    # Persist the tokenized frame FIRST: dl plus one tf per query term
+    # all reference the token array, and Catalyst's projection collapse
+    # would otherwise re-inline the regex split once per reference
+    # (T+1 splits per row — the with_repetition lesson).  The cached
+    # array is split exactly once; the per-term filters over it are
+    # cheap.  The frame also feeds both the stats aggregate and the
+    # scoring projection, which alone would justify the boundary.
+    tokenized = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id__"), _tokens(F.col(text_col)).alias("__toks__"))
+        .persist()
+    )
+    base = tokenized.select(
+        "__id__",
+        F.size(F.col("__toks__")).alias("dl"),
+        *[tf_expr(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"df_{i}").cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        ts = (idf * (tf * F.lit(k1 + 1.0))) / (tf + norm)
+        score = ts if score is None else score + ts
+    return (
+        scored.select(
+            F.col("__id__").alias(id_col),
+            "dl",
+            *[F.col(f"tf_{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def keyword_search_oracle_sql(
+    query_terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of keyword_search_topk.  Float literals are emitted
+    with ``repr`` of the SAME Python-computed values the Spark plan
+    embeds (e.g. ``k1 + 1.0``), so both engines run identical bit
+    patterns through identical correctly-rounded IEEE operation trees."""
+    terms = [t.lower() for t in query_terms]
+    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    tf_cols = ", ".join(
+        f"len(list_filter({toks}, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    norm = f"({k1!r} * (1.0 - {b!r} + {b!r} * (CAST(dl AS DOUBLE) / {avgdl})))"
+    parts = []
+    for i in range(len(terms)):
+        tf = f"CAST(tf_{i} AS DOUBLE)"
+        idf = f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        parts.append(f"(({idf} * ({tf} * {k1 + 1.0!r})) / ({tf} + {norm}))")
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score} + {p})"
+    out_tfs = ", ".join(f"tf_{i} AS tf_{t}" for i, t in enumerate(terms))
+    return (
+        f"WITH base AS (SELECT {id_col} AS did, len({toks}) AS dl, {tf_cols} "
+        f"FROM {table} WHERE {text_col} IS NOT NULL), "
+        f"stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl, {df_cols} FROM base) "
+        f"SELECT did AS {id_col}, dl, {out_tfs}, {score} AS score "
+        f"FROM base CROSS JOIN stats "
+        f"ORDER BY score DESC, did LIMIT {k}"
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Term-level index: ``df`` (document frequency), ``tf_total``
+    (corpus term frequency), and ``postings`` — the id-ascending
+    ``"id:tf id:tf ..."`` string, NULL for terms with ``df > max_df``
+    (stopword-class terms whose lists would be unbounded; their
+    statistics still report).  See module docstring for the semi-join
+    guard that keeps the collect bounded at scale."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id__"), F.explode(_tokens(F.col(text_col))).alias("term"))
+    )
+    tf = toks.groupBy("term", "__id__").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
+    )
+    if max_df is None:
+        eligible = tf
+    else:
+        keep = stats.filter(F.col("df") <= max_df).select("term")
+        eligible = tf.join(F.broadcast(keep), "term", "left_semi")
+    postings = eligible.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__id__", "tf"))),
+                lambda s: F.concat_ws(":", s["__id__"].cast("string"), s["tf"].cast("string")),
+            ),
+            " ",
+        ).alias("postings")
+    )
+    return stats.join(postings, "term", "left").select("term", "df", "tf_total", "postings")
+
+
+def inverted_index_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> str:
+    """DuckDB mirror of inverted_index: string_agg ORDER BY did gives
+    the same id-ascending posting string; the max_df gate reproduces the
+    NULL-postings branch."""
+    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    agg = f"string_agg(did || ':' || tf, ' ' ORDER BY did)"
+    postings = agg if max_df is None else f"CASE WHEN COUNT(*) <= {max_df} THEN {agg} END"
+    return (
+        f"WITH e AS (SELECT {id_col} AS did, unnest({toks}) AS term "
+        f"FROM {table} WHERE {text_col} IS NOT NULL), "
+        f"tf AS (SELECT term, did, COUNT(*) AS tf FROM e GROUP BY term, did) "
+        f"SELECT term, COUNT(*) AS df, SUM(tf) AS tf_total, {postings} AS postings "
+        f"FROM tf GROUP BY term"
+    )

@@ -530,6 +530,30 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_oov(df, "doc_id", "text", top_k=20)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-idf BM25 top-20 for three query terms (one rare, two
+    common — the rare term dominates via idf, which is the behavior
+    being checked).  No-log variant keeps every operation inside
+    correctly-rounded IEEE + - * /, so scores hash-match the oracle
+    bit-for-bit (functions/search.py docstring)."""
+    from ..functions.search import keyword_search_topk
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return keyword_search_topk(df, ["hash", "join", "dup"], k=20)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per-term df, corpus tf, and the
+    id-ascending posting string; terms over max_df=400 keep stats but
+    NULL postings (the semi-join guard that bounds the collect at
+    scale — at sf0.1 every common term crosses the cap, at sf0.01 only
+    the heaviest do, so both branches are driver-checked)."""
+    from ..functions.search import inverted_index
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(df, "doc_id", "text", max_df=400)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keyed on (lang, source): keep the lowest doc_id."""
     from ..functions.dedup import exact_dedup
@@ -1182,6 +1206,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "doc_repetition": q_doc_repetition,
     "vocab_oov": q_vocab_oov,
+    "bm25_topk": q_bm25_topk,
+    "inverted_index": q_inverted_index,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1512,6 +1538,12 @@ HARNESS_ORACLES["dedup_substring"] = _substring_pairs_oracle_sql(run_len=8)
 from ..functions.text import vocab_oov_oracle_sql as _vocab_oov_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["vocab_oov"] = _vocab_oov_oracle_sql(top_k=20)
+
+from ..functions.search import inverted_index_oracle_sql as _inverted_index_oracle_sql  # noqa: E402
+from ..functions.search import keyword_search_oracle_sql as _keyword_search_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["bm25_topk"] = _keyword_search_oracle_sql(["hash", "join", "dup"], k=20)
+HARNESS_ORACLES["inverted_index"] = _inverted_index_oracle_sql(max_df=400)
 
 from ..operators.extensions import sample_hash_oracle_predicate as _sample_pred  # noqa: E402
 
