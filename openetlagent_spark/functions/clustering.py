@@ -1,0 +1,202 @@
+"""Deterministic distributed k-means over embedding columns — corpus
+clustering for training-data curation (domain balancing, diversity
+sampling, per-cluster quota mixes).
+
+The reference engine (Antix5/OpenETLAgent) has no clustering vocabulary
+(SURVEY §2.2); this extends the engine like the dedup/similarity
+families, and — unusually for an iterative float algorithm — the WHOLE
+pipeline is exactly oracle-checkable.  Three design moves make Lloyd's
+algorithm bit-deterministic across engines and partition orders:
+
+1. **Quantized inputs.** Embeddings are snapped once to an integer grid
+   (``round(x * 2^scale_bits)``; round-half-away-from-zero matches
+   between Spark and DuckDB).  From then on every accumulated quantity
+   — centroid sums, member counts — is INTEGER arithmetic: exact and
+   partition-order-independent, where a double sum would drift in the
+   last ulp per partitioning.
+2. **Derived doubles only per row.** Centroid coordinates are
+   ``sum/count`` (one correctly-rounded IEEE division of exact
+   integers); distances fold ``(x - c)^2`` left-to-right in dimension
+   order from exact inputs.  No double is ever accumulated across rows.
+3. **Deterministic everything else.** Init picks the ``k`` vectors with
+   the smallest ``md5(id)`` (a seedless deterministic pseudo-random
+   draw, same trick as the engine's hash split); argmin ties break on
+   the lower cluster id; empty clusters keep their previous centroid.
+
+Scale shape (100 TB): the quantized table persists once; each Lloyd
+iteration is ONE scan computing assignments against k×dim centroid
+literals (parsed-SQL array literal — no py4j cost, no join) plus a
+map-side-combined k-row aggregate; only k rows ever reach the driver
+per iteration (same bounded-collect class as IVF centroid sampling).
+Iteration count is fixed and small — the standard mini-batch/fixed-iter
+trade for petabyte corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _array_literal, infer_dim
+
+
+def _quantize(vec_col: Column, scale_bits: int) -> Column:
+    scale = float(1 << scale_bits)
+    return F.transform(
+        vec_col.cast("array<double>"),
+        lambda x: F.round(x * F.lit(scale)).cast("long"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Assign every vector to one of ``k`` clusters after ``iters``
+    Lloyd updates from the md5-rank init.  Returns (id, cluster,
+    dist) where ``dist`` is the squared quantized-grid distance to the
+    final centroid (double, deterministic).
+
+    Centroid state lives driver-side between iterations as exact
+    integers (k×(dim+1) values — bounded), embedded into the next
+    assignment pass as a parsed array literal."""
+    dim = infer_dim(df, vec_col)
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id__"), _quantize(F.col(vec_col), scale_bits).alias("xq"))
+        .persist()  # one quantization pass feeds every Lloyd iteration
+    )
+
+    init_rows = (
+        base.select("__id__", "xq", F.md5(F.col("__id__").cast("string")).alias("__h__"))
+        .orderBy("__h__")
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds the {len(init_rows)} available vectors")
+    # centroid j = (sums, count); init: the vector itself, count 1
+    state = [(list(r["xq"]), 1) for r in init_rows]
+
+    def centroid_doubles() -> list[list[float]]:
+        return [[s / cnt for s in sums] for sums, cnt in state]
+
+    def dist_to(cen_lit: Column, j: int) -> Column:
+        # ((0 + (x1-c1)^2) + (x2-c2)^2) + ... — fixed fold order, exact
+        # inputs, so bit-identical to the oracle's unrolled chain
+        cen_j = F.element_at(cen_lit, j + 1)
+
+        def step(acc: Column, pair: Column) -> Column:
+            return acc + pair
+
+        diffs = F.zip_with(
+            F.col("xq").cast("array<double>"),
+            cen_j,
+            lambda x, c: (x - c) * (x - c),
+        )
+        return F.aggregate(diffs, F.lit(0.0), step)
+
+    def assigned() -> DataFrame:
+        cen_lit = _array_literal(centroid_doubles())
+        choice = F.array_min(
+            F.array(
+                *[
+                    F.struct(dist_to(cen_lit, j).alias("d"), F.lit(j).alias("cid"))
+                    for j in range(k)
+                ]
+            )
+        )
+        return base.select(
+            "__id__", "xq", choice["cid"].alias("cluster"), choice["d"].alias("dist")
+        )
+
+    for _ in range(iters):
+        sums_rows = (
+            assigned()
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.element_at("xq", j + 1)).alias(f"s{j}") for j in range(dim)],
+            )
+            .collect()
+        )
+        by_cid = {r["cluster"]: r for r in sums_rows}
+        state = [
+            ([by_cid[j][f"s{j_}"] for j_ in range(dim)], by_cid[j]["cnt"])
+            if j in by_cid
+            else state[j]  # empty cluster keeps its previous centroid
+            for j in range(k)
+        ]
+
+    return assigned().select(F.col("__id__").alias(id_col), "cluster", "dist")
+
+
+def kmeans_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale_bits: int = 20,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of kmeans_assign: the same md5-rank init, the same
+    fixed number of unrolled Lloyd iterations as chained CTEs, the same
+    integer centroid sums, and the same left-associated distance fold —
+    generated from the same parameters so plan and oracle cannot
+    drift."""
+    scale = float(1 << scale_bits)
+    xq = (
+        f"list_transform(CAST({vec_col} AS DOUBLE[]), "
+        f"x -> CAST(round(x * {scale!r}) AS BIGINT))"
+    )
+
+    def dist_expr(b: str, c: str) -> str:
+        # unrolled ((0 + d1) + d2) ... chain — matches F.aggregate's fold
+        acc = "0.0"
+        for j in range(1, dim + 1):
+            d = f"(CAST({b}.xq[{j}] AS DOUBLE) - {c}.cen[{j}])"
+            acc = f"({acc} + {d} * {d})"
+        return acc
+
+    sums = ", ".join(f"SUM(a.xq[{j}]) AS s{j}" for j in range(1, dim + 1))
+    cen_from_sums = "[" + ", ".join(
+        f"CAST(s{j} AS DOUBLE) / CAST(cnt AS DOUBLE)" for j in range(1, dim + 1)
+    ) + "]"
+
+    parts = [
+        f"base AS (SELECT {id_col} AS vid, {xq} AS xq FROM {table} "
+        f"WHERE {vec_col} IS NOT NULL)",
+        f"init AS (SELECT vid, xq, row_number() OVER "
+        f"(ORDER BY md5(CAST(vid AS VARCHAR))) - 1 AS cid FROM base "
+        f"ORDER BY md5(CAST(vid AS VARCHAR)) LIMIT {k})",
+        "c0 AS (SELECT cid, list_transform(xq, v -> CAST(v AS DOUBLE)) AS cen FROM init)",
+    ]
+    prev = "c0"
+    for i in range(iters):
+        assign = f"a{i}"
+        parts.append(
+            f"{assign} AS (SELECT vid, xq, cluster FROM ("
+            f"SELECT b.vid, b.xq, c.cid AS cluster, row_number() OVER "
+            f"(PARTITION BY b.vid ORDER BY {dist_expr('b', 'c')}, c.cid) AS rn "
+            f"FROM base b CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        nxt = f"c{i + 1}"
+        parts.append(
+            f"{nxt} AS (SELECT p.cid, CASE WHEN g.cnt IS NULL THEN p.cen "
+            f"ELSE {cen_from_sums} END AS cen FROM {prev} p LEFT JOIN ("
+            f"SELECT a.cluster AS cid, COUNT(*) AS cnt, {sums} "
+            f"FROM a{i} a GROUP BY a.cluster) g ON g.cid = p.cid)"
+        )
+        prev = nxt
+    final = (
+        f"SELECT vid AS {id_col}, cluster, dist FROM ("
+        f"SELECT b.vid, c.cid AS cluster, {dist_expr('b', 'c')} AS dist, "
+        f"row_number() OVER (PARTITION BY b.vid ORDER BY {dist_expr('b', 'c')}, c.cid) AS rn "
+        f"FROM base b CROSS JOIN {prev} c) WHERE rn = 1"
+    )
+    return "WITH " + ", ".join(parts) + " " + final

@@ -629,6 +629,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantized k-means (k=8, 2 Lloyd iterations) over
+    the embeddings table — integer centroid sums and fold-order double
+    distances make the full iterative algorithm hash-match the unrolled
+    CTE oracle (functions/clustering.py module docstring)."""
+    from ..functions.clustering import kmeans_assign
+
+    df = _ts(spark, sf_dir, "embeddings")
+    return kmeans_assign(df, "vec_id", "embedding", k=8, iters=2)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k for the first 20 vectors.  DuckDB's
     list_cosine_similarity over double arrays ranks identically to the
@@ -1214,6 +1225,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_substring": q_dedup_substring,
     "dedup_embedding": q_dedup_embedding,
+    "kmeans_clusters": q_kmeans_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1544,6 +1556,10 @@ from ..functions.search import keyword_search_oracle_sql as _keyword_search_orac
 
 HARNESS_ORACLES["bm25_topk"] = _keyword_search_oracle_sql(["hash", "join", "dup"], k=20)
 HARNESS_ORACLES["inverted_index"] = _inverted_index_oracle_sql(max_df=400)
+
+from ..functions.clustering import kmeans_oracle_sql as _kmeans_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["kmeans_clusters"] = _kmeans_oracle_sql(k=8, iters=2)
 
 from ..operators.extensions import sample_hash_oracle_predicate as _sample_pred  # noqa: E402
 
