@@ -200,3 +200,57 @@ def kmeans_oracle_sql(
         f"FROM base b CROSS JOIN {prev} c) WHERE rn = 1"
     )
     return "WITH " + ", ".join(parts) + " " + final
+
+
+def diversity_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    per_cluster: int = 10,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Cluster-balanced sampling: k-means the corpus, then keep the
+    ``per_cluster`` md5-rank-lowest members of EVERY cluster — the
+    diversity-quota sample for training mixes (a uniform hash sample
+    over-represents dense regions; the per-cluster quota guarantees
+    coverage of small modes).  Fully deterministic: the assignment is
+    kmeans_assign's, the within-cluster draw is the engine's standard
+    seedless md5 rank.  Returns (id, cluster).
+
+    Scale: one extra window over the assignment, partitioned by cluster
+    — k partitions, each a bounded top-``per_cluster`` heap under AQE;
+    no new wide shuffle beyond the per-cluster re-key."""
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(df, id_col, vec_col, k, iters, scale_bits)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= per_cluster)
+        .select(id_col, "cluster")
+    )
+
+
+def diversity_sample_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    per_cluster: int = 10,
+    scale_bits: int = 20,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of diversity_sample: the kmeans oracle wrapped in
+    the same md5-rank per-cluster quota window."""
+    inner = kmeans_oracle_sql(table, id_col, vec_col, k, iters, scale_bits, dim)
+    return (
+        f"SELECT {id_col}, cluster FROM ("
+        f"SELECT {id_col}, cluster, row_number() OVER (PARTITION BY cluster "
+        f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn "
+        f"FROM ({inner})) WHERE rn <= {per_cluster}"
+    )

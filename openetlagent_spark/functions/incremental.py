@@ -205,3 +205,84 @@ def scd2_oracle_sql(
         f"lead({ts_col}) OVER ({win}) IS NULL AS is_current "
         f"FROM ({versions})"
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "annotate",
+) -> DataFrame:
+    """Append-batch deduplication: which rows of an incoming batch are
+    already in the corpus, and which duplicate each other WITHIN the
+    batch — the admission gate that keeps repeated crawls/ingests from
+    re-adding known documents.  The match key is the engine's normalized
+    text fingerprint (text.with_fingerprint: md5 over lowercased,
+    whitespace-collapsed text), so formatting variants dedup too.
+
+    mode='annotate' returns the batch with ``is_known`` (fingerprint
+    exists in the corpus) and ``is_batch_dup`` (a lower-id row of the
+    batch has the same fingerprint); mode='filter' keeps only admissible
+    rows (not known, not a batch dup) and returns them fingerprint-free.
+
+    Scale shape (100 TB corpus, small batch): the corpus side reduces to
+    DISTINCT fingerprints before the join (shuffle carries 16-byte
+    hashes, never text), and the batch side is small by nature — AQE
+    broadcasts it, so the corpus is never shuffled at all on the common
+    path.  The within-batch check is one window over the batch.  This is
+    the incremental complement of exact_dedup (one-shot corpus dedup):
+    running it per append replaces re-deduplicating the whole corpus."""
+    from .text import with_fingerprint
+
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"mode must be annotate/filter, got {mode!r}")
+    batch = with_fingerprint(new_docs, text_col)
+    known = (
+        with_fingerprint(corpus, text_col)
+        .select(F.col("fingerprint").alias("__fp__"))
+        .distinct()
+        .withColumn("__known__", F.lit(1))
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    out = (
+        batch.join(known, batch["fingerprint"] == known["__fp__"], "left")
+        .withColumn("is_known", F.col("__known__").isNotNull())
+        .withColumn("is_batch_dup", F.row_number().over(w) > 1)
+        .drop("__fp__", "__known__")
+    )
+    if mode == "annotate":
+        return out.drop("fingerprint")
+    return (
+        out.filter(~F.col("is_known") & ~F.col("is_batch_dup"))
+        .drop("fingerprint", "is_known", "is_batch_dup")
+    )
+
+
+def incremental_dedup_oracle_sql(
+    batch_sql: str,
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "annotate",
+) -> str:
+    """DuckDB mirror of incremental_dedup.  ``batch_sql``/``corpus_sql``
+    are relation expressions; the fingerprint formula mirrors
+    text.with_fingerprint exactly (md5 of the trimmed, lowercased,
+    whitespace-collapsed text)."""
+
+    def fp(qual: str) -> str:
+        return f"md5(trim(regexp_replace(lower({qual}{text_col}), '\\s+', ' ', 'g')))"
+
+    base = (
+        f"SELECT b.*, "
+        f"EXISTS (SELECT 1 FROM ({corpus_sql}) c WHERE {fp('c.')} = b.__fp__) AS is_known, "
+        f"row_number() OVER (PARTITION BY b.__fp__ ORDER BY b.{id_col}) > 1 AS is_batch_dup "
+        f"FROM (SELECT *, {fp('')} AS __fp__ FROM ({batch_sql})) b"
+    )
+    if mode == "annotate":
+        return f"SELECT * EXCLUDE (__fp__) FROM ({base}) t"
+    return (
+        f"SELECT * EXCLUDE (__fp__, is_known, is_batch_dup) FROM ({base}) t "
+        f"WHERE NOT is_known AND NOT is_batch_dup"
+    )

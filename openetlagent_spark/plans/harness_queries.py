@@ -640,6 +640,16 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(df, "vec_id", "embedding", k=8, iters=2)
 
 
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity quota: k-means assignment + the
+    engine's md5-rank draw, 10 per cluster — coverage of small modes
+    that a uniform hash sample would under-represent."""
+    from ..functions.clustering import diversity_sample
+
+    df = _ts(spark, sf_dir, "embeddings")
+    return diversity_sample(df, "vec_id", "embedding", k=8, iters=2, per_cluster=10)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k for the first 20 vectors.  DuckDB's
     list_cosine_similarity over double arrays ranks identically to the
@@ -1107,6 +1117,20 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mixture(docs, "lang", _MIXTURE_WEIGHTS, key_col="doc_id", seed=42)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-batch admission gate (functions/incremental.py
+    incremental_dedup): docs with id ≡ 0 (mod 10) play the incoming
+    batch, the rest the existing corpus; annotate mode flags
+    known-fingerprint and within-batch duplicates.  The synthetic
+    corpus's near-dup structure guarantees both flags fire."""
+    from ..functions.incremental import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(batch, corpus, "doc_id", "text", mode="annotate")
+
+
 def q_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge (functions/incremental.py merge_changes): a synthetic
     change feed over orders — keys ≡ 0 (mod 7) get TWO competing
@@ -1226,6 +1250,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring": q_dedup_substring,
     "dedup_embedding": q_dedup_embedding,
     "kmeans_clusters": q_kmeans_clusters,
+    "diversity_sample": q_diversity_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1249,6 +1274,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mixture": q_dataset_mixture,
     "dedup_clusters": q_dedup_clusters,
     "text_scrub": q_text_scrub,
+    "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
     "stratified_sample": q_stratified_sample,
@@ -1557,9 +1583,18 @@ from ..functions.search import keyword_search_oracle_sql as _keyword_search_orac
 HARNESS_ORACLES["bm25_topk"] = _keyword_search_oracle_sql(["hash", "join", "dup"], k=20)
 HARNESS_ORACLES["inverted_index"] = _inverted_index_oracle_sql(max_df=400)
 
+from ..functions.clustering import diversity_sample_oracle_sql as _diversity_oracle_sql  # noqa: E402
 from ..functions.clustering import kmeans_oracle_sql as _kmeans_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["kmeans_clusters"] = _kmeans_oracle_sql(k=8, iters=2)
+HARNESS_ORACLES["diversity_sample"] = _diversity_oracle_sql(k=8, iters=2, per_cluster=10)
+
+from ..functions.incremental import incremental_dedup_oracle_sql as _incr_dedup_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["incremental_dedup"] = _incr_dedup_oracle_sql(
+    batch_sql="SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+    corpus_sql="SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
+)
 
 from ..operators.extensions import sample_hash_oracle_predicate as _sample_pred  # noqa: E402
 

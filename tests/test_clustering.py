@@ -77,3 +77,18 @@ def test_kmeans_k_exceeds_rows_raises(spark):
     df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
     with pytest.raises(ValueError):
         kmeans_assign(df, "vec_id", "embedding", k=4, iters=1)
+
+
+def test_diversity_sample_quota_and_determinism(planted):
+    from openetlagent_spark.functions.clustering import diversity_sample
+
+    out = diversity_sample(planted, "vec_id", "embedding", k=3, iters=2, per_cluster=5)
+    rows = out.collect()
+    from collections import Counter
+
+    per = Counter(r.cluster for r in rows)
+    assert set(per) == {0, 1, 2} and all(v == 5 for v in per.values())
+    again = diversity_sample(
+        planted.repartition(5), "vec_id", "embedding", k=3, iters=2, per_cluster=5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -16,6 +16,7 @@ from __future__ import annotations
 import datetime
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from openetlagent_spark.functions.curation import chunk_text, stratified_sample
@@ -323,3 +324,39 @@ operations:
         # 10 sampled docs × ceil(10/4)=3 chunks
         assert out.count() == 30
         assert set(out.columns) == {"doc_id", "chunk_idx", "chunk_text", "chunk_tokens"}
+
+
+def test_incremental_dedup_annotate_and_filter(spark):
+    from openetlagent_spark.functions.incremental import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The  quick brown fox"),
+            Row(doc_id=2, text="something else entirely"),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick  brown fox"),   # known (normalized match)
+            Row(doc_id=11, text="brand new document"),
+            Row(doc_id=12, text="Brand  New Document"),    # batch dup of 11
+            Row(doc_id=13, text="another new one"),
+        ]
+    )
+    got = {r.doc_id: r for r in incremental_dedup(batch, corpus).collect()}
+    assert got[10].is_known and not got[10].is_batch_dup
+    assert not got[11].is_known and not got[11].is_batch_dup
+    assert got[12].is_batch_dup and not got[12].is_known
+    assert not got[13].is_known and not got[13].is_batch_dup
+
+    kept = incremental_dedup(batch, corpus, mode="filter")
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 13]
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_incremental_dedup_bad_mode_raises(spark):
+    from openetlagent_spark.functions.incremental import incremental_dedup
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        incremental_dedup(df, df, mode="nope")
