@@ -107,6 +107,17 @@ Available operation_type values and their fields:
   right_on, time_column, start_column, end_column, value_columns)}
 - similarity: top-k nearest vectors. {method (brute/lsh/ivf),
   queries_path: input_key, id_column, vector_column, k}
+- keyword_search: ranked keyword retrieval (rational-idf BM25 top-k).
+  {query_terms: [..], id_column, text_column, k}
+- inverted_index: term -> df/tf_total/posting-list string. {id_column,
+  text_column, max_df (0 = no hot-term posting cap)}
+- vocab_oov: per-doc out-of-vocabulary rate vs the corpus top-k
+  vocabulary. {id_column, text_column, top_k}
+- kmeans: deterministic embedding clustering. {mode (assign/sample),
+  id_column, vector_column, k, iters, per_cluster (sample mode)}
+- incremental_dedup: flag/drop batch rows already in a corpus by
+  normalized-text fingerprint. {corpus_path: input_key, id_column,
+  text_column, mode (annotate/filter)}
 
 Name temporary working columns with leading AND trailing underscores
 (e.g. _clean_price_) — they are dropped automatically at the end.
@@ -245,7 +256,7 @@ def generate_pipeline_step_by_step(
                 op = parse_operation(raw)
                 if op.operation_type not in OPERATION_DISPATCHER and op.operation_type not in (
                     "bind", "union", "asof_join", "range_join", "similarity",
-                    "contamination",
+                    "contamination", "incremental_dedup",
                 ):
                     raise SpecError(f"unsupported operation_type {op.operation_type!r}")
                 # Trial execution on the lazy chain (probe forces analysis

@@ -770,6 +770,111 @@ class ChunkOperation(Operation):
             )
 
 
+@dataclass
+class KeywordSearchOperation(Operation):
+    """Ranked keyword retrieval as a flow op (functions/search.py
+    keyword_search_topk): rational-idf BM25 top-k for a fixed list of
+    query terms over the current frame."""
+
+    query_terms: list[str] = field(default_factory=list)
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    k: int = 10
+    k1: float = 1.2
+    b: float = 0.75
+    operation_type: str = "keyword_search"
+
+    def __post_init__(self) -> None:
+        if not self.query_terms:
+            raise SpecError("keyword_search requires query_terms")
+        if self.k <= 0:
+            raise SpecError(f"keyword_search k must be positive, got {self.k!r}")
+
+
+@dataclass
+class InvertedIndexOperation(Operation):
+    """Inverted-index build as a flow op (functions/search.py
+    inverted_index): term → df, tf_total, id-sorted posting string;
+    ``max_df`` = 0 disables the hot-term posting cap."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    max_df: int = 0
+    operation_type: str = "inverted_index"
+
+    def __post_init__(self) -> None:
+        if self.max_df < 0:
+            raise SpecError(f"inverted_index max_df must be >= 0, got {self.max_df!r}")
+
+
+@dataclass
+class VocabOovOperation(Operation):
+    """Rare-token/OOV quality scoring as a flow op (functions/text.py
+    vocab_oov): per-doc token totals and out-of-vocabulary counts
+    against the corpus's own top-``top_k`` vocabulary."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    top_k: int = 1000
+    operation_type: str = "vocab_oov"
+
+    def __post_init__(self) -> None:
+        if self.top_k <= 0:
+            raise SpecError(f"vocab_oov top_k must be positive, got {self.top_k!r}")
+
+
+@dataclass
+class ClusteringOperation(Operation):
+    """Deterministic quantized k-means as a flow op (functions/
+    clustering.py).  mode ∈ assign (per-vector cluster + distance) /
+    sample (cluster-balanced ``per_cluster`` quota draw)."""
+
+    mode: str = "assign"
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    k: int = 8
+    iters: int = 2
+    per_cluster: int = 10
+    scale_bits: int = 20
+    operation_type: str = "kmeans"
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("assign", "sample"):
+            raise SpecError(f"kmeans mode must be assign/sample, got {self.mode!r}")
+        if self.k <= 0 or self.iters < 0:
+            raise SpecError("kmeans requires k > 0 and iters >= 0")
+        if self.mode == "sample" and self.per_cluster <= 0:
+            raise SpecError(
+                f"kmeans sample per_cluster must be positive, got {self.per_cluster!r}"
+            )
+
+
+@dataclass
+class IncrementalDedupOperation(Operation):
+    """Append-batch dedup as a flow op (functions/incremental.py
+    incremental_dedup): the CURRENT frame is the incoming batch, the
+    existing corpus resolves like bind's right side.  mode ∈ annotate
+    (add is_known / is_batch_dup flags) / filter (keep admissible
+    rows)."""
+
+    corpus_path: str = ""
+    corpus_schema_columns: dict[str, str] = field(default_factory=dict)
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    mode: str = "annotate"
+    operation_type: str = "incremental_dedup"
+
+    def __post_init__(self) -> None:
+        if not self.corpus_path:
+            raise SpecError(
+                "incremental_dedup requires corpus_path (named input or file path)"
+            )
+        if self.mode not in ("annotate", "filter"):
+            raise SpecError(
+                f"incremental_dedup mode must be annotate/filter, got {self.mode!r}"
+            )
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -809,6 +914,11 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "scd2": Scd2Operation,
     "stratified_sample": StratifiedSampleOperation,
     "chunk": ChunkOperation,
+    "keyword_search": KeywordSearchOperation,
+    "inverted_index": InvertedIndexOperation,
+    "vocab_oov": VocabOovOperation,
+    "kmeans": ClusteringOperation,
+    "incremental_dedup": IncrementalDedupOperation,
 }
 
 

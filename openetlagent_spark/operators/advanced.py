@@ -16,9 +16,13 @@ from pyspark.sql import functions as F
 from ..model import (
     AsofJoinOperation,
     ChunkOperation,
+    ClusteringOperation,
     ContaminationOperation,
     DedupOperation,
     FileDefinition,
+    IncrementalDedupOperation,
+    InvertedIndexOperation,
+    KeywordSearchOperation,
     MergeOperation,
     MixtureOperation,
     PackSequencesOperation,
@@ -28,6 +32,7 @@ from ..model import (
     ScrubOperation,
     SimilarityOperation,
     StratifiedSampleOperation,
+    VocabOovOperation,
 )
 from .bind import resolve_side
 
@@ -308,3 +313,56 @@ def apply_chunk(df: DataFrame, op: ChunkOperation) -> DataFrame:
         chunk_size=op.chunk_size,
         overlap=op.overlap,
     )
+
+
+def apply_keyword_search(df: DataFrame, op: KeywordSearchOperation) -> DataFrame:
+    from ..functions.search import keyword_search_topk
+
+    return keyword_search_topk(
+        df, op.query_terms, op.id_column, op.text_column, k=op.k, k1=op.k1, b=op.b
+    )
+
+
+def apply_inverted_index(df: DataFrame, op: InvertedIndexOperation) -> DataFrame:
+    from ..functions.search import inverted_index
+
+    return inverted_index(
+        df, op.id_column, op.text_column, max_df=op.max_df or None
+    )
+
+
+def apply_vocab_oov(df: DataFrame, op: VocabOovOperation) -> DataFrame:
+    from ..functions.text import vocab_oov
+
+    return vocab_oov(df, op.id_column, op.text_column, top_k=op.top_k)
+
+
+def apply_kmeans(df: DataFrame, op: ClusteringOperation) -> DataFrame:
+    from ..functions.clustering import diversity_sample, kmeans_assign
+
+    if op.mode == "sample":
+        return diversity_sample(
+            df, op.id_column, op.vector_column,
+            k=op.k, iters=op.iters, per_cluster=op.per_cluster,
+            scale_bits=op.scale_bits,
+        )
+    return kmeans_assign(
+        df, op.id_column, op.vector_column,
+        k=op.k, iters=op.iters, scale_bits=op.scale_bits,
+    )
+
+
+def apply_incremental_dedup(
+    df: DataFrame,
+    op: IncrementalDedupOperation,
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    corpus_df: DataFrame | None = None,
+) -> DataFrame:
+    """Append-batch dedup: current frame = incoming batch, corpus
+    resolved like bind's right side."""
+    from ..functions.incremental import incremental_dedup
+
+    if corpus_df is None:
+        corpus_df = resolve_side(spark, op.corpus_path, op.corpus_schema_columns, inputs)
+    return incremental_dedup(df, corpus_df, op.id_column, op.text_column, mode=op.mode)

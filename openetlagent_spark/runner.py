@@ -29,6 +29,7 @@ from .model import (
     BindOperation,
     FileDefinition,
     ContaminationOperation,
+    IncrementalDedupOperation,
     Operation,
     PipelineConfig,
     PipelineFlow,
@@ -41,6 +42,7 @@ from .operators import (
     apply_asof_join,
     apply_bind,
     apply_contamination,
+    apply_incremental_dedup,
     apply_merge,
     apply_range_join,
     apply_similarity,
@@ -84,6 +86,8 @@ def apply_operations(
             current = apply_contamination(current, op, spark, inputs)
         elif isinstance(op, MergeOperation):
             current = apply_merge(current, op, spark, inputs)
+        elif isinstance(op, IncrementalDedupOperation):
+            current = apply_incremental_dedup(current, op, spark, inputs)
         elif isinstance(op, UnionOperation):
             if not inputs or op.right_input not in inputs:
                 raise ValueError(

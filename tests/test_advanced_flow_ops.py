@@ -267,3 +267,69 @@ def test_yaml_repetition_op(spark):
 
     with pytest.raises(SpecError):
         parse_operation({"operation_type": "repetition", "ns": [0]})
+
+
+def test_yaml_round3_ops_match_functions(spark):
+    """keyword_search / inverted_index / vocab_oov / kmeans specs
+    execute through apply_operations identically to the direct calls."""
+    from openetlagent_spark.functions.clustering import diversity_sample
+    from openetlagent_spark.functions.search import inverted_index, keyword_search_topk
+    from openetlagent_spark.functions.text import vocab_oov
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    cases = [
+        (
+            docs,
+            {"operation_type": "keyword_search", "query_terms": ["hash", "dup"], "k": 5},
+            keyword_search_topk(docs, ["hash", "dup"], k=5),
+        ),
+        (
+            docs,
+            {"operation_type": "inverted_index", "max_df": 100},
+            inverted_index(docs, max_df=100),
+        ),
+        (
+            docs,
+            {"operation_type": "vocab_oov", "top_k": 15},
+            vocab_oov(docs, top_k=15),
+        ),
+        (
+            embs,
+            {"operation_type": "kmeans", "mode": "sample", "k": 4, "per_cluster": 3},
+            diversity_sample(embs, k=4, per_cluster=3),
+        ),
+    ]
+    for frame, raw, direct in cases:
+        via = apply_operations(frame, [parse_operation(raw)], spark)
+        assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect())), raw
+
+
+def test_yaml_incremental_dedup_resolves_corpus_path(spark):
+    from openetlagent_spark.functions.incremental import incremental_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    batch = docs.filter("doc_id % 10 = 0")
+    op = parse_operation(
+        {"operation_type": "incremental_dedup", "mode": "filter",
+         "corpus_path": f"{SF}/documents.parquet",
+         "corpus_schema_columns": {"doc_id": "integer", "text": "string"}}
+    )
+    via = apply_operations(batch, [op], spark)
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    direct = incremental_dedup(batch, corpus, mode="filter")
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_round3_spec_validation():
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "keyword_search", "query_terms": []})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "kmeans", "mode": "nope"})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "vocab_oov", "top_k": 0})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "incremental_dedup"})  # no corpus_path
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "inverted_index", "max_df": -1})
