@@ -101,6 +101,13 @@ HEADLINE = [
     "scd2_history",
     "stratified_sample",
     "chunk_docs",
+    "dedup_substring",
+    "vocab_oov",
+    "bm25_topk",
+    "inverted_index",
+    "kmeans_clusters",
+    "diversity_sample",
+    "incremental_dedup",
 ]
 
 

@@ -179,10 +179,15 @@ def inverted_index(
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id__"), F.explode(_tokens(F.col(text_col))).alias("term"))
     )
-    tf = toks.groupBy("term", "__id__").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the stats aggregate AND the posting collect; stats feeds
+    # the cap filter AND the final join.  Catalyst shares identical
+    # exchanges only opportunistically (ReusedExchange) — the persist
+    # boundaries make the explode + (term, doc) shuffle run exactly
+    # once regardless of plan shape.
+    tf = toks.groupBy("term", "__id__").agg(F.count(F.lit(1)).alias("tf")).persist()
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
-    )
+    ).persist()
     if max_df is None:
         eligible = tf
     else:
