@@ -108,6 +108,8 @@ HEADLINE = [
     "kmeans_clusters",
     "diversity_sample",
     "incremental_dedup",
+    "curation_pipeline",
+    "profile_table",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Column profiling — the ANALYZE-style statistics pass every pipeline
+runs before trusting a new 100 TB input: per-column row/null/distinct
+counts and min/max, as one long-format stats table.
+
+The reference engine validates declared schemas but computes no data
+statistics (SURVEY §2.1 engine-level table — validation is dtype-only);
+this fills that gap the Spark-first way: ONE scan, one aggregate row
+(Spark plans multiple DISTINCT aggregates as a single Expand pass), and
+a per-column struct explode into the long format.  No per-column
+re-scan — profiling C columns costs one pass regardless of C.
+
+``approx=True`` swaps exact COUNT(DISTINCT) for HLL++
+``approx_count_distinct`` — the mergeable-sketch path that keeps the
+Expand pass single-aggregation at petabyte scale.  The exact mode is
+what the driver oracle checks; the approx mode is floor-tested.
+
+min/max are cast to string for a uniform schema; the harness query
+profiles integer/string columns only, where Spark's and DuckDB's
+casts agree byte-for-byte (float formatting differs between engines
+and is deliberately excluded from the oracle-checked surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Profile ``columns`` (default: all) into a long-format table:
+    (col, n_rows, n_nulls, n_distinct, min_value, max_value)."""
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile: unknown columns {missing}; available {df.columns}")
+    nd = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__c{i}__"),
+            nd(F.col(c)).alias(f"__d{i}__"),
+            F.min(F.col(c)).cast("string").alias(f"__lo{i}__"),
+            F.max(F.col(c)).cast("string").alias(f"__hi{i}__"),
+        ]
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("__n__").alias("n_rows"),
+                (F.col("__n__") - F.col(f"__c{i}__")).alias("n_nulls"),
+                F.col(f"__d{i}__").alias("n_distinct"),
+                F.col(f"__lo{i}__").alias("min_value"),
+                F.col(f"__hi{i}__").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def profile_oracle_sql(table: str, columns: list[str]) -> str:
+    """DuckDB mirror of profile_columns (exact mode): one UNION ALL arm
+    per column — the oracle may scan C times; the Spark plan must not."""
+    arms = [
+        (
+            f"SELECT '{c}' AS col, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_value, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_value FROM {table}"
+        )
+        for c in columns
+    ]
+    return " UNION ALL ".join(arms)

@@ -554,6 +554,45 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(df, "doc_id", "text", max_df=400)
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of orders (int/string columns —
+    engines agree on those casts byte-for-byte): one scan, one Expand
+    aggregation, struct explode to long format.  The oracle re-scans
+    per column; the Spark plan must not (functions/profile.py)."""
+    from ..functions.profile import profile_columns
+
+    df = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        df, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a real corpus gets before training:
+    quality score + repetition fraction + language ID + deterministic
+    split assignment, then the quality/repetition admission filter — all
+    per-row JVM expressions, so the ENTIRE pipeline fuses into ONE scan
+    with no joins and no shuffles (the oracle joins the four independent
+    per-signal oracles instead; same rows either way).
+    Demonstrates that the engine's curation operators compose without
+    materialization barriers between stages."""
+    from ..functions.text import (
+        with_lang_id,
+        with_quality,
+        with_repetition,
+        with_split_assign,
+    )
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    df = with_quality(df)
+    df = with_repetition(df, ns=(2,))
+    df = with_lang_id(df)
+    df = with_split_assign(df, "doc_id")
+    return df.filter(
+        (F.col("quality") >= 0.5) & (F.col("dup_2gram_frac") <= 0.05)
+    ).select("doc_id", "quality", "dup_2gram_frac", "lang_pred", "split")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keyed on (lang, source): keep the lowest doc_id."""
     from ..functions.dedup import exact_dedup
@@ -1243,6 +1282,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov": q_vocab_oov,
     "bm25_topk": q_bm25_topk,
     "inverted_index": q_inverted_index,
+    "curation_pipeline": q_curation_pipeline,
+    "profile_table": q_profile_table,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1554,6 +1595,25 @@ from ..functions.text import repetition_oracle_sql as _repetition_oracle_sql  # 
 HARNESS_ORACLES["lang_id"] = _lang_id_oracle_sql()
 HARNESS_ORACLES["dedup_ngram"] = _ngram_pairs_oracle_sql()
 HARNESS_ORACLES["doc_repetition"] = _repetition_oracle_sql()
+
+from ..functions.profile import profile_oracle_sql as _profile_oracle_sql  # noqa: E402
+from ..functions.text import split_assign_oracle_sql as _split_assign_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["profile_table"] = _profile_oracle_sql(
+    "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+)
+
+# The composed pipeline reuses the four per-signal oracles verbatim and
+# joins them on doc_id — each is exact, so the composition is exact.
+HARNESS_ORACLES["curation_pipeline"] = (
+    "WITH q AS (" + HARNESS_ORACLES["text_quality"] + "), "
+    "r AS (" + _repetition_oracle_sql(ns=(2,)) + "), "
+    "l AS (" + HARNESS_ORACLES["lang_id"] + "), "
+    "s AS (SELECT doc_id, " + _split_assign_oracle_sql("doc_id") + " FROM documents) "
+    "SELECT q.doc_id, quality, dup_2gram_frac, lang_pred, split "
+    "FROM q JOIN r USING (doc_id) JOIN l USING (doc_id) JOIN s USING (doc_id) "
+    "WHERE quality >= 0.5 AND dup_2gram_frac <= 0.05"
+)
 
 from ..functions.dedup import simhash_pairs_oracle_sql as _simhash_pairs_oracle_sql  # noqa: E402
 
