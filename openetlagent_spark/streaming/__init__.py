@@ -1,4 +1,5 @@
 from .events import (
+    admit_new_documents,
     dedup_events,
     join_event_streams,
     enrich_stream,
@@ -11,6 +12,7 @@ from .events import (
 )
 
 __all__ = [
+    "admit_new_documents",
     "dedup_events",
     "join_event_streams",
     "enrich_stream",

@@ -362,6 +362,56 @@ def dedup_events(
     )
 
 
+def admit_new_documents(
+    docs: DataFrame,
+    known: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming admission gate — the continuous form of
+    functions.incremental.incremental_dedup(mode='filter'): admit only
+    documents whose normalized-text fingerprint is neither in the static
+    ``known`` corpus nor already seen in the stream.
+
+    On a stream: the known side reduces to distinct fingerprints and
+    joins LEFT ANTI (stream-static anti joins re-read the static side
+    per micro-batch, so a growing corpus snapshot is picked up without
+    restart); within-stream dups drop via watermarked
+    ``dropDuplicatesWithinWatermark`` on the fingerprint — state stays
+    bounded at (ingest rate × watermark horizon).  ``watermark_col``
+    must name an event-time column on streaming input.
+
+    On batch input: the exact plan the driver already hash-checks as
+    the ``incremental_dedup`` harness query (keep-min survivor per
+    fingerprint) — the parity test pins stream == batch admitted sets.
+    """
+    from ..functions.text import with_fingerprint
+
+    fingered = with_fingerprint(docs, text_col)
+    known_fps = (
+        with_fingerprint(known, text_col).select("fingerprint").distinct()
+    )
+    fresh = fingered.join(known_fps, "fingerprint", "left_anti")
+    if docs.isStreaming:
+        if watermark_col is None:
+            raise ValueError("streaming admission requires watermark_col (event time)")
+        out = fresh.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+        return out.drop("fingerprint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fresh.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "fingerprint")
+    )
+
+
 _SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_start", T.DoubleType()),

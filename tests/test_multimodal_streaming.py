@@ -236,3 +236,44 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.event_id, r.event_id_r) for r in spark.sql("SELECT * FROM ssjoin").collect())
     assert got == expected
+
+
+def test_streaming_admission_gate_matches_batch(spark, tmp_path):
+    """admit_new_documents: stream and batch forms admit the same
+    document set (known-corpus fingerprints and stream-dups dropped)."""
+    from openetlagent_spark.streaming import admit_new_documents
+
+    known = spark.createDataFrame(
+        [Row(doc_id=100, text="already in the corpus")]
+    )
+    rows = [
+        Row(doc_id=1, ts="2024-01-01 00:01:00", text="Already   IN the corpus"),  # known
+        Row(doc_id=2, ts="2024-01-01 00:02:00", text="fresh document one"),
+        Row(doc_id=3, ts="2024-01-01 00:03:00", text="fresh  Document ONE"),      # stream dup of 2
+        Row(doc_id=4, ts="2024-01-01 00:04:00", text="fresh document two"),
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "admit_src")
+    batch.write.parquet(src)
+
+    batch_admitted = admit_new_documents(spark.read.parquet(src), known)
+    # keep-min survivor: 2 beats 3
+    assert sorted(r.doc_id for r in batch_admitted.collect()) == [2, 4]
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        admit_new_documents(stream, known, watermark_col="ts")
+        .writeStream.format("memory")
+        .queryName("admit_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM admit_out").collect()
+    # stream keeps ONE of {2, 3} (first-arrival survivor) plus 4
+    ids = sorted(r.doc_id for r in got)
+    assert len(ids) == 2 and ids[1] == 4 and ids[0] in (2, 3)
+
+    with pytest.raises(ValueError):
+        admit_new_documents(stream, known)  # watermark_col required
