@@ -132,7 +132,13 @@ def kmeans_assign(
             for j in range(k)
         ]
 
-    return assigned().select(F.col("__id__").alias(id_col), "cluster", "dist")
+    final = assigned().select(F.col("__id__").alias(id_col), "cluster", "dist")
+    # The cache only serves the per-iteration collects above; the final
+    # (lazy) assignment re-derives the quantized grid from the scan, so
+    # release the executor memory instead of pinning it for the
+    # session's lifetime (bench/harness loops run many operators).
+    base.unpersist()
+    return final
 
 
 def kmeans_oracle_sql(

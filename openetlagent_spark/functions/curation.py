@@ -473,8 +473,15 @@ def stratified_sample(
         raise ValueError(f"stratified_sample k must be positive, got {k}")
     if not group_cols:
         raise ValueError("stratified_sample requires group_cols")
-    h = F.md5(F.concat_ws("-", F.col(key_col).cast("string"), F.lit(str(seed))))
-    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    # coalesce the key to '' BEFORE hashing: concat_ws silently skips
+    # NULL args (md5('42')) while the oracle's || propagates NULL
+    # (md5(NULL) = NULL) — the explicit coalesce makes both engines
+    # hash the identical string for NULL keys, and NULLS FIRST is
+    # pinned on the tie-break (Spark's asc default; DuckDB defaults to
+    # NULLS LAST and must be told).
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    h = F.md5(F.concat_ws("-", key_str, F.lit(str(seed))))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc_nulls_first())
     ranked = df.withColumn("_x_rank", F.row_number().over(w))
     out = ranked.filter(F.col("_x_rank") <= k)
     if rank_column:
@@ -497,7 +504,8 @@ def stratified_sample_oracle_sql(
     return (
         f"SELECT {cols} FROM ("
         f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {groups} "
-        f"ORDER BY md5(CAST({key_col} AS VARCHAR) || '-' || '{seed}'), {key_col}) AS rnk "
+        f"ORDER BY md5(COALESCE(CAST({key_col} AS VARCHAR), '') || '-' || '{seed}'), "
+        f"{key_col} NULLS FIRST) AS rnk "
         f"FROM ({source_sql})) WHERE rnk <= {k}"
     )
 
@@ -517,7 +525,7 @@ def chunk_text(
     RAG/embedding chunking layout (overlap keeps context that straddles
     a boundary retrievable from both sides).  Returns one row per chunk:
     ``(id, chunk_idx, chunk_text, chunk_tokens)``; documents with NULL
-    text yield no rows.
+    or empty/whitespace-only text yield no rows.
 
     Pure JVM expressions: the token split binds ONCE per row as a
     lambda variable (same pattern as text.with_repetition), chunk
@@ -546,7 +554,14 @@ def chunk_text(
             ),
         )
 
-    toks_expr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # empty/whitespace-only text must chunk to NOTHING: split('')
+    # yields [''] (size 1), which would emit a phantom 1-token empty
+    # chunk — the same special case with_token_counts makes for
+    # token_count = 0.
+    trimmed = F.trim(F.lower(F.col(text_col)))
+    toks_expr = F.when(
+        trimmed == F.lit(""), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
     chunks = F.element_at(F.transform(F.array(toks_expr), _chunks), 1)
     return (
         df.select(F.col(id_col), F.explode(chunks).alias("_x_c"))
@@ -569,7 +584,10 @@ def chunk_oracle_sql(
     """DuckDB mirror of :func:`chunk_text`, generated from the same
     geometry so the two cannot drift."""
     stride = chunk_size - overlap
-    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    toks = (
+        f"CASE WHEN trim(lower({text_col})) = '' THEN []::VARCHAR[] "
+        f"ELSE string_split_regex(trim(lower({text_col})), '\\s+') END"
+    )
     return (
         f"SELECT {id_col}, "
         f"CAST((s - 1) // {stride} AS BIGINT) AS chunk_idx, "

@@ -78,6 +78,15 @@ def merge_changes(
     # changes with the same (key, seq) resolve identically on any
     # cluster layout.
     order += [F.col(c).desc() for c in out_cols if c not in keys]
+    if not order:
+        # every base column is a key and there is no sequence: the
+        # window would have an empty ORDER BY (AnalysisException) and
+        # the oracle would emit invalid SQL — fail with the real reason
+        raise ValueError(
+            "merge_changes: no ordering available to pick the latest change "
+            "(base has only key columns and no seq_col was given); pass "
+            "seq_col or include a payload column"
+        )
     w = Window.partitionBy(*keys).orderBy(*order)
     latest = (
         changes.withColumn("_x_rn", F.row_number().over(w))
@@ -112,6 +121,11 @@ def merge_oracle_sql(
     if seq_col:
         order.append(f"{seq_col} DESC")
     order += [f"{c} DESC" for c in out_cols if c not in keys]
+    if not order:
+        raise ValueError(
+            "merge_oracle_sql: no ordering available (keys-only schema, no "
+            "seq_col) — same precondition as merge_changes"
+        )
     keylist = ", ".join(keys)
     delete_filter = (
         f"AND COALESCE({op_col} = '{delete_value}', FALSE) = FALSE" if op_col else ""
@@ -226,27 +240,33 @@ def incremental_dedup(
     batch has the same fingerprint); mode='filter' keeps only admissible
     rows (not known, not a batch dup) and returns them fingerprint-free.
 
-    Scale shape (100 TB corpus, small batch): the corpus side reduces to
-    DISTINCT fingerprints before the join (shuffle carries 16-byte
-    hashes, never text), and the batch side is small by nature — AQE
-    broadcasts it, so the corpus is never shuffled at all on the common
-    path.  The within-batch check is one window over the batch.  This is
-    the incremental complement of exact_dedup (one-shot corpus dedup):
-    running it per append replaces re-deduplicating the whole corpus."""
+    Scale shape (100 TB corpus, small batch): the batch's distinct
+    fingerprint set broadcasts into a LEFT SEMI against the corpus
+    fingerprints — a map-side filter, so the corpus is never shuffled —
+    and only the surviving (batch-relevant, hence batch-bounded)
+    fingerprints deduplicate and broadcast back onto the batch.  A
+    plain batch-LEFT-JOIN-corpus would put the billion-row corpus set
+    on the build side, which can never broadcast.  The within-batch
+    check is one window over the batch.  This is the incremental
+    complement of exact_dedup (one-shot corpus dedup): running it per
+    append replaces re-deduplicating the whole corpus."""
     from .text import with_fingerprint
 
     if mode not in ("annotate", "filter"):
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
-    batch = with_fingerprint(new_docs, text_col)
+    batch = with_fingerprint(new_docs, text_col).persist()  # feeds the
+    # fingerprint-set broadcast AND the final join/window
+    batch_fps = batch.select(F.col("fingerprint").alias("__fp__")).distinct()
     known = (
         with_fingerprint(corpus, text_col)
         .select(F.col("fingerprint").alias("__fp__"))
+        .join(F.broadcast(batch_fps), "__fp__", "left_semi")
         .distinct()
         .withColumn("__known__", F.lit(1))
     )
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     out = (
-        batch.join(known, batch["fingerprint"] == known["__fp__"], "left")
+        batch.join(F.broadcast(known), batch["fingerprint"] == known["__fp__"], "left")
         .withColumn("is_known", F.col("__known__").isNotNull())
         .withColumn("is_batch_dup", F.row_number().over(w) > 1)
         .drop("__fp__", "__known__")

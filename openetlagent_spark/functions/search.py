@@ -21,15 +21,17 @@ both are EXACTLY oracle-checkable:
   not nested arrays, so the driver's value hash is engine-neutral).
   Terms with ``df > max_df`` keep their statistics but skip posting
   materialization — and the skip happens BEFORE the collect (a
-  broadcast semi-join of the under-cap term set), so a 100 TB "the"
-  never gathers a billion-element list on one reducer.
+  broadcast ANTI-join against the over-cap term set, which is
+  stopword-sized by construction and therefore always broadcastable,
+  unlike the vocabulary-sized under-cap set), so a 100 TB "the" never
+  gathers a billion-element list on one reducer.
 
 Scale shapes (100 TB):
 - search: per-doc tf/dl are scan-local array expressions (no explode,
   no shuffle); corpus stats (N, Σdl, per-term df) reduce to ONE row that
   broadcasts back; ranking is a TakeOrdered top-k.  ZERO wide shuffles.
 - index: explode → one map-side-combined (term, doc) count → a tiny
-  per-term stats aggregate → semi-join-guarded posting collect.
+  per-term stats aggregate → anti-join-guarded posting collect.
 """
 
 from __future__ import annotations
@@ -38,6 +40,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import _tokens
+
+
+def _normalized_terms(query_terms: list[str]) -> list[str]:
+    """Lowercase and validate: non-empty, and unique AFTER folding —
+    ['Hash', 'hash'] would otherwise produce two identical tf_hash
+    columns and silently double-count the term in the score."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    if any(not t.strip() for t in terms):
+        raise ValueError(f"query_terms must be non-blank, got {query_terms!r}")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"query_terms must be unique (case-folded), got {query_terms!r}")
+    if len({_tf_col(t) for t in terms}) != len(terms):
+        raise ValueError(
+            f"query_terms collide after identifier-sanitizing, got {query_terms!r}"
+        )
+    return terms
+
+
+def _tf_col(term: str) -> str:
+    """Output-column name for a term's tf: non-identifier characters
+    become '_' so the name is a valid unquoted identifier in BOTH
+    engines (a term like \"don't\" would otherwise break the oracle)."""
+    import re
+
+    return "tf_" + re.sub(r"[^a-z0-9_]", "_", term)
 
 
 def keyword_search_topk(
@@ -57,9 +86,7 @@ def keyword_search_topk(
     aggregate and the scoring projection; the stats side reduces to a
     single row and broadcasts, so the document table is scanned exactly
     twice and never shuffled."""
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
-    terms = [t.lower() for t in query_terms]
+    terms = _normalized_terms(query_terms)
 
     def tf_expr(term: str) -> Column:
         # closure factory (a default-arg lambda would change arity)
@@ -112,7 +139,7 @@ def keyword_search_topk(
         scored.select(
             F.col("__id__").alias(id_col),
             "dl",
-            *[F.col(f"tf_{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+            *[F.col(f"tf_{i}").alias(_tf_col(t)) for i, t in enumerate(terms)],
             score.alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -133,10 +160,11 @@ def keyword_search_oracle_sql(
     with ``repr`` of the SAME Python-computed values the Spark plan
     embeds (e.g. ``k1 + 1.0``), so both engines run identical bit
     patterns through identical correctly-rounded IEEE operation trees."""
-    terms = [t.lower() for t in query_terms]
+    terms = _normalized_terms(query_terms)
     toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
     tf_cols = ", ".join(
-        f"len(list_filter({toks}, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
+        "len(list_filter({}, x -> x = '{}')) AS tf_{}".format(toks, t.replace("'", "''"), i)
+        for i, t in enumerate(terms)
     )
     df_cols = ", ".join(
         f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
@@ -152,7 +180,7 @@ def keyword_search_oracle_sql(
     score = parts[0]
     for p in parts[1:]:
         score = f"({score} + {p})"
-    out_tfs = ", ".join(f"tf_{i} AS tf_{t}" for i, t in enumerate(terms))
+    out_tfs = ", ".join(f"tf_{i} AS {_tf_col(t)}" for i, t in enumerate(terms))
     return (
         f"WITH base AS (SELECT {id_col} AS did, len({toks}) AS dl, {tf_cols} "
         f"FROM {table} WHERE {text_col} IS NOT NULL), "
@@ -173,7 +201,7 @@ def inverted_index(
     (corpus term frequency), and ``postings`` — the id-ascending
     ``"id:tf id:tf ..."`` string, NULL for terms with ``df > max_df``
     (stopword-class terms whose lists would be unbounded; their
-    statistics still report).  See module docstring for the semi-join
+    statistics still report).  See module docstring for the anti-join
     guard that keeps the collect bounded at scale."""
     toks = (
         df.filter(F.col(text_col).isNotNull())
@@ -191,8 +219,12 @@ def inverted_index(
     if max_df is None:
         eligible = tf
     else:
-        keep = stats.filter(F.col("df") <= max_df).select("term")
-        eligible = tf.join(F.broadcast(keep), "term", "left_semi")
+        # anti-join against the OVER-cap set: hot terms are few by
+        # construction (stopword-class), so that side always broadcasts;
+        # the under-cap set is vocabulary-sized and must never be the
+        # broadcast side at corpus scale.
+        hot = stats.filter(F.col("df") > max_df).select("term")
+        eligible = tf.join(F.broadcast(hot), "term", "left_anti")
     postings = eligible.groupBy("term").agg(
         F.array_join(
             F.transform(

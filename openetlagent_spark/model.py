@@ -787,6 +787,12 @@ class KeywordSearchOperation(Operation):
     def __post_init__(self) -> None:
         if not self.query_terms:
             raise SpecError("keyword_search requires query_terms")
+        folded = [str(t).lower() for t in self.query_terms]
+        if len(set(folded)) != len(folded):
+            raise SpecError(
+                f"keyword_search query_terms must be unique (case-folded), "
+                f"got {self.query_terms!r}"
+            )
         if self.k <= 0:
             raise SpecError(f"keyword_search k must be positive, got {self.k!r}")
 

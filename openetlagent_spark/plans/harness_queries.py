@@ -545,7 +545,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: per-term df, corpus tf, and the
     id-ascending posting string; terms over max_df=400 keep stats but
-    NULL postings (the semi-join guard that bounds the collect at
+    NULL postings (the anti-join guard that bounds the collect at
     scale — at sf0.1 every common term crosses the cap, at sf0.01 only
     the heaviest do, so both branches are driver-checked)."""
     from ..functions.search import inverted_index

@@ -168,3 +168,61 @@ def test_enrich_stream_collision_renames(spark):
     row = out.collect()[0]
     assert row.value == 5.0 and row.value_right == 99.0 and row.segment == "gold"
     assert out.columns == ["user_id", "value", "value_right", "segment"]
+
+
+def test_stratified_sample_null_keys_deterministic(spark):
+    """NULL sample keys hash via an explicit coalesce (concat_ws would
+    silently skip them, diverging from the || oracle) and order NULLS
+    FIRST on the tiebreak — same rows on any engine/partitioning."""
+    from openetlagent_spark.functions.curation import stratified_sample
+
+    rows = [Row(g="a", k=None if i == 0 else i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, k int")
+    a = sorted(map(tuple, stratified_sample(df, ["g"], "k", 3).collect()))
+    b = sorted(map(tuple, stratified_sample(df.repartition(4), ["g"], "k", 3).collect()))
+    assert a == b and len(a) == 3
+
+
+def test_chunk_text_empty_docs_yield_no_chunks(spark):
+    from openetlagent_spark.functions.curation import chunk_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="   "), Row(doc_id=3, text=None),
+         Row(doc_id=4, text="one two")]
+    )
+    got = chunk_text(df, "doc_id", "text", chunk_size=10).collect()
+    assert [r.doc_id for r in got] == [4]
+    assert got[0].chunk_tokens == 2
+
+
+def test_merge_changes_keys_only_schema_raises(spark):
+    from openetlagent_spark.functions.incremental import merge_changes, merge_oracle_sql
+
+    base = spark.createDataFrame([Row(k=1)])
+    feed = spark.createDataFrame([Row(k=2)])
+    with pytest.raises(ValueError, match="no ordering"):
+        merge_changes(base, feed, ["k"])
+    with pytest.raises(ValueError, match="no ordering"):
+        merge_oracle_sql("SELECT 1 AS k", "SELECT 2 AS k", ["k"], ["k"])
+
+
+def test_keyword_search_rejects_dup_and_blank_terms(spark):
+    from openetlagent_spark.functions.search import keyword_search_topk
+    from openetlagent_spark.model import SpecError, parse_operation
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError, match="unique"):
+        keyword_search_topk(df, ["Hash", "hash"])
+    with pytest.raises(ValueError, match="non-blank"):
+        keyword_search_topk(df, ["  "])
+    with pytest.raises(SpecError, match="unique"):
+        parse_operation({"operation_type": "keyword_search", "query_terms": ["A", "a"]})
+
+
+def test_keyword_search_oracle_escapes_quotes():
+    from openetlagent_spark.functions.search import keyword_search_oracle_sql
+    import duckdb
+
+    sql = keyword_search_oracle_sql(["don't"], table="(SELECT 1 AS doc_id, 'x' AS text)")
+    con = duckdb.connect()
+    assert con.execute(sql).fetchall()[0][-1] == 0.0  # parses and runs
