@@ -77,6 +77,7 @@ def keyword_search_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    cache: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents for ``query_terms`` under rational-idf BM25
     (see module docstring).  Ties break on ascending id so the result
@@ -85,7 +86,13 @@ def keyword_search_topk(
     The per-doc branch is computed once and feeds both the corpus-stats
     aggregate and the scoring projection; the stats side reduces to a
     single row and broadcasts, so the document table is scanned exactly
-    twice and never shuffled."""
+    twice and never shuffled.
+
+    ``cache``: persist the tokenized frame (MEMORY_AND_DISK).  Right
+    whenever the token arrays fit the cluster's cache tier; at the far
+    end (the full 100 TB corpus), pass False to trade the cache for
+    re-splitting on the second scan — both plans are correct, this is
+    purely a storage-vs-CPU knob."""
     terms = _normalized_terms(query_terms)
 
     def tf_expr(term: str) -> Column:
@@ -102,11 +109,11 @@ def keyword_search_topk(
     # array is split exactly once; the per-term filters over it are
     # cheap.  The frame also feeds both the stats aggregate and the
     # scoring projection, which alone would justify the boundary.
-    tokenized = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id__"), _tokens(F.col(text_col)).alias("__toks__"))
-        .persist()
+    tokenized = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id__"), _tokens(F.col(text_col)).alias("__toks__")
     )
+    if cache:
+        tokenized = tokenized.persist()
     base = tokenized.select(
         "__id__",
         F.size(F.col("__toks__")).alias("dl"),
@@ -196,13 +203,19 @@ def inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Term-level index: ``df`` (document frequency), ``tf_total``
     (corpus term frequency), and ``postings`` — the id-ascending
     ``"id:tf id:tf ..."`` string, NULL for terms with ``df > max_df``
     (stopword-class terms whose lists would be unbounded; their
     statistics still report).  See module docstring for the anti-join
-    guard that keeps the collect bounded at scale."""
+    guard that keeps the collect bounded at scale.
+
+    ``cache``: persist the (term, doc) counts and per-term stats that
+    feed multiple branches (MEMORY_AND_DISK).  At the far end where the
+    tf table rivals the corpus, pass False to recompute instead —
+    correctness is identical either way."""
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id__"), F.explode(_tokens(F.col(text_col))).alias("term"))
@@ -212,10 +225,13 @@ def inverted_index(
     # exchanges only opportunistically (ReusedExchange) — the persist
     # boundaries make the explode + (term, doc) shuffle run exactly
     # once regardless of plan shape.
-    tf = toks.groupBy("term", "__id__").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = toks.groupBy("term", "__id__").agg(F.count(F.lit(1)).alias("tf"))
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
-    ).persist()
+    )
+    if cache:
+        tf = tf.persist()
+        stats = stats.persist()
     if max_df is None:
         eligible = tf
     else:
