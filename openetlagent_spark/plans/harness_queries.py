@@ -828,6 +828,29 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^d grouping combinations via cube (reference gap: 'no
+    grouping sets, cube, rollup' — SURVEY §2.2); same Expand-pass
+    engine surface as rollup, different grouping-set lattice."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["l_returnflag", "l_linestatus"],
+            grouping="cube",
+            aggregations={
+                "sum_qty": {"column": "qty_dec", "agg": "sum"},
+                "n": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", F.col("sum_qty").cast("double").alias("sum_qty"), "n"
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via rollup (reference gap: 'no grouping
     sets, cube, rollup' — SURVEY §2.2)."""
@@ -1310,6 +1333,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "rollup": q_rollup,
+    "cube": q_cube,
     "contamination": q_contamination,
     "pack_sequences": q_pack_sequences,
     "dataset_mixture": q_dataset_mixture,
@@ -1554,6 +1578,11 @@ HARNESS_ORACLES: dict[str, str] = {
         "SELECT l_returnflag, l_linestatus, "
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n "
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "cube": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
     ),
     "sessionize": (
         "WITH marked AS ("
