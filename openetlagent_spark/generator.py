@@ -118,6 +118,9 @@ Available operation_type values and their fields:
 - incremental_dedup: flag/drop batch rows already in a corpus by
   normalized-text fingerprint. {corpus_path: input_key, id_column,
   text_column, mode (annotate/filter)}
+- split_assign: deterministic md5-bucket dataset split, stable as data
+  grows. {key_column, splits: {train: 80, val: 10, test: 10},
+  output_column}
 
 Name temporary working columns with leading AND trailing underscores
 (e.g. _clean_price_) — they are dropped automatically at the end.

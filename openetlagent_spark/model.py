@@ -856,6 +856,27 @@ class ClusteringOperation(Operation):
 
 
 @dataclass
+class SplitAssignOperation(Operation):
+    """Deterministic dataset-split assignment as a flow op
+    (functions/text.py with_split_assign): each row gets a named split
+    from the md5-bucket of its key — stable as the dataset grows,
+    identical on any engine or partitioning."""
+
+    key_column: str = ""
+    splits: dict[str, int] = field(default_factory=dict)
+    output_column: str = "split"
+    operation_type: str = "split_assign"
+
+    def __post_init__(self) -> None:
+        if not self.key_column:
+            raise SpecError("split_assign requires key_column")
+        if self.splits and sum(self.splits.values()) != 100:
+            raise SpecError(
+                f"split_assign percentages must total 100, got {self.splits!r}"
+            )
+
+
+@dataclass
 class IncrementalDedupOperation(Operation):
     """Append-batch dedup as a flow op (functions/incremental.py
     incremental_dedup): the CURRENT frame is the incoming batch, the
@@ -925,6 +946,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "vocab_oov": VocabOovOperation,
     "kmeans": ClusteringOperation,
     "incremental_dedup": IncrementalDedupOperation,
+    "split_assign": SplitAssignOperation,
 }
 
 

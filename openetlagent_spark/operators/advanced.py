@@ -31,6 +31,7 @@ from ..model import (
     Scd2Operation,
     ScrubOperation,
     SimilarityOperation,
+    SplitAssignOperation,
     StratifiedSampleOperation,
     VocabOovOperation,
 )
@@ -366,3 +367,11 @@ def apply_incremental_dedup(
     if corpus_df is None:
         corpus_df = resolve_side(spark, op.corpus_path, op.corpus_schema_columns, inputs)
     return incremental_dedup(df, corpus_df, op.id_column, op.text_column, mode=op.mode)
+
+
+def apply_split_assign(df: DataFrame, op: SplitAssignOperation) -> DataFrame:
+    from ..functions.text import with_split_assign
+
+    return with_split_assign(
+        df, op.key_column, splits=op.splits or None, output_column=op.output_column
+    )

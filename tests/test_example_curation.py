@@ -1,0 +1,33 @@
+"""The committed corpus-curation example (examples/curation_config.yaml
++ examples/pipelines/corpus_curation.yaml) runs end-to-end through
+run_flow and lands the declared schema — the curation analogue of
+test_reference_pipelines."""
+
+from __future__ import annotations
+
+import os
+
+from openetlagent_spark.model import load_pipeline_config, load_pipeline_flow
+from openetlagent_spark.runner import run_flow
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_example_curation_pipeline(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(os.path.join(ROOT, "examples/pipelines/corpus_curation.yaml"))
+    # redirect the sink into the test sandbox
+    config.outputs["curated"].path = str(tmp_path / "curated")
+    result, ok, feedback = run_flow(spark, config, flow, "curated", single_file=True)
+    assert ok, feedback
+    n_source = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert 0 < result.count() < n_source  # both filters bit
+    # the SINK carries exactly the declared schema (save-time projection)
+    landed = spark.read.parquet(str(tmp_path / "curated"))
+    assert set(landed.columns) == {
+        "doc_id", "text", "lang", "source", "dup_2gram_frac", "split"
+    }
+    rows = landed.collect()
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    assert all(r.dup_2gram_frac <= 0.2 for r in rows)
