@@ -110,6 +110,7 @@ HEADLINE = [
     "incremental_dedup",
     "curation_pipeline",
     "profile_table",
+    "bpe_pairs",
 ]
 
 

@@ -364,3 +364,70 @@ def vocab_oov_oracle_sql(
         f"CAST(count(*) - count(v.tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate "
         f"FROM e LEFT JOIN v ON e.tok = v.tok GROUP BY did"
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """The inner step of BPE tokenizer training at corpus scale: count
+    adjacent character pairs inside every word and rank the merge
+    candidates.  One training iteration = take the top pair, merge it,
+    recount; this operator is that count — the part that actually
+    touches 100 TB (the merge-table update is driver-side in every BPE
+    trainer).  Returns the top-``k`` (pair_left, pair_right, n_pairs) with the
+    deterministic (count desc, pair asc) tie-break.
+
+    Scale shape: words explode from the scan (narrow), per-word char
+    pairs are a JVM array expression over a once-bound char split
+    (dedup.bind_once — referencing the split per element would
+    re-evaluate it), and ONE map-side-combined shuffle produces the
+    counts; the ranking is a TakeOrdered top-k."""
+    from .dedup import bind_once
+
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(_tokens(F.col(text_col))).alias("w")
+    )
+
+    def build(chars: Column) -> Column:
+        # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]), so a
+        # 1-char word must short-circuit to an empty index list
+        idx = F.when(
+            F.size(chars) > 1, F.sequence(F.lit(1), F.size(chars) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(chars, i).alias("pair_left"),
+                F.element_at(chars, i + 1).alias("pair_right"),
+            ),
+        )
+
+    pair_col = bind_once(F.split(F.col("w"), ""), build)
+    return (
+        words.select(F.explode(pair_col).alias("p"))
+        .groupBy("p.pair_left", "p.pair_right")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("pair_left"), F.asc("pair_right"))
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 50,
+) -> str:
+    """DuckDB mirror of bpe_pair_counts: the same char-pair explosion
+    and (count desc, left, right) top-k tie-break."""
+    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    return (
+        f"WITH w AS (SELECT unnest({toks}) AS w FROM {table} "
+        f"WHERE {text_col} IS NOT NULL), "
+        f"p AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS pair_left, "
+        f"substr(w, CAST(i AS INTEGER) + 1, 1) AS pair_right "
+        f"FROM (SELECT w, unnest(range(1, greatest(length(w), 1))) AS i FROM w)) "
+        f"SELECT pair_left, pair_right, COUNT(*) AS n_pairs FROM p GROUP BY pair_left, pair_right "
+        f"ORDER BY n_pairs DESC, pair_left, pair_right LIMIT {k}"
+    )

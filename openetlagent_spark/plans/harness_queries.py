@@ -554,6 +554,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(df, "doc_id", "text", max_df=400)
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training inner step: corpus-wide adjacent-char-pair counts,
+    top-50 merge candidates (functions/text.py bpe_pair_counts)."""
+    from ..functions.text import bpe_pair_counts
+
+    df = _ts(spark, sf_dir, "documents").select("text")
+    return bpe_pair_counts(df, "text", k=50)
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile of orders (int/string columns —
     engines agree on those casts byte-for-byte): one scan, one Expand
@@ -1307,6 +1316,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "curation_pipeline": q_curation_pipeline,
     "profile_table": q_profile_table,
+    "bpe_pairs": q_bpe_pairs,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1631,6 +1641,10 @@ from ..functions.text import split_assign_oracle_sql as _split_assign_oracle_sql
 HARNESS_ORACLES["profile_table"] = _profile_oracle_sql(
     "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 )
+
+from ..functions.text import bpe_pair_counts_oracle_sql as _bpe_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["bpe_pairs"] = _bpe_oracle_sql(k=50)
 
 # The composed pipeline reuses the four per-signal oracles verbatim and
 # joins them on doc_id — each is exact, so the composition is exact.

@@ -129,3 +129,24 @@ def test_vocab_oov_deterministic_tiebreak(spark):
     out = vocab_oov(df, top_k=2).collect()[0]
     # vocab = {a, b}; oov = {c, d}
     assert out.n_tokens == 4 and out.n_oov == 2
+
+
+def test_bpe_pair_counts(spark):
+    from openetlagent_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abab ab"), Row(doc_id=2, text="ba"), Row(doc_id=3, text="")]
+    )
+    got = {(r.pair_left, r.pair_right): r.n_pairs for r in bpe_pair_counts(df, k=10).collect()}
+    # 'abab' -> ab, ba, ab; 'ab' -> ab; 'ba' -> ba; '' -> none
+    assert got == {("a", "b"): 3, ("b", "a"): 2}
+
+
+def test_bpe_pair_counts_topk_tiebreak(spark):
+    from openetlagent_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame([Row(doc_id=1, text="xy yz zx")])
+    rows = bpe_pair_counts(df, k=2).collect()
+    # all three pairs count 1; (count desc, pair asc) keeps xy, yz? ->
+    # ordering is left asc: ('x','y') < ('y','z') < ('z','x')
+    assert [(r.pair_left, r.pair_right) for r in rows] == [("x", "y"), ("y", "z")]
