@@ -43,6 +43,14 @@ def _tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
+def _toks_sql(text_col: str) -> str:
+    """The DuckDB tokenizer fragment mirroring :func:`_tokens` — every
+    generated oracle in this module MUST use this helper (the whole
+    oracle contract is that the SQL tokenizer cannot drift from the
+    Spark one; independent copies are the drift vector)."""
+    return rf"string_split_regex(trim(lower({text_col})), '\s+')"
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``token_count`` (whitespace tokens) and ``bpe_token_count``
     (regex word-piece count)."""
@@ -204,7 +212,7 @@ def repetition_oracle_sql(
 ) -> str:
     """DuckDB mirror of with_repetition, generated from the same n list
     so the two cannot drift."""
-    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    toks = _toks_sql(text_col)
     exprs = []
     for n in ns:
         gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
@@ -241,6 +249,10 @@ def with_split_assign(
     splits = splits or {"train": 80, "val": 10, "test": 10}
     if sum(splits.values()) != 100:
         raise ValueError(f"split percentages must total 100, got {splits}")
+    if any(p <= 0 for p in splits.values()):
+        # {'train': 110, 'val': -10} sums to 100 but leaves 'val'
+        # unreachable; zero-width splits are silently empty
+        raise ValueError(f"every split percentage must be positive, got {splits}")
     bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     ) % 100
@@ -275,7 +287,7 @@ def lang_id_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
     def score(lang: str) -> str:
         lits = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
         return (
-            f"len(list_filter(string_split_regex(trim(lower({text_col})), '\\s+'), "
+            f"len(list_filter({_toks_sql(text_col)}, "
             f"t -> list_contains([{lits}], t)))"
         )
 
@@ -353,7 +365,7 @@ def vocab_oov_oracle_sql(
     """DuckDB mirror of vocab_oov, generated from the same top_k and the
     same (count desc, token asc) tie-break so the vocabulary boundary is
     identical in both engines."""
-    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    toks = _toks_sql(text_col)
     return (
         f"WITH e AS (SELECT {id_col} AS did, unnest({toks}) AS tok "
         f"FROM {table} WHERE {text_col} IS NOT NULL), "
@@ -421,7 +433,7 @@ def bpe_pair_counts_oracle_sql(
 ) -> str:
     """DuckDB mirror of bpe_pair_counts: the same char-pair explosion
     and (count desc, left, right) top-k tie-break."""
-    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    toks = _toks_sql(text_col)
     return (
         f"WITH w AS (SELECT unnest({toks}) AS w FROM {table} "
         f"WHERE {text_col} IS NOT NULL), "

@@ -874,6 +874,10 @@ class SplitAssignOperation(Operation):
             raise SpecError(
                 f"split_assign percentages must total 100, got {self.splits!r}"
             )
+        if self.splits and any(p <= 0 for p in self.splits.values()):
+            raise SpecError(
+                f"split_assign percentages must all be positive, got {self.splits!r}"
+            )
 
 
 @dataclass

@@ -837,10 +837,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 2^d grouping combinations via cube (reference gap: 'no
-    grouping sets, cube, rollup' — SURVEY §2.2); same Expand-pass
-    engine surface as rollup, different grouping-set lattice."""
+def _grouped_qty(spark: SparkSession, sf_dir: str, grouping: str) -> DataFrame:
+    """Shared body for the rollup/cube queries (reference gap: 'no
+    grouping sets, cube, rollup' — SURVEY §2.2): same Expand-pass
+    aggregation, only the grouping-set lattice differs."""
     df = _t(spark, sf_dir, "lineitem").withColumn(
         "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
     )
@@ -848,7 +848,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         df,
         AggregationOperation(
             group_by=["l_returnflag", "l_linestatus"],
-            grouping="cube",
+            grouping=grouping,
             aggregations={
                 "sum_qty": {"column": "qty_dec", "agg": "sum"},
                 "n": {"column": "*", "agg": "count"},
@@ -858,28 +858,16 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag", "l_linestatus", F.col("sum_qty").cast("double").alias("sum_qty"), "n"
     )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^d grouping combinations via cube."""
+    return _grouped_qty(spark, sf_dir, "cube")
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals via rollup (reference gap: 'no grouping
-    sets, cube, rollup' — SURVEY §2.2)."""
-    df = _t(spark, sf_dir, "lineitem").withColumn(
-        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
-    )
-    out = apply_aggregation(
-        df,
-        AggregationOperation(
-            group_by=["l_returnflag", "l_linestatus"],
-            grouping="rollup",
-            aggregations={
-                "sum_qty": {"column": "qty_dec", "agg": "sum"},
-                "n": {"column": "*", "agg": "count"},
-            },
-        ),
-    )
-    return out.select(
-        "l_returnflag", "l_linestatus", F.col("sum_qty").cast("double").alias("sum_qty"), "n"
-    )
+    """Hierarchical subtotals via rollup."""
+    return _grouped_qty(spark, sf_dir, "rollup")
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,16 +1572,8 @@ HARNESS_ORACLES: dict[str, str] = {
         "ON a.user_id = b.user_id AND a.event_id < b.event_id "
         "AND abs(epoch(a.ts) - epoch(b.ts)) <= 60.0"
     ),
-    "rollup": (
-        "SELECT l_returnflag, l_linestatus, "
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n "
-        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
-    ),
-    "cube": (
-        "SELECT l_returnflag, l_linestatus, "
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n "
-        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
-    ),
+    # rollup/cube share one oracle shape; only the lattice keyword
+    # differs (spliced below, mirroring _grouped_qty)
     "sessionize": (
         "WITH marked AS ("
         "  SELECT user_id, ts, value, "
@@ -1645,6 +1625,13 @@ HARNESS_ORACLES["profile_table"] = _profile_oracle_sql(
 from ..functions.text import bpe_pair_counts_oracle_sql as _bpe_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["bpe_pairs"] = _bpe_oracle_sql(k=50)
+
+for _lattice in ("ROLLUP", "CUBE"):
+    HARNESS_ORACLES[_lattice.lower()] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n "
+        f"FROM lineitem GROUP BY {_lattice} (l_returnflag, l_linestatus)"
+    )
 
 # The composed pipeline reuses the four per-signal oracles verbatim and
 # joins them on doc_id — each is exact, so the composition is exact.

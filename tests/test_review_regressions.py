@@ -226,3 +226,17 @@ def test_keyword_search_oracle_escapes_quotes():
     sql = keyword_search_oracle_sql(["don't"], table="(SELECT 1 AS doc_id, 'x' AS text)")
     con = duckdb.connect()
     assert con.execute(sql).fetchall()[0][-1] == 0.0  # parses and runs
+
+
+def test_split_percentages_must_be_positive(spark):
+    from openetlagent_spark.functions.text import with_split_assign
+    from openetlagent_spark.model import SpecError, parse_operation
+
+    df = spark.createDataFrame([Row(doc_id=1)])
+    with pytest.raises(ValueError, match="positive"):
+        with_split_assign(df, "doc_id", {"train": 110, "val": -10})
+    with pytest.raises(SpecError, match="positive"):
+        parse_operation(
+            {"operation_type": "split_assign", "key_column": "doc_id",
+             "splits": {"train": 100, "val": 0}}
+        )

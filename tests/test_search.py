@@ -68,3 +68,13 @@ def test_inverted_index_max_df_nulls_hot_terms(corpus):
     assert rows["cherry"].postings is None
     assert rows["apple"].postings == "1:2"
     assert rows["durian"].postings == "3:1"
+
+
+@pytest.mark.parametrize("cache", [True, False])
+def test_cache_knob_results_identical(corpus, cache):
+    """cache=False (the 100 TB storage-vs-CPU knob) must produce the
+    identical result set as the cached default."""
+    topk = keyword_search_topk(corpus, ["cherry"], k=4, cache=cache).collect()
+    assert [r.doc_id for r in topk][0] == 3
+    idx = {r.term: r.postings for r in inverted_index(corpus, max_df=1, cache=cache).collect()}
+    assert idx["apple"] == "1:2" and idx["banana"] is None
