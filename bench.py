@@ -111,6 +111,7 @@ HEADLINE = [
     "curation_pipeline",
     "profile_table",
     "bpe_pairs",
+    "compacted_layout",
 ]
 
 

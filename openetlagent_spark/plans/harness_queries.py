@@ -1049,6 +1049,34 @@ def q_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compacted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (sources/io.py
+    write_compacted): events rewritten into measured ~1 MB files, then
+    aggregated off the compacted copy.  Hash-matching a plain aggregate
+    over the SOURCE proves the probe-sized rewrite is lossless; file
+    sizing itself is pinned in tests/test_sorted_layout.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import write_compacted
+    from ..streaming import read_event_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"ela_compacted_layout_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    write_compacted(ev, tmp, target_mb=1)
+    back = spark.read.parquet(tmp)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering end-to-end (sources/io.py write_zorder):
     events rewritten on a (user_id, value) Morton code, then a 2-D box
@@ -1322,6 +1350,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": q_stream_join,
     "stream_sink": q_stream_sink,
     "sorted_layout": q_sorted_layout,
+    "compacted_layout": q_compacted_layout,
     "zorder_layout": q_zorder_layout,
     "multimodal_features": q_multimodal_features,
     "json_extract": q_json_extract,
@@ -1537,6 +1566,11 @@ HARNESS_ORACLES: dict[str, str] = {
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
         "FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' "
         "AND ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type"
+    ),
+    "compacted_layout": (
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY event_type"
     ),
     "zorder_layout": (
         "SELECT user_id, COUNT(*) AS n_events, "

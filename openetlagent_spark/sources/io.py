@@ -408,3 +408,60 @@ def rebalance_scan(df: DataFrame, min_partitions: int | None = None) -> DataFram
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    target_mb: int = 128,
+    sample_rows: int = 2000,
+) -> int:
+    """Small-file compaction: rewrite a table into files sized near
+    ``target_mb`` — the maintenance pass every long-lived 100 TB table
+    needs (streaming sinks and fine-grained partitions accrete
+    kilobyte-scale files whose per-file open/footer/task overhead
+    eventually dominates scans).
+
+    Sizing is measured, not guessed: a bounded ``sample_rows`` sample
+    writes through the real encoder (same format, compression,
+    encodings) to a scratch dir, giving encoded-bytes-per-row; the
+    file count is then ``ceil(total_rows / rows_per_file)``, laid out
+    with a round-robin ``repartition(n)`` so every file lands within
+    ~1 task of the target.  Cost: one count, one tiny sample write,
+    one shuffle — the rewrite itself.  Returns the file count.
+
+    Plain-vanilla compaction is deliberately layout-destroying (round
+    robin evens out skew); to compact AND cluster, use
+    :func:`write_sorted` / :func:`write_zorder` with ``num_files``
+    from the same arithmetic."""
+    import math
+    import shutil
+    import tempfile
+
+    if target_mb <= 0:
+        raise ValueError(f"write_compacted target_mb must be positive, got {target_mb}")
+    total = df.count()
+    if total == 0:
+        df.write.format(fmt).mode("overwrite").save(path)
+        return 0
+    scratch = tempfile.mkdtemp(prefix="ela_compact_probe_")
+    try:
+        probe = df.limit(min(sample_rows, total))
+        n_probe = probe.count()
+        probe.coalesce(1).write.format(fmt).mode("overwrite").save(scratch)
+        import os
+
+        probe_bytes = sum(
+            os.path.getsize(os.path.join(scratch, f))
+            for f in os.listdir(scratch)
+            if not f.startswith("_") and not f.endswith(".crc")
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    bytes_per_row = max(probe_bytes / max(n_probe, 1), 1.0)
+    rows_per_file = max(int((target_mb * 1024 * 1024) / bytes_per_row), 1)
+    n_files = max(math.ceil(total / rows_per_file), 1)
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(path)
+    return n_files

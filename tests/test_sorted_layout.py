@@ -8,6 +8,7 @@ from __future__ import annotations
 import glob
 
 import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
 from openetlagent_spark.sources import write_sorted
@@ -164,3 +165,41 @@ def test_sorted_layout_orc_and_bad_format(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         write_sorted(ev, str(tmp_path / "x"), ["ts"], fmt="avro")
+
+
+def test_write_compacted_hits_target_and_is_lossless(spark, tmp_path):
+    """Compaction sizes files from a MEASURED encoded-bytes-per-row
+    probe: a small target yields multiple near-target files, a huge
+    target yields one, and both rewrites are lossless."""
+    from openetlagent_spark.sources.io import write_compacted
+
+    df = spark.range(20_000).selectExpr(
+        "id", "CAST(id % 97 AS STRING) AS s", "id * 1.5 AS v"
+    )
+    small = str(tmp_path / "small")
+    n_small = write_compacted(df, small, target_mb=1)
+    import os
+
+    files = [f for f in os.listdir(small) if f.endswith(".parquet")]
+    assert len(files) == n_small >= 1
+    sizes = [os.path.getsize(os.path.join(small, f)) for f in files]
+    # every file within 3x of the 1 MB target (encoder overhead on the
+    # small side, sampling error on the large side)
+    assert all(sz < 3 * 1024 * 1024 for sz in sizes)
+    back = spark.read.parquet(small)
+    assert back.count() == 20_000
+    assert back.selectExpr("sum(v)").first()[0] == df.selectExpr("sum(v)").first()[0]
+
+    one = str(tmp_path / "one")
+    assert write_compacted(df, one, target_mb=1024) == 1
+    assert len([f for f in os.listdir(one) if f.endswith(".parquet")]) == 1
+
+
+def test_write_compacted_empty_and_validation(spark, tmp_path):
+    from openetlagent_spark.sources.io import write_compacted
+
+    empty = spark.range(0).selectExpr("id")
+    assert write_compacted(empty, str(tmp_path / "e"), target_mb=64) == 0
+    assert spark.read.parquet(str(tmp_path / "e")).count() == 0
+    with pytest.raises(ValueError):
+        write_compacted(empty, str(tmp_path / "x"), target_mb=0)
