@@ -1,6 +1,6 @@
 """Deduplication at training-data scale.
 
-Five strategies (north-star surface, BASELINE.json):
+Six strategies (north-star surface, BASELINE.json):
 
 - exact_dedup: hash-groupBy keep-first — one shuffle on the key.
 - minhash_lsh_pairs / minhash_dedup: word-shingle MinHash signatures →
@@ -17,6 +17,10 @@ Five strategies (north-star surface, BASELINE.json):
   included, hash-matches a generated DuckDB oracle end to end.
 - embedding_neardup_pairs: cosine ≥ threshold via sign-LSH blocking over
   random hyperplanes, exact cosine verification.
+- substring_run_pairs: pairs sharing EXACT ``run_len``-token runs (the
+  suffix-array partial-duplication signal — boilerplate, quoted
+  passages) as a capped shingle-code equi-join; integer-exact end to
+  end, generated oracle.
 
 String hashing (xxhash64/md5) and set math stay JVM-side; the two
 per-element-math hot spots — MinHash's 64-permutation min-reduce and

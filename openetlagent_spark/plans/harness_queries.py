@@ -1050,17 +1050,18 @@ def q_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_compacted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction end-to-end (sources/io.py
-    write_compacted): events rewritten into measured ~1 MB files, then
-    aggregated off the compacted copy.  Hash-matching a plain aggregate
-    over the SOURCE proves the probe-sized rewrite is lossless; file
-    sizing itself is pinned in tests/test_sorted_layout.py."""
+    """Explicit-target compaction end-to-end (sources/io.py
+    write_sized; sibling of the AQE-advisory write_compacted): events
+    rewritten into measured ~1 MB files, then aggregated off the
+    compacted copy.  Hash-matching a plain aggregate over the SOURCE
+    proves the probe-sized rewrite is lossless; file sizing itself is
+    pinned in tests/test_sorted_layout.py."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    from ..sources import write_compacted
+    from ..sources import write_sized
     from ..streaming import read_event_table
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
@@ -1069,7 +1070,7 @@ def q_compacted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
-    write_compacted(ev, tmp, target_mb=1)
+    write_sized(ev, tmp, target_mb=1)
     back = spark.read.parquet(tmp)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -4,6 +4,7 @@ from .io import (
     scan_data,
     write_bucketed,
     write_compacted,
+    write_sized,
     rebalance_scan,
     write_sorted,
     write_zorder,
@@ -15,6 +16,7 @@ __all__ = [
     "scan_data",
     "write_bucketed",
     "write_compacted",
+    "write_sized",
     "rebalance_scan",
     "write_sorted",
     "write_zorder",

@@ -410,7 +410,7 @@ def rebalance_scan(df: DataFrame, min_partitions: int | None = None) -> DataFram
     return df
 
 
-def write_compacted(
+def write_sized(
     df: DataFrame,
     path: str,
     *,
@@ -432,16 +432,20 @@ def write_compacted(
     ~1 task of the target.  Cost: one count, one tiny sample write,
     one shuffle — the rewrite itself.  Returns the file count.
 
-    Plain-vanilla compaction is deliberately layout-destroying (round
-    robin evens out skew); to compact AND cluster, use
-    :func:`write_sorted` / :func:`write_zorder` with ``num_files``
-    from the same arithmetic."""
+    Sibling of :func:`write_compacted` (the AQE ``rebalance`` sink,
+    which targets the session's advisory partition size from runtime
+    stats): use that when the session-wide 64 MB advisory target is
+    right; use this when the caller needs an EXPLICIT per-table byte
+    target decoupled from session config.  Plain-vanilla sizing is
+    deliberately layout-destroying (round robin evens out skew); to
+    size AND cluster, use :func:`write_sorted` / :func:`write_zorder`
+    with ``num_files`` from the same arithmetic."""
     import math
     import shutil
     import tempfile
 
     if target_mb <= 0:
-        raise ValueError(f"write_compacted target_mb must be positive, got {target_mb}")
+        raise ValueError(f"write_sized target_mb must be positive, got {target_mb}")
     total = df.count()
     if total == 0:
         df.write.format(fmt).mode("overwrite").save(path)

@@ -167,17 +167,17 @@ def test_sorted_layout_orc_and_bad_format(spark, tmp_path):
         write_sorted(ev, str(tmp_path / "x"), ["ts"], fmt="avro")
 
 
-def test_write_compacted_hits_target_and_is_lossless(spark, tmp_path):
+def test_write_sized_hits_target_and_is_lossless(spark, tmp_path):
     """Compaction sizes files from a MEASURED encoded-bytes-per-row
     probe: a small target yields multiple near-target files, a huge
     target yields one, and both rewrites are lossless."""
-    from openetlagent_spark.sources.io import write_compacted
+    from openetlagent_spark.sources.io import write_sized
 
     df = spark.range(20_000).selectExpr(
         "id", "CAST(id % 97 AS STRING) AS s", "id * 1.5 AS v"
     )
     small = str(tmp_path / "small")
-    n_small = write_compacted(df, small, target_mb=1)
+    n_small = write_sized(df, small, target_mb=1)
     import os
 
     files = [f for f in os.listdir(small) if f.endswith(".parquet")]
@@ -191,15 +191,15 @@ def test_write_compacted_hits_target_and_is_lossless(spark, tmp_path):
     assert back.selectExpr("sum(v)").first()[0] == df.selectExpr("sum(v)").first()[0]
 
     one = str(tmp_path / "one")
-    assert write_compacted(df, one, target_mb=1024) == 1
+    assert write_sized(df, one, target_mb=1024) == 1
     assert len([f for f in os.listdir(one) if f.endswith(".parquet")]) == 1
 
 
-def test_write_compacted_empty_and_validation(spark, tmp_path):
-    from openetlagent_spark.sources.io import write_compacted
+def test_write_sized_empty_and_validation(spark, tmp_path):
+    from openetlagent_spark.sources.io import write_sized
 
     empty = spark.range(0).selectExpr("id")
-    assert write_compacted(empty, str(tmp_path / "e"), target_mb=64) == 0
+    assert write_sized(empty, str(tmp_path / "e"), target_mb=64) == 0
     assert spark.read.parquet(str(tmp_path / "e")).count() == 0
     with pytest.raises(ValueError):
-        write_compacted(empty, str(tmp_path / "x"), target_mb=0)
+        write_sized(empty, str(tmp_path / "x"), target_mb=0)
