@@ -415,8 +415,9 @@ def write_sized(
     path: str,
     *,
     fmt: str = "parquet",
-    target_mb: int = 128,
+    target_mb: float = 128.0,
     sample_rows: int = 2000,
+    representative: bool = False,
 ) -> int:
     """Small-file compaction: rewrite a table into files sized near
     ``target_mb`` — the maintenance pass every long-lived 100 TB table
@@ -424,13 +425,22 @@ def write_sized(
     kilobyte-scale files whose per-file open/footer/task overhead
     eventually dominates scans).
 
-    Sizing is measured, not guessed: a bounded ``sample_rows`` sample
-    writes through the real encoder (same format, compression,
-    encodings) to a scratch dir, giving encoded-bytes-per-row; the
-    file count is then ``ceil(total_rows / rows_per_file)``, laid out
-    with a round-robin ``repartition(n)`` so every file lands within
-    ~1 task of the target.  Cost: one count, one tiny sample write,
-    one shuffle — the rewrite itself.  Returns the file count.
+    Sizing is measured, not guessed: a bounded probe writes through the
+    real encoder (same format, compression, encodings) to a scratch
+    dir, giving encoded-bytes-per-row; the file count is then
+    ``ceil(total_rows / rows_per_file)``, laid out with a round-robin
+    ``repartition(n)`` so every file lands within ~1 task of the
+    target.  Probe sizes are read back through the session's Hadoop
+    FileSystem — NOT the driver's local filesystem — so the
+    measurement works identically when the default FS is HDFS/S3 (and
+    a zero-byte probe raises instead of silently degenerating the
+    sizing).  Returns the file count.
+
+    ``representative=False`` (default) probes the table HEAD
+    (``limit``) — bounded cost, but biased when row size correlates
+    with position; ``representative=True`` draws a seeded Bernoulli
+    sample instead — unbiased, at the cost of one full input scan for
+    the probe.  Pick by how much you trust the head.
 
     Sibling of :func:`write_compacted` (the AQE ``rebalance`` sink,
     which targets the session's advisory partition size from runtime
@@ -441,31 +451,57 @@ def write_sized(
     size AND cluster, use :func:`write_sorted` / :func:`write_zorder`
     with ``num_files`` from the same arithmetic."""
     import math
-    import shutil
     import tempfile
+    import uuid
 
     if target_mb <= 0:
         raise ValueError(f"write_sized target_mb must be positive, got {target_mb}")
+    if sample_rows <= 0:
+        raise ValueError(f"write_sized sample_rows must be positive, got {sample_rows}")
+    if fmt not in ("parquet", "orc", "json", "csv"):
+        raise NotImplementedError(f"Unsupported sized output format: {fmt}")
+
+    def _write(frame: DataFrame, dest: str) -> None:
+        writer = frame.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)  # match write_compacted
+        writer.format(fmt).save(dest)
+
     total = df.count()
     if total == 0:
-        df.write.format(fmt).mode("overwrite").save(path)
+        _write(df, path)
         return 0
-    scratch = tempfile.mkdtemp(prefix="ela_compact_probe_")
-    try:
-        probe = df.limit(min(sample_rows, total))
-        n_probe = probe.count()
-        probe.coalesce(1).write.format(fmt).mode("overwrite").save(scratch)
-        import os
+    if representative:
+        frac = min(1.0, sample_rows / total)
+        probe = df.sample(withReplacement=False, fraction=frac, seed=42)
+        n_probe = probe.count()  # Bernoulli draw: size not known a priori
+        if n_probe == 0:
+            probe, n_probe = df.limit(min(sample_rows, total)), min(sample_rows, total)
+    else:
+        n_probe = min(sample_rows, total)
+        probe = df.limit(n_probe)
 
+    spark = df.sparkSession
+    scratch = f"{tempfile.gettempdir()}/ela_sized_probe_{uuid.uuid4().hex[:12]}"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(scratch)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        _write(probe.coalesce(1), scratch)
         probe_bytes = sum(
-            os.path.getsize(os.path.join(scratch, f))
-            for f in os.listdir(scratch)
-            if not f.startswith("_") and not f.endswith(".crc")
+            st.getLen()
+            for st in fs.listStatus(jpath)
+            if not st.getPath().getName().startswith(("_", "."))
         )
     finally:
-        shutil.rmtree(scratch, ignore_errors=True)
-    bytes_per_row = max(probe_bytes / max(n_probe, 1), 1.0)
+        fs.delete(jpath, True)
+    if probe_bytes <= 0:
+        raise RuntimeError(
+            f"write_sized probe wrote no measurable bytes under {scratch} — "
+            "refusing to size blindly"
+        )
+    bytes_per_row = probe_bytes / n_probe
     rows_per_file = max(int((target_mb * 1024 * 1024) / bytes_per_row), 1)
     n_files = max(math.ceil(total / rows_per_file), 1)
-    df.repartition(n_files).write.format(fmt).mode("overwrite").save(path)
+    _write(df.repartition(n_files), path)
     return n_files

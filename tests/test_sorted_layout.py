@@ -168,31 +168,41 @@ def test_sorted_layout_orc_and_bad_format(spark, tmp_path):
 
 
 def test_write_sized_hits_target_and_is_lossless(spark, tmp_path):
-    """Compaction sizes files from a MEASURED encoded-bytes-per-row
-    probe: a small target yields multiple near-target files, a huge
-    target yields one, and both rewrites are lossless."""
+    """Sizing must actually produce MULTIPLE near-target files for a
+    frame larger than the target (a vacuous 1-file result would let a
+    broken rows_per_file formula pass), one file for a huge target,
+    and both rewrites must be lossless.  Incompressible payloads make
+    encoded size predictable: ~200k rows x ~110 B ≈ 20+ MB."""
     from openetlagent_spark.sources.io import write_sized
 
-    df = spark.range(20_000).selectExpr(
-        "id", "CAST(id % 97 AS STRING) AS s", "id * 1.5 AS v"
+    df = spark.range(200_000).selectExpr(
+        "id",
+        "md5(CAST(id AS STRING)) AS h1",
+        "md5(CAST(id + 1 AS STRING)) AS h2",
+        "md5(CAST(id + 2 AS STRING)) AS h3",
+        "id * 1.5 AS v",
     )
     small = str(tmp_path / "small")
-    n_small = write_sized(df, small, target_mb=1)
+    n_small = write_sized(df, small, target_mb=4)
     import os
 
     files = [f for f in os.listdir(small) if f.endswith(".parquet")]
-    assert len(files) == n_small >= 1
+    assert len(files) == n_small >= 3  # the multi-file path is real
     sizes = [os.path.getsize(os.path.join(small, f)) for f in files]
-    # every file within 3x of the 1 MB target (encoder overhead on the
-    # small side, sampling error on the large side)
-    assert all(sz < 3 * 1024 * 1024 for sz in sizes)
+    # every file within [1/4x, 3x] of the 4 MB target
+    assert all(1 * 1024 * 1024 < sz < 12 * 1024 * 1024 for sz in sizes), sizes
     back = spark.read.parquet(small)
-    assert back.count() == 20_000
+    assert back.count() == 200_000
     assert back.selectExpr("sum(v)").first()[0] == df.selectExpr("sum(v)").first()[0]
 
     one = str(tmp_path / "one")
     assert write_sized(df, one, target_mb=1024) == 1
     assert len([f for f in os.listdir(one) if f.endswith(".parquet")]) == 1
+
+    # representative mode sizes comparably on this uniform frame
+    rep = str(tmp_path / "rep")
+    n_rep = write_sized(df, rep, target_mb=4, representative=True)
+    assert abs(n_rep - n_small) <= max(2, n_small // 2)
 
 
 def test_write_sized_empty_and_validation(spark, tmp_path):
@@ -203,3 +213,7 @@ def test_write_sized_empty_and_validation(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "e")).count() == 0
     with pytest.raises(ValueError):
         write_sized(empty, str(tmp_path / "x"), target_mb=0)
+    with pytest.raises(ValueError):
+        write_sized(empty, str(tmp_path / "x"), sample_rows=0)
+    with pytest.raises(NotImplementedError):
+        write_sized(empty, str(tmp_path / "x"), fmt="avro")
