@@ -126,3 +126,48 @@ def test_no_accidental_cartesian(spark):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, f"{name} must not cartesian"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} must not nested-loop"
+
+
+def test_bm25_is_takeordered_with_one_row_broadcast(spark):
+    """keyword search must rank via TakeOrdered (never a global sort)
+    and get its corpus stats from a broadcast, with zero wide
+    shuffles."""
+    df = HARNESS_QUERIES["bm25_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert count_shuffles(plan) == 0
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("dedup_substring", 2),   # run-code buckets + pair counts
+        ("vocab_oov", 2),         # vocab counts + per-doc counts
+        ("kmeans_clusters", 1),   # quantized scan; 1 rebalance only
+        ("curation_pipeline", 0), # fused per-row scan
+        ("bpe_pairs", 1),         # one combined pair-count shuffle
+    ],
+)
+def test_new_operator_shuffle_budget(spark, name, max_shuffles):
+    df = HARNESS_QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan) <= max_shuffles, plan[:2000]
+
+
+def test_new_operators_avoid_joins_where_promised(spark):
+    """substring dedup and kmeans are join-free by design (bucket
+    arrays and centroid literals, not join relations)."""
+    for name in ("dedup_substring", "kmeans_clusters"):
+        df = HARNESS_QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"\w*(HashJoin|MergeJoin)", plan), name
+
+
+def test_incremental_dedup_broadcasts_both_sides(spark):
+    """The admission gate's plan must contain ONLY broadcast joins —
+    a SortMergeJoin here would mean the corpus is being shuffled."""
+    df = HARNESS_QUERIES["incremental_dedup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
