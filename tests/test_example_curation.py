@@ -31,3 +31,16 @@ def test_example_curation_pipeline(spark, tmp_path):
     splits = {r.split for r in rows}
     assert splits <= {"train", "val", "test"} and "train" in splits
     assert all(r.dup_2gram_frac <= 0.2 for r in rows)
+
+
+def test_example_keyword_search_pipeline(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(os.path.join(ROOT, "examples/pipelines/keyword_search.yaml"))
+    config.outputs["search_hits"].path = str(tmp_path / "hits")
+    result, ok, feedback = run_flow(spark, config, flow, "search_hits", single_file=True)
+    assert ok, feedback
+    rows = result.orderBy("score", ascending=False).collect()
+    assert len(rows) == 20
+    # ranking is deterministic and descending
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
