@@ -112,6 +112,7 @@ HEADLINE = [
     "profile_table",
     "bpe_pairs",
     "compacted_layout",
+    "value_histogram",
 ]
 
 

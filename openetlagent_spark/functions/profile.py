@@ -75,3 +75,76 @@ def profile_oracle_sql(table: str, columns: list[str]) -> str:
         for c in columns
     ]
     return " UNION ALL ".join(arms)
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column — the distribution
+    companion to :func:`profile_columns` (drift monitoring, outlier
+    screens, binning for reports).  Returns one row per NON-EMPTY bin:
+    (bin, lo_edge, hi_edge, n), NULLs excluded.
+
+    ``lo``/``hi`` default to the column min/max (one extra tiny
+    aggregate); values at ``hi`` land in the last bin (the standard
+    right-closed final bucket).  Bin arithmetic is a fixed IEEE
+    expression — ``floor((x - lo) / width)`` clamped to [0, bins-1] —
+    so the oracle reproduces it bit-for-bit.  One map-side-combined
+    shuffle on the bin id; at 100 TB this is a scan plus a ``bins``-row
+    aggregate."""
+    if bins <= 0:
+        raise ValueError(f"value_histogram bins must be positive, got {bins}")
+    if col not in df.columns:
+        raise ValueError(f"value_histogram: unknown column {col!r}; available {df.columns}")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(col)).cast("double"), F.max(F.col(col)).cast("double")
+        ).first()
+        lo = float(row[0]) if lo is None else lo
+        hi = float(row[1]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"value_histogram needs hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    x = F.col(col).cast("double")
+    bin_id = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.filter(x.isNotNull())
+        .select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + F.lit(1)).cast("double") * F.lit(width)).alias(
+                "hi_edge"
+            ),
+            "n",
+        )
+    )
+
+
+def histogram_oracle_sql(
+    table: str, col: str, bins: int, lo: float, hi: float
+) -> str:
+    """DuckDB mirror of value_histogram: identical clamp/floor/edge
+    arithmetic with ``repr``-emitted bounds, so bins and edges are
+    bit-exact."""
+    width = (hi - lo) / bins
+    x = f"CAST({col} AS DOUBLE)"
+    bin_id = (
+        f"least({bins - 1}, greatest(0, "
+        f"CAST(floor(({x} - {lo!r}) / {width!r}) AS INTEGER)))"
+    )
+    return (
+        f"SELECT bin, {lo!r} + CAST(bin AS DOUBLE) * {width!r} AS lo_edge, "
+        f"{lo!r} + CAST(bin + 1 AS DOUBLE) * {width!r} AS hi_edge, n FROM ("
+        f"SELECT {bin_id} AS bin, COUNT(*) AS n FROM {table} "
+        f"WHERE {col} IS NOT NULL GROUP BY 1)"
+    )

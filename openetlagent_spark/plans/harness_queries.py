@@ -554,6 +554,17 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(df, "doc_id", "text", max_df=400)
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (functions/profile.py
+    value_histogram): 20 bins over an explicit [0, 500000] range so
+    both engines bin from identical bounds; clamp/floor/edge arithmetic
+    is a fixed IEEE expression, bit-exact vs the generated oracle."""
+    from ..functions.profile import value_histogram
+
+    df = _t(spark, sf_dir, "orders")
+    return value_histogram(df, "o_totalprice", bins=20, lo=0.0, hi=500_000.0)
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-training inner step: corpus-wide adjacent-char-pair counts,
     top-50 merge candidates (functions/text.py bpe_pair_counts)."""
@@ -1333,6 +1344,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "curation_pipeline": q_curation_pipeline,
     "profile_table": q_profile_table,
+    "value_histogram": q_value_histogram,
     "bpe_pairs": q_bpe_pairs,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1660,6 +1672,12 @@ HARNESS_ORACLES["profile_table"] = _profile_oracle_sql(
 from ..functions.text import bpe_pair_counts_oracle_sql as _bpe_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["bpe_pairs"] = _bpe_oracle_sql(k=50)
+
+from ..functions.profile import histogram_oracle_sql as _histogram_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["value_histogram"] = _histogram_oracle_sql(
+    "orders", "o_totalprice", bins=20, lo=0.0, hi=500_000.0
+)
 
 for _lattice in ("ROLLUP", "CUBE"):
     HARNESS_ORACLES[_lattice.lower()] = (

@@ -50,3 +50,31 @@ def test_profile_single_scan(frame):
     plan = profile_columns(frame)._jdf.queryExecution().executedPlan().toString()
     # one aggregate pass over one source, not a per-column union of scans
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2
+
+
+def test_value_histogram_bins_and_edges(spark):
+    from openetlagent_spark.functions.profile import value_histogram
+
+    df = spark.createDataFrame(
+        [Row(x=None if v is None else float(v)) for v in [0, 1, 2.5, 5, 9.99, 10, None]],
+        "x double",
+    )
+    got = {r.bin: r for r in value_histogram(df, "x", bins=4, lo=0.0, hi=10.0).collect()}
+    # width 2.5: [0,2.5) -> {0,1}, [2.5,5) -> {2.5}, [5,7.5) -> {5},
+    # [7.5,10] -> {9.99, 10 (right-closed final bucket)}; NULL excluded
+    assert {b: got[b].n for b in got} == {0: 2, 1: 1, 2: 1, 3: 2}
+    assert got[0].lo_edge == 0.0 and got[3].hi_edge == 10.0
+
+
+def test_value_histogram_derives_bounds_and_validates(spark):
+    from openetlagent_spark.functions.profile import value_histogram
+
+    df = spark.createDataFrame([Row(x=1.0), Row(x=3.0)], "x double")
+    rows = value_histogram(df, "x", bins=2).collect()
+    assert sum(r.n for r in rows) == 2
+    with pytest.raises(ValueError):
+        value_histogram(df, "x", bins=0)
+    with pytest.raises(ValueError):
+        value_histogram(df, "nope")
+    with pytest.raises(ValueError):
+        value_histogram(df, "x", bins=2, lo=5.0, hi=5.0)
