@@ -121,6 +121,10 @@ Available operation_type values and their fields:
 - split_assign: deterministic md5-bucket dataset split, stable as data
   grows. {key_column, splits: {train: 80, val: 10, test: 10},
   output_column}
+- profile: per-column stats table (rows/nulls/distincts/min/max).
+  {columns: [..] (empty = all), approx}
+- histogram: fixed-width value histogram. {input_column, bins, lo, hi
+  (omit bounds to derive from min/max)}
 
 Name temporary working columns with leading AND trailing underscores
 (e.g. _clean_price_) — they are dropped automatically at the end.

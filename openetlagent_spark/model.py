@@ -856,6 +856,39 @@ class ClusteringOperation(Operation):
 
 
 @dataclass
+class ProfileOperation(Operation):
+    """ANALYZE-style column statistics as a flow op (functions/
+    profile.py profile_columns).  ``columns`` empty = all columns;
+    ``approx`` swaps exact COUNT(DISTINCT) for the HLL sketch (the
+    petabyte path)."""
+
+    columns: list[str] = field(default_factory=list)
+    approx: bool = False
+    operation_type: str = "profile"
+
+
+@dataclass
+class HistogramOperation(Operation):
+    """Fixed-width value histogram as a flow op (functions/profile.py
+    value_histogram).  ``lo``/``hi`` omitted (None) derive from the
+    column min/max."""
+
+    input_column: str = ""
+    bins: int = 20
+    lo: float | None = None
+    hi: float | None = None
+    operation_type: str = "histogram"
+
+    def __post_init__(self) -> None:
+        if not self.input_column:
+            raise SpecError("histogram requires input_column")
+        if self.bins <= 0:
+            raise SpecError(f"histogram bins must be positive, got {self.bins!r}")
+        if self.lo is not None and self.hi is not None and not self.hi > self.lo:
+            raise SpecError(f"histogram needs hi > lo, got [{self.lo!r}, {self.hi!r}]")
+
+
+@dataclass
 class SplitAssignOperation(Operation):
     """Deterministic dataset-split assignment as a flow op
     (functions/text.py with_split_assign): each row gets a named split
@@ -951,6 +984,8 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "kmeans": ClusteringOperation,
     "incremental_dedup": IncrementalDedupOperation,
     "split_assign": SplitAssignOperation,
+    "profile": ProfileOperation,
+    "histogram": HistogramOperation,
 }
 
 

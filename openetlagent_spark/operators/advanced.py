@@ -25,7 +25,9 @@ from ..model import (
     KeywordSearchOperation,
     MergeOperation,
     MixtureOperation,
+    HistogramOperation,
     PackSequencesOperation,
+    ProfileOperation,
     RangeJoinOperation,
     RepetitionOperation,
     Scd2Operation,
@@ -375,3 +377,15 @@ def apply_split_assign(df: DataFrame, op: SplitAssignOperation) -> DataFrame:
     return with_split_assign(
         df, op.key_column, splits=op.splits or None, output_column=op.output_column
     )
+
+
+def apply_profile(df: DataFrame, op: ProfileOperation) -> DataFrame:
+    from ..functions.profile import profile_columns
+
+    return profile_columns(df, op.columns or None, approx=op.approx)
+
+
+def apply_histogram(df: DataFrame, op: HistogramOperation) -> DataFrame:
+    from ..functions.profile import value_histogram
+
+    return value_histogram(df, op.input_column, bins=op.bins, lo=op.lo, hi=op.hi)

@@ -333,3 +333,28 @@ def test_round3_spec_validation():
         parse_operation({"operation_type": "incremental_dedup"})  # no corpus_path
     with pytest.raises(SpecError):
         parse_operation({"operation_type": "inverted_index", "max_df": -1})
+
+
+def test_yaml_profile_and_histogram_match_functions(spark):
+    from openetlagent_spark.functions.profile import profile_columns, value_histogram
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    via = apply_operations(
+        orders, [parse_operation({"operation_type": "profile", "columns": ["o_orderkey"]})], spark
+    )
+    direct = profile_columns(orders, ["o_orderkey"])
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+
+    via_h = apply_operations(
+        orders,
+        [parse_operation({"operation_type": "histogram", "input_column": "o_totalprice",
+                          "bins": 10, "lo": 0.0, "hi": 500000.0})],
+        spark,
+    )
+    direct_h = value_histogram(orders, "o_totalprice", bins=10, lo=0.0, hi=500000.0)
+    assert sorted(map(tuple, via_h.collect())) == sorted(map(tuple, direct_h.collect()))
+
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "histogram", "input_column": "v", "bins": 0})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "histogram"})
