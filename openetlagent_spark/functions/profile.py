@@ -100,23 +100,33 @@ def value_histogram(
         raise ValueError(f"value_histogram bins must be positive, got {bins}")
     if col not in df.columns:
         raise ValueError(f"value_histogram: unknown column {col!r}; available {df.columns}")
+    x = F.col(col).cast("double")
+    # NaN is excluded like NULL (floor(NaN) is 0 in Spark — it would
+    # silently inflate bin 0 — and NaN poisons derived max()); the
+    # column must be numeric-castable, matching the oracle's CAST.
+    base = df.filter(F.col(col).isNotNull() & ~F.isnan(x))
     if lo is None or hi is None:
-        row = df.agg(
-            F.min(F.col(col)).cast("double"), F.max(F.col(col)).cast("double")
-        ).first()
+        row = base.agg(F.min(x), F.max(x)).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"value_histogram: cannot derive bounds — column {col!r} has no "
+                "non-NULL, non-NaN values; pass lo/hi explicitly"
+            )
         lo = float(row[0]) if lo is None else lo
         hi = float(row[1]) if hi is None else hi
     if not hi > lo:
         raise ValueError(f"value_histogram needs hi > lo, got [{lo}, {hi}]")
     width = (hi - lo) / bins
-    x = F.col(col).cast("double")
+    # clamp BEFORE the int cast: an out-of-range value (inf, or
+    # anything with (x-lo)/width >= 2^31) would overflow the cast —
+    # a job-killing CAST_OVERFLOW under ANSI, a wrapped wrong bin
+    # without it.  Clamping in LONG makes both impossible.
     bin_id = F.least(
-        F.lit(bins - 1),
-        F.greatest(F.lit(0), F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")),
-    )
+        F.lit(bins - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.floor((x - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
     return (
-        df.filter(x.isNotNull())
-        .select(bin_id.alias("bin"))
+        base.select(bin_id.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -138,13 +148,18 @@ def histogram_oracle_sql(
     bit-exact."""
     width = (hi - lo) / bins
     x = f"CAST({col} AS DOUBLE)"
+    # same clamp-before-cast and NaN exclusion as the Spark plan;
+    # DuckDB's floor stays DOUBLE (it would error casting inf to a
+    # bigint), so the clamp happens in DOUBLE and only the bounded
+    # result is cast — Spark's floor returns a saturating LONG, so its
+    # clamp happens post-floor; both land on the identical bin
     bin_id = (
-        f"least({bins - 1}, greatest(0, "
-        f"CAST(floor(({x} - {lo!r}) / {width!r}) AS INTEGER)))"
+        f"CAST(least(CAST({bins - 1} AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"floor(({x} - {lo!r}) / {width!r}))) AS INTEGER)"
     )
     return (
         f"SELECT bin, {lo!r} + CAST(bin AS DOUBLE) * {width!r} AS lo_edge, "
         f"{lo!r} + CAST(bin + 1 AS DOUBLE) * {width!r} AS hi_edge, n FROM ("
         f"SELECT {bin_id} AS bin, COUNT(*) AS n FROM {table} "
-        f"WHERE {col} IS NOT NULL GROUP BY 1)"
+        f"WHERE {col} IS NOT NULL AND NOT isnan({x}) GROUP BY 1)"
     )

@@ -78,3 +78,45 @@ def test_value_histogram_derives_bounds_and_validates(spark):
         value_histogram(df, "nope")
     with pytest.raises(ValueError):
         value_histogram(df, "x", bins=2, lo=5.0, hi=5.0)
+
+
+def test_value_histogram_inf_nan_and_empty(spark):
+    """Out-of-range values clamp instead of overflowing the int cast
+    (job-killing under ANSI); NaN is excluded like NULL; an all-NULL
+    column fails with a clear error in derived-bounds mode."""
+    from openetlagent_spark.functions.profile import value_histogram
+
+    df = spark.createDataFrame(
+        [Row(x=v) for v in [0.5, float("inf"), float("-inf"), float("nan"), 4.29e9, None]],
+        "x double",
+    )
+    got = {r.bin: r.n for r in value_histogram(df, "x", bins=4, lo=0.0, hi=10.0).collect()}
+    # 0.5 -> bin 0; +inf and 4.29e9 clamp to bin 3; -inf clamps to 0;
+    # NaN and NULL excluded
+    assert got == {0: 2, 3: 2}
+
+    nulls = spark.createDataFrame([Row(x=None)], "x double")
+    with pytest.raises(ValueError, match="cannot derive bounds"):
+        value_histogram(nulls, "x", bins=2)
+
+
+def test_value_histogram_nan_matches_oracle(spark):
+    """Spark result and generated DuckDB oracle agree on data
+    containing NaN/inf (the divergence the review flagged)."""
+    import duckdb
+
+    from openetlagent_spark.functions.profile import histogram_oracle_sql, value_histogram
+
+    rows = [0.5, 2.0, float("inf"), float("nan"), 9.0]
+    df = spark.createDataFrame([Row(x=v) for v in rows], "x double")
+    got = sorted(
+        (r.bin, r.lo_edge, r.hi_edge, r.n)
+        for r in value_histogram(df, "x", bins=4, lo=0.0, hi=10.0).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in rows])
+    want = sorted(map(tuple, con.execute(
+        histogram_oracle_sql("t", "x", bins=4, lo=0.0, hi=10.0)
+    ).fetchall()))
+    assert got == want
