@@ -113,6 +113,7 @@ HEADLINE = [
     "bpe_pairs",
     "compacted_layout",
     "value_histogram",
+    "unicode_nfc",
 ]
 
 

@@ -443,3 +443,34 @@ def bpe_pair_counts_oracle_sql(
         f"SELECT pair_left, pair_right, COUNT(*) AS n_pairs FROM p GROUP BY pair_left, pair_right "
         f"ORDER BY n_pairs DESC, pair_left, pair_right LIMIT {k}"
     )
+
+
+def with_unicode_nfc(
+    df: DataFrame, text_col: str = "text", output_col: str | None = None
+) -> DataFrame:
+    """Unicode NFC normalization — compose decomposed sequences
+    (``e`` + COMBINING ACUTE → ``é``) so byte-level operators
+    (fingerprints, exact dedup, shingles) see one canonical form of
+    visually identical text.  The standard pre-pass before any
+    hash-keyed curation stage on multilingual corpora.
+
+    This is the module's ONE pandas-UDF operator: Spark SQL has no
+    built-in Unicode normalizer, so the rule "built-ins first, Arrow
+    batches when not expressible" (functions/__init__) lands here on
+    the Arrow path — ``unicodedata.normalize`` over Arrow-batched
+    series, still embarrassingly parallel, no shuffle.  Exactness
+    holds because NFC is a fully specified Unicode algorithm: Python's
+    unicodedata and DuckDB's nfc_normalize produce identical strings
+    (property-tested in test_text_functions)."""
+    import pandas as pd  # noqa: F401  (signature typing)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize("NFC", v)
+        )
+
+    return df.withColumn(output_col or text_col, _nfc(F.col(text_col)))

@@ -554,6 +554,31 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(df, "doc_id", "text", max_df=400)
 
 
+_NFC_SUFFIX = " Café Nöel ﬁn"  # combining acute/diaeresis + ﬁ ligature
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.py with_unicode_nfc —
+    the Arrow pandas-UDF path).  The ASCII corpus gets a deterministic
+    decomposed suffix appended (combining marks compose under NFC, the
+    ligature does NOT — NFC is canonical, not compatibility), so the
+    driver check exercises real composition: len_nfc < len_raw row by
+    row, and the normalized STRING hash-matches DuckDB's
+    nfc_normalize."""
+    from ..functions.text import with_unicode_nfc
+
+    df = _ts(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("raw")
+    )
+    out = with_unicode_nfc(df, "raw", output_col="nfc_text")
+    return out.select(
+        "doc_id",
+        F.length("raw").alias("len_raw"),
+        F.length("nfc_text").alias("len_nfc"),
+        "nfc_text",
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of order totals (functions/profile.py
     value_histogram): 20 bins over an explicit [0, 500000] range so
@@ -1345,6 +1370,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "profile_table": q_profile_table,
     "value_histogram": q_value_histogram,
+    "unicode_nfc": q_unicode_nfc,
     "bpe_pairs": q_bpe_pairs,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1677,6 +1703,14 @@ from ..functions.profile import histogram_oracle_sql as _histogram_oracle_sql  #
 
 HARNESS_ORACLES["value_histogram"] = _histogram_oracle_sql(
     "orders", "o_totalprice", bins=20, lo=0.0, hi=500_000.0
+)
+
+# The decomposed suffix is embedded verbatim (UTF-8 literal) so DuckDB
+# normalizes the identical raw string the Spark plan builds.
+HARNESS_ORACLES["unicode_nfc"] = (
+    "SELECT doc_id, length(raw) AS len_raw, "
+    "length(nfc_normalize(raw)) AS len_nfc, nfc_normalize(raw) AS nfc_text "
+    f"FROM (SELECT doc_id, text || '{_NFC_SUFFIX}' AS raw FROM documents) s"
 )
 
 for _lattice in ("ROLLUP", "CUBE"):

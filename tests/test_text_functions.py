@@ -150,3 +150,35 @@ def test_bpe_pair_counts_topk_tiebreak(spark):
     # all three pairs count 1; (count desc, pair asc) keeps xy, yz? ->
     # ordering is left asc: ('x','y') < ('y','z') < ('z','x')
     assert [(r.pair_left, r.pair_right) for r in rows] == [("x", "y"), ("y", "z")]
+
+
+def test_unicode_nfc_composes_and_matches_duckdb(spark):
+    """NFC composes combining sequences, leaves the ligature (canonical,
+    not compatibility), preserves NULL — and agrees byte-for-byte with
+    DuckDB's nfc_normalize on multilingual samples."""
+    import duckdb
+    import unicodedata
+
+    from openetlagent_spark.functions.text import with_unicode_nfc
+
+    samples = [
+        "Café",          # e + combining acute -> é
+        "Nöel",          # o + combining diaeresis -> ö
+        "ﬁle",            # ﬁ ligature: unchanged under NFC
+        "plain ascii",
+        "한국어 가",  # Hangul jamo compose to a syllable
+        None,
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(samples)], "doc_id int, text string"
+    )
+    got = {r.doc_id: r.text for r in with_unicode_nfc(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(samples):
+        if t is None:
+            assert got[i] is None
+            continue
+        assert got[i] == unicodedata.normalize("NFC", t)
+        assert got[i] == con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+    assert got[0] == "Caf\u00e9" and len(got[0]) == 4 and len(samples[0]) == 5
+    assert got[2] == "ﬁle"  # ligature survives
