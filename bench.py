@@ -114,6 +114,7 @@ HEADLINE = [
     "compacted_layout",
     "value_histogram",
     "unicode_nfc",
+    "outlier_flags",
 ]
 
 

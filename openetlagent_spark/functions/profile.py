@@ -163,3 +163,105 @@ def histogram_oracle_sql(
         f"SELECT {bin_id} AS bin, COUNT(*) AS n FROM {table} "
         f"WHERE {col} IS NOT NULL AND NOT isnan({x}) GROUP BY 1)"
     )
+
+
+def outlier_flags(
+    df: DataFrame,
+    col: str,
+    z_threshold: float = 3.0,
+    group_cols: list[str] | None = None,
+    scale_digits: int = 6,
+) -> DataFrame:
+    """Z-score outlier flagging — the numeric data-quality screen
+    (corrupt sensor values, price glitches, length explosions) as an
+    exactly-reproducible operator: adds ``zscore`` and ``is_outlier``
+    (|z| > threshold) per row, optionally per ``group_cols`` stratum.
+
+    Exactness at scale (the kmeans quantize-for-exactness move): values
+    snap once to a ``10^-scale_digits`` grid, so the power sums Σx and
+    Σx² accumulate as EXACT integers/decimals — partition-order- and
+    engine-independent where double accumulation drifts in the last
+    ulp.  The derived moments are correctly-rounded divisions, sqrt is
+    correctly-rounded IEEE, and the grid scale cancels in z (both the
+    deviation and the stddev are in grid units), so every z-score is
+    bit-identical across engines.  Population variance (N divisor);
+    zero-variance strata flag nothing (z defined as 0).  One tiny
+    aggregate (global: 1 row; grouped: |strata| rows) broadcast back
+    onto the scan."""
+    if col not in df.columns:
+        raise ValueError(f"outlier_flags: unknown column {col!r}; available {df.columns}")
+    groups = group_cols or []
+    x = F.col(col).cast("double")
+    base = df.filter(F.col(col).isNotNull() & ~F.isnan(x))
+    grid = float(10 ** scale_digits)
+    xq = F.round(x * F.lit(grid)).cast("long")
+    xd = xq.cast("decimal(19,0)")  # (19,0)^2 -> (38,0): exact integer square
+    base = base.withColumn("__xq__", xq).withColumn("__sq__", (xd * xd))
+    stats = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("__xq__").alias("__s1__"),
+        F.sum("__sq__").alias("__s2__"),
+    )
+    n = F.col("__n__").cast("double")
+    mean = F.col("__s1__").cast("double") / n
+    # E[x^2] - E[x]^2 in grid units; clamp rounding residue to 0
+    var = F.greatest(
+        F.col("__s2__").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    joined = (
+        base.join(F.broadcast(stats), groups, "left")
+        if groups
+        else base.crossJoin(F.broadcast(stats))
+    )
+    z = F.when(std > 0, (F.col("__xq__").cast("double") - mean) / std).otherwise(
+        F.lit(0.0)
+    )
+    return joined.select(
+        *df.columns,
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(z_threshold)).alias("is_outlier"),
+    )
+
+
+def outlier_oracle_sql(
+    table: str,
+    col: str,
+    out_cols: str,
+    z_threshold: float = 3.0,
+    group_cols: list[str] | None = None,
+    scale_digits: int = 6,
+) -> str:
+    """DuckDB mirror of outlier_flags: identical grid quantization,
+    integer power sums, division order, sqrt, and zero-variance rule.
+    ``out_cols`` is the comma-joined source column list to carry
+    through."""
+    groups = group_cols or []
+    gsel = (", ".join(groups) + ", ") if groups else ""
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    join = (
+        ("JOIN s ON " + " AND ".join(f"b.{g} = s.{g}" for g in groups))
+        if groups
+        else "CROSS JOIN s"
+    )
+    # qualify carried columns with b. — the stats side re-exposes the
+    # group columns and would make bare names ambiguous
+    out_cols = ", ".join("b." + c.strip() for c in out_cols.split(","))
+    grid = float(10 ** scale_digits)
+    x = f"CAST({col} AS DOUBLE)"
+    xq = f"CAST(round({x} * {grid!r}) AS BIGINT)"
+    xd = f"CAST({xq} AS DECIMAL(19,0))"
+    mean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    var = f"greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {mean} * {mean}, 0.0)"
+    z = (
+        f"CASE WHEN sqrt({var}) > 0 "
+        f"THEN (CAST({xq} AS DOUBLE) - {mean}) / sqrt({var}) ELSE 0.0 END"
+    )
+    return (
+        f"WITH b AS (SELECT * FROM {table} "
+        f"WHERE {col} IS NOT NULL AND NOT isnan({x})), "
+        f"s AS (SELECT {gsel}COUNT(*) AS n, SUM({xq}) AS s1, "
+        f"SUM({xd} * {xd}) AS s2 FROM b {gby}) "
+        f"SELECT {out_cols}, {z} AS zscore, "
+        f"abs({z}) > {z_threshold!r} AS is_outlier FROM b {join}"
+    )

@@ -590,6 +590,20 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(df, "o_totalprice", bins=20, lo=0.0, hi=500_000.0)
 
 
+def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum z-score outlier screen over order totals, grouped by
+    priority (functions/profile.py outlier_flags): quantized power sums
+    make every z-score bit-exact vs the generated oracle."""
+    from ..functions.profile import outlier_flags
+
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return outlier_flags(
+        df, "o_totalprice", z_threshold=2.0, group_cols=["o_orderpriority"]
+    )
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-training inner step: corpus-wide adjacent-char-pair counts,
     top-50 merge candidates (functions/text.py bpe_pair_counts)."""
@@ -1371,6 +1385,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_table": q_profile_table,
     "value_histogram": q_value_histogram,
     "unicode_nfc": q_unicode_nfc,
+    "outlier_flags": q_outlier_flags,
     "bpe_pairs": q_bpe_pairs,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1703,6 +1718,16 @@ from ..functions.profile import histogram_oracle_sql as _histogram_oracle_sql  #
 
 HARNESS_ORACLES["value_histogram"] = _histogram_oracle_sql(
     "orders", "o_totalprice", bins=20, lo=0.0, hi=500_000.0
+)
+
+from ..functions.profile import outlier_oracle_sql as _outlier_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["outlier_flags"] = _outlier_oracle_sql(
+    "orders",
+    "o_totalprice",
+    "o_orderkey, o_orderpriority, o_totalprice",
+    z_threshold=2.0,
+    group_cols=["o_orderpriority"],
 )
 
 # The decomposed suffix is embedded verbatim (UTF-8 literal) so DuckDB

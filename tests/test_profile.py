@@ -120,3 +120,41 @@ def test_value_histogram_nan_matches_oracle(spark):
         histogram_oracle_sql("t", "x", bins=4, lo=0.0, hi=10.0)
     ).fetchall()))
     assert got == want
+
+
+def test_outlier_flags_global_and_grouped(spark):
+    from openetlagent_spark.functions.profile import outlier_flags
+
+    rows = [Row(g="a", v=float(v)) for v in [10, 11, 9, 10, 10, 100]] + [
+        Row(g="b", v=float(v)) for v in [1000, 1001, 999]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # global stats: the b-group values dwarf a's spike
+    glob = {(r.g, r.v): r.is_outlier for r in outlier_flags(df, "v", z_threshold=2.0).collect()}
+    assert not glob[("a", 100.0)]  # 100 is mid-range globally
+    # per-group stats: the spike is an outlier within its stratum
+    grp = {(r.g, r.v): r for r in outlier_flags(df, "v", z_threshold=2.0, group_cols=["g"]).collect()}
+    assert grp[("a", 100.0)].is_outlier
+    assert not grp[("a", 10.0)].is_outlier
+    assert not grp[("b", 1000.0)].is_outlier
+
+
+def test_outlier_flags_zero_variance_and_nulls(spark):
+    from openetlagent_spark.functions.profile import outlier_flags
+
+    df = spark.createDataFrame(
+        [Row(v=5.0), Row(v=5.0), Row(v=None), Row(v=float("nan"))], "v double"
+    )
+    out = outlier_flags(df, "v").collect()
+    # NULL and NaN rows are excluded; constant column -> z = 0, no flags
+    assert len(out) == 2
+    assert all(r.zscore == 0.0 and not r.is_outlier for r in out)
+
+
+def test_outlier_flags_deterministic_under_repartition(spark):
+    from openetlagent_spark.functions.profile import outlier_flags
+
+    df = spark.range(500).selectExpr("CAST(id % 7 AS STRING) AS g", "id * 1.37 AS v")
+    a = sorted(map(tuple, outlier_flags(df, "v", group_cols=["g"]).collect()))
+    b = sorted(map(tuple, outlier_flags(df.repartition(13), "v", group_cols=["g"]).collect()))
+    assert a == b
