@@ -125,6 +125,8 @@ Available operation_type values and their fields:
   {columns: [..] (empty = all), approx}
 - histogram: fixed-width value histogram. {input_column, bins, lo, hi
   (omit bounds to derive from min/max)}
+- outliers: z-score outlier flags (adds zscore, is_outlier).
+  {input_column, z_threshold, group_columns: [..] for per-stratum}
 
 Name temporary working columns with leading AND trailing underscores
 (e.g. _clean_price_) — they are dropped automatically at the end.

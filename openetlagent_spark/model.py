@@ -889,6 +889,26 @@ class HistogramOperation(Operation):
 
 
 @dataclass
+class OutlierOperation(Operation):
+    """Z-score outlier screen as a flow op (functions/profile.py
+    outlier_flags): adds zscore + is_outlier per row; ``group_columns``
+    switches to per-stratum statistics."""
+
+    input_column: str = ""
+    z_threshold: float = 3.0
+    group_columns: list[str] = field(default_factory=list)
+    operation_type: str = "outliers"
+
+    def __post_init__(self) -> None:
+        if not self.input_column:
+            raise SpecError("outliers requires input_column")
+        if self.z_threshold <= 0:
+            raise SpecError(
+                f"outliers z_threshold must be positive, got {self.z_threshold!r}"
+            )
+
+
+@dataclass
 class SplitAssignOperation(Operation):
     """Deterministic dataset-split assignment as a flow op
     (functions/text.py with_split_assign): each row gets a named split
@@ -986,6 +1006,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "split_assign": SplitAssignOperation,
     "profile": ProfileOperation,
     "histogram": HistogramOperation,
+    "outliers": OutlierOperation,
 }
 
 

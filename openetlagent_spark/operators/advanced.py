@@ -26,6 +26,7 @@ from ..model import (
     MergeOperation,
     MixtureOperation,
     HistogramOperation,
+    OutlierOperation,
     PackSequencesOperation,
     ProfileOperation,
     RangeJoinOperation,
@@ -389,3 +390,12 @@ def apply_histogram(df: DataFrame, op: HistogramOperation) -> DataFrame:
     from ..functions.profile import value_histogram
 
     return value_histogram(df, op.input_column, bins=op.bins, lo=op.lo, hi=op.hi)
+
+
+def apply_outliers(df: DataFrame, op: OutlierOperation) -> DataFrame:
+    from ..functions.profile import outlier_flags
+
+    return outlier_flags(
+        df, op.input_column, z_threshold=op.z_threshold,
+        group_cols=op.group_columns or None,
+    )

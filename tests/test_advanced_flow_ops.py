@@ -358,3 +358,25 @@ def test_yaml_profile_and_histogram_match_functions(spark):
         parse_operation({"operation_type": "histogram", "input_column": "v", "bins": 0})
     with pytest.raises(SpecError):
         parse_operation({"operation_type": "histogram"})
+
+
+def test_yaml_outliers_matches_function(spark):
+    from openetlagent_spark.functions.profile import outlier_flags
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    via = apply_operations(
+        orders,
+        [parse_operation({"operation_type": "outliers", "input_column": "o_totalprice",
+                          "z_threshold": 2.0, "group_columns": ["o_orderpriority"]})],
+        spark,
+    )
+    direct = outlier_flags(orders, "o_totalprice", z_threshold=2.0,
+                           group_cols=["o_orderpriority"])
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "outliers"})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "outliers", "input_column": "v",
+                         "z_threshold": 0})
