@@ -175,16 +175,22 @@ def outlier_flags(
     """Z-score outlier flagging — the numeric data-quality screen
     (corrupt sensor values, price glitches, length explosions) as an
     exactly-reproducible operator: adds ``zscore`` and ``is_outlier``
-    (|z| > threshold) per row, optionally per ``group_cols`` stratum.
+    (|z| > threshold) to EVERY row — NULL/NaN inputs keep their row with
+    ``zscore`` NULL and ``is_outlier`` false (a dropped row is itself a
+    signal a quality screen must not eat) — optionally per
+    ``group_cols`` stratum (NULL group keys form their own stratum via
+    null-safe join keys, matching SQL GROUP BY).
 
     Exactness at scale (the kmeans quantize-for-exactness move): values
     snap once to a ``10^-scale_digits`` grid, so the power sums Σx and
-    Σx² accumulate as EXACT integers/decimals — partition-order- and
+    Σx² accumulate as EXACT decimals — partition-order- and
     engine-independent where double accumulation drifts in the last
     ulp.  The derived moments are correctly-rounded divisions, sqrt is
     correctly-rounded IEEE, and the grid scale cancels in z (both the
     deviation and the stddev are in grid units), so every z-score is
-    bit-identical across engines.  Population variance (N divisor);
+    bit-identical across engines.  A value too large for the grid
+    (|x| ≥ 2^63 / 10^scale_digits) raises loudly on both engines
+    instead of silently saturating.  Population variance (N divisor);
     zero-variance strata flag nothing (z defined as 0).  One tiny
     aggregate (global: 1 row; grouped: |strata| rows) broadcast back
     onto the scan."""
@@ -192,15 +198,37 @@ def outlier_flags(
         raise ValueError(f"outlier_flags: unknown column {col!r}; available {df.columns}")
     groups = group_cols or []
     x = F.col(col).cast("double")
-    base = df.filter(F.col(col).isNotNull() & ~F.isnan(x))
+    valid = F.col(col).isNotNull() & ~F.isnan(x)
     grid = float(10 ** scale_digits)
-    xq = F.round(x * F.lit(grid)).cast("long")
+    limit = 9.2e18 / grid  # < Long.MAX / grid: quantization must not saturate
+    xq_raw = F.round(x * F.lit(grid)).cast("long")
+    xq = F.when(
+        F.abs(x) < F.lit(limit), xq_raw
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"outlier_flags: |{col}| too large for the 10^{scale_digits} "
+                    "grid (would overflow the exact accumulator): "
+                ),
+                x.cast("string"),
+            )
+        ).cast("long")
+    )
     xd = xq.cast("decimal(19,0)")  # (19,0)^2 -> (38,0): exact integer square
-    base = base.withColumn("__xq__", xq).withColumn("__sq__", (xd * xd))
-    stats = base.groupBy(*groups).agg(
-        F.count(F.lit(1)).alias("__n__"),
-        F.sum("__xq__").alias("__s1__"),
-        F.sum("__sq__").alias("__s2__"),
+    annotated = df.withColumn("__xq__", F.when(valid, xq)).withColumn(
+        "__sq__", F.when(valid, xd * xd)
+    )
+    stats = (
+        annotated.filter(valid)
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            # decimal accumulation for BOTH power sums — a long Σx wraps
+            # silently around sf40 on price-scale data
+            F.sum(F.col("__xq__").cast("decimal(19,0)")).alias("__s1__"),
+            F.sum("__sq__").alias("__s2__"),
+        )
     )
     n = F.col("__n__").cast("double")
     mean = F.col("__s1__").cast("double") / n
@@ -209,18 +237,23 @@ def outlier_flags(
         F.col("__s2__").cast("double") / n - mean * mean, F.lit(0.0)
     )
     std = F.sqrt(var)
-    joined = (
-        base.join(F.broadcast(stats), groups, "left")
-        if groups
-        else base.crossJoin(F.broadcast(stats))
-    )
-    z = F.when(std > 0, (F.col("__xq__").cast("double") - mean) / std).otherwise(
-        F.lit(0.0)
+    if groups:
+        cond = None
+        for g in groups:
+            c = annotated[g].eqNullSafe(stats[g])  # NULL keys are a stratum
+            cond = c if cond is None else cond & c
+        joined = annotated.join(F.broadcast(stats), cond, "left")
+        for g in groups:
+            joined = joined.drop(stats[g])
+    else:
+        joined = annotated.crossJoin(F.broadcast(stats))
+    z = F.when(valid & (std > 0), (F.col("__xq__").cast("double") - mean) / std).when(
+        valid, F.lit(0.0)
     )
     return joined.select(
         *df.columns,
         z.alias("zscore"),
-        (F.abs(z) > F.lit(z_threshold)).alias("is_outlier"),
+        F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)).alias("is_outlier"),
     )
 
 
@@ -233,35 +266,39 @@ def outlier_oracle_sql(
     scale_digits: int = 6,
 ) -> str:
     """DuckDB mirror of outlier_flags: identical grid quantization,
-    integer power sums, division order, sqrt, and zero-variance rule.
-    ``out_cols`` is the comma-joined source column list to carry
-    through."""
+    decimal power sums, division order, sqrt, NULL-row and NULL-stratum
+    rules.  ``out_cols`` is the comma-joined source column list to
+    carry through (qualified with b. below)."""
     groups = group_cols or []
     gsel = (", ".join(groups) + ", ") if groups else ""
     gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
     join = (
-        ("JOIN s ON " + " AND ".join(f"b.{g} = s.{g}" for g in groups))
+        ("LEFT JOIN s ON " + " AND ".join(
+            f"b.{g} IS NOT DISTINCT FROM s.{g}" for g in groups
+        ))
         if groups
         else "CROSS JOIN s"
     )
-    # qualify carried columns with b. — the stats side re-exposes the
-    # group columns and would make bare names ambiguous
     out_cols = ", ".join("b." + c.strip() for c in out_cols.split(","))
     grid = float(10 ** scale_digits)
-    x = f"CAST({col} AS DOUBLE)"
+    x = f"CAST(b.{col} AS DOUBLE)"
+    xs = f"CAST({col} AS DOUBLE)"
+    valid = f"(b.{col} IS NOT NULL AND NOT isnan({x}))"
     xq = f"CAST(round({x} * {grid!r}) AS BIGINT)"
-    xd = f"CAST({xq} AS DECIMAL(19,0))"
+    xqs = f"CAST(round({xs} * {grid!r}) AS BIGINT)"
+    xds = f"CAST({xqs} AS DECIMAL(19,0))"
     mean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
     var = f"greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {mean} * {mean}, 0.0)"
     z = (
-        f"CASE WHEN sqrt({var}) > 0 "
-        f"THEN (CAST({xq} AS DOUBLE) - {mean}) / sqrt({var}) ELSE 0.0 END"
+        f"CASE WHEN {valid} AND sqrt({var}) > 0 "
+        f"THEN (CAST({xq} AS DOUBLE) - {mean}) / sqrt({var}) "
+        f"WHEN {valid} THEN 0.0 END"
     )
     return (
-        f"WITH b AS (SELECT * FROM {table} "
-        f"WHERE {col} IS NOT NULL AND NOT isnan({x})), "
-        f"s AS (SELECT {gsel}COUNT(*) AS n, SUM({xq}) AS s1, "
-        f"SUM({xd} * {xd}) AS s2 FROM b {gby}) "
+        f"WITH s AS (SELECT {gsel}COUNT(*) AS n, SUM({xds}) AS s1, "
+        f"SUM({xds} * {xds}) AS s2 FROM {table} "
+        f"WHERE {col} IS NOT NULL AND NOT isnan({xs}) {gby}) "
         f"SELECT {out_cols}, {z} AS zscore, "
-        f"abs({z}) > {z_threshold!r} AS is_outlier FROM b {join}"
+        f"COALESCE(abs({z}) > {z_threshold!r}, FALSE) AS is_outlier "
+        f"FROM {table} b {join}"
     )

@@ -462,8 +462,12 @@ def with_unicode_nfc(
     holds because NFC is a fully specified Unicode algorithm: Python's
     unicodedata and DuckDB's nfc_normalize produce identical strings
     (property-tested in test_text_functions)."""
-    import pandas as pd  # noqa: F401  (signature typing)
     from pyspark.sql.functions import pandas_udf
+
+    if text_col not in df.columns:
+        raise ValueError(
+            f"with_unicode_nfc: unknown column {text_col!r}; available {df.columns}"
+        )
 
     @pandas_udf("string")
     def _nfc(s):  # type: ignore[no-untyped-def]

@@ -146,9 +146,14 @@ def test_outlier_flags_zero_variance_and_nulls(spark):
         [Row(v=5.0), Row(v=5.0), Row(v=None), Row(v=float("nan"))], "v double"
     )
     out = outlier_flags(df, "v").collect()
-    # NULL and NaN rows are excluded; constant column -> z = 0, no flags
-    assert len(out) == 2
-    assert all(r.zscore == 0.0 and not r.is_outlier for r in out)
+    # EVERY row survives (a quality screen must not eat rows): valid
+    # rows of a constant column score z = 0; NULL/NaN rows carry a NULL
+    # zscore and are never flagged
+    assert len(out) == 4
+    valid = [r for r in out if r.v == 5.0]
+    invalid = [r for r in out if r.v is None or r.v != r.v]
+    assert all(r.zscore == 0.0 and not r.is_outlier for r in valid)
+    assert all(r.zscore is None and not r.is_outlier for r in invalid)
 
 
 def test_outlier_flags_deterministic_under_repartition(spark):
@@ -158,3 +163,44 @@ def test_outlier_flags_deterministic_under_repartition(spark):
     a = sorted(map(tuple, outlier_flags(df, "v", group_cols=["g"]).collect()))
     b = sorted(map(tuple, outlier_flags(df.repartition(13), "v", group_cols=["g"]).collect()))
     assert a == b
+
+
+def test_outlier_flags_null_group_stratum(spark):
+    """NULL group keys form their own stratum (null-safe join), and
+    the generated oracle agrees row-for-row on such data."""
+    import duckdb
+
+    from openetlagent_spark.functions.profile import outlier_flags, outlier_oracle_sql
+
+    rows = [("a", 10.0), ("a", 12.0), (None, 5.0), (None, 6.0), (None, 500.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    def key(t):
+        return (t[0] is None, t[0] or "", t[1])
+
+    got = sorted(
+        [
+            (r.g, r.v, r.zscore, r.is_outlier)
+            for r in outlier_flags(df, "v", z_threshold=1.2, group_cols=["g"]).collect()
+        ],
+        key=key,
+    )
+    # the NULL stratum's spike is flagged against ITS stats
+    assert any(g is None and v == 500.0 and flag for g, v, z, flag in got)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        outlier_oracle_sql("t", "v", "g, v", z_threshold=1.2, group_cols=["g"])
+    ).fetchall()), key=key)
+    assert got == want
+
+
+def test_outlier_flags_overflow_guard_raises(spark):
+    from openetlagent_spark.functions.profile import outlier_flags
+
+    df = spark.createDataFrame([Row(v=1e13)], "v double")
+    out = outlier_flags(df, "v")  # lazy — the guard fires at action time
+    with pytest.raises(Exception, match="too large for the 10"):
+        out.collect()
