@@ -141,6 +141,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # release caches an operator persisted for its own multi-branch
+        # plan (search/incremental/kmeans) so successive queries don't
+        # accumulate executor storage for the whole bench session
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

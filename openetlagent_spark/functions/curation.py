@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import word_ngram_codes
+from .text import _toks_sql
 
 # --- benchmark contamination ------------------------------------------------
 
@@ -110,7 +111,7 @@ def contamination_oracle_sql(
     relation expressions (table names or parenthesized subqueries)."""
     from .dedup import _FOLD_PRIME, _MERSENNE  # same constants as the plan
 
-    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    toks = _toks_sql(text_col)
     wcodes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))"
 
     def code_at(off: int) -> str:
@@ -287,9 +288,9 @@ def pack_sequences_oracle_sql(
     return f"""
 WITH toks AS (SELECT {id_col}, {ntok} AS n_tokens FROM {table}),
 offs AS (SELECT {id_col}, n_tokens,
-                SUM(n_tokens) OVER (ORDER BY {id_col}
+                CAST(SUM(n_tokens) OVER (ORDER BY {id_col}
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-                  AS start_offset
+                  AS BIGINT) AS start_offset
          FROM toks)
 SELECT {id_col}, n_tokens, start_offset,
        CAST(FLOOR(start_offset / {ctx}.0) AS BIGINT) AS chunk_id,
@@ -586,7 +587,7 @@ def chunk_oracle_sql(
     stride = chunk_size - overlap
     toks = (
         f"CASE WHEN trim(lower({text_col})) = '' THEN []::VARCHAR[] "
-        f"ELSE string_split_regex(trim(lower({text_col})), '\\s+') END"
+        f"ELSE {_toks_sql(text_col)} END"
     )
     return (
         f"SELECT {id_col}, "

@@ -50,6 +50,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import _toks_sql
+
 # Mersenne prime 2^31-1: (a*h + b) % M stays under 2^62, so the modular
 # permutation math never overflows a long even in ANSI mode.
 _MERSENNE = 2_147_483_647
@@ -480,7 +482,7 @@ def simhash_pairs_oracle_sql(
     integer-exact, generated from the same parameters as the plan."""
     n_bands = max_hamming + 1
     width = 60 // n_bands
-    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    toks = _toks_sql(text_col)
     hashes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))"
     return f"""
 WITH th AS (SELECT {id_col} AS did, {hashes} AS hs FROM {table}
@@ -716,7 +718,7 @@ def ngram_pairs_oracle_sql(
     the Jaccard division uses the same i/(|A|+|B|-i) operands (per-row
     double division is bit-identical across engines)."""
     m = _MERSENNE
-    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    toks = _toks_sql(text_col)
     wcodes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))"
 
     def code_at(off: int) -> str:
@@ -990,7 +992,7 @@ def substring_pairs_oracle_sql(
     cannot drift.  Every stage — token codes, run folds, bucket cap,
     integer pair counts — is engine-exact."""
     m = _MERSENNE
-    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    toks = _toks_sql(text_col)
     wcodes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))"
 
     def code_at(off: int) -> str:

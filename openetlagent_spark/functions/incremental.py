@@ -227,6 +227,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "annotate",
+    cache: bool = True,
 ) -> DataFrame:
     """Append-batch deduplication: which rows of an incoming batch are
     already in the corpus, and which duplicate each other WITHIN the
@@ -234,6 +235,14 @@ def incremental_dedup(
     re-adding known documents.  The match key is the engine's normalized
     text fingerprint (text.with_fingerprint: md5 over lowercased,
     whitespace-collapsed text), so formatting variants dedup too.
+
+    ``cache``: persist the fingerprinted batch (it feeds both the
+    fingerprint-set broadcast and the final join/window).  The returned
+    DataFrame is lazy, so the cache cannot be released here; callers
+    running many operators in one session should
+    ``spark.catalog.clearCache()`` between operators (bench.py and
+    scripts/check_oracle.py do), or pass ``cache=False`` to recompute
+    the batch fingerprints on the second branch instead.
 
     mode='annotate' returns the batch with ``is_known`` (fingerprint
     exists in the corpus) and ``is_batch_dup`` (a lower-id row of the
@@ -254,8 +263,9 @@ def incremental_dedup(
 
     if mode not in ("annotate", "filter"):
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
-    batch = with_fingerprint(new_docs, text_col).persist()  # feeds the
-    # fingerprint-set broadcast AND the final join/window
+    batch = with_fingerprint(new_docs, text_col)
+    if cache:
+        batch = batch.persist()
     batch_fps = batch.select(F.col("fingerprint").alias("__fp__")).distinct()
     known = (
         with_fingerprint(corpus, text_col)

@@ -27,11 +27,21 @@ both are EXACTLY oracle-checkable:
   gathers a billion-element list on one reducer.
 
 Scale shapes (100 TB):
-- search: per-doc tf/dl are scan-local array expressions (no explode,
-  no shuffle); corpus stats (N, Σdl, per-term df) reduce to ONE row that
-  broadcasts back; ranking is a TakeOrdered top-k.  ZERO wide shuffles.
-- index: explode → one map-side-combined (term, doc) count → a tiny
-  per-term stats aggregate → anti-join-guarded posting collect.
+- search: per-doc dl + all query-term tfs come from ONE fold over the
+  token array (a single regex split per row, no explode, no shuffle);
+  corpus stats (N, Σdl, per-term df) reduce to ONE row that broadcasts
+  back; ranking is a TakeOrdered top-k.  ZERO wide shuffles.
+- index: explode → one map-side-combined (term, doc) count → ONE
+  repartition by term that feeds stats AND postings co-partitioned
+  (no further exchange) → anti-join-guarded posting collect.
+
+Cache lifetime: both functions ``persist()`` a narrow intermediate when
+``cache=True`` and return a LAZY DataFrame that depends on it, so they
+cannot unpersist before the caller's terminal action.  Callers that run
+many operators in one session (bench/correctness harnesses) should
+``spark.catalog.clearCache()`` between operators — the repo's bench.py
+and scripts/check_oracle.py do exactly that.  Pass ``cache=False`` to
+opt out entirely.
 """
 
 from __future__ import annotations
@@ -39,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import _tokens
+from .text import _tokens, _toks_sql
 
 
 def _normalized_terms(query_terms: list[str]) -> list[str]:
@@ -83,42 +93,50 @@ def keyword_search_topk(
     (see module docstring).  Ties break on ascending id so the result
     SET is deterministic.  Returns (id, dl, tf_<term>..., score).
 
-    The per-doc branch is computed once and feeds both the corpus-stats
-    aggregate and the scoring projection; the stats side reduces to a
-    single row and broadcasts, so the document table is scanned exactly
-    twice and never shuffled.
+    dl and every per-term tf are computed in ONE ``aggregate`` fold over
+    the token array, so the regex split runs exactly once per row even
+    after Catalyst's projection collapse (T separate ``filter`` calls
+    would each re-inline the split — the with_repetition lesson).  The
+    per-doc branch then feeds both the corpus-stats aggregate and the
+    scoring projection.
 
-    ``cache``: persist the tokenized frame (MEMORY_AND_DISK).  Right
-    whenever the token arrays fit the cluster's cache tier; at the far
-    end (the full 100 TB corpus), pass False to trade the cache for
-    re-splitting on the second scan — both plans are correct, this is
-    purely a storage-vs-CPU knob."""
+    ``cache``: persist the per-doc counts frame — (id, dl, T ints), a
+    few bytes per document, NOT the token arrays — so the second scan
+    reads the narrow cache instead of re-splitting the corpus.  Cache
+    lifetime is caller-managed (see module docstring); pass False to
+    trade the cache for one extra corpus scan — both plans are correct,
+    this is purely a storage-vs-CPU knob."""
     terms = _normalized_terms(query_terms)
 
-    def tf_expr(term: str) -> Column:
-        # closure factory (a default-arg lambda would change arity)
-        def pred(x: Column) -> Column:
-            return x == F.lit(term)
+    # One fold computes dl plus every tf: acc is a (T+1)-field struct of
+    # counters; each token increments the dl counter and at most one
+    # term counter.  The token array is referenced exactly once, so the
+    # split cannot be re-inlined per counter.
+    zero = F.struct(
+        F.lit(0).alias("dl"), *[F.lit(0).alias(f"tf_{i}") for i in range(len(terms))]
+    )
 
-        return F.size(F.filter(F.col("__toks__"), pred))
+    def step(acc: Column, x: Column) -> Column:
+        return F.struct(
+            (acc["dl"] + F.lit(1)).alias("dl"),
+            *[
+                (acc[f"tf_{i}"] + F.when(x == F.lit(t), 1).otherwise(0)).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
 
-    # Persist the tokenized frame FIRST: dl plus one tf per query term
-    # all reference the token array, and Catalyst's projection collapse
-    # would otherwise re-inline the regex split once per reference
-    # (T+1 splits per row — the with_repetition lesson).  The cached
-    # array is split exactly once; the per-term filters over it are
-    # cheap.  The frame also feeds both the stats aggregate and the
-    # scoring projection, which alone would justify the boundary.
-    tokenized = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id__"), _tokens(F.col(text_col)).alias("__toks__")
+    counts = F.aggregate(_tokens(F.col(text_col)), zero, step)
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id__"), counts.alias("__c__"))
+        .select(
+            "__id__",
+            F.col("__c__")["dl"].alias("dl"),
+            *[F.col("__c__")[f"tf_{i}"].alias(f"tf_{i}") for i in range(len(terms))],
+        )
     )
     if cache:
-        tokenized = tokenized.persist()
-    base = tokenized.select(
-        "__id__",
-        F.size(F.col("__toks__")).alias("dl"),
-        *[tf_expr(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
-    )
+        base = base.persist()
 
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -166,9 +184,16 @@ def keyword_search_oracle_sql(
     """DuckDB mirror of keyword_search_topk.  Float literals are emitted
     with ``repr`` of the SAME Python-computed values the Spark plan
     embeds (e.g. ``k1 + 1.0``), so both engines run identical bit
-    patterns through identical correctly-rounded IEEE operation trees."""
+    patterns through identical correctly-rounded IEEE operation trees.
+    The tokenizer fragment comes from :func:`text._toks_sql` — the one
+    shared definition every generated oracle must use.
+
+    Output integer columns (dl, tf_*) are DuckDB BIGINT from ``len``;
+    the corpus-stats SUMs live only INSIDE double casts, so no HUGEINT
+    ever reaches an output column (the driver's pandas bridge turns
+    HUGEINT into float64, which hash-mismatches Spark's BIGINT)."""
     terms = _normalized_terms(query_terms)
-    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    toks = _toks_sql(text_col)
     tf_cols = ", ".join(
         "len(list_filter({}, x -> x = '{}')) AS tf_{}".format(toks, t.replace("'", "''"), i)
         for i, t in enumerate(terms)
@@ -212,45 +237,67 @@ def inverted_index(
     statistics still report).  See module docstring for the anti-join
     guard that keeps the collect bounded at scale.
 
-    ``cache``: persist the (term, doc) counts and per-term stats that
-    feed multiple branches (MEMORY_AND_DISK).  At the far end where the
-    tf table rivals the corpus, pass False to recompute instead —
-    correctness is identical either way."""
+    Shuffle shape (cache=True): exactly THREE wide exchanges run end to
+    end — (1) the map-side-combined (term, doc) tf count, (2) the
+    per-term stats aggregate, (3) the posting aggregation.  tf and
+    stats are ``localCheckpoint``-ed (eager): each is computed ONCE and
+    every consumer branch (cap filter, anti-join gate, over-cap stats
+    rows) reads the materialized copy — no diamond recompute, and no
+    session-lifetime cache leak (checkpoint blocks are freed when the
+    returned DataFrame is garbage-collected, unlike ``persist``, which
+    a lazily-returned result can never safely unpersist).  The over-cap
+    rows re-enter the result via a UNION of the stats branch — no
+    stats⋈postings join at all (the previous shape spent 9 exchanges
+    on separate shuffle chains plus a sort-merge join).
+
+    ``cache=False`` builds the same result fully lazily (no eager jobs,
+    no executor storage) at the cost of re-deriving the tf subtree per
+    branch — the right trade when the tf table rivals the corpus and
+    executor storage is the scarcer resource.  Correctness is identical
+    either way."""
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id__"), F.explode(_tokens(F.col(text_col))).alias("term"))
     )
-    # tf feeds the stats aggregate AND the posting collect; stats feeds
-    # the cap filter AND the final join.  Catalyst shares identical
-    # exchanges only opportunistically (ReusedExchange) — the persist
-    # boundaries make the explode + (term, doc) shuffle run exactly
-    # once regardless of plan shape.
+    # exchange 1: partial-aggregated (term, doc) counts
     tf = toks.groupBy("term", "__id__").agg(F.count(F.lit(1)).alias("tf"))
+    if cache:
+        tf = tf.localCheckpoint()
+
+    posting_expr = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__id__", "tf"))),
+            lambda s: F.concat_ws(":", s["__id__"].cast("string"), s["tf"].cast("string")),
+        ),
+        " ",
+    ).alias("postings")
+
+    if max_df is None:
+        return tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total"), posting_expr
+        )
+
+    # exchange 2: vocabulary-sized term statistics
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
     )
     if cache:
-        tf = tf.persist()
-        stats = stats.persist()
-    if max_df is None:
-        eligible = tf
-    else:
-        # anti-join against the OVER-cap set: hot terms are few by
-        # construction (stopword-class), so that side always broadcasts;
-        # the under-cap set is vocabulary-sized and must never be the
-        # broadcast side at corpus scale.
-        hot = stats.filter(F.col("df") > max_df).select("term")
-        eligible = tf.join(F.broadcast(hot), "term", "left_anti")
-    postings = eligible.groupBy("term").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__id__", "tf"))),
-                lambda s: F.concat_ws(":", s["__id__"].cast("string"), s["tf"].cast("string")),
-            ),
-            " ",
-        ).alias("postings")
+        stats = stats.localCheckpoint()
+    # anti-join against the OVER-cap set: hot terms are few by
+    # construction (stopword-class), so that side always broadcasts;
+    # the under-cap set is vocabulary-sized and must never be the
+    # broadcast side at corpus scale.
+    hot = stats.filter(F.col("df") > max_df)
+    eligible = tf.join(F.broadcast(hot.select("term")), "term", "left_anti")
+    # exchange 3: the posting aggregation (the inherent data movement)
+    under = eligible.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total"), posting_expr
     )
-    return stats.join(postings, "term", "left").select("term", "df", "tf_total", "postings")
+    # over-cap terms keep their FULL-corpus stats (the anti-join removes
+    # whole terms, never partial rows, so under-cap stats are identical
+    # to full-corpus stats for the terms that survive).
+    over = hot.withColumn("postings", F.lit(None).cast("string"))
+    return under.unionByName(over)
 
 
 def inverted_index_oracle_sql(
@@ -261,14 +308,18 @@ def inverted_index_oracle_sql(
 ) -> str:
     """DuckDB mirror of inverted_index: string_agg ORDER BY did gives
     the same id-ascending posting string; the max_df gate reproduces the
-    NULL-postings branch."""
-    toks = rf"string_split_regex(trim(lower({text_col})), '\s+')"
+    NULL-postings branch.  Tokenizer fragment from :func:`text._toks_sql`
+    (shared, cannot drift); tf_total is CAST to BIGINT because DuckDB's
+    integer SUM yields HUGEINT, which the driver's pandas bridge turns
+    into float64 — a guaranteed hash mismatch against Spark's BIGINT."""
+    toks = _toks_sql(text_col)
     agg = f"string_agg(did || ':' || tf, ' ' ORDER BY did)"
     postings = agg if max_df is None else f"CASE WHEN COUNT(*) <= {max_df} THEN {agg} END"
     return (
         f"WITH e AS (SELECT {id_col} AS did, unnest({toks}) AS term "
         f"FROM {table} WHERE {text_col} IS NOT NULL), "
         f"tf AS (SELECT term, did, COUNT(*) AS tf FROM e GROUP BY term, did) "
-        f"SELECT term, COUNT(*) AS df, SUM(tf) AS tf_total, {postings} AS postings "
+        f"SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total, "
+        f"{postings} AS postings "
         f"FROM tf GROUP BY term"
     )

@@ -853,6 +853,13 @@ class ClusteringOperation(Operation):
             raise SpecError(
                 f"kmeans sample per_cluster must be positive, got {self.per_cluster!r}"
             )
+        # a negative value would surface later as a cryptic Python
+        # 'negative shift count' from 1 << scale_bits; a huge one
+        # silently overflows the quantized grid's usable int64 range
+        if not 0 <= self.scale_bits <= 40:
+            raise SpecError(
+                f"kmeans scale_bits must be in [0, 40], got {self.scale_bits!r}"
+            )
 
 
 @dataclass

@@ -11,29 +11,36 @@ HARNESS_QUERIES.update(TPCH_MORE_QUERIES)
 HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# ``queries()`` (CORRECTNESS_r01/r02 each hold exactly the first 50 names
-# in registration order).  Rounds 1-2 verified the core-operator half of
-# the surface; this ordering front-loads the queries that do not yet have
-# a driver CORRECTNESS row (TPC-H suite, asof/range joins, rollup/
-# grouping-sets, window frames, curation ops, ...) plus a few sentinel
-# re-checks, so that cumulative driver coverage across rounds reaches
-# every registered query.  Local `scripts/check_oracle.py` runs the full
-# set regardless of order.
-_ROUND3_FRONT = [
-    # unchecked in CORRECTNESS_r02 (46)
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "asof_join", "range_join", "session_window",
-    "rollup", "grouping_sets", "percentile", "stats_moments",
-    "approx_distinct", "window_moving_avg", "window_range_frame",
-    "window_distribution", "topk_per_group", "funnel",
-    "bind_multikey", "bind_salted", "set_intersect", "set_except",
-    "explode_tokens", "dataset_split", "dataset_mixture",
-    "contamination", "pack_sequences", "dedup_clusters", "text_scrub",
-    # new this round — first driver check (4)
-    "merge_changes", "scd2_history", "stratified_sample", "chunk_docs",
+# ``queries()`` (CORRECTNESS_r01-r03 each hold exactly the first 50
+# names in registration order).  Rounds 1-3 cumulatively verified 100
+# names; this round-4 ordering front-loads (a) the four r03 hash
+# failures, now fixed (oracle HUGEINT/DOUBLE type-skew — see
+# scripts/check_oracle.py's exact mode), (b) every query that has never
+# had a driver CORRECTNESS row, (c) queries new this round, and (d)
+# sentinel re-checks for the families whose source files changed this
+# round (search.py, dedup.py, curation.py, incremental.py,
+# analytics.py, harness_queries.py).  Local `scripts/check_oracle.py`
+# runs the full set regardless of order.
+_ROUND4_FRONT = [
+    # r03 hash failures, oracle SQL fixed this round (4)
+    "tpch_q12", "stats_moments", "dataset_split", "pack_sequences",
+    # never driver-checked before this round (16)
+    "vocab_oov", "bm25_topk", "inverted_index", "curation_pipeline",
+    "profile_table", "value_histogram", "unicode_nfc", "outlier_flags",
+    "bpe_pairs", "dedup_substring", "kmeans_clusters", "diversity_sample",
+    "compacted_layout", "cube", "incremental_dedup",
+    # new this round — first driver check
+    "exact_distinct",
+    # sentinels: families whose source changed this round (30)
+    "casting", "tpch_q1", "tpch_q18",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+    "dedup_embedding", "dedup_clusters",
+    "contamination", "chunk_docs", "text_scrub", "dataset_mixture",
+    "stratified_sample", "merge_changes", "scd2_history",
+    "text_stats", "text_quality", "lang_id", "fingerprint",
+    "doc_repetition", "explode_tokens", "sessionize", "application",
+    "flagship", "bind", "sorted_layout", "zorder_layout", "percentile",
+    "approx_distinct",
 ]
 
 
@@ -43,7 +50,7 @@ def _reorder(front: list[str], mapping: dict) -> dict:
     return {**head, **tail}
 
 
-_reordered = _reorder(_ROUND3_FRONT, HARNESS_QUERIES)
+_reordered = _reorder(_ROUND4_FRONT, HARNESS_QUERIES)
 HARNESS_QUERIES.clear()
 HARNESS_QUERIES.update(_reordered)
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import _toks_sql as _text_toks_sql
 from ..functions.text import split_assign_oracle_sql, with_split_assign
 from ..model import (
     AggregationOperation,
@@ -192,8 +193,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_linestatus
@@ -713,7 +714,7 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STATS_MOMENTS_SQL = """
-SELECT l_returnflag, n AS n_rows, s1 / n AS mean_qty,
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, s1 / n AS mean_qty,
        (s2 - s1 * s1 / n) / (n - 1.0) AS var_qty,
        sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev_qty
 FROM (SELECT l_returnflag,
@@ -809,6 +810,38 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) companion to q_approx_distinct: the same
+    cardinalities the sketch estimates, hash-checkable against the
+    oracle (sketch estimates are engine-specific; exact counts are
+    not).  Spark plans multi-distinct via Expand — one shuffle per
+    distinct column set, each a plain (group, value) re-aggregation.
+    This is the CORRECTNESS tier of the distinct-count capability; at
+    100 TB the per-group distinct re-shuffle is exactly why the sketch
+    variant (q_approx_distinct) stays the recommended scale path."""
+    return apply_aggregation(
+        _t(spark, sf_dir, "lineitem"),
+        AggregationOperation(
+            group_by=["l_returnflag"],
+            aggregations={
+                "n_parts": {"column": "l_partkey", "agg": "count_distinct"},
+                "n_suppliers": {"column": "l_suppkey", "agg": "count_distinct"},
+                "n_rows": {"column": "*", "agg": "count"},
+            },
+        ),
+    ).select("l_returnflag", "n_parts", "n_suppliers", "n_rows")
+
+
+EXACT_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op: nations that have BUILDING-segment customers
     AND a high-balance supplier.  Compiles to a distinct + left-semi
@@ -874,9 +907,9 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_limit(ranked, LimitOperation(n=20))
 
 
-EXPLODE_TOKENS_SQL = """
+EXPLODE_TOKENS_SQL = f"""
 SELECT token, COUNT(*) AS n_occurrences
-FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents)
+FROM (SELECT unnest({_text_toks_sql("text")}) AS token FROM documents)
 WHERE token <> ''
 GROUP BY token
 ORDER BY n_occurrences DESC, token
@@ -904,7 +937,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DATASET_SPLIT_SQL = f"""
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM (SELECT n_chars, {split_assign_oracle_sql("doc_id")} FROM documents)
 GROUP BY split
 """
@@ -1141,6 +1174,7 @@ ANALYTICS_QUERIES = {
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
+    "exact_distinct": q_exact_distinct,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "explode_tokens": q_explode_tokens,
@@ -1167,6 +1201,7 @@ ANALYTICS_ORACLES = {
     "stats_moments": STATS_MOMENTS_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
+    "exact_distinct": EXACT_DISTINCT_SQL,
     "set_intersect": SET_INTERSECT_SQL,
     "set_except": SET_EXCEPT_SQL,
     "explode_tokens": EXPLODE_TOKENS_SQL,

@@ -1110,11 +1110,14 @@ def q_compacted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import uuid
 
     from ..sources import write_sized
     from ..streaming import read_event_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # per-invocation uuid: two concurrent harness/bench runs against the
+    # same dataset must not race on a shared rmtree/write/read-back dir
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + "_" + uuid.uuid4().hex[:8]
     tmp = os.path.join(tempfile.gettempdir(), f"ela_compacted_layout_{tag}")
     shutil.rmtree(tmp, ignore_errors=True)
     ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
@@ -1428,7 +1431,9 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # SQL fragments shared by several text oracles (mirror text.py exactly).
-_SQL_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+from ..functions.text import _toks_sql as __toks_sql  # noqa: E402
+
+_SQL_TOKENS = __toks_sql("text")
 _SQL_N_LETTERS = r"(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))"
 _SQL_EN_HITS = (
     "len(list_filter(" + _SQL_TOKENS + ", t -> list_contains("

@@ -32,5 +32,8 @@ def get_spark(app_name: str = "openetlagent-spark", master: str | None = None) -
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # console progress bars interleave \r-terminated fragments into
+        # harness stdout and corrupt line-oriented log parsing
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
