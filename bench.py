@@ -115,6 +115,13 @@ HEADLINE = [
     "value_histogram",
     "unicode_nfc",
     "outlier_flags",
+    "exact_distinct",
+    "fuzzy_join",
+    "tfidf_topk",
+    "bigram_lm",
+    "robust_scale",
+    "quantile_bins",
+    "cooccurrence_pairs",
 ]
 
 

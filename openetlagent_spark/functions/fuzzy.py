@@ -1,0 +1,136 @@
+"""Approximate string matching: blocked edit-distance (Levenshtein)
+pair joins — the record-linkage / entity-resolution primitive.
+
+The reference engine (Antix5/OpenETLAgent) joins on exact key equality
+only (app/main.py:410-447 ``bind``); this extends the join family with
+a fuzzy variant the same way the dedup family extends exact dedup.
+Architecture follows the dedup modules (dedup.py): a deterministic
+blocking key bounds the candidate set, buckets are capped, and the
+expensive verifier (edit distance) runs only inside buckets — never
+all-pairs.  Both engines implement the standard Wagner–Fischer
+Levenshtein DP over unicode code points, so the verify stage is
+integer-EXACT and the whole operator hash-matches a DuckDB oracle.
+
+Blocking = (leading tokens of the normalized prefix, length band).
+Like every blocking scheme (and like LSH banding), it is a RECALL
+approximation: a pair whose edits fall inside the first
+``block_tokens`` tokens, or that straddles a length-band boundary,
+is not a candidate.  The oracle is generated from the SAME parameters,
+so the checked semantics are exactly the blocked semantics.
+
+Scale shape (100 TB): normalize + block key are scan-local expressions;
+ONE shuffle gathers each block's (id, prefix) structs; pairs expand as
+a JVM array expression inside capped buckets (``max_bucket`` drops
+degenerate mass-collision blocks, mirrored in the oracle); the
+Levenshtein verifier is whole-stage-codegen JVM, no UDF.  Candidate
+volume is Σ |block|², bounded by ``max_bucket``·Σ|block| — linear in
+rows for fixed cap.  Only the bounded ``prefix_chars`` normalized
+prefix ever enters the shuffle, never the full string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_prefix(str_col: Column, prefix_chars: int) -> Column:
+    return F.substring(F.trim(F.lower(str_col)), 1, prefix_chars)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "text",
+    max_dist: int = 8,
+    prefix_chars: int = 40,
+    block_tokens: int = 2,
+    len_band: int = 8,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """(id_a, id_b, dist) for same-block row pairs whose normalized
+    ``prefix_chars``-char prefixes are within ``max_dist`` edits,
+    id_a < id_b.  See module docstring for the blocking contract.
+
+    ``len_band`` buckets rows by ``floor(len/len_band)`` so blocks never
+    mix wildly different lengths (a length difference > max_dist can
+    never match — the band is a cheap necessary-condition filter).
+    """
+    if max_dist < 0 or prefix_chars <= 0 or block_tokens <= 0 or len_band <= 0:
+        raise ValueError("fuzzy_pairs parameters must be positive (max_dist >= 0)")
+    s = _norm_prefix(F.col(str_col), prefix_chars)
+    toks = F.split(s, " ")
+    # leading-token block key, x01-joined so ('ab','c') and ('a','bc')
+    # stay distinct blocks; missing tokens contribute empty string on
+    # BOTH engines (oracle: coalesce(t[i], '') joined by chr(1))
+    blk = F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.element_at(toks, i + 1), F.lit("")) for i in range(block_tokens)],
+    )
+    base = (
+        df.filter(F.col(str_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id__"),
+            s.alias("__s__"),
+            blk.alias("__blk__"),
+            F.floor(F.length(s) / F.lit(len_band)).alias("__lb__"),
+        )
+    )
+    buckets = (
+        base.groupBy("__blk__", "__lb__")
+        .agg(F.collect_list(F.struct("__id__", "__s__")).alias("items"))
+        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket))
+    )
+    items = F.col("items")
+    pair_expr = F.flatten(
+        F.transform(
+            items,
+            lambda a: F.transform(
+                F.filter(items, lambda b: b["__id__"] > a["__id__"]),
+                lambda b: F.struct(
+                    a["__id__"].alias("id_a"),
+                    b["__id__"].alias("id_b"),
+                    F.levenshtein(a["__s__"], b["__s__"]).alias("dist"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.dist")
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def fuzzy_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    str_col: str = "text",
+    max_dist: int = 8,
+    prefix_chars: int = 40,
+    block_tokens: int = 2,
+    len_band: int = 8,
+    max_bucket: int = 500,
+) -> str:
+    """DuckDB mirror of fuzzy_pairs, generated from the SAME parameters
+    so blocking and verification cannot drift.  Every stage is
+    engine-exact: substr/trim/lower normalization, list-index token
+    blocking with the same missing-token coalesce, integer length
+    bands, the same bucket-size gate, and integer Levenshtein."""
+    blk = " || chr(1) || ".join(
+        f"coalesce(t[{i + 1}], '')" for i in range(block_tokens)
+    )
+    return f"""
+WITH b AS (SELECT {id_col} AS id,
+                  substr(trim(lower({str_col})), 1, {prefix_chars}) AS s
+           FROM {table} WHERE {str_col} IS NOT NULL),
+k AS (SELECT id, s, {blk} AS blk, len(s) // {len_band} AS lb
+      FROM (SELECT id, s, string_split(s, ' ') AS t FROM b)),
+ok AS (SELECT blk, lb FROM k GROUP BY blk, lb
+       HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket})
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+FROM k a
+JOIN k b ON a.blk = b.blk AND a.lb = b.lb AND a.id < b.id
+JOIN ok ON ok.blk = a.blk AND ok.lb = a.lb
+WHERE levenshtein(a.s, b.s) <= {max_dist}
+"""

@@ -31,17 +31,20 @@ Scale shapes (100 TB):
   token array (a single regex split per row, no explode, no shuffle);
   corpus stats (N, Σdl, per-term df) reduce to ONE row that broadcasts
   back; ranking is a TakeOrdered top-k.  ZERO wide shuffles.
-- index: explode → one map-side-combined (term, doc) count → ONE
-  repartition by term that feeds stats AND postings co-partitioned
-  (no further exchange) → anti-join-guarded posting collect.
+- index: explode → one map-side-combined (term, doc) count,
+  ``localCheckpoint``-ed so both consumer branches read the
+  materialized copy → vocabulary-sized stats → anti-join-guarded
+  posting collect.  Three wide exchanges total.
 
-Cache lifetime: both functions ``persist()`` a narrow intermediate when
-``cache=True`` and return a LAZY DataFrame that depends on it, so they
-cannot unpersist before the caller's terminal action.  Callers that run
-many operators in one session (bench/correctness harnesses) should
-``spark.catalog.clearCache()`` between operators — the repo's bench.py
-and scripts/check_oracle.py do exactly that.  Pass ``cache=False`` to
-opt out entirely.
+Cache lifetime: keyword_search_topk ``persist()``s a narrow
+intermediate when ``cache=True`` and returns a LAZY DataFrame that
+depends on it, so it cannot unpersist before the caller's terminal
+action.  Callers that run many operators in one session
+(bench/correctness harnesses) should ``spark.catalog.clearCache()``
+between operators — the repo's bench.py and scripts/check_oracle.py do
+exactly that.  Pass ``cache=False`` to opt out entirely.
+(inverted_index uses eager ``localCheckpoint`` instead — its blocks
+free on garbage collection, no explicit cache management needed.)
 """
 
 from __future__ import annotations
@@ -323,3 +326,93 @@ def inverted_index_oracle_sql(
         f"{postings} AS postings "
         f"FROM tf GROUP BY term"
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    cache: bool = True,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms: (id, rank, term, tfidf),
+    rank 1..k by (weight desc, term asc) — the deterministic tie-break
+    makes the result SET engine-exact.
+
+    Same rational-idf rationale as keyword_search_topk: the weight is
+    ``tf * ((N - df + 0.5) / (df + 0.5))`` — Robertson idf without the
+    log — computed in the identical +,-,*,/ operation tree on both
+    engines, so the doubles are bit-identical and hash-match the DuckDB
+    oracle (a log-based weight never could; the log is monotonic, so
+    rankings agree with the classic formula).
+
+    Scale shape (100 TB): explode → ONE map-side-combined (term, doc)
+    tf shuffle; per-term df re-aggregates from tf (vocabulary-sized);
+    corpus N reduces to one broadcast row; the tf⋈df join shuffles on
+    term (df side is vocabulary-sized — broadcastable for bounded
+    vocabularies, shuffle join beyond); the top-k window shuffles on
+    doc id.  No collects, no UDFs.
+    """
+    if k <= 0:
+        raise ValueError(f"tfidf_topk k must be positive, got {k!r}")
+    from pyspark.sql import Window
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id__"), F.explode(_tokens(F.col(text_col))).alias("term"))
+    )
+    tf = toks.groupBy("term", "__id__").agg(F.count(F.lit(1)).alias("tf"))
+    if cache:
+        # same diamond as inverted_index: tf feeds both the df aggregate
+        # and the weighting join; an eager localCheckpoint materializes
+        # the explode+count ONCE (Catalyst's per-branch column pruning
+        # makes the two subtrees non-identical, so exchange reuse cannot
+        # dedupe them), and its blocks free on garbage collection
+        tf = tf.localCheckpoint()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.filter(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    weighted = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf").cast("double") * idf)
+    )
+    w = Window.partitionBy("__id__").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__id__").alias(id_col), "rank", "term", "tfidf")
+    )
+
+
+def tfidf_topk_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> str:
+    """DuckDB mirror of tfidf_topk — same tokenizer fragment
+    (:func:`text._toks_sql`), same rational-idf double operation tree,
+    same (weight desc, term asc) tie-break."""
+    toks = _toks_sql(text_col)
+    return f"""
+WITH e AS (SELECT {id_col} AS did, unnest({toks}) AS term
+           FROM {table} WHERE {text_col} IS NOT NULL),
+tf AS (SELECT term, did, COUNT(*) AS tf FROM e GROUP BY term, did),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM {table} WHERE {text_col} IS NOT NULL),
+w AS (SELECT did, tf.term,
+             CAST(tf AS DOUBLE)
+               * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5)) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+SELECT did AS {id_col}, CAST(rank AS INTEGER) AS rank, term, tfidf
+FROM (SELECT did, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY did ORDER BY tfidf DESC, term) AS rank
+      FROM w)
+WHERE rank <= {k}
+"""

@@ -17,7 +17,7 @@ Capabilities (north-star extension surface, BASELINE.json):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deliberately small, fixed stopword sets — the heuristic's quality comes
@@ -478,3 +478,68 @@ def with_unicode_nfc(
         )
 
     return df.withColumn(output_col or text_col, _nfc(F.col(text_col)))
+
+
+def bigram_lm_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` bigram transitions of the corpus with their MLE
+    conditional probability: (w1, w2, n, p) where ``p = n / count of
+    bigrams starting at w1`` — the counting core of an n-gram language
+    model (the classic cheap quality/perplexity filter for training
+    corpora).  Ordered by (n desc, w1, w2): the full tie-break makes
+    the top-k SET engine-exact, and p is one double division of two
+    exact integers, bit-identical across engines.
+
+    Scale shape (100 TB): bigrams form as a scan-local zip_with over
+    the token array (no self-join, no explode-then-lag window); ONE
+    map-side-combined (w1, w2) count shuffle; the per-w1 denominator
+    is an integer window sum over the (vocabulary²-sized) count table;
+    TakeOrdered top-k.  No collects, no UDFs.
+    """
+    if k <= 0:
+        raise ValueError(f"bigram_lm_topk k must be positive, got {k!r}")
+    toks = _tokens(F.col(text_col))
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.size(toks) - F.lit(1)),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(pairs).alias("bg"))
+        .filter(F.col("bg.w2").isNotNull())
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w1_total = F.sum("n").over(Window.partitionBy("w1"))
+    return (
+        counts.withColumn(
+            "p", F.col("n").cast("double") / w1_total.cast("double")
+        )
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def bigram_lm_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 50,
+) -> str:
+    """DuckDB mirror of bigram_lm_topk, from the shared tokenizer
+    fragment and the same integer-count / single-division tree."""
+    toks = _toks_sql(text_col)
+    return f"""
+WITH t AS (SELECT {toks} AS t FROM {table} WHERE {text_col} IS NOT NULL),
+b AS (SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t)),
+c AS (SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY w1, w2)
+SELECT w1, w2, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE) AS p
+FROM c
+ORDER BY n DESC, w1, w2
+LIMIT {k}
+"""

@@ -814,6 +814,62 @@ class InvertedIndexOperation(Operation):
 
 
 @dataclass
+class FuzzyPairsOperation(Operation):
+    """Blocked edit-distance pair join as a flow op (functions/fuzzy.py
+    fuzzy_pairs): (id_a, id_b, dist) for same-block rows whose
+    normalized prefixes are within ``max_dist`` Levenshtein edits."""
+
+    id_column: str = "doc_id"
+    string_column: str = "text"
+    max_dist: int = 8
+    prefix_chars: int = 40
+    block_tokens: int = 2
+    len_band: int = 8
+    max_bucket: int = 500
+    operation_type: str = "fuzzy_pairs"
+
+    def __post_init__(self) -> None:
+        if self.max_dist < 0:
+            raise SpecError(f"fuzzy_pairs max_dist must be >= 0, got {self.max_dist!r}")
+        for fld in ("prefix_chars", "block_tokens", "len_band", "max_bucket"):
+            if getattr(self, fld) <= 0:
+                raise SpecError(
+                    f"fuzzy_pairs {fld} must be positive, got {getattr(self, fld)!r}"
+                )
+
+
+@dataclass
+class TfidfOperation(Operation):
+    """Per-document top-k TF-IDF keyword extraction as a flow op
+    (functions/search.py tfidf_topk): (id, rank, term, tfidf) with the
+    rational-idf weight and (weight desc, term asc) tie-break."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    k: int = 3
+    operation_type: str = "tfidf"
+
+    def __post_init__(self) -> None:
+        if self.k <= 0:
+            raise SpecError(f"tfidf k must be positive, got {self.k!r}")
+
+
+@dataclass
+class BigramLmOperation(Operation):
+    """Corpus bigram-LM transition counts as a flow op
+    (functions/text.py bigram_lm_topk): top-k (w1, w2, n, p) with the
+    exact-integer MLE conditional probability."""
+
+    text_column: str = "text"
+    k: int = 50
+    operation_type: str = "bigram_lm"
+
+    def __post_init__(self) -> None:
+        if self.k <= 0:
+            raise SpecError(f"bigram_lm k must be positive, got {self.k!r}")
+
+
+@dataclass
 class VocabOovOperation(Operation):
     """Rare-token/OOV quality scoring as a flow op (functions/text.py
     vocab_oov): per-doc token totals and out-of-vocabulary counts
@@ -1006,6 +1062,9 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "stratified_sample": StratifiedSampleOperation,
     "chunk": ChunkOperation,
     "keyword_search": KeywordSearchOperation,
+    "fuzzy_pairs": FuzzyPairsOperation,
+    "tfidf": TfidfOperation,
+    "bigram_lm": BigramLmOperation,
     "inverted_index": InvertedIndexOperation,
     "vocab_oov": VocabOovOperation,
     "kmeans": ClusteringOperation,

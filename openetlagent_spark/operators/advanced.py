@@ -22,7 +22,10 @@ from ..model import (
     FileDefinition,
     IncrementalDedupOperation,
     InvertedIndexOperation,
+    BigramLmOperation,
+    FuzzyPairsOperation,
     KeywordSearchOperation,
+    TfidfOperation,
     MergeOperation,
     MixtureOperation,
     HistogramOperation,
@@ -325,6 +328,33 @@ def apply_keyword_search(df: DataFrame, op: KeywordSearchOperation) -> DataFrame
     return keyword_search_topk(
         df, op.query_terms, op.id_column, op.text_column, k=op.k, k1=op.k1, b=op.b
     )
+
+
+def apply_fuzzy_pairs(df: DataFrame, op: "FuzzyPairsOperation") -> DataFrame:
+    from ..functions.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        df,
+        op.id_column,
+        op.string_column,
+        max_dist=op.max_dist,
+        prefix_chars=op.prefix_chars,
+        block_tokens=op.block_tokens,
+        len_band=op.len_band,
+        max_bucket=op.max_bucket,
+    )
+
+
+def apply_tfidf(df: DataFrame, op: "TfidfOperation") -> DataFrame:
+    from ..functions.search import tfidf_topk
+
+    return tfidf_topk(df, op.id_column, op.text_column, k=op.k)
+
+
+def apply_bigram_lm(df: DataFrame, op: "BigramLmOperation") -> DataFrame:
+    from ..functions.text import bigram_lm_topk
+
+    return bigram_lm_topk(df, op.text_column, k=op.k)
 
 
 def apply_inverted_index(df: DataFrame, op: InvertedIndexOperation) -> DataFrame:

@@ -18,7 +18,7 @@ double formula on both sides; timestamps leave as DATE or epoch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import _toks_sql as _text_toks_sql
@@ -725,6 +725,132 @@ FROM (SELECT l_returnflag,
 """
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based discretization: NTILE(10) decile buckets of
+    l_extendedprice within each return flag, on the fully-determined
+    order (value, orderkey, linenumber) so bucket assignment is
+    engine-exact (NTILE's ceil-division split is SQL-standard on both
+    engines).  One sort shuffle per group — exact rank binning
+    inherently sorts; the sketch alternative for truly global bins at
+    100 TB is approx_percentile range bucketing (value_histogram
+    pins that path)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+QUANTILE_BINS_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(NTILE(10) OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INTEGER) AS decile
+FROM lineitem
+"""
+
+
+def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over the event stream: for every
+    unordered event-type pair (a < b), how many users performed both,
+    plus the support fraction — association mining's counting core.
+    Shape: distinct (user, type) → per-user sorted type set (bounded by
+    the type vocabulary, so collect_set cannot blow up) → pairs expand
+    as a JVM array expression → one vocabulary²-sized count.  The
+    support division is a single double op against a broadcast 1-row
+    user count, bit-identical on both engines."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = (
+        ev.distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    types = F.col("types")
+    pair_expr = F.flatten(
+        F.transform(
+            types,
+            lambda a: F.transform(
+                F.filter(types, lambda b: b > a),
+                lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+            ),
+        )
+    )
+    n_users = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        per_user.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.type_a", "p.type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("n_users").cast("double")).alias(
+                "support"
+            ),
+        )
+    )
+
+
+COOCCURRENCE_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM d)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_both,
+       CAST(COUNT(*) AS DOUBLE) / CAST(n_users AS DOUBLE) AS support
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+CROSS JOIN n
+GROUP BY a.event_type, b.event_type, n_users
+"""
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling of l_extendedprice per return flag —
+    the outlier-insensitive feature-normalization primitive ((x - med)
+    / (q3 - q1); z-scores live in functions/profile.py outlier_flags).
+    Exact interpolated percentiles (PERCENTILE_CONT semantics, the same
+    primitive q_percentile pins) reduce to ONE 3-row stats frame that
+    broadcasts back onto the fact scan — no second wide shuffle, no
+    row-side sort.  NULLIF guards the degenerate zero-IQR group
+    identically on both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    # one percentile buffer for all three cut points (a 3-element array
+    # aggregate), not three independent sort buffers per group
+    qs = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    stats = li.groupBy("l_returnflag").agg(
+        F.element_at(qs, 2).alias("med"),
+        F.element_at(qs, 1).alias("q1"),
+        F.element_at(qs, 3).alias("q3"),
+    )
+    scaled = (F.col("l_extendedprice") - F.col("med")) / F.nullif(
+        F.col("q3") - F.col("q1"), F.lit(0.0)
+    )
+    return li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", scaled.alias("scaled_price")
+    )
+
+
+ROBUST_SCALE_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       (l_extendedprice - med) / NULLIF(q3 - q1, 0.0) AS scaled_price
+FROM lineitem
+JOIN (SELECT l_returnflag AS rf,
+             quantile_cont(l_extendedprice, 0.5)  AS med,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag) s
+  ON l_returnflag = s.rf
+"""
+
+
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-frame window: 3-order moving average of o_totalprice per
     customer in (date, key) order.  One shuffle on the partition key;
@@ -1175,6 +1301,9 @@ ANALYTICS_QUERIES = {
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
     "exact_distinct": q_exact_distinct,
+    "robust_scale": q_robust_scale,
+    "quantile_bins": q_quantile_bins,
+    "cooccurrence_pairs": q_cooccurrence_pairs,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "explode_tokens": q_explode_tokens,
@@ -1202,6 +1331,9 @@ ANALYTICS_ORACLES = {
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,
+    "robust_scale": ROBUST_SCALE_SQL,
+    "quantile_bins": QUANTILE_BINS_SQL,
+    "cooccurrence_pairs": COOCCURRENCE_SQL,
     "set_intersect": SET_INTERSECT_SQL,
     "set_except": SET_EXCEPT_SQL,
     "explode_tokens": EXPLODE_TOKENS_SQL,

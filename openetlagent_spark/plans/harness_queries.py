@@ -557,6 +557,41 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NFC_SUFFIX = " Café Nöel ﬁn"  # combining acute/diaeresis + ﬁ ligature
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram LM transitions (functions/text.py
+    bigram_lm_topk): scan-local zip_with bigrams, one count shuffle,
+    integer-exact conditional probabilities — the n-gram-LM counting
+    stage behind perplexity-style corpus quality filters."""
+    from ..functions.text import bigram_lm_topk
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_topk(df, "text", k=50)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (functions/search.py
+    tfidf_topk): rational-idf weights in an identical double operation
+    tree on both engines, (weight desc, term asc) tie-break — the
+    keyword-extraction primitive for corpus summarization."""
+    from ..functions.search import tfidf_topk
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(df, "doc_id", "text", k=3)
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein pair join (functions/fuzzy.py fuzzy_pairs):
+    documents whose normalized 40-char prefixes are within 8 edits,
+    blocked on (first two tokens, length band 8).  One shuffle on the
+    block key, capped buckets, JVM levenshtein verify — the
+    record-linkage primitive the reference's equality-only bind lacks.
+    Integer distances hash-match the DuckDB oracle exactly."""
+    from ..functions.fuzzy import fuzzy_pairs
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return fuzzy_pairs(df, "doc_id", "text", max_dist=8)
+
+
 def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (functions/text.py with_unicode_nfc —
     the Arrow pandas-UDF path).  The ASCII corpus gets a deterministic
@@ -1384,6 +1419,9 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov": q_vocab_oov,
     "bm25_topk": q_bm25_topk,
     "inverted_index": q_inverted_index,
+    "fuzzy_join": q_fuzzy_join,
+    "tfidf_topk": q_tfidf_topk,
+    "bigram_lm": q_bigram_lm,
     "curation_pipeline": q_curation_pipeline,
     "profile_table": q_profile_table,
     "value_histogram": q_value_histogram,
@@ -1789,6 +1827,18 @@ from ..functions.search import keyword_search_oracle_sql as _keyword_search_orac
 
 HARNESS_ORACLES["bm25_topk"] = _keyword_search_oracle_sql(["hash", "join", "dup"], k=20)
 HARNESS_ORACLES["inverted_index"] = _inverted_index_oracle_sql(max_df=400)
+
+from ..functions.fuzzy import fuzzy_pairs_oracle_sql as _fuzzy_pairs_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["fuzzy_join"] = _fuzzy_pairs_oracle_sql(max_dist=8)
+
+from ..functions.search import tfidf_topk_oracle_sql as _tfidf_topk_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["tfidf_topk"] = _tfidf_topk_oracle_sql(k=3)
+
+from ..functions.text import bigram_lm_oracle_sql as _bigram_lm_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["bigram_lm"] = _bigram_lm_oracle_sql(k=50)
 
 from ..functions.clustering import diversity_sample_oracle_sql as _diversity_oracle_sql  # noqa: E402
 from ..functions.clustering import kmeans_oracle_sql as _kmeans_oracle_sql  # noqa: E402

@@ -44,3 +44,14 @@ def test_example_keyword_search_pipeline(spark, tmp_path):
     # ranking is deterministic and descending
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_example_fuzzy_linkage_pipeline(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(os.path.join(ROOT, "examples/pipelines/fuzzy_linkage.yaml"))
+    config.outputs["fuzzy_pairs_out"].path = str(tmp_path / "pairs")
+    result, ok, feedback = run_flow(spark, config, flow, "fuzzy_pairs_out", single_file=True)
+    assert ok, feedback
+    rows = result.collect()
+    assert rows, "sf0.001 corpus should contain at least one close prefix pair"
+    assert all(r.id_a < r.id_b and 0 <= r.dist <= 8 for r in rows)

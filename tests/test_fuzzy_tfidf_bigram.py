@@ -1,0 +1,152 @@
+"""Unit tests for the round-4 operator additions: blocked Levenshtein
+pair joins (functions/fuzzy.py), per-doc TF-IDF top-k, and bigram-LM
+transition counts — each on a constructed corpus with hand-computed
+expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from openetlagent_spark.functions.fuzzy import fuzzy_pairs
+from openetlagent_spark.functions.search import tfidf_topk
+from openetlagent_spark.functions.text import bigram_lm_topk
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="acme widgets inc"),
+            Row(doc_id=2, text="acme widgets incx"),   # dist 1 to #1
+            Row(doc_id=3, text="acme widgets corp"),   # dist 4 to #1 (inc->corp)
+            Row(doc_id=4, text="zeta gadgets inc"),    # different block
+            Row(doc_id=5, text=None),
+        ]
+    )
+
+
+def test_fuzzy_pairs_finds_close_names(spark, names):
+    rows = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(names, "doc_id", "text", max_dist=4, len_band=64).collect()
+    }
+    assert rows[(1, 2)] == 1
+    assert rows[(1, 3)] == 4  # inc -> corp: 1 sub + 3... levenshtein computed
+    assert (1, 4) not in rows  # different leading-token block
+    assert all(a < b for a, b in rows)
+
+
+def test_fuzzy_pairs_respects_max_dist(spark, names):
+    rows = {(r.id_a, r.id_b) for r in fuzzy_pairs(names, "doc_id", "text", max_dist=1, len_band=64).collect()}
+    assert rows == {(1, 2)}
+
+
+def test_fuzzy_pairs_bucket_cap_drops_block(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text=f"same block x{i}") for i in range(10)])
+    # cap below the block size: the whole block is dropped, zero pairs
+    assert fuzzy_pairs(df, "doc_id", "text", max_dist=64, max_bucket=5, len_band=64).count() == 0
+
+
+def test_fuzzy_pairs_blocks_distinguish_token_boundaries(spark):
+    # 'ab c' and 'a bc' must land in DIFFERENT blocks (x01-joined keys)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="ab c tail"), Row(doc_id=2, text="a bc tail")]
+    )
+    assert fuzzy_pairs(df, "doc_id", "text", max_dist=64, len_band=64).count() == 0
+
+
+def test_fuzzy_pairs_rejects_bad_params(spark, names):
+    with pytest.raises(ValueError):
+        fuzzy_pairs(names, "doc_id", "text", max_dist=-1)
+    with pytest.raises(ValueError):
+        fuzzy_pairs(names, "doc_id", "text", len_band=0)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple"),
+            Row(doc_id=2, text="banana cherry"),
+            Row(doc_id=3, text="cherry cherry durian"),
+        ]
+    )
+
+
+def test_tfidf_rare_term_tops_its_doc(corpus):
+    rows = [r for r in tfidf_topk(corpus, "doc_id", "text", k=1).collect()]
+    by_doc = {r.doc_id: r for r in rows}
+    # durian: df=1 → idf (3-1+.5)/(1+.5) = 5/3, beats cherry (df=2) even at tf=2
+    assert by_doc[3].term == "durian"
+    # apple: tf=2 and df=1 dominates doc 1
+    assert by_doc[1].term == "apple"
+    assert all(r.rank == 1 for r in rows)
+
+
+def test_tfidf_rank_is_dense_per_doc(corpus):
+    rows = tfidf_topk(corpus, "doc_id", "text", k=5).collect()
+    doc1 = sorted([r.rank for r in rows if r.doc_id == 1])
+    assert doc1 == [1, 2]  # two distinct terms only
+    # weights non-increasing in rank
+    w = {r.rank: r.tfidf for r in rows if r.doc_id == 1}
+    assert w[1] >= w[2]
+
+
+def test_tfidf_rejects_bad_k(corpus):
+    with pytest.raises(ValueError):
+        tfidf_topk(corpus, "doc_id", "text", k=0)
+
+
+def test_bigram_counts_and_probabilities(corpus):
+    rows = {(r.w1, r.w2): r for r in bigram_lm_topk(corpus, "text", k=50).collect()}
+    # corpus bigrams: (apple,banana) (banana,apple) (banana,cherry)
+    #                 (cherry,cherry) (cherry,durian)
+    assert rows[("apple", "banana")].n == 1
+    assert rows[("banana", "apple")].n == 1
+    assert rows[("banana", "cherry")].n == 1
+    assert rows[("cherry", "cherry")].n == 1
+    # banana starts 2 bigrams → p = 1/2 each
+    assert rows[("banana", "cherry")].p == 0.5
+    assert rows[("cherry", "durian")].p == 0.5
+    assert rows[("apple", "banana")].p == 1.0
+
+
+def test_bigram_topk_orders_by_count_then_lexicographic(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b a b z z")]
+    )
+    rows = bigram_lm_topk(df, "text", k=2).collect()
+    assert (rows[0].w1, rows[0].w2, rows[0].n) == ("a", "b", 3)
+    assert (rows[1].w1, rows[1].w2, rows[1].n) == ("b", "a", 2)
+
+
+def test_single_token_docs_produce_no_bigrams(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="lonely"), Row(doc_id=2, text="")])
+    assert bigram_lm_topk(df, "text", k=10).count() == 0
+
+
+def test_flow_ops_dispatch(spark, corpus, names):
+    """fuzzy_pairs / tfidf / bigram_lm specs parse and dispatch to the
+    same plans as the direct function calls."""
+    from openetlagent_spark.model import parse_operation
+    from openetlagent_spark.operators import OPERATION_DISPATCHER
+
+    for spec, direct in [
+        (
+            {"operation_type": "fuzzy_pairs", "max_dist": 4, "len_band": 64},
+            fuzzy_pairs(names, "doc_id", "text", max_dist=4, len_band=64),
+        ),
+        (
+            {"operation_type": "tfidf", "k": 2},
+            tfidf_topk(corpus, "doc_id", "text", k=2),
+        ),
+        (
+            {"operation_type": "bigram_lm", "k": 10},
+            bigram_lm_topk(corpus, "text", k=10),
+        ),
+    ]:
+        op = parse_operation(spec)
+        src = names if spec["operation_type"] == "fuzzy_pairs" else corpus
+        got = OPERATION_DISPATCHER[op.operation_type](src, op)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
