@@ -1,13 +1,18 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-two ways (clearly marked):
+The container has no image/audio codecs, so the DECODE step comes in
+two flavors (clearly marked):
 - ``decoder="fake"`` (default): a deterministic pure-numpy stand-in —
   byte histograms / byte statistics — so the full Spark plumbing
   (schema, batching, partitioning, UDF signatures) is real and testable.
-- ``decoder="real"``: raises NotImplementedError with the dependency
-  that would be needed (Pillow/librosa/av).
+- ``decoder="real"``: uses Pillow when importable (image decode →
+  grayscale-histogram feature / true resize + PNG re-encode), else
+  raises NotImplementedError naming the missing dependency.  The real
+  path is exercised by ``pytest.importorskip("PIL")`` tests
+  (tests/test_multimodal_streaming.py) the day codecs exist in the
+  environment; frame sampling would additionally need PyAV/ffmpeg and
+  stays a named stub.
 
 Everything else — the media struct schema, batch iteration, partition
 sizing, feature schemas — is the production shape: at 100 TB these run
@@ -57,6 +62,32 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def _require_pil():
+    """Import Pillow or raise the contract NotImplementedError naming
+    the dependency — the single gate for every ``decoder='real'`` path."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "decoder='real' requires Pillow (PIL), not present in this "
+            "container; use decoder='fake' for the deterministic stub."
+        ) from exc
+    return Image
+
+
+def _real_decode_features(Image, payload: bytes, dim: int) -> np.ndarray:
+    """REAL decode: image bytes → grayscale intensity histogram,
+    L1-normalized — deterministic given the payload."""
+    import io
+
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.uint8).ravel()
+    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    return (hist / max(arr.size, 1)).astype(np.float32)
+
+
 def _fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
     """STUB decode: deterministic byte-histogram 'feature' — stands in
     for a real decode+embed (see module docstring)."""
@@ -78,16 +109,19 @@ def extract_image_features(
 ) -> DataFrame:
     """Binary payload → fixed-dim feature vector, one mapInPandas stage.
 
-    Batches stream through Arrow; nothing is collected.  Swap the fake
-    decoder for a real one (Pillow + a vision model) without touching
-    the Spark plumbing."""
+    Batches stream through Arrow; nothing is collected.  The 'real'
+    decoder (Pillow grayscale histogram — the import is checked on the
+    DRIVER so missing codecs fail fast, then re-imported per executor
+    batch) shares every line of Spark plumbing with the fake one."""
     if decoder == "real":
-        raise NotImplementedError(
-            "Real image decode requires Pillow/torchvision, not present in "
-            "this container; use decoder='fake' for the deterministic stub."
-        )
+        _require_pil()  # fail fast on the driver if Pillow is absent
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            Image = _require_pil()
+            decode = lambda b: _real_decode_features(Image, b, dim).tolist()  # noqa: E731
+        else:
+            decode = lambda b: _fake_decode_features(b, dim).tolist()  # noqa: E731
         for pdf in it:
             payloads = pdf[payload_col]
             yield pd.DataFrame(
@@ -95,7 +129,7 @@ def extract_image_features(
                     "media_id": pdf[id_col].astype("int64"),
                     "mime": pdf[mime_col],
                     "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                    "feature": payloads.map(lambda b: _fake_decode_features(b, dim).tolist()),
+                    "feature": payloads.map(decode),
                 }
             )
 
@@ -110,21 +144,40 @@ def resize_images(
     target_height: int = 64,
     decoder: Literal["fake", "real"] = "fake",
 ) -> DataFrame:
-    """'Resize' stage: passes metadata through and rewrites width/height;
-    the payload transform is the stubbed decode (fake: truncate/pad bytes
-    deterministically to w*h, standing in for decode→resize→re-encode)."""
+    """Resize stage: passes metadata through and rewrites width/height.
+    fake: truncate/pad bytes deterministically to w*h (stands in for
+    decode→resize→re-encode); real: Pillow decode → nearest-neighbour
+    resize (deterministic) → PNG re-encode."""
     if decoder == "real":
-        raise NotImplementedError("Real resize requires an image codec (Pillow).")
+        _require_pil()  # fail fast on the driver if Pillow is absent
 
     out_schema = df.schema
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = target_width * target_height
+        if decoder == "real":
+            import io
+
+            Image = _require_pil()
+
+            def transform(b: bytes | None) -> bytes:
+                if not b:
+                    return b""
+                img = Image.open(io.BytesIO(b)).resize(
+                    (target_width, target_height), Image.NEAREST
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
+
+        else:
+
+            def transform(b: bytes | None) -> bytes:
+                return (b or b"")[:n].ljust(n, b"\0")
+
         for pdf in it:
             pdf = pdf.copy()
-            pdf[payload_col] = pdf[payload_col].map(
-                lambda b: (b or b"")[:n].ljust(n, b"\0")
-            )
+            pdf[payload_col] = pdf[payload_col].map(transform)
             if "width" in pdf.columns:
                 pdf["width"] = np.int32(target_width)
             if "height" in pdf.columns:

@@ -38,9 +38,58 @@ def test_extract_features_deterministic(media):
     assert n[1] == len("hello media world") and n[2] == 100
 
 
-def test_real_decoder_is_stubbed(media):
+def test_real_decoder_raises_without_pil(media):
+    # only meaningful while the container lacks Pillow; if codecs are
+    # ever added, the importorskip tests below take over
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed — real path covered below")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         extract_image_features(media, decoder="real")
+
+
+def _png_bytes(Image, w=8, h=8, value=128):
+    import io
+
+    img = Image.new("L", (w, h), value)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_real_decoder_features_when_pil_present(spark):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+    from pyspark.sql import Row
+
+    payload = _png_bytes(Image, value=128)
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=payload, mime="image/png",
+             width=8, height=8, duration_ms=0)]
+    )
+    rows = extract_image_features(media, decoder="real", dim=16).collect()
+    feat = rows[0].feature
+    # uniform gray 128 → all mass in bin 128//16 = 8
+    assert abs(feat[8] - 1.0) < 1e-6 and abs(sum(feat) - 1.0) < 1e-6
+
+
+def test_real_resize_when_pil_present(spark):
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+    from pyspark.sql import Row
+
+    payload = _png_bytes(Image, w=8, h=8)
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=payload, mime="image/png",
+             width=8, height=8, duration_ms=0)]
+    )
+    out = resize_images(media, target_width=4, target_height=4, decoder="real").collect()
+    img = Image.open(io.BytesIO(out[0].payload))
+    assert img.size == (4, 4) and out[0].width == 4 and out[0].height == 4
 
 
 def test_resize_rewrites_dims_and_payload(media):
