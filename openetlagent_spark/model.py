@@ -412,7 +412,8 @@ class DedupOperation(Operation):
     """Deduplication as a flow op (functions/dedup.py strategies).
 
     strategy ∈ exact / minhash / simhash / ngram / embedding / substring
-    (exact shared token runs — partial-duplication signal);
+    (exact shared token runs — partial-duplication signal) / fuzzy
+    (blocked Levenshtein prefix pairs — functions/fuzzy.py);
     mode ∈ drop (single-hop: rows with a lower-id near-dup partner
     removed) / pairs (the pair table id_a, id_b, score) / components
     (cluster labels: node, component via distributed connected
@@ -442,15 +443,17 @@ class DedupOperation(Operation):
     max_bucket: int = 1000
     run_len: int = 8
     min_shared: int = 1
+    max_dist: int = 8
+    prefix_chars: int = 40
     operation_type: str = "dedup"
 
     def __post_init__(self) -> None:
         if self.strategy not in (
-            "exact", "minhash", "simhash", "ngram", "embedding", "substring"
+            "exact", "minhash", "simhash", "ngram", "embedding", "substring", "fuzzy"
         ):
             raise SpecError(
                 f"dedup strategy must be exact/minhash/simhash/ngram/embedding/"
-                f"substring, got {self.strategy!r}"
+                f"substring/fuzzy, got {self.strategy!r}"
             )
         if self.mode not in ("drop", "pairs", "components", "cluster_drop"):
             raise SpecError(

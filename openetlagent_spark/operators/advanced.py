@@ -156,6 +156,14 @@ def apply_dedup(df: DataFrame, op: DedupOperation) -> DataFrame:
             run_len=op.run_len, min_shared=op.min_shared,
             max_bucket=op.max_bucket,
         )
+    elif op.strategy == "fuzzy":
+        from ..functions.fuzzy import fuzzy_pairs
+
+        pairs = fuzzy_pairs(
+            df, op.id_column, op.text_column,
+            max_dist=op.max_dist, prefix_chars=op.prefix_chars,
+            max_bucket=op.max_bucket,
+        )
     else:  # embedding
         pairs = D.embedding_neardup_pairs(
             df, op.id_column, op.vector_column,

@@ -150,3 +150,24 @@ def test_flow_ops_dispatch(spark, corpus, names):
         src = names if spec["operation_type"] == "fuzzy_pairs" else corpus
         got = OPERATION_DISPATCHER[op.operation_type](src, op)
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_dedup_strategy_fuzzy_modes(spark, names):
+    """strategy='fuzzy' plugs into the dedup dispatch: pairs mode
+    returns the fuzzy pair table; drop removes lower-id partners;
+    cluster_drop keeps one survivor per transitive cluster."""
+    from openetlagent_spark.model import parse_operation
+    from openetlagent_spark.operators import OPERATION_DISPATCHER
+
+    pairs_op = parse_operation({"operation_type": "dedup", "strategy": "fuzzy",
+                                "id_column": "doc_id", "text_column": "text",
+                                "max_dist": 4, "mode": "pairs"})
+    pairs = OPERATION_DISPATCHER["dedup"](names, pairs_op).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(1, 2)}
+
+    drop_op = parse_operation({"operation_type": "dedup", "strategy": "fuzzy",
+                               "id_column": "doc_id", "text_column": "text",
+                               "max_dist": 4, "mode": "drop"})
+    kept = {r.doc_id for r in OPERATION_DISPATCHER["dedup"](names, drop_op).collect()}
+    assert 1 in kept and 2 not in kept  # 2 has lower-id partner 1
+    assert 4 in kept and 5 in kept      # different block / null text survive
