@@ -122,6 +122,8 @@ HEADLINE = [
     "robust_scale",
     "quantile_bins",
     "cooccurrence_pairs",
+    "window_distinct_users",
+    "cohort_retention",
 ]
 
 

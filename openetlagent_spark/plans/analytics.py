@@ -1233,6 +1233,63 @@ FROM part
 """
 
 
+def q_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + event volume: tumbling 1-day windows with an
+    EXACT distinct-user count per window — the windowed-cardinality
+    pattern (sketch variant: swap count_distinct for
+    approx_count_distinct, the same trade q_approx_distinct pins).
+    One Expand-based distinct aggregation, shuffled on the day key."""
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+WINDOW_DISTINCT_USERS_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY date_trunc('day', ts)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per subsequent activity week — the product-analytics
+    retention triangle.  Integer epoch-week arithmetic keeps both
+    engines exact; the per-user first-week aggregate is user-cardinality
+    sized and re-joins on user_id (broadcastable for bounded user
+    tables, shuffle join at scale); retained counts are one distinct
+    aggregation on (cohort_week, week)."""
+    wk = (F.floor(F.unix_timestamp(F.col("ts")) / F.lit(604800))).cast("long")
+    ev = _t(spark, sf_dir, "events").select("user_id", wk.alias("week"))
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(cohort, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .distinct()
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH ev AS (SELECT user_id,
+                   CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+            FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS weeks_since,
+       COUNT(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+GROUP BY cohort_week, week - cohort_week
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event funnel: users whose first 'view' is followed by a
     'purchase' within one hour, with the conversion latency.  Two
@@ -1313,6 +1370,8 @@ ANALYTICS_QUERIES = {
     "window_range_frame": q_window_range_frame,
     "window_distribution": q_window_distribution,
     "funnel": q_funnel,
+    "window_distinct_users": q_window_distinct_users,
+    "cohort_retention": q_cohort_retention,
 }
 
 ANALYTICS_ORACLES = {
@@ -1343,4 +1402,6 @@ ANALYTICS_ORACLES = {
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
     "window_distribution": WINDOW_DISTRIBUTION_SQL,
     "funnel": FUNNEL_SQL,
+    "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
+    "cohort_retention": COHORT_RETENTION_SQL,
 }
