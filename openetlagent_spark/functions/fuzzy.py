@@ -34,8 +34,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Printable-ASCII filter applied BEFORE the prefix cut: Spark's
+# levenshtein counts characters while DuckDB's counts UTF-8 BYTES
+# ('café' vs 'cafe' is 1 vs 2), so the oracle contract can only be
+# exact on text where bytes == characters.  Restricting the matching
+# prefix to printable ASCII makes that true BY CONSTRUCTION rather
+# than by hoping the corpus is clean; multibyte characters simply
+# don't participate in the distance (documented recall trade, same
+# family as the blocking approximations).
+_ASCII_ONLY = r"[^\x20-\x7E]"
+
+
 def _norm_prefix(str_col: Column, prefix_chars: int) -> Column:
-    return F.substring(F.trim(F.lower(str_col)), 1, prefix_chars)
+    cleaned = F.regexp_replace(F.trim(F.lower(str_col)), _ASCII_ONLY, "")
+    return F.substring(cleaned, 1, prefix_chars)
 
 
 def fuzzy_pairs(
@@ -114,7 +126,9 @@ def fuzzy_pairs_oracle_sql(
 ) -> str:
     """DuckDB mirror of fuzzy_pairs, generated from the SAME parameters
     so blocking and verification cannot drift.  Every stage is
-    engine-exact: substr/trim/lower normalization, list-index token
+    engine-exact: the printable-ASCII-filtered trim/lower/substr
+    normalization (see ``_ASCII_ONLY`` — after it, DuckDB's byte-level
+    levenshtein equals Spark's char-level one), list-index token
     blocking with the same missing-token coalesce, integer length
     bands, the same bucket-size gate, and integer Levenshtein."""
     blk = " || chr(1) || ".join(
@@ -122,7 +136,9 @@ def fuzzy_pairs_oracle_sql(
     )
     return f"""
 WITH b AS (SELECT {id_col} AS id,
-                  substr(trim(lower({str_col})), 1, {prefix_chars}) AS s
+                  substr(regexp_replace(trim(lower({str_col})),
+                                        '{_ASCII_ONLY}', '', 'g'),
+                         1, {prefix_chars}) AS s
            FROM {table} WHERE {str_col} IS NOT NULL),
 k AS (SELECT id, s, {blk} AS blk, len(s) // {len_band} AS lb
       FROM (SELECT id, s, string_split(s, ' ') AS t FROM b)),

@@ -77,13 +77,19 @@ def _require_pil():
 
 def _real_decode_features(Image, payload: bytes, dim: int) -> np.ndarray:
     """REAL decode: image bytes → grayscale intensity histogram,
-    L1-normalized — deterministic given the payload."""
+    L1-normalized — deterministic given the payload.  TOTAL like the
+    fake decoder: corrupt/truncated/non-image payloads yield the zero
+    vector instead of failing the task (at 100 TB one bad crawl byte
+    must never abort the job; filter feature == zeros downstream)."""
     import io
 
     if payload is None or len(payload) == 0:
         return np.zeros(dim, dtype=np.float32)
-    img = Image.open(io.BytesIO(payload)).convert("L")
-    arr = np.asarray(img, dtype=np.uint8).ravel()
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        arr = np.asarray(img, dtype=np.uint8).ravel()
+    except Exception:
+        return np.zeros(dim, dtype=np.float32)
     hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
     return (hist / max(arr.size, 1)).astype(np.float32)
 
@@ -161,14 +167,20 @@ def resize_images(
             Image = _require_pil()
 
             def transform(b: bytes | None) -> bytes:
+                # total: undecodable payloads pass through as empty
+                # bytes instead of failing the task (see
+                # _real_decode_features rationale)
                 if not b:
                     return b""
-                img = Image.open(io.BytesIO(b)).resize(
-                    (target_width, target_height), Image.NEAREST
-                )
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                return buf.getvalue()
+                try:
+                    img = Image.open(io.BytesIO(b)).resize(
+                        (target_width, target_height), Image.NEAREST
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return buf.getvalue()
+                except Exception:
+                    return b""
 
         else:
 

@@ -352,6 +352,13 @@ def tfidf_topk(
     term (df side is vocabulary-sized — broadcastable for bounded
     vocabularies, shuffle join beyond); the top-k window shuffles on
     doc id.  No collects, no UDFs.
+
+    ``cache=True`` (default) runs an EAGER job at construction time —
+    ``localCheckpoint`` materializes the (term, doc) counts once for
+    both consumer branches, and its blocks free on garbage collection.
+    Callers that only build/inspect the plan without executing it, or
+    that filter the result and want that filter pushed below tf,
+    should pass ``cache=False`` for a fully lazy (re-derived) plan.
     """
     if k <= 0:
         raise ValueError(f"tfidf_topk k must be positive, got {k!r}")

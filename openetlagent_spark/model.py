@@ -445,6 +445,8 @@ class DedupOperation(Operation):
     min_shared: int = 1
     max_dist: int = 8
     prefix_chars: int = 40
+    block_tokens: int = 2
+    len_band: int = 8
     operation_type: str = "dedup"
 
     def __post_init__(self) -> None:

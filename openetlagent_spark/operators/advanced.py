@@ -162,6 +162,7 @@ def apply_dedup(df: DataFrame, op: DedupOperation) -> DataFrame:
         pairs = fuzzy_pairs(
             df, op.id_column, op.text_column,
             max_dist=op.max_dist, prefix_chars=op.prefix_chars,
+            block_tokens=op.block_tokens, len_band=op.len_band,
             max_bucket=op.max_bucket,
         )
     else:  # embedding

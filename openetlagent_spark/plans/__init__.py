@@ -24,7 +24,7 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 _ROUND4_FRONT = [
     # r03 hash failures, oracle SQL fixed this round (4)
     "tpch_q12", "stats_moments", "dataset_split", "pack_sequences",
-    # never driver-checked before this round (16)
+    # never driver-checked before this round (15)
     "vocab_oov", "bm25_topk", "inverted_index", "curation_pipeline",
     "profile_table", "value_histogram", "unicode_nfc", "outlier_flags",
     "bpe_pairs", "dedup_substring", "kmeans_clusters", "diversity_sample",

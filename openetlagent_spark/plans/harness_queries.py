@@ -1141,19 +1141,30 @@ def q_compacted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted copy.  Hash-matching a plain aggregate over the SOURCE
     proves the probe-sized rewrite is lossless; file sizing itself is
     pinned in tests/test_sorted_layout.py."""
+    import glob
     import hashlib
     import os
     import shutil
     import tempfile
-    import uuid
+    import time
 
     from ..sources import write_sized
     from ..streaming import read_event_table
 
-    # per-invocation uuid: two concurrent harness/bench runs against the
-    # same dataset must not race on a shared rmtree/write/read-back dir
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + "_" + uuid.uuid4().hex[:8]
-    tmp = os.path.join(tempfile.gettempdir(), f"ela_compacted_layout_{tag}")
+    # pid-scoped dir: two concurrent harness/bench PROCESSES against the
+    # same dataset cannot race on a shared rmtree/write/read-back dir,
+    # while re-runs inside one process reuse (rmtree + rewrite) the same
+    # path instead of leaking a new one per invocation.  Stale dirs from
+    # dead processes are garbage-collected opportunistically by age.
+    base = tempfile.gettempdir()
+    for old in glob.glob(os.path.join(base, "ela_compacted_layout_*")):
+        try:
+            if time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + f"_p{os.getpid()}"
+    tmp = os.path.join(base, f"ela_compacted_layout_{tag}")
     shutil.rmtree(tmp, ignore_errors=True)
     ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "event_type", "ts", "value"

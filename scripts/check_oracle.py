@@ -83,8 +83,11 @@ def normalize_exact(v):
     money/stat aggregates in DECIMAL and casts to DOUBLE at the very end
     on BOTH sides precisely so the doubles ARE bit-identical.
     """
-    # pandas missing values first: None, NaN, NaT
-    if v is None:
+    # pandas missing values first: None, NaN, NaT.  NaT must be caught
+    # BEFORE the Timestamp/datetime branches — pd.NaT subclasses
+    # datetime.datetime, and isoformat() on it stringifies as 'NaT'
+    # while the Spark side renders the same SQL NULL as None.
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
@@ -119,8 +122,6 @@ def normalize_exact(v):
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(normalize_exact(x) for x in v) + "]"
-    if v is pd.NaT:
-        return "NULL"
     return "s:" + str(v)
 
 
