@@ -124,6 +124,7 @@ HEADLINE = [
     "cooccurrence_pairs",
     "window_distinct_users",
     "cohort_retention",
+    "doc_lm_score",
 ]
 
 

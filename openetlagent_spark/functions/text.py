@@ -543,3 +543,127 @@ FROM c
 ORDER BY n DESC, w1, w2
 LIMIT {k}
 """
+
+
+def doc_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 500,
+) -> DataFrame:
+    """Score every document against the corpus's own top-``k`` bigram
+    LM — the CCNet-style language-model quality filter: documents whose
+    transitions are mostly outside the corpus's frequent-bigram mass
+    are boilerplate/garble candidates.  Returns (id, n_bigrams, n_oov,
+    lm_score) where ``n_oov`` counts transitions absent from the
+    truncated LM and ``lm_score`` is the mean conditional probability
+    of the in-LM transitions — summed in POSITION order (a left fold
+    over the document's bigram sequence), so the double is engine-exact
+    (an unordered SUM would be nondeterministic across partitions and
+    could never hash-match).  NULL score for documents with no in-LM
+    bigram.
+
+    Scale shape (100 TB): the LM is ``k`` rows — always broadcastable;
+    doc bigrams explode scan-locally; ONE groupBy(id) gathers
+    (position, p) pairs; the fold runs as a JVM array expression.  The
+    LM-build side reuses the bigram_lm_topk shape (one count shuffle +
+    a vocabulary²-sized window)."""
+    if k <= 0:
+        raise ValueError(f"doc_lm_score k must be positive, got {k!r}")
+    toks = _tokens(F.col(text_col))
+    pairs_all = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.size(toks) - F.lit(1)),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = F.filter(pairs_all, lambda p: p["w2"].isNotNull())
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id__"), pairs.alias("__bg__")
+    )
+
+    # corpus LM: counts → conditional p → top-k truncation (same
+    # (n desc, w1, w2) tie-break as bigram_lm_topk)
+    counts = (
+        base.select(F.explode("__bg__").alias("bg"))
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("w1")
+    # top-k truncation via orderBy+limit = TakeOrdered (distributed
+    # partial top-k per partition, merged on the driver) — a global
+    # row_number window would single-partition the vocabulary²-sized
+    # count table
+    lm = (
+        counts.withColumn("p", F.col("n").cast("double") / F.sum("n").over(w_tot).cast("double"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .select("w1", "w2", "p")
+    )
+
+    exploded = base.select(
+        "__id__", F.posexplode_outer("__bg__").alias("pos", "bg")
+    ).select("__id__", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    joined = exploded.join(F.broadcast(lm), ["w1", "w2"], "left")
+    agg = joined.groupBy("__id__").agg(
+        F.count(F.when(F.col("pos").isNotNull(), 1)).alias("n_bigrams"),
+        F.count(
+            F.when(F.col("pos").isNotNull() & F.col("p").isNull(), 1)
+        ).alias("n_oov"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("p").isNotNull(), F.struct("pos", "p"))
+            )
+        ).alias("__ps__"),
+    )
+    seen = F.transform(F.col("__ps__"), lambda s: s["p"])
+    fold = F.aggregate(seen, F.lit(0.0), lambda a, b: a + b)
+    return agg.select(
+        F.col("__id__").alias(id_col),
+        "n_bigrams",
+        "n_oov",
+        F.when(F.size("__ps__") > 0, fold / F.size("__ps__").cast("double")).alias(
+            "lm_score"
+        ),
+    )
+
+
+def doc_lm_score_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 500,
+) -> str:
+    """DuckDB mirror of doc_lm_score: shared tokenizer fragment, same
+    LM truncation tie-break, ``list(p ORDER BY pos)`` + ``list_reduce``
+    reproduces the position-ordered left fold exactly (DuckDB's fold
+    starts p1+p2 while Spark's starts (0.0+p1)+p2 — bitwise identical
+    because 0.0 + x == x)."""
+    toks = _toks_sql(text_col)
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS t
+           FROM {table} WHERE {text_col} IS NOT NULL),
+b AS (SELECT id, CAST(i AS BIGINT) AS pos,
+             t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+      FROM (SELECT id, t, unnest(range(1, len(t))) AS i FROM t)),
+c AS (SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY w1, w2),
+lm AS (SELECT w1, w2, p FROM (
+         SELECT w1, w2,
+                CAST(n AS DOUBLE)
+                  / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE) AS p,
+                ROW_NUMBER() OVER (ORDER BY n DESC, w1, w2) AS rk
+         FROM c) WHERE rk <= {k}),
+j AS (SELECT b.id, b.pos, lm.p
+      FROM b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2),
+agg AS (SELECT id, COUNT(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               list(p ORDER BY pos) FILTER (WHERE p IS NOT NULL) AS ps
+        FROM j GROUP BY id)
+SELECT t.id AS {id_col},
+       COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       COALESCE(agg.n_oov, 0) AS n_oov,
+       CASE WHEN ps IS NULL OR len(ps) = 0 THEN NULL
+            ELSE list_reduce(ps, (a, b) -> a + b) / CAST(len(ps) AS DOUBLE) END
+         AS lm_score
+FROM t LEFT JOIN agg ON t.id = agg.id
+"""

@@ -568,6 +568,18 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_topk(df, "text", k=50)
 
 
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM quality score (functions/text.py
+    doc_lm_score): every doc scored against the corpus's own top-500
+    bigram LM — mean in-LM transition probability via a position-ordered
+    fold (engine-exact double) plus the OOV-transition count.  The
+    CCNet-style LM filter stage of a curation pipeline."""
+    from ..functions.text import doc_lm_score
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_lm_score(df, "doc_id", "text", k=500)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (functions/search.py
     tfidf_topk): rational-idf weights in an identical double operation
@@ -1433,6 +1445,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join": q_fuzzy_join,
     "tfidf_topk": q_tfidf_topk,
     "bigram_lm": q_bigram_lm,
+    "doc_lm_score": q_doc_lm_score,
     "curation_pipeline": q_curation_pipeline,
     "profile_table": q_profile_table,
     "value_histogram": q_value_histogram,
@@ -1850,6 +1863,10 @@ HARNESS_ORACLES["tfidf_topk"] = _tfidf_topk_oracle_sql(k=3)
 from ..functions.text import bigram_lm_oracle_sql as _bigram_lm_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["bigram_lm"] = _bigram_lm_oracle_sql(k=50)
+
+from ..functions.text import doc_lm_score_oracle_sql as _doc_lm_score_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["doc_lm_score"] = _doc_lm_score_oracle_sql(k=500)
 
 from ..functions.clustering import diversity_sample_oracle_sql as _diversity_oracle_sql  # noqa: E402
 from ..functions.clustering import kmeans_oracle_sql as _kmeans_oracle_sql  # noqa: E402

@@ -171,3 +171,37 @@ def test_dedup_strategy_fuzzy_modes(spark, names):
     kept = {r.doc_id for r in OPERATION_DISPATCHER["dedup"](names, drop_op).collect()}
     assert 1 in kept and 2 not in kept  # 2 has lower-id partner 1
     assert 4 in kept and 5 in kept      # different block / null text survive
+
+
+def test_doc_lm_score_self_corpus(spark):
+    """On a corpus scored against its own UNtruncated LM, every doc's
+    transitions are in-LM (n_oov=0) and scores reflect transition
+    concentration; truncation to k=1 makes rarer transitions OOV."""
+    from openetlagent_spark.functions.text import doc_lm_score
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),     # transitions: ab, ba, ab
+            Row(doc_id=2, text="a b c"),       # ab, bc
+            Row(doc_id=3, text="solo"),        # no bigrams
+        ]
+    )
+    full = {r.doc_id: r for r in doc_lm_score(df, "doc_id", "text", k=100).collect()}
+    assert full[1].n_bigrams == 3 and full[1].n_oov == 0
+    assert full[3].n_bigrams == 0 and full[3].lm_score is None
+    # p(b|a)=2/3 (a->b twice, a->? three... a starts: ab,ab = 2, plus none else
+    # from doc2's ab: a->b 3 times total, no other a-starts → p(b|a)=1.0
+    # b-starts: ba (1), bc (1) → p=0.5 each
+    assert abs(full[1].lm_score - (1.0 + 0.5 + 1.0) / 3) < 1e-12
+    trunc = {r.doc_id: r for r in doc_lm_score(df, "doc_id", "text", k=1).collect()}
+    # only the most frequent bigram (ab, n=3) stays in the LM
+    assert trunc[2].n_oov == 1 and trunc[2].n_bigrams == 2
+    assert trunc[2].lm_score == 1.0  # the surviving ab transition
+
+
+def test_doc_lm_score_rejects_bad_k(spark):
+    from openetlagent_spark.functions.text import doc_lm_score
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x y")])
+    with pytest.raises(ValueError):
+        doc_lm_score(df, "doc_id", "text", k=0)
