@@ -171,3 +171,61 @@ def test_incremental_dedup_broadcasts_both_sides(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("exact_distinct", 2),        # Expand multi-distinct re-aggregation
+        ("fuzzy_join", 2),            # block-key gather (+ scan rebalance)
+        ("bigram_lm", 3),             # bigram count + per-w1 window + TakeOrdered
+        ("robust_scale", 1),          # percentile stats agg; join-back broadcasts
+        ("quantile_bins", 1),         # one per-group sort
+        ("cooccurrence_pairs", 4),    # distinct + per-user sets + pair counts
+        ("window_distinct_users", 2), # day agg + distinct expand
+        ("cohort_retention", 3),      # first-week agg + join + retained counts
+        ("doc_lm_score", 5),          # LM build + doc gather (LM side broadcasts)
+        ("tfidf_topk", 4),            # tf checkpoint + df agg + weight join + window
+    ],
+)
+def test_round4_operator_shuffle_budget(spark, name, max_shuffles):
+    df = HARNESS_QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan) <= max_shuffles, plan[:2000]
+
+
+@pytest.mark.parametrize("name", ["robust_scale", "cohort_retention", "doc_lm_score", "tfidf_topk"])
+def test_round4_small_sides_broadcast(spark, name):
+    """The bounded side (percentile stats / cohort table at test SF /
+    k-row LM / vocab df) must reach the plan as a broadcast, never a
+    sort-merge join."""
+    df = HARNESS_QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_global_single_partition_windows_in_round4(spark):
+    """None of the round-4 queries may sort the world through a
+    partitionless window (the classic silent scale killer) — global
+    top-k must be TakeOrdered.  A SinglePartition exchange is legal
+    only for 1-row global aggregates (e.g. tfidf's corpus N), so the
+    assertion targets the hazard directly: every Window operator must
+    carry a partition column (its windowspecdefinition's first argument
+    is a partition attribute, not a sort order), and the global top-k
+    queries must plan as TakeOrderedAndProject."""
+    for name in ["bigram_lm", "doc_lm_score", "tfidf_topk", "quantile_bins"]:
+        df = HARNESS_QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            s = line.strip()
+            if "windowspecdefinition(" in s:
+                spec = s.split("windowspecdefinition(", 1)[1]
+                first_arg = spec.split(",", 1)[0]
+                assert " DESC" not in first_arg and " ASC" not in first_arg, (
+                    f"{name}: partitionless window: {s[:160]}"
+                )
+    for name in ["bigram_lm", "doc_lm_score"]:
+        df = HARNESS_QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k must be TakeOrdered"
