@@ -550,6 +550,7 @@ def doc_lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 500,
+    cache: bool = True,
 ) -> DataFrame:
     """Score every document against the corpus's own top-``k`` bigram
     LM — the CCNet-style language-model quality filter: documents whose
@@ -561,7 +562,8 @@ def doc_lm_score(
     over the document's bigram sequence), so the double is engine-exact
     (an unordered SUM would be nondeterministic across partitions and
     could never hash-match).  NULL score for documents with no in-LM
-    bigram.
+    bigram.  Rows sharing an id value merge into ONE output row (their
+    bigram sequences interleave by position) — ids are expected unique.
 
     Scale shape (100 TB): the LM is ``k`` rows — always broadcastable;
     doc bigrams explode scan-locally; ONE groupBy(id) gathers
@@ -581,6 +583,13 @@ def doc_lm_score(
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id__"), pairs.alias("__bg__")
     )
+    if cache:
+        # base feeds BOTH the LM-build branch and the per-doc gather —
+        # the same two-consumer diamond as tfidf_topk; an eager
+        # localCheckpoint tokenizes the corpus once instead of twice
+        # (blocks free on garbage collection; pass cache=False for a
+        # fully lazy plan)
+        base = base.localCheckpoint()
 
     # corpus LM: counts → conditional p → top-k truncation (same
     # (n desc, w1, w2) tie-break as bigram_lm_topk)
@@ -635,10 +644,14 @@ def doc_lm_score_oracle_sql(
     k: int = 500,
 ) -> str:
     """DuckDB mirror of doc_lm_score: shared tokenizer fragment, same
-    LM truncation tie-break, ``list(p ORDER BY pos)`` + ``list_reduce``
-    reproduces the position-ordered left fold exactly (DuckDB's fold
-    starts p1+p2 while Spark's starts (0.0+p1)+p2 — bitwise identical
-    because 0.0 + x == x)."""
+    LM truncation tie-break, ``list(p ORDER BY pos, p)`` +
+    ``list_reduce`` reproduces the position-ordered left fold exactly
+    (DuckDB's fold starts p1+p2 while Spark's starts (0.0+p1)+p2 —
+    bitwise identical because 0.0 + x == x; the secondary ``p`` sort
+    key matches Spark's array_sort over (pos, p) structs when
+    duplicate ids make positions collide).  The final join-back runs
+    against DISTINCT ids — like Spark's groupBy, duplicate id values
+    merge into one output row."""
     toks = _toks_sql(text_col)
     return f"""
 WITH t AS (SELECT {id_col} AS id, {toks} AS t
@@ -657,13 +670,13 @@ j AS (SELECT b.id, b.pos, lm.p
       FROM b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2),
 agg AS (SELECT id, COUNT(*) AS n_bigrams,
                CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-               list(p ORDER BY pos) FILTER (WHERE p IS NOT NULL) AS ps
+               list(p ORDER BY pos, p) FILTER (WHERE p IS NOT NULL) AS ps
         FROM j GROUP BY id)
-SELECT t.id AS {id_col},
+SELECT d.id AS {id_col},
        COALESCE(agg.n_bigrams, 0) AS n_bigrams,
        COALESCE(agg.n_oov, 0) AS n_oov,
        CASE WHEN ps IS NULL OR len(ps) = 0 THEN NULL
             ELSE list_reduce(ps, (a, b) -> a + b) / CAST(len(ps) AS DOUBLE) END
          AS lm_score
-FROM t LEFT JOIN agg ON t.id = agg.id
+FROM (SELECT DISTINCT id FROM t) d LEFT JOIN agg ON d.id = agg.id
 """

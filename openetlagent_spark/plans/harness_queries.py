@@ -1158,24 +1158,29 @@ def q_compacted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time
+    import uuid
 
     from ..sources import write_sized
     from ..streaming import read_event_table
 
-    # pid-scoped dir: two concurrent harness/bench PROCESSES against the
-    # same dataset cannot race on a shared rmtree/write/read-back dir,
-    # while re-runs inside one process reuse (rmtree + rewrite) the same
-    # path instead of leaking a new one per invocation.  Stale dirs from
-    # dead processes are garbage-collected opportunistically by age.
+    # per-invocation uuid: no two invocations (threads included) ever
+    # share a dir, so the rmtree/write/read-back sequence cannot race.
+    # Leaked dirs are garbage-collected by checking whether the pid
+    # embedded in the name is still ALIVE — never by age, which could
+    # delete a long-running process's live dir mid-read.
     base = tempfile.gettempdir()
-    for old in glob.glob(os.path.join(base, "ela_compacted_layout_*")):
+    for old in glob.glob(os.path.join(base, "ela_compacted_layout_*_p*")):
         try:
-            if time.time() - os.path.getmtime(old) > 3600:
-                shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + f"_p{os.getpid()}"
+            pid = int(os.path.basename(old).split("_p")[-1].split("_")[0])
+            os.kill(pid, 0)  # raises if the owning process is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(old, ignore_errors=True)
+        except (OSError, PermissionError):
+            pass  # pid alive (or unverifiable): leave the dir alone
+    tag = (
+        hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + f"_p{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
     tmp = os.path.join(base, f"ela_compacted_layout_{tag}")
     shutil.rmtree(tmp, ignore_errors=True)
     ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
