@@ -125,6 +125,7 @@ HEADLINE = [
     "window_distinct_users",
     "cohort_retention",
     "doc_lm_score",
+    "running_totals",
 ]
 
 

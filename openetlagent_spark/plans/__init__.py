@@ -29,13 +29,14 @@ _ROUND4_FRONT = [
     "profile_table", "value_histogram", "unicode_nfc", "outlier_flags",
     "bpe_pairs", "dedup_substring", "kmeans_clusters", "diversity_sample",
     "compacted_layout", "cube", "incremental_dedup",
-    # new this round — first driver check (10)
+    # new this round — first driver check (11)
     "exact_distinct", "fuzzy_join", "tfidf_topk", "bigram_lm",
     "robust_scale", "quantile_bins", "cooccurrence_pairs",
     "window_distinct_users", "cohort_retention", "doc_lm_score",
-    # sentinels: families whose source changed this round (21)
+    "running_totals",
+    # sentinels: families whose source changed this round (20)
     "casting", "tpch_q1", "tpch_q18",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+    "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embedding", "dedup_clusters",
     "contamination", "chunk_docs", "text_scrub", "dataset_mixture",
     "stratified_sample", "merge_changes", "scd2_history",

@@ -568,6 +568,18 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_topk(df, "text", k=50)
 
 
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime counters (streaming/events.py running_totals,
+    batch form): the real-time feature-store pattern whose streaming
+    path runs on Spark 4's transformWithStateInPandas arbitrary-stateful
+    v2 API with TTL value state — batch-parity pinned in
+    tests/test_multimodal_streaming.py."""
+    from ..streaming import read_event_table, running_totals
+
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet")
+    return running_totals(ev)
+
+
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM quality score (functions/text.py
     doc_lm_score): every doc scored against the corpus's own top-500
@@ -1451,6 +1463,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "bigram_lm": q_bigram_lm,
     "doc_lm_score": q_doc_lm_score,
+    "running_totals": q_running_totals,
     "curation_pipeline": q_curation_pipeline,
     "profile_table": q_profile_table,
     "value_histogram": q_value_histogram,
@@ -1872,6 +1885,13 @@ HARNESS_ORACLES["bigram_lm"] = _bigram_lm_oracle_sql(k=50)
 from ..functions.text import doc_lm_score_oracle_sql as _doc_lm_score_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["doc_lm_score"] = _doc_lm_score_oracle_sql(k=500)
+
+HARNESS_ORACLES["running_totals"] = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+"""
 
 from ..functions.clustering import diversity_sample_oracle_sql as _diversity_oracle_sql  # noqa: E402
 from ..functions.clustering import kmeans_oracle_sql as _kmeans_oracle_sql  # noqa: E402

@@ -5,6 +5,7 @@ from .events import (
     enrich_stream,
     read_event_stream,
     read_event_table,
+    running_totals,
     session_window_agg,
     sessionize,
     windowed_event_counts,
@@ -18,6 +19,7 @@ __all__ = [
     "enrich_stream",
     "read_event_stream",
     "read_event_table",
+    "running_totals",
     "session_window_agg",
     "sessionize",
     "windowed_event_counts",

@@ -526,3 +526,85 @@ def sessionize(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
+    """Per-user lifetime counters (event count + value sum) — the
+    real-time feature-store pattern: every micro-batch emits each
+    touched user's UPDATED totals.
+
+    Streaming path: Spark 4's ``transformWithStateInPandas`` (the
+    arbitrary-stateful v2 API; its Python worker needs a working
+    ``google.protobuf`` — the batch path below has no such dependency)
+    with one ``ValueState`` per user —
+    optionally TTL-expired (``ttl_ms``) so abandoned keys age out of
+    the store instead of growing it forever; state size is O(live
+    users) either way.  Value sums accumulate in integer micro-units
+    (×1e6, the engine's decimal(18,6) convention) so the running
+    double never drifts with batch boundaries.
+
+    Batch path (non-streaming input): the same totals as one groupBy —
+    used by tests (stream-parity) and the SQL oracle."""
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            )
+            .select("user_id", "n_events", "sum_value")
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # integer micro-units keep the accumulation exact and
+            # batch-boundary-independent (double += per batch would
+            # make totals depend on micro-batch splits)
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, micros BIGINT", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, micros = 0, 0
+            if self._totals.exists():
+                prev = self._totals.get()
+                n, micros = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                vals = pdf["value"].fillna(0.0)
+                n += len(pdf)
+                # per-ROW micro-rounding before the integer sum — a
+                # float batch subtotal would re-introduce the batch-
+                # boundary dependence the integer units exist to avoid
+                micros += int((vals * 1_000_000).round().astype("int64").sum())
+            self._totals.update((n, micros))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [micros / 1_000_000],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
