@@ -75,9 +75,15 @@ def fuzzy_pairs(
     # leading-token block key, x01-joined so ('ab','c') and ('a','bc')
     # stay distinct blocks; missing tokens contribute empty string on
     # BOTH engines (oracle: coalesce(t[i], '') joined by chr(1))
+    # try_element_at: NULL (not an ANSI error) past the end, matching
+    # DuckDB's out-of-range list index — a one-token document must
+    # block, not blow up
     blk = F.concat_ws(
         "\x01",
-        *[F.coalesce(F.element_at(toks, i + 1), F.lit("")) for i in range(block_tokens)],
+        *[
+            F.coalesce(F.try_element_at(toks, F.lit(i + 1)), F.lit(""))
+            for i in range(block_tokens)
+        ],
     )
     base = (
         df.filter(F.col(str_col).isNotNull())
