@@ -544,13 +544,22 @@ def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame
 
     Streaming path: Spark 4's ``transformWithStateInPandas`` (the
     arbitrary-stateful v2 API; its Python worker needs a working
-    ``google.protobuf`` — the batch path below has no such dependency)
-    with one ``ValueState`` per user —
-    optionally TTL-expired (``ttl_ms``) so abandoned keys age out of
-    the store instead of growing it forever; state size is O(live
-    users) either way.  Value sums accumulate in integer micro-units
-    (×1e6, the engine's decimal(18,6) convention) so the running
-    double never drifts with batch boundaries.
+    ``google.protobuf``, and the operator needs the RocksDB state
+    store — configured below; the batch path has neither dependency)
+    with one ``ValueState`` per user — optionally TTL-expired
+    (``ttl_ms``) so abandoned keys age out of the store instead of
+    growing it forever (TTL forces ``timeMode='ProcessingTime'``;
+    without it the operator runs time-mode-free); state size is
+    O(live users) either way.
+
+    Stream/batch parity is exact by construction: values accumulate as
+    integer micro-units produced by the SAME rounding the batch leg's
+    ``cast(decimal(18,6))`` applies — ``Decimal(repr(v))`` (shortest
+    round-trip representation, the same string Java's Double.toString
+    yields) quantized HALF_UP — and a user whose values are all NULL
+    reports a NULL sum on both legs (SUM-over-NULLs semantics), so the
+    running double never depends on micro-batch boundaries or rounding
+    mode.
 
     Batch path (non-streaming input): the same totals as one groupBy —
     used by tests (stream-parity) and the SQL oracle."""
@@ -569,33 +578,55 @@ def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame
         StatefulProcessorHandle,
     )
 
+    # transformWithStateInPandas creates named column families, which
+    # the default HDFS-backed state store rejects — the RocksDB
+    # provider is a hard requirement of the operator.  Streaming confs
+    # are captured per-query at start, so setting it here makes the
+    # returned stream runnable as-is.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def _micros(v) -> int:
+        # mirror Spark's double→decimal(18,6) cast exactly: shortest
+        # round-trip decimal string, then HALF_UP at 6 dp
+        import decimal
+
+        return int(
+            decimal.Decimal(repr(float(v))).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+            * 1_000_000
+        )
+
     class _RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             # integer micro-units keep the accumulation exact and
             # batch-boundary-independent (double += per batch would
-            # make totals depend on micro-batch splits)
+            # make totals depend on micro-batch splits); n_vals tracks
+            # non-NULL values so an all-NULL user reports NULL like
+            # SQL SUM
             self._totals = handle.getValueState(
-                "totals", "n BIGINT, micros BIGINT", ttlDurationMs=ttl_ms
+                "totals", "n BIGINT, micros BIGINT, n_vals BIGINT", ttlDurationMs=ttl_ms
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, micros = 0, 0
+            n, micros, n_vals = 0, 0, 0
             if self._totals.exists():
                 prev = self._totals.get()
-                n, micros = int(prev[0]), int(prev[1])
+                n, micros, n_vals = int(prev[0]), int(prev[1]), int(prev[2])
             for pdf in rows:
-                vals = pdf["value"].fillna(0.0)
+                vals = pdf["value"].dropna()
                 n += len(pdf)
-                # per-ROW micro-rounding before the integer sum — a
-                # float batch subtotal would re-introduce the batch-
-                # boundary dependence the integer units exist to avoid
-                micros += int((vals * 1_000_000).round().astype("int64").sum())
-            self._totals.update((n, micros))
+                n_vals += len(vals)
+                micros += sum(_micros(v) for v in vals)
+            self._totals.update((n, micros, n_vals))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "sum_value": [micros / 1_000_000],
+                    "sum_value": [micros / 1_000_000 if n_vals else None],
                 }
             )
 
@@ -606,5 +637,5 @@ def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame
         _RunningTotals(),
         outputStructType=RUNNING_TOTALS_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

@@ -131,7 +131,7 @@ def test_streaming_window_counts_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
     got = {
         (r.window_start, r.event_type): (r.n_events, r.sum_value)
         for r in spark.sql("SELECT * FROM win_counts").collect()
@@ -167,7 +167,7 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
     got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == expected
 
@@ -203,7 +203,7 @@ def test_stream_static_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
     got = sorted((r.event_id, r.segment) for r in spark.sql("SELECT * FROM enriched").collect())
     assert got == expected
 
@@ -223,7 +223,7 @@ def test_idempotent_stream_sink_exactly_once(spark, tmp_path):
 
     stream = spark.readStream.schema(batch.schema).parquet(src)
     q = write_stream_idempotent(stream, out, checkpoint=ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [0, 1, 2, 3]
 
@@ -282,7 +282,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
     got = sorted((r.event_id, r.event_id_r) for r in spark.sql("SELECT * FROM ssjoin").collect())
     assert got == expected
 
@@ -318,7 +318,7 @@ def test_streaming_admission_gate_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
     got = spark.sql("SELECT * FROM admit_out").collect()
     # stream keeps ONE of {2, 3} (first-arrival survivor) plus 4
     ids = sorted(r.doc_id for r in got)
@@ -378,7 +378,7 @@ def test_running_totals_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
     # update mode re-emits a user's row each touched batch — the LAST
     # emission per user carries the lifetime totals
     got_rows = spark.sql("SELECT * FROM run_totals").collect()

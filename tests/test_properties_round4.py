@@ -4,7 +4,8 @@ invariants — structural guarantees on ANY corpus:
 - fuzzy_pairs: distances are true Levenshtein distances of the
   normalized prefixes (re-verified in Python), pairs are id-ordered,
   max_dist is monotone (loosening it never loses a pair), and every
-  reported pair genuinely shares a block;
+  reported pair genuinely shares a block (block key recomputed in
+  Python);
 - tfidf_topk: per-doc ranks are 1..m dense, weights non-increasing in
   rank, and each weight equals tf * rational-idf recomputed from the
   corpus in Python;
@@ -72,10 +73,17 @@ def test_fuzzy_pairs_distances_are_exact_and_monotone(spark, texts, max_dist):
         for r in fuzzy_pairs(df, "doc_id", "text", max_dist=max_dist + 2, len_band=64).collect()
     }
     assert set(tight) <= set(loose)  # loosening never loses a pair
+    def block_key(t: str, block_tokens: int = 2, len_band: int = 64):
+        s = _norm(t)
+        toks = s.split(" ")
+        parts = [(toks[i] if i < len(toks) else "") for i in range(block_tokens)]
+        return ("\x01".join(parts), len(s) // len_band)
+
     for (a, b), d in tight.items():
         assert a < b
         assert d == _lev(_norm(texts[a]), _norm(texts[b]))
         assert d <= max_dist
+        assert block_key(texts[a]) == block_key(texts[b])  # genuine block share
 
 
 @given(texts=docs_strategy, k=st.integers(1, 4))
@@ -202,9 +210,13 @@ def test_quantile_bins_partition_and_robust_scale_monotone(spark, n_rows):
         a = np.asarray(xs)
         med = np.percentile(a, 50, method="linear")
         iqr = np.percentile(a, 75, method="linear") - np.percentile(a, 25, method="linear")
+        # comparing SORTED multisets against the sorted transform of
+        # sorted prices is itself the monotonicity check: if the
+        # operator paired any price with another price's scaled value,
+        # the value multisets could only still agree if the transform
+        # were non-monotone — and (x - med)/iqr is strictly monotone.
         expect = sorted((x - med) / iqr for x in xs)
         actual = sorted(got[grp])
         assert len(actual) == len(expect)
         for e, g in zip(expect, actual):
             assert math.isclose(e, g, rel_tol=1e-9, abs_tol=1e-12)
-        assert actual == sorted(actual)  # monotone by construction
