@@ -41,11 +41,31 @@ from .similarity import _array_literal, infer_dim
 
 
 def _quantize(vec_col: Column, scale_bits: int) -> Column:
+    """Scale each coordinate onto the integer grid.  NaN/±Inf or
+    magnitudes beyond the grid's int64 range fail the ANSI long cast;
+    try_cast + raise_error turns that into a CLEAR executor-side error
+    naming the operator and the bound (the engine's strict-cast
+    pattern, operators/core.py casting) instead of a bare
+    CAST_OVERFLOW from deep inside a Lloyd iteration."""
     scale = float(1 << scale_bits)
-    return F.transform(
-        vec_col.cast("array<double>"),
-        lambda x: F.round(x * F.lit(scale)).cast("long"),
-    )
+    bound = float(2**63 - 1) / scale
+
+    def q(x: Column) -> Column:
+        scaled = F.round(x * F.lit(scale)).try_cast("long")
+        return F.when(
+            x.isNotNull() & scaled.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "kmeans quantization overflow: |coordinate| must be finite "
+                        f"and < {bound:.3e} (scale_bits={scale_bits}), got "
+                    ),
+                    x.cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(scaled)
+
+    return F.transform(vec_col.cast("array<double>"), q)
 
 
 def kmeans_assign(

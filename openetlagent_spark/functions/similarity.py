@@ -236,14 +236,26 @@ def ivf_topk(
     sample (deterministic Lloyd's iterations in numpy), assign corpus
     rows to their nearest centroid (broadcast literals, JVM exprs), then
     each query scans only its ``nprobe`` closest centroid lists."""
+    # sample only rows with a full-dimension, all-finite vector — NULL
+    # embeddings or ragged lengths would make the numpy sample
+    # inhomogeneous, and NaN/Inf coordinates would poison the centroid
+    # means into unparseable literals (brute/LSH variants skip such
+    # rows too)
+    dim = infer_dim(corpus, vec_col)
+    bad = F.exists(
+        F.col("v"), lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
     sample = np.asarray(
         [
             r[0]
-            for r in corpus.select(F.col(vec_col).cast("array<double>"))
+            for r in corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .filter(F.col("v").isNotNull() & (F.size("v") == dim) & ~bad)
             .limit(sample_size)
             .collect()
         ]
     )
+    if len(sample) == 0:
+        raise ValueError(f"ivf_topk: no non-null {dim}-element vectors in {vec_col!r}")
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):

@@ -240,3 +240,41 @@ def test_split_percentages_must_be_positive(spark):
             {"operation_type": "split_assign", "key_column": "doc_id",
              "splits": {"train": 100, "val": 0}}
         )
+
+
+def test_kmeans_quantization_overflow_is_clear(spark):
+    """Non-finite or grid-overflowing coordinates must fail with the
+    named quantization error, not a bare ANSI CAST_OVERFLOW from inside
+    a Lloyd iteration."""
+    import pytest
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.clustering import kmeans_assign
+
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.0] * 4), Row(vec_id=1, embedding=[1e30] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="quantization overflow"):
+        kmeans_assign(df, "vec_id", "embedding", k=2, iters=1).collect()
+
+
+def test_ivf_sampling_skips_null_and_nonfinite_vectors(spark):
+    """IVF centroid fitting must survive NULL / NaN / ragged vectors in
+    the corpus (they are excluded from the sample and never poison the
+    centroid literals)."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.similarity import ivf_topk
+
+    rows = [
+        Row(vec_id=0, embedding=[0.0] * 4),
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=None),
+        Row(vec_id=3, embedding=[float("nan")] * 4),
+        Row(vec_id=4, embedding=[-1.0] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(df, df.limit(2), id_col="vec_id", vec_col="embedding",
+                   k=2, n_centroids=2, nprobe=1)
+    assert out.count() > 0
