@@ -875,6 +875,23 @@ class BigramLmOperation(Operation):
 
 
 @dataclass
+class DocLmScoreOperation(Operation):
+    """Bigram-LM document quality scoring as a flow op
+    (functions/text.py doc_lm_score): each document's mean in-LM
+    transition probability + OOV count against the corpus's own top-k
+    bigram LM — the CCNet-style LM filter stage."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    k: int = 500
+    operation_type: str = "doc_lm_score"
+
+    def __post_init__(self) -> None:
+        if self.k <= 0:
+            raise SpecError(f"doc_lm_score k must be positive, got {self.k!r}")
+
+
+@dataclass
 class VocabOovOperation(Operation):
     """Rare-token/OOV quality scoring as a flow op (functions/text.py
     vocab_oov): per-doc token totals and out-of-vocabulary counts
@@ -1070,6 +1087,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "fuzzy_pairs": FuzzyPairsOperation,
     "tfidf": TfidfOperation,
     "bigram_lm": BigramLmOperation,
+    "doc_lm_score": DocLmScoreOperation,
     "inverted_index": InvertedIndexOperation,
     "vocab_oov": VocabOovOperation,
     "kmeans": ClusteringOperation,

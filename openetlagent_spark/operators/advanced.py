@@ -23,6 +23,7 @@ from ..model import (
     IncrementalDedupOperation,
     InvertedIndexOperation,
     BigramLmOperation,
+    DocLmScoreOperation,
     FuzzyPairsOperation,
     KeywordSearchOperation,
     TfidfOperation,
@@ -364,6 +365,12 @@ def apply_bigram_lm(df: DataFrame, op: "BigramLmOperation") -> DataFrame:
     from ..functions.text import bigram_lm_topk
 
     return bigram_lm_topk(df, op.text_column, k=op.k)
+
+
+def apply_doc_lm_score(df: DataFrame, op: "DocLmScoreOperation") -> DataFrame:
+    from ..functions.text import doc_lm_score
+
+    return doc_lm_score(df, op.id_column, op.text_column, k=op.k)
 
 
 def apply_inverted_index(df: DataFrame, op: InvertedIndexOperation) -> DataFrame:

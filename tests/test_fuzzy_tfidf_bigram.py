@@ -205,3 +205,18 @@ def test_doc_lm_score_rejects_bad_k(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="x y")])
     with pytest.raises(ValueError):
         doc_lm_score(df, "doc_id", "text", k=0)
+
+
+def test_doc_lm_score_flow_dispatch(spark, corpus):
+    from openetlagent_spark.functions.text import doc_lm_score
+    from openetlagent_spark.model import parse_operation
+    from openetlagent_spark.operators import OPERATION_DISPATCHER
+
+    op = parse_operation({"operation_type": "doc_lm_score", "k": 100})
+    got = OPERATION_DISPATCHER["doc_lm_score"](corpus, op)
+    direct = doc_lm_score(corpus, "doc_id", "text", k=100)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        parse_operation({"operation_type": "doc_lm_score", "k": 0})
