@@ -126,6 +126,7 @@ HEADLINE = [
     "cohort_retention",
     "doc_lm_score",
     "running_totals",
+    "stats_skew",
 ]
 
 

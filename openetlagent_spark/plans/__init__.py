@@ -29,18 +29,18 @@ _ROUND4_FRONT = [
     "profile_table", "value_histogram", "unicode_nfc", "outlier_flags",
     "bpe_pairs", "dedup_substring", "kmeans_clusters", "diversity_sample",
     "compacted_layout", "cube", "incremental_dedup",
-    # new this round — first driver check (11)
+    # new this round — first driver check (12)
     "exact_distinct", "fuzzy_join", "tfidf_topk", "bigram_lm",
     "robust_scale", "quantile_bins", "cooccurrence_pairs",
     "window_distinct_users", "cohort_retention", "doc_lm_score",
-    "running_totals",
-    # sentinels: families whose source changed this round (20)
+    "running_totals", "stats_skew",
+    # sentinels: families whose source changed this round (19)
     "casting", "tpch_q1", "tpch_q18",
     "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_embedding", "dedup_clusters",
     "contamination", "chunk_docs", "text_scrub", "dataset_mixture",
     "stratified_sample", "merge_changes", "scd2_history",
-    "text_stats", "lang_id",
+    "lang_id",
     "sessionize", "application",
     "flagship",
 ]

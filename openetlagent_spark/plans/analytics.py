@@ -713,6 +713,95 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group from EXACT decimal power
+    sums s1..s4 — the higher-moment completion of q_stats_moments.
+    Central moments come from the closed-form combine
+    (M3 = s3/n - 3m*s2/n + 2m^3, M4 = s4/n - 4m*s3/n + 6m^2*s2/n -
+    3m^4), evaluated in one fixed double operation tree; M2^1.5 is
+    written M2*sqrt(M2) (multiply and sqrt are correctly-rounded IEEE
+    — ``pow`` is libm and would break the hash).  Order-independent,
+    single pass, mergeable across 1000 executors like every power-sum
+    statistic."""
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    q2 = (q * q).cast("decimal(28,4)")
+    q3 = (q2 * q).cast("decimal(32,6)")
+    q4 = (q2 * q2).cast("decimal(38,8)")
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("q1d", q)
+        .withColumn("q2d", q2)
+        .withColumn("q3d", q3)
+        .withColumn("q4d", q4)
+    )
+    agg = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["l_returnflag"],
+            aggregations={
+                "s1_dec": {"column": "q1d", "agg": "sum"},
+                "s2_dec": {"column": "q2d", "agg": "sum"},
+                "s3_dec": {"column": "q3d", "agg": "sum"},
+                "s4_dec": {"column": "q4d", "agg": "sum"},
+                "n": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1_dec").cast("double") / n
+    e2 = F.col("s2_dec").cast("double") / n
+    e3 = F.col("s3_dec").cast("double") / n
+    e4 = F.col("s4_dec").cast("double") / n
+    m2 = e2 - m * m
+    m3 = e3 - F.lit(3.0) * m * e2 + F.lit(2.0) * m * m * m
+    m4 = (
+        e4
+        - F.lit(4.0) * m * e3
+        + F.lit(6.0) * (m * m) * e2
+        - F.lit(3.0) * (m * m) * (m * m)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skew_qty"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_qty"),
+    )
+
+
+STATS_SKEW_SQL = """
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       (e3 - 3.0 * m * e2 + 2.0 * m * m * m)
+         / ((e2 - m * m) * sqrt(e2 - m * m)) AS skew_qty,
+       (e4 - 4.0 * m * e3 + 6.0 * (m * m) * e2 - 3.0 * (m * m) * (m * m))
+         / ((e2 - m * m) * (e2 - m * m)) - 3.0 AS kurtosis_qty
+FROM (SELECT l_returnflag, n, s1 / n AS m, s2 / n AS e2, s3 / n AS e3, s4 / n AS e4
+      FROM (SELECT l_returnflag,
+                   -- decimal -> VARCHAR -> DOUBLE: DuckDB's direct
+                   -- int128-decimal -> double cast double-rounds (1 ulp
+                   -- off for wide scale-8 sums); the string round-trip
+                   -- is correctly rounded like Spark's decimal cast
+                   CAST(CAST(SUM(q1d) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(q2d) AS VARCHAR) AS DOUBLE) AS s2,
+                   CAST(CAST(SUM(q3d) AS VARCHAR) AS DOUBLE) AS s3,
+                   CAST(CAST(SUM(q4d) AS VARCHAR) AS DOUBLE) AS s4,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM (SELECT l_returnflag,
+                         CAST(l_quantity AS DECIMAL(18,2)) AS q1d,
+                         CAST(CAST(l_quantity AS DECIMAL(18,2))
+                              * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)) AS q2d,
+                         CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                   * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))
+                              * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(32,6)) AS q3d,
+                         CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                   * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))
+                              * CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                     * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))
+                              AS DECIMAL(38,8)) AS q4d
+                  FROM lineitem)
+            GROUP BY l_returnflag))
+"""
+
+
 STATS_MOMENTS_SQL = """
 SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, s1 / n AS mean_qty,
        (s2 - s1 * s1 / n) / (n - 1.0) AS var_qty,
@@ -1354,6 +1443,7 @@ ANALYTICS_QUERIES = {
     "grouping_sets": q_grouping_sets,
     "percentile": q_percentile,
     "stats_moments": q_stats_moments,
+    "stats_skew": q_stats_skew,
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
@@ -1387,6 +1477,7 @@ ANALYTICS_ORACLES = {
     "grouping_sets": GROUPING_SETS_SQL,
     "percentile": PERCENTILE_SQL,
     "stats_moments": STATS_MOMENTS_SQL,
+    "stats_skew": STATS_SKEW_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,
