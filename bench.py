@@ -127,6 +127,11 @@ HEADLINE = [
     "doc_lm_score",
     "running_totals",
     "stats_skew",
+    "global_shuffle",
+    "quantile_filter",
+    "embedding_stats",
+    "partitioned_layout",
+    "top_p_sources",
 ]
 
 

@@ -597,3 +597,162 @@ def chunk_oracle_sql(
         f"FROM (SELECT {id_col}, t, unnest(range(1, len(t) + 1, {stride})) AS s "
         f"FROM (SELECT {id_col}, {toks} AS t FROM {table}) base)"
     )
+
+
+# --- global training-order shuffle ------------------------------------------
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 42,
+    key_column: str = "shuffle_key",
+    position_column: str = "position",
+) -> DataFrame:
+    """Deterministic global permutation — the training-order shuffle
+    every pretraining run needs before sequence packing (local
+    per-partition shuffles leave source/time runs intact; a biased
+    order measurably hurts early training).  Each row gets
+    ``md5(key || '-' || seed)`` as its shuffle key and the 1-based rank
+    of that key over the WHOLE dataset as ``position`` — reproducible
+    from (key, seed) alone, independent of engine, partitioning, and
+    input order, and changing ``seed`` draws a fresh permutation.
+
+    The global rank is the same two-phase distributed prefix scan as
+    :func:`pack_sequences` — never a single-partition window:
+
+    1. range-repartition on (shuffle_key, key); per-partition row
+       counts collect to the driver (one BIGINT per partition) and
+       fold into exclusive base offsets;
+    2. a window PARTITIONED BY the range-partition id ranks locally in
+       parallel; local rank + broadcast base = exact global position.
+
+    Range boundaries come from sampling and may vary run to run —
+    positions do NOT: offsets are computed from the actual counts, so
+    any order-preserving split yields the identical permutation
+    (asserted against a single-window reference in tests).
+
+    The repartitioned frame is persisted (it feeds both phases and
+    pins one sampled range split); the returned DataFrame is lazy, so
+    the cache cannot be released here — callers that loop over many
+    operators should ``spark.catalog.clearCache()`` (the harness and
+    bench do), cf. incremental_dedup's identical note.
+    """
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    h = F.md5(F.concat_ws("-", key_str, F.lit(str(seed))))
+    parts = (
+        df.withColumn("_x_shuf", h)
+        .repartitionByRange(F.col("_x_shuf"), F.col(key_col))
+        .withColumn("_x_pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = parts.groupBy("_x_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    bases: dict[int, int] = {}
+    running = 0
+    for row in sorted(psums, key=lambda r: r["_x_pid"]):
+        bases[row["_x_pid"]] = running
+        running += row["n"]
+    base_map = (
+        F.create_map(*[F.lit(x) for kv in sorted(bases.items()) for x in kv])
+        if bases
+        else F.create_map()
+    )
+    local = Window.partitionBy("_x_pid").orderBy(
+        F.col("_x_shuf").asc(), F.col(key_col).asc_nulls_first()
+    )
+    return (
+        parts.withColumn(
+            position_column,
+            (F.element_at(base_map, F.col("_x_pid")) + F.row_number().over(local)).cast(
+                "long"
+            ),
+        )
+        .withColumnRenamed("_x_shuf", key_column)
+        .drop("_x_pid")
+    )
+
+
+def global_shuffle_oracle_sql(
+    table: str,
+    key_col: str,
+    seed: int = 42,
+    key_column: str = "shuffle_key",
+    position_column: str = "position",
+    select_cols: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`global_shuffle` — the single-window
+    reference formulation of the same rank (md5 strings are identical
+    across engines, so the permutation matches exactly)."""
+    cols = ", ".join(select_cols) if select_cols else "*"
+    h = f"md5(COALESCE(CAST({key_col} AS VARCHAR), '') || '-' || '{seed}')"
+    return (
+        f"SELECT {cols}, {h} AS {key_column}, "
+        f"CAST(ROW_NUMBER() OVER (ORDER BY {h}, {key_col} NULLS FIRST) AS BIGINT) "
+        f"AS {position_column} FROM {table}"
+    )
+
+
+# --- per-group quantile filtering -------------------------------------------
+
+
+def quantile_filter(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    q: float = 0.75,
+    threshold_column: str | None = None,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` is at or above their group's
+    ``q``-quantile — the relative quality-gate stage of a curation
+    pipeline (e.g. keep each source's top quartile by quality score,
+    so no source is wiped out by a global absolute threshold).
+
+    Two narrow passes: an exact grouped PERCENTILE_CONT aggregate
+    (group-cardinality-sized — sources/domains/languages are bounded)
+    BROADCASTS back onto the corpus, so the corpus itself never
+    shuffles; the filter prunes before anything downstream.  Rows with
+    NULL group keys or NULL values drop (no group / no evidence), same
+    as the SQL mirror's join + comparison semantics.
+
+    ``threshold_column`` optionally exposes the group threshold on the
+    surviving rows.  Exactness: the interpolated quantile is the same
+    double in both engines (cf. the `percentile` harness query), and
+    the comparison is per-row — no accumulation."""
+    if not group_cols:
+        raise ValueError("quantile_filter requires group_cols")
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"quantile_filter q must be in (0, 1), got {q!r}")
+    thr = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col), F.lit(q)).alias("_x_thr")
+    )
+    out = df.join(F.broadcast(thr), group_cols, "inner").filter(
+        F.col(value_col).cast("double") >= F.col("_x_thr")
+    )
+    if threshold_column:
+        return out.withColumnRenamed("_x_thr", threshold_column)
+    return out.drop("_x_thr")
+
+
+def quantile_filter_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    q: float = 0.75,
+    threshold_column: str = "threshold",
+    select_cols: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`quantile_filter`, generated from the
+    same (group_cols, value_col, q) so the two cannot drift."""
+    groups = ", ".join(group_cols)
+    on = " AND ".join(f"d.{g} = t.{g}" for g in group_cols)
+    cols = (
+        ", ".join(f"d.{c}" for c in select_cols)
+        if select_cols
+        else "d.*"
+    )
+    return (
+        f"SELECT {cols}, t._x_thr AS {threshold_column} FROM {table} d "
+        f"JOIN (SELECT {groups}, quantile_cont({value_col}, {q}) AS _x_thr "
+        f"FROM {table} GROUP BY {groups}) t ON {on} "
+        f"WHERE CAST(d.{value_col} AS DOUBLE) >= t._x_thr"
+    )

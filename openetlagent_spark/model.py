@@ -1044,6 +1044,53 @@ class IncrementalDedupOperation(Operation):
             )
 
 
+@dataclass
+class GlobalShuffleOperation(Operation):
+    """Deterministic global training-order shuffle as a flow op
+    (functions/curation.py global_shuffle): every row gets an
+    md5(key || '-' || seed) shuffle key and its exact 1-based global
+    rank — reproducible from (key, seed) alone, independent of engine
+    and partitioning."""
+
+    key_column: str = ""
+    seed: int = 42
+    shuffle_key_column: str = "shuffle_key"
+    position_column: str = "position"
+    operation_type: str = "global_shuffle"
+
+    def __post_init__(self) -> None:
+        if not self.key_column:
+            raise SpecError("global_shuffle requires key_column")
+        if self.shuffle_key_column == self.position_column:
+            raise SpecError(
+                "global_shuffle shuffle_key_column and position_column must differ"
+            )
+
+
+@dataclass
+class QuantileFilterOperation(Operation):
+    """Per-group quantile quality gate as a flow op
+    (functions/curation.py quantile_filter): keep rows whose value is
+    at or above their group's q-quantile — a relative threshold that
+    cannot wipe out an entire group."""
+
+    group_columns: list[str] = field(default_factory=list)
+    value_column: str = ""
+    q: float = 0.75
+    threshold_column: str = ""
+    operation_type: str = "quantile_filter"
+
+    def __post_init__(self) -> None:
+        if not self.group_columns:
+            raise SpecError("quantile_filter requires group_columns")
+        if not self.value_column:
+            raise SpecError("quantile_filter requires value_column")
+        if not 0.0 < self.q < 1.0:
+            raise SpecError(
+                f"quantile_filter q must be in (0, 1), got {self.q!r}"
+            )
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -1096,6 +1143,8 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "profile": ProfileOperation,
     "histogram": HistogramOperation,
     "outliers": OutlierOperation,
+    "global_shuffle": GlobalShuffleOperation,
+    "quantile_filter": QuantileFilterOperation,
 }
 
 

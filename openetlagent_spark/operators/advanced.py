@@ -445,3 +445,21 @@ def apply_outliers(df: DataFrame, op: OutlierOperation) -> DataFrame:
         df, op.input_column, z_threshold=op.z_threshold,
         group_cols=op.group_columns or None,
     )
+
+
+def apply_global_shuffle(df: DataFrame, op: "GlobalShuffleOperation") -> DataFrame:
+    from ..functions.curation import global_shuffle
+
+    return global_shuffle(
+        df, op.key_column, seed=op.seed,
+        key_column=op.shuffle_key_column, position_column=op.position_column,
+    )
+
+
+def apply_quantile_filter(df: DataFrame, op: "QuantileFilterOperation") -> DataFrame:
+    from ..functions.curation import quantile_filter
+
+    return quantile_filter(
+        df, op.group_columns, op.value_column, q=op.q,
+        threshold_column=op.threshold_column or None,
+    )

@@ -1430,6 +1430,45 @@ HAVING MIN(p.epoch) - v.view_epoch <= 3600
 """
 
 
+def q_top_p_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-coverage source selection: the smallest set of
+    sources (by doc count, descending) whose documents cover 90 % of
+    the corpus — the head-domains view that decides which sources get
+    bespoke cleaning rules.  The corpus reduces to ONE grouped count
+    (source-cardinality rows); the cumulative window then runs on that
+    bounded aggregate, so the single-partition window frame holds only
+    |sources| rows — never corpus-sized.  All-integer arithmetic
+    (cum*10 < total*9 avoids any float share), so the cut is exact."""
+    docs = _t(spark, sf_dir, "documents").select("source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("source").asc())
+    ranked = counts.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_docs"),
+        F.sum("n_docs").over(Window.partitionBy()).alias("_x_total"),
+        F.row_number().over(w).cast("long").alias("coverage_rank"),
+    )
+    return ranked.filter(
+        (F.col("cum_docs") - F.col("n_docs")) * 10 < F.col("_x_total") * 9
+    ).select("source", "n_docs", "cum_docs", "coverage_rank")
+
+
+TOP_P_SOURCES_SQL = """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+r AS (SELECT source, n_docs,
+             CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, source) AS BIGINT) AS coverage_rank
+      FROM c)
+SELECT source, n_docs, cum_docs, coverage_rank
+FROM r WHERE (cum_docs - n_docs) * 10 < total_docs * 9
+"""
+
+
 ANALYTICS_QUERIES = {
     "tpch_q2": q_tpch_q2,
     "tpch_q4": q_tpch_q4,
@@ -1462,6 +1501,7 @@ ANALYTICS_QUERIES = {
     "funnel": q_funnel,
     "window_distinct_users": q_window_distinct_users,
     "cohort_retention": q_cohort_retention,
+    "top_p_sources": q_top_p_sources,
 }
 
 ANALYTICS_ORACLES = {
@@ -1495,4 +1535,5 @@ ANALYTICS_ORACLES = {
     "funnel": FUNNEL_SQL,
     "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "top_p_sources": TOP_P_SOURCES_SQL,
 }

@@ -1422,6 +1422,114 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(docs, "doc_id", "text", chunk_size=64, overlap=16)
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (functions/
+    curation.py global_shuffle, via the flow dispatcher): every
+    document gets md5(doc_id ∥ seed) and its exact 1-based global rank.
+    The rank is a two-phase distributed prefix scan (range partition →
+    bounded per-partition counts → parallel local windows), never a
+    single-partition global window; the permutation is reproducible
+    from (key, seed) alone."""
+    from ..model import GlobalShuffleOperation
+    from ..operators import apply_global_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return apply_global_shuffle(
+        docs, GlobalShuffleOperation(key_column="doc_id", seed=7)
+    )
+
+
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile quality gate (functions/curation.py
+    quantile_filter, via the flow dispatcher): keep each source's top
+    quartile by document length, then aggregate the survivors.  The
+    grouped PERCENTILE_CONT threshold table is source-cardinality
+    sized and BROADCASTS back onto the corpus — the corpus never
+    shuffles; integer count/sum aggregates keep the check exact."""
+    from ..model import QuantileFilterOperation
+    from ..operators import apply_quantile_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = apply_quantile_filter(
+        docs,
+        QuantileFilterOperation(
+            group_columns=["source"], value_column="n_chars", q=0.75,
+            threshold_column="threshold",
+        ),
+    )
+    return kept.groupBy("source").agg(
+        F.min("threshold").alias("threshold"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding health stats — the sanity pass before any
+    ANN/clustering stage (degenerate or wrongly-scaled vectors show up
+    as norm outliers).  Per-row squared L2 norms are left-to-right
+    double folds (bit-identical across engines, cf. similarity.py);
+    the cross-row SUM accumulates in DECIMAL so the result is
+    partition-order independent; MIN/MAX need no accumulation.  One
+    narrow shuffle on the label key."""
+    emb = _ts(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    per = emb.select(
+        "label", norm2.alias("norm2"), F.size("embedding").cast("long").alias("dim")
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("dim"),
+        F.sum(F.col("norm2").cast("decimal(28,10)")).cast("double").alias("sum_norm2"),
+        F.min("norm2").alias("min_norm2"),
+        F.max("norm2").alias("max_norm2"),
+    )
+
+
+def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink end-to-end (sources/io.py save_data
+    partition_by): documents rewritten partitioned by ``lang``, then
+    one language is scanned off the partitioned copy and aggregated.
+    At 100 TB the lang= directory pruning means the scan never opens
+    the other partitions' files at all (PartitionFilters evidence:
+    tests/test_plan_shapes.py).  Hash-matching a plain filtered
+    aggregate over the SOURCE proves the partitioned rewrite is
+    lossless and the pruned read returns exactly the partition's
+    rows."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..model import ColumnDefinition, FileDefinition, FileSchema
+    from ..sources import save_data
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = os.path.join(tempfile.gettempdir(), f"ela_partitioned_layout_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars", "lang")
+    fd = FileDefinition(
+        path=tmp,
+        format="parquet",
+        file_schema=FileSchema(
+            name="documents_by_lang",
+            columns={
+                "doc_id": ColumnDefinition(type="integer"),
+                "source": ColumnDefinition(type="string"),
+                "n_chars": ColumnDefinition(type="integer"),
+                "lang": ColumnDefinition(type="string"),
+            },
+        ),
+    )
+    save_data(docs, fd, partition_by=["lang"])
+    back = spark.read.parquet(tmp).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1508,6 +1616,10 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "stratified_sample": q_stratified_sample,
     "chunk_docs": q_chunk_docs,
+    "global_shuffle": q_global_shuffle,
+    "quantile_filter": q_quantile_filter,
+    "embedding_stats": q_embedding_stats,
+    "partitioned_layout": q_partitioned_layout,
 }
 
 # SQL fragments shared by several text oracles (mirror text.py exactly).
@@ -1956,6 +2068,8 @@ HARNESS_ORACLES["text_scrub"] = (
 
 from ..functions.curation import (  # noqa: E402
     chunk_oracle_sql as _chunk_oracle_sql,
+    global_shuffle_oracle_sql as _global_shuffle_oracle_sql,
+    quantile_filter_oracle_sql as _quantile_filter_oracle_sql,
     stratified_sample_oracle_sql as _stratified_sample_oracle_sql,
 )
 from ..functions.incremental import (  # noqa: E402
@@ -2008,4 +2122,41 @@ HARNESS_ORACLES["stratified_sample"] = _stratified_sample_oracle_sql(
 
 HARNESS_ORACLES["chunk_docs"] = _chunk_oracle_sql(
     "documents", "doc_id", "text", chunk_size=64, overlap=16
+)
+
+HARNESS_ORACLES["global_shuffle"] = _global_shuffle_oracle_sql(
+    "documents", "doc_id", seed=7, select_cols=["doc_id"]
+)
+
+HARNESS_ORACLES["quantile_filter"] = (
+    "WITH kept AS ("
+    + _quantile_filter_oracle_sql(
+        "documents", ["source"], "n_chars", q=0.75,
+        threshold_column="threshold",
+        select_cols=["doc_id", "source", "n_chars"],
+    )
+    + ") SELECT source, MIN(threshold) AS threshold, COUNT(*) AS n_kept, "
+    "CAST(SUM(n_chars) AS BIGINT) AS kept_chars FROM kept GROUP BY source"
+)
+
+# Same left-to-right double fold as the Spark plan: list_reduce over
+# (0.0 :: squared elements) reproduces aggregate(v, 0.0, acc + x*x)
+# term for term, so each per-row norm2 is bit-identical; the cross-row
+# SUM goes through DECIMAL on both sides (partition-order independent).
+HARNESS_ORACLES["embedding_stats"] = """
+WITH per AS (
+  SELECT label,
+         list_reduce(list_prepend(0.0, list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                     (a, b) -> a + b) AS norm2,
+         CAST(len(embedding) AS BIGINT) AS dim
+  FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs, MIN(dim) AS dim,
+       CAST(SUM(CAST(norm2 AS DECIMAL(28,10))) AS DOUBLE) AS sum_norm2,
+       MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2
+FROM per GROUP BY label
+"""
+
+HARNESS_ORACLES["partitioned_layout"] = (
+    "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+    "FROM documents WHERE lang = 'en' GROUP BY source"
 )

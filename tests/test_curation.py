@@ -189,3 +189,85 @@ def test_scrub_flow_op(spark):
     from openetlagent_spark.model import SpecError
     with pytest.raises(SpecError):
         parse_operation({"operation_type": "scrub", "rules": [["only-pattern"]]})
+
+
+# --- global training-order shuffle ------------------------------------------
+
+
+def test_global_shuffle_is_exact_permutation(spark):
+    from openetlagent_spark.functions.curation import global_shuffle
+
+    docs = _docs(spark).select("doc_id")
+    n = docs.count()
+    out = global_shuffle(docs, "doc_id", seed=7)
+    rows = out.collect()
+    assert sorted(r["position"] for r in rows) == list(range(1, n + 1))
+    # rank order must equal lexicographic order of the shuffle keys
+    by_pos = sorted(rows, key=lambda r: r["position"])
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in by_pos]
+    assert keys == sorted(keys)
+
+
+def test_global_shuffle_partitioning_independent(spark):
+    from openetlagent_spark.functions.curation import global_shuffle
+
+    docs = _docs(spark).select("doc_id")
+    a = {r["doc_id"]: r["position"] for r in global_shuffle(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["position"]
+        for r in global_shuffle(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_global_shuffle_seed_draws_new_permutation(spark):
+    from openetlagent_spark.functions.curation import global_shuffle
+
+    docs = _docs(spark).select("doc_id").limit(50)
+    a = {r["doc_id"]: r["position"] for r in global_shuffle(docs, "doc_id", seed=1).collect()}
+    b = {r["doc_id"]: r["position"] for r in global_shuffle(docs, "doc_id", seed=2).collect()}
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values())
+
+
+# --- per-group quantile filtering -------------------------------------------
+
+
+def test_quantile_filter_median_keeps_upper_half(spark):
+    from openetlagent_spark.functions.curation import quantile_filter
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1, 11)] + [("b", i) for i in (10, 20, 30)],
+        "g string, v long",
+    )
+    out = quantile_filter(df, ["g"], "v", q=0.5, threshold_column="thr")
+    rows = out.collect()
+    a = sorted(r["v"] for r in rows if r["g"] == "a")
+    b = sorted(r["v"] for r in rows if r["g"] == "b")
+    # group a: median of 1..10 is 5.5 -> keep 6..10; group b: median 20
+    assert a == [6, 7, 8, 9, 10]
+    assert b == [20, 30]
+    assert all(r["thr"] == 5.5 for r in rows if r["g"] == "a")
+
+
+def test_quantile_filter_drops_null_groups_and_values(spark):
+    from openetlagent_spark.functions.curation import quantile_filter
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 100), (None, 1000), ("a", None)],
+        "g string, v long",
+    )
+    out = quantile_filter(df, ["g"], "v", q=0.5)
+    assert [r["v"] for r in out.collect()] == [100]
+
+
+def test_quantile_filter_validates_inputs(spark):
+    import pytest
+
+    from openetlagent_spark.functions.curation import quantile_filter
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        quantile_filter(df, [], "v")
+    with pytest.raises(ValueError):
+        quantile_filter(df, ["g"], "v", q=1.0)

@@ -229,3 +229,57 @@ def test_no_global_single_partition_windows_in_round4(spark):
         df = HARNESS_QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, f"{name}: top-k must be TakeOrdered"
+
+
+# --- round-5 additions ------------------------------------------------------
+
+
+def test_quantile_filter_threshold_broadcasts(spark):
+    """The per-group PERCENTILE_CONT threshold table is group-
+    cardinality sized and must broadcast back onto the corpus — the
+    corpus itself never shuffles for the join."""
+    df = HARNESS_QUERIES["quantile_filter"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("embedding_stats", 1),   # one narrow shuffle on the label key
+        ("quantile_filter", 2),   # threshold agg + survivor agg
+        ("global_shuffle", 3),    # range split + pid-window hash; the
+        # cached range exchange prints twice (initial+final AQE plan of
+        # the InMemoryRelation), so the textual count is 3 for 2 real
+        # shuffles
+        ("top_p_sources", 2),     # source agg; window runs on bounded agg
+    ],
+)
+def test_round5_shuffle_budget(spark, name, max_shuffles):
+    df = HARNESS_QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan) <= max_shuffles, plan[:2000]
+
+
+def test_partitioned_layout_prunes_partitions(spark):
+    """The read back off the hive-partitioned copy must carry the lang
+    predicate as a PartitionFilter (directory pruning), not a row-level
+    data filter over all partitions."""
+    df = HARNESS_QUERIES["partitioned_layout"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "lang" in m.group(1), m.group(1)
+
+
+def test_global_shuffle_window_is_partitioned(spark):
+    """global_shuffle's rank window must be partitioned by the range-
+    partition id — never a partitionless window sorting the world."""
+    df = HARNESS_QUERIES["global_shuffle"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        s = line.strip()
+        if "windowspecdefinition(" in s:
+            first_arg = s.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+            assert " DESC" not in first_arg and " ASC" not in first_arg, s[:160]
