@@ -132,6 +132,7 @@ HEADLINE = [
     "embedding_stats",
     "partitioned_layout",
     "top_p_sources",
+    "near_contamination",
 ]
 
 

@@ -756,3 +756,117 @@ def quantile_filter_oracle_sql(
         f"FROM {table} GROUP BY {groups}) t ON {on} "
         f"WHERE CAST(d.{value_col} AS DOUBLE) >= t._x_thr"
     )
+
+
+# --- near-duplicate contamination (cross-corpus minhash) --------------------
+
+
+def near_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    md5_mode: bool = False,
+) -> DataFrame:
+    """Near-duplicate decontamination: (corpus_id, bench_id, jaccard)
+    pairs whose word-shingle Jaccard meets ``threshold`` — the
+    paraphrase-level companion to :func:`contamination_check`, which
+    only catches EXACT shingle overlap.  A benchmark item lightly
+    rewritten into the training corpus passes the exact check but
+    collides here in ≥1 MinHash band.
+
+    Implementation: tag sides, union, and run the SAME banded MinHash
+    pipeline as dedup (functions/dedup.py minhash_lsh_pairs — scan →
+    signature → one (band,hash) shuffle → capped bucket pairing →
+    exact-Jaccard verify) keyed on a (side, id) STRUCT, then keep only
+    the cross-side pairs.  The struct key matters: pairing requires
+    ``key_a < key_b``, so with a plain id a benchmark row sharing its
+    id with a corpus row could never pair with it — the exact
+    contamination case — and would be missed silently; (side, id)
+    keys are distinct across sides by construction, and the side
+    embeds in the pair, so no join-back is needed.  Reusing the union
+    keeps the candidate geometry identical to the dedup family (and
+    its generated oracle); the corpus–corpus pairs it also surfaces
+    are dropped by the side filter after the (small) pair set exists,
+    so no extra wide work.
+
+    ``md5_mode`` (cf. minhash_lsh_pairs): engine-exact hashing end to
+    end, so the full check hash-matches the generated oracle."""
+    from .dedup import minhash_lsh_pairs
+
+    sel_l = corpus.select(F.col(id_col), F.col(text_col), F.lit(0).alias("__side__"))
+    sel_r = bench.select(F.col(id_col), F.col(text_col), F.lit(1).alias("__side__"))
+    tagged = sel_l.unionByName(sel_r).select(
+        F.struct(F.col("__side__").alias("s"), F.col(id_col).alias("i")).alias("__cid__"),
+        F.col(text_col),
+    )
+    pairs = minhash_lsh_pairs(
+        tagged,
+        "__cid__",
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_size=shingle_size,
+        threshold=threshold,
+        seed=seed,
+        max_bucket=max_bucket,
+        md5_mode=md5_mode,
+    )
+    # struct ordering compares side first, so a cross pair always has
+    # the corpus row in id_a — the CASE below still handles both
+    # orientations for clarity/robustness
+    out = pairs.filter(F.col("id_a.s") != F.col("id_b.s"))
+    corpus_id = F.when(F.col("id_a.s") == 0, F.col("id_a.i")).otherwise(F.col("id_b.i"))
+    bench_id = F.when(F.col("id_a.s") == 1, F.col("id_a.i")).otherwise(F.col("id_b.i"))
+    return out.select(
+        corpus_id.alias("corpus_id"), bench_id.alias("bench_id"), F.col("jaccard")
+    )
+
+
+def near_contamination_oracle_sql(
+    union_table: str,
+    bench_predicate: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_size: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB mirror of :func:`near_contamination` in md5_mode, built
+    on the SAME generated pair SQL as the dedup family
+    (dedup.ngram_pairs_oracle_sql, same band geometry) over the union
+    table, with side membership decided by ``bench_predicate`` (a SQL
+    predicate over the id, e.g. ``doc_id % 20 = 0``).  Assumes the
+    predicate splits the union into DISJOINT id sets (a plain-id pair
+    formulation cannot express the same-id cross pair the Spark
+    struct-keyed implementation additionally catches)."""
+    from .dedup import ngram_pairs_oracle_sql
+
+    pair_sql = ngram_pairs_oracle_sql(
+        table=union_table,
+        id_col=id_col,
+        text_col=text_col,
+        n=shingle_size,
+        threshold=threshold,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+        max_bucket=max_bucket,
+    )
+    pa = bench_predicate.replace(id_col, "id_a")
+    pb = bench_predicate.replace(id_col, "id_b")
+    return (
+        f"WITH prs AS ({pair_sql}) "
+        f"SELECT CASE WHEN NOT ({pa}) THEN id_a ELSE id_b END AS corpus_id, "
+        f"CASE WHEN ({pa}) THEN id_a ELSE id_b END AS bench_id, jaccard "
+        f"FROM prs WHERE ({pa}) != ({pb})"
+    )

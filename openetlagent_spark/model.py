@@ -597,6 +597,16 @@ class ContaminationOperation(Operation):
     ngram_size: int = 3
     rate_threshold: float = 0.3
     mode: str = "annotate"
+    # strategy='near' switches from exact shingle overlap to banded
+    # MinHash near-dup pairing (functions/curation.py
+    # near_contamination) — catches paraphrased benchmark items the
+    # exact check misses.  The near-specific knobs below are ignored
+    # under strategy='exact'.
+    strategy: str = "exact"
+    jaccard_threshold: float = 0.5
+    num_perm: int = 64
+    bands: int = 16
+    max_bucket: int = 1000
     operation_type: str = "contamination"
 
     def __post_init__(self) -> None:
@@ -608,6 +618,21 @@ class ContaminationOperation(Operation):
             raise SpecError(
                 f"contamination mode must be annotate/filter, got {self.mode!r}"
             )
+        if self.strategy not in ("exact", "near"):
+            raise SpecError(
+                f"contamination strategy must be exact/near, got {self.strategy!r}"
+            )
+        if self.strategy == "near":
+            if not 0.0 < self.jaccard_threshold <= 1.0:
+                raise SpecError(
+                    "contamination jaccard_threshold must be in (0, 1], got "
+                    f"{self.jaccard_threshold!r}"
+                )
+            if self.num_perm <= 0 or self.bands <= 0 or self.num_perm % self.bands:
+                raise SpecError(
+                    "contamination num_perm must be a positive multiple of bands, "
+                    f"got num_perm={self.num_perm!r} bands={self.bands!r}"
+                )
 
 
 @dataclass

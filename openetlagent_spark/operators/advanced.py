@@ -56,12 +56,33 @@ def apply_contamination(
     resolved like bind's right side.  mode='annotate' returns the
     per-doc overlap stats; mode='filter' drops contaminated rows from
     the ORIGINAL frame (all columns preserved)."""
-    from ..functions.curation import contamination_check
+    from ..functions.curation import contamination_check, near_contamination
 
     if bench_df is None:
         bench_df = resolve_side(
             spark, op.benchmark_path, op.benchmark_schema_columns, inputs
         )
+    if op.strategy == "near":
+        bench_side = bench_df
+        if op.benchmark_text_column and op.benchmark_text_column != op.text_column:
+            bench_side = bench_df.withColumnRenamed(
+                op.benchmark_text_column, op.text_column
+            )
+        pairs = near_contamination(
+            df,
+            bench_side,
+            id_col=op.id_column,
+            text_col=op.text_column,
+            threshold=op.jaccard_threshold,
+            num_perm=op.num_perm,
+            bands=op.bands,
+            shingle_size=op.ngram_size,
+            max_bucket=op.max_bucket,
+        )
+        if op.mode == "annotate":
+            return pairs
+        bad = pairs.select(F.col("corpus_id").alias(op.id_column)).distinct()
+        return df.join(bad, op.id_column, "left_anti")
     ann = contamination_check(
         df,
         bench_df,

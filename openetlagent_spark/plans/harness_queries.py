@@ -1422,6 +1422,24 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(docs, "doc_id", "text", chunk_size=64, overlap=16)
 
 
+def q_near_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination (functions/curation.py
+    near_contamination): MinHash-banded cross-side pairs between a
+    held-out benchmark slice (doc_id % 20 == 0) and the remaining
+    corpus — the paraphrase-level companion to the exact
+    `contamination` check.  md5_mode makes every stage engine-exact,
+    so the full pipeline hash-checks against the generated oracle
+    (same band geometry as dedup_minhash)."""
+    from ..functions.curation import near_contamination
+
+    docs = _ts(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return near_contamination(
+        corpus, bench, "doc_id", "text", threshold=0.3, md5_mode=True
+    )
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (functions/
     curation.py global_shuffle, via the flow dispatcher): every
@@ -1616,6 +1634,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "stratified_sample": q_stratified_sample,
     "chunk_docs": q_chunk_docs,
+    "near_contamination": q_near_contamination,
     "global_shuffle": q_global_shuffle,
     "quantile_filter": q_quantile_filter,
     "embedding_stats": q_embedding_stats,
@@ -2159,4 +2178,18 @@ FROM per GROUP BY label
 HARNESS_ORACLES["partitioned_layout"] = (
     "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
     "FROM documents WHERE lang = 'en' GROUP BY source"
+)
+
+from ..functions.curation import (  # noqa: E402
+    near_contamination_oracle_sql as _near_contamination_oracle_sql,
+)
+
+HARNESS_ORACLES["near_contamination"] = _near_contamination_oracle_sql(
+    "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)",
+    "doc_id % 20 = 0",
+    threshold=0.3,
+    bands=16,
+    rows_per_band=4,
+    seed=42,
+    max_bucket=1000,
 )

@@ -271,3 +271,91 @@ def test_quantile_filter_validates_inputs(spark):
         quantile_filter(df, [], "v")
     with pytest.raises(ValueError):
         quantile_filter(df, ["g"], "v", q=1.0)
+
+
+# --- near-duplicate contamination -------------------------------------------
+
+
+def _near_corpus(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " lambda"),                    # near-dup of bench 100
+        (2, "totally different words here nothing shared at all ok"),
+    ]
+    bench = [(100, base + " mu")]                 # paraphrase of corpus 1
+    c = spark.createDataFrame(rows, "doc_id long, text string")
+    b = spark.createDataFrame(bench, "doc_id long, text string")
+    return c, b
+
+
+def test_near_contamination_catches_paraphrase(spark):
+    from openetlagent_spark.functions.curation import near_contamination
+
+    c, b = _near_corpus(spark)
+    out = near_contamination(c, b, "doc_id", "text", threshold=0.3).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in out] == [(1, 100)]
+    assert 0.3 <= out[0]["jaccard"] <= 1.0
+
+
+def test_near_contamination_exact_check_misses_it(spark):
+    # the same planted paraphrase passes the EXACT contamination gate
+    # at a high rate threshold only because most shingles still match;
+    # shifting every token breaks exact overlap but not minhash banding
+    from openetlagent_spark.functions.curation import (
+        contamination_check,
+        near_contamination,
+    )
+
+    c = spark.createDataFrame(
+        [(1, "zz alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    near = near_contamination(c, b, "doc_id", "text", threshold=0.5).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in near] == [(1, 100)]
+    exact = contamination_check(c, b, rate_threshold=0.99).collect()
+    # the leading token shifts ~2 of 8 shingles, so the 0.99-rate exact
+    # gate does NOT flag it — the near check is strictly more sensitive
+    assert not any(r["contaminated"] for r in exact)
+
+
+def test_near_contamination_flow_filter_mode(spark, tmp_path):
+    from openetlagent_spark.model import ContaminationOperation
+    from openetlagent_spark.operators import apply_contamination
+
+    c, b = _near_corpus(spark)
+    op = ContaminationOperation(
+        benchmark_path="bench",
+        strategy="near",
+        mode="filter",
+        jaccard_threshold=0.3,
+    )
+    out = apply_contamination(c, op, spark, None, bench_df=b)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2]
+    assert out.columns == c.columns
+
+
+def test_near_contamination_strategy_validation(spark):
+    import pytest
+
+    from openetlagent_spark.model import ContaminationOperation, SpecError
+
+    with pytest.raises(SpecError):
+        ContaminationOperation(benchmark_path="b", strategy="fuzzy")
+    with pytest.raises(SpecError):
+        ContaminationOperation(benchmark_path="b", strategy="near", num_perm=10, bands=4)
+
+
+def test_near_contamination_same_id_across_sides(spark):
+    # a benchmark row sharing its id with a corpus row must still pair
+    # (struct (side, id) keying; a plain-id key would silently miss it)
+    from openetlagent_spark.functions.curation import near_contamination
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    c = spark.createDataFrame([(5, txt)], "doc_id long, text string")
+    b = spark.createDataFrame([(5, txt)], "doc_id long, text string")
+    out = near_contamination(c, b, "doc_id", "text", threshold=0.9).collect()
+    assert [(r["corpus_id"], r["bench_id"], r["jaccard"]) for r in out] == [(5, 5, 1.0)]
