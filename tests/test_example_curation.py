@@ -55,3 +55,24 @@ def test_example_fuzzy_linkage_pipeline(spark, tmp_path):
     rows = result.collect()
     assert rows, "sf0.001 corpus should contain at least one close prefix pair"
     assert all(r.id_a < r.id_b and 0 <= r.dist <= 8 for r in rows)
+
+
+def test_example_pretraining_order_pipeline(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/pretraining_order.yaml")
+    )
+    config.outputs["pretrain_ready"].path = str(tmp_path / "pretrain")
+    result, ok, feedback = run_flow(spark, config, flow, "pretrain_ready", single_file=True)
+    assert ok, feedback
+    landed = spark.read.parquet(str(tmp_path / "pretrain"))
+    rows = landed.collect()
+    n_source = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert 0 < len(rows) < n_source          # the gate bit
+    # positions are an exact 1..n permutation in shuffle-key order
+    assert sorted(r.position for r in rows) == list(range(1, len(rows) + 1))
+    by_pos = sorted(rows, key=lambda r: r.position)
+    keys = [(r.shuffle_key, r.doc_id) for r in by_pos]
+    assert keys == sorted(keys)
+    # every survivor is at/above its source's median-length threshold
+    assert all(r.n_chars >= r.len_threshold for r in rows)
