@@ -133,6 +133,8 @@ HEADLINE = [
     "partitioned_layout",
     "top_p_sources",
     "near_contamination",
+    "dedup_keep_best",
+    "event_paths",
 ]
 
 

@@ -129,3 +129,65 @@ reach(a, b) AS (SELECT a, b FROM edges
 SELECT a AS {id_alias}, LEAST(a, MIN(b)) AS component
 FROM reach GROUP BY a
 """
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep the BEST-scoring row per duplicate cluster (highest
+    ``score_col``, minimum id on ties) — the production dedup policy:
+    keep-min discards arbitrarily, while real curation keeps the
+    longest / highest-quality representative of each near-dup cluster.
+
+    Shape: connected components over the pair list (clustered nodes
+    only — a small fraction of the corpus), scores joined onto that
+    bounded node table (AQE broadcasts it), one per-component rank
+    window, and a left-anti join dropping the non-winners from the
+    ORIGINAL frame.  Rows never involved in any pair survive untouched.
+    The corpus itself is touched only by the two anti/score joins —
+    never shuffled wide."""
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, src=src, dst=dst)
+    scored = comps.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col)), "node"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col("node").asc()
+    )
+    losers = (
+        scored.withColumn("_x_r", F.row_number().over(w))
+        .filter(F.col("_x_r") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def keep_best_oracle_sql(
+    pairs_sql: str,
+    table: str,
+    id_col: str,
+    score_col: str,
+    select_cols: list[str],
+) -> str:
+    """DuckDB mirror of :func:`dedup_keep_best`, built on the SAME
+    recursive-closure component SQL (components_oracle_sql) over the
+    same generated pair SQL, so pair mining, clustering, and the
+    keep-best policy are all checked together and cannot drift."""
+    comp_sql = components_oracle_sql(pairs_sql, id_alias=id_col)
+    cols = ", ".join(select_cols)
+    return (
+        f"WITH comp AS ({comp_sql}), "
+        f"scored AS (SELECT c.{id_col}, c.component, t.{score_col} "
+        f"FROM comp c JOIN {table} t USING ({id_col})), "
+        f"losers AS (SELECT {id_col} FROM ("
+        f"SELECT {id_col}, ROW_NUMBER() OVER (PARTITION BY component "
+        f"ORDER BY {score_col} DESC, {id_col}) AS r FROM scored) WHERE r > 1) "
+        f"SELECT {cols} FROM {table} "
+        f"WHERE {id_col} NOT IN (SELECT {id_col} FROM losers)"
+    )

@@ -418,7 +418,10 @@ class DedupOperation(Operation):
     removed) / pairs (the pair table id_a, id_b, score) / components
     (cluster labels: node, component via distributed connected
     components — functions/graph.py) / cluster_drop (TRANSITIVE dedup:
-    exactly one survivor, the minimum id, per duplicate cluster).
+    exactly one survivor, the minimum id, per duplicate cluster) /
+    keep_best (TRANSITIVE dedup keeping each cluster's highest
+    ``score_column`` row, min id on ties — functions/graph.py
+    dedup_keep_best, the production curation policy).
     ``exact`` supports only drop (its keep-min semantics have no pair
     form)."""
 
@@ -447,6 +450,8 @@ class DedupOperation(Operation):
     prefix_chars: int = 40
     block_tokens: int = 2
     len_band: int = 8
+    # keep_best
+    score_column: str = ""
     operation_type: str = "dedup"
 
     def __post_init__(self) -> None:
@@ -457,10 +462,13 @@ class DedupOperation(Operation):
                 f"dedup strategy must be exact/minhash/simhash/ngram/embedding/"
                 f"substring/fuzzy, got {self.strategy!r}"
             )
-        if self.mode not in ("drop", "pairs", "components", "cluster_drop"):
+        if self.mode not in ("drop", "pairs", "components", "cluster_drop", "keep_best"):
             raise SpecError(
-                f"dedup mode must be drop/pairs/components/cluster_drop, got {self.mode!r}"
+                f"dedup mode must be drop/pairs/components/cluster_drop/"
+                f"keep_best, got {self.mode!r}"
             )
+        if self.mode == "keep_best" and not self.score_column:
+            raise SpecError("dedup mode='keep_best' requires score_column")
         if self.strategy == "exact":
             if self.mode != "drop":
                 raise SpecError("dedup strategy='exact' supports mode='drop' only")

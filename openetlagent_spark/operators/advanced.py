@@ -199,6 +199,13 @@ def apply_dedup(df: DataFrame, op: DedupOperation) -> DataFrame:
         from ..functions.graph import connected_components
 
         return connected_components(pairs)
+    if op.mode == "keep_best":
+        # transitive: keep each cluster's best-scoring row (min id on
+        # ties) — the production "keep the longest/highest-quality
+        # representative" policy
+        from ..functions.graph import dedup_keep_best
+
+        return dedup_keep_best(df, pairs, op.id_column, op.score_column)
     if op.mode == "cluster_drop":
         # transitive: exactly one survivor (the min id) per duplicate
         # cluster, via distributed connected components

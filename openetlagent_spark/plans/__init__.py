@@ -20,7 +20,11 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # sentinel re-checks for the families whose source files changed this
 # round (search.py, dedup.py, curation.py, incremental.py,
 # analytics.py, harness_queries.py).  Local `scripts/check_oracle.py`
-# runs the full set regardless of order.
+# runs the full set regardless of order.  Queries ADDED during round 4
+# (near_contamination, global_shuffle, quantile_filter,
+# embedding_stats, partitioned_layout, top_p_sources, ...) register in
+# the tail behind these 50 and queue for the next rotation; each passed
+# the local driver-strength exact check when it landed.
 _ROUND4_FRONT = [
     # r03 hash failures, oracle SQL fixed this round (4)
     "tpch_q12", "stats_moments", "dataset_split", "pack_sequences",

@@ -1456,6 +1456,52 @@ def q_top_p_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "n_docs", "cum_docs", "coverage_rank")
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event journeys: total event count plus the ordered
+    path of the user's first 10 event types joined with '>' — the
+    clickstream-path view behind journey mining / Markov attribution.
+    collect_list gives NO ordering guarantee, so the path collects
+    (rank, type) structs and array_sorts before joining — deterministic
+    on any partitioning.  The rank window and the grouped aggregate
+    share the user_id partitioning (one shuffle total), and the cap
+    bounds per-user state to 10 structs."""
+    from ..streaming import read_event_table
+
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= 10,
+                            F.struct(F.col("rn"), F.col("event_type")),
+                        )
+                    )
+                ),
+                lambda s: s.event_type,
+            ),
+        ).alias("path"),
+    )
+
+
+EVENT_PATHS_SQL = """
+WITH r AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       string_agg(CASE WHEN rn <= 10 THEN event_type END, '>' ORDER BY rn) AS path
+FROM r GROUP BY user_id
+"""
+
+
 TOP_P_SOURCES_SQL = """
 WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
 r AS (SELECT source, n_docs,
@@ -1502,6 +1548,7 @@ ANALYTICS_QUERIES = {
     "window_distinct_users": q_window_distinct_users,
     "cohort_retention": q_cohort_retention,
     "top_p_sources": q_top_p_sources,
+    "event_paths": q_event_paths,
 }
 
 ANALYTICS_ORACLES = {
@@ -1536,4 +1583,5 @@ ANALYTICS_ORACLES = {
     "window_distinct_users": WINDOW_DISTINCT_USERS_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "top_p_sources": TOP_P_SOURCES_SQL,
+    "event_paths": EVENT_PATHS_SQL,
 }

@@ -1301,6 +1301,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware KEEP-BEST dedup (functions/graph.py
+    dedup_keep_best): the exact-oracle ngram LSH pairs fed through
+    connected components, keeping each cluster's LONGEST document
+    (n_chars, min doc_id on ties) instead of the arbitrary minimum id —
+    the production curation policy.  Oracle composes the same generated
+    pair SQL, the recursive-closure component CTE, and the identical
+    rank policy, so all three stages are checked together."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    from ..functions.graph import dedup_keep_best
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text")
+    return dedup_keep_best(docs, pairs, "doc_id", "n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing layout over the documents table: global
     token offsets via the two-phase distributed prefix scan, 512-token
@@ -1628,6 +1646,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "dataset_mixture": q_dataset_mixture,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "text_scrub": q_text_scrub,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
@@ -2192,4 +2211,14 @@ HARNESS_ORACLES["near_contamination"] = _near_contamination_oracle_sql(
     rows_per_band=4,
     seed=42,
     max_bucket=1000,
+)
+
+from ..functions.graph import keep_best_oracle_sql as _keep_best_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["dedup_keep_best"] = _keep_best_oracle_sql(
+    _ngram_pairs_oracle_sql(),
+    "documents",
+    "doc_id",
+    "n_chars",
+    ["doc_id", "source", "n_chars"],
 )

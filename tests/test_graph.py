@@ -63,3 +63,50 @@ def test_dedup_by_components_no_pairs_is_identity(spark):
     pairs = _edges(spark, []).filter(F.lit(False))
     kept = sorted(r["doc_id"] for r in dedup_by_components(df, pairs, "doc_id").collect())
     assert kept == [1, 2]
+
+
+def test_dedup_keep_best_keeps_highest_score(spark):
+    from openetlagent_spark.functions.graph import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 20), (6, 20)],
+        "doc_id long, quality long",
+    )
+    # clusters {1,2,3} and {5,6}; 4 untouched
+    pairs = _edges(spark, [(1, 2), (2, 3), (5, 6)])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(df, pairs, "doc_id", "quality").collect()
+    )
+    # cluster 1: doc 2 wins (score 99); cluster 2: tie 20/20 -> min id 5
+    assert kept == [2, 4, 5]
+
+
+def test_dedup_keep_best_no_pairs_is_identity(spark):
+    from openetlagent_spark.functions.graph import dedup_keep_best
+
+    df = spark.createDataFrame([(1, 5), (2, 9)], "doc_id long, quality long")
+    pairs = _edges(spark, []).filter(F.lit(False))
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_best(df, pairs, "doc_id", "quality").collect()
+    )
+    assert kept == [1, 2]
+
+
+def test_dedup_keep_best_flow_mode(spark):
+    from openetlagent_spark.model import parse_operation
+    from openetlagent_spark.operators import apply_dedup
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, txt, 10), (2, txt + " iota", 99), (3, "unrelated words only here now", 5)],
+        "doc_id long, text string, quality long",
+    )
+    op = parse_operation({
+        "operation_type": "dedup", "strategy": "ngram", "mode": "keep_best",
+        "id_column": "doc_id", "text_column": "text",
+        "threshold": 0.3, "score_column": "quality",
+    })
+    kept = sorted(r["doc_id"] for r in apply_dedup(df, op).collect())
+    # docs 1,2 are near-dups: 2 wins on quality; 3 untouched
+    assert kept == [2, 3]

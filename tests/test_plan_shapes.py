@@ -254,6 +254,7 @@ def test_quantile_filter_threshold_broadcasts(spark):
         # the InMemoryRelation), so the textual count is 3 for 2 real
         # shuffles
         ("top_p_sources", 2),     # source agg; window runs on bounded agg
+        ("event_paths", 1),       # rank window + grouped agg share user_id
     ],
 )
 def test_round5_shuffle_budget(spark, name, max_shuffles):
