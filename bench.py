@@ -135,6 +135,7 @@ HEADLINE = [
     "near_contamination",
     "dedup_keep_best",
     "event_paths",
+    "incremental_neardup",
 ]
 
 

@@ -316,3 +316,134 @@ def incremental_dedup_oracle_sql(
         f"SELECT * EXCLUDE (__fp__, is_known, is_batch_dup) FROM ({base}) t "
         f"WHERE NOT is_known AND NOT is_batch_dup"
     )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "annotate",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    md5_mode: bool = False,
+) -> DataFrame:
+    """NEAR-duplicate admission gate — the paraphrase-level companion
+    to :func:`incremental_dedup`, whose fingerprint key only catches
+    formatting variants of KNOWN documents.  A lightly rewritten
+    re-crawl passes the fingerprint gate; here it collides with the
+    corpus in ≥1 MinHash band.
+
+    mode='annotate' returns the batch with ``is_known_near`` (the row
+    near-duplicates an existing corpus document at ``threshold``
+    Jaccard) and ``is_batch_dup`` (a lower-id row of the batch is a
+    near-dup of it); mode='filter' keeps only admissible rows.
+
+    Shape: the cross check is curation.near_contamination over the
+    tagged batch∪corpus (one banding shuffle — the corpus never
+    shuffles at text width); the within-batch check is the dedup
+    banding over the batch alone.  Both verdict id-sets are
+    batch-bounded and broadcast back onto the batch.  At 100 TB the
+    corpus signature/banding work should come from a PERSISTED band
+    table maintained alongside the corpus (append each admitted
+    batch's bands), not recomputed per batch — this function computes
+    it inline, which is the correct semantics and the right shape for
+    the recompute; the band-table reuse is a storage-layout decision
+    (cf. sources/io.py write_bucketed) orthogonal to the operator.
+
+    ``md5_mode``: engine-exact hashing end to end (cf.
+    minhash_lsh_pairs), so both verdicts hash-check against the
+    generated oracles."""
+    from .curation import near_contamination
+    from .dedup import minhash_lsh_pairs
+
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"mode must be annotate/filter, got {mode!r}")
+    kw = dict(
+        threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_size=shingle_size, seed=seed, max_bucket=max_bucket,
+        md5_mode=md5_mode,
+    )
+    cross = near_contamination(new_docs, corpus, id_col, text_col, **kw)
+    known = (
+        cross.select(F.col("corpus_id").alias(id_col))
+        .distinct()
+        .withColumn("__kn__", F.lit(1))
+    )
+    batch_pairs = minhash_lsh_pairs(new_docs, id_col, text_col, **kw)
+    dups = (
+        batch_pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__bd__", F.lit(1))
+    )
+    out = (
+        new_docs.join(F.broadcast(known), id_col, "left")
+        .join(F.broadcast(dups), id_col, "left")
+        .withColumn("is_known_near", F.col("__kn__").isNotNull())
+        .withColumn("is_batch_dup", F.col("__bd__").isNotNull())
+        .drop("__kn__", "__bd__")
+    )
+    if mode == "annotate":
+        return out
+    return out.filter(~F.col("is_known_near") & ~F.col("is_batch_dup")).drop(
+        "is_known_near", "is_batch_dup"
+    )
+
+
+def incremental_neardup_oracle_sql(
+    union_table: str,
+    batch_predicate: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    select_cols: list[str] | None = None,
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_size: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB mirror of :func:`incremental_neardup` (annotate mode,
+    md5_mode) — composes curation.near_contamination_oracle_sql (cross
+    verdict; bench side = NOT batch_predicate) and
+    dedup.ngram_pairs_oracle_sql over the batch alone (within-batch
+    verdict), from the same band geometry, so neither can drift."""
+    from .curation import near_contamination_oracle_sql
+    from .dedup import ngram_pairs_oracle_sql
+
+    cross_sql = near_contamination_oracle_sql(
+        union_table,
+        f"NOT ({batch_predicate})",
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        shingle_size=shingle_size,
+        seed=seed,
+        max_bucket=max_bucket,
+    )
+    batch_table = f"(SELECT * FROM {union_table} u WHERE {batch_predicate})"
+    batch_pairs_sql = ngram_pairs_oracle_sql(
+        table=batch_table,
+        id_col=id_col,
+        text_col=text_col,
+        n=shingle_size,
+        threshold=threshold,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+        max_bucket=max_bucket,
+    )
+    cols = ", ".join(f"b.{c}" for c in (select_cols or [id_col]))
+    return (
+        f"WITH crossp AS ({cross_sql}), bp AS ({batch_pairs_sql}) "
+        f"SELECT {cols}, "
+        f"EXISTS (SELECT 1 FROM crossp c WHERE c.corpus_id = b.{id_col}) AS is_known_near, "
+        f"EXISTS (SELECT 1 FROM bp WHERE bp.id_b = b.{id_col}) AS is_batch_dup "
+        f"FROM {batch_table} b"
+    )

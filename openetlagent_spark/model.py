@@ -1064,6 +1064,17 @@ class IncrementalDedupOperation(Operation):
     id_column: str = "doc_id"
     text_column: str = "text"
     mode: str = "annotate"
+    # strategy='near' switches the match key from the exact normalized-
+    # text fingerprint to banded MinHash near-duplication (functions/
+    # incremental.py incremental_neardup) — catches paraphrased
+    # re-crawls the fingerprint gate admits.  The knobs below are
+    # ignored under strategy='exact'.
+    strategy: str = "exact"
+    jaccard_threshold: float = 0.5
+    num_perm: int = 64
+    bands: int = 16
+    shingle_size: int = 3
+    max_bucket: int = 1000
     operation_type: str = "incremental_dedup"
 
     def __post_init__(self) -> None:
@@ -1075,6 +1086,21 @@ class IncrementalDedupOperation(Operation):
             raise SpecError(
                 f"incremental_dedup mode must be annotate/filter, got {self.mode!r}"
             )
+        if self.strategy not in ("exact", "near"):
+            raise SpecError(
+                f"incremental_dedup strategy must be exact/near, got {self.strategy!r}"
+            )
+        if self.strategy == "near":
+            if not 0.0 < self.jaccard_threshold <= 1.0:
+                raise SpecError(
+                    "incremental_dedup jaccard_threshold must be in (0, 1], got "
+                    f"{self.jaccard_threshold!r}"
+                )
+            if self.num_perm <= 0 or self.bands <= 0 or self.num_perm % self.bands:
+                raise SpecError(
+                    "incremental_dedup num_perm must be a positive multiple of "
+                    f"bands, got num_perm={self.num_perm!r} bands={self.bands!r}"
+                )
 
 
 @dataclass

@@ -438,11 +438,19 @@ def apply_incremental_dedup(
     corpus_df: DataFrame | None = None,
 ) -> DataFrame:
     """Append-batch dedup: current frame = incoming batch, corpus
-    resolved like bind's right side."""
-    from ..functions.incremental import incremental_dedup
+    resolved like bind's right side.  strategy='near' swaps the exact
+    fingerprint key for banded MinHash near-duplication."""
+    from ..functions.incremental import incremental_dedup, incremental_neardup
 
     if corpus_df is None:
         corpus_df = resolve_side(spark, op.corpus_path, op.corpus_schema_columns, inputs)
+    if op.strategy == "near":
+        return incremental_neardup(
+            df, corpus_df, op.id_column, op.text_column, mode=op.mode,
+            threshold=op.jaccard_threshold, num_perm=op.num_perm,
+            bands=op.bands, shingle_size=op.shingle_size,
+            max_bucket=op.max_bucket,
+        )
     return incremental_dedup(df, corpus_df, op.id_column, op.text_column, mode=op.mode)
 
 

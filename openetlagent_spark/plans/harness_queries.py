@@ -1301,6 +1301,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup admission gate (functions/incremental.py
+    incremental_neardup): a 10 % slice of documents plays the incoming
+    batch against the remaining corpus — each batch row flagged if it
+    near-duplicates the corpus (is_known_near) or a lower-id batch row
+    (is_batch_dup).  md5_mode end to end; the oracle composes the
+    cross-side and batch-only generated pair SQL with EXISTS verdicts."""
+    from ..functions.incremental import incremental_neardup
+
+    docs = _ts(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    batch = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id", "text", "source")
+    corpus = docs.filter(F.col("doc_id") % 10 != 3).select("doc_id", "text")
+    return incremental_neardup(
+        batch, corpus, "doc_id", "text", threshold=0.3, md5_mode=True
+    ).select("doc_id", "source", "is_known_near", "is_batch_dup")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware KEEP-BEST dedup (functions/graph.py
     dedup_keep_best): the exact-oracle ngram LSH pairs fed through
@@ -1647,6 +1664,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mixture": q_dataset_mixture,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
+    "incremental_neardup": q_incremental_neardup,
     "text_scrub": q_text_scrub,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
@@ -2221,4 +2239,15 @@ HARNESS_ORACLES["dedup_keep_best"] = _keep_best_oracle_sql(
     "doc_id",
     "n_chars",
     ["doc_id", "source", "n_chars"],
+)
+
+from ..functions.incremental import (  # noqa: E402
+    incremental_neardup_oracle_sql as _incremental_neardup_oracle_sql,
+)
+
+HARNESS_ORACLES["incremental_neardup"] = _incremental_neardup_oracle_sql(
+    "(SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL)",
+    "doc_id % 10 = 3",
+    select_cols=["doc_id", "source"],
+    threshold=0.3,
 )

@@ -360,3 +360,74 @@ def test_incremental_dedup_bad_mode_raises(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="x")])
     with pytest.raises(ValueError):
         incremental_dedup(df, df, mode="nope")
+
+
+# --- near-dup admission gate -------------------------------------------------
+
+
+def _near_batch(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch = spark.createDataFrame(
+        [
+            (10, base + " lambda"),       # near-dup of corpus doc 1
+            (11, "fresh content first version words tokens stream data"),
+            (12, "fresh content first version words tokens stream datum"),  # near-dup of 11
+            (13, "completely novel text sequence nothing shared anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, base + " mu"), (2, "other corpus entry entirely different")],
+        "doc_id long, text string",
+    )
+    return batch, corpus
+
+
+def test_incremental_neardup_annotate(spark):
+    from openetlagent_spark.functions.incremental import incremental_neardup
+
+    batch, corpus = _near_batch(spark)
+    out = {
+        r["doc_id"]: (r["is_known_near"], r["is_batch_dup"])
+        for r in incremental_neardup(batch, corpus, threshold=0.3).collect()
+    }
+    assert out[10] == (True, False)    # paraphrase of corpus doc 1
+    assert out[11] == (False, False)   # first of the in-batch pair
+    assert out[12] == (False, True)    # lower-id batch near-dup exists
+    assert out[13] == (False, False)
+
+
+def test_incremental_neardup_filter_via_flow_op(spark):
+    from openetlagent_spark.model import parse_operation
+    from openetlagent_spark.operators import apply_incremental_dedup
+
+    batch, corpus = _near_batch(spark)
+    op = parse_operation({
+        "operation_type": "incremental_dedup", "corpus_path": "corpus",
+        "strategy": "near", "mode": "filter", "jaccard_threshold": 0.3,
+    })
+    kept = sorted(
+        r["doc_id"]
+        for r in apply_incremental_dedup(batch, op, spark, None, corpus_df=corpus).collect()
+    )
+    assert kept == [11, 13]
+    # exact fingerprint gate admits ALL of them (none is an exact dup)
+    op2 = parse_operation({
+        "operation_type": "incremental_dedup", "corpus_path": "corpus", "mode": "filter",
+    })
+    kept2 = sorted(
+        r["doc_id"]
+        for r in apply_incremental_dedup(batch, op2, spark, None, corpus_df=corpus).collect()
+    )
+    assert kept2 == [10, 11, 12, 13]
+
+
+def test_incremental_neardup_validation(spark):
+    import pytest
+
+    from openetlagent_spark.model import IncrementalDedupOperation, SpecError
+
+    with pytest.raises(SpecError):
+        IncrementalDedupOperation(corpus_path="c", strategy="fuzzy")
+    with pytest.raises(SpecError):
+        IncrementalDedupOperation(corpus_path="c", strategy="near", jaccard_threshold=0.0)
