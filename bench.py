@@ -136,6 +136,7 @@ HEADLINE = [
     "dedup_keep_best",
     "event_paths",
     "incremental_neardup",
+    "bpe_train",
 ]
 
 

@@ -680,3 +680,167 @@ SELECT d.id AS {id_col},
          AS lm_score
 FROM (SELECT DISTINCT id FROM t) d LEFT JOIN agg ON d.id = agg.id
 """
+
+
+# --- iterative BPE training --------------------------------------------------
+
+
+def _bpe_adjacent_pairs(sym: Column) -> Column:
+    """Adjacent (left, right) symbol pairs of one symbol array — the
+    generalization of bpe_pair_counts' char pairs to post-merge
+    multi-char symbols.  Overlapping pairs count, as in every BPE
+    trainer ('aaa' holds (a,a) twice)."""
+    from .dedup import bind_once
+
+    def build(s: Column) -> Column:
+        idx = F.when(
+            F.size(s) > 1, F.sequence(F.lit(1), F.size(s) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(s, i).alias("pair_left"),
+                F.element_at(s, i + 1).alias("pair_right"),
+            ),
+        )
+
+    return bind_once(sym, build)
+
+
+def _bpe_merge_fold(sym: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of one (left, right) pair inside a
+    symbol array — the exact fold every BPE trainer applies.  Nested
+    when keeps element_at off the empty-accumulator path (ANSI-safe)."""
+    merged = left + right
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> DataFrame:
+    """FULL BPE tokenizer-training loop — the iterative closure of
+    bpe_pair_counts (which is one round's count): ``n_merges`` rounds
+    of count-pairs → pick the argmax (count desc, pair asc tie-break)
+    → greedily merge it everywhere → recount.  Returns the learned
+    merge table (merge_rank, pair_left, pair_right, merged, n_pairs) —
+    the artifact a tokenizer ships.
+
+    Scale shape (the reason BPE training is feasible at 100 TB): the
+    corpus is touched ONCE, by the word-frequency aggregate; every
+    training round then runs against the (word, count) VOCAB — bounded
+    by distinct-word count, not corpus size — exactly how reference
+    BPE trainers operate on frequency tables.  Per round: one
+    map-side-combined pair aggregate over the vocab, a 1-row argmax to
+    the driver (the same bounded-driver-state class as kmeans'
+    centroids), and one JVM fold rewriting the symbol arrays.  The
+    vocab persists between rounds (old round unpersisted after the
+    next materializes), so lineage stays flat across rounds.
+
+    Exactness: counts are integers, the tie-break is total, and the
+    greedy fold is deterministic — the whole loop hash-checks against
+    an UNROLLED k-stage SQL oracle (bpe_train_oracle_sql), the same
+    strategy as kmeans' unrolled-CTE oracle."""
+    if n_merges <= 0:
+        raise ValueError(f"bpe_train n_merges must be positive, got {n_merges}")
+    spark = df.sparkSession
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    cur = vocab.select("n", F.split(F.col("w"), "").alias("sym")).persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for r in range(1, n_merges + 1):
+            top = (
+                cur.select("n", F.explode(_bpe_adjacent_pairs(F.col("sym"))).alias("p"))
+                .groupBy("p.pair_left", "p.pair_right")
+                .agg(F.sum("n").alias("n_pairs"))
+                .orderBy(F.desc("n_pairs"), F.asc("pair_left"), F.asc("pair_right"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, tot = top[0]["pair_left"], top[0]["pair_right"], int(top[0]["n_pairs"])
+            merges.append((r, a, b, a + b, tot))
+            nxt = cur.select("n", _bpe_merge_fold(F.col("sym"), a, b).alias("sym")).persist()
+            nxt.count()  # materialize before releasing the parent round
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, pair_left string, pair_right string, merged string, n_pairs long",
+    )
+
+
+def bpe_train_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`bpe_train`: the k training rounds
+    UNROLLED into chained CTEs — per round the same weighted pair
+    aggregate, the same (count desc, pair asc) LIMIT 1 argmax, and the
+    same greedy list_reduce merge fold — generated from the same
+    ``n_merges``, so the loop and its oracle cannot drift.  A round
+    with no pairs left yields an empty m{r} (LIMIT 1 of nothing) and
+    an unchanged s{r} (the NULL pair matches no symbol), mirroring the
+    Spark loop's early break."""
+    toks = _toks_sql(text_col)
+    parts = [
+        f"v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM (SELECT unnest({toks}) AS w FROM {table} "
+        f"WHERE {text_col} IS NOT NULL) WHERE w <> '' GROUP BY w)",
+        "s0 AS (SELECT n, string_split(w, '') AS sym FROM v)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT sym[CAST(i AS INTEGER)] AS pair_left, "
+            f"sym[CAST(i AS INTEGER) + 1] AS pair_right, n "
+            f"FROM (SELECT sym, n, unnest(range(1, len(sym))) AS i FROM {prev}))"
+        )
+        parts.append(
+            f"m{r} AS (SELECT pair_left, pair_right, "
+            f"CAST(SUM(n) AS BIGINT) AS n_pairs FROM p{r} "
+            f"GROUP BY pair_left, pair_right "
+            f"ORDER BY n_pairs DESC, pair_left, pair_right LIMIT 1)"
+        )
+        # DuckDB lambdas reject subqueries but CAPTURE row columns, so
+        # the round's winning pair joins in via LEFT JOIN ON TRUE (an
+        # empty m{r} — nothing left to merge — gives NULL captures,
+        # which match no symbol: the round is a no-op, mirroring the
+        # Spark loop's early break).
+        parts.append(
+            f"s{r} AS (SELECT n, list_reduce(list_transform(sym, x -> [x]), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 "
+            f"AND acc[-1] = __ml AND x[1] = __mr "
+            f"THEN list_concat(acc[1:len(acc)-1], [__mm]) "
+            f"ELSE list_append(acc, x[1]) END) AS sym "
+            f"FROM (SELECT s.n, s.sym, m.pair_left AS __ml, "
+            f"m.pair_right AS __mr, m.pair_left || m.pair_right AS __mm "
+            f"FROM {prev} s LEFT JOIN m{r} m ON TRUE))"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair_left, pair_right, "
+        f"pair_left || pair_right AS merged, n_pairs FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + finals

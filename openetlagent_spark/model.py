@@ -925,6 +925,24 @@ class DocLmScoreOperation(Operation):
 
 
 @dataclass
+class BpeTrainOperation(Operation):
+    """Full iterative BPE tokenizer training as a flow op
+    (functions/text.py bpe_train): n_merges rounds of weighted pair
+    counting + greedy merge over the corpus word-frequency vocab,
+    returning the learned merge table."""
+
+    text_column: str = "text"
+    n_merges: int = 5
+    operation_type: str = "bpe_train"
+
+    def __post_init__(self) -> None:
+        if self.n_merges <= 0:
+            raise SpecError(
+                f"bpe_train n_merges must be positive, got {self.n_merges!r}"
+            )
+
+
+@dataclass
 class VocabOovOperation(Operation):
     """Rare-token/OOV quality scoring as a flow op (functions/text.py
     vocab_oov): per-doc token totals and out-of-vocabulary counts
@@ -1196,6 +1214,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "doc_lm_score": DocLmScoreOperation,
     "inverted_index": InvertedIndexOperation,
     "vocab_oov": VocabOovOperation,
+    "bpe_train": BpeTrainOperation,
     "kmeans": ClusteringOperation,
     "incremental_dedup": IncrementalDedupOperation,
     "split_assign": SplitAssignOperation,

@@ -409,6 +409,12 @@ def apply_inverted_index(df: DataFrame, op: InvertedIndexOperation) -> DataFrame
     )
 
 
+def apply_bpe_train(df: DataFrame, op: "BpeTrainOperation") -> DataFrame:
+    from ..functions.text import bpe_train
+
+    return bpe_train(df, op.text_column, n_merges=op.n_merges)
+
+
 def apply_vocab_oov(df: DataFrame, op: VocabOovOperation) -> DataFrame:
     from ..functions.text import vocab_oov
 

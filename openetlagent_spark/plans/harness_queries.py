@@ -1301,6 +1301,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE tokenizer training (functions/text.py
+    bpe_train): 6 merge rounds over the corpus word-frequency vocab —
+    each round a weighted pair aggregate, a 1-row argmax, and a greedy
+    JVM merge fold.  The corpus is scanned once (vocab build); every
+    round runs on the bounded vocab.  Oracle is the 6-stage unrolled
+    CTE generated from the same parameters."""
+    from ..functions.text import bpe_train
+
+    docs = _ts(spark, sf_dir, "documents").select("text")
+    return bpe_train(docs, "text", n_merges=6)
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-dup admission gate (functions/incremental.py
     incremental_neardup): a 10 % slice of documents plays the incoming
@@ -1665,6 +1678,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "incremental_neardup": q_incremental_neardup,
+    "bpe_train": q_bpe_train,
     "text_scrub": q_text_scrub,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
@@ -2251,3 +2265,7 @@ HARNESS_ORACLES["incremental_neardup"] = _incremental_neardup_oracle_sql(
     select_cols=["doc_id", "source"],
     threshold=0.3,
 )
+
+from ..functions.text import bpe_train_oracle_sql as _bpe_train_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["bpe_train"] = _bpe_train_oracle_sql("documents", "text", n_merges=6)

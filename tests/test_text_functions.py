@@ -182,3 +182,53 @@ def test_unicode_nfc_composes_and_matches_duckdb(spark):
         assert got[i] == con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
     assert got[0] == "Caf\u00e9" and len(got[0]) == 4 and len(samples[0]) == 5
     assert got[2] == "ﬁle"  # ligature survives
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from openetlagent_spark.functions.text import bpe_train
+
+    # corpus: 'abab' x3, 'ab' x2 -> round 1 merges (a,b) [8 pairs];
+    # round 2 merges (ab,ab) [3 pairs]
+    df = spark.createDataFrame(
+        [("abab abab abab ab ab",)], "text string"
+    )
+    rows = bpe_train(df, "text", n_merges=2).orderBy("merge_rank").collect()
+    assert [(r.merge_rank, r.pair_left, r.pair_right, r.merged, r.n_pairs) for r in rows] == [
+        (1, "a", "b", "ab", 8),
+        (2, "ab", "ab", "abab", 3),
+    ]
+
+
+def test_bpe_train_greedy_overlap_and_exhaustion(spark):
+    from openetlagent_spark.functions.text import bpe_train
+
+    # 'aaa': (a,a) counts twice (overlap) but greedy merge leaves [aa, a];
+    # only 2 merges are learnable from a 3-char word — round 3 finds no
+    # pairs and the loop stops early with 2 rows
+    df = spark.createDataFrame([("aaa",)], "text string")
+    rows = bpe_train(df, "text", n_merges=3).orderBy("merge_rank").collect()
+    assert [(r.merge_rank, r.pair_left, r.pair_right, r.n_pairs) for r in rows] == [
+        (1, "a", "a", 2),
+        (2, "aa", "a", 1),
+    ]
+
+
+def test_bpe_train_weighted_by_word_frequency(spark):
+    from openetlagent_spark.functions.text import bpe_train
+
+    # 'xy' appears in 3 docs, 'zz' in 1 -> (x,y) outweighs (z,z)
+    df = spark.createDataFrame(
+        [("xy",), ("xy",), ("xy",), ("zz",)], "text string"
+    )
+    rows = bpe_train(df, "text", n_merges=1).collect()
+    assert [(r.pair_left, r.pair_right, r.n_pairs) for r in rows] == [("x", "y", 3)]
+
+
+def test_bpe_train_validates(spark):
+    import pytest
+
+    from openetlagent_spark.functions.text import bpe_train
+
+    df = spark.createDataFrame([("a",)], "text string")
+    with pytest.raises(ValueError):
+        bpe_train(df, "text", n_merges=0)
