@@ -343,13 +343,18 @@ def incremental_neardup(
     Jaccard) and ``is_batch_dup`` (a lower-id row of the batch is a
     near-dup of it); mode='filter' keeps only admissible rows.
 
-    Shape: the cross check is curation.near_contamination over the
-    tagged batch∪corpus (one banding shuffle — the corpus never
-    shuffles at text width); the within-batch check is the dedup
-    banding over the batch alone.  Both verdict id-sets are
-    batch-bounded and broadcast back onto the batch.  At 100 TB the
-    corpus signature/banding work should come from a PERSISTED band
-    table maintained alongside the corpus (append each admitted
+    Shape: ONE banded MinHash pipeline over the tagged batch∪corpus
+    (keyed on a (side, id) struct, cf. curation.near_contamination)
+    yields BOTH verdicts — cross-side pairs mark known-near batch
+    rows, batch-side pairs mark within-batch dups — so the signature/
+    banding work is paid once; the (small) pair table persists and the
+    two batch-bounded id-sets broadcast back onto the batch.  One
+    consequence: the ``max_bucket`` degenerate-bucket cap applies to
+    the UNION's buckets, one consistent banding space for both
+    verdicts.  Ids must be unique across batch and corpus (the batch
+    verdict reads plain ids back out of the struct keys).  At 100 TB
+    the corpus signature/banding work should come from a PERSISTED
+    band table maintained alongside the corpus (append each admitted
     batch's bands), not recomputed per batch — this function computes
     it inline, which is the correct semantics and the right shape for
     the recompute; the band-table reuse is a storage-layout decision
@@ -358,25 +363,42 @@ def incremental_neardup(
     ``md5_mode``: engine-exact hashing end to end (cf.
     minhash_lsh_pairs), so both verdicts hash-check against the
     generated oracles."""
-    from .curation import near_contamination
     from .dedup import minhash_lsh_pairs
 
     if mode not in ("annotate", "filter"):
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
-    kw = dict(
+    tagged = (
+        new_docs.select(F.col(id_col), F.col(text_col), F.lit(0).alias("__side__"))
+        .unionByName(
+            corpus.select(F.col(id_col), F.col(text_col), F.lit(1).alias("__side__"))
+        )
+        .select(
+            F.struct(
+                F.col("__side__").alias("s"), F.col(id_col).alias("i")
+            ).alias("__cid__"),
+            F.col(text_col),
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        tagged, "__cid__", text_col,
         threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_size=shingle_size, seed=seed, max_bucket=max_bucket,
         md5_mode=md5_mode,
-    )
-    cross = near_contamination(new_docs, corpus, id_col, text_col, **kw)
+    ).persist()  # consumed by both verdicts; tiny (near-dup pairs only)
+    # struct ordering puts side 0 (batch) first in every cross pair
     known = (
-        cross.select(F.col("corpus_id").alias(id_col))
+        pairs.filter(F.col("id_a.s") != F.col("id_b.s"))
+        .select(
+            F.when(F.col("id_a.s") == 0, F.col("id_a.i"))
+            .otherwise(F.col("id_b.i"))
+            .alias(id_col)
+        )
         .distinct()
         .withColumn("__kn__", F.lit(1))
     )
-    batch_pairs = minhash_lsh_pairs(new_docs, id_col, text_col, **kw)
     dups = (
-        batch_pairs.select(F.col("id_b").alias(id_col))
+        pairs.filter((F.col("id_a.s") == 0) & (F.col("id_b.s") == 0))
+        .select(F.col("id_b.i").alias(id_col))
         .distinct()
         .withColumn("__bd__", F.lit(1))
     )
@@ -408,28 +430,18 @@ def incremental_neardup_oracle_sql(
     max_bucket: int = 1000,
 ) -> str:
     """DuckDB mirror of :func:`incremental_neardup` (annotate mode,
-    md5_mode) — composes curation.near_contamination_oracle_sql (cross
-    verdict; bench side = NOT batch_predicate) and
-    dedup.ngram_pairs_oracle_sql over the batch alone (within-batch
-    verdict), from the same band geometry, so neither can drift."""
-    from .curation import near_contamination_oracle_sql
+    md5_mode): ONE generated pair SQL (dedup.ngram_pairs_oracle_sql)
+    over the union table — the same single banding space as the Spark
+    plan — with EXISTS verdicts reading side membership off
+    ``batch_predicate``.  The plain-id pairs orient by id while the
+    Spark struct keys orient batch-first, so the cross verdict accepts
+    both orientations; the batch verdict needs id_b only (within one
+    side the orderings agree).  Assumes batch and corpus ids are
+    DISJOINT (as the Spark operator requires)."""
     from .dedup import ngram_pairs_oracle_sql
 
-    cross_sql = near_contamination_oracle_sql(
-        union_table,
-        f"NOT ({batch_predicate})",
-        id_col=id_col,
-        text_col=text_col,
-        threshold=threshold,
-        bands=bands,
-        rows_per_band=rows_per_band,
-        shingle_size=shingle_size,
-        seed=seed,
-        max_bucket=max_bucket,
-    )
-    batch_table = f"(SELECT * FROM {union_table} u WHERE {batch_predicate})"
-    batch_pairs_sql = ngram_pairs_oracle_sql(
-        table=batch_table,
+    pair_sql = ngram_pairs_oracle_sql(
+        table=union_table,
         id_col=id_col,
         text_col=text_col,
         n=shingle_size,
@@ -439,11 +451,17 @@ def incremental_neardup_oracle_sql(
         seed=seed,
         max_bucket=max_bucket,
     )
+    pa = batch_predicate.replace(id_col, "p.id_a")
+    pb = batch_predicate.replace(id_col, "p.id_b")
+    batch_table = f"(SELECT * FROM {union_table} u WHERE {batch_predicate})"
     cols = ", ".join(f"b.{c}" for c in (select_cols or [id_col]))
     return (
-        f"WITH crossp AS ({cross_sql}), bp AS ({batch_pairs_sql}) "
+        f"WITH prs AS ({pair_sql}) "
         f"SELECT {cols}, "
-        f"EXISTS (SELECT 1 FROM crossp c WHERE c.corpus_id = b.{id_col}) AS is_known_near, "
-        f"EXISTS (SELECT 1 FROM bp WHERE bp.id_b = b.{id_col}) AS is_batch_dup "
+        f"EXISTS (SELECT 1 FROM prs p WHERE "
+        f"(({pa}) AND NOT ({pb}) AND p.id_a = b.{id_col}) OR "
+        f"(NOT ({pa}) AND ({pb}) AND p.id_b = b.{id_col})) AS is_known_near, "
+        f"EXISTS (SELECT 1 FROM prs p WHERE ({pa}) AND ({pb}) "
+        f"AND p.id_b = b.{id_col}) AS is_batch_dup "
         f"FROM {batch_table} b"
     )
