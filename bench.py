@@ -137,6 +137,8 @@ HEADLINE = [
     "event_paths",
     "incremental_neardup",
     "bpe_train",
+    "bpe_encode",
+    "embedding_centroids",
 ]
 
 

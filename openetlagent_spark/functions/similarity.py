@@ -303,3 +303,67 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vectors, EXPLODED as (group, dim_pos, centroid,
+    n_vecs) rows — the distributed centroid primitive behind class
+    prototypes, IVF coarse quantizers, and embedding-drift monitoring.
+
+    Shape: posexplode the vectors (narrow — one (group, pos, value)
+    stream), ONE shuffle on (group, pos), QUANTIZED integer sums
+    (floor(v·2^20) — the same bit-determinism trade as kmeans'
+    scale_bits: a double→decimal cast rounds HALF_UP in Spark but can
+    land on the other side of a tie in DuckDB, while floor has no
+    ties), and a per-row division back to double.  The output is
+    |groups| × dim rows — model-sized, not data-sized.  Exploding
+    (rather than re-assembling arrays) keeps every value a scalar
+    double, so results hash-check exactly across engines.
+
+    NULL vectors contribute nothing; ``n_vecs`` counts the vectors
+    that actually carried each dimension (ragged inputs surface as
+    differing n_vecs across dim_pos — a data-quality signal, not an
+    error)."""
+    scale = float(1 << 20)
+    per = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    return (
+        per.groupBy(group_col, F.col("pos").alias("dim_pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.floor(F.col("v") * F.lit(scale))).alias("_x_qsum"),
+        )
+        .select(
+            group_col,
+            F.col("dim_pos").cast("long").alias("dim_pos"),
+            (F.col("_x_qsum").cast("double") / F.lit(scale) / F.col("n_vecs")).alias(
+                "centroid"
+            ),
+            "n_vecs",
+        )
+    )
+
+
+def embedding_centroids_oracle_sql(
+    table: str,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`embedding_centroids` — same posexplode
+    (0-based, via the unnest(generate_series) idiom; DuckDB has no
+    WITH ORDINALITY), same floor-quantized integer sums, same division
+    operand order."""
+    return (
+        f"SELECT {group_col}, CAST(i - 1 AS BIGINT) AS dim_pos, "
+        f"CAST(SUM(CAST(FLOOR(l[CAST(i AS INTEGER)] * 1048576.0) AS BIGINT)) AS DOUBLE) "
+        f"/ 1048576.0 / COUNT(*) AS centroid, COUNT(*) AS n_vecs "
+        f"FROM (SELECT {group_col}, l, unnest(generate_series(1, len(l))) AS i "
+        f"FROM (SELECT {group_col}, CAST({vec_col} AS DOUBLE[]) AS l FROM {table})) "
+        f"GROUP BY {group_col}, i"
+    )

@@ -844,3 +844,78 @@ def bpe_train_oracle_sql(
         for r in range(1, n_merges + 1)
     )
     return "WITH " + ", ".join(parts) + " " + finals
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a learned BPE merge table (the encode step pairing
+    :func:`bpe_train`): each document's words are split to characters
+    and the merges replay IN RANK ORDER with the same greedy fold the
+    trainer used.  Returns per document: ``n_chars_tok`` (symbol count
+    before any merge) and ``n_bpe_tokens`` (after all merges) — the
+    sequence-length accounting every packing/batching stage needs.
+
+    ``merges`` is the driver-side merge list (rank order), e.g.
+    ``[(r.pair_left, r.pair_right) for r in bpe_train(...).collect()]``
+    — bounded by the vocab size a tokenizer ships (30-50k), the same
+    broadcast-a-model shape as kmeans' centroid literals.  The encode
+    itself is a shuffle-free scan: k chained JVM folds per word, no
+    Python, embarrassingly parallel."""
+    words = F.when(
+        F.trim(F.lower(F.col(text_col))) == "", F.array().cast("array<string>")
+    ).otherwise(_tokens(F.col(text_col)))
+
+    def encode_word(w: Column) -> Column:
+        sym = F.split(w, "")
+        for left, right in merges:
+            sym = _bpe_merge_fold(sym, left, right)
+        return F.size(sym)
+
+    return df.select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)),
+            F.lit(0), lambda acc, n: acc + n,
+        ).cast("long").alias("n_chars_tok"),
+        F.aggregate(
+            F.transform(words, encode_word), F.lit(0), lambda acc, n: acc + n
+        ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_encode_oracle_sql(
+    merges: list[tuple[str, str]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`bpe_encode`: the same chained greedy
+    folds generated from the same driver-side merge list, one CTE per
+    merge rank, summed back per document."""
+    toks = _toks_sql(text_col)
+
+    def fold(sym_expr: str, left: str, right: str) -> str:
+        l, r, m = left.replace("'", "''"), right.replace("'", "''"), (left + right).replace("'", "''")
+        return (
+            f"list_reduce(list_transform({sym_expr}, x -> [x]), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{l}' "
+            f"AND x[1] = '{r}' THEN list_concat(acc[1:len(acc)-1], ['{m}']) "
+            f"ELSE list_append(acc, x[1]) END)"
+        )
+
+    sym = "string_split(w, '')"
+    for left, right in merges:
+        sym = fold(sym, left, right)
+    return (
+        f"WITH w AS (SELECT {id_col}, unnest(CASE WHEN trim(lower({text_col})) = '' "
+        f"THEN []::VARCHAR[] ELSE {toks} END) AS w FROM {table}), "
+        f"e AS (SELECT {id_col}, length(w) AS nc, len({sym}) AS nt FROM w) "
+        f"SELECT {id_col}, CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n_chars_tok, "
+        f"CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_bpe_tokens "
+        f"FROM (SELECT {id_col} FROM {table}) t LEFT JOIN e USING ({id_col}) "
+        f"GROUP BY {id_col}"
+    )

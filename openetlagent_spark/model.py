@@ -943,6 +943,25 @@ class BpeTrainOperation(Operation):
 
 
 @dataclass
+class BpeEncodeOperation(Operation):
+    """BPE encode step as a flow op (functions/text.py bpe_encode):
+    apply a shipped merge table — ``merges`` is a list of [left, right]
+    pairs in rank order — returning per-doc symbol counts."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    merges: list[list[str]] = field(default_factory=list)
+    operation_type: str = "bpe_encode"
+
+    def __post_init__(self) -> None:
+        for m in self.merges:
+            if len(m) != 2 or not all(isinstance(x, str) and x for x in m):
+                raise SpecError(
+                    f"bpe_encode merges must be [left, right] string pairs, got {m!r}"
+                )
+
+
+@dataclass
 class VocabOovOperation(Operation):
     """Rare-token/OOV quality scoring as a flow op (functions/text.py
     vocab_oov): per-doc token totals and out-of-vocabulary counts
@@ -1215,6 +1234,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "inverted_index": InvertedIndexOperation,
     "vocab_oov": VocabOovOperation,
     "bpe_train": BpeTrainOperation,
+    "bpe_encode": BpeEncodeOperation,
     "kmeans": ClusteringOperation,
     "incremental_dedup": IncrementalDedupOperation,
     "split_assign": SplitAssignOperation,

@@ -415,6 +415,13 @@ def apply_bpe_train(df: DataFrame, op: "BpeTrainOperation") -> DataFrame:
     return bpe_train(df, op.text_column, n_merges=op.n_merges)
 
 
+def apply_bpe_encode(df: DataFrame, op: "BpeEncodeOperation") -> DataFrame:
+    from ..functions.text import bpe_encode
+
+    merges = [(m[0], m[1]) for m in op.merges]
+    return bpe_encode(df, merges, id_col=op.id_column, text_col=op.text_column)
+
+
 def apply_vocab_oov(df: DataFrame, op: VocabOovOperation) -> DataFrame:
     from ..functions.text import vocab_oov
 

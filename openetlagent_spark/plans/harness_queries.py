@@ -1314,6 +1314,38 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=6)
 
 
+# Fixed merge table for the encode harness query — a "shipped
+# tokenizer" applied to the corpus.  The Spark query and the generated
+# oracle consume the SAME literal list, so the chained folds cannot
+# drift.  (The train→encode integration — applying bpe_train's learned
+# output — is covered in tests/test_text_functions.py.)
+_BPE_ENCODE_MERGES = [("e", "r"), ("o", "r"), ("i", "n"), ("t", "h")]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE step (functions/text.py bpe_encode): apply a fixed
+    4-merge table to every document with the same greedy fold the
+    trainer uses, returning per-doc symbol counts before/after — the
+    sequence-length accounting packing needs.  Shuffle-free scan; the
+    merge table is driver-side literals (the broadcast-a-model shape)."""
+    from ..functions.text import bpe_encode
+
+    docs = _ts(spark, sf_dir, "documents")
+    return bpe_encode(docs, _BPE_ENCODE_MERGES, "doc_id", "text")
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding vectors (functions/similarity.py
+    embedding_centroids), exploded to (label, dim_pos, centroid,
+    n_vecs) scalar rows: one narrow posexplode + one (label, pos)
+    shuffle with decimal accumulation.  The class-prototype / coarse-
+    quantizer primitive."""
+    from ..functions.similarity import embedding_centroids
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb, "label", "embedding")
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-dup admission gate (functions/incremental.py
     incremental_neardup): a 10 % slice of documents plays the incoming
@@ -1679,6 +1711,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "incremental_neardup": q_incremental_neardup,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
+    "embedding_centroids": q_embedding_centroids,
     "text_scrub": q_text_scrub,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
@@ -2269,3 +2303,17 @@ HARNESS_ORACLES["incremental_neardup"] = _incremental_neardup_oracle_sql(
 from ..functions.text import bpe_train_oracle_sql as _bpe_train_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["bpe_train"] = _bpe_train_oracle_sql("documents", "text", n_merges=6)
+
+from ..functions.text import bpe_encode_oracle_sql as _bpe_encode_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["bpe_encode"] = _bpe_encode_oracle_sql(
+    _BPE_ENCODE_MERGES, "documents", "doc_id", "text"
+)
+
+from ..functions.similarity import (  # noqa: E402
+    embedding_centroids_oracle_sql as _embedding_centroids_oracle_sql,
+)
+
+HARNESS_ORACLES["embedding_centroids"] = _embedding_centroids_oracle_sql(
+    "embeddings", "label", "embedding"
+)

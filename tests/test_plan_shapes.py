@@ -255,6 +255,8 @@ def test_quantile_filter_threshold_broadcasts(spark):
         # shuffles
         ("top_p_sources", 2),     # source agg; window runs on bounded agg
         ("event_paths", 1),       # rank window + grouped agg share user_id
+        ("embedding_centroids", 1),  # one (group, pos) shuffle
+        ("bpe_encode", 0),        # shuffle-free scan (chained folds)
     ],
 )
 def test_round5_shuffle_budget(spark, name, max_shuffles):

@@ -39,3 +39,25 @@ def test_ivf_topk_recall_floor(emb, brute):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"IVF recall@10 collapsed: {recall:.3f}"
+
+
+def test_embedding_centroids_match_numpy(spark):
+    import numpy as np
+
+    from openetlagent_spark.functions.similarity import embedding_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embedding_centroids(emb, "label", "embedding").collect()
+    data = emb.collect()
+    import collections
+    by_label = collections.defaultdict(list)
+    for r in data:
+        by_label[r.label].append(np.array(r.embedding, dtype=np.float64))
+    got = {(r.label, r.dim_pos): (r.centroid, r.n_vecs) for r in rows}
+    for label, vecs in by_label.items():
+        q = np.floor(np.stack(vecs) * (1 << 20)).sum(axis=0)
+        want = q / float(1 << 20) / len(vecs)
+        for pos in range(len(want)):
+            c, n = got[(label, pos)]
+            assert n == len(vecs)
+            assert abs(c - want[pos]) < 1e-12

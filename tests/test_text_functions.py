@@ -232,3 +232,28 @@ def test_bpe_train_validates(spark):
     df = spark.createDataFrame([("a",)], "text string")
     with pytest.raises(ValueError):
         bpe_train(df, "text", n_merges=0)
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    from openetlagent_spark.functions.text import bpe_encode, bpe_train
+
+    df = spark.createDataFrame([(1, "abab abab ab"), (2, "cd")], "doc_id long, text string")
+    merges = [
+        (r.pair_left, r.pair_right)
+        for r in bpe_train(df, "text", n_merges=2).orderBy("merge_rank").collect()
+    ]
+    assert merges == [("a", "b"), ("ab", "ab")]
+    out = {r.doc_id: (r.n_chars_tok, r.n_bpe_tokens) for r in bpe_encode(df, merges).collect()}
+    # doc 1: 'abab'->[abab] x2, 'ab'->[ab]: 10 chars -> 3 symbols
+    assert out[1] == (10, 3)
+    # doc 2: 'cd' untouched by the merge table
+    assert out[2] == (2, 2)
+
+
+def test_bpe_encode_empty_and_no_merges(spark):
+    from openetlagent_spark.functions.text import bpe_encode
+
+    df = spark.createDataFrame([(1, ""), (2, "xyz")], "doc_id long, text string")
+    out = {r.doc_id: (r.n_chars_tok, r.n_bpe_tokens) for r in bpe_encode(df, []).collect()}
+    assert out[1] == (0, 0)
+    assert out[2] == (3, 3)
