@@ -862,28 +862,39 @@ def bpe_encode(
     ``merges`` is the driver-side merge list (rank order), e.g.
     ``[(r.pair_left, r.pair_right) for r in bpe_train(...).collect()]``
     — bounded by the vocab size a tokenizer ships (30-50k), the same
-    broadcast-a-model shape as kmeans' centroid literals.  The encode
-    itself is a shuffle-free scan: k chained JVM folds per word, no
-    Python, embarrassingly parallel."""
+    broadcast-a-model shape as kmeans' centroid literals.
+
+    The encode is a shuffle-free scan in WHOLE-STAGE CODEGEN: the
+    document becomes one separator-joined symbol string (``\\x1f``
+    between symbols, ``\\x1e`` between words, so merges cannot cross a
+    word boundary) and each merge is one LITERAL ``replace`` of
+    ``left␟right`` with ``leftright`` — literal replace is
+    left-to-right and non-overlapping in both Spark and DuckDB, which
+    is EXACTLY the trainer's greedy fold (the fold-based
+    :func:`_bpe_merge_fold` ran interpreted per element and measured
+    ~8× slower on the same corpus).  Token counts read back off
+    separator counts.  Assumes text carries no ``\\x1e``/``\\x1f``
+    control characters (strip control chars upstream — standard
+    tokenizer normalization — if the corpus may contain them)."""
+    SYM, WRD = "\x1f", "\x1e"
     words = F.when(
         F.trim(F.lower(F.col(text_col))) == "", F.array().cast("array<string>")
     ).otherwise(_tokens(F.col(text_col)))
+    joined = F.array_join(
+        F.transform(words, lambda w: F.array_join(F.split(w, ""), SYM)), WRD
+    )
+    n_words = F.coalesce(F.size(words), F.lit(0)).cast("long")
 
-    def encode_word(w: Column) -> Column:
-        sym = F.split(w, "")
-        for left, right in merges:
-            sym = _bpe_merge_fold(sym, left, right)
-        return F.size(sym)
+    def n_sep(s: Column) -> Column:
+        return (F.length(s) - F.length(F.replace(s, F.lit(SYM), F.lit("")))).cast("long")
 
+    encoded = joined
+    for left, right in merges:
+        encoded = F.replace(encoded, F.lit(left + SYM + right), F.lit(left + right))
     return df.select(
         F.col(id_col),
-        F.aggregate(
-            F.transform(words, lambda w: F.length(w)),
-            F.lit(0), lambda acc, n: acc + n,
-        ).cast("long").alias("n_chars_tok"),
-        F.aggregate(
-            F.transform(words, encode_word), F.lit(0), lambda acc, n: acc + n
-        ).cast("long").alias("n_bpe_tokens"),
+        (n_sep(joined) + n_words).alias("n_chars_tok"),
+        (n_sep(encoded) + n_words).alias("n_bpe_tokens"),
     )
 
 
@@ -893,29 +904,35 @@ def bpe_encode_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """DuckDB mirror of :func:`bpe_encode`: the same chained greedy
-    folds generated from the same driver-side merge list, one CTE per
-    merge rank, summed back per document."""
+    """DuckDB mirror of :func:`bpe_encode`: the same separator-joined
+    symbol string and the same chain of LITERAL replaces (identical
+    left-to-right non-overlap semantics in both engines), generated
+    from the same driver-side merge list."""
     toks = _toks_sql(text_col)
 
-    def fold(sym_expr: str, left: str, right: str) -> str:
-        l, r, m = left.replace("'", "''"), right.replace("'", "''"), (left + right).replace("'", "''")
-        return (
-            f"list_reduce(list_transform({sym_expr}, x -> [x]), "
-            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{l}' "
-            f"AND x[1] = '{r}' THEN list_concat(acc[1:len(acc)-1], ['{m}']) "
-            f"ELSE list_append(acc, x[1]) END)"
-        )
+    def q(s: str) -> str:
+        return s.replace("'", "''")
 
-    sym = "string_split(w, '')"
+    words = (
+        f"CASE WHEN trim(lower({text_col})) = '' THEN []::VARCHAR[] "
+        f"ELSE {toks} END"
+    )
+    joined = (
+        f"array_to_string(list_transform({words}, "
+        f"w -> array_to_string(string_split(w, ''), chr(31))), chr(30))"
+    )
+    encoded = "j"
     for left, right in merges:
-        sym = fold(sym, left, right)
+        encoded = (
+            f"replace({encoded}, '{q(left)}' || chr(31) || '{q(right)}', "
+            f"'{q(left + right)}')"
+        )
+    nsep_j = "length(j) - length(replace(j, chr(31), ''))"
+    nsep_e = f"length(e) - length(replace(e, chr(31), ''))"
     return (
-        f"WITH w AS (SELECT {id_col}, unnest(CASE WHEN trim(lower({text_col})) = '' "
-        f"THEN []::VARCHAR[] ELSE {toks} END) AS w FROM {table}), "
-        f"e AS (SELECT {id_col}, length(w) AS nc, len({sym}) AS nt FROM w) "
-        f"SELECT {id_col}, CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n_chars_tok, "
-        f"CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_bpe_tokens "
-        f"FROM (SELECT {id_col} FROM {table}) t LEFT JOIN e USING ({id_col}) "
-        f"GROUP BY {id_col}"
+        f"SELECT {id_col}, "
+        f"CAST({nsep_j} + nw AS BIGINT) AS n_chars_tok, "
+        f"CAST({nsep_e} + nw AS BIGINT) AS n_bpe_tokens FROM ("
+        f"SELECT {id_col}, j, {encoded} AS e, nw FROM ("
+        f"SELECT {id_col}, {joined} AS j, len({words}) AS nw FROM {table}))"
     )
