@@ -127,6 +127,7 @@ HEADLINE = [
     "doc_lm_score",
     "running_totals",
     "stats_skew",
+    "stats_corr",
     "global_shuffle",
     "quantile_filter",
     "embedding_stats",

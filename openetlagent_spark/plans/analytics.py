@@ -814,6 +814,84 @@ FROM (SELECT l_returnflag,
 """
 
 
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance per group from EXACT decimal
+    cross power sums (Σx, Σy, Σxy, Σx², Σy²) — the two-column
+    completion of the moments family.  cov = sxy/n - mx*my and
+    r = cov / (sd_x * sd_y), evaluated in one fixed double operation
+    tree (sqrt is correctly-rounded IEEE), so the result is partition-
+    order independent and engine-exact.  Like every power-sum
+    statistic: single pass, map-side combinable, mergeable across
+    1000 executors."""
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("xd", x)
+        .withColumn("yd", y)
+        .withColumn("xyd", (x * y).cast("decimal(38,4)"))
+        .withColumn("x2d", (x * x).cast("decimal(28,4)"))
+        .withColumn("y2d", (y * y).cast("decimal(38,4)"))
+    )
+    agg = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["l_returnflag"],
+            aggregations={
+                "sx": {"column": "xd", "agg": "sum"},
+                "sy": {"column": "yd", "agg": "sum"},
+                "sxy": {"column": "xyd", "agg": "sum"},
+                "sx2": {"column": "x2d", "agg": "sum"},
+                "sy2": {"column": "y2d", "agg": "sum"},
+                "n": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    mx = sx / n
+    my = sy / n
+    cov = sxy / n - mx * my
+    sdx = F.sqrt(sx2 / n - mx * mx)
+    sdy = F.sqrt(sy2 / n - my * my)
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        cov.alias("covariance"),
+        (cov / (sdx * sdy)).alias("pearson_r"),
+    )
+
+
+STATS_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(yd) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(xyd) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(x2d) AS VARCHAR) AS DOUBLE) AS sx2,
+         CAST(CAST(SUM(y2d) AS VARCHAR) AS DOUBLE) AS sy2,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         COUNT(*) AS n_rows
+  FROM (SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(18,2)) AS xd,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS yd,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS xyd,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)) AS x2d,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS y2d
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n_rows,
+       sxy / n - (sx / n) * (sy / n) AS covariance,
+       (sxy / n - (sx / n) * (sy / n))
+         / (sqrt(sx2 / n - (sx / n) * (sx / n)) * sqrt(sy2 / n - (sy / n) * (sy / n))) AS pearson_r
+FROM s
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based discretization: NTILE(10) decile buckets of
     l_extendedprice within each return flag, on the fully-determined
@@ -1529,6 +1607,7 @@ ANALYTICS_QUERIES = {
     "percentile": q_percentile,
     "stats_moments": q_stats_moments,
     "stats_skew": q_stats_skew,
+    "stats_corr": q_stats_corr,
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
@@ -1565,6 +1644,7 @@ ANALYTICS_ORACLES = {
     "percentile": PERCENTILE_SQL,
     "stats_moments": STATS_MOMENTS_SQL,
     "stats_skew": STATS_SKEW_SQL,
+    "stats_corr": STATS_CORR_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,
