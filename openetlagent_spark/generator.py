@@ -82,12 +82,15 @@ Available operation_type values and their fields:
 - sort / limit / distinct / window / repartition: see engine docs.
 - sample: {fraction, seed, key_column} — key_column set = deterministic
   engine-stable hash sample; unset = Bernoulli.
-- dedup: remove duplicate/near-duplicate rows. {strategy (exact/minhash/simhash/
-  ngram/embedding), mode (drop/pairs/components/cluster_drop — cluster_drop
-  keeps ONE row per transitive duplicate cluster), keys+order_column for
-  exact, id_column+text_column (or vector_column) + threshold for the rest}
+- dedup: remove duplicate/near-duplicate rows. {strategy (exact/minhash/
+  simhash/ngram/embedding/substring/fuzzy), mode (drop/pairs/components/
+  cluster_drop/keep_best — cluster_drop keeps ONE row per transitive
+  duplicate cluster, keep_best keeps the highest-score_column row per
+  cluster), keys+order_column for exact, id_column+text_column (or
+  vector_column) + threshold for the rest, score_column for keep_best}
 - contamination: benchmark-overlap check. {benchmark_path: input_key,
-  id_column, text_column, mode (annotate/filter), rate_threshold}
+  id_column, text_column, mode (annotate/filter), rate_threshold;
+  strategy: near for paraphrase-level MinHash matching + jaccard_threshold}
 - pack_sequences: concat-and-chunk packing layout. {id_column, text_column,
   context_length} — adds n_tokens/start_offset/chunk_id/n_chunks
 - scrub: redact a string column with ordered regex rules. {input_column,
@@ -117,7 +120,31 @@ Available operation_type values and their fields:
   id_column, vector_column, k, iters, per_cluster (sample mode)}
 - incremental_dedup: flag/drop batch rows already in a corpus by
   normalized-text fingerprint. {corpus_path: input_key, id_column,
-  text_column, mode (annotate/filter)}
+  text_column, mode (annotate/filter); strategy: near for paraphrase-
+  level MinHash admission + jaccard_threshold}
+- merge: apply a CDC change feed (latest-seq wins). {feed_path: input_key,
+  keys: [..], value_columns, op_column, seq_column}
+- scd2: collapse a history into validity intervals. {keys, time_column,
+  tracked_columns, order_column} — adds valid_from/valid_to/is_current
+- stratified_sample: exact k rows per group by md5 rank. {group_columns,
+  key_column, k, rank_column?}
+- chunk: overlapping token windows (RAG layout). {id_column, text_column,
+  chunk_size, overlap}
+- fuzzy_pairs: blocked Levenshtein near-match pairs. {id_column,
+  text_column, max_dist, prefix_chars}
+- tfidf: per-doc top-k TF-IDF keywords. {id_column, text_column, k}
+- bigram_lm: corpus bigram-LM top-k transitions. {text_column, k}
+- doc_lm_score: per-doc mean LM transition probability + OOV count
+  (CCNet-style LM quality filter). {id_column, text_column, k}
+- global_shuffle: deterministic training-order permutation — adds
+  shuffle_key + exact global position. {key_column, seed}
+- quantile_filter: keep rows at/above their group's q-quantile of a
+  value (relative quality gate). {group_columns, value_column, q,
+  threshold_column?}
+- bpe_train: learn a BPE merge table from the corpus (k rounds over the
+  word-frequency vocab). {text_column, n_merges}
+- bpe_encode: apply a merge table, adds n_chars_tok/n_bpe_tokens.
+  {id_column, text_column, merges: [[left, right], ...]}
 - split_assign: deterministic md5-bucket dataset split, stable as data
   grows. {key_column, splits: {train: 80, val: 10, test: 10},
   output_column}
