@@ -761,6 +761,41 @@ def quantile_filter_oracle_sql(
 # --- near-duplicate contamination (cross-corpus minhash) --------------------
 
 
+def side_tagged_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Banded MinHash pairs over the union of two sides, keyed on a
+    (side, id) STRUCT — the shared core of :func:`near_contamination`
+    and incremental.incremental_neardup.  The struct key matters
+    twice: distinct keys across sides even when ids collide (a plain
+    id could never pair a row with its same-id counterpart — the
+    exact-contamination case — because pairing requires
+    ``key_a < key_b``), and struct ordering compares side first, so a
+    cross pair always carries the left/batch row in ``id_a``.  Returns
+    the raw pair table (id_a, id_b structs with fields s/i, jaccard);
+    callers filter sides.  One banding shuffle; shared here so the key
+    construction cannot drift between the two gates."""
+    from .dedup import minhash_lsh_pairs
+
+    tagged = (
+        left.select(F.col(id_col), F.col(text_col), F.lit(0).alias("__side__"))
+        .unionByName(
+            right.select(F.col(id_col), F.col(text_col), F.lit(1).alias("__side__"))
+        )
+        .select(
+            F.struct(
+                F.col("__side__").alias("s"), F.col(id_col).alias("i")
+            ).alias("__cid__"),
+            F.col(text_col),
+        )
+    )
+    return minhash_lsh_pairs(tagged, "__cid__", text_col, **minhash_kwargs)
+
+
 def near_contamination(
     corpus: DataFrame,
     bench: DataFrame,
@@ -798,29 +833,14 @@ def near_contamination(
 
     ``md5_mode`` (cf. minhash_lsh_pairs): engine-exact hashing end to
     end, so the full check hash-matches the generated oracle."""
-    from .dedup import minhash_lsh_pairs
-
-    sel_l = corpus.select(F.col(id_col), F.col(text_col), F.lit(0).alias("__side__"))
-    sel_r = bench.select(F.col(id_col), F.col(text_col), F.lit(1).alias("__side__"))
-    tagged = sel_l.unionByName(sel_r).select(
-        F.struct(F.col("__side__").alias("s"), F.col(id_col).alias("i")).alias("__cid__"),
-        F.col(text_col),
-    )
-    pairs = minhash_lsh_pairs(
-        tagged,
-        "__cid__",
-        text_col,
-        num_perm=num_perm,
-        bands=bands,
-        shingle_size=shingle_size,
-        threshold=threshold,
-        seed=seed,
-        max_bucket=max_bucket,
+    pairs = side_tagged_pairs(
+        corpus, bench, id_col, text_col,
+        num_perm=num_perm, bands=bands, shingle_size=shingle_size,
+        threshold=threshold, seed=seed, max_bucket=max_bucket,
         md5_mode=md5_mode,
     )
-    # struct ordering compares side first, so a cross pair always has
-    # the corpus row in id_a — the CASE below still handles both
-    # orientations for clarity/robustness
+    # struct ordering puts the corpus row in id_a of every cross pair —
+    # the CASE below still handles both orientations for robustness
     out = pairs.filter(F.col("id_a.s") != F.col("id_b.s"))
     corpus_id = F.when(F.col("id_a.s") == 0, F.col("id_a.i")).otherwise(F.col("id_b.i"))
     bench_id = F.when(F.col("id_a.s") == 1, F.col("id_a.i")).otherwise(F.col("id_b.i"))
@@ -844,9 +864,12 @@ def near_contamination_oracle_sql(
     """DuckDB mirror of :func:`near_contamination` in md5_mode, built
     on the SAME generated pair SQL as the dedup family
     (dedup.ngram_pairs_oracle_sql, same band geometry) over the union
-    table, with side membership decided by ``bench_predicate`` (a SQL
-    predicate over the id, e.g. ``doc_id % 20 = 0``).  Assumes the
-    predicate splits the union into DISJOINT id sets (a plain-id pair
+    table, with side membership decided by ``bench_predicate`` — a SQL
+    predicate TEMPLATE over the id written with an ``{id}``
+    placeholder, e.g. ``"{id} % 20 = 0"`` (a naive textual
+    id-column substitution would corrupt predicates where the column
+    name appears inside another identifier).  Assumes the predicate
+    splits the union into DISJOINT id sets (a plain-id pair
     formulation cannot express the same-id cross pair the Spark
     struct-keyed implementation additionally catches)."""
     from .dedup import ngram_pairs_oracle_sql
@@ -862,8 +885,12 @@ def near_contamination_oracle_sql(
         seed=seed,
         max_bucket=max_bucket,
     )
-    pa = bench_predicate.replace(id_col, "id_a")
-    pb = bench_predicate.replace(id_col, "id_b")
+    if "{id}" not in bench_predicate:
+        raise ValueError(
+            "bench_predicate must be an {id}-placeholder template, e.g. '{id} % 20 = 0'"
+        )
+    pa = bench_predicate.format(id="id_a")
+    pb = bench_predicate.format(id="id_b")
     return (
         f"WITH prs AS ({pair_sql}) "
         f"SELECT CASE WHEN NOT ({pa}) THEN id_a ELSE id_b END AS corpus_id, "

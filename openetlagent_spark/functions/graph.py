@@ -188,6 +188,9 @@ def keep_best_oracle_sql(
         f"losers AS (SELECT {id_col} FROM ("
         f"SELECT {id_col}, ROW_NUMBER() OVER (PARTITION BY component "
         f"ORDER BY {score_col} DESC, {id_col}) AS r FROM scored) WHERE r > 1) "
-        f"SELECT {cols} FROM {table} "
-        f"WHERE {id_col} NOT IN (SELECT {id_col} FROM losers)"
+        f"SELECT {cols} FROM {table} t "
+        # NOT EXISTS, not NOT IN: a NULL id makes NOT IN evaluate to
+        # NULL (row dropped) while Spark's left_anti keeps it — NOT
+        # EXISTS with an equality matches the anti-join exactly
+        f"WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.{id_col} = t.{id_col})"
     )

@@ -363,24 +363,12 @@ def incremental_neardup(
     ``md5_mode``: engine-exact hashing end to end (cf.
     minhash_lsh_pairs), so both verdicts hash-check against the
     generated oracles."""
-    from .dedup import minhash_lsh_pairs
+    from .curation import side_tagged_pairs
 
     if mode not in ("annotate", "filter"):
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
-    tagged = (
-        new_docs.select(F.col(id_col), F.col(text_col), F.lit(0).alias("__side__"))
-        .unionByName(
-            corpus.select(F.col(id_col), F.col(text_col), F.lit(1).alias("__side__"))
-        )
-        .select(
-            F.struct(
-                F.col("__side__").alias("s"), F.col(id_col).alias("i")
-            ).alias("__cid__"),
-            F.col(text_col),
-        )
-    )
-    pairs = minhash_lsh_pairs(
-        tagged, "__cid__", text_col,
+    pairs = side_tagged_pairs(
+        new_docs, corpus, id_col, text_col,
         threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_size=shingle_size, seed=seed, max_bucket=max_bucket,
         md5_mode=md5_mode,
@@ -433,7 +421,8 @@ def incremental_neardup_oracle_sql(
     md5_mode): ONE generated pair SQL (dedup.ngram_pairs_oracle_sql)
     over the union table — the same single banding space as the Spark
     plan — with EXISTS verdicts reading side membership off
-    ``batch_predicate``.  The plain-id pairs orient by id while the
+    ``batch_predicate`` — an ``{id}``-placeholder SQL template, e.g.
+    ``"{id} % 10 = 3"``.  The plain-id pairs orient by id while the
     Spark struct keys orient batch-first, so the cross verdict accepts
     both orientations; the batch verdict needs id_b only (within one
     side the orderings agree).  Assumes batch and corpus ids are
@@ -451,9 +440,16 @@ def incremental_neardup_oracle_sql(
         seed=seed,
         max_bucket=max_bucket,
     )
-    pa = batch_predicate.replace(id_col, "p.id_a")
-    pb = batch_predicate.replace(id_col, "p.id_b")
-    batch_table = f"(SELECT * FROM {union_table} u WHERE {batch_predicate})"
+    if "{id}" not in batch_predicate:
+        raise ValueError(
+            "batch_predicate must be an {id}-placeholder template, e.g. '{id} % 10 = 3'"
+        )
+    pa = batch_predicate.format(id="p.id_a")
+    pb = batch_predicate.format(id="p.id_b")
+    batch_table = (
+        f"(SELECT * FROM {union_table} u "
+        f"WHERE {batch_predicate.format(id=id_col)})"
+    )
     cols = ", ".join(f"b.{c}" for c in (select_cols or [id_col]))
     return (
         f"WITH prs AS ({pair_sql}) "

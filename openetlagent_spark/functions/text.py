@@ -864,37 +864,56 @@ def bpe_encode(
     — bounded by the vocab size a tokenizer ships (30-50k), the same
     broadcast-a-model shape as kmeans' centroid literals.
 
-    The encode is a shuffle-free scan in WHOLE-STAGE CODEGEN: the
-    document becomes one separator-joined symbol string (``\\x1f``
-    between symbols, ``\\x1e`` between words, so merges cannot cross a
-    word boundary) and each merge is one LITERAL ``replace`` of
-    ``left␟right`` with ``leftright`` — literal replace is
-    left-to-right and non-overlapping in both Spark and DuckDB, which
-    is EXACTLY the trainer's greedy fold (the fold-based
-    :func:`_bpe_merge_fold` ran interpreted per element and measured
-    ~8× slower on the same corpus).  Token counts read back off
-    separator counts.  Assumes text carries no ``\\x1e``/``\\x1f``
+    The encode is a shuffle-free scan in WHOLE-STAGE CODEGEN: every
+    symbol is wrapped in DOUBLED ``\\x1f`` boundaries
+    (``␟␟s1␟␟s2␟␟``; ``\\x1e`` between words) and each merge is one
+    LITERAL ``replace`` of ``␟left␟␟right␟`` with ``␟leftright␟``.
+    The single-separator boundary chars at the pattern's edges anchor
+    BOTH symbols whole — a pattern can neither start inside a symbol
+    (its first char is a separator) nor end mid-symbol (the trailing
+    separator must follow ``right``) — while consuming only the INNER
+    half of each doubled boundary, so adjacent merge sites keep their
+    leading separator and left-to-right non-overlapping replace
+    reproduces the trainer's greedy fold EXACTLY (property-tested
+    against :func:`_bpe_merge_fold` on adversarial merge tables, e.g.
+    (t,h)+(h,e) over 'the', where a naive single-separator pattern
+    merges across the freshly-built 'th' boundary; the fold itself ran
+    interpreted per element and measured ~3× slower).  Token counts
+    read back off separator counts (each word carries 2·(n_syms+1)
+    separator chars).  Assumes text carries no ``\\x1e``/``\\x1f``
     control characters (strip control chars upstream — standard
     tokenizer normalization — if the corpus may contain them)."""
     SYM, WRD = "\x1f", "\x1e"
+    BND = SYM + SYM
     words = F.when(
         F.trim(F.lower(F.col(text_col))) == "", F.array().cast("array<string>")
     ).otherwise(_tokens(F.col(text_col)))
     joined = F.array_join(
-        F.transform(words, lambda w: F.array_join(F.split(w, ""), SYM)), WRD
+        F.transform(
+            words,
+            lambda w: F.concat(
+                F.lit(BND), F.array_join(F.split(w, ""), BND), F.lit(BND)
+            ),
+        ),
+        WRD,
     )
     n_words = F.coalesce(F.size(words), F.lit(0)).cast("long")
 
-    def n_sep(s: Column) -> Column:
-        return (F.length(s) - F.length(F.replace(s, F.lit(SYM), F.lit("")))).cast("long")
+    def n_syms(s: Column) -> Column:
+        seps = F.length(s) - F.length(F.replace(s, F.lit(SYM), F.lit("")))
+        return (seps / F.lit(2)).cast("long") - n_words
 
     encoded = joined
     for left, right in merges:
-        encoded = F.replace(encoded, F.lit(left + SYM + right), F.lit(left + right))
+        encoded = F.replace(
+            encoded,
+            F.lit(SYM + left + BND + right + SYM),
+            F.lit(SYM + left + right + SYM),
+        )
     return df.select(
         F.col(id_col),
-        (n_sep(joined) + n_words).alias("n_chars_tok"),
-        (n_sep(encoded) + n_words).alias("n_bpe_tokens"),
+        n_syms(joined).alias("n_chars_tok"),
+        n_syms(encoded).alias("n_bpe_tokens"),
     )
 
 
@@ -904,7 +923,7 @@ def bpe_encode_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """DuckDB mirror of :func:`bpe_encode`: the same separator-joined
+    """DuckDB mirror of :func:`bpe_encode`: the same doubled-boundary
     symbol string and the same chain of LITERAL replaces (identical
     left-to-right non-overlap semantics in both engines), generated
     from the same driver-side merge list."""
@@ -917,22 +936,25 @@ def bpe_encode_oracle_sql(
         f"CASE WHEN trim(lower({text_col})) = '' THEN []::VARCHAR[] "
         f"ELSE {toks} END"
     )
+    bnd = "chr(31) || chr(31)"
     joined = (
         f"array_to_string(list_transform({words}, "
-        f"w -> array_to_string(string_split(w, ''), chr(31))), chr(30))"
+        f"w -> {bnd} || array_to_string(string_split(w, ''), {bnd}) || {bnd}), "
+        f"chr(30))"
     )
     encoded = "j"
     for left, right in merges:
         encoded = (
-            f"replace({encoded}, '{q(left)}' || chr(31) || '{q(right)}', "
-            f"'{q(left + right)}')"
+            f"replace({encoded}, "
+            f"chr(31) || '{q(left)}' || {bnd} || '{q(right)}' || chr(31), "
+            f"chr(31) || '{q(left + right)}' || chr(31))"
         )
-    nsep_j = "length(j) - length(replace(j, chr(31), ''))"
-    nsep_e = f"length(e) - length(replace(e, chr(31), ''))"
+    nsym_j = "(length(j) - length(replace(j, chr(31), ''))) / 2 - nw"
+    nsym_e = "(length(e) - length(replace(e, chr(31), ''))) / 2 - nw"
     return (
         f"SELECT {id_col}, "
-        f"CAST({nsep_j} + nw AS BIGINT) AS n_chars_tok, "
-        f"CAST({nsep_e} + nw AS BIGINT) AS n_bpe_tokens FROM ("
+        f"CAST({nsym_j} AS BIGINT) AS n_chars_tok, "
+        f"CAST({nsym_e} AS BIGINT) AS n_bpe_tokens FROM ("
         f"SELECT {id_col}, j, {encoded} AS e, nw FROM ("
         f"SELECT {id_col}, {joined} AS j, len({words}) AS nw FROM {table}))"
     )

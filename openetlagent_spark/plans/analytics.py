@@ -143,7 +143,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -244,10 +244,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q14_SQL = """
-SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                              THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
-                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
        AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
@@ -311,7 +311,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q18_SQL = """
 SELECT o_custkey AS c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
        o_totalprice, sum_qty
-FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_orderkey) q
 JOIN orders o ON q.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -467,7 +467,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
@@ -546,7 +546,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q7_SQL = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS ship_year,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -604,9 +604,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q22_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_custs,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
                    FROM customer WHERE c_acctbal > 0)
   AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
 GROUP BY c_mktsegment
@@ -642,7 +642,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -807,8 +807,8 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, s1 / n AS mean_qty,
        (s2 - s1 * s1 / n) / (n - 1.0) AS var_qty,
        sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev_qty
 FROM (SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS s2,
              CAST(COUNT(*) AS DOUBLE) AS n
       FROM lineitem GROUP BY l_returnflag)
 """
@@ -931,8 +931,15 @@ def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the type vocabulary, so collect_set cannot blow up) → pairs expand
     as a JVM array expression → one vocabulary²-sized count.  The
     support division is a single double op against a broadcast 1-row
-    user count, bit-identical on both engines."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    user count, bit-identical on both engines.  NULL user ids are
+    excluded up front: the oracle's equi-self-join and COUNT(DISTINCT)
+    skip NULLs, while Spark's groupBy would emit a NULL-key group —
+    the explicit filter pins one semantics on both sides."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+    )
     per_user = (
         ev.distinct()
         .groupBy("user_id")
@@ -1273,7 +1280,7 @@ BIND_MULTIKEY_SQL = """
 SELECT l.l_orderkey, l.l_returnflag, l.l_linenumber, l.l_quantity, g.grp_qty
 FROM lineitem l
 JOIN (SELECT l_orderkey, l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS grp_qty
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS grp_qty
       FROM lineitem GROUP BY l_orderkey, l_returnflag) g
   ON l.l_orderkey = g.l_orderkey AND l.l_returnflag = g.l_returnflag
 """
@@ -1316,7 +1323,7 @@ def q_bind_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIND_SALTED_SQL = """
 SELECT o_orderpriority,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n_lines
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o_orderpriority
@@ -1359,9 +1366,9 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_RANGE_FRAME_SQL = """
 SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
-       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
             OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_hour_sum
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS trailing_hour_sum
 FROM events
 """
 
@@ -1583,10 +1590,10 @@ FROM r GROUP BY user_id
 TOP_P_SOURCES_SQL = """
 WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
 r AS (SELECT source, n_docs,
-             CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, source
+             CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, source NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
              CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
-             CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, source) AS BIGINT) AS coverage_rank
+             CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, source NULLS FIRST) AS BIGINT) AS coverage_rank
       FROM c)
 SELECT source, n_docs, cum_docs, coverage_rank
 FROM r WHERE (cum_docs - n_docs) * 10 < total_docs * 9

@@ -1599,12 +1599,30 @@ def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import uuid
 
     from ..model import ColumnDefinition, FileDefinition, FileSchema
     from ..sources import save_data
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"ela_partitioned_layout_{tag}")
+    # per-invocation uuid (cf. q_compacted_layout): no two concurrent
+    # harness/bench runs ever share a dir, so the rmtree/write/read-back
+    # sequence cannot race.  Dirs from dead runs are garbage-collected
+    # by LIVE-pid check, never by age.
+    base = tempfile.gettempdir()
+    import glob as _glob
+    for old in _glob.glob(os.path.join(base, "ela_partitioned_layout_*_p*")):
+        try:
+            pid = int(os.path.basename(old).split("_p")[-1].split("_")[0])
+            os.kill(pid, 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(old, ignore_errors=True)
+        except (OSError, PermissionError):
+            pass
+    tag = (
+        hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + f"_p{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+    tmp = os.path.join(base, f"ela_partitioned_layout_{tag}")
     shutil.rmtree(tmp, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars", "lang")
     fd = FileDefinition(
@@ -1783,8 +1801,8 @@ HARNESS_ORACLES: dict[str, str] = {
     ),
     "aggregation": (
         "SELECT l_returnflag, l_linestatus, "
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty, "
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price, "
         "COUNT(*) AS count_order "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
@@ -1892,7 +1910,7 @@ HARNESS_ORACLES: dict[str, str] = {
         "SELECT epoch(date_trunc('hour', ts)) AS window_start_epoch, "
         "epoch(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_epoch, "
         "event_type, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1, 2, 3"
     ),
     "stream_dedup": (
@@ -1913,23 +1931,23 @@ HARNESS_ORACLES: dict[str, str] = {
     ),
     "stream_sink": (
         "SELECT event_type, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY event_type"
     ),
     "sorted_layout": (
         "SELECT event_type, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' "
         "AND ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type"
     ),
     "compacted_layout": (
         "SELECT event_type, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY event_type"
     ),
     "zorder_layout": (
         "SELECT user_id, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM events WHERE user_id <= 7 AND value >= 100.0 AND value <= 150.0 "
         "GROUP BY user_id"
     ),
@@ -1974,7 +1992,7 @@ HARNESS_ORACLES: dict[str, str] = {
         "  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id "
         "  FROM marked) "
         "SELECT user_id, epoch(MIN(ts)) AS session_start_epoch, epoch(MAX(ts)) AS session_end_epoch, "
-        "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "COUNT(*) AS n_events, CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM sess GROUP BY user_id, session_id"
     ),
     "session_window": (
@@ -1991,7 +2009,7 @@ HARNESS_ORACLES: dict[str, str] = {
         "  FROM marked) "
         "SELECT user_id, epoch(MIN(ts)) AS session_start_epoch, "
         "epoch(MAX(ts)) + 1800 AS session_end_epoch, "
-        "COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "COUNT(*) AS n_events, CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM sess GROUP BY user_id, session_id"
     ),
 }
@@ -2042,7 +2060,7 @@ HARNESS_ORACLES["unicode_nfc"] = (
 for _lattice in ("ROLLUP", "CUBE"):
     HARNESS_ORACLES[_lattice.lower()] = (
         "SELECT l_returnflag, l_linestatus, "
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n "
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty, COUNT(*) AS n "
         f"FROM lineitem GROUP BY {_lattice} (l_returnflag, l_linestatus)"
     )
 
@@ -2104,7 +2122,7 @@ HARNESS_ORACLES["doc_lm_score"] = _doc_lm_score_oracle_sql(k=500)
 
 HARNESS_ORACLES["running_totals"] = """
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY user_id
 """
@@ -2255,7 +2273,7 @@ WITH per AS (
          CAST(len(embedding) AS BIGINT) AS dim
   FROM embeddings)
 SELECT label, COUNT(*) AS n_vecs, MIN(dim) AS dim,
-       CAST(SUM(CAST(norm2 AS DECIMAL(28,10))) AS DOUBLE) AS sum_norm2,
+       CAST(CAST(SUM(CAST(norm2 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_norm2,
        MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2
 FROM per GROUP BY label
 """
@@ -2271,7 +2289,7 @@ from ..functions.curation import (  # noqa: E402
 
 HARNESS_ORACLES["near_contamination"] = _near_contamination_oracle_sql(
     "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)",
-    "doc_id % 20 = 0",
+    "{id} % 20 = 0",
     threshold=0.3,
     bands=16,
     rows_per_band=4,
@@ -2295,7 +2313,7 @@ from ..functions.incremental import (  # noqa: E402
 
 HARNESS_ORACLES["incremental_neardup"] = _incremental_neardup_oracle_sql(
     "(SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL)",
-    "doc_id % 10 = 3",
+    "{id} % 10 = 3",
     select_cols=["doc_id", "source"],
     threshold=0.3,
 )

@@ -152,12 +152,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q8_SQL = """
 SELECT EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
-       CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+       CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
                      THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))
-                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-       / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
          AS mkt_share,
-       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
          AS total_volume
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
@@ -234,8 +234,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q9_SQL = """
 SELECT n.n_name AS nation,
        EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
-       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
-                     - p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
          AS sum_profit
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
@@ -288,14 +288,14 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q11_SQL = """
 SELECT l.l_partkey,
-       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
          AS part_value
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n   ON s.s_nationkey = n.n_nationkey
 WHERE n.n_name IN ('NATION_1', 'NATION_2')
 GROUP BY l.l_partkey
-HAVING CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+HAVING CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
        > CAST((SELECT SUM(CAST(l2.l_extendedprice * (1.0 - l2.l_discount) AS DECIMAL(18,6)))
                FROM lineitem l2
                JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
@@ -380,7 +380,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q15_SQL = """
 WITH rev AS (
   SELECT l_suppkey,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
            AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -461,12 +461,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q17_SQL = """
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
             AND p.p_brand = 'Brand#2' AND p.p_type = 'ECONOMY'
 JOIN (SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey) a
   ON l.l_partkey = a.l_partkey
 WHERE l.l_quantity < 0.5 * a.avg_qty
@@ -514,7 +514,7 @@ WHERE s.s_suppkey IN (
   JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
   WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
   GROUP BY l.l_suppkey
-  HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0
+  HAVING CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) > 300.0
 )
 AND s.s_nationkey IN (
   SELECT n.n_nationkey FROM nation n

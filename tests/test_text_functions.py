@@ -257,3 +257,44 @@ def test_bpe_encode_empty_and_no_merges(spark):
     out = {r.doc_id: (r.n_chars_tok, r.n_bpe_tokens) for r in bpe_encode(df, []).collect()}
     assert out[1] == (0, 0)
     assert out[2] == (3, 3)
+
+
+def test_bpe_encode_boundary_collision_merges(spark):
+    # (t,h) then (h,e): after 'th' forms, 'h'+'e' must NOT merge across
+    # the new symbol's boundary — 'the' encodes to [th, e], 2 tokens
+    # (a naive single-separator replace chain yields 1)
+    from openetlagent_spark.functions.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    out = bpe_encode(df, [("t", "h"), ("h", "e")]).first()
+    assert (out.n_chars_tok, out.n_bpe_tokens) == (3, 2)
+
+
+def test_bpe_encode_matches_trainer_fold_on_adversarial_tables(spark):
+    import random
+
+    from openetlagent_spark.functions.text import bpe_encode
+
+    def fold(sym, a, b):
+        out = []
+        for x in sym:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    random.seed(7)
+    rows, want = [], {}
+    for i in range(60):
+        w = "".join(random.choice("abc") for _ in range(random.randint(1, 9)))
+        rows.append((i, w))
+    merges = [("a", "b"), ("ab", "c"), ("c", "a"), ("b", "b")]
+    for i, w in rows:
+        sym = list(w)
+        for a, b in merges:
+            sym = fold(sym, a, b)
+        want[i] = len(sym)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(df, merges).collect()}
+    assert got == want
