@@ -139,6 +139,7 @@ HEADLINE = [
     "incremental_neardup",
     "bpe_train",
     "bpe_encode",
+    "events_sliding",
     "embedding_centroids",
 ]
 

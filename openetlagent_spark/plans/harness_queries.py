@@ -1314,6 +1314,28 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=6)
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) window aggregate — the overlapping-window
+    shape tumbling events_window cannot express (each event lands in
+    duration/slide = 4 windows): 1-hour windows advancing every 15
+    minutes, per event type.  Same operator as the streaming leg
+    (windowed_event_counts with slide; watermark bounds state on a
+    stream).  The oracle replays Spark's window math in integer epoch
+    arithmetic: start = floor-aligned epoch minus j·slide for j in
+    0..3."""
+    from ..streaming import read_event_table, windowed_event_counts
+
+    df = read_event_table(spark, f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(df, window_duration="1 hour", slide="15 minutes")
+    return out.select(
+        F.col("window_start").cast("double").alias("window_start_epoch"),
+        F.col("window_end").cast("double").alias("window_end_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 # Fixed merge table for the encode harness query — a "shipped
 # tokenizer" applied to the corpus.  The Spark query and the generated
 # oracle consume the SAME literal list, so the chained folds cannot
@@ -1730,6 +1752,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_neardup": q_incremental_neardup,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "events_sliding": q_events_sliding,
     "embedding_centroids": q_embedding_centroids,
     "text_scrub": q_text_scrub,
     "incremental_dedup": q_incremental_dedup,
@@ -2335,3 +2358,15 @@ from ..functions.similarity import (  # noqa: E402
 HARNESS_ORACLES["embedding_centroids"] = _embedding_centroids_oracle_sql(
     "embeddings", "label", "embedding"
 )
+
+HARNESS_ORACLES["events_sliding"] = """
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type, value
+           FROM events),
+w AS (SELECT ep - (ep % 900) - 900 * j AS ws, event_type, value
+      FROM e, (SELECT unnest(range(0, 4)) AS j))
+SELECT CAST(ws AS DOUBLE) AS window_start_epoch,
+       CAST(ws + 3600 AS DOUBLE) AS window_end_epoch,
+       event_type, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM w GROUP BY ws, event_type
+"""

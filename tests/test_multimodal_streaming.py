@@ -401,3 +401,37 @@ def test_running_totals_batch_form(spark):
     df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
     got = {r.user_id: (r.n_events, r.sum_value) for r in running_totals(df).collect()}
     assert got == {0: (2, 0.5 + 2.5), 1: (2, 1.5 + 3.5)}
+
+
+def test_streaming_sliding_window_counts_match_batch(spark, tmp_path):
+    rows = [
+        Row(event_id=i, ts=f"2024-01-01 00:{10 + i * 7}:00", user_id=i % 2, event_type="click", value=float(i), props="{}")
+        for i in range(5)
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "events_slide_src")
+    batch.write.parquet(src)
+
+    kw = dict(window_duration="1 hour", slide="15 minutes")
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(batch, **kw).collect()
+    }
+    # every event lands in duration/slide = 4 overlapping windows
+    assert sum(n for n, _ in expected.values()) == 5 * 4
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream, watermark="2 hours", **kw)
+        .writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    assert got == expected
