@@ -71,6 +71,7 @@ HEADLINE = [
     "tpch_q20",
     "tpch_q21",
     "asof_join",
+    "asof_tolerance",
     "range_join",
     "rollup",
     "grouping_sets",

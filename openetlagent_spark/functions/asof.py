@@ -36,19 +36,31 @@ def asof_join(
     value_columns: list[str],
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Attach ``value_columns`` (+ the matched right time as
     ``{right_time}{suffix}``) from the as-of matching right row; left
-    rows with no match keep nulls."""
+    rows with no match keep nulls.
+
+    ``tolerance`` (seconds): a match farther than this from the left
+    time reverts to no-match (NULLs) — pandas merge_asof semantics;
+    the stale-quote guard every as-of consumer eventually needs.
+    Applied as a post-window projection, so the plan shape (one
+    union + one window pass, no join) is unchanged."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join direction must be backward/forward, got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"asof_join tolerance must be >= 0, got {tolerance!r}")
 
     def time_to_double(df: DataFrame, col_name: str):
         # TIMESTAMP_NTZ has no direct double cast; route timestamps
-        # through TIMESTAMP (epoch seconds), numerics cast directly.
+        # through TIMESTAMP (epoch seconds).  DATE cannot cast to
+        # double at all (AnalysisException) — route it through
+        # TIMESTAMP too (midnight epoch, matching DuckDB's epoch(date)
+        # in the oracles).  Numerics cast directly.
         dtype = dict(df.dtypes)[col_name]
         col = F.col(col_name)
-        if dtype.startswith("timestamp"):
+        if dtype.startswith("timestamp") or dtype == "date":
             return col.cast("timestamp").cast("double")
         return col.cast("double")
 
@@ -92,12 +104,23 @@ def asof_join(
         carried = [F.first(f"__rv_{c}__", ignorenulls=True).over(w).alias(f"__m_{c}__") for c in value_columns]
         matched_time = F.first("__rt__", ignorenulls=True).over(w)
 
+    rts = f"{right_time}{suffix}"
     joined = unioned.select(
-        "__side__", "__left__", matched_time.alias(f"{right_time}{suffix}"), *carried
+        "__side__", "__left__", "__t__", matched_time.alias(rts), *carried
     ).filter(F.col("__left__").isNotNull())
+    if tolerance is not None:
+        within = F.abs(F.col("__t__") - F.col(rts)) <= F.lit(float(tolerance))
+        joined = joined.select(
+            "__side__", "__left__", "__t__",
+            F.when(within, F.col(rts)).alias(rts),
+            *[
+                F.when(within, F.col(f"__m_{c}__")).alias(f"__m_{c}__")
+                for c in value_columns
+            ],
+        )
 
     return joined.select(
         *[F.col("__left__")[c].alias(c) for c in left_cols],
-        f"{right_time}{suffix}",
+        rts,
         *[F.col(f"__m_{c}__").alias(f"{c}{suffix}") for c in value_columns],
     )

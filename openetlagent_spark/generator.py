@@ -104,7 +104,8 @@ Available operation_type values and their fields:
   copy_column} — weight 0 drops the group, 2.5 = two copies of every row
   plus a hash-chosen half a third time
 - asof_join: latest-right-row-at-or-before join. {right_file_path: input_key,
-  left_on, right_on, left_time, right_time, value_columns, direction}
+  left_on, right_on, left_time, right_time, value_columns, direction,
+  tolerance (seconds; staler matches revert to NULL)}
 - range_join: time-proximity join. {kind: tolerance (self pairs: key,
   time_column, id_column, tolerance) or interval (right_file_path, left_on,
   right_on, time_column, start_column, end_column, value_columns)}

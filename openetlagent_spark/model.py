@@ -527,12 +527,18 @@ class AsofJoinOperation(Operation):
     value_columns: list[str] = field(default_factory=list)
     direction: str = "backward"
     suffix: str = "_asof"
+    # None = unbounded; seconds otherwise (stale matches revert to NULL)
+    tolerance: float | None = None
     operation_type: str = "asof_join"
 
     def __post_init__(self) -> None:
         if self.direction not in ("backward", "forward"):
             raise SpecError(
                 f"asof_join direction must be backward/forward, got {self.direction!r}"
+            )
+        if self.tolerance is not None and self.tolerance < 0:
+            raise SpecError(
+                f"asof_join tolerance must be >= 0, got {self.tolerance!r}"
             )
         for f_name in ("right_file_path", "left_on", "right_on", "left_time", "right_time"):
             if not getattr(self, f_name):

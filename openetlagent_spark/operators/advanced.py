@@ -265,6 +265,7 @@ def apply_asof_join(
         value_columns=op.value_columns,
         direction=op.direction,
         suffix=op.suffix,
+        tolerance=op.tolerance,
     )
 
 

@@ -933,6 +933,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "o_orderdate_asof", "o_totalprice_asof")
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness bound: each purchase picks the same
+    user's latest prior view, but a view older than 30 minutes reverts
+    to no-match (NULLs) — pandas merge_asof tolerance semantics, the
+    attribution-window variant of q_asof_join.  Same single
+    union+window plan; the bound is a post-window projection.  Oracle:
+    DuckDB native ASOF JOIN wrapped in the same CASE."""
+    from ..functions.asof import asof_join
+    from ..functions.dedup import exact_dedup
+    from ..streaming import read_event_table
+
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    views = exact_dedup(
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_id")
+        ),
+        ["user_id", "ts"],
+        "view_id",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_columns=["view_id"],
+        tolerance=1800.0,
+    )
+    return out.select("event_id", "user_id", "ts_asof", "view_id_asof")
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range self-join: pairs of events by the same user within 60s —
     bucketed expansion (one equi-shuffle), never a cross join.  The
@@ -1741,6 +1778,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "session_window": q_session_window,
     "asof_join": q_asof_join,
+    "asof_tolerance": q_asof_tolerance,
     "range_join": q_range_join,
     "rollup": q_rollup,
     "cube": q_cube,
@@ -2369,4 +2407,17 @@ SELECT CAST(ws AS DOUBLE) AS window_start_epoch,
        event_type, COUNT(*) AS n_events,
        CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM w GROUP BY ws, event_type
+"""
+
+HARNESS_ORACLES["asof_tolerance"] = """
+WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events
+           WHERE event_type = 'view'
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1),
+b AS (SELECT p.event_id, p.user_id, epoch(p.ts) AS et, epoch(v.ts) AS vt, v.view_id
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+SELECT event_id, user_id,
+       CASE WHEN et - vt <= 1800.0 THEN vt END AS ts_asof,
+       CASE WHEN et - vt <= 1800.0 THEN view_id END AS view_id_asof
+FROM b
 """

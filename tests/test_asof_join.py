@@ -63,3 +63,35 @@ def test_asof_forward(spark):
     assert got[("A", 20.0)] == (120.0, 20.0)  # tie matches forward too
     assert got[("A", 5.0)] == (100.0, 8.0)
     assert got[("B", 10.0)] == (200.0, 50.0)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from openetlagent_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (1, 1000.0)], "k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(1, 90.0, "fresh"), (1, 10.0, "stale")], "k long, t double, v string"
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="t",
+        value_columns=["v"], tolerance=60.0,
+    )
+    rows = {r.t: (r.t_asof, r.v_asof) for r in out.collect()}
+    # t=100 matches t=90 (dt 10 <= 60); t=1000's best match t=90 is 910s
+    # stale -> reverts to no-match
+    assert rows[100.0] == (90.0, "fresh")
+    assert rows[1000.0] == (None, None)
+
+
+def test_asof_tolerance_flow_op_validates(spark):
+    import pytest
+
+    from openetlagent_spark.model import AsofJoinOperation, SpecError
+
+    with pytest.raises(SpecError):
+        AsofJoinOperation(
+            right_file_path="x", left_on="k", right_on="k",
+            left_time="t", right_time="t", tolerance=-1.0,
+        )
