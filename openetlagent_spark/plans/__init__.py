@@ -23,7 +23,8 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # runs the full set regardless of order.  Queries ADDED during round 4
 # (near_contamination, global_shuffle, quantile_filter,
 # embedding_stats, partitioned_layout, top_p_sources, ...) register in
-# the tail behind these 50 and queue for the next rotation; each passed
+# the tail behind these 50 and queue for the next rotation (15 by round
+# end — through stats_corr/events_sliding/asof_tolerance); each passed
 # the local driver-strength exact check when it landed.
 _ROUND4_FRONT = [
     # r03 hash failures, oracle SQL fixed this round (4)
