@@ -49,7 +49,10 @@ def asof_join(
     union + one window pass, no join) is unchanged."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join direction must be backward/forward, got {direction!r}")
-    if tolerance is not None and tolerance < 0:
+    # `not (tolerance >= 0)` also rejects NaN — `NaN < 0` is False, and
+    # a NaN bound would silently disable the check (NaN sorts greater
+    # than every double, so `abs(dt) <= NaN` holds for all matches)
+    if tolerance is not None and not tolerance >= 0:
         raise ValueError(f"asof_join tolerance must be >= 0, got {tolerance!r}")
 
     def time_to_double(df: DataFrame, col_name: str):

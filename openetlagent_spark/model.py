@@ -536,7 +536,9 @@ class AsofJoinOperation(Operation):
             raise SpecError(
                 f"asof_join direction must be backward/forward, got {self.direction!r}"
             )
-        if self.tolerance is not None and self.tolerance < 0:
+        if self.tolerance is not None and not self.tolerance >= 0:
+            # `not (x >= 0)` also rejects NaN, which would otherwise
+            # silently disable the staleness bound
             raise SpecError(
                 f"asof_join tolerance must be >= 0, got {self.tolerance!r}"
             )

@@ -95,3 +95,24 @@ def test_asof_tolerance_flow_op_validates(spark):
             right_file_path="x", left_on="k", right_on="k",
             left_time="t", right_time="t", tolerance=-1.0,
         )
+
+
+def test_asof_tolerance_rejects_nan(spark):
+    import math
+
+    import pytest
+
+    from openetlagent_spark.functions.asof import asof_join
+    from openetlagent_spark.model import AsofJoinOperation, SpecError
+
+    left = spark.createDataFrame([(1, 1.0)], "k long, t double")
+    with pytest.raises(ValueError):
+        asof_join(
+            left, left, left_on="k", right_on="k", left_time="t", right_time="t",
+            value_columns=[], tolerance=math.nan,
+        )
+    with pytest.raises(SpecError):
+        AsofJoinOperation(
+            right_file_path="x", left_on="k", right_on="k",
+            left_time="t", right_time="t", tolerance=math.nan,
+        )
