@@ -76,3 +76,20 @@ def test_example_pretraining_order_pipeline(spark, tmp_path):
     assert keys == sorted(keys)
     # every survivor is at/above its source's median-length threshold
     assert all(r.n_chars >= r.len_threshold for r in rows)
+
+
+def test_example_decontamination_pipeline(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/decontamination.yaml")
+    )
+    config.outputs["decontaminated"].path = str(tmp_path / "decon")
+    result, ok, feedback = run_flow(spark, config, flow, "decontaminated", single_file=True)
+    assert ok, feedback
+    landed = spark.read.parquet(str(tmp_path / "decon"))
+    n_source = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    n = landed.count()
+    # keep_best dedup collapses the corpus's near-dup clusters; the
+    # disjoint benchmark drops nothing from this synthetic corpus
+    assert 0 < n < n_source
+    assert set(landed.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
