@@ -73,9 +73,10 @@ def contamination_check(
     base = docs.select(
         F.col(id_col).alias("__id__"),
         word_ngram_codes(F.col(text_col), n).alias("__codes__"),
-    ).persist()  # feeds the explode AND the per-doc shingle counts —
-    # without the boundary the md5 shingling runs twice (Catalyst does
-    # no CSE across plan branches; measured ~2× at sf1)
+    ).localCheckpoint(eager=True)  # feeds the explode AND the per-doc
+    # shingle counts — without the boundary the md5 shingling runs
+    # twice (Catalyst does no CSE across plan branches; measured ~2× at
+    # sf1).  Eager checkpoint, not persist: blocks free on GC.
     exploded = base.select("__id__", F.explode(F.col("__codes__")).alias("code"))
     hits = (
         exploded.join(F.broadcast(bench_codes), "code", "left_semi")
@@ -226,11 +227,12 @@ def pack_sequences(
     parts = (
         base.repartitionByRange(F.col("__oid__"))
         .withColumn("__pid__", F.spark_partition_id())
-        .persist()  # consumed by the phase-1 sums AND the phase-2
-        # window — the boundary also guarantees both phases see the
-        # SAME range partitioning (a re-executed exchange may sample
-        # different range bounds; offsets stay correct either way, but
-        # one materialization is strictly cheaper)
+        .localCheckpoint(eager=True)  # consumed by the phase-1 sums
+        # AND the phase-2 window — the boundary also guarantees both
+        # phases see the SAME range partitioning (localCheckpoint
+        # truncates lineage, so the sampled exchange can never re-run
+        # with different range bounds), and the blocks free on GC of
+        # the returned DataFrame instead of leaking for the session
     )
     # Phase 1: one row per partition → exclusive prefix of partition sums.
     psums = (
@@ -632,11 +634,11 @@ def global_shuffle(
     any order-preserving split yields the identical permutation
     (asserted against a single-window reference in tests).
 
-    The repartitioned frame is persisted (it feeds both phases and
-    pins one sampled range split); the returned DataFrame is lazy, so
-    the cache cannot be released here — callers that loop over many
-    operators should ``spark.catalog.clearCache()`` (the harness and
-    bench do), cf. incremental_dedup's identical note.
+    The repartitioned frame is eagerly localCheckpoint-ed: it feeds
+    both phases, the truncated lineage pins one sampled range split
+    (a re-executed exchange could sample different bounds), and the
+    blocks free when the returned DataFrame is garbage-collected —
+    no session-lifetime cache leak, cf. incremental_dedup.
     """
     key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
     h = F.md5(F.concat_ws("-", key_str, F.lit(str(seed))))
@@ -644,7 +646,7 @@ def global_shuffle(
         df.withColumn("_x_shuf", h)
         .repartitionByRange(F.col("_x_shuf"), F.col(key_col))
         .withColumn("_x_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     psums = parts.groupBy("_x_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     bases: dict[int, int] = {}

@@ -224,7 +224,7 @@ def minhash_lsh_pairs(
     hashed = df.select(
         F.col(id_col).alias("__id__"),
         shingle_expr.alias("__shingles__"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     # Stage 2 — signatures from the cached hash arrays.  Persisted too:
     # referenced by bucket counting and both self-join sides.  Jaccard
     # verification also runs on the hash sets (identical to shingle-set
@@ -237,7 +237,8 @@ def minhash_lsh_pairs(
         # numpy UDF, not minhash_from_hashes: identical values, ~6×
         # faster (HOFs are interpreted, not codegen — see minhash_udf).
         minhash_udf(num_perm, seed)(F.col("__shingles__")).alias("__sig__"),
-    ).persist()
+    ).localCheckpoint(eager=True)  # not persist: blocks free on GC of
+    # the returned DataFrame instead of leaking for the session
 
     # Bands carry ONLY (id, band, bhash) — the (large) shingle arrays
     # never enter the banding shuffles; they are joined back from the
@@ -631,7 +632,8 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col).alias("__id__"),
         word_ngram_codes(F.col(text_col), n).alias("grams"),
-    ).persist()  # feeds the banding groupBy and both verification join-backs
+    ).localCheckpoint(eager=True)  # feeds the banding groupBy and both
+    # verification join-backs; eager checkpoint so blocks free on GC
 
     params = _perm_params(bands * rows_per_band, seed)
 
@@ -794,7 +796,8 @@ def embedding_neardup_pairs(
     dim = infer_dim(df, vec_col)
     base = df.select(
         F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__v__")
-    ).persist()  # feeds the banding pass and both verification join-backs
+    ).localCheckpoint(eager=True)  # feeds the banding pass and both
+    # verification join-backs; eager checkpoint so blocks free on GC
 
     # All table signatures in ONE pass via the 3-D plane literal +
     # posexplode (no n_tables-way union — cf. similarity.lsh_topk), then

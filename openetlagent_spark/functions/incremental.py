@@ -236,13 +236,13 @@ def incremental_dedup(
     text fingerprint (text.with_fingerprint: md5 over lowercased,
     whitespace-collapsed text), so formatting variants dedup too.
 
-    ``cache``: persist the fingerprinted batch (it feeds both the
-    fingerprint-set broadcast and the final join/window).  The returned
-    DataFrame is lazy, so the cache cannot be released here; callers
-    running many operators in one session should
-    ``spark.catalog.clearCache()`` between operators (bench.py and
-    scripts/check_oracle.py do), or pass ``cache=False`` to recompute
-    the batch fingerprints on the second branch instead.
+    ``cache``: eagerly localCheckpoint the fingerprinted batch (it
+    feeds both the fingerprint-set broadcast and the final
+    join/window), so the materialized blocks free when the returned
+    DataFrame is garbage-collected instead of leaking executor storage
+    for the session (``persist`` on a lazily-returned result can never
+    be safely released).  Pass ``cache=False`` to recompute the batch
+    fingerprints on the second branch instead.
 
     mode='annotate' returns the batch with ``is_known`` (fingerprint
     exists in the corpus) and ``is_batch_dup`` (a lower-id row of the
@@ -265,7 +265,7 @@ def incremental_dedup(
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
     batch = with_fingerprint(new_docs, text_col)
     if cache:
-        batch = batch.persist()
+        batch = batch.localCheckpoint(eager=True)
     batch_fps = batch.select(F.col("fingerprint").alias("__fp__")).distinct()
     known = (
         with_fingerprint(corpus, text_col)
@@ -372,7 +372,9 @@ def incremental_neardup(
         threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_size=shingle_size, seed=seed, max_bucket=max_bucket,
         md5_mode=md5_mode,
-    ).persist()  # consumed by both verdicts; tiny (near-dup pairs only)
+    ).localCheckpoint(eager=True)  # consumed by both verdicts; tiny
+    # (near-dup pairs only) — eager checkpoint, not persist: blocks
+    # free on GC of the result instead of leaking for the session
     # struct ordering puts side 0 (batch) first in every cross pair
     known = (
         pairs.filter(F.col("id_a.s") != F.col("id_b.s"))

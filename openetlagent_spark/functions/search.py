@@ -36,15 +36,16 @@ Scale shapes (100 TB):
   materialized copy → vocabulary-sized stats → anti-join-guarded
   posting collect.  Three wide exchanges total.
 
-Cache lifetime: keyword_search_topk ``persist()``s a narrow
-intermediate when ``cache=True`` and returns a LAZY DataFrame that
-depends on it, so it cannot unpersist before the caller's terminal
-action.  Callers that run many operators in one session
-(bench/correctness harnesses) should ``spark.catalog.clearCache()``
-between operators — the repo's bench.py and scripts/check_oracle.py do
-exactly that.  Pass ``cache=False`` to opt out entirely.
-(inverted_index uses eager ``localCheckpoint`` instead — its blocks
-free on garbage collection, no explicit cache management needed.)
+Cache lifetime: when ``cache=True`` every operator here materializes
+its reused intermediate with an EAGER ``localCheckpoint`` — never
+``persist`` — so the blocks free when the returned DataFrame is
+garbage-collected instead of leaking executor storage for the session
+(a lazily-returned result can never safely ``unpersist`` its own
+inputs).  Pass ``cache=False`` for a fully lazy plan that re-derives
+the intermediate.  Cluster note: ``localCheckpoint`` blocks live on
+the executors that computed them, so with aggressive dynamic
+de-allocation prefer ``cache=False`` (recompute) or a reliable
+``checkpoint`` directory.
 """
 
 from __future__ import annotations
@@ -103,12 +104,13 @@ def keyword_search_topk(
     per-doc branch then feeds both the corpus-stats aggregate and the
     scoring projection.
 
-    ``cache``: persist the per-doc counts frame — (id, dl, T ints), a
-    few bytes per document, NOT the token arrays — so the second scan
-    reads the narrow cache instead of re-splitting the corpus.  Cache
-    lifetime is caller-managed (see module docstring); pass False to
-    trade the cache for one extra corpus scan — both plans are correct,
-    this is purely a storage-vs-CPU knob."""
+    ``cache``: eagerly localCheckpoint the per-doc counts frame — (id,
+    dl, T ints), a few bytes per document, NOT the token arrays — so
+    the second scan reads the narrow materialized copy instead of
+    re-splitting the corpus, and the blocks free on GC of the result
+    (see module docstring).  Pass False to trade the materialization
+    for one extra corpus scan — both plans are correct, this is purely
+    a storage-vs-CPU knob."""
     terms = _normalized_terms(query_terms)
 
     # One fold computes dl plus every tf: acc is a (T+1)-field struct of
@@ -139,7 +141,7 @@ def keyword_search_topk(
         )
     )
     if cache:
-        base = base.persist()
+        base = base.localCheckpoint(eager=True)
 
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -358,9 +358,12 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("total_rev", F.col("rev_sum_dec").cast("double"))
     # The revenue view feeds BOTH the MAX probe and the winner filter;
-    # without a persist boundary each consumer re-scans and re-shuffles
-    # lineitem (Spark plans share nothing across actions' subtrees).
-    rev = rev.persist()
+    # without a materialization boundary each consumer re-scans and
+    # re-shuffles lineitem (Spark plans share nothing across actions'
+    # subtrees).  Eager localCheckpoint, not persist: the blocks free
+    # when the returned DataFrame is garbage-collected instead of
+    # leaking executor storage for the session.
+    rev = rev.localCheckpoint(eager=True)
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     top = rev.join(F.broadcast(mx)).filter(F.col("total_rev") == F.col("max_rev"))
     top = apply_bind(
@@ -436,8 +439,23 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
+    sel_part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    # Prune the fact table by the broadcast part selection BEFORE the
+    # per-part aggregate: the average is per partkey and the filter is
+    # by partkey, so every surviving part still aggregates over all of
+    # its lineitem rows — identical avg_qty, but the aggregate (and its
+    # shuffle) runs over only the selected parts' rows instead of the
+    # full fact table.  At 100 TB this is the difference between a
+    # full-fact shuffle and one sized by part selectivity.
+    li_sel = li.join(
+        F.broadcast(sel_part), li.l_partkey == sel_part.p_partkey
+    ).drop("p_partkey")
     per_part = (
-        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        li_sel.groupBy(F.col("l_partkey").alias("ap_partkey"))
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum_dec"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -445,14 +463,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_qty", F.col("qty_sum_dec").cast("double") / F.col("n_lines"))
         .select("ap_partkey", "avg_qty")
     )
-    sel_part = (
-        _t(spark, sf_dir, "part")
-        .filter((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "ECONOMY"))
-        .select("p_partkey")
-    )
-    li = li.join(F.broadcast(sel_part), li.l_partkey == sel_part.p_partkey)
-    li = li.join(per_part, li.l_partkey == per_part.ap_partkey)
-    small = li.filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+    # per_part is one row per SELECTED part — the same cardinality
+    # class as sel_part, which already broadcasts — so the join-back
+    # broadcasts too instead of shuffling the probe side into a
+    # sort-merge join.
+    li2 = li_sel.join(F.broadcast(per_part), li_sel.l_partkey == per_part.ap_partkey)
+    small = li2.filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
     return small.agg(
         (
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0)

@@ -90,11 +90,11 @@ def test_second_batch_star_joins_broadcast(spark, name):
         ("tpch_q13", 2),   # outer-join fan + two cascaded aggs share one exchange each
         ("tpch_q15", 4),   # revenue view agg + argmax equality (Catalyst rewrites the
                            # 1-row cross join + equality filter into a broadcast EQUI-join).
-                           # The view is PERSISTED (it feeds both the MAX probe and the
-                           # winner filter — one lineitem pass at runtime, measured 5×);
-                           # explain() reprints the cached subtree's exchange under BOTH
-                           # InMemoryTableScans, so the textual count is 4 while the
-                           # runtime count stays 2 (cache built once).
+                           # The view is eagerly localCheckpoint-ed (it feeds both the MAX
+                           # probe and the winner filter — one lineitem pass at runtime,
+                           # measured 5×; blocks free on GC), so the explain tree shows
+                           # Scan ExistingRDD leaves and ≤2 textual exchanges; 4 kept as
+                           # slack for the pre-checkpoint logical print.
         ("tpch_q16", 2),   # distinct-pair expand + final count
         ("tpch_q17", 1),   # decorrelated per-part avg joined back co-partitioned
         ("tpch_q20", 1),   # semi-join chain: one agg shuffle, everything else broadcast
@@ -103,6 +103,31 @@ def test_second_batch_star_joins_broadcast(spark, name):
 )
 def test_second_batch_shuffle_budget(spark, name, max_shuffles):
     assert count_shuffles(plan_of(spark, name)) <= max_shuffles
+
+
+def test_q17_aggregates_only_selected_parts(spark):
+    """The per-part AVG must run AFTER the broadcast part-selection
+    join, not over the full fact table: both lineitem subtrees (the
+    aggregate input and the probe side) must sit above a
+    BroadcastHashJoin with the filtered part keys.  Pin: every
+    HashAggregate over l_quantity appears below a plan region that
+    already joined part, i.e. the aggregate subtree mentions the
+    broadcast exchange."""
+    plan = plan_of(spark, "tpch_q17")
+    assert "BroadcastHashJoin" in plan
+    # The partial aggregate over l_quantity must consume the output of
+    # the part-pruned join, so the physical plan orders the broadcast
+    # join BEFORE the first partial HashAggregate (string order in the
+    # formatted tree: children print below parents, so the join feeding
+    # the aggregate appears AFTER it textually — assert the aggregate's
+    # child subtree contains the broadcast join).
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1
+    assert "BroadcastHashJoin" in plan[first_agg:], (
+        "per-part aggregate must be fed by the part-pruned join"
+    )
+    # Exactly one shuffle: the pruned per-part aggregate.
+    assert count_shuffles(plan) <= 1
 
 
 def test_q11_scalar_is_one_row_broadcast(spark):
