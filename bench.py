@@ -7,6 +7,16 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries":
 Each query is forced to full materialization with the ``noop`` sink —
 every row is computed and serialized through the physical plan, but no
 driver-side collect or disk write distorts the timing.
+
+MEASUREMENT PROTOCOL: per-query numbers are comparable ONLY between
+full warm runs of this script.  A query timed alone in a fresh process
+reads 3-4× slower (JVM + Python-worker startup, cold code cache), and
+the first queries of any run absorb shared warm-up; round-over-round
+deltas under ~1.5× on individual queries are bench variance, not
+regressions — re-measure at the suspect's old commit before concluding
+anything.  Besides the single stdout JSON line (driver contract), the
+full result is also written to BENCH_LOCAL.json beside this script so
+per-query history survives any driver-side tail truncation.
 """
 
 from __future__ import annotations
@@ -174,17 +184,24 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Sibling artifact with the COMPLETE per-query map: the driver
+    # records only a truncated tail of stdout, which has forced past
+    # rounds to reconstruct timings by regex.
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(local, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the data
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

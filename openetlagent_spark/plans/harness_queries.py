@@ -67,6 +67,40 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Fresh per-invocation scratch dir for the write-then-read-back
+    layout queries: ``<tmp>/<prefix>_<dataset-tag>_p<pid>_<uuid>``.
+
+    Per-invocation uuid: no two invocations (threads and concurrent
+    harness/bench processes included) ever share a dir, so the
+    write/read-back sequence cannot race another run's rmtree.  Dirs
+    leaked by DEAD runs are garbage-collected on entry by checking
+    whether the pid embedded in the name is still alive — never by
+    age, which could delete a long-running process's live dir
+    mid-read."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base = tempfile.gettempdir()
+    for old in glob.glob(os.path.join(base, f"{prefix}_*_p*")):
+        try:
+            pid = int(os.path.basename(old).split("_p")[-1].split("_")[0])
+            os.kill(pid, 0)  # raises if the owning process is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(old, ignore_errors=True)
+        except (OSError, PermissionError):
+            pass  # pid alive (or unverifiable): leave the dir alone
+    tag = (
+        hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + f"_p{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+    return os.path.join(base, f"{prefix}_{tag}")
+
+
 def _ts(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan + ``rebalance_scan`` — for the CPU-bound map-side pipelines
     (text analysis, shingling, similarity math, media decode).  The test
@@ -1126,19 +1160,16 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``path/batch_id=N`` dirs) → read the landed layout back and
     aggregate.  Hash-matching a plain SQL aggregate over the SOURCE
     proves no loss or duplication through the stream+sink round trip."""
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from ..streaming import read_event_stream, write_stream_idempotent
 
-    # Deterministic per-dataset scratch dir, wiped on entry — repeated
-    # harness/bench runs must not accumulate tmp dirs or resume a stale
-    # checkpoint against changed data.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"ela_stream_sink_{tag}")
-    shutil.rmtree(tmp, ignore_errors=True)
+    # Per-invocation scratch dir (also the checkpoint root — a fresh
+    # dir each run means the stream can never resume a stale
+    # checkpoint against changed data); dead runs' dirs GC'd by the
+    # helper's live-pid check.
+    tmp = _scratch_dir("ela_stream_sink", sf_dir)
     # Spark's file stream source requires a DIRECTORY (the landing-zone
     # shape); stage the single test file into one.
     src_dir = f"{tmp}/landing"
@@ -1170,17 +1201,10 @@ def q_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-matching a plain aggregate over the SOURCE proves the
     sort+rewrite is lossless and the pruned read returns exactly the
     window's rows."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..sources import write_sorted
     from ..streaming import read_event_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"ela_sorted_layout_{tag}")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch_dir("ela_sorted_layout", sf_dir)
     ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
@@ -1202,36 +1226,10 @@ def q_compacted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted copy.  Hash-matching a plain aggregate over the SOURCE
     proves the probe-sized rewrite is lossless; file sizing itself is
     pinned in tests/test_sorted_layout.py."""
-    import glob
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
     from ..sources import write_sized
     from ..streaming import read_event_table
 
-    # per-invocation uuid: no two invocations (threads included) ever
-    # share a dir, so the rmtree/write/read-back sequence cannot race.
-    # Leaked dirs are garbage-collected by checking whether the pid
-    # embedded in the name is still ALIVE — never by age, which could
-    # delete a long-running process's live dir mid-read.
-    base = tempfile.gettempdir()
-    for old in glob.glob(os.path.join(base, "ela_compacted_layout_*_p*")):
-        try:
-            pid = int(os.path.basename(old).split("_p")[-1].split("_")[0])
-            os.kill(pid, 0)  # raises if the owning process is gone
-        except (ValueError, ProcessLookupError):
-            shutil.rmtree(old, ignore_errors=True)
-        except (OSError, PermissionError):
-            pass  # pid alive (or unverifiable): leave the dir alone
-    tag = (
-        hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        + f"_p{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    )
-    tmp = os.path.join(base, f"ela_compacted_layout_{tag}")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch_dir("ela_compacted_layout", sf_dir)
     ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
@@ -1253,17 +1251,10 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sorted_layout.py).  Hash-matching a plain aggregate
     over the SOURCE proves the quantile-bucket rewrite is lossless and
     the clustered read returns exactly the box's rows."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..sources import write_zorder
     from ..streaming import read_event_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    tmp = os.path.join(tempfile.gettempdir(), f"ela_zorder_layout_{tag}")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch_dir("ela_zorder_layout", sf_dir)
     ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -1654,35 +1645,10 @@ def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the SOURCE proves the partitioned rewrite is
     lossless and the pruned read returns exactly the partition's
     rows."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
     from ..model import ColumnDefinition, FileDefinition, FileSchema
     from ..sources import save_data
 
-    # per-invocation uuid (cf. q_compacted_layout): no two concurrent
-    # harness/bench runs ever share a dir, so the rmtree/write/read-back
-    # sequence cannot race.  Dirs from dead runs are garbage-collected
-    # by LIVE-pid check, never by age.
-    base = tempfile.gettempdir()
-    import glob as _glob
-    for old in _glob.glob(os.path.join(base, "ela_partitioned_layout_*_p*")):
-        try:
-            pid = int(os.path.basename(old).split("_p")[-1].split("_")[0])
-            os.kill(pid, 0)
-        except (ValueError, ProcessLookupError):
-            shutil.rmtree(old, ignore_errors=True)
-        except (OSError, PermissionError):
-            pass
-    tag = (
-        hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        + f"_p{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    )
-    tmp = os.path.join(base, f"ela_partitioned_layout_{tag}")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch_dir("ela_partitioned_layout", sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars", "lang")
     fd = FileDefinition(
         path=tmp,

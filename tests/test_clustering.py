@@ -92,3 +92,21 @@ def test_diversity_sample_quota_and_determinism(planted):
         planted.repartition(5), "vec_id", "embedding", k=3, iters=2, per_cluster=5
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+@pytest.mark.parametrize("bad", [-1, -40, 41, 63, 64, 1000])
+def test_kmeans_scale_bits_out_of_bounds_rejected(bad):
+    # A negative value would otherwise surface later as a cryptic
+    # 'negative shift count'; a huge one silently overflows the
+    # quantized grid's usable int64 range.
+    from openetlagent_spark.model import ClusteringOperation, SpecError
+
+    with pytest.raises(SpecError, match="scale_bits"):
+        ClusteringOperation(mode="assign", scale_bits=bad)
+
+
+@pytest.mark.parametrize("ok", [0, 1, 20, 40])
+def test_kmeans_scale_bits_in_bounds_accepted(ok):
+    from openetlagent_spark.model import ClusteringOperation
+
+    assert ClusteringOperation(mode="assign", scale_bits=ok).scale_bits == ok

@@ -59,6 +59,75 @@ def _png_bytes(Image, w=8, h=8, value=128):
     return buf.getvalue()
 
 
+def _handbuilt_png(gray: int = 128) -> bytes:
+    """A minimal valid 1×1 grayscale PNG, built byte-by-byte with
+    struct+zlib — no imaging library needed to CONSTRUCT it, so the
+    decode test is self-contained the day codecs exist."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # 1x1, 8-bit gray
+    idat = zlib.compress(bytes([0, gray]))  # filter byte + one pixel
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def test_real_decode_corrupt_bytes_yield_zero_vector():
+    """The real decoder's totality contract — corrupt/truncated/empty
+    payloads produce the zero vector, never a task failure — must hold
+    even in this codec-less container: drive _real_decode_features with
+    a stand-in Image module whose open() raises (exactly what Pillow
+    does on bad bytes), and with empty/None payloads that short-circuit
+    before any decode."""
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import _real_decode_features
+
+    class _RaisingImage:
+        @staticmethod
+        def open(_buf):
+            raise OSError("cannot identify image file")
+
+    for payload in (b"\x00\x01not-a-png", _handbuilt_png()[:12]):
+        out = _real_decode_features(_RaisingImage, payload, 16)
+        assert out.dtype == np.float32 and out.shape == (16,)
+        assert not out.any()
+    for payload in (b"", None):
+        out = _real_decode_features(_RaisingImage, payload, 16)
+        assert not out.any()
+
+
+def test_real_decode_handbuilt_png_when_pil_present(spark):
+    """End-to-end real decode over the hand-built PNG literal: runs the
+    production path the day codecs exist; the truncated twin asserts
+    the corrupt→zero contract through the SAME Pillow code path."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from openetlagent_spark.functions.multimodal import _real_decode_features
+
+    feat = _real_decode_features(Image, _handbuilt_png(gray=128), 16)
+    # single gray-128 pixel → all mass in bin 128//16 = 8
+    assert abs(feat[8] - 1.0) < 1e-6 and abs(feat.sum() - 1.0) < 1e-6
+    truncated = _handbuilt_png()[: len(_handbuilt_png()) // 2]
+    assert not _real_decode_features(Image, truncated, 16).any()
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=_handbuilt_png(gray=128), mime="image/png",
+             width=1, height=1, duration_ms=0)]
+    )
+    rows = extract_image_features(media, decoder="real", dim=16).collect()
+    assert abs(rows[0].feature[8] - 1.0) < 1e-6
+
+
 def test_real_decoder_features_when_pil_present(spark):
     PIL = pytest.importorskip("PIL")
     from PIL import Image
