@@ -152,6 +152,7 @@ HEADLINE = [
     "bpe_encode",
     "events_sliding",
     "embedding_centroids",
+    "semantic_dedup",
 ]
 
 

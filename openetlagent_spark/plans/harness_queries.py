@@ -1431,6 +1431,34 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end — the north-star composition: embedding
+    near-dup pairs (sign-LSH over the embeddings table, exact-oracle
+    Rademacher planes), distributed connected components, then the
+    keep-best policy over the id-aligned documents table (longest
+    n_chars wins, min doc_id on ties).  All three stages are existing
+    exact-oracle operators (dedup_embedding, dedup_clusters,
+    dedup_keep_best); this query proves they compose — the oracle
+    chains the same generated pair SQL through the recursive-closure
+    CTE and the identical rank policy.
+
+    Scale shape: pair mining is banded-bucket (no all-pairs), the
+    component table holds only clustered nodes (a small fraction of
+    the corpus), and the corpus is touched by exactly one score join
+    and one anti join — never shuffled at embedding width."""
+    from ..functions.dedup import embedding_neardup_pairs
+    from ..functions.graph import dedup_keep_best
+
+    emb = _ts(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pairs = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, rademacher=True
+    )
+    return dedup_keep_best(docs, pairs, "doc_id", "n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing layout over the documents table: global
     token offsets via the two-phase distributed prefix scan, 512-token
@@ -1753,6 +1781,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_mixture": q_dataset_mixture,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
+    "semantic_dedup": q_semantic_dedup,
     "incremental_neardup": q_incremental_neardup,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
@@ -2328,6 +2357,20 @@ from ..functions.graph import keep_best_oracle_sql as _keep_best_oracle_sql  # n
 
 HARNESS_ORACLES["dedup_keep_best"] = _keep_best_oracle_sql(
     _ngram_pairs_oracle_sql(),
+    "documents",
+    "doc_id",
+    "n_chars",
+    ["doc_id", "source", "n_chars"],
+)
+
+# semantic_dedup chains the embedding-pair oracle (vec_id ≡ doc_id in
+# the test tables) through the same closure CTE + rank policy — all
+# three composed stages share their per-stage generated SQL, so none
+# can drift from its standalone query
+HARNESS_ORACLES["semantic_dedup"] = _keep_best_oracle_sql(
+    "SELECT id_a, id_b FROM ("
+    + _embedding_pairs_oracle_sql(threshold=0.3)
+    + ") ep",
     "documents",
     "doc_id",
     "n_chars",
