@@ -153,6 +153,8 @@ HEADLINE = [
     "events_sliding",
     "embedding_centroids",
     "semantic_dedup",
+    "gopher_rules",
+    "ccnet_buckets",
 ]
 
 

@@ -302,6 +302,196 @@ def lang_id_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
     )
 
 
+# The classic rule-filter stopword set (Rae et al. 2021, "Scaling
+# Language Models" §A1.1.2 — public): a document must contain at least
+# ``min_stop_hits`` DISTINCT of these to pass the stopword rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.7,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter — the public heuristic
+    battery (word-count bounds, mean word length, symbol-to-word
+    ratio, bullet-line and ellipsis-line fractions, alphabetic-word
+    ratio, stopword presence) every large-scale curation pipeline runs
+    before any model-based scoring.  Returns one row per input row:
+    the raw metrics plus per-rule booleans and the conjunctive
+    ``gopher_pass``.
+
+    Engine-exactness: every metric is an integer count divided at most
+    once into a double (no libm), token/line predicates use only
+    literal prefix/suffix/containment tests, and the stopword count is
+    a distinct-set intersection — each mirrors a DuckDB expression
+    bit-for-bit (gopher_rules_oracle_sql is generated from the same
+    thresholds and the shared :func:`_toks_sql` tokenizer).  NULL text
+    fails every rule with NULL metrics.
+
+    Scale shape (100 TB): pure per-row JVM expressions inside one
+    whole-stage-codegen span — no shuffle, no UDF, no state; composes
+    with any downstream filter as a scan-level predicate."""
+    col = F.col(text_col)
+    toks = _tokens(col)
+    n_words = F.when(
+        col.isNull() | (F.trim(col) == ""), F.lit(0)
+    ).otherwise(F.size(toks))
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_wl = F.when(
+        n_words > 0, sum_len.cast("double") / n_words.cast("double")
+    )
+    # '#' occurrences + non-overlapping '...' occurrences (left-to-right
+    # greedy literal replace — identical in both engines)
+    n_hash = F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+    n_ellipsis = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    )
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("• "),
+        )
+    )
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    bullet_ratio = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
+    )
+    ellipsis_ratio = F.when(
+        n_lines > 0, n_ell_lines.cast("double") / n_lines.cast("double")
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    )
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    )
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = F.coalesce(
+        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len), F.lit(False)
+    )
+    r_symbol = F.coalesce(symbol_ratio <= max_symbol_ratio, F.lit(False))
+    r_bullet = F.coalesce(bullet_ratio <= max_bullet_ratio, F.lit(False))
+    r_ellipsis = F.coalesce(ellipsis_ratio <= max_ellipsis_ratio, F.lit(False))
+    r_alpha = F.coalesce(alpha_ratio >= min_alpha_ratio, F.lit(False))
+    r_stop = F.coalesce(stop_hits >= min_stop_hits, F.lit(False))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        F.coalesce(stop_hits, F.lit(0)).cast("bigint").alias("stop_hits"),
+        r_words.alias("r_words"),
+        r_mwl.alias("r_mean_word_len"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (
+            F.coalesce(r_words, F.lit(False))
+            & r_mwl & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stop
+        ).alias("gopher_pass"),
+    )
+
+
+def gopher_rules_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.7,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`gopher_rules`, generated from the same
+    thresholds, the shared tokenizer fragment, and the same stopword
+    list — none of the three can drift."""
+    toks = _toks_sql(text_col)
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    t = text_col
+    return f"""
+WITH m AS (
+  SELECT {id_col},
+    CASE WHEN {t} IS NULL OR trim({t}) = '' THEN 0
+         ELSE len({toks}) END AS n_words,
+    list_sum(list_transform({toks}, x -> len(x))) AS sum_len,
+    len({t}) - len(replace({t}, '#', '')) AS n_hash,
+    (len({t}) - len(replace({t}, '...', ''))) / 3 AS n_ellipsis,
+    len(string_split({t}, chr(10))) AS n_lines,
+    len(list_filter(string_split({t}, chr(10)),
+        l -> starts_with(l, '- ') OR starts_with(l, '* ')
+          OR starts_with(l, '• '))) AS n_bullet,
+    len(list_filter(string_split({t}, chr(10)),
+        l -> ends_with(l, '...') OR ends_with(l, '…'))) AS n_ell_lines,
+    len(list_filter({toks}, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    len(list_intersect({toks}, [{stops}])) AS stop_hits
+  FROM {table}
+), r AS (
+  SELECT {id_col}, n_words,
+    CASE WHEN n_words > 0
+         THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+    CASE WHEN n_words > 0
+         THEN CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+    CASE WHEN n_lines > 0
+         THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS bullet_ratio,
+    CASE WHEN n_lines > 0
+         THEN CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS ellipsis_ratio,
+    CASE WHEN n_words > 0
+         THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_ratio,
+    COALESCE(stop_hits, 0) AS stop_hits
+  FROM m
+)
+SELECT {id_col}, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+  ellipsis_ratio, alpha_ratio, stop_hits,
+  (n_words >= {min_words} AND n_words <= {max_words}) AS r_words,
+  COALESCE(mean_word_len >= {min_mean_word_len}
+           AND mean_word_len <= {max_mean_word_len}, FALSE) AS r_mean_word_len,
+  COALESCE(symbol_ratio <= {max_symbol_ratio}, FALSE) AS r_symbol,
+  COALESCE(bullet_ratio <= {max_bullet_ratio}, FALSE) AS r_bullet,
+  COALESCE(ellipsis_ratio <= {max_ellipsis_ratio}, FALSE) AS r_ellipsis,
+  COALESCE(alpha_ratio >= {min_alpha_ratio}, FALSE) AS r_alpha,
+  COALESCE(stop_hits >= {min_stop_hits}, FALSE) AS r_stop,
+  (COALESCE(n_words >= {min_words} AND n_words <= {max_words}, FALSE)
+   AND COALESCE(mean_word_len >= {min_mean_word_len}
+                AND mean_word_len <= {max_mean_word_len}, FALSE)
+   AND COALESCE(symbol_ratio <= {max_symbol_ratio}, FALSE)
+   AND COALESCE(bullet_ratio <= {max_bullet_ratio}, FALSE)
+   AND COALESCE(ellipsis_ratio <= {max_ellipsis_ratio}, FALSE)
+   AND COALESCE(alpha_ratio >= {min_alpha_ratio}, FALSE)
+   AND COALESCE(stop_hits >= {min_stop_hits}, FALSE)) AS gopher_pass
+FROM r
+"""
+
+
 def vocab_oov(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -679,6 +869,86 @@ SELECT d.id AS {id_col},
             ELSE list_reduce(ps, (a, b) -> a + b) / CAST(len(ps) AS DOUBLE) END
          AS lm_score
 FROM (SELECT DISTINCT id FROM t) d LEFT JOIN agg ON d.id = agg.id
+"""
+
+
+def lm_quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: int = 500,
+    lo: float = 1 / 3,
+    hi: float = 2 / 3,
+) -> DataFrame:
+    """CCNet-style quality bucketing: score every document against the
+    corpus's own top-``k`` bigram LM (:func:`doc_lm_score`), then
+    split each LANGUAGE into head/middle/tail by that language's own
+    ``hi``/``lo`` score quantiles — the public CCNet recipe (Wenzek et
+    al. 2019) that keeps per-language quality relative, so low-resource
+    languages aren't wiped out by an absolute global threshold.
+
+    Returns (id, lang, lm_score, bucket ∈ head/middle/tail).  Documents
+    with no in-LM transition (NULL score) drop — no evidence, same as
+    quantile_filter's NULL semantics.
+
+    Scale shape (100 TB): LM broadcast (k rows), one score shuffle
+    (doc_lm_score), one id-keyed join to recover the language column,
+    then a LANGUAGE-cardinality threshold aggregate that broadcasts
+    back — the corpus is never windowed or re-shuffled for the
+    bucketing itself (a per-lang ntile window would single-partition
+    each language).  Exactness: the interpolated quantile is the same
+    double in both engines (cf. quantile_filter), and the bucket CASE
+    compares per-row."""
+    scored = doc_lm_score(df.select(id_col, text_col), id_col, text_col, k=k)
+    j = scored.filter(F.col("lm_score").isNotNull()).join(
+        df.select(id_col, lang_col), id_col
+    )
+    thr = j.groupBy(lang_col).agg(
+        F.percentile(F.col("lm_score"), F.lit(lo)).alias("__q_lo__"),
+        F.percentile(F.col("lm_score"), F.lit(hi)).alias("__q_hi__"),
+    )
+    return (
+        j.join(F.broadcast(thr), lang_col)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            "lm_score",
+            F.when(F.col("lm_score") >= F.col("__q_hi__"), F.lit("head"))
+            .when(F.col("lm_score") >= F.col("__q_lo__"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def lm_quality_buckets_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: int = 500,
+    lo: float = 1 / 3,
+    hi: float = 2 / 3,
+) -> str:
+    """DuckDB mirror of :func:`lm_quality_buckets`, built on the SAME
+    generated doc_lm_score SQL and the same quantile literals — score,
+    thresholds, and bucketing cannot drift."""
+    score_sql = doc_lm_score_oracle_sql(table, id_col, text_col, k)
+    return f"""
+WITH s AS ({score_sql}),
+j AS (SELECT s.{id_col}, d.{lang_col}, s.lm_score
+      FROM s JOIN {table} d USING ({id_col})
+      WHERE s.lm_score IS NOT NULL),
+t AS (SELECT {lang_col},
+             quantile_cont(lm_score, {lo!r}) AS q_lo,
+             quantile_cont(lm_score, {hi!r}) AS q_hi
+      FROM j GROUP BY {lang_col})
+SELECT j.{id_col}, j.{lang_col}, j.lm_score,
+       CASE WHEN j.lm_score >= t.q_hi THEN 'head'
+            WHEN j.lm_score >= t.q_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN t ON j.{lang_col} = t.{lang_col}
 """
 
 

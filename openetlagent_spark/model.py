@@ -1195,6 +1195,54 @@ class QuantileFilterOperation(Operation):
             )
 
 
+@dataclass
+class GopherRulesOperation(Operation):
+    """Gopher-style rule-filter battery as a flow op
+    (functions/text.py gopher_rules): per-rule booleans + conjunctive
+    ``gopher_pass``; mode='annotate' keeps metrics and flags,
+    mode='filter' keeps only passing rows of the ORIGINAL frame."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    mode: str = "annotate"
+    min_words: int = 5
+    max_words: int = 100_000
+    min_stop_hits: int = 2
+    operation_type: str = "gopher_rules"
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("annotate", "filter"):
+            raise SpecError(
+                f"gopher_rules mode must be annotate/filter, got {self.mode!r}"
+            )
+        if self.min_words < 0 or self.max_words < self.min_words:
+            raise SpecError(
+                "gopher_rules requires 0 <= min_words <= max_words, got "
+                f"{self.min_words!r}/{self.max_words!r}"
+            )
+        if self.min_stop_hits < 0:
+            raise SpecError(
+                f"gopher_rules min_stop_hits must be >= 0, got {self.min_stop_hits!r}"
+            )
+
+
+@dataclass
+class LmBucketsOperation(Operation):
+    """CCNet-style per-language LM quality bucketing as a flow op
+    (functions/text.py lm_quality_buckets): head/middle/tail by each
+    language's own score quantiles."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    lang_column: str = "lang"
+    k: int = 500
+    operation_type: str = "lm_buckets"
+
+    def __post_init__(self) -> None:
+        if self.k <= 0:
+            raise SpecError(f"lm_buckets k must be positive, got {self.k!r}")
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -1251,6 +1299,8 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "outliers": OutlierOperation,
     "global_shuffle": GlobalShuffleOperation,
     "quantile_filter": QuantileFilterOperation,
+    "gopher_rules": GopherRulesOperation,
+    "lm_buckets": LmBucketsOperation,
 }
 
 

@@ -513,3 +513,27 @@ def apply_quantile_filter(df: DataFrame, op: "QuantileFilterOperation") -> DataF
         df, op.group_columns, op.value_column, q=op.q,
         threshold_column=op.threshold_column or None,
     )
+
+
+def apply_gopher_rules(df: DataFrame, op: "GopherRulesOperation") -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import gopher_rules
+
+    flags = gopher_rules(
+        df, op.id_column, op.text_column,
+        min_words=op.min_words, max_words=op.max_words,
+        min_stop_hits=op.min_stop_hits,
+    )
+    if op.mode == "annotate":
+        return df.join(flags, op.id_column)
+    keep = flags.filter(F.col("gopher_pass")).select(op.id_column)
+    return df.join(keep, op.id_column, "left_semi")
+
+
+def apply_lm_buckets(df: DataFrame, op: "LmBucketsOperation") -> DataFrame:
+    from ..functions.text import lm_quality_buckets
+
+    return lm_quality_buckets(
+        df, op.id_column, op.text_column, op.lang_column, k=op.k
+    )

@@ -48,10 +48,12 @@ _ROUND5_FRONT = [
     "bm25_topk", "inverted_index", "incremental_dedup",
     "dedup_minhash", "dedup_ngram", "dedup_embedding",
     "contamination", "pack_sequences",
-    # oldest stale r02 rows whose families have since moved (10)
+    # new this round — first driver check (2)
+    "gopher_rules", "ccnet_buckets",
+    # oldest stale r02 rows whose families have since moved (8)
     "multimodal_features", "dedup_exact", "ann_cosine_topk",
     "text_stats", "text_quality", "fingerprint", "doc_repetition",
-    "json_extract", "sample_hash", "events_window",
+    "json_extract",
 ]
 
 

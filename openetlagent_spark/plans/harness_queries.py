@@ -526,6 +526,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality(df).select("doc_id", "quality")
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-filter battery (functions/text.py
+    gopher_rules): word-count bounds, mean word length, symbol/bullet/
+    ellipsis ratios, alphabetic-word ratio, stopword presence — raw
+    metrics, per-rule booleans, conjunctive gopher_pass.  Pure per-row
+    JVM expressions, one codegen span, no shuffle; oracle generated
+    from the same thresholds + shared tokenizer."""
+    from ..functions.text import gopher_rules
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_rules(df, "doc_id", "text")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import with_lang_id
 
@@ -624,6 +637,17 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     return doc_lm_score(df, "doc_id", "text", k=500)
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing (functions/text.py
+    lm_quality_buckets): corpus-LM scores split into head/middle/tail
+    by each language's own tercile thresholds — broadcast quantiles,
+    no per-language window."""
+    from ..functions.text import lm_quality_buckets
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return lm_quality_buckets(df, "doc_id", "text", "lang", k=500)
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1730,6 +1754,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_first_last": q_window_first_last,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
+    "gopher_rules": q_gopher_rules,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "doc_repetition": q_doc_repetition,
@@ -1740,6 +1765,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "bigram_lm": q_bigram_lm,
     "doc_lm_score": q_doc_lm_score,
+    "ccnet_buckets": q_ccnet_buckets,
     "running_totals": q_running_totals,
     "curation_pipeline": q_curation_pipeline,
     "profile_table": q_profile_table,
@@ -2175,6 +2201,16 @@ HARNESS_ORACLES["bigram_lm"] = _bigram_lm_oracle_sql(k=50)
 from ..functions.text import doc_lm_score_oracle_sql as _doc_lm_score_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["doc_lm_score"] = _doc_lm_score_oracle_sql(k=500)
+
+from ..functions.text import gopher_rules_oracle_sql as _gopher_rules_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["gopher_rules"] = _gopher_rules_oracle_sql()
+
+from ..functions.text import (  # noqa: E402
+    lm_quality_buckets_oracle_sql as _lm_quality_buckets_oracle_sql,
+)
+
+HARNESS_ORACLES["ccnet_buckets"] = _lm_quality_buckets_oracle_sql(k=500)
 
 HARNESS_ORACLES["running_totals"] = """
 SELECT user_id, COUNT(*) AS n_events,

@@ -380,3 +380,47 @@ def test_yaml_outliers_matches_function(spark):
     with pytest.raises(SpecError):
         parse_operation({"operation_type": "outliers", "input_column": "v",
                          "z_threshold": 0})
+
+
+def test_yaml_gopher_and_lm_buckets_match_functions(spark):
+    """gopher_rules / lm_buckets specs execute through apply_operations
+    identically to the direct calls; gopher filter mode keeps only
+    passing rows of the original frame."""
+    from openetlagent_spark.functions.text import gopher_rules, lm_quality_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    via = apply_operations(
+        docs, [parse_operation({"operation_type": "gopher_rules"})], spark
+    )
+    direct = docs.join(gopher_rules(docs), "doc_id")
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+
+    via_f = apply_operations(
+        docs,
+        [parse_operation({"operation_type": "gopher_rules", "mode": "filter"})],
+        spark,
+    )
+    flags = gopher_rules(docs)
+    pass_ids = {r.doc_id for r in flags.filter("gopher_pass").collect()}
+    assert {r.doc_id for r in via_f.collect()} == pass_ids
+    assert via_f.columns == docs.columns  # original frame, flags dropped
+
+    via_b = apply_operations(
+        docs, [parse_operation({"operation_type": "lm_buckets", "k": 100})], spark
+    )
+    direct_b = lm_quality_buckets(docs, k=100)
+    assert sorted(map(tuple, via_b.collect())) == sorted(map(tuple, direct_b.collect()))
+
+
+def test_gopher_lm_spec_validation():
+    import pytest as _pytest
+
+    from openetlagent_spark.model import SpecError
+
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "gopher_rules", "mode": "nope"})
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "gopher_rules", "min_words": 10, "max_words": 5})
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "lm_buckets", "k": 0})
