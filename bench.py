@@ -155,6 +155,7 @@ HEADLINE = [
     "semantic_dedup",
     "gopher_rules",
     "ccnet_buckets",
+    "line_dedup",
 ]
 
 

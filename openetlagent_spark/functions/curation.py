@@ -146,6 +146,112 @@ FROM corpus c LEFT JOIN hits h ON c.did = h.did
 """
 
 
+# --- corpus-wide boilerplate line removal -----------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """C4-style boilerplate LINE removal: any normalized (lowercased,
+    trimmed) non-blank line that occurs in MORE THAN ``max_docs``
+    distinct documents is removed from every document — the classic
+    nav-bar / cookie-banner / footer strip that line-level frequency
+    catches and whole-document dedup cannot.  Blank lines are never
+    counted or removed (document structure is preserved).
+
+    Returns (id, ``out_col`` = surviving lines re-joined with newlines,
+    n_lines, n_removed) — one row per non-NULL-text input row; a
+    document whose every line is boilerplate comes back with ''.
+
+    Scale shape (100 TB): lines explode scan-locally; ONE line-key
+    count shuffle finds the boilerplate set (HAVING df > max_docs cuts
+    it to the boilerplate lines only — a tiny fraction of distinct
+    lines); the anti-join shuffles by line key (AQE broadcasts the
+    boilerplate side when it is small, the common case); one final
+    regroup by document rebuilds the text.  No driver state, no UDF —
+    the rebuild is an array_sort + array_join JVM expression.
+    Exactness: position-sorted reassembly matches DuckDB's
+    ``string_agg(line ORDER BY pos)`` (positions are unique per doc),
+    md5 line keys are bit-identical, counts are integers."""
+    if max_docs < 1:
+        raise ValueError(f"line_dedup max_docs must be >= 1, got {max_docs!r}")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__")
+    )
+    lines = base.select(
+        "__id__",
+        F.posexplode(F.split(F.col("__t__"), "\n")).alias("__pos__", "__line__"),
+    ).withColumn("__k__", F.md5(F.trim(F.lower(F.col("__line__")))))
+    common = (
+        lines.filter(F.trim(F.col("__line__")) != "")
+        .groupBy("__k__")
+        .agg(F.countDistinct("__id__").alias("__df__"))
+        .filter(F.col("__df__") > max_docs)
+        .select("__k__")
+    )
+    kept = lines.join(common, "__k__", "left_anti")
+    rebuilt = kept.groupBy("__id__").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__line__"))),
+                lambda s: s["__line__"],
+            ),
+            "\n",
+        ).alias("__clean__"),
+        F.count(F.lit(1)).alias("__n_kept__"),
+    )
+    n_lines = F.size(F.split(F.col("__t__"), "\n")).cast("bigint")
+    return (
+        base.join(rebuilt, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("__clean__"), F.lit("")).alias(out_col),
+            n_lines.alias("n_lines"),
+            (n_lines - F.coalesce(F.col("__n_kept__"), F.lit(0))).cast("bigint").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+def line_dedup_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    out_col: str = "text_clean",
+) -> str:
+    """DuckDB mirror of :func:`line_dedup` — same normalization, same
+    md5 keys, same > ``max_docs`` boilerplate threshold, position-
+    ordered ``string_agg`` reassembly."""
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {text_col} AS t FROM {table}
+           WHERE {text_col} IS NOT NULL),
+s AS (SELECT id, string_split(t, chr(10)) AS ls FROM d),
+l AS (SELECT id, CAST(i AS BIGINT) AS pos, ls[CAST(i AS INTEGER)] AS line
+      FROM s, unnest(generate_series(1, len(ls))) AS u(i)),
+common AS (SELECT md5(trim(lower(line))) AS k FROM l
+           WHERE trim(line) <> ''
+           GROUP BY k HAVING count(DISTINCT id) > {max_docs}),
+kept AS (SELECT id, pos, line FROM l
+         WHERE NOT EXISTS (SELECT 1 FROM common c
+                           WHERE c.k = md5(trim(lower(l.line))))),
+agg AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY id)
+SELECT d.id AS {id_col},
+       COALESCE(a.clean, '') AS {out_col},
+       CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(d.t, chr(10))) - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM d LEFT JOIN agg a ON a.id = d.id
+"""
+
+
 # --- text scrubbing / redaction --------------------------------------------
 
 # Default redaction rules, applied IN ORDER (order matters: IPs must be

@@ -1227,6 +1227,26 @@ class GopherRulesOperation(Operation):
 
 
 @dataclass
+class LineDedupOperation(Operation):
+    """C4-style corpus-wide boilerplate line removal as a flow op
+    (functions/curation.py line_dedup): normalized non-blank lines
+    occurring in more than ``max_docs`` distinct documents are
+    stripped from every document; the text column is REPLACED by the
+    rebuilt text."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    max_docs: int = 1
+    operation_type: str = "line_dedup"
+
+    def __post_init__(self) -> None:
+        if self.max_docs < 1:
+            raise SpecError(
+                f"line_dedup max_docs must be >= 1, got {self.max_docs!r}"
+            )
+
+
+@dataclass
 class LmBucketsOperation(Operation):
     """CCNet-style per-language LM quality bucketing as a flow op
     (functions/text.py lm_quality_buckets): head/middle/tail by each
@@ -1301,6 +1321,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "quantile_filter": QuantileFilterOperation,
     "gopher_rules": GopherRulesOperation,
     "lm_buckets": LmBucketsOperation,
+    "line_dedup": LineDedupOperation,
 }
 
 

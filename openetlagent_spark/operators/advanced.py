@@ -537,3 +537,18 @@ def apply_lm_buckets(df: DataFrame, op: "LmBucketsOperation") -> DataFrame:
     return lm_quality_buckets(
         df, op.id_column, op.text_column, op.lang_column, k=op.k
     )
+
+
+def apply_line_dedup(df: DataFrame, op: "LineDedupOperation") -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.curation import line_dedup
+
+    cleaned = line_dedup(
+        df, op.id_column, op.text_column, max_docs=op.max_docs
+    ).select(op.id_column, "text_clean")
+    return (
+        df.join(cleaned, op.id_column)
+        .drop(op.text_column)
+        .withColumnRenamed("text_clean", op.text_column)
+    )

@@ -1311,6 +1311,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, bench)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal (functions/curation.py
+    line_dedup): lines shared by >1 documents stripped corpus-wide,
+    text rebuilt in position order — one line-key count shuffle, one
+    anti-join, one regroup."""
+    from ..functions.curation import line_dedup
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return line_dedup(docs, "doc_id", "text", max_docs=1)
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style redaction (functions/curation.py scrub_text): emails,
     URLs, IPs, then digit runs → placeholder tokens, as a pure JVM
@@ -1814,6 +1825,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding": q_events_sliding,
     "embedding_centroids": q_embedding_centroids,
     "text_scrub": q_text_scrub,
+    "line_dedup": q_line_dedup,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -2211,6 +2223,10 @@ from ..functions.text import (  # noqa: E402
 )
 
 HARNESS_ORACLES["ccnet_buckets"] = _lm_quality_buckets_oracle_sql(k=500)
+
+from ..functions.curation import line_dedup_oracle_sql as _line_dedup_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["line_dedup"] = _line_dedup_oracle_sql(max_docs=1)
 
 HARNESS_ORACLES["running_totals"] = """
 SELECT user_id, COUNT(*) AS n_events,

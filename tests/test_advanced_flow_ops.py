@@ -424,3 +424,28 @@ def test_gopher_lm_spec_validation():
         parse_operation({"operation_type": "gopher_rules", "min_words": 10, "max_words": 5})
     with _pytest.raises(SpecError):
         parse_operation({"operation_type": "lm_buckets", "k": 0})
+
+
+def test_yaml_line_dedup_replaces_text(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="shared footer\nbody one", lang="en"),
+            Row(doc_id=2, text="shared footer\nbody two", lang="fr"),
+        ]
+    )
+    out = apply_operations(
+        docs, [parse_operation({"operation_type": "line_dedup"})], spark
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+    assert rows[1].text == "body one" and rows[2].text == "body two"
+    assert rows[1].lang == "en"  # non-text columns ride along
+
+    import pytest as _pytest
+
+    from openetlagent_spark.model import SpecError
+
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "line_dedup", "max_docs": 0})

@@ -37,25 +37,35 @@ LEAK_PRONE = [
 ]
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persistent_ids(spark) -> set[int]:
+    ids = set()
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
 
 
 def test_operators_do_not_leak_cached_blocks(spark):
+    # Delta-based: other test modules' long-lived fixtures may hold
+    # checkpointed frames for the whole session (legitimately — their
+    # blocks free when the fixture is GC'd), so only RDDs cached BY
+    # the operators under test may not survive.
+    before = _persistent_ids(spark)
     for name in LEAK_PRONE:
         df = HARNESS_QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0
         del df
-    # Everything is out of scope: the block manager must drain once
-    # both GCs run.  Poll up to 30 s (the cleaner is async).
+    # Everything is out of scope: the block manager must drain back to
+    # the pre-test set once both GCs run.  Poll up to 30 s (the
+    # cleaner is async).
     deadline = time.monotonic() + 30
-    remaining = _n_persistent(spark)
-    while remaining > 0 and time.monotonic() < deadline:
+    leaked = _persistent_ids(spark) - before
+    while leaked and time.monotonic() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
-        remaining = _n_persistent(spark)
-    assert remaining == 0, (
-        f"{remaining} cached RDD(s) survived GC — an operator persists "
+        leaked = _persistent_ids(spark) - before
+    assert not leaked, (
+        f"{len(leaked)} cached RDD(s) survived GC — an operator persists "
         "without a GC-tied lifetime (use eager localCheckpoint, not persist)"
     )

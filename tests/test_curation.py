@@ -359,3 +359,67 @@ def test_near_contamination_same_id_across_sides(spark):
     b = spark.createDataFrame([(5, txt)], "doc_id long, text string")
     out = near_contamination(c, b, "doc_id", "text", threshold=0.9).collect()
     assert [(r["corpus_id"], r["bench_id"], r["jaccard"]) for r in out] == [(5, 5, 1.0)]
+
+
+def test_line_dedup_strips_shared_lines_preserves_blanks(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import line_dedup
+
+    boiler = "Cookie notice: accept all"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{boiler}\nunique one\n\nunique two"),
+            Row(doc_id=2, text=f"{boiler}\nother body"),
+            Row(doc_id=3, text="totally distinct\n\n"),
+            Row(doc_id=4, text=boiler),  # all-boilerplate doc
+            Row(doc_id=5, text=None),    # NULL text drops
+        ]
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # the shared line is stripped everywhere; blanks survive
+    assert out[1].text_clean == "unique one\n\nunique two"
+    assert out[1].n_lines == 4 and out[1].n_removed == 1
+    assert out[2].text_clean == "other body"
+    # untouched doc keeps its text verbatim, including trailing blanks
+    assert out[3].text_clean == "totally distinct\n\n"
+    assert out[3].n_removed == 0
+    # every line boilerplate → empty string, fully accounted
+    assert out[4].text_clean == "" and out[4].n_removed == 1
+
+
+def test_line_dedup_normalizes_case_and_whitespace(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="  Footer Text  \nbody a"),
+            Row(doc_id=2, text="footer text\nbody b"),
+        ]
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    # case/whitespace variants collapse to one key → both stripped,
+    # and each doc keeps its own (verbatim) surviving line
+    assert out[1].text_clean == "body a" and out[2].text_clean == "body b"
+
+
+def test_line_dedup_max_docs_threshold(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared line\nbody {i}") for i in range(3)]
+    )
+    keep2 = {r.doc_id: r for r in line_dedup(docs, max_docs=3).collect()}
+    assert all(r.n_removed == 0 for r in keep2.values())  # df=3 not > 3
+    strip = {r.doc_id: r for r in line_dedup(docs, max_docs=2).collect()}
+    assert all(r.n_removed == 1 for r in strip.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        line_dedup(docs, max_docs=0)
