@@ -311,3 +311,41 @@ def test_global_shuffle_window_is_partitioned(spark):
         if "windowspecdefinition(" in s:
             first_arg = s.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
             assert " DESC" not in first_arg and " ASC" not in first_arg, s[:160]
+
+
+# --- round-5 new operators --------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("gopher_rules", 0),   # pure per-row expressions, one codegen span
+        ("line_dedup", 4),     # line-key count + anti-join + doc regroup
+                               # (+1 textual for the base join-back)
+    ],
+)
+def test_round5_new_operator_shuffle_budget(spark, name, max_shuffles):
+    df = HARNESS_QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan) <= max_shuffles, plan[:2000]
+
+
+def test_gopher_rules_is_single_codegen_scan(spark):
+    """No wide shuffle, no Python UDF: the whole rule battery must
+    evaluate as JVM expressions over the scan (the only exchange is the
+    harness's RoundRobin rebalance of the single-file test parquet)."""
+    df = HARNESS_QUERIES["gopher_rules"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ccnet_buckets_thresholds_broadcast(spark):
+    """The per-language quantile thresholds are lang-cardinality sized
+    and must broadcast back — the bucketing itself never windows the
+    corpus by language (the only Window in the plan is doc_lm_score's
+    vocabulary-sized LM normalization, partitioned by w1)."""
+    df = HARNESS_QUERIES["ccnet_buckets"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(lang" not in plan
