@@ -93,3 +93,23 @@ def test_example_decontamination_pipeline(spark, tmp_path):
     # disjoint benchmark drops nothing from this synthetic corpus
     assert 0 < n < n_source
     assert set(landed.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+def test_example_quality_gate_pipeline(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(os.path.join(ROOT, "examples/pipelines/quality_gate.yaml"))
+    config.outputs["quality_gated"].path = str(tmp_path / "gated")
+    result, ok, feedback = run_flow(spark, config, flow, "quality_gated", single_file=True)
+    assert ok, feedback
+    landed = spark.read.parquet(str(tmp_path / "gated"))
+    assert set(landed.columns) == {"doc_id", "lang", "lm_score", "bucket"}
+    rows = landed.collect()
+    n_source = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert 0 < len(rows) < n_source  # the rule gate bit
+    assert {r.bucket for r in rows} <= {"head", "middle", "tail"}
+    # per-language bucketing: any language with >= 3 docs has all buckets
+    by_lang: dict[str, set] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.bucket)
+    big = [l for l in by_lang if sum(1 for r in rows if r.lang == l) >= 9]
+    assert all(by_lang[l] == {"head", "middle", "tail"} for l in big)
