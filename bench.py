@@ -30,7 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from openetlagent_spark.plans import HARNESS_QUERIES  # noqa: E402
-from openetlagent_spark.session import get_spark  # noqa: E402
+from openetlagent_spark.session import free_local_checkpoints, get_spark  # noqa: E402
 
 # Headline set: the flagship plus the operators whose plans are
 # interesting at scale (joins, shuffles, pivot, UDF path), plus the
@@ -182,10 +182,12 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        # release caches an operator persisted for its own multi-branch
-        # plan (search/incremental/kmeans) so successive queries don't
+        # release operator-internal materializations (cached plans and
+        # eager localCheckpoint blocks — the JVM can hold checkpoint
+        # references past Python GC) so successive queries don't
         # accumulate executor storage for the whole bench session
         spark.catalog.clearCache()
+        free_local_checkpoints(spark)
 
     total = round(sum(timings.values()), 3)
     payload = {

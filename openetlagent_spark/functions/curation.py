@@ -155,6 +155,7 @@ def line_dedup(
     text_col: str = "text",
     max_docs: int = 1,
     out_col: str = "text_clean",
+    cache: bool = True,
 ) -> DataFrame:
     """C4-style boilerplate LINE removal: any normalized (lowercased,
     trimmed) non-blank line that occurs in MORE THAN ``max_docs``
@@ -167,25 +168,33 @@ def line_dedup(
     n_lines, n_removed) — one row per non-NULL-text input row; a
     document whose every line is boilerplate comes back with ''.
 
-    Scale shape (100 TB): lines explode scan-locally; ONE line-key
-    count shuffle finds the boilerplate set (HAVING df > max_docs cuts
-    it to the boilerplate lines only — a tiny fraction of distinct
-    lines); the anti-join shuffles by line key (AQE broadcasts the
-    boilerplate side when it is small, the common case); one final
-    regroup by document rebuilds the text.  No driver state, no UDF —
-    the rebuild is an array_sort + array_join JVM expression.
-    Exactness: position-sorted reassembly matches DuckDB's
-    ``string_agg(line ORDER BY pos)`` (positions are unique per doc),
-    md5 line keys are bit-identical, counts are integers."""
+    Scale shape (100 TB): lines explode scan-locally into ONE
+    materialized frame (eager localCheckpoint when ``cache=True`` —
+    the frame feeds the boilerplate count, the anti-join probe, and
+    the per-doc line totals; without the boundary the split+md5 runs
+    once per consumer, the same two-consumer diamond contamination
+    guards against).  ONE line-key count shuffle finds the boilerplate
+    set (HAVING df > max_docs cuts it to the boilerplate lines only —
+    a tiny fraction of distinct lines); the anti-join shuffles by line
+    key (AQE broadcasts the boilerplate side when it is small, the
+    common case); one final regroup by document rebuilds the text.  No
+    driver state, no UDF — the rebuild is an array_sort + array_join
+    JVM expression.  Exactness: position-sorted reassembly matches
+    DuckDB's ``string_agg(line ORDER BY pos)`` (positions are unique
+    per doc), md5 line keys are bit-identical, counts are integers."""
     if max_docs < 1:
         raise ValueError(f"line_dedup max_docs must be >= 1, got {max_docs!r}")
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__")
     )
+    split = F.split(F.col("__t__"), "\n")
     lines = base.select(
         "__id__",
-        F.posexplode(F.split(F.col("__t__"), "\n")).alias("__pos__", "__line__"),
+        F.size(split).cast("bigint").alias("__n_lines__"),
+        F.posexplode(split).alias("__pos__", "__line__"),
     ).withColumn("__k__", F.md5(F.trim(F.lower(F.col("__line__")))))
+    if cache:
+        lines = lines.localCheckpoint(eager=True)
     common = (
         lines.filter(F.trim(F.col("__line__")) != "")
         .groupBy("__k__")
@@ -204,16 +213,19 @@ def line_dedup(
         ).alias("__clean__"),
         F.count(F.lit(1)).alias("__n_kept__"),
     )
-    n_lines = F.size(F.split(F.col("__t__"), "\n")).cast("bigint")
+    # every document appears in `lines` (an empty text still explodes
+    # to one blank line), so the all-docs frame with line totals comes
+    # from the SAME materialized lines — the source is never re-scanned
+    docs_all = lines.groupBy("__id__").agg(F.max("__n_lines__").alias("__n_lines__"))
     return (
-        base.join(rebuilt, "__id__", "left")
+        docs_all.join(rebuilt, "__id__", "left")
         .select(
             F.col("__id__").alias(id_col),
             F.coalesce(F.col("__clean__"), F.lit("")).alias(out_col),
-            n_lines.alias("n_lines"),
-            (n_lines - F.coalesce(F.col("__n_kept__"), F.lit(0))).cast("bigint").alias(
-                "n_removed"
-            ),
+            F.col("__n_lines__").alias("n_lines"),
+            (
+                F.col("__n_lines__") - F.coalesce(F.col("__n_kept__"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
         )
     )
 

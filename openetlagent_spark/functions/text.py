@@ -322,6 +322,7 @@ def gopher_rules(
     max_ellipsis_ratio: float = 0.3,
     min_alpha_ratio: float = 0.7,
     min_stop_hits: int = 2,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Gopher-style rule-based quality filter — the public heuristic
     battery (word-count bounds, mean word length, symbol-to-word
@@ -329,7 +330,9 @@ def gopher_rules(
     ratio, stopword presence) every large-scale curation pipeline runs
     before any model-based scoring.  Returns one row per input row:
     the raw metrics plus per-rule booleans and the conjunctive
-    ``gopher_pass``.
+    ``gopher_pass``.  ``keep_all=True`` keeps every input column ahead
+    of the metrics (pure projection — no join, no id-uniqueness
+    assumption) for in-place annotation/filtering.
 
     Engine-exactness: every metric is an integer count divided at most
     once into a double (no libm), token/line predicates use only
@@ -381,8 +384,15 @@ def gopher_rules(
     alpha_ratio = F.when(
         n_words > 0, n_alpha.cast("double") / n_words.cast("double")
     )
-    stop_hits = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    # coalesce BEFORE the rule compare, exactly like the oracle's r CTE
+    # (a NULL-text row reports stop_hits = 0, and the rule judges that
+    # 0 — with min_stop_hits = 0 the rule is disabled and passes even
+    # for NULL text, identically in both engines)
+    stop_hits = F.coalesce(
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+        ),
+        F.lit(0),
     )
 
     r_words = (n_words >= min_words) & (n_words <= max_words)
@@ -393,16 +403,17 @@ def gopher_rules(
     r_bullet = F.coalesce(bullet_ratio <= max_bullet_ratio, F.lit(False))
     r_ellipsis = F.coalesce(ellipsis_ratio <= max_ellipsis_ratio, F.lit(False))
     r_alpha = F.coalesce(alpha_ratio >= min_alpha_ratio, F.lit(False))
-    r_stop = F.coalesce(stop_hits >= min_stop_hits, F.lit(False))
+    r_stop = stop_hits >= min_stop_hits
+    lead: list[Column] = [F.col("*")] if keep_all else [F.col(id_col)]
     return df.select(
-        F.col(id_col),
+        *lead,
         n_words.cast("bigint").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
         bullet_ratio.alias("bullet_ratio"),
         ellipsis_ratio.alias("ellipsis_ratio"),
         alpha_ratio.alias("alpha_ratio"),
-        F.coalesce(stop_hits, F.lit(0)).cast("bigint").alias("stop_hits"),
+        stop_hits.cast("bigint").alias("stop_hits"),
         r_words.alias("r_words"),
         r_mwl.alias("r_mean_word_len"),
         r_symbol.alias("r_symbol"),
@@ -412,7 +423,8 @@ def gopher_rules(
         r_stop.alias("r_stop"),
         (
             F.coalesce(r_words, F.lit(False))
-            & r_mwl & r_symbol & r_bullet & r_ellipsis & r_alpha & r_stop
+            & r_mwl & r_symbol & r_bullet & r_ellipsis & r_alpha
+            & F.coalesce(r_stop, F.lit(False))
         ).alias("gopher_pass"),
     )
 
@@ -880,6 +892,7 @@ def lm_quality_buckets(
     k: int = 500,
     lo: float = 1 / 3,
     hi: float = 2 / 3,
+    cache: bool = True,
 ) -> DataFrame:
     """CCNet-style quality bucketing: score every document against the
     corpus's own top-``k`` bigram LM (:func:`doc_lm_score`), then
@@ -900,10 +913,17 @@ def lm_quality_buckets(
     each language).  Exactness: the interpolated quantile is the same
     double in both engines (cf. quantile_filter), and the bucket CASE
     compares per-row."""
-    scored = doc_lm_score(df.select(id_col, text_col), id_col, text_col, k=k)
+    scored = doc_lm_score(df.select(id_col, text_col), id_col, text_col, k=k, cache=cache)
     j = scored.filter(F.col("lm_score").isNotNull()).join(
         df.select(id_col, lang_col), id_col
     )
+    if cache:
+        # j feeds BOTH the threshold aggregate and the bucket probe —
+        # without the boundary everything above the last shared
+        # exchange (the per-doc score fold, the lang join) runs twice.
+        # Narrow frame (id, lang, score); eager localCheckpoint so the
+        # blocks free with the result (cf. module policy in search.py).
+        j = j.localCheckpoint(eager=True)
     thr = j.groupBy(lang_col).agg(
         F.percentile(F.col("lm_score"), F.lit(lo)).alias("__q_lo__"),
         F.percentile(F.col("lm_score"), F.lit(hi)).alias("__q_hi__"),

@@ -520,15 +520,18 @@ def apply_gopher_rules(df: DataFrame, op: "GopherRulesOperation") -> DataFrame:
 
     from ..functions.text import gopher_rules
 
-    flags = gopher_rules(
+    # keep_all: every metric is a per-row expression, so annotation is
+    # a pure projection — no join back, no id-uniqueness assumption,
+    # and the frame is evaluated exactly once
+    flagged = gopher_rules(
         df, op.id_column, op.text_column,
         min_words=op.min_words, max_words=op.max_words,
-        min_stop_hits=op.min_stop_hits,
+        min_stop_hits=op.min_stop_hits, keep_all=True,
     )
     if op.mode == "annotate":
-        return df.join(flags, op.id_column)
-    keep = flags.filter(F.col("gopher_pass")).select(op.id_column)
-    return df.join(keep, op.id_column, "left_semi")
+        return flagged
+    metric_cols = [c for c in flagged.columns if c not in df.columns]
+    return flagged.filter(F.col("gopher_pass")).drop(*metric_cols)
 
 
 def apply_lm_buckets(df: DataFrame, op: "LmBucketsOperation") -> DataFrame:
@@ -547,8 +550,13 @@ def apply_line_dedup(df: DataFrame, op: "LineDedupOperation") -> DataFrame:
     cleaned = line_dedup(
         df, op.id_column, op.text_column, max_docs=op.max_docs
     ).select(op.id_column, "text_clean")
+    # LEFT join: line_dedup emits no row for NULL-text documents — they
+    # must ride through with their NULL text intact, not vanish
     return (
-        df.join(cleaned, op.id_column)
-        .drop(op.text_column)
-        .withColumnRenamed("text_clean", op.text_column)
+        df.join(cleaned, op.id_column, "left")
+        .withColumn(
+            op.text_column,
+            F.coalesce(F.col("text_clean"), F.col(op.text_column)),
+        )
+        .drop("text_clean")
     )

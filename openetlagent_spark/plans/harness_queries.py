@@ -67,6 +67,13 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# Scratch dirs created by THIS process, keyed by prefix: the next
+# invocation of the same query retires its predecessor (sequential
+# harness/bench loops would otherwise accumulate one dataset copy per
+# run, because a live-pid check can never reclaim our own dirs).
+_SCRATCH_REGISTRY: dict[str, list[str]] = {}
+
+
 def _scratch_dir(prefix: str, sf_dir: str) -> str:
     """Fresh per-invocation scratch dir for the write-then-read-back
     layout queries: ``<tmp>/<prefix>_<dataset-tag>_p<pid>_<uuid>``.
@@ -77,7 +84,9 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
     leaked by DEAD runs are garbage-collected on entry by checking
     whether the pid embedded in the name is still alive — never by
     age, which could delete a long-running process's live dir
-    mid-read."""
+    mid-read.  This process's OWN earlier dirs for the same prefix are
+    retired here too (their queries have fully consumed them — each
+    layout query reads its scratch back before returning rows)."""
     import glob
     import hashlib
     import os
@@ -94,11 +103,15 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
             shutil.rmtree(old, ignore_errors=True)
         except (OSError, PermissionError):
             pass  # pid alive (or unverifiable): leave the dir alone
+    for old in _SCRATCH_REGISTRY.get(prefix, []):
+        shutil.rmtree(old, ignore_errors=True)
     tag = (
         hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         + f"_p{os.getpid()}_{uuid.uuid4().hex[:8]}"
     )
-    return os.path.join(base, f"{prefix}_{tag}")
+    path = os.path.join(base, f"{prefix}_{tag}")
+    _SCRATCH_REGISTRY[prefix] = [path]
+    return path
 
 
 def _ts(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

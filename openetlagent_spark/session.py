@@ -37,3 +37,33 @@ def get_spark(app_name: str = "openetlagent-spark", master: str | None = None) -
         .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
+
+
+def free_local_checkpoints(spark: SparkSession) -> int:
+    """Deterministically release every ``localCheckpoint`` block held
+    by the session; returns the number of RDDs unpersisted.
+
+    Operators here materialize reused intermediates with EAGER
+    ``localCheckpoint`` (never bare ``persist``) so blocks are not
+    pinned for the session — but the JVM may keep a reference alive
+    past the Python result's garbage collection, so long-running
+    loops (bench sweeps, harness runs) should call this BETWEEN
+    queries, after each result is fully consumed, alongside
+    ``spark.catalog.clearCache()``.
+
+    Only RDDs whose creation site is ``localCheckpoint`` are touched:
+    a caller's own ``persist()``-ed frames are left alone (and a
+    checkpointed RDD, once unpersisted, cannot be recomputed — its
+    lineage is truncated — so only call this when no live DataFrame
+    still depends on one)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.keySet().iterator()
+    freed = 0
+    rdds = []
+    while it.hasNext():
+        rdds.append(jmap.get(it.next()))
+    for jrdd in rdds:
+        if jrdd is not None and "localCheckpoint" in jrdd.toString():
+            jrdd.unpersist(False)
+            freed += 1
+    return freed

@@ -1,23 +1,26 @@
-"""Cache-lifetime hygiene: no operator may leak executor storage for
+"""Cache-lifetime hygiene: no operator may pin executor storage for
 the session.  Every reused intermediate is materialized with an eager
-``localCheckpoint`` (never a bare ``persist``), so its blocks free when
-the returned DataFrame is garbage-collected.  This test runs the
-operators that historically leaked (round-4 VERDICT item 3:
-keyword_search_topk, incremental_dedup, plus the dedup/curation/q15
-sites found alongside), drops every reference, and asserts the block
-manager drains.
+``localCheckpoint`` (never a bare ``persist``), and
+``session.free_local_checkpoints`` releases those blocks
+deterministically between queries (GC alone is not dependable — the
+JVM can keep a checkpoint reference alive past the Python result's
+collection; bench.py calls the helper after every query).
 
-The drain is asynchronous (Spark's ContextCleaner unpersists via a
-weak-reference queue after JVM GC), so the assertion polls with forced
-gc on both sides.
+This test runs the operators that historically leaked (round-4 VERDICT
+item 3: keyword_search_topk, incremental_dedup, plus the dedup/
+curation/q15 sites found alongside), drops every reference, calls the
+helper, and asserts the block manager drains back to its pre-test
+set.  A regression to bare ``persist()`` still fails here: the helper
+frees ONLY localCheckpoint-created RDDs, so a persisted frame survives
+and shows up in the leaked set.
 """
 
 from __future__ import annotations
 
 import gc
-import time
 
 from openetlagent_spark.plans import HARNESS_QUERIES
+from openetlagent_spark.session import free_local_checkpoints
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -34,6 +37,7 @@ LEAK_PRONE = [
     "pack_sequences",     # range-partitioned token counts
     "global_shuffle",     # range-partitioned hash frame
     "tpch_q15",           # revenue view
+    "ccnet_buckets",      # doc_lm_score two-consumer base
 ]
 
 
@@ -47,25 +51,30 @@ def _persistent_ids(spark) -> set[int]:
 
 def test_operators_do_not_leak_cached_blocks(spark):
     # Delta-based: other test modules' long-lived fixtures may hold
-    # checkpointed frames for the whole session (legitimately — their
-    # blocks free when the fixture is GC'd), so only RDDs cached BY
-    # the operators under test may not survive.
+    # cached frames for the whole session; only RDDs cached BY the
+    # operators under test may not survive the cleanup path.
+    free_local_checkpoints(spark)  # start from a drained state
     before = _persistent_ids(spark)
     for name in LEAK_PRONE:
         df = HARNESS_QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0
         del df
-    # Everything is out of scope: the block manager must drain back to
-    # the pre-test set once both GCs run.  Poll up to 30 s (the
-    # cleaner is async).
-    deadline = time.monotonic() + 30
+    gc.collect()
+    freed = free_local_checkpoints(spark)
+    assert freed >= 0
     leaked = _persistent_ids(spark) - before
-    while leaked and time.monotonic() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.5)
-        leaked = _persistent_ids(spark) - before
     assert not leaked, (
-        f"{len(leaked)} cached RDD(s) survived GC — an operator persists "
-        "without a GC-tied lifetime (use eager localCheckpoint, not persist)"
+        f"{len(leaked)} cached RDD(s) survived the cleanup path — an "
+        "operator persists without a localCheckpoint lifetime (bare "
+        "persist() is not released by free_local_checkpoints)"
     )
+
+
+def test_free_local_checkpoints_spares_user_persists(spark):
+    # A caller's own persisted frame must NOT be touched by the helper.
+    df = spark.range(100).persist()
+    df.count()
+    before = _persistent_ids(spark)
+    free_local_checkpoints(spark)
+    assert _persistent_ids(spark) >= before  # user persist untouched
+    df.unpersist()

@@ -51,7 +51,7 @@ def test_gopher_null_and_empty_fail_with_zero_words(rows):
 def test_gopher_bullet_and_ellipsis_ratios(rows):
     out = _by_id(gopher_rules(rows))
     assert out[4].bullet_ratio == pytest.approx(4 / 5)
-    assert not out[4].r_bullet is None
+    assert out[4].r_bullet  # 4/5 <= 0.9 threshold passes
     assert out[5].ellipsis_ratio == pytest.approx(2 / 3)
     assert not out[5].r_ellipsis  # 2/3 > 0.3 threshold
 
