@@ -156,6 +156,7 @@ HEADLINE = [
     "gopher_rules",
     "ccnet_buckets",
     "line_dedup",
+    "neardup_store",
 ]
 
 

@@ -593,6 +593,75 @@ def word_ngram_codes(text_col: Column, n: int = 3) -> Column:
     return bind_once(word_codes, build)
 
 
+def _band_table_from_base(
+    base: DataFrame, bands: int, rows_per_band: int, seed: int
+) -> DataFrame:
+    """(__id__, band, bkey) from a prepared (__id__, grams) frame — the
+    ONE place the md5-mode MinHash band keys are computed (shared by
+    the pair miner and the persisted band store, so the two can never
+    drift).  Each band key folds ``rows_per_band`` minhash values —
+    min over shingle codes g of ``(a*(g mod M) + b) mod M`` — with
+    pure integer arithmetic DuckDB evaluates identically."""
+    params = _perm_params(bands * rows_per_band, seed)
+
+    def min_hash(a: int, b: int) -> Column:
+        # closure factory, NOT a default-arg lambda (default args change
+        # the perceived lambda arity and break HOF binding)
+        return F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda g: (F.lit(a) * (g % F.lit(_MERSENNE)) + F.lit(b)) % F.lit(_MERSENNE),
+            )
+        )
+
+    def band_key(i: int) -> Column:
+        # fold the band's r min-values into one key; values < M and
+        # P < 2^20 keep every intermediate under 2^52 (no overflow)
+        vals = [min_hash(a, b) for a, b in params[i * rows_per_band : (i + 1) * rows_per_band]]
+        k = vals[0]
+        for v in vals[1:]:
+            k = (k * F.lit(_FOLD_PRIME) + v) % F.lit(_MERSENNE)
+        return k
+
+    return (
+        base.select(
+            "__id__",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("band"), band_key(i).alias("bkey"))
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bd"),
+        )
+        .select("__id__", "bd.band", "bd.bkey")
+        .filter(F.col("bkey").isNotNull())
+    )
+
+
+def ngram_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Public band-table builder: (id, band, bkey) rows for every
+    non-NULL-text document — the unit a persisted near-dup signature
+    store is made of (see incremental.build_neardup_store).  Single
+    consumer, so no checkpoint: the caller decides materialization."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id__"),
+        word_ngram_codes(F.col(text_col), n).alias("grams"),
+    )
+    return _band_table_from_base(base, bands, rows_per_band, seed).withColumnRenamed(
+        "__id__", id_col
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -635,38 +704,7 @@ def ngram_jaccard_pairs(
     ).localCheckpoint(eager=True)  # feeds the banding groupBy and both
     # verification join-backs; eager checkpoint so blocks free on GC
 
-    params = _perm_params(bands * rows_per_band, seed)
-
-    def min_hash(a: int, b: int) -> Column:
-        # closure factory, NOT a default-arg lambda (default args change
-        # the perceived lambda arity and break HOF binding)
-        return F.array_min(
-            F.transform(
-                F.col("grams"),
-                lambda g: (F.lit(a) * (g % F.lit(_MERSENNE)) + F.lit(b)) % F.lit(_MERSENNE),
-            )
-        )
-
-    def band_key(i: int) -> Column:
-        # fold the band's r min-values into one key; values < M and
-        # P < 2^20 keep every intermediate under 2^52 (no overflow)
-        vals = [min_hash(a, b) for a, b in params[i * rows_per_band : (i + 1) * rows_per_band]]
-        k = vals[0]
-        for v in vals[1:]:
-            k = (k * F.lit(_FOLD_PRIME) + v) % F.lit(_MERSENNE)
-        return k
-
-    banded = base.select(
-        "__id__",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), band_key(i).alias("bkey"))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bd"),
-    ).select("__id__", "bd.band", "bd.bkey").filter(F.col("bkey").isNotNull())
+    banded = _band_table_from_base(base, bands, rows_per_band, seed)
 
     buckets = (
         banded.groupBy("band", "bkey")
@@ -701,24 +739,22 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_pairs_oracle_sql(
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    bands: int = 4,
-    rows_per_band: int = 3,
-    seed: int = 7,
-    max_bucket: int = 1000,
-) -> str:
-    """DuckDB oracle for ngram_jaccard_pairs, generated from the SAME
-    band parameters (_perm_params) as the Spark plan — the two can never
-    drift.  Every stage is engine-exact: md5-prefix token codes match
-    Spark's conv(substring(md5,1,8),16,10), shingle and band keys are
-    BIGINT modular arithmetic (the same folds of the same values), and
-    the Jaccard division uses the same i/(|A|+|B|-i) operands (per-row
-    double division is bit-identical across engines)."""
+def _ngram_band_sql_parts(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    bands: int,
+    rows_per_band: int,
+    seed: int,
+    g_name: str = "g",
+) -> tuple[str, str]:
+    """The two shared DuckDB fragments of the md5-mode MinHash banding
+    pipeline: the grams CTE body (``SELECT did, grams FROM ...``) and
+    the banded UNION ALL selecting ``(did, band, bkey)`` from
+    ``g_name``.  Generated from the SAME ``_perm_params`` as the Spark
+    ``_band_table_from_base`` — the one source of band keys for both
+    the pair oracle and the store-gate oracle, so none can drift."""
     m = _MERSENNE
     toks = _toks_sql(text_col)
     wcodes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))"
@@ -745,14 +781,42 @@ def ngram_pairs_oracle_sql(
             k = mh if k is None else f"(({k}) * {_FOLD_PRIME} + {mh}) % {m}"
         return k
 
+    g_expr = (
+        f"SELECT did, {grams} AS grams FROM "
+        f"(SELECT {id_col} AS did, {wcodes} AS wc FROM {table} "
+        f"WHERE {text_col} IS NOT NULL)"
+    )
     banded_selects = " UNION ALL ".join(
-        f"SELECT did, {i} AS band, {band_key(i)} AS bkey FROM g" for i in range(bands)
+        f"SELECT did, {i} AS band, {band_key(i)} AS bkey FROM {g_name}"
+        for i in range(bands)
+    )
+    return g_expr, banded_selects
+
+
+def ngram_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    seed: int = 7,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB oracle for ngram_jaccard_pairs, generated from the SAME
+    band parameters (_perm_params) as the Spark plan — the two can never
+    drift.  Every stage is engine-exact: md5-prefix token codes match
+    Spark's conv(substring(md5,1,8),16,10), shingle and band keys are
+    BIGINT modular arithmetic (the same folds of the same values), and
+    the Jaccard division uses the same i/(|A|+|B|-i) operands (per-row
+    double division is bit-identical across engines)."""
+    g_expr, banded_selects = _ngram_band_sql_parts(
+        table, id_col, text_col, n, bands, rows_per_band, seed
     )
     isect = "len(list_intersect(ga.grams, gb.grams))"
     return (
-        f"WITH g AS (SELECT did, {grams} AS grams FROM "
-        f"(SELECT {id_col} AS did, {wcodes} AS wc FROM {table} "
-        f"WHERE {text_col} IS NOT NULL)), "
+        f"WITH g AS ({g_expr}), "
         f"banded AS ({banded_selects}), "
         f"ok AS (SELECT band, bkey FROM banded GROUP BY band, bkey "
         f"HAVING count(*) > 1 AND count(*) <= {max_bucket}), "

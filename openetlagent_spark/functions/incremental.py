@@ -463,3 +463,125 @@ def incremental_neardup_oracle_sql(
         f"AND p.id_b = b.{id_col}) AS is_batch_dup "
         f"FROM {batch_table} b"
     )
+
+
+# --- persisted near-dup signature store -------------------------------------
+
+
+def build_neardup_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    seed: int = 7,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's banded MinHash keys — one (id, band,
+    bkey) row per band per document — as a parquet BAND STORE.  This
+    is the production layout for incremental near-dup admission at
+    100 TB: the corpus signatures are computed ONCE when the store is
+    built and APPENDED per admitted batch (``mode='append'``), so each
+    new batch's gate costs only the batch's own shingling plus a join
+    against the store — never a corpus re-scan (incremental_neardup
+    recomputes the corpus side inline each call; same verdict
+    semantics at band level, different cost model).
+
+    The store is partitioned by ``band``: a gate probe for one band
+    key touches one directory, and (band, bkey) locality makes the
+    probe join a partition-pruned scan.  Band parameters are baked
+    into the data — gate with the SAME (n, bands, rows_per_band,
+    seed) or the keys are meaningless; callers should version the
+    store path with its parameters."""
+    from .dedup import ngram_band_table
+
+    banded = ngram_band_table(
+        corpus, id_col, text_col, n=n, bands=bands, rows_per_band=rows_per_band, seed=seed
+    )
+    banded.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def neardup_gate_from_store(
+    batch: DataFrame,
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    seed: int = 7,
+    mode: str = "annotate",
+) -> DataFrame:
+    """Admission gate against a persisted band store
+    (:func:`build_neardup_store`): a batch document is flagged
+    ``is_known_near`` when ANY of its band keys collides with a stored
+    key — the standard band-collision gate (candidate = caught; no
+    exact-Jaccard verify pass, which makes the gate one semi-join and
+    slightly conservative: collisions at Jaccard below the S-curve
+    knee are rare by construction, and a dropped true-negative costs
+    one document, not correctness).
+
+    Scale shape: the batch's band table is batch-sized; the semi-join
+    against the store shuffles only batch rows (the store side is
+    scanned partition-pruned by band, never collected); the verdict
+    set is batch-bounded and broadcasts back.  mode='filter' keeps
+    only unseen documents."""
+    from .dedup import ngram_band_table
+
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"mode must be annotate/filter, got {mode!r}")
+    store = spark.read.parquet(store_path).select("band", "bkey")
+    bb = ngram_band_table(
+        batch, id_col, text_col, n=n, bands=bands, rows_per_band=rows_per_band, seed=seed
+    )
+    known = (
+        bb.join(store, ["band", "bkey"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__kn__", F.lit(1))
+    )
+    out = batch.join(F.broadcast(known), id_col, "left").withColumn(
+        "is_known_near", F.col("__kn__").isNotNull()
+    ).drop("__kn__")
+    if mode == "annotate":
+        return out
+    return out.filter(~F.col("is_known_near")).drop("is_known_near")
+
+
+def neardup_store_oracle_sql(
+    corpus_sql: str,
+    batch_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    select_cols: list[str] | None = None,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    seed: int = 7,
+) -> str:
+    """DuckDB mirror of build_neardup_store + neardup_gate_from_store:
+    derives BOTH band tables inline from the same shared SQL fragments
+    (dedup._ngram_band_sql_parts — the same generator the pair oracle
+    uses, so the store, the gate, and the pair miner share one band-key
+    definition).  ``corpus_sql``/``batch_sql`` are relation
+    expressions."""
+    from .dedup import _ngram_band_sql_parts
+
+    g_c, banded_c = _ngram_band_sql_parts(
+        f"({corpus_sql})", id_col, text_col, n, bands, rows_per_band, seed, g_name="g_c"
+    )
+    g_b, banded_b = _ngram_band_sql_parts(
+        f"({batch_sql})", id_col, text_col, n, bands, rows_per_band, seed, g_name="g_b"
+    )
+    cols = ", ".join(f"b.{c}" for c in (select_cols or [id_col]))
+    return (
+        f"WITH g_c AS ({g_c}), banded_c AS ({banded_c}), "
+        f"g_b AS ({g_b}), banded_b AS ({banded_b}), "
+        f"hits AS (SELECT DISTINCT x.did FROM banded_b x "
+        f"JOIN banded_c c ON c.band = x.band AND c.bkey = x.bkey) "
+        f"SELECT {cols}, EXISTS (SELECT 1 FROM hits h WHERE h.did = b.{id_col}) "
+        f"AS is_known_near FROM ({batch_sql}) b"
+    )

@@ -48,11 +48,11 @@ _ROUND5_FRONT = [
     "bm25_topk", "inverted_index", "incremental_dedup",
     "dedup_minhash", "dedup_ngram", "dedup_embedding",
     "contamination", "pack_sequences",
-    # new this round — first driver check (3)
-    "gopher_rules", "ccnet_buckets", "line_dedup",
-    # oldest stale r02 rows whose families have since moved (7)
+    # new this round — first driver check (4)
+    "gopher_rules", "ccnet_buckets", "line_dedup", "neardup_store",
+    # oldest stale r02 rows whose families have since moved (6)
     "multimodal_features", "dedup_exact", "ann_cosine_topk",
-    "text_stats", "text_quality", "fingerprint", "doc_repetition",
+    "text_stats", "text_quality", "fingerprint",
 ]
 
 

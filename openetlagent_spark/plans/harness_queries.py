@@ -1324,6 +1324,28 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, bench)
 
 
+def q_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted band-store admission gate end-to-end
+    (functions/incremental.py build_neardup_store +
+    neardup_gate_from_store): the corpus's MinHash band keys are
+    WRITTEN to a parquet store partitioned by band, then the batch is
+    gated by a semi-join against the store — the production layout
+    that replaces per-batch corpus re-shingling.  The oracle
+    re-derives both band tables inline from the same shared band-key
+    SQL the pair oracle uses, so writing through parquet is proven
+    lossless for the gate verdicts."""
+    from ..functions.incremental import build_neardup_store, neardup_gate_from_store
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    batch = docs.filter(F.col("doc_id") % 20 == 0)
+    store = _scratch_dir("ela_neardup_store", sf_dir)
+    build_neardup_store(corpus, store)
+    return neardup_gate_from_store(batch, spark, store).select(
+        "doc_id", "is_known_near"
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate line removal (functions/curation.py
     line_dedup): lines shared by >1 documents stripped corpus-wide,
@@ -1839,6 +1861,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "text_scrub": q_text_scrub,
     "line_dedup": q_line_dedup,
+    "neardup_store": q_neardup_store,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -2240,6 +2263,15 @@ HARNESS_ORACLES["ccnet_buckets"] = _lm_quality_buckets_oracle_sql(k=500)
 from ..functions.curation import line_dedup_oracle_sql as _line_dedup_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["line_dedup"] = _line_dedup_oracle_sql(max_docs=1)
+
+from ..functions.incremental import (  # noqa: E402
+    neardup_store_oracle_sql as _neardup_store_oracle_sql,
+)
+
+HARNESS_ORACLES["neardup_store"] = _neardup_store_oracle_sql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0",
+    "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0",
+)
 
 HARNESS_ORACLES["running_totals"] = """
 SELECT user_id, COUNT(*) AS n_events,

@@ -431,3 +431,60 @@ def test_incremental_neardup_validation(spark):
         IncrementalDedupOperation(corpus_path="c", strategy="fuzzy")
     with pytest.raises(SpecError):
         IncrementalDedupOperation(corpus_path="c", strategy="near", jaccard_threshold=0.0)
+
+
+def test_neardup_store_roundtrip_and_append(spark, tmp_path):
+    """The parquet band store gates identically to an in-memory band
+    join, and appending an admitted batch makes a re-gate of the same
+    batch flag every document (self-collision) — the production
+    build-once / append-per-batch loop."""
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.dedup import ngram_band_table
+    from openetlagent_spark.functions.incremental import (
+        build_neardup_store,
+        neardup_gate_from_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store = str(tmp_path / "band_store")
+
+    build_neardup_store(corpus, store)
+    gated = neardup_gate_from_store(batch, spark, store)
+    got = {r.doc_id: r.is_known_near for r in gated.collect()}
+
+    # reference: in-memory band-collision join with the same params
+    cb = ngram_band_table(corpus, "doc_id", "text")
+    bb = ngram_band_table(batch, "doc_id", "text")
+    expect_known = {
+        r.doc_id
+        for r in bb.join(cb.select("band", "bkey"), ["band", "bkey"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert {d for d, k in got.items() if k} == expect_known
+    assert set(got) == {r.doc_id for r in batch.collect()}
+
+    # filter mode keeps exactly the unseen docs
+    unseen = neardup_gate_from_store(batch, spark, store, mode="filter")
+    assert {r.doc_id for r in unseen.collect()} == set(got) - expect_known
+    assert "is_known_near" not in unseen.columns
+
+    # append the admitted batch's bands; the SAME batch now self-collides
+    build_neardup_store(unseen, store, mode="append")
+    regated = neardup_gate_from_store(batch, spark, store)
+    assert all(r.is_known_near for r in regated.collect())
+
+
+def test_neardup_store_mode_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from openetlagent_spark.functions.incremental import neardup_gate_from_store
+
+    with _pytest.raises(ValueError, match="annotate/filter"):
+        neardup_gate_from_store(None, spark, str(tmp_path), mode="nope")
