@@ -157,6 +157,7 @@ HEADLINE = [
     "ccnet_buckets",
     "line_dedup",
     "neardup_store",
+    "dedup_store",
 ]
 
 

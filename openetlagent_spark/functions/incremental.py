@@ -585,3 +585,101 @@ def neardup_store_oracle_sql(
         f"SELECT {cols}, EXISTS (SELECT 1 FROM hits h WHERE h.did = b.{id_col}) "
         f"AS is_known_near FROM ({batch_sql}) b"
     )
+
+
+# --- persisted exact-dedup fingerprint store --------------------------------
+
+
+def build_fingerprint_store(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's DISTINCT normalized-text fingerprints
+    (text.with_fingerprint: md5 over lowercased, whitespace-collapsed
+    text) as a parquet store — the exact-dedup sibling of
+    :func:`build_neardup_store`.  Built once, appended per admitted
+    batch; each batch's exact-dup admission check becomes one
+    semi-join against the store instead of re-fingerprinting the
+    corpus (incremental_dedup's inline cost model)."""
+    from .text import with_fingerprint
+
+    fps = (
+        with_fingerprint(corpus.filter(F.col(text_col).isNotNull()), text_col)
+        .select("fingerprint")
+        .distinct()
+    )
+    fps.write.mode(mode).parquet(path)
+
+
+def dedup_gate_from_store(
+    batch: DataFrame,
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "annotate",
+) -> DataFrame:
+    """Exact-dup admission gate against a persisted fingerprint store:
+    ``is_known`` = the batch row's normalized-text fingerprint exists
+    in the store; ``is_batch_dup`` = a lower-id row of the SAME batch
+    shares the fingerprint (identical semantics to incremental_dedup's
+    two verdicts — only the corpus side comes from the store).
+
+    Scale shape: the batch fingerprints semi-join the store (store
+    side never collected; batch-bounded verdict set broadcasts back);
+    the within-batch check is one window over the batch."""
+    from .text import with_fingerprint
+
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"mode must be annotate/filter, got {mode!r}")
+    store = spark.read.parquet(store_path).select("fingerprint")
+    fb = with_fingerprint(batch, text_col)
+    known = (
+        fb.select("fingerprint")
+        .join(store, "fingerprint", "left_semi")
+        .distinct()
+        .withColumn("__kn__", F.lit(1))
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    out = (
+        fb.join(F.broadcast(known), "fingerprint", "left")
+        .withColumn("is_known", F.col("__kn__").isNotNull())
+        .withColumn("is_batch_dup", F.row_number().over(w) > 1)
+        .drop("__kn__")
+    )
+    if mode == "annotate":
+        return out.drop("fingerprint")
+    return out.filter(~F.col("is_known") & ~F.col("is_batch_dup")).drop(
+        "fingerprint", "is_known", "is_batch_dup"
+    )
+
+
+def dedup_store_oracle_sql(
+    corpus_sql: str,
+    batch_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "annotate",
+) -> str:
+    """DuckDB mirror of build_fingerprint_store + dedup_gate_from_store
+    — same fingerprint formula as incremental_dedup_oracle_sql, with
+    the corpus fingerprints derived inline (the store is just their
+    parquet materialization)."""
+
+    def fp(qual: str) -> str:
+        return f"md5(trim(regexp_replace(lower({qual}{text_col}), '\\s+', ' ', 'g')))"
+
+    base = (
+        f"SELECT b.*, "
+        f"EXISTS (SELECT 1 FROM ({corpus_sql}) c WHERE {fp('c.')} = b.__fp__) AS is_known, "
+        f"row_number() OVER (PARTITION BY b.__fp__ ORDER BY b.{id_col}) > 1 AS is_batch_dup "
+        f"FROM (SELECT *, {fp('')} AS __fp__ FROM ({batch_sql})) b"
+    )
+    if mode == "annotate":
+        return f"SELECT * EXCLUDE (__fp__) FROM ({base}) t"
+    return (
+        f"SELECT * EXCLUDE (__fp__, is_known, is_batch_dup) FROM ({base}) t "
+        f"WHERE NOT is_known AND NOT is_batch_dup"
+    )

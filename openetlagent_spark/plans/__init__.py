@@ -48,11 +48,12 @@ _ROUND5_FRONT = [
     "bm25_topk", "inverted_index", "incremental_dedup",
     "dedup_minhash", "dedup_ngram", "dedup_embedding",
     "contamination", "pack_sequences",
-    # new this round — first driver check (4)
+    # new this round — first driver check (5)
     "gopher_rules", "ccnet_buckets", "line_dedup", "neardup_store",
-    # oldest stale r02 rows whose families have since moved (6)
+    "dedup_store",
+    # oldest stale r02 rows whose families have since moved (5)
     "multimodal_features", "dedup_exact", "ann_cosine_topk",
-    "text_stats", "text_quality", "fingerprint",
+    "text_stats", "text_quality",
 ]
 
 

@@ -1346,6 +1346,24 @@ def q_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted fingerprint-store admission gate (functions/
+    incremental.py build_fingerprint_store + dedup_gate_from_store):
+    corpus fingerprints written once to parquet, batch gated by one
+    semi-join — the exact-dedup sibling of neardup_store, with
+    incremental_dedup's verdict semantics."""
+    from ..functions.incremental import build_fingerprint_store, dedup_gate_from_store
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store = _scratch_dir("ela_dedup_store", sf_dir)
+    build_fingerprint_store(corpus, store)
+    return dedup_gate_from_store(batch, spark, store).select(
+        "doc_id", "is_known", "is_batch_dup"
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate line removal (functions/curation.py
     line_dedup): lines shared by >1 documents stripped corpus-wide,
@@ -1862,6 +1880,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_scrub": q_text_scrub,
     "line_dedup": q_line_dedup,
     "neardup_store": q_neardup_store,
+    "dedup_store": q_dedup_store,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -2271,6 +2290,19 @@ from ..functions.incremental import (  # noqa: E402
 HARNESS_ORACLES["neardup_store"] = _neardup_store_oracle_sql(
     "SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0",
     "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0",
+)
+
+from ..functions.incremental import (  # noqa: E402
+    dedup_store_oracle_sql as _dedup_store_oracle_sql,
+)
+
+HARNESS_ORACLES["dedup_store"] = (
+    "SELECT doc_id, is_known, is_batch_dup FROM ("
+    + _dedup_store_oracle_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0",
+    )
+    + ") s"
 )
 
 HARNESS_ORACLES["running_totals"] = """

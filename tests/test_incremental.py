@@ -488,3 +488,39 @@ def test_neardup_store_mode_validation(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="annotate/filter"):
         neardup_gate_from_store(None, spark, str(tmp_path), mode="nope")
+
+
+def test_fingerprint_store_matches_inline_gate(spark, tmp_path):
+    """The parquet fingerprint store gates identically to the inline
+    incremental_dedup verdicts, and appending admitted batches closes
+    the loop (re-gate flags everything as known)."""
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.incremental import (
+        build_fingerprint_store,
+        dedup_gate_from_store,
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store = str(tmp_path / "fp_store")
+
+    build_fingerprint_store(corpus, store)
+    via_store = {
+        r.doc_id: (r.is_known, r.is_batch_dup)
+        for r in dedup_gate_from_store(batch, spark, store).collect()
+    }
+    inline = {
+        r.doc_id: (r.is_known, r.is_batch_dup)
+        for r in incremental_dedup(batch, corpus).collect()
+    }
+    assert via_store == inline
+
+    admitted = dedup_gate_from_store(batch, spark, store, mode="filter")
+    build_fingerprint_store(admitted, store, mode="append")
+    regated = dedup_gate_from_store(batch, spark, store).collect()
+    assert all(r.is_known or r.is_batch_dup for r in regated)
