@@ -2,6 +2,7 @@ from .events import (
     admit_new_documents,
     dedup_events,
     join_event_streams,
+    quality_gate_stream,
     enrich_stream,
     read_event_stream,
     read_event_table,
@@ -16,6 +17,7 @@ __all__ = [
     "admit_new_documents",
     "dedup_events",
     "join_event_streams",
+    "quality_gate_stream",
     "enrich_stream",
     "read_event_stream",
     "read_event_table",

@@ -639,3 +639,33 @@ def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame
         outputMode="Update",
         timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
+
+
+def quality_gate_stream(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_stop_hits: int = 2,
+    annotate: bool = False,
+) -> DataFrame:
+    """Streaming quality gate — the continuous form of the Gopher rule
+    battery (functions.text.gopher_rules): drop failing documents as
+    they land, before anything stateful or stored sees them.
+
+    The whole battery is stateless per-row JVM expressions, so the
+    SAME plan runs on a stream (no watermark, no state store, any
+    output mode) and on a batch frame — the parity test pins stream ==
+    batch surviving sets.  ``annotate=True`` keeps the metrics and
+    per-rule flags on the surviving rows (the audit-trail landing
+    shape); the default drops them after filtering."""
+    from ..functions.text import gopher_rules
+
+    flagged = gopher_rules(
+        docs, id_col, text_col, min_stop_hits=min_stop_hits, keep_all=True
+    )
+    kept = flagged.filter(F.col("gopher_pass"))
+    if annotate:
+        return kept
+    metric_cols = [c for c in flagged.columns if c not in docs.columns]
+    return kept.drop(*metric_cols)

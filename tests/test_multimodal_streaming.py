@@ -504,3 +504,38 @@ def test_streaming_sliding_window_counts_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM slide_counts").collect()
     }
     assert got == expected
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """quality_gate_stream on a real file stream (availableNow) admits
+    exactly the documents the batch form admits — the rule battery is
+    stateless, so the same plan serves both."""
+    from openetlagent_spark.streaming import quality_gate_stream
+
+    rows = [
+        Row(doc_id=1, text="the cat and the dog have been to that house with joy today"),
+        Row(doc_id=2, text="## ## ## ## ## ##"),
+        Row(doc_id=3, text="12 34 56 78 90 11"),
+        Row(doc_id=4, text="the fox and the hen have that same big idea with style"),
+    ]
+    batch = spark.createDataFrame(rows)
+    src = str(tmp_path / "docs_src")
+    batch.write.parquet(src)
+
+    expected = sorted(r.doc_id for r in quality_gate_stream(batch).collect())
+    assert expected == [1, 4]
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    gated = quality_gate_stream(stream, annotate=True)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("qgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
+    got = spark.sql("SELECT * FROM qgate").collect()
+    assert sorted(r.doc_id for r in got) == expected
+    assert all(r.gopher_pass for r in got)  # annotate keeps the flags
