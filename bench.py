@@ -158,6 +158,7 @@ HEADLINE = [
     "line_dedup",
     "neardup_store",
     "dedup_store",
+    "tokenize_ids",
 ]
 
 

@@ -558,6 +558,95 @@ def vocab_oov(
     )
 
 
+def tokenize_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 1000,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Last-mile tokenization: map every document to INTEGER token ids
+    against the corpus's own top-``top_k`` vocabulary (id = 1..k by the
+    deterministic count-desc/token-asc rank; out-of-vocabulary →
+    ``oov_id``).  Returns (id, n_tokens, n_oov, token_ids array<int>)
+    in original token order — the exact shape a training-shard writer
+    consumes after :func:`curation.pack_sequences` decides the layout.
+
+    Scale shape (100 TB): explode → one map-side-combined count
+    shuffle → TakeOrdered top-k; the id-rank window runs on the k-row
+    vocabulary (bounded, same class as the IVF centroid sample — never
+    on the corpus); the vocab BROADCASTS into a left join against the
+    exploded tokens; ONE groupBy(id) gathers (pos, tid) pairs and the
+    position-sorted rebuild is a JVM array expression (cf.
+    doc_lm_score's gather).  Exactness: ids are integers, order is
+    pinned by unique positions, and the vocabulary boundary tie-break
+    matches vocab_oov's."""
+    if top_k <= 0:
+        raise ValueError(f"tokenize_ids top_k must be positive, got {top_k!r}")
+    e = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(_tokens(F.col(text_col))).alias("__pos__", "tok"),
+    )
+    # rank window runs on the LIMITED k-row frame — single partition by
+    # construction and bounded by top_k, not by the corpus
+    vocab = (
+        e.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    vocab_ids = vocab.select(
+        "tok", F.row_number().over(w).cast("int").alias("__tid__")
+    )
+    joined = e.join(F.broadcast(vocab_ids), "tok", "left").select(
+        "__id__",
+        "__pos__",
+        F.coalesce(F.col("__tid__"), F.lit(oov_id)).cast("int").alias("__tid__"),
+    )
+    return joined.groupBy("__id__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum((F.col("__tid__") == oov_id).cast("long")).alias("n_oov"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos__", "__tid__"))),
+            lambda s: s["__tid__"],
+        ).alias("token_ids"),
+    ).select(
+        F.col("__id__").alias(id_col), "n_tokens", "n_oov", "token_ids"
+    )
+
+
+def tokenize_ids_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 1000,
+    oov_id: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`tokenize_ids` with ``token_ids``
+    rendered as a space-joined string (the harness's hash compares
+    scalars; the query side renders the same string) — same tokenizer
+    fragment, same vocabulary tie-break, same position-ordered
+    reassembly."""
+    toks = _toks_sql(text_col)
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS t FROM {table}
+           WHERE {text_col} IS NOT NULL),
+l AS (SELECT id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INTEGER)] AS tok
+      FROM t, unnest(generate_series(1, len(t))) AS u(i)),
+v AS (SELECT tok, CAST(rn AS INTEGER) AS tid FROM
+      (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+       FROM l GROUP BY tok) WHERE rn <= {top_k}),
+j AS (SELECT l.id, l.pos, COALESCE(v.tid, {oov_id}) AS tid
+      FROM l LEFT JOIN v USING (tok))
+SELECT id AS {id_col},
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN tid = {oov_id} THEN 1 END) AS BIGINT) AS n_oov,
+       array_to_string(list(tid ORDER BY pos), ' ') AS token_ids_str
+FROM j GROUP BY id
+"""
+
+
 def vocab_oov_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -539,6 +539,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality(df).select("doc_id", "quality")
 
 
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-mile integer tokenization (functions/text.py tokenize_ids):
+    ids against the corpus's own top-1000 vocabulary, OOV → 0, original
+    order — token_ids rendered as a space-joined string for the
+    scalar-hashing oracle."""
+    from ..functions.text import tokenize_ids
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tokenize_ids(df, "doc_id", "text", top_k=1000)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda t: t.cast("string")), " "
+        ).alias("token_ids_str"),
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-filter battery (functions/text.py
     gopher_rules): word-count bounds, mean word length, symbol/bullet/
@@ -1819,6 +1838,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "gopher_rules": q_gopher_rules,
+    "tokenize_ids": q_tokenize_ids,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "doc_repetition": q_doc_repetition,
@@ -2272,6 +2292,10 @@ HARNESS_ORACLES["doc_lm_score"] = _doc_lm_score_oracle_sql(k=500)
 from ..functions.text import gopher_rules_oracle_sql as _gopher_rules_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["gopher_rules"] = _gopher_rules_oracle_sql()
+
+from ..functions.text import tokenize_ids_oracle_sql as _tokenize_ids_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["tokenize_ids"] = _tokenize_ids_oracle_sql(top_k=1000)
 
 from ..functions.text import (  # noqa: E402
     lm_quality_buckets_oracle_sql as _lm_quality_buckets_oracle_sql,

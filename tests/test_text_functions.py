@@ -298,3 +298,33 @@ def test_bpe_encode_matches_trainer_fold_on_adversarial_tables(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(df, merges).collect()}
     assert got == want
+
+
+def test_tokenize_ids_roundtrip_and_oov(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.text import tokenize_ids
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta alpha gamma"),
+            Row(doc_id=2, text="alpha beta beta"),
+            Row(doc_id=3, text="zeta"),          # rare → OOV at top_k=3
+            Row(doc_id=4, text=None),            # NULL text drops
+        ]
+    )
+    out = {r.doc_id: r for r in tokenize_ids(docs, top_k=3).collect()}
+    assert set(out) == {1, 2, 3}
+    # vocabulary by (count desc, token asc): alpha(3)=1, beta(3)=2, gamma(1)=3
+    assert out[1].token_ids == [1, 2, 1, 3]
+    assert out[2].token_ids == [1, 2, 2]
+    assert out[3].token_ids == [0] and out[3].n_oov == 1
+    assert out[1].n_tokens == 4 and out[1].n_oov == 0
+    # ids are ints, order preserved under repartition
+    re = {r.doc_id: r.token_ids for r in tokenize_ids(docs.repartition(7), top_k=3).collect()}
+    assert re == {k: v.token_ids for k, v in out.items()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tokenize_ids(docs, top_k=0)
