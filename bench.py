@@ -159,6 +159,7 @@ HEADLINE = [
     "neardup_store",
     "dedup_store",
     "tokenize_ids",
+    "curriculum_order",
 ]
 
 

@@ -722,6 +722,110 @@ def chunk_oracle_sql(
 # --- global training-order shuffle ------------------------------------------
 
 
+def _two_phase_global_rank(
+    df: DataFrame, sort_cols: list[Column], position_column: str
+) -> DataFrame:
+    """Exact 1-based global rank by ``sort_cols`` via the two-phase
+    distributed prefix scan — never a single-partition window (the one
+    place this pattern lives; global_shuffle and curriculum_order both
+    rank through it).  Range-repartition on the sort columns; one
+    BIGINT per partition of driver state folds into exclusive base
+    offsets; a pid-partitioned window ranks locally; local rank +
+    broadcast base = exact global position.  Range bounds come from
+    sampling and may vary run to run — positions do NOT (offsets are
+    computed from actual counts).  The repartitioned frame is eagerly
+    localCheckpoint-ed: both phases see ONE sampled split and the
+    blocks free with the result."""
+    parts = (
+        df.repartitionByRange(*sort_cols)
+        .withColumn("_x_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    psums = parts.groupBy("_x_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    bases: dict[int, int] = {}
+    running = 0
+    for row in sorted(psums, key=lambda r: r["_x_pid"]):
+        bases[row["_x_pid"]] = running
+        running += row["n"]
+    base_map = (
+        F.create_map(*[F.lit(x) for kv in sorted(bases.items()) for x in kv])
+        if bases
+        else F.create_map()
+    )
+    local = Window.partitionBy("_x_pid").orderBy(*sort_cols)
+    return parts.withColumn(
+        position_column,
+        (F.element_at(base_map, F.col("_x_pid")) + F.row_number().over(local)).cast(
+            "long"
+        ),
+    ).drop("_x_pid")
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    ascending: bool = False,
+    position_column: str = "position",
+    batch_size: int | None = None,
+    batch_column: str = "batch_id",
+) -> DataFrame:
+    """Deterministic global CURRICULUM order: rank the whole dataset by
+    a quality/difficulty signal (highest-quality first by default —
+    the standard quality-curriculum; ``ascending=True`` for
+    easy-to-hard by a difficulty score), ties broken by ``id_col`` so
+    the order is total and reproducible on any partitioning.  With
+    ``batch_size``, also assign ``batch_column`` = (position-1) //
+    batch_size — the consumption order a curriculum dataloader reads.
+
+    NULL scores order LAST in both directions (no evidence → end of
+    curriculum), spelled out identically in the SQL mirror.  Same
+    two-phase prefix-rank shape as global_shuffle: one range exchange,
+    one BIGINT per partition of driver state, pid-local windows."""
+    score = F.col(score_col)
+    sort_cols = [
+        score.asc_nulls_last() if ascending else score.desc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
+    out = _two_phase_global_rank(df, sort_cols, position_column)
+    if batch_size is not None:
+        if batch_size <= 0:
+            raise ValueError(f"curriculum_order batch_size must be positive, got {batch_size!r}")
+        out = out.withColumn(
+            batch_column,
+            # integer DIV, not double `/`: bit-exact at any position
+            F.expr(f"CAST((`{position_column}` - 1) DIV {batch_size} AS BIGINT)"),
+        )
+    return out
+
+
+def curriculum_order_oracle_sql(
+    table: str,
+    score_col: str,
+    id_col: str,
+    ascending: bool = False,
+    position_column: str = "position",
+    batch_size: int | None = None,
+    batch_column: str = "batch_id",
+    select_cols: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`curriculum_order` — same direction,
+    same NULLS LAST, same tie-break, same integer batch math."""
+    direction = "ASC" if ascending else "DESC"
+    cols = ", ".join(select_cols or ["*"])
+    pos = (
+        f"CAST(row_number() OVER (ORDER BY {score_col} {direction} NULLS LAST, "
+        f"{id_col}) AS BIGINT) AS {position_column}"
+    )
+    inner = f"SELECT {cols}, {pos} FROM {table}"
+    if batch_size is None:
+        return inner
+    return (
+        f"SELECT *, CAST(({position_column} - 1) // {batch_size} AS BIGINT) "
+        f"AS {batch_column} FROM ({inner}) t"
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     key_col: str,
@@ -760,36 +864,12 @@ def global_shuffle(
     """
     key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
     h = F.md5(F.concat_ws("-", key_str, F.lit(str(seed))))
-    parts = (
-        df.withColumn("_x_shuf", h)
-        .repartitionByRange(F.col("_x_shuf"), F.col(key_col))
-        .withColumn("_x_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranked = _two_phase_global_rank(
+        df.withColumn("_x_shuf", h),
+        [F.col("_x_shuf").asc(), F.col(key_col).asc_nulls_first()],
+        position_column,
     )
-    psums = parts.groupBy("_x_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    bases: dict[int, int] = {}
-    running = 0
-    for row in sorted(psums, key=lambda r: r["_x_pid"]):
-        bases[row["_x_pid"]] = running
-        running += row["n"]
-    base_map = (
-        F.create_map(*[F.lit(x) for kv in sorted(bases.items()) for x in kv])
-        if bases
-        else F.create_map()
-    )
-    local = Window.partitionBy("_x_pid").orderBy(
-        F.col("_x_shuf").asc(), F.col(key_col).asc_nulls_first()
-    )
-    return (
-        parts.withColumn(
-            position_column,
-            (F.element_at(base_map, F.col("_x_pid")) + F.row_number().over(local)).cast(
-                "long"
-            ),
-        )
-        .withColumnRenamed("_x_shuf", key_column)
-        .drop("_x_pid")
-    )
+    return ranked.withColumnRenamed("_x_shuf", key_column)
 
 
 def global_shuffle_oracle_sql(

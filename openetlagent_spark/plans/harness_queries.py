@@ -539,6 +539,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality(df).select("doc_id", "quality")
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-curriculum ordering (functions/curation.py
+    curriculum_order): global rank by the engine's quality score
+    (highest first, doc_id tie-break), 64-document batches — the
+    two-phase prefix rank, never a single-partition window.  Oracle
+    composes the text_quality score SQL with a single ROW_NUMBER
+    reference."""
+    from ..functions.curation import curriculum_order
+    from ..functions.text import with_quality
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = with_quality(docs).select("doc_id", "quality")
+    out = curriculum_order(scored, "quality", "doc_id", batch_size=64)
+    return out.select("doc_id", "quality", "position", "batch_id")
+
+
 def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-mile integer tokenization (functions/text.py tokenize_ids):
     ids against the corpus's own top-1000 vocabulary, OOV → 0, original
@@ -1839,6 +1855,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "gopher_rules": q_gopher_rules,
     "tokenize_ids": q_tokenize_ids,
+    "curriculum_order": q_curriculum_order,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "doc_repetition": q_doc_repetition,
@@ -2296,6 +2313,20 @@ HARNESS_ORACLES["gopher_rules"] = _gopher_rules_oracle_sql()
 from ..functions.text import tokenize_ids_oracle_sql as _tokenize_ids_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["tokenize_ids"] = _tokenize_ids_oracle_sql(top_k=1000)
+
+from ..functions.curation import (  # noqa: E402
+    curriculum_order_oracle_sql as _curriculum_order_oracle_sql,
+)
+
+# composes the SAME quality-score SQL the text_quality oracle uses, so
+# score and ordering cannot drift
+HARNESS_ORACLES["curriculum_order"] = _curriculum_order_oracle_sql(
+    "(" + HARNESS_ORACLES["text_quality"] + ")",
+    "quality",
+    "doc_id",
+    batch_size=64,
+    select_cols=["doc_id", "quality"],
+)
 
 from ..functions.text import (  # noqa: E402
     lm_quality_buckets_oracle_sql as _lm_quality_buckets_oracle_sql,

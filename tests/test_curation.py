@@ -423,3 +423,35 @@ def test_line_dedup_max_docs_threshold(spark):
 
     with _pytest.raises(ValueError):
         line_dedup(docs, max_docs=0)
+
+
+def test_curriculum_order_is_total_and_partition_independent(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import curriculum_order
+
+    rows = [Row(doc_id=i, score=float(i % 7) if i % 11 else None) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in curriculum_order(df, "score", "doc_id", batch_size=8).collect()}
+    assert sorted(r.position for r in out.values()) == list(range(1, 51))
+    # highest score first; NULLs last; id tie-break
+    ordered = sorted(out.values(), key=lambda r: r.position)
+    keyed = [((-r.score if r.score is not None else float("inf")), r.doc_id) for r in ordered]
+    assert keyed == sorted(keyed)
+    assert all(r.batch_id == (r.position - 1) // 8 for r in ordered)
+    # identical permutation under different partitioning
+    re = {r.doc_id: r.position for r in curriculum_order(df.repartition(13), "score", "doc_id").collect()}
+    assert re == {k: v.position for k, v in out.items()}
+    # ascending mode reverses the non-null segment
+    asc = sorted(
+        curriculum_order(df, "score", "doc_id", ascending=True).collect(),
+        key=lambda r: r.position,
+    )
+    non_null = [r.score for r in asc if r.score is not None]
+    assert non_null == sorted(non_null)
+    assert all(r.score is None for r in asc[len(non_null):])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curriculum_order(df, "score", "doc_id", batch_size=0)
