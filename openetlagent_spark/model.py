@@ -1196,6 +1196,79 @@ class QuantileFilterOperation(Operation):
 
 
 @dataclass
+class TokenizeIdsOperation(Operation):
+    """Last-mile integer tokenization as a flow op (functions/text.py
+    tokenize_ids): map each document to ids against the corpus's own
+    top-k vocabulary; replaces the frame with (id, n_tokens, n_oov,
+    token_ids)."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    top_k: int = 1000
+    oov_id: int = 0
+    operation_type: str = "tokenize_ids"
+
+    def __post_init__(self) -> None:
+        if self.top_k <= 0:
+            raise SpecError(f"tokenize_ids top_k must be positive, got {self.top_k!r}")
+
+
+@dataclass
+class CurriculumOrderOperation(Operation):
+    """Deterministic curriculum ordering as a flow op
+    (functions/curation.py curriculum_order): global rank by a score
+    column (desc NULLS LAST by default; ascending for easy-to-hard),
+    optional batch assignment."""
+
+    score_column: str = ""
+    id_column: str = "doc_id"
+    ascending: bool = False
+    position_column: str = "position"
+    batch_size: int = 0  # 0 = no batch column
+    batch_column: str = "batch_id"
+    operation_type: str = "curriculum_order"
+
+    def __post_init__(self) -> None:
+        if not self.score_column:
+            raise SpecError("curriculum_order requires score_column")
+        if self.batch_size < 0:
+            raise SpecError(
+                f"curriculum_order batch_size must be >= 0, got {self.batch_size!r}"
+            )
+
+
+@dataclass
+class StoreGateOperation(Operation):
+    """Admission gate against a persisted signature store as a flow op
+    (functions/incremental.py dedup_gate_from_store /
+    neardup_gate_from_store): the CURRENT frame is the incoming batch;
+    ``store_path`` names the parquet store built by the matching
+    build_* function.  strategy ∈ exact (fingerprint store) / near
+    (band store); mode ∈ annotate / filter."""
+
+    store_path: str = ""
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    strategy: str = "exact"
+    mode: str = "annotate"
+    shingle_size: int = 3
+    bands: int = 4
+    rows_per_band: int = 3
+    seed: int = 7
+    operation_type: str = "store_gate"
+
+    def __post_init__(self) -> None:
+        if not self.store_path:
+            raise SpecError("store_gate requires store_path")
+        if self.strategy not in ("exact", "near"):
+            raise SpecError(
+                f"store_gate strategy must be exact/near, got {self.strategy!r}"
+            )
+        if self.mode not in ("annotate", "filter"):
+            raise SpecError(f"store_gate mode must be annotate/filter, got {self.mode!r}")
+
+
+@dataclass
 class GopherRulesOperation(Operation):
     """Gopher-style rule-filter battery as a flow op
     (functions/text.py gopher_rules): per-rule booleans + conjunctive
@@ -1322,6 +1395,9 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "gopher_rules": GopherRulesOperation,
     "lm_buckets": LmBucketsOperation,
     "line_dedup": LineDedupOperation,
+    "tokenize_ids": TokenizeIdsOperation,
+    "curriculum_order": CurriculumOrderOperation,
+    "store_gate": StoreGateOperation,
 }
 
 

@@ -560,3 +560,37 @@ def apply_line_dedup(df: DataFrame, op: "LineDedupOperation") -> DataFrame:
         )
         .drop("text_clean")
     )
+
+
+def apply_tokenize_ids(df: DataFrame, op: "TokenizeIdsOperation") -> DataFrame:
+    from ..functions.text import tokenize_ids
+
+    return tokenize_ids(
+        df, op.id_column, op.text_column, top_k=op.top_k, oov_id=op.oov_id
+    )
+
+
+def apply_curriculum_order(df: DataFrame, op: "CurriculumOrderOperation") -> DataFrame:
+    from ..functions.curation import curriculum_order
+
+    return curriculum_order(
+        df, op.score_column, op.id_column,
+        ascending=op.ascending, position_column=op.position_column,
+        batch_size=op.batch_size or None, batch_column=op.batch_column,
+    )
+
+
+def apply_store_gate(
+    df: DataFrame, op: "StoreGateOperation", spark: SparkSession
+) -> DataFrame:
+    from ..functions.incremental import dedup_gate_from_store, neardup_gate_from_store
+
+    if op.strategy == "exact":
+        return dedup_gate_from_store(
+            df, spark, op.store_path, op.id_column, op.text_column, mode=op.mode
+        )
+    return neardup_gate_from_store(
+        df, spark, op.store_path, op.id_column, op.text_column,
+        n=op.shingle_size, bands=op.bands, rows_per_band=op.rows_per_band,
+        seed=op.seed, mode=op.mode,
+    )

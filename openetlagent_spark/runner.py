@@ -30,6 +30,7 @@ from .model import (
     FileDefinition,
     ContaminationOperation,
     IncrementalDedupOperation,
+    StoreGateOperation,
     Operation,
     PipelineConfig,
     PipelineFlow,
@@ -43,6 +44,7 @@ from .operators import (
     apply_bind,
     apply_contamination,
     apply_incremental_dedup,
+    apply_store_gate,
     apply_merge,
     apply_range_join,
     apply_similarity,
@@ -88,6 +90,8 @@ def apply_operations(
             current = apply_merge(current, op, spark, inputs)
         elif isinstance(op, IncrementalDedupOperation):
             current = apply_incremental_dedup(current, op, spark, inputs)
+        elif isinstance(op, StoreGateOperation):
+            current = apply_store_gate(current, op, spark)
         elif isinstance(op, UnionOperation):
             if not inputs or op.right_input not in inputs:
                 raise ValueError(

@@ -449,3 +449,56 @@ def test_yaml_line_dedup_replaces_text(spark):
 
     with _pytest.raises(SpecError):
         parse_operation({"operation_type": "line_dedup", "max_docs": 0})
+
+
+def test_yaml_tokenize_curriculum_store_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.curation import curriculum_order
+    from openetlagent_spark.functions.incremental import (
+        build_fingerprint_store,
+        dedup_gate_from_store,
+    )
+    from openetlagent_spark.functions.text import tokenize_ids
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    via = apply_operations(
+        docs, [parse_operation({"operation_type": "tokenize_ids", "top_k": 50})], spark
+    )
+    direct = tokenize_ids(docs, top_k=50)
+    assert sorted(map(tuple, via.collect())) == sorted(map(tuple, direct.collect()))
+
+    via_c = apply_operations(
+        docs.select("doc_id", "n_chars"),
+        [parse_operation({"operation_type": "curriculum_order",
+                          "score_column": "n_chars", "batch_size": 32})],
+        spark,
+    )
+    direct_c = curriculum_order(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id", batch_size=32
+    )
+    assert sorted(map(tuple, via_c.collect())) == sorted(map(tuple, direct_c.collect()))
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    store = str(tmp_path / "fp_store")
+    build_fingerprint_store(corpus, store)
+    via_g = apply_operations(
+        batch,
+        [parse_operation({"operation_type": "store_gate", "store_path": store})],
+        spark,
+    )
+    direct_g = dedup_gate_from_store(batch, spark, store)
+    assert sorted(map(tuple, via_g.collect())) == sorted(map(tuple, direct_g.collect()))
+
+    import pytest as _pytest
+
+    from openetlagent_spark.model import SpecError
+
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "store_gate"})  # no path
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "curriculum_order"})  # no score
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "tokenize_ids", "top_k": 0})
