@@ -349,3 +349,27 @@ def test_ccnet_buckets_thresholds_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "windowspecdefinition(lang" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("tokenize_ids", 3),      # vocab count + TakeOrdered feed + doc gather
+        ("curriculum_order", 2),  # range exchange + (textual) checkpoint reprint
+        ("dedup_store", 2),       # store write is eager; gate = batch window + agg
+        ("neardup_store", 2),     # batch band agg; store side partition-pruned scan
+    ],
+)
+def test_store_and_lastmile_shuffle_budget(spark, name, max_shuffles):
+    df = HARNESS_QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(plan) <= max_shuffles, plan[:2000]
+
+
+def test_store_gates_broadcast_verdicts(spark):
+    """Both store gates must broadcast their batch-bounded verdict sets
+    back onto the batch — the batch is never sort-merge-joined."""
+    for name in ("dedup_store", "neardup_store"):
+        df = HARNESS_QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
