@@ -524,11 +524,14 @@ def neardup_gate_from_store(
     knee are rare by construction, and a dropped true-negative costs
     one document, not correctness).
 
-    Scale shape: the batch's band table is batch-sized; the semi-join
-    against the store shuffles only batch rows (the store side is
-    scanned partition-pruned by band, never collected); the verdict
-    set is batch-bounded and broadcasts back.  mode='filter' keeps
-    only unseen documents."""
+    Scale shape — join DIRECTIONS matter here (cf. incremental_dedup):
+    the batch's DISTINCT band keys broadcast into a LEFT SEMI against
+    the corpus-scale STORE (a map-side filter: the store is scanned,
+    never shuffled or collected — a batch-side semi join would put the
+    whole store on the unbroadcastable build side); the surviving
+    batch-relevant, hence batch-bounded, key set broadcasts back onto
+    the batch's band table, and the verdict ids broadcast onto the
+    batch.  mode='filter' keeps only unseen documents."""
     from .dedup import ngram_band_table
 
     if mode not in ("annotate", "filter"):
@@ -536,9 +539,16 @@ def neardup_gate_from_store(
     store = spark.read.parquet(store_path).select("band", "bkey")
     bb = ngram_band_table(
         batch, id_col, text_col, n=n, bands=bands, rows_per_band=rows_per_band, seed=seed
+    ).localCheckpoint(eager=True)  # feeds the key broadcast AND the
+    # verdict join; blocks free on GC (module policy)
+    batch_keys = bb.select("band", "bkey").distinct()
+    collided = (
+        store.join(F.broadcast(batch_keys), ["band", "bkey"], "left_semi")
+        .select("band", "bkey")
+        .distinct()
     )
     known = (
-        bb.join(store, ["band", "bkey"], "left_semi")
+        bb.join(F.broadcast(collided), ["band", "bkey"], "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("__kn__", F.lit(1))
@@ -627,18 +637,24 @@ def dedup_gate_from_store(
     shares the fingerprint (identical semantics to incremental_dedup's
     two verdicts — only the corpus side comes from the store).
 
-    Scale shape: the batch fingerprints semi-join the store (store
-    side never collected; batch-bounded verdict set broadcasts back);
-    the within-batch check is one window over the batch."""
+    Scale shape — the same join directions as incremental_dedup: the
+    batch's distinct fingerprints BROADCAST into a LEFT SEMI against
+    the corpus-scale store (map-side filter; the store is scanned, not
+    shuffled — the reverse direction would put the store on the
+    unbroadcastable build side), and the surviving batch-bounded set
+    broadcasts back.  The within-batch check is one window over the
+    batch.  The fingerprinted batch is eagerly localCheckpoint-ed (it
+    feeds both the key broadcast and the output join; blocks free on
+    GC — module policy)."""
     from .text import with_fingerprint
 
     if mode not in ("annotate", "filter"):
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
     store = spark.read.parquet(store_path).select("fingerprint")
-    fb = with_fingerprint(batch, text_col)
+    fb = with_fingerprint(batch, text_col).localCheckpoint(eager=True)
+    batch_fps = fb.select("fingerprint").distinct()
     known = (
-        fb.select("fingerprint")
-        .join(store, "fingerprint", "left_semi")
+        store.join(F.broadcast(batch_fps), "fingerprint", "left_semi")
         .distinct()
         .withColumn("__kn__", F.lit(1))
     )

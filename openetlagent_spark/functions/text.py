@@ -564,6 +564,7 @@ def tokenize_ids(
     text_col: str = "text",
     top_k: int = 1000,
     oov_id: int = 0,
+    cache: bool = True,
 ) -> DataFrame:
     """Last-mile tokenization: map every document to INTEGER token ids
     against the corpus's own top-``top_k`` vocabulary (id = 1..k by the
@@ -583,10 +584,21 @@ def tokenize_ids(
     matches vocab_oov's."""
     if top_k <= 0:
         raise ValueError(f"tokenize_ids top_k must be positive, got {top_k!r}")
+    if 1 <= oov_id <= top_k:
+        raise ValueError(
+            f"tokenize_ids oov_id must lie outside the vocabulary id range "
+            f"1..{top_k}, got {oov_id!r} (it would alias a real token's id)"
+        )
     e = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id__"),
         F.posexplode(_tokens(F.col(text_col))).alias("__pos__", "tok"),
     )
+    if cache:
+        # e feeds BOTH the vocabulary count and the id join — without
+        # the boundary the tokenize+explode of every document runs once
+        # per consumer (eager localCheckpoint; blocks free on GC —
+        # module policy, cf. doc_lm_score's base)
+        e = e.localCheckpoint(eager=True)
     # rank window runs on the LIMITED k-row frame — single partition by
     # construction and bounded by top_k, not by the corpus
     vocab = (

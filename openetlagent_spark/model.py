@@ -1266,6 +1266,14 @@ class StoreGateOperation(Operation):
             )
         if self.mode not in ("annotate", "filter"):
             raise SpecError(f"store_gate mode must be annotate/filter, got {self.mode!r}")
+        # bands = 0 would silently admit EVERY document (no band rows →
+        # empty known set); rows_per_band = 0 dies with a bare
+        # IndexError inside the band fold — fail at parse time instead
+        for fld in ("shingle_size", "bands", "rows_per_band"):
+            if getattr(self, fld) < 1:
+                raise SpecError(
+                    f"store_gate {fld} must be >= 1, got {getattr(self, fld)!r}"
+                )
 
 
 @dataclass

@@ -502,3 +502,29 @@ def test_yaml_tokenize_curriculum_store_gate(spark, tmp_path):
         parse_operation({"operation_type": "curriculum_order"})  # no score
     with _pytest.raises(SpecError):
         parse_operation({"operation_type": "tokenize_ids", "top_k": 0})
+
+
+def test_store_gate_spec_validates_band_geometry():
+    import pytest as _pytest
+
+    from openetlagent_spark.model import SpecError
+
+    for bad in (
+        {"operation_type": "store_gate", "store_path": "p", "bands": 0},
+        {"operation_type": "store_gate", "store_path": "p", "rows_per_band": 0},
+        {"operation_type": "store_gate", "store_path": "p", "shingle_size": 0},
+    ):
+        with _pytest.raises(SpecError, match=">= 1"):
+            parse_operation(bad)
+
+
+def test_tokenize_ids_rejects_aliasing_oov_id(spark):
+    import pytest as _pytest
+
+    from openetlagent_spark.functions.text import tokenize_ids
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="outside the vocabulary id range"):
+        tokenize_ids(docs, top_k=10, oov_id=5)
+    # sentinel outside the range is fine
+    assert tokenize_ids(docs, top_k=10, oov_id=-1).count() == 1

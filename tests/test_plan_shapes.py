@@ -356,8 +356,12 @@ def test_ccnet_buckets_thresholds_broadcast(spark):
     [
         ("tokenize_ids", 3),      # vocab count + TakeOrdered feed + doc gather
         ("curriculum_order", 2),  # range exchange + (textual) checkpoint reprint
-        ("dedup_store", 2),       # store write is eager; gate = batch window + agg
-        ("neardup_store", 2),     # batch band agg; store side partition-pruned scan
+        ("dedup_store", 3),       # batch-bounded distincts (keys, known) + window;
+                                  # the STORE is probed map-side by a broadcast
+                                  # semi join, never shuffled
+        ("neardup_store", 3),     # batch band distinct + collided distinct +
+                                  # verdict distinct — all batch-bounded; store
+                                  # scan is filter-only
     ],
 )
 def test_store_and_lastmile_shuffle_budget(spark, name, max_shuffles):
