@@ -160,6 +160,7 @@ HEADLINE = [
     "dedup_store",
     "tokenize_ids",
     "curriculum_order",
+    "skew_report",
 ]
 
 

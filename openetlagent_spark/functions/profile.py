@@ -302,3 +302,81 @@ def outlier_oracle_sql(
         f"COALESCE(abs({z}) > {z_threshold!r}, FALSE) AS is_outlier "
         f"FROM {table} b {join}"
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key SKEW diagnostic — the report to run BEFORE
+    shuffling 100 TB on a key: per-key counts reduce to distribution
+    stats (distinct keys, total rows, max/mean/median/p99 key count,
+    the max/median skew ratio) and the ``top_k`` heaviest keys.  A
+    skew_ratio in the tens means AQE skew-split or salting
+    (operators/bind.py bind_salted) before the real job.
+
+    Output: one row per heavy key — (key, cnt, share) plus the global
+    stats repeated on every row (1-row broadcast; keeps the result a
+    single flat frame the flow surface can sink).  NULL keys count as
+    a key (they hash-partition together — exactly the skew hazard).
+
+    Scale shape: ONE count shuffle on the key; the stats reduce the
+    key-count table to 1 row; the heavy-key pick is a TakeOrdered
+    (distributed partial top-k, never a global sort); both broadcast.
+    Exactness: counts are integers; mean/share are single divisions;
+    the quantiles are the same interpolated doubles the `percentile`
+    query already hash-matches."""
+    if top_k <= 0:
+        raise ValueError(f"key_skew_report top_k must be positive, got {top_k!r}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.percentile(F.col("cnt"), F.lit(0.5)).alias("p50_cnt"),
+        F.percentile(F.col("cnt"), F.lit(0.99)).alias("p99_cnt"),
+    ).withColumn(
+        "mean_cnt", F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    ).withColumn(
+        "skew_ratio", F.col("max_cnt").cast("double") / F.col("p50_cnt")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc_nulls_first("key")).limit(top_k)
+    return top.join(F.broadcast(stats)).select(
+        F.col("key").cast("string").alias("key"),
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias("share"),
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "mean_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        "skew_ratio",
+    )
+
+
+def key_skew_oracle_sql(table: str, key_col: str, top_k: int = 10) -> str:
+    """DuckDB mirror of :func:`key_skew_report` — same tie-break, same
+    quantile definition, same single-division doubles."""
+    return f"""
+WITH c AS (SELECT {key_col} AS key, CAST(count(*) AS BIGINT) AS cnt
+           FROM {table} GROUP BY {key_col}),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             quantile_cont(cnt, 0.5) AS p50_cnt,
+             quantile_cont(cnt, 0.99) AS p99_cnt
+      FROM c),
+top AS (SELECT key, cnt FROM c
+        ORDER BY cnt DESC, key NULLS FIRST LIMIT {top_k})
+SELECT CAST(top.key AS VARCHAR) AS key, top.cnt,
+       CAST(top.cnt AS DOUBLE) / CAST(s.n_rows AS DOUBLE) AS share,
+       s.n_keys, s.n_rows, s.max_cnt,
+       CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE) AS mean_cnt,
+       s.p50_cnt, s.p99_cnt,
+       CAST(s.max_cnt AS DOUBLE) / s.p50_cnt AS skew_ratio
+FROM top, s
+"""

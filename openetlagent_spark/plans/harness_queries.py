@@ -539,6 +539,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality(df).select("doc_id", "quality")
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (functions/profile.py key_skew_report)
+    over events.user_id: per-key count distribution + the 10 heaviest
+    keys — one count shuffle, 1-row stats broadcast, TakeOrdered
+    heavy-key pick."""
+    from ..functions.profile import key_skew_report
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return key_skew_report(ev, "user_id", top_k=10)
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality-curriculum ordering (functions/curation.py
     curriculum_order): global rank by the engine's quality score
@@ -1856,6 +1867,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_rules": q_gopher_rules,
     "tokenize_ids": q_tokenize_ids,
     "curriculum_order": q_curriculum_order,
+    "skew_report": q_skew_report,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "doc_repetition": q_doc_repetition,
@@ -2320,6 +2332,10 @@ from ..functions.curation import (  # noqa: E402
 
 # composes the SAME quality-score SQL the text_quality oracle uses, so
 # score and ordering cannot drift
+from ..functions.profile import key_skew_oracle_sql as _key_skew_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["skew_report"] = _key_skew_oracle_sql("events", "user_id", top_k=10)
+
 HARNESS_ORACLES["curriculum_order"] = _curriculum_order_oracle_sql(
     "(" + HARNESS_ORACLES["text_quality"] + ")",
     "quality",

@@ -204,3 +204,29 @@ def test_outlier_flags_overflow_guard_raises(spark):
     out = outlier_flags(df, "v")  # lazy — the guard fires at action time
     with pytest.raises(Exception, match="too large for the 10"):
         out.collect()
+
+
+def test_key_skew_report_flags_planted_hot_key(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.profile import key_skew_report
+
+    rows = [Row(k="hot") for _ in range(90)] + [Row(k=f"cold{i}") for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = key_skew_report(df, "k", top_k=3).collect()
+    assert len(out) == 3
+    top = out[0] if out[0].cnt == 90 else max(out, key=lambda r: r.cnt)
+    assert top.key == "hot" and top.cnt == 90
+    assert top.share == 0.9 and top.n_keys == 11 and top.n_rows == 100
+    assert top.max_cnt == 90 and top.p50_cnt == 1.0
+    assert top.skew_ratio == 90.0
+
+    # NULL keys count as a (hashable) key — the actual skew hazard
+    withnull = df.union(spark.createDataFrame([(None,)] * 50, "k string"))
+    out2 = key_skew_report(withnull, "k", top_k=2).collect()
+    assert {r.key for r in out2} == {"hot", None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        key_skew_report(df, "k", top_k=0)
