@@ -536,7 +536,12 @@ def neardup_gate_from_store(
 
     if mode not in ("annotate", "filter"):
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
-    store = spark.read.parquet(store_path).select("band", "bkey")
+    # explicit schema: a store built from an EMPTY corpus (the valid
+    # cold-start of the append-per-batch loop) has no footers to infer
+    # from; the band partition column resolves from directory names
+    store = spark.read.schema(
+        f"{id_col} long, bkey long, band int"
+    ).parquet(store_path).select("band", "bkey")
     bb = ngram_band_table(
         batch, id_col, text_col, n=n, bands=bands, rows_per_band=rows_per_band, seed=seed
     ).localCheckpoint(eager=True)  # feeds the key broadcast AND the
@@ -650,7 +655,8 @@ def dedup_gate_from_store(
 
     if mode not in ("annotate", "filter"):
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
-    store = spark.read.parquet(store_path).select("fingerprint")
+    # explicit schema: an empty cold-start store has no footers
+    store = spark.read.schema("fingerprint string").parquet(store_path)
     fb = with_fingerprint(batch, text_col).localCheckpoint(eager=True)
     batch_fps = fb.select("fingerprint").distinct()
     known = (

@@ -669,3 +669,78 @@ def quality_gate_stream(
         return kept
     metric_cols = [c for c in flagged.columns if c not in docs.columns]
     return kept.drop(*metric_cols)
+
+
+def admit_stream_with_store(
+    docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    strategy: str = "exact",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    query_name: str = "store_admission",
+    **gate_kwargs,
+):
+    """The full PRODUCTION admission loop on a document stream: each
+    micro-batch is gated against the persisted signature store
+    (functions.incremental dedup_gate_from_store /
+    neardup_gate_from_store, strategy exact/near), admitted documents
+    land under ``out_path/batch_id=N`` (overwrite — replay-idempotent,
+    cf. write_stream_idempotent), and the admitted batch's signatures
+    APPEND to the store — so a duplicate arriving in a LATER
+    micro-batch is rejected by the store the earlier batch grew,
+    without any in-stream state.
+
+    This is the foreachBatch composition of the batch gates: the store
+    carries the cross-batch memory (restart-safe, shared across
+    streams), the stream carries none.  Store appends are idempotent
+    FOR VERDICTS on replay (duplicate signature rows cannot change any
+    collision answer), and the admitted-output write is batch_id-
+    overwrite exactly-once.  Gate BEFORE append: within one batch the
+    gates' own is_batch_dup handling dedups internally."""
+    from ..functions.incremental import (
+        build_fingerprint_store,
+        build_neardup_store,
+        dedup_gate_from_store,
+        neardup_gate_from_store,
+    )
+
+    if strategy not in ("exact", "near"):
+        raise ValueError(f"strategy must be exact/near, got {strategy!r}")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if strategy == "exact":
+            admitted = dedup_gate_from_store(
+                batch_df, spark, store_path, id_col, text_col, mode="filter"
+            )
+        else:
+            admitted = neardup_gate_from_store(
+                batch_df, spark, store_path, id_col, text_col,
+                mode="filter", **gate_kwargs,
+            )
+        # one deterministic materialization feeds both the sink write
+        # and the store append (gate plans are checkpoint-backed but a
+        # second action would re-run the gate against the GROWN store)
+        admitted = admitted.localCheckpoint(eager=True)
+        admitted.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        if strategy == "exact":
+            build_fingerprint_store(admitted, store_path, text_col, mode="append")
+        else:
+            build_neardup_store(
+                admitted, store_path, id_col, text_col, mode="append",
+                **{k: v for k, v in gate_kwargs.items()
+                   if k in ("n", "bands", "rows_per_band", "seed")},
+            )
+
+    writer = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

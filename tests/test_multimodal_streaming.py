@@ -539,3 +539,57 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM qgate").collect()
     assert sorted(r.doc_id for r in got) == expected
     assert all(r.gopher_pass for r in got)  # annotate keeps the flags
+
+
+def test_stream_store_admission_rejects_cross_batch_dup(spark, tmp_path):
+    """admit_stream_with_store: the persisted store carries the
+    cross-micro-batch memory — a document admitted in batch 0 rejects
+    its duplicate arriving in batch 1, with no in-stream state."""
+    from pyspark.sql import types as T
+
+    from openetlagent_spark.functions.incremental import build_fingerprint_store
+    from openetlagent_spark.streaming import admit_stream_with_store
+
+    import glob
+    import os
+    import shutil
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    b0 = spark.createDataFrame(
+        [Row(doc_id=1, text="unique first document"),
+         Row(doc_id=2, text="another unique one")], schema)
+    b1 = spark.createDataFrame(
+        [Row(doc_id=3, text="unique first document"),   # dup of doc 1
+         Row(doc_id=4, text="a brand new document")], schema)
+    # the file source lists FILES, not directories: stage each batch's
+    # single part file as srcdir/fN.parquet (cf. q_stream_sink)
+    for i, b in enumerate((b0, b1)):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/f{i}.parquet")
+
+    store = str(tmp_path / "fp_store")
+    # empty store to start: schema-only parquet
+    empty = spark.createDataFrame([], T.StructType([
+        T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]))
+    build_fingerprint_store(empty, store)
+
+    out = str(tmp_path / "admitted")
+    stream = spark.readStream.schema(b0.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = admit_stream_with_store(
+        stream, store, out, checkpoint=str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
+
+    landed = spark.read.parquet(out)
+    ids = sorted(r.doc_id for r in landed.collect())
+    # doc 3 (cross-batch duplicate text) must be rejected by the store
+    # the first batch appended; everything else admitted
+    assert ids == [1, 2, 4]
+    # the store now holds all three distinct fingerprints
+    assert spark.read.parquet(store).distinct().count() == 3
