@@ -161,6 +161,7 @@ HEADLINE = [
     "tokenize_ids",
     "curriculum_order",
     "skew_report",
+    "training_shards",
 ]
 
 

@@ -48,11 +48,12 @@ _ROUND5_FRONT = [
     "bm25_topk", "inverted_index", "incremental_dedup",
     "dedup_minhash", "dedup_ngram", "dedup_embedding",
     "contamination", "pack_sequences",
-    # new this round — first driver check (8)
+    # new this round — first driver check (9)
     "gopher_rules", "ccnet_buckets", "line_dedup", "neardup_store",
     "dedup_store", "tokenize_ids", "curriculum_order", "skew_report",
-    # oldest stale r02 rows whose families have since moved (2)
-    "multimodal_features", "dedup_exact",
+    "training_shards",
+    # oldest stale r02 rows whose families have since moved (1)
+    "multimodal_features",
 ]
 
 

@@ -1732,6 +1732,28 @@ def q_near_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set EXPORT round trip: the deterministic global
+    shuffle order written as position-clustered shards (sources/io.py
+    write_sorted — each file owns a disjoint position range, i.e. a
+    training shard a loader consumes sequentially), read back and
+    returned row-for-row.  Hash-matching the global_shuffle oracle
+    proves the shard layout is lossless and order-complete; the
+    position-range pruning evidence class is tests/test_sorted_layout.
+    At 100 TB this is the final write of a curation pipeline: shards
+    feed data loaders in shuffle order with no further shuffling."""
+    from ..functions.curation import global_shuffle
+    from ..sources import write_sorted
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ordered = global_shuffle(docs, "doc_id", seed=7).select(
+        "doc_id", "shuffle_key", "position"
+    )
+    tmp = _scratch_dir("ela_training_shards", sf_dir)
+    write_sorted(ordered, tmp, ["position"], num_files=8)
+    return spark.read.parquet(tmp)
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (functions/
     curation.py global_shuffle, via the flow dispatcher): every
@@ -1937,6 +1959,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "near_contamination": q_near_contamination,
     "global_shuffle": q_global_shuffle,
+    "training_shards": q_training_shards,
     "quantile_filter": q_quantile_filter,
     "embedding_stats": q_embedding_stats,
     "partitioned_layout": q_partitioned_layout,
@@ -2503,6 +2526,13 @@ HARNESS_ORACLES["chunk_docs"] = _chunk_oracle_sql(
 )
 
 HARNESS_ORACLES["global_shuffle"] = _global_shuffle_oracle_sql(
+    "documents", "doc_id", seed=7, select_cols=["doc_id"]
+)
+
+# the shard write-and-read-back must return EXACTLY the shuffle order
+# table — same oracle as global_shuffle (the parquet layout round trip
+# is the thing under test)
+HARNESS_ORACLES["training_shards"] = _global_shuffle_oracle_sql(
     "documents", "doc_id", seed=7, select_cols=["doc_id"]
 )
 
