@@ -518,8 +518,11 @@ def neardup_gate_from_store(
     """Admission gate against a persisted band store
     (:func:`build_neardup_store`): a batch document is flagged
     ``is_known_near`` when ANY of its band keys collides with a stored
-    key — the standard band-collision gate (candidate = caught; no
-    exact-Jaccard verify pass, which makes the gate one semi-join and
+    key, and ``is_batch_dup`` when it shares a band bucket with a
+    LOWER-id document of the same batch (keep-first within the batch —
+    without this, two near-dups arriving together would both pass a
+    store that contains neither).  Band-collision gate semantics
+    (candidate = caught; no exact-Jaccard verify pass — one semi-join,
     slightly conservative: collisions at Jaccard below the S-curve
     knee are rare by construction, and a dropped true-negative costs
     one document, not correctness).
@@ -538,10 +541,13 @@ def neardup_gate_from_store(
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
     # explicit schema: a store built from an EMPTY corpus (the valid
     # cold-start of the append-per-batch loop) has no footers to infer
-    # from; the band partition column resolves from directory names
-    store = spark.read.schema(
-        f"{id_col} long, bkey long, band int"
-    ).parquet(store_path).select("band", "bkey")
+    # from.  Only the two columns the gate consumes are declared (the
+    # store's id column type belongs to whoever built it — declaring a
+    # guessed type for an unread column is a latent mismatch); the band
+    # partition column resolves from directory names.
+    store = spark.read.schema("bkey long, band int").parquet(store_path).select(
+        "band", "bkey"
+    )
     bb = ngram_band_table(
         batch, id_col, text_col, n=n, bands=bands, rows_per_band=rows_per_band, seed=seed
     ).localCheckpoint(eager=True)  # feeds the key broadcast AND the
@@ -558,12 +564,31 @@ def neardup_gate_from_store(
         .distinct()
         .withColumn("__kn__", F.lit(1))
     )
-    out = batch.join(F.broadcast(known), id_col, "left").withColumn(
-        "is_known_near", F.col("__kn__").isNotNull()
-    ).drop("__kn__")
+    # WITHIN-batch near-dups (neither doc in the store yet): two batch
+    # documents sharing a band bucket — keep the minimum id, flag the
+    # rest, same keep-first policy as the exact gate's is_batch_dup.
+    # Bucket table is batch-bounded; both sides of the join are the
+    # batch's own bands.
+    bucket_min = bb.groupBy("band", "bkey").agg(F.min(id_col).alias("__keep__"))
+    dups = (
+        bb.join(F.broadcast(bucket_min), ["band", "bkey"])
+        .filter(F.col(id_col) > F.col("__keep__"))
+        .select(id_col)
+        .distinct()
+        .withColumn("__bd__", F.lit(1))
+    )
+    out = (
+        batch.join(F.broadcast(known), id_col, "left")
+        .join(F.broadcast(dups), id_col, "left")
+        .withColumn("is_known_near", F.col("__kn__").isNotNull())
+        .withColumn("is_batch_dup", F.col("__bd__").isNotNull())
+        .drop("__kn__", "__bd__")
+    )
     if mode == "annotate":
         return out
-    return out.filter(~F.col("is_known_near")).drop("is_known_near")
+    return out.filter(~F.col("is_known_near") & ~F.col("is_batch_dup")).drop(
+        "is_known_near", "is_batch_dup"
+    )
 
 
 def neardup_store_oracle_sql(
@@ -596,9 +621,15 @@ def neardup_store_oracle_sql(
         f"WITH g_c AS ({g_c}), banded_c AS ({banded_c}), "
         f"g_b AS ({g_b}), banded_b AS ({banded_b}), "
         f"hits AS (SELECT DISTINCT x.did FROM banded_b x "
-        f"JOIN banded_c c ON c.band = x.band AND c.bkey = x.bkey) "
+        f"JOIN banded_c c ON c.band = x.band AND c.bkey = x.bkey), "
+        f"bdup AS (SELECT DISTINCT x.did FROM banded_b x "
+        f"JOIN (SELECT band, bkey, min(did) AS mn FROM banded_b "
+        f"GROUP BY band, bkey) m "
+        f"ON x.band = m.band AND x.bkey = m.bkey AND x.did > m.mn) "
         f"SELECT {cols}, EXISTS (SELECT 1 FROM hits h WHERE h.did = b.{id_col}) "
-        f"AS is_known_near FROM ({batch_sql}) b"
+        f"AS is_known_near, "
+        f"EXISTS (SELECT 1 FROM bdup d WHERE d.did = b.{id_col}) "
+        f"AS is_batch_dup FROM ({batch_sql}) b"
     )
 
 

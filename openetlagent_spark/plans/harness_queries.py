@@ -1388,7 +1388,7 @@ def q_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _scratch_dir("ela_neardup_store", sf_dir)
     build_neardup_store(corpus, store)
     return neardup_gate_from_store(batch, spark, store).select(
-        "doc_id", "is_known_near"
+        "doc_id", "is_known_near", "is_batch_dup"
     )
 
 
@@ -2353,12 +2353,12 @@ from ..functions.curation import (  # noqa: E402
     curriculum_order_oracle_sql as _curriculum_order_oracle_sql,
 )
 
-# composes the SAME quality-score SQL the text_quality oracle uses, so
-# score and ordering cannot drift
 from ..functions.profile import key_skew_oracle_sql as _key_skew_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["skew_report"] = _key_skew_oracle_sql("events", "user_id", top_k=10)
 
+# curriculum_order composes the SAME quality-score SQL the
+# text_quality oracle uses, so score and ordering cannot drift
 HARNESS_ORACLES["curriculum_order"] = _curriculum_order_oracle_sql(
     "(" + HARNESS_ORACLES["text_quality"] + ")",
     "quality",

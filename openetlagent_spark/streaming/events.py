@@ -696,11 +696,21 @@ def admit_stream_with_store(
 
     This is the foreachBatch composition of the batch gates: the store
     carries the cross-batch memory (restart-safe, shared across
-    streams), the stream carries none.  Store appends are idempotent
-    FOR VERDICTS on replay (duplicate signature rows cannot change any
-    collision answer), and the admitted-output write is batch_id-
-    overwrite exactly-once.  Gate BEFORE append: within one batch the
-    gates' own is_batch_dup handling dedups internally."""
+    streams), the stream carries none.  Within one batch the gates'
+    is_batch_dup verdicts dedup internally (keep-first).
+
+    REPLAY SAFETY — the subtle failure is a crash between the store
+    append and the checkpoint commit: on replay the batch would find
+    its OWN signatures in the store, reject itself, and overwrite its
+    landed output with nothing (losing the documents while the store
+    keeps rejecting every future copy).  The handler therefore treats
+    a completed landing (``batch_id=N/_SUCCESS``) as the batch's
+    durable gate verdict: on replay it re-reads the landed admitted
+    set instead of re-gating, and only redoes the store append — which
+    may duplicate signature rows, and duplicates cannot change any
+    collision answer.  Crash cases: before the landing write → clean
+    re-gate (store untouched, appends run last); after the landing →
+    landed set reused, append idempotent-for-verdicts."""
     from ..functions.incremental import (
         build_fingerprint_store,
         build_neardup_store,
@@ -710,23 +720,40 @@ def admit_stream_with_store(
 
     if strategy not in ("exact", "near"):
         raise ValueError(f"strategy must be exact/near, got {strategy!r}")
+    if strategy == "exact" and gate_kwargs:
+        raise ValueError(
+            f"strategy='exact' takes no extra gate parameters, got "
+            f"{sorted(gate_kwargs)} — did you mean strategy='near'?"
+        )
+
+    def _landed(spark, path: str) -> bool:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if strategy == "exact":
-            admitted = dedup_gate_from_store(
-                batch_df, spark, store_path, id_col, text_col, mode="filter"
-            )
+        landing = f"{out_path}/batch_id={batch_id}"
+        if _landed(spark, landing):
+            # replayed batch whose gate verdict already landed: reuse
+            # it — re-gating would see the batch's own store append
+            admitted = spark.read.parquet(landing)
         else:
-            admitted = neardup_gate_from_store(
-                batch_df, spark, store_path, id_col, text_col,
-                mode="filter", **gate_kwargs,
-            )
-        # one deterministic materialization feeds both the sink write
-        # and the store append (gate plans are checkpoint-backed but a
-        # second action would re-run the gate against the GROWN store)
-        admitted = admitted.localCheckpoint(eager=True)
-        admitted.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+            if strategy == "exact":
+                admitted = dedup_gate_from_store(
+                    batch_df, spark, store_path, id_col, text_col, mode="filter"
+                )
+            else:
+                admitted = neardup_gate_from_store(
+                    batch_df, spark, store_path, id_col, text_col,
+                    mode="filter", **gate_kwargs,
+                )
+            # one deterministic materialization feeds both the sink
+            # write and the store append (a second action would re-run
+            # the gate against the GROWN store)
+            admitted = admitted.localCheckpoint(eager=True)
+            admitted.write.mode("overwrite").parquet(landing)
         if strategy == "exact":
             build_fingerprint_store(admitted, store_path, text_col, mode="append")
         else:

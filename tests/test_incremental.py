@@ -524,3 +524,33 @@ def test_fingerprint_store_matches_inline_gate(spark, tmp_path):
     build_fingerprint_store(admitted, store, mode="append")
     regated = dedup_gate_from_store(batch, spark, store).collect()
     assert all(r.is_known or r.is_batch_dup for r in regated)
+
+
+def test_neardup_store_gate_flags_within_batch_dups(spark, tmp_path):
+    """Two near-duplicates arriving in the same batch with NEITHER in
+    the store: the lower id survives, the other is is_batch_dup — the
+    keep-first policy that keeps a cold store from admitting both."""
+    from pyspark.sql import Row, types as T
+
+    from openetlagent_spark.functions.incremental import (
+        build_neardup_store,
+        neardup_gate_from_store,
+    )
+
+    empty = spark.createDataFrame([], T.StructType([
+        T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]))
+    store = str(tmp_path / "band_store")
+    build_neardup_store(empty, store)
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    batch = spark.createDataFrame([
+        Row(doc_id=1, text=text),
+        Row(doc_id=2, text=text + " extra"),   # near-dup of 1
+        Row(doc_id=3, text="completely different words entirely here now")], 
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in neardup_gate_from_store(batch, spark, store).collect()}
+    assert not any(r.is_known_near for r in out.values())  # store empty
+    assert not out[1].is_batch_dup and out[2].is_batch_dup
+    assert not out[3].is_batch_dup
+    kept = neardup_gate_from_store(batch, spark, store, mode="filter")
+    assert {r.doc_id for r in kept.collect()} == {1, 3}

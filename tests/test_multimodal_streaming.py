@@ -593,3 +593,41 @@ def test_stream_store_admission_rejects_cross_batch_dup(spark, tmp_path):
     assert ids == [1, 2, 4]
     # the store now holds all three distinct fingerprints
     assert spark.read.parquet(store).distinct().count() == 3
+
+
+def test_stream_store_admission_replay_is_lossless(spark, tmp_path):
+    """Full-replay safety: re-running the stream from a FRESH
+    checkpoint (every batch replays against the already-grown store)
+    must leave the admitted output unchanged — the landed batch
+    verdicts are reused instead of re-gated, so a batch can never
+    reject its own documents on replay."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from openetlagent_spark.functions.incremental import build_fingerprint_store
+    from openetlagent_spark.streaming import admit_stream_with_store
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b = spark.createDataFrame(
+        [Row(doc_id=1, text="only document here")], "doc_id long, text string")
+    stage = str(tmp_path / "stage")
+    b.coalesce(1).write.parquet(stage)
+    shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/f0.parquet")
+
+    store = str(tmp_path / "fp_store")
+    empty = spark.createDataFrame([], T.StructType([
+        T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]))
+    build_fingerprint_store(empty, store)
+    out = str(tmp_path / "admitted")
+
+    for ckpt in ("ckpt_a", "ckpt_b"):  # second run = full replay
+        stream = spark.readStream.schema(b.schema).parquet(src)
+        q = admit_stream_with_store(
+            stream, store, out, checkpoint=str(tmp_path / ckpt)
+        )
+        assert q.awaitTermination(120)
+        assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1]
