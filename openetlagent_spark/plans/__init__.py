@@ -27,10 +27,15 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     cache-lifetime change: search/incremental/dedup/curation;
 #     _scratch_dir refactor: the layout queries);
 # (d) the stalest r02/r03 rows whose source families have since moved
-#     (analytics window/join family, text/similarity/model families).
+#     (analytics window/join family, text/similarity/model families);
+# (e) every query ADDED during round 5 (gopher_rules … training_shards)
+#     — each was swapped into this front as it landed, displacing a
+#     stale re-check, and the full front-50 was re-verified at driver
+#     strength after the final swap (ALL PASS).  After r05 the driver
+#     has hashed ALL 152 registered queries at least once.
 # Local `scripts/check_oracle.py` runs the full set regardless of
-# order; queries added later this round register in the tail and are
-# front-loaded next rotation.
+# order; queries added later register in the tail and are front-loaded
+# next rotation.
 _ROUND5_FRONT = [
     # never driver-checked (16): r04 tail + semantic_dedup (new r05)
     "asof_tolerance", "dedup_keep_best", "incremental_neardup",

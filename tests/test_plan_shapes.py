@@ -359,9 +359,10 @@ def test_ccnet_buckets_thresholds_broadcast(spark):
         ("dedup_store", 3),       # batch-bounded distincts (keys, known) + window;
                                   # the STORE is probed map-side by a broadcast
                                   # semi join, never shuffled
-        ("neardup_store", 3),     # batch band distinct + collided distinct +
-                                  # verdict distinct — all batch-bounded; store
-                                  # scan is filter-only
+        ("neardup_store", 5),     # batch band distinct + collided distinct +
+                                  # known distinct + bucket-min agg + batch-dup
+                                  # distinct — ALL batch-bounded; the store
+                                  # scan is filter-only (broadcast semi)
     ],
 )
 def test_store_and_lastmile_shuffle_budget(spark, name, max_shuffles):
