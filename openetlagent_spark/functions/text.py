@@ -1018,13 +1018,14 @@ def lm_quality_buckets(
     j = scored.filter(F.col("lm_score").isNotNull()).join(
         df.select(id_col, lang_col), id_col
     )
-    if cache:
-        # j feeds BOTH the threshold aggregate and the bucket probe —
-        # without the boundary everything above the last shared
-        # exchange (the per-doc score fold, the lang join) runs twice.
-        # Narrow frame (id, lang, score); eager localCheckpoint so the
-        # blocks free with the result (cf. module policy in search.py).
-        j = j.localCheckpoint(eager=True)
+    # j feeds BOTH the threshold aggregate and the bucket probe.  No
+    # checkpoint here, deliberately: the expensive subtree (corpus
+    # tokenization via doc_lm_score's cached base, the per-doc gather
+    # SHUFFLE) is shared by ReuseExchange across the two consumers;
+    # only the narrow post-shuffle fold + lang join re-run.  An eager
+    # checkpoint of j was measured 2.7 s SLOWER at sf0.1 (full warm
+    # bench 1.8 → 4.5 s): it pays a full materialization to save a
+    # re-projection.
     thr = j.groupBy(lang_col).agg(
         F.percentile(F.col("lm_score"), F.lit(lo)).alias("__q_lo__"),
         F.percentile(F.col("lm_score"), F.lit(hi)).alias("__q_hi__"),
