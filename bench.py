@@ -162,6 +162,7 @@ HEADLINE = [
     "curriculum_order",
     "skew_report",
     "training_shards",
+    "trending_topk",
 ]
 
 

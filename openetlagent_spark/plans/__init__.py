@@ -32,7 +32,7 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     — each was swapped into this front as it landed, displacing a
 #     stale re-check, and the full front-50 was re-verified at driver
 #     strength after the final swap (ALL PASS).  After r05 the driver
-#     has hashed ALL 152 registered queries at least once.
+#     has hashed ALL 153 registered queries at least once.
 # Local `scripts/check_oracle.py` runs the full set regardless of
 # order; queries added later register in the tail and are front-loaded
 # next rotation.
@@ -53,12 +53,10 @@ _ROUND5_FRONT = [
     "bm25_topk", "inverted_index", "incremental_dedup",
     "dedup_minhash", "dedup_ngram", "dedup_embedding",
     "contamination", "pack_sequences",
-    # new this round — first driver check (9)
+    # new this round — first driver check (10)
     "gopher_rules", "ccnet_buckets", "line_dedup", "neardup_store",
     "dedup_store", "tokenize_ids", "curriculum_order", "skew_report",
-    "training_shards",
-    # oldest stale r02 rows whose families have since moved (1)
-    "multimodal_features",
+    "training_shards", "trending_topk",
 ]
 
 

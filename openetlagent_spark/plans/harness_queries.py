@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..model import (
@@ -958,6 +958,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(emb, queries, k=10)
+
+
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRENDING per-window top-k: the 3 most frequent event types in
+    each 1-hour tumbling window (count desc, type asc tie-break) — the
+    leaderboard shape every monitoring/feed pipeline runs.  One window
+    aggregate shuffle + a rank window PARTITIONED BY window start (the
+    post-aggregate frame is |windows|×|types| — bounded, never the
+    fact table)."""
+    from ..streaming import read_event_table, windowed_event_counts
+
+    df = read_event_table(spark, f"{sf_dir}/events.parquet")
+    counts = windowed_event_counts(df, window_duration="1 hour")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("window_start").cast("double").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
 
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1920,6 +1946,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "events_window": q_events_window,
+    "trending_topk": q_trending_topk,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
     "stream_join": q_stream_join,
@@ -2133,6 +2160,15 @@ HARNESS_ORACLES: dict[str, str] = {
         "event_type, COUNT(*) AS n_events, "
         "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value "
         "FROM events GROUP BY 1, 2, 3"
+    ),
+    "trending_topk": (
+        "SELECT window_start_epoch, event_type, n_events, CAST(rank AS BIGINT) AS rank "
+        "FROM (SELECT window_start_epoch, event_type, n_events, "
+        "row_number() OVER (PARTITION BY window_start_epoch "
+        "ORDER BY n_events DESC, event_type) AS rank "
+        "FROM (SELECT epoch(date_trunc('hour', ts)) AS window_start_epoch, "
+        "event_type, COUNT(*) AS n_events FROM events GROUP BY 1, 2)) "
+        "WHERE rank <= 3"
     ),
     "stream_dedup": (
         "SELECT event_type, COUNT(*) AS n_active_users "
