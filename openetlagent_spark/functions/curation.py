@@ -1097,3 +1097,210 @@ def near_contamination_oracle_sql(
         f"CASE WHEN ({pa}) THEN id_a ELSE id_b END AS bench_id, jaccard "
         f"FROM prs WHERE ({pa}) != ({pb})"
     )
+
+
+# --- corpus novelty & cross-source overlap -----------------------------------
+
+
+def doc_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's distinct
+    word-``n``-gram shingles that appear in NO other document — the
+    inverse signal of contamination/duplication (novelty ≈ 1 for
+    original text, → 0 for boilerplate and templates), used to
+    prioritize genuinely new material in a crawl.
+
+    Returns (id, n_shingles, n_unique, novelty_rate).  Documents whose
+    text is NULL drop; a document with zero shingles reports NULL rate.
+
+    Scale shape (100 TB): shingle codes materialize once (eager
+    localCheckpoint — they feed the corpus df counts AND the join-back,
+    the contamination_check diamond); the df count is ONE map-side-
+    combined shuffle on the 8-byte code; the verdict join returns only
+    (code, df=1) rows.  Exactness: integer counts, one division."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id__"),
+        word_ngram_codes(F.col(text_col), n).alias("__codes__"),
+    ).localCheckpoint(eager=True)
+    exploded = base.select("__id__", F.explode("__codes__").alias("code"))
+    # (id, code) pairs are distinct (word_ngram_codes dedups per doc),
+    # so COUNT(*) per code IS the document frequency
+    singles = (
+        exploded.groupBy("code")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") == 1)
+        .select("code")
+    )
+    uniq = (
+        exploded.join(singles, "code", "left_semi")
+        .groupBy("__id__")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    out = (
+        base.select("__id__", F.size("__codes__").cast("bigint").alias("n_shingles"))
+        .join(uniq, "__id__", "left")
+        .withColumn("n_unique", F.coalesce(F.col("n_unique"), F.lit(0)).cast("bigint"))
+    )
+    return out.select(
+        F.col("__id__").alias(id_col),
+        "n_shingles",
+        "n_unique",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_unique").cast("double") / F.col("n_shingles").cast("double"),
+        ).alias("novelty_rate"),
+    )
+
+
+def doc_novelty_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`doc_novelty` — same shingle formula as
+    the contamination/dedup oracles, same df==1 verdict."""
+    from .dedup import _FOLD_PRIME, _MERSENNE
+
+    toks = _toks_sql(text_col)
+    wcodes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))"
+
+    def code_at(off: int) -> str:
+        return f"COALESCE(wc[CAST(i AS INTEGER) + {off}], 0)"
+
+    shingle = code_at(0)
+    for j in range(1, n):
+        shingle = f"(({shingle}) * {_FOLD_PRIME} + {code_at(j)}) % {_MERSENNE}"
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, greatest(len(wc) - {n - 1}, 1)), "
+        f"i -> {shingle}))"
+    )
+    return f"""
+WITH g AS (SELECT {id_col} AS did, {grams} AS grams
+           FROM (SELECT {id_col}, {wcodes} AS wc FROM {table}
+                 WHERE {text_col} IS NOT NULL)),
+e AS (SELECT did, unnest(grams) AS code FROM g),
+singles AS (SELECT code FROM e GROUP BY code HAVING count(*) = 1),
+u AS (SELECT did, CAST(count(*) AS BIGINT) AS n_unique
+      FROM e JOIN singles USING (code) GROUP BY did)
+SELECT g.did AS {id_col},
+       CAST(len(g.grams) AS BIGINT) AS n_shingles,
+       COALESCE(u.n_unique, 0) AS n_unique,
+       CASE WHEN len(g.grams) > 0
+            THEN COALESCE(u.n_unique, 0)::DOUBLE / len(g.grams)::DOUBLE
+       END AS novelty_rate
+FROM g LEFT JOIN u ON g.did = u.did
+"""
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-SOURCE content overlap: Jaccard similarity between every
+    pair of sources' distinct shingle sets — the corpus-composition
+    audit that catches mirror sites, syndicated feeds, and duplicated
+    crawl slices BEFORE per-document dedup spends compute on them.
+
+    Returns (source_a, source_b, n_a, n_b, n_common, jaccard) for
+    source_a < source_b.  Scale shape: distinct (source, code) pairs
+    (one distinct shuffle), one collect_list per code — the list is
+    bounded by the SOURCE count, never document count — pair expansion
+    as a JVM array expression (the dedup-bucket pattern), and set
+    sizes broadcast back.  Exactness: integer intersection counts and
+    the same i/(a+b-i) division the dedup verifiers hash-match."""
+    s = (
+        df.filter(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("src"),
+            F.explode(word_ngram_codes(F.col(text_col), n)).alias("code"),
+        )
+        .distinct()
+    )
+    sizes = s.groupBy("src").agg(F.count(F.lit(1)).alias("n_set"))
+    buckets = s.groupBy("code").agg(F.collect_list("src").alias("srcs"))
+    srcs = F.col("srcs")
+    pair_expr = F.flatten(
+        F.transform(
+            srcs,
+            lambda a: F.transform(
+                F.filter(srcs, lambda b: b > a),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
+    common = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("src").alias("source_a"), F.col("n_set").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("source_b"), F.col("n_set").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_oracle_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`source_overlap` — same shingles, same
+    pair orientation, same Jaccard operands."""
+    from .dedup import _FOLD_PRIME, _MERSENNE
+
+    toks = _toks_sql(text_col)
+    wcodes = f"list_transform({toks}, w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))"
+
+    def code_at(off: int) -> str:
+        return f"COALESCE(wc[CAST(i AS INTEGER) + {off}], 0)"
+
+    shingle = code_at(0)
+    for j in range(1, n):
+        shingle = f"(({shingle}) * {_FOLD_PRIME} + {code_at(j)}) % {_MERSENNE}"
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, greatest(len(wc) - {n - 1}, 1)), "
+        f"i -> {shingle}))"
+    )
+    return f"""
+WITH s AS (SELECT DISTINCT src, code FROM
+           (SELECT {group_col} AS src, unnest(grams) AS code FROM
+            (SELECT {group_col}, {grams} AS grams FROM
+             (SELECT {group_col}, {wcodes} AS wc FROM {table}
+              WHERE {text_col} IS NOT NULL AND {group_col} IS NOT NULL)))),
+sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_set FROM s GROUP BY src),
+common AS (SELECT a.src AS source_a, b.src AS source_b,
+                  CAST(count(*) AS BIGINT) AS n_common
+           FROM s a JOIN s b ON a.code = b.code AND a.src < b.src
+           GROUP BY a.src, b.src)
+SELECT c.source_a, c.source_b,
+       sa.n_set AS n_a, sb.n_set AS n_b, c.n_common,
+       c.n_common::DOUBLE / (sa.n_set + sb.n_set - c.n_common)::DOUBLE AS jaccard
+FROM common c
+JOIN sizes sa ON sa.src = c.source_a
+JOIN sizes sb ON sb.src = c.source_b
+"""

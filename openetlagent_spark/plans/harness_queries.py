@@ -1447,6 +1447,28 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, "doc_id", "text", max_docs=1)
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty (functions/curation.py doc_novelty): the
+    fraction of each document's distinct word-3-gram shingles found
+    nowhere else in the corpus — one code-count shuffle, checkpointed
+    shingle frame, integer-exact verdicts."""
+    from ..functions.curation import doc_novelty
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_novelty(docs, "doc_id", "text")
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap (functions/curation.py
+    source_overlap): Jaccard between every source pair's distinct
+    shingle sets — collect_list buckets bounded by the SOURCE count,
+    pair expansion as a JVM array expression, set sizes broadcast."""
+    from ..functions.curation import source_overlap
+
+    docs = _ts(spark, sf_dir, "documents").select("source", "text")
+    return source_overlap(docs, "source", "text")
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style redaction (functions/curation.py scrub_text): emails,
     URLs, IPs, then digit runs → placeholder tokens, as a pure JVM
@@ -1979,6 +2001,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "neardup_store": q_neardup_store,
     "dedup_store": q_dedup_store,
+    "doc_novelty": q_doc_novelty,
+    "source_overlap": q_source_overlap,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -2412,6 +2436,12 @@ HARNESS_ORACLES["ccnet_buckets"] = _lm_quality_buckets_oracle_sql(k=500)
 from ..functions.curation import line_dedup_oracle_sql as _line_dedup_oracle_sql  # noqa: E402
 
 HARNESS_ORACLES["line_dedup"] = _line_dedup_oracle_sql(max_docs=1)
+
+from ..functions.curation import doc_novelty_oracle_sql as _doc_novelty_oracle_sql  # noqa: E402
+from ..functions.curation import source_overlap_oracle_sql as _source_overlap_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["doc_novelty"] = _doc_novelty_oracle_sql()
+HARNESS_ORACLES["source_overlap"] = _source_overlap_oracle_sql()
 
 from ..functions.incremental import (  # noqa: E402
     neardup_store_oracle_sql as _neardup_store_oracle_sql,

@@ -455,3 +455,41 @@ def test_curriculum_order_is_total_and_partition_independent(spark):
 
     with _pytest.raises(ValueError):
         curriculum_order(df, "score", "doc_id", batch_size=0)
+
+
+def test_doc_novelty_planted_signals(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import doc_novelty
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=shared),
+        Row(doc_id=2, text=shared),                      # exact dup: novelty 0
+        Row(doc_id=3, text="wholly original words nobody else ever wrote here"),
+        Row(doc_id=4, text=None),                        # drops
+    ])
+    out = {r.doc_id: r for r in doc_novelty(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].novelty_rate == 0.0 and out[2].novelty_rate == 0.0
+    assert out[3].novelty_rate == 1.0
+    assert out[3].n_unique == out[3].n_shingles
+
+
+def test_source_overlap_mirror_detection(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import source_overlap
+
+    body = "the quick brown fox jumps over the lazy dog today again"
+    docs = spark.createDataFrame([
+        Row(source="siteA", text=body),
+        Row(source="mirrorA", text=body),                # full mirror
+        Row(source="other", text="entirely different content lives here now"),
+    ])
+    rows = {(r.source_a, r.source_b): r for r in source_overlap(docs).collect()}
+    mirror = rows[("mirrorA", "siteA")]
+    assert mirror.jaccard == 1.0 and mirror.n_common == mirror.n_a == mirror.n_b
+    for k, r in rows.items():
+        if k != ("mirrorA", "siteA"):
+            assert r.jaccard == 0.0 or r.n_common < r.n_a
