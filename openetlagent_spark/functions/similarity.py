@@ -172,6 +172,8 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    rademacher: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share a bucket in ≥1 LSH table,
     exact cosine re-ranks.  Each side is ONE scan: the per-table
@@ -185,14 +187,31 @@ def lsh_topk(
     random 64-d embeddings — the hardest case; clustered real embeddings
     do much better.  Near-dup detection (high-cosine pairs only) should
     instead use tight buckets (8+ planes), as embedding_neardup_pairs
-    does."""
+    does.
+
+    ``rademacher``: ±1.0 planes instead of Gaussian — same LSH family
+    guarantees, but every projection becomes an exact-float
+    add/subtract chain, so the WHOLE query (bucketing, candidate set,
+    cosine, rank) hash-checks against lsh_topk_oracle_sql.
+
+    ``broadcast_queries``: True (default) broadcasts the exploded query
+    signatures — right for the bounded-query-set case (the corpus is
+    never shuffled; each corpus partition map-side-joins the broadcast
+    buckets).  Set False when the query side is itself corpus-sized
+    (corpus×corpus ANN): both sides then shuffle on (tbl, bucket) into
+    a hash/sort-merge join, which scales with the data instead of
+    requiring the query signatures to fit in every executor.  The
+    crossover is roughly when the exploded query side (rows ×
+    n_tables) stops fitting comfortably in the broadcast threshold —
+    beyond ~10M signature rows, shuffle."""
     dim = infer_dim(corpus, vec_col)
     c_all = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         F.posexplode(
             multi_table_signatures(
-                F.col(vec_col).cast("array<double>"), n_planes, n_tables, seed, dim
+                F.col(vec_col).cast("array<double>"), n_planes, n_tables, seed, dim,
+                rademacher=rademacher,
             )
         ).alias("tbl", "bucket"),
     )
@@ -201,13 +220,15 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
         F.posexplode(
             multi_table_signatures(
-                F.col(vec_col).cast("array<double>"), n_planes, n_tables, seed, dim
+                F.col(vec_col).cast("array<double>"), n_planes, n_tables, seed, dim,
+                rademacher=rademacher,
             )
         ).alias("tbl", "bucket"),
     )
 
+    q_side = F.broadcast(q_all) if broadcast_queries else q_all
     cand = (
-        c_all.join(F.broadcast(q_all), ["tbl", "bucket"])
+        c_all.join(q_side, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
@@ -218,6 +239,173 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --- generated SQL oracle fragments ----------------------------------------
+#
+# Shared by lsh_topk_oracle_sql / ivf_topk_oracle_sql below.  The
+# Rademacher projection + bucket-pack forms mirror the ones inlined in
+# dedup.embedding_pairs_oracle_sql (kept separate there to avoid
+# churning a long-green oracle string); the chains are generated from
+# the SAME plane/centroid values the Spark plan embeds, so query and
+# oracle cannot drift.
+
+
+def _sql_proj_chain(vec: str, plane: list[float]) -> str:
+    """((0.0 + v[1]) - v[2]) + ...: left-assoc, the same order and the
+    same exact ±v_i terms as Spark's zip_with/aggregate dot fold over
+    ±1.0 planes."""
+    terms = "0.0"
+    for i, s in enumerate(plane):
+        op = "+" if s > 0 else "-"
+        terms = f"({terms} {op} {vec}[{i + 1}])"
+    return terms
+
+
+def _sql_bucket(vec: str, planes_t: list[list[float]]) -> str:
+    """MSB-first bit pack of the sign pattern — same integer as
+    multi_table_signatures' acc*2+bit fold."""
+    n_planes = len(planes_t)
+    bits = [
+        f"(CASE WHEN {_sql_proj_chain(vec, p)} > 0.0 THEN 1 ELSE 0 END)"
+        for p in planes_t
+    ]
+    packed = " + ".join(
+        f"{b} * {1 << (n_planes - 1 - j)}" for j, b in enumerate(bits)
+    )
+    return f"CAST({packed} AS BIGINT)"
+
+
+def _sql_cosine(a: str, b: str, dim: int) -> str:
+    """Fold-order-exact cosine: explicit left-to-right dot and norm
+    chains, normalized as sqrt(na)*sqrt(nb) exactly like cosine_expr
+    (DuckDB's list_cosine_similarity uses sqrt(na*nb), which is NOT
+    bit-equal)."""
+    dot_terms = "0.0"
+    na_terms = "0.0"
+    nb_terms = "0.0"
+    for i in range(1, dim + 1):
+        dot_terms = f"({dot_terms} + {a}[{i}] * {b}[{i}])"
+        na_terms = f"({na_terms} + {a}[{i}] * {a}[{i}])"
+        nb_terms = f"({nb_terms} + {b}[{i}] * {b}[{i}])"
+    return f"({dot_terms}) / (sqrt({na_terms}) * sqrt({nb_terms}))"
+
+
+def lsh_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    query_pred: str = "vid < 20",
+) -> str:
+    """DuckDB oracle for lsh_topk(rademacher=True), generated from the
+    SAME ±1.0 planes (rademacher_planes, same seed).  Mirrors every
+    stage exactly: per-table sign buckets (exact-float add/subtract
+    chains), the (tbl, bucket) candidate equi-join with self-match
+    exclusion and pair dedup, the fold-order cosine re-rank, and the
+    (cosine DESC, neighbor_id ASC) row_number window.  ``query_pred``
+    selects the query side over the banded rows (column ``vid``)."""
+    planes = rademacher_planes(n_tables, n_planes, dim, seed)
+    banded_selects = " UNION ALL ".join(
+        f"SELECT vid, {t} AS tbl, {_sql_bucket('v', planes[t])} AS bucket FROM base"
+        for t in range(n_tables)
+    )
+    cosine = _sql_cosine("a.v", "b.v", dim)
+    return (
+        f"WITH base AS (SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}), "
+        f"banded AS ({banded_selects}), "
+        f"qb AS (SELECT vid, tbl, bucket FROM banded WHERE {query_pred}), "
+        f"cand AS (SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id "
+        f"FROM qb q JOIN banded c ON c.tbl = q.tbl AND c.bucket = q.bucket "
+        f"WHERE q.vid != c.vid), "
+        f"scored AS (SELECT cd.query_id, cd.neighbor_id, {cosine} AS cosine "
+        f"FROM cand cd JOIN base a ON a.vid = cd.query_id "
+        f"JOIN base b ON b.vid = cd.neighbor_id) "
+        f"SELECT query_id, neighbor_id, rank, cosine FROM ("
+        f"SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
+    )
+
+
+def fit_ivf_centroids_exact(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    sample_size: int = 2048,
+    scale_bits: int = 20,
+) -> list[list[float]]:
+    """Engine-exact IVF coarse-quantizer fit: Lloyd's iterations over a
+    DETERMINISTIC bounded sample, in integer arithmetic.
+
+    Unlike the numpy ``method='sample'`` fit (whose ``limit().collect()``
+    sample depends on partition/scan order, so two runs of the same job
+    can build different centroids), every step here is a pure function
+    of the data:
+
+    - sample = the ``sample_size`` rows with the smallest
+      ``(md5(id), id)`` — the engine's seedless hash draw, identical in
+      any engine and under any partitioning;
+    - coordinates snap to the ``2^scale_bits`` integer grid once
+      (clustering._quantize), so centroid sums are exact integers and
+      centroid coordinates are single correctly-rounded divisions;
+    - init = the ``n_centroids`` hash-smallest sample rows; assignment
+      folds ``(x-c)^2`` left-to-right with ties to the lower centroid
+      id; empty clusters keep their previous centroid — the same three
+      determinism moves as clustering.kmeans_assign.
+
+    The returned doubles are bit-identical to what
+    ivf_topk_oracle_sql's unrolled CTEs compute, which is what makes
+    the full IVF query hash-checkable.  Driver state is bounded:
+    sample_size × dim ints, Lloyd's runs driver-side on the sample
+    (the standard FAISS-style train-on-sample trade)."""
+    from .clustering import _quantize
+
+    dim = infer_dim(corpus, vec_col)
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id__"),
+            _quantize(F.col(vec_col), scale_bits).alias("xq"),
+            F.md5(F.col(id_col).cast("string")).alias("__h__"),
+        )
+        .orderBy("__h__", "__id__")
+        .limit(sample_size)
+        .collect()
+    )
+    sample = [list(r["xq"]) for r in rows]
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds the {len(sample)} sampled vectors"
+        )
+    cents = [[float(v) for v in sample[j]] for j in range(n_centroids)]
+    for _ in range(iters):
+        sums = [[0] * dim for _ in range(n_centroids)]
+        cnts = [0] * n_centroids
+        for x in sample:
+            best_d, best_c = None, 0
+            for cid, cen in enumerate(cents):
+                acc = 0.0
+                for xj, cj in zip(x, cen):
+                    d = float(xj) - cj
+                    acc = acc + d * d
+                if best_d is None or acc < best_d:  # strict <: ties keep lower cid
+                    best_d, best_c = acc, cid
+            cnts[best_c] += 1
+            srow = sums[best_c]
+            for j, xj in enumerate(x):
+                srow[j] += xj
+        cents = [
+            [s / cnts[cid] for s in sums[cid]] if cnts[cid] else cents[cid]
+            for cid in range(n_centroids)
+        ]
+    return cents
 
 
 def ivf_topk(
@@ -231,11 +419,28 @@ def ivf_topk(
     sample_size: int = 10_000,
     seed: int = 42,
     iters: int = 10,
+    method: str = "sample",
+    scale_bits: int = 20,
 ) -> DataFrame:
     """IVF approximate top-k: fit centroids on a bounded driver-side
     sample (deterministic Lloyd's iterations in numpy), assign corpus
     rows to their nearest centroid (broadcast literals, JVM exprs), then
-    each query scans only its ``nprobe`` closest centroid lists."""
+    each query scans only its ``nprobe`` closest centroid lists.
+
+    ``method='exact'`` swaps the numpy fit for
+    fit_ivf_centroids_exact's hash-sampled integer Lloyd's and runs
+    assignment/probing over the quantized grid — bit-deterministic
+    under any partitioning and hash-checkable against
+    ivf_topk_oracle_sql (the numpy path's sample follows
+    ``limit().collect()`` scan order, so its exact candidate set is
+    reproducible only within one layout of the data)."""
+    if method == "exact":
+        return _ivf_topk_exact(
+            corpus, queries, k, id_col, vec_col, n_centroids, nprobe,
+            sample_size, iters, scale_bits,
+        )
+    if method != "sample":
+        raise ValueError(f"ivf_topk: unknown method {method!r} (sample|exact)")
     # sample only rows with a full-dimension, all-finite vector — NULL
     # embeddings or ragged lengths would make the numpy sample
     # inhomogeneous, and NaN/Inf coordinates would poison the centroid
@@ -303,6 +508,170 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def _ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    nprobe: int,
+    sample_size: int,
+    iters: int,
+    scale_bits: int,
+) -> DataFrame:
+    """ivf_topk(method='exact') body: centroids from
+    fit_ivf_centroids_exact, assignment and probing over the quantized
+    grid with fold-order distances and lower-cid tie-breaks, exact
+    fold-order cosine re-rank over the ORIGINAL doubles.  Same scale
+    shape as the sample path — centroid literals broadcast inside the
+    expression, one (cid) equi-join shuffle, per-query top-k window."""
+    from .clustering import _quantize
+
+    cents = fit_ivf_centroids_exact(
+        corpus, id_col, vec_col, n_centroids, iters, sample_size, scale_bits
+    )
+    cents_lit = _array_literal(cents)
+
+    def nearest_q(xq: Column, n: int) -> Column:
+        dists = F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        xq.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                i.alias("cid"),
+            ),
+        )
+        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
+
+    base_c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        _quantize(F.col(vec_col), scale_bits).alias("xq"),
+    )
+    c = base_c.withColumn("cid", nearest_q(F.col("xq"), 1)[0]).drop("xq")
+    base_q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        _quantize(F.col(vec_col), scale_bits).alias("xq"),
+    )
+    q = base_q.withColumn("cid", F.explode(nearest_q(F.col("xq"), nprobe))).drop("xq")
+
+    cand = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _sql_qdist(b: str, c: str, dim: int) -> str:
+    """Unrolled ((0.0 + d1*d1) + d2*d2)... quantized-grid distance —
+    matches the zip_with/aggregate fold in _ivf_topk_exact and the
+    float(x)-c loop in fit_ivf_centroids_exact."""
+    acc = "0.0"
+    for j in range(1, dim + 1):
+        d = f"(CAST({b}.xq[{j}] AS DOUBLE) - {c}.cen[{j}])"
+        acc = f"({acc} + {d} * {d})"
+    return acc
+
+
+def ivf_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    iters: int = 2,
+    scale_bits: int = 20,
+    dim: int = 64,
+    query_pred: str = "b.vid < 20",
+) -> str:
+    """DuckDB oracle for ivf_topk(method='exact'): the hash-smallest
+    sample, ``iters`` unrolled Lloyd CTEs with integer centroid sums
+    (the kmeans_oracle_sql pattern), corpus assignment and ``nprobe``
+    probing as (dist, cid) row_number windows over the centroid cross
+    join, then the fold-order cosine re-rank.  Generated from the same
+    parameters as the Spark plan so the two cannot drift."""
+    scale = float(1 << scale_bits)
+    xq = (
+        f"list_transform(CAST({vec_col} AS DOUBLE[]), "
+        f"x -> CAST(round(x * {scale!r}) AS BIGINT))"
+    )
+    sums = ", ".join(f"SUM(a.xq[{j}]) AS s{j}" for j in range(1, dim + 1))
+    cen_from_sums = "[" + ", ".join(
+        f"CAST(s{j} AS DOUBLE) / CAST(cnt AS DOUBLE)" for j in range(1, dim + 1)
+    ) + "]"
+
+    parts = [
+        f"base AS (SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v, "
+        f"{xq} AS xq FROM {table} WHERE {vec_col} IS NOT NULL)",
+        f"samp AS (SELECT vid, xq, md5(CAST(vid AS VARCHAR)) AS h FROM base "
+        f"ORDER BY h, vid LIMIT {sample_size})",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY h, vid) - 1 AS cid, "
+        f"list_transform(xq, x -> CAST(x AS DOUBLE)) AS cen FROM samp "
+        f"ORDER BY h, vid LIMIT {n_centroids})",
+    ]
+    prev = "c0"
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vid, xq, cluster FROM ("
+            f"SELECT s.vid, s.xq, c.cid AS cluster, row_number() OVER "
+            f"(PARTITION BY s.vid ORDER BY {_sql_qdist('s', 'c', dim)}, c.cid) AS rn "
+            f"FROM samp s CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        nxt = f"c{i + 1}"
+        parts.append(
+            f"{nxt} AS (SELECT p.cid, CASE WHEN g.cnt IS NULL THEN p.cen "
+            f"ELSE {cen_from_sums} END AS cen FROM {prev} p LEFT JOIN ("
+            f"SELECT a.cluster AS cid, COUNT(*) AS cnt, {sums} "
+            f"FROM a{i} a GROUP BY a.cluster) g ON g.cid = p.cid)"
+        )
+        prev = nxt
+    parts.append(
+        f"assign AS (SELECT vid, cluster FROM ("
+        f"SELECT b.vid, c.cid AS cluster, row_number() OVER "
+        f"(PARTITION BY b.vid ORDER BY {_sql_qdist('b', 'c', dim)}, c.cid) AS rn "
+        f"FROM base b CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    parts.append(
+        f"probe AS (SELECT vid AS query_id, cluster FROM ("
+        f"SELECT b.vid, c.cid AS cluster, row_number() OVER "
+        f"(PARTITION BY b.vid ORDER BY {_sql_qdist('b', 'c', dim)}, c.cid) AS rn "
+        f"FROM base b CROSS JOIN {prev} c WHERE {query_pred}) WHERE rn <= {nprobe})"
+    )
+    parts.append(
+        f"cand AS (SELECT p.query_id, a.vid AS neighbor_id "
+        f"FROM probe p JOIN assign a ON a.cluster = p.cluster "
+        f"WHERE a.vid != p.query_id)"
+    )
+    parts.append(
+        f"scored AS (SELECT cd.query_id, cd.neighbor_id, "
+        f"{_sql_cosine('a.v', 'b.v', dim)} AS cosine "
+        f"FROM cand cd JOIN base a ON a.vid = cd.query_id "
+        f"JOIN base b ON b.vid = cd.neighbor_id)"
+    )
+    final = (
+        f"SELECT query_id, neighbor_id, rank, cosine FROM ("
+        f"SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
+    )
+    return "WITH " + ", ".join(parts) + " " + final
 
 
 def embedding_centroids(

@@ -938,26 +938,33 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate cosine top-k (the scale path: candidates
     share a hyperplane-signature bucket in ≥1 of 8 tables; only bucket
-    collisions pay the exact-cosine re-rank).  Approximate by design →
-    rows-only check; recall floors vs the brute-force baseline are
-    asserted in tests/test_similarity_recall.py."""
+    collisions pay the exact-cosine re-rank).  Approximate relative to
+    brute force (recall floors in tests/test_similarity_recall.py) but
+    engine-EXACT with Rademacher planes: the generated oracle
+    (similarity.lsh_topk_oracle_sql, same seed) reproduces the bucket
+    assignment, candidate set, cosine, and rank bit-for-bit."""
     from ..functions.similarity import lsh_topk
 
     emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_topk(emb, queries, k=10)
+    return lsh_topk(emb, queries, k=10, rademacher=True)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate cosine top-k: k-means centroids fit on a bounded
-    sample, corpus partitioned into inverted lists, queries probe only
-    the 4 nearest lists.  Approximate by design → rows-only check;
-    recall floors asserted in tests/test_similarity_recall.py."""
+    """IVF approximate cosine top-k: centroids fit on the hash-smallest
+    2048 vectors (deterministic integer Lloyd's — method='exact'),
+    corpus partitioned into inverted lists, queries probe only the 4
+    nearest lists.  Approximate relative to brute force (recall floors
+    in tests/test_similarity_recall.py) but engine-exact: the unrolled
+    CTE oracle (similarity.ivf_topk_oracle_sql) reproduces the fit,
+    assignment, probe, and re-rank bit-for-bit."""
     from ..functions.similarity import ivf_topk
 
     emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(emb, queries, k=10)
+    return ivf_topk(
+        emb, queries, k=10, method="exact", sample_size=2048, iters=2
+    )
 
 
 def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2726,3 +2733,25 @@ SELECT event_id, user_id,
        CASE WHEN et - vt <= 1800.0 THEN view_id END AS view_id_asof
 FROM b
 """
+
+# ann_lsh_topk / ann_ivf_topk flip from rows-only to EXACT driver rows:
+# both oracles are generated from the same plane / centroid-fit
+# parameters as the Spark plans (q_ann_lsh_topk uses Rademacher planes,
+# q_ann_ivf_topk the deterministic hash-sampled integer Lloyd fit), so
+# the bucket/list geometry, candidate sets, cosines, and ranks are
+# bit-identical across engines.  approx_distinct is now the ONLY
+# rows-only entry (an HLL sketch — genuinely un-oracle-able; its exact
+# companion exact_distinct is hash-checked).
+from ..functions.similarity import lsh_topk_oracle_sql as _lsh_topk_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["ann_lsh_topk"] = _lsh_topk_oracle_sql(
+    "embeddings", "vec_id", "embedding", k=10, n_planes=4, n_tables=8,
+    seed=42, dim=64, query_pred="vid < 20",
+)
+
+from ..functions.similarity import ivf_topk_oracle_sql as _ivf_topk_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["ann_ivf_topk"] = _ivf_topk_oracle_sql(
+    "embeddings", "vec_id", "embedding", k=10, n_centroids=16, nprobe=4,
+    sample_size=2048, iters=2, scale_bits=20, dim=64, query_pred="b.vid < 20",
+)

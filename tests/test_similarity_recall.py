@@ -61,3 +61,62 @@ def test_embedding_centroids_match_numpy(spark):
             c, n = got[(label, pos)]
             assert n == len(vecs)
             assert abs(c - want[pos]) < 1e-12
+
+
+def test_lsh_topk_shuffle_mode_identical(emb):
+    """broadcast_queries=False (the corpus-as-queries scale fallback:
+    both sides shuffle on (tbl, bucket)) must return exactly the
+    broadcast plan's rows — the join strategy is a physical choice, not
+    a semantic one."""
+    qs = emb.filter("vec_id < 30")
+    bcast = {
+        tuple(r) for r in lsh_topk(emb, qs, k=10, rademacher=True).collect()
+    }
+    shuf = {
+        tuple(r)
+        for r in lsh_topk(
+            emb, qs, k=10, rademacher=True, broadcast_queries=False
+        ).collect()
+    }
+    assert bcast == shuf and len(bcast) > 0
+
+
+def test_lsh_topk_corpus_as_queries_shuffle(emb):
+    """Full corpus×corpus ANN through the shuffle path: every vector is
+    its own query; each gets k neighbors (buckets permitting) and never
+    itself."""
+    out = lsh_topk(
+        emb, emb, k=3, n_planes=2, n_tables=4, broadcast_queries=False
+    ).collect()
+    assert len(out) > 0
+    assert all(r.query_id != r.neighbor_id for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_exact_deterministic_and_recall(emb, brute):
+    """method='exact' (hash-sampled integer Lloyd fit) is bit-stable
+    across repartitionings of the corpus — the property the numpy
+    sample fit cannot guarantee — and holds the same recall floor."""
+    qs = emb.filter("vec_id < 30")
+    a = {
+        tuple(r)
+        for r in ivf_topk(
+            emb, qs, k=10, n_centroids=8, nprobe=4, method="exact",
+            sample_size=512, iters=2,
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in ivf_topk(
+            emb.repartition(7), qs, k=10, n_centroids=8, nprobe=4,
+            method="exact", sample_size=512, iters=2,
+        ).collect()
+    }
+    assert a == b
+    pairs = {(q, n) for (q, n, _, _) in a}
+    recall = len(brute & pairs) / len(brute)
+    assert recall >= 0.5, f"exact-IVF recall@10 collapsed: {recall:.3f}"
