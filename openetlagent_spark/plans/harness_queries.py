@@ -1476,6 +1476,56 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(docs, "source", "text")
 
 
+# deterministic messy URLs for the web-curation family (the test
+# corpus has no URL column): three shapes per doc_id mod 3, exercising
+# scheme/host case, default ports on both schemes, www., subdomains,
+# leading/middle/trailing tracking params, fragments, and bare paths.
+# One SQL string valid in BOTH dialects (F.expr here, spliced verbatim
+# into the DuckDB oracle) — the synthetic input cannot drift.
+_SYNTH_URL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' || source || "
+    "'.Example.COM:443/Docs/' || CAST(doc_id AS VARCHAR(32)) || "
+    "'/?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR(32)) || "
+    "'&utm_medium=rss#sec' "
+    "WHEN doc_id % 3 = 1 THEN 'http://' || source || '.example.com:80/A/' || "
+    "CAST(doc_id AS VARCHAR(32)) || '?id=' || CAST(doc_id AS VARCHAR(32)) || "
+    "'&utm_campaign=x&ref=tw&q=Spark' "
+    "ELSE 'https://Blog.' || upper(source) || '.org/post#frag' END"
+)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + domain extraction (functions/web.py): the
+    gate CCNet/C4/RefinedWeb run before any text heuristic.  Lowercase
+    scheme/host, strip fragment/default-port/tracking-params, derive
+    domain (no www., no port) and apex (last two labels).  All JVM
+    string expressions — pure projection, no shuffle."""
+    from ..functions.web import domain_extract, url_normalize
+
+    docs = _ts(spark, sf_dir, "documents")
+    with_url = docs.select("doc_id", F.expr(_SYNTH_URL_SQL).alias("url"))
+    out = domain_extract(url_normalize(with_url, "url"), "url")
+    return out.select("doc_id", "url_norm", "domain", "apex_domain")
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (functions/web.py domain_quota): keep
+    the 5 highest-quality (longest) docs per domain, ties to the lower
+    doc_id — the RefinedWeb pattern that stops crawl-heavy domains from
+    dominating a training mix.  One hash shuffle on domain; the rank
+    window keeps a bounded top-5 per partition."""
+    from ..functions.web import domain_extract, domain_quota
+
+    docs = _ts(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", "n_chars", F.expr(_SYNTH_URL_SQL).alias("url")
+    )
+    dom = domain_extract(with_url, "url")
+    return domain_quota(dom, "domain", "n_chars", 5, "doc_id").select(
+        "doc_id", "domain", "n_chars"
+    )
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style redaction (functions/curation.py scrub_text): emails,
     URLs, IPs, then digit runs → placeholder tokens, as a pure JVM
@@ -2010,6 +2060,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_store": q_dedup_store,
     "doc_novelty": q_doc_novelty,
     "source_overlap": q_source_overlap,
+    "url_normalize": q_url_normalize,
+    "domain_quota": q_domain_quota,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -2754,4 +2806,24 @@ from ..functions.similarity import ivf_topk_oracle_sql as _ivf_topk_oracle_sql  
 HARNESS_ORACLES["ann_ivf_topk"] = _ivf_topk_oracle_sql(
     "embeddings", "vec_id", "embedding", k=10, n_centroids=16, nprobe=4,
     sample_size=2048, iters=2, scale_bits=20, dim=64, query_pred="b.vid < 20",
+)
+
+# web-curation family: oracles generated from functions/web.py's
+# mirrors, with the SAME _SYNTH_URL_SQL string spliced as the input
+from ..functions.web import (  # noqa: E402
+    domain_extract_oracle_sql as _domain_extract_oracle_sql,
+    domain_quota_oracle_sql as _domain_quota_oracle_sql,
+    url_normalize_oracle_sql as _url_normalize_oracle_sql,
+)
+
+_dom_expr, _apex_expr = _domain_extract_oracle_sql("url")
+HARNESS_ORACLES["url_normalize"] = (
+    f"SELECT doc_id, {_url_normalize_oracle_sql('url')} AS url_norm, "
+    f"{_dom_expr} AS domain, {_apex_expr} AS apex_domain "
+    f"FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)"
+)
+HARNESS_ORACLES["domain_quota"] = _domain_quota_oracle_sql(
+    f"SELECT doc_id, n_chars, {_dom_expr} AS domain "
+    f"FROM (SELECT doc_id, n_chars, {_SYNTH_URL_SQL} AS url FROM documents)",
+    "domain", "n_chars", 5, "doc_id", ["doc_id", "domain", "n_chars"],
 )
