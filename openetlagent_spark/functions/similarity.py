@@ -674,6 +674,68 @@ def ivf_topk_oracle_sql(
     return "WITH " + ", ".join(parts) + " " + final
 
 
+def center_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "centered",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Append ``out_col`` = vector minus the corpus mean — the standard
+    pre-conditioning before sign-LSH: hyperplanes through the origin
+    split a CENTERED cloud into balanced buckets, where a tight
+    off-origin cluster (e.g. byte-histogram features, which are all
+    nearly parallel) collapses every sign pattern to one bucket.
+
+    Determinism: the mean uses the floor-quantized integer-sum trick
+    (embedding_centroids) — ``(float(Σ floor(v·2^20)) / 2^20) / n`` —
+    so it is partition-order-independent and bit-reproducible in SQL
+    (centered_features_oracle fragment generators mirror the same
+    two-division order).  Exactness of the float cast of the integer
+    sum holds while ``n·2^20 < 2^53`` (~8G rows); beyond that, shard
+    the mean or raise scale trade-offs consciously.
+
+    Driver state: one aggregate row (dim sums + count).  NULL vectors
+    contribute nothing to the mean and center to NULL."""
+    dim = infer_dim(df, vec_col)
+    scale = float(1 << scale_bits)
+    v = F.col(vec_col).cast("array<double>")
+    row = df.agg(
+        *[
+            F.sum(F.floor(F.element_at(v, j + 1) * F.lit(scale))).alias(f"s{j}")
+            for j in range(dim)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = row["n"]
+    if not n:
+        raise ValueError("center_embeddings: empty input")
+    means = [(float(row[f"s{j}"]) / scale) / float(n) for j in range(dim)]
+    mean_lit = _array_literal(means)
+    return df.withColumn(out_col, F.zip_with(v, mean_lit, lambda a, b: a - b))
+
+
+def centered_oracle_sql(feats_sql: str, dim: int, scale_bits: int = 20) -> str:
+    """DuckDB mirror of center_embeddings over ``feats_sql`` (a
+    parenthesized subquery yielding (media_id, ..., feature)) —
+    returns a subquery yielding (media_id, centered DOUBLE[]).  Same
+    floor-quantized integer sums, same two-division order."""
+    scale = float(1 << scale_bits)
+    sums = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(feature[{j}] AS DOUBLE) * {scale!r}) AS BIGINT)) AS s{j}"
+        for j in range(1, dim + 1)
+    )
+    centered = "[" + ", ".join(
+        f"CAST(f.feature[{j}] AS DOUBLE) - "
+        f"((CAST(m.s{j} AS DOUBLE) / {scale!r}) / CAST(m.n AS DOUBLE))"
+        for j in range(1, dim + 1)
+    ) + "]"
+    return (
+        f"(WITH f AS (SELECT * FROM {feats_sql}), "
+        f"m AS (SELECT {sums}, COUNT(*) AS n FROM f) "
+        f"SELECT f.media_id, {centered} AS centered FROM f CROSS JOIN m)"
+    )
+
+
 def embedding_centroids(
     df: DataFrame,
     group_col: str,

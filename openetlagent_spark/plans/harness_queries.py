@@ -1698,6 +1698,46 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup end-to-end — the multimodal mirror of
+    semantic_dedup: binary media payloads → Arrow-batched fake-decode
+    features (extract_image_features, deterministic byte histograms) →
+    corpus-mean centering (center_embeddings — byte-histogram clouds
+    are tightly clustered, so sign-LSH NEEDS the centering to spread
+    buckets) → Rademacher sign-LSH near-dup pairs → connected
+    components → keep-best (largest payload wins, min media_id ties).
+
+    Every stage is exact: the fake decode is deterministic bytes, the
+    mean is quantized-integer, the planes are ±1.0 — so the full
+    five-stage composition hash-checks against chained generated SQL
+    (image_features_oracle_sql → centered_oracle_sql →
+    embedding_pairs_oracle_sql → keep_best_oracle_sql).
+
+    Runs on the doc_id%5 subset: the synthetic word-soup histograms
+    are the LSH worst case (intrinsic dimension ~2), so candidate
+    pairs grow ~quadratically in corpus size — real image embeddings
+    spread far better; max_bucket caps the degenerate case either
+    way."""
+    from ..functions.dedup import embedding_neardup_pairs
+    from ..functions.graph import dedup_keep_best
+    from ..functions.multimodal import extract_image_features, synthesize_media
+    from ..functions.similarity import center_embeddings
+
+    docs = _ts(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = synthesize_media(docs)
+    feats = extract_image_features(media, dim=16).localCheckpoint(
+        eager=True
+    )  # one mapInPandas pass feeds the mean agg, pair mining, and keep-best
+    centered = center_embeddings(feats, "feature", "centered")
+    pairs = embedding_neardup_pairs(
+        centered, "media_id", "centered",
+        threshold=0.995, n_planes=8, n_tables=2, rademacher=True,
+    )
+    return dedup_keep_best(feats, pairs, "media_id", "n_bytes").select(
+        "media_id", "mime", "n_bytes"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing layout over the documents table: global
     token offsets via the two-phase distributed prefix scan, 512-token
@@ -2062,6 +2102,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "url_normalize": q_url_normalize,
     "domain_quota": q_domain_quota,
+    "image_neardup": q_image_neardup,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -2826,4 +2867,36 @@ HARNESS_ORACLES["domain_quota"] = _domain_quota_oracle_sql(
     f"SELECT doc_id, n_chars, {_dom_expr} AS domain "
     f"FROM (SELECT doc_id, n_chars, {_SYNTH_URL_SQL} AS url FROM documents)",
     "domain", "n_chars", 5, "doc_id", ["doc_id", "domain", "n_chars"],
+)
+
+# image_neardup: the full five-stage multimodal dedup chained from
+# per-stage generated SQL (features → centering → LSH pairs →
+# closure → keep-best) — no stage can drift from its standalone oracle
+from ..functions.multimodal import (  # noqa: E402
+    image_features_oracle_sql as _image_features_oracle_sql,
+)
+from ..functions.similarity import (  # noqa: E402
+    centered_oracle_sql as _centered_oracle_sql,
+)
+
+_IMG_FEATS_SQL = _image_features_oracle_sql("doc_id % 5 = 0", dim=16)
+_IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)
+HARNESS_ORACLES["image_neardup"] = _keep_best_oracle_sql(
+    "SELECT id_a, id_b FROM ("
+    + _embedding_pairs_oracle_sql(
+        table=_IMG_CENTERED_SQL,
+        id_col="media_id",
+        vec_col="centered",
+        threshold=0.995,
+        n_planes=8,
+        n_tables=2,
+        seed=42,
+        max_bucket=2000,
+        dim=16,
+    )
+    + ") ep",
+    _IMG_FEATS_SQL,
+    "media_id",
+    "n_bytes",
+    ["media_id", "mime", "n_bytes"],
 )

@@ -120,3 +120,47 @@ def test_ivf_exact_deterministic_and_recall(emb, brute):
     pairs = {(q, n) for (q, n, _, _) in a}
     recall = len(brute & pairs) / len(brute)
     assert recall >= 0.5, f"exact-IVF recall@10 collapsed: {recall:.3f}"
+
+
+def test_center_embeddings_quantized_mean(spark, emb):
+    import numpy as np
+
+    from openetlagent_spark.functions.similarity import center_embeddings
+
+    out = center_embeddings(emb, "embedding", "centered").collect()
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    M = np.stack(list(raw.values()))
+    mean = np.floor(M * (1 << 20)).sum(axis=0) / float(1 << 20) / len(M)
+    for r in out:
+        want = raw[r.vec_id] - mean
+        got = np.array(r.centered)
+        assert np.allclose(got, want, atol=1e-12)
+
+
+def test_center_embeddings_spreads_lsh_buckets(spark):
+    """The motivating property: a tight off-origin cluster collapses
+    sign-LSH to one bucket; centering spreads it."""
+    import numpy as np
+
+    from openetlagent_spark.functions.similarity import (
+        center_embeddings,
+        multi_table_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    vecs = (np.array([5.0] * 8) + rng.randn(40, 8) * 0.1).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    def n_buckets(frame, col):
+        sigs = frame.select(
+            F.element_at(
+                multi_table_signatures(F.col(col), 8, 1, 42, 8, rademacher=True), 1
+            ).alias("sig")
+        )
+        return sigs.distinct().count()
+
+    assert n_buckets(df, "embedding") == 1  # collapsed
+    cdf = center_embeddings(df, "embedding", "centered")
+    assert n_buckets(cdf, "centered") > 4  # spread
