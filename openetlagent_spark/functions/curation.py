@@ -156,6 +156,8 @@ def line_dedup(
     max_docs: int = 1,
     out_col: str = "text_clean",
     cache: bool = True,
+    group_col: str | None = None,
+    min_df: int | None = None,
 ) -> DataFrame:
     """C4-style boilerplate LINE removal: any normalized (lowercased,
     trimmed) non-blank line that occurs in MORE THAN ``max_docs``
@@ -181,15 +183,30 @@ def line_dedup(
     driver state, no UDF — the rebuild is an array_sort + array_join
     JVM expression.  Exactness: position-sorted reassembly matches
     DuckDB's ``string_agg(line ORDER BY pos)`` (positions are unique
-    per doc), md5 line keys are bit-identical, counts are integers."""
+    per doc), md5 line keys are bit-identical, counts are integers.
+
+    ``group_col`` (e.g. language): document frequency is counted and
+    applied WITHIN each group — CCNet runs its line dedup per language
+    shard because a legal boilerplate phrase in one language can be a
+    rare legitimate sentence in another; the candidate shuffle key
+    becomes (group, line key), which also spreads hot universal lines
+    across partitions.  ``min_df``: a line is stripped only when its
+    document frequency ALSO reaches ``min_df`` — the floor that stops
+    small corpora / small groups from shedding rare legitimate repeats
+    (C4's rule is an absolute ≥3 occurrences for the same reason).
+    Effective rule: strip ⟺ df > max(max_docs, min_df − 1)."""
     if max_docs < 1:
         raise ValueError(f"line_dedup max_docs must be >= 1, got {max_docs!r}")
+    threshold = max(max_docs, (min_df - 1) if min_df is not None else 0)
+    gsel = [F.col(group_col).alias("__g__")] if group_col else []
+    gkey = ["__g__"] if group_col else []
     base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__")
+        F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__"), *gsel
     )
     split = F.split(F.col("__t__"), "\n")
     lines = base.select(
         "__id__",
+        *gkey,
         F.size(split).cast("bigint").alias("__n_lines__"),
         F.posexplode(split).alias("__pos__", "__line__"),
     ).withColumn("__k__", F.md5(F.trim(F.lower(F.col("__line__")))))
@@ -197,12 +214,12 @@ def line_dedup(
         lines = lines.localCheckpoint(eager=True)
     common = (
         lines.filter(F.trim(F.col("__line__")) != "")
-        .groupBy("__k__")
+        .groupBy(*gkey, "__k__")
         .agg(F.countDistinct("__id__").alias("__df__"))
-        .filter(F.col("__df__") > max_docs)
-        .select("__k__")
+        .filter(F.col("__df__") > threshold)
+        .select(*gkey, "__k__")
     )
-    kept = lines.join(common, "__k__", "left_anti")
+    kept = lines.join(common, [*gkey, "__k__"], "left_anti")
     rebuilt = kept.groupBy("__id__").agg(
         F.array_join(
             F.transform(
@@ -236,22 +253,30 @@ def line_dedup_oracle_sql(
     text_col: str = "text",
     max_docs: int = 1,
     out_col: str = "text_clean",
+    group_col: str | None = None,
+    min_df: int | None = None,
 ) -> str:
     """DuckDB mirror of :func:`line_dedup` — same normalization, same
-    md5 keys, same > ``max_docs`` boilerplate threshold, position-
-    ordered ``string_agg`` reassembly."""
+    md5 keys, same strip threshold (``df > max(max_docs, min_df-1)``,
+    per ``group_col`` when set), position-ordered ``string_agg``
+    reassembly."""
+    threshold = max(max_docs, (min_df - 1) if min_df is not None else 0)
+    g_sel = f", {group_col} AS g" if group_col else ""
+    g_carry = ", g" if group_col else ""
+    g_grp = "g, " if group_col else ""
+    g_match = "c.g = l.g AND " if group_col else ""
     return f"""
-WITH d AS (SELECT {id_col} AS id, {text_col} AS t FROM {table}
+WITH d AS (SELECT {id_col} AS id, {text_col} AS t{g_sel} FROM {table}
            WHERE {text_col} IS NOT NULL),
-s AS (SELECT id, string_split(t, chr(10)) AS ls FROM d),
-l AS (SELECT id, CAST(i AS BIGINT) AS pos, ls[CAST(i AS INTEGER)] AS line
+s AS (SELECT id{g_carry}, string_split(t, chr(10)) AS ls FROM d),
+l AS (SELECT id{g_carry}, CAST(i AS BIGINT) AS pos, ls[CAST(i AS INTEGER)] AS line
       FROM s, unnest(generate_series(1, len(ls))) AS u(i)),
-common AS (SELECT md5(trim(lower(line))) AS k FROM l
+common AS (SELECT {g_grp}md5(trim(lower(line))) AS k FROM l
            WHERE trim(line) <> ''
-           GROUP BY k HAVING count(DISTINCT id) > {max_docs}),
+           GROUP BY {g_grp}k HAVING count(DISTINCT id) > {threshold}),
 kept AS (SELECT id, pos, line FROM l
          WHERE NOT EXISTS (SELECT 1 FROM common c
-                           WHERE c.k = md5(trim(lower(l.line))))),
+                           WHERE {g_match}c.k = md5(trim(lower(l.line))))),
 agg AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean,
                count(*) AS n_kept
         FROM kept GROUP BY id)

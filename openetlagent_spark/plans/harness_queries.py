@@ -1454,6 +1454,36 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, "doc_id", "text", max_docs=1)
 
 
+# multi-line synthetic texts for the per-language line-dedup variant
+# (the test corpus is single-line): a per-language footer (boilerplate
+# WITHIN each language), a rare promo line shared by doc_id%50 docs
+# (under the min_df floor inside every language — must SURVIVE), and a
+# unique body-tail line.  One string valid in both SQL dialects.
+_SYNTH_LINES_SQL = (
+    "text || chr(10) || 'Footer ' || lang || chr(10) || "
+    "CASE WHEN doc_id % 50 = 0 THEN 'rare promo line' "
+    "ELSE 'body tail ' || CAST(doc_id AS VARCHAR(32)) END"
+)
+
+
+def q_line_dedup_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE line dedup with a min_df floor (functions/
+    curation.py line_dedup group_col/min_df): CCNet's per-language
+    shard rule — document frequency counted within each language, and
+    the C4-style absolute floor keeps rare legitimate repeats.  Here
+    the per-language footers (df = |lang| docs) strip while the
+    10-document 'rare promo line' (per-language df ≤ 5 < min_df=8)
+    survives — the exact behavior the floor exists for."""
+    from ..functions.curation import line_dedup
+
+    docs = _ts(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_SYNTH_LINES_SQL).alias("text")
+    )
+    return line_dedup(
+        docs, "doc_id", "text", max_docs=1, group_col="lang", min_df=8
+    )
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty (functions/curation.py doc_novelty): the
     fraction of each document's distinct word-3-gram shingles found
@@ -2103,6 +2133,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_normalize": q_url_normalize,
     "domain_quota": q_domain_quota,
     "image_neardup": q_image_neardup,
+    "line_dedup_lang": q_line_dedup_lang,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -2899,4 +2930,11 @@ HARNESS_ORACLES["image_neardup"] = _keep_best_oracle_sql(
     "media_id",
     "n_bytes",
     ["media_id", "mime", "n_bytes"],
+)
+
+# per-language line dedup with the min_df floor, over the SAME
+# synthetic multi-line construction (_SYNTH_LINES_SQL in both engines)
+HARNESS_ORACLES["line_dedup_lang"] = _line_dedup_oracle_sql(
+    f"(SELECT doc_id, lang, {_SYNTH_LINES_SQL} AS text FROM documents)",
+    max_docs=1, group_col="lang", min_df=8,
 )

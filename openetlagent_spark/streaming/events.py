@@ -537,6 +537,51 @@ RUNNING_TOTALS_SCHEMA = T.StructType(
 )
 
 
+def _value_micros(v) -> int:
+    """Mirror Spark's double→decimal(18,6) cast exactly: shortest
+    round-trip decimal string, then HALF_UP at 6 dp — so the streaming
+    state's integer accumulation lands on the same value as the batch
+    leg's ``sum(cast(value as decimal(18,6)))``."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(float(v))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+        * 1_000_000
+    )
+
+
+def _accumulate_totals(prev, pdfs) -> tuple[int, int, int]:
+    """Fold one key's micro-batch chunk(s) into the running-totals
+    state tuple ``(n, micros, n_vals)``.  Pure — the whole
+    batch-boundary-independence argument of running_totals lives here:
+    integer micro-unit sums are associative, so ANY split of a user's
+    rows into micro-batches folds to the same state.  Exercised
+    directly by the batch-parity test (the protobuf-gated
+    transformWithStateInPandas worker is only transport around this)."""
+    n, micros, n_vals = prev if prev is not None else (0, 0, 0)
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        n += len(pdf)
+        n_vals += len(vals)
+        micros += sum(_value_micros(v) for v in vals)
+    return n, micros, n_vals
+
+
+def _totals_output_row(user_id, state: tuple[int, int, int]) -> pd.DataFrame:
+    """Render one key's state as the emitted update row (NULL sum for
+    an all-NULL user, matching SQL SUM)."""
+    n, micros, n_vals = state
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [micros / 1_000_000 if n_vals else None],
+        }
+    )
+
+
 def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
     """Per-user lifetime counters (event count + value sum) — the
     real-time feature-store pattern: every micro-batch emits each
@@ -588,18 +633,6 @@ def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
 
-    def _micros(v) -> int:
-        # mirror Spark's double→decimal(18,6) cast exactly: shortest
-        # round-trip decimal string, then HALF_UP at 6 dp
-        import decimal
-
-        return int(
-            decimal.Decimal(repr(float(v))).quantize(
-                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
-            )
-            * 1_000_000
-        )
-
     class _RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             # integer micro-units keep the accumulation exact and
@@ -612,23 +645,13 @@ def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, micros, n_vals = 0, 0, 0
+            prev = None
             if self._totals.exists():
-                prev = self._totals.get()
-                n, micros, n_vals = int(prev[0]), int(prev[1]), int(prev[2])
-            for pdf in rows:
-                vals = pdf["value"].dropna()
-                n += len(pdf)
-                n_vals += len(vals)
-                micros += sum(_micros(v) for v in vals)
-            self._totals.update((n, micros, n_vals))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "sum_value": [micros / 1_000_000 if n_vals else None],
-                }
-            )
+                p = self._totals.get()
+                prev = (int(p[0]), int(p[1]), int(p[2]))
+            state = _accumulate_totals(prev, rows)
+            self._totals.update(state)
+            yield _totals_output_row(key[0], state)
 
         def close(self) -> None:
             pass

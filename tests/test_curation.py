@@ -493,3 +493,46 @@ def test_source_overlap_mirror_detection(spark):
     for k, r in rows.items():
         if k != ("mirrorA", "siteA"):
             assert r.jaccard == 0.0 or r.n_common < r.n_a
+
+
+def test_line_dedup_per_group_and_min_df_floor(spark):
+    """group_col: df counted within each language — a line shared
+    across languages but rare inside each survives; min_df: a repeated
+    line below the floor survives even past max_docs."""
+    from openetlagent_spark.functions.curation import line_dedup
+
+    rows = [
+        # 'footer en' in 3 en docs (df=3); 'promo' once per lang (df=1
+        # within lang, 2 corpus-wide)
+        (0, "en", "alpha\nfooter en\npromo"),
+        (1, "en", "beta\nfooter en\npromo_x"),
+        (2, "en", "gamma\nfooter en"),
+        (3, "fr", "delta\npromo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.doc_id: r.text_clean
+        for r in line_dedup(
+            df, "doc_id", "text", max_docs=1, group_col="lang"
+        ).collect()
+    }
+    assert out[0] == "alpha\npromo"          # footer stripped, promo kept (per-lang df=1)
+    assert out[2] == "gamma"
+    assert out[3] == "delta\npromo"          # fr never saw a repeated line
+
+    # min_df floor: footer df=3 > max_docs but < min_df=4 → survives
+    out2 = {
+        r.doc_id: r.text_clean
+        for r in line_dedup(
+            df, "doc_id", "text", max_docs=1, group_col="lang", min_df=4
+        ).collect()
+    }
+    assert out2[0] == "alpha\nfooter en\npromo"
+    # min_df=3 → footer strips again
+    out3 = {
+        r.doc_id: r.text_clean
+        for r in line_dedup(
+            df, "doc_id", "text", max_docs=1, group_col="lang", min_df=3
+        ).collect()
+    }
+    assert out3[0] == "alpha\npromo"
