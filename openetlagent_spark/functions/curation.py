@@ -38,6 +38,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+from ..session import materialize
 from pyspark.sql import functions as F
 
 from .dedup import word_ngram_codes
@@ -73,7 +74,7 @@ def contamination_check(
     base = docs.select(
         F.col(id_col).alias("__id__"),
         word_ngram_codes(F.col(text_col), n).alias("__codes__"),
-    ).localCheckpoint(eager=True)  # feeds the explode AND the per-doc
+    ).transform(materialize)  # feeds the explode AND the per-doc
     # shingle counts — without the boundary the md5 shingling runs
     # twice (Catalyst does no CSE across plan branches; measured ~2× at
     # sf1).  Eager checkpoint, not persist: blocks free on GC.
@@ -211,7 +212,7 @@ def line_dedup(
         F.posexplode(split).alias("__pos__", "__line__"),
     ).withColumn("__k__", F.md5(F.trim(F.lower(F.col("__line__")))))
     if cache:
-        lines = lines.localCheckpoint(eager=True)
+        lines = lines.transform(materialize)
     common = (
         lines.filter(F.trim(F.col("__line__")) != "")
         .groupBy(*gkey, "__k__")
@@ -370,7 +371,7 @@ def pack_sequences(
     parts = (
         base.repartitionByRange(F.col("__oid__"))
         .withColumn("__pid__", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # consumed by the phase-1 sums
+        .transform(materialize)  # consumed by the phase-1 sums
         # AND the phase-2 window — the boundary also guarantees both
         # phases see the SAME range partitioning (localCheckpoint
         # truncates lineage, so the sampled exchange can never re-run
@@ -764,7 +765,7 @@ def _two_phase_global_rank(
     parts = (
         df.repartitionByRange(*sort_cols)
         .withColumn("_x_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     psums = parts.groupBy("_x_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     bases: dict[int, int] = {}
@@ -1150,7 +1151,7 @@ def doc_novelty(
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id__"),
         word_ngram_codes(F.col(text_col), n).alias("__codes__"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     exploded = base.select("__id__", F.explode("__codes__").alias("code"))
     # (id, code) pairs are distinct (word_ngram_codes dedups per doc),
     # so COUNT(*) per code IS the document frequency

@@ -48,6 +48,7 @@ import random
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
+from ..session import materialize
 from pyspark.sql import functions as F
 
 from .text import _toks_sql
@@ -224,7 +225,7 @@ def minhash_lsh_pairs(
     hashed = df.select(
         F.col(id_col).alias("__id__"),
         shingle_expr.alias("__shingles__"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # Stage 2 — signatures from the cached hash arrays.  Persisted too:
     # referenced by bucket counting and both self-join sides.  Jaccard
     # verification also runs on the hash sets (identical to shingle-set
@@ -237,7 +238,7 @@ def minhash_lsh_pairs(
         # numpy UDF, not minhash_from_hashes: identical values, ~6×
         # faster (HOFs are interpreted, not codegen — see minhash_udf).
         minhash_udf(num_perm, seed)(F.col("__shingles__")).alias("__sig__"),
-    ).localCheckpoint(eager=True)  # not persist: blocks free on GC of
+    ).transform(materialize)  # not persist: blocks free on GC of
     # the returned DataFrame instead of leaking for the session
 
     # Bands carry ONLY (id, band, bhash) — the (large) shingle arrays
@@ -701,7 +702,7 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col).alias("__id__"),
         word_ngram_codes(F.col(text_col), n).alias("grams"),
-    ).localCheckpoint(eager=True)  # feeds the banding groupBy and both
+    ).transform(materialize)  # feeds the banding groupBy and both
     # verification join-backs; eager checkpoint so blocks free on GC
 
     banded = _band_table_from_base(base, bands, rows_per_band, seed)
@@ -860,7 +861,7 @@ def embedding_neardup_pairs(
     dim = infer_dim(df, vec_col)
     base = df.select(
         F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__v__")
-    ).localCheckpoint(eager=True)  # feeds the banding pass and both
+    ).transform(materialize)  # feeds the banding pass and both
     # verification join-backs; eager checkpoint so blocks free on GC
 
     # All table signatures in ONE pass via the 3-D plane literal +

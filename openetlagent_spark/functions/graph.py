@@ -29,6 +29,7 @@ exactly oracle-checkable via a recursive transitive-closure CTE.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from ..session import materialize
 from pyspark.sql import functions as F
 
 
@@ -62,7 +63,7 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .transform(materialize, False, True)
     )
     # Convergence probe: propagation only ever DECREASES labels, so the
     # fixpoint is reached exactly when the label sum stops changing —
@@ -81,7 +82,7 @@ def connected_components(
             labels.unionByName(pushed)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .transform(materialize, False, True)
         )
         new_sum = label_sum(new_labels)
         labels = new_labels

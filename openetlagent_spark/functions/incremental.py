@@ -25,6 +25,7 @@ driver hash-checks every row.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from ..session import materialize
 from pyspark.sql import functions as F
 
 
@@ -265,7 +266,7 @@ def incremental_dedup(
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
     batch = with_fingerprint(new_docs, text_col)
     if cache:
-        batch = batch.localCheckpoint(eager=True)
+        batch = batch.transform(materialize)
     batch_fps = batch.select(F.col("fingerprint").alias("__fp__")).distinct()
     known = (
         with_fingerprint(corpus, text_col)
@@ -372,7 +373,7 @@ def incremental_neardup(
         threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_size=shingle_size, seed=seed, max_bucket=max_bucket,
         md5_mode=md5_mode,
-    ).localCheckpoint(eager=True)  # consumed by both verdicts; tiny
+    ).transform(materialize)  # consumed by both verdicts; tiny
     # (near-dup pairs only) — eager checkpoint, not persist: blocks
     # free on GC of the result instead of leaking for the session
     # struct ordering puts side 0 (batch) first in every cross pair
@@ -550,7 +551,7 @@ def neardup_gate_from_store(
     )
     bb = ngram_band_table(
         batch, id_col, text_col, n=n, bands=bands, rows_per_band=rows_per_band, seed=seed
-    ).localCheckpoint(eager=True)  # feeds the key broadcast AND the
+    ).transform(materialize)  # feeds the key broadcast AND the
     # verdict join; blocks free on GC (module policy)
     batch_keys = bb.select("band", "bkey").distinct()
     collided = (
@@ -688,7 +689,7 @@ def dedup_gate_from_store(
         raise ValueError(f"mode must be annotate/filter, got {mode!r}")
     # explicit schema: an empty cold-start store has no footers
     store = spark.read.schema("fingerprint string").parquet(store_path)
-    fb = with_fingerprint(batch, text_col).localCheckpoint(eager=True)
+    fb = with_fingerprint(batch, text_col).transform(materialize)
     batch_fps = fb.select("fingerprint").distinct()
     known = (
         store.join(F.broadcast(batch_fps), "fingerprint", "left_semi")

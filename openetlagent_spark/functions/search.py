@@ -51,6 +51,7 @@ de-allocation prefer ``cache=False`` (recompute) or a reliable
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from ..session import materialize
 from pyspark.sql import functions as F
 
 from .text import _tokens, _toks_sql
@@ -141,7 +142,7 @@ def keyword_search_topk(
         )
     )
     if cache:
-        base = base.localCheckpoint(eager=True)
+        base = base.transform(materialize)
 
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -267,7 +268,7 @@ def inverted_index(
     # exchange 1: partial-aggregated (term, doc) counts
     tf = toks.groupBy("term", "__id__").agg(F.count(F.lit(1)).alias("tf"))
     if cache:
-        tf = tf.localCheckpoint()
+        tf = tf.transform(materialize, False)
 
     posting_expr = F.array_join(
         F.transform(
@@ -287,7 +288,7 @@ def inverted_index(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
     )
     if cache:
-        stats = stats.localCheckpoint()
+        stats = stats.transform(materialize, False)
     # anti-join against the OVER-cap set: hot terms are few by
     # construction (stopword-class), so that side always broadcasts;
     # the under-cap set is vocabulary-sized and must never be the
@@ -377,7 +378,7 @@ def tfidf_topk(
         # the explode+count ONCE (Catalyst's per-branch column pruning
         # makes the two subtrees non-identical, so exchange reuse cannot
         # dedupe them), and its blocks free on garbage collection
-        tf = tf.localCheckpoint()
+        tf = tf.transform(materialize, False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.filter(F.col(text_col).isNotNull()).agg(
         F.count(F.lit(1)).alias("n_docs")

@@ -18,6 +18,7 @@ Capabilities (north-star extension surface, BASELINE.json):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+from ..session import materialize
 from pyspark.sql import functions as F
 
 # Deliberately small, fixed stopword sets — the heuristic's quality comes
@@ -308,6 +309,16 @@ def lang_id_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+# the fixed output names gopher_rules appends — keep_all collision
+# guard + apply_gopher_rules' drop list both derive from this
+_GOPHER_METRIC_COLS = (
+    "n_words", "mean_word_len", "symbol_ratio", "bullet_ratio",
+    "ellipsis_ratio", "alpha_ratio", "stop_hits",
+    "r_words", "r_mean_word_len", "r_symbol", "r_bullet",
+    "r_ellipsis", "r_alpha", "r_stop", "gopher_pass",
+)
+
+
 def gopher_rules(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -404,6 +415,22 @@ def gopher_rules(
     r_ellipsis = F.coalesce(ellipsis_ratio <= max_ellipsis_ratio, F.lit(False))
     r_alpha = F.coalesce(alpha_ratio >= min_alpha_ratio, F.lit(False))
     r_stop = stop_hits >= min_stop_hits
+    if keep_all:
+        # keep_all prepends every input column ahead of the FIXED
+        # metric/flag names below; an input column already named like a
+        # metric would duplicate the name (Spark allows it), escape
+        # apply_gopher_rules' metric-drop set-difference, and make any
+        # downstream F.col('gopher_pass') ambiguous — fail loudly at
+        # plan-build time instead (ADVICE r05)
+        clash = sorted(set(df.columns) & set(_GOPHER_METRIC_COLS))
+        if clash:
+            from ..model import SpecError
+
+            raise SpecError(
+                "gopher_rules(keep_all=True): input column(s) "
+                f"{clash} collide with the produced metric/flag names "
+                f"{sorted(_GOPHER_METRIC_COLS)}; rename them first"
+            )
     lead: list[Column] = [F.col("*")] if keep_all else [F.col(id_col)]
     return df.select(
         *lead,
@@ -598,7 +625,7 @@ def tokenize_ids(
         # the boundary the tokenize+explode of every document runs once
         # per consumer (eager localCheckpoint; blocks free on GC —
         # module policy, cf. doc_lm_score's base)
-        e = e.localCheckpoint(eager=True)
+        e = e.transform(materialize)
     # rank window runs on the LIMITED k-row frame — single partition by
     # construction and bounded by top_k, not by the corpus
     vocab = (
@@ -892,7 +919,7 @@ def doc_lm_score(
         # localCheckpoint tokenizes the corpus once instead of twice
         # (blocks free on garbage collection; pass cache=False for a
         # fully lazy plan)
-        base = base.localCheckpoint()
+        base = base.transform(materialize, False)
 
     # corpus LM: counts → conditional p → top-k truncation (same
     # (n desc, w1, w2) tie-break as bigram_lm_topk)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+from ..session import materialize
 from pyspark.sql import functions as F
 
 from ..model import (
@@ -67,11 +68,24 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-# Scratch dirs created by THIS process, keyed by prefix: the next
-# invocation of the same query retires its predecessor (sequential
-# harness/bench loops would otherwise accumulate one dataset copy per
-# run, because a live-pid check can never reclaim our own dirs).
-_SCRATCH_REGISTRY: dict[str, list[str]] = {}
+# Scratch dirs created by THIS process: retired at PROCESS EXIT, not
+# at the next invocation (ADVICE r05 — layout queries return LAZY
+# frames that read their scratch back, so an entry-time rmtree of the
+# predecessor would break a caller still holding the earlier result;
+# the atexit boundary is the only point where no invocation can still
+# be live).  Guarded by a lock — query builders may run from multiple
+# threads.  Dirs from DEAD processes are still reclaimed on entry via
+# the pid liveness check.
+_SCRATCH_REGISTRY: list[str] = []
+_SCRATCH_LOCK = None  # created lazily to keep import side-effect-free
+
+
+def _retire_scratch_dirs() -> None:
+    import shutil
+
+    for d in _SCRATCH_REGISTRY:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_REGISTRY.clear()
 
 
 def _scratch_dir(prefix: str, sf_dir: str) -> str:
@@ -84,15 +98,22 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
     leaked by DEAD runs are garbage-collected on entry by checking
     whether the pid embedded in the name is still alive — never by
     age, which could delete a long-running process's live dir
-    mid-read.  This process's OWN earlier dirs for the same prefix are
-    retired here too (their queries have fully consumed them — each
-    layout query reads its scratch back before returning rows)."""
+    mid-read.  This process's OWN dirs are registered and retired in
+    one batch at process exit (atexit) — any earlier invocation's lazy
+    DataFrame stays readable for the whole process lifetime; the cost
+    is one small dataset copy per invocation until exit."""
+    import atexit
     import glob
     import hashlib
     import os
     import shutil
     import tempfile
+    import threading
     import uuid
+
+    global _SCRATCH_LOCK
+    if _SCRATCH_LOCK is None:
+        _SCRATCH_LOCK = threading.Lock()
 
     base = tempfile.gettempdir()
     for old in glob.glob(os.path.join(base, f"{prefix}_*_p*")):
@@ -103,14 +124,15 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
             shutil.rmtree(old, ignore_errors=True)
         except (OSError, PermissionError):
             pass  # pid alive (or unverifiable): leave the dir alone
-    for old in _SCRATCH_REGISTRY.get(prefix, []):
-        shutil.rmtree(old, ignore_errors=True)
     tag = (
         hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         + f"_p{os.getpid()}_{uuid.uuid4().hex[:8]}"
     )
     path = os.path.join(base, f"{prefix}_{tag}")
-    _SCRATCH_REGISTRY[prefix] = [path]
+    with _SCRATCH_LOCK:
+        if not _SCRATCH_REGISTRY:
+            atexit.register(_retire_scratch_dirs)
+        _SCRATCH_REGISTRY.append(path)
     return path
 
 
@@ -1755,8 +1777,8 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _ts(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     media = synthesize_media(docs)
-    feats = extract_image_features(media, dim=16).localCheckpoint(
-        eager=True
+    feats = extract_image_features(media, dim=16).transform(
+        materialize
     )  # one mapInPandas pass feeds the mean agg, pair mining, and keep-best
     centered = center_embeddings(feats, "feature", "centered")
     pairs = embedding_neardup_pairs(

@@ -39,6 +39,7 @@ app/etl_models.py operation taxonomy; joins via bind app/main.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from ..session import materialize
 from pyspark.sql import functions as F
 
 from ..model import (
@@ -363,7 +364,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees).  Eager localCheckpoint, not persist: the blocks free
     # when the returned DataFrame is garbage-collected instead of
     # leaking executor storage for the session.
-    rev = rev.localCheckpoint(eager=True)
+    rev = rev.transform(materialize)
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     top = rev.join(F.broadcast(mx)).filter(F.col("total_rev") == F.col("max_rev"))
     top = apply_bind(

@@ -39,6 +39,55 @@ def get_spark(app_name: str = "openetlagent-spark", master: str | None = None) -
     return builder.getOrCreate()
 
 
+def materialize(df, eager: bool = True, require_truncation: bool = False):
+    """The engine's shared materialization boundary — every operator
+    that re-reads an intermediate (dedup banding bases, CC labels,
+    prefix-scan inputs, …) goes through here instead of calling
+    ``localCheckpoint`` directly.
+
+    Strategy comes from the session conf ``spark.openetlagent.materialize``:
+
+    - ``localCheckpoint`` (default): executor-local checkpoint blocks.
+      Fastest, lineage-truncating, and blocks are freed deterministically
+      by :func:`free_local_checkpoints`.  CLUSTER CAVEAT: the blocks are
+      UNREPLICATED and lineage is gone — losing any executor (including
+      dynamic de-allocation) fails the job unrecoverably instead of
+      recomputing.  Right for single-JVM/local and for clusters with
+      stable executors + external shuffle; wrong under aggressive
+      dynamic allocation or spot instances.
+    - ``checkpoint``: reliable checkpoint to the configured checkpoint
+      dir (``sparkContext.setCheckpointDir`` — HDFS/S3 on a cluster).
+      Survives executor loss; costs a write+read of the intermediate.
+      The production fallback the localCheckpoint caveat points at.
+    - ``persist``: storage-level cache — keeps lineage, so executor
+      loss recomputes; but lineage is NOT truncated, so iterative
+      algorithms whose plans double per round (connected components)
+      refuse it (``require_truncation=True`` raises) — use
+      ``checkpoint`` there.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.openetlagent.materialize", "localCheckpoint")
+    if mode == "localCheckpoint":
+        return df.localCheckpoint(eager=eager)
+    if mode == "checkpoint":
+        return df.checkpoint(eager=eager)
+    if mode == "persist":
+        if require_truncation:
+            raise ValueError(
+                "spark.openetlagent.materialize=persist cannot serve an "
+                "iterative lineage-truncation boundary (plan size doubles "
+                "per round); set localCheckpoint or checkpoint"
+            )
+        out = df.persist()
+        if eager:
+            out.count()
+        return out
+    raise ValueError(
+        f"spark.openetlagent.materialize={mode!r}: expected "
+        "localCheckpoint | checkpoint | persist"
+    )
+
+
 def free_local_checkpoints(spark: SparkSession) -> int:
     """Deterministically release every ``localCheckpoint`` block held
     by the session; returns the number of RDDs unpersisted.
@@ -51,11 +100,18 @@ def free_local_checkpoints(spark: SparkSession) -> int:
     queries, after each result is fully consumed, alongside
     ``spark.catalog.clearCache()``.
 
-    Only RDDs whose creation site is ``localCheckpoint`` are touched:
-    a caller's own ``persist()``-ed frames are left alone (and a
-    checkpointed RDD, once unpersisted, cannot be recomputed — its
-    lineage is truncated — so only call this when no live DataFrame
-    still depends on one)."""
+    Only locally-checkpointed RDDs are touched: each candidate must
+    pass ``isLocallyCheckpointed()`` on the underlying RDD (the
+    authoritative JVM API — checkpoint state, not a name match); the
+    creation-site string is only a pre-filter.  A caller's own
+    ``persist()``-ed frames are left alone.
+
+    CONTRACT (assertion-strength, not advice): a checkpointed RDD,
+    once unpersisted, is PERMANENTLY unrecomputable — its lineage was
+    truncated at checkpoint time — so callers must not hold any live
+    DataFrame built on a localCheckpoint across this call.  bench.py
+    and the harness call it only between queries, after each result is
+    fully consumed; do the same."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     it = jmap.keySet().iterator()
     freed = 0
@@ -63,7 +119,17 @@ def free_local_checkpoints(spark: SparkSession) -> int:
     while it.hasNext():
         rdds.append(jmap.get(it.next()))
     for jrdd in rdds:
-        if jrdd is not None and "localCheckpoint" in jrdd.toString():
+        if jrdd is None:
+            continue
+        try:
+            # JavaRDD → underlying RDD; isLocallyCheckpointed() is the
+            # real predicate (version-stable API since Spark 1.x),
+            # robust where the toString() call-site label is not
+            is_local_ckpt = bool(jrdd.rdd().isLocallyCheckpointed())
+        except Exception:
+            # unexpected JVM surface: fall back to the label pre-filter
+            is_local_ckpt = "localCheckpoint" in jrdd.toString()
+        if is_local_ckpt:
             jrdd.unpersist(False)
             freed += 1
     return freed

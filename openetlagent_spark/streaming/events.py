@@ -19,6 +19,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from ..session import materialize
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -775,7 +776,7 @@ def admit_stream_with_store(
             # one deterministic materialization feeds both the sink
             # write and the store append (a second action would re-run
             # the gate against the GROWN store)
-            admitted = admitted.localCheckpoint(eager=True)
+            admitted = admitted.transform(materialize)
             admitted.write.mode("overwrite").parquet(landing)
         if strategy == "exact":
             build_fingerprint_store(admitted, store_path, text_col, mode="append")

@@ -78,3 +78,58 @@ def test_free_local_checkpoints_spares_user_persists(spark):
     free_local_checkpoints(spark)
     assert _persistent_ids(spark) >= before  # user persist untouched
     df.unpersist()
+
+
+def test_materialize_knob_modes(spark, tmp_path):
+    """materialize() honors spark.openetlagent.materialize: default
+    localCheckpoint; persist keeps lineage (and refuses truncation
+    boundaries); checkpoint writes to the reliable dir; unknown -> error."""
+    import pytest
+
+    from openetlagent_spark.session import materialize
+
+    df = spark.range(100)
+    key = "spark.openetlagent.materialize"
+    try:
+        from openetlagent_spark.session import free_local_checkpoints
+
+        out = materialize(df)  # default
+        assert out.count() == 100
+        # the boundary registered a locally-checkpointed RDD — exactly
+        # what the release helper frees
+        assert free_local_checkpoints(spark) >= 1
+
+        spark.conf.set(key, "persist")
+        out = materialize(spark.range(50))
+        assert out.count() == 50
+        with pytest.raises(ValueError, match="truncation"):
+            materialize(spark.range(5), require_truncation=True)
+        out.unpersist()
+
+        spark.conf.set(key, "checkpoint")
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        out = materialize(spark.range(25), require_truncation=True)
+        assert out.count() == 25
+
+        spark.conf.set(key, "bogus")
+        with pytest.raises(ValueError, match="bogus"):
+            materialize(spark.range(5))
+    finally:
+        spark.conf.unset(key)
+
+
+def test_free_local_checkpoints_spares_user_persist(spark):
+    """The release helper frees checkpoint blocks via the JVM
+    isLocallyCheckpointed API and leaves caller persist() caches
+    alone (ADVICE r05: no substring-matching false positives)."""
+    from openetlagent_spark.session import free_local_checkpoints
+
+    ck = spark.range(1000).localCheckpoint(eager=True)
+    kept = spark.range(77).persist()
+    kept.count()
+    free_local_checkpoints(spark)
+    # the persisted frame is still cached and still computable
+    assert kept.storageLevel.useMemory
+    assert kept.count() == 77
+    kept.unpersist()
+    del ck

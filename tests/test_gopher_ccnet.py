@@ -107,3 +107,24 @@ def test_ccnet_null_scores_drop(spark):
     )
     out = lm_quality_buckets(df, k=50).collect()
     assert {r.doc_id for r in out} == {2, 3}
+
+
+def test_gopher_keep_all_rejects_metric_name_collision(spark):
+    """keep_all=True with an input column named like a produced
+    metric/flag would yield duplicate column names and ambiguous
+    downstream references — it must raise SpecError at plan build
+    (ADVICE r05)."""
+    import pytest
+
+    from openetlagent_spark.functions.text import gopher_rules
+    from openetlagent_spark.model import SpecError
+
+    df = spark.createDataFrame(
+        [(1, "some text here", True)],
+        "doc_id long, text string, gopher_pass boolean",
+    )
+    with pytest.raises(SpecError, match="gopher_pass"):
+        gopher_rules(df, "doc_id", "text", keep_all=True)
+    # without keep_all the projection replaces columns — no clash
+    out = gopher_rules(df, "doc_id", "text")
+    assert out.columns.count("gopher_pass") == 1
