@@ -11,52 +11,42 @@ HARNESS_QUERIES.update(TPCH_MORE_QUERIES)
 HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# ``queries()`` per round.  Cumulative driver coverage through r04:
-# 127/142 (124 three-check passes + 3 rows-only by nature).  This
-# round-5 ordering closes the loop:
-# (a) the 15 r04 tail additions the driver has never hashed, plus
-#     semantic_dedup (new this round) — after r05 every registered
-#     query has a hard driver row;
-# (b) the 9 TPC-H queries whose DuckDB oracle SQL was rewritten in r04
-#     (wide-decimal VARCHAR routing) but which sat behind the r04
-#     front-50 — their old green rows attest a comparison that no
-#     longer exists (scripts/staleness.py flags exactly these); q15 and
-#     q17 additionally changed Spark-side this round (localCheckpoint /
-#     pre-aggregate part pruning);
-# (c) sentinels for every file this round touched (localCheckpoint
-#     cache-lifetime change: search/incremental/dedup/curation;
-#     _scratch_dir refactor: the layout queries);
-# (d) the stalest r02/r03 rows whose source families have since moved
-#     (analytics window/join family, text/similarity/model families);
-# (e) every query ADDED during round 5 (gopher_rules … training_shards)
-#     — each was swapped into this front as it landed, displacing a
-#     stale re-check, and the full front-50 was re-verified at driver
-#     strength after the final swap (ALL PASS).  After r05 the driver
-#     has hashed ALL 153 registered queries at least once.
+# ``queries()`` per round.  Cumulative coverage through r05: 153/155
+# hashed, zero outstanding failures; doc_novelty + source_overlap
+# landed after the final r05 run (local-PASS only).  This round-6
+# ordering starts the staleness ratchet VERDICT r05 item 1 asked for:
+# (a) the 6 queries with NO driver row: doc_novelty + source_overlap
+#     (r05 snapshot tail) and the four added this round
+#     (url_normalize, domain_quota, image_neardup, line_dedup_lang);
+# (b) ALL 38 queries whose latest driver hash is r02
+#     (scripts/staleness.py) — the core-op, analytics-window, text,
+#     ANN, and streaming-batch families; ann_lsh_topk / ann_ivf_topk
+#     additionally flipped from rows-only to exact oracles this round;
+# (c) 6 sentinels for this round's materialize-boundary migration on
+#     files whose other queries aren't already in (a)/(b): streaming
+#     (running_totals, sessionize, session_window), incremental
+#     (merge_changes, scd2_history), text+curation (curation_pipeline).
+# After r06 no query's newest driver row is older than r03.
 # Local `scripts/check_oracle.py` runs the full set regardless of
 # order; queries added later register in the tail and are front-loaded
 # next rotation.
-_ROUND5_FRONT = [
-    # never driver-checked (16): r04 tail + semantic_dedup (new r05)
-    "asof_tolerance", "dedup_keep_best", "incremental_neardup",
-    "bpe_train", "bpe_encode", "events_sliding", "embedding_centroids",
-    "near_contamination", "global_shuffle", "quantile_filter",
-    "embedding_stats", "partitioned_layout", "stats_corr",
-    "top_p_sources", "event_paths", "semantic_dedup",
-    # oracle-SQL-rewritten in r04, never re-hashed (9)
-    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q21",
-    # stale analytics family (4)
-    "bind_salted", "funnel", "window_range_frame", "window_distribution",
-    # sentinels: source files changed this round (11)
-    "stream_sink", "sorted_layout", "zorder_layout",
-    "bm25_topk", "inverted_index", "incremental_dedup",
-    "dedup_minhash", "dedup_ngram", "dedup_embedding",
-    "contamination", "pack_sequences",
-    # new this round — first driver check (10)
-    "gopher_rules", "ccnet_buckets", "line_dedup", "neardup_store",
-    "dedup_store", "tokenize_ids", "curriculum_order", "skew_report",
-    "training_shards", "trending_topk",
+_ROUND6_FRONT = [
+    # never driver-checked (6)
+    "doc_novelty", "source_overlap",
+    "url_normalize", "domain_quota", "image_neardup", "line_dedup_lang",
+    # last hashed r02 (38)
+    "equality", "concatenation", "switching", "assignation",
+    "arithmetic", "comparison", "bind", "fold", "unfold", "filter",
+    "aggregation", "sort_limit", "distinct", "window", "union",
+    "bind_outer", "bind_cross", "bind_semi", "bind_anti", "fold_mixed",
+    "agg_stats", "window_lag", "window_first_last",
+    "text_stats", "text_quality", "fingerprint", "doc_repetition",
+    "dedup_exact", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "events_window", "stream_dedup", "stream_enrich", "stream_join",
+    "multimodal_features", "json_extract", "sample_hash",
+    # materialize-migration sentinels (6)
+    "running_totals", "sessionize", "session_window",
+    "merge_changes", "scd2_history", "curation_pipeline",
 ]
 
 
@@ -66,7 +56,7 @@ def _reorder(front: list[str], mapping: dict) -> dict:
     return {**head, **tail}
 
 
-_reordered = _reorder(_ROUND5_FRONT, HARNESS_QUERIES)
+_reordered = _reorder(_ROUND6_FRONT, HARNESS_QUERIES)
 HARNESS_QUERIES.clear()
 HARNESS_QUERIES.update(_reordered)
 
