@@ -163,6 +163,14 @@ HEADLINE = [
     "skew_report",
     "training_shards",
     "trending_topk",
+    "doc_novelty",
+    "source_overlap",
+    "url_normalize",
+    "domain_quota",
+    "image_neardup",
+    "line_dedup_lang",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -1318,12 +1318,66 @@ class LineDedupOperation(Operation):
     id_column: str = "doc_id"
     text_column: str = "text"
     max_docs: int = 1
+    group_column: str | None = None
+    min_df: int | None = None
     operation_type: str = "line_dedup"
 
     def __post_init__(self) -> None:
         if self.max_docs < 1:
             raise SpecError(
                 f"line_dedup max_docs must be >= 1, got {self.max_docs!r}"
+            )
+        if self.min_df is not None and self.min_df < 1:
+            raise SpecError(
+                f"line_dedup min_df must be >= 1 when set, got {self.min_df!r}"
+            )
+
+
+@dataclass
+class UrlNormalizeOperation(Operation):
+    """URL normalization as a flow op (functions/web.py url_normalize):
+    lowercase scheme/host, strip fragments, default ports, and tracking
+    query params; appends ``output_column``."""
+
+    url_column: str = "url"
+    output_column: str = "url_norm"
+    operation_type: str = "url_normalize"
+
+
+@dataclass
+class DomainExtractOperation(Operation):
+    """Domain + apex-domain extraction from a URL column
+    (functions/web.py domain_extract)."""
+
+    url_column: str = "url"
+    domain_column: str = "domain"
+    apex_column: str = "apex_domain"
+    operation_type: str = "domain_extract"
+
+
+@dataclass
+class DomainQuotaOperation(Operation):
+    """Per-domain document cap (functions/web.py domain_quota): keep
+    the top ``n_per_domain`` rows of each domain by ``order_column``
+    (descending unless ``ascending``), ties broken by ``tie_column``
+    ascending — the RefinedWeb/C4 crawl-balance gate."""
+
+    domain_column: str = "domain"
+    order_column: str = ""
+    n_per_domain: int = 100
+    tie_column: str = ""
+    ascending: bool = False
+    operation_type: str = "domain_quota"
+
+    def __post_init__(self) -> None:
+        if not self.order_column or not self.tie_column:
+            raise SpecError(
+                "domain_quota requires order_column and tie_column "
+                "(deterministic per-domain ranking)"
+            )
+        if self.n_per_domain < 1:
+            raise SpecError(
+                f"domain_quota n_per_domain must be >= 1, got {self.n_per_domain!r}"
             )
 
 
@@ -1403,6 +1457,9 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "gopher_rules": GopherRulesOperation,
     "lm_buckets": LmBucketsOperation,
     "line_dedup": LineDedupOperation,
+    "url_normalize": UrlNormalizeOperation,
+    "domain_extract": DomainExtractOperation,
+    "domain_quota": DomainQuotaOperation,
     "tokenize_ids": TokenizeIdsOperation,
     "curriculum_order": CurriculumOrderOperation,
     "store_gate": StoreGateOperation,

@@ -42,6 +42,7 @@ from ..model import (
     StratifiedSampleOperation,
     VocabOovOperation,
 )
+from .base import require_columns
 from .bind import resolve_side
 
 
@@ -548,7 +549,8 @@ def apply_line_dedup(df: DataFrame, op: "LineDedupOperation") -> DataFrame:
     from ..functions.curation import line_dedup
 
     cleaned = line_dedup(
-        df, op.id_column, op.text_column, max_docs=op.max_docs
+        df, op.id_column, op.text_column, max_docs=op.max_docs,
+        group_col=op.group_column, min_df=op.min_df,
     ).select(op.id_column, "text_clean")
     # LEFT join: line_dedup emits no row for NULL-text documents — they
     # must ride through with their NULL text intact, not vanish
@@ -559,6 +561,32 @@ def apply_line_dedup(df: DataFrame, op: "LineDedupOperation") -> DataFrame:
             F.coalesce(F.col("text_clean"), F.col(op.text_column)),
         )
         .drop("text_clean")
+    )
+
+
+def apply_url_normalize(df: DataFrame, op: "UrlNormalizeOperation") -> DataFrame:
+    from ..functions.web import url_normalize
+
+    require_columns(df, [op.url_column], "url_normalize")
+    return url_normalize(df, op.url_column, op.output_column)
+
+
+def apply_domain_extract(df: DataFrame, op: "DomainExtractOperation") -> DataFrame:
+    from ..functions.web import domain_extract
+
+    require_columns(df, [op.url_column], "domain_extract")
+    return domain_extract(df, op.url_column, op.domain_column, op.apex_column)
+
+
+def apply_domain_quota(df: DataFrame, op: "DomainQuotaOperation") -> DataFrame:
+    from ..functions.web import domain_quota
+
+    require_columns(
+        df, [op.domain_column, op.order_column, op.tie_column], "domain_quota"
+    )
+    return domain_quota(
+        df, op.domain_column, op.order_column, op.n_per_domain,
+        op.tie_column, ascending=op.ascending,
     )
 
 

@@ -528,3 +528,65 @@ def test_tokenize_ids_rejects_aliasing_oov_id(spark):
         tokenize_ids(docs, top_k=10, oov_id=5)
     # sentinel outside the range is fine
     assert tokenize_ids(docs, top_k=10, oov_id=-1).count() == 1
+
+
+def test_yaml_web_ops_chain(spark):
+    """url_normalize → domain_extract → domain_quota as one YAML op
+    chain — the RefinedWeb pre-text gate through the flow dispatcher."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, score=10 - i,
+                url=f"HTTPS://WWW.Site{i % 2}.COM:443/p/{i}?utm_source=x&id={i}#f")
+            for i in range(6)
+        ]
+    )
+    ops = [
+        parse_operation({"operation_type": "url_normalize", "url_column": "url"}),
+        parse_operation({"operation_type": "domain_extract", "url_column": "url_norm"}),
+        parse_operation({
+            "operation_type": "domain_quota", "domain_column": "domain",
+            "order_column": "score", "tie_column": "doc_id", "n_per_domain": 2,
+        }),
+    ]
+    out = apply_operations(docs, ops, spark)
+    rows = sorted(out.collect(), key=lambda r: r.doc_id)
+    # 2 domains × quota 2 = 4 survivors, the highest-score (lowest doc_id) each
+    assert [r.doc_id for r in rows] == [0, 1, 2, 3]
+    assert all(r.url_norm == f"https://www.site{r.doc_id % 2}.com/p/{r.doc_id}?id={r.doc_id}" for r in rows)
+    # domain_extract strips the leading www. (by contract)
+    assert all(r.domain == f"site{r.doc_id % 2}.com" for r in rows)
+    assert all(r.apex_domain == f"site{r.doc_id % 2}.com" for r in rows)
+
+    import pytest as _pytest
+
+    from openetlagent_spark.model import SpecError
+
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "domain_quota", "order_column": "s"})
+
+
+def test_yaml_line_dedup_group_min_df(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="foot\na", lang="en"),
+            Row(doc_id=2, text="foot\nb", lang="en"),
+            Row(doc_id=3, text="foot\nc", lang="fr"),
+        ]
+    )
+    op = parse_operation({
+        "operation_type": "line_dedup", "group_column": "lang", "min_df": 2,
+    })
+    rows = {r.doc_id: r.text for r in apply_operations(docs, [op], spark).collect()}
+    # en: df=2 >= min_df and > max_docs → stripped; fr: df=1 → kept
+    assert rows == {1: "a", 2: "b", 3: "foot\nc"}
+
+    import pytest as _pytest
+
+    from openetlagent_spark.model import SpecError
+
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "line_dedup", "min_df": 0})

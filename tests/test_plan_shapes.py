@@ -378,3 +378,56 @@ def test_store_gates_broadcast_verdicts(spark):
         df = HARNESS_QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, name
+
+
+# --- round 6 ----------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # pure projection: normalization/extraction never shuffles
+        ("url_normalize", 0),
+        # exactly the one hash shuffle on domain for the quota window
+        ("domain_quota", 1),
+        # (lang, line-key) count + anti-join + per-doc regroup + rebalance
+        ("line_dedup_lang", 4),
+        # banded pair mining + components + keep-best joins
+        ("image_neardup", 5),
+    ],
+)
+def test_round6_shuffle_budget(spark, name, max_shuffles):
+    assert count_shuffles(plan_of(spark, name)) <= max_shuffles
+
+
+def test_round6_no_cartesians_or_global_windows(spark):
+    for name in ["url_normalize", "domain_quota", "line_dedup_lang", "image_neardup"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange SinglePartition" not in plan.split("== Physical Plan ==")[-1], name
+
+
+def test_lsh_shuffle_mode_scales_past_broadcast(spark):
+    """broadcast_queries=False stops FORCING the broadcast: Catalyst
+    may still pick one while the query side fits its size threshold
+    (fine — that's the point of deferring to the optimizer), but when
+    the side is too big to broadcast (emulated by zeroing the
+    threshold) the plan must degrade to a shuffle join on (tbl,
+    bucket) instead of an unplannable forced broadcast.  The forced
+    mode, by contrast, broadcasts regardless of the threshold."""
+    from openetlagent_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        df = lsh_topk(emb, emb, k=3, n_planes=2, n_tables=2, broadcast_queries=False)
+        physical = df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+        assert "BroadcastHashJoin" not in physical
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", physical)
+        forced = lsh_topk(emb, emb, k=3, n_planes=2, n_tables=2)
+        fplan = forced._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+        assert "BroadcastHashJoin" in fplan
+    finally:
+        spark.conf.set(key, prev)
