@@ -171,6 +171,7 @@ HEADLINE = [
     "line_dedup_lang",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "classifier_score",
 ]
 
 

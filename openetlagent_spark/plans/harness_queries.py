@@ -1506,6 +1506,18 @@ def q_line_dedup_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (functions/classifier.py): the
+    fastText-shaped model gate (DCLM / FineWeb-Edu stage) — md5 hashing
+    trick into a 1024-bucket weight table, mean-bucket-weight margin,
+    threshold keep flag.  Stub weights, production plumbing: one scan,
+    one codegen stage, broadcast literal, no UDF, no shuffle."""
+    from ..functions.classifier import classifier_score
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_score(docs, "doc_id", "text")
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty (functions/curation.py doc_novelty): the
     fraction of each document's distinct word-3-gram shingles found
@@ -2156,6 +2168,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quota": q_domain_quota,
     "image_neardup": q_image_neardup,
     "line_dedup_lang": q_line_dedup_lang,
+    "classifier_score": q_classifier_score,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -2960,3 +2973,11 @@ HARNESS_ORACLES["line_dedup_lang"] = _line_dedup_oracle_sql(
     f"(SELECT doc_id, lang, {_SYNTH_LINES_SQL} AS text FROM documents)",
     max_docs=1, group_col="lang", min_df=8,
 )
+
+# classifier_score: generated from the same stub weight list as the
+# Spark literal (functions/classifier.py)
+from ..functions.classifier import (  # noqa: E402
+    classifier_score_oracle_sql as _classifier_score_oracle_sql,
+)
+
+HARNESS_ORACLES["classifier_score"] = _classifier_score_oracle_sql()

@@ -658,10 +658,10 @@ def test_running_totals_state_logic_matches_batch(spark):
     }
     rows = events.select("user_id", "value").toPandas()
     # inject an all-NULL-value user to pin the NULL-sum rule
-    rows = pd.concat(
-        [rows, pd.DataFrame({"user_id": [-1, -1], "value": [None, None]})],
-        ignore_index=True,
-    )
+    extra = pd.DataFrame(
+        {"user_id": [-1, -1], "value": [float("nan")] * 2}
+    ).astype(rows.dtypes.to_dict())
+    rows = pd.concat([rows, extra], ignore_index=True)
     batch[-1] = (2, None)
     for n_chunks in (1, 2, 5):
         got = {}

@@ -431,3 +431,10 @@ def test_lsh_shuffle_mode_scales_past_broadcast(spark):
         assert "BroadcastHashJoin" in fplan
     finally:
         spark.conf.set(key, prev)
+
+
+def test_classifier_score_is_single_scan_no_shuffle(spark):
+    plan = plan_of(spark, "classifier_score")
+    assert count_shuffles(plan) <= 1  # only the rebalance_scan spread
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
