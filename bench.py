@@ -172,6 +172,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "classifier_score",
+    "domain_rank",
 ]
 
 

@@ -195,3 +195,113 @@ def keep_best_oracle_sql(
         # EXISTS with an equality matches the anti-join exactly
         f"WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.{id_col} = t.{id_col})"
     )
+
+
+# --- PageRank ---------------------------------------------------------------
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    scale_bits: int = 40,
+    damping: tuple[int, int] = (17, 20),
+) -> DataFrame:
+    """Deterministic INTEGER PageRank — link-graph authority scoring,
+    the signal CommonCrawl-scale web curation uses to weight domains
+    before any per-document heuristic runs.
+
+    All arithmetic is int64 on a ``2^scale_bits`` grid with rational
+    damping (default 17/20 = 0.85) and floor divisions, so the whole
+    fixed-``iters`` power iteration is partition-order-independent and
+    bit-identical to pagerank_oracle_sql's unrolled CTEs — the same
+    determinism contract as kmeans/BPE/IVF.  Per iteration:
+
+        r'(v) = (S·(dd−dn)) // (dd·N)  +  (dn · Σ_{u→v} r(u)//out(u)) // dd
+
+    Dangling-node mass evaporates (documented standard simplification;
+    total mass stays bounded, relative ranking unaffected for
+    curation).  Ranks are non-negative throughout, so floor == trunc
+    and Spark ``DIV`` == DuckDB ``//`` exactly.
+
+    Inputs: ``nodes`` with column ``node`` (every vertex, isolated
+    ones included — they hold the teleport base), ``edges`` with
+    (src, dst), self-loop-free and distinct.
+
+    Scale shape (a real web graph): each iteration is one broadcast-or
+    -shuffle join of edges⋈ranks⋈out-degree plus one groupBy(dst) with
+    map-side combine — the standard Spark power-iteration layout; the
+    only driver state is N (one count) and the loop index, and each
+    round passes a materialize() boundary so lineage stays flat.
+    Returns (node, rank_int, rank) with ``rank = rank_int / 2^scale_bits``
+    (exact: a power-of-two division of an int64 < 2^53)."""
+    from ..session import materialize
+
+    dn, dd = damping
+    if not (0 < dn < dd):
+        raise ValueError(f"pagerank damping must satisfy 0 < num < den, got {damping}")
+    S = 1 << scale_bits
+    N = nodes.count()
+    if N == 0:
+        raise ValueError("pagerank: empty node set")
+    base = (S * (dd - dn)) // (dd * N)
+    out = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("node", F.lit(S // N).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out, "src")
+            .select(F.col("dst").alias("node"), F.expr("r DIV out_deg").alias("c"))
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"(COALESCE(s, 0) * {dn}) DIV {dd}")
+            ).cast("long").alias("r"),
+        )
+        ranks = materialize(ranks)
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_int"),
+        (F.col("r").cast("double") / F.lit(float(S))).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    iters: int = 3,
+    scale_bits: int = 40,
+    damping: tuple[int, int] = (17, 20),
+) -> str:
+    """DuckDB mirror of :func:`pagerank` as unrolled CTEs — same grid,
+    same rational damping, same floor divisions; N comes from a COUNT
+    CTE so the generated SQL is data-independent.  ``nodes_sql`` must
+    yield column ``node``; ``edges_sql`` (src, dst), distinct and
+    self-loop-free."""
+    dn, dd = damping
+    S = 1 << scale_bits
+    parts = [
+        f"nodes AS (SELECT node FROM {nodes_sql})",
+        f"edges AS (SELECT src, dst FROM {edges_sql})",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outd AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({S} AS BIGINT) // nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    base = f"(CAST({S * (dd - dn)} AS BIGINT) // (CAST({dd} AS BIGINT) * nn.n))"
+    for i in range(iters):
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, "
+            f"CAST({base} + (COALESCE(x.s, 0) * {dn}) // {dd} AS BIGINT) AS r "
+            f"FROM nodes n CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(r.r // o.out_deg) AS s "
+            f"FROM edges e JOIN r{i} r ON r.node = e.src "
+            f"JOIN outd o ON o.src = e.src GROUP BY e.dst) x ON x.node = n.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, r AS rank_int, "
+        f"CAST(r AS DOUBLE) / {float(S)!r} AS rank FROM r{iters}"
+    )

@@ -31,10 +31,10 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # order; queries added later register in the tail and are front-loaded
 # next rotation.
 _ROUND6_FRONT = [
-    # never driver-checked (7)
+    # never driver-checked (8)
     "doc_novelty", "source_overlap",
     "url_normalize", "domain_quota", "image_neardup", "line_dedup_lang",
-    "classifier_score",
+    "classifier_score", "domain_rank",
     # last hashed r02 (38)
     "equality", "concatenation", "switching", "assignation",
     "arithmetic", "comparison", "bind", "fold", "unfold", "filter",
@@ -45,10 +45,11 @@ _ROUND6_FRONT = [
     "dedup_exact", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "events_window", "stream_dedup", "stream_enrich", "stream_join",
     "multimodal_features", "json_extract", "sample_hash",
-    # materialize-migration sentinels (5; scd2_history displaced by
-    # classifier_score — its r04 row stands and incremental.py keeps
-    # the merge_changes sentinel)
-    "running_totals", "sessionize", "session_window",
+    # materialize-migration sentinels (4; scd2_history and sessionize
+    # displaced by classifier_score/domain_rank — their r04 rows stand
+    # and their files keep merge_changes / running_totals /
+    # session_window as sentinels)
+    "running_totals", "session_window",
     "merge_changes", "curation_pipeline",
 ]
 

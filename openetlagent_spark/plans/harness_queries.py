@@ -1506,6 +1506,33 @@ def q_line_dedup_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the domain link graph (functions/graph.py
+    pagerank): domains from the synthetic URLs, edges between the
+    domains of consecutive doc_ids (a deterministic co-citation
+    stand-in), 3 power iterations on the 2^40 grid with 17/20 damping.
+    The web-curation authority signal — CommonCrawl-scale pipelines
+    weight domains by link centrality before per-document heuristics.
+    Bit-exact vs the unrolled CTE oracle (kmeans/BPE-class iterative
+    determinism)."""
+    from ..functions.graph import pagerank
+    from ..functions.web import domain_extract
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SYNTH_URL_SQL).alias("url")
+    )
+    dom = domain_extract(docs, "url").select("doc_id", "domain")
+    a, b = dom.alias("a"), dom.alias("b")
+    edges = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = dom.select(F.col("domain").alias("node")).distinct()
+    return pagerank(nodes, edges, iters=3)
+
+
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (functions/classifier.py): the
     fastText-shaped model gate (DCLM / FineWeb-Edu stage) — md5 hashing
@@ -2169,6 +2196,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_neardup": q_image_neardup,
     "line_dedup_lang": q_line_dedup_lang,
     "classifier_score": q_classifier_score,
+    "domain_rank": q_domain_rank,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -2981,3 +3009,23 @@ from ..functions.classifier import (  # noqa: E402
 )
 
 HARNESS_ORACLES["classifier_score"] = _classifier_score_oracle_sql()
+
+# domain_rank: unrolled integer-PageRank CTEs over the SAME synthetic
+# domain graph (URL domain extraction + consecutive-doc co-citation)
+from ..functions.graph import pagerank_oracle_sql as _pagerank_oracle_sql  # noqa: E402
+
+_DOMAIN_NODES_SQL = (
+    f"(SELECT DISTINCT {_dom_expr} AS node "
+    f"FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents))"
+)
+_DOMAIN_EDGES_SQL = (
+    f"(SELECT DISTINCT a.domain AS src, b.domain AS dst "
+    f"FROM (SELECT doc_id, {_dom_expr} AS domain "
+    f"FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)) a "
+    f"JOIN (SELECT doc_id, {_dom_expr} AS domain "
+    f"FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)) b "
+    f"ON b.doc_id = a.doc_id + 1 WHERE a.domain <> b.domain)"
+)
+HARNESS_ORACLES["domain_rank"] = _pagerank_oracle_sql(
+    _DOMAIN_NODES_SQL, _DOMAIN_EDGES_SQL, iters=3
+)
