@@ -206,6 +206,7 @@ def pagerank(
     iters: int = 3,
     scale_bits: int = 40,
     damping: tuple[int, int] = (17, 20),
+    materialize_every: int = 5,
 ) -> DataFrame:
     """Deterministic INTEGER PageRank — link-graph authority scoring,
     the signal CommonCrawl-scale web curation uses to weight domains
@@ -231,8 +232,13 @@ def pagerank(
     Scale shape (a real web graph): each iteration is one broadcast-or
     -shuffle join of edges⋈ranks⋈out-degree plus one groupBy(dst) with
     map-side combine — the standard Spark power-iteration layout; the
-    only driver state is N (one count) and the loop index, and each
-    round passes a materialize() boundary so lineage stays flat.
+    only driver state is N (one count) and the loop index.  Rank
+    lineage grows LINEARLY per round (each round reads the previous
+    ranks once), so unlike connected components no per-round
+    truncation is required for correctness — a materialize() boundary
+    every ``materialize_every`` rounds (default 5) keeps deep runs'
+    plans bounded while short runs (3-iter curation scoring) compile
+    into ONE job with zero checkpoint latency; 0 disables boundaries.
     Returns (node, rank_int, rank) with ``rank = rank_int / 2^scale_bits``
     (exact: a power-of-two division of an int64 < 2^53)."""
     from ..session import materialize
@@ -247,7 +253,7 @@ def pagerank(
     base = (S * (dd - dn)) // (dd * N)
     out = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = nodes.select("node", F.lit(S // N).cast("long").alias("r"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(out, "src")
@@ -261,7 +267,8 @@ def pagerank(
                 + F.expr(f"(COALESCE(s, 0) * {dn}) DIV {dd}")
             ).cast("long").alias("r"),
         )
-        ranks = materialize(ranks)
+        if materialize_every and (i + 1) % materialize_every == 0 and i + 1 < iters:
+            ranks = materialize(ranks)
     return ranks.select(
         "node",
         F.col("r").alias("rank_int"),
