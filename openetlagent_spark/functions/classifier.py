@@ -61,9 +61,14 @@ def classifier_score(
     bias: float = 0.0,
     threshold: float = 0.0,
     weights: list[float] | None = None,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Score every document with the hashed linear classifier and flag
-    the keep decision: (id, n_tokens, score, clf_pass).
+    the keep decision: (id, n_tokens, score, clf_pass) — or, with
+    ``keep_all=True``, every input column ahead of the three metric
+    columns (pure projection, no join — which is what lets the gate
+    run unchanged on a STREAM, where a score join-back would be a
+    stream-stream self-join).
 
     ``score = (Σ_tokens w[md5int(token) % dim]) / n_tokens + bias`` —
     the linear margin, deliberately NOT squashed through a sigmoid
@@ -74,6 +79,13 @@ def classifier_score(
     w = weights if weights is not None else hashed_classifier_weights(dim, seed)
     if len(w) != dim:
         raise ValueError(f"classifier_score: got {len(w)} weights for dim={dim}")
+    if keep_all:
+        clash = sorted(set(df.columns) & {"n_tokens", "score", "clf_pass"})
+        if clash:
+            raise ValueError(
+                f"classifier_score(keep_all=True): input column(s) {clash} "
+                "collide with the produced metric names; rename them first"
+            )
     w_lit = _array_literal(w)
     toks = _token_col(F.col(text_col))
     per_tok = F.transform(
@@ -90,8 +102,9 @@ def classifier_score(
         F.col(text_col).isNotNull(),
         total / n.cast("double") + F.lit(float(bias)),
     )
+    lead = [F.col("*")] if keep_all else [F.col(id_col)]
     return df.select(
-        F.col(id_col),
+        *lead,
         F.when(F.col(text_col).isNotNull(), n.cast("bigint")).alias("n_tokens"),
         score.alias("score"),
         (score >= F.lit(float(threshold))).alias("clf_pass"),

@@ -844,6 +844,7 @@ def embedding_neardup_pairs(
     seed: int = 42,
     max_bucket: int = 2000,
     rademacher: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine-similar pairs (cos >= threshold) via sign-LSH blocking:
     ``n_tables`` independent sets of ``n_planes`` random hyperplanes;
@@ -858,7 +859,8 @@ def embedding_neardup_pairs(
     DuckDB oracle (embedding_pairs_oracle_sql with the same seed)."""
     from .similarity import cosine_expr, infer_dim, multi_table_signatures
 
-    dim = infer_dim(df, vec_col)
+    if dim is None:
+        dim = infer_dim(df, vec_col)
     base = df.select(
         F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__v__")
     ).transform(materialize)  # feeds the banding pass and both

@@ -679,6 +679,7 @@ def center_embeddings(
     vec_col: str,
     out_col: str = "centered",
     scale_bits: int = 20,
+    dim: int | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = vector minus the corpus mean — the standard
     pre-conditioning before sign-LSH: hyperplanes through the origin
@@ -695,8 +696,10 @@ def center_embeddings(
     the mean or raise scale trade-offs consciously.
 
     Driver state: one aggregate row (dim sums + count).  NULL vectors
-    contribute nothing to the mean and center to NULL."""
-    dim = infer_dim(df, vec_col)
+    contribute nothing to the mean and center to NULL.  Pass ``dim``
+    when the caller knows it to skip the 1-row inference probe job."""
+    if dim is None:
+        dim = infer_dim(df, vec_col)
     scale = float(1 << scale_bits)
     v = F.col(vec_col).cast("array<double>")
     row = df.agg(

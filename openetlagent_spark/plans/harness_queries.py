@@ -1819,10 +1819,10 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_image_features(media, dim=16).transform(
         materialize
     )  # one mapInPandas pass feeds the mean agg, pair mining, and keep-best
-    centered = center_embeddings(feats, "feature", "centered")
+    centered = center_embeddings(feats, "feature", "centered", dim=16)
     pairs = embedding_neardup_pairs(
         centered, "media_id", "centered",
-        threshold=0.995, n_planes=8, n_tables=2, rademacher=True,
+        threshold=0.995, n_planes=8, n_tables=2, rademacher=True, dim=16,
     )
     return dedup_keep_best(feats, pairs, "media_id", "n_bytes").select(
         "media_id", "mime", "n_bytes"

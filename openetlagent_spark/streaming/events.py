@@ -695,6 +695,35 @@ def quality_gate_stream(
     return kept.drop(*metric_cols)
 
 
+def classifier_gate_stream(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+    annotate: bool = False,
+    **clf_kwargs,
+) -> DataFrame:
+    """Streaming MODEL gate — the continuous form of the hashed linear
+    classifier (functions.classifier.classifier_score): score each
+    document as it lands and drop below-threshold rows before anything
+    stateful or stored sees them.  Like quality_gate_stream, the
+    scorer is stateless per-row JVM expressions (weight literal, no
+    join), so the SAME plan runs on a stream (no watermark, no state
+    store, any output mode) and on a batch frame; the parity test pins
+    stream == batch surviving sets.  ``annotate=True`` keeps
+    (n_tokens, score, clf_pass) on survivors."""
+    from ..functions.classifier import classifier_score
+
+    flagged = classifier_score(
+        docs, id_col, text_col, threshold=threshold, keep_all=True, **clf_kwargs,
+    )
+    kept = flagged.filter(F.col("clf_pass"))
+    if annotate:
+        return kept
+    return kept.drop("n_tokens", "score", "clf_pass")
+
+
 def admit_stream_with_store(
     docs: DataFrame,
     store_path: str,

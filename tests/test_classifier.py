@@ -68,3 +68,12 @@ def test_weights_are_grid_exact_and_seeded():
     assert w1 == w2 and w1 != w3
     assert all(v * (1 << 20) == int(v * (1 << 20)) for v in w1)
     assert all(-1.0 <= v < 1.0 for v in w1)
+
+
+def test_keep_all_and_collision_guard(spark):
+    df = spark.createDataFrame([(1, "a b", "s")], "doc_id long, text string, src string")
+    out = classifier_score(df, keep_all=True).collect()[0]
+    assert set(out.asDict()) == {"doc_id", "text", "src", "n_tokens", "score", "clf_pass"}
+    bad = df.withColumnRenamed("src", "score")
+    with pytest.raises(ValueError, match="collide"):
+        classifier_score(bad, keep_all=True)

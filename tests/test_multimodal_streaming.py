@@ -681,3 +681,43 @@ def test_running_totals_state_logic_matches_batch(spark):
                 assert gs is None or pd.isna(gs), (uid, gs)
             else:
                 assert gs == s, (uid, gs, s)  # exact float equality
+
+
+def test_stream_classifier_gate_matches_batch(spark, tmp_path):
+    """classifier_gate_stream (the model-gate sibling of the Gopher
+    gate): the hashed linear scorer is a pure projection — weight
+    literal, no join — so the same plan admits the same documents on
+    an availableNow file stream as on the batch frame."""
+    from openetlagent_spark.streaming import classifier_gate_stream
+
+    rows = [
+        Row(doc_id=i, text=t, source="s")
+        for i, t in enumerate(
+            ["alpha beta gamma", "delta epsilon", "zeta eta theta iota", "kappa"]
+        )
+    ]
+    batch = spark.createDataFrame(rows)
+    src = str(tmp_path / "clf_src")
+    batch.write.parquet(src)
+
+    expected = sorted(r.doc_id for r in classifier_gate_stream(batch).collect())
+    survivors_and_losers = {r.doc_id for r in batch.collect()}
+    assert 0 < len(expected) < len(survivors_and_losers), (
+        "threshold 0.0 should split this set; got " + str(expected)
+    )
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    gated = classifier_gate_stream(stream, annotate=True)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("clfgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
+    got = spark.sql("SELECT * FROM clfgate").collect()
+    assert sorted(r.doc_id for r in got) == expected
+    assert all(r.clf_pass for r in got)
+    assert all(r.source == "s" for r in got)  # non-text columns ride along
