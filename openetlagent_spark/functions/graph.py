@@ -251,7 +251,14 @@ def pagerank(
     if N == 0:
         raise ValueError("pagerank: empty node set")
     base = (S * (dd - dn)) // (dd * N)
-    out = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # Edges and out-degrees are re-joined EVERY round: materialize them
+    # once so iterations read a materialized table instead of
+    # re-deriving the edge list from source each time (the GraphX
+    # cache-the-graph discipline).  One boundary each, before the loop.
+    edges = materialize(edges.select("src", "dst"))
+    out = materialize(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    )
     ranks = nodes.select("node", F.lit(S // N).cast("long").alias("r"))
     for i in range(iters):
         contrib = (
