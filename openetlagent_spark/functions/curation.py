@@ -371,12 +371,12 @@ def pack_sequences(
     parts = (
         base.repartitionByRange(F.col("__oid__"))
         .withColumn("__pid__", F.spark_partition_id())
-        .transform(materialize)  # consumed by the phase-1 sums
-        # AND the phase-2 window — the boundary also guarantees both
-        # phases see the SAME range partitioning (localCheckpoint
-        # truncates lineage, so the sampled exchange can never re-run
-        # with different range bounds), and the blocks free on GC of
-        # the returned DataFrame instead of leaking for the session
+        .transform(materialize, True, True)  # consumed by the phase-1
+        # sums AND the phase-2 window — require_truncation: both phases
+        # MUST see the SAME range partitioning (the driver collects the
+        # per-pid base offsets, so a re-run of the sampled exchange
+        # with different range bounds would silently mis-join them);
+        # persist mode keeps lineage re-runnable and is refused here
     )
     # Phase 1: one row per partition → exclusive prefix of partition sums.
     psums = (
@@ -765,7 +765,9 @@ def _two_phase_global_rank(
     parts = (
         df.repartitionByRange(*sort_cols)
         .withColumn("_x_pid", F.spark_partition_id())
-        .transform(materialize)
+        # require_truncation: phase 2 joins the driver-collected per-pid
+        # bases — the sampled range exchange must never re-run
+        .transform(materialize, True, True)
     )
     psums = parts.groupBy("_x_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     bases: dict[int, int] = {}

@@ -241,8 +241,6 @@ def pagerank(
     into ONE job with zero checkpoint latency; 0 disables boundaries.
     Returns (node, rank_int, rank) with ``rank = rank_int / 2^scale_bits``
     (exact: a power-of-two division of an int64 < 2^53)."""
-    from ..session import materialize
-
     dn, dd = damping
     if not (0 < dn < dd):
         raise ValueError(f"pagerank damping must satisfy 0 < num < den, got {damping}")

@@ -205,6 +205,8 @@ def lsh_topk(
     n_tables) stops fitting comfortably in the broadcast threshold —
     beyond ~10M signature rows, shuffle."""
     dim = infer_dim(corpus, vec_col)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     c_all = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -288,7 +290,10 @@ def _sql_cosine(a: str, b: str, dim: int) -> str:
         dot_terms = f"({dot_terms} + {a}[{i}] * {b}[{i}])"
         na_terms = f"({na_terms} + {a}[{i}] * {a}[{i}])"
         nb_terms = f"({nb_terms} + {b}[{i}] * {b}[{i}])"
-    return f"({dot_terms}) / (sqrt({na_terms}) * sqrt({nb_terms}))"
+    # NULLIF mirrors Spark's try_divide: a zero-norm vector yields NULL
+    # (sorted last under cosine DESC in both engines), where a bare /0.0
+    # would yield NaN, which DuckDB orders FIRST under DESC
+    return f"({dot_terms}) / NULLIF(sqrt({na_terms}) * sqrt({nb_terms}), 0.0)"
 
 
 def lsh_topk_oracle_sql(
@@ -316,7 +321,8 @@ def lsh_topk_oracle_sql(
     )
     cosine = _sql_cosine("a.v", "b.v", dim)
     return (
-        f"WITH base AS (SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}), "
+        f"WITH base AS (SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v "
+        f"FROM {table} WHERE {vec_col} IS NOT NULL), "
         f"banded AS ({banded_selects}), "
         f"qb AS (SELECT vid, tbl, bucket FROM banded WHERE {query_pred}), "
         f"cand AS (SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id "
@@ -707,11 +713,13 @@ def center_embeddings(
             F.sum(F.floor(F.element_at(v, j + 1) * F.lit(scale))).alias(f"s{j}")
             for j in range(dim)
         ],
-        F.count(F.lit(1)).alias("n"),
+        # count NON-NULL vectors: the sums only cover those, so dividing
+        # by a count that included NULL rows would deflate the mean
+        F.count(F.col(vec_col)).alias("n"),
     ).collect()[0]
     n = row["n"]
     if not n:
-        raise ValueError("center_embeddings: empty input")
+        raise ValueError("center_embeddings: no non-NULL vectors to center on")
     means = [(float(row[f"s{j}"]) / scale) / float(n) for j in range(dim)]
     mean_lit = _array_literal(means)
     return df.withColumn(out_col, F.zip_with(v, mean_lit, lambda a, b: a - b))
@@ -734,7 +742,7 @@ def centered_oracle_sql(feats_sql: str, dim: int, scale_bits: int = 20) -> str:
     ) + "]"
     return (
         f"(WITH f AS (SELECT * FROM {feats_sql}), "
-        f"m AS (SELECT {sums}, COUNT(*) AS n FROM f) "
+        f"m AS (SELECT {sums}, COUNT(feature) AS n FROM f) "
         f"SELECT f.media_id, {centered} AS centered FROM f CROSS JOIN m)"
     )
 

@@ -53,11 +53,14 @@ def url_normalize(
         f"substring(substring_index({url_col}, '#', 1), "
         f"instr(substring_index({url_col}, '#', 1), '://') + 3)"
     )
-    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    hostport_raw = F.regexp_extract(rest, "^([^/?]*)", 1)
+    hostport = F.lower(F.col("__x_hostraw"))
     tail = F.expr(
-        # everything after host:port — path + query (host length is
-        # case-invariant, so the lowered hostport's length indexes rest)
-        "substring(__x_rest, length(__x_hostport) + 1)"
+        # everything after host:port — sliced by the RAW hostport's
+        # length: lowercasing can change string length for some Unicode
+        # mappings, so indexing rest by the lowered length would drop
+        # or duplicate a character of the path
+        "substring(__x_rest, length(__x_hostraw) + 1)"
     )
     host_noport = F.when(
         (scheme == "http") & hostport.endswith(":80"),
@@ -88,6 +91,7 @@ def url_normalize(
     out = (
         df.withColumn("__x_rest", rest)
         .withColumn("__x_scheme", scheme)
+        .withColumn("__x_hostraw", hostport_raw)
         .withColumn("__x_hostport", hostport)
         .withColumn("__x_tail", tail)
         .withColumn("__x_hostnp", host_noport)
@@ -97,7 +101,7 @@ def url_normalize(
         .withColumn(out_col, F.when(has_scheme, norm).otherwise(u1))
     )
     return out.drop(
-        "__x_rest", "__x_scheme", "__x_hostport", "__x_tail",
+        "__x_rest", "__x_scheme", "__x_hostraw", "__x_hostport", "__x_tail",
         "__x_hostnp", "__x_path", "__x_qs", "__x_params",
     )
 
@@ -155,8 +159,15 @@ def domain_quota(
     bounded top-n heap per domain (rank window + filter), so skewed
     mega-domains cost memory proportional to n, not to their row
     count."""
-    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    w = Window.partitionBy(domain_col).orderBy(order, F.col(tie_col).asc())
+    # explicit NULL placement: Spark asc() defaults NULLS FIRST while
+    # DuckDB ASC defaults NULLS LAST — pin NULLS LAST in both directions
+    # (and in the generated SQL) so the kept sets can never diverge
+    order = (
+        F.col(order_col).asc_nulls_last()
+        if ascending
+        else F.col(order_col).desc_nulls_last()
+    )
+    w = Window.partitionBy(domain_col).orderBy(order, F.col(tie_col).asc_nulls_last())
     return (
         df.withColumn("__x_rn", F.row_number().over(w))
         .filter(F.col("__x_rn") <= n_per_domain)
@@ -176,8 +187,11 @@ def url_normalize_oracle_sql(url_expr: str) -> str:
     u1 = f"split_part({url_expr}, '#', 1)"
     rest = f"substring({u1}, strpos({u1}, '://') + 3)"
     scheme = f"lower(split_part({u1}, '://', 1))"
-    hostport = f"lower(regexp_extract({rest}, '^([^/?]*)', 1))"
-    tail = f"substring({rest}, length({hostport}) + 1)"
+    hostport_raw = f"regexp_extract({rest}, '^([^/?]*)', 1)"
+    hostport = f"lower({hostport_raw})"
+    # slice by the RAW hostport length (mirrors the Spark side:
+    # lowercasing can change string length for some Unicode mappings)
+    tail = f"substring({rest}, length({hostport_raw}) + 1)"
     host_noport = (
         f"CASE WHEN {scheme} = 'http' AND {hostport} LIKE '%:80' "
         f"THEN substring({hostport}, 1, length({hostport}) - 3) "
@@ -236,6 +250,6 @@ def domain_quota_oracle_sql(
     cols = ", ".join(select_cols)
     return (
         f"SELECT {cols} FROM (SELECT *, row_number() OVER ("
-        f"PARTITION BY {domain_col} ORDER BY {order_col} {direction}, "
-        f"{tie_col} ASC) AS __rn FROM ({inner_sql})) WHERE __rn <= {n_per_domain}"
+        f"PARTITION BY {domain_col} ORDER BY {order_col} {direction} NULLS LAST, "
+        f"{tie_col} ASC NULLS LAST) AS __rn FROM ({inner_sql})) WHERE __rn <= {n_per_domain}"
     )

@@ -68,23 +68,32 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-# Scratch dirs created by THIS process: retired at PROCESS EXIT, not
-# at the next invocation (ADVICE r05 — layout queries return LAZY
-# frames that read their scratch back, so an entry-time rmtree of the
-# predecessor would break a caller still holding the earlier result;
-# the atexit boundary is the only point where no invocation can still
-# be live).  Guarded by a lock — query builders may run from multiple
-# threads.  Dirs from DEAD processes are still reclaimed on entry via
-# the pid liveness check.
-_SCRATCH_REGISTRY: list[str] = []
-_SCRATCH_LOCK = None  # created lazily to keep import side-effect-free
+# Scratch dirs created by THIS process, newest-last per prefix.
+# Lifetime contract (ADVICE r05): layout queries return LAZY frames
+# that read their scratch back, so the PREDECESSOR dir is never
+# rmtree'd on the next invocation — instead each prefix keeps its
+# _SCRATCH_KEEP most recent generations (older ones are presumed
+# consumed: holding >2 unconsumed invocations of the same layout query
+# in one process is outside the contract, documented here), and
+# whatever remains is retired in one batch at process exit.  This
+# bounds disk growth in long bench loops (the unbounded exit-only
+# variant could fill tmp) while keeping recent results readable.
+# Guarded by an import-time lock — lazy lock creation would itself be
+# an unsynchronized check-then-set.  Dirs from DEAD processes are
+# still reclaimed on entry via the pid liveness check.
+import threading as _threading
+
+_SCRATCH_REGISTRY: dict[str, list[str]] = {}
+_SCRATCH_LOCK = _threading.Lock()
+_SCRATCH_KEEP = 3
 
 
 def _retire_scratch_dirs() -> None:
     import shutil
 
-    for d in _SCRATCH_REGISTRY:
-        shutil.rmtree(d, ignore_errors=True)
+    for dirs in _SCRATCH_REGISTRY.values():
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
     _SCRATCH_REGISTRY.clear()
 
 
@@ -98,22 +107,16 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
     leaked by DEAD runs are garbage-collected on entry by checking
     whether the pid embedded in the name is still alive — never by
     age, which could delete a long-running process's live dir
-    mid-read.  This process's OWN dirs are registered and retired in
-    one batch at process exit (atexit) — any earlier invocation's lazy
-    DataFrame stays readable for the whole process lifetime; the cost
-    is one small dataset copy per invocation until exit."""
+    mid-read.  This process's OWN dirs: the last _SCRATCH_KEEP
+    generations per prefix stay readable (lazy read-back contract);
+    older generations retire on entry, the rest at process exit."""
     import atexit
     import glob
     import hashlib
     import os
     import shutil
     import tempfile
-    import threading
     import uuid
-
-    global _SCRATCH_LOCK
-    if _SCRATCH_LOCK is None:
-        _SCRATCH_LOCK = threading.Lock()
 
     base = tempfile.gettempdir()
     for old in glob.glob(os.path.join(base, f"{prefix}_*_p*")):
@@ -132,7 +135,12 @@ def _scratch_dir(prefix: str, sf_dir: str) -> str:
     with _SCRATCH_LOCK:
         if not _SCRATCH_REGISTRY:
             atexit.register(_retire_scratch_dirs)
-        _SCRATCH_REGISTRY.append(path)
+        gens = _SCRATCH_REGISTRY.setdefault(prefix, [])
+        gens.append(path)
+        stale = gens[:-_SCRATCH_KEEP]
+        del gens[:-_SCRATCH_KEEP]
+    for old_dir in stale:
+        shutil.rmtree(old_dir, ignore_errors=True)
     return path
 
 

@@ -805,7 +805,10 @@ def admit_stream_with_store(
             # one deterministic materialization feeds both the sink
             # write and the store append (a second action would re-run
             # the gate against the GROWN store)
-            admitted = admitted.transform(materialize)
+            # require_truncation: the store grows right after this
+            # boundary, so a lineage re-run would re-gate the batch
+            # against its OWN fingerprints and silently drop rows
+            admitted = admitted.transform(materialize, True, True)
             admitted.write.mode("overwrite").parquet(landing)
         if strategy == "exact":
             build_fingerprint_store(admitted, store_path, text_col, mode="append")

@@ -164,3 +164,43 @@ def test_center_embeddings_spreads_lsh_buckets(spark):
     assert n_buckets(df, "embedding") == 1  # collapsed
     cdf = center_embeddings(df, "embedding", "centered")
     assert n_buckets(cdf, "centered") > 4  # spread
+
+
+def test_center_embeddings_ignores_null_vectors(spark):
+    """The mean covers only non-NULL vectors (NULL rows must not
+    deflate it), and an all-NULL input raises clearly."""
+    import pytest
+
+    from openetlagent_spark.functions.similarity import center_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [2.0, 4.0]), (2, [4.0, 8.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.centered for r in center_embeddings(df, "embedding").collect()}
+    assert out[1] == [-1.0, -2.0] and out[2] == [1.0, 2.0]  # mean (3,6) over 2 rows
+    assert out[3] is None
+    allnull = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    # dim given: the count guard fires; dim inferred: infer_dim's own
+    # clear error fires first — either way the failure is loud
+    with pytest.raises(ValueError, match="non-NULL"):
+        center_embeddings(allnull, "embedding", dim=2)
+    with pytest.raises(ValueError, match="cannot infer"):
+        center_embeddings(allnull, "embedding")
+
+
+def test_lsh_topk_drops_null_vectors(spark, emb):
+    """A NULL embedding must appear neither as query nor neighbor
+    (previously it hashed into bucket 0 of every table)."""
+    from pyspark.sql import functions as F
+
+    withnull = emb.unionByName(
+        emb.limit(1).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.col("label"),
+        )
+    )
+    out = lsh_topk(withnull, withnull.filter("vec_id >= 999999 OR vec_id < 5"), k=5).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert all(i < 1_000_000 for i in ids)

@@ -90,3 +90,17 @@ def test_domain_quota_tie_break(spark):
     df = spark.createDataFrame(rows, "domain string, doc_id long, score long")
     kept = domain_quota(df, "domain", "score", 2, "doc_id").collect()
     assert sorted(r.doc_id for r in kept) == [0, 1]
+
+
+def test_domain_quota_null_scores_rank_last(spark):
+    """NULL order values must lose to real scores (NULLS LAST pinned on
+    both engines — Spark asc() alone would rank them FIRST)."""
+    rows = [("a.com", 1, None), ("a.com", 2, 5), ("a.com", 3, 1)]
+    df = spark.createDataFrame(rows, "domain string, doc_id long, score long")
+    kept_desc = {r.doc_id for r in domain_quota(df, "domain", "score", 2, "doc_id").collect()}
+    assert kept_desc == {2, 3}
+    kept_asc = {
+        r.doc_id
+        for r in domain_quota(df, "domain", "score", 2, "doc_id", ascending=True).collect()
+    }
+    assert kept_asc == {2, 3}  # NULL still last even ascending
