@@ -173,6 +173,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "classifier_score",
     "domain_rank",
+    "html_extract",
 ]
 
 

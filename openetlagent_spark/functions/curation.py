@@ -1332,3 +1332,71 @@ FROM common c
 JOIN sizes sa ON sa.src = c.source_a
 JOIN sizes sb ON sb.src = c.source_b
 """
+
+
+# --- HTML → text extraction -------------------------------------------------
+
+# Applied IN ORDER (order matters: block strips before generic tag
+# removal, entity decode after tags, &amp; LAST so "&amp;lt;" decodes
+# to the literal "&lt;" exactly once — the standard single-pass
+# simplification).  Every pattern stays in the regex subset Java
+# (Spark) and RE2 (DuckDB) interpret identically: inline (?is) flags,
+# non-greedy repeats, char classes — no backreferences (RE2 has none:
+# script/style are two patterns, not one with \1).
+HTML_STRIP_PATTERNS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level closers become newlines so document structure
+    # survives tag removal (the C4 line-level heuristics need lines)
+    (r"(?i)<br[^>]*/?>|</p\s*>|</div\s*>|</h[1-6]\s*>|</li\s*>|</tr\s*>", "\n"),
+    (r"<[^>]+>", " "),
+]
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+HTML_WS_PATTERNS: list[tuple[str, str]] = [
+    (r"[ \t]+", " "), (r" ?\n ?", "\n"), (r"\n{3,}", "\n\n"),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Boilerplate HTML → plain text, the stage every web-corpus
+    pipeline (C4, CCNet, RefinedWeb) runs FIRST: strip script/style
+    blocks and comments, turn block closers into newlines, drop
+    remaining tags, decode the common entities, collapse whitespace.
+    A deliberate regex extractor (trafilatura-class DOM readability is
+    a library problem, not an engine one) — deterministic, pure JVM
+    expressions, zero shuffle, and exactly mirrored by
+    html_to_text_oracle_expr so the whole stage hash-checks."""
+    out = col
+    for pat, rep in HTML_STRIP_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    for pat, rep in HTML_WS_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    # final trim as a regex (anchored, default non-multiline in both
+    # engines) — avoids any trim(chars) signature skew across engines
+    return F.regexp_replace(out, r"^[ \n]+|[ \n]+$", "")
+
+
+def html_to_text_oracle_expr(col_expr: str) -> str:
+    """DuckDB mirror of :func:`html_to_text` — same patterns, same
+    order, same trim set; generated from the SAME constant tables."""
+    out = col_expr
+    for pat, rep in HTML_STRIP_PATTERNS:
+        p = pat.replace("'", "''")
+        r = rep.replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    for pat, rep in HTML_WS_PATTERNS:
+        p = pat.replace("'", "''")
+        r = rep.replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return (
+        f"regexp_replace({out}, '^[ ' || chr(10) || ']+|[ ' || chr(10) || ']+$', '', 'g')"
+    )

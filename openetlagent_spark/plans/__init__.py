@@ -24,17 +24,17 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     additionally flipped from rows-only to exact oracles this round;
 # (c) 6 sentinels for this round's materialize-boundary migration on
 #     files whose other queries aren't already in (a)/(b): streaming
-#     (running_totals, sessionize, session_window), incremental
-#     (merge_changes, scd2_history), text+curation (curation_pipeline).
+#     (running_totals, session_window), incremental (merge_changes);
+#     text.py/curation.py are covered by this round's new queries.
 # After r06 no query's newest driver row is older than r03.
 # Local `scripts/check_oracle.py` runs the full set regardless of
 # order; queries added later register in the tail and are front-loaded
 # next rotation.
 _ROUND6_FRONT = [
-    # never driver-checked (8)
+    # never driver-checked (9)
     "doc_novelty", "source_overlap",
     "url_normalize", "domain_quota", "image_neardup", "line_dedup_lang",
-    "classifier_score", "domain_rank",
+    "classifier_score", "domain_rank", "html_extract",
     # last hashed r02 (38)
     "equality", "concatenation", "switching", "assignation",
     "arithmetic", "comparison", "bind", "fold", "unfold", "filter",
@@ -45,12 +45,11 @@ _ROUND6_FRONT = [
     "dedup_exact", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "events_window", "stream_dedup", "stream_enrich", "stream_join",
     "multimodal_features", "json_extract", "sample_hash",
-    # materialize-migration sentinels (4; scd2_history and sessionize
-    # displaced by classifier_score/domain_rank — their r04 rows stand
-    # and their files keep merge_changes / running_totals /
-    # session_window as sentinels)
-    "running_totals", "session_window",
-    "merge_changes", "curation_pipeline",
+    # materialize-migration sentinels (3; scd2_history, sessionize and
+    # curation_pipeline displaced by this round's new queries — their
+    # r04 rows stand, and text.py/curation.py are covered by the fresh
+    # line_dedup_lang / classifier_score / html_extract rows)
+    "running_totals", "session_window", "merge_changes",
 ]
 
 

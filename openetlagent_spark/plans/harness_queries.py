@@ -1514,6 +1514,39 @@ def q_line_dedup_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic messy HTML around each document's text — scripts,
+# styles, comments, block structure, entities (doc_id%7 docs get their
+# spaces rewritten to ' &amp; ' to exercise decode), all in one
+# dialect-shared SQL string
+_SYNTH_HTML_SQL = (
+    "'<html><head><STYLE>b{color:red}</STYLE>"
+    "<script src=\"x.js\">var a=1;</script></head><body>"
+    "<h1>Doc ' || CAST(doc_id AS VARCHAR(32)) || '</h1><p>' || "
+    "CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', ' &amp; ') ELSE text END "
+    "|| '</p><!-- tracker --><div>site footer</div></body></html>'"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/curation.py html_to_text):
+    the stage every web pipeline runs FIRST — strip script/style
+    blocks and comments, block closers to newlines, drop tags, decode
+    entities, collapse whitespace.  Pure JVM regex chain, zero
+    shuffle; the oracle is generated from the same pattern tables."""
+    from ..functions.curation import html_to_text
+
+    docs = _ts(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SYNTH_HTML_SQL).alias("html")
+    )
+    out = docs.select(
+        "doc_id", html_to_text(F.col("html")).alias("text_clean")
+    )
+    return out.select(
+        "doc_id", "text_clean",
+        F.length("text_clean").cast("bigint").alias("n_chars_clean"),
+    )
+
+
 def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank over the domain link graph (functions/graph.py
     pagerank): domains from the synthetic URLs, edges between the
@@ -2205,6 +2238,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_lang": q_line_dedup_lang,
     "classifier_score": q_classifier_score,
     "domain_rank": q_domain_rank,
+    "html_extract": q_html_extract,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -3036,4 +3070,17 @@ _DOMAIN_EDGES_SQL = (
 )
 HARNESS_ORACLES["domain_rank"] = _pagerank_oracle_sql(
     _DOMAIN_NODES_SQL, _DOMAIN_EDGES_SQL, iters=3
+)
+
+# html_extract: the full strip/decode/collapse chain generated from the
+# same pattern tables as the Spark expression, over the same synthetic
+# HTML construction
+from ..functions.curation import (  # noqa: E402
+    html_to_text_oracle_expr as _html_to_text_oracle_expr,
+)
+
+HARNESS_ORACLES["html_extract"] = (
+    f"SELECT doc_id, {_html_to_text_oracle_expr('html')} AS text_clean, "
+    f"CAST(length({_html_to_text_oracle_expr('html')}) AS BIGINT) AS n_chars_clean "
+    f"FROM (SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents)"
 )

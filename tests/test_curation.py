@@ -536,3 +536,28 @@ def test_line_dedup_per_group_and_min_df_floor(spark):
         ).collect()
     }
     assert out3[0] == "alpha\npromo"
+
+
+def test_html_to_text_contract(spark):
+    from openetlagent_spark.functions.curation import html_to_text
+    from pyspark.sql import functions as F
+
+    cases = {
+        # scripts/styles/comments vanish wholesale, tags drop, entities decode
+        '<p>a &amp; b</p><script>x=1;</script>': "a & b",
+        '<STYLE>b{}</STYLE><div>hi</div>': "hi",
+        '<!-- note --><b>bold</b> text': "bold text",
+        # block closers preserve line structure
+        '<p>one</p><p>two</p>': "one\ntwo",
+        # &amp;lt; decodes exactly once (single-pass contract)
+        'x &amp;lt; y': "x &lt; y",
+        # whitespace collapse + trim
+        '  <p>  spaced   out  </p>  ': "spaced out",
+        'plain no markup': "plain no markup",
+    }
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(cases)], "i long, html string"
+    )
+    got = {r.i: r.t for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
+    for i, h in enumerate(cases):
+        assert got[i] == cases[h], (h, got[i])
