@@ -1334,6 +1334,41 @@ class LineDedupOperation(Operation):
 
 
 @dataclass
+class HtmlToTextOperation(Operation):
+    """HTML → plain-text extraction as a flow op (functions/curation.py
+    html_to_text): the text column is REPLACED by the extracted text
+    (or written to ``output_column`` when set)."""
+
+    input_column: str = "text"
+    operation_type: str = "html_to_text"
+
+
+@dataclass
+class ClassifierScoreOperation(Operation):
+    """Hashed linear quality classifier as a flow op
+    (functions/classifier.py): mode='annotate' appends n_tokens /
+    score / clf_pass; mode='filter' keeps passing rows and drops the
+    metric columns."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    dim: int = 1024
+    seed: int = 42
+    bias: float = 0.0
+    threshold: float = 0.0
+    mode: str = "annotate"
+    operation_type: str = "classifier_score"
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("annotate", "filter"):
+            raise SpecError(
+                f"classifier_score mode must be annotate|filter, got {self.mode!r}"
+            )
+        if self.dim < 1:
+            raise SpecError(f"classifier_score dim must be >= 1, got {self.dim!r}")
+
+
+@dataclass
 class UrlNormalizeOperation(Operation):
     """URL normalization as a flow op (functions/web.py url_normalize):
     lowercase scheme/host, strip fragments, default ports, and tracking
@@ -1457,6 +1492,8 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "gopher_rules": GopherRulesOperation,
     "lm_buckets": LmBucketsOperation,
     "line_dedup": LineDedupOperation,
+    "html_to_text": HtmlToTextOperation,
+    "classifier_score": ClassifierScoreOperation,
     "url_normalize": UrlNormalizeOperation,
     "domain_extract": DomainExtractOperation,
     "domain_quota": DomainQuotaOperation,

@@ -564,6 +564,27 @@ def apply_line_dedup(df: DataFrame, op: "LineDedupOperation") -> DataFrame:
     )
 
 
+def apply_html_to_text(df: DataFrame, op: "HtmlToTextOperation") -> DataFrame:
+    from ..functions.curation import html_to_text
+
+    require_columns(df, [op.input_column], "html_to_text")
+    out_col = op.output_column or op.input_column
+    return df.withColumn(out_col, html_to_text(F.col(op.input_column)))
+
+
+def apply_classifier_score(df: DataFrame, op: "ClassifierScoreOperation") -> DataFrame:
+    from ..functions.classifier import classifier_score
+
+    require_columns(df, [op.id_column, op.text_column], "classifier_score")
+    flagged = classifier_score(
+        df, op.id_column, op.text_column, dim=op.dim, seed=op.seed,
+        bias=op.bias, threshold=op.threshold, keep_all=True,
+    )
+    if op.mode == "annotate":
+        return flagged
+    return flagged.filter(F.col("clf_pass")).drop("n_tokens", "score", "clf_pass")
+
+
 def apply_url_normalize(df: DataFrame, op: "UrlNormalizeOperation") -> DataFrame:
     from ..functions.web import url_normalize
 

@@ -590,3 +590,37 @@ def test_yaml_line_dedup_group_min_df(spark):
 
     with _pytest.raises(SpecError):
         parse_operation({"operation_type": "line_dedup", "min_df": 0})
+
+
+def test_yaml_html_and_classifier_ops(spark):
+    """The full web-pipeline head as YAML ops: html_to_text replaces
+    the text in place, classifier_score gates on the model margin."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="<p>alpha beta gamma</p><script>x</script>"),
+            Row(doc_id=2, text="<div>delta epsilon</div>"),
+        ]
+    )
+    ops = [
+        parse_operation({"operation_type": "html_to_text"}),
+        parse_operation({"operation_type": "classifier_score", "mode": "annotate"}),
+    ]
+    out = {r.doc_id: r for r in apply_operations(docs, ops, spark).collect()}
+    assert out[1].text == "alpha beta gamma"
+    assert out[2].text == "delta epsilon"
+    assert all(r.score is not None for r in out.values())
+
+    filt = parse_operation({
+        "operation_type": "classifier_score", "mode": "filter", "threshold": -1e9,
+    })
+    kept = apply_operations(docs, [parse_operation({"operation_type": "html_to_text"}), filt], spark)
+    assert kept.count() == 2 and "clf_pass" not in kept.columns
+
+    import pytest as _pytest
+
+    from openetlagent_spark.model import SpecError
+
+    with _pytest.raises(SpecError):
+        parse_operation({"operation_type": "classifier_score", "mode": "bogus"})
