@@ -174,6 +174,7 @@ HEADLINE = [
     "classifier_score",
     "domain_rank",
     "html_extract",
+    "web_pipeline",
 ]
 
 

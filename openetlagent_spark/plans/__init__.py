@@ -31,10 +31,10 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # order; queries added later register in the tail and are front-loaded
 # next rotation.
 _ROUND6_FRONT = [
-    # never driver-checked (9)
+    # never driver-checked (10)
     "doc_novelty", "source_overlap",
     "url_normalize", "domain_quota", "image_neardup", "line_dedup_lang",
-    "classifier_score", "domain_rank", "html_extract",
+    "classifier_score", "domain_rank", "html_extract", "web_pipeline",
     # last hashed r02 (38)
     "equality", "concatenation", "switching", "assignation",
     "arithmetic", "comparison", "bind", "fold", "unfold", "filter",
@@ -45,11 +45,13 @@ _ROUND6_FRONT = [
     "dedup_exact", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "events_window", "stream_dedup", "stream_enrich", "stream_join",
     "multimodal_features", "json_extract", "sample_hash",
-    # materialize-migration sentinels (3; scd2_history, sessionize and
-    # curation_pipeline displaced by this round's new queries — their
-    # r04 rows stand, and text.py/curation.py are covered by the fresh
-    # line_dedup_lang / classifier_score / html_extract rows)
-    "running_totals", "session_window", "merge_changes",
+    # materialize-migration sentinels (2; the other candidates were
+    # displaced by this round's new queries — their r04 rows stand;
+    # streaming/events.py is additionally covered by the four fresh
+    # stream-family rows in the r02 block and text/curation by the
+    # line_dedup_lang / classifier_score / html_extract / web_pipeline
+    # rows)
+    "running_totals", "merge_changes",
 ]
 
 

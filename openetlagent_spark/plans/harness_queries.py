@@ -1547,6 +1547,55 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern WEB-CURATION HEAD end-to-end — the round-6 capstone
+    composition, mirroring how curation_pipeline proves the classic
+    text path and semantic_dedup the embedding path:
+
+        raw HTML + URL → html_to_text → domain_extract →
+        per-domain quota (8 best by cleaned length) →
+        classifier gate (hashed linear margin ≥ 0) →
+        exact dedup (keep-min per normalized cleaned text)
+
+    Every stage is an existing exact-oracle operator; the oracle chains
+    their generated SQL (pattern-table HTML chain, domain expression,
+    quota window, weight-list classifier, fingerprint keep-min), so no
+    stage can drift from its standalone query.  Scale shape: stages 1-3
+    are pure projections; the quota window is the first shuffle; the
+    classifier is a weight-literal projection; the dedup is one
+    fingerprint groupBy — the corpus is never shuffled at HTML width
+    after extraction."""
+    from pyspark.sql import Window as W
+
+    from ..functions.classifier import classifier_score
+    from ..functions.curation import html_to_text
+    from ..functions.web import domain_extract, domain_quota
+
+    docs = _ts(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SYNTH_HTML_SQL).alias("html"),
+        F.expr(_SYNTH_URL_SQL).alias("url"),
+    )
+    ext = docs.select(
+        "doc_id", html_to_text(F.col("html")).alias("text_clean"), "url"
+    )
+    ext = domain_extract(ext, "url").drop("url", "apex_domain")
+    ext = ext.withColumn(
+        "n_chars_clean", F.length("text_clean").cast("bigint")
+    )
+    quota = domain_quota(ext, "domain", "n_chars_clean", 8, "doc_id")
+    clf = classifier_score(
+        quota, "doc_id", "text_clean", threshold=0.0, keep_all=True
+    ).filter(F.col("clf_pass"))
+    fp = F.md5(F.trim(F.lower(F.col("text_clean"))))
+    w = W.partitionBy(fp).orderBy(F.col("doc_id").asc())
+    return (
+        clf.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("doc_id", "domain", "n_chars_clean", "score")
+    )
+
+
 def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank over the domain link graph (functions/graph.py
     pagerank): domains from the synthetic URLs, edges between the
@@ -2239,6 +2288,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score": q_classifier_score,
     "domain_rank": q_domain_rank,
     "html_extract": q_html_extract,
+    "web_pipeline": q_web_pipeline,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -3083,4 +3133,33 @@ HARNESS_ORACLES["html_extract"] = (
     f"SELECT doc_id, {_html_to_text_oracle_expr('html')} AS text_clean, "
     f"CAST(length({_html_to_text_oracle_expr('html')}) AS BIGINT) AS n_chars_clean "
     f"FROM (SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents)"
+)
+
+# web_pipeline: the capstone chain — every stage spliced from its own
+# generated SQL (HTML pattern tables, domain expression, quota window,
+# classifier weight list, fingerprint keep-min)
+from ..functions.classifier import (  # noqa: E402
+    classifier_score_oracle_sql as _classifier_score_oracle_sql,
+)
+
+_WP_EXT = (
+    f"SELECT doc_id, {_html_to_text_oracle_expr('html')} AS text_clean, "
+    f"{_dom_expr} AS domain "
+    f"FROM (SELECT doc_id, {_SYNTH_HTML_SQL} AS html, {_SYNTH_URL_SQL} AS url "
+    f"FROM documents)"
+)
+_WP_QUOTA = _domain_quota_oracle_sql(
+    f"SELECT doc_id, text_clean, domain, "
+    f"CAST(length(text_clean) AS BIGINT) AS n_chars_clean FROM ({_WP_EXT})",
+    "domain", "n_chars_clean", 8, "doc_id",
+    ["doc_id", "text_clean", "domain", "n_chars_clean"],
+)
+HARNESS_ORACLES["web_pipeline"] = (
+    f"WITH quota AS ({_WP_QUOTA}), "
+    f"clf AS ({_classifier_score_oracle_sql('quota', 'doc_id', 'text_clean', threshold=0.0)}), "
+    f"gated AS (SELECT q.doc_id, q.domain, q.n_chars_clean, c.score, q.text_clean "
+    f"FROM quota q JOIN clf c USING (doc_id) WHERE c.clf_pass), "
+    f"ded AS (SELECT doc_id, domain, n_chars_clean, score, row_number() OVER ("
+    f"PARTITION BY md5(trim(lower(text_clean))) ORDER BY doc_id ASC) AS rn FROM gated) "
+    f"SELECT doc_id, domain, n_chars_clean, score FROM ded WHERE rn = 1"
 )
