@@ -872,11 +872,27 @@ def embedding_neardup_pairs(
     # buckets carry only ids (never the vectors), the id_a < id_b pairs
     # expand as a JVM array expression, and vectors join back from the
     # persisted base solely for exact-cosine verification.
+    # executor-side dim guard in the first post-checkpoint projection
+    # (NOT inside the checkpointed base — a task failure during block
+    # materialization surfaces as a confusing secondary error): a wrong
+    # supplied dim would otherwise NULL every projection and collapse
+    # all signatures into one bucket — silently
+    vg = F.col("__v__")
+    guarded = F.when(
+        vg.isNotNull() & (F.size(vg) != F.lit(dim)),
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding_neardup_pairs: expected {dim}-dimensional "
+                      "vectors, got length "),
+                F.size(vg).cast("string"),
+            )
+        ).cast("array<double>"),
+    ).otherwise(vg)
     banded = base.select(
         "__id__",
         F.posexplode(
             multi_table_signatures(
-                F.col("__v__"), n_planes, n_tables, seed, dim, rademacher=rademacher
+                guarded, n_planes, n_tables, seed, dim, rademacher=rademacher
             )
         ).alias("tbl", "bucket"),
     )

@@ -204,9 +204,11 @@ def lsh_topk(
     crossover is roughly when the exploded query side (rows ×
     n_tables) stops fitting comfortably in the broadcast threshold —
     beyond ~10M signature rows, shuffle."""
-    dim = infer_dim(corpus, vec_col)
+    # filter BEFORE the dim probe: infer_dim reads the first scanned
+    # row, which may be exactly the NULL row the filters exist to drop
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
+    dim = infer_dim(corpus, vec_col)
     c_all = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -710,13 +712,25 @@ def center_embeddings(
     v = F.col(vec_col).cast("array<double>")
     row = df.agg(
         *[
-            F.sum(F.floor(F.element_at(v, j + 1) * F.lit(scale))).alias(f"s{j}")
+            # try_element_at: under ANSI a plain element_at on a
+            # shorter-than-dim vector would throw INVALID_ARRAY_INDEX
+            # inside the aggregate, pre-empting the clearer baddim
+            # ValueError below
+            F.sum(F.floor(F.try_element_at(v, F.lit(j + 1)) * F.lit(scale))).alias(f"s{j}")
             for j in range(dim)
         ],
         # count NON-NULL vectors: the sums only cover those, so dividing
         # by a count that included NULL rows would deflate the mean
         F.count(F.col(vec_col)).alias("n"),
+        # supplied-dim validation rides the same aggregate (no extra
+        # job): a wrong dim would silently truncate or NULL the mean
+        F.count(F.when(F.size(v) != dim, 1)).alias("baddim"),
     ).collect()[0]
+    if row["baddim"]:
+        raise ValueError(
+            f"center_embeddings: {row['baddim']} vector(s) are not "
+            f"{dim}-dimensional — wrong dim argument or ragged input"
+        )
     n = row["n"]
     if not n:
         raise ValueError("center_embeddings: no non-NULL vectors to center on")

@@ -15,17 +15,19 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # hashed, zero outstanding failures; doc_novelty + source_overlap
 # landed after the final r05 run (local-PASS only).  This round-6
 # ordering starts the staleness ratchet VERDICT r05 item 1 asked for:
-# (a) the 6 queries with NO driver row: doc_novelty + source_overlap
-#     (r05 snapshot tail) and the four added this round
-#     (url_normalize, domain_quota, image_neardup, line_dedup_lang);
+# (a) the 10 queries with NO driver row: doc_novelty + source_overlap
+#     (r05 snapshot tail) and the eight added this round (url_normalize,
+#     domain_quota, image_neardup, line_dedup_lang, classifier_score,
+#     domain_rank, html_extract, web_pipeline);
 # (b) ALL 38 queries whose latest driver hash is r02
 #     (scripts/staleness.py) — the core-op, analytics-window, text,
 #     ANN, and streaming-batch families; ann_lsh_topk / ann_ivf_topk
 #     additionally flipped from rows-only to exact oracles this round;
-# (c) 6 sentinels for this round's materialize-boundary migration on
+# (c) 2 sentinels for this round's materialize-boundary migration on
 #     files whose other queries aren't already in (a)/(b): streaming
-#     (running_totals, session_window), incremental (merge_changes);
-#     text.py/curation.py are covered by this round's new queries.
+#     (running_totals) and incremental (merge_changes); text/curation
+#     and the rest of streaming are covered by (a)'s new rows and the
+#     four stream-family rows in (b).
 # After r06 no query's newest driver row is older than r03.
 # Local `scripts/check_oracle.py` runs the full set regardless of
 # order; queries added later register in the tail and are front-loaded

@@ -73,8 +73,9 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # that read their scratch back, so the PREDECESSOR dir is never
 # rmtree'd on the next invocation — instead each prefix keeps its
 # _SCRATCH_KEEP most recent generations (older ones are presumed
-# consumed: holding >2 unconsumed invocations of the same layout query
-# in one process is outside the contract, documented here), and
+# consumed — CONTRACT: at most _SCRATCH_KEEP same-prefix invocations
+# in flight per process; a 4th concurrent unconsumed one would see its
+# eldest sibling's dir trimmed), and
 # whatever remains is retired in one batch at process exit.  This
 # bounds disk growth in long bench loops (the unbounded exit-only
 # variant could fill tmp) while keeping recent results readable.

@@ -204,3 +204,32 @@ def test_lsh_topk_drops_null_vectors(spark, emb):
     out = lsh_topk(withnull, withnull.filter("vec_id >= 999999 OR vec_id < 5"), k=5).collect()
     ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
     assert all(i < 1_000_000 for i in ids)
+
+
+def test_supplied_dim_mismatch_is_loud(spark):
+    """A wrong explicit dim must error, not silently collapse buckets
+    (center: deflated/NULLed mean; pairs: one-bucket signatures)."""
+    import pytest
+
+    from openetlagent_spark.functions.dedup import embedding_neardup_pairs
+    from openetlagent_spark.functions.similarity import center_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [2.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimensional"):
+        center_embeddings(df, "embedding", dim=16)
+    with pytest.raises(Exception, match="expected 16-dimensional"):
+        embedding_neardup_pairs(df, "vec_id", "embedding", dim=16).collect()
+
+
+def test_lsh_topk_null_first_row_still_infers_dim(spark):
+    """infer_dim must probe AFTER the NULL filter — a NULL embedding in
+    the first scanned row used to abort the whole query."""
+    from openetlagent_spark.functions.similarity import lsh_topk
+
+    rows = [(0, None)] + [(i, [float(i + j) for j in range(8)]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_topk(df, df, k=3, n_planes=2, n_tables=2).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert 0 not in ids and len(out) > 0
