@@ -438,3 +438,20 @@ def test_classifier_score_is_single_scan_no_shuffle(spark):
     assert count_shuffles(plan) <= 1  # only the rebalance_scan spread
     physical = plan.split("== Physical Plan ==")[-1]
     assert "Join" not in physical
+
+
+def test_html_extract_is_pure_projection(spark):
+    plan = plan_of(spark, "html_extract")
+    assert count_shuffles(plan) <= 1  # only the rebalance_scan spread
+    assert "Join" not in plan.split("== Physical Plan ==")[-1]
+
+
+def test_web_pipeline_shape(spark):
+    """Capstone shape: no cartesians, no global single-partition
+    windows, and the HTML-width columns never enter a shuffle after
+    extraction (the quota exchange carries cleaned text only)."""
+    plan = plan_of(spark, "web_pipeline")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical
+    assert "Exchange SinglePartition" not in physical
+    assert count_shuffles(plan) <= 3  # quota window + dedup window + rebalance
