@@ -721,3 +721,45 @@ def test_stream_classifier_gate_matches_batch(spark, tmp_path):
     assert sorted(r.doc_id for r in got) == expected
     assert all(r.clf_pass for r in got)
     assert all(r.source == "s" for r in got)  # non-text columns ride along
+
+
+def test_stream_web_head_html_then_classifier(spark, tmp_path):
+    """The stateless web-pipeline head ON A STREAM: html_to_text (pure
+    regex projection) feeding classifier_gate_stream — the same
+    composition web_pipeline's batch capstone runs, minus the stateful
+    quota/dedup stages (those are batch/foreachBatch territory).
+    availableNow parity against the identical batch plan."""
+    from openetlagent_spark.functions.curation import html_to_text
+    from openetlagent_spark.streaming import classifier_gate_stream
+
+    rows = [
+        Row(doc_id=i, text=f"<p>{body}</p><script>t()</script>")
+        for i, body in enumerate(
+            ["alpha beta gamma delta", "epsilon zeta", "eta theta iota", "kappa"]
+        )
+    ]
+    batch = spark.createDataFrame(rows)
+    src = str(tmp_path / "web_head_src")
+    batch.write.parquet(src)
+
+    def head(df):
+        clean = df.withColumn("text", html_to_text(F.col("text")))
+        return classifier_gate_stream(clean, annotate=True)
+
+    expected = {(r.doc_id, r.text) for r in head(batch).collect()}
+    assert 0 < len(expected) <= 4
+    assert all("<" not in t for _, t in expected)  # extraction ran first
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    gated = head(stream)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("webhead")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {(r.doc_id, r.text) for r in spark.sql("SELECT * FROM webhead").collect()}
+    assert got == expected
