@@ -624,3 +624,28 @@ def test_yaml_html_and_classifier_ops(spark):
 
     with _pytest.raises(SpecError):
         parse_operation({"operation_type": "classifier_score", "mode": "bogus"})
+
+
+def test_example_web_curation_flow_runs(spark):
+    """examples/pipelines/web_curation.yaml — the shipped demo of the
+    full web head — must parse and run end-to-end with survivors."""
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.model import load_pipeline_flow
+    from openetlagent_spark.plans.harness_queries import (
+        _SYNTH_HTML_SQL,
+        _SYNTH_URL_SQL,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars",
+        F.expr(_SYNTH_HTML_SQL).alias("text"),
+        F.expr(_SYNTH_URL_SQL).alias("url"),
+    )
+    flow = load_pipeline_flow("examples/pipelines/web_curation.yaml")
+    out = apply_operations(docs, flow.operations, spark)
+    n = out.count()
+    assert 0 < n < docs.count()
+    assert {"url_norm", "domain", "apex_domain"} <= set(out.columns)
+    # the HTML is gone from the surviving text
+    assert out.filter(F.col("text").contains("<script")).count() == 0
