@@ -104,3 +104,43 @@ def test_domain_quota_null_scores_rank_last(spark):
         for r in domain_quota(df, "domain", "score", 2, "doc_id", ascending=True).collect()
     }
     assert kept_asc == {2, 3}  # NULL still last even ascending
+
+
+def test_url_store_recrawl_admission(spark, tmp_path):
+    """CommonCrawl-style re-crawl dedup BY NORMALIZED URL: the generic
+    fingerprint store keyed on url_norm — a page re-fetched under a
+    differently-tracked/cased/fragmented URL is recognized as known,
+    while a genuinely new page admits.  Composition of url_normalize
+    with the incremental store machinery, no new operator needed."""
+    from openetlagent_spark.functions.incremental import (
+        build_fingerprint_store,
+        dedup_gate_from_store,
+    )
+
+    crawl1 = spark.createDataFrame(
+        [
+            (1, "https://a.com/page?id=1&utm_source=feed"),
+            (2, "HTTP://B.org:80/x#top"),
+        ],
+        "doc_id long, url string",
+    )
+    c1 = url_normalize(crawl1, "url")
+    store = str(tmp_path / "url_store")
+    build_fingerprint_store(c1, store, text_col="url_norm")
+
+    crawl2 = spark.createDataFrame(
+        [
+            (10, "https://a.com/page?utm_medium=rss&id=1"),  # same page, new tracking
+            (11, "http://b.org/x"),                          # same page, canonical form
+            (12, "https://a.com/other"),                     # new page
+        ],
+        "doc_id long, url string",
+    )
+    c2 = url_normalize(crawl2, "url")
+    verdicts = {
+        r.doc_id: r.is_known
+        for r in dedup_gate_from_store(
+            c2, spark, store, id_col="doc_id", text_col="url_norm"
+        ).collect()
+    }
+    assert verdicts == {10: True, 11: True, 12: False}
