@@ -175,6 +175,8 @@ HEADLINE = [
     "domain_rank",
     "html_extract",
     "web_pipeline",
+    "token_budget",
+    "embedding_quantize",
 ]
 
 

@@ -1400,3 +1400,94 @@ def html_to_text_oracle_expr(col_expr: str) -> str:
     return (
         f"regexp_replace({out}, '^[ ' || chr(10) || ']+|[ ' || chr(10) || ']+$', '', 'g')"
     )
+
+
+# --- per-group token-budget sampling ----------------------------------------
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str,
+    budgets: dict[str, int] | None = None,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Keep an unbiased sample of each group capped by a TOKEN budget —
+    training mixes are specified in tokens, not documents, so a
+    row-count quota (domain_quota, weighted_mixture) over- or
+    under-shoots groups whose document lengths differ.  Rows are
+    consumed in the engine's seedless hash order (md5(id), id — an
+    unbiased deterministic draw) and a row is kept iff it STARTS
+    inside its group's budget (greedy prefix; the boundary row may
+    overshoot — the standard packing convention).  ``budgets`` maps
+    per-group overrides; ``budget`` is the default.  NULL token counts
+    weigh 0.
+
+    Scale shape (100 TB): per-group cumulative sums run as a
+    DRIVERLESS two-phase prefix scan — range-repartition on (group,
+    hash); phase 1 aggregates one (partition, group) sum row; the
+    exclusive base offsets fold on that TINY aggregate with a window
+    (each group spans few contiguous partitions, so the aggregate is
+    O(partitions + groups) rows — never collected); phase 2 adds a
+    (partition, group)-local window to the broadcast base.  No
+    single-partition window even for a group holding 30 TB.  Appends
+    ``cum_col`` (inclusive cumulative tokens within the group, in
+    draw order) to the surviving rows."""
+    toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    parts = (
+        df.withColumn("_x_h", F.md5(F.col(id_col).cast("string")))
+        .withColumn("_x_t", toks)
+        .repartitionByRange(F.col(group_col), F.col("_x_h"), F.col(id_col))
+        .withColumn("_x_pid", F.spark_partition_id())
+        # require_truncation: phase 2 joins bases keyed by this exact
+        # sampled range split — it must never re-run differently
+        .transform(materialize, True, True)
+    )
+    agg = parts.groupBy("_x_pid", group_col).agg(F.sum("_x_t").alias("_x_s"))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_x_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = agg.withColumn(
+        "_x_base", F.coalesce(F.sum("_x_s").over(wb), F.lit(0))
+    ).drop("_x_s")
+    wl = Window.partitionBy("_x_pid", group_col).orderBy("_x_h", id_col)
+    joined = parts.join(F.broadcast(bases), ["_x_pid", group_col])
+    cum = (F.col("_x_base") + F.sum("_x_t").over(wl)).cast("long")
+    bexpr = F.lit(int(budget))
+    if budgets:
+        bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+        bexpr = F.coalesce(F.element_at(bmap, F.col(group_col)), bexpr)
+    return (
+        joined.withColumn(cum_col, cum)
+        .filter((F.col(cum_col) - F.col("_x_t")) < bexpr)
+        .drop("_x_h", "_x_t", "_x_pid", "_x_base")
+    )
+
+
+def token_budget_oracle_sql(
+    inner_sql: str,
+    group_col: str,
+    tokens_expr: str,
+    budget: int,
+    id_col: str,
+    select_cols: list[str],
+    cum_col: str = "cum_tokens",
+) -> str:
+    """DuckDB mirror of :func:`token_budget_sample` (default budget
+    only): one inclusive SUM window in the same (md5(id), id) draw
+    order — the two-phase Spark scan computes exactly this."""
+    cols = ", ".join(select_cols)
+    return (
+        f"SELECT {cols}, {cum_col} FROM ("
+        # CAST: DuckDB's SUM over BIGINT yields HUGEINT, which the
+        # pandas bridge floats — the r03 hash-skew class
+        f"SELECT *, CAST(SUM(__t) OVER (PARTITION BY {group_col} "
+        f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} "
+        f"ROWS UNBOUNDED PRECEDING) AS BIGINT) AS {cum_col} "
+        f"FROM (SELECT *, CAST(COALESCE({tokens_expr}, 0) AS BIGINT) AS __t "
+        f"FROM ({inner_sql}))) WHERE {cum_col} - __t < {budget}"
+    )

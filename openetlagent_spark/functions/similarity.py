@@ -823,3 +823,74 @@ def embedding_centroids_oracle_sql(
         f"FROM (SELECT {group_col}, CAST({vec_col} AS DOUBLE[]) AS l FROM {table})) "
         f"GROUP BY {group_col}, i"
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization — the int8 compression
+    every production vector store applies before ANN indexing (4×
+    smaller than float32, 8× than float64; recall loss ≪ 1% on
+    normalized embeddings).  Per vector: ``scale = max|v| / qmax``
+    (qmax = 2^(bits−1) − 1), ``q_i = clamp(round(v_i / max|v| · qmax))``;
+    dequantization is ``q_i · scale``.  A zero vector quantizes to
+    zeros with scale 0.  Returns (id, scale, q array<int>, max_err =
+    max|v − q·scale|, the per-vector reconstruction bound).
+
+    Pure JVM expressions (round half-away-from-zero matches DuckDB —
+    the kmeans grid trade), one scan, no shuffle; exactly mirrored by
+    quantize_oracle_sql (arrays rendered as joined strings there —
+    the driver hash does not cover array cells)."""
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(absmax > 0, F.transform(
+        v,
+        lambda x: F.least(
+            F.greatest(F.round(x / absmax * qmax), F.lit(float(-qmax))),
+            F.lit(float(qmax)),
+        ).cast("int"),
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    scale = F.when(absmax > 0, absmax / qmax).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.when(v.isNotNull(), scale).alias("scale"),
+        F.when(v.isNotNull(), q).alias("q"),
+        F.when(
+            v.isNotNull(),
+            F.array_max(
+                F.zip_with(v, q, lambda x, qi: F.abs(x - qi.cast("double") * scale))
+            ),
+        ).alias("max_err"),
+    )
+
+
+def quantize_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`quantize_embeddings` with the int array
+    rendered as a comma-joined string (array cells are outside the
+    driver hash; the QUERY joins them identically)."""
+    qmax = (1 << (bits - 1)) - 1
+    v = f"CAST({vec_col} AS DOUBLE[])"
+    absmax = f"list_max(list_transform({v}, x -> abs(x)))"
+    qexpr = (
+        f"CASE WHEN {absmax} > 0 THEN list_transform({v}, "
+        f"x -> CAST(least(greatest(round(x / {absmax} * {qmax}), "
+        f"CAST(-{qmax} AS DOUBLE)), CAST({qmax} AS DOUBLE)) AS INTEGER)) "
+        f"ELSE list_transform({v}, x -> 0) END"
+    )
+    scale = f"CASE WHEN {absmax} > 0 THEN {absmax} / {qmax} ELSE 0.0 END"
+    return (
+        f"SELECT {id_col}, scale, array_to_string(q, ',') AS q_str, "
+        f"list_max(list_transform(range(1, len(v) + 1), "
+        f"i -> abs(v[CAST(i AS INTEGER)] - CAST(q[CAST(i AS INTEGER)] AS DOUBLE) * scale))) AS max_err "
+        f"FROM (SELECT {id_col}, {v} AS v, {scale} AS scale, {qexpr} AS q "
+        f"FROM {table} WHERE {vec_col} IS NOT NULL)"
+    )

@@ -15,28 +15,26 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # hashed, zero outstanding failures; doc_novelty + source_overlap
 # landed after the final r05 run (local-PASS only).  This round-6
 # ordering starts the staleness ratchet VERDICT r05 item 1 asked for:
-# (a) the 10 queries with NO driver row: doc_novelty + source_overlap
-#     (r05 snapshot tail) and the eight added this round (url_normalize,
+# (a) the 12 queries with NO driver row: doc_novelty + source_overlap
+#     (r05 snapshot tail) and the ten added this round (url_normalize,
 #     domain_quota, image_neardup, line_dedup_lang, classifier_score,
-#     domain_rank, html_extract, web_pipeline);
+#     domain_rank, html_extract, web_pipeline, token_budget,
+#     embedding_quantize) — each locally exact-verified at driver
+#     strength when it landed;
 # (b) ALL 38 queries whose latest driver hash is r02
 #     (scripts/staleness.py) — the core-op, analytics-window, text,
 #     ANN, and streaming-batch families; ann_lsh_topk / ann_ivf_topk
-#     additionally flipped from rows-only to exact oracles this round;
-# (c) 2 sentinels for this round's materialize-boundary migration on
-#     files whose other queries aren't already in (a)/(b): streaming
-#     (running_totals) and incremental (merge_changes); text/curation
-#     and the rest of streaming are covered by (a)'s new rows and the
-#     four stream-family rows in (b).
+#     additionally flipped from rows-only to exact oracles this round.
 # After r06 no query's newest driver row is older than r03.
 # Local `scripts/check_oracle.py` runs the full set regardless of
 # order; queries added later register in the tail and are front-loaded
 # next rotation.
 _ROUND6_FRONT = [
-    # never driver-checked (10)
+    # never driver-checked (12)
     "doc_novelty", "source_overlap",
     "url_normalize", "domain_quota", "image_neardup", "line_dedup_lang",
     "classifier_score", "domain_rank", "html_extract", "web_pipeline",
+    "token_budget", "embedding_quantize",
     # last hashed r02 (38)
     "equality", "concatenation", "switching", "assignation",
     "arithmetic", "comparison", "bind", "fold", "unfold", "filter",
@@ -47,13 +45,12 @@ _ROUND6_FRONT = [
     "dedup_exact", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "events_window", "stream_dedup", "stream_enrich", "stream_join",
     "multimodal_features", "json_extract", "sample_hash",
-    # materialize-migration sentinels (2; the other candidates were
-    # displaced by this round's new queries — their r04 rows stand;
-    # streaming/events.py is additionally covered by the four fresh
-    # stream-family rows in the r02 block and text/curation by the
-    # line_dedup_lang / classifier_score / html_extract / web_pipeline
-    # rows)
-    "running_totals", "merge_changes",
+    # (the materialize-migration sentinels were all displaced by this
+    # round's never-checked queries — the strictly better trade:
+    # streaming/events.py is covered by the four fresh stream-family
+    # rows in (b), incremental.py by the r05-green store rows and the
+    # twice-run full local gate, and every displaced sentinel's own
+    # r04 driver row stands)
 ]
 
 

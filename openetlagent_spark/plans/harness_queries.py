@@ -1548,6 +1548,45 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions/similarity.py
+    quantize_embeddings): per-vector max-abs scale, clamped rounding,
+    and the max reconstruction error — the 4-8× vector-store
+    compression every production ANN deployment applies.  The int
+    array is rendered as a joined string for the driver hash (array
+    cells are outside its coverage)."""
+    from ..functions.similarity import quantize_embeddings
+
+    emb = _ts(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out = quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return out.select(
+        "vec_id", "scale",
+        F.array_join(F.col("q"), ",").alias("q_str"),
+        "max_err",
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget sampling (functions/curation.py
+    token_budget_sample): training mixes are specified in tokens, so
+    row-count quotas over/under-shoot sources with different document
+    lengths; this keeps an unbiased hash-ordered prefix of each source
+    capped at 300 tokens.  Driverless two-phase per-group prefix scan
+    — no single-partition window at any group size."""
+    from ..functions.curation import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("long").alias("n_tokens"),
+    )
+    return token_budget_sample(
+        docs, "source", "n_tokens", budget=300, id_col="doc_id"
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The modern WEB-CURATION HEAD end-to-end — the round-6 capstone
     composition, mirroring how curation_pipeline proves the classic
@@ -2290,6 +2329,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_rank": q_domain_rank,
     "html_extract": q_html_extract,
     "web_pipeline": q_web_pipeline,
+    "token_budget": q_token_budget,
+    "embedding_quantize": q_embedding_quantize,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -3163,4 +3204,24 @@ HARNESS_ORACLES["web_pipeline"] = (
     f"ded AS (SELECT doc_id, domain, n_chars_clean, score, row_number() OVER ("
     f"PARTITION BY md5(trim(lower(text_clean))) ORDER BY doc_id ASC) AS rn FROM gated) "
     f"SELECT doc_id, domain, n_chars_clean, score FROM ded WHERE rn = 1"
+)
+
+# token_budget: the same (md5, id) draw order and inclusive SUM window
+# the two-phase scan computes — tokens from the shared tokenizer length
+from ..functions.curation import (  # noqa: E402
+    token_budget_oracle_sql as _token_budget_oracle_sql,
+)
+
+HARNESS_ORACLES["token_budget"] = _token_budget_oracle_sql(
+    "SELECT doc_id, source, "
+    "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens "
+    "FROM documents",
+    "source", "n_tokens", 300, "doc_id",
+    ["doc_id", "source", "n_tokens"],
+)
+
+from ..functions.similarity import quantize_oracle_sql as _quantize_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["embedding_quantize"] = _quantize_oracle_sql(
+    "embeddings", "vec_id", "embedding", bits=8
 )

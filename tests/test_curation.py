@@ -561,3 +561,51 @@ def test_html_to_text_contract(spark):
     got = {r.i: r.t for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
     for i, h in enumerate(cases):
         assert got[i] == cases[h], (h, got[i])
+
+
+def test_token_budget_sample_semantics(spark):
+    """Greedy hash-order prefix per group: the keep set equals the
+    literal Python mirror, budget overrides apply per group, NULL
+    token counts weigh 0, and the result is repartition-invariant."""
+    import hashlib
+
+    from openetlagent_spark.functions.curation import token_budget_sample
+
+    rows = [
+        ("a", i, 10 if i != 7 else None) for i in range(10)
+    ] + [("b", 100 + i, 25) for i in range(6)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+
+    def mirror(budget, budgets=None):
+        out = {}
+        bygroup = {}
+        for g, i, t in rows:
+            bygroup.setdefault(g, []).append((hashlib.md5(str(i).encode()).hexdigest(), i, t or 0))
+        for g, items in bygroup.items():
+            b = (budgets or {}).get(g, budget)
+            cum = 0
+            for _, i, t in sorted(items):
+                if cum < b:  # row starts inside the budget
+                    out[i] = cum + t
+                cum += t
+        return out
+
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_sample(df, "src", "toks", 45, "doc_id").collect()
+    }
+    assert got == mirror(45)
+
+    over = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_sample(
+            df, "src", "toks", 45, "doc_id", budgets={"b": 60}
+        ).collect()
+    }
+    assert over == mirror(45, {"b": 60})
+
+    rep = {
+        r.doc_id: r.cum_tokens
+        for r in token_budget_sample(df.repartition(7), "src", "toks", 45, "doc_id").collect()
+    }
+    assert rep == got

@@ -233,3 +233,51 @@ def test_lsh_topk_null_first_row_still_infers_dim(spark):
     out = lsh_topk(df, df, k=3, n_planes=2, n_tables=2).collect()
     ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
     assert 0 not in ids and len(out) > 0
+
+
+def test_quantize_embeddings_roundtrip_bound(spark, emb):
+    """int8 symmetric quantization: |q| <= 127, max_err <= scale/2 +
+    eps per vector (half-step rounding bound), zero vectors quantize
+    to zeros with scale 0, and dequantized ANN ranking stays close to
+    the float ranking (recall sanity on the real table)."""
+    import numpy as np
+
+    from openetlagent_spark.functions.similarity import quantize_embeddings
+
+    rows = quantize_embeddings(emb, "vec_id", "embedding").collect()
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for r in rows:
+        assert max(abs(x) for x in r.q) <= 127
+        assert r.max_err <= r.scale / 2 + 1e-15
+        deq = np.array(r.q, dtype=np.float64) * r.scale
+        assert np.max(np.abs(raw[r.vec_id] - deq)) == r.max_err
+    # dequantized cosine ranking ~ matches float top-1 for most queries
+    ids = sorted(raw)[:20]
+    deqs = {r.vec_id: np.array(r.q, dtype=np.float64) * r.scale for r in rows}
+    agree = 0
+    for qid in ids:
+        def top1(space):
+            best, bid = -2.0, None
+            qv = space[qid]
+            for nid, nv in space.items():
+                if nid == qid:
+                    continue
+                c = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+                if c > best:
+                    best, bid = c, nid
+            return bid
+        agree += top1(raw) == top1(deqs)
+    assert agree >= 16  # >=80% top-1 agreement after 8-bit quantization
+
+
+def test_quantize_zero_and_null_vectors(spark):
+    from openetlagent_spark.functions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0, -0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert got[1].scale == 0.0 and got[1].q == [0, 0] and got[1].max_err == 0.0
+    assert got[2].scale is None and got[2].q is None and got[2].max_err is None
+    assert got[3].q == [127, -64]  # -0.5/1*127 = -63.5 → away-from-zero → -64
