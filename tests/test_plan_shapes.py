@@ -455,3 +455,18 @@ def test_web_pipeline_shape(spark):
     assert "CartesianProduct" not in physical
     assert "Exchange SinglePartition" not in physical
     assert count_shuffles(plan) <= 3  # quota window + dedup window + rebalance
+
+
+def test_embedding_quantize_is_pure_projection(spark):
+    plan = plan_of(spark, "embedding_quantize")
+    assert count_shuffles(plan) <= 1  # rebalance spread only
+    assert "Join" not in plan.split("== Physical Plan ==")[-1]
+
+
+def test_token_budget_no_global_window(spark):
+    """The per-group prefix scan must never fall back to a global
+    single-partition window; budget joins broadcast."""
+    plan = plan_of(spark, "token_budget")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange SinglePartition" not in physical
+    assert count_shuffles(plan) <= 4  # range split + agg + base join + local window reuse
