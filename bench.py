@@ -177,6 +177,8 @@ HEADLINE = [
     "web_pipeline",
     "token_budget",
     "embedding_quantize",
+    "gap_fill",
+    "bloom_gate",
 ]
 
 

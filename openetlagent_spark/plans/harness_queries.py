@@ -1587,6 +1587,46 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill + forward fill over the event table (functions/
+    timeseries.py gap_fill_hourly): dense per-type hour grid between
+    each type's first and last observation, gap hours carry the last
+    observed hourly sum forward — the resample-and-ffill stage of every
+    metrics / feature-store pipeline.  Raw events reduce to (type,
+    hour) partial aggregates in the FIRST shuffle; the grid explode and
+    fill window only ever touch |types| x |hours| rows."""
+    from ..functions.timeseries import gap_fill_hourly
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill_hourly(ev, key="event_type", ts_col="ts", value_col="value")
+
+
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-filter decontamination gate (functions/bloom.py):
+    the benchmark slice (doc_id % 97 = 0) packs into an m-bit bitmap
+    ONCE (driver-side, bounded by m, not data); the corpus is then
+    flagged by a pure md5-probe PROJECTION — zero joins, zero shuffles,
+    the 100 TB corpus never moves.  Deterministic md5 hash positions
+    make the bitmap — false positives included — engine-exact, so the
+    gate hash-matches the generated positions-set oracle."""
+    from ..functions.bloom import build_bloom_bitmap, with_bloom_flag
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_side = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    bitmap = build_bloom_bitmap(eval_side, "text", m=_BLOOM_M, k=_BLOOM_K)
+    corpus = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_bloom_flag(corpus, "text", bitmap, m=_BLOOM_M, k=_BLOOM_K).select(
+        "doc_id", "bloom_hit"
+    )
+
+
+# Small filter for the 0.01-sf eval slice (6 docs x 3 hashes): 4096
+# bits keep the plan literal at 64 words; production defaults live in
+# functions/bloom.py.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
 def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The modern WEB-CURATION HEAD end-to-end — the round-6 capstone
     composition, mirroring how curation_pipeline proves the classic
@@ -2331,6 +2371,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_pipeline": q_web_pipeline,
     "token_budget": q_token_budget,
     "embedding_quantize": q_embedding_quantize,
+    "gap_fill": q_gap_fill,
+    "bloom_gate": q_bloom_gate,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
@@ -3224,4 +3266,22 @@ from ..functions.similarity import quantize_oracle_sql as _quantize_oracle_sql  
 
 HARNESS_ORACLES["embedding_quantize"] = _quantize_oracle_sql(
     "embeddings", "vec_id", "embedding", bits=8
+)
+
+# gap_fill / bloom_gate: generated from the same constants as the
+# Spark side (functions/timeseries.py, functions/bloom.py) so the two
+# cannot drift.
+from ..functions.bloom import bloom_gate_oracle_sql as _bloom_gate_oracle_sql  # noqa: E402
+from ..functions.timeseries import gap_fill_oracle_sql as _gap_fill_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["gap_fill"] = _gap_fill_oracle_sql(
+    table="events", key="event_type", ts_col="ts", value_col="value"
+)
+HARNESS_ORACLES["bloom_gate"] = _bloom_gate_oracle_sql(
+    corpus_sql="SELECT doc_id, text FROM documents",
+    eval_sql="SELECT text FROM documents WHERE doc_id % 97 = 0",
+    id_col="doc_id",
+    text_col="text",
+    m=_BLOOM_M,
+    k=_BLOOM_K,
 )

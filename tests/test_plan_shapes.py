@@ -463,6 +463,27 @@ def test_embedding_quantize_is_pure_projection(spark):
     assert "Join" not in plan.split("== Physical Plan ==")[-1]
 
 
+def test_gap_fill_shape(spark):
+    """Raw events reduce in the FIRST shuffle; grid + fill only touch
+    (key, hour) rows, the grid join stays broadcast at test SF, and
+    the fill window partitions by key — never a global window."""
+    plan = plan_of(spark, "gap_fill")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange SinglePartition" not in physical
+    assert "CartesianProduct" not in physical
+    assert count_shuffles(plan) <= 3  # hourly agg + fill window (+margin)
+
+
+def test_bloom_gate_serve_is_shuffle_free(spark):
+    """The corpus side of the Bloom gate is scan + codegen projection:
+    no join, no hash/range exchange at all (the bitmap ships as a plan
+    literal) — the property that makes it usable at 100 TB."""
+    plan = plan_of(spark, "bloom_gate")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert count_shuffles(plan) == 0
+    assert "Join" not in physical
+
+
 def test_token_budget_no_global_window(spark):
     """The per-group prefix scan must never fall back to a global
     single-partition window; budget joins broadcast."""

@@ -1,0 +1,144 @@
+"""Unit tests for the round-6 tail additions: time-series gap fill
+(functions/timeseries.py) and the broadcast Bloom gate
+(functions/bloom.py).  Oracle equivalence is covered by the harness
+(scripts/check_oracle.py: gap_fill, bloom_gate); these pin the
+SEMANTICS on hand-built frames plus the loud-failure contracts."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openetlagent_spark.functions.bloom import (
+    build_bloom_bitmap,
+    with_bloom_flag,
+)
+from openetlagent_spark.functions.timeseries import gap_fill_hourly
+
+
+def _ts(h: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h)
+
+
+BASE_HOUR = int(_ts(0).replace(tzinfo=datetime.timezone.utc).timestamp()) // 3600
+
+
+@pytest.fixture()
+def gap_df(spark):
+    rows = [
+        # key "a": hours 0, 0, 3 -> grid 0..3 with a 2-hour gap
+        Row(k="a", ts=_ts(0), v=1.0),
+        Row(k="a", ts=_ts(0), v=2.0),
+        Row(k="a", ts=_ts(3), v=10.0),
+        # key "b": single hour -> 1-row grid
+        Row(k="b", ts=_ts(5), v=7.0),
+        # NULL key and NULL ts rows must not widen any grid
+        Row(k=None, ts=_ts(1), v=99.0),
+        Row(k="a", ts=None, v=99.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_gap_fill_grid_and_ffill(gap_df):
+    out = gap_fill_hourly(gap_df, key="k", ts_col="ts", value_col="v")
+    got = {
+        (r["k"], r["hour_idx"] - BASE_HOUR): (
+            r["n_events"],
+            r["observed"],
+            r["filled_sum"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", 0): (2, 1, 3.0),
+        ("a", 1): (0, 0, 3.0),  # gap: carries hour 0's sum
+        ("a", 2): (0, 0, 3.0),
+        ("a", 3): (1, 1, 10.0),
+        ("b", 5): (1, 1, 7.0),
+    }
+
+
+def test_gap_fill_span_guard_raises(spark):
+    df = spark.createDataFrame(
+        [Row(k="x", ts=_ts(0), v=1.0), Row(k="x", ts=_ts(100), v=1.0)]
+    )
+    with pytest.raises(Exception, match="span exceeds"):
+        gap_fill_hourly(
+            df, key="k", ts_col="ts", value_col="v", max_span_hours=10
+        ).collect()
+
+
+def test_gap_fill_all_null_ts_key_drops_not_raises(spark):
+    df = spark.createDataFrame(
+        [Row(k="x", ts=None, v=1.0), Row(k="y", ts=_ts(2), v=4.0)]
+    )
+    out = gap_fill_hourly(df, key="k", ts_col="ts", value_col="v").collect()
+    assert [(r["k"], r["observed"]) for r in out] == [("y", 1)]
+
+
+def _py_positions(text: str, m: int, k: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"{text}#b{i}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def test_bloom_bitmap_matches_python_reference(spark):
+    vals = ["alpha", "beta", "gamma d e f"]
+    df = spark.createDataFrame([Row(t=v) for v in vals] + [Row(t=None)])
+    m, k = 256, 3
+    bitmap = build_bloom_bitmap(df, "t", m=m, k=k)
+    expect = [0] * (m // 64)
+    for v in vals:
+        for p in _py_positions(v, m, k):
+            expect[p // 64] |= 1 << (p % 64)
+    # python ints are unbounded; Spark words are signed int64
+    expect = [w - (1 << 64) if w >= (1 << 63) else w for w in expect]
+    assert bitmap == expect
+
+
+def test_bloom_no_false_negatives_and_null_is_miss(spark):
+    members = [f"doc {i} text" for i in range(20)]
+    df = spark.createDataFrame([Row(t=v) for v in members])
+    bitmap = build_bloom_bitmap(df, "t", m=1024, k=3)
+    probe = spark.createDataFrame(
+        [Row(id=i, t=v) for i, v in enumerate(members)]
+        + [Row(id=100, t="definitely unseen value zzz"), Row(id=101, t=None)]
+    )
+    out = with_bloom_flag(probe, "t", bitmap, m=1024, k=3)
+    flags = {r["id"]: r["bloom_hit"] for r in out.collect()}
+    assert all(flags[i] == 1 for i in range(20)), "a Bloom filter never false-negatives"
+    assert flags[101] == 0, "NULL probes must miss, not error"
+    # id=100 is allowed to false-positive in principle; with 60 set bits
+    # in 1024 the chance is ~2e-4 — assert the overwhelmingly likely miss
+    # so a hashing regression (e.g. constant positions) fails the test.
+    assert flags[100] == 0
+
+
+def test_bloom_contract_errors(spark):
+    df = spark.createDataFrame([Row(t="x")])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom_bitmap(df, "t", m=100, k=3)
+    with pytest.raises(ValueError, match="words"):
+        with_bloom_flag(df, "t", [0] * 3, m=1024, k=3)
+
+
+def test_bloom_serve_is_pure_projection(spark):
+    """The serve side must stay scan+project: no join, no exchange —
+    that is the whole point of the operator at 100 TB."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bitmap = build_bloom_bitmap(
+        docs.where(F.col("doc_id") % 97 == 0).select("text"), "text", m=4096, k=3
+    )
+    plan = (
+        with_bloom_flag(docs.select("doc_id", "text"), "text", bitmap, m=4096, k=3)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in physical
+    assert "Join" not in physical
