@@ -1433,6 +1433,58 @@ class LmBucketsOperation(Operation):
             raise SpecError(f"lm_buckets k must be positive, got {self.k!r}")
 
 
+@dataclass
+class GapFillOperation(Operation):
+    """Hourly gap fill + forward fill as a flow op
+    (functions/timeseries.py gap_fill_hourly): REPLACES the frame with
+    the dense per-key hourly grid (key, hour_idx, n_events, observed,
+    filled_sum) — the resample-and-ffill stage of a metrics pipeline."""
+
+    key_column: str = ""
+    ts_column: str = "ts"
+    value_column: str = "value"
+    max_span_hours: int = 24 * 366
+    operation_type: str = "gap_fill"
+
+    def __post_init__(self) -> None:
+        if not self.key_column:
+            raise SpecError("gap_fill requires key_column")
+        if self.max_span_hours < 1:
+            raise SpecError(
+                f"gap_fill max_span_hours must be >= 1, got {self.max_span_hours!r}"
+            )
+
+
+@dataclass
+class BloomGateOperation(Operation):
+    """Broadcast Bloom-filter membership gate as a flow op
+    (functions/bloom.py): the CURRENT frame is the corpus, the
+    benchmark/eval side resolves like bind's right side (named input
+    key or file path) and packs into an m-bit bitmap served as a pure
+    projection — the shuffle-free decontamination pre-filter.
+    mode ∈ annotate (append ``bloom_hit`` 1/0) / filter (drop hits —
+    conservative: deterministic false positives drop too)."""
+
+    eval_path: str = ""
+    eval_schema_columns: dict[str, str] = field(default_factory=dict)
+    text_column: str = "text"
+    eval_text_column: str = ""
+    m: int = 1 << 16
+    k: int = 3
+    mode: str = "annotate"
+    operation_type: str = "bloom_gate"
+
+    def __post_init__(self) -> None:
+        if not self.eval_path:
+            raise SpecError("bloom_gate requires eval_path (input key or file path)")
+        if self.m < 64 or self.m % 64:
+            raise SpecError(f"bloom_gate m must be a positive multiple of 64, got {self.m!r}")
+        if self.k < 1:
+            raise SpecError(f"bloom_gate k must be >= 1, got {self.k!r}")
+        if self.mode not in ("annotate", "filter"):
+            raise SpecError(f"bloom_gate mode must be annotate|filter, got {self.mode!r}")
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -1500,6 +1552,8 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "tokenize_ids": TokenizeIdsOperation,
     "curriculum_order": CurriculumOrderOperation,
     "store_gate": StoreGateOperation,
+    "gap_fill": GapFillOperation,
+    "bloom_gate": BloomGateOperation,
 }
 
 

@@ -572,6 +572,47 @@ def apply_html_to_text(df: DataFrame, op: "HtmlToTextOperation") -> DataFrame:
     return df.withColumn(out_col, html_to_text(F.col(op.input_column)))
 
 
+def apply_gap_fill(df: DataFrame, op: "GapFillOperation") -> DataFrame:
+    from ..functions.timeseries import gap_fill_hourly
+
+    require_columns(
+        df, [op.key_column, op.ts_column, op.value_column], "gap_fill"
+    )
+    return gap_fill_hourly(
+        df,
+        key=op.key_column,
+        ts_col=op.ts_column,
+        value_col=op.value_column,
+        max_span_hours=op.max_span_hours,
+    )
+
+
+def apply_bloom_gate(
+    df: DataFrame,
+    op: "BloomGateOperation",
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    eval_df: DataFrame | None = None,
+) -> DataFrame:
+    """Bloom membership gate: current frame = corpus, eval side
+    resolved like bind's right side, packed once into a bitmap and
+    served as a pure projection (functions/bloom.py)."""
+    from ..functions.bloom import build_bloom_bitmap, with_bloom_flag
+
+    require_columns(df, [op.text_column], "bloom_gate")
+    if eval_df is None:
+        eval_df = resolve_side(spark, op.eval_path, op.eval_schema_columns, inputs)
+    eval_col = op.eval_text_column or op.text_column
+    require_columns(eval_df, [eval_col], "bloom_gate (eval side)")
+    bitmap = build_bloom_bitmap(
+        eval_df.select(eval_col), eval_col, m=op.m, k=op.k
+    )
+    flagged = with_bloom_flag(df, op.text_column, bitmap, m=op.m, k=op.k)
+    if op.mode == "filter":
+        return flagged.filter(F.col("bloom_hit") == 0).drop("bloom_hit")
+    return flagged
+
+
 def apply_classifier_score(df: DataFrame, op: "ClassifierScoreOperation") -> DataFrame:
     from ..functions.classifier import classifier_score
 

@@ -28,6 +28,7 @@ from .model import (
     AssignationOperation,
     BindOperation,
     FileDefinition,
+    BloomGateOperation,
     ContaminationOperation,
     IncrementalDedupOperation,
     StoreGateOperation,
@@ -42,6 +43,7 @@ from .operators import (
     OPERATION_DISPATCHER,
     apply_asof_join,
     apply_bind,
+    apply_bloom_gate,
     apply_contamination,
     apply_incremental_dedup,
     apply_store_gate,
@@ -86,6 +88,8 @@ def apply_operations(
             current = apply_similarity(current, op, spark, inputs)
         elif isinstance(op, ContaminationOperation):
             current = apply_contamination(current, op, spark, inputs)
+        elif isinstance(op, BloomGateOperation):
+            current = apply_bloom_gate(current, op, spark, inputs)
         elif isinstance(op, MergeOperation):
             current = apply_merge(current, op, spark, inputs)
         elif isinstance(op, IncrementalDedupOperation):

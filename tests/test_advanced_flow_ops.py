@@ -649,3 +649,59 @@ def test_example_web_curation_flow_runs(spark):
     assert {"url_norm", "domain", "apex_domain"} <= set(out.columns)
     # the HTML is gone from the surviving text
     assert out.filter(F.col("text").contains("<script")).count() == 0
+
+
+def test_yaml_gap_fill_and_bloom_gate(spark):
+    """Round-6 tail flow ops: gap_fill replaces the frame with the
+    filled hourly grid; bloom_gate resolves its eval side like bind's
+    right side and gates by pure projection."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from openetlagent_spark.model import FileDefinition, SpecError
+
+    t0 = datetime.datetime(2024, 3, 1)
+    events = spark.createDataFrame(
+        [
+            Row(k="a", ts=t0, v=1.0),
+            Row(k="a", ts=t0 + datetime.timedelta(hours=2), v=5.0),
+        ]
+    )
+    gf = parse_operation({
+        "operation_type": "gap_fill", "key_column": "k",
+        "ts_column": "ts", "value_column": "v",
+    })
+    rows = sorted(
+        apply_operations(events, [gf], spark).collect(),
+        key=lambda r: r.hour_idx,
+    )
+    assert [r.observed for r in rows] == [1, 0, 1]
+    assert [r.filled_sum for r in rows] == [1.0, 1.0, 5.0]
+
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "gap_fill"})  # key_column required
+
+    # bloom_gate: eval side via a direct parquet path (bind convention)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bg = parse_operation({
+        "operation_type": "bloom_gate",
+        "eval_path": f"{SF}/documents.parquet",
+        "eval_schema_columns": {"text": "string"},
+        "m": 4096,
+        "mode": "filter",
+    })
+    # every corpus doc is in the eval side -> the filter drops everything
+    assert apply_operations(docs, [bg], spark).count() == 0
+
+    annot = parse_operation({
+        "operation_type": "bloom_gate",
+        "eval_path": f"{SF}/documents.parquet",
+        "eval_schema_columns": {"text": "string"},
+        "m": 4096,
+    })
+    out = apply_operations(docs, [annot], spark)
+    assert out.filter("bloom_hit = 0").count() == 0 and "bloom_hit" in out.columns
+
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "bloom_gate", "eval_path": "x", "m": 100})
