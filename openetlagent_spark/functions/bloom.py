@@ -99,6 +99,14 @@ def with_bloom_flag(
     if len(bitmap) != m // 64:
         raise ValueError(f"bitmap has {len(bitmap)} words, expected {m // 64}")
     probe_cols = {f"__bp{i}__": bloom_position(F.col(col), i, m) for i in range(k)}
+    collisions = ({"__bm__", out_col} | probe_cols.keys()) & set(df.columns)
+    if collisions:
+        raise ValueError(
+            "with_bloom_flag: input already has column(s) "
+            f"{sorted(collisions)} — rename them (or pass a different "
+            "out_col) before gating; silently overwriting would clobber "
+            "a prior gate's output"
+        )
     # Explicit `NL` long literals: F.lit() over a python list would
     # type small words INT and full-mask words LONG and refuse the mix.
     bitmap_lit = F.expr("array(" + ",".join(f"{w}L" for w in bitmap) + ")")
@@ -139,22 +147,29 @@ def bloom_gate_oracle_sql(
         )
 
     eval_positions = " UNION ".join(
-        f"SELECT {pos_sql('t', i)} AS p FROM ev WHERE t IS NOT NULL"
+        f"SELECT {pos_sql('t', i)} AS p FROM __bg_ev WHERE t IS NOT NULL"
         for i in range(k)
     )
     corpus_positions = " UNION ALL ".join(
-        f"SELECT id, {pos_sql('t', i)} AS p FROM corpus WHERE t IS NOT NULL"
+        f"SELECT t, {pos_sql('t', i)} AS p FROM __bg_ctexts"
         for i in range(k)
     )
+    # CTE names are __bg_-prefixed so a caller whose corpus_sql reads a
+    # table literally named "corpus"/"ev"/"hits" doesn't bind circularly.
+    # hits are computed per distinct TEXT (the probe is a pure function
+    # of the text), then joined back to corpus rows — correct even when
+    # id_col is not unique (per-id grouping would pool bit positions
+    # across different texts sharing an id).
     return f"""
-WITH corpus AS (SELECT {id_col} AS id, {text_col} AS t FROM ({corpus_sql})),
-ev AS (SELECT {text_col} AS t FROM ({eval_sql})),
-evpos AS ({eval_positions}),
-cpos AS ({corpus_positions}),
-hits AS (
-  SELECT id FROM cpos JOIN evpos USING (p) GROUP BY id HAVING COUNT(*) = {k}
+WITH __bg_corpus AS (SELECT {id_col} AS id, {text_col} AS t FROM ({corpus_sql})),
+__bg_ctexts AS (SELECT DISTINCT t FROM __bg_corpus WHERE t IS NOT NULL),
+__bg_ev AS (SELECT {text_col} AS t FROM ({eval_sql})),
+__bg_evpos AS ({eval_positions}),
+__bg_cpos AS ({corpus_positions}),
+__bg_hits AS (
+  SELECT t FROM __bg_cpos JOIN __bg_evpos USING (p) GROUP BY t HAVING COUNT(*) = {k}
 )
 SELECT c.id AS {id_col},
-       CASE WHEN h.id IS NULL THEN 0 ELSE 1 END AS bloom_hit
-FROM corpus c LEFT JOIN hits h ON c.id = h.id
+       CASE WHEN h.t IS NULL THEN 0 ELSE 1 END AS bloom_hit
+FROM __bg_corpus c LEFT JOIN __bg_hits h ON c.t = h.t
 """

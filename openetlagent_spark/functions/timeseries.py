@@ -92,8 +92,9 @@ def gap_fill_hourly(
     # NULL-safe: a key whose every ts is NULL has NULL bounds; sequence
     # (NULL, NULL) -> NULL -> explode drops it (DuckDB's generate_series
     # does the same), so the guard must not fire on the NULL branch.
+    # "exceeds": a span of exactly max_span_hours is still allowed.
     span_ok = (
-        (F.col("__h1__") - F.col("__h0__")) < F.lit(int(max_span_hours))
+        (F.col("__h1__") - F.col("__h0__")) <= F.lit(int(max_span_hours))
     ) | F.col("__h1__").isNull()
     grid = bounds.select(
         F.col(key),

@@ -294,6 +294,7 @@ def generate_pipeline_step_by_step(
                 if op.operation_type not in OPERATION_DISPATCHER and op.operation_type not in (
                     "bind", "union", "asof_join", "range_join", "similarity",
                     "contamination", "incremental_dedup", "merge", "store_gate",
+                    "bloom_gate",
                 ):
                     raise SpecError(f"unsupported operation_type {op.operation_type!r}")
                 # Trial execution on the lazy chain (probe forces analysis

@@ -659,7 +659,7 @@ def test_yaml_gap_fill_and_bloom_gate(spark):
 
     from pyspark.sql import Row
 
-    from openetlagent_spark.model import FileDefinition, SpecError
+    from openetlagent_spark.model import SpecError
 
     t0 = datetime.datetime(2024, 3, 1)
     events = spark.createDataFrame(

@@ -142,3 +142,48 @@ def test_bloom_serve_is_pure_projection(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert "Exchange" not in physical
     assert "Join" not in physical
+
+
+def test_bloom_oracle_handles_duplicate_ids(spark):
+    """Review regression: hits must be computed per TEXT, not per id —
+    per-id grouping pools bit positions across different texts sharing
+    an id and over-reports hits."""
+    import duckdb
+    from openetlagent_spark.functions.bloom import bloom_gate_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE corpus AS SELECT * FROM (VALUES "
+        "(1, 'member text'), (1, 'not a member'), (2, 'also absent')"
+        ") t(doc_id, text)"
+    )
+    con.execute("CREATE TABLE bench AS SELECT 'member text' AS text")
+    sql = bloom_gate_oracle_sql(
+        corpus_sql="SELECT doc_id, text FROM corpus",
+        eval_sql="SELECT text FROM bench",
+        id_col="doc_id", text_col="text", m=4096, k=3,
+    )
+    got = sorted(map(tuple, con.execute(sql).fetchall()))
+    # spark side on the same frame
+    from pyspark.sql import Row
+    from openetlagent_spark.functions.bloom import build_bloom_bitmap, with_bloom_flag
+
+    bench = spark.createDataFrame([Row(text="member text")])
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="member text"), Row(doc_id=1, text="not a member"),
+         Row(doc_id=2, text="also absent")]
+    )
+    bm = build_bloom_bitmap(bench, "text", m=4096, k=3)
+    srows = sorted(
+        (r["doc_id"], r["bloom_hit"])
+        for r in with_bloom_flag(corpus, "text", bm, m=4096, k=3).collect()
+    )
+    assert got == srows == [(1, 0), (1, 1), (2, 0)]
+
+
+def test_bloom_refuses_column_collision(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(t="x", bloom_hit=1)])
+    with pytest.raises(ValueError, match="already has column"):
+        with_bloom_flag(df, "t", [0] * 16, m=1024, k=3)
