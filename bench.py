@@ -179,6 +179,7 @@ HEADLINE = [
     "embedding_quantize",
     "gap_fill",
     "bloom_gate",
+    "hll_distinct",
 ]
 
 

@@ -1142,6 +1142,58 @@ GROUP BY l_returnflag
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (functions/sketch.py) — the
+    EXACTLY-ORACLE-CHECKABLE sketch tier between q_approx_distinct
+    (engine-native HLL, rows-only) and q_exact_distinct: md5-bucketed
+    registers, integer register sums, and a plan-embedded
+    linear-counting table, so the estimate itself hash-matches DuckDB
+    bit for bit.  Two legs exercise BOTH estimator branches: lineitem
+    order keys (~11k distinct ≫ m, raw alpha·m²/Σ2^-reg path) and
+    event users (≪ 2.5·m, linear-counting path).  Scale shape: the
+    full key set never shuffles — partial MAX per (group, bucket)
+    map-side, ≤ m register rows per group afterward."""
+    from ..functions.sketch import hll_distinct
+
+    li = hll_distinct(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", ["l_returnflag"], p=8
+    ).select(
+        F.lit("lineitem_orders").alias("leg"),
+        F.col("l_returnflag").alias("grp"),
+        "n_buckets_used",
+        "hll_est",
+    )
+    ev = hll_distinct(
+        _t(spark, sf_dir, "events"), "user_id", ["event_type"], p=8
+    ).select(
+        F.lit("event_users").alias("leg"),
+        F.col("event_type").alias("grp"),
+        "n_buckets_used",
+        "hll_est",
+    )
+    return li.unionByName(ev)
+
+
+def _hll_distinct_oracle() -> str:
+    from ..functions.sketch import hll_oracle_sql
+
+    li = hll_oracle_sql(
+        table="lineitem", key_col="l_orderkey", group_cols=["l_returnflag"], p=8
+    )
+    ev = hll_oracle_sql(
+        table="events", key_col="user_id", group_cols=["event_type"], p=8
+    )
+    return (
+        "SELECT 'lineitem_orders' AS leg, l_returnflag AS grp, n_buckets_used, hll_est "
+        f"FROM ({li}) UNION ALL "
+        "SELECT 'event_users' AS leg, event_type AS grp, n_buckets_used, hll_est "
+        f"FROM ({ev})"
+    )
+
+
+HLL_DISTINCT_SQL = _hll_distinct_oracle()
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op: nations that have BUILDING-segment customers
     AND a high-balance supplier.  Compiles to a distinct + left-semi
@@ -1619,6 +1671,7 @@ ANALYTICS_QUERIES = {
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
     "exact_distinct": q_exact_distinct,
+    "hll_distinct": q_hll_distinct,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
     "cooccurrence_pairs": q_cooccurrence_pairs,
@@ -1655,6 +1708,7 @@ ANALYTICS_ORACLES = {
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,
+    "hll_distinct": HLL_DISTINCT_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,
