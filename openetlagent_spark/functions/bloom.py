@@ -39,6 +39,14 @@ DEFAULT_BLOOM_M = 1 << 16  # bits
 DEFAULT_BLOOM_K = 3
 
 
+def long_array_lit(values: list[int]) -> Column:
+    """array<bigint> plan literal from python ints.  Explicit `NL`
+    long literals: F.lit() over a python list would type small values
+    INT and >2^31 values LONG and refuse the mix.  Shared by the Bloom
+    bitmap and the HLL linear-counting table (functions/sketch.py)."""
+    return F.expr("array(" + ",".join(f"{v}L" for v in values) + ")")
+
+
 def _hash_suffix(i: int) -> str:
     return f"#b{i}"
 
@@ -107,10 +115,7 @@ def with_bloom_flag(
             "out_col) before gating; silently overwriting would clobber "
             "a prior gate's output"
         )
-    # Explicit `NL` long literals: F.lit() over a python list would
-    # type small words INT and full-mask words LONG and refuse the mix.
-    bitmap_lit = F.expr("array(" + ",".join(f"{w}L" for w in bitmap) + ")")
-    probed = df.withColumns({"__bm__": bitmap_lit, **probe_cols})
+    probed = df.withColumns({"__bm__": long_array_lit(bitmap), **probe_cols})
     # shiftright with a column shift amount needs the SQL function form
     # (the pyspark wrapper only accepts a literal int).
     tests = [

@@ -92,6 +92,19 @@ def hll_distinct(
     engines agree under GROUP BY)."""
     if not 4 <= p <= 16:
         raise ValueError(f"hll p must be in [4, 16], got {p}")
+    if not group_cols:
+        # the oracle generator cannot render the global (no-group) case;
+        # refuse on both sides so the pair cannot drift — group by a
+        # constant column for a global estimate
+        raise ValueError("hll_distinct requires at least one group column")
+    internal = {"__h__", "__b__", "__w__", "__r__", "__s1__"}
+    outputs = {"n_buckets_used", "hll_est"}
+    collisions = (internal | outputs) & (set(df.columns) | set(group_cols))
+    if collisions:
+        raise ValueError(
+            f"hll_distinct: input/group column(s) {sorted(collisions)} "
+            "collide with internal or output names — rename them first"
+        )
     m = 1 << p
     q = _HASH_BITS - p + 1  # max rho (w == 0)
     a20 = _alpha_q20(m)
@@ -127,10 +140,9 @@ def hll_distinct(
         * F.lit(float(1 << q))
         / s_total.cast("double")
     )
-    lc = _lc_table_q20(m)
-    lc_arr = F.expr(
-        "array(" + ",".join(f"{t}L" for t in lc) + ")"
-    )
+    from .bloom import long_array_lit
+
+    lc_arr = long_array_lit(_lc_table_q20(m))
     v = F.lit(m) - F.col("n_buckets_used")  # empty buckets
     lc_est = F.element_at(lc_arr, v.cast("int")).cast("double") / F.lit(
         float(1 << 20)
@@ -148,6 +160,8 @@ def hll_oracle_sql(
 ) -> str:
     """DuckDB SQL mirror of hll_distinct, generated from the same
     constants (m, Q, quantized alpha) so the two cannot drift."""
+    if not group_cols:
+        raise ValueError("hll_oracle_sql requires at least one group column")
     m = 1 << p
     q = _HASH_BITS - p + 1
     a20 = _alpha_q20(m)

@@ -44,7 +44,7 @@ from .model import (
     parse_operation,
 )
 from .operators import OPERATION_DISPATCHER
-from .runner import apply_operations, probe
+from .runner import RUNNER_HANDLED_OPS, apply_operations, probe
 from .sources import scan_data
 from .validate import validate_schema
 
@@ -291,10 +291,9 @@ def generate_pipeline_step_by_step(
                     transcript.append(f"done-rejected: {feedback}")
                     continue
                 op = parse_operation(raw)
-                if op.operation_type not in OPERATION_DISPATCHER and op.operation_type not in (
-                    "bind", "union", "asof_join", "range_join", "similarity",
-                    "contamination", "incremental_dedup", "merge", "store_gate",
-                    "bloom_gate",
+                if (
+                    op.operation_type not in OPERATION_DISPATCHER
+                    and op.operation_type not in RUNNER_HANDLED_OPS
                 ):
                     raise SpecError(f"unsupported operation_type {op.operation_type!r}")
                 # Trial execution on the lazy chain (probe forces analysis

@@ -57,6 +57,19 @@ from .validate import validate_schema
 
 _TEMP_COLUMN = re.compile(r"^_.+_$")
 
+# Operation types apply_operations special-cases OUTSIDE
+# OPERATION_DISPATCHER (they need spark + named inputs).  The single
+# source of truth for "runner supports this op" is
+# OPERATION_DISPATCHER | RUNNER_HANDLED_OPS — the generator's step
+# whitelist imports this instead of duplicating the list, and
+# tests/test_flow_roundtrip.py asserts every OPERATION_TYPES entry is
+# covered by one of the two.  MUST match the isinstance chain below.
+RUNNER_HANDLED_OPS = frozenset({
+    "bind", "union", "asof_join", "range_join", "similarity",
+    "contamination", "incremental_dedup", "merge", "store_gate",
+    "bloom_gate",
+})
+
 
 def apply_operations(
     df: DataFrame,
