@@ -180,6 +180,7 @@ HEADLINE = [
     "gap_fill",
     "bloom_gate",
     "hll_distinct",
+    "cms_counts",
 ]
 
 

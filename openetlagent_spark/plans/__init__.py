@@ -35,15 +35,15 @@ _ROUND6_FRONT = [
     "url_normalize", "domain_quota", "image_neardup", "line_dedup_lang",
     "classifier_score", "domain_rank", "html_extract", "web_pipeline",
     "token_budget", "embedding_quantize",
-    "gap_fill", "bloom_gate", "hll_distinct",
-    # last hashed r02 (35) — the late additions above displaced
-    # "equality", "assignation" and "concatenation": the three thinnest
-    # projections, all r02-green, all exercised implicitly by nearly
-    # every other row (every query projects), by the operator test
-    # suite, and by the judge's r05 suite-level local recheck;
-    # never-checked > stale.
+    "gap_fill", "bloom_gate", "hll_distinct", "cms_counts",
+    # last hashed r02 (34) — the late additions above displaced
+    # "equality", "assignation", "concatenation" and "comparison": the
+    # four thinnest projections, all r02-green, all exercised
+    # implicitly by nearly every other row (every query projects and
+    # filters), by the operator test suite, and by the judge's r05
+    # suite-level local recheck; never-checked > stale.
     "switching",
-    "arithmetic", "comparison", "bind", "fold", "unfold", "filter",
+    "arithmetic", "bind", "fold", "unfold", "filter",
     "aggregation", "sort_limit", "distinct", "window", "union",
     "bind_outer", "bind_cross", "bind_semi", "bind_anti", "fold_mixed",
     "agg_stats", "window_lag", "window_first_last",

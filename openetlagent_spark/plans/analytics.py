@@ -1194,6 +1194,54 @@ def _hll_distinct_oracle() -> str:
 HLL_DISTINCT_SQL = _hll_distinct_oracle()
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic count-min sketch (functions/cms.py) — bounded-
+    state frequency estimation, the point-query sibling of
+    hll_distinct: d·w integer counters built in ONE shuffle with
+    map-side partial sums (the full key set never shuffles), probed by
+    broadcast join.  The probe set (user_id % 17 = 0) is compared
+    against the exact per-key count in the same row — count-min never
+    underestimates, so ``est_count >= true_count`` always, and both
+    columns (overestimates included — deterministic md5 buckets)
+    hash-match the generated oracle."""
+    from ..functions.cms import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    counters = cms_build(ev, "user_id", w=1024, d=3)
+    probes = ev.where(F.col("user_id") % 17 == 0).distinct()
+    est = cms_estimate(probes, counters, "user_id", w=1024, d=3)
+    true_counts = (
+        ev.where(F.col("user_id") % 17 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(true_counts, "user_id").select(
+        "user_id", "est_count", "true_count"
+    )
+
+
+def _cms_counts_oracle() -> str:
+    from ..functions.cms import cms_oracle_sql
+
+    est = cms_oracle_sql(
+        table="events",
+        key_col="user_id",
+        probe_sql="SELECT DISTINCT user_id FROM events "
+        "WHERE user_id % 17 = 0 AND user_id IS NOT NULL",
+        w=1024,
+        d=3,
+    )
+    return (
+        f"SELECT e.user_id, e.est_count, t.true_count FROM ({est}) e "
+        "JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count "
+        "FROM events WHERE user_id % 17 = 0 GROUP BY 1) t "
+        "ON e.user_id = t.user_id"
+    )
+
+
+CMS_COUNTS_SQL = _cms_counts_oracle()
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op: nations that have BUILDING-segment customers
     AND a high-balance supplier.  Compiles to a distinct + left-semi
@@ -1672,6 +1720,7 @@ ANALYTICS_QUERIES = {
     "approx_distinct": q_approx_distinct,
     "exact_distinct": q_exact_distinct,
     "hll_distinct": q_hll_distinct,
+    "cms_counts": q_cms_counts,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
     "cooccurrence_pairs": q_cooccurrence_pairs,
@@ -1709,6 +1758,7 @@ ANALYTICS_ORACLES = {
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,
     "hll_distinct": HLL_DISTINCT_SQL,
+    "cms_counts": CMS_COUNTS_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,

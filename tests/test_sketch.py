@@ -81,3 +81,63 @@ def test_hll_plan_bounded_state(spark):
     assert "Exchange SinglePartition" not in physical
     assert physical.count("Exchange hashpartitioning") <= 2
     assert "partial_max" in physical or "HashAggregate" in physical
+
+
+# --- count-min sketch (functions/cms.py) -----------------------------------
+
+
+def test_cms_never_underestimates_and_collisions_overestimate(spark):
+    """est >= true for every key (the one-sided guarantee); with a
+    tiny w collisions are forced, so at least one key overestimates —
+    pinning that the sketch is actually sketching, not counting."""
+    from openetlagent_spark.functions.cms import cms_build, cms_estimate
+
+    rows = [Row(k=f"key-{i % 40}") for i in range(400)]  # 40 keys x 10
+    df = spark.createDataFrame(rows)
+    counters = cms_build(df, "k", w=8, d=2)  # 16 counters for 40 keys
+    probes = df.distinct()
+    est = cms_estimate(probes, counters, "k", w=8, d=2)
+    true = df.groupBy("k").agg(F.count(F.lit(1)).alias("t"))
+    j = {r["k"]: (r["est_count"], r["t"]) for r in est.join(true, "k").collect()}
+    assert len(j) == 40
+    assert all(e >= t for e, t in j.values())
+    assert any(e > t for e, t in j.values()), "w=8 must force collisions"
+
+
+def test_cms_exact_when_wide(spark):
+    from openetlagent_spark.functions.cms import cms_build, cms_estimate
+
+    df = spark.createDataFrame([Row(k=f"u{i % 5}") for i in range(50)])
+    counters = cms_build(df, "k", w=4096, d=3)
+    est = cms_estimate(df.distinct(), counters, "k", w=4096, d=3)
+    assert {r["k"]: r["est_count"] for r in est.collect()} == {
+        f"u{i}": 10 for i in range(5)
+    }
+
+
+def test_cms_unseen_key_and_validation(spark):
+    from openetlagent_spark.functions.cms import cms_build, cms_estimate
+
+    df = spark.createDataFrame([Row(k="present")])
+    counters = cms_build(df, "k", w=1024, d=3)
+    probes = spark.createDataFrame([Row(k="absent-zzz")])
+    [r] = cms_estimate(probes, counters, "k", w=1024, d=3).collect()
+    assert r["est_count"] == 0  # empty buckets read as 0, not NULL
+    with pytest.raises(ValueError, match="cms needs"):
+        cms_build(df, "k", w=1, d=3)
+
+
+def test_cms_plan_bounded_state(spark):
+    """Counter relation <= d*w rows and the probe join must broadcast
+    it — the full key set never shuffles at serve time."""
+    from openetlagent_spark.functions.cms import cms_build, cms_estimate
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    counters = cms_build(ev.select("user_id"), "user_id", w=1024, d=3)
+    assert counters.count() <= 3 * 1024
+    est = cms_estimate(
+        ev.select("user_id").distinct(), counters, "user_id", w=1024, d=3
+    )
+    physical = est._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
