@@ -1485,6 +1485,49 @@ class BloomGateOperation(Operation):
             raise SpecError(f"bloom_gate mode must be annotate|filter, got {self.mode!r}")
 
 
+@dataclass
+class HllDistinctOperation(Operation):
+    """Deterministic HLL distinct estimate as a flow op
+    (functions/sketch.py): REPLACES the frame with one row per group
+    (group_columns, n_buckets_used, hll_est)."""
+
+    key_column: str = ""
+    group_columns: list[str] = field(default_factory=list)
+    p: int = 8
+    operation_type: str = "hll_distinct"
+
+    def __post_init__(self) -> None:
+        if not self.key_column or not self.group_columns:
+            raise SpecError("hll_distinct requires key_column and group_columns")
+        if not 4 <= self.p <= 16:
+            raise SpecError(f"hll_distinct p must be in [4, 16], got {self.p!r}")
+
+
+@dataclass
+class CmsCountsOperation(Operation):
+    """Count-min frequency estimates as a flow op (functions/cms.py):
+    builds the d·w counter table over the CURRENT frame's key column
+    and REPLACES the frame with (key, est_count) for the probe side —
+    a named input key or file path, like bind's right side.  An empty
+    probe_path probes the frame's own distinct keys."""
+
+    key_column: str = ""
+    probe_path: str = ""
+    probe_schema_columns: dict[str, str] = field(default_factory=dict)
+    probe_key_column: str = ""
+    w: int = 1024
+    d: int = 3
+    operation_type: str = "cms_counts"
+
+    def __post_init__(self) -> None:
+        if not self.key_column:
+            raise SpecError("cms_counts requires key_column")
+        if self.w < 2 or self.d < 1:
+            raise SpecError(
+                f"cms_counts needs w >= 2 and d >= 1, got w={self.w!r} d={self.d!r}"
+            )
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -1554,6 +1597,8 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "store_gate": StoreGateOperation,
     "gap_fill": GapFillOperation,
     "bloom_gate": BloomGateOperation,
+    "hll_distinct": HllDistinctOperation,
+    "cms_counts": CmsCountsOperation,
 }
 
 

@@ -572,6 +572,42 @@ def apply_html_to_text(df: DataFrame, op: "HtmlToTextOperation") -> DataFrame:
     return df.withColumn(out_col, html_to_text(F.col(op.input_column)))
 
 
+def apply_hll_distinct(df: DataFrame, op: "HllDistinctOperation") -> DataFrame:
+    from ..functions.sketch import hll_distinct
+
+    require_columns(df, [op.key_column, *op.group_columns], "hll_distinct")
+    return hll_distinct(df, op.key_column, list(op.group_columns), p=op.p)
+
+
+def apply_cms_counts(
+    df: DataFrame,
+    op: "CmsCountsOperation",
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    probe_df: DataFrame | None = None,
+) -> DataFrame:
+    """Count-min build over the current frame + point queries for the
+    probe side (bind's named-input-or-path convention; empty
+    probe_path = the frame's own distinct keys)."""
+    from ..functions.cms import cms_build, cms_estimate
+
+    require_columns(df, [op.key_column], "cms_counts")
+    counters = cms_build(df, op.key_column, w=op.w, d=op.d)
+    if probe_df is None:
+        if op.probe_path:
+            probe_df = resolve_side(
+                spark, op.probe_path, op.probe_schema_columns, inputs
+            )
+        else:
+            probe_df = df.select(op.key_column).where(
+                F.col(op.key_column).isNotNull()
+            ).distinct()
+    probe_key = op.probe_key_column or op.key_column
+    require_columns(probe_df, [probe_key], "cms_counts (probe side)")
+    probes = probe_df.select(F.col(probe_key).alias(op.key_column))
+    return cms_estimate(probes, counters, op.key_column, w=op.w, d=op.d)
+
+
 def apply_gap_fill(df: DataFrame, op: "GapFillOperation") -> DataFrame:
     from ..functions.timeseries import gap_fill_hourly
 

@@ -29,6 +29,7 @@ from .model import (
     BindOperation,
     FileDefinition,
     BloomGateOperation,
+    CmsCountsOperation,
     ContaminationOperation,
     IncrementalDedupOperation,
     StoreGateOperation,
@@ -44,6 +45,7 @@ from .operators import (
     apply_asof_join,
     apply_bind,
     apply_bloom_gate,
+    apply_cms_counts,
     apply_contamination,
     apply_incremental_dedup,
     apply_store_gate,
@@ -67,7 +69,7 @@ _TEMP_COLUMN = re.compile(r"^_.+_$")
 RUNNER_HANDLED_OPS = frozenset({
     "bind", "union", "asof_join", "range_join", "similarity",
     "contamination", "incremental_dedup", "merge", "store_gate",
-    "bloom_gate",
+    "bloom_gate", "cms_counts",
 })
 
 
@@ -103,6 +105,8 @@ def apply_operations(
             current = apply_contamination(current, op, spark, inputs)
         elif isinstance(op, BloomGateOperation):
             current = apply_bloom_gate(current, op, spark, inputs)
+        elif isinstance(op, CmsCountsOperation):
+            current = apply_cms_counts(current, op, spark, inputs)
         elif isinstance(op, MergeOperation):
             current = apply_merge(current, op, spark, inputs)
         elif isinstance(op, IncrementalDedupOperation):

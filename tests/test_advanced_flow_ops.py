@@ -705,3 +705,34 @@ def test_yaml_gap_fill_and_bloom_gate(spark):
 
     with pytest.raises(SpecError):
         parse_operation({"operation_type": "bloom_gate", "eval_path": "x", "m": 100})
+
+
+def test_yaml_sketch_ops(spark):
+    """hll_distinct and cms_counts as YAML ops: frame-replacing
+    sketches; cms probes default to the frame's own distinct keys."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.model import SpecError
+
+    ev = spark.createDataFrame(
+        [Row(g="a", k=f"u{i % 7}") for i in range(70)]
+        + [Row(g="b", k="solo")]
+    )
+    hll = parse_operation({
+        "operation_type": "hll_distinct", "key_column": "k",
+        "group_columns": ["g"], "p": 8,
+    })
+    rows = {r["g"]: r for r in apply_operations(ev, [hll], spark).collect()}
+    assert rows["b"]["n_buckets_used"] == 1
+    assert abs(rows["a"]["hll_est"] - 7) < 1.5  # linear-counting regime
+
+    cms = parse_operation({
+        "operation_type": "cms_counts", "key_column": "k", "w": 4096,
+    })
+    counts = {r["k"]: r["est_count"] for r in apply_operations(ev, [cms], spark).collect()}
+    assert counts["solo"] == 1 and all(counts[f"u{i}"] == 10 for i in range(7))
+
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "hll_distinct", "key_column": "k"})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "cms_counts", "key_column": "k", "w": 1})
