@@ -1526,6 +1526,12 @@ class CmsCountsOperation(Operation):
             raise SpecError(
                 f"cms_counts needs w >= 2 and d >= 1, got w={self.w!r} d={self.d!r}"
             )
+        if not self.probe_path and (self.probe_key_column or self.probe_schema_columns):
+            raise SpecError(
+                "cms_counts: probe_key_column/probe_schema_columns are only "
+                "meaningful with probe_path (the self-probe default uses "
+                "key_column)"
+            )
 
 
 OPERATION_TYPES: dict[str, type[Operation]] = {

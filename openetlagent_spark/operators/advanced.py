@@ -604,7 +604,13 @@ def apply_cms_counts(
             ).distinct()
     probe_key = op.probe_key_column or op.key_column
     require_columns(probe_df, [probe_key], "cms_counts (probe side)")
-    probes = probe_df.select(F.col(probe_key).alias(op.key_column))
+    # same contract as the self-probe default and the oracle: NULL keys
+    # are never probed (they'd emit a meaningless (NULL, 0) row)
+    probes = (
+        probe_df.select(F.col(probe_key).alias(op.key_column))
+        .where(F.col(op.key_column).isNotNull())
+        .distinct()
+    )
     return cms_estimate(probes, counters, op.key_column, w=op.w, d=op.d)
 
 

@@ -21,11 +21,15 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     domain_rank, html_extract, web_pipeline, token_budget,
 #     embedding_quantize) — each locally exact-verified at driver
 #     strength when it landed;
-# (b) ALL 38 queries whose latest driver hash is r02
+# (b) 34 of the 38 queries whose latest driver hash is r02
 #     (scripts/staleness.py) — the core-op, analytics-window, text,
 #     ANN, and streaming-batch families; ann_lsh_topk / ann_ivf_topk
 #     additionally flipped from rows-only to exact oracles this round.
-# After r06 no query's newest driver row is older than r03.
+#     The four late-round additions (gap_fill, bloom_gate,
+#     hll_distinct, cms_counts) displaced equality / assignation /
+#     concatenation / comparison (rationale below), so THOSE FOUR
+#     remain r02-stale after r06 — front-load them in the r07
+#     rotation.  Every other query's newest driver row is r03+.
 # Local `scripts/check_oracle.py` runs the full set regardless of
 # order; queries added later register in the tail and are front-loaded
 # next rotation.

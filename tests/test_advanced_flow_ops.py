@@ -736,3 +736,13 @@ def test_yaml_sketch_ops(spark):
         parse_operation({"operation_type": "hll_distinct", "key_column": "k"})
     with pytest.raises(SpecError):
         parse_operation({"operation_type": "cms_counts", "key_column": "k", "w": 1})
+
+
+def test_cms_spec_rejects_probe_knobs_without_path():
+    from openetlagent_spark.model import SpecError
+
+    with pytest.raises(SpecError, match="probe_path"):
+        parse_operation({
+            "operation_type": "cms_counts", "key_column": "k",
+            "probe_key_column": "uid",
+        })
