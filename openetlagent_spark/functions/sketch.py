@@ -105,9 +105,26 @@ def hll_distinct(
             f"hll_distinct: input/group column(s) {sorted(collisions)} "
             "collide with internal or output names — rename them first"
         )
+    return hll_finalize(
+        hll_registers(df, key_col, group_cols, p=p), group_cols, p=p
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """The MERGEABLE half of the sketch: (group_cols, __b__, __r__)
+    register rows — max rho per (group, bucket).  Works on a STREAM
+    too (one stateful MAX aggregate, outputMode complete/update):
+    registers merge across batches, engines, and time by plain MAX, so
+    a landing-zone stream can maintain them incrementally and
+    ``hll_finalize`` turns any snapshot into the estimate.
+    tests/test_multimodal_streaming.py pins stream==batch parity."""
     m = 1 << p
-    q = _HASH_BITS - p + 1  # max rho (w == 0)
-    a20 = _alpha_q20(m)
     base = df.where(F.col(key_col).isNotNull()).select(
         *group_cols,
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
@@ -124,7 +141,19 @@ def hll_distinct(
         - F.length(F.expr("trim(LEADING '0' FROM bin(__w__))"))
         + F.lit(1)
     )
-    regs = split.groupBy(*group_cols, "__b__").agg(F.max(rho).alias("__r__"))
+    return split.groupBy(*group_cols, "__b__").agg(F.max(rho).alias("__r__"))
+
+
+def hll_finalize(
+    regs: DataFrame,
+    group_cols: list[str],
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """Estimate from a register table (the serving-time half)."""
+    m = 1 << p
+    q = _HASH_BITS - p + 1  # max rho (w == 0)
+    a20 = _alpha_q20(m)
     per_group = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_buckets_used"),
         F.sum(F.expr(f"shiftleft(1L, CAST({q} - __r__ AS INT))")).alias("__s1__"),

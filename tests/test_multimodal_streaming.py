@@ -763,3 +763,51 @@ def test_stream_web_head_html_then_classifier(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {(r.doc_id, r.text) for r in spark.sql("SELECT * FROM webhead").collect()}
     assert got == expected
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """HLL registers are mergeable by plain MAX, so the register build
+    (functions/sketch.py hll_registers) runs unchanged as ONE stateful
+    streaming aggregate; finalizing the streamed register snapshot must
+    give the exact batch estimate — the incremental distinct-count
+    serving pattern (maintain registers on the landing stream, finalize
+    at query time)."""
+    from openetlagent_spark.functions.sketch import (
+        hll_distinct,
+        hll_finalize,
+        hll_registers,
+    )
+
+    rows = [
+        Row(event_id=i, ts=f"2024-01-01 00:0{i % 6}:00", user_id=i % 37,
+            event_type="click" if i % 2 else "view", value=float(i), props="{}")
+        for i in range(200)
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "hll_src")
+    # two file batches so the streaming MAX actually merges state
+    batch.where("event_id < 100").write.parquet(src)
+    batch.where("event_id >= 100").write.mode("append").parquet(src)
+
+    full = spark.read.parquet(src)
+    expected = {
+        (r["event_type"],): (r["n_buckets_used"], r["hll_est"])
+        for r in hll_distinct(full, "user_id", ["event_type"], p=8).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        hll_registers(stream, "user_id", ["event_type"], p=8)
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
+    streamed_regs = spark.sql("SELECT * FROM hll_regs")
+    got = {
+        (r["event_type"],): (r["n_buckets_used"], r["hll_est"])
+        for r in hll_finalize(streamed_regs, ["event_type"], p=8).collect()
+    }
+    assert got == expected
