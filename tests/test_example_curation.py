@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from openetlagent_spark.model import load_pipeline_config, load_pipeline_flow
 from openetlagent_spark.runner import run_flow
 
@@ -113,3 +115,34 @@ def test_example_quality_gate_pipeline(spark, tmp_path):
         by_lang.setdefault(r.lang, set()).add(r.bucket)
     big = [l for l in by_lang if sum(1 for r in rows if r.lang == l) >= 9]
     assert all(by_lang[l] == {"head", "middle", "tail"} for l in big)
+
+
+def test_example_telemetry_and_sketch_pipelines(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+
+    flow = load_pipeline_flow(os.path.join(ROOT, "examples/pipelines/telemetry_rollup.yaml"))
+    config.outputs["telemetry_hourly"].path = str(tmp_path / "hourly")
+    result, ok, feedback = run_flow(spark, config, flow, "telemetry_hourly", single_file=True)
+    assert ok, feedback
+    rows = result.collect()
+    assert rows and any(r.observed == 0 for r in rows) or all(r.observed == 1 for r in rows)
+    # the grid is dense: per type, hours form a contiguous range
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.hour_idx)
+    for hours in by_type.values():
+        hours.sort()
+        assert hours == list(range(hours[0], hours[-1] + 1))
+
+    flow2 = load_pipeline_flow(os.path.join(ROOT, "examples/pipelines/distinct_users.yaml"))
+    config.outputs["distinct_users"].path = str(tmp_path / "du")
+    result2, ok2, feedback2 = run_flow(spark, config, flow2, "distinct_users", single_file=True)
+    assert ok2, feedback2
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    truth = {
+        r.event_type: r.c
+        for r in ev.where("user_id IS NOT NULL").groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("c")).collect()
+    }
+    for r in result2.collect():
+        assert abs(r.hll_est - truth[r.event_type]) / truth[r.event_type] < 0.25
