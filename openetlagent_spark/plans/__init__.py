@@ -29,7 +29,9 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     hll_distinct, cms_counts) displaced equality / assignation /
 #     concatenation / comparison (rationale below), so THOSE FOUR
 #     remain r02-stale after r06 — front-load them in the r07
-#     rotation.  Every other query's newest driver row is r03+.
+#     rotation (all four re-verified locally at driver strength at
+#     round-6 end: ALL PASS).  Every other query's newest driver row
+#     is r03+.
 # Local `scripts/check_oracle.py` runs the full set regardless of
 # order; queries added later register in the tail and are front-loaded
 # next rotation.
