@@ -36,7 +36,7 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # order; queries added later register in the tail and are front-loaded
 # next rotation.
 _ROUND6_FRONT = [
-    # never driver-checked (12)
+    # never driver-checked (16)
     "doc_novelty", "source_overlap",
     "url_normalize", "domain_quota", "image_neardup", "line_dedup_lang",
     "classifier_score", "domain_rank", "html_extract", "web_pipeline",
