@@ -1626,6 +1626,12 @@ def q_top_p_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cum*10 < total*9 avoids any float share), so the cut is exact."""
     docs = _t(spark, sf_dir, "documents").select("source")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # The global window is INTENTIONAL and bounded: it runs on the
+    # grouped |sources|-row aggregate, never the corpus (a constant
+    # partition key would not help — Catalyst folds foldable partition
+    # expressions back to an empty spec, so WindowExec still logs its
+    # single-partition warning; session.get_spark raises that logger to
+    # ERROR instead, and PLANS.md documents the bounded frame).
     w = Window.orderBy(F.col("n_docs").desc(), F.col("source").asc())
     ranked = counts.select(
         "source",

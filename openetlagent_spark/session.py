@@ -36,7 +36,35 @@ def get_spark(app_name: str = "openetlagent-spark", master: str | None = None) -
         # harness stdout and corrupt line-oriented log parsing
         .config("spark.ui.showConsoleProgress", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _quiet_bounded_window_warning(spark)
+    return spark
+
+
+def _quiet_bounded_window_warning(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR.
+
+    The repo's only empty-partition-spec windows run on BOUNDED
+    post-aggregate frames — q_top_p_sources (|sources| rows,
+    plans/analytics.py) and tokenize_ids' vocab ranking (top_k rows,
+    functions/text.py) — but WindowExec cannot see that and logs
+    "moving all data to a single partition" on every run, which reads
+    like a scale bug in sweep logs.  The warning cannot be fixed
+    plan-side: Catalyst folds a constant partition key back to an
+    empty spec (verified on this Spark), so the spec is empty by the
+    time WindowExec checks it.  Suppression is deliberately NARROW
+    (one logger, WARN→ERROR) and the scale argument lives at each call
+    site + PLANS.md; new code must still justify any global window
+    there, not rely on the silence.  Best-effort: log4j2 internals are
+    not API-stable, so failures are ignored."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
 
 
 def materialize(df, eager: bool = True, require_truncation: bool = False):
