@@ -112,6 +112,62 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(F.min("c").alias(out_col))
 
 
+def build_cms_store(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    *,
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the counter table (:func:`cms_build`) as a parquet
+    COUNTER STORE — the frequency sibling of sketch.build_hll_store.
+    Count-min counters merge by plain SUM per (hash_row, bucket), so
+    appending each ingested batch's ≤ d·w counter rows
+    (``mode='append'``) and re-SUMming at read time
+    (:func:`cms_from_store`) is EXACTLY the single-pass sketch over the
+    union — deterministic md5 buckets, associative/commutative integer
+    addition.  (Unlike MAX-merged HLL registers, SUM is NOT idempotent:
+    re-appending the same batch double-counts it — the store owner must
+    append each batch exactly once, the same at-most-once contract as
+    any counter.)  Compact piled-up generations by rewriting the
+    re-SUMmed table with ``mode='overwrite'``."""
+    cms_build(df, key_col, w=w, d=d).write.mode(mode).parquet(path)
+
+
+def cms_merge_counters(counters: DataFrame) -> DataFrame:
+    """Re-SUM a counter table holding several appended generations —
+    one row per (hash_row, bucket) afterwards.  Safe (no-op) on an
+    already-merged table."""
+    return counters.groupBy("hash_row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_from_store(
+    spark,
+    store_path: str,
+    *,
+    batch: DataFrame | None = None,
+    key_col: str | None = None,
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+) -> DataFrame:
+    """Merged counter table from a persisted store, optionally folding
+    a NEW batch's counters in the same pass.  Cold-start (empty store)
+    reads use the explicit counter schema — zero part files have no
+    footers to infer from."""
+    regs = spark.read.schema("hash_row int, bucket long, cnt long").parquet(
+        store_path
+    )
+    if batch is not None:
+        if key_col is None:
+            raise ValueError("cms_from_store: batch requires key_col")
+        regs = regs.unionByName(cms_build(batch, key_col, w=w, d=d))
+    return cms_merge_counters(regs)
+
+
 def cms_oracle_sql(
     *,
     table: str,

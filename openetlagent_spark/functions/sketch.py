@@ -184,6 +184,67 @@ def hll_finalize(
     )
 
 
+def build_hll_store(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    p: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the mergeable register half (:func:`hll_registers`) as a
+    parquet REGISTER STORE — the distinct-count sibling of
+    incremental.build_neardup_store.  Built once from the corpus, then
+    APPENDED per ingested batch (``mode='append'``): registers merge by
+    plain MAX per (group, bucket), so appending a batch's register rows
+    and re-MAXing at read time (:func:`hll_from_store`) is EXACTLY the
+    single-pass sketch over the union — the md5 bucketing is
+    deterministic and MAX is associative/commutative/idempotent, so
+    batch boundaries, append order, and even re-appending the same
+    batch cannot change the estimate.  At 100 TB this replaces
+    re-scanning the corpus per distinct-count refresh: each batch costs
+    its own ≤|groups|·m register rows, and the store never exceeds
+    |groups|·m rows per append generation (compact by rewriting the
+    re-MAXed table with ``mode='overwrite'`` when generations pile up)."""
+    hll_registers(df, key_col, group_cols, p=p).write.mode(mode).parquet(path)
+
+
+def hll_merge_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-MAX a register table that may hold several generations of
+    appended rows per (group, bucket) — idempotent on an already-merged
+    table, so it is always safe to apply after a store read."""
+    return regs.groupBy(*group_cols, "__b__").agg(
+        F.max("__r__").alias("__r__")
+    )
+
+
+def hll_from_store(
+    spark,
+    store_path: str,
+    group_cols: list[str],
+    *,
+    p: int = 8,
+    schema: str | None = None,
+    batch: DataFrame | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Estimate from a persisted register store, optionally merging a
+    NEW batch's registers in the same pass (serve-before-append): the
+    store generations and the batch registers union, re-MAX per
+    (group, bucket), and finalize.  ``schema`` (DDL string covering the
+    group columns plus ``__b__ long, __r__ int``) makes a cold-start
+    read of an EMPTY store work — zero part files have no footers to
+    infer from, same contract as incremental.neardup_gate_from_store."""
+    reader = spark.read.schema(schema) if schema else spark.read
+    regs = reader.parquet(store_path).select(*group_cols, "__b__", "__r__")
+    if batch is not None:
+        if key_col is None:
+            raise ValueError("hll_from_store: batch requires key_col")
+        regs = regs.unionByName(hll_registers(batch, key_col, group_cols, p=p))
+    return hll_finalize(hll_merge_registers(regs, group_cols), group_cols, p=p)
+
+
 def hll_oracle_sql(
     *, table: str, key_col: str, group_cols: list[str], p: int = 8
 ) -> str:

@@ -1242,6 +1242,86 @@ def _cms_counts_oracle() -> str:
 CMS_COUNTS_SQL = _cms_counts_oracle()
 
 
+def q_hll_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted mergeable-register store end-to-end (functions/
+    sketch.py build_hll_store + hll_from_store): the events table
+    splits into two ingest batches (event_id parity), batch A's HLL
+    registers are WRITTEN to parquet, batch B's are APPENDED, and the
+    estimate is served from the store with a read-time re-MAX — the
+    production layout that replaces re-scanning the corpus per
+    distinct-count refresh.  The oracle is the plain single-pass HLL
+    over the UNSPLIT table: MAX-merge is associative/commutative/
+    idempotent over deterministic md5 registers, so batch boundaries
+    and the parquet round trip are provably lossless — the estimate
+    hash-matches bit for bit."""
+    from ..functions.sketch import build_hll_store, hll_from_store
+    from .harness_queries import _scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    store = _scratch_dir("ela_hll_store", sf_dir)
+    build_hll_store(
+        ev.where(F.col("event_id") % 2 == 0), store, "user_id", ["event_type"], p=8
+    )
+    build_hll_store(
+        ev.where(F.col("event_id") % 2 != 0), store, "user_id", ["event_type"],
+        p=8, mode="append",
+    )
+    return hll_from_store(spark, store, ["event_type"], p=8).select(
+        "event_type", "n_buckets_used", "hll_est"
+    )
+
+
+def _hll_store_oracle() -> str:
+    from ..functions.sketch import hll_oracle_sql
+
+    return hll_oracle_sql(
+        table="events", key_col="user_id", group_cols=["event_type"], p=8
+    )
+
+
+HLL_STORE_SQL = _hll_store_oracle()
+
+
+def q_cms_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted count-min counter store (functions/cms.py
+    build_cms_store + cms_from_store) — the frequency sibling of
+    hll_store: batch A's d·w counter table written to parquet, batch
+    B's appended, the merged sketch served with a read-time re-SUM and
+    probed for the user_id % 17 == 0 keys.  SUM-merge over
+    deterministic md5 buckets equals the single-pass build over the
+    unsplit table exactly (associative integer addition), so estimates
+    — overestimates included — hash-match the plain cms oracle."""
+    from ..functions.cms import build_cms_store, cms_estimate, cms_from_store
+    from .harness_queries import _scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    store = _scratch_dir("ela_cms_store", sf_dir)
+    build_cms_store(ev.where(F.col("event_id") % 2 == 0), store, "user_id", w=1024, d=3)
+    build_cms_store(
+        ev.where(F.col("event_id") % 2 != 0), store, "user_id",
+        w=1024, d=3, mode="append",
+    )
+    counters = cms_from_store(spark, store, w=1024, d=3)
+    probes = ev.where(F.col("user_id") % 17 == 0).select("user_id").distinct()
+    return cms_estimate(probes, counters, "user_id", w=1024, d=3)
+
+
+def _cms_store_oracle() -> str:
+    from ..functions.cms import cms_oracle_sql
+
+    return cms_oracle_sql(
+        table="events",
+        key_col="user_id",
+        probe_sql="SELECT DISTINCT user_id FROM events "
+        "WHERE user_id % 17 = 0 AND user_id IS NOT NULL",
+        w=1024,
+        d=3,
+    )
+
+
+CMS_STORE_SQL = _cms_store_oracle()
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op: nations that have BUILDING-segment customers
     AND a high-balance supplier.  Compiles to a distinct + left-semi
@@ -1727,6 +1807,8 @@ ANALYTICS_QUERIES = {
     "exact_distinct": q_exact_distinct,
     "hll_distinct": q_hll_distinct,
     "cms_counts": q_cms_counts,
+    "hll_store": q_hll_store,
+    "cms_store": q_cms_store,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
     "cooccurrence_pairs": q_cooccurrence_pairs,
@@ -1765,6 +1847,8 @@ ANALYTICS_ORACLES = {
     "exact_distinct": EXACT_DISTINCT_SQL,
     "hll_distinct": HLL_DISTINCT_SQL,
     "cms_counts": CMS_COUNTS_SQL,
+    "hll_store": HLL_STORE_SQL,
+    "cms_store": CMS_STORE_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,

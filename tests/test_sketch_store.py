@@ -1,0 +1,152 @@
+"""Persisted mergeable sketch stores (functions/sketch.py
+build_hll_store/hll_from_store, functions/cms.py
+build_cms_store/cms_from_store): parquet round-trip losslessness,
+append-merge == single-pass, cold-start empty stores, and idempotence/
+at-most-once merge semantics.  Cross-engine exactness of both store
+queries is covered by the oracle harness (scripts/check_oracle.py
+hll_store cms_store)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openetlagent_spark.functions.cms import (
+    build_cms_store,
+    cms_build,
+    cms_estimate,
+    cms_from_store,
+)
+from openetlagent_spark.functions.sketch import (
+    build_hll_store,
+    hll_distinct,
+    hll_from_store,
+    hll_registers,
+)
+
+HLL_COLD_SCHEMA = "g string, __b__ long, __r__ int"
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [Row(i=i, g="even" if i % 2 == 0 else "odd", k=f"user-{i % 97}")
+         for i in range(n)]
+    )
+
+
+def test_hll_store_append_merge_equals_single_pass(spark, tmp_path):
+    """Registers written batch-by-batch (append) and re-MAXed at read
+    time finalize to the IDENTICAL estimate as the one-shot sketch —
+    the losslessness claim behind the hll_store oracle row."""
+    df = _docs(spark)
+    path = str(tmp_path / "hll_store")
+    build_hll_store(df.where(F.col("i") % 3 == 0), path, "k", ["g"], p=6)
+    build_hll_store(
+        df.where(F.col("i") % 3 != 0), path, "k", ["g"], p=6, mode="append"
+    )
+    from_store = {
+        r["g"]: r for r in hll_from_store(spark, path, ["g"], p=6).collect()
+    }
+    direct = {r["g"]: r for r in hll_distinct(df, "k", ["g"], p=6).collect()}
+    assert from_store.keys() == direct.keys()
+    for g in direct:
+        assert from_store[g]["n_buckets_used"] == direct[g]["n_buckets_used"]
+        assert from_store[g]["hll_est"] == direct[g]["hll_est"]  # bit-equal
+
+
+def test_hll_store_reappend_idempotent(spark, tmp_path):
+    """MAX-merge is idempotent: appending the SAME batch twice cannot
+    move the estimate (the property that makes HLL stores safe under
+    at-least-once ingestion, unlike CMS counters)."""
+    df = _docs(spark)
+    path = str(tmp_path / "hll_store")
+    build_hll_store(df, path, "k", ["g"], p=6)
+    build_hll_store(df, path, "k", ["g"], p=6, mode="append")
+    from_store = {
+        r["g"]: r["hll_est"]
+        for r in hll_from_store(spark, path, ["g"], p=6).collect()
+    }
+    direct = {
+        r["g"]: r["hll_est"] for r in hll_distinct(df, "k", ["g"], p=6).collect()
+    }
+    assert from_store == direct
+
+
+def test_hll_store_cold_start_and_serve_before_append(spark, tmp_path):
+    """A store built from an EMPTY corpus (the valid cold-start of the
+    append loop) reads back under the explicit schema, and a new batch
+    folds in at serve time without touching the store."""
+    df = _docs(spark)
+    path = str(tmp_path / "hll_store")
+    build_hll_store(df.limit(0), path, "k", ["g"], p=6)
+    served = {
+        r["g"]: r["hll_est"]
+        for r in hll_from_store(
+            spark, path, ["g"], p=6, schema=HLL_COLD_SCHEMA,
+            batch=df, key_col="k",
+        ).collect()
+    }
+    direct = {
+        r["g"]: r["hll_est"] for r in hll_distinct(df, "k", ["g"], p=6).collect()
+    }
+    assert served == direct
+
+
+def test_hll_from_store_batch_requires_key(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "hll_store")
+    build_hll_store(_docs(spark), path, "k", ["g"], p=6)
+    with pytest.raises(ValueError, match="key_col"):
+        hll_from_store(spark, path, ["g"], p=6, batch=_docs(spark))
+
+
+def test_cms_store_append_merge_equals_single_pass(spark, tmp_path):
+    """Counter tables summed across appended batches equal the one-shot
+    build row for row, so point estimates are identical."""
+    df = _docs(spark)
+    path = str(tmp_path / "cms_store")
+    build_cms_store(df.where(F.col("i") % 3 == 0), path, "k", w=64, d=3)
+    build_cms_store(
+        df.where(F.col("i") % 3 != 0), path, "k", w=64, d=3, mode="append"
+    )
+    merged = cms_from_store(spark, path, w=64, d=3)
+    direct = cms_build(df, "k", w=64, d=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probes = df.select("k").distinct()
+    est_m = {r["k"]: r["est_count"]
+             for r in cms_estimate(probes, merged, "k", w=64, d=3).collect()}
+    est_d = {r["k"]: r["est_count"]
+             for r in cms_estimate(probes, direct, "k", w=64, d=3).collect()}
+    assert est_m == est_d
+
+
+def test_cms_store_cold_start_serve_with_batch(spark, tmp_path):
+    df = _docs(spark)
+    path = str(tmp_path / "cms_store")
+    build_cms_store(df.limit(0), path, "k", w=64, d=3)
+    served = cms_from_store(spark, path, batch=df, key_col="k", w=64, d=3)
+    direct = cms_build(df, "k", w=64, d=3)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_store_double_append_double_counts(spark, tmp_path):
+    """SUM-merge is NOT idempotent — re-appending a batch doubles its
+    counts.  Pinning the failure mode documents the store's
+    exactly-once append contract (build_cms_store docstring)."""
+    df = _docs(spark)
+    path = str(tmp_path / "cms_store")
+    build_cms_store(df, path, "k", w=64, d=3)
+    build_cms_store(df, path, "k", w=64, d=3, mode="append")
+    doubled = cms_from_store(spark, path, w=64, d=3)
+    probes = df.select("k").distinct().limit(5)
+    direct = cms_build(df, "k", w=64, d=3)
+    est_2x = {r["k"]: r["est_count"]
+              for r in cms_estimate(probes, doubled, "k", w=64, d=3).collect()}
+    est_1x = {r["k"]: r["est_count"]
+              for r in cms_estimate(probes, direct, "k", w=64, d=3).collect()}
+    assert est_2x == {k: 2 * v for k, v in est_1x.items()}
