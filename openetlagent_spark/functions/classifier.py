@@ -111,6 +111,89 @@ def classifier_score(
     )
 
 
+def save_classifier_weights(weights: list[float], path: str, *, spark=None) -> None:
+    """Persist a trained weight table as an ARTIFACT the scorer can
+    load by path — the missing link between the production-shaped
+    plumbing and a production model.  Two formats by extension:
+
+    - ``*.json``: a plain JSON list of ``dim`` floats, written
+      driver-side (the natural export of a Python training loop);
+    - anything else: parquet ``(bucket int, weight double)`` rows via
+      Spark (the natural export of a distributed trainer) — requires
+      ``spark``.
+
+    Either way the artifact is kilobytes (fastText-style quality heads
+    are small), so the load stays a bounded driver-side read and the
+    weights still embed into both the Spark plan and the oracle SQL as
+    literals — query shape identical to the stub path."""
+    if path.endswith(".json"):
+        import json
+
+        with open(path, "w") as f:
+            json.dump([float(v) for v in weights], f)
+        return
+    if spark is None:
+        raise ValueError("save_classifier_weights: parquet artifacts need spark")
+    rows = [(i, float(v)) for i, v in enumerate(weights)]
+    spark.createDataFrame(rows, "bucket int, weight double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_classifier_weights(
+    path: str, *, spark=None, dim: int | None = None
+) -> list[float]:
+    """Load a weight artifact written by :func:`save_classifier_weights`
+    (or any trainer emitting the same layout) back into the plain
+    Python list :func:`classifier_score` takes.  BOUNDED driver-side
+    read — ``dim`` rows/values, kilobytes — validated hard: the bucket
+    ids must cover 0..dim-1 exactly once (a sparse or duplicated table
+    would silently mis-score every document whose token hashes into
+    the hole)."""
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as f:
+            vals = json.load(f)
+        if not isinstance(vals, list) or not all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+        ):
+            raise ValueError(
+                f"classifier weight artifact {path}: expected a JSON list of numbers"
+            )
+        w = [float(v) for v in vals]
+    else:
+        if spark is None:
+            raise ValueError("load_classifier_weights: parquet artifacts need spark")
+        rows = (
+            spark.read.schema("bucket int, weight double")
+            .parquet(path)
+            .collect()  # bounded: dim rows, kilobytes (docstring contract)
+        )
+        by_bucket = {}
+        for r in rows:
+            if r["bucket"] in by_bucket:
+                raise ValueError(
+                    f"classifier weight artifact {path}: duplicate bucket {r['bucket']}"
+                )
+            by_bucket[r["bucket"]] = r["weight"]
+        n = dim if dim is not None else len(by_bucket)
+        missing = [i for i in range(n) if i not in by_bucket]
+        extra = sorted(set(by_bucket) - set(range(n)))
+        if missing or extra:
+            raise ValueError(
+                f"classifier weight artifact {path}: buckets must cover 0..{n - 1} "
+                f"exactly (missing {missing[:5]}{'…' if len(missing) > 5 else ''}, "
+                f"out-of-range {extra[:5]}{'…' if len(extra) > 5 else ''})"
+            )
+        w = [float(by_bucket[i]) for i in range(n)]
+    if dim is not None and len(w) != dim:
+        raise ValueError(
+            f"classifier weight artifact {path}: got {len(w)} weights for dim={dim}"
+        )
+    return w
+
+
 def classifier_score_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",

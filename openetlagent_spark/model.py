@@ -1348,7 +1348,10 @@ class ClassifierScoreOperation(Operation):
     """Hashed linear quality classifier as a flow op
     (functions/classifier.py): mode='annotate' appends n_tokens /
     score / clf_pass; mode='filter' keeps passing rows and drops the
-    metric columns."""
+    metric columns.  ``weights_path`` loads a trained weight artifact
+    (JSON list or parquet (bucket, weight) rows — see
+    save_classifier_weights) instead of the seeded stub table; ``dim``
+    must match the artifact."""
 
     id_column: str = "doc_id"
     text_column: str = "text"
@@ -1357,6 +1360,7 @@ class ClassifierScoreOperation(Operation):
     bias: float = 0.0
     threshold: float = 0.0
     mode: str = "annotate"
+    weights_path: str | None = None
     operation_type: str = "classifier_score"
 
     def __post_init__(self) -> None:

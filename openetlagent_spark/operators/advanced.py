@@ -656,12 +656,17 @@ def apply_bloom_gate(
 
 
 def apply_classifier_score(df: DataFrame, op: "ClassifierScoreOperation") -> DataFrame:
-    from ..functions.classifier import classifier_score
+    from ..functions.classifier import classifier_score, load_classifier_weights
 
     require_columns(df, [op.id_column, op.text_column], "classifier_score")
+    weights = (
+        load_classifier_weights(op.weights_path, spark=df.sparkSession, dim=op.dim)
+        if op.weights_path
+        else None
+    )
     flagged = classifier_score(
         df, op.id_column, op.text_column, dim=op.dim, seed=op.seed,
-        bias=op.bias, threshold=op.threshold, keep_all=True,
+        bias=op.bias, threshold=op.threshold, weights=weights, keep_all=True,
     )
     if op.mode == "annotate":
         return flagged

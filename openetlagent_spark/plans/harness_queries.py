@@ -1715,6 +1715,45 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, "doc_id", "text")
 
 
+# the "trained" weight table for the artifact-loading variant: a
+# DIFFERENT seed than the stub default (so a silently ignored artifact
+# cannot pass) plus a nonzero bias/threshold, all on the 2^-20 grid
+_CLF_FILE_SEED, _CLF_FILE_BIAS, _CLF_FILE_THRESHOLD = 7, 0.03125, 0.05
+
+
+def _clf_file_weights() -> list[float]:
+    from ..functions.classifier import hashed_classifier_weights
+
+    return hashed_classifier_weights(1024, _CLF_FILE_SEED)
+
+
+def q_classifier_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classifier_score with FILE-LOADED weights (functions/
+    classifier.py save_classifier_weights + load_classifier_weights):
+    the weight table round-trips through a parquet artifact — the
+    trained-model deployment path — then embeds into the plan as the
+    same exact literals, so the scorer hash-matches an oracle built
+    from the ORIGINAL Python list (proving the artifact round trip is
+    lossless).  Uses a different seed + nonzero bias/threshold than
+    classifier_score so an ignored artifact cannot accidentally pass.
+    Scale shape unchanged: bounded driver-side artifact read
+    (kilobytes), one codegen scan, no UDF, no shuffle."""
+    from ..functions.classifier import (
+        classifier_score,
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+
+    artifact = _scratch_dir("ela_clf_weights", sf_dir)
+    save_classifier_weights(_clf_file_weights(), artifact, spark=spark)
+    w = load_classifier_weights(artifact, spark=spark, dim=1024)
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier_score(
+        docs, "doc_id", "text",
+        bias=_CLF_FILE_BIAS, threshold=_CLF_FILE_THRESHOLD, weights=w,
+    )
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty (functions/curation.py doc_novelty): the
     fraction of each document's distinct word-3-gram shingles found
@@ -2366,6 +2405,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_neardup": q_image_neardup,
     "line_dedup_lang": q_line_dedup_lang,
     "classifier_score": q_classifier_score,
+    "classifier_file": q_classifier_file,
     "domain_rank": q_domain_rank,
     "html_extract": q_html_extract,
     "web_pipeline": q_web_pipeline,
@@ -3185,6 +3225,15 @@ from ..functions.classifier import (  # noqa: E402
 )
 
 HARNESS_ORACLES["classifier_score"] = _classifier_score_oracle_sql()
+
+# classifier_file: oracle built from the ORIGINAL Python weight list —
+# the Spark side reads the list back through the parquet artifact, so a
+# hash match proves the save/load round trip lossless
+HARNESS_ORACLES["classifier_file"] = _classifier_score_oracle_sql(
+    weights=_clf_file_weights(),
+    bias=_CLF_FILE_BIAS,
+    threshold=_CLF_FILE_THRESHOLD,
+)
 
 # domain_rank: unrolled integer-PageRank CTEs over the SAME synthetic
 # domain graph (URL domain extraction + consecutive-doc co-citation)

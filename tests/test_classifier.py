@@ -77,3 +77,83 @@ def test_keep_all_and_collision_guard(spark):
     bad = df.withColumnRenamed("src", "score")
     with pytest.raises(ValueError, match="collide"):
         classifier_score(bad, keep_all=True)
+
+
+def test_weight_artifact_parquet_round_trip(spark, tmp_path):
+    """save → load through parquet reproduces the list float-for-float,
+    and scoring with the loaded list equals scoring with the original."""
+    from openetlagent_spark.functions.classifier import (
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+
+    w = hashed_classifier_weights(dim=64, seed=9)
+    path = str(tmp_path / "weights")
+    save_classifier_weights(w, path, spark=spark)
+    loaded = load_classifier_weights(path, spark=spark, dim=64)
+    assert loaded == w
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    a = classifier_score(df, dim=64, weights=w).collect()[0]
+    b = classifier_score(df, dim=64, weights=loaded).collect()[0]
+    assert a.score == b.score and a.clf_pass == b.clf_pass
+
+
+def test_weight_artifact_json_round_trip(tmp_path):
+    from openetlagent_spark.functions.classifier import (
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+
+    w = hashed_classifier_weights(dim=16, seed=3)
+    path = str(tmp_path / "weights.json")
+    save_classifier_weights(w, path)
+    assert load_classifier_weights(path, dim=16) == w
+    with pytest.raises(ValueError, match="got 16 weights for dim=8"):
+        load_classifier_weights(path, dim=8)
+
+
+def test_weight_artifact_validation(spark, tmp_path):
+    """Sparse / duplicated / out-of-range bucket tables and non-list
+    JSON are rejected — a hole would silently mis-score."""
+    from openetlagent_spark.functions.classifier import load_classifier_weights
+
+    sparse = str(tmp_path / "sparse")
+    spark.createDataFrame(
+        [(0, 0.5), (2, 0.25)], "bucket int, weight double"
+    ).write.parquet(sparse)
+    with pytest.raises(ValueError, match="missing"):
+        load_classifier_weights(sparse, spark=spark, dim=4)
+    dup = str(tmp_path / "dup")
+    spark.createDataFrame(
+        [(0, 0.5), (0, 0.25)], "bucket int, weight double"
+    ).write.parquet(dup)
+    with pytest.raises(ValueError, match="duplicate bucket"):
+        load_classifier_weights(dup, spark=spark, dim=2)
+    badjson = str(tmp_path / "bad.json")
+    with open(badjson, "w") as f:
+        f.write('{"not": "a list"}')
+    with pytest.raises(ValueError, match="JSON list"):
+        load_classifier_weights(badjson)
+
+
+def test_flow_op_weights_path(spark, tmp_path):
+    """The YAML surface loads the artifact: a weights_path op scores
+    with the FILE's weights, not the seeded stub (different values)."""
+    from openetlagent_spark.functions.classifier import save_classifier_weights
+    from openetlagent_spark.model import parse_operation
+    from openetlagent_spark.operators import apply_classifier_score
+
+    w = [0.5] * 16  # constant table: every doc scores 0.5 exactly
+    path = str(tmp_path / "w.json")
+    save_classifier_weights(w, path)
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    op = parse_operation({
+        "operation_type": "classifier_score", "dim": 16,
+        "weights_path": path, "threshold": 0.4,
+    })
+    got = apply_classifier_score(df, op).collect()[0]
+    assert got.score == 0.5 and got.clf_pass
+    stub = apply_classifier_score(
+        df, parse_operation({"operation_type": "classifier_score", "dim": 16})
+    ).collect()[0]
+    assert stub.score != 0.5
