@@ -1508,6 +1508,44 @@ class HllDistinctOperation(Operation):
 
 
 @dataclass
+class QuantileSketchOperation(Operation):
+    """Deterministic mergeable quantile estimates as a flow op
+    (functions/quantile.py): REPLACES the frame with one row per
+    (group, q) — ``group_columns, q, est``.  ``min_group_rows``
+    (optional) engages the map-side hash prefilter; it is a
+    caller-asserted LOWER BOUND on every group's non-null row count."""
+
+    value_column: str = ""
+    id_column: str = ""
+    group_columns: list[str] = field(default_factory=list)
+    qs: list[float] = field(default_factory=lambda: [0.5])
+    k: int = 1024
+    min_group_rows: int | None = None
+    operation_type: str = "quantile_sketch"
+
+    def __post_init__(self) -> None:
+        if not self.value_column or not self.id_column or not self.group_columns:
+            raise SpecError(
+                "quantile_sketch requires value_column, id_column and group_columns"
+            )
+        if self.k < 1:
+            raise SpecError(f"quantile_sketch k must be >= 1, got {self.k!r}")
+        if not self.qs:
+            raise SpecError("quantile_sketch requires at least one quantile in qs")
+        from fractions import Fraction
+
+        for q in self.qs:
+            fr = Fraction(repr(q)) if isinstance(q, float) else Fraction(q)
+            if not 0 < fr <= 1:
+                raise SpecError(f"quantile_sketch qs must be in (0, 1], got {q!r}")
+        if self.min_group_rows is not None and self.min_group_rows < self.k:
+            raise SpecError(
+                f"quantile_sketch min_group_rows ({self.min_group_rows!r}) must "
+                f"be >= k ({self.k!r})"
+            )
+
+
+@dataclass
 class CmsCountsOperation(Operation):
     """Count-min frequency estimates as a flow op (functions/cms.py):
     builds the d·w counter table over the CURRENT frame's key column
@@ -1609,6 +1647,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "bloom_gate": BloomGateOperation,
     "hll_distinct": HllDistinctOperation,
     "cms_counts": CmsCountsOperation,
+    "quantile_sketch": QuantileSketchOperation,
 }
 
 

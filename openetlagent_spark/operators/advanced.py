@@ -655,6 +655,18 @@ def apply_bloom_gate(
     return flagged
 
 
+def apply_quantile_sketch(df: DataFrame, op: "QuantileSketchOperation") -> DataFrame:
+    from ..functions.quantile import quantile_sketch
+
+    require_columns(
+        df, [op.value_column, op.id_column, *op.group_columns], "quantile_sketch"
+    )
+    return quantile_sketch(
+        df, op.value_column, op.id_column, list(op.group_columns), list(op.qs),
+        k=op.k, min_group_rows=op.min_group_rows,
+    )
+
+
 def apply_classifier_score(df: DataFrame, op: "ClassifierScoreOperation") -> DataFrame:
     from ..functions.classifier import classifier_score, load_classifier_weights
 

@@ -1322,6 +1322,69 @@ def _cms_store_oracle() -> str:
 CMS_STORE_SQL = _cms_store_oracle()
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch (functions/quantile.py)
+    — the bounded-state sibling of q_percentile's exact
+    PERCENTILE_CONT: per event type, the KMV bottom-k hash-sample
+    (k=256) estimates the 0.5/0.9/0.99 value quantiles.  The estimate
+    is a sample MEMBER picked by exact integer rank math — no value
+    arithmetic, no interpolation, no RNG — so the whole sketch
+    hash-matches the generated DuckDB oracle bit for bit (the reason
+    this construction was chosen over KLL/t-digest, whose coin flips
+    and interpolation can never agree across engines).  Scale shape:
+    one narrow (group, hash, value) shuffle for the bottom-k window,
+    then everything runs on ≤ k·|groups| rows."""
+    from ..functions.quantile import quantile_sketch
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return quantile_sketch(
+        ev, "value", "event_id", ["event_type"], [0.5, 0.9, 0.99], k=256
+    )
+
+
+def _quantile_sketch_oracle() -> str:
+    from ..functions.quantile import qsketch_oracle_sql
+
+    return qsketch_oracle_sql(
+        table="events", value_col="value", id_col="event_id",
+        group_cols=["event_type"], qs=[0.5, 0.9, 0.99], k=256,
+    )
+
+
+QUANTILE_SKETCH_SQL = _quantile_sketch_oracle()
+
+
+def q_qsketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted quantile-sample store (functions/quantile.py
+    build_qsketch_store + qsketch_from_store) — the quantile leg of
+    the sketch-store family (hll_store, cms_store): batch A's bottom-k
+    sample written to parquet, batch B's appended, the union
+    re-selected at read time and served.  KMV mergeability —
+    bottomk(A∪B) = bottomk(bottomk(A)∪bottomk(B)) — makes the
+    append-merge EXACTLY the single-pass sketch, so the estimates
+    hash-match the plain quantile_sketch oracle over the unsplit
+    table, proving the parquet round trip and the batch split
+    lossless."""
+    from ..functions.quantile import build_qsketch_store, qsketch_estimate, qsketch_from_store
+    from .harness_queries import _scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    store = _scratch_dir("ela_qsketch_store", sf_dir)
+    build_qsketch_store(
+        ev.where(F.col("event_id") % 2 == 0), store, "value", "event_id",
+        ["event_type"], k=256,
+    )
+    build_qsketch_store(
+        ev.where(F.col("event_id") % 2 != 0), store, "value", "event_id",
+        ["event_type"], k=256, mode="append",
+    )
+    merged = qsketch_from_store(spark, store, ["event_type"], k=256)
+    return qsketch_estimate(merged, ["event_type"], [0.5, 0.9, 0.99])
+
+
+QSKETCH_STORE_SQL = QUANTILE_SKETCH_SQL
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op: nations that have BUILDING-segment customers
     AND a high-balance supplier.  Compiles to a distinct + left-semi
@@ -1809,6 +1872,8 @@ ANALYTICS_QUERIES = {
     "cms_counts": q_cms_counts,
     "hll_store": q_hll_store,
     "cms_store": q_cms_store,
+    "quantile_sketch": q_quantile_sketch,
+    "qsketch_store": q_qsketch_store,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
     "cooccurrence_pairs": q_cooccurrence_pairs,
@@ -1849,6 +1914,8 @@ ANALYTICS_ORACLES = {
     "cms_counts": CMS_COUNTS_SQL,
     "hll_store": HLL_STORE_SQL,
     "cms_store": CMS_STORE_SQL,
+    "quantile_sketch": QUANTILE_SKETCH_SQL,
+    "qsketch_store": QSKETCH_STORE_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,
