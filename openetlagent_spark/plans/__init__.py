@@ -11,58 +11,48 @@ HARNESS_QUERIES.update(TPCH_MORE_QUERIES)
 HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# ``queries()`` per round.  Cumulative coverage through r05: 153/155
-# hashed, zero outstanding failures; doc_novelty + source_overlap
-# landed after the final r05 run (local-PASS only).  This round-6
-# ordering starts the staleness ratchet VERDICT r05 item 1 asked for:
-# (a) the 12 queries with NO driver row: doc_novelty + source_overlap
-#     (r05 snapshot tail) and the ten added this round (url_normalize,
-#     domain_quota, image_neardup, line_dedup_lang, classifier_score,
-#     domain_rank, html_extract, web_pipeline, token_budget,
-#     embedding_quantize) — each locally exact-verified at driver
-#     strength when it landed;
-# (b) 34 of the 38 queries whose latest driver hash is r02
-#     (scripts/staleness.py) — the core-op, analytics-window, text,
-#     ANN, and streaming-batch families; ann_lsh_topk / ann_ivf_topk
-#     additionally flipped from rows-only to exact oracles this round.
-#     The four late-round additions (gap_fill, bloom_gate,
-#     hll_distinct, cms_counts) displaced equality / assignation /
-#     concatenation / comparison (rationale below), so THOSE FOUR
-#     remain r02-stale after r06 — front-load them in the r07
-#     rotation (all four re-verified locally at driver strength at
-#     round-6 end: ALL PASS).  Every other query's newest driver row
-#     is r03+.
-# Local `scripts/check_oracle.py` runs the full set regardless of
-# order; queries added later register in the tail and are front-loaded
-# next rotation.
-_ROUND6_FRONT = [
-    # never driver-checked (16)
-    "doc_novelty", "source_overlap",
-    "url_normalize", "domain_quota", "image_neardup", "line_dedup_lang",
-    "classifier_score", "domain_rank", "html_extract", "web_pipeline",
-    "token_budget", "embedding_quantize",
-    "gap_fill", "bloom_gate", "hll_distinct", "cms_counts",
-    # last hashed r02 (34) — the late additions above displaced
-    # "equality", "assignation", "concatenation" and "comparison": the
-    # four thinnest projections, all r02-green, all exercised
-    # implicitly by nearly every other row (every query projects and
-    # filters), by the operator test suite, and by the judge's r05
-    # suite-level local recheck; never-checked > stale.
-    "switching",
-    "arithmetic", "bind", "fold", "unfold", "filter",
-    "aggregation", "sort_limit", "distinct", "window", "union",
-    "bind_outer", "bind_cross", "bind_semi", "bind_anti", "fold_mixed",
-    "agg_stats", "window_lag", "window_first_last",
-    "text_stats", "text_quality", "fingerprint", "doc_repetition",
-    "dedup_exact", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "events_window", "stream_dedup", "stream_enrich", "stream_join",
-    "multimodal_features", "json_extract", "sample_hash",
-    # (the materialize-migration sentinels were all displaced by this
-    # round's never-checked queries — the strictly better trade:
-    # streaming/events.py is covered by the four fresh stream-family
-    # rows in (b), incremental.py by the r05-green store rows and the
-    # twice-run full local gate, and every displaced sentinel's own
-    # r04 driver row stands)
+# ``queries()`` per round.  Round-7 failure mode: no _ROUND7_FRONT was
+# committed, so the driver re-verified r06's identical front-50 and
+# nine queries sat without rows.  This round-8 ordering (committed as
+# the FIRST action of the round, per VERDICT r07 item 1):
+# (a) the 5 never-driver-checked r07 additions (quantile_sketch,
+#     qsketch_store, hll_store, cms_store, classifier_file) — each
+#     locally exact-verified at driver strength when it landed and
+#     again in the r07 judge session;
+# (b) the 4 queries whose latest driver hash is still r02 (equality,
+#     assignation, concatenation, comparison) — displaced in the r06
+#     rotation, skipped by the missing r07 rotation, re-verified
+#     locally (exact mode) in the r07 judge session: ALL PASS;
+# (c) backfill to exactly 50 with the oldest-stale rows from
+#     scripts/staleness.py: the 23 r03-stale (TPC-H q2-q7/q10/q14/
+#     q19/q22, grouping sets, percentile, window/topk, set ops,
+#     explode, multikey bind, session_window, asof/range joins,
+#     rollup, approx_distinct [rows-only by nature]) and 18 r04-stale
+#     (application/casting/flagship core rows, text + search + profile
+#     families, dedup_simhash/substring).
+# Queries added during round 8 may be swapped into this list
+# (replacing tail backfill rows) once locally exact-verified; keep the
+# list at exactly 50.  Local `scripts/check_oracle.py` runs the full
+# set regardless of order.
+_ROUND8_FRONT = [
+    # never driver-checked (5)
+    "quantile_sketch", "qsketch_store", "hll_store", "cms_store",
+    "classifier_file",
+    # last hashed r02 (4)
+    "equality", "assignation", "concatenation", "comparison",
+    # oldest stale: r03 (23)
+    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q22",
+    "grouping_sets", "percentile", "window_moving_avg", "topk_per_group",
+    "approx_distinct", "set_intersect", "set_except", "explode_tokens",
+    "bind_multikey", "session_window", "asof_join", "range_join",
+    "rollup",
+    # next oldest: r04 (18)
+    "application", "casting", "flagship",
+    "lang_id", "vocab_oov", "fuzzy_join", "tfidf_topk", "bigram_lm",
+    "doc_lm_score", "running_totals", "curation_pipeline",
+    "profile_table", "value_histogram", "unicode_nfc", "outlier_flags",
+    "bpe_pairs", "dedup_simhash", "dedup_substring",
 ]
 
 
@@ -72,7 +62,7 @@ def _reorder(front: list[str], mapping: dict) -> dict:
     return {**head, **tail}
 
 
-_reordered = _reorder(_ROUND6_FRONT, HARNESS_QUERIES)
+_reordered = _reorder(_ROUND8_FRONT, HARNESS_QUERIES)
 HARNESS_QUERIES.clear()
 HARNESS_QUERIES.update(_reordered)
 
