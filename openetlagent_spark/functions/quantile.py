@@ -125,7 +125,11 @@ def qsketch_build(
         # same restriction as hll_distinct: the oracle generator cannot
         # render the global case — group by a constant column instead
         raise ValueError("qsketch_build requires at least one group column")
-    internal = {"__qh__", "__qv__", "__rn__"}
+    # Guard the whole family's working names up front: build's own
+    # (__qh__/__qv__/__rn__) plus estimate's (__vr__/__n__/__r__ and the
+    # output column "q") — a group column literally named "q" would
+    # otherwise produce ambiguous output downstream (ADVICE r07).
+    internal = {"__qh__", "__qv__", "__rn__", "__vr__", "__n__", "__r__", "q"}
     collisions = internal & (set(df.columns) | set(group_cols))
     if collisions:
         raise ValueError(
@@ -187,6 +191,14 @@ def qsketch_estimate(
     sketch: one window, one count, one broadcast join."""
     if not qs:
         raise ValueError("qsketch_estimate needs at least one quantile")
+    clashes = ({"__vr__", "__n__", "__r__", "q", est_col}) & set(group_cols)
+    if clashes:
+        raise ValueError(
+            f"qsketch_estimate: group column(s) {sorted(clashes)} collide "
+            "with internal/output names — rename them first"
+        )
+    if est_col in {"__vr__", "__n__", "__r__", "q", "__qh__", "__qv__"}:
+        raise ValueError(f"qsketch_estimate: est_col {est_col!r} is reserved")
     rationals = [(float(Fraction(repr(q)) if isinstance(q, float) else Fraction(q)),
                   *_q_rational(q)) for q in qs]
     w = Window.partitionBy(*group_cols).orderBy(
@@ -296,7 +308,17 @@ def qsketch_oracle_sql(
 ) -> str:
     """DuckDB mirror of quantile_sketch, generated from the same
     constants (hash suffix, k, exact rational ranks) so the two cannot
-    drift."""
+    drift.
+
+    Models the UNFILTERED build only: there is deliberately no
+    ``min_group_rows`` parameter, because the map-side prefilter is
+    probabilistic — pairing a prefiltered Spark side with this oracle
+    would diverge whenever the filter drops a bottom-k row of an
+    undersized group.  Queries that want an oracle-checked prefilter
+    must guarantee every group's row count >= min_group_rows, in which
+    case the kept bottom-k is unchanged (see _prefilter_threshold) and
+    this unfiltered SQL remains the exact mirror — that equivalence is
+    itself oracle-checked by the qsketch_prefilter row."""
     if not group_cols:
         raise ValueError("qsketch_oracle_sql requires at least one group column")
     g = ", ".join(group_cols)

@@ -35,9 +35,9 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # list at exactly 50.  Local `scripts/check_oracle.py` runs the full
 # set regardless of order.
 _ROUND8_FRONT = [
-    # never driver-checked (5)
+    # never driver-checked (r07 tail + r08 additions)
     "quantile_sketch", "qsketch_store", "hll_store", "cms_store",
-    "classifier_file",
+    "classifier_file", "qsketch_prefilter",
     # last hashed r02 (4)
     "equality", "assignation", "concatenation", "comparison",
     # oldest stale: r03 (23)
@@ -52,7 +52,7 @@ _ROUND8_FRONT = [
     "lang_id", "vocab_oov", "fuzzy_join", "tfidf_topk", "bigram_lm",
     "doc_lm_score", "running_totals", "curation_pipeline",
     "profile_table", "value_histogram", "unicode_nfc", "outlier_flags",
-    "bpe_pairs", "dedup_simhash", "dedup_substring",
+    "bpe_pairs", "dedup_simhash",
 ]
 
 

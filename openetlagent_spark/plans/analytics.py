@@ -1385,6 +1385,44 @@ def q_qsketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 QSKETCH_STORE_SQL = QUANTILE_SKETCH_SQL
 
 
+def q_qsketch_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch's map-side hash prefilter, oracle-proven
+    equivalent to the unfiltered build (functions/quantile.py
+    _prefilter_threshold): min_group_rows=1900 asserts a lower bound
+    every event_type group satisfies at sf >= 0.01 (smallest group:
+    1981 rows at sf0.01), so qsketch_build keeps only hashes below
+    ceil(2^60·8k/1900) — ~27% of the hash space — BEFORE the bottom-k
+    shuffle, and the kept bottom-k is unchanged with failure
+    probability <= exp(-2.4k) (Chernoff; k=64 survivors expected ~534
+    per group).  Hash-matching the same UNFILTERED oracle as
+    quantile_sketch is the proof the filter is lossless when the bound
+    holds — the scale story (a ~R/8k shuffle cut at 100 TB) as a
+    tested fact rather than a docstring claim.  NOTE: the bound does
+    NOT hold at sf0.001 (188-row groups) — this query is defined for
+    sf >= 0.01, where every gate that collects it runs."""
+    from ..functions.quantile import quantile_sketch
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return quantile_sketch(
+        ev, "value", "event_id", ["event_type"], [0.5, 0.9, 0.99],
+        k=64, min_group_rows=1900,
+    )
+
+
+def _qsketch_prefilter_oracle() -> str:
+    from ..functions.quantile import qsketch_oracle_sql
+
+    # deliberately the unfiltered mirror (qsketch_oracle_sql has no
+    # min_group_rows by design) — equality IS the lossless-filter claim
+    return qsketch_oracle_sql(
+        table="events", value_col="value", id_col="event_id",
+        group_cols=["event_type"], qs=[0.5, 0.9, 0.99], k=64,
+    )
+
+
+QSKETCH_PREFILTER_SQL = _qsketch_prefilter_oracle()
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op: nations that have BUILDING-segment customers
     AND a high-balance supplier.  Compiles to a distinct + left-semi
@@ -1874,6 +1912,7 @@ ANALYTICS_QUERIES = {
     "cms_store": q_cms_store,
     "quantile_sketch": q_quantile_sketch,
     "qsketch_store": q_qsketch_store,
+    "qsketch_prefilter": q_qsketch_prefilter,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
     "cooccurrence_pairs": q_cooccurrence_pairs,
@@ -1916,6 +1955,7 @@ ANALYTICS_ORACLES = {
     "cms_store": CMS_STORE_SQL,
     "quantile_sketch": QUANTILE_SKETCH_SQL,
     "qsketch_store": QSKETCH_STORE_SQL,
+    "qsketch_prefilter": QSKETCH_PREFILTER_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,
