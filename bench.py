@@ -181,6 +181,12 @@ HEADLINE = [
     "bloom_gate",
     "hll_distinct",
     "cms_counts",
+    "quantile_sketch",
+    "qsketch_store",
+    "qsketch_prefilter",
+    "hll_store",
+    "cms_store",
+    "classifier_file",
 ]
 
 

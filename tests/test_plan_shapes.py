@@ -491,3 +491,58 @@ def test_token_budget_no_global_window(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert "Exchange SinglePartition" not in physical
     assert count_shuffles(plan) <= 4  # range split + agg + base join + local window reuse
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # bottom-k window on group + estimate re-rank; targets broadcast
+        ("quantile_sketch", 2),
+        # same shape served from the parquet sample store
+        ("qsketch_store", 2),
+        # the map-side prefilter must NOT add an exchange
+        ("qsketch_prefilter", 2),
+        # register MAX-merge + finalize regroup
+        ("hll_store", 2),
+        # counter SUM-merge + probe regroup
+        ("cms_store", 2),
+        # artifact-weighted scoring: a single codegen scan, no shuffle
+        ("classifier_file", 0),
+    ],
+)
+def test_round7_sketch_store_shuffle_budget(spark, name, max_shuffles):
+    assert count_shuffles(plan_of(spark, name)) <= max_shuffles
+
+
+def test_round7_no_cartesians_or_global_windows(spark):
+    for name in [
+        "quantile_sketch", "qsketch_store", "qsketch_prefilter",
+        "hll_store", "cms_store", "classifier_file",
+    ]:
+        plan = plan_of(spark, name)
+        physical = plan.split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in physical, name
+        assert "Exchange SinglePartition" not in physical, name
+        assert "SortMergeJoin" not in physical, name
+
+
+def test_qsketch_prefilter_cuts_before_shuffle(spark):
+    """The min_group_rows hash cutoff is a map-side Filter BELOW the
+    bottom-k exchange (the whole point: rows drop before they shuffle),
+    and the threshold literal matches _prefilter_threshold."""
+    from openetlagent_spark.functions.quantile import _prefilter_threshold
+
+    plan = plan_of(spark, "qsketch_prefilter")
+    physical = plan.split("== Physical Plan ==")[-1]
+    t = _prefilter_threshold(64, 1900)
+    assert str(t) in physical, "threshold literal must appear in the physical plan"
+    # the filter appears under (after, in text order) the first exchange
+    exch = physical.index("Exchange hashpartitioning")
+    assert physical.index(str(t)) > exch
+
+
+def test_classifier_file_no_join(spark):
+    """Weights arrive as a plan literal (kilobyte artifact), never a
+    join: the scoring query is scan + projection only."""
+    plan = plan_of(spark, "classifier_file")
+    assert "Join" not in plan.split("== Physical Plan ==")[-1]
