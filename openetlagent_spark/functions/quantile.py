@@ -78,6 +78,16 @@ def _q_rational(q) -> tuple[int, int]:
     return fr.numerator, fr.denominator
 
 
+def _q_parts(q) -> tuple[float, int, int]:
+    """(float form, num, den) — the ONE place the float↔rational
+    conversion lives, so the Spark side, the oracle generator, and the
+    YAML spec validation can never disagree about what a given q
+    means (the repr trick above is load-bearing for cross-engine rank
+    parity)."""
+    num, den = _q_rational(q)
+    return num / den, num, den
+
+
 def _qhash_col(id_col: str):
     return F.conv(
         F.substring(
@@ -199,8 +209,7 @@ def qsketch_estimate(
         )
     if est_col in {"__vr__", "__n__", "__r__", "q", "__qh__", "__qv__"}:
         raise ValueError(f"qsketch_estimate: est_col {est_col!r} is reserved")
-    rationals = [(float(Fraction(repr(q)) if isinstance(q, float) else Fraction(q)),
-                  *_q_rational(q)) for q in qs]
+    rationals = [_q_parts(q) for q in qs]
     w = Window.partitionBy(*group_cols).orderBy(
         F.col("__qv__").asc(), F.col("__qh__").asc()
     )
@@ -263,9 +272,13 @@ def build_qsketch_store(
     (``mode='append'``), re-selected at read time.  Each append writes
     ≤ |groups|·k rows; compact piled-up generations by rewriting the
     re-merged table with ``mode='overwrite'``.  Every generation must
-    use the same k.  Re-appending the same batch is harmless for the
-    KEPT SET only when ids are unique (duplicate (hash, value) rows
-    then crowd out distinct ones) — treat appends as at-most-once."""
+    use the same k.  Appends are strictly AT-MOST-ONCE: re-appending a
+    batch duplicates its (hash, value) rows, the bottom-k re-select
+    then keeps ~k/2 distinct rows twice each, and estimates run on a
+    duplicate-inflated half-support sample — lossy even with unique
+    ids (tests/test_quantile_sketch.py pins single-append
+    correctness; the double-append failure mode mirrors
+    cms_store's)."""
     qsketch_build(df, value_col, id_col, group_cols, k=k).write.mode(mode).parquet(
         path
     )
@@ -322,8 +335,7 @@ def qsketch_oracle_sql(
     if not group_cols:
         raise ValueError("qsketch_oracle_sql requires at least one group column")
     g = ", ".join(group_cols)
-    rationals = [(float(Fraction(repr(q)) if isinstance(q, float) else Fraction(q)),
-                  *_q_rational(q)) for q in qs]
+    rationals = [_q_parts(q) for q in qs]
     targets = " UNION ALL ".join(
         f"SELECT {g}, CAST({qf!r} AS DOUBLE) AS q, "
         f"GREATEST((nn * {num} + {den - 1}) // {den}, 1) AS r FROM __qs_n"

@@ -1532,12 +1532,19 @@ class QuantileSketchOperation(Operation):
             raise SpecError(f"quantile_sketch k must be >= 1, got {self.k!r}")
         if not self.qs:
             raise SpecError("quantile_sketch requires at least one quantile in qs")
-        from fractions import Fraction
+        from .functions.quantile import _q_parts
 
         for q in self.qs:
-            fr = Fraction(repr(q)) if isinstance(q, float) else Fraction(q)
-            if not 0 < fr <= 1:
-                raise SpecError(f"quantile_sketch qs must be in (0, 1], got {q!r}")
+            # _q_parts is the single float↔rational authority (the same
+            # conversion the Spark build and the oracle generator use);
+            # any parse/range failure surfaces as SpecError like every
+            # other field validation here.
+            try:
+                _q_parts(q)
+            except (ValueError, TypeError, ZeroDivisionError) as exc:
+                raise SpecError(
+                    f"quantile_sketch qs must be numbers in (0, 1], got {q!r}"
+                ) from exc
         if self.min_group_rows is not None and self.min_group_rows < self.k:
             raise SpecError(
                 f"quantile_sketch min_group_rows ({self.min_group_rows!r}) must "

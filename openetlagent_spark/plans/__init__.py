@@ -15,10 +15,11 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # committed, so the driver re-verified r06's identical front-50 and
 # nine queries sat without rows.  This round-8 ordering (committed as
 # the FIRST action of the round, per VERDICT r07 item 1):
-# (a) the 5 never-driver-checked r07 additions (quantile_sketch,
-#     qsketch_store, hll_store, cms_store, classifier_file) — each
-#     locally exact-verified at driver strength when it landed and
-#     again in the r07 judge session;
+# (a) the 6 never-driver-checked queries: the 5 r07 additions
+#     (quantile_sketch, qsketch_store, hll_store, cms_store,
+#     classifier_file) — each locally exact-verified at driver
+#     strength when it landed and again in the r07 judge session —
+#     plus this round's qsketch_prefilter (exact-verified on landing);
 # (b) the 4 queries whose latest driver hash is still r02 (equality,
 #     assignation, concatenation, comparison) — displaced in the r06
 #     rotation, skipped by the missing r07 rotation, re-verified
@@ -27,9 +28,10 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     scripts/staleness.py: the 23 r03-stale (TPC-H q2-q7/q10/q14/
 #     q19/q22, grouping sets, percentile, window/topk, set ops,
 #     explode, multikey bind, session_window, asof/range joins,
-#     rollup, approx_distinct [rows-only by nature]) and 18 r04-stale
+#     rollup, approx_distinct [rows-only by nature]) and 17 r04-stale
 #     (application/casting/flagship core rows, text + search + profile
-#     families, dedup_simhash/substring).
+#     families, dedup_simhash; 6+4+23+17 = 50 — dedup_substring was
+#     displaced by qsketch_prefilter).
 # Queries added during round 8 may be swapped into this list
 # (replacing tail backfill rows) once locally exact-verified; keep the
 # list at exactly 50.  Local `scripts/check_oracle.py` runs the full
@@ -57,7 +59,18 @@ _ROUND8_FRONT = [
 
 
 def _reorder(front: list[str], mapping: dict) -> dict:
-    head = {k: mapping[k] for k in front if k in mapping}
+    # A typo here must fail LOUDLY: silently dropping an unknown name
+    # would shrink the driver's front-50 gate — the silent-rotation
+    # failure class the round-7 postmortem above describes.
+    unknown = [k for k in front if k not in mapping]
+    if unknown:
+        raise KeyError(f"front-50 rotation names not in HARNESS_QUERIES: {unknown}")
+    if len(front) != 50 or len(set(front)) != 50:
+        raise ValueError(
+            f"front-50 rotation must hold exactly 50 distinct names, got "
+            f"{len(front)} ({len(set(front))} distinct)"
+        )
+    head = {k: mapping[k] for k in front}
     tail = {k: v for k, v in mapping.items() if k not in head}
     return {**head, **tail}
 
