@@ -187,6 +187,7 @@ HEADLINE = [
     "hll_store",
     "cms_store",
     "classifier_file",
+    "classifier_train",
 ]
 
 

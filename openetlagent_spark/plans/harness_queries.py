@@ -1754,6 +1754,59 @@ def q_classifier_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLF_TRAIN_DIM, _CLF_TRAIN_ITERS, _CLF_TRAIN_LR_BITS = 256, 8, 10
+# Planted linear label for the trainer demo: y = +1 iff
+# count('spark')+count('join') >= count('table')+count('row') — a
+# genuine function of the hashed-count feature space, so the batch
+# perceptron actually LEARNS it (mistakes 500 → 39 over the 8 halving
+# rounds on this corpus) rather than parking on the majority class.
+_CLF_TRAIN_WORDS = ("spark", "join", "table", "row")
+
+
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end classifier TRAINING loop (functions/classifier.py
+    classifier_train): deterministic full-batch perceptron — per
+    round, one codegen scan computes margins against the current
+    plan-literal weights, the INTEGER per-bucket gradient map-side-
+    combines to <= dim rows in a single explode->groupBy shuffle, and
+    the halving-step update keeps every weight an exact binary
+    fraction — then save_classifier_weights -> load_classifier_weights
+    round-trips the trained table through a parquet artifact and
+    classifier_score serves it.  The oracle re-derives ALL 8 training
+    rounds as unrolled CTEs from the same constants and scores with
+    the resulting weight list, so a hash match proves the whole
+    train->save->load->score loop engine-exact.  Scale: iters is a
+    fixed constant; each round costs one corpus scan plus a dim-row
+    shuffle/collect (kilobytes) — no gradient ever grows with corpus
+    size."""
+    from ..functions.classifier import (
+        classifier_score,
+        classifier_train,
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+    from ..functions.dedup import _token_col
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _token_col(F.col("text"))
+
+    def cnt(word: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    s, j, tb, rw = (cnt(w) for w in _CLF_TRAIN_WORDS)
+    labeled = docs.where(F.col("text").isNotNull()).withColumn(
+        "label", F.when(s + j >= tb + rw, 1).otherwise(-1)
+    )
+    w = classifier_train(
+        labeled, "text", "label",
+        dim=_CLF_TRAIN_DIM, iters=_CLF_TRAIN_ITERS, lr_bits=_CLF_TRAIN_LR_BITS,
+    )
+    artifact = _scratch_dir("ela_clf_train", sf_dir)
+    save_classifier_weights(w, artifact, spark=spark)
+    w2 = load_classifier_weights(artifact, spark=spark, dim=_CLF_TRAIN_DIM)
+    return classifier_score(docs, "doc_id", "text", dim=_CLF_TRAIN_DIM, weights=w2)
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty (functions/curation.py doc_novelty): the
     fraction of each document's distinct word-3-gram shingles found
@@ -2406,6 +2459,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_lang": q_line_dedup_lang,
     "classifier_score": q_classifier_score,
     "classifier_file": q_classifier_file,
+    "classifier_train": q_classifier_train,
     "domain_rank": q_domain_rank,
     "html_extract": q_html_extract,
     "web_pipeline": q_web_pipeline,
@@ -3233,6 +3287,33 @@ HARNESS_ORACLES["classifier_file"] = _classifier_score_oracle_sql(
     weights=_clf_file_weights(),
     bias=_CLF_FILE_BIAS,
     threshold=_CLF_FILE_THRESHOLD,
+)
+
+# classifier_train: the oracle re-runs all training rounds as unrolled
+# CTEs (w_i = w_{i-1} + g_i/2^(lr_bits+i-1)) from the same constants,
+# then scores with the CTE-derived weight list — a hash match proves
+# the distributed trainer, the artifact round trip, AND the scorer
+# agree bit-for-bit with a from-scratch SQL re-derivation
+from ..functions.classifier import (  # noqa: E402
+    classifier_train_oracle_sql as _classifier_train_oracle_sql,
+)
+from ..functions.text import _toks_sql as _clf_toks_sql  # noqa: E402
+
+
+def _clf_train_label_sql() -> str:
+    t = _clf_toks_sql("text")
+    c = {w: f"len(list_filter({t}, x -> x = '{w}'))" for w in _CLF_TRAIN_WORDS}
+    return (
+        f"CASE WHEN {c['spark']} + {c['join']} >= {c['table']} + {c['row']} "
+        "THEN 1 ELSE -1 END"
+    )
+
+
+HARNESS_ORACLES["classifier_train"] = _classifier_train_oracle_sql(
+    label_sql=_clf_train_label_sql(),
+    dim=_CLF_TRAIN_DIM,
+    iters=_CLF_TRAIN_ITERS,
+    lr_bits=_CLF_TRAIN_LR_BITS,
 )
 
 # domain_rank: unrolled integer-PageRank CTEs over the SAME synthetic

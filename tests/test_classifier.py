@@ -157,3 +157,134 @@ def test_flow_op_weights_path(spark, tmp_path):
         df, parse_operation({"operation_type": "classifier_score", "dim": 16})
     ).collect()[0]
     assert stub.score != 0.5
+
+
+def test_train_hand_computed_one_round(spark):
+    """One round from zero weights on a 2-doc corpus: every doc is
+    misclassified at w=0 (margin 0), so w[b] = (Σ y·count_b)/2^lr_bits
+    exactly — checked bucket by bucket against a Python mirror."""
+    import hashlib
+
+    from openetlagent_spark.functions.classifier import classifier_train
+
+    df = spark.createDataFrame(
+        [(1, "good good great", 1), (2, "bad awful", -1)],
+        "doc_id long, text string, label int",
+    )
+    w = classifier_train(df, "text", "label", dim=16, iters=1, lr_bits=4)
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16
+
+    expect = [0.0] * 16
+    for tok, y in [("good", 1), ("good", 1), ("great", 1), ("bad", -1), ("awful", -1)]:
+        expect[bucket(tok)] += y / 16
+    assert w == expect
+
+
+def test_train_converges_on_separable_corpus(spark):
+    """Vocab-disjoint classes are linearly separable; training must
+    reach zero disagreement with the labels (and beat the all-zero
+    start, which misclassifies everything)."""
+    from openetlagent_spark.functions.classifier import (
+        classifier_score,
+        classifier_train,
+    )
+
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append((i, f"bad awful worse junk{i % 5}", -1))
+        else:
+            rows.append((i, f"good fine great nice{i % 5}", 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w = classifier_train(df, "text", "label", dim=64, iters=4, lr_bits=6)
+    scored = classifier_score(
+        df.select("doc_id", "text"), "doc_id", "text", dim=64, weights=w
+    )
+    lab = {r["doc_id"]: r["label"] for r in df.select("doc_id", "label").collect()}
+    err = sum(
+        1
+        for r in scored.collect()
+        if (1 if r["score"] >= 0 else -1) != lab[r["doc_id"]]
+    )
+    assert err == 0
+
+
+def test_train_halving_schedule_is_exact_binary(spark):
+    """Every trained weight is an exact multiple of the FINAL round's
+    step 2^-(lr_bits+iters-1) — the exactness invariant the oracle
+    depends on."""
+    from openetlagent_spark.functions.classifier import classifier_train
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 7} common", 1 if i % 2 else -1) for i in range(40)],
+        "doc_id long, text string, label int",
+    )
+    w = classifier_train(df, "text", "label", dim=32, iters=3, lr_bits=5)
+    scale = 1 << (5 + 3 - 1)
+    assert any(v != 0.0 for v in w)
+    for v in w:
+        assert v * scale == int(v * scale)
+
+
+def test_train_artifact_scoring_round_trip(spark, tmp_path):
+    """train → save → load → score equals scoring with the in-memory
+    list (the deployment loop the classifier_train query exercises)."""
+    from openetlagent_spark.functions.classifier import (
+        classifier_score,
+        classifier_train,
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "gamma delta", 1 if i % 2 else -1)
+         for i in range(20)],
+        "doc_id long, text string, label int",
+    )
+    w = classifier_train(df, "text", "label", dim=32, iters=2, lr_bits=6)
+    path = str(tmp_path / "trained")
+    save_classifier_weights(w, path, spark=spark)
+    w2 = load_classifier_weights(path, spark=spark, dim=32)
+    assert w2 == w
+    direct = classifier_score(df.select("doc_id", "text"), dim=32, weights=w).collect()
+    loaded = classifier_score(df.select("doc_id", "text"), dim=32, weights=w2).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, loaded))
+
+
+def test_train_validation(spark):
+    from openetlagent_spark.functions.classifier import classifier_train
+
+    df = spark.createDataFrame(
+        [(1, "a b", 1), (2, "c d", 0)], "doc_id long, text string, label int"
+    )
+    with pytest.raises(ValueError, match=r"must be \+1/-1"):
+        classifier_train(df, "text", "label", dim=8, iters=1)
+    ok = df.where("label = 1")
+    with pytest.raises(ValueError, match="dim must be"):
+        classifier_train(ok, "text", "label", dim=0)
+    with pytest.raises(ValueError, match="iters must be"):
+        classifier_train(ok, "text", "label", dim=8, iters=0)
+    with pytest.raises(ValueError, match="lr_bits"):
+        classifier_train(ok, "text", "label", dim=8, iters=1, lr_bits=60)
+    with pytest.raises(ValueError, match="lr_bits"):
+        classifier_train(ok, "text", "label", dim=8, iters=20, lr_bits=40)
+
+
+def test_train_skips_null_text_and_labels(spark):
+    """NULL text / NULL label rows contribute nothing — same weights
+    as training on the clean subset."""
+    from openetlagent_spark.functions.classifier import classifier_train
+
+    clean = [(1, "up up", 1), (2, "down down", -1)]
+    noisy = clean + [(3, None, 1), (4, "ignored", None)]
+    a = classifier_train(
+        spark.createDataFrame(clean, "doc_id long, text string, label int"),
+        "text", "label", dim=16, iters=2, lr_bits=4,
+    )
+    b = classifier_train(
+        spark.createDataFrame(noisy, "doc_id long, text string, label int"),
+        "text", "label", dim=16, iters=2, lr_bits=4,
+    )
+    assert a == b
