@@ -827,3 +827,78 @@ def admit_stream_with_store(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sketch_refresh_stream(
+    events: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    checkpoint: str,
+    kind: str = "hll",
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    w: int = 1024,
+    d: int = 3,
+    available_now: bool = True,
+    query_name: str = "sketch_refresh",
+):
+    """Per-micro-batch SKETCH-STORE refresh — the dashboard loop for
+    the persisted distinct-count / frequency sketches (VERDICT r07
+    item 8): each micro-batch writes its own register/counter
+    GENERATION under ``store_path/gen=<batch_id>`` and re-serves the
+    merged store snapshot to ``out_path/batch_id=<batch_id>``, so a
+    distinct-users or term-frequency dashboard refreshes after every
+    batch while the store stays the single cross-batch memory (the
+    admit_stream_with_store composition, minus any gating).
+
+    EXACTLY-ONCE without idempotence assumptions: the neardup
+    admission stream can afford blind ``mode='append'`` only because
+    MAX-merge shrugs off duplicate rows; CMS counters SUM-merge, so a
+    replayed append would double-count.  Generation-keyed OVERWRITE
+    closes that window for both kinds — a replayed batch rewrites the
+    SAME ``gen=N`` directory with the same content, and the serving
+    read merges generations exactly once regardless of how many times
+    batch N ran.  (This is the partitioned-landing idiom of
+    write_stream_idempotent applied to the store itself.)
+
+    - ``kind='hll'``: generation = :func:`~..functions.sketch.hll_registers`
+      rows; snapshot = the finalized per-group estimate
+      (``group_cols, n_buckets_used, hll_est``).
+    - ``kind='cms'``: generation = the d·w counter table; snapshot =
+      the SUM-merged counters (``hash_row, bucket, cnt``) ready for
+      :func:`~..functions.cms.cms_estimate` point queries.
+
+    Scale: a generation is ≤ |groups|·2^p register rows / ≤ d·w
+    counter rows — kilobytes per batch independent of batch row count;
+    the snapshot read is bounded by generations·that, and compaction
+    is one re-merged overwrite of the store root."""
+    from ..functions.cms import build_cms_store, cms_from_store
+    from ..functions.sketch import build_hll_store, hll_from_store
+
+    if kind not in ("hll", "cms"):
+        raise ValueError(f"sketch_refresh_stream: kind must be hll/cms, got {kind!r}")
+    if kind == "hll" and not group_cols:
+        raise ValueError("sketch_refresh_stream: kind='hll' needs group_cols")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        gen = f"{store_path}/gen={batch_id}"
+        snap_path = f"{out_path}/batch_id={batch_id}"
+        if kind == "hll":
+            build_hll_store(batch_df, gen, key_col, group_cols, p=p)
+            snap = hll_from_store(spark, store_path, group_cols, p=p)
+        else:
+            build_cms_store(batch_df, gen, key_col, w=w, d=d)
+            snap = cms_from_store(spark, store_path, w=w, d=d)
+        snap.write.mode("overwrite").parquet(snap_path)
+
+    writer = (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

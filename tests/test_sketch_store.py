@@ -8,6 +8,7 @@ hll_store cms_store)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -150,3 +151,111 @@ def test_cms_store_double_append_double_counts(spark, tmp_path):
     est_1x = {r["k"]: r["est_count"]
               for r in cms_estimate(probes, direct, "k", w=64, d=3).collect()}
     assert est_2x == {k: 2 * v for k, v in est_1x.items()}
+
+
+def test_sketch_refresh_stream_hll_parity(spark, tmp_path):
+    """Streaming per-batch refresh (streaming/events.py
+    sketch_refresh_stream): after the stream drains, the LAST snapshot
+    must equal the one-shot batch sketch over all data — cross-batch
+    parity — and every generation lands under gen=<batch_id> so a
+    replayed batch overwrites instead of double-appending."""
+    import os
+
+    from openetlagent_spark.functions.sketch import hll_distinct
+    from openetlagent_spark.streaming.events import sketch_refresh_stream
+
+    df = _docs(spark)
+    src = str(tmp_path / "src")
+    df.where("i < 200").write.parquet(src)
+    df.where("i >= 200").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    q = sketch_refresh_stream(
+        stream, store, out,
+        checkpoint=str(tmp_path / "ckpt"),
+        kind="hll", key_col="k", group_cols=["g"], p=6,
+    )
+    assert q.awaitTermination(120)
+    gens = sorted(e for e in os.listdir(store) if e.startswith("gen="))
+    snaps = sorted(e for e in os.listdir(out) if e.startswith("batch_id="))
+    assert len(gens) >= 2 and len(snaps) == len(gens)
+    last = {
+        r["g"]: (r["n_buckets_used"], r["hll_est"])
+        for r in spark.read.parquet(f"{out}/{snaps[-1]}").collect()
+    }
+    direct = {
+        r["g"]: (r["n_buckets_used"], r["hll_est"])
+        for r in hll_distinct(spark.read.parquet(src), "k", ["g"], p=6).collect()
+    }
+    assert last == direct
+
+
+def test_sketch_refresh_stream_cms_parity_and_replay(spark, tmp_path):
+    """CMS leg: final merged counters equal the single-pass build, and
+    RE-RUNNING a generation (the replay case the gen= layout exists
+    for) leaves the serving read unchanged — the exactly-once property
+    blind append could not give a SUM-merged store."""
+    from openetlagent_spark.functions.cms import (
+        build_cms_store,
+        cms_build,
+        cms_estimate,
+        cms_from_store,
+    )
+    from openetlagent_spark.streaming.events import sketch_refresh_stream
+
+    df = _docs(spark)
+    src = str(tmp_path / "src")
+    # one FILE per half so file==micro-batch (maxFilesPerTrigger=1) and
+    # the batch-0 content is known exactly for the replay below; the
+    # sleep keeps the two modification times ordered for the source's
+    # file discovery
+    import time
+
+    df.where("i < 200").coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    df.where("i >= 200").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    q = sketch_refresh_stream(
+        stream, store, out,
+        checkpoint=str(tmp_path / "ckpt"),
+        kind="cms", key_col="k", w=64, d=3,
+    )
+    assert q.awaitTermination(120)
+    merged = cms_from_store(spark, store, w=64, d=3)
+    direct = cms_build(spark.read.parquet(src), "k", w=64, d=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # replay batch 0: overwrite its generation with the same content
+    build_cms_store(
+        spark.read.parquet(src).where("i < 200"), f"{store}/gen=0", "k", w=64, d=3
+    )
+    replayed = cms_from_store(spark, store, w=64, d=3)
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probes = df.select("k").distinct().limit(5)
+    est_r = {r["k"]: r["est_count"]
+             for r in cms_estimate(probes, replayed, "k", w=64, d=3).collect()}
+    est_d = {r["k"]: r["est_count"]
+             for r in cms_estimate(probes, direct, "k", w=64, d=3).collect()}
+    assert est_r == est_d
+
+
+def test_sketch_refresh_stream_validation(spark):
+    from openetlagent_spark.streaming.events import sketch_refresh_stream
+
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="kind must be"):
+        sketch_refresh_stream(df, "s", "o", checkpoint="c", kind="zzz", key_col="k")
+    with pytest.raises(ValueError, match="needs group_cols"):
+        sketch_refresh_stream(df, "s", "o", checkpoint="c", kind="hll", key_col="k")
