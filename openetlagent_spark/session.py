@@ -55,8 +55,15 @@ def _quiet_bounded_window_warning(spark: SparkSession) -> None:
     time WindowExec checks it.  Suppression is deliberately NARROW
     (one logger, WARN→ERROR) and the scale argument lives at each call
     site + PLANS.md; new code must still justify any global window
-    there, not rely on the silence.  Best-effort: log4j2 internals are
-    not API-stable, so failures are ignored."""
+    there, not rely on the silence.  Because the logger level is
+    session-global, a user flow that WANTS the single-partition
+    warning for its own windows keeps it with
+    ``SPARK_GRAFT_KEEP_WINDOW_WARNING=1`` (ADVICE r07) — the opt-out
+    exists so this convenience cannot hide a real scale bug in user
+    code.  Best-effort: log4j2 internals are not API-stable, so
+    failures are ignored."""
+    if os.environ.get("SPARK_GRAFT_KEEP_WINDOW_WARNING", "") not in ("", "0"):
+        return
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
