@@ -1373,6 +1373,50 @@ class ClassifierScoreOperation(Operation):
 
 
 @dataclass
+class ClassifierTrainOperation(Operation):
+    """Deterministic distributed classifier TRAINING as a flow op
+    (functions/classifier.py classifier_train): full-batch perceptron
+    with integer per-bucket gradients and halving power-of-two steps
+    over the CURRENT frame's ``label_column`` (+1/-1), then scores the
+    frame with the trained weights.  ``save_path`` (optional) persists
+    the weight artifact (JSON list or parquet, by extension) for later
+    ``classifier_score weights_path=`` serving.  mode='annotate'
+    appends n_tokens / score / clf_pass; mode='filter' keeps passing
+    rows."""
+
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    label_column: str = ""
+    dim: int = 256
+    iters: int = 8
+    lr_bits: int = 10
+    bias: float = 0.0
+    threshold: float = 0.0
+    mode: str = "annotate"
+    save_path: str | None = None
+    operation_type: str = "classifier_train"
+
+    def __post_init__(self) -> None:
+        if not self.label_column:
+            raise SpecError("classifier_train requires label_column (+1/-1)")
+        if self.mode not in ("annotate", "filter"):
+            raise SpecError(
+                f"classifier_train mode must be annotate|filter, got {self.mode!r}"
+            )
+        if self.dim < 1:
+            raise SpecError(f"classifier_train dim must be >= 1, got {self.dim!r}")
+        if self.iters < 1:
+            raise SpecError(
+                f"classifier_train iters must be >= 1, got {self.iters!r}"
+            )
+        if not 0 <= self.lr_bits <= 40 or self.lr_bits + self.iters > 52:
+            raise SpecError(
+                f"classifier_train needs lr_bits in [0, 40] and lr_bits + iters "
+                f"<= 52, got lr_bits={self.lr_bits!r}, iters={self.iters!r}"
+            )
+
+
+@dataclass
 class UrlNormalizeOperation(Operation):
     """URL normalization as a flow op (functions/web.py url_normalize):
     lowercase scheme/host, strip fragments, default ports, and tracking
@@ -1644,6 +1688,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "line_dedup": LineDedupOperation,
     "html_to_text": HtmlToTextOperation,
     "classifier_score": ClassifierScoreOperation,
+    "classifier_train": ClassifierTrainOperation,
     "url_normalize": UrlNormalizeOperation,
     "domain_extract": DomainExtractOperation,
     "domain_quota": DomainQuotaOperation,

@@ -685,6 +685,34 @@ def apply_classifier_score(df: DataFrame, op: "ClassifierScoreOperation") -> Dat
     return flagged.filter(F.col("clf_pass")).drop("n_tokens", "score", "clf_pass")
 
 
+def apply_classifier_train(df: DataFrame, op: "ClassifierTrainOperation") -> DataFrame:
+    """Train the hashed classifier on the current frame's labels, then
+    score the frame with the trained weights (optionally persisting the
+    artifact) — the flow-surface form of the train→save→score loop."""
+    from ..functions.classifier import (
+        classifier_score,
+        classifier_train,
+        save_classifier_weights,
+    )
+
+    require_columns(
+        df, [op.id_column, op.text_column, op.label_column], "classifier_train"
+    )
+    weights = classifier_train(
+        df, op.text_column, op.label_column,
+        dim=op.dim, iters=op.iters, lr_bits=op.lr_bits,
+    )
+    if op.save_path:
+        save_classifier_weights(weights, op.save_path, spark=df.sparkSession)
+    flagged = classifier_score(
+        df, op.id_column, op.text_column, dim=op.dim, bias=op.bias,
+        threshold=op.threshold, weights=weights, keep_all=True,
+    )
+    if op.mode == "annotate":
+        return flagged
+    return flagged.filter(F.col("clf_pass")).drop("n_tokens", "score", "clf_pass")
+
+
 def apply_url_normalize(df: DataFrame, op: "UrlNormalizeOperation") -> DataFrame:
     from ..functions.web import url_normalize
 

@@ -841,6 +841,9 @@ def sketch_refresh_stream(
     p: int = 8,
     w: int = 1024,
     d: int = 3,
+    value_col: str | None = None,
+    k: int = 1024,
+    qs: list | None = None,
     available_now: bool = True,
     query_name: str = "sketch_refresh",
 ):
@@ -869,18 +872,34 @@ def sketch_refresh_stream(
     - ``kind='cms'``: generation = the d·w counter table; snapshot =
       the SUM-merged counters (``hash_row, bucket, cnt``) ready for
       :func:`~..functions.cms.cms_estimate` point queries.
+    - ``kind='qsketch'``: generation = the batch's KMV bottom-k sample
+      (``key_col`` is the row id, ``value_col`` the measured value);
+      snapshot = quantile estimates for ``qs`` (default median) from
+      the re-merged sample — the generation overwrite matters doubly
+      here, since duplicated sample rows would CROWD OUT distinct ones
+      in the bottom-k re-select (quantile.build_qsketch_store's
+      at-most-once contract, enforced structurally).
 
     Scale: a generation is ≤ |groups|·2^p register rows / ≤ d·w
     counter rows — kilobytes per batch independent of batch row count;
     the snapshot read is bounded by generations·that, and compaction
     is one re-merged overwrite of the store root."""
     from ..functions.cms import build_cms_store, cms_from_store
+    from ..functions.quantile import (
+        build_qsketch_store,
+        qsketch_estimate,
+        qsketch_from_store,
+    )
     from ..functions.sketch import build_hll_store, hll_from_store
 
-    if kind not in ("hll", "cms"):
-        raise ValueError(f"sketch_refresh_stream: kind must be hll/cms, got {kind!r}")
-    if kind == "hll" and not group_cols:
-        raise ValueError("sketch_refresh_stream: kind='hll' needs group_cols")
+    if kind not in ("hll", "cms", "qsketch"):
+        raise ValueError(
+            f"sketch_refresh_stream: kind must be hll/cms/qsketch, got {kind!r}"
+        )
+    if kind in ("hll", "qsketch") and not group_cols:
+        raise ValueError(f"sketch_refresh_stream: kind={kind!r} needs group_cols")
+    if kind == "qsketch" and not value_col:
+        raise ValueError("sketch_refresh_stream: kind='qsketch' needs value_col")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -889,9 +908,15 @@ def sketch_refresh_stream(
         if kind == "hll":
             build_hll_store(batch_df, gen, key_col, group_cols, p=p)
             snap = hll_from_store(spark, store_path, group_cols, p=p)
-        else:
+        elif kind == "cms":
             build_cms_store(batch_df, gen, key_col, w=w, d=d)
             snap = cms_from_store(spark, store_path, w=w, d=d)
+        else:
+            build_qsketch_store(
+                batch_df, gen, value_col, key_col, group_cols, k=k
+            )
+            merged = qsketch_from_store(spark, store_path, group_cols, k=k)
+            snap = qsketch_estimate(merged, group_cols, qs or [0.5])
         snap.write.mode("overwrite").parquet(snap_path)
 
     writer = (

@@ -288,3 +288,54 @@ def test_train_skips_null_text_and_labels(spark):
         "text", "label", dim=16, iters=2, lr_bits=4,
     )
     assert a == b
+
+
+def test_flow_op_classifier_train(spark, tmp_path):
+    """classifier_train as a YAML op: trains on the frame's labels,
+    scores in place, optionally saves the artifact — and the saved
+    artifact re-serves identically through classifier_score
+    weights_path."""
+    from openetlagent_spark.model import SpecError, parse_operation
+    from openetlagent_spark.runner import apply_operations
+
+    rows = [
+        (i, "good fine great" if i % 3 else "bad awful junk", 1 if i % 3 else -1)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    artifact = str(tmp_path / "trained.json")
+    op = parse_operation({
+        "operation_type": "classifier_train", "label_column": "label",
+        "dim": 32, "iters": 4, "lr_bits": 6, "save_path": artifact,
+    })
+    out = apply_operations(df, [op], spark)
+    assert set(out.columns) == {"doc_id", "text", "label", "n_tokens", "score", "clf_pass"}
+    got = {r["doc_id"]: r["clf_pass"] for r in out.collect()}
+    lab = {r[0]: r[2] for r in rows}
+    assert all(got[d] == (lab[d] == 1) for d in got)  # separable → perfect
+
+    # the saved artifact serves through the scoring op with equal results
+    score_op = parse_operation({
+        "operation_type": "classifier_score", "dim": 32,
+        "weights_path": artifact, "mode": "annotate",
+    })
+    served = apply_operations(df.select("doc_id", "text"), [score_op], spark)
+    a = {r["doc_id"]: r["score"] for r in out.collect()}
+    b = {r["doc_id"]: r["score"] for r in served.collect()}
+    assert a == b
+
+    filt = parse_operation({
+        "operation_type": "classifier_train", "label_column": "label",
+        "dim": 32, "iters": 4, "lr_bits": 6, "mode": "filter",
+    })
+    kept = apply_operations(df, [filt], spark)
+    assert set(kept.columns) == {"doc_id", "text", "label"}
+    assert kept.count() == sum(1 for _, _, y in rows if y == 1)
+
+    with pytest.raises(SpecError, match="label_column"):
+        parse_operation({"operation_type": "classifier_train"})
+    with pytest.raises(SpecError, match="lr_bits"):
+        parse_operation({
+            "operation_type": "classifier_train", "label_column": "y",
+            "iters": 50, "lr_bits": 10,
+        })

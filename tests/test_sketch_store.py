@@ -259,3 +259,57 @@ def test_sketch_refresh_stream_validation(spark):
         sketch_refresh_stream(df, "s", "o", checkpoint="c", kind="zzz", key_col="k")
     with pytest.raises(ValueError, match="needs group_cols"):
         sketch_refresh_stream(df, "s", "o", checkpoint="c", kind="hll", key_col="k")
+
+
+def test_sketch_refresh_stream_qsketch_parity(spark, tmp_path):
+    """Quantile leg: after the stream drains, the last snapshot's
+    estimates equal the one-shot quantile_sketch over all data (the
+    KMV merge property, served per micro-batch)."""
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.quantile import quantile_sketch
+    from openetlagent_spark.streaming.events import sketch_refresh_stream
+
+    df = _docs(spark).withColumn("v", (F.col("i") * 37 % 400).cast("double"))
+    src = str(tmp_path / "src")
+    df.where("i < 200").write.parquet(src)
+    df.where("i >= 200").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    q = sketch_refresh_stream(
+        stream, store, out,
+        checkpoint=str(tmp_path / "ckpt"),
+        kind="qsketch", key_col="i", value_col="v", group_cols=["g"],
+        k=32, qs=[0.5, 0.9],
+    )
+    assert q.awaitTermination(120)
+    import os
+
+    snaps = sorted(e for e in os.listdir(out) if e.startswith("batch_id="))
+    last = {
+        (r["g"], r["q"]): r["est"]
+        for r in spark.read.parquet(f"{out}/{snaps[-1]}").collect()
+    }
+    direct = {
+        (r["g"], r["q"]): r["est"]
+        for r in quantile_sketch(
+            spark.read.parquet(src), "v", "i", ["g"], [0.5, 0.9], k=32
+        ).collect()
+    }
+    assert last == direct
+
+
+def test_sketch_refresh_stream_qsketch_validation(spark):
+    from openetlagent_spark.streaming.events import sketch_refresh_stream
+
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="needs value_col"):
+        sketch_refresh_stream(
+            df, "s", "o", checkpoint="c", kind="qsketch", key_col="i",
+            group_cols=["g"],
+        )
