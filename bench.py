@@ -188,6 +188,7 @@ HEADLINE = [
     "cms_store",
     "classifier_file",
     "classifier_train",
+    "classifier_warm",
 ]
 
 

@@ -262,6 +262,8 @@ def classifier_train(
     dim: int = 256,
     iters: int = 8,
     lr_bits: int = 10,
+    initial_weights: list[float] | None = None,
+    start_round: int = 0,
 ) -> list[float]:
     """Deterministic DISTRIBUTED perceptron training for the hashed
     linear classifier — closes the loop the artifact path opened
@@ -293,6 +295,17 @@ def classifier_train(
     (length ``dim``), bias left at 0.0 — artifact-compatible with
     :func:`save_classifier_weights`.
 
+    WARM START (incremental training): pass a previously trained
+    table as ``initial_weights`` and the round index the schedule
+    should resume from as ``start_round`` — rounds run
+    ``start_round .. start_round+iters-1`` with step
+    ``2^-(lr_bits+round)``, so train(A, 4 rounds) → artifact →
+    train(B, 4 more rounds, start_round=4) is EXACTLY the same
+    arithmetic as one 8-round run whose first four rounds saw A —
+    the property the classifier_warm oracle row hash-checks.  Resuming
+    with the wrong start_round (e.g. 0) would restart the step size
+    and is a different, non-equivalent schedule.
+
     Scale (100 TB): each round is ONE corpus scan (margin = codegen
     projection against the current plan-literal weights) plus one
     explode→groupBy(bucket) shuffle that map-side-combines to ≤ dim
@@ -303,11 +316,21 @@ def classifier_train(
         raise ValueError(f"classifier_train: dim must be >= 1, got {dim}")
     if iters < 1:
         raise ValueError(f"classifier_train: iters must be >= 1, got {iters}")
-    if not 0 <= lr_bits <= 40 or lr_bits + iters > 52:
+    if start_round < 0:
+        raise ValueError(
+            f"classifier_train: start_round must be >= 0, got {start_round}"
+        )
+    if not 0 <= lr_bits <= 40 or lr_bits + start_round + iters > 52:
         raise ValueError(
             f"classifier_train: lr_bits must be in [0, 40] and "
-            f"lr_bits + iters <= 52 (the halving schedule must stay on "
-            f"exactly-representable steps), got lr_bits={lr_bits}, iters={iters}"
+            f"lr_bits + start_round + iters <= 52 (the halving schedule must "
+            f"stay on exactly-representable steps), got lr_bits={lr_bits}, "
+            f"start_round={start_round}, iters={iters}"
+        )
+    if initial_weights is not None and len(initial_weights) != dim:
+        raise ValueError(
+            f"classifier_train: got {len(initial_weights)} initial weights "
+            f"for dim={dim}"
         )
     base = df.where(
         F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
@@ -317,9 +340,9 @@ def classifier_train(
         raise ValueError(
             f"classifier_train: {label_col} must be +1/-1, found {bad[0]['__y__']!r}"
         )
-    w = [0.0] * dim
+    w = [float(v) for v in initial_weights] if initial_weights else [0.0] * dim
     toks = _token_col(F.col("__t__"))
-    for it in range(iters):
+    for it in range(start_round, start_round + iters):
         lr = 1 << (lr_bits + it)
         w_lit = _array_literal(w)
         margin = F.aggregate(
@@ -341,6 +364,14 @@ def classifier_train(
     return w
 
 
+def _round_pred(round_filters: list | None, i: int) -> str:
+    """`(pred) AND ` fragment for round i (1-based), empty when
+    unrestricted."""
+    if round_filters is None or round_filters[i - 1] is None:
+        return ""
+    return f"({round_filters[i - 1]}) AND "
+
+
 def classifier_train_oracle_sql(
     *,
     table: str = "documents",
@@ -352,6 +383,7 @@ def classifier_train_oracle_sql(
     lr_bits: int = 10,
     bias: float = 0.0,
     threshold: float = 0.0,
+    round_filters: list | None = None,
 ) -> str:
     """DuckDB mirror of classifier_train → classifier_score, the
     training rounds UNROLLED as CTE pairs (the domain_rank / ann_ivf
@@ -361,49 +393,62 @@ def classifier_train_oracle_sql(
     reads the final weight LIST from a CTE (list(weight ORDER BY
     bucket), captured via CROSS JOIN — DuckDB lambdas reject
     subqueries but capture joined columns).  Generated from the same
-    constants as the Spark side so the two cannot drift."""
+    constants as the Spark side so the two cannot drift.
+
+    ``round_filters`` (optional, length ``iters``): per-round extra
+    predicate over the doc CTE (alias ``d``, id column ``d.did``)
+    restricting which documents that round trains on — the WARM-START
+    mirror: a query that trains 4 rounds on a subset, persists the
+    artifact, and resumes 4 rounds on the full corpus is one 8-round
+    derivation here with the subset predicate on rounds 1-4
+    (``None`` = no restriction)."""
+    if round_filters is not None and len(round_filters) != iters:
+        raise ValueError(
+            f"classifier_train_oracle_sql: round_filters must have one entry "
+            f"per round ({iters}), got {len(round_filters)}"
+        )
     toks = _toks_sql(text_col)
     margin = (
         "list_reduce(list_prepend(0.0, list_transform(d.toks, "
         f"t -> w.wl[{_bucket_sql('t', dim)} + 1])), (a, b) -> a + b)"
     )
     parts = [
-        f"""__ct_docs AS (
+        f"""__ct_docs AS MATERIALIZED (
   SELECT {id_col} AS did, {toks} AS toks, ({label_sql}) AS y
   FROM {table}
   WHERE {text_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
 )""",
-        """__ct_tok0 AS (
+        """__ct_tok0 AS MATERIALIZED (
   SELECT did, y, unnest(toks) AS t FROM __ct_docs
 )""",
-        f"""__ct_tok AS (
+        f"""__ct_tok AS MATERIALIZED (
   SELECT did, y, {_bucket_sql('t', dim)} AS b FROM __ct_tok0
 )""",
-        f"""__ct_w0 AS (
+        f"""__ct_w0 AS MATERIALIZED (
   SELECT CAST(r.range AS INTEGER) AS bucket, 0.0 AS weight FROM range({dim}) r
 )""",
     ]
     for i in range(1, iters + 1):
         parts += [
-            f"""__ct_wl{i - 1} AS (
+            f"""__ct_wl{i - 1} AS MATERIALIZED (
   SELECT list(weight ORDER BY bucket) AS wl FROM __ct_w{i - 1}
 )""",
-            f"""__ct_mis{i} AS (
+            f"""__ct_mis{i} AS MATERIALIZED (
   SELECT d.did, d.y FROM __ct_docs d CROSS JOIN __ct_wl{i - 1} w
-  WHERE d.y * {margin} <= 0.0
+  WHERE {_round_pred(round_filters, i)}d.y * {margin} <= 0.0
 )""",
-            f"""__ct_g{i} AS (
+            f"""__ct_g{i} AS MATERIALIZED (
   SELECT t.b AS bucket, CAST(SUM(t.y) AS BIGINT) AS g
   FROM __ct_tok t JOIN __ct_mis{i} m ON t.did = m.did GROUP BY t.b
 )""",
-            f"""__ct_w{i} AS (
+            f"""__ct_w{i} AS MATERIALIZED (
   SELECT w.bucket,
          w.weight + COALESCE(CAST(g.g AS DOUBLE) / {1 << (lr_bits + i - 1)}.0, 0.0) AS weight
   FROM __ct_w{i - 1} w LEFT JOIN __ct_g{i} g ON w.bucket = g.bucket
 )""",
         ]
     parts.append(
-        f"""__ct_wl{iters} AS (
+        f"""__ct_wl{iters} AS MATERIALIZED (
   SELECT list(weight ORDER BY bucket) AS wl FROM __ct_w{iters}
 )"""
     )

@@ -1807,6 +1807,57 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, "doc_id", "text", dim=_CLF_TRAIN_DIM, weights=w2)
 
 
+def q_classifier_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARM-START / incremental training (functions/classifier.py
+    classifier_train initial_weights + start_round): 4 rounds on the
+    even-doc_id half of the corpus, weights through a JSON artifact
+    (the other save format — classifier_file exercises parquet), then
+    4 MORE rounds on the full corpus resuming the halving schedule at
+    round 4, then score.  The oracle derives all 8 rounds in one CTE
+    chain with the half-corpus predicate on rounds 1-4, so a hash
+    match proves resumed training is arithmetically identical to
+    never having stopped — the property that makes per-batch model
+    refreshes trustworthy in a store-and-continue ingestion loop (the
+    classifier sibling of the sketch stores' append-merge
+    losslessness)."""
+    from ..functions.classifier import (
+        classifier_score,
+        classifier_train,
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+    from ..functions.dedup import _token_col
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _token_col(F.col("text"))
+
+    def cnt(word: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    s, j, tb, rw = (cnt(w) for w in _CLF_TRAIN_WORDS)
+    labeled = docs.where(F.col("text").isNotNull()).withColumn(
+        "label", F.when(s + j >= tb + rw, 1).otherwise(-1)
+    )
+    half = labeled.where(F.col("doc_id") % 2 == 0)
+    w1 = classifier_train(
+        half, "text", "label",
+        dim=_CLF_TRAIN_DIM, iters=4, lr_bits=_CLF_TRAIN_LR_BITS,
+    )
+    import os
+
+    scratch = _scratch_dir("ela_clf_warm", sf_dir)
+    os.makedirs(scratch, exist_ok=True)
+    artifact = scratch + "/weights.json"
+    save_classifier_weights(w1, artifact)
+    w1b = load_classifier_weights(artifact, dim=_CLF_TRAIN_DIM)
+    w2 = classifier_train(
+        labeled, "text", "label",
+        dim=_CLF_TRAIN_DIM, iters=4, lr_bits=_CLF_TRAIN_LR_BITS,
+        initial_weights=w1b, start_round=4,
+    )
+    return classifier_score(docs, "doc_id", "text", dim=_CLF_TRAIN_DIM, weights=w2)
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty (functions/curation.py doc_novelty): the
     fraction of each document's distinct word-3-gram shingles found
@@ -2460,6 +2511,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score": q_classifier_score,
     "classifier_file": q_classifier_file,
     "classifier_train": q_classifier_train,
+    "classifier_warm": q_classifier_warm,
     "domain_rank": q_domain_rank,
     "html_extract": q_html_extract,
     "web_pipeline": q_web_pipeline,
@@ -3314,6 +3366,17 @@ HARNESS_ORACLES["classifier_train"] = _classifier_train_oracle_sql(
     dim=_CLF_TRAIN_DIM,
     iters=_CLF_TRAIN_ITERS,
     lr_bits=_CLF_TRAIN_LR_BITS,
+)
+
+# classifier_warm: one 8-round CTE derivation with the even-doc_id
+# predicate on rounds 1-4 — hash-matching it proves the Spark side's
+# stop/persist/resume (JSON artifact + start_round=4) changed nothing
+HARNESS_ORACLES["classifier_warm"] = _classifier_train_oracle_sql(
+    label_sql=_clf_train_label_sql(),
+    dim=_CLF_TRAIN_DIM,
+    iters=8,
+    lr_bits=_CLF_TRAIN_LR_BITS,
+    round_filters=["d.did % 2 = 0"] * 4 + [None] * 4,
 )
 
 # domain_rank: unrolled integer-PageRank CTEs over the SAME synthetic

@@ -339,3 +339,50 @@ def test_flow_op_classifier_train(spark, tmp_path):
             "operation_type": "classifier_train", "label_column": "y",
             "iters": 50, "lr_bits": 10,
         })
+
+
+def test_train_warm_start_equals_uninterrupted(spark, tmp_path):
+    """Stop-persist-resume invariance: 2 rounds, JSON artifact round
+    trip, 2 more rounds with start_round=2 == one uninterrupted 4-round
+    run on the same data — the classifier_warm property at unit scale.
+    Resuming with the WRONG start_round (0, restarting the step size)
+    must differ."""
+    from openetlagent_spark.functions.classifier import (
+        classifier_train,
+        load_classifier_weights,
+        save_classifier_weights,
+    )
+
+    rows = [
+        (i, f"tok{i % 11} tok{(i + 3) % 11} shared", 1 if i % 3 else -1)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    full = classifier_train(df, "text", "label", dim=32, iters=4, lr_bits=6)
+    w1 = classifier_train(df, "text", "label", dim=32, iters=2, lr_bits=6)
+    art = str(tmp_path / "w.json")
+    save_classifier_weights(w1, art)
+    resumed = classifier_train(
+        df, "text", "label", dim=32, iters=2, lr_bits=6,
+        initial_weights=load_classifier_weights(art, dim=32), start_round=2,
+    )
+    assert resumed == full
+    restarted = classifier_train(
+        df, "text", "label", dim=32, iters=2, lr_bits=6,
+        initial_weights=w1, start_round=0,
+    )
+    assert restarted != full
+
+
+def test_train_warm_start_validation(spark):
+    from openetlagent_spark.functions.classifier import classifier_train
+
+    df = spark.createDataFrame([(1, "a", 1)], "doc_id long, text string, label int")
+    with pytest.raises(ValueError, match="initial weights"):
+        classifier_train(df, "text", "label", dim=8, iters=1, initial_weights=[0.0])
+    with pytest.raises(ValueError, match="start_round"):
+        classifier_train(df, "text", "label", dim=8, iters=1, start_round=-1)
+    with pytest.raises(ValueError, match="lr_bits"):
+        classifier_train(
+            df, "text", "label", dim=8, iters=10, lr_bits=40, start_round=5
+        )

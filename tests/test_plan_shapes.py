@@ -511,6 +511,7 @@ def test_token_budget_no_global_window(spark):
         # trained-artifact scoring scan (training rounds run eagerly
         # at build; the SERVED plan is the same single scan)
         ("classifier_train", 0),
+        ("classifier_warm", 0),
     ],
 )
 def test_round7_sketch_store_shuffle_budget(spark, name, max_shuffles):
@@ -521,6 +522,7 @@ def test_round7_no_cartesians_or_global_windows(spark):
     for name in [
         "quantile_sketch", "qsketch_store", "qsketch_prefilter",
         "hll_store", "cms_store", "classifier_file", "classifier_train",
+        "classifier_warm",
     ]:
         plan = plan_of(spark, name)
         physical = plan.split("== Physical Plan ==")[-1]
