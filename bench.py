@@ -189,6 +189,7 @@ HEADLINE = [
     "classifier_file",
     "classifier_train",
     "classifier_warm",
+    "weighted_sample",
 ]
 
 

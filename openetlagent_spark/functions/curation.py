@@ -657,6 +657,91 @@ def stratified_sample_oracle_sql(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    rank_column: str | None = None,
+) -> DataFrame:
+    """Deterministic WEIGHTED ``k``-per-group sample — sequential
+    Poisson sampling (Ohlsson 1998, the PPS scheme survey statisticians
+    use for probability-proportional-to-size estimation): each row gets
+    rank ``h / w`` where ``h`` is the 52-bit md5 prefix of
+    ``(key ∥ seed)`` (13 hex chars — exactly representable as a
+    double) and ``w`` its weight; the ``k`` smallest ranks per group
+    survive.  Inclusion probability is ≈ proportional to weight — the
+    training-data mixing primitive (sample by quality score, token
+    count, or source priority) that uniform hash sampling
+    (:func:`stratified_sample`, the w=const special case) cannot
+    express.
+
+    Engine-exact: ``h`` is an exact integer-valued double, ``h / w``
+    is ONE IEEE division (bit-identical in any engine), and ties break
+    on (h, key) — so the sampled SET is reproducible across engines,
+    runs, and partitionings.  Rows with NULL or non-positive weight are
+    EXCLUDED (they have no defined inclusion probability); NULL keys
+    hash as '' (the stratified_sample convention).
+
+    Scale: one shuffle on the group key; per-group state is the top-k
+    window heap.  Weights need no normalization pass — ranks compare
+    within the group without knowing the group's weight total, which is
+    what makes this a one-pass distributed PPS sample."""
+    if k <= 0:
+        raise ValueError(f"weighted_sample k must be positive, got {k}")
+    if not group_cols:
+        raise ValueError("weighted_sample requires group_cols")
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("-", key_str, F.lit(str(seed)))), 1, 13),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+    )
+    w = F.col(weight_col).cast("double")
+    r = h / w
+    wnd = Window.partitionBy(*group_cols).orderBy(
+        r.asc(), h.asc(), F.col(key_col).asc_nulls_first()
+    )
+    ranked = df.where(w > 0).withColumn("_x_wrank", F.row_number().over(wnd))
+    out = ranked.filter(F.col("_x_wrank") <= k)
+    if rank_column:
+        return out.withColumnRenamed("_x_wrank", rank_column)
+    return out.drop("_x_wrank")
+
+
+def weighted_sample_oracle_sql(
+    source_sql: str,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    out_cols: list[str] | None = None,
+) -> str:
+    """ANSI mirror of :func:`weighted_sample` — same 52-bit hash, same
+    single division, same tiebreaks."""
+    groups = ", ".join(group_cols)
+    cols = ", ".join(out_cols) if out_cols else "* EXCLUDE (rnk)"
+    h = (
+        f"CAST(('0x' || substr(md5(COALESCE(CAST({key_col} AS VARCHAR), '') "
+        f"|| '-' || '{seed}'), 1, 13)) AS BIGINT)"
+    )
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {groups} "
+        f"ORDER BY CAST({h} AS DOUBLE) / CAST({weight_col} AS DOUBLE), "
+        f"{h}, {key_col} NULLS FIRST) AS rnk "
+        f"FROM ({source_sql}) WHERE CAST({weight_col} AS DOUBLE) > 0"
+        f") WHERE rnk <= {k}"
+    )
+
+
 # --- overlapping chunking ---------------------------------------------------
 
 

@@ -796,6 +796,32 @@ class StratifiedSampleOperation(Operation):
 
 
 @dataclass
+class WeightedSampleOperation(Operation):
+    """Weighted (PPS) sampling as a flow op (functions/curation.py
+    weighted_sample — sequential Poisson): k rows per group with
+    inclusion probability ≈ proportional to ``weight_column``; rows
+    with NULL/non-positive weight are excluded.  Deterministic,
+    partition-independent, engine-exact."""
+
+    group_columns: list[str] = field(default_factory=list)
+    key_column: str = ""
+    weight_column: str = ""
+    k: int = 0
+    seed: int = 42
+    rank_column: str = ""
+    operation_type: str = "weighted_sample"
+
+    def __post_init__(self) -> None:
+        if not self.group_columns or not self.key_column or not self.weight_column:
+            raise SpecError(
+                "weighted_sample requires group_columns, key_column and "
+                "weight_column"
+            )
+        if self.k <= 0:
+            raise SpecError(f"weighted_sample k must be positive, got {self.k!r}")
+
+
+@dataclass
 class ChunkOperation(Operation):
     """Overlapping-window text chunking as a flow op (functions/
     curation.py chunk_text): one output row per ``chunk_size``-token
@@ -1665,6 +1691,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "merge": MergeOperation,
     "scd2": Scd2Operation,
     "stratified_sample": StratifiedSampleOperation,
+    "weighted_sample": WeightedSampleOperation,
     "chunk": ChunkOperation,
     "keyword_search": KeywordSearchOperation,
     "fuzzy_pairs": FuzzyPairsOperation,

@@ -350,6 +350,23 @@ def apply_stratified_sample(df: DataFrame, op: StratifiedSampleOperation) -> Dat
     )
 
 
+def apply_weighted_sample(df: DataFrame, op: "WeightedSampleOperation") -> DataFrame:
+    from ..functions.curation import weighted_sample
+
+    require_columns(
+        df, [op.key_column, op.weight_column, *op.group_columns], "weighted_sample"
+    )
+    return weighted_sample(
+        df,
+        op.group_columns,
+        op.key_column,
+        op.weight_column,
+        op.k,
+        seed=op.seed,
+        rank_column=op.rank_column or None,
+    )
+
+
 def apply_chunk(df: DataFrame, op: ChunkOperation) -> DataFrame:
     from ..functions.curation import chunk_text
 

@@ -2252,6 +2252,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling (functions/curation.py
+    weighted_sample — sequential Poisson / PPS): 25 documents per
+    language with inclusion probability ≈ proportional to n_chars,
+    rank = 52-bit-md5(doc_id ∥ seed) / weight, k smallest per group.
+    ONE IEEE division per row on an exactly-representable integer
+    hash, so the sampled set hash-matches DuckDB bit for bit — the
+    quality/size-weighted training-mix primitive uniform hash
+    sampling cannot express.  One group-key shuffle, top-k window
+    state."""
+    from ..functions.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, ["lang"], "doc_id", "n_chars", k=25, rank_column="rank"
+    ).select("doc_id", "lang", "n_chars", "rank")
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window chunking (functions/curation.py chunk_text):
     64-token windows advancing 48 tokens (16-token overlap) — the
@@ -2523,6 +2541,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_changes": q_merge_changes,
     "scd2_history": q_scd2_history,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "chunk_docs": q_chunk_docs,
     "near_contamination": q_near_contamination,
     "global_shuffle": q_global_shuffle,
@@ -3101,6 +3120,19 @@ HARNESS_ORACLES["stratified_sample"] = _stratified_sample_oracle_sql(
     "doc_id",
     30,
     out_cols=["doc_id", "lang", 'rnk AS "rank"'],
+)
+
+from ..functions.curation import (  # noqa: E402
+    weighted_sample_oracle_sql as _weighted_sample_oracle_sql,
+)
+
+HARNESS_ORACLES["weighted_sample"] = _weighted_sample_oracle_sql(
+    "SELECT doc_id, lang, n_chars FROM documents",
+    ["lang"],
+    "doc_id",
+    "n_chars",
+    25,
+    out_cols=["doc_id", "lang", "n_chars", 'rnk AS "rank"'],
 )
 
 HARNESS_ORACLES["chunk_docs"] = _chunk_oracle_sql(

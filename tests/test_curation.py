@@ -609,3 +609,94 @@ def test_token_budget_sample_semantics(spark):
         for r in token_budget_sample(df.repartition(7), "src", "toks", 45, "doc_id").collect()
     }
     assert rep == got
+
+
+def test_weighted_sample_quota_and_determinism(spark):
+    """Exact k per group, identical set under repartitioning, NULL /
+    non-positive weights excluded (functions/curation.py
+    weighted_sample)."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import weighted_sample
+
+    rows = [Row(id=i, grp="a" if i % 2 else "b", w=float(1 + i % 7)) for i in range(120)]
+    rows += [Row(id=200, grp="a", w=None), Row(id=201, grp="a", w=0.0),
+             Row(id=202, grp="a", w=-3.0)]
+    df = spark.createDataFrame(rows)
+    out = weighted_sample(df, ["grp"], "id", "w", k=10)
+    got = sorted((r.grp, r.id) for r in out.collect())
+    assert len(got) == 20
+    assert all(i < 200 for _, i in got)  # invalid weights never sampled
+    again = weighted_sample(df.repartition(13), ["grp"], "id", "w", k=10)
+    assert sorted((r.grp, r.id) for r in again.collect()) == got
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A row with overwhelming weight has rank h/w ~ 0 and must be
+    selected; with k=1 it IS the sample (deterministic given the fixed
+    hash — h <= 2^52 while w differs by 10^9)."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(id=i, grp="g", w=1.0) for i in range(50)]
+        + [Row(id=999, grp="g", w=1e18)]
+    )
+    out = weighted_sample(df, ["grp"], "id", "w", k=1)
+    assert [r.id for r in out.collect()] == [999]
+
+
+def test_weighted_sample_uniform_weights_match_ordering_invariance(spark):
+    """With equal weights the rank order reduces to the pure hash
+    order, so the sample is a uniform hash sample — the
+    stratified_sample special case (same SIZE and determinism; the
+    hash differs by the weight division but ordering is h-monotone)."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import weighted_sample
+
+    df = spark.createDataFrame([Row(id=i, grp="g", w=2.0) for i in range(80)])
+    a = {r.id for r in weighted_sample(df, ["grp"], "id", "w", k=15).collect()}
+    b = {r.id for r in weighted_sample(df, ["grp"], "id", "w", k=15, seed=43).collect()}
+    assert len(a) == 15 and len(b) == 15
+    assert a != b  # seed moves the sample
+
+
+def test_weighted_sample_validation_and_flow_op(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.curation import weighted_sample
+    from openetlagent_spark.model import SpecError, parse_operation
+    from openetlagent_spark.runner import apply_operations
+
+    df = spark.createDataFrame([Row(id=1, grp="g", w=1.0)])
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample(df, ["grp"], "id", "w", k=0)
+    with pytest.raises(ValueError, match="requires group_cols"):
+        weighted_sample(df, [], "id", "w", k=1)
+
+    big = spark.createDataFrame(
+        [Row(id=i, grp="a" if i % 2 else "b", w=float(1 + i % 5)) for i in range(60)]
+    )
+    op = parse_operation({
+        "operation_type": "weighted_sample", "group_columns": ["grp"],
+        "key_column": "id", "weight_column": "w", "k": 5,
+        "rank_column": "rank",
+    })
+    out = apply_operations(big, [op], spark)
+    assert out.count() == 10 and "rank" in out.columns
+    lib = weighted_sample(big, ["grp"], "id", "w", 5, rank_column="rank")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, lib.collect()))
+
+    with pytest.raises(SpecError, match="weight_column"):
+        parse_operation({
+            "operation_type": "weighted_sample", "group_columns": ["grp"],
+            "key_column": "id", "k": 5,
+        })
+    with pytest.raises(SpecError, match="k must be positive"):
+        parse_operation({
+            "operation_type": "weighted_sample", "group_columns": ["grp"],
+            "key_column": "id", "weight_column": "w",
+        })

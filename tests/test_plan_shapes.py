@@ -512,6 +512,8 @@ def test_token_budget_no_global_window(spark):
         # at build; the SERVED plan is the same single scan)
         ("classifier_train", 0),
         ("classifier_warm", 0),
+        # one group-key hash shuffle for the PPS top-k window
+        ("weighted_sample", 1),
     ],
 )
 def test_round7_sketch_store_shuffle_budget(spark, name, max_shuffles):
