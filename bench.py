@@ -190,6 +190,8 @@ HEADLINE = [
     "classifier_train",
     "classifier_warm",
     "weighted_sample",
+    "kmv_distinct",
+    "kmv_set_overlap",
 ]
 
 

@@ -1423,6 +1423,69 @@ def _qsketch_prefilter_oracle() -> str:
 QSKETCH_PREFILTER_SQL = _qsketch_prefilter_oracle()
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct estimates (functions/kmv.py) — the
+    theta-sketch leg of the sketch family: per event type, the 64
+    smallest distinct user-id hashes estimate the distinct-user count
+    via pure integer math (T DIV h_k with T precomputed in Python;
+    exact count when the set is smaller than k).  One narrow
+    (set, hash) distinct + bottom-k window; the full key set never
+    shuffles."""
+    from ..functions.kmv import kmv_cardinality, kmv_sample
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return kmv_cardinality(
+        kmv_sample(ev, "user_id", "event_type", k=64), "event_type", k=64
+    )
+
+
+def _kmv_distinct_oracle() -> str:
+    from ..functions.kmv import kmv_cardinality_oracle_sql
+
+    return kmv_cardinality_oracle_sql(
+        source_sql="SELECT user_id, event_type FROM events",
+        key_col="user_id",
+        set_col="event_type",
+        k=64,
+    )
+
+
+KMV_DISTINCT_SQL = _kmv_distinct_oracle()
+
+
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SET-OPERATION estimates from KMV samples
+    (functions/kmv.py kmv_set_ops): for every unordered pair of event
+    types, estimated union and intersection cardinalities of their
+    user sets plus the sample Jaccard — audience-overlap / source-
+    overlap analytics WITHOUT shuffling full key sets (the exact
+    companion diagnostics are set_intersect / source_overlap).  The
+    merged-sample union estimate is valid because bottomk(A∪B) =
+    bottomk(bottomk(A)∪bottomk(B)); everything pairwise runs on
+    ≤ |sets|·k sample rows.  Integer estimators throughout; the one
+    double is the jaccard ratio (single IEEE division)."""
+    from ..functions.kmv import kmv_sample, kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return kmv_set_ops(
+        kmv_sample(ev, "user_id", "event_type", k=64), "event_type", k=64
+    )
+
+
+def _kmv_set_overlap_oracle() -> str:
+    from ..functions.kmv import kmv_set_ops_oracle_sql
+
+    return kmv_set_ops_oracle_sql(
+        source_sql="SELECT user_id, event_type FROM events",
+        key_col="user_id",
+        set_col="event_type",
+        k=64,
+    )
+
+
+KMV_SET_OVERLAP_SQL = _kmv_set_overlap_oracle()
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op: nations that have BUILDING-segment customers
     AND a high-balance supplier.  Compiles to a distinct + left-semi
@@ -1913,6 +1976,8 @@ ANALYTICS_QUERIES = {
     "quantile_sketch": q_quantile_sketch,
     "qsketch_store": q_qsketch_store,
     "qsketch_prefilter": q_qsketch_prefilter,
+    "kmv_distinct": q_kmv_distinct,
+    "kmv_set_overlap": q_kmv_set_overlap,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
     "cooccurrence_pairs": q_cooccurrence_pairs,
@@ -1956,6 +2021,8 @@ ANALYTICS_ORACLES = {
     "quantile_sketch": QUANTILE_SKETCH_SQL,
     "qsketch_store": QSKETCH_STORE_SQL,
     "qsketch_prefilter": QSKETCH_PREFILTER_SQL,
+    "kmv_distinct": KMV_DISTINCT_SQL,
+    "kmv_set_overlap": KMV_SET_OVERLAP_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,

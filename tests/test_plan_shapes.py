@@ -514,6 +514,11 @@ def test_token_budget_no_global_window(spark):
         ("classifier_warm", 0),
         # one group-key hash shuffle for the PPS top-k window
         ("weighted_sample", 1),
+        # distinct + bottom-k window on the narrow (set, hash) stream
+        ("kmv_distinct", 2),
+        # sample materialized ONCE, then the bounded pairwise fan-out
+        # over k-row samples (pair regroup + union re-rank + final agg)
+        ("kmv_set_overlap", 4),
     ],
 )
 def test_round7_sketch_store_shuffle_budget(spark, name, max_shuffles):
