@@ -192,6 +192,7 @@ HEADLINE = [
     "weighted_sample",
     "kmv_distinct",
     "kmv_set_overlap",
+    "kmv_store",
 ]
 
 

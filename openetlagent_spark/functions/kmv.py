@@ -268,3 +268,53 @@ SELECT s AS {set_col},
                  ELSE {t} // MAX(h) END AS BIGINT) AS kmv_est
 FROM __kmv_s GROUP BY s
 """
+
+
+def build_kmv_store(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    set_col: str,
+    *,
+    k: int = 1024,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the per-set bottom-k hash sample as a parquet SAMPLE
+    STORE — the set-operation sibling of sketch.build_hll_store.
+    Append each ingested batch's sample (``mode='append'``); the
+    read-time re-select (:func:`kmv_from_store`) equals the
+    single-pass sample (KMV property).  Unlike the quantile store,
+    re-appending the SAME batch is harmless: duplicate (set, hash)
+    rows collapse in the merge's DISTINCT, so appends are
+    at-least-once safe (the MAX-merge-grade idempotence HLL has)."""
+    kmv_sample(df, key_col, set_col, k=k).write.mode(mode).parquet(path)
+
+
+def kmv_from_store(
+    spark,
+    store_path: str,
+    set_col: str,
+    *,
+    k: int = 1024,
+    schema: str | None = None,
+    batch: DataFrame | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Merged per-set sample from a persisted store, optionally folding
+    a NEW batch in at serve time.  ``schema`` (DDL: ``<set_col> <type>,
+    __h__ long``) enables cold-start reads of an empty store (zero
+    part files have no footers)."""
+    _check_k(k)
+    reader = spark.read.schema(schema) if schema else spark.read
+    sk = reader.parquet(store_path).select(set_col, "__h__")
+    if batch is not None:
+        if key_col is None:
+            raise ValueError("kmv_from_store: batch requires key_col")
+        sk = sk.unionByName(kmv_sample(batch, key_col, set_col, k=k))
+    w = Window.partitionBy(set_col).orderBy(F.col("__h__").asc())
+    return (
+        sk.distinct()
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

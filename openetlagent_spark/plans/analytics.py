@@ -1486,6 +1486,34 @@ def _kmv_set_overlap_oracle() -> str:
 KMV_SET_OVERLAP_SQL = _kmv_set_overlap_oracle()
 
 
+def q_kmv_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted KMV sample store (functions/kmv.py build_kmv_store +
+    kmv_from_store): batch A's per-set bottom-k hash sample written to
+    parquet, batch B's appended, the union re-selected at read time
+    and fed to the cardinality estimator.  bottomk(A∪B) =
+    bottomk(bottomk(A)∪bottomk(B)) makes the append-merge EXACTLY the
+    single-pass sample, so this hash-matches the kmv_distinct oracle
+    over the unsplit table — and unlike the quantile store, duplicate
+    appends collapse in the merge's DISTINCT (at-least-once safe)."""
+    from ..functions.kmv import build_kmv_store, kmv_cardinality, kmv_from_store
+    from .harness_queries import _scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    store = _scratch_dir("ela_kmv_store", sf_dir)
+    build_kmv_store(
+        ev.where(F.col("event_id") % 2 == 0), store, "user_id", "event_type", k=64
+    )
+    build_kmv_store(
+        ev.where(F.col("event_id") % 2 != 0), store, "user_id", "event_type",
+        k=64, mode="append",
+    )
+    merged = kmv_from_store(spark, store, "event_type", k=64)
+    return kmv_cardinality(merged, "event_type", k=64)
+
+
+KMV_STORE_SQL = KMV_DISTINCT_SQL
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op: nations that have BUILDING-segment customers
     AND a high-balance supplier.  Compiles to a distinct + left-semi
@@ -1978,6 +2006,7 @@ ANALYTICS_QUERIES = {
     "qsketch_prefilter": q_qsketch_prefilter,
     "kmv_distinct": q_kmv_distinct,
     "kmv_set_overlap": q_kmv_set_overlap,
+    "kmv_store": q_kmv_store,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
     "cooccurrence_pairs": q_cooccurrence_pairs,
@@ -2023,6 +2052,7 @@ ANALYTICS_ORACLES = {
     "qsketch_prefilter": QSKETCH_PREFILTER_SQL,
     "kmv_distinct": KMV_DISTINCT_SQL,
     "kmv_set_overlap": KMV_SET_OVERLAP_SQL,
+    "kmv_store": KMV_STORE_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,

@@ -879,12 +879,16 @@ def sketch_refresh_stream(
       here, since duplicated sample rows would CROWD OUT distinct ones
       in the bottom-k re-select (quantile.build_qsketch_store's
       at-most-once contract, enforced structurally).
+    - ``kind='kmv'``: generation = the per-set bottom-k distinct-hash
+      sample (``group_cols[0]`` is the set label); snapshot = the
+      integer distinct-count estimates (``set, n_sample, kmv_est``).
 
     Scale: a generation is ≤ |groups|·2^p register rows / ≤ d·w
     counter rows — kilobytes per batch independent of batch row count;
     the snapshot read is bounded by generations·that, and compaction
     is one re-merged overwrite of the store root."""
     from ..functions.cms import build_cms_store, cms_from_store
+    from ..functions.kmv import build_kmv_store, kmv_cardinality, kmv_from_store
     from ..functions.quantile import (
         build_qsketch_store,
         qsketch_estimate,
@@ -892,14 +896,19 @@ def sketch_refresh_stream(
     )
     from ..functions.sketch import build_hll_store, hll_from_store
 
-    if kind not in ("hll", "cms", "qsketch"):
+    if kind not in ("hll", "cms", "qsketch", "kmv"):
         raise ValueError(
-            f"sketch_refresh_stream: kind must be hll/cms/qsketch, got {kind!r}"
+            f"sketch_refresh_stream: kind must be hll/cms/qsketch/kmv, got {kind!r}"
         )
-    if kind in ("hll", "qsketch") and not group_cols:
+    if kind in ("hll", "qsketch", "kmv") and not group_cols:
         raise ValueError(f"sketch_refresh_stream: kind={kind!r} needs group_cols")
     if kind == "qsketch" and not value_col:
         raise ValueError("sketch_refresh_stream: kind='qsketch' needs value_col")
+    if kind == "kmv" and len(group_cols or []) != 1:
+        raise ValueError(
+            "sketch_refresh_stream: kind='kmv' takes exactly one group column "
+            "(the set label)"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -911,12 +920,16 @@ def sketch_refresh_stream(
         elif kind == "cms":
             build_cms_store(batch_df, gen, key_col, w=w, d=d)
             snap = cms_from_store(spark, store_path, w=w, d=d)
-        else:
+        elif kind == "qsketch":
             build_qsketch_store(
                 batch_df, gen, value_col, key_col, group_cols, k=k
             )
             merged = qsketch_from_store(spark, store_path, group_cols, k=k)
             snap = qsketch_estimate(merged, group_cols, qs or [0.5])
+        else:
+            build_kmv_store(batch_df, gen, key_col, group_cols[0], k=k)
+            merged = kmv_from_store(spark, store_path, group_cols[0], k=k)
+            snap = kmv_cardinality(merged, group_cols[0], k=k)
         snap.write.mode("overwrite").parquet(snap_path)
 
     writer = (

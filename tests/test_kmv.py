@@ -119,3 +119,94 @@ def test_validation():
     # T literal stays in BIGINT at the cap
     assert _check_k(2048) == 2047 << 52
     assert (2047 << 52) < 2**63
+
+
+def test_store_append_merge_equals_single_pass(spark, tmp_path):
+    """Samples appended batch-by-batch and re-selected at read time
+    equal the one-shot sample — the losslessness behind the kmv_store
+    oracle row — and the cardinality estimates agree exactly."""
+    import pyspark.sql.functions as F
+
+    from openetlagent_spark.functions.kmv import build_kmv_store, kmv_from_store
+
+    df = _sets(spark)
+    path = str(tmp_path / "kmv_store")
+    build_kmv_store(df.where(F.length("key") % 2 == 0), path, "key", "s", k=64)
+    build_kmv_store(
+        df.where(F.length("key") % 2 != 0), path, "key", "s", k=64, mode="append"
+    )
+    merged = kmv_from_store(spark, path, "s", k=64)
+    direct = kmv_sample(df, "key", "s", k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    est_m = sorted(map(tuple, kmv_cardinality(merged, "s", k=64).collect()))
+    est_d = sorted(map(tuple, kmv_cardinality(direct, "s", k=64).collect()))
+    assert est_m == est_d
+
+
+def test_store_reappend_idempotent(spark, tmp_path):
+    """Duplicate (set, hash) rows collapse in the merge's DISTINCT —
+    re-appending a batch cannot move any estimate (the at-least-once
+    safety the quantile store does NOT have)."""
+    from openetlagent_spark.functions.kmv import build_kmv_store, kmv_from_store
+
+    df = _sets(spark)
+    path = str(tmp_path / "kmv_store")
+    build_kmv_store(df, path, "key", "s", k=64)
+    build_kmv_store(df, path, "key", "s", k=64, mode="append")
+    merged = kmv_from_store(spark, path, "s", k=64)
+    direct = kmv_sample(df, "key", "s", k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_store_cold_start_serve_with_batch(spark, tmp_path):
+    from openetlagent_spark.functions.kmv import build_kmv_store, kmv_from_store
+
+    df = _sets(spark)
+    path = str(tmp_path / "kmv_store")
+    build_kmv_store(df.limit(0), path, "key", "s", k=64)
+    served = kmv_from_store(
+        spark, path, "s", k=64, schema="s string, __h__ long",
+        batch=df, key_col="key",
+    )
+    direct = kmv_sample(df, "key", "s", k=64)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+    with pytest.raises(ValueError, match="key_col"):
+        kmv_from_store(spark, path, "s", k=64, batch=df)
+
+
+def test_sketch_refresh_stream_kmv_parity(spark, tmp_path):
+    """Streaming leg: after the stream drains, the last snapshot's
+    estimates equal the one-shot estimates over all data."""
+    from openetlagent_spark.functions.kmv import kmv_cardinality as kc
+    from openetlagent_spark.streaming.events import sketch_refresh_stream
+
+    df = _sets(spark)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    df.write.mode("append").parquet(src)  # second file batch (same rows — idempotent)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    q = sketch_refresh_stream(
+        stream, store, out,
+        checkpoint=str(tmp_path / "ckpt"),
+        kind="kmv", key_col="key", group_cols=["s"], k=64,
+    )
+    assert q.awaitTermination(120)
+    import os
+
+    snaps = sorted(e for e in os.listdir(out) if e.startswith("batch_id="))
+    last = sorted(map(tuple, spark.read.parquet(f"{out}/{snaps[-1]}").collect()))
+    direct = sorted(map(tuple, kc(
+        kmv_sample(spark.read.parquet(src), "key", "s", k=64), "s", k=64
+    ).collect()))
+    assert last == direct
+    with pytest.raises(ValueError, match="exactly one group column"):
+        sketch_refresh_stream(
+            df, "s", "o", checkpoint="c", kind="kmv", key_col="key",
+            group_cols=["a", "b"],
+        )

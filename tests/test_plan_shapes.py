@@ -519,6 +519,8 @@ def test_token_budget_no_global_window(spark):
         # sample materialized ONCE, then the bounded pairwise fan-out
         # over k-row samples (pair regroup + union re-rank + final agg)
         ("kmv_set_overlap", 4),
+        # store read + bottom-k re-select + estimator regroup
+        ("kmv_store", 2),
     ],
 )
 def test_round7_sketch_store_shuffle_budget(spark, name, max_shuffles):
