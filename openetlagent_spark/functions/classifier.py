@@ -264,6 +264,7 @@ def classifier_train(
     lr_bits: int = 10,
     initial_weights: list[float] | None = None,
     start_round: int = 0,
+    validate_labels: bool = True,
 ) -> list[float]:
     """Deterministic DISTRIBUTED perceptron training for the hashed
     linear classifier — closes the loop the artifact path opened
@@ -335,11 +336,18 @@ def classifier_train(
     base = df.where(
         F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(F.col(label_col).alias("__y__"), F.col(text_col).alias("__t__"))
-    bad = base.where(~F.col("__y__").isin(1, -1)).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"classifier_train: {label_col} must be +1/-1, found {bad[0]['__y__']!r}"
-        )
+    if validate_labels:
+        # one single-pass aggregate (a limit(1) probe would escalate
+        # through every partition anyway when all labels are valid);
+        # 100 TB callers with trusted labels can pass
+        # validate_labels=False to skip the extra scan entirely
+        bad = base.select(
+            F.max(F.when(~F.col("__y__").isin(1, -1), F.col("__y__"))).alias("b")
+        ).collect()[0]["b"]
+        if bad is not None:
+            raise ValueError(
+                f"classifier_train: {label_col} must be +1/-1, found {bad!r}"
+            )
     w = [float(v) for v in initial_weights] if initial_weights else [0.0] * dim
     toks = _token_col(F.col("__t__"))
     for it in range(start_round, start_round + iters):

@@ -72,20 +72,31 @@ def _check_k(k: int) -> int:
     return (k - 1) << _HASH_BITS  # T, the estimator numerator literal
 
 
+def _bottom_k_distinct(rows: DataFrame, set_col: str, k: int) -> DataFrame:
+    """The KMV sample discipline, in ONE place for both the fresh
+    build and the store read: DISTINCT (set, hash) rows, k smallest
+    hashes per set (ties impossible — hashes are distinct by
+    construction after the DISTINCT)."""
+    w = Window.partitionBy(set_col).orderBy(F.col("__h__").asc())
+    return (
+        rows.distinct()
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
 def kmv_sample(df: DataFrame, key_col: str, set_col: str, *, k: int = 1024) -> DataFrame:
     """Per-set bottom-k DISTINCT hash sample: ``(set_col, __h__)``.
     NULL keys and NULL set labels are skipped.  This is the mergeable
     state — persist/append it like the other sketch stores; re-taking
     the bottom-k after any union is lossless (KMV property)."""
     _check_k(k)
-    w = Window.partitionBy(set_col).orderBy(F.col("__h__").asc())
-    return (
+    return _bottom_k_distinct(
         df.where(F.col(key_col).isNotNull() & F.col(set_col).isNotNull())
-        .select(F.col(set_col), _kmv_hash_col(key_col).alias("__h__"))
-        .distinct()
-        .withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") <= k)
-        .drop("__rn__")
+        .select(F.col(set_col), _kmv_hash_col(key_col).alias("__h__")),
+        set_col,
+        k,
     )
 
 
@@ -102,7 +113,7 @@ def kmv_cardinality(sample: DataFrame, set_col: str, *, k: int = 1024) -> DataFr
         set_col,
         "n_sample",
         F.when(F.col("n_sample") < k, F.col("n_sample"))
-        .otherwise(F.expr(f"{t}L DIV __hk__"))
+        .otherwise(F.expr(f"{t}L DIV GREATEST(__hk__, 1L)"))
         .cast("long")
         .alias("kmv_est"),
     )
@@ -164,7 +175,7 @@ def kmv_set_ops(sample: DataFrame, set_col: str, *, k: int = 1024) -> DataFrame:
     )
     union_est = (
         F.when(F.col("n_union_kept") < k, F.col("n_union_kept"))
-        .otherwise(F.expr(f"{t}L DIV __hk__"))
+        .otherwise(F.expr(f"{t}L DIV GREATEST(__hk__, 1L)"))
         .cast("long")
     )
     return agg.select(
@@ -232,9 +243,9 @@ WITH __kmv_s AS MATERIALIZED (
 )
 SELECT set_a, set_b, n_union_kept, n_match,
        CAST(CASE WHEN n_union_kept < {k} THEN n_union_kept
-                 ELSE {t} // hk END AS BIGINT) AS union_est,
+                 ELSE {t} // GREATEST(hk, 1) END AS BIGINT) AS union_est,
        CAST(n_match * (CASE WHEN n_union_kept < {k} THEN n_union_kept
-                            ELSE {t} // hk END) // n_union_kept AS BIGINT)
+                            ELSE {t} // GREATEST(hk, 1) END) // n_union_kept AS BIGINT)
          AS intersect_est,
        CAST(n_match AS DOUBLE) / CAST(n_union_kept AS DOUBLE) AS jaccard
 FROM __kmv_agg
@@ -265,7 +276,7 @@ WITH __kmv_s AS MATERIALIZED (
 SELECT s AS {set_col},
        CAST(COUNT(*) AS BIGINT) AS n_sample,
        CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*)
-                 ELSE {t} // MAX(h) END AS BIGINT) AS kmv_est
+                 ELSE {t} // GREATEST(MAX(h), 1) END AS BIGINT) AS kmv_est
 FROM __kmv_s GROUP BY s
 """
 
@@ -311,10 +322,4 @@ def kmv_from_store(
         if key_col is None:
             raise ValueError("kmv_from_store: batch requires key_col")
         sk = sk.unionByName(kmv_sample(batch, key_col, set_col, k=k))
-    w = Window.partitionBy(set_col).orderBy(F.col("__h__").asc())
-    return (
-        sk.distinct()
-        .withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") <= k)
-        .drop("__rn__")
-    )
+    return _bottom_k_distinct(sk, set_col, k)

@@ -1763,6 +1763,26 @@ _CLF_TRAIN_DIM, _CLF_TRAIN_ITERS, _CLF_TRAIN_LR_BITS = 256, 8, 10
 _CLF_TRAIN_WORDS = ("spark", "join", "table", "row")
 
 
+def _clf_train_labeled(spark: SparkSession, sf_dir: str):
+    """(docs, labeled) for the trainer queries — the ONE Spark-side
+    encoding of the planted label (its SQL mirror is
+    _clf_train_label_sql; both derive from _CLF_TRAIN_WORDS so the
+    two trainer queries and the oracle cannot drift apart)."""
+    from ..functions.dedup import _token_col
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _token_col(F.col("text"))
+
+    def cnt(word: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    s, j, tb, rw = (cnt(w) for w in _CLF_TRAIN_WORDS)
+    labeled = docs.where(F.col("text").isNotNull()).withColumn(
+        "label", F.when(s + j >= tb + rw, 1).otherwise(-1)
+    )
+    return docs, labeled
+
+
 def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end classifier TRAINING loop (functions/classifier.py
     classifier_train): deterministic full-batch perceptron — per
@@ -1785,18 +1805,8 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_classifier_weights,
         save_classifier_weights,
     )
-    from ..functions.dedup import _token_col
 
-    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = _token_col(F.col("text"))
-
-    def cnt(word: str):
-        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
-
-    s, j, tb, rw = (cnt(w) for w in _CLF_TRAIN_WORDS)
-    labeled = docs.where(F.col("text").isNotNull()).withColumn(
-        "label", F.when(s + j >= tb + rw, 1).otherwise(-1)
-    )
+    docs, labeled = _clf_train_labeled(spark, sf_dir)
     w = classifier_train(
         labeled, "text", "label",
         dim=_CLF_TRAIN_DIM, iters=_CLF_TRAIN_ITERS, lr_bits=_CLF_TRAIN_LR_BITS,
@@ -1826,18 +1836,8 @@ def q_classifier_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_classifier_weights,
         save_classifier_weights,
     )
-    from ..functions.dedup import _token_col
 
-    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = _token_col(F.col("text"))
-
-    def cnt(word: str):
-        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
-
-    s, j, tb, rw = (cnt(w) for w in _CLF_TRAIN_WORDS)
-    labeled = docs.where(F.col("text").isNotNull()).withColumn(
-        "label", F.when(s + j >= tb + rw, 1).otherwise(-1)
-    )
+    docs, labeled = _clf_train_labeled(spark, sf_dir)
     half = labeled.where(F.col("doc_id") % 2 == 0)
     w1 = classifier_train(
         half, "text", "label",
