@@ -193,6 +193,7 @@ HEADLINE = [
     "kmv_distinct",
     "kmv_set_overlap",
     "kmv_store",
+    "distill_gate",
 ]
 
 

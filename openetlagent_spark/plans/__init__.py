@@ -15,13 +15,14 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # committed, so the driver re-verified r06's identical front-50 and
 # nine queries sat without rows.  This round-8 ordering (committed as
 # the FIRST action of the round, per VERDICT r07 item 1):
-# (a) the 12 never-driver-checked queries: the 5 r07 additions
+# (a) the 13 never-driver-checked queries: the 5 r07 additions
 #     (quantile_sketch, qsketch_store, hll_store, cms_store,
 #     classifier_file) — each locally exact-verified at driver
 #     strength when it landed and again in the r07 judge session —
 #     plus this round's qsketch_prefilter, classifier_train,
 #     classifier_warm, weighted_sample, kmv_distinct,
-#     kmv_set_overlap and kmv_store (exact-verified on landing);
+#     kmv_set_overlap, kmv_store and distill_gate (exact-verified
+#     on landing);
 # (b) the 4 queries whose latest driver hash is still r02 (equality,
 #     assignation, concatenation, comparison) — displaced in the r06
 #     rotation, skipped by the missing r07 rotation, re-verified
@@ -30,12 +31,12 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     scripts/staleness.py: the 23 r03-stale (TPC-H q2-q7/q10/q14/
 #     q19/q22, grouping sets, percentile, window/topk, set ops,
 #     explode, multikey bind, session_window, asof/range joins,
-#     rollup, approx_distinct [rows-only by nature]) and 11 r04-stale
+#     rollup, approx_distinct [rows-only by nature]) and 10 r04-stale
 #     (application/casting/flagship core rows, text + search families;
-#     12+4+23+11 = 50 — dedup_substring, dedup_simhash, bpe_pairs,
-#     outlier_flags, unicode_nfc, value_histogram and profile_table
-#     were displaced by this round's seven additions, each
-#     exact-verified on landing).
+#     13+4+23+10 = 50 — dedup_substring, dedup_simhash, bpe_pairs,
+#     outlier_flags, unicode_nfc, value_histogram, profile_table and
+#     curation_pipeline were displaced by this round's eight
+#     additions, each exact-verified on landing).
 # Queries added during round 8 may be swapped into this list
 # (replacing tail backfill rows) once locally exact-verified; keep the
 # list at exactly 50.  Local `scripts/check_oracle.py` runs the full
@@ -45,7 +46,7 @@ _ROUND8_FRONT = [
     "quantile_sketch", "qsketch_store", "hll_store", "cms_store",
     "classifier_file", "qsketch_prefilter", "classifier_train",
     "classifier_warm", "weighted_sample", "kmv_distinct",
-    "kmv_set_overlap", "kmv_store",
+    "kmv_set_overlap", "kmv_store", "distill_gate",
     # last hashed r02 (4)
     "equality", "assignation", "concatenation", "comparison",
     # oldest stale: r03 (23)
@@ -55,10 +56,10 @@ _ROUND8_FRONT = [
     "approx_distinct", "set_intersect", "set_except", "explode_tokens",
     "bind_multikey", "session_window", "asof_join", "range_join",
     "rollup",
-    # next oldest: r04 (11)
+    # next oldest: r04 (10)
     "application", "casting", "flagship",
     "lang_id", "vocab_oov", "fuzzy_join", "tfidf_topk", "bigram_lm",
-    "doc_lm_score", "running_totals", "curation_pipeline",
+    "doc_lm_score", "running_totals",
 ]
 
 

@@ -1858,6 +1858,44 @@ def q_classifier_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, "doc_id", "text", dim=_CLF_TRAIN_DIM, weights=w2)
 
 
+# Distillation thresholds: chosen to split the synthetic corpus ~55/45
+# (min_mean_word_len=4.4 over the 3.7-5.3 observed range; the default
+# min_stop_hits=2 fails every synthetic doc, so 1 here)
+_DISTILL_GOPHER_KW = dict(min_mean_word_len=4.4, min_stop_hits=1)
+
+
+def q_distill_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEURISTIC→MODEL DISTILLATION capstone — the DCLM/FineWeb-Edu
+    bootstrap pattern: run the Gopher rule battery as a WEAK
+    SUPERVISOR, train the hashed linear classifier on its pass/fail
+    verdicts (8 deterministic perceptron rounds), and serve the
+    learned gate.  Production value: the rule battery is expensive to
+    evolve and brittle across domains; the distilled model generalizes
+    its signal into one codegen scoring scan and can then be
+    THRESHOLD-TUNED continuously without re-deriving rules (measured
+    here: 75% verdict agreement with the rule battery vs the 55%
+    majority baseline — dim=256 hashed BoW recovering a mean-word-
+    length rule).  The
+    oracle chains the generated Gopher SQL (as the labeled-table
+    subquery) into the unrolled 8-round training derivation — the
+    composed-oracle discipline: neither stage can drift from its Spark
+    twin.  Scale: gopher labeling is a pure projection, each training
+    round one scan + a dim-row shuffle, the served gate a single scan."""
+    from ..functions.classifier import classifier_score, classifier_train
+    from ..functions.text import gopher_rules
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    g = gopher_rules(docs, "doc_id", "text", keep_all=True, **_DISTILL_GOPHER_KW)
+    labeled = g.where(F.col("text").isNotNull()).withColumn(
+        "label", F.when(F.col("gopher_pass"), 1).otherwise(-1)
+    )
+    w = classifier_train(
+        labeled, "text", "label",
+        dim=_CLF_TRAIN_DIM, iters=_CLF_TRAIN_ITERS, lr_bits=_CLF_TRAIN_LR_BITS,
+    )
+    return classifier_score(docs, "doc_id", "text", dim=_CLF_TRAIN_DIM, weights=w)
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty (functions/curation.py doc_novelty): the
     fraction of each document's distinct word-3-gram shingles found
@@ -2530,6 +2568,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_file": q_classifier_file,
     "classifier_train": q_classifier_train,
     "classifier_warm": q_classifier_warm,
+    "distill_gate": q_distill_gate,
     "domain_rank": q_domain_rank,
     "html_extract": q_html_extract,
     "web_pipeline": q_web_pipeline,
@@ -3403,6 +3442,31 @@ HARNESS_ORACLES["classifier_train"] = _classifier_train_oracle_sql(
 # classifier_warm: one 8-round CTE derivation with the even-doc_id
 # predicate on rounds 1-4 — hash-matching it proves the Spark side's
 # stop/persist/resume (JSON artifact + start_round=4) changed nothing
+# distill_gate: the Gopher stage's generated SQL becomes the labeled
+# TABLE of the training derivation (composed oracles — chained
+# generated per-stage SQL so stages cannot drift)
+from ..functions.text import (  # noqa: E402
+    gopher_rules_oracle_sql as _gopher_rules_oracle_sql,
+)
+
+
+def _distill_gate_oracle() -> str:
+    gopher = _gopher_rules_oracle_sql(**_DISTILL_GOPHER_KW)
+    table = (
+        "(SELECT d.doc_id, d.text, g.gopher_pass "
+        f"FROM documents d JOIN ({gopher}) g ON d.doc_id = g.doc_id)"
+    )
+    return _classifier_train_oracle_sql(
+        table=table,
+        label_sql="CASE WHEN gopher_pass THEN 1 ELSE -1 END",
+        dim=_CLF_TRAIN_DIM,
+        iters=_CLF_TRAIN_ITERS,
+        lr_bits=_CLF_TRAIN_LR_BITS,
+    )
+
+
+HARNESS_ORACLES["distill_gate"] = _distill_gate_oracle()
+
 HARNESS_ORACLES["classifier_warm"] = _classifier_train_oracle_sql(
     label_sql=_clf_train_label_sql(),
     dim=_CLF_TRAIN_DIM,

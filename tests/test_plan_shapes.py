@@ -521,6 +521,8 @@ def test_token_budget_no_global_window(spark):
         ("kmv_set_overlap", 4),
         # store read + bottom-k re-select + estimator regroup
         ("kmv_store", 2),
+        # served distilled gate = the same single scoring scan
+        ("distill_gate", 0),
     ],
 )
 def test_round7_sketch_store_shuffle_budget(spark, name, max_shuffles):
