@@ -1314,6 +1314,12 @@ class GopherRulesOperation(Operation):
     mode: str = "annotate"
     min_words: int = 5
     max_words: int = 100_000
+    min_mean_word_len: float = 2.0
+    max_mean_word_len: float = 12.0
+    max_symbol_ratio: float = 0.1
+    max_bullet_ratio: float = 0.9
+    max_ellipsis_ratio: float = 0.3
+    min_alpha_ratio: float = 0.7
     min_stop_hits: int = 2
     operation_type: str = "gopher_rules"
 
@@ -1403,7 +1409,9 @@ class ClassifierTrainOperation(Operation):
     """Deterministic distributed classifier TRAINING as a flow op
     (functions/classifier.py classifier_train): full-batch perceptron
     with integer per-bucket gradients and halving power-of-two steps
-    over the CURRENT frame's ``label_column`` (+1/-1), then scores the
+    over the CURRENT frame's ``label_column`` (+1/-1 integers, or a
+    BOOLEAN such as a rule battery's pass flag, mapped true→+1 /
+    false→-1 — the rule-distillation recipe), then scores the
     frame with the trained weights.  ``save_path`` (optional) persists
     the weight artifact (JSON list or parquet, by extension) for later
     ``classifier_score weights_path=`` serving.  mode='annotate'
@@ -1742,6 +1750,19 @@ def parse_operation(raw: dict[str, Any]) -> Operation:
             f"Unknown operation_type {op_type!r}. Known: {sorted(OPERATION_TYPES)}"
         )
     known = {f for f in cls.__dataclass_fields__}  # type: ignore[attr-defined]
+    # Unknown keys fail LOUDLY (deliberate deviation from the
+    # reference's lenient pydantic parsing): a silently-dropped key
+    # means a typo'd or unsupported knob reverts to its default and
+    # the pipeline runs with the WRONG semantics — caught in the wild
+    # when a gopher_rules threshold was ignored and a trained gate
+    # learned the degenerate all-pass label.  The message is
+    # LLM-feedback-grade: it names the field and the valid set.
+    unknown = sorted(set(raw) - known)
+    if unknown:
+        raise SpecError(
+            f"Unknown field(s) {unknown} for operation_type {op_type!r}. "
+            f"Valid fields: {sorted(known - {'operation_type'})}"
+        )
     kwargs = {k: v for k, v in raw.items() if k in known}
     try:
         return cls(**kwargs)

@@ -544,6 +544,12 @@ def apply_gopher_rules(df: DataFrame, op: "GopherRulesOperation") -> DataFrame:
     flagged = gopher_rules(
         df, op.id_column, op.text_column,
         min_words=op.min_words, max_words=op.max_words,
+        min_mean_word_len=op.min_mean_word_len,
+        max_mean_word_len=op.max_mean_word_len,
+        max_symbol_ratio=op.max_symbol_ratio,
+        max_bullet_ratio=op.max_bullet_ratio,
+        max_ellipsis_ratio=op.max_ellipsis_ratio,
+        min_alpha_ratio=op.min_alpha_ratio,
         min_stop_hits=op.min_stop_hits, keep_all=True,
     )
     if op.mode == "annotate":
@@ -715,6 +721,14 @@ def apply_classifier_train(df: DataFrame, op: "ClassifierTrainOperation") -> Dat
     require_columns(
         df, [op.id_column, op.text_column, op.label_column], "classifier_train"
     )
+    # a BOOLEAN label column (e.g. a rule battery's pass flag — the
+    # distillation recipe) maps true→+1 / false→-1; NULL stays NULL
+    # (excluded from training, like NULL text)
+    if dict(df.dtypes).get(op.label_column) == "boolean":
+        df = df.withColumn(
+            op.label_column,
+            F.when(F.col(op.label_column), 1).when(~F.col(op.label_column), -1),
+        )
     weights = classifier_train(
         df, op.text_column, op.label_column,
         dim=op.dim, iters=op.iters, lr_bits=op.lr_bits,

@@ -746,3 +746,22 @@ def test_cms_spec_rejects_probe_knobs_without_path():
             "operation_type": "cms_counts", "key_column": "k",
             "probe_key_column": "uid",
         })
+
+
+def test_unknown_spec_fields_fail_loudly():
+    """parse_operation rejects unknown keys (deliberate deviation from
+    the reference's lenient parsing): a typo'd knob silently reverting
+    to its default is the failure mode that let a gopher threshold be
+    ignored and a distilled gate learn the degenerate all-pass label."""
+    from openetlagent_spark.model import SpecError
+
+    with pytest.raises(SpecError, match=r"Unknown field\(s\) \['min_men_word_len'\]"):
+        parse_operation({
+            "operation_type": "gopher_rules", "min_men_word_len": 4.4,
+        })
+    # the full Gopher threshold battery is now spec-reachable
+    op = parse_operation({
+        "operation_type": "gopher_rules", "min_mean_word_len": 4.4,
+        "max_symbol_ratio": 0.2, "min_alpha_ratio": 0.5,
+    })
+    assert op.min_mean_word_len == 4.4 and op.max_symbol_ratio == 0.2

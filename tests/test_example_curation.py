@@ -146,3 +146,20 @@ def test_example_telemetry_and_sketch_pipelines(spark, tmp_path):
     }
     for r in result2.collect():
         assert abs(r.hll_est - truth[r.event_type]) / truth[r.event_type] < 0.25
+
+
+def test_example_distilled_gate_pipeline(spark, tmp_path):
+    """The distillation example (gopher_rules weak labels →
+    classifier_train filter) runs end-to-end and keeps a non-trivial
+    subset — the flow-surface twin of the distill_gate harness query,
+    exercising the boolean-label mapping."""
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(os.path.join(ROOT, "examples/pipelines/distilled_gate.yaml"))
+    config.outputs["distilled_docs"].path = str(tmp_path / "distilled")
+    result, ok, feedback = run_flow(spark, config, flow, "distilled_docs", single_file=True)
+    assert ok, feedback
+    n_source = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    kept = result.count()
+    assert 0 < kept < n_source  # the learned gate actually separates
+    landed = spark.read.parquet(str(tmp_path / "distilled"))
+    assert set(landed.columns) == {"doc_id", "lang", "n_chars"}
