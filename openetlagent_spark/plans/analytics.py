@@ -1514,6 +1514,75 @@ def q_kmv_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_STORE_SQL = KMV_DISTINCT_SQL
 
 
+def q_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted continuous-aggregate store (functions/rollup.py —
+    the hypertable/TimescaleDB continuous-aggregate pattern): batch
+    A's per-(event_type, hour) partials written to parquet, batch B's
+    appended, the union re-merged at read time and served.  Integer
+    quantized sums (FLOOR(value·2^20), BIGINT) and MIN/MAX extrema
+    make the SUM/MIN/MAX merge EXACTLY the single-pass rollup, so this
+    hash-matches a plain one-pass GROUP BY oracle over the unsplit
+    table — the incremental-refresh claim as a tested fact.  Refresh
+    cost at 100 TB: one scan of the new batch plus bounded store rows;
+    serving never re-scans history."""
+    from ..functions.rollup import build_rollup_store, rollup_from_store, rollup_serve
+    from .harness_queries import _scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    store = _scratch_dir("ela_rollup_store", sf_dir)
+    build_rollup_store(
+        ev.where(F.col("event_id") % 2 == 0), store, "ts", "value", ["event_type"]
+    )
+    build_rollup_store(
+        ev.where(F.col("event_id") % 2 != 0), store, "ts", "value", ["event_type"],
+        mode="append",
+    )
+    merged = rollup_from_store(
+        spark, store, ["event_type"], group_schema="event_type string"
+    )
+    return rollup_serve(merged, ["event_type"])
+
+
+def _rollup_store_oracle() -> str:
+    from ..functions.rollup import rollup_oracle_sql
+
+    return rollup_oracle_sql(
+        table="events", ts_col="ts", value_col="value", group_cols=["event_type"]
+    )
+
+
+ROLLUP_STORE_SQL = _rollup_store_oracle()
+
+
+def q_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity serving from ONE store: the DAY-grain rollup
+    re-bucketed out of the HOUR-grain partials (functions/rollup.py
+    rollup_coarsen — FLOOR(hour_bucket / 24), re-merge) without
+    touching raw data.  Hash-matching a direct single-pass day-grain
+    oracle proves the floor-division composition and the second merge
+    are both lossless — the "one store, every coarser grain" serving
+    story of a hypertable, free at any scale because it runs on
+    ≤ |groups|·|hours| partial rows."""
+    from ..functions.rollup import rollup_build, rollup_coarsen, rollup_serve
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = rollup_build(ev, "ts", "value", ["event_type"])
+    daily = rollup_coarsen(hourly, ["event_type"], factor=24)
+    return rollup_serve(daily, ["event_type"])
+
+
+def _rollup_day_oracle() -> str:
+    from ..functions.rollup import rollup_oracle_sql
+
+    return rollup_oracle_sql(
+        table="events", ts_col="ts", value_col="value",
+        group_cols=["event_type"], coarsen_factor=24,
+    )
+
+
+ROLLUP_DAY_SQL = _rollup_day_oracle()
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op: nations that have BUILDING-segment customers
     AND a high-balance supplier.  Compiles to a distinct + left-semi
@@ -2007,6 +2076,8 @@ ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "kmv_set_overlap": q_kmv_set_overlap,
     "kmv_store": q_kmv_store,
+    "rollup_store": q_rollup_store,
+    "rollup_day": q_rollup_day,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
     "cooccurrence_pairs": q_cooccurrence_pairs,
@@ -2053,6 +2124,8 @@ ANALYTICS_ORACLES = {
     "kmv_distinct": KMV_DISTINCT_SQL,
     "kmv_set_overlap": KMV_SET_OVERLAP_SQL,
     "kmv_store": KMV_STORE_SQL,
+    "rollup_store": ROLLUP_STORE_SQL,
+    "rollup_day": ROLLUP_DAY_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,
