@@ -168,6 +168,106 @@ def cms_from_store(
     return cms_merge_counters(regs)
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    threshold: int,
+    w: int = 256,
+    d: int = DEFAULT_CMS_D,
+    count_col: str = "cnt",
+) -> DataFrame:
+    """EXACT heavy hitters with a CMS prefilter: every group whose
+    row count is >= ``threshold``, found WITHOUT shuffling the rows of
+    groups that cannot qualify.
+
+    Two passes over ``df`` (the canonical two-pass heavy-hitter shape
+    — re-scanning beats shuffling every key when keys are wide):
+
+    1. build the d·w counter table (:func:`cms_build` — the shuffle
+       carries <= d·w integer rows regardless of input size), collect
+       it (bounded driver state, like the Bloom bitmap), and embed it
+       as d array literals in the plan;
+    2. filter MAP-SIDE: each row's estimate is ``LEAST`` over d
+       ``element_at`` lookups into the embedded arrays — pure
+       whole-stage-codegen expressions, no join, no broadcast
+       exchange (the functions/bloom.py gate pattern).  Count-min
+       never underestimates, so ``est >= threshold`` keeps every true
+       heavy hitter: the filter is LOSSLESS, and rows of light groups
+       never reach the final shuffle;
+    3. exact GROUP BY over the survivors (heavy groups plus collision
+       stragglers), ``HAVING count >= threshold``.
+
+    The oracle is the plain one-pass GROUP BY .. HAVING — equality IS
+    the losslessness proof, the same contract as qsketch_prefilter.
+
+    Multi-column groups hash on a ``':'``-joined string render; a
+    separator collision between two groups only MERGES their counters
+    (overestimates further), never underestimates — the exact pass
+    groups on the real columns, so correctness is unaffected.  NULL
+    group keys are dropped explicitly (mirrored in the oracle WHERE).
+    """
+    if threshold < 1:
+        raise ValueError(f"heavy_hitters threshold must be >= 1, got {threshold}")
+    if not group_cols:
+        raise ValueError("heavy_hitters needs at least one group column")
+    if count_col in group_cols:
+        raise ValueError(f"count_col {count_col!r} collides with a group column")
+    if w * d > 8192:
+        raise ValueError(
+            f"plan-literal counter table too large (w*d={w * d} > 8192); "
+            "lower w/d or probe via cms_estimate's broadcast join instead"
+        )
+    from .bloom import long_array_lit
+
+    not_null = F.lit(True)
+    for g in group_cols:
+        not_null = not_null & F.col(g).isNotNull()
+    key = F.concat_ws(":", *[F.col(g).cast("string") for g in group_cols])
+    keyed = df.where(not_null).withColumn("__hh_key__", key)
+
+    counters = cms_build(keyed, "__hh_key__", w=w, d=d).collect()  # <= d*w rows
+    table = [[0] * w for _ in range(d)]
+    for r in counters:
+        table[r["hash_row"]][r["bucket"]] = r["cnt"]
+    lookups = [
+        F.element_at(
+            long_array_lit(table[i]),
+            (cms_bucket(F.col("__hh_key__"), i, w) + 1).cast("int"),
+        )
+        for i in range(d)
+    ]
+    est = lookups[0] if d == 1 else F.least(*lookups)
+    survivors = keyed.where(est >= F.lit(int(threshold)))
+    return (
+        survivors.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias(count_col))
+        .where(F.col(count_col) >= F.lit(int(threshold)))
+    )
+
+
+def heavy_hitters_oracle_sql(
+    *,
+    table: str,
+    group_cols: list[str],
+    threshold: int,
+    count_col: str = "cnt",
+) -> str:
+    """DuckDB mirror of :func:`cms_heavy_hitters` — deliberately the
+    sketch-free single-pass GROUP BY .. HAVING, because the CMS
+    prefilter is claimed LOSSLESS: hash-equality against this oracle
+    is that claim as a tested fact."""
+    gsel = ", ".join(group_cols)
+    nn = " AND ".join(f"{g} IS NOT NULL" for g in group_cols)
+    return f"""
+SELECT {gsel}, CAST(COUNT(*) AS BIGINT) AS {count_col}
+FROM {table}
+WHERE {nn}
+GROUP BY ALL
+HAVING COUNT(*) >= {int(threshold)}
+"""
+
+
 def cms_oracle_sql(
     *,
     table: str,

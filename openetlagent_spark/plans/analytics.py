@@ -1554,6 +1554,37 @@ def _rollup_store_oracle() -> str:
 ROLLUP_STORE_SQL = _rollup_store_oracle()
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters with a lossless CMS prefilter
+    (functions/cms.py cms_heavy_hitters): every (user, event_type)
+    pair with >= 20 events, where rows of pairs that CANNOT qualify
+    are dropped map-side by LEAST-of-element_at lookups into the
+    plan-embedded d·w counter table — never reaching the exact
+    GROUP BY's shuffle.  The oracle is the sketch-free one-pass
+    GROUP BY .. HAVING: hash-equality proves the prefilter lossless
+    (count-min never underestimates), the same tested-fact contract
+    as qsketch_prefilter.  At 100 TB the final shuffle carries only
+    heavy pairs + collision stragglers; the sketch pass shuffles
+    <= d·w integer rows regardless of input size."""
+    from ..functions.cms import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return cms_heavy_hitters(
+        ev, ["user_id", "event_type"], threshold=20, w=256, d=3
+    )
+
+
+def _heavy_hitters_oracle() -> str:
+    from ..functions.cms import heavy_hitters_oracle_sql
+
+    return heavy_hitters_oracle_sql(
+        table="events", group_cols=["user_id", "event_type"], threshold=20
+    )
+
+
+HEAVY_HITTERS_SQL = _heavy_hitters_oracle()
+
+
 def q_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity serving from ONE store: the DAY-grain rollup
     re-bucketed out of the HOUR-grain partials (functions/rollup.py
@@ -2078,6 +2109,7 @@ ANALYTICS_QUERIES = {
     "kmv_store": q_kmv_store,
     "rollup_store": q_rollup_store,
     "rollup_day": q_rollup_day,
+    "heavy_hitters": q_heavy_hitters,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
     "cooccurrence_pairs": q_cooccurrence_pairs,
@@ -2126,6 +2158,7 @@ ANALYTICS_ORACLES = {
     "kmv_store": KMV_STORE_SQL,
     "rollup_store": ROLLUP_STORE_SQL,
     "rollup_day": ROLLUP_DAY_SQL,
+    "heavy_hitters": HEAVY_HITTERS_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,
