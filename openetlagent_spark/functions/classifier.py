@@ -208,6 +208,21 @@ def load_classifier_weights(
     return w
 
 
+def _enc_double(v: float) -> str:
+    """Exact DuckDB double literal.  Two DuckDB literal traps (both
+    found by the hash check): a bare high-precision decimal literal
+    types as DECIMAL and folds in decimal arithmetic, and
+    CAST(VARCHAR AS DOUBLE) mis-rounds ~10% of 17-digit literals by
+    1 ulp (measured: 98/1024 of these).  Values on the 2^-k grid
+    therefore encode as exact integer divisions (int → double is
+    exact, ÷2^20 is exact); off-grid values fall back to the repr
+    cast with its documented 1-ulp parse risk."""
+    k = v * 1048576.0
+    if k == int(k) and abs(k) < 2**53:
+        return f"(CAST({int(k)} AS DOUBLE) / 1048576.0)"
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
 def classifier_score_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
@@ -222,21 +237,7 @@ def classifier_score_oracle_sql(
     bucket, list-literal lookup, 0.0-seeded list_reduce fold, one
     division, same NULL propagation."""
     w = weights if weights is not None else hashed_classifier_weights(dim, seed)
-    # Two DuckDB literal traps (both found by the hash check): a bare
-    # high-precision decimal literal types as DECIMAL and folds in
-    # decimal arithmetic, and CAST(VARCHAR AS DOUBLE) mis-rounds ~10%
-    # of 17-digit literals by 1 ulp (measured: 98/1024 of these).
-    # Values on the 2^-k grid therefore encode as exact integer
-    # divisions (int → double is exact, ÷2^20 is exact); off-grid
-    # user weights fall back to the repr cast with its documented
-    # 1-ulp parse risk.
-    def enc(v: float) -> str:
-        k = v * 1048576.0
-        if k == int(k) and abs(k) < 2**53:
-            return f"(CAST({int(k)} AS DOUBLE) / 1048576.0)"
-        return f"CAST({float(v)!r} AS DOUBLE)"
-
-    wl = "[" + ", ".join(enc(float(v)) for v in w) + "]"
+    wl = "[" + ", ".join(_enc_double(float(v)) for v in w) + "]"
     toks = _toks_sql(text_col)
     per_tok = f"list_transform({toks}, t -> wl[{_bucket_sql('t', dim)} + 1])"
     return (
@@ -252,6 +253,122 @@ def classifier_score_oracle_sql(
         f"AS clf_pass "
         f"FROM {table} CROSS JOIN (SELECT {wl} AS wl)"
     )
+
+
+def classifier_eval(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "score",
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Threshold sweep EVALUATION of a scored frame against boolean
+    reference labels — the missing third leg of the model loop
+    (train → EVAL → gate): per candidate threshold, the confusion
+    counts and the derived operating metrics, so the gate's cutoff is
+    picked from measured precision/recall instead of folklore.
+
+    One row per threshold: ``(thr double, n, tp, fp, fn, tn bigint,
+    accuracy, precision, recall, f1 double)``.  Exactness discipline:
+    the counts are conditional INTEGER sums (order-free); each metric
+    is ONE IEEE division of two exact integers (f1 via the
+    2·tp/(2·tp+fp+fn) identity — no nested ratio arithmetic), NULL
+    when its denominator is zero (guarded CASE on both engines —
+    double 0/0 is NaN in Spark but the guard means neither engine
+    ever evaluates it).  Rows with a NULL score or NULL label are
+    excluded up front (a NULL margin can't be thresholded; mirrored
+    in the oracle WHERE).
+
+    Scale: the threshold fan-out is map-side (explode of a ≤ dozens
+    literal array before the partial aggregate), so the shuffle
+    carries |thresholds| rows regardless of input size — one scan,
+    one tiny exchange."""
+    thrs = [0.0] if thresholds is None else list(thresholds)
+    if not thrs:
+        raise ValueError("classifier_eval needs at least one threshold")
+    if len(set(thrs)) != len(thrs):
+        raise ValueError(f"classifier_eval thresholds must be distinct: {thrs}")
+    rows = scored.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("__s__"),
+        F.col(label_col).cast("boolean").alias("__l__"),
+        F.explode(F.array(*[F.lit(float(t)) for t in thrs])).alias("thr"),
+    )
+    pred = F.col("__s__") >= F.col("thr")
+    lab = F.col("__l__")
+
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = rows.groupBy("thr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt(pred & lab).alias("tp"),
+        cnt(pred & ~lab).alias("fp"),
+        cnt(~pred & lab).alias("fn"),
+        cnt(~pred & ~lab).alias("tn"),
+    )
+
+    def ratio(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return agg.select(
+        "thr",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ratio(tp + tn, F.col("n")).alias("accuracy"),
+        ratio(tp, tp + fp).alias("precision"),
+        ratio(tp, tp + fn).alias("recall"),
+        ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
+    )
+
+
+def classifier_eval_oracle_sql(
+    *,
+    scored_sql: str,
+    label_sql: str,
+    thresholds: list[float],
+    score_sql: str = "score",
+) -> str:
+    """DuckDB mirror of :func:`classifier_eval`, generated from the
+    same threshold list (exact 2^-k grid literals via
+    :func:`_enc_double`) so the two cannot drift.  ``scored_sql`` is a
+    subquery producing the score and label columns — compose it from
+    the per-stage generators (classifier_score_oracle_sql joined to a
+    labeling stage), the repo's composed-oracle discipline.  The
+    scored CTE is MATERIALIZED: the threshold cross join references it
+    once but DuckDB's unnest-join planning can still inline-duplicate
+    a scoring expression this wide."""
+    thrl = ", ".join(_enc_double(float(t)) for t in thresholds)
+    return f"""
+WITH __ce_s AS MATERIALIZED (
+  SELECT {score_sql} AS s, CAST({label_sql} AS BOOLEAN) AS l
+  FROM ({scored_sql})
+  WHERE {score_sql} IS NOT NULL AND {label_sql} IS NOT NULL
+), __ce_c AS (
+  SELECT t.thr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN s >= t.thr AND l THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN s >= t.thr AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN s < t.thr AND l THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN s < t.thr AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM __ce_s CROSS JOIN (SELECT unnest([{thrl}]) AS thr) t
+  GROUP BY t.thr
+)
+SELECT thr, n, tp, fp, fn, tn,
+       CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END
+         AS accuracy,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+         AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+         AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0 THEN
+         CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+FROM __ce_c
+"""
 
 
 def classifier_train(

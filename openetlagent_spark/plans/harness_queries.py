@@ -1896,6 +1896,36 @@ def q_distill_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, "doc_id", "text", dim=_CLF_TRAIN_DIM, weights=w)
 
 
+# classifier_eval threshold sweep: 2^-5-grid candidates spanning the
+# stub gate's measured score distribution (p10 ~ -0.03, p90 ~ 0.2)
+_EVAL_THRESHOLDS = [-0.03125, 0.0, 0.03125, 0.0625, 0.125, 0.1875, 0.25]
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep evaluation of the classifier gate against the
+    Gopher rule battery as reference labels (functions/classifier.py
+    classifier_eval) — the third leg of the model loop (train → EVAL →
+    gate): per candidate cutoff, confusion counts and
+    accuracy/precision/recall/F1, so the serving threshold is picked
+    from measured operating points.  Integer confusion sums, one IEEE
+    division per metric, NULL-guarded zero denominators.  The
+    threshold fan-out is map-side (explode of a 7-literal array before
+    the partial aggregate): the one exchange carries 7 rows regardless
+    of corpus size."""
+    from ..functions.classifier import classifier_eval, classifier_score
+    from ..functions.text import gopher_rules
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = gopher_rules(
+        docs, "doc_id", "text", keep_all=True, **_DISTILL_GOPHER_KW
+    ).select("doc_id", "gopher_pass")
+    scored = classifier_score(docs, "doc_id", "text")
+    return classifier_eval(
+        scored.join(labels, "doc_id"), "gopher_pass", "score",
+        thresholds=_EVAL_THRESHOLDS,
+    )
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty (functions/curation.py doc_novelty): the
     fraction of each document's distinct word-3-gram shingles found
@@ -2569,6 +2599,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_train": q_classifier_train,
     "classifier_warm": q_classifier_warm,
     "distill_gate": q_distill_gate,
+    "classifier_eval": q_classifier_eval,
     "domain_rank": q_domain_rank,
     "html_extract": q_html_extract,
     "web_pipeline": q_web_pipeline,
@@ -3466,6 +3497,31 @@ def _distill_gate_oracle() -> str:
 
 
 HARNESS_ORACLES["distill_gate"] = _distill_gate_oracle()
+
+
+# classifier_eval: the generated scoring SQL joined to the generated
+# Gopher labeling SQL becomes the scored table of the generated
+# threshold-sweep SQL — three chained per-stage generators, none
+# hand-copied
+def _classifier_eval_oracle() -> str:
+    from ..functions.classifier import (
+        classifier_eval_oracle_sql,
+        classifier_score_oracle_sql,
+    )
+
+    score = classifier_score_oracle_sql()
+    gopher = _gopher_rules_oracle_sql(**_DISTILL_GOPHER_KW)
+    scored = (
+        "SELECT s.score AS score, g.gopher_pass AS label "
+        f"FROM ({score}) s JOIN ({gopher}) g ON s.doc_id = g.doc_id"
+    )
+    return classifier_eval_oracle_sql(
+        scored_sql=scored, label_sql="label", thresholds=_EVAL_THRESHOLDS,
+        score_sql="score",
+    )
+
+
+HARNESS_ORACLES["classifier_eval"] = _classifier_eval_oracle()
 
 HARNESS_ORACLES["classifier_warm"] = _classifier_train_oracle_sql(
     label_sql=_clf_train_label_sql(),

@@ -386,3 +386,61 @@ def test_train_warm_start_validation(spark):
         classifier_train(
             df, "text", "label", dim=8, iters=10, lr_bits=40, start_round=5
         )
+
+
+def test_eval_hand_computed_confusion(spark):
+    """4-row frame with known score/label layout: every confusion
+    cell and every metric checked against hand arithmetic at two
+    thresholds (including the >= boundary)."""
+    from openetlagent_spark.functions.classifier import classifier_eval
+
+    df = spark.createDataFrame(
+        [(0.9, True), (0.5, True), (0.5, False), (0.1, False)],
+        "score double, lab boolean",
+    )
+    out = {r["thr"]: r for r in
+           classifier_eval(df, "lab", "score", thresholds=[0.5, 0.95]).collect()}
+    at05 = out[0.5]  # pred: 0.9, 0.5, 0.5 -> tp=2 fp=1 fn=0 tn=1
+    assert (at05["n"], at05["tp"], at05["fp"], at05["fn"], at05["tn"]) == (4, 2, 1, 0, 1)
+    assert at05["accuracy"] == 3 / 4
+    assert at05["precision"] == 2 / 3
+    assert at05["recall"] == 1.0
+    assert at05["f1"] == 4 / 5  # 2*2/(2*2+1+0)
+    at95 = out[0.95]  # nothing predicted positive
+    assert (at95["tp"], at95["fp"], at95["fn"], at95["tn"]) == (0, 0, 2, 2)
+    assert at95["precision"] is None  # tp+fp == 0 -> NULL, not NaN
+    assert at95["recall"] == 0.0
+    assert at95["f1"] == 0.0
+    assert at95["accuracy"] == 1 / 2
+
+
+def test_eval_null_rows_excluded(spark):
+    from openetlagent_spark.functions.classifier import classifier_eval
+
+    df = spark.createDataFrame(
+        [(0.9, True), (None, True), (0.2, None)],
+        "score double, lab boolean",
+    )
+    row = classifier_eval(df, "lab", "score", thresholds=[0.5]).collect()[0]
+    assert row["n"] == 1 and row["tp"] == 1
+
+
+def test_eval_all_negative_labels_f1_null(spark):
+    """tp=fp=fn=0 -> f1 denominator 0 -> NULL (the guarded branch)."""
+    from openetlagent_spark.functions.classifier import classifier_eval
+
+    df = spark.createDataFrame([(0.1, False)], "score double, lab boolean")
+    row = classifier_eval(df, "lab", "score", thresholds=[0.5]).collect()[0]
+    assert row["f1"] is None and row["precision"] is None
+    assert row["recall"] is None  # tp+fn == 0 too
+    assert row["accuracy"] == 1.0
+
+
+def test_eval_validation(spark):
+    from openetlagent_spark.functions.classifier import classifier_eval
+
+    df = spark.createDataFrame([(0.1, True)], "score double, lab boolean")
+    with pytest.raises(ValueError, match="at least one"):
+        classifier_eval(df, "lab", "score", thresholds=[])
+    with pytest.raises(ValueError, match="distinct"):
+        classifier_eval(df, "lab", "score", thresholds=[0.5, 0.5])
