@@ -2431,6 +2431,31 @@ def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact Gram (second-moment) matrix of the embedding
+    corpus (functions/linalg.py embedding_gram) — the one corpus pass
+    behind PCA/whitening at 100 TB: per Arrow batch a numpy int64
+    Q.T@Q over FLOOR(v·2^20)-quantized components (the documented
+    BLAS exception to built-ins-first; overflow guarded before the
+    matmul), emitting dim·(dim+1)/2 partial rows per batch so the
+    final shuffle carries |partitions|·dim² integers regardless of
+    corpus size.  Integer products and sums are order-free — the
+    merged triangle hash-matches the DuckDB unnest-grid oracle
+    bit-for-bit.  The spectral steps consume the collected dim² state
+    driver-side (top_eigenvector, pca_project; unit-tested against
+    numpy eigh)."""
+    from ..functions.linalg import embedding_gram
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    return embedding_gram(emb, "embedding", 64)
+
+
+def _embedding_gram_oracle() -> str:
+    from ..functions.linalg import embedding_gram_oracle_sql
+
+    return embedding_gram_oracle_sql(table="embeddings", vec_col="embedding", dim=64)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding health stats — the sanity pass before any
     ANN/clustering stage (degenerate or wrongly-scaled vectors show up
@@ -2618,6 +2643,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": q_training_shards,
     "quantile_filter": q_quantile_filter,
     "embedding_stats": q_embedding_stats,
+    "embedding_gram": q_embedding_gram,
     "partitioned_layout": q_partitioned_layout,
 }
 
@@ -3235,6 +3261,8 @@ HARNESS_ORACLES["quantile_filter"] = (
 # (0.0 :: squared elements) reproduces aggregate(v, 0.0, acc + x*x)
 # term for term, so each per-row norm2 is bit-identical; the cross-row
 # SUM goes through DECIMAL on both sides (partition-order independent).
+HARNESS_ORACLES["embedding_gram"] = _embedding_gram_oracle()
+
 HARNESS_ORACLES["embedding_stats"] = """
 WITH per AS (
   SELECT label,
