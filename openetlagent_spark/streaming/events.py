@@ -836,7 +836,7 @@ def sketch_refresh_stream(
     *,
     checkpoint: str,
     kind: str = "hll",
-    key_col: str,
+    key_col: str | None = None,
     group_cols: list[str] | None = None,
     p: int = 8,
     w: int = 1024,
@@ -844,6 +844,8 @@ def sketch_refresh_stream(
     value_col: str | None = None,
     k: int = 1024,
     qs: list | None = None,
+    ts_col: str | None = None,
+    grain: int = 3600,
     available_now: bool = True,
     query_name: str = "sketch_refresh",
 ):
@@ -882,6 +884,12 @@ def sketch_refresh_stream(
     - ``kind='kmv'``: generation = the per-set bottom-k distinct-hash
       sample (``group_cols[0]`` is the set label); snapshot = the
       integer distinct-count estimates (``set, n_sample, kmv_est``).
+    - ``kind='rollup'``: generation = the batch's per-(group, time
+      bucket) aggregate partials (``ts_col``/``value_col``/``grain``;
+      functions/rollup.py); snapshot = the served continuous
+      aggregate (count/sum/avg/min/max per bucket) — the hypertable
+      dashboard loop, where SUM-merged partials need the generation
+      overwrite for exactly-once just like CMS counters.
 
     Scale: a generation is ≤ |groups|·2^p register rows / ≤ d·w
     counter rows — kilobytes per batch independent of batch row count;
@@ -894,16 +902,31 @@ def sketch_refresh_stream(
         qsketch_estimate,
         qsketch_from_store,
     )
+    from ..functions.rollup import (
+        build_rollup_store,
+        rollup_from_store,
+        rollup_serve,
+    )
     from ..functions.sketch import build_hll_store, hll_from_store
 
-    if kind not in ("hll", "cms", "qsketch", "kmv"):
+    if kind not in ("hll", "cms", "qsketch", "kmv", "rollup"):
         raise ValueError(
-            f"sketch_refresh_stream: kind must be hll/cms/qsketch/kmv, got {kind!r}"
+            "sketch_refresh_stream: kind must be hll/cms/qsketch/kmv/rollup, "
+            f"got {kind!r}"
         )
-    if kind in ("hll", "qsketch", "kmv") and not group_cols:
+    if kind in ("hll", "cms", "qsketch", "kmv") and not key_col:
+        raise ValueError(f"sketch_refresh_stream: kind={kind!r} needs key_col")
+    if kind == "rollup" and key_col is not None:
+        raise ValueError(
+            "sketch_refresh_stream: kind='rollup' takes no key_col "
+            "(aggregates are keyed by group_cols + the time bucket)"
+        )
+    if kind in ("hll", "qsketch", "kmv", "rollup") and not group_cols:
         raise ValueError(f"sketch_refresh_stream: kind={kind!r} needs group_cols")
-    if kind == "qsketch" and not value_col:
-        raise ValueError("sketch_refresh_stream: kind='qsketch' needs value_col")
+    if kind in ("qsketch", "rollup") and not value_col:
+        raise ValueError(f"sketch_refresh_stream: kind={kind!r} needs value_col")
+    if kind == "rollup" and not ts_col:
+        raise ValueError("sketch_refresh_stream: kind='rollup' needs ts_col")
     if kind == "kmv" and len(group_cols or []) != 1:
         raise ValueError(
             "sketch_refresh_stream: kind='kmv' takes exactly one group column "
@@ -926,10 +949,26 @@ def sketch_refresh_stream(
             )
             merged = qsketch_from_store(spark, store_path, group_cols, k=k)
             snap = qsketch_estimate(merged, group_cols, qs or [0.5])
-        else:
+        elif kind == "kmv":
             build_kmv_store(batch_df, gen, key_col, group_cols[0], k=k)
             merged = kmv_from_store(spark, store_path, group_cols[0], k=k)
             snap = kmv_cardinality(merged, group_cols[0], k=k)
+        else:
+            build_rollup_store(
+                batch_df, gen, ts_col, value_col, group_cols, grain=grain
+            )
+            # group-column DDL from the live batch schema: the store's
+            # cold-start read needs explicit types, and the batch IS
+            # the authoritative source of them here
+            gschema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in batch_df.schema.fields
+                if f.name in group_cols
+            )
+            merged = rollup_from_store(
+                spark, store_path, group_cols, group_schema=gschema
+            )
+            snap = rollup_serve(merged, group_cols)
         snap.write.mode("overwrite").parquet(snap_path)
 
     writer = (

@@ -226,3 +226,82 @@ def test_oracle_sql_matches_on_duckdb(spark):
     oracle = oracle.sort_values(key).reset_index(drop=True)[got.columns]
     got = got.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, oracle, check_dtype=False)
+
+
+def test_sketch_refresh_stream_rollup_parity_and_replay(spark, tmp_path):
+    """Streaming rollup leg (streaming/events.py sketch_refresh_stream
+    kind='rollup'): the last per-batch snapshot equals the one-shot
+    serve over all data, and replaying a generation (same content,
+    OVERWRITE) leaves the serving read unchanged — the exactly-once
+    property SUM-merged partials require."""
+    import os
+    import time
+
+    from openetlagent_spark.streaming.events import sketch_refresh_stream
+
+    df = _events(spark, n=400)
+    src = str(tmp_path / "src")
+    df.where("i < 200").coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    df.where("i >= 200").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    q = sketch_refresh_stream(
+        stream, store, out,
+        checkpoint=str(tmp_path / "ckpt"),
+        kind="rollup", group_cols=["g"], ts_col="ts", value_col="v",
+    )
+    assert q.awaitTermination(120)
+    snaps = sorted(e for e in os.listdir(out) if e.startswith("batch_id="))
+    gens = sorted(e for e in os.listdir(store) if e.startswith("gen="))
+    assert len(gens) >= 2 and len(snaps) == len(gens)
+    last = {(r["g"], r["bucket_idx"]): tuple(r)
+            for r in spark.read.parquet(f"{out}/{snaps[-1]}").collect()}
+    direct = {(r["g"], r["bucket_idx"]): tuple(r)
+              for r in rollup_serve(
+                  rollup_merge(rollup_build(df, "ts", "v", ["g"]), ["g"]), ["g"]
+              ).collect()}
+    assert last == direct
+    # replay generation 0 with identical content: serving unchanged
+    build_rollup_store(
+        spark.read.parquet(src).where("i < 200"), f"{store}/gen=0", "ts", "v", ["g"]
+    )
+    replayed = {(r["g"], r["bucket_idx"]): tuple(r)
+                for r in rollup_serve(
+                    rollup_from_store(spark, store, ["g"], group_schema="g string"),
+                    ["g"]).collect()}
+    assert replayed == direct
+
+
+def test_sketch_refresh_stream_rollup_validation(spark, tmp_path):
+    import pytest
+
+    from openetlagent_spark.streaming.events import sketch_refresh_stream
+
+    df = _events(spark, n=10)
+    src = str(tmp_path / "vsrc")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    with pytest.raises(ValueError, match="needs ts_col"):
+        sketch_refresh_stream(
+            stream, str(tmp_path / "s"), str(tmp_path / "o"),
+            checkpoint=str(tmp_path / "c"),
+            kind="rollup", group_cols=["g"], value_col="v",
+        )
+    with pytest.raises(ValueError, match="takes no key_col"):
+        sketch_refresh_stream(
+            stream, str(tmp_path / "s"), str(tmp_path / "o"),
+            checkpoint=str(tmp_path / "c"),
+            kind="rollup", group_cols=["g"], value_col="v", ts_col="ts",
+            key_col="i",
+        )
+    with pytest.raises(ValueError, match="needs key_col"):
+        sketch_refresh_stream(
+            stream, str(tmp_path / "s"), str(tmp_path / "o"),
+            checkpoint=str(tmp_path / "c"), kind="hll", group_cols=["g"],
+        )
