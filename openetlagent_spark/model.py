@@ -1631,6 +1631,94 @@ class QuantileSketchOperation(Operation):
 
 
 @dataclass
+class RollupOperation(Operation):
+    """Continuous-aggregate rollup as a flow op (functions/rollup.py):
+    REPLACES the frame with one row per (group, time bucket) —
+    ``group_columns..., bucket_idx, n_rows, n_vals, sum_q, sum_v,
+    avg_v, min_v, max_v``.  ``grain`` is the bucket width in seconds
+    (3600 = hour); ``coarsen_factor`` re-buckets the built partials by
+    FLOOR(bucket/factor) before serving (hour partials → day serve)."""
+
+    ts_column: str = ""
+    value_column: str = ""
+    group_columns: list[str] = field(default_factory=list)
+    grain: int = 3600
+    coarsen_factor: int | None = None
+    q_bits: int = 20
+    operation_type: str = "rollup_aggregate"
+
+    def __post_init__(self) -> None:
+        if not self.ts_column or not self.value_column or not self.group_columns:
+            raise SpecError(
+                "rollup_aggregate requires ts_column, value_column and "
+                "group_columns"
+            )
+        if self.grain < 1:
+            raise SpecError(f"rollup_aggregate grain must be >= 1, got {self.grain!r}")
+        if self.coarsen_factor is not None and self.coarsen_factor < 1:
+            raise SpecError(
+                f"rollup_aggregate coarsen_factor must be >= 1, got "
+                f"{self.coarsen_factor!r}"
+            )
+        if not 0 <= self.q_bits <= 40:
+            raise SpecError(
+                f"rollup_aggregate q_bits must be in [0, 40], got {self.q_bits!r}"
+            )
+
+
+@dataclass
+class HeavyHittersOperation(Operation):
+    """Exact heavy hitters behind the lossless CMS prefilter as a flow
+    op (functions/cms.py cms_heavy_hitters): REPLACES the frame with
+    one row per group whose row count reaches ``threshold`` —
+    ``group_columns..., <count_column>``."""
+
+    group_columns: list[str] = field(default_factory=list)
+    threshold: int = 0
+    w: int = 256
+    d: int = 3
+    count_column: str = "cnt"
+    operation_type: str = "heavy_hitters"
+
+    def __post_init__(self) -> None:
+        if not self.group_columns:
+            raise SpecError("heavy_hitters requires group_columns")
+        if self.threshold < 1:
+            raise SpecError(
+                f"heavy_hitters threshold must be >= 1, got {self.threshold!r}"
+            )
+        if self.w * self.d > 8192:
+            raise SpecError(
+                f"heavy_hitters w*d must be <= 8192 (plan-literal table), got "
+                f"{self.w * self.d}"
+            )
+
+
+@dataclass
+class ClassifierEvalOperation(Operation):
+    """Threshold-sweep gate evaluation as a flow op
+    (functions/classifier.py classifier_eval): REPLACES the frame
+    (which must already carry a score column and a boolean label
+    column) with one row per candidate threshold — confusion counts
+    plus accuracy/precision/recall/F1."""
+
+    label_column: str = ""
+    score_column: str = "score"
+    thresholds: list[float] = field(default_factory=lambda: [0.0])
+    operation_type: str = "classifier_eval"
+
+    def __post_init__(self) -> None:
+        if not self.label_column:
+            raise SpecError("classifier_eval requires label_column")
+        if not self.thresholds:
+            raise SpecError("classifier_eval requires at least one threshold")
+        if len(set(self.thresholds)) != len(self.thresholds):
+            raise SpecError(
+                f"classifier_eval thresholds must be distinct: {self.thresholds!r}"
+            )
+
+
+@dataclass
 class CmsCountsOperation(Operation):
     """Count-min frequency estimates as a flow op (functions/cms.py):
     builds the d·w counter table over the CURRENT frame's key column
@@ -1735,6 +1823,9 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "hll_distinct": HllDistinctOperation,
     "cms_counts": CmsCountsOperation,
     "quantile_sketch": QuantileSketchOperation,
+    "rollup_aggregate": RollupOperation,
+    "heavy_hitters": HeavyHittersOperation,
+    "classifier_eval": ClassifierEvalOperation,
 }
 
 

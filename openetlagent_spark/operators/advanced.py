@@ -690,6 +690,43 @@ def apply_quantile_sketch(df: DataFrame, op: "QuantileSketchOperation") -> DataF
     )
 
 
+def apply_rollup_aggregate(df: DataFrame, op: "RollupOperation") -> DataFrame:
+    from ..functions.rollup import rollup_build, rollup_coarsen, rollup_merge, rollup_serve
+
+    require_columns(
+        df, [op.ts_column, op.value_column, *op.group_columns], "rollup_aggregate"
+    )
+    groups = list(op.group_columns)
+    built = rollup_build(
+        df, op.ts_column, op.value_column, groups, grain=op.grain, q_bits=op.q_bits
+    )
+    merged = (
+        rollup_coarsen(built, groups, factor=op.coarsen_factor)
+        if op.coarsen_factor is not None
+        else rollup_merge(built, groups)
+    )
+    return rollup_serve(merged, groups, q_bits=op.q_bits)
+
+
+def apply_heavy_hitters(df: DataFrame, op: "HeavyHittersOperation") -> DataFrame:
+    from ..functions.cms import cms_heavy_hitters
+
+    require_columns(df, list(op.group_columns), "heavy_hitters")
+    return cms_heavy_hitters(
+        df, list(op.group_columns), threshold=op.threshold, w=op.w, d=op.d,
+        count_col=op.count_column,
+    )
+
+
+def apply_classifier_eval(df: DataFrame, op: "ClassifierEvalOperation") -> DataFrame:
+    from ..functions.classifier import classifier_eval
+
+    require_columns(df, [op.label_column, op.score_column], "classifier_eval")
+    return classifier_eval(
+        df, op.label_column, op.score_column, thresholds=list(op.thresholds)
+    )
+
+
 def apply_classifier_score(df: DataFrame, op: "ClassifierScoreOperation") -> DataFrame:
     from ..functions.classifier import classifier_score, load_classifier_weights
 

@@ -765,3 +765,81 @@ def test_unknown_spec_fields_fail_loudly():
         "max_symbol_ratio": 0.2, "min_alpha_ratio": 0.5,
     })
     assert op.min_mean_word_len == 4.4 and op.max_symbol_ratio == 0.2
+
+
+def test_rollup_aggregate_flow_op(spark):
+    """rollup_aggregate spec parses, validates, and executes: hour
+    serve and day coarsen both match the library composition."""
+    from openetlagent_spark.functions.rollup import (
+        rollup_build,
+        rollup_coarsen,
+        rollup_serve,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    op = parse_operation({
+        "operation_type": "rollup_aggregate", "ts_column": "ts",
+        "value_column": "value", "group_columns": ["event_type"],
+        "coarsen_factor": 24,
+    })
+    got = apply_operations(ev, [op], spark, None)
+    want = rollup_serve(
+        rollup_coarsen(
+            rollup_build(ev, "ts", "value", ["event_type"]), ["event_type"],
+            factor=24,
+        ),
+        ["event_type"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(SpecError, match="grain"):
+        parse_operation({"operation_type": "rollup_aggregate", "ts_column": "ts",
+                         "value_column": "value", "group_columns": ["event_type"],
+                         "grain": 0})
+    with pytest.raises(SpecError, match="requires"):
+        parse_operation({"operation_type": "rollup_aggregate", "ts_column": "ts",
+                         "value_column": "value"})
+
+
+def test_heavy_hitters_flow_op(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    op = parse_operation({
+        "operation_type": "heavy_hitters", "group_columns": ["event_type"],
+        "threshold": 150, "w": 64,
+    })
+    got = {r["event_type"]: r["cnt"] for r in
+           apply_operations(ev, [op], spark, None).collect()}
+    import duckdb
+    want = dict(duckdb.sql(
+        f"SELECT event_type, COUNT(*) c FROM '{SF}/events.parquet' "
+        "WHERE event_type IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 150"
+    ).fetchall())
+    assert got == want and got  # non-trivial at sf0.001
+    with pytest.raises(SpecError, match="threshold"):
+        parse_operation({"operation_type": "heavy_hitters",
+                         "group_columns": ["event_type"]})
+    with pytest.raises(SpecError, match="w\\*d"):
+        parse_operation({"operation_type": "heavy_hitters",
+                         "group_columns": ["event_type"], "threshold": 5,
+                         "w": 8192, "d": 2})
+
+
+def test_classifier_eval_flow_op(spark):
+    """classifier_score -> classifier_eval chained through YAML dicts:
+    the sweep runs on the scored frame's own columns."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ops = [
+        parse_operation({"operation_type": "classifier_score",
+                         "id_column": "doc_id", "text_column": "text"}),
+        parse_operation({"operation_type": "classifier_eval",
+                         "label_column": "clf_pass", "score_column": "score",
+                         "thresholds": [0.0, 0.05]}),
+    ]
+    rows = {r["thr"]: r for r in apply_operations(docs, ops, spark, None).collect()}
+    assert set(rows) == {0.0, 0.05}
+    # labels came from thresholding at 0.0, so the 0.0 sweep row must
+    # be a perfect confusion diagonal
+    r0 = rows[0.0]
+    assert r0["fp"] == 0 and r0["fn"] == 0 and r0["accuracy"] == 1.0
+    with pytest.raises(SpecError, match="distinct"):
+        parse_operation({"operation_type": "classifier_eval",
+                         "label_column": "lab", "thresholds": [0.1, 0.1]})
