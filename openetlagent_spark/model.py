@@ -1888,8 +1888,12 @@ class FileDefinition:
     format: str = "csv"
 
     def __post_init__(self) -> None:
-        if self.format not in ("csv", "json", "parquet", "orc"):
-            raise SpecError(f"format must be csv/json/parquet/orc, got {self.format!r}")
+        # text/binary are INPUT-only formats (raw corpus lines, opaque
+        # media payloads); save_data rejects them at write time.
+        if self.format not in ("csv", "json", "parquet", "orc", "text", "binary"):
+            raise SpecError(
+                f"format must be csv/json/parquet/orc/text/binary, got {self.format!r}"
+            )
 
 
 @dataclass

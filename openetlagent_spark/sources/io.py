@@ -86,6 +86,41 @@ def scan_data(spark: SparkSession, fd: FileDefinition) -> DataFrame:
         df = df.select(
             *[F.col(f.name).cast(f.dataType) for f in struct.fields if f.name in actual]
         )
+    elif fd.format == "text":
+        # Raw corpus ingestion: one row per line, the 100 TB text-dump
+        # entry path.  The declared schema names the line column — it
+        # must declare exactly one string column (anything else is a
+        # spec bug, not drift, so it raises rather than warns).
+        names = struct.fieldNames()
+        if len(names) != 1 or not isinstance(struct.fields[0].dataType, T.StringType):
+            raise ValueError(
+                "text input needs a declared schema with exactly one string "
+                f"column (the line column); got {names}"
+            )
+        df = spark.read.text(fd.path).select(F.col("value").alias(names[0]))
+    elif fd.format == "binary":
+        # Opaque media ingestion (images/audio/video payloads) via
+        # Spark's binaryFile source: path, modificationTime, length,
+        # content.  Declared columns project from those four by name
+        # (missing ones warn, parquet-style); `content` feeds the
+        # multimodal mapInPandas stages, and maxPartitionBytes governs
+        # scan granularity — no shuffle anywhere.
+        df = spark.read.format("binaryFile").load(fd.path)
+        declared = list(struct.fieldNames())
+        actual = set(df.columns)
+        missing = [c for c in declared if c not in actual]
+        if missing:
+            logger.warning(
+                "scan %s: declared columns not produced by binaryFile "
+                "(available: %s): %s", fd.path, sorted(actual), missing
+            )
+        present = [c for c in declared if c in actual]
+        if not present:
+            raise ValueError(
+                f"binary input: none of the declared columns {declared} are "
+                f"binaryFile columns {sorted(actual)}"
+            )
+        df = df.select(*present)
     else:
         raise NotImplementedError(f"Unsupported input format: {fd.format}")
     return df

@@ -128,3 +128,51 @@ def test_write_compacted_partitioned_layout(spark, tmp_path):
     for b in ("0", "1", "2"):
         files = glob.glob(f"{out}/bucket={b}/part-*.parquet")
         assert len(files) == 1, f"bucket={b}: expected 1 compacted file, got {len(files)}"
+
+
+def test_text_scan_lines(spark, tmp_path):
+    """format='text': one row per line, named by the single declared
+    string column."""
+    import pytest
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("first line\nsecond line\n\nfourth\n")
+    fd = _fd(str(p), "text", {"text": "string"})
+    got = [r["text"] for r in scan_data(spark, fd).collect()]
+    assert sorted(got) == sorted(["first line", "second line", "", "fourth"])
+    with pytest.raises(ValueError, match="exactly one string"):
+        scan_data(spark, _fd(str(p), "text", {"a": "string", "b": "string"}))
+    with pytest.raises(ValueError, match="exactly one string"):
+        scan_data(spark, _fd(str(p), "text", {"n": "integer"}))
+
+
+def test_binary_scan_media_payloads(spark, tmp_path):
+    """format='binary': binaryFile source — declared columns project
+    from path/modificationTime/length/content; content carries the
+    exact bytes for the multimodal stages."""
+    import pytest
+
+    payload = bytes(range(64))
+    (tmp_path / "a.bin").write_bytes(payload)
+    (tmp_path / "b.bin").write_bytes(payload[:10])
+    fd = _fd(str(tmp_path), "binary", {"path": "string", "length": "integer",
+                                       "content": "binary"})
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in scan_data(spark, fd).collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == payload
+    assert rows["b.bin"]["length"] == 10
+    with pytest.raises(ValueError, match="none of the declared"):
+        scan_data(spark, _fd(str(tmp_path), "binary", {"nope": "string"}))
+
+
+def test_text_binary_are_input_only(spark, tmp_path):
+    import pytest
+
+    from openetlagent_spark.model import SpecError
+
+    with pytest.raises(SpecError, match="format must be"):
+        _fd(str(tmp_path), "avro", {"a": "string"})
+    df = spark.createDataFrame([Row(text="x")])
+    fd = _fd(str(tmp_path / "out"), "text", {"text": "string"})
+    with pytest.raises(NotImplementedError, match="Unsupported output format"):
+        save_data(df, fd)
