@@ -226,6 +226,93 @@ def rollup_from_store(
     return rollup_merge(partials, group_cols)
 
 
+def rollup_spikes(
+    merged: DataFrame,
+    group_cols: list[str],
+    *,
+    factor_num: int = 2,
+    factor_den: int = 1,
+) -> DataFrame:
+    """Traffic-spike buckets from a merged rollup: every (group,
+    bucket) whose row count is at least ``factor_num/factor_den``
+    times the group's MEAN bucket count — hot-hour / burst detection
+    served entirely from rollup state, never raw data.
+
+    Exactness discipline: the flag is the cross-multiplied INTEGER
+    inequality ``n_rows · n_buckets · den >= num · total_rows`` (no
+    division, no ties-at-rounding); the reported ``spike_ratio`` is
+    one IEEE division of two exact integer products.  The per-group
+    stats frame is ≤ |groups| rows and broadcasts — the comparison is
+    map-side against the (already bounded) rollup state."""
+    if factor_num < 1 or factor_den < 1:
+        raise ValueError(
+            f"rollup_spikes factors must be >= 1, got {factor_num}/{factor_den}"
+        )
+    stats = merged.groupBy(*group_cols).agg(
+        F.sum("n_rows").cast("long").alias("__total__"),
+        F.count(F.lit(1)).cast("long").alias("__nb__"),
+    )
+    joined = merged.join(F.broadcast(stats), list(group_cols))
+    lhs = F.col("n_rows") * F.col("__nb__") * F.lit(int(factor_den))
+    rhs = F.lit(int(factor_num)) * F.col("__total__")
+    return (
+        joined.where(lhs >= rhs)
+        .select(
+            *group_cols,
+            "bucket_idx",
+            "n_rows",
+            (
+                (F.col("n_rows") * F.col("__nb__")).cast("double")
+                / F.col("__total__").cast("double")
+            ).alias("spike_ratio"),
+        )
+    )
+
+
+def rollup_spikes_oracle_sql(
+    *,
+    table: str,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    grain: int = HOUR,
+    factor_num: int = 2,
+    factor_den: int = 1,
+) -> str:
+    """DuckDB mirror of ``rollup_build → merge → rollup_spikes`` as a
+    windowed single pass, generated from the same constants.  The
+    bucketed CTE is the same GROUP BY the rollup oracle uses (only
+    ``n_rows`` is consumed, so the value aggregates are elided)."""
+    if factor_num < 1 or factor_den < 1:
+        raise ValueError(
+            f"rollup_spikes factors must be >= 1, got {factor_num}/{factor_den}"
+        )
+    gsel = ", ".join(group_cols)
+    part = ", ".join(group_cols)
+    nn = " AND ".join(
+        [f"{ts_col} IS NOT NULL"] + [f"{g} IS NOT NULL" for g in group_cols]
+    )
+    bucket = f"CAST(FLOOR(epoch({ts_col}) / {float(grain)!r}) AS BIGINT)"
+    return f"""
+WITH __rs_g AS (
+  SELECT {gsel}, {bucket} AS bucket_idx, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM {table}
+  WHERE {nn}
+  GROUP BY ALL
+), __rs_s AS (
+  SELECT *,
+         CAST(SUM(n_rows) OVER (PARTITION BY {part}) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) OVER (PARTITION BY {part}) AS BIGINT) AS n_buckets
+  FROM __rs_g
+)
+SELECT {gsel}, bucket_idx, n_rows,
+       CAST(n_rows * n_buckets AS DOUBLE) / CAST(total_rows AS DOUBLE)
+         AS spike_ratio
+FROM __rs_s
+WHERE n_rows * n_buckets * {int(factor_den)} >= {int(factor_num)} * total_rows
+"""
+
+
 def rollup_oracle_sql(
     *,
     table: str,

@@ -1554,6 +1554,35 @@ def _rollup_store_oracle() -> str:
 ROLLUP_STORE_SQL = _rollup_store_oracle()
 
 
+def q_spike_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-spike detection served from rollup state
+    (functions/rollup.py rollup_spikes): every (event_type, hour)
+    whose event count reaches 2× the type's mean hourly count.  The
+    flag is a cross-multiplied integer inequality (no division, no
+    rounding ties); the reported ratio is one IEEE division of exact
+    integer products.  Per-group stats broadcast (≤ |groups| rows), so
+    at 100 TB the whole detection runs map-side over the bounded
+    rollup state — raw events are touched exactly once, by the rollup
+    build itself."""
+    from ..functions.rollup import rollup_build, rollup_merge, rollup_spikes
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    merged = rollup_merge(rollup_build(ev, "ts", "value", ["event_type"]), ["event_type"])
+    return rollup_spikes(merged, ["event_type"], factor_num=2)
+
+
+def _spike_buckets_oracle() -> str:
+    from ..functions.rollup import rollup_spikes_oracle_sql
+
+    return rollup_spikes_oracle_sql(
+        table="events", ts_col="ts", value_col="value",
+        group_cols=["event_type"], factor_num=2,
+    )
+
+
+SPIKE_BUCKETS_SQL = _spike_buckets_oracle()
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters with a lossless CMS prefilter
     (functions/cms.py cms_heavy_hitters): every (user, event_type)
@@ -2109,6 +2138,7 @@ ANALYTICS_QUERIES = {
     "kmv_store": q_kmv_store,
     "rollup_store": q_rollup_store,
     "rollup_day": q_rollup_day,
+    "spike_buckets": q_spike_buckets,
     "heavy_hitters": q_heavy_hitters,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
@@ -2158,6 +2188,7 @@ ANALYTICS_ORACLES = {
     "kmv_store": KMV_STORE_SQL,
     "rollup_store": ROLLUP_STORE_SQL,
     "rollup_day": ROLLUP_DAY_SQL,
+    "spike_buckets": SPIKE_BUCKETS_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,

@@ -305,3 +305,33 @@ def test_sketch_refresh_stream_rollup_validation(spark, tmp_path):
             stream, str(tmp_path / "s"), str(tmp_path / "o"),
             checkpoint=str(tmp_path / "c"), kind="hll", group_cols=["g"],
         )
+
+
+def test_spikes_hand_computed(spark):
+    """Two groups with a known hot bucket each: the integer
+    cross-multiplied flag and the ratio match hand arithmetic,
+    including the >= boundary (exactly 2x mean is flagged)."""
+    from openetlagent_spark.functions.rollup import rollup_build, rollup_merge, rollup_spikes
+
+    rows = []
+    # group a: buckets with 1,1,4 rows -> total 6, nb 3, mean 2;
+    # the 4-row bucket has ratio 2.0 (boundary: flagged)
+    for h, n in ((0, 1), (1, 1), (2, 4)):
+        rows += [Row(ts=T0 + dt.timedelta(hours=h, minutes=m), g="a", v=1.0)
+                 for m in range(n)]
+    # group b: 2,2,2 -> nothing flagged
+    for h in range(3):
+        rows += [Row(ts=T0 + dt.timedelta(hours=h, minutes=m), g="b", v=1.0)
+                 for m in range(2)]
+    df = spark.createDataFrame(rows)
+    merged = rollup_merge(rollup_build(df, "ts", "v", ["g"]), ["g"])
+    got = rollup_spikes(merged, ["g"], factor_num=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["g"] == "a" and r["n_rows"] == 4 and r["spike_ratio"] == 2.0
+    # 3x threshold: the boundary bucket is no longer flagged
+    assert rollup_spikes(merged, ["g"], factor_num=3).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="factors"):
+        rollup_spikes(merged, ["g"], factor_num=0)
