@@ -248,6 +248,12 @@ def rollup_spikes(
         raise ValueError(
             f"rollup_spikes factors must be >= 1, got {factor_num}/{factor_den}"
         )
+    from ..session import materialize
+
+    # the rollup state is referenced twice (stats + join probe); it is
+    # bounded (≤ |groups|·|buckets| rows), so materialize once instead
+    # of re-running the corpus build on the stats branch
+    merged = materialize(merged)
     stats = merged.groupBy(*group_cols).agg(
         F.sum("n_rows").cast("long").alias("__total__"),
         F.count(F.lit(1)).cast("long").alias("__nb__"),

@@ -1564,11 +1564,14 @@ def q_spike_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the whole detection runs map-side over the bounded
     rollup state — raw events are touched exactly once, by the rollup
     build itself."""
-    from ..functions.rollup import rollup_build, rollup_merge, rollup_spikes
+    from ..functions.rollup import rollup_build, rollup_spikes
 
+    # a fresh build IS already merged (one row per group+bucket) — no
+    # rollup_merge pass, which would re-shuffle the same keys for
+    # nothing; store-served callers spike on rollup_from_store output
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
-    merged = rollup_merge(rollup_build(ev, "ts", "value", ["event_type"]), ["event_type"])
-    return rollup_spikes(merged, ["event_type"], factor_num=2)
+    hourly = rollup_build(ev, "ts", "value", ["event_type"])
+    return rollup_spikes(hourly, ["event_type"], factor_num=2)
 
 
 def _spike_buckets_oracle() -> str:

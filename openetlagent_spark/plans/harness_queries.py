@@ -1915,14 +1915,17 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.classifier import classifier_eval, classifier_score
     from ..functions.text import gopher_rules
 
+    # labels and scores CHAIN as pure projections over one scan — a
+    # join-back of two documents scans would be a corpus self-join at
+    # 100 TB for no reason (the oracle still spells it as a join; an
+    # inner join on the unique doc_id equals the chained projection)
     docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
-    labels = gopher_rules(
+    labeled = gopher_rules(
         docs, "doc_id", "text", keep_all=True, **_DISTILL_GOPHER_KW
-    ).select("doc_id", "gopher_pass")
-    scored = classifier_score(docs, "doc_id", "text")
+    ).select("doc_id", "text", "gopher_pass")
+    scored = classifier_score(labeled, "doc_id", "text", keep_all=True)
     return classifier_eval(
-        scored.join(labels, "doc_id"), "gopher_pass", "score",
-        thresholds=_EVAL_THRESHOLDS,
+        scored, "gopher_pass", "score", thresholds=_EVAL_THRESHOLDS
     )
 
 

@@ -562,3 +562,73 @@ def test_classifier_file_no_join(spark):
     join: the scoring query is scan + projection only."""
     plan = plan_of(spark, "classifier_file")
     assert "Join" not in plan.split("== Physical Plan ==")[-1]
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # store read + one (group, bucket) merge regroup
+        ("rollup_store", 1),
+        # hour build regroup + day coarsen regroup
+        ("rollup_day", 2),
+        # rollup state materialized once; served plan = stats regroup
+        # + broadcast join (test below pins the no-rescan property)
+        ("spike_buckets", 1),
+        # counter table embeds as plan literals; the estimate filter is
+        # map-side, so only the exact GROUP BY shuffles (and only
+        # candidate rows reach it)
+        ("heavy_hitters", 1),
+        # labels + scores chain as projections over ONE scan; the
+        # threshold fan-out is a map-side explode, so the single
+        # exchange carries |thresholds| rows
+        ("classifier_eval", 1),
+        # per-batch integer matmul partials: the one exchange carries
+        # |partitions| * dim^2 integer rows regardless of corpus size
+        ("embedding_gram", 1),
+    ],
+)
+def test_round8_session2_shuffle_budget(spark, name, max_shuffles):
+    assert count_shuffles(plan_of(spark, name)) <= max_shuffles
+
+
+def test_round8_session2_no_cartesians_or_global_windows(spark):
+    for name in [
+        "rollup_store", "rollup_day", "spike_buckets", "heavy_hitters",
+        "classifier_eval", "embedding_gram",
+    ]:
+        plan = plan_of(spark, name)
+        physical = plan.split("== Physical Plan ==")[-1]
+        assert "CartesianProduct" not in physical, name
+        assert "Exchange SinglePartition" not in physical, name
+        assert "SortMergeJoin" not in physical, name
+
+
+def test_spike_buckets_never_rescans_the_corpus(spark):
+    """The rollup state materializes once; the SERVED spike plan reads
+    the checkpointed state on both join branches — zero FileScans, one
+    broadcast join (a re-scan here would double the corpus cost at
+    100 TB)."""
+    plan = plan_of(spark, "spike_buckets")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "FileScan parquet" not in physical
+    assert "BroadcastHashJoin" in physical
+
+
+def test_heavy_hitters_estimate_filter_is_map_side(spark):
+    """The LEAST-of-element_at threshold filter sits BELOW the exact
+    aggregation's exchange — light rows drop before they shuffle (the
+    operator's whole point)."""
+    plan = plan_of(spark, "heavy_hitters")
+    physical = plan.split("== Physical Plan ==")[-1]
+    exch = physical.index("Exchange hashpartitioning")
+    m = re.search(r"Filter .*least", physical, flags=re.IGNORECASE)
+    assert m, "expected the least-of-lookups estimate filter in the plan"
+    assert m.start() > exch  # text order: below the exchange
+    assert "Join" not in physical  # counters are plan literals, not a join
+
+
+def test_classifier_eval_single_scan_no_join(spark):
+    plan = plan_of(spark, "classifier_eval")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("FileScan parquet") == 1
+    assert "Join" not in physical
