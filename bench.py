@@ -194,6 +194,12 @@ HEADLINE = [
     "kmv_set_overlap",
     "kmv_store",
     "distill_gate",
+    "rollup_store",
+    "rollup_day",
+    "spike_buckets",
+    "heavy_hitters",
+    "classifier_eval",
+    "embedding_gram",
 ]
 
 

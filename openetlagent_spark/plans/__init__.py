@@ -31,22 +31,31 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     scripts/staleness.py: the 23 r03-stale (TPC-H q2-q7/q10/q14/
 #     q19/q22, grouping sets, percentile, window/topk, set ops,
 #     explode, multikey bind, session_window, asof/range joins,
-#     rollup, approx_distinct [rows-only by nature]) and 10 r04-stale
-#     (application/casting/flagship core rows, text + search families;
-#     13+4+23+10 = 50 — dedup_substring, dedup_simhash, bpe_pairs,
+#     rollup, approx_distinct [rows-only by nature]) and 4 r04-stale
+#     core rows (application, casting, flagship, lang_id;
+#     13+6+4+23+4 = 50 — dedup_substring, dedup_simhash, bpe_pairs,
 #     outlier_flags, unicode_nfc, value_histogram, profile_table and
-#     curation_pipeline were displaced by this round's eight
-#     additions, each exact-verified on landing).
-# Queries added during round 8 may be swapped into this list
-# (replacing tail backfill rows) once locally exact-verified; keep the
-# list at exactly 50.  Local `scripts/check_oracle.py` runs the full
-# set regardless of order.
+#     curation_pipeline were displaced by this round's first eight
+#     additions, and vocab_oov, fuzzy_join, tfidf_topk, bigram_lm,
+#     doc_lm_score, running_totals by the six later-session additions
+#     below — every displacement only after the incoming query passed
+#     a local driver-strength exact check on landing).
+# (a') the 6 additions of the round's second session, never
+#     driver-checked, each exact-verified on landing AND re-verified
+#     after the session's plan-hardening pass: rollup_store,
+#     rollup_day, spike_buckets, heavy_hitters, classifier_eval,
+#     embedding_gram.
+# Local `scripts/check_oracle.py` runs the full set regardless of
+# order.
 _ROUND8_FRONT = [
     # never driver-checked (r07 tail + r08 additions)
     "quantile_sketch", "qsketch_store", "hll_store", "cms_store",
     "classifier_file", "qsketch_prefilter", "classifier_train",
     "classifier_warm", "weighted_sample", "kmv_distinct",
     "kmv_set_overlap", "kmv_store", "distill_gate",
+    # never driver-checked (r08 second-session additions, 6)
+    "rollup_store", "rollup_day", "spike_buckets", "heavy_hitters",
+    "classifier_eval", "embedding_gram",
     # last hashed r02 (4)
     "equality", "assignation", "concatenation", "comparison",
     # oldest stale: r03 (23)
@@ -56,10 +65,8 @@ _ROUND8_FRONT = [
     "approx_distinct", "set_intersect", "set_except", "explode_tokens",
     "bind_multikey", "session_window", "asof_join", "range_join",
     "rollup",
-    # next oldest: r04 (10)
-    "application", "casting", "flagship",
-    "lang_id", "vocab_oov", "fuzzy_join", "tfidf_topk", "bigram_lm",
-    "doc_lm_score", "running_totals",
+    # next oldest: r04 (4)
+    "application", "casting", "flagship", "lang_id",
 ]
 
 
