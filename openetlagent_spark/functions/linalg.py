@@ -79,6 +79,18 @@ def embedding_gram(
             if not len(b):
                 continue
             v = np.stack(b["__v__"].to_numpy())  # (rows, dim) float64
+            # Loud on non-finite components: a NaN (which is also how a
+            # NULL array ELEMENT arrives through Arrow) would both
+            # corrupt the integer Gram silently (NaN→INT64_MIN on
+            # astype) and poison the max-based overflow guard below —
+            # and the DuckDB oracle errors loudly on the same input,
+            # so silence here would be a cross-engine divergence.
+            if not np.isfinite(v).all():
+                raise ValueError(
+                    "embedding_gram: non-finite embedding component "
+                    "(NaN/inf, or a NULL array element) in a batch — "
+                    "clean the vectors first"
+                )
             q = np.floor(v * scale)
             # int64 headroom check BEFORE the matmul: numpy wraps
             # silently.  |entry| <= rows * maxq^2 must stay < 2^62.
@@ -88,7 +100,8 @@ def embedding_gram(
                     "embedding_gram: batch partial could overflow int64 "
                     f"(rows={len(b)}, max|q|={maxq:.3g}); lower q_bits"
                 )
-            g = (q.astype(np.int64).T @ q.astype(np.int64))
+            qi = q.astype(np.int64)
+            g = qi.T @ qi
             yield pd.DataFrame(
                 {"i": iu.astype("int32"), "j": ju.astype("int32"), "part_q": g[iu, ju]}
             )

@@ -1687,6 +1687,11 @@ class HeavyHittersOperation(Operation):
             raise SpecError(
                 f"heavy_hitters threshold must be >= 1, got {self.threshold!r}"
             )
+        if self.w < 2 or self.d < 1:
+            raise SpecError(
+                f"heavy_hitters needs w >= 2 and d >= 1, got w={self.w!r} "
+                f"d={self.d!r}"
+            )
         if self.w * self.d > 8192:
             raise SpecError(
                 f"heavy_hitters w*d must be <= 8192 (plan-literal table), got "

@@ -691,7 +691,7 @@ def apply_quantile_sketch(df: DataFrame, op: "QuantileSketchOperation") -> DataF
 
 
 def apply_rollup_aggregate(df: DataFrame, op: "RollupOperation") -> DataFrame:
-    from ..functions.rollup import rollup_build, rollup_coarsen, rollup_merge, rollup_serve
+    from ..functions.rollup import rollup_build, rollup_coarsen, rollup_serve
 
     require_columns(
         df, [op.ts_column, op.value_column, *op.group_columns], "rollup_aggregate"
@@ -700,10 +700,13 @@ def apply_rollup_aggregate(df: DataFrame, op: "RollupOperation") -> DataFrame:
     built = rollup_build(
         df, op.ts_column, op.value_column, groups, grain=op.grain, q_bits=op.q_bits
     )
+    # a fresh build is already one row per (group, bucket): only the
+    # coarsen path needs a re-merge (a bare rollup_merge here would
+    # re-shuffle identical keys for nothing — the q_spike_buckets rule)
     merged = (
         rollup_coarsen(built, groups, factor=op.coarsen_factor)
         if op.coarsen_factor is not None
-        else rollup_merge(built, groups)
+        else built
     )
     return rollup_serve(merged, groups, q_bits=op.q_bits)
 

@@ -1260,10 +1260,10 @@ def q_hll_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     store = _scratch_dir("ela_hll_store", sf_dir)
     build_hll_store(
-        ev.where(F.col("event_id") % 2 == 0), store, "user_id", ["event_type"], p=8
+        ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) == 0), store, "user_id", ["event_type"], p=8
     )
     build_hll_store(
-        ev.where(F.col("event_id") % 2 != 0), store, "user_id", ["event_type"],
+        ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) != 0), store, "user_id", ["event_type"],
         p=8, mode="append",
     )
     return hll_from_store(spark, store, ["event_type"], p=8).select(
@@ -1296,9 +1296,9 @@ def q_cms_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
     store = _scratch_dir("ela_cms_store", sf_dir)
-    build_cms_store(ev.where(F.col("event_id") % 2 == 0), store, "user_id", w=1024, d=3)
+    build_cms_store(ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) == 0), store, "user_id", w=1024, d=3)
     build_cms_store(
-        ev.where(F.col("event_id") % 2 != 0), store, "user_id",
+        ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) != 0), store, "user_id",
         w=1024, d=3, mode="append",
     )
     counters = cms_from_store(spark, store, w=1024, d=3)
@@ -1371,11 +1371,11 @@ def q_qsketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     store = _scratch_dir("ela_qsketch_store", sf_dir)
     build_qsketch_store(
-        ev.where(F.col("event_id") % 2 == 0), store, "value", "event_id",
+        ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) == 0), store, "value", "event_id",
         ["event_type"], k=256,
     )
     build_qsketch_store(
-        ev.where(F.col("event_id") % 2 != 0), store, "value", "event_id",
+        ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) != 0), store, "value", "event_id",
         ["event_type"], k=256, mode="append",
     )
     merged = qsketch_from_store(spark, store, ["event_type"], k=256)
@@ -1501,10 +1501,10 @@ def q_kmv_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
     store = _scratch_dir("ela_kmv_store", sf_dir)
     build_kmv_store(
-        ev.where(F.col("event_id") % 2 == 0), store, "user_id", "event_type", k=64
+        ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) == 0), store, "user_id", "event_type", k=64
     )
     build_kmv_store(
-        ev.where(F.col("event_id") % 2 != 0), store, "user_id", "event_type",
+        ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) != 0), store, "user_id", "event_type",
         k=64, mode="append",
     )
     merged = kmv_from_store(spark, store, "event_type", k=64)
@@ -1531,10 +1531,10 @@ def q_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     store = _scratch_dir("ela_rollup_store", sf_dir)
     build_rollup_store(
-        ev.where(F.col("event_id") % 2 == 0), store, "ts", "value", ["event_type"]
+        ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) == 0), store, "ts", "value", ["event_type"]
     )
     build_rollup_store(
-        ev.where(F.col("event_id") % 2 != 0), store, "ts", "value", ["event_type"],
+        ev.where(F.coalesce(F.col("event_id") % 2, F.lit(0)) != 0), store, "ts", "value", ["event_type"],
         mode="append",
     )
     merged = rollup_from_store(

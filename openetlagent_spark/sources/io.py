@@ -114,13 +114,15 @@ def scan_data(spark: SparkSession, fd: FileDefinition) -> DataFrame:
                 "scan %s: declared columns not produced by binaryFile "
                 "(available: %s): %s", fd.path, sorted(actual), missing
             )
-        present = [c for c in declared if c in actual]
+        present = [f for f in struct.fields if f.name in actual]
         if not present:
             raise ValueError(
                 f"binary input: none of the declared columns {declared} are "
                 f"binaryFile columns {sorted(actual)}"
             )
-        df = df.select(*present)
+        # cast to the declared types like the parquet/orc branch — a
+        # declared `length: integer` must not silently stay LONG
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in present])
     else:
         raise NotImplementedError(f"Unsupported input format: {fd.format}")
     return df
