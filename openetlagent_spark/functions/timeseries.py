@@ -129,6 +129,114 @@ def gap_fill_hourly(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    q_bits: int = 16,
+) -> DataFrame:
+    """Time-weighted average per key over an IRREGULAR series — the
+    hypertable ``time_weight('locf')`` analogue: each observation is
+    held until the next one (left Riemann sum), so a value that stood
+    for an hour outweighs one that stood for a second — the mean a
+    plain AVG gets wrong whenever sampling density correlates with
+    level.
+
+    Output: ``key, n_segments, total_ms, twa`` — the last observation
+    per key (no successor) contributes no segment; a key with fewer
+    than two observations has no segments at all and is ABSENT from
+    the output (nothing was held for any duration).
+
+    Determinism discipline: timestamps become BIGINT epoch
+    milliseconds (exact), ordering is total (``ts, id``) so ``lead``
+    is deterministic under duplicate timestamps, values quantize to
+    ``FLOOR(v·2^q_bits)`` BIGINTs, and the accumulator is the integer
+    Σ q·dt_ms — order-free — with ``twa = (Σq·dt / 2^q_bits) /
+    Σdt`` as two fixed IEEE divisions.  Headroom: |v| < 2^14 and
+    per-key Σdt under ~years keeps Σq·dt far inside BIGINT; ANSI mode
+    turns a pathological miss into a loud error, never a wrap.
+
+    Scale: ONE hash shuffle on the key — the lead window and the
+    final aggregate share the same partitioning, so Catalyst plans a
+    single exchange.  NULL timestamps/keys are dropped explicitly;
+    NULL values propagate NULL segments which the integer SUM skips
+    (their duration still counts toward nothing — mirrored exactly in
+    the oracle)."""
+    if not 0 <= q_bits <= 30:
+        raise ValueError(f"time_weighted_avg q_bits must be in [0, 30], got {q_bits}")
+    scale = float(1 << q_bits)
+    w = Window.partitionBy(key).orderBy(
+        F.col("__ts_ms__").asc(), F.col(id_col).asc()
+    )
+    rows = (
+        df.where(F.col(key).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key),
+            F.col(id_col),
+            F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__ts_ms__"),
+            F.floor(F.col(value_col) * F.lit(scale)).cast("long").alias("__q__"),
+        )
+        .withColumn("__dt__", F.lead("__ts_ms__").over(w) - F.col("__ts_ms__"))
+        .where(F.col("__dt__").isNotNull())
+    )
+    agg = rows.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("__dt__").cast("long").alias("total_ms"),
+        F.sum(F.col("__q__") * F.col("__dt__")).cast("long").alias("__qdt__"),
+    )
+    twa = F.when(
+        F.col("total_ms") > 0,
+        (F.col("__qdt__").cast("double") / F.lit(scale))
+        / F.col("total_ms").cast("double"),
+    )
+    return agg.select(key, "n_segments", "total_ms", twa.alias("twa"))
+
+
+def time_weighted_avg_oracle_sql(
+    *,
+    table: str,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    q_bits: int = 16,
+) -> str:
+    """DuckDB mirror of :func:`time_weighted_avg`, generated from the
+    same constants (epoch_ms timestamps, the (ts, id) total order, the
+    2^q_bits quantization, the guarded two-division serve)."""
+    if not 0 <= q_bits <= 30:
+        raise ValueError(f"time_weighted_avg q_bits must be in [0, 30], got {q_bits}")
+    scale = float(1 << q_bits)
+    return f"""
+WITH __twa_r AS (
+  SELECT {key} AS k,
+         epoch_ms({ts_col}) AS ts_ms,
+         CAST(FLOOR({value_col} * {scale!r}) AS BIGINT) AS q,
+         lead(epoch_ms({ts_col})) OVER (
+           PARTITION BY {key} ORDER BY epoch_ms({ts_col}) ASC, {id_col} ASC
+         ) - epoch_ms({ts_col}) AS dt
+  FROM {table}
+  WHERE {key} IS NOT NULL AND {ts_col} IS NOT NULL
+), __twa_s AS (
+  SELECT k,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(dt) AS BIGINT) AS total_ms,
+         CAST(SUM(q * dt) AS BIGINT) AS qdt
+  FROM __twa_r
+  WHERE dt IS NOT NULL
+  GROUP BY k
+)
+SELECT k AS {key}, n_segments, total_ms,
+       CASE WHEN total_ms > 0 THEN
+         (CAST(qdt AS DOUBLE) / {scale!r}) / CAST(total_ms AS DOUBLE)
+       END AS twa
+FROM __twa_s
+"""
+
+
 def gap_fill_oracle_sql(
     *, table: str, key: str, ts_col: str, value_col: str
 ) -> str:

@@ -1601,6 +1601,25 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(ev, key="event_type", ts_col="ts", value_col="value")
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over the irregular event series
+    (functions/timeseries.py time_weighted_avg — the hypertable
+    ``time_weight('locf')`` analogue): each value is held until the
+    key's next observation, so the mean weights by DURATION, not
+    sample count — the correction a plain AVG needs whenever sampling
+    density correlates with level.  Integer discipline throughout
+    (epoch-ms BIGINTs, 2^16-quantized values, order-free Σ q·dt) with
+    a deterministic (ts, id) total order for lead under duplicate
+    timestamps.  ONE hash shuffle: the lead window and the final
+    aggregate share the event_type partitioning."""
+    from ..functions.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    return time_weighted_avg(
+        ev, key="event_type", ts_col="ts", value_col="value", id_col="event_id"
+    )
+
+
 def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast Bloom-filter decontamination gate (functions/bloom.py):
     the benchmark slice (doc_id % 97 = 0) packs into an m-bit bitmap
@@ -2634,6 +2653,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "embedding_quantize": q_embedding_quantize,
     "gap_fill": q_gap_fill,
+    "time_weighted_avg": q_time_weighted_avg,
     "bloom_gate": q_bloom_gate,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
@@ -3652,6 +3672,15 @@ from ..functions.timeseries import gap_fill_oracle_sql as _gap_fill_oracle_sql  
 
 HARNESS_ORACLES["gap_fill"] = _gap_fill_oracle_sql(
     table="events", key="event_type", ts_col="ts", value_col="value"
+)
+
+from ..functions.timeseries import (  # noqa: E402
+    time_weighted_avg_oracle_sql as _twa_oracle_sql,
+)
+
+HARNESS_ORACLES["time_weighted_avg"] = _twa_oracle_sql(
+    table="events", key="event_type", ts_col="ts", value_col="value",
+    id_col="event_id",
 )
 HARNESS_ORACLES["bloom_gate"] = _bloom_gate_oracle_sql(
     corpus_sql="SELECT doc_id, text FROM documents",

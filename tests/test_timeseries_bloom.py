@@ -187,3 +187,60 @@ def test_bloom_refuses_column_collision(spark):
     df = spark.createDataFrame([Row(t="x", bloom_hit=1)])
     with pytest.raises(ValueError, match="already has column"):
         with_bloom_flag(df, "t", [0] * 16, m=1024, k=3)
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """v=10 held 60s then v=2 held 180s: TWA = (10*60+2*180)/240 =
+    3.999... vs plain AVG 6.0 — the duration weighting is the point.
+    Exact: quantized integers make the expected value computable by
+    hand."""
+    import datetime as dt
+
+    from openetlagent_spark.functions.timeseries import time_weighted_avg
+
+    t0 = dt.datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [(1, t0, "a", 10.0),
+         (2, t0 + dt.timedelta(seconds=60), "a", 2.0),
+         (3, t0 + dt.timedelta(seconds=240), "a", 99.0)],  # terminal: no segment
+        "id long, ts timestamp, k string, v double",
+    )
+    out = time_weighted_avg(df, key="k", ts_col="ts", value_col="v", id_col="id")
+    r = out.collect()[0]
+    assert r["n_segments"] == 2 and r["total_ms"] == 240_000
+    q10, q2 = 10 * 2**16, 2 * 2**16
+    assert r["twa"] == ((q10 * 60_000 + q2 * 180_000) / 2**16) / 240_000
+
+
+def test_time_weighted_avg_edge_cases(spark):
+    """Single-observation keys are absent; NULL values hold a segment
+    whose duration counts but whose value contributes nothing;
+    duplicate timestamps break ties by id (dt=0 segment, harmless)."""
+    import datetime as dt
+
+    import pytest
+
+    from openetlagent_spark.functions.timeseries import time_weighted_avg
+
+    t0 = dt.datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [(1, t0, "solo", 5.0),
+         (10, t0, "n", None), (11, t0 + dt.timedelta(seconds=10), "n", 4.0),
+         (12, t0 + dt.timedelta(seconds=20), "n", 4.0),
+         (20, t0, "dup", 1.0), (21, t0, "dup", 3.0),
+         (22, t0 + dt.timedelta(seconds=10), "dup", 7.0)],
+        "id long, ts timestamp, k string, v double",
+    )
+    out = {r["k"]: r for r in
+           time_weighted_avg(df, key="k", ts_col="ts", value_col="v",
+                             id_col="id").collect()}
+    assert "solo" not in out
+    n = out["n"]  # NULL held 10s (skipped by SUM), 4.0 held 10s
+    assert n["n_segments"] == 2 and n["total_ms"] == 20_000
+    assert n["twa"] == ((4 * 2**16 * 10_000) / 2**16) / 20_000  # diluted by the NULL span
+    d = out["dup"]  # id 20 holds 0ms (tie), id 21 holds 10s
+    assert d["n_segments"] == 2 and d["total_ms"] == 10_000
+    assert d["twa"] == ((3 * 2**16 * 10_000) / 2**16) / 10_000
+    with pytest.raises(ValueError, match="q_bits"):
+        time_weighted_avg(df, key="k", ts_col="ts", value_col="v",
+                          id_col="id", q_bits=31)
