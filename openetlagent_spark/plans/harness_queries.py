@@ -1601,6 +1601,55 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(ev, key="event_type", ts_col="ts", value_col="value")
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (sources/io.py write_bucketed): both
+    sides rewritten hash-bucketed on the join key with the SAME bucket
+    count, so Catalyst sees compatible output partitionings and joins
+    WITHOUT a shuffle on either side — the pre-partitioned lakehouse
+    path that turns the biggest join at 100 TB into a map-side zip
+    (plan-pinned: the only exchange is the 5-row final regroup).
+    Hash-matching a plain join+aggregate oracle over the SOURCE tables
+    proves the bucketed rewrite is lossless.  Table names are
+    per-invocation (pid+uuid): the in-memory catalog is per-session,
+    but the warehouse directory is shared on disk across concurrent
+    harness/bench processes."""
+    import os
+    import uuid
+
+    from ..sources import write_bucketed
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    tag = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    tc, to = f"ela_bjoin_cust_{tag}", f"ela_bjoin_ord_{tag}"
+    write_bucketed(cust, tc, ["c_custkey"], num_buckets=8)
+    write_bucketed(orders, to, ["o_custkey"], num_buckets=8)
+    # hint("merge"): at test SF Catalyst would broadcast the small side
+    # (hiding the mechanism under test); at 100 TB neither side
+    # broadcasts, and THIS is the plan that matters — a sort-merge join
+    # with ZERO exchanges on either input because the bucketed layouts
+    # already satisfy the required distribution (and sortBy satisfies
+    # the ordering).  Plan-pinned in tests/test_plan_shapes.py.
+    joined = spark.table(tc).hint("merge").join(
+        spark.table(to), F.col("c_custkey") == F.col("o_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average over the irregular event series
     (functions/timeseries.py time_weighted_avg — the hypertable
@@ -2654,6 +2703,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "gap_fill": q_gap_fill,
     "time_weighted_avg": q_time_weighted_avg,
+    "bucketed_join": q_bucketed_join,
     "bloom_gate": q_bloom_gate,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
@@ -3682,6 +3732,7 @@ HARNESS_ORACLES["time_weighted_avg"] = _twa_oracle_sql(
     table="events", key="event_type", ts_col="ts", value_col="value",
     id_col="event_id",
 )
+HARNESS_ORACLES["bucketed_join"] = BUCKETED_JOIN_SQL
 HARNESS_ORACLES["bloom_gate"] = _bloom_gate_oracle_sql(
     corpus_sql="SELECT doc_id, text FROM documents",
     eval_sql="SELECT text FROM documents WHERE doc_id % 97 = 0",

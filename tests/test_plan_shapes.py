@@ -632,3 +632,25 @@ def test_classifier_eval_single_scan_no_join(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert physical.count("FileScan parquet") == 1
     assert "Join" not in physical
+
+
+def test_bucketed_join_query_has_no_join_side_exchange(spark):
+    """The harness bucketed_join: a sort-merge join whose inputs need
+    NO exchange (bucketed layouts already satisfy the distribution) —
+    the only shuffle is the 5-row final regroup.  This is the 100 TB
+    plan; broadcast (which would also be exchange-free here) is ruled
+    out by asserting the join really is SMJ."""
+    plan = plan_of(spark, "bucketed_join")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in physical
+    assert count_shuffles(plan) == 1  # groupBy regroup only
+    # both join inputs read the bucketed tables directly
+    assert physical.count("FileScan parquet spark_catalog.default.ela_bjoin") == 2
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """lead window + final aggregate share the key partitioning."""
+    plan = plan_of(spark, "time_weighted_avg")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert count_shuffles(plan) == 1
+    assert "Exchange SinglePartition" not in physical
