@@ -200,6 +200,8 @@ HEADLINE = [
     "heavy_hitters",
     "classifier_eval",
     "embedding_gram",
+    "time_weighted_avg",
+    "bucketed_join",
 ]
 
 

@@ -1631,6 +1631,30 @@ class QuantileSketchOperation(Operation):
 
 
 @dataclass
+class TimeWeightedAvgOperation(Operation):
+    """Time-weighted average per key as a flow op
+    (functions/timeseries.py time_weighted_avg): REPLACES the frame
+    with one row per key that has >= 2 observations — ``key,
+    n_segments, total_ms, twa`` (each value held until the key's next
+    observation; duration-weighted mean)."""
+
+    key_column: str = ""
+    ts_column: str = "ts"
+    value_column: str = "value"
+    id_column: str = ""
+    q_bits: int = 16
+    operation_type: str = "time_weighted_avg"
+
+    def __post_init__(self) -> None:
+        if not self.key_column or not self.id_column:
+            raise SpecError("time_weighted_avg requires key_column and id_column")
+        if not 0 <= self.q_bits <= 30:
+            raise SpecError(
+                f"time_weighted_avg q_bits must be in [0, 30], got {self.q_bits!r}"
+            )
+
+
+@dataclass
 class RollupOperation(Operation):
     """Continuous-aggregate rollup as a flow op (functions/rollup.py):
     REPLACES the frame with one row per (group, time bucket) —
@@ -1829,6 +1853,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "cms_counts": CmsCountsOperation,
     "quantile_sketch": QuantileSketchOperation,
     "rollup_aggregate": RollupOperation,
+    "time_weighted_avg": TimeWeightedAvgOperation,
     "heavy_hitters": HeavyHittersOperation,
     "classifier_eval": ClassifierEvalOperation,
 }

@@ -690,6 +690,22 @@ def apply_quantile_sketch(df: DataFrame, op: "QuantileSketchOperation") -> DataF
     )
 
 
+def apply_time_weighted_avg(
+    df: DataFrame, op: "TimeWeightedAvgOperation"
+) -> DataFrame:
+    from ..functions.timeseries import time_weighted_avg
+
+    require_columns(
+        df,
+        [op.key_column, op.ts_column, op.value_column, op.id_column],
+        "time_weighted_avg",
+    )
+    return time_weighted_avg(
+        df, key=op.key_column, ts_col=op.ts_column, value_col=op.value_column,
+        id_col=op.id_column, q_bits=op.q_bits,
+    )
+
+
 def apply_rollup_aggregate(df: DataFrame, op: "RollupOperation") -> DataFrame:
     from ..functions.rollup import rollup_build, rollup_coarsen, rollup_serve
 

@@ -40,11 +40,13 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     doc_lm_score, running_totals by the six later-session additions
 #     below — every displacement only after the incoming query passed
 #     a local driver-strength exact check on landing).
-# (a') the 6 additions of the round's second session, never
+# (a') the 8 additions of the round's second session, never
 #     driver-checked, each exact-verified on landing AND re-verified
 #     after the session's plan-hardening pass: rollup_store,
 #     rollup_day, spike_buckets, heavy_hitters, classifier_eval,
-#     embedding_gram.
+#     embedding_gram, time_weighted_avg, bucketed_join (the last two
+#     displace the set_intersect/set_except r03 re-checks — both core
+#     set ops pass every local full sweep).
 # Local `scripts/check_oracle.py` runs the full set regardless of
 # order.
 _ROUND8_FRONT = [
@@ -53,16 +55,17 @@ _ROUND8_FRONT = [
     "classifier_file", "qsketch_prefilter", "classifier_train",
     "classifier_warm", "weighted_sample", "kmv_distinct",
     "kmv_set_overlap", "kmv_store", "distill_gate",
-    # never driver-checked (r08 second-session additions, 6)
+    # never driver-checked (r08 second-session additions, 8)
     "rollup_store", "rollup_day", "spike_buckets", "heavy_hitters",
-    "classifier_eval", "embedding_gram",
+    "classifier_eval", "embedding_gram", "time_weighted_avg",
+    "bucketed_join",
     # last hashed r02 (4)
     "equality", "assignation", "concatenation", "comparison",
     # oldest stale: r03 (23)
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q22",
     "grouping_sets", "percentile", "window_moving_avg", "topk_per_group",
-    "approx_distinct", "set_intersect", "set_except", "explode_tokens",
+    "approx_distinct", "explode_tokens",
     "bind_multikey", "session_window", "asof_join", "range_join",
     "rollup",
     # next oldest: r04 (4)

@@ -843,3 +843,23 @@ def test_classifier_eval_flow_op(spark):
     with pytest.raises(SpecError, match="distinct"):
         parse_operation({"operation_type": "classifier_eval",
                          "label_column": "lab", "thresholds": [0.1, 0.1]})
+
+
+def test_time_weighted_avg_flow_op(spark):
+    from openetlagent_spark.functions.timeseries import time_weighted_avg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    op = parse_operation({
+        "operation_type": "time_weighted_avg", "key_column": "event_type",
+        "ts_column": "ts", "value_column": "value", "id_column": "event_id",
+    })
+    got = apply_operations(ev, [op], spark, None)
+    want = time_weighted_avg(ev, key="event_type", ts_col="ts",
+                             value_col="value", id_col="event_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(SpecError, match="requires"):
+        parse_operation({"operation_type": "time_weighted_avg",
+                         "key_column": "event_type"})
+    with pytest.raises(SpecError, match="q_bits"):
+        parse_operation({"operation_type": "time_weighted_avg",
+                         "key_column": "k", "id_column": "i", "q_bits": 31})
