@@ -151,8 +151,16 @@ def time_weighted_avg(
     the output (nothing was held for any duration).
 
     Determinism discipline: timestamps become BIGINT epoch
-    milliseconds (exact), ordering is total (``ts, id``) so ``lead``
-    is deterministic under duplicate timestamps, values quantize to
+    milliseconds (exact; the ntz→epoch conversion uses the session
+    timezone, which the engine pins to UTC — session.py — so the
+    generated mirror holds unconditionally there; a non-UTC session
+    straddling a DST transition would shift segment durations), and
+    ordering is total (``ts, id``) so ``lead`` is deterministic under
+    duplicate timestamps — a NULL id sorts FIRST on both sides
+    (spelled NULLS FIRST in the oracle; two rows sharing BOTH a
+    timestamp and a NULL id have no total order, the same caller
+    responsibility as every window tiebreak in the engine).  Values
+    quantize to
     ``FLOOR(v·2^q_bits)`` BIGINTs, and the accumulator is the integer
     Σ q·dt_ms — order-free — with ``twa = (Σq·dt / 2^q_bits) /
     Σdt`` as two fixed IEEE divisions.  Headroom: |v| < 2^14 and
@@ -216,7 +224,8 @@ WITH __twa_r AS (
          epoch_ms({ts_col}) AS ts_ms,
          CAST(FLOOR({value_col} * {scale!r}) AS BIGINT) AS q,
          lead(epoch_ms({ts_col})) OVER (
-           PARTITION BY {key} ORDER BY epoch_ms({ts_col}) ASC, {id_col} ASC
+           PARTITION BY {key}
+           ORDER BY epoch_ms({ts_col}) ASC, {id_col} ASC NULLS FIRST
          ) - epoch_ms({ts_col}) AS dt
   FROM {table}
   WHERE {key} IS NOT NULL AND {ts_col} IS NOT NULL

@@ -61,7 +61,7 @@ _ROUND8_FRONT = [
     "bucketed_join",
     # last hashed r02 (4)
     "equality", "assignation", "concatenation", "comparison",
-    # oldest stale: r03 (23)
+    # oldest stale: r03 (21)
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q22",
     "grouping_sets", "percentile", "window_moving_avg", "topk_per_group",

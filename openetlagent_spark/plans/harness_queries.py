@@ -1601,6 +1601,12 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(ev, key="event_type", ts_col="ts", value_col="value")
 
 
+# this process's live bucketed-table catalog entries (external tables
+# over scratch data) — previous generations are dropped on the next
+# q_bucketed_join entry so catalog metadata cannot accumulate
+_BJOIN_TABLES: list[str] = []
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join (sources/io.py write_bucketed): both
     sides rewritten hash-bucketed on the join key with the SAME bucket
@@ -1609,21 +1615,30 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     path that turns the biggest join at 100 TB into a map-side zip
     (plan-pinned: the only exchange is the 5-row final regroup).
     Hash-matching a plain join+aggregate oracle over the SOURCE tables
-    proves the bucketed rewrite is lossless.  Table names are
-    per-invocation (pid+uuid): the in-memory catalog is per-session,
-    but the warehouse directory is shared on disk across concurrent
-    harness/bench processes."""
+    proves the bucketed rewrite is lossless.  Lifecycle: the DATA
+    lives as EXTERNAL tables under a _scratch_dir (the shared
+    garbage-collected lifecycle every write-then-read-back query uses
+    — dead-pid cleanup plus bounded own-process generations), never in
+    the shared warehouse; table NAMES are per-invocation (pid+uuid,
+    the in-memory catalog is per-session) and this process's previous
+    catalog entries are dropped on entry (metadata only — external
+    data stays readable for lazily-held prior frames until scratch
+    GC retires it)."""
     import os
     import uuid
 
     from ..sources import write_bucketed
 
+    while _BJOIN_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {_BJOIN_TABLES.pop()}")
+    scratch = _scratch_dir("ela_bjoin", sf_dir)
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     tag = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
     tc, to = f"ela_bjoin_cust_{tag}", f"ela_bjoin_ord_{tag}"
-    write_bucketed(cust, tc, ["c_custkey"], num_buckets=8)
-    write_bucketed(orders, to, ["o_custkey"], num_buckets=8)
+    write_bucketed(cust, tc, ["c_custkey"], num_buckets=8, path=f"{scratch}/cust")
+    write_bucketed(orders, to, ["o_custkey"], num_buckets=8, path=f"{scratch}/ord")
+    _BJOIN_TABLES.extend([tc, to])
     # hint("merge"): at test SF Catalyst would broadcast the small side
     # (hiding the mechanism under test); at 100 TB neither side
     # broadcasts, and THIS is the plan that matters — a sort-merge join

@@ -388,18 +388,30 @@ def write_zorder(
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, bucket_cols: list[str], num_buckets: int = 32
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    *,
+    path: str | None = None,
 ) -> None:
     """Write a bucketed parquet table (hash-bucketed on ``bucket_cols``).
 
     The co-located-join scale path: two tables bucketed on the same key
     with the same bucket count join WITHOUT a shuffle (Catalyst sees the
     compatible output partitioning).  Bucketing requires the table
-    catalog, so this writes via saveAsTable into the session warehouse —
-    on a cluster, that is the metastore-backed lakehouse path."""
-    df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols).sortBy(
-        *bucket_cols
-    ).saveAsTable(table_name)
+    catalog, so this writes via saveAsTable — by default into the
+    session warehouse (on a cluster, the metastore-backed lakehouse
+    path); pass ``path`` to create an EXTERNAL table whose data lives
+    under a caller-managed directory instead (the harness points this
+    at its garbage-collected scratch area so repeated invocations
+    cannot grow the shared warehouse without bound)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    ).sortBy(*bucket_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
 
 
 def _write_json_array(df: DataFrame, path: str) -> None:
