@@ -163,3 +163,43 @@ def test_example_distilled_gate_pipeline(spark, tmp_path):
     assert 0 < kept < n_source  # the learned gate actually separates
     landed = spark.read.parquet(str(tmp_path / "distilled"))
     assert set(landed.columns) == {"doc_id", "lang", "n_chars"}
+
+
+def test_example_hot_hours_and_threshold_tuning(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+
+    flow = load_pipeline_flow(os.path.join(ROOT, "examples/pipelines/hot_hours.yaml"))
+    config.outputs["hot_hours"].path = str(tmp_path / "hot")
+    result, ok, feedback = run_flow(spark, config, flow, "hot_hours", single_file=True)
+    assert ok, feedback
+    rows = result.collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)  # hottest first
+    # spot-check the top bucket against a direct count
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    top = rows[0]
+    direct = (
+        ev.where("ts IS NOT NULL AND event_type IS NOT NULL")
+        .where(F.col("event_type") == top.event_type)
+        .where(F.floor(F.col("ts").cast("timestamp").cast("double") / 3600.0)
+               .cast("long") == top.bucket_idx)
+        .count()
+    )
+    assert top.n_rows == direct
+
+    flow2 = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/threshold_tuning.yaml")
+    )
+    config.outputs["threshold_tuning"].path = str(tmp_path / "tt")
+    result2, ok2, feedback2 = run_flow(
+        spark, config, flow2, "threshold_tuning", single_file=True
+    )
+    assert ok2, feedback2
+    sweep = {r.thr: r for r in result2.collect()}
+    assert len(sweep) == 5
+    for r in sweep.values():
+        assert r.tp + r.fp + r.fn + r.tn == r.n
+    # recall is monotonically non-increasing as the threshold rises
+    recalls = [sweep[t].recall for t in sorted(sweep)]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]) if a is not None and b is not None)
