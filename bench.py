@@ -202,6 +202,7 @@ HEADLINE = [
     "embedding_gram",
     "time_weighted_avg",
     "bucketed_join",
+    "row_expectations",
 ]
 
 

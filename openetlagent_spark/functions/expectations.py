@@ -1,0 +1,269 @@
+"""Row-level data-quality EXPECTATIONS — the Great-Expectations-shaped
+assertion battery the engine's schema validation (validate.py — types
+and presence only) stops short of: declare per-column rules, get back
+per-rule violation counts (audit), per-row flags (quarantine routing),
+or a loud failure (circuit breaker).
+
+Rule vocabulary (one dict per rule):
+
+- ``{"column": c, "check": "not_null"}`` — violation: value IS NULL;
+- ``{"column": c, "check": "min", "value": v}`` — violation: < v
+  (NULL is NOT a violation here — that is not_null's job; SQL
+  three-valued comparison semantics, identical in both engines);
+- ``{"column": c, "check": "max", "value": v}`` — violation: > v;
+- ``{"column": c, "check": "in_set", "values": [...]}`` — violation:
+  a NON-NULL value outside the set;
+- ``{"column": c, "check": "regex", "pattern": p}`` — violation: a
+  non-null value NOT matching; keep patterns in the Java/RE2 shared
+  subset (no lookaround) — the repo's cross-engine regex rule;
+- ``{"column": c, "check": "unique"}`` — violations: the surplus
+  duplicate rows, ``COUNT(c) - COUNT(DISTINCT c)`` (NULLs ignored,
+  SQL UNIQUE semantics).  Aggregate-shaped, so it appears in the
+  summary but not in per-row annotation.
+
+Exactness discipline: every count is a conditional INTEGER sum
+(order-free), the rate is one guarded IEEE division, and the summary
+is ONE global aggregate — map-side partial aggregation reduces the
+corpus to a single row of counters per partition before the 1-row
+final exchange, then the per-rule rows explode OUT of that single row
+(no per-rule scans, no joins).  The DuckDB oracle is generated from
+the same rule list so the two cannot drift.
+
+Scale: one scan, one 1-row exchange, regardless of rule count;
+``annotate`` is a pure projection (zero shuffle); ``enforce`` is the
+same projection with a raise_error branch — the strict-cast contract
+(fails at materialization, names the rule and the value).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PER_ROW_CHECKS = ("not_null", "min", "max", "in_set", "regex")
+AGG_CHECKS = ("unique",)
+
+
+def _rule_id(rule: dict, i: int) -> str:
+    return f"{rule['column']}:{rule['check']}"
+
+
+def _sql_lit(v: Any) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, float):
+        # exact dyadic-grid encoding lives in classifier._enc_double;
+        # expectations thresholds are user-chosen constants, so route
+        # through the same encoder for bit-stable literals
+        from .classifier import _enc_double
+
+        return _enc_double(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def validate_rules(rules: list[dict]) -> list[dict]:
+    """Normalize + validate the rule list (shared by the library entry
+    points, the flow op, and the oracle generator)."""
+    if not rules:
+        raise ValueError("expectations: at least one rule is required")
+    out = []
+    seen = set()
+    for i, r in enumerate(rules):
+        if not isinstance(r, dict) or "column" not in r or "check" not in r:
+            raise ValueError(
+                f"expectations rule #{i} must be a dict with column and check, "
+                f"got {r!r}"
+            )
+        check = r["check"]
+        if check not in PER_ROW_CHECKS + AGG_CHECKS:
+            raise ValueError(
+                f"expectations rule #{i}: unknown check {check!r} "
+                f"(valid: {sorted(PER_ROW_CHECKS + AGG_CHECKS)})"
+            )
+        if check in ("min", "max") and "value" not in r:
+            raise ValueError(f"expectations rule #{i}: {check} needs 'value'")
+        if check == "in_set" and not r.get("values"):
+            raise ValueError(f"expectations rule #{i}: in_set needs 'values'")
+        if check == "regex" and not r.get("pattern"):
+            raise ValueError(f"expectations rule #{i}: regex needs 'pattern'")
+        rid = _rule_id(r, i)
+        if rid in seen:
+            raise ValueError(f"expectations: duplicate rule {rid!r}")
+        seen.add(rid)
+        out.append(dict(r))
+    return out
+
+
+def _violation_expr(rule: dict) -> Column:
+    """Per-row violation predicate (TRUE = violated, FALSE/NULL = ok;
+    conditional sums count only TRUE, matching the oracle's CASE)."""
+    c = F.col(rule["column"])
+    check = rule["check"]
+    if check == "not_null":
+        return c.isNull()
+    if check == "min":
+        return c < F.lit(rule["value"])
+    if check == "max":
+        return c > F.lit(rule["value"])
+    if check == "in_set":
+        return ~c.isin(list(rule["values"]))
+    # regex
+    return ~c.rlike(str(rule["pattern"]))
+
+
+def _violation_sql(rule: dict) -> str:
+    col, check = rule["column"], rule["check"]
+    if check == "not_null":
+        return f"{col} IS NULL"
+    if check == "min":
+        return f"{col} < {_sql_lit(rule['value'])}"
+    if check == "max":
+        return f"{col} > {_sql_lit(rule['value'])}"
+    if check == "in_set":
+        vals = ", ".join(_sql_lit(v) for v in rule["values"])
+        return f"NOT ({col} IN ({vals}))"
+    return f"NOT regexp_matches(CAST({col} AS VARCHAR), {_sql_lit(rule['pattern'])})"
+
+
+def expectations_summary(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Per-rule audit: ``(rule string, n_rows, n_violations bigint,
+    violation_rate double)`` — one scan, one 1-row exchange, the
+    per-rule rows exploded out of the single counter row."""
+    rules = validate_rules(rules)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n__")]
+    for i, r in enumerate(rules):
+        if r["check"] == "unique":
+            col = r["column"]
+            aggs.append(
+                (F.count(F.col(col)) - F.countDistinct(F.col(col)))
+                .cast("long")
+                .alias(f"__v{i}__")
+            )
+        else:
+            # coalesce: SUM over an EMPTY frame is NULL in both
+            # engines; an empty input has zero violations, not unknown
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(_violation_expr(r), 1).otherwise(0)), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"__v{i}__")
+            )
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(_rule_id(r, i)).alias("rule"),
+                F.col(f"__v{i}__").alias("n_violations"),
+            )
+            for i, r in enumerate(rules)
+        ]
+    )
+    exploded = one.select(F.col("__n__"), F.explode(pairs).alias("p"))
+    rate = F.when(
+        F.col("__n__") > 0,
+        F.col("p.n_violations").cast("double") / F.col("__n__").cast("double"),
+    )
+    return exploded.select(
+        F.col("p.rule").alias("rule"),
+        F.col("__n__").alias("n_rows"),
+        F.col("p.n_violations").alias("n_violations"),
+        rate.alias("violation_rate"),
+    )
+
+
+def expectations_annotate(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Per-row quarantine flags: adds one boolean ``ok_<column>_<check>``
+    per PER-ROW rule (TRUE = passes; aggregate-shaped rules like
+    ``unique`` have no per-row meaning and are rejected) plus the
+    conjunctive ``expect_pass``.  Pure projection — zero shuffle."""
+    rules = validate_rules(rules)
+    aggish = [r for r in rules if r["check"] in AGG_CHECKS]
+    if aggish:
+        raise ValueError(
+            "expectations_annotate: aggregate-shaped rules have no per-row "
+            f"flag: {[_rule_id(r, 0) for r in aggish]} (use the summary)"
+        )
+    out = df
+    flags = []
+    for i, r in enumerate(rules):
+        name = f"ok_{r['column']}_{r['check']}"
+        if name in df.columns:
+            raise ValueError(f"expectations_annotate: column {name!r} exists")
+        # violation TRUE -> not ok; violation NULL (e.g. NULL under a
+        # range rule) -> ok (not_null is the rule that owns NULLs)
+        flag = ~F.coalesce(_violation_expr(r), F.lit(False))
+        out = out.withColumn(name, flag)
+        flags.append(F.col(name))
+    conj = flags[0]
+    for f in flags[1:]:
+        conj = conj & f
+    return out.withColumn("expect_pass", conj)
+
+
+def expectations_enforce(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Circuit breaker: the frame passes through untouched unless some
+    row violates a per-row rule — then materialization FAILS with an
+    error naming the rule and the offending value (the strict-cast
+    contract; like casting, the raise lives in the projection, so it
+    fires when the column is actually computed)."""
+    rules = validate_rules(rules)
+    aggish = [r for r in rules if r["check"] in AGG_CHECKS]
+    if aggish:
+        raise ValueError(
+            "expectations_enforce: aggregate-shaped rules cannot gate rows: "
+            f"{[_rule_id(r, 0) for r in aggish]} (use the summary)"
+        )
+    expr = None
+    for i, r in enumerate(rules):
+        v = F.coalesce(_violation_expr(r), F.lit(False))
+        err = F.raise_error(
+            F.concat(
+                F.lit(f"expectation violated: {_rule_id(r, i)} on value "),
+                F.coalesce(F.col(r["column"]).cast("string"), F.lit("NULL")),
+            )
+        )
+        expr = F.when(v, err) if expr is None else expr.when(v, err)
+    # the guard stays a VISIBLE output column (constant 0 on clean
+    # data) so column pruning cannot drop it before it runs — the same
+    # observability caveat as strict casts: it fires when materialized
+    return df.withColumn("expect_checked", expr.otherwise(F.lit(0)))
+
+
+def expectations_oracle_sql(*, table: str, rules: list[dict]) -> str:
+    """DuckDB mirror of :func:`expectations_summary`, generated from
+    the same rule list: one aggregate row, unpivoted by UNION ALL."""
+    rules = validate_rules(rules)
+    counters = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i, r in enumerate(rules):
+        if r["check"] == "unique":
+            col = r["column"]
+            counters.append(
+                f"CAST(COUNT({col}) - COUNT(DISTINCT {col}) AS BIGINT) AS v{i}"
+            )
+        else:
+            counters.append(
+                f"CAST(COALESCE(SUM(CASE WHEN {_violation_sql(r)} THEN 1 ELSE 0 "
+                f"END), 0) AS BIGINT) AS v{i}"
+            )
+    arms = []
+    for i, r in enumerate(rules):
+        rid = _sql_lit(_rule_id(r, i))
+        arms.append(
+            f"SELECT {rid} AS rule, n AS n_rows, v{i} AS n_violations,\n"
+            f"       CASE WHEN n > 0 THEN CAST(v{i} AS DOUBLE) / CAST(n AS DOUBLE) END"
+            f" AS violation_rate FROM __ex_c"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH __ex_c AS MATERIALIZED (
+  SELECT {", ".join(counters)}
+  FROM {table}
+)
+{body}
+"""

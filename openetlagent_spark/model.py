@@ -1631,6 +1631,37 @@ class QuantileSketchOperation(Operation):
 
 
 @dataclass
+class ExpectationsOperation(Operation):
+    """Row-level data-quality expectations as a flow op
+    (functions/expectations.py).  ``mode``:
+    - ``summary`` (default): REPLACES the frame with one row per rule
+      (``rule, n_rows, n_violations, violation_rate``);
+    - ``annotate``: adds per-rule ``ok_<column>_<check>`` booleans and
+      the conjunctive ``expect_pass`` (per-row rules only);
+    - ``filter``: keeps only rows passing every per-row rule;
+    - ``enforce``: frame passes through with an ``expect_checked``
+      guard column; materialization FAILS loudly on the first
+      violating row (the strict-cast contract)."""
+
+    rules: list[dict] = field(default_factory=list)
+    mode: str = "summary"
+    operation_type: str = "expectations"
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("summary", "annotate", "filter", "enforce"):
+            raise SpecError(
+                f"expectations mode must be summary/annotate/filter/enforce, "
+                f"got {self.mode!r}"
+            )
+        from .functions.expectations import validate_rules
+
+        try:
+            validate_rules(self.rules)
+        except ValueError as exc:
+            raise SpecError(str(exc)) from exc
+
+
+@dataclass
 class TimeWeightedAvgOperation(Operation):
     """Time-weighted average per key as a flow op
     (functions/timeseries.py time_weighted_avg): REPLACES the frame
@@ -1854,6 +1885,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "quantile_sketch": QuantileSketchOperation,
     "rollup_aggregate": RollupOperation,
     "time_weighted_avg": TimeWeightedAvgOperation,
+    "expectations": ExpectationsOperation,
     "heavy_hitters": HeavyHittersOperation,
     "classifier_eval": ClassifierEvalOperation,
 }

@@ -690,6 +690,26 @@ def apply_quantile_sketch(df: DataFrame, op: "QuantileSketchOperation") -> DataF
     )
 
 
+def apply_expectations(df: DataFrame, op: "ExpectationsOperation") -> DataFrame:
+    from ..functions.expectations import (
+        expectations_annotate,
+        expectations_enforce,
+        expectations_summary,
+    )
+
+    require_columns(df, sorted({r["column"] for r in op.rules}), "expectations")
+    if op.mode == "summary":
+        return expectations_summary(df, list(op.rules))
+    if op.mode == "enforce":
+        return expectations_enforce(df, list(op.rules))
+    annotated = expectations_annotate(df, list(op.rules))
+    if op.mode == "annotate":
+        return annotated
+    # filter: quarantine routing — keep passing rows, original columns
+    added = [c for c in annotated.columns if c not in df.columns]
+    return annotated.filter(F.col("expect_pass")).drop(*added)
+
+
 def apply_time_weighted_avg(
     df: DataFrame, op: "TimeWeightedAvgOperation"
 ) -> DataFrame:

@@ -1601,6 +1601,40 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(ev, key="event_type", ts_col="ts", value_col="value")
 
 
+# row-expectations rule battery over orders: every check shape once —
+# shared between the query and its generated oracle so they cannot
+# drift (the 400k max threshold genuinely fires: ~20% of orders)
+_EXPECT_RULES = [
+    {"column": "o_custkey", "check": "not_null"},
+    {"column": "o_totalprice", "check": "min", "value": 0.0},
+    {"column": "o_totalprice", "check": "max", "value": 400000.0},
+    {"column": "o_orderstatus", "check": "in_set", "values": ["O", "F", "P"]},
+    {"column": "o_orderpriority", "check": "regex", "pattern": "^[1-5]-"},
+    {"column": "o_orderkey", "check": "unique"},
+]
+
+
+def q_row_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-quality audit (functions/expectations.py — the
+    Great-Expectations-shaped battery the schema validator stops short
+    of): per declared rule, the violation count and rate over orders.
+    One scan, ONE 1-row exchange regardless of rule count — map-side
+    partial aggregation reduces the corpus to a counter row per
+    partition, and the per-rule output rows explode out of the single
+    global row (no per-rule scans, no joins).  Integer conditional
+    sums; the rate is one guarded IEEE division."""
+    from ..functions.expectations import expectations_summary
+
+    orders = _t(spark, sf_dir, "orders")
+    return expectations_summary(orders, _EXPECT_RULES)
+
+
+def _row_expectations_oracle() -> str:
+    from ..functions.expectations import expectations_oracle_sql
+
+    return expectations_oracle_sql(table="orders", rules=_EXPECT_RULES)
+
+
 # this process's live bucketed-table catalog entries (external tables
 # over scratch data) — previous generations are dropped on the next
 # q_bucketed_join entry so catalog metadata cannot accumulate
@@ -2719,6 +2753,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill": q_gap_fill,
     "time_weighted_avg": q_time_weighted_avg,
     "bucketed_join": q_bucketed_join,
+    "row_expectations": q_row_expectations,
     "bloom_gate": q_bloom_gate,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
@@ -3748,6 +3783,7 @@ HARNESS_ORACLES["time_weighted_avg"] = _twa_oracle_sql(
     id_col="event_id",
 )
 HARNESS_ORACLES["bucketed_join"] = BUCKETED_JOIN_SQL
+HARNESS_ORACLES["row_expectations"] = _row_expectations_oracle()
 HARNESS_ORACLES["bloom_gate"] = _bloom_gate_oracle_sql(
     corpus_sql="SELECT doc_id, text FROM documents",
     eval_sql="SELECT text FROM documents WHERE doc_id % 97 = 0",
