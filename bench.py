@@ -203,6 +203,7 @@ HEADLINE = [
     "time_weighted_avg",
     "bucketed_join",
     "row_expectations",
+    "sql_transform",
 ]
 
 

@@ -14,6 +14,8 @@ shape so flows can mix parity ops and extensions freely.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -1631,6 +1633,36 @@ class QuantileSketchOperation(Operation):
 
 
 @dataclass
+class SqlTransformOperation(Operation):
+    """Ad-hoc Spark SQL over the CURRENT frame — the declarative
+    escape hatch for anything the op vocabulary lacks: the frame is
+    registered as the temp view named by ``view`` (default ``frame``),
+    ``statement`` runs against it, and its result REPLACES the frame.
+    Catalyst treats the statement like any other plan fragment
+    (pushdown/pruning/codegen compose across the boundary).  The
+    statement must be a single SELECT/WITH query — DDL/DML is
+    rejected at parse time (a pipeline op must not mutate catalogs)."""
+
+    statement: str = ""
+    view: str = "frame"
+    operation_type: str = "sql_transform"
+
+    def __post_init__(self) -> None:
+        if not self.statement or not self.statement.strip():
+            raise SpecError("sql_transform requires a statement")
+        head = self.statement.strip().split(None, 1)[0].upper()
+        if head not in ("SELECT", "WITH"):
+            raise SpecError(
+                "sql_transform statement must be a single SELECT/WITH query, "
+                f"got leading keyword {head!r}"
+            )
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", self.view):
+            raise SpecError(
+                f"sql_transform view must be a bare identifier, got {self.view!r}"
+            )
+
+
+@dataclass
 class ExpectationsOperation(Operation):
     """Row-level data-quality expectations as a flow op
     (functions/expectations.py).  ``mode``:
@@ -1886,6 +1918,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "rollup_aggregate": RollupOperation,
     "time_weighted_avg": TimeWeightedAvgOperation,
     "expectations": ExpectationsOperation,
+    "sql_transform": SqlTransformOperation,
     "heavy_hitters": HeavyHittersOperation,
     "classifier_eval": ClassifierEvalOperation,
 }

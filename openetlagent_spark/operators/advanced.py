@@ -690,6 +690,20 @@ def apply_quantile_sketch(df: DataFrame, op: "QuantileSketchOperation") -> DataF
     )
 
 
+def apply_sql_transform(df: DataFrame, op: "SqlTransformOperation") -> DataFrame:
+    """Register the frame under the spec's view name, run the SELECT,
+    return its (lazy) result.  spark.sql ANALYZES eagerly — the view
+    resolves into the plan at this call — so the temp view is dropped
+    immediately afterwards and cannot leak across ops or collide with
+    a later sql_transform in the same session."""
+    spark = df.sparkSession
+    df.createOrReplaceTempView(op.view)
+    try:
+        return spark.sql(op.statement)
+    finally:
+        spark.catalog.dropTempView(op.view)
+
+
 def apply_expectations(df: DataFrame, op: "ExpectationsOperation") -> DataFrame:
     from ..functions.expectations import (
         expectations_annotate,

@@ -1601,6 +1601,44 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(ev, key="event_type", ts_col="ts", value_col="value")
 
 
+# sql_transform round-trip: ONE statement template instantiated for
+# both engines (view name vs table name), so the op's SQL and the
+# oracle cannot drift — integer/extremum aggregates only (no FP sums,
+# which would need the engine-specific decimal routing)
+_SQLT_TEMPLATE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v
+FROM {table}
+WHERE value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc SQL escape hatch (operators/advanced.py
+    apply_sql_transform): the current frame registers as a temp view,
+    a single SELECT replaces it, and Catalyst composes
+    pushdown/pruning/codegen across the boundary like any native op.
+    The oracle is the SAME statement template instantiated against
+    DuckDB's table name — shared-dialect aggregates only, so the two
+    sides are one string."""
+    from ..model import parse_operation
+    from ..operators import apply_sql_transform
+
+    ev = _t(spark, sf_dir, "events")
+    op = parse_operation({
+        "operation_type": "sql_transform",
+        "statement": _SQLT_TEMPLATE.format(table="frame"),
+    })
+    return apply_sql_transform(ev, op)
+
+
+SQL_TRANSFORM_SQL = _SQLT_TEMPLATE.format(table="events")
+
+
 # row-expectations rule battery over orders: every check shape once —
 # shared between the query and its generated oracle so they cannot
 # drift (the 400k max threshold genuinely fires: ~20% of orders)
@@ -2754,6 +2792,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_weighted_avg": q_time_weighted_avg,
     "bucketed_join": q_bucketed_join,
     "row_expectations": q_row_expectations,
+    "sql_transform": q_sql_transform,
     "bloom_gate": q_bloom_gate,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
@@ -3784,6 +3823,7 @@ HARNESS_ORACLES["time_weighted_avg"] = _twa_oracle_sql(
 )
 HARNESS_ORACLES["bucketed_join"] = BUCKETED_JOIN_SQL
 HARNESS_ORACLES["row_expectations"] = _row_expectations_oracle()
+HARNESS_ORACLES["sql_transform"] = SQL_TRANSFORM_SQL
 HARNESS_ORACLES["bloom_gate"] = _bloom_gate_oracle_sql(
     corpus_sql="SELECT doc_id, text FROM documents",
     eval_sql="SELECT text FROM documents WHERE doc_id % 97 = 0",

@@ -863,3 +863,35 @@ def test_time_weighted_avg_flow_op(spark):
     with pytest.raises(SpecError, match="q_bits"):
         parse_operation({"operation_type": "time_weighted_avg",
                          "key_column": "k", "id_column": "i", "q_bits": 31})
+
+
+def test_sql_transform_flow_op(spark):
+    """sql_transform: SELECT over the registered frame view; the view
+    is dropped after analysis (no leak, no collision); DDL and bad
+    view names are rejected at parse time."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    op = parse_operation({
+        "operation_type": "sql_transform",
+        "statement": "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+                     "FROM frame GROUP BY event_type",
+    })
+    got = {r["event_type"]: r["n"] for r in apply_operations(ev, [op], spark, None).collect()}
+    want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert got == want
+    # the temp view does not survive the op
+    assert not any(t.name == "frame" for t in spark.catalog.listTables())
+    # chaining two sql_transforms reuses the default view name safely
+    op2 = parse_operation({
+        "operation_type": "sql_transform",
+        "statement": "SELECT SUM(n) AS total FROM frame",
+    })
+    total = apply_operations(ev, [op, op2], spark, None).collect()[0]["total"]
+    assert total == ev.count()
+    with pytest.raises(SpecError, match="SELECT/WITH"):
+        parse_operation({"operation_type": "sql_transform",
+                         "statement": "DROP TABLE events"})
+    with pytest.raises(SpecError, match="identifier"):
+        parse_operation({"operation_type": "sql_transform",
+                         "statement": "SELECT 1", "view": "a.b"})
+    with pytest.raises(SpecError, match="requires a statement"):
+        parse_operation({"operation_type": "sql_transform", "statement": "  "})
