@@ -26,10 +26,14 @@ Exactness discipline: every count is a conditional INTEGER sum
 is ONE global aggregate — map-side partial aggregation reduces the
 corpus to a single row of counters per partition before the 1-row
 final exchange, then the per-rule rows explode OUT of that single row
-(no per-rule scans, no joins).  The DuckDB oracle is generated from
+(no per-rule scans, no joins).  Each ``unique`` rule adds one
+distinct-key exchange for its COUNT(DISTINCT) — the one rule shape
+whose state is a key set, not a counter.  The DuckDB oracle is generated from
 the same rule list so the two cannot drift.
 
-Scale: one scan, one 1-row exchange, regardless of rule count;
+Scale: one scan and one 1-row exchange regardless of how many
+per-row rules there are (plus one distinct-key exchange per ``unique``
+rule);
 ``annotate`` is a pure projection (zero shuffle); ``enforce`` is the
 same projection with a raise_error branch — the strict-cast contract
 (fails at materialization, names the rule and the value).
@@ -46,7 +50,7 @@ PER_ROW_CHECKS = ("not_null", "min", "max", "in_set", "regex")
 AGG_CHECKS = ("unique",)
 
 
-def _rule_id(rule: dict, i: int) -> str:
+def _rule_base_id(rule: dict) -> str:
     return f"{rule['column']}:{rule['check']}"
 
 
@@ -72,7 +76,8 @@ def validate_rules(rules: list[dict]) -> list[dict]:
     if not rules:
         raise ValueError("expectations: at least one rule is required")
     out = []
-    seen = set()
+    seen_content = set()
+    id_counts: dict[str, int] = {}
     for i, r in enumerate(rules):
         if not isinstance(r, dict) or "column" not in r or "check" not in r:
             raise ValueError(
@@ -91,11 +96,25 @@ def validate_rules(rules: list[dict]) -> list[dict]:
             raise ValueError(f"expectations rule #{i}: in_set needs 'values'")
         if check == "regex" and not r.get("pattern"):
             raise ValueError(f"expectations rule #{i}: regex needs 'pattern'")
-        rid = _rule_id(r, i)
-        if rid in seen:
-            raise ValueError(f"expectations: duplicate rule {rid!r}")
-        seen.add(rid)
-        out.append(dict(r))
+        # duplicates are judged on CONTENT (two different regexes on
+        # one column are two legitimate constraints); the display id
+        # stays short, disambiguated with #k on repeats
+        content = (
+            r["column"], check, repr(r.get("value")),
+            repr(list(r.get("values", []))), repr(r.get("pattern")),
+        )
+        if content in seen_content:
+            raise ValueError(
+                f"expectations: duplicate rule {_rule_base_id(r)!r} "
+                "(identical column, check, and parameters)"
+            )
+        seen_content.add(content)
+        base = _rule_base_id(r)
+        id_counts[base] = id_counts.get(base, 0) + 1
+        rid = base if id_counts[base] == 1 else f"{base}#{id_counts[base]}"
+        rr = dict(r)
+        rr["_id"] = rid
+        out.append(rr)
     return out
 
 
@@ -132,8 +151,10 @@ def _violation_sql(rule: dict) -> str:
 
 def expectations_summary(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Per-rule audit: ``(rule string, n_rows, n_violations bigint,
-    violation_rate double)`` — one scan, one 1-row exchange, the
-    per-rule rows exploded out of the single counter row."""
+    violation_rate double)`` — one scan; one 1-row exchange carries
+    every per-row counter, each ``unique`` rule adds one distinct-key
+    exchange; the per-rule rows explode out of the single counter
+    row."""
     rules = validate_rules(rules)
     aggs = [F.count(F.lit(1)).cast("long").alias("__n__")]
     for i, r in enumerate(rules):
@@ -158,7 +179,7 @@ def expectations_summary(df: DataFrame, rules: list[dict]) -> DataFrame:
     pairs = F.array(
         *[
             F.struct(
-                F.lit(_rule_id(r, i)).alias("rule"),
+                F.lit(r["_id"]).alias("rule"),
                 F.col(f"__v{i}__").alias("n_violations"),
             )
             for i, r in enumerate(rules)
@@ -187,23 +208,35 @@ def expectations_annotate(df: DataFrame, rules: list[dict]) -> DataFrame:
     if aggish:
         raise ValueError(
             "expectations_annotate: aggregate-shaped rules have no per-row "
-            f"flag: {[_rule_id(r, 0) for r in aggish]} (use the summary)"
+            f"flag: {[r['_id'] for r in aggish]} (use the summary)"
         )
-    out = df
-    flags = []
-    for i, r in enumerate(rules):
+    named = []
+    used = set()
+    for r in rules:
         name = f"ok_{r['column']}_{r['check']}"
-        if name in df.columns:
+        if name in used:  # second rule of the same shape on a column
+            name = f"ok_{r['_id'].replace(':', '_').replace('#', '_')}"
+        if name in df.columns or name in used:
             raise ValueError(f"expectations_annotate: column {name!r} exists")
-        # violation TRUE -> not ok; violation NULL (e.g. NULL under a
-        # range rule) -> ok (not_null is the rule that owns NULLs)
-        flag = ~F.coalesce(_violation_expr(r), F.lit(False))
-        out = out.withColumn(name, flag)
-        flags.append(F.col(name))
-    conj = flags[0]
-    for f in flags[1:]:
-        conj = conj & f
-    return out.withColumn("expect_pass", conj)
+        used.add(name)
+        named.append((name, r))
+    if "expect_pass" in df.columns:
+        raise ValueError(
+            "expectations_annotate: column 'expect_pass' exists; rename it first"
+        )
+    # violation TRUE -> not ok; violation NULL (e.g. NULL under a
+    # range rule) -> ok (not_null is the rule that owns NULLs); ONE
+    # select adds every flag in a single analyzer pass (a withColumn
+    # chain re-analyzes the growing plan per rule)
+    flags = {n: ~F.coalesce(_violation_expr(r), F.lit(False)) for n, r in named}
+    conj = None
+    for n in flags:
+        conj = flags[n] if conj is None else conj & flags[n]
+    return df.select(
+        "*",
+        *[flags[n].alias(n) for n in flags],
+        conj.alias("expect_pass"),
+    )
 
 
 def expectations_enforce(df: DataFrame, rules: list[dict]) -> DataFrame:
@@ -217,14 +250,18 @@ def expectations_enforce(df: DataFrame, rules: list[dict]) -> DataFrame:
     if aggish:
         raise ValueError(
             "expectations_enforce: aggregate-shaped rules cannot gate rows: "
-            f"{[_rule_id(r, 0) for r in aggish]} (use the summary)"
+            f"{[r['_id'] for r in aggish]} (use the summary)"
+        )
+    if "expect_checked" in df.columns:
+        raise ValueError(
+            "expectations_enforce: column 'expect_checked' exists; rename it first"
         )
     expr = None
-    for i, r in enumerate(rules):
+    for r in rules:
         v = F.coalesce(_violation_expr(r), F.lit(False))
         err = F.raise_error(
             F.concat(
-                F.lit(f"expectation violated: {_rule_id(r, i)} on value "),
+                F.lit(f"expectation violated: {r['_id']} on value "),
                 F.coalesce(F.col(r["column"]).cast("string"), F.lit("NULL")),
             )
         )
@@ -253,7 +290,7 @@ def expectations_oracle_sql(*, table: str, rules: list[dict]) -> str:
             )
     arms = []
     for i, r in enumerate(rules):
-        rid = _sql_lit(_rule_id(r, i))
+        rid = _sql_lit(r["_id"])
         arms.append(
             f"SELECT {rid} AS rule, n AS n_rows, v{i} AS n_violations,\n"
             f"       CASE WHEN n > 0 THEN CAST(v{i} AS DOUBLE) / CAST(n AS DOUBLE) END"

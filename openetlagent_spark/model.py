@@ -1650,11 +1650,15 @@ class SqlTransformOperation(Operation):
     def __post_init__(self) -> None:
         if not self.statement or not self.statement.strip():
             raise SpecError("sql_transform requires a statement")
-        head = self.statement.strip().split(None, 1)[0].upper()
-        if head not in ("SELECT", "WITH"):
+        # fast parse-time sanity check (comments stripped, leading
+        # parens allowed); the AUTHORITATIVE DML/DDL guard walks the
+        # parsed logical plan at apply time — a leading-keyword test
+        # alone is bypassable (WITH x AS (...) INSERT INTO ...)
+        body = re.sub(r"/\*.*?\*/", " ", self.statement, flags=re.S)
+        body = re.sub(r"--[^\n]*", " ", body)
+        if not re.match(r"\s*\(*\s*(SELECT|WITH)\b", body, flags=re.I):
             raise SpecError(
-                "sql_transform statement must be a single SELECT/WITH query, "
-                f"got leading keyword {head!r}"
+                "sql_transform statement must be a single SELECT/WITH query"
             )
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", self.view):
             raise SpecError(
@@ -1685,12 +1689,23 @@ class ExpectationsOperation(Operation):
                 f"expectations mode must be summary/annotate/filter/enforce, "
                 f"got {self.mode!r}"
             )
-        from .functions.expectations import validate_rules
+        from .functions.expectations import AGG_CHECKS, validate_rules
 
         try:
             validate_rules(self.rules)
         except ValueError as exc:
             raise SpecError(str(exc)) from exc
+        if self.mode != "summary":
+            aggish = [
+                f"{r['column']}:{r['check']}"
+                for r in self.rules
+                if isinstance(r, dict) and r.get("check") in AGG_CHECKS
+            ]
+            if aggish:
+                raise SpecError(
+                    f"expectations mode={self.mode!r} needs per-row rules only; "
+                    f"aggregate-shaped rules {aggish} work in mode='summary'"
+                )
 
 
 @dataclass

@@ -694,9 +694,51 @@ def apply_sql_transform(df: DataFrame, op: "SqlTransformOperation") -> DataFrame
     """Register the frame under the spec's view name, run the SELECT,
     return its (lazy) result.  spark.sql ANALYZES eagerly — the view
     resolves into the plan at this call — so the temp view is dropped
-    immediately afterwards and cannot leak across ops or collide with
-    a later sql_transform in the same session."""
+    immediately afterwards and cannot leak across sequential ops.
+
+    Two loud guards before anything runs:
+    - a temp view already registered under the op's name is NEVER
+      clobbered (createOrReplaceTempView would replace it and the
+      cleanup would then DROP the user's view) — rename one side;
+    - the statement's PARSED plan is walked for Command/DML nodes
+      (DeleteFromTable, InsertIntoStatement, CreateTable, SetCommand,
+      ...) — the parse-time leading-keyword check alone is bypassable
+      via ``WITH x AS (...) INSERT INTO ...``, and spark.sql would
+      EXECUTE such a statement eagerly, mutating catalogs from inside
+      a pipeline op."""
     spark = df.sparkSession
+    if any(
+        t.name == op.view and t.isTemporary for t in spark.catalog.listTables()
+    ):
+        raise ValueError(
+            f"sql_transform: a temp view named {op.view!r} already exists in "
+            "this session; pick a different view name instead of clobbering it"
+        )
+    jvm = spark._jvm
+    parsed = spark._jsparkSession.sessionState().sqlParser().parsePlan(op.statement)
+    command_cls = jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command"
+    )
+    parsed_stmt_cls = jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement"
+    )
+
+    def _walk(node):
+        yield node
+        it = node.children().iterator()
+        while it.hasNext():
+            yield from _walk(it.next())
+
+    bad = [
+        n.getClass().getSimpleName()
+        for n in _walk(parsed)
+        if command_cls.isInstance(n) or parsed_stmt_cls.isInstance(n)
+    ]
+    if bad:
+        raise ValueError(
+            f"sql_transform statement contains non-query nodes {bad}; only "
+            "a single SELECT/WITH query may run inside a pipeline op"
+        )
     df.createOrReplaceTempView(op.view)
     try:
         return spark.sql(op.statement)

@@ -895,3 +895,27 @@ def test_sql_transform_flow_op(spark):
                          "statement": "SELECT 1", "view": "a.b"})
     with pytest.raises(SpecError, match="requires a statement"):
         parse_operation({"operation_type": "sql_transform", "statement": "  "})
+
+
+def test_sql_transform_guards(spark):
+    """WITH-prefixed DML is caught by the parsed-plan walk; an existing
+    temp view is never clobbered; comment/parenthesized SELECTs parse."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(10)
+    dml = parse_operation({
+        "operation_type": "sql_transform",
+        "statement": "WITH x AS (SELECT 1 AS a) "
+                     "INSERT INTO some_table SELECT * FROM x",
+    })  # passes the fast keyword check on purpose
+    with pytest.raises(ValueError, match="non-query nodes"):
+        apply_operations(ev, [dml], spark, None)
+    ok = parse_operation({
+        "operation_type": "sql_transform",
+        "statement": "-- count\n(SELECT CAST(COUNT(*) AS BIGINT) AS n FROM frame)",
+    })
+    assert apply_operations(ev, [ok], spark, None).collect()[0]["n"] == 10
+    ev.createOrReplaceTempView("frame")
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            apply_operations(ev, [ok], spark, None)
+    finally:
+        spark.catalog.dropTempView("frame")

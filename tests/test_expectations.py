@@ -142,3 +142,38 @@ def test_summary_single_exchange_plan(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert len(re.findall(r"Exchange (hash|range|SinglePartition)", physical)) <= 1 or \
         physical.count("Exchange") <= 2  # partial->final global agg
+
+
+def test_two_parameterized_rules_same_column(spark):
+    """Content-based duplicate detection: two DIFFERENT regexes on one
+    column are two legitimate constraints with disambiguated ids;
+    IDENTICAL rules still raise."""
+    rules = [
+        {"column": "code", "check": "regex", "pattern": "^[0-9]"},
+        {"column": "code", "check": "regex", "pattern": "[0-9]$"},
+    ]
+    df = spark.createDataFrame(
+        [Row(code="1a"), Row(code="a1"), Row(code="11")], "code string"
+    )
+    got = {r["rule"]: r["n_violations"] for r in
+           expectations_summary(df, rules).collect()}
+    assert got == {"code:regex": 1, "code:regex#2": 1}
+    with pytest.raises(ValueError, match="duplicate rule"):
+        validate_rules([rules[0], dict(rules[0])])
+
+
+def test_annotate_enforce_reserved_column_guards(spark):
+    df = spark.createDataFrame([Row(v=1, expect_pass="x")], "v int, expect_pass string")
+    with pytest.raises(ValueError, match="expect_pass"):
+        expectations_annotate(df, [{"column": "v", "check": "not_null"}])
+    df2 = spark.createDataFrame([Row(v=1, expect_checked=0)], "v int, expect_checked int")
+    with pytest.raises(ValueError, match="expect_checked"):
+        expectations_enforce(df2, [{"column": "v", "check": "not_null"}])
+
+
+def test_flow_op_mode_rule_compat_at_parse_time(spark):
+    from openetlagent_spark.model import SpecError, parse_operation
+
+    with pytest.raises(SpecError, match="per-row rules only"):
+        parse_operation({"operation_type": "expectations", "mode": "filter",
+                         "rules": [{"column": "k", "check": "unique"}]})
