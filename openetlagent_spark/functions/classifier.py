@@ -618,3 +618,84 @@ SELECT d.{id_col},
 FROM {table} d CROSS JOIN __ct_wl{iters} w
 """
     )
+
+
+def classifier_cross_validate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 256,
+    iters: int = 8,
+    lr_bits: int = 10,
+    k: int = 3,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """K-fold cross-validation for the hashed classifier — the model
+    SELECTION leg composing the loop's proven pieces: deterministic
+    md5 folds (the split_assign hashing contract, so the same row
+    lands in the same fold on any engine or cluster layout), k
+    trainings on the k leave-one-out complements
+    (:func:`classifier_train` — bit-exact), and a per-fold threshold
+    sweep on the HELD-OUT fold (:func:`classifier_eval`).
+
+    Returns the union of the k eval frames with a leading ``fold``
+    column — one row per (fold, threshold); pick the serving cutoff
+    from operating points measured on data the model never saw, and
+    read fold variance as the stability signal.
+
+    Fully deterministic (no RNG anywhere), so repeated runs are
+    bit-identical — pinned by tests/test_classifier.py.  Scale: each
+    fold's training inherits classifier_train's hash-once /
+    scan-int-arrays shape over (k-1)/k of the corpus; the k eval
+    passes are single scans.  ``k`` is a small constant — the whole
+    procedure is k·(iters+1)+k bounded-output corpus scans."""
+    if k < 2:
+        raise ValueError(f"classifier_cross_validate: k must be >= 2, got {k}")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#cv"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % k
+    )
+    base = df.where(
+        F.col(id_col).isNotNull()
+        & F.col(text_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).withColumn("__fold__", fold)
+    from ..session import materialize
+
+    base = materialize(base)  # scanned k*(iters+1) times below
+    out = None
+    for f in range(k):
+        w = classifier_train(
+            base.where(F.col("__fold__") != f),
+            text_col,
+            label_col,
+            dim=dim,
+            iters=iters,
+            lr_bits=lr_bits,
+            validate_labels=(f == 0),  # one validation scan is enough
+        )
+        held_out = base.where(F.col("__fold__") == f)
+        scored = classifier_score(
+            held_out.select(id_col, text_col, label_col),
+            id_col,
+            text_col,
+            dim=dim,
+            weights=w,
+            keep_all=True,
+        )
+        ev = classifier_eval(
+            scored.withColumn("__pos__", F.col(label_col) == 1),
+            "__pos__",
+            "score",
+            thresholds=thresholds or [0.0],
+        ).select(F.lit(f).alias("fold"), "*")
+        out = ev if out is None else out.unionByName(ev)
+    return out

@@ -444,3 +444,50 @@ def test_eval_validation(spark):
         classifier_eval(df, "lab", "score", thresholds=[])
     with pytest.raises(ValueError, match="distinct"):
         classifier_eval(df, "lab", "score", thresholds=[0.5, 0.5])
+
+
+def _separable_corpus(spark, n=90):
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            rows.append((i, f"bad awful worse junk{i % 5}", -1))
+        else:
+            rows.append((i, f"good fine great nice{i % 5}", 1))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_cross_validate_separable_corpus(spark):
+    """3-fold CV on a vocab-disjoint corpus: every held-out fold is
+    classified perfectly at threshold 0 (the classes share no tokens,
+    so any training complement learns the full vocabulary split)."""
+    from openetlagent_spark.functions.classifier import classifier_cross_validate
+
+    df = _separable_corpus(spark)
+    cv = classifier_cross_validate(
+        df, "doc_id", "text", "label", dim=64, iters=4, lr_bits=6, k=3,
+        thresholds=[0.0],
+    ).collect()
+    assert sorted(r["fold"] for r in cv) == [0, 1, 2]
+    assert sum(r["n"] for r in cv) == 90  # folds partition the corpus
+    for r in cv:
+        assert r["n"] > 0
+        assert r["fp"] == 0 and r["fn"] == 0
+        assert r["accuracy"] == 1.0
+
+
+def test_cross_validate_deterministic_and_guarded(spark):
+    from openetlagent_spark.functions.classifier import classifier_cross_validate
+
+    df = _separable_corpus(spark, n=45)
+    a = sorted(map(tuple, classifier_cross_validate(
+        df, "doc_id", "text", "label", dim=32, iters=2, lr_bits=6, k=2,
+        thresholds=[-0.5, 0.0, 0.5]).collect()))
+    b = sorted(map(tuple, classifier_cross_validate(
+        df, "doc_id", "text", "label", dim=32, iters=2, lr_bits=6, k=2,
+        thresholds=[-0.5, 0.0, 0.5]).collect()))
+    assert a == b  # bit-identical reruns
+    assert len(a) == 2 * 3  # k folds x |thresholds|
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        classifier_cross_validate(df, "doc_id", "text", "label", k=1)
