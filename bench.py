@@ -204,6 +204,7 @@ HEADLINE = [
     "bucketed_join",
     "row_expectations",
     "sql_transform",
+    "ann_store",
 ]
 
 

@@ -894,3 +894,153 @@ def quantize_oracle_sql(
         f"FROM (SELECT {id_col}, {v} AS v, {scale} AS scale, {qexpr} AS q "
         f"FROM {table} WHERE {vec_col} IS NOT NULL)"
     )
+
+
+def build_ann_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_centroids: int = 16,
+    iters: int = 2,
+    sample_size: int = 2048,
+    scale_bits: int = 20,
+) -> None:
+    """Persist an IVF index as a parquet ANN STORE — index ONCE, serve
+    many query batches (the similarity sibling of the sketch stores;
+    FAISS's train/add/search lifecycle re-expressed as a lakehouse
+    layout):
+
+    - ``{path}/centroids``: the coarse quantizer, ``(cid, cen)`` —
+      n_centroids rows from :func:`fit_ivf_centroids_exact` (the
+      hash-sampled integer Lloyd's, so rebuilding from the same corpus
+      reproduces the same index bit-for-bit);
+    - ``{path}/lists``: the inverted lists, ``(neighbor_id, cv)``
+      PARTITIONED BY cid — each corpus vector in its nearest
+      centroid's directory, so a serving batch that probes p lists
+      READS only those p directories (partition pruning; the other
+      lists never leave disk).
+
+    Serving (:func:`ann_from_store`) is bit-identical to
+    ``ivf_topk(method='exact')`` over the same corpus — the store
+    round trip is lossless by construction (doubles are binary-exact
+    through parquet), which the ann_store oracle row hash-checks
+    against the direct computation's oracle."""
+    from .clustering import _quantize
+
+    cents = fit_ivf_centroids_exact(
+        corpus, id_col, vec_col, n_centroids, iters, sample_size, scale_bits
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cents)], "cid int, cen array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cents_lit = _array_literal(cents)
+
+    def nearest1(xq: Column) -> Column:
+        dists = F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        xq.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                i.alias("cid"),
+            ),
+        )
+        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, 1)[0]
+
+    (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            nearest1(_quantize(F.col(vec_col), scale_bits)).alias("cid"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ann_from_store(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Approximate cosine top-k for a query batch against a persisted
+    ANN store — the raw corpus is never touched, and only the probed
+    inverted-list DIRECTORIES are read (the probed-cid filter reaches
+    the scan as a PartitionFilter; ≤ n_centroids values, bounded).
+    Math is bit-identical to ``ivf_topk(method='exact')``: quantized
+    fold-order centroid distances with lower-cid tie-breaks, exact
+    fold-order cosine re-rank over the ORIGINAL doubles."""
+    from .clustering import _quantize
+
+    rows = sorted(
+        spark.read.schema("cid int, cen array<double>")
+        .parquet(f"{store_path}/centroids")
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    if not rows or [r["cid"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"ann store {store_path}: centroid table must cover cid 0..n-1 "
+            f"exactly once, got {[r['cid'] for r in rows]}"
+        )
+    cents = [list(r["cen"]) for r in rows]
+    cents_lit = _array_literal(cents)
+
+    def nearest_q(xq: Column, n: int) -> Column:
+        dists = F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        xq.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                i.alias("cid"),
+            ),
+        )
+        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
+
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+            _quantize(F.col(vec_col), scale_bits).alias("xq"),
+        )
+        .withColumn("cid", F.explode(nearest_q(F.col("xq"), nprobe)))
+        .drop("xq")
+    )
+    # bounded collect (≤ n_centroids ints): the probed-list filter must
+    # be a LITERAL predicate for partition pruning to reach the scan
+    probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    lists = spark.read.parquet(f"{store_path}/lists").where(F.col("cid").isin(probed))
+    cand = (
+        lists.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

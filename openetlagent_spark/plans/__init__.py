@@ -45,10 +45,10 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     after the session's plan-hardening pass: rollup_store,
 #     rollup_day, spike_buckets, heavy_hitters, classifier_eval,
 #     embedding_gram, time_weighted_avg, bucketed_join,
-#     row_expectations, sql_transform (the last four displace the
-#     set_intersect / set_except / explode_tokens / topk_per_group
-#     r03 re-checks — all four pass every local full sweep, including
-#     this session's full runs).
+#     row_expectations, sql_transform, ann_store (the last five
+#     displace the set_intersect / set_except / explode_tokens /
+#     topk_per_group / window_moving_avg r03 re-checks — all five pass
+#     every local full sweep, including this session's full runs).
 # Local `scripts/check_oracle.py` runs the full set regardless of
 # order.
 _ROUND8_FRONT = [
@@ -57,16 +57,17 @@ _ROUND8_FRONT = [
     "classifier_file", "qsketch_prefilter", "classifier_train",
     "classifier_warm", "weighted_sample", "kmv_distinct",
     "kmv_set_overlap", "kmv_store", "distill_gate",
-    # never driver-checked (r08 second-session additions, 10)
+    # never driver-checked (r08 second-session additions, 11)
     "rollup_store", "rollup_day", "spike_buckets", "heavy_hitters",
     "classifier_eval", "embedding_gram", "time_weighted_avg",
     "bucketed_join", "row_expectations", "sql_transform",
+    "ann_store",
     # last hashed r02 (4)
     "equality", "assignation", "concatenation", "comparison",
-    # oldest stale: r03 (19)
+    # oldest stale: r03 (18)
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q22",
-    "grouping_sets", "percentile", "window_moving_avg",
+    "grouping_sets", "percentile",
     "approx_distinct",
     "bind_multikey", "session_window", "asof_join", "range_join",
     "rollup",

@@ -998,6 +998,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN INDEX STORE (functions/similarity.py
+    build_ann_store / ann_from_store — FAISS's train/add/search
+    lifecycle as a lakehouse layout): the IVF index built ONCE to
+    parquet (centroid table + inverted lists PARTITIONED BY cid),
+    then the query batch served FROM the store — only the probed list
+    directories are read (the probed-cid literal filter reaches the
+    scan as a PartitionFilter; plan-pinned), the raw corpus never.
+    Serving math is bit-identical to ivf_topk(method='exact'), so
+    this hash-matches the SAME unrolled-CTE oracle as ann_ivf_topk —
+    equality IS the proof the index round trip is lossless."""
+    from ..functions.similarity import ann_from_store, build_ann_store
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    store = _scratch_dir("ela_ann_store", sf_dir)
+    build_ann_store(emb, store, "vec_id", "embedding",
+                    n_centroids=16, iters=2, sample_size=2048)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann_from_store(spark, store, queries, k=10, nprobe=4)
+
+
 def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRENDING per-window top-k: the 3 most frequent event types in
     each 1-hour tumbling window (count desc, type asc tie-break) — the
@@ -2737,6 +2758,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_store": q_ann_store,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
     "stream_dedup": q_stream_dedup,
@@ -3556,6 +3578,9 @@ HARNESS_ORACLES["ann_ivf_topk"] = _ivf_topk_oracle_sql(
     "embeddings", "vec_id", "embedding", k=10, n_centroids=16, nprobe=4,
     sample_size=2048, iters=2, scale_bits=20, dim=64, query_pred="b.vid < 20",
 )
+# ann_store serves the SAME computation from the persisted index —
+# sharing the oracle is the losslessness proof (the kmv_store pattern)
+HARNESS_ORACLES["ann_store"] = HARNESS_ORACLES["ann_ivf_topk"]
 
 # web-curation family: oracles generated from functions/web.py's
 # mirrors, with the SAME _SYNTH_URL_SQL string spliced as the input

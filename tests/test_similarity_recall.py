@@ -281,3 +281,55 @@ def test_quantize_zero_and_null_vectors(spark):
     assert got[1].scale == 0.0 and got[1].q == [0, 0] and got[1].max_err == 0.0
     assert got[2].scale is None and got[2].q is None and got[2].max_err is None
     assert got[3].q == [127, -64]  # -0.5/1*127 = -63.5 → away-from-zero → -64
+
+
+def test_ann_store_equals_direct_exact_ivf(spark, tmp_path):
+    """Serving from the persisted index == ivf_topk(method='exact')
+    over the same corpus, row for row — the store round trip is
+    lossless (the ann_store oracle row's claim, locally)."""
+    from openetlagent_spark.functions.similarity import (
+        ann_from_store,
+        build_ann_store,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+    store = str(tmp_path / "ann")
+    build_ann_store(emb, store, "vec_id", "embedding",
+                    n_centroids=8, iters=2, sample_size=256)
+    served = ann_from_store(spark, store, queries, k=5, nprobe=2)
+    direct = ivf_topk(emb, queries, k=5, method="exact",
+                      n_centroids=8, nprobe=2, sample_size=256, iters=2)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_ann_store_serving_prunes_unprobed_lists(spark, tmp_path):
+    """The probed-cid literal filter reaches the lists scan as a
+    PartitionFilter — unprobed inverted-list directories never leave
+    disk (the store's whole point at 100 TB)."""
+    from openetlagent_spark.functions.similarity import ann_from_store, build_ann_store
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = str(tmp_path / "ann_prune")
+    build_ann_store(emb, store, "vec_id", "embedding",
+                    n_centroids=8, iters=2, sample_size=256)
+    served = ann_from_store(spark, store, emb.filter("vec_id < 2"), k=3, nprobe=1)
+    plan = served._jdf.queryExecution().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cid", plan)
+    assert m, "probed-cid filter must prune list partitions"
+
+
+def test_ann_store_centroid_coverage_validated(spark, tmp_path):
+    from openetlagent_spark.functions.similarity import ann_from_store
+
+    store = str(tmp_path / "bad_ann")
+    spark.createDataFrame([(0, [0.0]), (2, [1.0])], "cid int, cen array<double>"
+                          ).write.parquet(f"{store}/centroids")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pytest
+
+    with pytest.raises(ValueError, match="cover cid 0..n-1"):
+        ann_from_store(spark, store, emb.limit(1))
