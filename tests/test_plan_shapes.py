@@ -654,3 +654,35 @@ def test_time_weighted_avg_single_shuffle(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert count_shuffles(plan) == 1
     assert "Exchange SinglePartition" not in physical
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # global counter aggregate (1-row exchange) + the unique rule's
+        # distinct-key exchange
+        ("row_expectations", 2),
+        # whatever the statement is — the demo statement's
+        # COUNT(DISTINCT user_id) plans the standard two-phase
+        # distinct expansion (keys+user regroup, then keys regroup)
+        ("sql_transform", 2),
+        # store serving: broadcast probe join + per-query top-k window
+        # regroup; the index build runs eagerly at plan construction
+        ("ann_store", 2),
+    ],
+)
+def test_round8_late_shuffle_budget(spark, name, max_shuffles):
+    assert count_shuffles(plan_of(spark, name)) <= max_shuffles
+
+
+def test_ann_store_serving_reads_only_probed_partitions(spark):
+    """The harness ann_store plan carries a cid PartitionFilter on the
+    lists scan — unprobed inverted lists never leave disk — and scans
+    the STORE, not the embeddings table."""
+    plan = plan_of(spark, "ann_store")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert re.search(r"PartitionFilters: \[[^\]]*cid", physical)
+    # the lists scan reads the store layout (neighbor_id, cv, cid);
+    # the other scans are the bounded QUERY batch, which is allowed
+    assert any("neighbor_id" in l and "cid" in l
+               for l in physical.splitlines() if "FileScan parquet" in l)
