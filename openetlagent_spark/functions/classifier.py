@@ -480,12 +480,12 @@ def classifier_train(
     from ..session import materialize
 
     toks = _token_col(F.col("__t__"))
-    feats = materialize(
-        base.select(
-            F.col("__y__"),
-            F.transform(toks, lambda t: _bucket_expr(t, dim)).alias("__bs__"),
-        )
+    feats = base.select(
+        F.col("__y__"),
+        F.transform(toks, lambda t: _bucket_expr(t, dim)).alias("__bs__"),
     )
+    if iters > 1:  # a single round reads the features once — no re-scan to save
+        feats = materialize(feats)
     for it in range(start_round, start_round + iters):
         lr = 1 << (lr_bits + it)
         w_lit = _array_literal(w)
@@ -671,6 +671,26 @@ def classifier_cross_validate(
     from ..session import materialize
 
     base = materialize(base)  # scanned k*(iters+1) times below
+    # ONE validation pass over the FULL frame (validating inside any
+    # single training would miss the rows of its held-out fold), which
+    # also checks every fold is populated — an empty fold would
+    # silently vanish from the per-fold output otherwise
+    stats = base.groupBy("__fold__").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.max(F.when(~F.col(label_col).isin(1, -1), F.col(label_col))).alias("__bad__"),
+    ).collect()
+    bad = [r["__bad__"] for r in stats if r["__bad__"] is not None]
+    if bad:
+        raise ValueError(
+            f"classifier_cross_validate: {label_col} must be +1/-1, found {bad[0]!r}"
+        )
+    present = sorted(r["__fold__"] for r in stats)
+    if present != list(range(k)):
+        raise ValueError(
+            f"classifier_cross_validate: fold(s) "
+            f"{sorted(set(range(k)) - set(present))} are empty — too few rows "
+            f"for k={k} (folds present: {present})"
+        )
     out = None
     for f in range(k):
         w = classifier_train(
@@ -680,7 +700,7 @@ def classifier_cross_validate(
             dim=dim,
             iters=iters,
             lr_bits=lr_bits,
-            validate_labels=(f == 0),  # one validation scan is enough
+            validate_labels=False,  # validated on the FULL frame above
         )
         held_out = base.where(F.col("__fold__") == f)
         scored = classifier_score(
@@ -695,7 +715,7 @@ def classifier_cross_validate(
             scored.withColumn("__pos__", F.col(label_col) == 1),
             "__pos__",
             "score",
-            thresholds=thresholds or [0.0],
+            thresholds=[0.0] if thresholds is None else thresholds,
         ).select(F.lit(f).alias("fold"), "*")
         out = ev if out is None else out.unionByName(ev)
     return out

@@ -340,6 +340,30 @@ def lsh_topk_oracle_sql(
     )
 
 
+def nearest_centroid_ids(vec: Column, cents_lit: Column, n: int) -> Column:
+    """Array of the n nearest centroid ids for a vector — THE one
+    nearest-centroid expression (fold-order squared distance,
+    array_sort with lower-cid tie-break).  Shared by the exact IVF
+    query path, the ANN store build, and store serving: the store's
+    correctness claim is bit-identity with the direct computation, so
+    an independent copy here would be the drift vector classifier.py's
+    _bucket_expr docstring warns about."""
+    dists = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
+    )
+    return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
+
+
 def fit_ivf_centroids_exact(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -544,20 +568,7 @@ def _ivf_topk_exact(
     cents_lit = _array_literal(cents)
 
     def nearest_q(xq: Column, n: int) -> Column:
-        dists = F.transform(
-            cents_lit,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        xq.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                i.alias("cid"),
-            ),
-        )
-        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
+        return nearest_centroid_ids(xq, cents_lit, n)
 
     base_c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
@@ -936,30 +947,20 @@ def build_ann_store(
     spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(cents)], "cid int, cen array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # build parameters the serve side must agree on: quantizing queries
+    # on a different grid than the build silently breaks bit-identity
+    spark.createDataFrame(
+        [(int(scale_bits), int(n_centroids))], "scale_bits int, n_centroids int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     cents_lit = _array_literal(cents)
-
-    def nearest1(xq: Column) -> Column:
-        dists = F.transform(
-            cents_lit,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        xq.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                i.alias("cid"),
-            ),
-        )
-        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, 1)[0]
-
     (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
-            nearest1(_quantize(F.col(vec_col), scale_bits)).alias("cid"),
+            nearest_centroid_ids(
+                _quantize(F.col(vec_col), scale_bits), cents_lit, 1
+            )[0].alias("cid"),
         )
         .write.mode("overwrite")
         .partitionBy("cid")
@@ -987,6 +988,17 @@ def ann_from_store(
     fold-order cosine re-rank over the ORIGINAL doubles."""
     from .clustering import _quantize
 
+    meta = spark.read.schema("scale_bits int, n_centroids int").parquet(
+        f"{store_path}/meta"
+    ).collect()
+    if len(meta) != 1:
+        raise ValueError(f"ann store {store_path}: missing/ambiguous meta table")
+    if meta[0]["scale_bits"] != scale_bits:
+        raise ValueError(
+            f"ann store {store_path} was built with scale_bits="
+            f"{meta[0]['scale_bits']}; serving with {scale_bits} would quantize "
+            "queries on a different grid than the index"
+        )
     rows = sorted(
         spark.read.schema("cid int, cen array<double>")
         .parquet(f"{store_path}/centroids")
@@ -1000,31 +1012,23 @@ def ann_from_store(
         )
     cents = [list(r["cen"]) for r in rows]
     cents_lit = _array_literal(cents)
+    from ..session import materialize
 
-    def nearest_q(xq: Column, n: int) -> Column:
-        dists = F.transform(
-            cents_lit,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        xq.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                i.alias("cid"),
-            ),
-        )
-        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
-
-    q = (
+    # materialize: q is read TWICE (the probed-cid collect below and
+    # the broadcast join) — without the boundary a nondeterministic
+    # query frame could probe one cid set and join another, silently
+    # dropping neighbors (and the centroid-distance pass would run
+    # twice even when deterministic)
+    q = materialize(
         queries.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
             _quantize(F.col(vec_col), scale_bits).alias("xq"),
         )
-        .withColumn("cid", F.explode(nearest_q(F.col("xq"), nprobe)))
+        .withColumn(
+            "cid", F.explode(nearest_centroid_ids(F.col("xq"), cents_lit, nprobe))
+        )
         .drop("xq")
     )
     # bounded collect (≤ n_centroids ints): the probed-list filter must

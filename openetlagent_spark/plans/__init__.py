@@ -40,7 +40,7 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     doc_lm_score, running_totals by the six later-session additions
 #     below — every displacement only after the incoming query passed
 #     a local driver-strength exact check on landing).
-# (a') the 8 additions of the round's second session, never
+# (a') the 11 additions of the round's second session, never
 #     driver-checked, each exact-verified on landing AND re-verified
 #     after the session's plan-hardening pass: rollup_store,
 #     rollup_day, spike_buckets, heavy_hitters, classifier_eval,

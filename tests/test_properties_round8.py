@@ -53,8 +53,14 @@ def test_rollup_any_partition_merges_to_single_pass(spark, rows, split):
     from openetlagent_spark.functions.rollup import rollup_build, rollup_merge
 
     df = _events_df(spark, rows)
+    # the hypothesis-driven split list assigns each row index to one of
+    # three parts — genuinely arbitrary (uneven and empty parts
+    # included), unlike a fixed modulus
+    from pyspark.sql import functions as F
+
+    split_lit = F.expr("array(" + ",".join(str(v) for v in split) + ")")
     parts = [
-        df.where(f"i % 3 = {k}").where("i >= 0")  # i%3 via the row index
+        df.where(F.element_at(split_lit, (F.col("i") + 1).cast("int")) == k)
         for k in range(3)
     ]
     # build each partition separately, union the partials, merge
@@ -104,7 +110,7 @@ def test_twa_matches_python_mirror(spark, rows):
     from openetlagent_spark.functions.timeseries import time_weighted_avg
 
     df = _events_df(spark, rows)
-    got = {r["k"] if "k" in r else r["g"]: r for r in
+    got = {r["g"]: r for r in
            time_weighted_avg(df, key="g", ts_col="ts", value_col="v",
                              id_col="i").collect()}
     series = defaultdict(list)

@@ -331,5 +331,13 @@ def test_ann_store_centroid_coverage_validated(spark, tmp_path):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     import pytest
 
+    # no meta table -> loud, before anything else
+    with pytest.raises(Exception, match="meta|PATH_NOT_FOUND"):
+        ann_from_store(spark, store, emb.limit(1))
+    spark.createDataFrame([(20, 2)], "scale_bits int, n_centroids int"
+                          ).write.parquet(f"{store}/meta")
     with pytest.raises(ValueError, match="cover cid 0..n-1"):
         ann_from_store(spark, store, emb.limit(1))
+    # serving with a different grid than the build is refused
+    with pytest.raises(ValueError, match="scale_bits"):
+        ann_from_store(spark, store, emb.limit(1), scale_bits=16)
