@@ -203,3 +203,21 @@ def test_example_hot_hours_and_threshold_tuning(spark, tmp_path):
     # recall is monotonically non-increasing as the threshold rises
     recalls = [sweep[t].recall for t in sorted(sweep)]
     assert all(a >= b for a, b in zip(recalls, recalls[1:]) if a is not None and b is not None)
+
+
+def test_example_data_quality_audit(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/data_quality_audit.yaml")
+    )
+    config.outputs["quality_audit"].path = str(tmp_path / "qa")
+    result, ok, feedback = run_flow(spark, config, flow, "quality_audit",
+                                    single_file=True)
+    assert ok, feedback
+    rows = {r.rule: r for r in result.collect()}
+    assert set(rows) == {"o_custkey:not_null", "o_totalprice:min",
+                         "o_orderstatus:in_set", "o_orderpriority:regex",
+                         "o_orderkey:unique"}
+    # the synthetic orders are clean — every audit row reports zero
+    for r in rows.values():
+        assert r.n_violations == 0 and r.n_rows == 1500
