@@ -177,3 +177,38 @@ def test_flow_op_mode_rule_compat_at_parse_time(spark):
     with pytest.raises(SpecError, match="per-row rules only"):
         parse_operation({"operation_type": "expectations", "mode": "filter",
                          "rules": [{"column": "k", "check": "unique"}]})
+
+
+def test_expectations_filter_on_a_stream_matches_batch(spark, tmp_path):
+    """annotate/filter are pure projections, so the SAME rule battery
+    runs unchanged on a structured stream — the quarantine gate a
+    live ingest pipeline needs.  Stream output == batch output."""
+    from pyspark.sql import functions as F
+
+    rules = [
+        {"column": "k", "check": "not_null"},
+        {"column": "v", "check": "max", "value": 100},
+    ]
+    df = _df(spark)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    gated = expectations_annotate(stream, rules).filter(F.col("expect_pass"))
+    out = str(tmp_path / "out")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(out).select(*df.columns).collect())
+    )
+    want = sorted(
+        map(tuple,
+            expectations_annotate(df, rules).filter(F.col("expect_pass"))
+            .select(*df.columns).collect())
+    )
+    assert got == want and got  # non-trivial: some rows pass, some don't
