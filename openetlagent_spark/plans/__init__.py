@@ -11,68 +11,49 @@ HARNESS_QUERIES.update(TPCH_MORE_QUERIES)
 HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# ``queries()`` per round.  Round-7 failure mode: no _ROUND7_FRONT was
-# committed, so the driver re-verified r06's identical front-50 and
-# nine queries sat without rows.  This round-8 ordering (committed as
-# the FIRST action of the round, per VERDICT r07 item 1):
-# (a) the 13 never-driver-checked queries: the 5 r07 additions
-#     (quantile_sketch, qsketch_store, hll_store, cms_store,
-#     classifier_file) — each locally exact-verified at driver
-#     strength when it landed and again in the r07 judge session —
-#     plus this round's qsketch_prefilter, classifier_train,
-#     classifier_warm, weighted_sample, kmv_distinct,
-#     kmv_set_overlap, kmv_store and distill_gate (exact-verified
-#     on landing);
-# (b) the 4 queries whose latest driver hash is still r02 (equality,
-#     assignation, concatenation, comparison) — displaced in the r06
-#     rotation, skipped by the missing r07 rotation, re-verified
-#     locally (exact mode) in the r07 judge session: ALL PASS;
-# (c) backfill to exactly 50 with the oldest-stale rows from
-#     scripts/staleness.py: the 23 r03-stale (TPC-H q2-q7/q10/q14/
-#     q19/q22, grouping sets, percentile, window/topk, set ops,
-#     explode, multikey bind, session_window, asof/range joins,
-#     rollup, approx_distinct [rows-only by nature]) and 4 r04-stale
-#     core rows (application, casting, flagship, lang_id;
-#     13+6+4+23+4 = 50 — dedup_substring, dedup_simhash, bpe_pairs,
-#     outlier_flags, unicode_nfc, value_histogram, profile_table and
-#     curation_pipeline were displaced by this round's first eight
-#     additions, and vocab_oov, fuzzy_join, tfidf_topk, bigram_lm,
-#     doc_lm_score, running_totals by the six later-session additions
-#     below — every displacement only after the incoming query passed
-#     a local driver-strength exact check on landing).
-# (a') the 11 additions of the round's second session, never
-#     driver-checked, each exact-verified on landing AND re-verified
-#     after the session's plan-hardening pass: rollup_store,
-#     rollup_day, spike_buckets, heavy_hitters, classifier_eval,
-#     embedding_gram, time_weighted_avg, bucketed_join,
-#     row_expectations, sql_transform, ann_store (the last five
-#     displace the set_intersect / set_except / explode_tokens /
-#     topk_per_group / window_moving_avg r03 re-checks — all five pass
-#     every local full sweep, including this session's full runs).
-# Local `scripts/check_oracle.py` runs the full set regardless of
-# order.
-_ROUND8_FRONT = [
-    # never driver-checked (r07 tail + r08 additions)
-    "quantile_sketch", "qsketch_store", "hll_store", "cms_store",
-    "classifier_file", "qsketch_prefilter", "classifier_train",
-    "classifier_warm", "weighted_sample", "kmv_distinct",
-    "kmv_set_overlap", "kmv_store", "distill_gate",
-    # never driver-checked (r08 second-session additions, 11)
-    "rollup_store", "rollup_day", "spike_buckets", "heavy_hitters",
-    "classifier_eval", "embedding_gram", "time_weighted_avg",
-    "bucketed_join", "row_expectations", "sql_transform",
-    "ann_store",
-    # last hashed r02 (4)
-    "equality", "assignation", "concatenation", "comparison",
-    # oldest stale: r03 (18)
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q22",
-    "grouping_sets", "percentile",
-    "approx_distinct",
-    "bind_multikey", "session_window", "asof_join", "range_join",
-    "rollup",
-    # next oldest: r04 (4)
-    "application", "casting", "flagship", "lang_id",
+# ``queries()`` per round.  Cumulative driver-hash coverage reached
+# 193/193 in round 8, so round 9's rotation is pure staleness
+# refresh: after r08's front cleared everything hashed before r03,
+# the oldest remaining rows are the 5 r03-hashed set/window ops, the
+# 38 r04-hashed rows, and the r05 block.  This round-9 ordering
+# (committed as the FIRST action of the round, per the standing
+# rotation discipline):
+# (a) all 5 r03-hashed rows (explode_tokens, set_except,
+#     set_intersect, topk_per_group, window_moving_avg — displaced
+#     from r08's front by that round's second-session additions);
+# (b) all 38 r04-hashed rows, which clears every query whose latest
+#     driver row predates r05;
+# (c) 7 of the oldest r05 rows (the VERDICT r08-named block) as
+#     backfill to exactly 50.  Queries ADDED during round 9 swap into
+#     these 7 slots (newest-first) once each passes a local
+#     driver-strength exact check, keeping never-driver-checked
+#     count at zero without re-aging anything older than r05.
+# Every name below passed the full 193-query exact-mode sweep run in
+# the r08 judge session.  Local `scripts/check_oracle.py` runs the
+# full set regardless of order.
+_ROUND9_FRONT = [
+    # oldest driver hash: r03 (5)
+    "explode_tokens", "set_except", "set_intersect", "topk_per_group",
+    "window_moving_avg",
+    # r03-hashed wave 2 / r04 rows (38) — ALL of them, clearing every
+    # query whose latest driver row predates r05
+    "bigram_lm", "bpe_pairs", "chunk_docs", "cohort_retention",
+    "compacted_layout", "cooccurrence_pairs", "cube",
+    "curation_pipeline", "dataset_mixture", "dataset_split",
+    "dedup_clusters", "dedup_simhash", "dedup_substring",
+    "diversity_sample", "doc_lm_score", "exact_distinct", "fuzzy_join",
+    "kmeans_clusters", "merge_changes", "outlier_flags",
+    "profile_table", "quantile_bins", "robust_scale", "running_totals",
+    "scd2_history", "sessionize", "stats_moments", "stats_skew",
+    "stratified_sample", "text_scrub", "tfidf_topk", "tpch_q1",
+    "tpch_q12", "tpch_q18", "unicode_nfc", "value_histogram",
+    "vocab_oov", "window_distinct_users",
+    # oldest r05 rows (7) — the VERDICT-named block; these are the
+    # swap-out candidates if round-9 additions land (each swap only
+    # after the incoming query passes a local driver-strength exact
+    # check, per the rotation policy above)
+    "bind_salted", "window_range_frame", "window_distribution",
+    "funnel", "event_paths", "top_p_sources", "tpch_q8",
 ]
 
 
@@ -93,7 +74,7 @@ def _reorder(front: list[str], mapping: dict) -> dict:
     return {**head, **tail}
 
 
-_reordered = _reorder(_ROUND8_FRONT, HARNESS_QUERIES)
+_reordered = _reorder(_ROUND9_FRONT, HARNESS_QUERIES)
 HARNESS_QUERIES.clear()
 HARNESS_QUERIES.update(_reordered)
 
