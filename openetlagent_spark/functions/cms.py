@@ -91,7 +91,13 @@ def cms_estimate(
     d (row, bucket) counters the key hashes to (0 if a counter row is
     absent — an empty bucket).  The counter table broadcasts; the
     probe side never shuffles at its own width (one shuffle of the
-    (probe-key, d) expansion for the min-aggregate)."""
+    (probe-key, d) expansion for the min-aggregate).
+
+    NULL probe keys are excluded up front (mirroring cms_build's
+    isNotNull): a NULL key would miss every counter join and coalesce
+    into est=0, which reads as "seen zero times" rather than
+    "unknown key"."""
+    probes = probes.where(F.col(key_col).isNotNull())
     expanded = probes.select(
         F.col(key_col),
         F.explode(

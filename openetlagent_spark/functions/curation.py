@@ -620,6 +620,13 @@ def stratified_sample(
         raise ValueError(f"stratified_sample k must be positive, got {k}")
     if not group_cols:
         raise ValueError("stratified_sample requires group_cols")
+    if rank_column and rank_column in df.columns:
+        # withColumnRenamed would silently produce two same-named
+        # columns and ambiguous references downstream (the
+        # classifier_score keep_all clash guard)
+        raise ValueError(
+            f"stratified_sample rank_column {rank_column!r} already exists in input"
+        )
     # coalesce the key to '' BEFORE hashing: concat_ws silently skips
     # NULL args (md5('42')) while the oracle's || propagates NULL
     # (md5(NULL) = NULL) — the explicit coalesce makes both engines
@@ -693,6 +700,10 @@ def weighted_sample(
         raise ValueError(f"weighted_sample k must be positive, got {k}")
     if not group_cols:
         raise ValueError("weighted_sample requires group_cols")
+    if rank_column and rank_column in df.columns:
+        raise ValueError(
+            f"weighted_sample rank_column {rank_column!r} already exists in input"
+        )
     key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
     h = (
         F.conv(

@@ -131,8 +131,10 @@ def _violation_expr(rule: dict) -> Column:
         return c > F.lit(rule["value"])
     if check == "in_set":
         return ~c.isin(list(rule["values"]))
-    # regex
-    return ~c.rlike(str(rule["pattern"]))
+    # regex — cast to string first: the generated oracle wraps the
+    # column in CAST(.. AS VARCHAR), and rlike on a non-string column
+    # would error under ANSI instead of matching its rendered form
+    return ~c.cast("string").rlike(str(rule["pattern"]))
 
 
 def _violation_sql(rule: dict) -> str:

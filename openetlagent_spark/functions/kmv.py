@@ -178,12 +178,21 @@ def kmv_set_ops(sample: DataFrame, set_col: str, *, k: int = 1024) -> DataFrame:
         .otherwise(F.expr(f"{t}L DIV GREATEST(__hk__, 1L)"))
         .cast("long")
     )
-    return agg.select(
+    # union_est lands in its own select first: referencing a same-select
+    # alias from F.expr leans on implicit lateral-column-alias
+    # resolution, which is a configurable Spark feature
+    # (spark.sql.lateralColumnAlias.enableImplicitResolution) — an
+    # intermediate projection works on every configuration
+    with_union = agg.select(
+        "set_a", "set_b", "n_union_kept", "n_match",
+        union_est.alias("union_est"),
+    )
+    return with_union.select(
         "set_a",
         "set_b",
         "n_union_kept",
         "n_match",
-        union_est.alias("union_est"),
+        "union_est",
         F.expr("CAST(n_match AS BIGINT) * union_est DIV n_union_kept")
         .cast("long")
         .alias("intersect_est"),
