@@ -1,18 +1,20 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the DECODE step comes in
-two flavors (clearly marked):
-- ``decoder="fake"`` (default): a deterministic pure-numpy stand-in —
-  byte histograms / byte statistics — so the full Spark plumbing
-  (schema, batching, partitioning, UDF signatures) is real and testable.
-- ``decoder="real"``: uses Pillow when importable (image decode →
-  grayscale-histogram feature / true resize + PNG re-encode), else
-  raises NotImplementedError naming the missing dependency.  The real
-  path is exercised by ``pytest.importorskip("PIL")`` tests
-  (tests/test_multimodal_streaming.py) the day codecs exist in the
-  environment; frame sampling would additionally need PyAV/ffmpeg and
-  stays a named stub.
+The DECODE step comes in two flavors (clearly marked):
+- ``decoder="fake"``: a deterministic pure-numpy stand-in — byte
+  histograms / byte statistics — so the full Spark plumbing (schema,
+  batching, partitioning, UDF signatures) can be exercised without any
+  pixel semantics.
+- ``decoder="real"`` (the production path): REAL pixel decode.  The
+  built-in pure-Python codecs handle the uncompressed formats — BMP
+  (24/32-bit BI_RGB) and PNM (P5 grayscale / P6 RGB) — with no
+  dependency at all; payloads in any other format (PNG, JPEG, …) fall
+  back to Pillow when it is importable.  Decode is TOTAL either way:
+  corrupt, truncated, or unsupported-without-Pillow payloads yield the
+  zero feature vector instead of failing the task — at 100 TB one bad
+  crawl byte must never abort the job.  Frame sampling would need
+  PyAV/ffmpeg and stays a named stub.
 
 Everything else — the media struct schema, batch iteration, partition
 sizing, feature schemas — is the production shape: at 100 TB these run
@@ -49,6 +51,7 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("mime", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -62,36 +65,196 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
-def _require_pil():
-    """Import Pillow or raise the contract NotImplementedError naming
-    the dependency — the single gate for every ``decoder='real'`` path."""
+def _optional_pil():
+    """Import Pillow if present, else None — the real decode path uses
+    it only as the fallback for compressed formats the built-in codecs
+    don't cover."""
     try:
         from PIL import Image  # noqa: PLC0415
-    except ImportError as exc:
-        raise NotImplementedError(
-            "decoder='real' requires Pillow (PIL), not present in this "
-            "container; use decoder='fake' for the deterministic stub."
-        ) from exc
+    except ImportError:
+        return None
     return Image
+
+
+# --- built-in pure-Python codecs (uncompressed formats) ---------------
+#
+# BMP (BITMAPINFOHEADER, BI_RGB 24/32-bit) and PNM (P5/P6, maxval 255)
+# need no external library: fixed headers plus raw samples.  Grayscale
+# conversion uses the ITU-R 601-2 integer luma (299R+587G+114B)//1000 —
+# exact for R=G=B payloads (the encoder below), deterministic for all.
+
+_BMP_HEADER_BYTES = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def encode_gray_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → 24-bit uncompressed BMP (R=G=B), the
+    canonical payload format for the in-repo media pipeline.  Empty
+    input → b'' (no media)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError(f"encode_gray_bmp expects (h, w), got shape {arr.shape}")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        return b""
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    img_size = stride * h
+    file_size = _BMP_HEADER_BYTES + img_size
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + _BMP_HEADER_BYTES.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + img_size.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    rows = np.repeat(arr, 3, axis=1)  # B G R, equal channels
+    if stride > w * 3:
+        rows = np.hstack([rows, np.zeros((h, stride - w * 3), dtype=np.uint8)])
+    return header + rows[::-1].tobytes()  # bottom-up row order
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed BI_RGB 24/32-bit BMP → (h, w) uint8 grayscale, or
+    None if the payload is not a decodable BMP."""
+    try:
+        if len(payload) < _BMP_HEADER_BYTES or payload[:2] != b"BM":
+            return None
+        data_off = int.from_bytes(payload[10:14], "little")
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        if hdr_size < 40:
+            return None
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3
+        end = data_off + stride * h
+        if data_off < _BMP_HEADER_BYTES or end > len(payload):
+            return None
+        raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+        rows = raw.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        if bottom_up:
+            rows = rows[::-1]
+        b = rows[:, :, 0].astype(np.int64)
+        g = rows[:, :, 1].astype(np.int64)
+        r = rows[:, :, 2].astype(np.int64)
+        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    except Exception:
+        return None
+
+
+def encode_gray_pgm(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → binary PGM (P5, maxval 255)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError(f"encode_gray_pgm expects (h, w), got shape {arr.shape}")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        return b""
+    return f"P5\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray | None:
+    """Binary PNM (P5 gray / P6 RGB, maxval ≤ 255) → (h, w) uint8
+    grayscale, or None if not a decodable PNM."""
+    try:
+        magic = payload[:2]
+        if magic not in (b"P5", b"P6"):
+            return None
+        # header: magic, width, height, maxval as whitespace-separated
+        # tokens; '#' comments run to end-of-line
+        tokens: list[int] = []
+        i = 2
+        while len(tokens) < 3 and i < len(payload):
+            c = payload[i : i + 1]
+            if c == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                j = i
+                while j < len(payload) and payload[j : j + 1].isdigit():
+                    j += 1
+                tokens.append(int(payload[i:j]))
+                i = j
+            else:
+                return None
+        if len(tokens) < 3 or i >= len(payload):
+            return None
+        w, h, maxval = tokens
+        if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+            return None
+        i += 1  # exactly one whitespace byte separates header and raster
+        nch = 1 if magic == b"P5" else 3
+        n = w * h * nch
+        if i + n > len(payload):
+            return None
+        raw = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+        if nch == 1:
+            return raw.reshape(h, w).copy()
+        rgb = raw.reshape(h, w, 3).astype(np.int64)
+        return (
+            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+        ).astype(np.uint8)
+    except Exception:
+        return None
+
+
+def decode_image_builtin(payload: bytes | None) -> np.ndarray | None:
+    """Dependency-free image decode: BMP or PNM by magic bytes → (h, w)
+    uint8 grayscale; None for anything else (compressed formats go to
+    the Pillow fallback)."""
+    if not payload:
+        return None
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    return None
+
+
+def _decode_gray(payload: bytes | None, Image) -> np.ndarray | None:
+    """Full real-decode dispatch: built-in codecs first (deterministic,
+    no dependency), then Pillow (when importable) for compressed
+    formats.  None = undecodable."""
+    arr = decode_image_builtin(payload)
+    if arr is not None:
+        return arr
+    if Image is None or not payload:
+        return None
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8)
+    except Exception:
+        return None
 
 
 def _real_decode_features(Image, payload: bytes, dim: int) -> np.ndarray:
     """REAL decode: image bytes → grayscale intensity histogram,
     L1-normalized — deterministic given the payload.  TOTAL like the
-    fake decoder: corrupt/truncated/non-image payloads yield the zero
-    vector instead of failing the task (at 100 TB one bad crawl byte
-    must never abort the job; filter feature == zeros downstream)."""
-    import io
-
-    if payload is None or len(payload) == 0:
+    fake decoder: corrupt/truncated/undecodable payloads yield the zero
+    vector instead of failing the task (filter feature == zeros
+    downstream)."""
+    arr = _decode_gray(payload, Image)
+    if arr is None or arr.size == 0:
         return np.zeros(dim, dtype=np.float32)
-    try:
-        img = Image.open(io.BytesIO(payload)).convert("L")
-        arr = np.asarray(img, dtype=np.uint8).ravel()
-    except Exception:
-        return np.zeros(dim, dtype=np.float32)
-    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
-    return (hist / max(arr.size, 1)).astype(np.float32)
+    flat = arr.ravel()
+    hist, _ = np.histogram(flat, bins=dim, range=(0, 256))
+    return (hist / max(flat.size, 1)).astype(np.float32)
 
 
 def _fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
@@ -116,26 +279,40 @@ def extract_image_features(
     """Binary payload → fixed-dim feature vector, one mapInPandas stage.
 
     Batches stream through Arrow; nothing is collected.  The 'real'
-    decoder (Pillow grayscale histogram — the import is checked on the
-    DRIVER so missing codecs fail fast, then re-imported per executor
-    batch) shares every line of Spark plumbing with the fake one."""
-    if decoder == "real":
-        _require_pil()  # fail fast on the driver if Pillow is absent
+    decoder runs the built-in BMP/PNM codecs (pure Python, always
+    available) with Pillow as the optional fallback for compressed
+    formats; it shares every line of Spark plumbing with the fake one.
+    ``n_pixels`` is the decoded pixel count (real) or the payload byte
+    count (fake — each byte IS the 'pixel' the stub histograms); 0 for
+    undecodable payloads, so ``feature != zeros ⇔ n_pixels > 0``."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "real":
-            Image = _require_pil()
-            decode = lambda b: _real_decode_features(Image, b, dim).tolist()  # noqa: E731
+            Image = _optional_pil()
+
+            def decode(b):
+                arr = _decode_gray(b, Image)
+                if arr is None or arr.size == 0:
+                    return 0, np.zeros(dim, dtype=np.float32).tolist()
+                flat = arr.ravel()
+                hist, _ = np.histogram(flat, bins=dim, range=(0, 256))
+                return flat.size, (hist / flat.size).astype(np.float32).tolist()
+
         else:
-            decode = lambda b: _fake_decode_features(b, dim).tolist()  # noqa: E731
+
+            def decode(b):
+                return (0 if b is None else len(b)), _fake_decode_features(b, dim).tolist()
+
         for pdf in it:
             payloads = pdf[payload_col]
+            decoded = payloads.map(decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
                     "mime": pdf[mime_col],
                     "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                    "feature": payloads.map(decode),
+                    "n_pixels": decoded.map(lambda t: t[0]).astype("int64"),
+                    "feature": decoded.map(lambda t: t[1]),
                 }
             )
 
@@ -152,35 +329,31 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: passes metadata through and rewrites width/height.
     fake: truncate/pad bytes deterministically to w*h (stands in for
-    decode→resize→re-encode); real: Pillow decode → nearest-neighbour
-    resize (deterministic) → PNG re-encode."""
-    if decoder == "real":
-        _require_pil()  # fail fast on the driver if Pillow is absent
-
+    decode→resize→re-encode); real: decode (built-in BMP/PNM codecs,
+    Pillow fallback for compressed formats) → floor-index
+    nearest-neighbour resize (src = dst·size_src // size_dst,
+    deterministic in pure integer math) → 24-bit BMP re-encode."""
     out_schema = df.schema
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = target_width * target_height
         if decoder == "real":
-            import io
-
-            Image = _require_pil()
+            Image = _optional_pil()
+            col_idx = np.arange(target_width, dtype=np.int64)
+            row_idx = np.arange(target_height, dtype=np.int64)
 
             def transform(b: bytes | None) -> bytes:
                 # total: undecodable payloads pass through as empty
                 # bytes instead of failing the task (see
                 # _real_decode_features rationale)
-                if not b:
+                arr = _decode_gray(b, Image)
+                if arr is None or arr.size == 0:
                     return b""
-                try:
-                    img = Image.open(io.BytesIO(b)).resize(
-                        (target_width, target_height), Image.NEAREST
-                    )
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    return buf.getvalue()
-                except Exception:
-                    return b""
+                h, w = arr.shape
+                resized = arr[(row_idx * h) // target_height][
+                    :, (col_idx * w) // target_width
+                ]
+                return encode_gray_bmp(resized)
 
         else:
 
@@ -278,5 +451,103 @@ def image_features_oracle_sql(
         f"FROM d WHERE len > 0), "
         f"cnt AS (SELECT media_id, {bins} FROM chars GROUP BY media_id) "
         f"SELECT d.media_id, d.mime, CAST(d.len AS BIGINT) AS n_bytes, "
+        f"CAST(d.len AS BIGINT) AS n_pixels, "
+        f"{feature} AS feature FROM d LEFT JOIN cnt c USING (media_id))"
+    )
+
+
+def synthesize_media_bmp(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 32,
+) -> DataFrame:
+    """Build a REAL-pixel media table from any text table: each doc's
+    utf-8 bytes become the grayscale raster of a 24-bit BMP, ``width``
+    pixels per row, final row zero-padded.  decode(encode(text)) is an
+    exact round-trip through the built-in codec, so real-decoder
+    pipelines get pixel-true payloads with byte-derivable oracles (the
+    pixel stream IS text-bytes + pad zeros).  Empty/NULL text → empty
+    payload (no media).  One mapInPandas pass, no shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, heights = [], []
+            for text in pdf[text_col]:
+                data = (text or "").encode("utf-8")
+                rows = (len(data) + width - 1) // width
+                if rows == 0:
+                    payloads.append(b"")
+                    heights.append(0)
+                    continue
+                arr = np.frombuffer(
+                    data.ljust(rows * width, b"\0"), dtype=np.uint8
+                ).reshape(rows, width)
+                payloads.append(encode_gray_bmp(arr))
+                heights.append(rows)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "width": np.int32(width),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "duration_ms": np.int64(0),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def image_features_bmp_oracle_sql(
+    doc_pred: str = "TRUE", dim: int = 16, table: str = "documents", width: int = 32
+) -> str:
+    """DuckDB mirror of ``synthesize_media_bmp → extract_image_features
+    (decoder='real')`` as a parenthesized subquery yielding
+    (media_id, mime, n_bytes, n_pixels, feature REAL[]).
+
+    Valid for ASCII corpora (the driver's test tables are — verified):
+    the BMP raster is exactly text-bytes plus ``rows·width − len`` pad
+    zeros, and the built-in decoder recovers it bit-for-bit (R=G=B luma
+    is the identity), so bin b counts chars with ``ascii // (256/dim)
+    = b`` — plus the pad count in bin 0 — over ``n_pixels = rows·width``
+    real pixels.  ``n_bytes`` is the encoded BMP size: 54-byte header +
+    rows · stride, stride = width·3 rounded up to 4."""
+    bin_width = 256 // dim
+    stride = (width * 3 + 3) & ~3
+    bins = ", ".join(
+        f"SUM(CASE WHEN ascii(ch) // {bin_width} = {b} THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(dim)
+    )
+    pad = "(d.rows_ * {w} - d.len)".format(w=width)
+    terms = []
+    for b in range(dim):
+        c = f"COALESCE(c.c{b}, 0)" + (f" + {pad}" if b == 0 else "")
+        terms.append(
+            f"CASE WHEN d.len > 0 THEN CAST(CAST({c} AS DOUBLE) "
+            f"/ CAST(d.rows_ * {width} AS DOUBLE) AS REAL) ELSE CAST(0.0 AS REAL) END"
+        )
+    feature = "[" + ", ".join(terms) + "]"
+    return (
+        f"(WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        f"'image/bmp' AS mime, COALESCE(length(text), 0) AS len, "
+        f"CAST(CEIL(COALESCE(length(text), 0) / {width}.0) AS BIGINT) AS rows_, "
+        f"text FROM {table} WHERE {doc_pred}), "
+        f"chars AS (SELECT media_id, unnest(string_split_regex(text, '')) AS ch "
+        f"FROM d WHERE len > 0), "
+        f"cnt AS (SELECT media_id, {bins} FROM chars GROUP BY media_id) "
+        f"SELECT d.media_id, d.mime, "
+        f"CASE WHEN d.len > 0 THEN 54 + d.rows_ * {stride} ELSE 0 END AS n_bytes, "
+        f"CASE WHEN d.len > 0 THEN d.rows_ * {width} ELSE 0 END AS n_pixels, "
         f"{feature} AS feature FROM d LEFT JOIN cnt c USING (media_id))"
     )

@@ -1277,6 +1277,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end, no imaging library: documents →
+    BMP media (synthesize_media_bmp — each doc's utf-8 bytes become a
+    real 24-bit raster) → extract_image_features(decoder='real'),
+    which decodes the pixels back through the built-in pure-Python BMP
+    codec and histograms the decoded intensities.  The output
+    re-integerizes the per-bin mass (round(f_b · n_pixels) — exact for
+    float32 at these magnitudes) so the driver hash checks the actual
+    pixel counts: n_bytes is the ENCODED size (54-byte header +
+    4-byte-aligned rows), n_pixels the DECODED raster size, and hist
+    the per-bin pixel counts including the final row's zero padding —
+    none of which the payload-free fake path could produce."""
+    from ..functions.multimodal import extract_image_features, synthesize_media_bmp
+
+    media = synthesize_media_bmp(_ts(spark, sf_dir, "documents"))
+    feats = extract_image_features(media, dim=16, decoder="real")
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "n_pixels",
+        F.expr(
+            "array_join(transform(feature, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * CAST(n_pixels AS DOUBLE)) AS BIGINT)"
+            "), ',')"
+        ).alias("hist"),
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join, batch form (identical lazy plan to
     what each micro-batch executes — streaming/events.enrich_stream):
@@ -2351,17 +2380,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-dup end-to-end — the multimodal mirror of
-    semantic_dedup: binary media payloads → Arrow-batched fake-decode
-    features (extract_image_features, deterministic byte histograms) →
-    corpus-mean centering (center_embeddings — byte-histogram clouds
-    are tightly clustered, so sign-LSH NEEDS the centering to spread
-    buckets) → Rademacher sign-LSH near-dup pairs → connected
-    components → keep-best (largest payload wins, min media_id ties).
+    semantic_dedup: BMP media payloads (synthesize_media_bmp: each
+    doc's bytes as a real 24-bit raster) → Arrow-batched REAL pixel
+    decode through the built-in pure-Python BMP codec
+    (extract_image_features, decoder='real': grayscale intensity
+    histograms over decoded pixels) → corpus-mean centering
+    (center_embeddings — intensity-histogram clouds are tightly
+    clustered, so sign-LSH NEEDS the centering to spread buckets) →
+    Rademacher sign-LSH near-dup pairs → connected components →
+    keep-best (largest payload wins, min media_id ties).
 
-    Every stage is exact: the fake decode is deterministic bytes, the
-    mean is quantized-integer, the planes are ±1.0 — so the full
-    five-stage composition hash-checks against chained generated SQL
-    (image_features_oracle_sql → centered_oracle_sql →
+    Every stage is exact: decode(encode(text)) is a bit-true codec
+    round-trip (pixel stream = text bytes + pad zeros — the oracle
+    derives the same histogram from character codes), the mean is
+    quantized-integer, the planes are ±1.0 — so the full five-stage
+    composition hash-checks against chained generated SQL
+    (image_features_bmp_oracle_sql → centered_oracle_sql →
     embedding_pairs_oracle_sql → keep_best_oracle_sql).
 
     Runs on the doc_id%5 subset: the synthetic word-soup histograms
@@ -2371,12 +2405,12 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     way."""
     from ..functions.dedup import embedding_neardup_pairs
     from ..functions.graph import dedup_keep_best
-    from ..functions.multimodal import extract_image_features, synthesize_media
+    from ..functions.multimodal import extract_image_features, synthesize_media_bmp
     from ..functions.similarity import center_embeddings
 
     docs = _ts(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    media = synthesize_media(docs)
-    feats = extract_image_features(media, dim=16).transform(
+    media = synthesize_media_bmp(docs)
+    feats = extract_image_features(media, dim=16, decoder="real").transform(
         materialize
     )  # one mapInPandas pass feeds the mean agg, pair mining, and keep-best
     centered = center_embeddings(feats, "feature", "centered", dim=16)
@@ -2769,6 +2803,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compacted_layout": q_compacted_layout,
     "zorder_layout": q_zorder_layout,
     "multimodal_features": q_multimodal_features,
+    "image_decode": q_image_decode,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
@@ -3059,6 +3094,9 @@ HARNESS_ORACLES: dict[str, str] = {
     "json_extract": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k FROM events"
     ),
+    # image_decode oracle is generated below from the same constants as
+    # the library codec (image_features_bmp_oracle_sql)
+
     "asof_join": (
         "WITH orders_1 AS ("
         "  SELECT * FROM orders QUALIFY ROW_NUMBER() OVER "
@@ -3606,13 +3644,28 @@ HARNESS_ORACLES["domain_quota"] = _domain_quota_oracle_sql(
 # per-stage generated SQL (features → centering → LSH pairs →
 # closure → keep-best) — no stage can drift from its standalone oracle
 from ..functions.multimodal import (  # noqa: E402
-    image_features_oracle_sql as _image_features_oracle_sql,
+    image_features_bmp_oracle_sql as _image_features_bmp_oracle_sql,
 )
 from ..functions.similarity import (  # noqa: E402
     centered_oracle_sql as _centered_oracle_sql,
 )
 
-_IMG_FEATS_SQL = _image_features_oracle_sql("doc_id % 5 = 0", dim=16)
+_IMG_FEATS_SQL = _image_features_bmp_oracle_sql("doc_id % 5 = 0", dim=16)
+
+# image_decode: the standalone real-decode row over the FULL documents
+# table — per-bin pixel counts re-integerized from the float32 feature
+# (round(f_b·n_pixels) recovers the exact count: counts < 2^24 so the
+# float32 quantization error stays far below 0.5)
+_IMG_DECODE_HIST = " || ',' || ".join(
+    "CAST(CAST(ROUND(CAST(feature[{j}] AS DOUBLE) * n_pixels) AS BIGINT) AS VARCHAR)".format(
+        j=j + 1
+    )
+    for j in range(16)
+)
+HARNESS_ORACLES["image_decode"] = (
+    f"SELECT media_id, mime, n_bytes, n_pixels, {_IMG_DECODE_HIST} AS hist "
+    f"FROM {_image_features_bmp_oracle_sql('TRUE', dim=16)} sq"
+)
 _IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)
 HARNESS_ORACLES["image_neardup"] = _keep_best_oracle_sql(
     "SELECT id_a, id_b FROM ("

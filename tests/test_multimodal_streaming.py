@@ -38,25 +38,12 @@ def test_extract_features_deterministic(media):
     assert n[1] == len("hello media world") and n[2] == 100
 
 
-def test_real_decoder_raises_without_pil(media):
-    # only meaningful while the container lacks Pillow; if codecs are
-    # ever added, the importorskip tests below take over
-    try:
-        import PIL  # noqa: F401
-        pytest.skip("Pillow installed — real path covered below")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        extract_image_features(media, decoder="real")
+def _gray_bmp(w=8, h=8, value=128):
+    import numpy as np
 
+    from openetlagent_spark.functions.multimodal import encode_gray_bmp
 
-def _png_bytes(Image, w=8, h=8, value=128):
-    import io
-
-    img = Image.new("L", (w, h), value)
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    return buf.getvalue()
+    return encode_gray_bmp(np.full((h, w), value, dtype=np.uint8))
 
 
 def _handbuilt_png(gray: int = 128) -> bytes:
@@ -105,60 +92,184 @@ def test_real_decode_corrupt_bytes_yield_zero_vector():
         assert not out.any()
 
 
-def test_real_decode_handbuilt_png_when_pil_present(spark):
-    """End-to-end real decode over the hand-built PNG literal: runs the
-    production path the day codecs exist; the truncated twin asserts
-    the corrupt→zero contract through the SAME Pillow code path."""
-    pytest.importorskip("PIL")
-    from PIL import Image
+def test_builtin_codec_roundtrips():
+    """decode(encode(x)) == x for the pure-Python BMP/PGM codecs over
+    random rasters, including widths whose 24-bit rows need stride
+    padding (w·3 not a multiple of 4)."""
+    import numpy as np
 
-    from openetlagent_spark.functions.multimodal import _real_decode_features
-
-    feat = _real_decode_features(Image, _handbuilt_png(gray=128), 16)
-    # single gray-128 pixel → all mass in bin 128//16 = 8
-    assert abs(feat[8] - 1.0) < 1e-6 and abs(feat.sum() - 1.0) < 1e-6
-    truncated = _handbuilt_png()[: len(_handbuilt_png()) // 2]
-    assert not _real_decode_features(Image, truncated, 16).any()
-
-    media = spark.createDataFrame(
-        [Row(media_id=1, payload=_handbuilt_png(gray=128), mime="image/png",
-             width=1, height=1, duration_ms=0)]
+    from openetlagent_spark.functions.multimodal import (
+        _decode_bmp,
+        _decode_pnm,
+        encode_gray_bmp,
+        encode_gray_pgm,
     )
-    rows = extract_image_features(media, decoder="real", dim=16).collect()
-    assert abs(rows[0].feature[8] - 1.0) < 1e-6
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 2), (7, 5), (8, 8), (2, 32), (5, 31)]:
+        arr = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert np.array_equal(_decode_bmp(encode_gray_bmp(arr)), arr)
+        assert np.array_equal(_decode_pnm(encode_gray_pgm(arr)), arr)
 
 
-def test_real_decoder_features_when_pil_present(spark):
-    PIL = pytest.importorskip("PIL")
-    from PIL import Image
-    from pyspark.sql import Row
+def test_builtin_decode_pnm_color_and_comments():
+    """P6 RGB payloads reduce via the integer ITU-R 601-2 luma; header
+    comments and P5 parse; truncated rasters are rejected (None)."""
+    import numpy as np
 
-    payload = _png_bytes(Image, value=128)
+    from openetlagent_spark.functions.multimodal import _decode_pnm
+
+    red = b"P6\n1 1\n255\n" + bytes([255, 0, 0])
+    assert _decode_pnm(red)[0, 0] == (255 * 299) // 1000
+    commented = b"P5\n# made by hand\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    assert np.array_equal(
+        _decode_pnm(commented), np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    )
+    assert _decode_pnm(b"P5\n2 2\n255\n\x01") is None
+
+
+def test_builtin_decode_rejects_corrupt_bmp():
+    import struct
+
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import (
+        _decode_bmp,
+        decode_image_builtin,
+        encode_gray_bmp,
+    )
+
+    good = encode_gray_bmp(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    assert _decode_bmp(good[: len(good) // 2]) is None  # truncated raster
+    assert _decode_bmp(b"BMgarbage") is None
+    assert decode_image_builtin(b"\x89PNG\r\n\x1a\n1234") is None  # not builtin
+    # top-down BMPs (negative height) decode in file row order
+    td = bytearray(encode_gray_bmp(np.array([[1, 2], [3, 4]], dtype=np.uint8)))
+    struct.pack_into("<i", td, 22, -struct.unpack_from("<i", td, 22)[0])
+    assert np.array_equal(
+        _decode_bmp(bytes(td)), np.array([[3, 4], [1, 2]], dtype=np.uint8)
+    )
+
+
+def test_real_decoder_features_builtin(spark):
+    """End-to-end real decode through the Spark stage over a hand-built
+    BMP — no imaging library anywhere in the path."""
     media = spark.createDataFrame(
-        [Row(media_id=1, payload=payload, mime="image/png",
+        [Row(media_id=1, payload=_gray_bmp(value=128), mime="image/bmp",
              width=8, height=8, duration_ms=0)]
     )
     rows = extract_image_features(media, decoder="real", dim=16).collect()
     feat = rows[0].feature
     # uniform gray 128 → all mass in bin 128//16 = 8
     assert abs(feat[8] - 1.0) < 1e-6 and abs(sum(feat) - 1.0) < 1e-6
+    assert rows[0].n_pixels == 64
 
 
-def test_real_resize_when_pil_present(spark):
-    PIL = pytest.importorskip("PIL")
-    import io
-
-    from PIL import Image
-    from pyspark.sql import Row
-
-    payload = _png_bytes(Image, w=8, h=8)
+def test_real_decode_undecodable_yields_zero_vector_spark(spark):
+    """The totality contract through the full Spark stage: PNG bytes
+    with no Pillow present (or hopeless garbage with it) must yield the
+    zero vector and n_pixels=0, never a task failure."""
     media = spark.createDataFrame(
-        [Row(media_id=1, payload=payload, mime="image/png",
+        [
+            Row(media_id=1, payload=b"\x00\x01not-an-image", mime="application/octet-stream",
+                width=0, height=0, duration_ms=0),
+            Row(media_id=2, payload=b"", mime="image/png", width=0, height=0, duration_ms=0),
+        ]
+    )
+    rows = {r.media_id: r for r in extract_image_features(media, decoder="real", dim=16).collect()}
+    assert all(not any(r.feature) and r.n_pixels == 0 for r in rows.values())
+
+
+def test_pillow_fallback_dispatch():
+    """Non-builtin payloads route to the Image module when one is
+    supplied — proven with a stand-in so the dispatch is covered even
+    without Pillow installed."""
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import _decode_gray
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((2, 2), 9, dtype=np.uint8)
+
+    class _FakeImage:
+        @staticmethod
+        def open(buf):
+            assert buf.read(4) == b"\x89PNG"
+            return _FakeImg()
+
+    out = _decode_gray(b"\x89PNGrest", _FakeImage)
+    assert np.array_equal(out, np.full((2, 2), 9, dtype=np.uint8))
+    # builtin formats never reach the fallback
+    bmp = _gray_bmp(w=2, h=2, value=5)
+
+    class _Explodes:
+        @staticmethod
+        def open(_buf):
+            raise AssertionError("builtin format must not hit Pillow")
+
+    assert _decode_gray(bmp, _Explodes)[0, 0] == 5
+
+
+def test_real_resize_builtin(spark):
+    from openetlagent_spark.functions.multimodal import _decode_bmp
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=_gray_bmp(w=8, h=8, value=77), mime="image/bmp",
              width=8, height=8, duration_ms=0)]
     )
     out = resize_images(media, target_width=4, target_height=4, decoder="real").collect()
-    img = Image.open(io.BytesIO(out[0].payload))
-    assert img.size == (4, 4) and out[0].width == 4 and out[0].height == 4
+    arr = _decode_bmp(out[0].payload)
+    assert arr.shape == (4, 4) and (arr == 77).all()
+    assert out[0].width == 4 and out[0].height == 4
+
+
+def test_real_resize_nearest_neighbour_indexing(spark):
+    """Floor-index NN: downsizing 4→2 keeps rows/cols 0 and 2."""
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import _decode_bmp, encode_gray_bmp
+
+    src = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=encode_gray_bmp(src), mime="image/bmp",
+             width=4, height=4, duration_ms=0)]
+    )
+    out = resize_images(media, target_width=2, target_height=2, decoder="real").collect()
+    assert np.array_equal(_decode_bmp(out[0].payload), src[[0, 2]][:, [0, 2]])
+
+
+def test_synthesize_media_bmp_roundtrip(spark):
+    """payload = BMP of the text bytes: decode recovers text + pad."""
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import (
+        _decode_bmp,
+        synthesize_media_bmp,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello media world"), Row(doc_id=2, text=""),
+         Row(doc_id=3, text="y" * 33)]
+    )
+    rows = {r.media_id: r for r in synthesize_media_bmp(docs, width=32).collect()}
+    arr = _decode_bmp(rows[1].payload)
+    assert arr.shape == (1, 32)
+    assert bytes(arr[0, :17]) == b"hello media world" and not arr[0, 17:].any()
+    assert rows[2].payload == b"" and rows[2].height == 0
+    assert _decode_bmp(rows[3].payload).shape == (2, 32)
+
+    feats = {
+        r.media_id: r
+        for r in extract_image_features(
+            synthesize_media_bmp(docs, width=32), decoder="real", dim=16
+        ).collect()
+    }
+    assert feats[1].n_pixels == 32 and feats[3].n_pixels == 64
+    assert feats[2].n_pixels == 0 and not any(feats[2].feature)
+    # 54-byte header + stride 96 per row
+    assert feats[1].n_bytes == 54 + 96 and feats[3].n_bytes == 54 + 192
 
 
 def test_resize_rewrites_dims_and_payload(media):
