@@ -583,20 +583,38 @@ def _totals_output_row(user_id, state: tuple[int, int, int]) -> pd.DataFrame:
     )
 
 
-def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
+def running_totals(
+    events: DataFrame,
+    *,
+    ttl_ms: int | None = None,
+    stateful_api: str = "auto",
+) -> DataFrame:
     """Per-user lifetime counters (event count + value sum) — the
     real-time feature-store pattern: every micro-batch emits each
     touched user's UPDATED totals.
 
-    Streaming path: Spark 4's ``transformWithStateInPandas`` (the
-    arbitrary-stateful v2 API; its Python worker needs a working
-    ``google.protobuf``, and the operator needs the RocksDB state
-    store — configured below; the batch path has neither dependency)
-    with one ``ValueState`` per user — optionally TTL-expired
-    (``ttl_ms``) so abandoned keys age out of the store instead of
-    growing it forever (TTL forces ``timeMode='ProcessingTime'``;
-    without it the operator runs time-mode-free); state size is
-    O(live users) either way.
+    Streaming path — two interchangeable stateful transports around
+    the SAME pure fold (``_accumulate_totals``), selected by
+    ``stateful_api``:
+
+    - ``"v2"``: Spark 4's ``transformWithStateInPandas`` (the
+      arbitrary-stateful v2 API; its Python worker needs a working
+      ``google.protobuf``, and the operator needs the RocksDB state
+      store — configured below) with one ``ValueState`` per user —
+      optionally TTL-expired (``ttl_ms``) so abandoned keys age out of
+      the store instead of growing it forever (TTL forces
+      ``timeMode='ProcessingTime'``; without it the operator runs
+      time-mode-free).
+    - ``"v1"``: ``applyInPandasWithState`` (FlatMapGroupsWithState) —
+      the Arrow-worker API with no protobuf dependency; TTL maps to a
+      processing-time timeout that silently drops the expired key's
+      state (the v2 TTL behaves identically: the next read simply
+      misses).
+    - ``"auto"`` (default): v2 when ``google.protobuf`` imports, else
+      v1 — so the stateful leg EXECUTES on every environment and
+      parity tests never gate on the optional dependency.
+
+    State size is O(live users) on both transports.
 
     Stream/batch parity is exact by construction: values accumulate as
     integer micro-units produced by the SAME rounding the batch leg's
@@ -609,6 +627,10 @@ def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame
 
     Batch path (non-streaming input): the same totals as one groupBy —
     used by tests (stream-parity) and the SQL oracle."""
+    if stateful_api not in ("auto", "v1", "v2"):
+        raise ValueError(
+            f"running_totals stateful_api must be auto|v1|v2, got {stateful_api!r}"
+        )
     if not events.isStreaming:
         return (
             events.groupBy("user_id")
@@ -617,6 +639,47 @@ def running_totals(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame
                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
             )
             .select("user_id", "n_events", "sum_value")
+        )
+
+    if stateful_api == "auto":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            stateful_api = "v2"
+        except ImportError:
+            stateful_api = "v1"
+
+    if stateful_api == "v1":
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(
+            key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            if state.hasTimedOut:
+                # TTL expiry: drop the key's totals without emitting —
+                # exactly what the v2 ValueState TTL does (the next
+                # read misses)
+                if state.exists:
+                    state.remove()
+                return
+            prev = tuple(int(x) for x in state.get) if state.exists else None
+            st = _accumulate_totals(prev, pdfs)
+            state.update(st)
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield _totals_output_row(user_id, st)
+
+        return events.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType="n BIGINT, micros BIGINT, n_vals BIGINT",
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
 
     from pyspark.sql.streaming.stateful_processor import (

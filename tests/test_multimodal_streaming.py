@@ -509,19 +509,15 @@ def test_streaming_admission_gate_matches_batch(spark, tmp_path):
 
 
 def test_running_totals_stream_matches_batch(spark, tmp_path):
-    """transformWithStateInPandas (Spark 4 stateful v2): lifetime
-    per-user totals accumulated across TWO file batches must equal the
-    one-shot batch aggregate — the integer micro-unit state makes the
-    sum independent of micro-batch boundaries.
+    """Stateful streaming totals: lifetime per-user totals accumulated
+    across TWO file batches must equal the one-shot batch aggregate —
+    the integer micro-unit state makes the sum independent of
+    micro-batch boundaries.
 
-    The stateful-v2 Python worker speaks protobuf to the JVM state
-    server; this container ships a broken google.protobuf, so the
-    streaming leg skips until the dependency exists (the batch leg and
-    the harness oracle run everywhere)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable — transformWithStateInPandas worker cannot start")
+    Runs on stateful_api='auto': transformWithStateInPandas (v2) where
+    google.protobuf exists, applyInPandasWithState (v1) otherwise — so
+    the stateful leg EXECUTES here instead of skipping; both transports
+    wrap the same _accumulate_totals fold."""
     from openetlagent_spark.streaming import running_totals
 
     rows1 = [
@@ -549,8 +545,11 @@ def test_running_totals_stream_matches_batch(spark, tmp_path):
     stream = spark.readStream.schema(all_events.schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(src)
+    # no TTL here: on the v1 transport a processing-time timeout keeps
+    # an availableNow query alive past the data batches (see the
+    # sessionize test); TTL behavior has its own poll-based test below
     q = (
-        running_totals(stream, ttl_ms=24 * 3600 * 1000)
+        running_totals(stream)
         .writeStream.format("memory")
         .queryName("run_totals")
         .outputMode("update")
@@ -581,6 +580,60 @@ def test_running_totals_batch_form(spark):
     df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
     got = {r.user_id: (r.n_events, r.sum_value) for r in running_totals(df).collect()}
     assert got == {0: (2, 0.5 + 2.5), 1: (2, 1.5 + 3.5)}
+
+
+def test_running_totals_v1_ttl_emits_then_keeps_query_alive(spark, tmp_path):
+    """TTL on the v1 transport: totals still emit per batch; the query
+    stays alive on processing-time timers, so the test polls the sink
+    and stops the query (the documented availableNow + timeout
+    caveat)."""
+    import time
+
+    from openetlagent_spark.streaming import running_totals
+
+    rows = [
+        Row(event_id=i, ts=f"2024-01-01 00:0{i}:00", user_id=i % 2,
+            event_type="click", value=float(i), props="{}")
+        for i in range(4)
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "totals_ttl_src")
+    batch.write.parquet(src)
+    expected = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in running_totals(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        running_totals(stream, ttl_ms=3_600_000, stateful_api="v1")
+        .writeStream.format("memory")
+        .queryName("run_totals_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 120
+    got = {}
+    while time.time() < deadline:
+        got = {
+            r.user_id: (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM run_totals_ttl").collect()
+        }
+        if got == expected:
+            break
+        time.sleep(1)
+    q.stop()
+    assert got == expected
+
+
+def test_running_totals_rejects_unknown_api(spark):
+    from openetlagent_spark.streaming import running_totals
+
+    df = spark.createDataFrame([Row(user_id=1, value=1.0)])
+    with pytest.raises(ValueError, match="stateful_api"):
+        running_totals(df, stateful_api="v3")
 
 
 def test_streaming_sliding_window_counts_match_batch(spark, tmp_path):
