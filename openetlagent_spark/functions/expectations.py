@@ -46,11 +46,14 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-PER_ROW_CHECKS = ("not_null", "min", "max", "in_set", "regex")
+PER_ROW_CHECKS = ("not_null", "min", "max", "in_set", "regex", "expr")
 AGG_CHECKS = ("unique",)
+SEVERITIES = ("fail", "warn")
 
 
 def _rule_base_id(rule: dict) -> str:
+    if rule["check"] == "expr":
+        return f"{rule['name']}:expr"
     return f"{rule['column']}:{rule['check']}"
 
 
@@ -79,10 +82,9 @@ def validate_rules(rules: list[dict]) -> list[dict]:
     seen_content = set()
     id_counts: dict[str, int] = {}
     for i, r in enumerate(rules):
-        if not isinstance(r, dict) or "column" not in r or "check" not in r:
+        if not isinstance(r, dict) or "check" not in r:
             raise ValueError(
-                f"expectations rule #{i} must be a dict with column and check, "
-                f"got {r!r}"
+                f"expectations rule #{i} must be a dict with a check, got {r!r}"
             )
         check = r["check"]
         if check not in PER_ROW_CHECKS + AGG_CHECKS:
@@ -90,18 +92,49 @@ def validate_rules(rules: list[dict]) -> list[dict]:
                 f"expectations rule #{i}: unknown check {check!r} "
                 f"(valid: {sorted(PER_ROW_CHECKS + AGG_CHECKS)})"
             )
+        if check == "expr":
+            # cross-column boolean expression in the shared
+            # Spark-SQL/DuckDB subset (the regex-pattern contract:
+            # the author keeps to portable functions); named so the
+            # rule id stays meaningful
+            if not r.get("expr") or not isinstance(r.get("expr"), str):
+                raise ValueError(f"expectations rule #{i}: expr needs 'expr'")
+            if ";" in r["expr"]:
+                raise ValueError(
+                    f"expectations rule #{i}: expr must be a single boolean "
+                    "expression (no ';')"
+                )
+            import re as _re
+
+            if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(r.get("name", ""))):
+                raise ValueError(
+                    f"expectations rule #{i}: expr needs a bare-identifier 'name'"
+                )
+        elif "column" not in r:
+            raise ValueError(
+                f"expectations rule #{i} must name a column (got {r!r})"
+            )
         if check in ("min", "max") and "value" not in r:
             raise ValueError(f"expectations rule #{i}: {check} needs 'value'")
         if check == "in_set" and not r.get("values"):
             raise ValueError(f"expectations rule #{i}: in_set needs 'values'")
         if check == "regex" and not r.get("pattern"):
             raise ValueError(f"expectations rule #{i}: regex needs 'pattern'")
+        severity = r.get("severity", "fail")
+        if severity not in SEVERITIES:
+            raise ValueError(
+                f"expectations rule #{i}: severity must be one of "
+                f"{SEVERITIES}, got {severity!r}"
+            )
         # duplicates are judged on CONTENT (two different regexes on
-        # one column are two legitimate constraints); the display id
-        # stays short, disambiguated with #k on repeats
+        # one column are two legitimate constraints; severity is NOT
+        # content — the same constraint at two severities is
+        # ambiguous); the display id stays short, disambiguated with
+        # #k on repeats
         content = (
-            r["column"], check, repr(r.get("value")),
+            r.get("column"), check, repr(r.get("value")),
             repr(list(r.get("values", []))), repr(r.get("pattern")),
+            repr(r.get("expr")), r.get("name"),
         )
         if content in seen_content:
             raise ValueError(
@@ -114,6 +147,7 @@ def validate_rules(rules: list[dict]) -> list[dict]:
         rid = base if id_counts[base] == 1 else f"{base}#{id_counts[base]}"
         rr = dict(r)
         rr["_id"] = rid
+        rr["severity"] = severity
         out.append(rr)
     return out
 
@@ -121,8 +155,13 @@ def validate_rules(rules: list[dict]) -> list[dict]:
 def _violation_expr(rule: dict) -> Column:
     """Per-row violation predicate (TRUE = violated, FALSE/NULL = ok;
     conditional sums count only TRUE, matching the oracle's CASE)."""
-    c = F.col(rule["column"])
     check = rule["check"]
+    if check == "expr":
+        # violated only when the expectation evaluates to FALSE; a
+        # NULL outcome (e.g. a NULL operand) is not a violation —
+        # not_null rules own NULL handling, same as the range checks
+        return ~F.coalesce(F.expr(rule["expr"]), F.lit(True))
+    c = F.col(rule["column"])
     if check == "not_null":
         return c.isNull()
     if check == "min":
@@ -138,7 +177,10 @@ def _violation_expr(rule: dict) -> Column:
 
 
 def _violation_sql(rule: dict) -> str:
-    col, check = rule["column"], rule["check"]
+    check = rule["check"]
+    if check == "expr":
+        return f"NOT COALESCE(({rule['expr']}), TRUE)"
+    col = rule["column"]
     if check == "not_null":
         return f"{col} IS NULL"
     if check == "min":
@@ -152,11 +194,11 @@ def _violation_sql(rule: dict) -> str:
 
 
 def expectations_summary(df: DataFrame, rules: list[dict]) -> DataFrame:
-    """Per-rule audit: ``(rule string, n_rows, n_violations bigint,
-    violation_rate double)`` — one scan; one 1-row exchange carries
-    every per-row counter, each ``unique`` rule adds one distinct-key
-    exchange; the per-rule rows explode out of the single counter
-    row."""
+    """Per-rule audit: ``(rule string, severity, n_rows, n_violations
+    bigint, violation_rate double)`` — one scan; one 1-row exchange
+    carries every per-row counter, each ``unique`` rule adds one
+    distinct-key exchange; the per-rule rows explode out of the single
+    counter row."""
     rules = validate_rules(rules)
     aggs = [F.count(F.lit(1)).cast("long").alias("__n__")]
     for i, r in enumerate(rules):
@@ -182,6 +224,7 @@ def expectations_summary(df: DataFrame, rules: list[dict]) -> DataFrame:
         *[
             F.struct(
                 F.lit(r["_id"]).alias("rule"),
+                F.lit(r["severity"]).alias("severity"),
                 F.col(f"__v{i}__").alias("n_violations"),
             )
             for i, r in enumerate(rules)
@@ -194,6 +237,7 @@ def expectations_summary(df: DataFrame, rules: list[dict]) -> DataFrame:
     )
     return exploded.select(
         F.col("p.rule").alias("rule"),
+        F.col("p.severity").alias("severity"),
         F.col("__n__").alias("n_rows"),
         F.col("p.n_violations").alias("n_violations"),
         rate.alias("violation_rate"),
@@ -204,7 +248,10 @@ def expectations_annotate(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Per-row quarantine flags: adds one boolean ``ok_<column>_<check>``
     per PER-ROW rule (TRUE = passes; aggregate-shaped rules like
     ``unique`` have no per-row meaning and are rejected) plus the
-    conjunctive ``expect_pass``.  Pure projection — zero shuffle."""
+    conjunctive ``expect_pass``.  ``expect_pass`` conjoins FAIL-severity
+    rules only — warn rules annotate without quarantining (the
+    Great-Expectations warn contract); a battery of only warn rules
+    passes every row.  Pure projection — zero shuffle."""
     rules = validate_rules(rules)
     aggish = [r for r in rules if r["check"] in AGG_CHECKS]
     if aggish:
@@ -215,7 +262,8 @@ def expectations_annotate(df: DataFrame, rules: list[dict]) -> DataFrame:
     named = []
     used = set()
     for r in rules:
-        name = f"ok_{r['column']}_{r['check']}"
+        stem = r["name"] if r["check"] == "expr" else r["column"]
+        name = f"ok_{stem}_{r['check']}"
         if name in used:  # second rule of the same shape on a column
             name = f"ok_{r['_id'].replace(':', '_').replace('#', '_')}"
         if name in df.columns or name in used:
@@ -232,8 +280,12 @@ def expectations_annotate(df: DataFrame, rules: list[dict]) -> DataFrame:
     # chain re-analyzes the growing plan per rule)
     flags = {n: ~F.coalesce(_violation_expr(r), F.lit(False)) for n, r in named}
     conj = None
-    for n in flags:
+    for n, r in named:
+        if r["severity"] != "fail":
+            continue
         conj = flags[n] if conj is None else conj & flags[n]
+    if conj is None:  # warn-only battery: nothing quarantines
+        conj = F.lit(True)
     return df.select(
         "*",
         *[flags[n].alias(n) for n in flags],
@@ -243,10 +295,12 @@ def expectations_annotate(df: DataFrame, rules: list[dict]) -> DataFrame:
 
 def expectations_enforce(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Circuit breaker: the frame passes through untouched unless some
-    row violates a per-row rule — then materialization FAILS with an
-    error naming the rule and the offending value (the strict-cast
-    contract; like casting, the raise lives in the projection, so it
-    fires when the column is actually computed)."""
+    row violates a FAIL-severity per-row rule — then materialization
+    FAILS with an error naming the rule and the offending value (the
+    strict-cast contract; like casting, the raise lives in the
+    projection, so it fires when the column is actually computed).
+    Warn-severity rules never stop the job (observe them via the
+    summary/annotate modes)."""
     rules = validate_rules(rules)
     aggish = [r for r in rules if r["check"] in AGG_CHECKS]
     if aggish:
@@ -260,14 +314,20 @@ def expectations_enforce(df: DataFrame, rules: list[dict]) -> DataFrame:
         )
     expr = None
     for r in rules:
+        if r["severity"] != "fail":
+            continue
         v = F.coalesce(_violation_expr(r), F.lit(False))
+        offender = (
+            F.lit(f"[{r['expr']}]")
+            if r["check"] == "expr"
+            else F.coalesce(F.col(r["column"]).cast("string"), F.lit("NULL"))
+        )
         err = F.raise_error(
-            F.concat(
-                F.lit(f"expectation violated: {r['_id']} on value "),
-                F.coalesce(F.col(r["column"]).cast("string"), F.lit("NULL")),
-            )
+            F.concat(F.lit(f"expectation violated: {r['_id']} on value "), offender)
         )
         expr = F.when(v, err) if expr is None else expr.when(v, err)
+    if expr is None:  # warn-only battery: nothing can raise
+        return df.withColumn("expect_checked", F.lit(0))
     # the guard stays a VISIBLE output column (constant 0 on clean
     # data) so column pruning cannot drop it before it runs — the same
     # observability caveat as strict casts: it fires when materialized
@@ -293,8 +353,10 @@ def expectations_oracle_sql(*, table: str, rules: list[dict]) -> str:
     arms = []
     for i, r in enumerate(rules):
         rid = _sql_lit(r["_id"])
+        sev = _sql_lit(r["severity"])
         arms.append(
-            f"SELECT {rid} AS rule, n AS n_rows, v{i} AS n_violations,\n"
+            f"SELECT {rid} AS rule, {sev} AS severity, n AS n_rows, "
+            f"v{i} AS n_violations,\n"
             f"       CASE WHEN n > 0 THEN CAST(v{i} AS DOUBLE) / CAST(n AS DOUBLE) END"
             f" AS violation_rate FROM __ex_c"
         )

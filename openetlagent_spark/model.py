@@ -1669,9 +1669,14 @@ class SqlTransformOperation(Operation):
 @dataclass
 class ExpectationsOperation(Operation):
     """Row-level data-quality expectations as a flow op
-    (functions/expectations.py).  ``mode``:
+    (functions/expectations.py).  Rules support per-column checks
+    (not_null/min/max/in_set/regex/unique), cross-column ``expr``
+    checks (a named boolean expression in the shared Spark/DuckDB SQL
+    subset), and per-rule ``severity`` (``fail`` default; ``warn``
+    rules are counted/flagged but never quarantine or enforce).
+    ``mode``:
     - ``summary`` (default): REPLACES the frame with one row per rule
-      (``rule, n_rows, n_violations, violation_rate``);
+      (``rule, severity, n_rows, n_violations, violation_rate``);
     - ``annotate``: adds per-rule ``ok_<column>_<check>`` booleans and
       the conjunctive ``expect_pass`` (per-row rules only);
     - ``filter``: keeps only rows passing every per-row rule;

@@ -753,7 +753,13 @@ def apply_expectations(df: DataFrame, op: "ExpectationsOperation") -> DataFrame:
         expectations_summary,
     )
 
-    require_columns(df, sorted({r["column"] for r in op.rules}), "expectations")
+    # expr rules reference columns inside the expression; the analyzer
+    # validates those at resolution time with its own clear error
+    require_columns(
+        df,
+        sorted({r["column"] for r in op.rules if "column" in r}),
+        "expectations",
+    )
     if op.mode == "summary":
         return expectations_summary(df, list(op.rules))
     if op.mode == "enforce":

@@ -1699,6 +1699,14 @@ _EXPECT_RULES = [
     {"column": "o_orderstatus", "check": "in_set", "values": ["O", "F", "P"]},
     {"column": "o_orderpriority", "check": "regex", "pattern": "^[1-5]-"},
     {"column": "o_orderkey", "check": "unique"},
+    # cross-column expr rule (shared Spark/DuckDB subset) at warn
+    # severity: counted and reported, but never quarantines/enforces
+    {
+        "check": "expr",
+        "name": "custkey_below_orderkey",
+        "expr": "o_custkey < o_orderkey",
+        "severity": "warn",
+    },
 ]
 
 

@@ -217,7 +217,15 @@ def test_example_data_quality_audit(spark, tmp_path):
     rows = {r.rule: r for r in result.collect()}
     assert set(rows) == {"o_custkey:not_null", "o_totalprice:min",
                          "o_orderstatus:in_set", "o_orderpriority:regex",
-                         "o_orderkey:unique"}
-    # the synthetic orders are clean — every audit row reports zero
-    for r in rows.values():
-        assert r.n_violations == 0 and r.n_rows == 1500
+                         "o_orderkey:unique", "low_price_only_finished:expr"}
+    assert rows["low_price_only_finished:expr"].severity == "warn"
+    assert all(
+        r.severity == "fail" for k, r in rows.items()
+        if k != "low_price_only_finished:expr"
+    )
+    # the synthetic orders are clean on the fail rules — every fail
+    # audit row reports zero (the warn expr rule is data-dependent)
+    for k, r in rows.items():
+        assert r.n_rows == 1500
+        if r.severity == "fail":
+            assert r.n_violations == 0

@@ -179,6 +179,64 @@ def test_flow_op_mode_rule_compat_at_parse_time(spark):
                          "rules": [{"column": "k", "check": "unique"}]})
 
 
+def test_expr_rule_cross_column(spark):
+    """expr checks: violated only when the boolean expression is FALSE;
+    NULL operands are not violations (not_null owns NULLs)."""
+    df = _df(spark)
+    rules = [{"check": "expr", "name": "v_le_100_when_k", "expr": "v <= 100 OR k IS NULL"}]
+    got = {r["rule"]: r for r in expectations_summary(df, rules).collect()}
+    # only (k=3, v=200) violates; (k=None, v=-5) passes via the OR arm,
+    # (k=3, v=NULL) evaluates NULL -> not a violation
+    assert got["v_le_100_when_k:expr"]["n_violations"] == 1
+    ann = expectations_annotate(df, rules)
+    assert "ok_v_le_100_when_k_expr" in ann.columns
+    assert ann.filter("NOT expect_pass").count() == 1
+
+
+def test_severity_warn_does_not_gate(spark):
+    """warn rules are counted and flagged but never quarantine or
+    enforce; the summary carries the severity column."""
+    df = _df(spark)
+    rules = [
+        {"column": "v", "check": "max", "value": 100, "severity": "warn"},
+        {"column": "k", "check": "not_null"},
+    ]
+    summ = {r["rule"]: r for r in expectations_summary(df, rules).collect()}
+    assert summ["v:max"]["severity"] == "warn" and summ["v:max"]["n_violations"] == 1
+    assert summ["k:not_null"]["severity"] == "fail"
+    ann = expectations_annotate(df, rules)
+    # the v=200 row fails the warn rule's flag but still expect_passes
+    flagged = ann.filter("NOT ok_v_max AND expect_pass").count()
+    assert flagged == 1
+    # only the not_null (fail) rule quarantines
+    assert ann.filter("NOT expect_pass").count() == 1
+    # enforce ignores warn rules: drop the violating-k row and the
+    # battery materializes even though v=200 trips the warn rule
+    clean_k = df.filter("k IS NOT NULL")
+    expectations_enforce(clean_k, rules).collect()
+    # a warn-only battery can never raise or quarantine
+    warn_only = [{"column": "v", "check": "max", "value": 100, "severity": "warn"}]
+    assert expectations_annotate(df, warn_only).filter("NOT expect_pass").count() == 0
+    expectations_enforce(df, warn_only).collect()
+
+
+def test_expr_rule_validation():
+    with pytest.raises(ValueError, match="needs 'expr'"):
+        validate_rules([{"check": "expr", "name": "x"}])
+    with pytest.raises(ValueError, match="bare-identifier 'name'"):
+        validate_rules([{"check": "expr", "expr": "a < b"}])
+    with pytest.raises(ValueError, match="no ';'"):
+        validate_rules([{"check": "expr", "name": "x", "expr": "a < b; DROP TABLE t"}])
+    with pytest.raises(ValueError, match="severity"):
+        validate_rules([{"column": "k", "check": "not_null", "severity": "warning"}])
+    # identical expr at two severities is ambiguous -> duplicate
+    with pytest.raises(ValueError, match="duplicate"):
+        validate_rules([
+            {"check": "expr", "name": "x", "expr": "a < b"},
+            {"check": "expr", "name": "x", "expr": "a < b", "severity": "warn"},
+        ])
+
+
 def test_expectations_filter_on_a_stream_matches_batch(spark, tmp_path):
     """annotate/filter are pure projections, so the SAME rule battery
     runs unchanged on a structured stream — the quarantine gate a
