@@ -1641,15 +1641,44 @@ class SqlTransformOperation(Operation):
     Catalyst treats the statement like any other plan fragment
     (pushdown/pruning/codegen compose across the boundary).  The
     statement must be a single SELECT/WITH query — DDL/DML is
-    rejected at parse time (a pipeline op must not mutate catalogs)."""
+    rejected at parse time (a pipeline op must not mutate catalogs).
+
+    ``views`` optionally exposes OTHER pipeline inputs to the
+    statement: ``{view_name: input_key}`` registers each named input
+    (resolved against the config's inputs dict, the union/bind
+    side-resolve pattern) as an additional temp view for the
+    statement's lifetime — so ad-hoc joins across declared inputs stay
+    inside the declarative escape hatch."""
 
     statement: str = ""
     view: str = "frame"
+    views: dict[str, str] = field(default_factory=dict)
     operation_type: str = "sql_transform"
 
     def __post_init__(self) -> None:
         if not self.statement or not self.statement.strip():
             raise SpecError("sql_transform requires a statement")
+        if not isinstance(self.views, dict):
+            raise SpecError(
+                f"sql_transform views must map view names to input keys, "
+                f"got {self.views!r}"
+            )
+        for vname, key in self.views.items():
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(vname)):
+                raise SpecError(
+                    f"sql_transform views key must be a bare identifier, "
+                    f"got {vname!r}"
+                )
+            if not key or not isinstance(key, str):
+                raise SpecError(
+                    f"sql_transform views[{vname!r}] must name an input key, "
+                    f"got {key!r}"
+                )
+        if self.view in self.views:
+            raise SpecError(
+                f"sql_transform views may not reuse the frame view name "
+                f"{self.view!r}"
+            )
         # fast parse-time sanity check (comments stripped, leading
         # parens allowed); the AUTHORITATIVE DML/DDL guard walks the
         # parsed logical plan at apply time — a leading-keyword test

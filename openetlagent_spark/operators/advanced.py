@@ -690,29 +690,52 @@ def apply_quantile_sketch(df: DataFrame, op: "QuantileSketchOperation") -> DataF
     )
 
 
-def apply_sql_transform(df: DataFrame, op: "SqlTransformOperation") -> DataFrame:
-    """Register the frame under the spec's view name, run the SELECT,
-    return its (lazy) result.  spark.sql ANALYZES eagerly — the view
-    resolves into the plan at this call — so the temp view is dropped
+def apply_sql_transform(
+    df: DataFrame,
+    op: "SqlTransformOperation",
+    spark=None,
+    inputs: dict | None = None,
+) -> DataFrame:
+    """Register the frame under the spec's view name (plus any
+    ``views``-declared pipeline inputs under theirs), run the SELECT,
+    return its (lazy) result.  spark.sql ANALYZES eagerly — the views
+    resolve into the plan at this call — so every temp view is dropped
     immediately afterwards and cannot leak across sequential ops.
 
     Two loud guards before anything runs:
-    - a temp view already registered under the op's name is NEVER
-      clobbered (createOrReplaceTempView would replace it and the
-      cleanup would then DROP the user's view) — rename one side;
+    - a temp view already registered under any of the op's names is
+      NEVER clobbered (createOrReplaceTempView would replace it and
+      the cleanup would then DROP the user's view) — rename one side;
     - the statement's PARSED plan is walked for Command/DML nodes
       (DeleteFromTable, InsertIntoStatement, CreateTable, SetCommand,
       ...) — the parse-time leading-keyword check alone is bypassable
       via ``WITH x AS (...) INSERT INTO ...``, and spark.sql would
       EXECUTE such a statement eagerly, mutating catalogs from inside
       a pipeline op."""
-    spark = df.sparkSession
-    if any(
-        t.name == op.view and t.isTemporary for t in spark.catalog.listTables()
-    ):
+    spark = spark or df.sparkSession
+    side_frames: dict[str, DataFrame] = {}
+    if op.views:
+        from ..sources import scan_data
+
+        inputs = inputs or {}
+        missing = [k for k in op.views.values() if k not in inputs]
+        if missing:
+            raise ValueError(
+                f"sql_transform: views reference input keys {missing} not in "
+                f"pipeline inputs {sorted(inputs)}"
+            )
+        side_frames = {
+            vname: scan_data(spark, inputs[key]) for vname, key in op.views.items()
+        }
+    all_views = [op.view, *side_frames]
+    existing = {
+        t.name for t in spark.catalog.listTables() if t.isTemporary
+    }
+    clashes = [v for v in all_views if v in existing]
+    if clashes:
         raise ValueError(
-            f"sql_transform: a temp view named {op.view!r} already exists in "
-            "this session; pick a different view name instead of clobbering it"
+            f"sql_transform: temp view(s) {clashes} already exist in this "
+            "session; pick different view names instead of clobbering them"
         )
     jvm = spark._jvm
     parsed = spark._jsparkSession.sessionState().sqlParser().parsePlan(op.statement)
@@ -739,11 +762,17 @@ def apply_sql_transform(df: DataFrame, op: "SqlTransformOperation") -> DataFrame
             f"sql_transform statement contains non-query nodes {bad}; only "
             "a single SELECT/WITH query may run inside a pipeline op"
         )
-    df.createOrReplaceTempView(op.view)
+    registered: list[str] = []
     try:
+        df.createOrReplaceTempView(op.view)
+        registered.append(op.view)
+        for vname, frame in side_frames.items():
+            frame.createOrReplaceTempView(vname)
+            registered.append(vname)
         return spark.sql(op.statement)
     finally:
-        spark.catalog.dropTempView(op.view)
+        for vname in registered:
+            spark.catalog.dropTempView(vname)
 
 
 def apply_expectations(df: DataFrame, op: "ExpectationsOperation") -> DataFrame:

@@ -1689,6 +1689,61 @@ def q_sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TRANSFORM_SQL = _SQLT_TEMPLATE.format(table="events")
 
 
+# sql_transform with a views side-input: the statement joins the
+# current frame against a second registered pipeline input — again ONE
+# template instantiated per engine, so op SQL == oracle SQL
+_SQLJ_TEMPLATE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       MIN(o.o_totalprice) AS min_price,
+       MAX(o.o_totalprice) AS max_price
+FROM {orders} o
+JOIN {customer} c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-input SQL escape hatch: ``views: {name: input_key}``
+    registers additional declared pipeline inputs as temp views for
+    the statement's lifetime (operators/advanced.py
+    apply_sql_transform), so an ad-hoc JOIN across inputs runs inside
+    the same guarded op — parsed-plan DML walk, no-clobber view
+    registration, all views dropped after analysis.  The oracle is the
+    SAME statement template instantiated against DuckDB's table names;
+    integer/extremum aggregates keep it one shared-dialect string."""
+    from ..model import (
+        ColumnDefinition,
+        FileDefinition,
+        FileSchema,
+        parse_operation,
+    )
+    from ..operators import apply_sql_transform
+
+    orders = _t(spark, sf_dir, "orders")
+    cust_def = FileDefinition(
+        path=f"{sf_dir}/customer.parquet",
+        format="parquet",
+        file_schema=FileSchema(
+            name="customer",
+            columns={
+                "c_custkey": ColumnDefinition(type="integer"),
+                "c_mktsegment": ColumnDefinition(type="string"),
+            },
+        ),
+    )
+    op = parse_operation({
+        "operation_type": "sql_transform",
+        "views": {"cust": "customer"},
+        "statement": _SQLJ_TEMPLATE.format(orders="frame", customer="cust"),
+    })
+    return apply_sql_transform(orders, op, spark, {"customer": cust_def})
+
+
+SQL_JOIN_SQL = _SQLJ_TEMPLATE.format(orders="orders", customer="customer")
+
+
 # row-expectations rule battery over orders: every check shape once —
 # shared between the query and its generated oracle so they cannot
 # drift (the 400k max threshold genuinely fires: ~20% of orders)
@@ -2858,6 +2913,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join": q_bucketed_join,
     "row_expectations": q_row_expectations,
     "sql_transform": q_sql_transform,
+    "sql_join": q_sql_join,
     "bloom_gate": q_bloom_gate,
     "incremental_dedup": q_incremental_dedup,
     "merge_changes": q_merge_changes,
@@ -3910,6 +3966,7 @@ HARNESS_ORACLES["time_weighted_avg"] = _twa_oracle_sql(
 HARNESS_ORACLES["bucketed_join"] = BUCKETED_JOIN_SQL
 HARNESS_ORACLES["row_expectations"] = _row_expectations_oracle()
 HARNESS_ORACLES["sql_transform"] = SQL_TRANSFORM_SQL
+HARNESS_ORACLES["sql_join"] = SQL_JOIN_SQL
 HARNESS_ORACLES["bloom_gate"] = _bloom_gate_oracle_sql(
     corpus_sql="SELECT doc_id, text FROM documents",
     eval_sql="SELECT text FROM documents WHERE doc_id % 97 = 0",

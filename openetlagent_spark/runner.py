@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .model import (
     AsofJoinOperation,
+    SqlTransformOperation,
     MergeOperation,
     AssignationOperation,
     BindOperation,
@@ -42,6 +43,7 @@ from .model import (
 )
 from .operators import (
     OPERATION_DISPATCHER,
+    apply_sql_transform,
     apply_asof_join,
     apply_bind,
     apply_bloom_gate,
@@ -69,7 +71,7 @@ _TEMP_COLUMN = re.compile(r"^_.+_$")
 RUNNER_HANDLED_OPS = frozenset({
     "bind", "union", "asof_join", "range_join", "similarity",
     "contamination", "incremental_dedup", "merge", "store_gate",
-    "bloom_gate", "cms_counts",
+    "bloom_gate", "cms_counts", "sql_transform",
 })
 
 
@@ -113,6 +115,8 @@ def apply_operations(
             current = apply_incremental_dedup(current, op, spark, inputs)
         elif isinstance(op, StoreGateOperation):
             current = apply_store_gate(current, op, spark)
+        elif isinstance(op, SqlTransformOperation):
+            current = apply_sql_transform(current, op, spark, inputs)
         elif isinstance(op, UnionOperation):
             if not inputs or op.right_input not in inputs:
                 raise ValueError(

@@ -915,7 +915,78 @@ def test_sql_transform_guards(spark):
     assert apply_operations(ev, [ok], spark, None).collect()[0]["n"] == 10
     ev.createOrReplaceTempView("frame")
     try:
-        with pytest.raises(ValueError, match="already exists"):
+        with pytest.raises(ValueError, match="already exist"):
             apply_operations(ev, [ok], spark, None)
     finally:
         spark.catalog.dropTempView("frame")
+
+
+def test_sql_transform_multi_input_views(spark):
+    """views: {name: input_key} registers additional pipeline inputs
+    for the statement — ad-hoc joins across declared inputs."""
+    from openetlagent_spark.model import (
+        ColumnDefinition,
+        FileDefinition,
+        FileSchema,
+    )
+
+    def _fd(path, cols):
+        return FileDefinition(
+            path=path,
+            format="parquet",
+            file_schema=FileSchema(
+                name="t",
+                columns={c: ColumnDefinition(type=t) for c, t in cols.items()},
+            ),
+        )
+
+    inputs = {
+        "events": _fd(f"{SF}/events.parquet",
+                      {"event_id": "integer", "user_id": "integer",
+                       "event_type": "string"}),
+        "customer": _fd(f"{SF}/customer.parquet",
+                        {"c_custkey": "integer", "c_mktsegment": "string"}),
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    op = parse_operation({
+        "operation_type": "sql_transform",
+        "views": {"cust": "customer"},
+        "statement": "SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n "
+                     "FROM frame e JOIN cust c ON e.user_id = c.c_custkey "
+                     "GROUP BY c.c_mktsegment",
+    })
+    got = {r["seg"]: r["n"] for r in apply_operations(ev, [op], spark, inputs).collect()}
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    want = {
+        r["c_mktsegment"]: r["count"]
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment").count().collect()
+    }
+    assert got == want and got
+    # neither view survives
+    live = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert not ({"frame", "cust"} & live)
+    # missing input key fails loudly
+    bad = parse_operation({
+        "operation_type": "sql_transform",
+        "views": {"cust": "nope"},
+        "statement": "SELECT 1 AS one",
+    })
+    with pytest.raises(ValueError, match="not in .*inputs"):
+        apply_operations(ev, [bad], spark, inputs)
+    # a views name colliding with a live temp view is never clobbered
+    cust.createOrReplaceTempView("cust")
+    try:
+        with pytest.raises(ValueError, match="already exist"):
+            apply_operations(ev, [op], spark, inputs)
+    finally:
+        spark.catalog.dropTempView("cust")
+    # parse-time validation: bad identifiers and frame-name reuse
+    from openetlagent_spark.model import SpecError
+
+    with pytest.raises(SpecError, match="bare identifier"):
+        parse_operation({"operation_type": "sql_transform",
+                         "views": {"a.b": "events"}, "statement": "SELECT 1 AS x"})
+    with pytest.raises(SpecError, match="reuse the frame view"):
+        parse_operation({"operation_type": "sql_transform",
+                         "views": {"frame": "events"}, "statement": "SELECT 1 AS x"})
