@@ -917,6 +917,7 @@ def build_ann_store(
     iters: int = 2,
     sample_size: int = 2048,
     scale_bits: int = 20,
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Persist an IVF index as a parquet ANN STORE — index ONCE, serve
     many query batches (the similarity sibling of the sketch stores;
@@ -937,12 +938,27 @@ def build_ann_store(
     ``ivf_topk(method='exact')`` over the same corpus — the store
     round trip is lossless by construction (doubles are binary-exact
     through parquet), which the ann_store oracle row hash-checks
-    against the direct computation's oracle."""
+    against the direct computation's oracle.
+
+    ``centroids`` optionally pins the coarse quantizer instead of
+    fitting it from this corpus — the contract that makes incremental
+    ingest exact: ``build(A, centroids=C)`` + ``append(B)`` produces
+    byte-the-same list contents as ``build(A ∪ B, centroids=C)``
+    (assignment is per-vector against fixed centroids; which batch a
+    vector arrived in cannot matter)."""
     from .clustering import _quantize
 
-    cents = fit_ivf_centroids_exact(
-        corpus, id_col, vec_col, n_centroids, iters, sample_size, scale_bits
-    )
+    if centroids is not None:
+        if len(centroids) != n_centroids:
+            raise ValueError(
+                f"build_ann_store: {len(centroids)} centroids passed but "
+                f"n_centroids={n_centroids}"
+            )
+        cents = [list(map(float, c)) for c in centroids]
+    else:
+        cents = fit_ivf_centroids_exact(
+            corpus, id_col, vec_col, n_centroids, iters, sample_size, scale_bits
+        )
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(cents)], "cid int, cen array<double>"
@@ -968,6 +984,87 @@ def build_ann_store(
     )
 
 
+def _read_ann_store_header(
+    spark, store_path: str, expect_scale_bits: int | None = None
+) -> tuple[int, int, list[list[float]]]:
+    """Load and validate an ANN store's meta + centroid tables —
+    the shared entry gate for serving and appending.  Returns
+    (scale_bits, n_centroids, centroids ordered by cid).  The grid
+    check runs FIRST (right after meta) so a caller on the wrong grid
+    hears about that before any centroid-table diagnosis."""
+    meta = spark.read.schema("scale_bits int, n_centroids int").parquet(
+        f"{store_path}/meta"
+    ).collect()
+    if len(meta) != 1:
+        raise ValueError(f"ann store {store_path}: missing/ambiguous meta table")
+    if expect_scale_bits is not None and meta[0]["scale_bits"] != expect_scale_bits:
+        raise ValueError(
+            f"ann store {store_path} was built with scale_bits="
+            f"{meta[0]['scale_bits']}; serving with {expect_scale_bits} would "
+            "quantize queries on a different grid than the index"
+        )
+    rows = sorted(
+        spark.read.schema("cid int, cen array<double>")
+        .parquet(f"{store_path}/centroids")
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    if not rows or [r["cid"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"ann store {store_path}: centroid table must cover cid 0..n-1 "
+            f"exactly once, got {[r['cid'] for r in rows]}"
+        )
+    return (
+        int(meta[0]["scale_bits"]),
+        int(meta[0]["n_centroids"]),
+        [list(r["cen"]) for r in rows],
+    )
+
+
+def append_to_ann_store(
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally ADD a vector batch to a persisted ANN store —
+    FAISS's ``add()`` for the lakehouse layout: each new vector is
+    assigned to its nearest EXISTING centroid (the coarse quantizer is
+    immutable after build — the fixed-codebook contract every IVF
+    serving system keeps so old and new vectors stay comparable) and
+    its row is appended into that centroid's ``cid=`` list directory.
+
+    Exactness: assignment is per-vector against the store's pinned
+    centroids and grid (meta scale_bits), so
+    ``build(A, centroids=C) + append(B) == build(A ∪ B, centroids=C)``
+    list-for-list — the ann_store_append oracle row hash-checks the
+    served result of exactly that composition.  At-most-once contract
+    (the cms_store counter rule): appending the same batch twice
+    duplicates its rows — and serving would then emit the duplicate
+    neighbors at adjacent ranks rather than collapsing them.  Scale:
+    one narrow write of the batch, partitioned on cid; the store's
+    existing lists are never read or rewritten, so append cost is
+    O(|batch|) regardless of index size."""
+    from .clustering import _quantize
+
+    spark = batch.sparkSession
+    scale_bits, _n_cent, cents = _read_ann_store_header(spark, store_path)
+    cents_lit = _array_literal(cents)
+    (
+        batch.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            nearest_centroid_ids(
+                _quantize(F.col(vec_col), scale_bits), cents_lit, 1
+            )[0].alias("cid"),
+        )
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{store_path}/lists")
+    )
+
+
 def ann_from_store(
     spark,
     store_path: str,
@@ -988,29 +1085,9 @@ def ann_from_store(
     fold-order cosine re-rank over the ORIGINAL doubles."""
     from .clustering import _quantize
 
-    meta = spark.read.schema("scale_bits int, n_centroids int").parquet(
-        f"{store_path}/meta"
-    ).collect()
-    if len(meta) != 1:
-        raise ValueError(f"ann store {store_path}: missing/ambiguous meta table")
-    if meta[0]["scale_bits"] != scale_bits:
-        raise ValueError(
-            f"ann store {store_path} was built with scale_bits="
-            f"{meta[0]['scale_bits']}; serving with {scale_bits} would quantize "
-            "queries on a different grid than the index"
-        )
-    rows = sorted(
-        spark.read.schema("cid int, cen array<double>")
-        .parquet(f"{store_path}/centroids")
-        .collect(),
-        key=lambda r: r["cid"],
+    _bits, _n_cent, cents = _read_ann_store_header(
+        spark, store_path, expect_scale_bits=scale_bits
     )
-    if not rows or [r["cid"] for r in rows] != list(range(len(rows))):
-        raise ValueError(
-            f"ann store {store_path}: centroid table must cover cid 0..n-1 "
-            f"exactly once, got {[r['cid'] for r in rows]}"
-        )
-    cents = [list(r["cen"]) for r in rows]
     cents_lit = _array_literal(cents)
     from ..session import materialize
 

@@ -53,10 +53,10 @@ _ROUND9_FRONT = [
     # after the incoming query passes a local driver-strength exact
     # check, per the rotation policy above)
     "bind_salted", "window_range_frame", "window_distribution",
-    "funnel", "event_paths",
+    "funnel",
     # round-9 additions (each swapped in after a local driver-strength
     # exact check, displacing the newest r05 re-checks)
-    "image_decode", "sql_join",
+    "image_decode", "sql_join", "ann_store_append",
 ]
 
 

@@ -1019,6 +1019,42 @@ def q_ann_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_from_store(spark, store, queries, k=10, nprobe=4)
 
 
+def q_ann_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest (functions/similarity.py
+    append_to_ann_store — FAISS's add() for the lakehouse layout): the
+    coarse quantizer is fit ONCE on the full corpus, the store is
+    built holding only the EVEN half of the vectors, and the ODD half
+    arrives later as an appended batch assigned to the FIXED existing
+    centroids.  Serving the composed store hash-matches the SAME
+    unrolled-CTE oracle as ann_ivf_topk / ann_store over the whole
+    corpus — equality IS the proof that
+    ``build(A, centroids=C) + append(B) == build(A ∪ B, centroids=C)``
+    (per-vector assignment against pinned centroids cannot depend on
+    arrival batch).  Append cost is one narrow write of the batch; the
+    store's existing lists are never read or rewritten."""
+    from ..functions.similarity import (
+        ann_from_store,
+        append_to_ann_store,
+        build_ann_store,
+        fit_ivf_centroids_exact,
+    )
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    store = _scratch_dir("ela_ann_append", sf_dir)
+    cents = fit_ivf_centroids_exact(
+        emb, "vec_id", "embedding", n_centroids=16, iters=2, sample_size=2048
+    )
+    build_ann_store(
+        emb.filter(F.col("vec_id") % 2 == 0), store, "vec_id", "embedding",
+        n_centroids=16, centroids=cents,
+    )
+    append_to_ann_store(
+        emb.filter(F.col("vec_id") % 2 == 1), store, "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann_from_store(spark, store, queries, k=10, nprobe=4)
+
+
 def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRENDING per-window top-k: the 3 most frequent event types in
     each 1-hour tumbling window (count desc, type asc tie-break) — the
@@ -2856,6 +2892,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_store": q_ann_store,
+    "ann_store_append": q_ann_store_append,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
     "stream_dedup": q_stream_dedup,
@@ -3683,6 +3720,9 @@ HARNESS_ORACLES["ann_ivf_topk"] = _ivf_topk_oracle_sql(
 # ann_store serves the SAME computation from the persisted index —
 # sharing the oracle is the losslessness proof (the kmv_store pattern)
 HARNESS_ORACLES["ann_store"] = HARNESS_ORACLES["ann_ivf_topk"]
+# ann_store_append composes build(evens, fixed centroids) + append(odds)
+# and serves — same full-corpus computation, same oracle
+HARNESS_ORACLES["ann_store_append"] = HARNESS_ORACLES["ann_ivf_topk"]
 
 # web-curation family: oracles generated from functions/web.py's
 # mirrors, with the SAME _SYNTH_URL_SQL string spliced as the input

@@ -148,11 +148,20 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    oracle_cache: dict[str, object] = {}  # sql -> result df; several
+    # store queries share one heavy unrolled-CTE oracle string — run it
+    # once (equality of the shared string is exactly what they prove)
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         spark.catalog.clearCache()  # drop caches left by prior operators
+        try:
+            from openetlagent_spark.session import free_local_checkpoints
+
+            free_local_checkpoints(spark)
+        except Exception:
+            pass
         try:
             sdf = fn(spark, sf_dir)
             s_pdf = sdf.toPandas()
@@ -170,7 +179,11 @@ def main() -> int:
             continue
 
         try:
-            d_pdf = con.execute(sql).df()
+            if sql in oracle_cache:
+                d_pdf = oracle_cache[sql]
+            else:
+                d_pdf = con.execute(sql).df()
+                oracle_cache[sql] = d_pdf
         except Exception as exc:
             print(f"FAIL  {name}: oracle raised: {str(exc)[:300]}")
             failures += 1

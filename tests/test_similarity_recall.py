@@ -304,6 +304,62 @@ def test_ann_store_equals_direct_exact_ivf(spark, tmp_path):
     assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
 
 
+def test_ann_store_append_equals_full_build(spark, tmp_path):
+    """build(evens, fixed centroids) + append(odds) serves byte-the-same
+    results as build(all, same centroids): per-vector assignment against
+    a pinned coarse quantizer cannot depend on arrival batch."""
+    from openetlagent_spark.functions.similarity import (
+        ann_from_store,
+        append_to_ann_store,
+        build_ann_store,
+        fit_ivf_centroids_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+    cents = fit_ivf_centroids_exact(
+        emb, "vec_id", "embedding", n_centroids=8, iters=2, sample_size=256
+    )
+    full = str(tmp_path / "ann_full")
+    build_ann_store(emb, full, "vec_id", "embedding",
+                    n_centroids=8, centroids=cents)
+    grown = str(tmp_path / "ann_grown")
+    build_ann_store(emb.filter("vec_id % 2 = 0"), grown, "vec_id", "embedding",
+                    n_centroids=8, centroids=cents)
+    append_to_ann_store(emb.filter("vec_id % 2 = 1"), grown, "vec_id", "embedding")
+    a = sorted(map(tuple, ann_from_store(spark, full, queries, k=5, nprobe=2).collect()))
+    b = sorted(map(tuple, ann_from_store(spark, grown, queries, k=5, nprobe=2).collect()))
+    assert a == b and a
+    # centroid count mismatch is refused at build time
+    import pytest
+
+    with pytest.raises(ValueError, match="centroids"):
+        build_ann_store(emb, str(tmp_path / "bad"), "vec_id", "embedding",
+                        n_centroids=4, centroids=cents)
+
+
+def test_ann_from_store_recall_floor(spark, emb, brute, tmp_path):
+    """Recall@10 of the persisted-store serving path against the brute
+    baseline — the same floor the direct IVF path holds (serving is
+    bit-identical to ivf_topk(method='exact'), so this pins the
+    composed store path end-to-end, not just the equality)."""
+    from openetlagent_spark.functions.similarity import (
+        ann_from_store,
+        build_ann_store,
+    )
+
+    qs = emb.filter("vec_id < 30")
+    store = str(tmp_path / "ann_recall")
+    build_ann_store(emb, store, "vec_id", "embedding",
+                    n_centroids=8, iters=2, sample_size=2048)
+    served = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_from_store(spark, store, qs, k=10, nprobe=4).collect()
+    }
+    recall = len(brute & served) / len(brute)
+    assert recall >= 0.5, f"store-served recall@10 collapsed: {recall:.3f}"
+
+
 def test_ann_store_serving_prunes_unprobed_lists(spark, tmp_path):
     """The probed-cid literal filter reaches the lists scan as a
     PartitionFilter — unprobed inverted-list directories never leave
