@@ -607,25 +607,21 @@ def _sql_qdist(b: str, c: str, dim: int) -> str:
     return acc
 
 
-def ivf_topk_oracle_sql(
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    sample_size: int = 2048,
-    iters: int = 2,
-    scale_bits: int = 20,
-    dim: int = 64,
-    query_pred: str = "b.vid < 20",
-) -> str:
-    """DuckDB oracle for ivf_topk(method='exact'): the hash-smallest
-    sample, ``iters`` unrolled Lloyd CTEs with integer centroid sums
-    (the kmeans_oracle_sql pattern), corpus assignment and ``nprobe``
-    probing as (dist, cid) row_number windows over the centroid cross
-    join, then the fold-order cosine re-rank.  Generated from the same
-    parameters as the Spark plan so the two cannot drift."""
+def _ivf_fit_parts(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    sample_size: int,
+    iters: int,
+    scale_bits: int,
+    dim: int,
+) -> tuple[list[str], str]:
+    """The shared CTE prefix of every IVF-family oracle: base corpus
+    (raw + quantized), hash-smallest sample, and the unrolled Lloyd
+    chain.  Returns (parts, name_of_final_centroid_cte).  Extracted so
+    the IVF-PQ oracle composes the identical fit instead of a copy
+    that could drift."""
     scale = float(1 << scale_bits)
     xq = (
         f"list_transform(CAST({vec_col} AS DOUBLE[]), "
@@ -661,6 +657,31 @@ def ivf_topk_oracle_sql(
             f"FROM a{i} a GROUP BY a.cluster) g ON g.cid = p.cid)"
         )
         prev = nxt
+    return parts, prev
+
+
+def ivf_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    iters: int = 2,
+    scale_bits: int = 20,
+    dim: int = 64,
+    query_pred: str = "b.vid < 20",
+) -> str:
+    """DuckDB oracle for ivf_topk(method='exact'): the hash-smallest
+    sample, ``iters`` unrolled Lloyd CTEs with integer centroid sums
+    (the kmeans_oracle_sql pattern), corpus assignment and ``nprobe``
+    probing as (dist, cid) row_number windows over the centroid cross
+    join, then the fold-order cosine re-rank.  Generated from the same
+    parameters as the Spark plan so the two cannot drift."""
+    parts, prev = _ivf_fit_parts(
+        table, id_col, vec_col, n_centroids, sample_size, iters, scale_bits, dim
+    )
     parts.append(
         f"assign AS (SELECT vid, cluster FROM ("
         f"SELECT b.vid, c.cid AS cluster, row_number() OVER "

@@ -52,11 +52,11 @@ _ROUND9_FRONT = [
     # swap-out candidates if round-9 additions land (each swap only
     # after the incoming query passes a local driver-strength exact
     # check, per the rotation policy above)
-    "bind_salted", "window_range_frame", "window_distribution",
-    "funnel",
+    "bind_salted", "window_range_frame",
     # round-9 additions (each swapped in after a local driver-strength
     # exact check, displacing the newest r05 re-checks)
     "image_decode", "sql_join", "ann_store_append",
+    "pq_codebooks", "ann_pq",
 ]
 
 

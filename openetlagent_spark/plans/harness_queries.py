@@ -1055,6 +1055,59 @@ def q_ann_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_from_store(spark, store, queries, k=10, nprobe=4)
 
 
+def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook fit (functions/pq.py
+    fit_pq_codebooks): each of 8 subspaces of the 64-dim embeddings
+    gets a 16-entry codebook from the SAME deterministic hash-sample +
+    integer-grid Lloyd's as the IVF coarse quantizer (hash-smallest
+    sample, strict-< lower-code ties, empty codes keep their previous
+    word).  Output is every codeword coordinate as a row — the oracle
+    UNROLLS the whole per-subspace fit in SQL, so this row proves the
+    training half of IVF-PQ with no embedded constants."""
+    from ..functions.pq import fit_pq_codebooks
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    books, _rats = fit_pq_codebooks(
+        emb, m=8, k_codes=16, iters=2, sample_size=2048
+    )
+    rows = [
+        (s, c, j, books[s][c][j])
+        for s in range(8)
+        for c in range(16)
+        for j in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "sub int, code int, dim_pos int, coord double"
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving end-to-end (functions/pq.py — FAISS's IVFPQ as a
+    lakehouse layout): coarse quantizer + per-subspace codebooks fit,
+    the corpus persisted as cid-partitioned lists of 8 CODES per
+    vector (not 64 doubles — the 100 TB memory-budget trade), serving
+    probes 4 lists, ADC-scores the codes against the raw query
+    (m-major/coordinate-minor fold), keeps the top 40 per query, and
+    exactly re-ranks those against the full-precision refine layer.
+    The oracle unrolls ALL of it — IVF fit (byte-shared with the
+    ann_store oracle parts), 8 codebook fits, code selection, the ADC
+    fold, the cut, the re-rank — so the hash-match proves the complete
+    composed pipeline, with the emitted cosine EXACT for every
+    returned neighbor (approximation only affects which candidates
+    reach the re-rank)."""
+    from ..functions.pq import ann_pq_from_store, build_pq_store
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    store = _scratch_dir("ela_pq_store", sf_dir)
+    build_pq_store(emb, store, "vec_id", "embedding",
+                   n_centroids=16, iters=2, sample_size=2048,
+                   m=8, k_codes=16)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann_pq_from_store(
+        spark, store, queries, k=10, nprobe=4, refine_factor=4
+    )
+
+
 def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRENDING per-window top-k: the 3 most frequent event types in
     each 1-hour tumbling window (count desc, type asc tie-break) — the
@@ -2893,6 +2946,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_store": q_ann_store,
     "ann_store_append": q_ann_store_append,
+    "pq_codebooks": q_pq_codebooks,
+    "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
     "stream_dedup": q_stream_dedup,
@@ -3723,6 +3778,20 @@ HARNESS_ORACLES["ann_store"] = HARNESS_ORACLES["ann_ivf_topk"]
 # ann_store_append composes build(evens, fixed centroids) + append(odds)
 # and serves — same full-corpus computation, same oracle
 HARNESS_ORACLES["ann_store_append"] = HARNESS_ORACLES["ann_ivf_topk"]
+
+# IVF-PQ family: fully unrolled independent oracles (functions/pq.py)
+from ..functions.pq import (  # noqa: E402
+    ann_pq_oracle_sql as _ann_pq_oracle_sql,
+    pq_codebooks_oracle_sql as _pq_codebooks_oracle_sql,
+)
+
+HARNESS_ORACLES["pq_codebooks"] = _pq_codebooks_oracle_sql(
+    m=8, k_codes=16, iters=2, sample_size=2048
+)
+HARNESS_ORACLES["ann_pq"] = _ann_pq_oracle_sql(
+    k=10, n_centroids=16, nprobe=4, refine_factor=4,
+    sample_size=2048, iters=2, m=8, k_codes=16,
+)
 
 # web-curation family: oracles generated from functions/web.py's
 # mirrors, with the SAME _SYNTH_URL_SQL string spliced as the input
