@@ -205,6 +205,38 @@ HEADLINE = [
     "row_expectations",
     "sql_transform",
     "ann_store",
+    # round 9: full coverage — every registered query benches (the
+    # formerly benchless core ops, set ops, analytics rows, and the
+    # round-9 additions), so BENCH_LOCAL has a complete time series
+    "equality",
+    "concatenation",
+    "assignation",
+    "casting",
+    "arithmetic",
+    "comparison",
+    "distinct",
+    "union",
+    "bind_outer",
+    "bind_cross",
+    "bind_semi",
+    "bind_anti",
+    "fold_mixed",
+    "agg_stats",
+    "window_lag",
+    "window_first_last",
+    "json_extract",
+    "sample_hash",
+    "percentile",
+    "set_except",
+    "cube",
+    "dedup_clusters",
+    "stats_moments",
+    "text_scrub",
+    "image_decode",
+    "sql_join",
+    "ann_store_append",
+    "pq_codebooks",
+    "ann_pq",
 ]
 
 

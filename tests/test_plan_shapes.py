@@ -686,3 +686,66 @@ def test_ann_store_serving_reads_only_probed_partitions(spark):
     # the other scans are the bounded QUERY batch, which is allowed
     assert any("neighbor_id" in l and "cid" in l
                for l in physical.splitlines() if "FileScan parquet" in l)
+
+
+# --- round 9 additions -------------------------------------------------
+
+
+def test_ann_pq_serving_reads_codes_and_prunes_partitions(spark):
+    """The IVF-PQ serve scans the compact CODES layer (not vectors) for
+    ADC, prunes both the lists and refine scans to the probed cids
+    (PartitionFilters), and never rescans the embeddings table."""
+    plan = plan_of(spark, "ann_pq")
+    physical = plan.split("== Physical Plan ==")[-1]
+    part_filtered = [
+        l for l in physical.splitlines()
+        if "FileScan parquet" in l and re.search(r"PartitionFilters: \[[^\]]*cid", l)
+    ]
+    assert len(part_filtered) >= 2, "lists AND refine scans must partition-prune"
+    assert any("codes" in l for l in part_filtered), "ADC must scan the codes layer"
+
+
+def test_ann_pq_adc_cut_before_refine_join(spark):
+    """The refine join input is the ADC top-(k*refine_factor) cut —
+    a row_number window runs BEFORE the refine-side join, so the
+    full-precision layer is joined against a bounded candidate set."""
+    plan = plan_of(spark, "ann_pq")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "RunningWindowFunction" in physical or "Window" in physical
+    # two windows total: the ADC cut and the final rank
+    assert len(re.findall(r"\bWindow\b", physical)) >= 2
+
+
+def test_image_decode_is_scan_plus_mapinpandas_only(spark):
+    """Real image decode is embarrassingly parallel: one documents
+    scan, two mapInPandas stages (encode, decode/featurize), zero
+    shuffles, no joins."""
+    plan = plan_of(spark, "image_decode")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert count_shuffles(plan) == 0
+    assert "Join" not in physical
+    assert physical.count("MapInPandas") == 2
+
+
+def test_sql_join_broadcasts_the_dimension_view(spark):
+    """The multi-input sql_transform joins orders against the small
+    customer view — Catalyst must broadcast the dimension side across
+    the SQL boundary like any native plan."""
+    plan = plan_of(spark, "sql_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_store_append_serving_prunes_partitions(spark):
+    """Serving from a grown store keeps the probed-cid PartitionFilter
+    — appended files land inside the cid= directories, so pruning is
+    unchanged."""
+    plan = plan_of(spark, "ann_store_append")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert re.search(r"PartitionFilters: \[[^\]]*cid", physical)
+
+
+def test_row_expectations_single_exchange_with_expr_rule(spark):
+    """The expr + severity extension keeps the one-scan summary shape:
+    a single 1-row exchange carries every counter."""
+    plan = plan_of(spark, "row_expectations")
+    assert count_shuffles(plan) <= 1
