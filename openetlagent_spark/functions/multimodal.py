@@ -167,7 +167,11 @@ def encode_gray_pgm(pixels: np.ndarray) -> bytes:
 
 def _decode_pnm(payload: bytes) -> np.ndarray | None:
     """Binary PNM (P5 gray / P6 RGB, maxval ≤ 255) → (h, w) uint8
-    grayscale, or None if not a decodable PNM."""
+    grayscale, or None if not a decodable PNM.  Samples at maxval <
+    255 rescale to full range (``(v·255) // maxval`` — integer,
+    deterministic), and the single byte after maxval must be
+    whitespace (a comment or junk there is a malformed header →
+    None, never a mis-read raster)."""
     try:
         magic = payload[:2]
         if magic not in (b"P5", b"P6"):
@@ -196,12 +200,16 @@ def _decode_pnm(payload: bytes) -> np.ndarray | None:
         w, h, maxval = tokens
         if w <= 0 or h <= 0 or not (0 < maxval <= 255):
             return None
-        i += 1  # exactly one whitespace byte separates header and raster
+        if not payload[i : i + 1].isspace():
+            return None  # exactly ONE whitespace byte before the raster
+        i += 1
         nch = 1 if magic == b"P5" else 3
         n = w * h * nch
         if i + n > len(payload):
             return None
         raw = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+        if maxval != 255:
+            raw = ((raw.astype(np.int64) * 255) // maxval).astype(np.uint8)
         if nch == 1:
             return raw.reshape(h, w).copy()
         rgb = raw.reshape(h, w, 3).astype(np.int64)
@@ -243,18 +251,26 @@ def _decode_gray(payload: bytes | None, Image) -> np.ndarray | None:
         return None
 
 
-def _real_decode_features(Image, payload: bytes, dim: int) -> np.ndarray:
-    """REAL decode: image bytes → grayscale intensity histogram,
-    L1-normalized — deterministic given the payload.  TOTAL like the
-    fake decoder: corrupt/truncated/undecodable payloads yield the zero
-    vector instead of failing the task (filter feature == zeros
-    downstream)."""
+def _decode_features(payload: bytes | None, dim: int, Image) -> tuple[int, np.ndarray]:
+    """THE real featurization: image bytes → (n_pixels, L1-normalized
+    grayscale intensity histogram) — deterministic given the payload.
+    TOTAL like the fake decoder: corrupt/truncated/undecodable
+    payloads yield (0, zero vector) instead of failing the task
+    (filter n_pixels == 0 downstream).  Single implementation shared
+    by the mapInPandas stage and _real_decode_features so the bin
+    range / zero contract cannot drift."""
     arr = _decode_gray(payload, Image)
     if arr is None or arr.size == 0:
-        return np.zeros(dim, dtype=np.float32)
+        return 0, np.zeros(dim, dtype=np.float32)
     flat = arr.ravel()
     hist, _ = np.histogram(flat, bins=dim, range=(0, 256))
-    return (hist / max(flat.size, 1)).astype(np.float32)
+    return flat.size, (hist / flat.size).astype(np.float32)
+
+
+def _real_decode_features(Image, payload: bytes, dim: int) -> np.ndarray:
+    """Feature-only view of :func:`_decode_features` (kept for direct
+    callers and the corrupt-payload contract tests)."""
+    return _decode_features(payload, dim, Image)[1]
 
 
 def _fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
@@ -275,6 +291,7 @@ def extract_image_features(
     mime_col: str = "mime",
     dim: int = 16,
     decoder: Literal["fake", "real"] = "fake",
+    strict: bool = False,
 ) -> DataFrame:
     """Binary payload → fixed-dim feature vector, one mapInPandas stage.
 
@@ -284,19 +301,30 @@ def extract_image_features(
     formats; it shares every line of Spark plumbing with the fake one.
     ``n_pixels`` is the decoded pixel count (real) or the payload byte
     count (fake — each byte IS the 'pixel' the stub histograms); 0 for
-    undecodable payloads, so ``feature != zeros ⇔ n_pixels > 0``."""
+    undecodable payloads, so ``feature != zeros ⇔ n_pixels > 0``.
+
+    ``strict=True`` turns an undecodable NON-EMPTY payload into a loud
+    task error instead of a zero vector — the per-payload totality
+    default is right for dirty crawl data, but it also masks a
+    whole-environment misconfiguration (a PNG corpus in a container
+    whose executors lack Pillow would silently featurize to 100%
+    zeros); pipelines over trusted formats should run strict."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "real":
             Image = _optional_pil()
 
             def decode(b):
-                arr = _decode_gray(b, Image)
-                if arr is None or arr.size == 0:
-                    return 0, np.zeros(dim, dtype=np.float32).tolist()
-                flat = arr.ravel()
-                hist, _ = np.histogram(flat, bins=dim, range=(0, 256))
-                return flat.size, (hist / flat.size).astype(np.float32).tolist()
+                n, feat = _decode_features(b, dim, Image)
+                if strict and n == 0 and b:
+                    raise ValueError(
+                        f"extract_image_features(strict=True): undecodable "
+                        f"{len(b)}-byte payload (magic {b[:4]!r}); built-in "
+                        "codecs cover BMP/PNM, Pillow "
+                        + ("is importable" if Image else "is NOT importable")
+                        + " on this executor"
+                    )
+                return n, feat.tolist()
 
         else:
 
@@ -323,16 +351,24 @@ def resize_images(
     df: DataFrame,
     *,
     payload_col: str = "payload",
+    mime_col: str = "mime",
     target_width: int = 64,
     target_height: int = 64,
     decoder: Literal["fake", "real"] = "fake",
+    strict: bool = False,
 ) -> DataFrame:
     """Resize stage: passes metadata through and rewrites width/height.
     fake: truncate/pad bytes deterministically to w*h (stands in for
     decode→resize→re-encode); real: decode (built-in BMP/PNM codecs,
     Pillow fallback for compressed formats) → floor-index
     nearest-neighbour resize (src = dst·size_src // size_dst,
-    deterministic in pure integer math) → 24-bit BMP re-encode."""
+    deterministic in pure integer math) → 24-bit BMP re-encode.  The
+    real path rewrites ``mime_col`` (when present) to ``image/bmp``
+    for resized rows — the payload's format changed, so its typed
+    metadata must follow — and to '' for undecodable rows whose
+    payload became empty.  ``strict=True``: undecodable non-empty
+    payloads raise instead of passing through empty (the
+    extract_image_features strict contract)."""
     out_schema = df.schema
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -345,9 +381,14 @@ def resize_images(
             def transform(b: bytes | None) -> bytes:
                 # total: undecodable payloads pass through as empty
                 # bytes instead of failing the task (see
-                # _real_decode_features rationale)
+                # _decode_features rationale)
                 arr = _decode_gray(b, Image)
                 if arr is None or arr.size == 0:
+                    if strict and b:
+                        raise ValueError(
+                            f"resize_images(strict=True): undecodable "
+                            f"{len(b)}-byte payload (magic {b[:4]!r})"
+                        )
                     return b""
                 h, w = arr.shape
                 resized = arr[(row_idx * h) // target_height][
@@ -363,6 +404,11 @@ def resize_images(
         for pdf in it:
             pdf = pdf.copy()
             pdf[payload_col] = pdf[payload_col].map(transform)
+            if decoder == "real" and mime_col in pdf.columns:
+                # re-encoded payloads ARE BMPs now; empty = no media
+                pdf[mime_col] = pdf[payload_col].map(
+                    lambda b: "image/bmp" if b else ""
+                )
             if "width" in pdf.columns:
                 pdf["width"] = np.int32(target_width)
             if "height" in pdf.columns:

@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 
 from .similarity import (
     _array_literal,
-    fit_ivf_centroids_exact,
     infer_dim,
     nearest_centroid_ids,
     norm_expr,
@@ -59,70 +58,32 @@ def fit_pq_codebooks(
     iters: int = 2,
     sample_size: int = 2048,
     scale_bits: int = 20,
+    sample: list[list[int]] | None = None,
 ) -> tuple[list[list[list[float]]], list[list[list[Rational]]]]:
     """Per-subspace codebooks from ONE deterministic hash sample:
     returns ``(codebooks, rationals)`` where ``codebooks[m][k]`` is the
     codeword as floats and ``rationals[m][k]`` the (num, den) integer
     pairs whose IEEE division produced each float — the oracle
     generator embeds the rationals so both engines start from
-    bit-identical constants.  The Lloyd loop is
-    fit_ivf_centroids_exact's, run on each subspace slice of the SAME
-    sample rows."""
-    from .clustering import _quantize
+    bit-identical constants.  The Lloyd loop IS
+    fit_ivf_centroids_exact's (the shared similarity._lloyd), run on
+    each subspace slice of the SAME sample rows.  ``sample``
+    optionally supplies a pre-collected hash sample (build_pq_store
+    collects once for both the coarse and PQ fits)."""
+    from .similarity import _hash_sample, _lloyd
 
     dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    rows = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("__id__"),
-            _quantize(F.col(vec_col), scale_bits).alias("xq"),
-            F.md5(F.col(id_col).cast("string")).alias("__h__"),
-        )
-        .orderBy("__h__", "__id__")
-        .limit(sample_size)
-        .collect()
-    )
-    sample = [list(r["xq"]) for r in rows]
-    if len(sample) < k_codes:
-        raise ValueError(
-            f"k_codes={k_codes} exceeds the {len(sample)} sampled vectors"
-        )
+    if sample is None:
+        sample = _hash_sample(corpus, id_col, vec_col, sample_size, scale_bits)
     books: list[list[list[float]]] = []
     rats: list[list[list[Rational]]] = []
     for s in range(m):
         off = s * sub
         slices = [x[off : off + sub] for x in sample]
-        cents = [[float(v) for v in slices[j]] for j in range(k_codes)]
-        cents_rat: list[list[Rational]] = [
-            [(int(v), 1) for v in slices[j]] for j in range(k_codes)
-        ]
-        for _ in range(iters):
-            sums = [[0] * sub for _ in range(k_codes)]
-            cnts = [0] * k_codes
-            for x in slices:
-                best_d, best_c = None, 0
-                for cid, cen in enumerate(cents):
-                    acc = 0.0
-                    for xj, cj in zip(x, cen):
-                        d = float(xj) - cj
-                        acc = acc + d * d
-                    if best_d is None or acc < best_d:  # ties keep lower code
-                        best_d, best_c = acc, cid
-                cnts[best_c] += 1
-                srow = sums[best_c]
-                for j, xj in enumerate(x):
-                    srow[j] += xj
-            cents = [
-                [s_ / cnts[cid] for s_ in sums[cid]] if cnts[cid] else cents[cid]
-                for cid in range(k_codes)
-            ]
-            cents_rat = [
-                [(s_, cnts[cid]) for s_ in sums[cid]] if cnts[cid] else cents_rat[cid]
-                for cid in range(k_codes)
-            ]
+        cents, cents_rat = _lloyd(slices, k_codes, iters, label="k_codes")
         books.append(cents)
         rats.append(cents_rat)
     return books, rats
@@ -196,14 +157,20 @@ def build_pq_store(
       full-precision vectors for the exact top re-rank, pruned by the
       same probed cids."""
     from .clustering import _quantize
+    from .similarity import _hash_sample, _lloyd
 
     dim = infer_dim(corpus, vec_col)
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    # ONE hash-sample collect feeds both fits (they are defined over
+    # the same sample rows, so two collects would just double the
+    # corpus-wide md5 top-K scan — the most expensive build step)
+    sample = None
+    if centroids is None or codebooks is None:
+        sample = _hash_sample(corpus, id_col, vec_col, sample_size, scale_bits)
     if centroids is None:
-        centroids = fit_ivf_centroids_exact(
-            corpus, id_col, vec_col, n_centroids, iters, sample_size, scale_bits
-        )
+        centroids, _ = _lloyd(sample, n_centroids, iters, label="n_centroids")
     if len(centroids) != n_centroids:
         raise ValueError(
             f"build_pq_store: {len(centroids)} centroids passed but "
@@ -212,7 +179,21 @@ def build_pq_store(
     if codebooks is None:
         codebooks, _ = fit_pq_codebooks(
             corpus, id_col, vec_col, m=m, k_codes=k_codes, iters=iters,
-            sample_size=sample_size, scale_bits=scale_bits,
+            sample_size=sample_size, scale_bits=scale_bits, sample=sample,
+        )
+    # user-supplied codebooks get the same loud shape gate as
+    # centroids — a wrong subspace width would NULL-pad the encode
+    # zip_with and silently send every vector to code 0
+    if len(codebooks) != m or any(len(book) != k_codes for book in codebooks):
+        raise ValueError(
+            f"build_pq_store: codebooks shape ({len(codebooks)} subspaces × "
+            f"{[len(b) for b in codebooks]} codes) does not match m={m}, "
+            f"k_codes={k_codes}"
+        )
+    if any(len(cw) != sub for book in codebooks for cw in book):
+        raise ValueError(
+            f"build_pq_store: every codeword must have dim/m = {sub} "
+            "coordinates"
         )
     spark = corpus.sparkSession
     spark.createDataFrame(

@@ -397,9 +397,25 @@ def fit_ivf_centroids_exact(
     the full IVF query hash-checkable.  Driver state is bounded:
     sample_size × dim ints, Lloyd's runs driver-side on the sample
     (the standard FAISS-style train-on-sample trade)."""
+    sample = _hash_sample(corpus, id_col, vec_col, sample_size, scale_bits)
+    cents, _rats = _lloyd(sample, n_centroids, iters, label="n_centroids")
+    return cents
+
+
+def _hash_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_size: int,
+    scale_bits: int,
+) -> list[list[int]]:
+    """The deterministic training sample every integer-Lloyd fit draws:
+    the ``sample_size`` quantized vectors with the smallest
+    ``(md5(id), id)`` — identical in any engine, under any
+    partitioning.  Shared by the IVF coarse-quantizer fit and the PQ
+    codebook fit (build_pq_store collects it ONCE for both)."""
     from .clustering import _quantize
 
-    dim = infer_dim(corpus, vec_col)
     rows = (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(
@@ -411,15 +427,33 @@ def fit_ivf_centroids_exact(
         .limit(sample_size)
         .collect()
     )
-    sample = [list(r["xq"]) for r in rows]
-    if len(sample) < n_centroids:
-        raise ValueError(
-            f"n_centroids={n_centroids} exceeds the {len(sample)} sampled vectors"
-        )
-    cents = [[float(v) for v in sample[j]] for j in range(n_centroids)]
+    return [list(r["xq"]) for r in rows]
+
+
+def _lloyd(
+    sample: list[list[int]],
+    k: int,
+    iters: int,
+    label: str = "k",
+) -> tuple[list[list[float]], list[list[tuple[int, int]]]]:
+    """THE integer-grid Lloyd loop (fit_ivf_centroids_exact's
+    determinism moves: init = first k sample rows, strict-< assignment
+    with lower-id ties, integer sums, empty clusters keep their
+    previous centroid) — single implementation so the IVF and PQ fits
+    cannot drift (the nearest_centroid_ids single-expression rule).
+    Returns (floats, rationals): every float coordinate is exactly its
+    (num, den) IEEE division, which is what lets oracle generators
+    embed the constants bit-identically."""
+    if len(sample) < k:
+        raise ValueError(f"{label}={k} exceeds the {len(sample)} sampled vectors")
+    dim = len(sample[0]) if sample else 0
+    cents = [[float(v) for v in sample[j]] for j in range(k)]
+    rats: list[list[tuple[int, int]]] = [
+        [(int(v), 1) for v in sample[j]] for j in range(k)
+    ]
     for _ in range(iters):
-        sums = [[0] * dim for _ in range(n_centroids)]
-        cnts = [0] * n_centroids
+        sums = [[0] * dim for _ in range(k)]
+        cnts = [0] * k
         for x in sample:
             best_d, best_c = None, 0
             for cid, cen in enumerate(cents):
@@ -435,9 +469,13 @@ def fit_ivf_centroids_exact(
                 srow[j] += xj
         cents = [
             [s / cnts[cid] for s in sums[cid]] if cnts[cid] else cents[cid]
-            for cid in range(n_centroids)
+            for cid in range(k)
         ]
-    return cents
+        rats = [
+            [(s, cnts[cid]) for s in sums[cid]] if cnts[cid] else rats[cid]
+            for cid in range(k)
+        ]
+    return cents, rats
 
 
 def ivf_topk(
@@ -1069,6 +1107,17 @@ def append_to_ann_store(
     from .clustering import _quantize
 
     spark = batch.sparkSession
+    # an IVF-PQ store (functions/pq.py) shares the meta/centroids
+    # layout but its lists hold CODES, not vectors — appending (id,
+    # cv) rows there would silently corrupt it (NULL codes at serve
+    # time); refuse before touching anything
+    meta_cols = set(spark.read.parquet(f"{store_path}/meta").columns)
+    if {"m", "k_codes"} & meta_cols:
+        raise ValueError(
+            f"append_to_ann_store: {store_path} is an IVF-PQ store "
+            "(meta declares m/k_codes); its lists hold codes, not "
+            "vectors — rebuild with build_pq_store to add batches"
+        )
     scale_bits, _n_cent, cents = _read_ann_store_header(spark, store_path)
     cents_lit = _array_literal(cents)
     (

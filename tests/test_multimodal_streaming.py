@@ -975,3 +975,57 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         for r in hll_finalize(streamed_regs, ["event_type"], p=8).collect()
     }
     assert got == expected
+
+
+def test_pnm_maxval_rescale_and_malformed_header():
+    """maxval < 255 rescales to full range ((v*255)//maxval); a comment
+    (or any junk) where the single post-maxval whitespace byte belongs
+    is a malformed header -> None, never a mis-read raster."""
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import _decode_pnm
+
+    white4 = b"P5\n1 1\n15\n" + bytes([15])
+    assert _decode_pnm(white4)[0, 0] == 255
+    mid4 = b"P5\n1 1\n15\n" + bytes([7])
+    assert _decode_pnm(mid4)[0, 0] == (7 * 255) // 15
+    # the comment bytes must never be decoded as pixels
+    assert _decode_pnm(b"P5\n2 1\n255#c\n" + bytes([1, 2])) is None
+    # maxval 255 path unchanged
+    ok = b"P5\n2 1\n255\n" + bytes([3, 4])
+    assert np.array_equal(_decode_pnm(ok), np.array([[3, 4]], dtype=np.uint8))
+
+
+def test_extract_features_strict_raises_on_undecodable(spark):
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=b"\x89PNG-not-really", mime="image/png",
+             width=0, height=0, duration_ms=0)]
+    )
+    with pytest.raises(Exception, match="undecodable"):
+        extract_image_features(media, decoder="real", strict=True).collect()
+    # empty payloads stay quiet even under strict (no media != bad media)
+    empty = spark.createDataFrame(
+        [Row(media_id=1, payload=b"", mime="image/png",
+             width=0, height=0, duration_ms=0)]
+    )
+    rows = extract_image_features(empty, decoder="real", strict=True).collect()
+    assert rows[0].n_pixels == 0
+
+
+def test_resize_real_rewrites_mime_truthfully(spark):
+    """Re-encoded payloads ARE BMPs: the mime metadata must follow the
+    payload format (image/bmp for resized rows, '' for undecodable)."""
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=_gray_bmp(w=4, h=4, value=9), mime="image/bmp",
+             width=4, height=4, duration_ms=0),
+         Row(media_id=2, payload=b"\x89PNG-undecodable-here", mime="image/png",
+             width=4, height=4, duration_ms=0)]
+    )
+    out = {r.media_id: r for r in
+           resize_images(media, target_width=2, target_height=2,
+                         decoder="real").collect()}
+    assert out[1].mime == "image/bmp" and out[1].payload[:2] == b"BM"
+    assert out[2].mime == "" and out[2].payload == b""
+    with pytest.raises(Exception, match="undecodable"):
+        resize_images(media, target_width=2, target_height=2,
+                      decoder="real", strict=True).collect()

@@ -129,3 +129,27 @@ def test_store_validation(spark, emb, tmp_path):
     # serving on a different grid is refused (shared header gate)
     with pytest.raises(ValueError, match="scale_bits"):
         ann_pq_from_store(spark, store, emb.limit(1), scale_bits=16)
+
+
+def test_build_rejects_bad_codebook_shapes(spark, emb, tmp_path):
+    """User-supplied codebooks get the same loud shape gate as
+    centroids — wrong subspace width would otherwise NULL-pad the
+    encode and silently send every vector to code 0."""
+    books, _ = fit_pq_codebooks(emb, m=8, k_codes=16, iters=1, sample_size=256)
+    with pytest.raises(ValueError, match="does not match m="):
+        build_pq_store(emb, str(tmp_path / "a"), m=8, k_codes=8,
+                       codebooks=books)
+    short = [[cw[:4] for cw in book] for book in books]
+    with pytest.raises(ValueError, match="dim/m"):
+        build_pq_store(emb, str(tmp_path / "b"), m=8, k_codes=16,
+                       codebooks=short)
+
+
+def test_vector_append_refuses_pq_store(spark, emb, pq_store):
+    """append_to_ann_store writes (id, cv) rows — appending those into
+    a PQ store's codes-shaped lists would corrupt it silently; the
+    meta m/k_codes columns gate it loudly instead."""
+    from openetlagent_spark.functions.similarity import append_to_ann_store
+
+    with pytest.raises(ValueError, match="IVF-PQ store"):
+        append_to_ann_store(emb.limit(1), pq_store)
