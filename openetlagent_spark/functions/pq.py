@@ -212,7 +212,12 @@ def build_pq_store(
         "sub int, code int, cw array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     cents_lit = _array_literal(centroids)
-    base = (
+    # ONE corpus pass: write the refine layer (id, cv, cid) first, then
+    # derive the codes layer FROM it — the second pass reads the
+    # already-partitioned store (narrow, no corpus rescan) and
+    # re-quantizes cv, which is exact (cv is the original doubles, so
+    # _quantize(cv) == the first pass's xq bit-for-bit)
+    (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -220,22 +225,23 @@ def build_pq_store(
             _quantize(F.col(vec_col), scale_bits).alias("xq"),
         )
         .withColumn("cid", nearest_centroid_ids(F.col("xq"), cents_lit, 1)[0])
+        .drop("xq")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/refine")
     )
+    refine = spark.read.parquet(f"{path}/refine")
     (
-        base.select(
+        refine.select(
             "neighbor_id",
-            pq_codes_expr(F.col("xq"), codebooks).alias("codes"),
+            pq_codes_expr(
+                _quantize(F.col("cv"), scale_bits), codebooks
+            ).alias("codes"),
             "cid",
         )
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(f"{path}/lists")
-    )
-    (
-        base.select("neighbor_id", "cv", "cid")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{path}/refine")
     )
 
 
