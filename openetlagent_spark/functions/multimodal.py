@@ -209,7 +209,12 @@ def _decode_pnm(payload: bytes) -> np.ndarray | None:
             return None
         raw = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
         if maxval != 255:
-            raw = ((raw.astype(np.int64) * 255) // maxval).astype(np.uint8)
+            # clamp before the uint8 cast: a (malformed but tolerated)
+            # sample above maxval must saturate at white, not wrap
+            # modulo 256 into arbitrary intensities
+            raw = np.minimum(
+                (raw.astype(np.int64) * 255) // maxval, 255
+            ).astype(np.uint8)
         if nch == 1:
             return raw.reshape(h, w).copy()
         rgb = raw.reshape(h, w, 3).astype(np.int64)
@@ -309,6 +314,12 @@ def extract_image_features(
     whole-environment misconfiguration (a PNG corpus in a container
     whose executors lack Pillow would silently featurize to 100%
     zeros); pipelines over trusted formats should run strict."""
+    if strict and decoder != "real":
+        raise ValueError(
+            "extract_image_features: strict=True requires decoder='real' "
+            "(the fake byte-histogram path never decodes, so it cannot "
+            "detect undecodable payloads)"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "real":
@@ -369,6 +380,11 @@ def resize_images(
     payload became empty.  ``strict=True``: undecodable non-empty
     payloads raise instead of passing through empty (the
     extract_image_features strict contract)."""
+    if strict and decoder != "real":
+        raise ValueError(
+            "resize_images: strict=True requires decoder='real' (the fake "
+            "truncate/pad path never decodes)"
+        )
     out_schema = df.schema
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

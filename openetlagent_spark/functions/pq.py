@@ -163,6 +163,36 @@ def build_pq_store(
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
+
+    # loud shape gates on every user-supplied constant, BEFORE the
+    # expensive corpus-wide hash-sample scan — a wrong width would
+    # NULL-pad the assignment/encode zip_with and silently send every
+    # vector to one bogus cid / code 0
+    def _check_shapes() -> None:
+        if centroids is not None:
+            if len(centroids) != n_centroids:
+                raise ValueError(
+                    f"build_pq_store: {len(centroids)} centroids passed but "
+                    f"n_centroids={n_centroids}"
+                )
+            if any(len(c) != dim for c in centroids):
+                raise ValueError(
+                    f"build_pq_store: every centroid must have {dim} coordinates"
+                )
+        if codebooks is not None:
+            if len(codebooks) != m or any(len(book) != k_codes for book in codebooks):
+                raise ValueError(
+                    f"build_pq_store: codebooks shape ({len(codebooks)} subspaces "
+                    f"× {[len(b) for b in codebooks]} codes) does not match "
+                    f"m={m}, k_codes={k_codes}"
+                )
+            if any(len(cw) != sub for book in codebooks for cw in book):
+                raise ValueError(
+                    f"build_pq_store: every codeword must have dim/m = {sub} "
+                    "coordinates"
+                )
+
+    _check_shapes()
     # ONE hash-sample collect feeds both fits (they are defined over
     # the same sample rows, so two collects would just double the
     # corpus-wide md5 top-K scan — the most expensive build step)
@@ -171,30 +201,12 @@ def build_pq_store(
         sample = _hash_sample(corpus, id_col, vec_col, sample_size, scale_bits)
     if centroids is None:
         centroids, _ = _lloyd(sample, n_centroids, iters, label="n_centroids")
-    if len(centroids) != n_centroids:
-        raise ValueError(
-            f"build_pq_store: {len(centroids)} centroids passed but "
-            f"n_centroids={n_centroids}"
-        )
     if codebooks is None:
         codebooks, _ = fit_pq_codebooks(
             corpus, id_col, vec_col, m=m, k_codes=k_codes, iters=iters,
             sample_size=sample_size, scale_bits=scale_bits, sample=sample,
         )
-    # user-supplied codebooks get the same loud shape gate as
-    # centroids — a wrong subspace width would NULL-pad the encode
-    # zip_with and silently send every vector to code 0
-    if len(codebooks) != m or any(len(book) != k_codes for book in codebooks):
-        raise ValueError(
-            f"build_pq_store: codebooks shape ({len(codebooks)} subspaces × "
-            f"{[len(b) for b in codebooks]} codes) does not match m={m}, "
-            f"k_codes={k_codes}"
-        )
-    if any(len(cw) != sub for book in codebooks for cw in book):
-        raise ValueError(
-            f"build_pq_store: every codeword must have dim/m = {sub} "
-            "coordinates"
-        )
+    _check_shapes()  # fitted constants obey the same contract
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(centroids)], "cid int, cen array<double>"
@@ -217,7 +229,7 @@ def build_pq_store(
     # already-partitioned store (narrow, no corpus rescan) and
     # re-quantizes cv, which is exact (cv is the original doubles, so
     # _quantize(cv) == the first pass's xq bit-for-bit)
-    (
+    base = (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -226,11 +238,12 @@ def build_pq_store(
         )
         .withColumn("cid", nearest_centroid_ids(F.col("xq"), cents_lit, 1)[0])
         .drop("xq")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{path}/refine")
     )
-    refine = spark.read.parquet(f"{path}/refine")
+    base.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/refine")
+    # explicit schema: an all-NULL-vector corpus writes zero data
+    # files, and a schema-less read would fail with an unrelated
+    # inference error instead of building an (empty) store
+    refine = spark.read.schema(base.schema).parquet(f"{path}/refine")
     (
         refine.select(
             "neighbor_id",
@@ -269,10 +282,14 @@ def ann_pq_from_store(
     from .clustering import _quantize
     from .similarity import _read_ann_store_header, cosine_expr
 
-    store_bits, n_cent, cents = _read_ann_store_header(
+    store_bits, n_cent, cents, meta = _read_ann_store_header(
         spark, store_path, expect_scale_bits=scale_bits
     )
-    meta = spark.read.parquet(f"{store_path}/meta").collect()[0]
+    if "m" not in meta or "k_codes" not in meta:
+        raise ValueError(
+            f"ann_pq_from_store: {store_path} is a plain ANN store (no "
+            "m/k_codes in meta) — serve it with ann_from_store"
+        )
     m, k_codes = int(meta["m"]), int(meta["k_codes"])
     cb_rows = spark.read.schema("sub int, code int, cw array<double>").parquet(
         f"{store_path}/codebooks"

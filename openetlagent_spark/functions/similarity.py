@@ -1013,6 +1013,13 @@ def build_ann_store(
                 f"build_ann_store: {len(centroids)} centroids passed but "
                 f"n_centroids={n_centroids}"
             )
+        dim = infer_dim(corpus, vec_col)
+        if any(len(c) != dim for c in centroids):
+            raise ValueError(
+                f"build_ann_store: every centroid must have {dim} coordinates "
+                "(a wrong width would NULL-pad the assignment zip_with and "
+                "send every vector to one bogus cid)"
+            )
         cents = [list(map(float, c)) for c in centroids]
     else:
         cents = fit_ivf_centroids_exact(
@@ -1044,22 +1051,37 @@ def build_ann_store(
 
 
 def _read_ann_store_header(
-    spark, store_path: str, expect_scale_bits: int | None = None
-) -> tuple[int, int, list[list[float]]]:
+    spark, store_path: str, expect_scale_bits: int | None = None,
+    forbid_pq: str | None = None,
+) -> tuple[int, int, list[list[float]], dict]:
     """Load and validate an ANN store's meta + centroid tables —
-    the shared entry gate for serving and appending.  Returns
-    (scale_bits, n_centroids, centroids ordered by cid).  The grid
+    the shared entry gate for serving and appending (ONE meta read for
+    every caller; store-kind detection lives here, not in call sites).
+    Returns (scale_bits, n_centroids, centroids ordered by cid,
+    meta row as a dict — PQ stores carry m/k_codes there).  The grid
     check runs FIRST (right after meta) so a caller on the wrong grid
-    hears about that before any centroid-table diagnosis."""
-    meta = spark.read.schema("scale_bits int, n_centroids int").parquet(
-        f"{store_path}/meta"
-    ).collect()
-    if len(meta) != 1:
+    hears about that before any centroid-table diagnosis.
+    ``forbid_pq`` names the operation that must refuse IVF-PQ stores
+    (their lists hold codes, not vectors)."""
+    meta_rows = spark.read.parquet(f"{store_path}/meta").collect()
+    if len(meta_rows) != 1:
         raise ValueError(f"ann store {store_path}: missing/ambiguous meta table")
-    if expect_scale_bits is not None and meta[0]["scale_bits"] != expect_scale_bits:
+    meta = meta_rows[0].asDict()
+    if "scale_bits" not in meta or "n_centroids" not in meta:
+        raise ValueError(
+            f"ann store {store_path}: meta table lacks scale_bits/n_centroids "
+            f"(has {sorted(meta)})"
+        )
+    if forbid_pq and {"m", "k_codes"} & set(meta):
+        raise ValueError(
+            f"{forbid_pq}: {store_path} is an IVF-PQ store (meta declares "
+            "m/k_codes); its lists hold codes, not vectors — rebuild with "
+            "build_pq_store to add batches"
+        )
+    if expect_scale_bits is not None and meta["scale_bits"] != expect_scale_bits:
         raise ValueError(
             f"ann store {store_path} was built with scale_bits="
-            f"{meta[0]['scale_bits']}; serving with {expect_scale_bits} would "
+            f"{meta['scale_bits']}; serving with {expect_scale_bits} would "
             "quantize queries on a different grid than the index"
         )
     rows = sorted(
@@ -1074,9 +1096,10 @@ def _read_ann_store_header(
             f"exactly once, got {[r['cid'] for r in rows]}"
         )
     return (
-        int(meta[0]["scale_bits"]),
-        int(meta[0]["n_centroids"]),
+        int(meta["scale_bits"]),
+        int(meta["n_centroids"]),
         [list(r["cen"]) for r in rows],
+        meta,
     )
 
 
@@ -1107,18 +1130,13 @@ def append_to_ann_store(
     from .clustering import _quantize
 
     spark = batch.sparkSession
-    # an IVF-PQ store (functions/pq.py) shares the meta/centroids
-    # layout but its lists hold CODES, not vectors — appending (id,
-    # cv) rows there would silently corrupt it (NULL codes at serve
-    # time); refuse before touching anything
-    meta_cols = set(spark.read.parquet(f"{store_path}/meta").columns)
-    if {"m", "k_codes"} & meta_cols:
-        raise ValueError(
-            f"append_to_ann_store: {store_path} is an IVF-PQ store "
-            "(meta declares m/k_codes); its lists hold codes, not "
-            "vectors — rebuild with build_pq_store to add batches"
-        )
-    scale_bits, _n_cent, cents = _read_ann_store_header(spark, store_path)
+    # forbid_pq: an IVF-PQ store (functions/pq.py) shares the
+    # meta/centroids layout but its lists hold CODES, not vectors —
+    # appending (id, cv) rows there would silently corrupt it (NULL
+    # codes at serve time); the shared header gate refuses it
+    scale_bits, _n_cent, cents, _meta = _read_ann_store_header(
+        spark, store_path, forbid_pq="append_to_ann_store"
+    )
     cents_lit = _array_literal(cents)
     (
         batch.filter(F.col(vec_col).isNotNull())
@@ -1155,7 +1173,7 @@ def ann_from_store(
     fold-order cosine re-rank over the ORIGINAL doubles."""
     from .clustering import _quantize
 
-    _bits, _n_cent, cents = _read_ann_store_header(
+    _bits, _n_cent, cents, _meta = _read_ann_store_header(
         spark, store_path, expect_scale_bits=scale_bits
     )
     cents_lit = _array_literal(cents)

@@ -1029,3 +1029,22 @@ def test_resize_real_rewrites_mime_truthfully(spark):
     with pytest.raises(Exception, match="undecodable"):
         resize_images(media, target_width=2, target_height=2,
                       decoder="real", strict=True).collect()
+
+
+def test_pnm_rescale_clamps_out_of_range_samples():
+    """A (tolerated) sample above maxval saturates at 255 — never
+    wraps modulo 256 into an arbitrary intensity."""
+    from openetlagent_spark.functions.multimodal import _decode_pnm
+
+    assert _decode_pnm(b"P5\n1 1\n15\n" + bytes([255]))[0, 0] == 255
+    assert _decode_pnm(b"P5\n1 1\n15\n" + bytes([16]))[0, 0] == 255
+
+
+def test_strict_requires_real_decoder(spark):
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=b"x", mime="t", width=0, height=0, duration_ms=0)]
+    )
+    with pytest.raises(ValueError, match="requires decoder='real'"):
+        extract_image_features(media, strict=True)
+    with pytest.raises(ValueError, match="requires decoder='real'"):
+        resize_images(media, strict=True)

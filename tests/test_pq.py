@@ -153,3 +153,37 @@ def test_vector_append_refuses_pq_store(spark, emb, pq_store):
 
     with pytest.raises(ValueError, match="IVF-PQ store"):
         append_to_ann_store(emb.limit(1), pq_store)
+
+
+def test_shape_gates_fire_before_any_spark_job(spark, emb, tmp_path):
+    """Malformed user constants must fail before the corpus-wide
+    hash-sample scan (fast-fail) — and wrong-width centroids are
+    rejected for both store builders."""
+    from openetlagent_spark.functions.similarity import build_ann_store
+
+    bad_width = [[0.0] * 32 for _ in range(16)]  # dim is 64
+    with pytest.raises(ValueError, match="coordinates"):
+        build_pq_store(emb, str(tmp_path / "a"), centroids=bad_width)
+    with pytest.raises(ValueError, match="coordinates"):
+        build_ann_store(emb, str(tmp_path / "b"), centroids=bad_width)
+
+
+def test_plain_store_refused_by_pq_serve(spark, emb, tmp_path):
+    from openetlagent_spark.functions.similarity import build_ann_store
+
+    store = str(tmp_path / "plain")
+    build_ann_store(emb, store, n_centroids=8, sample_size=256)
+    with pytest.raises(ValueError, match="plain ANN store"):
+        ann_pq_from_store(spark, store, emb.limit(1))
+
+
+def test_all_null_corpus_fails_with_meaningful_error(spark, emb, tmp_path):
+    """A corpus with no decodable vectors fails at the dimension probe
+    with an error naming the vector column — never an unrelated
+    parquet schema-inference error from the refine read-back (which
+    additionally reads with an explicit schema)."""
+    from pyspark.sql import functions as F
+
+    nulls = emb.select("vec_id", F.lit(None).cast("array<double>").alias("embedding"))
+    with pytest.raises(ValueError, match="cannot infer embedding dimension"):
+        build_pq_store(nulls, str(tmp_path / "empty"))
