@@ -237,6 +237,9 @@ HEADLINE = [
     "ann_store_append",
     "pq_codebooks",
     "ann_pq",
+    "ohlc_bars",
+    "triangle_count",
+    "knn_label",
 ]
 
 

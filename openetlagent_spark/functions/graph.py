@@ -317,3 +317,108 @@ def pagerank_oracle_sql(
         + f" SELECT node, r AS rank_int, "
         f"CAST(r AS DOUBLE) / {float(S)!r} AS rank FROM r{iters}"
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    — ``(node, n_triangles)`` for every node in at least one triangle.
+    The clustering-coefficient / community-density primitive (spam
+    rings in web graphs, co-citation cliques) the PageRank family
+    complements.
+
+    Algorithm: the degree-ordered compact-forward join — every
+    canonical edge is ORIENTED from its lower (degree, node) endpoint
+    to the higher, wedges come from pairs of out-edges at a common
+    source, and a wedge is a triangle iff its (v, w) closure exists in
+    the oriented edge set.  The orientation is the 100 TB move: a
+    node's out-degree is bounded by O(sqrt(|E|)) under this ordering,
+    so the wedge join never explodes on celebrity nodes the way a raw
+    id-ordered join does (the remaining skew is AQE's to split).
+    Two shuffles over the edge list (degree attach + wedge join) plus
+    the closure semi-join.
+
+    Output is orientation-independent (the triangle SET does not
+    depend on the ordering), which is what lets the oracle use the
+    simple id-ordered formulation — equality proves both."""
+    from ..session import materialize
+
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    # materialize: the canonical edge list feeds the degree count, the
+    # orientation join (twice), and the closure — unboundaried lineage
+    # would re-run the upstream edge construction per consumer
+    e = materialize(
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = e.join(da, "a").join(db, "b")
+    ka = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
+    # materialize again: the oriented edges feed both wedge sides and
+    # the closure join
+    directed = materialize(
+        keyed.select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(ka < kb, kb).otherwise(ka).alias("vk"),
+        )
+    )
+    e1 = directed.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("vk").alias("vk1")
+    )
+    e2 = directed.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("vk").alias("vk2")
+    )
+    wedges = e1.join(e2, "u").filter(F.col("vk1") < F.col("vk2"))
+    closure = directed.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closure, ["v1", "v2"]).select("u", "v1", "v2")
+    nodes = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v1").alias("node")))
+        .unionAll(tris.select(F.col("v2").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def triangle_count_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`triangle_count` over ``edges_sql``
+    (a parenthesized subquery yielding (src, dst)).  Uses the simple
+    id-ordered formulation a < b < c — the triangle set (and therefore
+    every per-node count) is orientation-independent, so equality with
+    the degree-oriented Spark plan proves both."""
+    return f"""
+WITH __tc_e AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM {edges_sql}
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+  GROUP BY 1, 2
+), __tc_t AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM __tc_e e1
+  JOIN __tc_e e2 ON e2.a = e1.b
+  JOIN __tc_e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS node FROM __tc_t
+  UNION ALL SELECT y FROM __tc_t
+  UNION ALL SELECT z FROM __tc_t
+) GROUP BY node
+"""

@@ -1213,3 +1213,80 @@ def ann_from_store(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def knn_label(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    labels: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """k-nearest-neighbor LABELING over the persisted ANN index — the
+    serving-side classifier that needs no training: each query's k
+    store-served neighbors (:func:`ann_from_store`, self-matches
+    excluded, so corpus-as-queries gives leave-one-out evaluation)
+    vote with their labels; the majority label wins, ties broken by
+    (votes DESC, label ASC).  Returns (query_id, pred_label, n_votes).
+
+    Votes are unweighted INTEGER counts — order-independent and
+    engine-exact, where cosine-weighted votes would be an unordered FP
+    sum.  Scale: the vote aggregate runs on ≤ |queries|·k rows, and
+    the label side joins AFTER the top-k cut, so the corpus-wide label
+    table only ever meets a bounded frame (broadcast when small)."""
+    neighbors = ann_from_store(
+        spark, store_path, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, scale_bits=scale_bits,
+    )
+    lab = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab__")
+    )
+    votes = (
+        neighbors.join(lab, "neighbor_id")
+        .groupBy("query_id", "__lab__")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("__lab__").asc()
+    )
+    return (
+        votes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "query_id",
+            F.col("__lab__").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+def knn_label_oracle_sql(
+    neighbors_sql: str,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB mirror of :func:`knn_label`, composed over
+    ``neighbors_sql`` — the SAME unrolled IVF-store oracle string the
+    ann_store row hash-checks (stage composition: neighbor equality is
+    already proven, so this row proves the vote/tie-break layer)."""
+    return f"""
+WITH __knn_n AS MATERIALIZED ({neighbors_sql}),
+__knn_v AS MATERIALIZED (
+  SELECT n.query_id, l.{label_col} AS lab, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM __knn_n n JOIN {table} l ON l.{id_col} = n.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT query_id, lab AS pred_label, n_votes FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, lab ASC) AS rn
+  FROM __knn_v
+) WHERE rn = 1
+"""

@@ -275,3 +275,93 @@ SELECT g.{key}, g.hour_idx,
 FROM grid g
 LEFT JOIN hourly h ON g.{key} = h.{key} AND g.hour_idx = h.hour_idx
 """
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key OHLC bars (open/high/low/close + volume) over fixed
+    time buckets — the candlestick/downsampling aggregate every
+    metrics store and hypertable ships (``time_bucket`` + first/last
+    by time).
+
+    One shuffle on (key, bucket) with full map-side partial
+    aggregation: OPEN/CLOSE are ``min_by``/``max_by`` over the epoch-
+    second order (ties broken by the value itself via the packed
+    struct compare, so two observations in the same second pick
+    deterministically — the same move unfold uses for deterministic
+    FIRST), HIGH/LOW are plain MIN/MAX, n_obs counts the bucket.  At
+    100 TB this is the canonical two-phase aggregate: partials shrink
+    each partition to |keys|·|buckets| rows before the exchange.
+
+    Engine-exact: the bucket index is integer ``FLOOR(epoch/bucket)``;
+    open/close carry original doubles untouched (no arithmetic);
+    DuckDB mirrors min_by/max_by as ``arg_min``/``arg_max`` over the
+    identical (epoch, value) ordering struct."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"ohlc_bars bucket_seconds must be positive, got {bucket_seconds}")
+    # integer micros → one FLOOR double division: ntz-safe (TIMESTAMP_NTZ
+    # refuses a direct double cast) and floor-correct at negative epochs
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(
+        micros.cast("double") / F.lit(float(bucket_seconds) * 1e6)
+    ).cast("long")
+    # (epoch_micros, value) packed as a struct: struct compare is
+    # field-by-field, so the order is time-first with the VALUE as the
+    # deterministic tie-break within one timestamp — both engines
+    # compare the same way
+    order = F.struct(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
+        .agg(
+            F.min_by(F.col(value_col).cast("double"), order).alias("open"),
+            F.max(F.col(value_col).cast("double")).alias("high"),
+            F.min(F.col(value_col).cast("double")).alias("low"),
+            F.max_by(F.col(value_col).cast("double"), order).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+        .select("key", "bucket", "open", "high", "low", "close", "n_obs")
+    )
+
+
+def ohlc_bars_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> str:
+    """DuckDB mirror of :func:`ohlc_bars`.  DuckDB's arg_min/arg_max
+    refuse STRUCT ordering keys, so the (epoch_micros, value)
+    lexicographic pick is expressed as first/last row_number windows —
+    identical semantics to Spark's min_by/max_by over the struct."""
+    return f"""
+WITH __ohlc_b AS (
+  SELECT {key_col} AS key,
+         CAST(FLOOR(CAST(epoch_us({ts_col}) AS DOUBLE) / {float(bucket_seconds) * 1e6!r}) AS BIGINT) AS bucket,
+         CAST({value_col} AS DOUBLE) AS v,
+         epoch_us({ts_col}) AS t
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+), __ohlc_r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY key, bucket ORDER BY t, v) AS ra,
+         row_number() OVER (PARTITION BY key, bucket ORDER BY t DESC, v DESC) AS rd
+  FROM __ohlc_b
+)
+SELECT key, bucket,
+       MAX(CASE WHEN ra = 1 THEN v END) AS open,
+       MAX(v) AS high,
+       MIN(v) AS low,
+       MAX(CASE WHEN rd = 1 THEN v END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM __ohlc_r GROUP BY key, bucket
+"""

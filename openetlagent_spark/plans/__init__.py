@@ -45,18 +45,18 @@ _ROUND9_FRONT = [
     "kmeans_clusters", "merge_changes", "outlier_flags",
     "profile_table", "quantile_bins", "robust_scale", "running_totals",
     "scd2_history", "sessionize", "stats_moments", "stats_skew",
-    "stratified_sample", "text_scrub", "tfidf_topk", "tpch_q1",
+    "stratified_sample", "text_scrub", "tfidf_topk",
     "tpch_q12", "tpch_q18", "unicode_nfc", "value_histogram",
     "vocab_oov", "window_distinct_users",
-    # oldest r05 rows (7) — the VERDICT-named block; these are the
-    # swap-out candidates if round-9 additions land (each swap only
-    # after the incoming query passes a local driver-strength exact
-    # check, per the rotation policy above)
-    "bind_salted", "window_range_frame",
-    # round-9 additions (each swapped in after a local driver-strength
-    # exact check, displacing the newest r05 re-checks)
+    # round-9 additions (8) — each swapped in after a local
+    # driver-strength exact check.  They displace the 7 r05 backfill
+    # slots plus tpch_q1, the one r04 row whose implementing files are
+    # UNCHANGED since its last driver hash (staleness: 'current') —
+    # never-driver-checked additions outrank a no-change re-check,
+    # keeping cumulative coverage at N/N
     "image_decode", "sql_join", "ann_store_append",
     "pq_codebooks", "ann_pq",
+    "ohlc_bars", "triangle_count", "knn_label",
 ]
 
 

@@ -1055,6 +1055,70 @@ def q_ann_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_from_store(spark, store, queries, k=10, nprobe=4)
 
 
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling served from the persisted ANN index
+    (functions/similarity.py knn_label): the training-free classifier —
+    each query's 10 store-served neighbors vote with their labels,
+    majority wins (votes DESC, label ASC ties).  Self-matches are
+    excluded by the serve, so corpus-as-queries is leave-one-out
+    evaluation.  Votes are integer counts (order-independent); the
+    oracle composes the SAME unrolled IVF oracle the ann_store row
+    proves with the vote/tie-break layer on top — stage composition,
+    the image_neardup pattern."""
+    from ..functions.similarity import build_ann_store, knn_label
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    store = _scratch_dir("ela_knn_store", sf_dir)
+    build_ann_store(emb, store, "vec_id", "embedding",
+                    n_centroids=16, iters=2, sample_size=2048)
+    queries = emb.filter(F.col("vec_id") < 20)
+    labels = emb.select("vec_id", "label")
+    return knn_label(spark, store, queries, labels, k=10, nprobe=4)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (functions/graph.py triangle_count —
+    the degree-ordered compact-forward join) over the synthetic domain
+    co-citation graph widened to distance ≤ 2 (consecutive docs AND
+    next-but-one, so the deterministic stand-in actually closes
+    triangles: domains of docs i, i+1, i+2 form one whenever all three
+    differ).  The orientation bounds wedge fan-out by O(sqrt(|E|)) on
+    celebrity nodes; the oracle's simple id-ordered formulation counts
+    the SAME orientation-independent triangle set."""
+    from ..functions.graph import triangle_count
+    from ..functions.web import domain_extract
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SYNTH_URL_SQL).alias("url")
+    )
+    dom = domain_extract(docs, "url").select("doc_id", "domain")
+    a, b = dom.alias("a"), dom.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            | (F.col("b.doc_id") == F.col("a.doc_id") + 2),
+        )
+        .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key OHLC candlestick bars over hourly buckets
+    (functions/timeseries.py ohlc_bars — the hypertable
+    time_bucket+first/last downsampling aggregate): one (key, bucket)
+    shuffle with map-side partials; open/close are min_by/max_by over
+    the (epoch_micros, value) struct order, so same-second ties are
+    deterministic in both engines."""
+    from ..functions.timeseries import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_bars(ev, "event_type", "ts", "value", bucket_seconds=3600)
+
+
 def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codebook fit (functions/pq.py
     fit_pq_codebooks): each of 8 subspaces of the 64-dim embeddings
@@ -2947,6 +3011,9 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_store": q_ann_store,
     "ann_store_append": q_ann_store_append,
     "pq_codebooks": q_pq_codebooks,
+    "ohlc_bars": q_ohlc_bars,
+    "triangle_count": q_triangle_count,
+    "knn_label": q_knn_label,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -3779,6 +3846,16 @@ HARNESS_ORACLES["ann_store"] = HARNESS_ORACLES["ann_ivf_topk"]
 # and serves — same full-corpus computation, same oracle
 HARNESS_ORACLES["ann_store_append"] = HARNESS_ORACLES["ann_ivf_topk"]
 
+# knn_label: the vote/tie-break layer composed OVER the same unrolled
+# IVF oracle (neighbor equality already proven by the ann rows)
+from ..functions.similarity import (  # noqa: E402
+    knn_label_oracle_sql as _knn_label_oracle_sql,
+)
+
+HARNESS_ORACLES["knn_label"] = _knn_label_oracle_sql(
+    HARNESS_ORACLES["ann_ivf_topk"]
+)
+
 # IVF-PQ family: fully unrolled independent oracles (functions/pq.py)
 from ..functions.pq import (  # noqa: E402
     ann_pq_oracle_sql as _ann_pq_oracle_sql,
@@ -3787,6 +3864,14 @@ from ..functions.pq import (  # noqa: E402
 
 HARNESS_ORACLES["pq_codebooks"] = _pq_codebooks_oracle_sql(
     m=8, k_codes=16, iters=2, sample_size=2048
+)
+
+from ..functions.timeseries import (  # noqa: E402
+    ohlc_bars_oracle_sql as _ohlc_bars_oracle_sql,
+)
+
+HARNESS_ORACLES["ohlc_bars"] = _ohlc_bars_oracle_sql(
+    "events", "event_type", "ts", "value", bucket_seconds=3600
 )
 HARNESS_ORACLES["ann_pq"] = _ann_pq_oracle_sql(
     k=10, n_centroids=16, nprobe=4, refine_factor=4,
@@ -3991,6 +4076,24 @@ _DOMAIN_EDGES_SQL = (
 HARNESS_ORACLES["domain_rank"] = _pagerank_oracle_sql(
     _DOMAIN_NODES_SQL, _DOMAIN_EDGES_SQL, iters=3
 )
+
+# triangle_count: the same synthetic domain graph widened to
+# distance <= 2 links so triangles exist; id-ordered oracle counts the
+# orientation-independent triangle set the degree-oriented plan emits
+from ..functions.graph import (  # noqa: E402
+    triangle_count_oracle_sql as _triangle_count_oracle_sql,
+)
+
+_DOMAIN_EDGES2_SQL = (
+    f"(SELECT DISTINCT a.domain AS src, b.domain AS dst "
+    f"FROM (SELECT doc_id, {_dom_expr} AS domain "
+    f"FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)) a "
+    f"JOIN (SELECT doc_id, {_dom_expr} AS domain "
+    f"FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)) b "
+    f"ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2) "
+    f"WHERE a.domain <> b.domain)"
+)
+HARNESS_ORACLES["triangle_count"] = _triangle_count_oracle_sql(_DOMAIN_EDGES2_SQL)
 
 # html_extract: the full strip/decode/collapse chain generated from the
 # same pattern tables as the Spark expression, over the same synthetic

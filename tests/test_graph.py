@@ -110,3 +110,64 @@ def test_dedup_keep_best_flow_mode(spark):
     kept = sorted(r["doc_id"] for r in apply_dedup(df, op).collect())
     # docs 1,2 are near-dups: 2 wins on quality; 3 untouched
     assert kept == [2, 3]
+
+
+def test_triangle_count_hand_built(spark):
+    """K4 minus one edge: nodes 1,2,3,4 with all edges except (3,4) —
+    triangles {1,2,3} and {1,2,4}; per-node counts 2,2,1,1.  Edge
+    direction/duplication in the input must not matter."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=1),  # duplicate reversed
+         Row(src=1, dst=3), Row(src=3, dst=1),
+         Row(src=1, dst=4),
+         Row(src=2, dst=3), Row(src=2, dst=4),
+         Row(src=2, dst=2),  # self-loop drops
+         Row(src=None, dst=1)]
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_count_no_triangles_is_empty(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.graph import triangle_count
+
+    path = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(5)])
+    assert triangle_count(path).count() == 0
+
+
+def test_knn_label_majority_and_ties(spark, tmp_path):
+    """kNN vote layer over a store: majority wins; equal votes pick
+    the lexicographically smaller label."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.similarity import build_ann_store, knn_label
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = str(tmp_path / "knn")
+    build_ann_store(emb, store, n_centroids=8, sample_size=256)
+    labels = emb.select("vec_id", "label")
+    out = knn_label(spark, store, emb.filter("vec_id < 10"), labels,
+                    k=5, nprobe=4)
+    rows = {r.query_id: r for r in out.collect()}
+    assert len(rows) == 10
+    assert all(1 <= r.n_votes <= 5 for r in rows.values())
+    # recompute the expected majority from the served neighbors
+    from openetlagent_spark.functions.similarity import ann_from_store
+
+    nn = ann_from_store(spark, store, emb.filter("vec_id < 10"), k=5, nprobe=4)
+    lab = {r.vec_id: r.label for r in labels.collect()}
+    import collections
+
+    by_q = collections.defaultdict(list)
+    for r in nn.collect():
+        by_q[r.query_id].append(lab[r.neighbor_id])
+    for q, labs in by_q.items():
+        cnt = collections.Counter(labs)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (rows[q].pred_label, rows[q].n_votes) == best

@@ -749,3 +749,18 @@ def test_row_expectations_single_exchange_with_expr_rule(spark):
     a single 1-row exchange carries every counter."""
     plan = plan_of(spark, "row_expectations")
     assert count_shuffles(plan) <= 1
+
+
+def test_ohlc_bars_single_shuffle(spark):
+    """One (key, bucket) exchange; partial min_by/max_by run map-side."""
+    plan = plan_of(spark, "ohlc_bars")
+    assert count_shuffles(plan) <= 1
+    assert "partial_min_by" in plan or "partial" in plan.lower()
+
+
+def test_knn_label_votes_after_topk_cut(spark):
+    """The label join and vote aggregate run on the bounded top-k
+    frame; the store serve keeps its probed-cid PartitionFilter."""
+    plan = plan_of(spark, "knn_label")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert re.search(r"PartitionFilters: \[[^\]]*cid", physical)

@@ -244,3 +244,40 @@ def test_time_weighted_avg_edge_cases(spark):
     with pytest.raises(ValueError, match="q_bits"):
         time_weighted_avg(df, key="k", ts_col="ts", value_col="v",
                           id_col="id", q_bits=31)
+
+
+def test_ohlc_bars_hand_computed(spark):
+    """OHLC semantics over a hand-built series: open/close are
+    time-ordered first/last, high/low extremes, same-second ties pick
+    by value deterministically."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.timeseries import ohlc_bars
+
+    rows = [
+        Row(k="a", ts="2024-01-01 00:05:00", v=10.0),
+        Row(k="a", ts="2024-01-01 00:10:00", v=30.0),
+        Row(k="a", ts="2024-01-01 00:50:00", v=5.0),
+        Row(k="a", ts="2024-01-01 01:10:00", v=7.0),
+        # same-second tie: value tie-break picks 1.0 as open side
+        Row(k="b", ts="2024-01-01 00:00:00", v=2.0),
+        Row(k="b", ts="2024-01-01 00:00:00", v=1.0),
+        # NULLs drop
+        Row(k="b", ts=None, v=9.0),
+        Row(k="b", ts="2024-01-01 00:30:00", v=None),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.key, r.bucket): r for r in
+           ohlc_bars(df, "k", "ts", "v", bucket_seconds=3600).collect()}
+    a0 = got[("a", 473352)]  # 2024-01-01T00 bucket index
+    assert (a0.open, a0.high, a0.low, a0.close, a0.n_obs) == (10.0, 30.0, 5.0, 5.0, 3)
+    a1 = got[("a", 473353)]
+    assert (a1.open, a1.close, a1.n_obs) == (7.0, 7.0, 1)
+    b0 = got[("b", 473352)]
+    assert (b0.open, b0.close, b0.n_obs) == (1.0, 2.0, 2)
+    from openetlagent_spark.functions.timeseries import ohlc_bars as ob
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        ob(df, "k", bucket_seconds=0)
