@@ -72,14 +72,20 @@ def cosine_topk(
 
 
 def infer_dim(df: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality from one row (tiny probe job — NOT
-    memoized: a cache keyed on the plan can go stale when the
+    """Embedding dimensionality from one NON-NULL row (tiny probe job —
+    NOT memoized: a cache keyed on the plan can go stale when the
     underlying file is rewritten with different-dimension vectors, and
-    a wrong dim silently collapses every LSH bucket; see below).  The
-    hyperplane literals must match the vector length exactly —
+    a wrong dim silently collapses every LSH bucket; see below).  NULL
+    vectors are skipped — every consumer filters them out of its own
+    pipeline, so a NULL first scan row must not fail a valid corpus.
+    The hyperplane literals must match the vector length exactly —
     zip_with pads mismatches with nulls, which would NULL every dot
     product and collapse all signatures to one bucket."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer embedding dimension from column '{vec_col}'")
     return int(row["d"])
@@ -1075,8 +1081,8 @@ def _read_ann_store_header(
     if forbid_pq and {"m", "k_codes"} & set(meta):
         raise ValueError(
             f"{forbid_pq}: {store_path} is an IVF-PQ store (meta declares "
-            "m/k_codes); its lists hold codes, not vectors — rebuild with "
-            "build_pq_store to add batches"
+            "m/k_codes); its lists hold codes, not vectors — serve it with "
+            "ann_pq_from_store, and grow it by rebuilding with build_pq_store"
         )
     if expect_scale_bits is not None and meta["scale_bits"] != expect_scale_bits:
         raise ValueError(
@@ -1174,7 +1180,8 @@ def ann_from_store(
     from .clustering import _quantize
 
     _bits, _n_cent, cents, _meta = _read_ann_store_header(
-        spark, store_path, expect_scale_bits=scale_bits
+        spark, store_path, expect_scale_bits=scale_bits,
+        forbid_pq="ann_from_store",
     )
     cents_lit = _array_literal(cents)
     from ..session import materialize
@@ -1237,14 +1244,18 @@ def knn_label(
 
     Votes are unweighted INTEGER counts — order-independent and
     engine-exact, where cosine-weighted votes would be an unordered FP
-    sum.  Scale: the vote aggregate runs on ≤ |queries|·k rows, and
-    the label side joins AFTER the top-k cut, so the corpus-wide label
-    table only ever meets a bounded frame (broadcast when small)."""
+    sum.  UNLABELED neighbors (NULL label) do not vote — a NULL
+    prediction is meaningless, and NULL ordering differs across
+    engines (Spark ASC = NULLS FIRST, DuckDB NULLS LAST), so the
+    filter is also what keeps the tie-break engine-exact.  Scale: the
+    vote aggregate runs on ≤ |queries|·k rows, and the label side
+    joins AFTER the top-k cut, so the corpus-wide label table only
+    ever meets a bounded frame (broadcast when small)."""
     neighbors = ann_from_store(
         spark, store_path, queries, k=k, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col, scale_bits=scale_bits,
     )
-    lab = labels.select(
+    lab = labels.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab__")
     )
     votes = (
@@ -1282,6 +1293,7 @@ WITH __knn_n AS MATERIALIZED ({neighbors_sql}),
 __knn_v AS MATERIALIZED (
   SELECT n.query_id, l.{label_col} AS lab, CAST(COUNT(*) AS BIGINT) AS n_votes
   FROM __knn_n n JOIN {table} l ON l.{id_col} = n.neighbor_id
+  WHERE l.{label_col} IS NOT NULL
   GROUP BY 1, 2
 )
 SELECT query_id, lab AS pred_label, n_votes FROM (

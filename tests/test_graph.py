@@ -171,3 +171,34 @@ def test_knn_label_majority_and_ties(spark, tmp_path):
         cnt = collections.Counter(labs)
         best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert (rows[q].pred_label, rows[q].n_votes) == best
+
+
+def test_knn_label_null_labels_do_not_vote(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.similarity import build_ann_store, knn_label
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = str(tmp_path / "knn_null")
+    build_ann_store(emb, store, n_centroids=8, sample_size=256)
+    # every odd-id neighbor is unlabeled; predictions must come only
+    # from labeled voters and never be NULL
+    labels = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, F.col("label")).alias("label"),
+    )
+    out = knn_label(spark, store, emb.filter("vec_id < 10"), labels, k=5)
+    rows = out.collect()
+    assert rows and all(r.pred_label is not None for r in rows)
+
+
+def test_infer_dim_skips_null_vectors(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.similarity import infer_dim
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=None), Row(vec_id=2, embedding=[1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert infer_dim(df, "embedding") == 2

@@ -752,10 +752,13 @@ def test_row_expectations_single_exchange_with_expr_rule(spark):
 
 
 def test_ohlc_bars_single_shuffle(spark):
-    """One (key, bucket) exchange; partial min_by/max_by run map-side."""
+    """One (key, bucket) exchange; the min_by/max_by aggregates run a
+    map-side PARTIAL pass (the exchange carries |keys|·|buckets|
+    partials, not raw rows)."""
     plan = plan_of(spark, "ohlc_bars")
     assert count_shuffles(plan) <= 1
-    assert "partial_min_by" in plan or "partial" in plan.lower()
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "partial_min_by" in physical and "partial_max_by" in physical
 
 
 def test_knn_label_votes_after_topk_cut(spark):

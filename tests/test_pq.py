@@ -187,3 +187,12 @@ def test_all_null_corpus_fails_with_meaningful_error(spark, emb, tmp_path):
     nulls = emb.select("vec_id", F.lit(None).cast("array<double>").alias("embedding"))
     with pytest.raises(ValueError, match="cannot infer embedding dimension"):
         build_pq_store(nulls, str(tmp_path / "empty"))
+
+
+def test_pq_store_refused_by_vector_serve(spark, emb, pq_store):
+    """ann_from_store on a PQ store must fail at the shared gate with
+    the store kind named, not deep in analysis on the missing cv."""
+    from openetlagent_spark.functions.similarity import ann_from_store
+
+    with pytest.raises(ValueError, match="IVF-PQ store"):
+        ann_from_store(spark, pq_store, emb.limit(1))
