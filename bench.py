@@ -240,6 +240,7 @@ HEADLINE = [
     "ohlc_bars",
     "triangle_count",
     "knn_label",
+    "dataset_drift",
 ]
 
 

@@ -380,3 +380,116 @@ SELECT CAST(top.key AS VARCHAR) AS key, top.cnt,
        CAST(s.max_cnt AS DOUBLE) / s.p50_cnt AS skew_ratio
 FROM top, s
 """
+
+
+def dataset_drift(
+    df: DataFrame,
+    side_col: str,
+    value_col: str,
+    side_a: str,
+    side_b: str,
+    *,
+    bin_width: float = 256.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Distribution-shift audit between two slices of one corpus — the
+    training-data drift check run before every refresh ("did the new
+    crawl's length/quality profile move?").  Values histogram into
+    ``n_bins`` fixed-width bins (last bin open-ended), counted per
+    side, and each bin carries a chi-square-style drift term computed
+    from INTEGER counts:
+
+        term = (n_a·N_b − n_b·N_a)² / (N_a·N_b·(n_a+n_b))
+
+    — the per-bin contribution of the two-sample chi-square statistic
+    (equivalently a PSI-like divergence without the logarithm, so it
+    stays engine-exact: integer cross products, ONE squaring and ONE
+    division in doubles per bin).  Rows with NULL value or a side
+    other than a/b are excluded.
+
+    Output: (bin, n_a, n_b, drift_term) per occupied bin.  Scale: one
+    shuffle on (side, bin) partial counts, then a broadcast of the two
+    side totals — the corpus reduces to ≤ 2·n_bins counter rows before
+    anything joins.  The TOTAL statistic is the sum of ~n_bins doubles
+    — sum the returned column driver-side (bounded rows) if one number
+    is wanted; a distributed SUM over doubles would reintroduce
+    fold-order variance for no benefit at this cardinality."""
+    if n_bins < 2 or bin_width <= 0:
+        raise ValueError("dataset_drift needs n_bins >= 2 and bin_width > 0")
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.floor(v / F.lit(float(bin_width))).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    base = (
+        df.filter(
+            F.col(side_col).isin([side_a, side_b]) & F.col(value_col).isNotNull()
+        )
+        .select(F.col(side_col).alias("__side__"), bin_.alias("bin"))
+    )
+    counts = (
+        base.groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__side__") == side_a, 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("__side__") == side_b, 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("long").alias("__na__"),
+        F.sum("n_b").cast("long").alias("__nb__"),
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    diff = (
+        F.col("n_a") * F.col("__nb__") - F.col("n_b") * F.col("__na__")
+    ).cast("double")
+    denom = (
+        F.col("__na__").cast("double")
+        * F.col("__nb__").cast("double")
+        * (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return joined.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.try_divide(diff * diff, denom).alias("drift_term"),
+    )
+
+
+def dataset_drift_oracle_sql(
+    table: str,
+    side_col: str,
+    value_col: str,
+    side_a: str,
+    side_b: str,
+    *,
+    bin_width: float = 256.0,
+    n_bins: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`dataset_drift` — same integer counts,
+    same single squaring/division order."""
+    sa = side_a.replace("'", "''")
+    sb = side_b.replace("'", "''")
+    return f"""
+WITH __dd_c AS MATERIALIZED (
+  SELECT LEAST(CAST(FLOOR(CAST({value_col} AS DOUBLE) / {float(bin_width)!r}) AS BIGINT),
+               {n_bins - 1}) AS bin,
+         CAST(COALESCE(SUM(CASE WHEN {side_col} = '{sa}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN {side_col} = '{sb}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b
+  FROM {table}
+  WHERE {side_col} IN ('{sa}', '{sb}') AND {value_col} IS NOT NULL
+  GROUP BY 1
+), __dd_t AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS na, CAST(SUM(n_b) AS BIGINT) AS nb FROM __dd_c
+)
+SELECT c.bin, c.n_a, c.n_b,
+       (CAST(c.n_a * t.nb - c.n_b * t.na AS DOUBLE) * CAST(c.n_a * t.nb - c.n_b * t.na AS DOUBLE))
+       / NULLIF(CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE) * CAST(c.n_a + c.n_b AS DOUBLE), 0.0)
+       AS drift_term
+FROM __dd_c c CROSS JOIN __dd_t t
+"""

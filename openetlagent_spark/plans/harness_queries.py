@@ -1055,6 +1055,22 @@ def q_ann_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_from_store(spark, store, queries, k=10, nprobe=4)
 
 
+def q_dataset_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit between two corpus slices
+    (functions/profile.py dataset_drift): the documents table's
+    n_chars profile compared across two sources, per-bin integer
+    counts plus the chi-square-style drift term (integer cross
+    products, one squaring, one division — log-free, engine-exact).
+    The corpus reduces to ≤ 2·n_bins counter rows before anything
+    joins — the pre-refresh drift gate at any SF."""
+    from ..functions.profile import dataset_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return dataset_drift(
+        docs, "source", "n_chars", "src0", "src1", bin_width=256.0, n_bins=20
+    )
+
+
 def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote labeling served from the persisted ANN index
     (functions/similarity.py knn_label): the training-free classifier —
@@ -3020,6 +3036,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_bars": q_ohlc_bars,
     "triangle_count": q_triangle_count,
     "knn_label": q_knn_label,
+    "dataset_drift": q_dataset_drift,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -4100,6 +4117,15 @@ _DOMAIN_EDGES2_SQL = (
     f"WHERE a.domain <> b.domain)"
 )
 HARNESS_ORACLES["triangle_count"] = _triangle_count_oracle_sql(_DOMAIN_EDGES2_SQL)
+
+from ..functions.profile import (  # noqa: E402
+    dataset_drift_oracle_sql as _dataset_drift_oracle_sql,
+)
+
+HARNESS_ORACLES["dataset_drift"] = _dataset_drift_oracle_sql(
+    "documents", "source", "n_chars", "src0", "src1",
+    bin_width=256.0, n_bins=20,
+)
 
 # html_extract: the full strip/decode/collapse chain generated from the
 # same pattern tables as the Spark expression, over the same synthetic

@@ -767,3 +767,11 @@ def test_knn_label_votes_after_topk_cut(spark):
     plan = plan_of(spark, "knn_label")
     physical = plan.split("== Physical Plan ==")[-1]
     assert re.search(r"PartitionFilters: \[[^\]]*cid", physical)
+
+
+def test_dataset_drift_reduces_before_join(spark):
+    """One (bin) aggregate shuffle; the totals side is a broadcast —
+    the corpus never reaches the join at its own width."""
+    plan = plan_of(spark, "dataset_drift")
+    assert count_shuffles(plan) <= 2  # partial counts + 1-row totals
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -230,3 +230,40 @@ def test_key_skew_report_flags_planted_hot_key(spark):
 
     with _pytest.raises(ValueError):
         key_skew_report(df, "k", top_k=0)
+
+
+def test_dataset_drift_hand_computed(spark):
+    """Per-bin counts and the chi-square-style drift term over a
+    hand-built two-sided sample; other sides and NULL values drop;
+    identical distributions give zero drift in every bin."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.profile import dataset_drift
+
+    rows = (
+        [Row(side="a", v=float(i)) for i in [10, 20, 300, 310]]
+        + [Row(side="b", v=float(i)) for i in [15, 320, 330, 340]]
+        + [Row(side="c", v=1.0), Row(side="a", v=None)]
+    )
+    df = spark.createDataFrame(rows)
+    got = {r.bin: r for r in
+           dataset_drift(df, "side", "v", "a", "b", bin_width=256.0, n_bins=4).collect()}
+    # bin 0: a={10,20}, b={15}; bin 1: a={300,310}, b={320,330,340}
+    assert got[0].n_a == 2 and got[0].n_b == 1
+    assert got[1].n_a == 2 and got[1].n_b == 3
+    na, nb = 4, 4
+    for b_ in (0, 1):
+        d = got[b_].n_a * nb - got[b_].n_b * na
+        want = float(d * d) / (float(na) * float(nb) * float(got[b_].n_a + got[b_].n_b))
+        assert got[b_].drift_term == want
+    # identical distributions -> zero drift everywhere
+    sym = spark.createDataFrame(
+        [Row(side=s, v=float(i)) for s in ("a", "b") for i in (1, 600)]
+    )
+    terms = [r.drift_term for r in
+             dataset_drift(sym, "side", "v", "a", "b", bin_width=256.0, n_bins=4).collect()]
+    assert terms and all(t == 0.0 for t in terms)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_bins"):
+        dataset_drift(df, "side", "v", "a", "b", n_bins=1)
