@@ -281,3 +281,37 @@ def test_ohlc_bars_hand_computed(spark):
 
     with pytest.raises(ValueError, match="bucket_seconds"):
         ob(df, "k", bucket_seconds=0)
+
+
+def test_ohlc_bars_stream_matches_batch(spark, tmp_path):
+    """ohlc_bars is a declarative grouped aggregate, so the SAME call
+    runs on a structured stream (complete mode) — candlesticks over a
+    live feed.  Stream output == batch output."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.timeseries import ohlc_bars
+
+    rows = [
+        Row(k="a", ts=f"2024-01-01 0{h}:{m:02d}:00", v=float(h * 100 + m))
+        for h in range(3) for m in (5, 25, 45)
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "ohlc_src")
+    batch.write.parquet(src)
+
+    want = sorted(
+        map(tuple, ohlc_bars(batch, "k", "ts", "v", bucket_seconds=3600).collect())
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        ohlc_bars(stream, "k", "ts", "v", bucket_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("ohlc_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ohlc_out").collect()))
+    assert got == want and got
