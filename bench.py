@@ -241,6 +241,7 @@ HEADLINE = [
     "triangle_count",
     "knn_label",
     "dataset_drift",
+    "collocations",
 ]
 
 

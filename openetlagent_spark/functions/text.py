@@ -1377,3 +1377,88 @@ def bpe_encode_oracle_sql(
         f"SELECT {id_col}, j, {encoded} AS e, nw FROM ("
         f"SELECT {id_col}, {joined} AS j, len({words}) AS nw FROM {table}))"
     )
+
+
+def collocations_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` collocations — bigrams whose words co-occur far more
+    than their individual frequencies predict: (w1, w2, n, score) with
+
+        score = n(w1,w2) · N / (left(w1) · right(w2))
+
+    the pointwise-mutual-information RATIO over the bigram table (its
+    own marginals: left = bigrams starting at w1, right = ending at
+    w2, N = total bigrams).  Ranking by the ratio is ranking by PMI
+    without the logarithm — log is libm and engine-divergent, while
+    the ratio is two multiplies and one divide of exact integers in a
+    fixed order, bit-identical everywhere.  ``min_count`` floors the
+    classic rare-pair pathology (a hapax pair scores N/1).  Ordered by
+    (score DESC, w1, w2) — the full tie-break makes the top-k SET
+    engine-exact.
+
+    Scale shape (100 TB): identical to bigram_lm_topk — scan-local
+    zip_with bigrams, ONE map-side-combined count shuffle; marginals
+    are integer window sums over the vocabulary²-sized count table
+    (never the corpus); the 1-row N total broadcasts; TakeOrdered
+    top-k."""
+    if k <= 0 or min_count < 1:
+        raise ValueError(
+            f"collocations_topk needs k > 0 and min_count >= 1, got {k!r}/{min_count!r}"
+        )
+    toks = _tokens(F.col(text_col))
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.size(toks) - F.lit(1)),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(pairs).alias("bg"))
+        .filter(F.col("bg.w2").isNotNull())
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    left = F.sum("n").over(Window.partitionBy("w1")).cast("long")
+    right = F.sum("n").over(Window.partitionBy("w2")).cast("long")
+    total = F.sum("n").over(Window.partitionBy())  # vocab²-sized input
+    scored = counts.select(
+        "w1", "w2", "n",
+        (
+            (F.col("n").cast("double") * total.cast("double"))
+            / (left.cast("double") * right.cast("double"))
+        ).alias("score"),
+    )
+    return (
+        scored.filter(F.col("n") >= min_count)
+        .orderBy(F.desc("score"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def collocations_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+) -> str:
+    """DuckDB mirror of collocations_topk — shared tokenizer fragment,
+    same marginal window sums, same multiply/divide order."""
+    toks = _toks_sql(text_col)
+    return f"""
+WITH t AS (SELECT {toks} AS t FROM {table} WHERE {text_col} IS NOT NULL),
+b AS (SELECT t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t)),
+c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY w1, w2)
+SELECT w1, w2, n,
+       (CAST(n AS DOUBLE) * CAST(SUM(n) OVER () AS DOUBLE))
+       / (CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE)
+          * CAST(SUM(n) OVER (PARTITION BY w2) AS DOUBLE)) AS score
+FROM c
+QUALIFY n >= {min_count}
+ORDER BY score DESC, w1, w2
+LIMIT {k}
+"""

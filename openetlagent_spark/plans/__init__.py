@@ -21,17 +21,18 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # (a) all 5 r03-hashed rows (explode_tokens, set_except,
 #     set_intersect, topk_per_group, window_moving_avg — displaced
 #     from r08's front by that round's second-session additions);
-# (b) 36 of the 38 r04-hashed rows — every one except tpch_q1
+# (b) 35 of the 38 r04-hashed rows — every one except tpch_q1
 #     (implementing files UNCHANGED since its last driver hash;
-#     staleness: 'current') and dataset_split (the next-lowest-risk
-#     re-check), displaced by the round's 8th and 9th additions;
-# (c) the round-9 additions (9): image_decode, sql_join,
+#     staleness: 'current'), dataset_split, and exact_distinct (the
+#     next-lowest-risk trivial re-checks), displaced by the round's
+#     8th–10th additions;
+# (c) the round-9 additions (10): image_decode, sql_join,
 #     ann_store_append, pq_codebooks, ann_pq, ohlc_bars,
-#     triangle_count, knn_label, dataset_drift — each swapped in
-#     (displacing the original 7 r05 backfill slots, then the two
-#     re-checks above) only after a local driver-strength exact
-#     check, keeping never-driver-checked count at zero; the complete
-#     final front-50 re-verified green after the last swap.
+#     triangle_count, knn_label, dataset_drift, collocations — each
+#     swapped in (displacing the original 7 r05 backfill slots, then
+#     the three re-checks above) only after a local driver-strength
+#     exact check, keeping never-driver-checked count at zero; the
+#     complete final front-50 re-verified green after the last swap.
 # Every carried-over name passed the full exact-mode sweep run in the
 # r08 judge session and again in this round's full sweeps; the eight
 # additions passed on landing.  Local `scripts/check_oracle.py` runs
@@ -40,25 +41,26 @@ _ROUND9_FRONT = [
     # oldest driver hash: r03 (5)
     "explode_tokens", "set_except", "set_intersect", "topk_per_group",
     "window_moving_avg",
-    # r03-hashed wave 2 / r04 rows (36 — see (b) above),
+    # r03-hashed wave 2 / r04 rows (35 — see (b) above),
     # clearing every CHANGED query whose latest driver row predates r05
     "bigram_lm", "bpe_pairs", "chunk_docs", "cohort_retention",
     "compacted_layout", "cooccurrence_pairs", "cube",
     "curation_pipeline", "dataset_mixture",
     "dedup_clusters", "dedup_simhash", "dedup_substring",
-    "diversity_sample", "doc_lm_score", "exact_distinct", "fuzzy_join",
+    "diversity_sample", "doc_lm_score", "fuzzy_join",
     "kmeans_clusters", "merge_changes", "outlier_flags",
     "profile_table", "quantile_bins", "robust_scale", "running_totals",
     "scd2_history", "sessionize", "stats_moments", "stats_skew",
     "stratified_sample", "text_scrub", "tfidf_topk",
     "tpch_q12", "tpch_q18", "unicode_nfc", "value_histogram",
     "vocab_oov", "window_distinct_users",
-    # round-9 additions (9) — each swapped in after a local
+    # round-9 additions (10) — each swapped in after a local
     # driver-strength exact check; see (c) above for the displacement
     # accounting
     "image_decode", "sql_join", "ann_store_append",
     "pq_codebooks", "ann_pq",
     "ohlc_bars", "triangle_count", "knn_label", "dataset_drift",
+    "collocations",
 ]
 
 

@@ -705,6 +705,20 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_topk(df, "text", k=50)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations (functions/text.py collocations_topk):
+    bigrams co-occurring far above their marginal frequencies, ranked
+    by the log-free PMI ratio n·N/(left·right) — integer marginals
+    from the vocabulary²-sized count table, two multiplies and one
+    divide in fixed order, engine-exact; min_count floors the hapax
+    pathology.  The phrase-mining primitive (multi-word expressions,
+    tokenizer merge candidates) beside the bigram LM."""
+    from ..functions.text import collocations_topk
+
+    df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return collocations_topk(df, "text", k=50, min_count=5)
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lifetime counters (streaming/events.py running_totals,
     batch form): the real-time feature-store pattern whose streaming
@@ -3037,6 +3051,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "knn_label": q_knn_label,
     "dataset_drift": q_dataset_drift,
+    "collocations": q_collocations,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -4125,6 +4140,14 @@ from ..functions.profile import (  # noqa: E402
 HARNESS_ORACLES["dataset_drift"] = _dataset_drift_oracle_sql(
     "documents", "source", "n_chars", "src0", "src1",
     bin_width=256.0, n_bins=20,
+)
+
+from ..functions.text import (  # noqa: E402
+    collocations_oracle_sql as _collocations_oracle_sql,
+)
+
+HARNESS_ORACLES["collocations"] = _collocations_oracle_sql(
+    "documents", "text", k=50, min_count=5
 )
 
 # html_extract: the full strip/decode/collapse chain generated from the

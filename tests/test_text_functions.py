@@ -328,3 +328,31 @@ def test_tokenize_ids_roundtrip_and_oov(spark):
 
     with _pytest.raises(ValueError):
         tokenize_ids(docs, top_k=0)
+
+
+def test_collocations_topk_hand_computed(spark):
+    """PMI-ratio ranking over a tiny corpus: the repeated pair ranks
+    by n*N/(left*right); min_count floors hapax pairs."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.text import collocations_topk
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="new york new york new york is big"),
+         Row(doc_id=2, text="big apple big apple rare pair")]
+    )
+    got = collocations_topk(docs, "text", k=10, min_count=2).collect()
+    pairs = {(r.w1, r.w2): r for r in got}
+    assert ("rare", "pair") not in pairs  # hapax floored
+    assert ("new", "york") in pairs and ("big", "apple") in pairs
+    ny = pairs[("new", "york")]
+    # marginals over the bigram table: hand-check the ratio
+    # bigrams doc1: new,york / york,new / new,york / york,new /
+    # new,york / york,is / is,big ; doc2: big,apple / apple,big /
+    # big,apple / apple,rare / rare,pair  -> N = 12
+    # n(new,york)=3 left(new)=3 right(york)=3 -> 3*12/9 = 4.0
+    assert ny.n == 3 and ny.score == 4.0
+    import pytest
+
+    with pytest.raises(ValueError, match="min_count"):
+        collocations_topk(docs, min_count=0)
