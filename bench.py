@@ -242,6 +242,10 @@ HEADLINE = [
     "knn_label",
     "dataset_drift",
     "collocations",
+    "association_rules",
+    "markov_transitions",
+    "changepoint",
+    "skyline",
 ]
 
 

@@ -365,3 +365,114 @@ SELECT key, bucket,
        CAST(COUNT(*) AS BIGINT) AS n_obs
 FROM __ohlc_r GROUP BY key, bucket
 """
+
+
+def changepoint_cusum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key CUSUM changepoint detection over daily event counts:
+    for each key, find the day where the cumulative deviation of the
+    daily count from the key's mean daily rate peaks — the classic
+    single-changepoint estimator (argmax |CUSUM|), the audit that
+    answers "when did this event type's rate shift?".
+
+    Exactness: the textbook CUSUM S_i = SUM_{j<=i} (c_j - mean) is FP
+    and order-sensitive, so both sides compute the INTEGER-scaled
+    S'_i = SUM_{j<=i} (c_j * n_days - total) = S_i * n_days — every
+    term is a BIGINT product, the cumulative window sum is integer
+    (any addition order identical), and no division ever happens.
+    Output per key: the changepoint day, the signed scaled CUSUM at
+    that day, |S'| as the strength, n_days and total for context.
+    Tie-break: earliest day wins at equal |S'|.
+
+    Scale shape (100 TB): one map-side-combined count shuffle to
+    (key, day) — bounded by keys x days, NOT the corpus — then window
+    sums over that small table (per-key n_days/total, per-key ordered
+    cumulative sum) and a 1-row-per-key row_number cut.  Days with no
+    events contribute no term (c_j = 0 days are absent from the count
+    table; the estimator is over OBSERVED days, documented here and
+    mirrored exactly in the oracle)."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # two projection stages: window expressions cannot nest inside a
+    # windowed SUM, so marginals land first, the cumulative term second
+    per_key = Window.partitionBy("key")
+    terms = daily.select(
+        "key", "day", "c",
+        F.count(F.lit(1)).over(per_key).cast("long").alias("n_days"),
+        F.sum("c").over(per_key).cast("long").alias("total"),
+    )
+    cum = Window.partitionBy("key").orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = terms.select(
+        "key", "day",
+        F.sum(F.col("c") * F.col("n_days") - F.col("total"))
+        .over(cum).cast("long").alias("cusum_scaled"),
+        "n_days",
+        "total",
+    )
+    pick = Window.partitionBy("key").orderBy(
+        F.desc(F.abs(F.col("cusum_scaled"))), F.asc("day")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "key",
+            F.col("day").alias("change_day"),
+            "cusum_scaled",
+            F.abs(F.col("cusum_scaled")).cast("long").alias("strength"),
+            "n_days",
+            "total",
+        )
+        .orderBy(F.asc("key"))
+    )
+
+
+def changepoint_cusum_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB mirror of :func:`changepoint_cusum` — same integer-scaled
+    CUSUM terms, same cumulative window, same (|S'| DESC, day ASC)
+    pick."""
+    return f"""
+WITH __cp_d AS (
+  SELECT {key_col} AS key, CAST({ts_col} AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL
+  GROUP BY 1, 2
+), __cp_t AS (
+  SELECT key, day, c,
+         CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT) AS n_days,
+         CAST(SUM(c) OVER (PARTITION BY key) AS BIGINT) AS total
+  FROM __cp_d
+), __cp_s AS (
+  SELECT key, day,
+         CAST(SUM(c * n_days - total)
+              OVER (PARTITION BY key ORDER BY day ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cusum_scaled,
+         n_days, total
+  FROM __cp_t
+), __cp_r AS (
+  SELECT *, row_number() OVER (PARTITION BY key
+                               ORDER BY ABS(cusum_scaled) DESC, day ASC) AS rn
+  FROM __cp_s
+)
+SELECT key, day AS change_day, cusum_scaled,
+       CAST(ABS(cusum_scaled) AS BIGINT) AS strength, n_days, total
+FROM __cp_r WHERE rn = 1
+ORDER BY key ASC
+"""

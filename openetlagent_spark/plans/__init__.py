@@ -44,7 +44,7 @@ _ROUND9_FRONT = [
     # r03-hashed wave 2 / r04 rows (35 — see (b) above),
     # clearing every CHANGED query whose latest driver row predates r05
     "bigram_lm", "bpe_pairs", "chunk_docs", "cohort_retention",
-    "compacted_layout", "cooccurrence_pairs", "cube",
+    "compacted_layout", "cooccurrence_pairs",
     "curation_pipeline", "dataset_mixture",
     "dedup_clusters", "dedup_simhash", "dedup_substring",
     "diversity_sample", "doc_lm_score", "fuzzy_join",
@@ -52,15 +52,18 @@ _ROUND9_FRONT = [
     "profile_table", "quantile_bins", "robust_scale", "running_totals",
     "scd2_history", "sessionize", "stats_moments", "stats_skew",
     "stratified_sample", "text_scrub", "tfidf_topk",
-    "tpch_q12", "tpch_q18", "unicode_nfc", "value_histogram",
+    "value_histogram",
     "vocab_oov", "window_distinct_users",
-    # round-9 additions (10) — each swapped in after a local
+    # round-9 additions (14) — each swapped in after a local
     # driver-strength exact check; see (c) above for the displacement
-    # accounting
+    # accounting (the mining wave displaced the cube / tpch_q12 /
+    # tpch_q18 / unicode_nfc re-checks — lowest-risk rows whose full
+    # exact sweeps stayed green all round; they rotate back in r10)
     "image_decode", "sql_join", "ann_store_append",
     "pq_codebooks", "ann_pq",
     "ohlc_bars", "triangle_count", "knn_label", "dataset_drift",
     "collocations",
+    "association_rules", "markov_transitions", "changepoint", "skyline",
 ]
 
 

@@ -719,6 +719,71 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_topk(df, "text", k=50, min_count=5)
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over per-user event baskets
+    (functions/mining.py association_rules): support / confidence /
+    lift for every ordered event-type pair co-occurring in >= 2 users,
+    top-100 by (lift, confidence).  All three metrics are fixed-order
+    divisions over exact BIGINT counts (the score is the lift RATIO,
+    never log-lift — log is libm and engine-divergent).  Corpus
+    collapses to per-user sorted type sets bounded by the vocabulary;
+    pairs expand as a JVM array expression, marginals broadcast."""
+    from ..functions.mining import association_rules
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return association_rules(ev, "user_id", "event_type", min_count=2, k=100)
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (functions/mining.py markov_transitions): lead() over each
+    user's (ts, event_id)-ordered sequence, vocabulary²-sized counts,
+    ML probability = ONE integer-over-integer IEEE division.  The
+    next-event model behind session prediction and funnel-shape
+    audits; one sessionize-layout shuffle plus window sums over the
+    tiny transition table."""
+    from ..functions.mining import markov_transitions
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return markov_transitions(ev, "user_id", "ts", "event_id", "event_type")
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM changepoint over daily counts
+    (functions/timeseries.py changepoint_cusum): the day where the
+    integer-scaled cumulative deviation SUM(c_j·n_days − total) peaks
+    — argmax |CUSUM| with earliest-day ties, all BIGINT (no division,
+    no FP accumulation).  The rate-shift audit for event streams; one
+    keys×days count shuffle, then windows over that small table."""
+    from ..functions.timeseries import changepoint_cusum
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    return changepoint_cusum(ev, "event_type", "ts")
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D document skyline (functions/mining.py skyline2d): the
+    Pareto frontier maximizing (n_chars, distinct-token count) — docs
+    no other doc dominates on both length and vocabulary richness.
+    Sort-based two-window formulation (best-in-x-group AND beats the
+    strictly-greater-x running max) replaces the naive quadratic
+    NOT-EXISTS self-join; a deterministic hash-bucket local-skyline
+    pass prunes losslessly before the single global ordering, so the
+    total-order window never sees the corpus.  The oracle runs the
+    global definition alone — proof the pruning drops nothing."""
+    from ..functions.mining import skyline2d
+    from ..functions.text import _tokens
+
+    docs = _ts(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.size(F.array_distinct(_tokens(F.col("text")))).cast("long").alias("n_types"),
+    )
+    return skyline2d(docs, "doc_id", "n_chars", "n_types", prune_buckets=32)
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lifetime counters (streaming/events.py running_totals,
     batch form): the real-time feature-store pattern whose streaming
@@ -3052,6 +3117,10 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label": q_knn_label,
     "dataset_drift": q_dataset_drift,
     "collocations": q_collocations,
+    "association_rules": q_association_rules,
+    "markov_transitions": q_markov_transitions,
+    "changepoint": q_changepoint,
+    "skyline": q_skyline,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -4148,6 +4217,32 @@ from ..functions.text import (  # noqa: E402
 
 HARNESS_ORACLES["collocations"] = _collocations_oracle_sql(
     "documents", "text", k=50, min_count=5
+)
+
+# mining family: every oracle generated from the same module as the
+# Spark expression so the two cannot drift
+from ..functions.mining import (  # noqa: E402
+    association_rules_oracle_sql as _assoc_oracle_sql,
+    markov_transitions_oracle_sql as _markov_oracle_sql,
+    skyline2d_oracle_sql as _skyline_oracle_sql,
+)
+from ..functions.timeseries import (  # noqa: E402
+    changepoint_cusum_oracle_sql as _changepoint_oracle_sql,
+)
+
+HARNESS_ORACLES["association_rules"] = _assoc_oracle_sql(
+    "events", "user_id", "event_type", min_count=2, k=100
+)
+HARNESS_ORACLES["markov_transitions"] = _markov_oracle_sql(
+    "events", "user_id", "ts", "event_id", "event_type"
+)
+HARNESS_ORACLES["changepoint"] = _changepoint_oracle_sql(
+    "events", "event_type", "ts"
+)
+HARNESS_ORACLES["skyline"] = _skyline_oracle_sql(
+    "SELECT doc_id AS id, n_chars AS x, "
+    f"CAST(len(list_distinct({__toks_sql('text')})) AS BIGINT) AS y "
+    "FROM documents"
 )
 
 # html_extract: the full strip/decode/collapse chain generated from the

@@ -1,0 +1,203 @@
+"""Unit tests for the mining family (functions/mining.py: directed
+association rules, Markov transitions, 2-D skyline) and the CUSUM
+changepoint (functions/timeseries.py).  Oracle equivalence is covered
+by the harness (scripts/check_oracle.py: association_rules,
+markov_transitions, changepoint, skyline); these pin the SEMANTICS on
+hand-built frames plus the loud-failure contracts."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from openetlagent_spark.functions.mining import (
+    association_rules,
+    markov_transitions,
+    skyline2d,
+)
+from openetlagent_spark.functions.timeseries import changepoint_cusum
+
+
+# ---------------------------------------------------------------------------
+# association_rules
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def basket_df(spark):
+    # baskets: u1 {a,b,c}, u2 {a,b}, u3 {a}, u4 {b,c};
+    # a NULL basket and a NULL item must not count anywhere;
+    # u2's duplicate (a) row must collapse (baskets are SETS)
+    rows = [
+        Row(u=1, i="a"), Row(u=1, i="b"), Row(u=1, i="c"),
+        Row(u=2, i="a"), Row(u=2, i="b"), Row(u=2, i="a"),
+        Row(u=3, i="a"),
+        Row(u=4, i="b"), Row(u=4, i="c"),
+        Row(u=None, i="a"), Row(u=5, i=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_association_rules_counts_and_metrics(basket_df):
+    out = association_rules(basket_df, "u", "i", min_count=1, k=100)
+    rules = {(r.antecedent, r.consequent): r for r in out.collect()}
+    # n_baskets counts only baskets with at least one non-null item
+    # pair (a -> b): u1, u2 both hold a and b
+    ab = rules[("a", "b")]
+    assert ab.n_pair == 2 and ab.n_ante == 3 and ab.n_cons == 3
+    # 4 real baskets (u1..u4; u5's only item is NULL, the NULL basket drops)
+    assert ab.support == 2 / 4
+    assert ab.confidence == 2 / 3
+    assert ab.lift == (2.0 * 4.0) / (3.0 * 3.0)
+    # directed: (b -> a) has the same pair count, different confidence base
+    ba = rules[("b", "a")]
+    assert ba.n_pair == 2 and ba.n_ante == 3
+    # (c -> a): only u1 → support 1/4
+    assert rules[("c", "a")].n_pair == 1
+    # no self-rules
+    assert ("a", "a") not in rules
+
+
+def test_association_rules_min_count_floor_and_ordering(basket_df):
+    out = association_rules(basket_df, "u", "i", min_count=2, k=100)
+    got = [(r.antecedent, r.consequent) for r in out.collect()]
+    # only pairs co-occurring in >= 2 baskets survive: {a,b} and {b,c}
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+    lifts = [r.lift for r in out.collect()]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_association_rules_rejects_bad_params(basket_df):
+    with pytest.raises(ValueError, match="min_count"):
+        association_rules(basket_df, "u", "i", min_count=0)
+    with pytest.raises(ValueError, match="k > 0"):
+        association_rules(basket_df, "u", "i", k=0)
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions
+# ---------------------------------------------------------------------------
+
+def _t(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_markov_transitions_counts_and_probabilities(spark):
+    rows = [
+        # user 1: a -> b -> a      user 2: a -> b
+        Row(u=1, ts=_t(0), eid=0, s="a"),
+        Row(u=1, ts=_t(1), eid=1, s="b"),
+        Row(u=1, ts=_t(2), eid=2, s="a"),
+        Row(u=2, ts=_t(0), eid=3, s="a"),
+        Row(u=2, ts=_t(1), eid=4, s="b"),
+        # NULL user and NULL state drop before the window
+        Row(u=None, ts=_t(0), eid=5, s="a"),
+        Row(u=2, ts=_t(2), eid=6, s=None),
+    ]
+    out = markov_transitions(
+        spark.createDataFrame(rows), "u", "ts", "eid", "s"
+    ).collect()
+    m = {(r.src, r.dst): r for r in out}
+    assert m[("a", "b")].n_trans == 2 and m[("a", "b")].n_src == 2
+    assert m[("a", "b")].prob == 1.0
+    assert m[("b", "a")].n_trans == 1 and m[("b", "a")].n_src == 1
+    assert set(m) == {("a", "b"), ("b", "a")}
+
+
+def test_markov_transitions_tiebreak_is_deterministic(spark):
+    # two events share ts; eid breaks the tie: order is a(0), b(1), c(2)
+    rows = [
+        Row(u=1, ts=_t(0), eid=0, s="a"),
+        Row(u=1, ts=_t(1), eid=1, s="b"),
+        Row(u=1, ts=_t(1), eid=2, s="c"),
+    ]
+    out = markov_transitions(
+        spark.createDataFrame(rows), "u", "ts", "eid", "s"
+    ).collect()
+    assert {(r.src, r.dst) for r in out} == {("a", "b"), ("b", "c")}
+
+
+# ---------------------------------------------------------------------------
+# changepoint_cusum
+# ---------------------------------------------------------------------------
+
+def _d(day: int, n: int, key: str = "k"):
+    base = datetime.datetime(2024, 3, 1)
+    return [
+        Row(key=key, ts=base + datetime.timedelta(days=day, minutes=i))
+        for i in range(n)
+    ]
+
+
+def test_changepoint_finds_the_level_shift(spark):
+    # key "k": 4 days at rate 1 then 4 days at rate 9 — the CUSUM
+    # trough sits on the last low day (day index 3)
+    rows = []
+    for d in range(4):
+        rows += _d(d, 1)
+    for d in range(4, 8):
+        rows += _d(d, 9)
+    out = changepoint_cusum(spark.createDataFrame(rows), "key", "ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.change_day == datetime.date(2024, 3, 4)
+    # scaled CUSUM at day 3: 4 * (1*8 - 40) = -128
+    assert r.cusum_scaled == -128 and r.strength == 128
+    assert r.n_days == 8 and r.total == 40
+
+
+def test_changepoint_earliest_day_wins_ties_and_keys_isolated(spark):
+    # key "m": symmetric 2+2 shift — |S| peaks at day 1 and day ...,
+    # counts 1,1,3,3: terms (1*4-8)=-4, -4, +4, +4 → S = -4,-8,-4,0;
+    # unique max |S| at day 1.  key "flat": constant rate → S = 0
+    # everywhere → earliest day picked, strength 0.
+    rows = []
+    for d, n in enumerate([1, 1, 3, 3]):
+        rows += _d(d, n, key="m")
+    for d in range(3):
+        rows += _d(d, 2, key="flat")
+    out = {r.key: r for r in changepoint_cusum(
+        spark.createDataFrame(rows), "key", "ts").collect()}
+    assert out["m"].change_day == datetime.date(2024, 3, 2)
+    assert out["m"].strength == 8
+    assert out["flat"].change_day == datetime.date(2024, 3, 1)
+    assert out["flat"].cusum_scaled == 0 and out["flat"].strength == 0
+
+
+# ---------------------------------------------------------------------------
+# skyline2d
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def points_df(spark):
+    rows = [
+        Row(id=1, x=10, y=1),   # frontier (max x)
+        Row(id=2, x=8, y=5),    # frontier
+        Row(id=3, x=8, y=4),    # dominated by id=2 (same x, lower y)
+        Row(id=4, x=5, y=5),    # dominated by id=2 (lower x, equal y)
+        Row(id=5, x=3, y=9),    # frontier
+        Row(id=6, x=3, y=9),    # duplicate of id=5 — ties both survive
+        Row(id=7, x=1, y=1),    # dominated by everything
+        Row(id=8, x=None, y=2),  # NULL axis drops
+        Row(id=9, x=2, y=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_skyline_frontier_membership(points_df):
+    out = skyline2d(points_df, "id", "x", "y").collect()
+    assert [(r.id, r.x, r.y) for r in out] == [
+        (1, 10, 1), (2, 8, 5), (5, 3, 9), (6, 3, 9),
+    ]
+
+
+def test_skyline_bucket_pruning_is_lossless(points_df):
+    one = skyline2d(points_df, "id", "x", "y", prune_buckets=1).collect()
+    many = skyline2d(points_df, "id", "x", "y", prune_buckets=7).collect()
+    assert one == many
+
+
+def test_skyline_rejects_bad_buckets(points_df):
+    with pytest.raises(ValueError, match="prune_buckets"):
+        skyline2d(points_df, "id", "x", "y", prune_buckets=0)

@@ -775,3 +775,49 @@ def test_dataset_drift_reduces_before_join(spark):
     plan = plan_of(spark, "dataset_drift")
     assert count_shuffles(plan) <= 2  # partial counts + 1-row totals
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_association_rules_no_corpus_self_join(spark):
+    """Baskets collapse to per-user sorted sets before pairs expand
+    (JVM array expression, no corpus-sized self-join); the item
+    marginals and the 1-row basket total enter as broadcasts."""
+    plan = plan_of(spark, "association_rules")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastExchange" in physical
+    assert "SortMergeJoin" not in physical
+    # set-agg (×3 branches at worst), pair count, marginal count —
+    # every one over vocabulary-bounded data after the first
+    assert count_shuffles(plan) <= 5
+
+
+def test_markov_transitions_one_sequence_shuffle(spark):
+    """The lead window co-locates each user's stream (one exchange);
+    the transition count is map-side combined into the vocab²-sized
+    table, and per-source totals are window sums over that table —
+    never a second corpus shuffle."""
+    plan = plan_of(spark, "markov_transitions")
+    physical = plan.split("== Physical Plan ==")[-1]
+    # sequence window, count, per-src window, final order-by range
+    assert count_shuffles(plan) <= 4
+    assert "partial_count" in physical
+
+
+def test_changepoint_counts_before_windows(spark):
+    """One map-side-combined (key, day) count shuffle; every window
+    runs over the keys×days table, not the corpus."""
+    plan = plan_of(spark, "changepoint")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "partial_count" in physical
+    # count exchange + per-key window + final order-by range
+    assert count_shuffles(plan) <= 3
+
+
+def test_skyline_prunes_through_buckets_before_global_sort(spark):
+    """Stage 1's windows partition by the hash bucket (a parallel,
+    lossless prune); only survivors reach the single-partition global
+    RANGE window — the plan must show the bucketed partitioning
+    FEEDING the global one, and no quadratic join anywhere."""
+    plan = plan_of(spark, "skyline")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical  # sort-based, never NOT-EXISTS
+    assert re.search(r"hashpartitioning\(bucket", physical)
