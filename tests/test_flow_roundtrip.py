@@ -50,3 +50,32 @@ def test_every_operation_type_is_executable():
     # no stale names, no double coverage
     assert RUNNER_HANDLED_OPS <= set(OPERATION_TYPES)
     assert not (RUNNER_HANDLED_OPS & set(OPERATION_DISPATCHER))
+
+
+def test_flat_file_schema_raises_loudly(tmp_path):
+    """A file_schema missing the 'columns' nesting (the flat
+    {col: type} mis-write) must fail at CONFIG PARSE, not surface
+    later as 'input column not found' with zero available columns."""
+    import pytest
+
+    from openetlagent_spark.model import SpecError, load_pipeline_config
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(
+        "inputs:\n"
+        "  events:\n"
+        "    path: /tmp/x.parquet\n"
+        "    format: parquet\n"
+        "    file_schema:\n"
+        "      event_id: {type: integer}\n"
+        "outputs:\n"
+        "  out:\n"
+        "    path: /tmp/out\n"
+        "    format: csv\n"
+        "    file_schema:\n"
+        "      name: out\n"
+        "      columns:\n"
+        "        event_id: {type: integer}\n"
+    )
+    with pytest.raises(SpecError, match="no 'columns' key"):
+        load_pipeline_config(str(cfg))
