@@ -183,7 +183,11 @@ def markov_transitions(
     ordered by (``order_col``, ``tiebreak_col``) — the explicit
     tie-break makes equal timestamps deterministic.  NULL sequence ids
     and NULL states are dropped up front (a NULL state would be
-    indistinguishable from end-of-sequence after the lead).
+    indistinguishable from end-of-sequence after the lead), and so are
+    NULL order/tie-break values: an event with no position has no
+    defined place in the sequence, and leaving it in would also be an
+    engine-divergence trap (Spark ASC sorts NULLS FIRST, DuckDB
+    defaults NULLS LAST).
 
     Scale shape (100 TB): one shuffle to co-locate each sequence
     (exactly the sessionize layout), the lead is a sort-local window,
@@ -194,7 +198,12 @@ def markov_transitions(
     """
     w = Window.partitionBy("seq").orderBy(F.asc(order_col), F.asc(tiebreak_col))
     steps = (
-        df.filter(F.col(seq_col).isNotNull() & F.col(state_col).isNotNull())
+        df.filter(
+            F.col(seq_col).isNotNull()
+            & F.col(state_col).isNotNull()
+            & F.col(order_col).isNotNull()
+            & F.col(tiebreak_col).isNotNull()
+        )
         .select(
             F.col(seq_col).alias("seq"),
             F.col(order_col),
@@ -233,7 +242,8 @@ WITH steps AS (
          lead({state_col}) OVER (PARTITION BY {seq_col}
                                  ORDER BY {order_col} ASC, {tiebreak_col} ASC) AS dst
   FROM {table}
-  WHERE {seq_col} IS NOT NULL AND {state_col} IS NOT NULL),
+  WHERE {seq_col} IS NOT NULL AND {state_col} IS NOT NULL
+    AND {order_col} IS NOT NULL AND {tiebreak_col} IS NOT NULL),
 c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
       FROM steps WHERE dst IS NOT NULL GROUP BY src, dst)
 SELECT src, dst, n_trans,
@@ -288,6 +298,19 @@ def skyline2d(
     """
     if prune_buckets < 1:
         raise ValueError(f"skyline2d needs prune_buckets >= 1, got {prune_buckets!r}")
+    # The strictly-greater-x window is RANGE BETWEEN 1 FOLLOWING AND
+    # UNBOUNDED — a unit step, sound ONLY for integral x.  On a
+    # double/decimal x a dominator at x + 0.5 would fall OUTSIDE the
+    # frame and a dominated row would silently survive (and the
+    # mirrored oracle would agree, so parity masks the wrong answer).
+    # Refuse loudly; quantize fractional axes to integers first.
+    x_type = dict(df.dtypes).get(x_col, "")
+    if x_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"skyline2d needs an INTEGRAL x column (the RANGE frame steps "
+            f"by 1); {x_col!r} is {x_type!r} — quantize it to integers "
+            "first (e.g. FLOOR(x * 2^k))"
+        )
     base = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .select(

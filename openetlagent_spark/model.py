@@ -2063,15 +2063,17 @@ class PipelineFlow:
 
 def _parse_file_definition(raw: dict[str, Any]) -> FileDefinition:
     schema_raw = raw.get("file_schema", {})
-    # A file_schema with no 'columns' key is almost always the FLAT
+    # Any key other than name/columns is almost always the FLAT
     # {col: type} mis-nesting (the schema belongs under 'columns');
     # silently parsing it as zero columns turns every downstream op
     # into "input column not found" far from the real mistake — the
     # parse_operation unknown-key lesson, applied to the config side.
-    if schema_raw and "columns" not in schema_raw:
+    # A name-only schema (columns legitimately empty) stays valid.
+    stray = sorted(set(schema_raw) - {"name", "columns"})
+    if stray:
         raise SpecError(
-            f"file_schema for path {raw.get('path')!r} has no 'columns' key "
-            f"(got keys {sorted(schema_raw)}); declare columns as "
+            f"file_schema for path {raw.get('path')!r} has unknown key(s) "
+            f"{stray} — column declarations belong under 'columns': "
             "file_schema: {name: ..., columns: {col: {type: ...}, ...}}"
         )
     cols = {

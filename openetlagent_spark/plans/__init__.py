@@ -21,27 +21,30 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # (a) all 5 r03-hashed rows (explode_tokens, set_except,
 #     set_intersect, topk_per_group, window_moving_avg — displaced
 #     from r08's front by that round's second-session additions);
-# (b) 35 of the 38 r04-hashed rows — every one except tpch_q1
+# (b) 31 of the 38 r04-hashed rows — every one except tpch_q1
 #     (implementing files UNCHANGED since its last driver hash;
-#     staleness: 'current'), dataset_split, and exact_distinct (the
-#     next-lowest-risk trivial re-checks), displaced by the round's
-#     8th–10th additions;
-# (c) the round-9 additions (10): image_decode, sql_join,
+#     staleness: 'current'), dataset_split, exact_distinct, and the
+#     four repeatedly-green re-checks cube / tpch_q12 / tpch_q18 /
+#     unicode_nfc (displaced by the mining-family wave; all seven
+#     rotate back in r10);
+# (c) the round-9 additions (14): image_decode, sql_join,
 #     ann_store_append, pq_codebooks, ann_pq, ohlc_bars,
-#     triangle_count, knn_label, dataset_drift, collocations — each
-#     swapped in (displacing the original 7 r05 backfill slots, then
-#     the three re-checks above) only after a local driver-strength
-#     exact check, keeping never-driver-checked count at zero; the
-#     complete final front-50 re-verified green after the last swap.
+#     triangle_count, knn_label, dataset_drift, collocations,
+#     association_rules, markov_transitions, changepoint, skyline —
+#     each swapped in (displacing the original 7 r05 backfill slots,
+#     then the seven re-checks above) only after a local
+#     driver-strength exact check, keeping never-driver-checked count
+#     at zero; the complete final front-50 re-verified green after
+#     the last swap.
 # Every carried-over name passed the full exact-mode sweep run in the
-# r08 judge session and again in this round's full sweeps; the eight
+# r08 judge session and again in this round's full sweeps; the
 # additions passed on landing.  Local `scripts/check_oracle.py` runs
 # the full set regardless of order.
 _ROUND9_FRONT = [
     # oldest driver hash: r03 (5)
     "explode_tokens", "set_except", "set_intersect", "topk_per_group",
     "window_moving_avg",
-    # r03-hashed wave 2 / r04 rows (35 — see (b) above),
+    # r03-hashed wave 2 / r04 rows (31 — see (b) above),
     # clearing every CHANGED query whose latest driver row predates r05
     "bigram_lm", "bpe_pairs", "chunk_docs", "cohort_retention",
     "compacted_layout", "cooccurrence_pairs",

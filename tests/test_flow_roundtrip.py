@@ -77,5 +77,32 @@ def test_flat_file_schema_raises_loudly(tmp_path):
         "      columns:\n"
         "        event_id: {type: integer}\n"
     )
-    with pytest.raises(SpecError, match="no 'columns' key"):
+    with pytest.raises(SpecError, match="unknown key"):
         load_pipeline_config(str(cfg))
+
+
+def test_name_only_file_schema_still_parses(tmp_path):
+    """file_schema: {name: out} with no columns is a valid declared
+    form (columns default empty) — the flat-schema guard must not
+    reject it."""
+    from openetlagent_spark.model import load_pipeline_config
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(
+        "inputs:\n"
+        "  events:\n"
+        "    path: /tmp/x.parquet\n"
+        "    format: parquet\n"
+        "    file_schema:\n"
+        "      name: events\n"
+        "      columns:\n"
+        "        event_id: {type: integer}\n"
+        "outputs:\n"
+        "  out:\n"
+        "    path: /tmp/out\n"
+        "    format: csv\n"
+        "    file_schema:\n"
+        "      name: out\n"
+    )
+    config = load_pipeline_config(str(cfg))
+    assert config.outputs["out"].file_schema.columns == {}

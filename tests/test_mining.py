@@ -201,3 +201,31 @@ def test_skyline_bucket_pruning_is_lossless(points_df):
 def test_skyline_rejects_bad_buckets(points_df):
     with pytest.raises(ValueError, match="prune_buckets"):
         skyline2d(points_df, "id", "x", "y", prune_buckets=0)
+
+
+def test_skyline_rejects_fractional_x(spark):
+    """The strictly-greater-x RANGE frame steps by 1 — on a double x
+    a dominator at x + 0.5 would fall outside the frame and a
+    dominated row would silently survive (review finding, confirmed
+    by repro: (1.0, 5) survived against a dominating (1.5, 10)).
+    Fractional axes must be rejected loudly."""
+    rows = [Row(id=1, x=1.0, y=5), Row(id=2, x=1.5, y=10)]
+    with pytest.raises(ValueError, match="INTEGRAL x"):
+        skyline2d(spark.createDataFrame(rows), "id", "x", "y")
+
+
+def test_markov_drops_null_order_rows(spark):
+    """Rows with a NULL order or tie-break value have no defined
+    sequence position AND would diverge across engines (Spark ASC =
+    NULLS FIRST, DuckDB = NULLS LAST) — they must be excluded before
+    the lead window (review finding, confirmed by repro)."""
+    rows = [
+        Row(u=1, ts=None, eid=9, s="z"),
+        Row(u=1, ts=_t(1), eid=1, s="a"),
+        Row(u=1, ts=_t(2), eid=2, s="b"),
+        Row(u=1, ts=_t(3), eid=None, s="c"),
+    ]
+    out = markov_transitions(
+        spark.createDataFrame(rows), "u", "ts", "eid", "s"
+    ).collect()
+    assert {(r.src, r.dst) for r in out} == {("a", "b")}
