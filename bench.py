@@ -246,6 +246,8 @@ HEADLINE = [
     "markov_transitions",
     "changepoint",
     "skyline",
+    "ewma",
+    "rolling_median",
 ]
 
 

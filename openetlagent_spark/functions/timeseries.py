@@ -476,3 +476,198 @@ SELECT key, day AS change_day, cusum_scaled,
 FROM __cp_r WHERE rn = 1
 ORDER BY key ASC
 """
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    lookback: int = 64,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with a BOUNDED
+    lookback: for every observation, fold the last ``lookback`` values
+    (ordered by ``ts``, ``id`` tie-break) left-to-right through
+
+        s ← α·x + (1−α)·s,   seeded with the window's first value,
+
+    α = alpha_num/alpha_den (default 1/4 — an exact binary fraction,
+    so the two multipliers are exact doubles).  The fixed left-to-right
+    IEEE fold is bit-identical across engines (the proven doc_lm_score
+    / classifier-margin pattern); the truncation at ``lookback`` makes
+    this a DEFINED operator (the N-window EWMA — weights beyond 64
+    steps are < 0.75⁶⁴ ≈ 1e-8 of the head) rather than an
+    approximation of the unbounded recurrence, which no distributed
+    window can express without a serial scan.
+
+    Scale shape (100 TB): one shuffle to co-locate each key's series
+    (the sessionize layout); the per-row prefix is a ROWS window
+    bounded at ``lookback`` values, so state per row is O(lookback)
+    regardless of series length — never a whole-series collect.
+    NULL keys / timestamps / ids / values are excluded up front (a
+    NULL inside the fold would poison every suffix; NULL order keys
+    are also the cross-engine NULLS FIRST/LAST trap).
+
+    Returns (key, ``id_col``, value, ewma) ordered (key, ts, id).
+    """
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError(
+            f"ewma_smooth needs 0 < alpha_num < alpha_den, got "
+            f"{alpha_num}/{alpha_den}"
+        )
+    if lookback < 1:
+        raise ValueError(f"ewma_smooth lookback must be >= 1, got {lookback}")
+    a = alpha_num / alpha_den  # exact for binary dens; fixed either way
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc(ts_col), F.asc(id_col))
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    arr = F.collect_list("v").over(w)
+    # seed with the window's FIRST element, fold the rest — exactly
+    # DuckDB list_reduce's natural first-element seeding
+    ewma = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - F.lit(1)),
+        F.element_at(arr, 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return (
+        base.withColumn("ewma", ewma)
+        .select("key", F.col(id_col), F.col("v").alias("value"), "ewma",
+                F.col(ts_col))
+        .orderBy(F.asc("key"), F.asc(ts_col), F.asc(id_col))
+        .drop(ts_col)
+    )
+
+
+def ewma_smooth_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    lookback: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`ewma_smooth` — same bounded ROWS window
+    list, same left-to-right list_reduce fold (first-element seeded).
+    The multipliers are spelled as exact integer DIVISIONS (one IEEE
+    op, identical to Python's ``alpha_num / alpha_den`` on the Spark
+    side) — a float repr literal would re-parse through DuckDB's
+    DECIMAL path and can mis-round (the documented literal trap)."""
+    a_sql = f"(CAST({alpha_num} AS DOUBLE) / CAST({alpha_den} AS DOUBLE))"
+    return f"""
+WITH __ew_b AS (
+  SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {id_col} IS NOT NULL AND {value_col} IS NOT NULL
+), __ew_w AS (
+  SELECT key, ts, id, v,
+         list(v) OVER (PARTITION BY key ORDER BY ts ASC, id ASC
+                       ROWS BETWEEN {lookback - 1} PRECEDING
+                       AND CURRENT ROW) AS arr
+  FROM __ew_b
+)
+SELECT key, id AS {id_col}, v AS value,
+       list_reduce(arr, (acc, x) -> {a_sql} * x + (1.0 - {a_sql}) * acc) AS ewma
+FROM __ew_w
+ORDER BY key ASC, ts ASC, id ASC
+"""
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 5,
+) -> DataFrame:
+    """Per-key rolling (lower) median over the last ``window_rows``
+    observations — the outlier-robust smoother (a single spike cannot
+    move it, unlike any mean).  The median is a SORTED-ARRAY ELEMENT
+    PICK, ``sorted[(n+1) DIV 2]`` — no interpolation arithmetic at
+    all, so exactness is trivial (interpolating medians differ across
+    engines at FP ties; the discrete lower median cannot).
+
+    Scale shape: identical to :func:`ewma_smooth` — one key
+    co-location shuffle, O(window_rows) state per row.  NULL keys /
+    order columns / values excluded up front (same traps).
+
+    Returns (key, ``id_col``, value, med) ordered (key, ts, id).
+    """
+    if window_rows < 1:
+        raise ValueError(f"rolling_median window_rows must be >= 1, got {window_rows}")
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc(ts_col), F.asc(id_col))
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    arr = F.sort_array(F.collect_list("v").over(w))
+    med = F.element_at(arr, ((F.size(arr) + F.lit(1)) / F.lit(2)).cast("int"))
+    return (
+        base.withColumn("med", med)
+        .select("key", F.col(id_col), F.col("v").alias("value"), "med",
+                F.col(ts_col))
+        .orderBy(F.asc("key"), F.asc(ts_col), F.asc(id_col))
+        .drop(ts_col)
+    )
+
+
+def rolling_median_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`rolling_median` — same bounded window
+    list, same sorted lower-median element pick."""
+    return f"""
+WITH __rm_b AS (
+  SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {id_col} IS NOT NULL AND {value_col} IS NOT NULL
+), __rm_w AS (
+  SELECT key, ts, id, v,
+         list_sort(list(v) OVER (PARTITION BY key ORDER BY ts ASC, id ASC
+                                 ROWS BETWEEN {window_rows - 1} PRECEDING
+                                 AND CURRENT ROW)) AS arr
+  FROM __rm_b
+)
+SELECT key, id AS {id_col}, v AS value,
+       arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS med
+FROM __rm_w
+ORDER BY key ASC, ts ASC, id ASC
+"""

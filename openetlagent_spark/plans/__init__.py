@@ -21,21 +21,21 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # (a) all 5 r03-hashed rows (explode_tokens, set_except,
 #     set_intersect, topk_per_group, window_moving_avg — displaced
 #     from r08's front by that round's second-session additions);
-# (b) 31 of the 38 r04-hashed rows — every one except tpch_q1
+# (b) 29 of the 38 r04-hashed rows — every one except tpch_q1
 #     (implementing files UNCHANGED since its last driver hash;
 #     staleness: 'current'), dataset_split, exact_distinct, and the
-#     four repeatedly-green re-checks cube / tpch_q12 / tpch_q18 /
-#     unicode_nfc (displaced by the mining-family wave; all seven
-#     rotate back in r10);
-# (c) the round-9 additions (14): image_decode, sql_join,
+#     six repeatedly-green re-checks cube / tpch_q12 / tpch_q18 /
+#     unicode_nfc / stats_skew / value_histogram (displaced by the
+#     mining + smoothing waves; all nine rotate back in r10);
+# (c) the round-9 additions (16): image_decode, sql_join,
 #     ann_store_append, pq_codebooks, ann_pq, ohlc_bars,
 #     triangle_count, knn_label, dataset_drift, collocations,
-#     association_rules, markov_transitions, changepoint, skyline —
-#     each swapped in (displacing the original 7 r05 backfill slots,
-#     then the seven re-checks above) only after a local
-#     driver-strength exact check, keeping never-driver-checked count
-#     at zero; the complete final front-50 re-verified green after
-#     the last swap.
+#     association_rules, markov_transitions, changepoint, skyline,
+#     ewma, rolling_median — each swapped in (displacing the original
+#     7 r05 backfill slots, then the nine re-checks above) only after
+#     a local driver-strength exact check, keeping
+#     never-driver-checked count at zero; the complete final front-50
+#     re-verified green after the last swap.
 # Every carried-over name passed the full exact-mode sweep run in the
 # r08 judge session and again in this round's full sweeps; the
 # additions passed on landing.  Local `scripts/check_oracle.py` runs
@@ -44,7 +44,7 @@ _ROUND9_FRONT = [
     # oldest driver hash: r03 (5)
     "explode_tokens", "set_except", "set_intersect", "topk_per_group",
     "window_moving_avg",
-    # r03-hashed wave 2 / r04 rows (31 — see (b) above),
+    # r03-hashed wave 2 / r04 rows (29 — see (b) above),
     # clearing every CHANGED query whose latest driver row predates r05
     "bigram_lm", "bpe_pairs", "chunk_docs", "cohort_retention",
     "compacted_layout", "cooccurrence_pairs",
@@ -53,9 +53,8 @@ _ROUND9_FRONT = [
     "diversity_sample", "doc_lm_score", "fuzzy_join",
     "kmeans_clusters", "merge_changes", "outlier_flags",
     "profile_table", "quantile_bins", "robust_scale", "running_totals",
-    "scd2_history", "sessionize", "stats_moments", "stats_skew",
+    "scd2_history", "sessionize", "stats_moments",
     "stratified_sample", "text_scrub", "tfidf_topk",
-    "value_histogram",
     "vocab_oov", "window_distinct_users",
     # round-9 additions (14) — each swapped in after a local
     # driver-strength exact check; see (c) above for the displacement
@@ -67,6 +66,7 @@ _ROUND9_FRONT = [
     "ohlc_bars", "triangle_count", "knn_label", "dataset_drift",
     "collocations",
     "association_rules", "markov_transitions", "changepoint", "skyline",
+    "ewma", "rolling_median",
 ]
 
 

@@ -784,6 +784,37 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline2d(docs, "doc_id", "n_chars", "n_types", prune_buckets=32)
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EWMA smoothing of the value stream
+    (functions/timeseries.py ewma_smooth): α=1/4 (exact binary
+    fraction), 64-observation bounded lookback, left-to-right IEEE
+    fold seeded with the window's first value — the feature-store
+    smoother.  One key co-location shuffle; O(lookback) state per row
+    regardless of series length."""
+    from ..functions.timeseries import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return ewma_smooth(ev, "event_type", "ts", "event_id", "value",
+                       alpha_num=1, alpha_den=4, lookback=64)
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rolling lower median over the last 5
+    observations (functions/timeseries.py rolling_median): the
+    outlier-robust smoother — a sorted-array element pick, NO
+    interpolation arithmetic, so exactness is trivial.  Same
+    one-shuffle bounded-window shape as ewma."""
+    from ..functions.timeseries import rolling_median
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return rolling_median(ev, "event_type", "ts", "event_id", "value",
+                          window_rows=5)
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lifetime counters (streaming/events.py running_totals,
     batch form): the real-time feature-store pattern whose streaming
@@ -3121,6 +3152,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_transitions": q_markov_transitions,
     "changepoint": q_changepoint,
     "skyline": q_skyline,
+    "ewma": q_ewma,
+    "rolling_median": q_rolling_median,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -4238,6 +4271,19 @@ HARNESS_ORACLES["markov_transitions"] = _markov_oracle_sql(
 )
 HARNESS_ORACLES["changepoint"] = _changepoint_oracle_sql(
     "events", "event_type", "ts"
+)
+
+from ..functions.timeseries import (  # noqa: E402
+    ewma_smooth_oracle_sql as _ewma_oracle_sql,
+    rolling_median_oracle_sql as _rolling_median_oracle_sql,
+)
+
+HARNESS_ORACLES["ewma"] = _ewma_oracle_sql(
+    "events", "event_type", "ts", "event_id", "value",
+    alpha_num=1, alpha_den=4, lookback=64,
+)
+HARNESS_ORACLES["rolling_median"] = _rolling_median_oracle_sql(
+    "events", "event_type", "ts", "event_id", "value", window_rows=5,
 )
 HARNESS_ORACLES["skyline"] = _skyline_oracle_sql(
     "SELECT doc_id AS id, n_chars AS x, "

@@ -229,3 +229,69 @@ def test_markov_drops_null_order_rows(spark):
         spark.createDataFrame(rows), "u", "ts", "eid", "s"
     ).collect()
     assert {(r.src, r.dst) for r in out} == {("a", "b")}
+
+
+# ---------------------------------------------------------------------------
+# ewma_smooth / rolling_median (functions/timeseries.py)
+# ---------------------------------------------------------------------------
+
+def test_ewma_fold_values_and_lookback(spark):
+    from openetlagent_spark.functions.timeseries import ewma_smooth
+
+    rows = [
+        Row(k="a", ts=_t(i), eid=i, v=float(x))
+        for i, x in enumerate([8.0, 4.0, 2.0])
+    ]
+    out = ewma_smooth(
+        spark.createDataFrame(rows), "k", "ts", "eid", "v",
+        alpha_num=1, alpha_den=2, lookback=64,
+    ).collect()
+    # seed 8; then .5*4+.5*8=6; then .5*2+.5*6=4 — exact binary math
+    assert [r.ewma for r in out] == [8.0, 6.0, 4.0]
+    # lookback=2: each row folds only its 2-row window (seeded with
+    # the window's first value) — row 3 sees [4, 2] -> .5*2+.5*4 = 3
+    out2 = ewma_smooth(
+        spark.createDataFrame(rows), "k", "ts", "eid", "v",
+        alpha_num=1, alpha_den=2, lookback=2,
+    ).collect()
+    assert [r.ewma for r in out2] == [8.0, 6.0, 3.0]
+
+
+def test_ewma_drops_null_rows_and_validates(spark):
+    from openetlagent_spark.functions.timeseries import ewma_smooth
+
+    rows = [
+        Row(k="a", ts=_t(0), eid=0, v=1.0),
+        Row(k=None, ts=_t(1), eid=1, v=2.0),
+        Row(k="a", ts=None, eid=2, v=3.0),
+        Row(k="a", ts=_t(3), eid=None, v=4.0),
+        Row(k="a", ts=_t(4), eid=4, v=None),
+    ]
+    out = ewma_smooth(spark.createDataFrame(rows), "k", "ts", "eid", "v").collect()
+    assert [(r.eid, r.ewma) for r in out] == [(0, 1.0)]
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_smooth(spark.createDataFrame(rows), "k", "ts", "eid", "v",
+                    alpha_num=4, alpha_den=4)
+    with pytest.raises(ValueError, match="lookback"):
+        ewma_smooth(spark.createDataFrame(rows), "k", "ts", "eid", "v",
+                    lookback=0)
+
+
+def test_rolling_median_resists_spikes(spark):
+    from openetlagent_spark.functions.timeseries import rolling_median
+
+    vals = [1.0, 1.0, 100.0, 1.0, 1.0]
+    rows = [Row(k="a", ts=_t(i), eid=i, v=v) for i, v in enumerate(vals)]
+    out = rolling_median(
+        spark.createDataFrame(rows), "k", "ts", "eid", "v", window_rows=3
+    ).collect()
+    # windows: [1] [1,1] [1,1,100] [1,100,1] [100,1,1] — lower medians
+    assert [r.med for r in out] == [1.0, 1.0, 1.0, 1.0, 1.0]
+    # even-sized window picks the LOWER middle: [1,100] -> 1
+    out2 = rolling_median(
+        spark.createDataFrame(rows[:3]), "k", "ts", "eid", "v", window_rows=2
+    ).collect()
+    assert [r.med for r in out2] == [1.0, 1.0, 1.0]
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_median(spark.createDataFrame(rows), "k", "ts", "eid", "v",
+                       window_rows=0)

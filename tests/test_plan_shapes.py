@@ -821,3 +821,15 @@ def test_skyline_prunes_through_buckets_before_global_sort(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert "Join" not in physical  # sort-based, never NOT-EXISTS
     assert re.search(r"hashpartitioning\(bucket", physical)
+
+
+@pytest.mark.parametrize("name", ["ewma", "rolling_median"])
+def test_smoothers_one_key_shuffle(spark, name):
+    """One key co-location exchange feeds the bounded ROWS window;
+    the per-row state is O(lookback/window_rows), never a whole-series
+    collect, and no join appears anywhere."""
+    plan = plan_of(spark, name)
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    # key window partitioning + final order-by range partitioning
+    assert count_shuffles(plan) <= 2
