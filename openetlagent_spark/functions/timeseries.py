@@ -478,6 +478,82 @@ ORDER BY key ASC
 """
 
 
+def _check_ewma_params(alpha_num: int, alpha_den: int, lookback: int) -> None:
+    """Shared by :func:`ewma_smooth` AND its oracle generator — the
+    generator must fail as loudly at build time as the function does
+    (lookback=0 would render a malformed ROWS frame; alpha_den=0 a
+    quietly-garbage +inf multiplier)."""
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError(
+            f"ewma needs 0 < alpha_num < alpha_den, got "
+            f"{alpha_num}/{alpha_den}"
+        )
+    if lookback < 1:
+        raise ValueError(f"ewma lookback must be >= 1, got {lookback}")
+
+
+def _series_base(
+    df: DataFrame, key_col: str, ts_col: str, id_col: str, value_col: str
+) -> DataFrame:
+    """The shared bounded-window smoother contract: drop every row
+    with a NULL in ANY involved column (a NULL value would poison the
+    window fold; NULL order keys are also the cross-engine Spark
+    NULLS FIRST vs DuckDB NULLS LAST trap), normalize to
+    (key, ts, id, v-as-double).  ONE copy on the Spark side, mirrored
+    by exactly one copy in :func:`_series_sql` — keeping the filter
+    and the ordering in a single place is the anti-drift rule."""
+    return df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+
+def _series_window(ts_col: str, id_col: str, n_rows: int):
+    return (
+        Window.partitionBy("key")
+        .orderBy(F.asc(ts_col), F.asc(id_col))
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+
+
+def _series_result(base: DataFrame, ts_col: str, id_col: str, result) -> DataFrame:
+    return base.orderBy(
+        F.asc("key"), F.asc(ts_col), F.asc(id_col)
+    ).select("key", F.col(id_col), F.col("v").alias("value"), result)
+
+
+def _series_sql(
+    table: str, key_col: str, ts_col: str, id_col: str, value_col: str,
+    n_rows: int, sort_window: bool,
+) -> str:
+    """The DuckDB mirror of :func:`_series_base` + the bounded ROWS
+    window list — the single SQL copy both oracle generators splice."""
+    arr = (
+        f"list(v) OVER (PARTITION BY key ORDER BY ts ASC, id ASC "
+        f"ROWS BETWEEN {n_rows - 1} PRECEDING AND CURRENT ROW)"
+    )
+    if sort_window:
+        arr = f"list_sort({arr})"
+    return f"""
+WITH __sw_b AS (
+  SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {id_col} IS NOT NULL AND {value_col} IS NOT NULL
+), __sw_w AS (
+  SELECT key, ts, id, v, {arr} AS arr
+  FROM __sw_b
+)"""
+
+
 def ewma_smooth(
     df: DataFrame,
     key_col: str,
@@ -492,52 +568,30 @@ def ewma_smooth(
     lookback: for every observation, fold the last ``lookback`` values
     (ordered by ``ts``, ``id`` tie-break) left-to-right through
 
-        s ← α·x + (1−α)·s,   seeded with the window's first value,
+        s <- alpha*x + (1-alpha)*s,  seeded with the window's first value,
 
-    α = alpha_num/alpha_den (default 1/4 — an exact binary fraction,
-    so the two multipliers are exact doubles).  The fixed left-to-right
-    IEEE fold is bit-identical across engines (the proven doc_lm_score
-    / classifier-margin pattern); the truncation at ``lookback`` makes
-    this a DEFINED operator (the N-window EWMA — weights beyond 64
-    steps are < 0.75⁶⁴ ≈ 1e-8 of the head) rather than an
-    approximation of the unbounded recurrence, which no distributed
-    window can express without a serial scan.
+    alpha = alpha_num/alpha_den (default 1/4 — an exact binary
+    fraction, so the two multipliers are exact doubles).  The fixed
+    left-to-right IEEE fold is bit-identical across engines (the
+    proven doc_lm_score / classifier-margin pattern); the truncation
+    at ``lookback`` makes this a DEFINED operator (the N-window EWMA —
+    weights beyond 64 steps are < 0.75^64 ~ 1e-8 of the head) rather
+    than an approximation of the unbounded recurrence, which no
+    distributed window can express without a serial scan.
 
     Scale shape (100 TB): one shuffle to co-locate each key's series
     (the sessionize layout); the per-row prefix is a ROWS window
     bounded at ``lookback`` values, so state per row is O(lookback)
     regardless of series length — never a whole-series collect.
-    NULL keys / timestamps / ids / values are excluded up front (a
-    NULL inside the fold would poison every suffix; NULL order keys
-    are also the cross-engine NULLS FIRST/LAST trap).
+    NULL keys / timestamps / ids / values are excluded up front (see
+    :func:`_series_base`).
 
     Returns (key, ``id_col``, value, ewma) ordered (key, ts, id).
     """
-    if not (0 < alpha_num < alpha_den):
-        raise ValueError(
-            f"ewma_smooth needs 0 < alpha_num < alpha_den, got "
-            f"{alpha_num}/{alpha_den}"
-        )
-    if lookback < 1:
-        raise ValueError(f"ewma_smooth lookback must be >= 1, got {lookback}")
+    _check_ewma_params(alpha_num, alpha_den, lookback)
     a = alpha_num / alpha_den  # exact for binary dens; fixed either way
-    w = (
-        Window.partitionBy("key")
-        .orderBy(F.asc(ts_col), F.asc(id_col))
-        .rowsBetween(-(lookback - 1), Window.currentRow)
-    )
-    base = df.filter(
-        F.col(key_col).isNotNull()
-        & F.col(ts_col).isNotNull()
-        & F.col(id_col).isNotNull()
-        & F.col(value_col).isNotNull()
-    ).select(
-        F.col(key_col).alias("key"),
-        F.col(ts_col),
-        F.col(id_col),
-        F.col(value_col).cast("double").alias("v"),
-    )
-    arr = F.collect_list("v").over(w)
+    base = _series_base(df, key_col, ts_col, id_col, value_col)
+    arr = F.collect_list("v").over(_series_window(ts_col, id_col, lookback))
     # seed with the window's FIRST element, fold the rest — exactly
     # DuckDB list_reduce's natural first-element seeding
     ewma = F.aggregate(
@@ -545,13 +599,7 @@ def ewma_smooth(
         F.element_at(arr, 1),
         lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
     )
-    return (
-        base.withColumn("ewma", ewma)
-        .select("key", F.col(id_col), F.col("v").alias("value"), "ewma",
-                F.col(ts_col))
-        .orderBy(F.asc("key"), F.asc(ts_col), F.asc(id_col))
-        .drop(ts_col)
-    )
+    return _series_result(base, ts_col, id_col, ewma.alias("ewma"))
 
 
 def ewma_smooth_oracle_sql(
@@ -565,29 +613,21 @@ def ewma_smooth_oracle_sql(
     lookback: int = 64,
 ) -> str:
     """DuckDB mirror of :func:`ewma_smooth` — same bounded ROWS window
-    list, same left-to-right list_reduce fold (first-element seeded).
-    The multipliers are spelled as exact integer DIVISIONS (one IEEE
-    op, identical to Python's ``alpha_num / alpha_den`` on the Spark
-    side) — a float repr literal would re-parse through DuckDB's
-    DECIMAL path and can mis-round (the documented literal trap)."""
+    list (shared :func:`_series_sql` scaffold), same left-to-right
+    list_reduce fold (first-element seeded).  The multipliers are
+    spelled as exact integer DIVISIONS (one IEEE op, identical to
+    Python's ``alpha_num / alpha_den`` on the Spark side) — a float
+    repr literal would re-parse through DuckDB's DECIMAL path and can
+    mis-round (the documented literal trap)."""
+    _check_ewma_params(alpha_num, alpha_den, lookback)
     a_sql = f"(CAST({alpha_num} AS DOUBLE) / CAST({alpha_den} AS DOUBLE))"
-    return f"""
-WITH __ew_b AS (
-  SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
-         CAST({value_col} AS DOUBLE) AS v
-  FROM {table}
-  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
-    AND {id_col} IS NOT NULL AND {value_col} IS NOT NULL
-), __ew_w AS (
-  SELECT key, ts, id, v,
-         list(v) OVER (PARTITION BY key ORDER BY ts ASC, id ASC
-                       ROWS BETWEEN {lookback - 1} PRECEDING
-                       AND CURRENT ROW) AS arr
-  FROM __ew_b
-)
+    scaffold = _series_sql(
+        table, key_col, ts_col, id_col, value_col, lookback, sort_window=False
+    )
+    return f"""{scaffold}
 SELECT key, id AS {id_col}, v AS value,
        list_reduce(arr, (acc, x) -> {a_sql} * x + (1.0 - {a_sql}) * acc) AS ewma
-FROM __ew_w
+FROM __sw_w
 ORDER BY key ASC, ts ASC, id ASC
 """
 
@@ -608,38 +648,19 @@ def rolling_median(
     engines at FP ties; the discrete lower median cannot).
 
     Scale shape: identical to :func:`ewma_smooth` — one key
-    co-location shuffle, O(window_rows) state per row.  NULL keys /
-    order columns / values excluded up front (same traps).
+    co-location shuffle, O(window_rows) state per row.  NULL handling
+    shared via :func:`_series_base`.
 
     Returns (key, ``id_col``, value, med) ordered (key, ts, id).
     """
     if window_rows < 1:
         raise ValueError(f"rolling_median window_rows must be >= 1, got {window_rows}")
-    w = (
-        Window.partitionBy("key")
-        .orderBy(F.asc(ts_col), F.asc(id_col))
-        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    base = _series_base(df, key_col, ts_col, id_col, value_col)
+    arr = F.sort_array(
+        F.collect_list("v").over(_series_window(ts_col, id_col, window_rows))
     )
-    base = df.filter(
-        F.col(key_col).isNotNull()
-        & F.col(ts_col).isNotNull()
-        & F.col(id_col).isNotNull()
-        & F.col(value_col).isNotNull()
-    ).select(
-        F.col(key_col).alias("key"),
-        F.col(ts_col),
-        F.col(id_col),
-        F.col(value_col).cast("double").alias("v"),
-    )
-    arr = F.sort_array(F.collect_list("v").over(w))
     med = F.element_at(arr, ((F.size(arr) + F.lit(1)) / F.lit(2)).cast("int"))
-    return (
-        base.withColumn("med", med)
-        .select("key", F.col(id_col), F.col("v").alias("value"), "med",
-                F.col(ts_col))
-        .orderBy(F.asc("key"), F.asc(ts_col), F.asc(id_col))
-        .drop(ts_col)
-    )
+    return _series_result(base, ts_col, id_col, med.alias("med"))
 
 
 def rolling_median_oracle_sql(
@@ -650,24 +671,16 @@ def rolling_median_oracle_sql(
     value_col: str = "value",
     window_rows: int = 5,
 ) -> str:
-    """DuckDB mirror of :func:`rolling_median` — same bounded window
-    list, same sorted lower-median element pick."""
-    return f"""
-WITH __rm_b AS (
-  SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
-         CAST({value_col} AS DOUBLE) AS v
-  FROM {table}
-  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
-    AND {id_col} IS NOT NULL AND {value_col} IS NOT NULL
-), __rm_w AS (
-  SELECT key, ts, id, v,
-         list_sort(list(v) OVER (PARTITION BY key ORDER BY ts ASC, id ASC
-                                 ROWS BETWEEN {window_rows - 1} PRECEDING
-                                 AND CURRENT ROW)) AS arr
-  FROM __rm_b
-)
+    """DuckDB mirror of :func:`rolling_median` — same shared window
+    scaffold (sorted), same lower-median element pick."""
+    if window_rows < 1:
+        raise ValueError(f"rolling_median window_rows must be >= 1, got {window_rows}")
+    scaffold = _series_sql(
+        table, key_col, ts_col, id_col, value_col, window_rows, sort_window=True
+    )
+    return f"""{scaffold}
 SELECT key, id AS {id_col}, v AS value,
        arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS med
-FROM __rm_w
+FROM __sw_w
 ORDER BY key ASC, ts ASC, id ASC
 """

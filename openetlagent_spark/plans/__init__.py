@@ -56,11 +56,12 @@ _ROUND9_FRONT = [
     "scd2_history", "sessionize", "stats_moments",
     "stratified_sample", "text_scrub", "tfidf_topk",
     "vocab_oov", "window_distinct_users",
-    # round-9 additions (14) — each swapped in after a local
+    # round-9 additions (16) — each swapped in after a local
     # driver-strength exact check; see (c) above for the displacement
-    # accounting (the mining wave displaced the cube / tpch_q12 /
-    # tpch_q18 / unicode_nfc re-checks — lowest-risk rows whose full
-    # exact sweeps stayed green all round; they rotate back in r10)
+    # accounting (the mining + smoothing waves displaced the cube /
+    # tpch_q12 / tpch_q18 / unicode_nfc / stats_skew / value_histogram
+    # re-checks — lowest-risk rows whose full exact sweeps stayed
+    # green all round; all nine displaced rows rotate back in r10)
     "image_decode", "sql_join", "ann_store_append",
     "pq_codebooks", "ann_pq",
     "ohlc_bars", "triangle_count", "knn_label", "dataset_drift",
