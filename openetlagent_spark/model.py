@@ -1890,6 +1890,157 @@ class CmsCountsOperation(Operation):
             )
 
 
+@dataclass
+class OhlcOperation(Operation):
+    """Per-key OHLC candlestick bars as a flow op
+    (functions/timeseries.py ohlc_bars): REPLACES the frame with one
+    row per (key, time bucket) — ``key, bucket, open, high, low,
+    close, n_obs``."""
+
+    key_column: str = ""
+    ts_column: str = "ts"
+    value_column: str = "value"
+    bucket_seconds: int = 3600
+    operation_type: str = "ohlc"
+
+    def __post_init__(self) -> None:
+        if not self.key_column:
+            raise SpecError("ohlc requires key_column")
+        if self.bucket_seconds < 1:
+            raise SpecError(
+                f"ohlc bucket_seconds must be >= 1, got {self.bucket_seconds!r}"
+            )
+
+
+@dataclass
+class EwmaOperation(Operation):
+    """Per-key bounded-lookback EWMA smoothing as a flow op
+    (functions/timeseries.py ewma_smooth): REPLACES the frame with
+    ``key, <id_column>, value, ewma`` ordered (key, ts, id)."""
+
+    key_column: str = ""
+    ts_column: str = "ts"
+    id_column: str = ""
+    value_column: str = "value"
+    alpha_num: int = 1
+    alpha_den: int = 4
+    lookback: int = 64
+    operation_type: str = "ewma"
+
+    def __post_init__(self) -> None:
+        if not self.key_column or not self.id_column:
+            raise SpecError("ewma requires key_column and id_column")
+        if not (0 < self.alpha_num < self.alpha_den):
+            raise SpecError(
+                f"ewma needs 0 < alpha_num < alpha_den, got "
+                f"{self.alpha_num!r}/{self.alpha_den!r}"
+            )
+        if self.lookback < 1:
+            raise SpecError(f"ewma lookback must be >= 1, got {self.lookback!r}")
+
+
+@dataclass
+class RollingMedianOperation(Operation):
+    """Per-key rolling lower-median smoothing as a flow op
+    (functions/timeseries.py rolling_median): REPLACES the frame with
+    ``key, <id_column>, value, med`` ordered (key, ts, id)."""
+
+    key_column: str = ""
+    ts_column: str = "ts"
+    id_column: str = ""
+    value_column: str = "value"
+    window_rows: int = 5
+    operation_type: str = "rolling_median"
+
+    def __post_init__(self) -> None:
+        if not self.key_column or not self.id_column:
+            raise SpecError("rolling_median requires key_column and id_column")
+        if self.window_rows < 1:
+            raise SpecError(
+                f"rolling_median window_rows must be >= 1, got {self.window_rows!r}"
+            )
+
+
+@dataclass
+class ChangepointOperation(Operation):
+    """Per-key CUSUM changepoint audit as a flow op
+    (functions/timeseries.py changepoint_cusum): REPLACES the frame
+    with one row per key — ``key, change_day, cusum_scaled, strength,
+    n_days, total``."""
+
+    key_column: str = ""
+    ts_column: str = "ts"
+    operation_type: str = "changepoint"
+
+    def __post_init__(self) -> None:
+        if not self.key_column:
+            raise SpecError("changepoint requires key_column")
+
+
+@dataclass
+class AssociationRulesOperation(Operation):
+    """Directed association rules as a flow op (functions/mining.py
+    association_rules): REPLACES the frame with the top-``k`` rules —
+    ``antecedent, consequent, n_pair, n_ante, n_cons, support,
+    confidence, lift``."""
+
+    basket_column: str = ""
+    item_column: str = ""
+    min_count: int = 2
+    k: int = 100
+    operation_type: str = "association_rules"
+
+    def __post_init__(self) -> None:
+        if not self.basket_column or not self.item_column:
+            raise SpecError("association_rules requires basket_column and item_column")
+        if self.k < 1 or self.min_count < 1:
+            raise SpecError(
+                f"association_rules needs k >= 1 and min_count >= 1, got "
+                f"{self.k!r}/{self.min_count!r}"
+            )
+
+
+@dataclass
+class MarkovOperation(Operation):
+    """First-order Markov transition matrix as a flow op
+    (functions/mining.py markov_transitions): REPLACES the frame with
+    ``src, dst, n_trans, n_src, prob``."""
+
+    seq_column: str = ""
+    order_column: str = "ts"
+    tiebreak_column: str = ""
+    state_column: str = ""
+    operation_type: str = "markov"
+
+    def __post_init__(self) -> None:
+        if not self.seq_column or not self.tiebreak_column or not self.state_column:
+            raise SpecError(
+                "markov requires seq_column, tiebreak_column and state_column"
+            )
+
+
+@dataclass
+class SkylineOperation(Operation):
+    """2-D skyline (Pareto frontier, maximizing both axes) as a flow
+    op (functions/mining.py skyline2d): REPLACES the frame with the
+    frontier rows ``id, x, y``.  Both axes must be INTEGRAL columns
+    (the unit-step RANGE frame — see skyline2d)."""
+
+    id_column: str = ""
+    x_column: str = ""
+    y_column: str = ""
+    prune_buckets: int = 32
+    operation_type: str = "skyline"
+
+    def __post_init__(self) -> None:
+        if not self.id_column or not self.x_column or not self.y_column:
+            raise SpecError("skyline requires id_column, x_column and y_column")
+        if self.prune_buckets < 1:
+            raise SpecError(
+                f"skyline prune_buckets must be >= 1, got {self.prune_buckets!r}"
+            )
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -1970,6 +2121,13 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "sql_transform": SqlTransformOperation,
     "heavy_hitters": HeavyHittersOperation,
     "classifier_eval": ClassifierEvalOperation,
+    "ohlc": OhlcOperation,
+    "ewma": EwmaOperation,
+    "rolling_median": RollingMedianOperation,
+    "changepoint": ChangepointOperation,
+    "association_rules": AssociationRulesOperation,
+    "markov": MarkovOperation,
+    "skyline": SkylineOperation,
 }
 
 

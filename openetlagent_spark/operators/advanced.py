@@ -848,6 +848,82 @@ def apply_heavy_hitters(df: DataFrame, op: "HeavyHittersOperation") -> DataFrame
     )
 
 
+def apply_ohlc(df: DataFrame, op) -> DataFrame:
+    from ..functions.timeseries import ohlc_bars
+
+    require_columns(
+        df, [op.key_column, op.ts_column, op.value_column], "ohlc"
+    )
+    return ohlc_bars(
+        df, op.key_column, op.ts_column, op.value_column,
+        bucket_seconds=op.bucket_seconds,
+    )
+
+
+def apply_ewma(df: DataFrame, op) -> DataFrame:
+    from ..functions.timeseries import ewma_smooth
+
+    require_columns(
+        df, [op.key_column, op.ts_column, op.id_column, op.value_column], "ewma"
+    )
+    return ewma_smooth(
+        df, op.key_column, op.ts_column, op.id_column, op.value_column,
+        alpha_num=op.alpha_num, alpha_den=op.alpha_den, lookback=op.lookback,
+    )
+
+
+def apply_rolling_median(df: DataFrame, op) -> DataFrame:
+    from ..functions.timeseries import rolling_median
+
+    require_columns(
+        df, [op.key_column, op.ts_column, op.id_column, op.value_column],
+        "rolling_median",
+    )
+    return rolling_median(
+        df, op.key_column, op.ts_column, op.id_column, op.value_column,
+        window_rows=op.window_rows,
+    )
+
+
+def apply_changepoint(df: DataFrame, op) -> DataFrame:
+    from ..functions.timeseries import changepoint_cusum
+
+    require_columns(df, [op.key_column, op.ts_column], "changepoint")
+    return changepoint_cusum(df, op.key_column, op.ts_column)
+
+
+def apply_association_rules(df: DataFrame, op) -> DataFrame:
+    from ..functions.mining import association_rules
+
+    require_columns(df, [op.basket_column, op.item_column], "association_rules")
+    return association_rules(
+        df, op.basket_column, op.item_column, min_count=op.min_count, k=op.k
+    )
+
+
+def apply_markov(df: DataFrame, op) -> DataFrame:
+    from ..functions.mining import markov_transitions
+
+    require_columns(
+        df,
+        [op.seq_column, op.order_column, op.tiebreak_column, op.state_column],
+        "markov",
+    )
+    return markov_transitions(
+        df, op.seq_column, op.order_column, op.tiebreak_column, op.state_column
+    )
+
+
+def apply_skyline(df: DataFrame, op) -> DataFrame:
+    from ..functions.mining import skyline2d
+
+    require_columns(df, [op.id_column, op.x_column, op.y_column], "skyline")
+    return skyline2d(
+        df, op.id_column, op.x_column, op.y_column,
+        prune_buckets=op.prune_buckets,
+    )
+
+
 def apply_classifier_eval(df: DataFrame, op: "ClassifierEvalOperation") -> DataFrame:
     from ..functions.classifier import classifier_eval
 

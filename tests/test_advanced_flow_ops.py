@@ -990,3 +990,76 @@ def test_sql_transform_multi_input_views(spark):
     with pytest.raises(SpecError, match="reuse the frame view"):
         parse_operation({"operation_type": "sql_transform",
                          "views": {"frame": "events"}, "statement": "SELECT 1 AS x"})
+
+
+def test_mining_and_smoothing_flow_ops(spark):
+    """The round-9 tail functions are reachable from YAML flows: each
+    op parses via its discriminator, validates its spec loudly, and
+    executes through apply_operations with the library function's
+    exact semantics."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+
+    ohlc = parse_operation({
+        "operation_type": "ohlc", "key_column": "event_type",
+        "bucket_seconds": 86400,
+    })
+    bars = apply_operations(ev, [ohlc], spark)
+    assert set(bars.columns) == {"key", "bucket", "open", "high", "low",
+                                 "close", "n_obs"}
+    assert bars.count() > 0
+
+    ew = parse_operation({
+        "operation_type": "ewma", "key_column": "event_type",
+        "id_column": "event_id", "lookback": 8,
+    })
+    sm = apply_operations(ev, [ew], spark)
+    assert sm.columns == ["key", "event_id", "value", "ewma"]
+
+    rm = parse_operation({
+        "operation_type": "rolling_median", "key_column": "event_type",
+        "id_column": "event_id", "window_rows": 3,
+    })
+    assert apply_operations(ev, [rm], spark).columns == [
+        "key", "event_id", "value", "med"]
+
+    cp = parse_operation({
+        "operation_type": "changepoint", "key_column": "event_type",
+    })
+    cps = apply_operations(ev, [cp], spark)
+    assert cps.count() == ev.select("event_type").distinct().count()
+
+    ar = parse_operation({
+        "operation_type": "association_rules", "basket_column": "user_id",
+        "item_column": "event_type", "min_count": 2, "k": 10,
+    })
+    rules = apply_operations(ev, [ar], spark).collect()
+    assert 0 < len(rules) <= 10
+    assert all(r.confidence <= 1.0 for r in rules)
+
+    mk = parse_operation({
+        "operation_type": "markov", "seq_column": "user_id",
+        "tiebreak_column": "event_id", "state_column": "event_type",
+    })
+    trans = apply_operations(ev, [mk], spark).collect()
+    assert trans and abs(
+        sum(r.prob for r in trans if r.src == trans[0].src) - 1.0
+    ) < 1e-9
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sk = parse_operation({
+        "operation_type": "skyline", "id_column": "doc_id",
+        "x_column": "n_chars", "y_column": "doc_id",
+    })
+    assert apply_operations(docs, [sk], spark).count() > 0
+
+    # spec validation fails loudly at parse time
+    with pytest.raises(SpecError, match="key_column"):
+        parse_operation({"operation_type": "ohlc"})
+    with pytest.raises(SpecError, match="alpha"):
+        parse_operation({"operation_type": "ewma", "key_column": "k",
+                         "id_column": "i", "alpha_num": 4, "alpha_den": 4})
+    with pytest.raises(SpecError, match="basket_column"):
+        parse_operation({"operation_type": "association_rules"})
+    with pytest.raises(SpecError, match="prune_buckets"):
+        parse_operation({"operation_type": "skyline", "id_column": "a",
+                         "x_column": "b", "y_column": "c", "prune_buckets": 0})
