@@ -229,3 +229,39 @@ def test_example_data_quality_audit(spark, tmp_path):
         assert r.n_rows == 1500
         if r.severity == "fail":
             assert r.n_violations == 0
+
+
+def test_example_rate_shift_and_next_event(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+
+    flow = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/rate_shift_audit.yaml")
+    )
+    config.outputs["rate_shift_audit"].path = str(tmp_path / "shift")
+    result, ok, feedback = run_flow(
+        spark, config, flow, "rate_shift_audit", single_file=True
+    )
+    assert ok, feedback
+    rows = result.collect()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert len(rows) == ev.select("event_type").distinct().count()
+    strengths = [r.strength for r in rows]
+    assert strengths == sorted(strengths, reverse=True)
+    assert all(r.strength == abs(r.cusum_scaled) for r in rows)
+
+    flow2 = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/next_event_model.yaml")
+    )
+    config.outputs["next_event_model"].path = str(tmp_path / "markov")
+    result2, ok2, feedback2 = run_flow(
+        spark, config, flow2, "next_event_model", single_file=True
+    )
+    assert ok2, feedback2
+    trans = result2.collect()
+    assert trans
+    # per-source probabilities are a distribution
+    from collections import defaultdict
+    per_src = defaultdict(float)
+    for r in trans:
+        per_src[r.src] += r.prob
+    assert all(abs(v - 1.0) < 1e-9 for v in per_src.values())
