@@ -248,6 +248,7 @@ HEADLINE = [
     "skyline",
     "ewma",
     "rolling_median",
+    "label_propagation",
 ]
 
 

@@ -422,3 +422,112 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT z FROM __tc_t
 ) GROUP BY node
 """
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 4,
+    materialize_every: int = 2,
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation — community
+    detection over an undirected graph (the modularity-free LPA every
+    graph library ships, made bit-reproducible): labels start as the
+    node's own id, and each round every node adopts the MOST FREQUENT
+    label among its neighbors' previous-round labels, ties broken by
+    the SMALLEST label, isolated nodes keeping their own.  A fixed
+    ``iters`` makes the operator a pure function of the graph — no
+    convergence race, no asynchronous update order, the same
+    determinism contract as pagerank/kmeans/BPE.
+
+    Distinct from :func:`connected_components` (which converges to
+    min-id per component): mode-adoption splits a weakly-bridged
+    component into dense cores, which is the community structure.
+
+    Inputs: ``nodes`` (column ``node``), ``edges`` (src, dst) —
+    treated as undirected; the function symmetrizes and dedups, so
+    callers may pass either orientation.  Returns (node, community,
+    community_size) ordered by (community, node).
+
+    Scale shape (real graphs): per round ONE edges⋈labels join plus a
+    (node, label) count with map-side combine and a per-node
+    row_number cut — all shuffles on node/dst keys, state bounded by
+    |V|+|E|; label lineage grows linearly per round, so a
+    materialize() boundary every ``materialize_every`` rounds bounds
+    the plan (components-style truncation is not required for
+    correctness).  The oracle is the same recurrence unrolled as
+    MATERIALIZED CTEs."""
+    if iters < 1:
+        raise ValueError(f"label_propagation iters must be >= 1, got {iters}")
+    sym = materialize(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for i in range(iters):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        from pyspark.sql import Window
+
+        pick = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+        mode = (
+            neigh.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(mode, "node", "left")
+            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+        )
+        if materialize_every and (i + 1) % materialize_every == 0 and i + 1 < iters:
+            labels = materialize(labels)
+    from pyspark.sql import Window
+
+    size = F.count(F.lit(1)).over(Window.partitionBy("lab")).cast("long")
+    return labels.select(
+        "node", F.col("lab").alias("community"), size.alias("community_size")
+    ).orderBy(F.asc("community"), F.asc("node"))
+
+
+def label_propagation_oracle_sql(
+    nodes_sql: str, edges_sql: str, iters: int = 4
+) -> str:
+    """DuckDB mirror of :func:`label_propagation` — the same
+    symmetrize/dedup, mode-with-(count DESC, label ASC)-tie rounds
+    unrolled as CTEs.  Every label CTE is ``AS MATERIALIZED``: each is
+    referenced twice per round (neighbor join + keep-own fallback) and
+    DuckDB would otherwise inline and re-evaluate the chain
+    exponentially (the proven classifier_train lesson)."""
+    parts = [
+        f"lp_nodes AS MATERIALIZED (SELECT node FROM {nodes_sql})",
+        f"lp_edges AS MATERIALIZED ("
+        f"SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM {edges_sql} "
+        f"UNION ALL SELECT dst AS src, src AS dst FROM {edges_sql}) "
+        f"WHERE src <> dst)",
+        "lp0 AS MATERIALIZED (SELECT node, node AS lab FROM lp_nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"lp{i + 1} AS MATERIALIZED ("
+            f"SELECT l.node, COALESCE(p.new_lab, l.lab) AS lab "
+            f"FROM lp{i} l LEFT JOIN ("
+            f"SELECT node, lab AS new_lab FROM ("
+            f"SELECT e.dst AS node, l.lab AS lab, "
+            f"row_number() OVER (PARTITION BY e.dst "
+            f"ORDER BY COUNT(*) DESC, l.lab ASC) AS rn "
+            f"FROM lp_edges e JOIN lp{i} l ON l.node = e.src "
+            f"GROUP BY e.dst, l.lab) WHERE rn = 1"
+            f") p ON p.node = l.node)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT node, lab AS community, "
+        f"CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size "
+        f"FROM lp{iters} ORDER BY community ASC, node ASC"
+    )

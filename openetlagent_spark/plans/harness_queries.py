@@ -1238,6 +1238,38 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via deterministic synchronous label
+    propagation (functions/graph.py label_propagation) over the same
+    distance-≤2 domain co-citation graph triangle_count uses: 4 fixed
+    mode-adoption rounds ((count DESC, label ASC) ties), isolated
+    nodes keep their own label.  Distinct from connected components —
+    mode adoption finds dense cores, not reachability.  The oracle is
+    the identical recurrence unrolled as MATERIALIZED CTEs."""
+    from ..functions.graph import label_propagation
+    from ..functions.web import domain_extract
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SYNTH_URL_SQL).alias("url")
+    )
+    dom = domain_extract(docs, "url").select("doc_id", "domain")
+    nodes = dom.select(F.col("domain").alias("node")).distinct()
+    a, b = dom.alias("a"), dom.alias("b")
+
+    def _lk(offset: int):
+        return (
+            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + offset)
+            .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
+        )
+
+    edges = (
+        _lk(1).unionAll(_lk(2))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return label_propagation(nodes, edges, iters=4)
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key OHLC candlestick bars over hourly buckets
     (functions/timeseries.py ohlc_bars — the hypertable
@@ -3154,6 +3186,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline": q_skyline,
     "ewma": q_ewma,
     "rolling_median": q_rolling_median,
+    "label_propagation": q_label_propagation,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -4234,6 +4267,16 @@ _DOMAIN_EDGES2_SQL = (
     f"WHERE a.domain <> b.domain)"
 )
 HARNESS_ORACLES["triangle_count"] = _triangle_count_oracle_sql(_DOMAIN_EDGES2_SQL)
+
+# label_propagation: same distance<=2 domain graph; unrolled
+# MATERIALIZED mode-adoption CTE rounds
+from ..functions.graph import (  # noqa: E402
+    label_propagation_oracle_sql as _label_propagation_oracle_sql,
+)
+
+HARNESS_ORACLES["label_propagation"] = _label_propagation_oracle_sql(
+    _DOMAIN_NODES_SQL, _DOMAIN_EDGES2_SQL, iters=4
+)
 
 from ..functions.profile import (  # noqa: E402
     dataset_drift_oracle_sql as _dataset_drift_oracle_sql,

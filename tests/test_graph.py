@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from openetlagent_spark.functions.graph import (
@@ -202,3 +203,44 @@ def test_infer_dim_skips_null_vectors(spark):
         "vec_id long, embedding array<double>",
     )
     assert infer_dim(df, "embedding") == 2
+
+
+def test_label_propagation_finds_dense_cores(spark):
+    """Two triangles joined by ONE bridge edge: connected components
+    would merge everything; mode-adoption LPA keeps the two dense
+    cores apart (hand-traced 4-round fixpoint: {a,b,c}->a,
+    {d,e,f}->c), and an isolated node keeps its own label."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.graph import label_propagation
+
+    nodes = spark.createDataFrame([Row(node=n) for n in "abcdefg"])
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in
+         [("a", "b"), ("b", "c"), ("a", "c"),
+          ("d", "e"), ("e", "f"), ("d", "f"),
+          ("c", "d")]]
+    )
+    out = {r.node: r for r in label_propagation(nodes, edges, iters=4).collect()}
+    assert {n: out[n].community for n in "abcdefg"} == {
+        "a": "a", "b": "a", "c": "a", "d": "c", "e": "c", "f": "c", "g": "g",
+    }
+    assert out["a"].community_size == 3 and out["g"].community_size == 1
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(nodes, edges, iters=0)
+
+
+def test_label_propagation_orientation_invariant(spark):
+    """Edges are symmetrized: passing the reversed orientation (or a
+    mix) yields identical communities."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.graph import label_propagation
+
+    nodes = spark.createDataFrame([Row(node=n) for n in "abcd"])
+    fwd = [("a", "b"), ("b", "c"), ("c", "d")]
+    e1 = spark.createDataFrame([Row(src=s, dst=d) for s, d in fwd])
+    e2 = spark.createDataFrame([Row(src=d, dst=s) for s, d in fwd])
+    r1 = label_propagation(nodes, e1, iters=3).collect()
+    r2 = label_propagation(nodes, e2, iters=3).collect()
+    assert r1 == r2

@@ -833,3 +833,15 @@ def test_smoothers_one_key_shuffle(spark, name):
     assert "Join" not in physical
     # key window partitioning + final order-by range partitioning
     assert count_shuffles(plan) <= 2
+
+
+def test_label_propagation_rounds_are_mode_cuts(spark):
+    """Each round is one edges-labels join + a (node, label) count
+    with map-side partials + a per-node row_number cut; the
+    symmetrized edge table is materialized once (Scan ExistingRDD
+    leaves), and no cartesian appears anywhere."""
+    plan = plan_of(spark, "label_propagation")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical
+    assert "partial_count" in physical
+    assert "ExistingRDD" in physical  # the materialize() boundary
