@@ -249,6 +249,7 @@ HEADLINE = [
     "ewma",
     "rolling_median",
     "label_propagation",
+    "temperature_mixture",
 ]
 
 

@@ -1587,3 +1587,124 @@ def token_budget_oracle_sql(
         f"FROM (SELECT *, CAST(COALESCE({tokens_expr}, 0) AS BIGINT) AS __t "
         f"FROM ({inner_sql}))) WHERE {cum_col} - __t < {budget}"
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    alpha_log2: int = 1,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based mixture weights — the multilingual sampling
+    recipe (sample source i with probability proportional to
+    ``n_i^alpha``, alpha < 1 up-weighting low-resource sources):
+    per-group token counts, ``weight_i = n_i^alpha / SUM_j n_j^alpha``,
+    and the expected token allocation under ``token_budget``.
+
+    Exactness discipline: ``alpha`` is restricted to ``2^-alpha_log2``
+    (1, 1/2, 1/4, ...) so ``n^alpha`` is ``alpha_log2`` REPEATED
+    SQUARE ROOTS — sqrt is IEEE-exact (correctly rounded) in both
+    engines, unlike libm ``pow``.  The denominator is a FIXED
+    left-to-right fold over the groups sorted ascending (0.0-seeded
+    Spark ``aggregate`` == DuckDB first-element-seeded ``list_reduce``
+    under addition), and weight/allocation are one division + one
+    multiplication each.
+
+    Scale shape (100 TB): one map-side-combined token-count shuffle to
+    |groups| rows; everything after runs on that tiny frame (the
+    sorted-fold total is a 1-row broadcast).  NULL groups and NULL
+    text are excluded up front.
+
+    Returns (``group_col``, n_tokens, scaled, weight, alloc_tokens)
+    ordered by group.
+    """
+    if alpha_log2 < 0:
+        raise ValueError(
+            f"temperature_mixture alpha_log2 must be >= 0, got {alpha_log2}"
+        )
+    if token_budget < 0:
+        raise ValueError(
+            f"temperature_mixture token_budget must be >= 0, got {token_budget}"
+        )
+    from .text import _tokens  # the one shared tokenizer (anti-drift)
+
+    scaled = F.col("n_tokens").cast("double")
+    for _ in range(alpha_log2):
+        scaled = F.sqrt(scaled)
+    # the |sources|-row count table feeds BOTH the weight projection
+    # and the denominator fold — materialize it so the corpus is
+    # scanned and count-shuffled exactly once (the association_rules
+    # boundary rule)
+    counts = materialize(
+        df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.sum(F.size(_tokens(F.col(text_col)))).cast("long").alias("n_tokens"))
+        .withColumn("scaled", scaled)
+    )
+    total = counts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("grp", "scaled"))),
+                lambda s: s["scaled"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "scaled",
+            (F.col("scaled") / F.col("total")).alias("weight"),
+            (
+                (F.col("scaled") / F.col("total"))
+                * F.lit(float(token_budget))
+            ).alias("alloc_tokens"),
+        )
+        .orderBy(F.asc(group_col))
+    )
+
+
+def temperature_mixture_oracle_sql(
+    table: str,
+    group_col: str,
+    text_col: str = "text",
+    alpha_log2: int = 1,
+    token_budget: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`temperature_mixture` — shared
+    tokenizer, the same repeated-sqrt scaling, the same
+    sorted-ascending left-to-right denominator fold."""
+    if alpha_log2 < 0:
+        raise ValueError(
+            f"temperature_mixture alpha_log2 must be >= 0, got {alpha_log2}"
+        )
+    if token_budget < 0:
+        raise ValueError(
+            f"temperature_mixture token_budget must be >= 0, got {token_budget}"
+        )
+    s = "CAST(n_tokens AS DOUBLE)"
+    for _ in range(alpha_log2):
+        s = f"sqrt({s})"
+    return f"""
+WITH __tm_c AS (
+  SELECT {group_col} AS grp,
+         CAST(SUM(len({_toks_sql(text_col)})) AS BIGINT) AS n_tokens
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {text_col} IS NOT NULL
+  GROUP BY 1
+), __tm_s AS (
+  SELECT grp, n_tokens, {s} AS scaled FROM __tm_c
+), __tm_t AS (
+  SELECT list_reduce(list(scaled ORDER BY grp ASC), (a, b) -> a + b) AS total
+  FROM __tm_s
+)
+SELECT grp AS {group_col}, n_tokens, scaled,
+       scaled / total AS weight,
+       (scaled / total) * CAST({token_budget} AS DOUBLE) AS alloc_tokens
+FROM __tm_s CROSS JOIN __tm_t
+ORDER BY {group_col} ASC
+"""

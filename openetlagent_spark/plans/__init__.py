@@ -21,22 +21,23 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # (a) all 5 r03-hashed rows (explode_tokens, set_except,
 #     set_intersect, topk_per_group, window_moving_avg — displaced
 #     from r08's front by that round's second-session additions);
-# (b) 28 of the 38 r04-hashed rows — every one except tpch_q1
+# (b) 27 of the 38 r04-hashed rows — every one except tpch_q1
 #     (implementing files UNCHANGED since its last driver hash;
 #     staleness: 'current'), dataset_split, exact_distinct, and the
-#     seven repeatedly-green re-checks cube / tpch_q12 / tpch_q18 /
-#     unicode_nfc / stats_skew / value_histogram / vocab_oov
-#     (displaced by the mining + smoothing + community waves; all TEN
-#     rotate back in r10);
-# (c) the round-9 additions (17): image_decode, sql_join,
+#     eight repeatedly-green re-checks cube / tpch_q12 / tpch_q18 /
+#     unicode_nfc / stats_skew / value_histogram / vocab_oov /
+#     text_scrub (displaced by the mining + smoothing + community +
+#     mixture waves; all ELEVEN rotate back in r10);
+# (c) the round-9 additions (18): image_decode, sql_join,
 #     ann_store_append, pq_codebooks, ann_pq, ohlc_bars,
 #     triangle_count, knn_label, dataset_drift, collocations,
 #     association_rules, markov_transitions, changepoint, skyline,
-#     ewma, rolling_median, label_propagation — each swapped in
-#     (displacing the original 7 r05 backfill slots, then the ten
-#     re-checks above) only after a local driver-strength exact
-#     check, keeping never-driver-checked count at zero; the complete
-#     final front-50 re-verified green after the last swap.
+#     ewma, rolling_median, label_propagation, temperature_mixture —
+#     each swapped in (displacing the original 7 r05 backfill slots,
+#     then the eleven re-checks above) only after a local
+#     driver-strength exact check, keeping never-driver-checked count
+#     at zero; the complete final front-50 re-verified green after
+#     the last swap.
 # Every carried-over name passed the full exact-mode sweep run in the
 # r08 judge session and again in this round's full sweeps; the
 # additions passed on landing.  Local `scripts/check_oracle.py` runs
@@ -45,7 +46,7 @@ _ROUND9_FRONT = [
     # oldest driver hash: r03 (5)
     "explode_tokens", "set_except", "set_intersect", "topk_per_group",
     "window_moving_avg",
-    # r03-hashed wave 2 / r04 rows (28 — see (b) above),
+    # r03-hashed wave 2 / r04 rows (27 — see (b) above),
     # clearing every CHANGED query whose latest driver row predates r05
     "bigram_lm", "bpe_pairs", "chunk_docs", "cohort_retention",
     "compacted_layout", "cooccurrence_pairs",
@@ -55,21 +56,22 @@ _ROUND9_FRONT = [
     "kmeans_clusters", "merge_changes", "outlier_flags",
     "profile_table", "quantile_bins", "robust_scale", "running_totals",
     "scd2_history", "sessionize", "stats_moments",
-    "stratified_sample", "text_scrub", "tfidf_topk",
+    "stratified_sample", "tfidf_topk",
     "window_distinct_users",
-    # round-9 additions (17) — each swapped in after a local
+    # round-9 additions (18) — each swapped in after a local
     # driver-strength exact check; see (c) above for the displacement
     # accounting (the mining + smoothing + community waves displaced
     # the cube / tpch_q12 / tpch_q18 / unicode_nfc / stats_skew /
-    # value_histogram / vocab_oov re-checks — lowest-risk rows whose
-    # full exact sweeps stayed green all round; all ten displaced
-    # rows rotate back in r10)
+    # value_histogram / vocab_oov / text_scrub re-checks — lowest-
+    # risk rows whose full exact sweeps stayed green all round; all
+    # eleven displaced rows rotate back in r10)
     "image_decode", "sql_join", "ann_store_append",
     "pq_codebooks", "ann_pq",
     "ohlc_bars", "triangle_count", "knn_label", "dataset_drift",
     "collocations",
     "association_rules", "markov_transitions", "changepoint", "skyline",
     "ewma", "rolling_median", "label_propagation",
+    "temperature_mixture",
 ]
 
 

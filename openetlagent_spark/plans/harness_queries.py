@@ -815,6 +815,22 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                           window_rows=5)
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture weights
+    (functions/curation.py temperature_mixture): per-source token
+    counts raised to α = 1/2 via ONE IEEE-exact sqrt (never libm pow),
+    normalized by a sorted-fold denominator, allocated against a 1M
+    token budget — the multilingual low-resource up-weighting recipe.
+    One map-side-combined count shuffle; everything else runs on
+    |sources| rows."""
+    from ..functions.curation import temperature_mixture
+
+    docs = _ts(spark, sf_dir, "documents").select("source", "text")
+    return temperature_mixture(
+        docs, "source", "text", alpha_log2=1, token_budget=1_000_000
+    )
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lifetime counters (streaming/events.py running_totals,
     batch form): the real-time feature-store pattern whose streaming
@@ -3187,6 +3203,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma": q_ewma,
     "rolling_median": q_rolling_median,
     "label_propagation": q_label_propagation,
+    "temperature_mixture": q_temperature_mixture,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -4327,6 +4344,14 @@ HARNESS_ORACLES["ewma"] = _ewma_oracle_sql(
 )
 HARNESS_ORACLES["rolling_median"] = _rolling_median_oracle_sql(
     "events", "event_type", "ts", "event_id", "value", window_rows=5,
+)
+
+from ..functions.curation import (  # noqa: E402
+    temperature_mixture_oracle_sql as _temperature_mixture_oracle_sql,
+)
+
+HARNESS_ORACLES["temperature_mixture"] = _temperature_mixture_oracle_sql(
+    "documents", "source", "text", alpha_log2=1, token_budget=1_000_000,
 )
 HARNESS_ORACLES["skyline"] = _skyline_oracle_sql(
     "SELECT doc_id AS id, n_chars AS x, "

@@ -295,3 +295,41 @@ def test_rolling_median_resists_spikes(spark):
     with pytest.raises(ValueError, match="window_rows"):
         rolling_median(spark.createDataFrame(rows), "k", "ts", "eid", "v",
                        window_rows=0)
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture (functions/curation.py)
+# ---------------------------------------------------------------------------
+
+def test_temperature_mixture_sqrt_weights(spark):
+    import math
+
+    from openetlagent_spark.functions.curation import temperature_mixture
+
+    rows = [
+        Row(src="big", text="a " * 99 + "a"),     # 100 tokens
+        Row(src="small", text="b " * 24 + "b"),   # 25 tokens
+        Row(src=None, text="x"), Row(src="small", text=None),
+    ]
+    out = {r.src: r for r in temperature_mixture(
+        spark.createDataFrame(rows), "src", "text",
+        alpha_log2=1, token_budget=1000,
+    ).collect()}
+    assert out["big"].n_tokens == 100 and out["small"].n_tokens == 25
+    # alpha = 1/2: sqrt(100)=10, sqrt(25)=5 -> weights 2/3, 1/3 —
+    # temperature flattens the 4:1 token ratio to 2:1
+    assert out["big"].weight == 10.0 / 15.0
+    assert out["small"].weight == 5.0 / 15.0
+    assert math.isclose(out["big"].alloc_tokens + out["small"].alloc_tokens, 1000.0)
+    # alpha = 1 (alpha_log2=0) reproduces the raw token proportions
+    raw = {r.src: r.weight for r in temperature_mixture(
+        spark.createDataFrame(rows), "src", "text",
+        alpha_log2=0, token_budget=1000,
+    ).collect()}
+    assert raw["big"] == 100.0 / 125.0
+    with pytest.raises(ValueError, match="alpha_log2"):
+        temperature_mixture(spark.createDataFrame(rows), "src", "text",
+                            alpha_log2=-1)
+    with pytest.raises(ValueError, match="token_budget"):
+        temperature_mixture(spark.createDataFrame(rows), "src", "text",
+                            token_budget=-5)

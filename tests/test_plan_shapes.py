@@ -845,3 +845,15 @@ def test_label_propagation_rounds_are_mode_cuts(spark):
     assert "CartesianProduct" not in physical
     assert "partial_count" in physical
     assert "ExistingRDD" in physical  # the materialize() boundary
+
+
+def test_temperature_mixture_one_count_shuffle(spark):
+    """The corpus reduces to a materialized |sources|-row count table
+    (Scan ExistingRDD — the one corpus scan + count shuffle ran inside
+    the boundary); the denominator enters as a 1-row broadcast and the
+    only remaining exchange is the final order-by."""
+    plan = plan_of(spark, "temperature_mixture")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "ExistingRDD" in physical  # the materialize() boundary
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
+    assert count_shuffles(plan) <= 2  # denominator agg + order-by range
