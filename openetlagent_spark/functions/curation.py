@@ -1636,10 +1636,16 @@ def temperature_mixture(
     # and the denominator fold — materialize it so the corpus is
     # scanned and count-shuffled exactly once (the association_rules
     # boundary rule)
+    # empty/whitespace-only docs count 0 tokens, not 1 — split('')
+    # yields [''] in both engines, and content-free documents must not
+    # earn any mixture weight (the with_token_counts rule, text.py)
+    n_toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(_tokens(F.col(text_col)))
+    )
     counts = materialize(
         df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
         .groupBy(F.col(group_col).alias("grp"))
-        .agg(F.sum(F.size(_tokens(F.col(text_col)))).cast("long").alias("n_tokens"))
+        .agg(F.sum(n_toks).cast("long").alias("n_tokens"))
         .withColumn("scaled", scaled)
     )
     total = counts.agg(
@@ -1692,7 +1698,8 @@ def temperature_mixture_oracle_sql(
     return f"""
 WITH __tm_c AS (
   SELECT {group_col} AS grp,
-         CAST(SUM(len({_toks_sql(text_col)})) AS BIGINT) AS n_tokens
+         CAST(SUM(CASE WHEN trim({text_col}) = '' THEN 0
+                       ELSE len({_toks_sql(text_col)}) END) AS BIGINT) AS n_tokens
   FROM {table}
   WHERE {group_col} IS NOT NULL AND {text_col} IS NOT NULL
   GROUP BY 1

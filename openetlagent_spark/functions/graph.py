@@ -428,7 +428,6 @@ def label_propagation(
     nodes: DataFrame,
     edges: DataFrame,
     iters: int = 4,
-    materialize_every: int = 2,
 ) -> DataFrame:
     """Deterministic SYNCHRONOUS label propagation — community
     detection over an undirected graph (the modularity-free LPA every
@@ -452,11 +451,15 @@ def label_propagation(
     Scale shape (real graphs): per round ONE edges⋈labels join plus a
     (node, label) count with map-side combine and a per-node
     row_number cut — all shuffles on node/dst keys, state bounded by
-    |V|+|E|; label lineage grows linearly per round, so a
-    materialize() boundary every ``materialize_every`` rounds bounds
-    the plan (components-style truncation is not required for
-    correctness).  The oracle is the same recurrence unrolled as
-    MATERIALIZED CTEs."""
+    |V|+|E|.  Each round references the previous labels frame TWICE
+    (the neighbor join and the keep-own fallback), so the
+    unmaterialized plan would DOUBLE per round — labels therefore
+    truncate through materialize() EVERY round, the same discipline
+    :func:`connected_components` uses for the identical structure
+    (a 2^iters logical plan would hang analysis long before any data
+    moved).  The oracle is the same recurrence unrolled as
+    MATERIALIZED CTEs — materialized for the same double-reference
+    reason."""
     if iters < 1:
         raise ValueError(f"label_propagation iters must be >= 1, got {iters}")
     sym = materialize(
@@ -480,12 +483,11 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("node", F.col("lab").alias("new_lab"))
         )
-        labels = (
+        labels = materialize(
             labels.join(mode, "node", "left")
-            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+            .select("node", F.coalesce("new_lab", "lab").alias("lab")),
+            require_truncation=True,
         )
-        if materialize_every and (i + 1) % materialize_every == 0 and i + 1 < iters:
-            labels = materialize(labels)
     from pyspark.sql import Window
 
     size = F.count(F.lit(1)).over(Window.partitionBy("lab")).cast("long")

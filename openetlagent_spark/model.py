@@ -2023,8 +2023,9 @@ class MarkovOperation(Operation):
 class SkylineOperation(Operation):
     """2-D skyline (Pareto frontier, maximizing both axes) as a flow
     op (functions/mining.py skyline2d): REPLACES the frame with the
-    frontier rows ``id, x, y``.  Both axes must be INTEGRAL columns
-    (the unit-step RANGE frame — see skyline2d)."""
+    frontier rows ``id, x, y``.  The X axis must be an INTEGRAL
+    column (the unit-step RANGE frame — skyline2d refuses fractional
+    x loudly); y carries no frame and may be any orderable type."""
 
     id_column: str = ""
     x_column: str = ""

@@ -1218,6 +1218,31 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label(spark, store, queries, labels, k=10, nprobe=4)
 
 
+def _domain_edges2(dom: DataFrame) -> DataFrame:
+    """The distance-≤2 domain co-citation edge set (from a (doc_id,
+    domain) frame) shared by q_triangle_count and q_label_propagation
+    — ONE Spark-side definition mirroring the single
+    _DOMAIN_EDGES2_SQL oracle fragment (independent copies are the
+    drift vector — the _toks_sql rule).  UNION of two EQUI-joins,
+    never an OR condition: Catalyst cannot hash-join a disjunction of
+    equalities and would fall back to a nested-loop scan — quadratic
+    in |docs| (measured 18× at 10× rows before this form; linear
+    after)."""
+    a, b = dom.alias("a"), dom.alias("b")
+
+    def _link(offset: int):
+        return (
+            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + offset)
+            .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
+        )
+
+    return (
+        _link(1).unionAll(_link(2))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (functions/graph.py triangle_count —
     the degree-ordered compact-forward join) over the synthetic domain
@@ -1234,24 +1259,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_SYNTH_URL_SQL).alias("url")
     )
     dom = domain_extract(docs, "url").select("doc_id", "domain")
-    # UNION of two EQUI-joins, never an OR condition: Catalyst cannot
-    # hash-join a disjunction of equalities and would fall back to a
-    # nested-loop scan — quadratic in |docs| (measured 18× at 10×
-    # rows before this form; linear after)
-    a, b = dom.alias("a"), dom.alias("b")
-
-    def _link(offset: int):
-        return (
-            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + offset)
-            .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
-        )
-
-    edges = (
-        _link(1).unionAll(_link(2))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    return triangle_count(edges)
+    return triangle_count(_domain_edges2(dom))
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,20 +1278,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dom = domain_extract(docs, "url").select("doc_id", "domain")
     nodes = dom.select(F.col("domain").alias("node")).distinct()
-    a, b = dom.alias("a"), dom.alias("b")
-
-    def _lk(offset: int):
-        return (
-            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + offset)
-            .select(F.col("a.domain").alias("src"), F.col("b.domain").alias("dst"))
-        )
-
-    edges = (
-        _lk(1).unionAll(_lk(2))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    return label_propagation(nodes, edges, iters=4)
+    return label_propagation(nodes, _domain_edges2(dom), iters=4)
 
 
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -333,3 +333,22 @@ def test_temperature_mixture_sqrt_weights(spark):
     with pytest.raises(ValueError, match="token_budget"):
         temperature_mixture(spark.createDataFrame(rows), "src", "text",
                             token_budget=-5)
+
+
+def test_temperature_mixture_empty_docs_count_zero(spark):
+    """Empty/whitespace-only documents earn no tokens and no weight
+    (review finding: split('') yields [''] in both engines — without
+    the guard a source of 1000 empty docs would take budget)."""
+    from openetlagent_spark.functions.curation import temperature_mixture
+
+    rows = [
+        Row(src="real", text="a b c"),
+        Row(src="empty", text=""),
+        Row(src="empty", text="   "),
+    ]
+    out = {r.src: r for r in temperature_mixture(
+        spark.createDataFrame(rows), "src", "text", alpha_log2=1,
+        token_budget=100,
+    ).collect()}
+    assert out["empty"].n_tokens == 0 and out["empty"].weight == 0.0
+    assert out["real"].weight == 1.0 and out["real"].alloc_tokens == 100.0
