@@ -250,6 +250,7 @@ HEADLINE = [
     "rolling_median",
     "label_propagation",
     "temperature_mixture",
+    "kcore",
 ]
 
 

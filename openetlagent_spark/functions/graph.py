@@ -533,3 +533,104 @@ def label_propagation_oracle_sql(
         f"CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size "
         f"FROM lp{iters} ORDER BY community ASC, node ASC"
     )
+
+
+def kcore(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """Deterministic k-core peeling — the densest-subgraph cleaning
+    pass (drop every node with fewer than ``k`` surviving neighbors,
+    repeat): after enough rounds the surviving set is the k-core, the
+    standard graph-cleaning step before community / centrality
+    analysis (spam tendrils and leaf chains peel away; the core
+    remains).  A FIXED ``rounds`` makes the operator a pure function
+    of the graph (peeling a converged set changes nothing, so extra
+    rounds are idempotent) — the label_propagation determinism
+    contract.
+
+    Inputs: ``nodes`` (column ``node``), ``edges`` (src, dst) —
+    undirected; symmetrized and deduped here, either orientation
+    accepted.  Returns the surviving nodes with their final
+    within-alive degree: (node, degree), ordered (degree DESC, node).
+    The report applies one more ``degree >= k`` cut, so it acts as an
+    extra peel round; choose ``rounds`` at least the longest tendril
+    length — on a CONVERGED set the report is the exact k-core with
+    self-consistent degrees, while an under-rounded run returns a
+    documented superset whose degrees still count not-yet-peeled
+    neighbors.  All arithmetic is integer counting — exactness is
+    structural.
+
+    Scale shape: per round two semi-joins restrict the edge table to
+    the alive set (broadcast when the alive set is small, shuffle
+    otherwise) and one map-side-combined degree count; the alive set
+    is referenced on BOTH endpoints each round, so it truncates
+    through materialize() every round (the label_propagation /
+    connected_components plan-doubling discipline)."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"kcore needs k >= 1 and rounds >= 1, got k={k}, rounds={rounds}")
+    sym = materialize(
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    alive = nodes.select("node")
+    deg = None
+    for _ in range(rounds):
+        e_alive = sym.join(
+            alive.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        deg = e_alive.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        )
+        alive = materialize(
+            deg.filter(F.col("degree") >= k).select("node"),
+            require_truncation=True,
+        )
+    # final within-core degrees over the converged alive set
+    e_final = sym.join(
+        alive.withColumnRenamed("node", "src"), "src", "left_semi"
+    ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    return (
+        e_final.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .orderBy(F.desc("degree"), F.asc("node"))
+    )
+
+
+def kcore_oracle_sql(
+    nodes_sql: str, edges_sql: str, k: int = 2, rounds: int = 4
+) -> str:
+    """DuckDB mirror of :func:`kcore` — same symmetrize/dedup, the
+    same peel recurrence unrolled as MATERIALIZED CTEs (each alive
+    set is referenced on both edge endpoints — the anti-inlining
+    rule), same final within-core degree report."""
+    parts = [
+        f"kc_edges AS MATERIALIZED ("
+        f"SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM {edges_sql} "
+        f"UNION ALL SELECT dst AS src, src AS dst FROM {edges_sql}) "
+        f"WHERE src <> dst)",
+        f"kc0 AS MATERIALIZED (SELECT node FROM {nodes_sql})",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"kc{i + 1} AS MATERIALIZED ("
+            f"SELECT e.src AS node FROM kc_edges e "
+            f"JOIN kc{i} s ON s.node = e.src "
+            f"JOIN kc{i} d ON d.node = e.dst "
+            f"GROUP BY e.src HAVING COUNT(*) >= {k})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+        f"FROM kc_edges e "
+        f"JOIN kc{rounds} s ON s.node = e.src "
+        f"JOIN kc{rounds} d ON d.node = e.dst "
+        f"GROUP BY e.src HAVING COUNT(*) >= {k} "
+        f"ORDER BY degree DESC, node ASC"
+    )

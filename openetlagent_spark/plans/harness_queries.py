@@ -815,6 +815,25 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                           window_rows=5)
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the distance-≤2 domain graph (functions/graph.py
+    kcore): 4 fixed synchronous peel rounds drop every node whose
+    surviving degree < 2, then report within-core degrees — the
+    densest-subgraph cleaning pass before community / centrality
+    analysis.  Integer counting throughout; the alive set truncates
+    through materialize() every round (double-reference plan rule);
+    oracle = the peel recurrence unrolled as MATERIALIZED CTEs."""
+    from ..functions.graph import kcore
+    from ..functions.web import domain_extract
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SYNTH_URL_SQL).alias("url")
+    )
+    dom = domain_extract(docs, "url").select("doc_id", "domain")
+    nodes = dom.select(F.col("domain").alias("node")).distinct()
+    return kcore(nodes, _domain_edges2(dom), k=2, rounds=4)
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixture weights
     (functions/curation.py temperature_mixture): per-source token
@@ -3199,6 +3218,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_median": q_rolling_median,
     "label_propagation": q_label_propagation,
     "temperature_mixture": q_temperature_mixture,
+    "kcore": q_kcore,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -4288,6 +4308,12 @@ from ..functions.graph import (  # noqa: E402
 
 HARNESS_ORACLES["label_propagation"] = _label_propagation_oracle_sql(
     _DOMAIN_NODES_SQL, _DOMAIN_EDGES2_SQL, iters=4
+)
+
+from ..functions.graph import kcore_oracle_sql as _kcore_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["kcore"] = _kcore_oracle_sql(
+    _DOMAIN_NODES_SQL, _DOMAIN_EDGES2_SQL, k=2, rounds=4
 )
 
 from ..functions.profile import (  # noqa: E402

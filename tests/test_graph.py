@@ -244,3 +244,30 @@ def test_label_propagation_orientation_invariant(spark):
     r1 = label_propagation(nodes, e1, iters=3).collect()
     r2 = label_propagation(nodes, e2, iters=3).collect()
     assert r1 == r2
+
+
+def test_kcore_peels_tendrils(spark):
+    """A triangle with a pendant chain: the chain peels away round by
+    round (leaf first, then its newly-exposed parent), leaving the
+    2-core = the triangle with within-core degree 2 each.  One round
+    is NOT enough (x survives round 1 with degree 2 via the chain) —
+    the fixed-rounds recurrence matters."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.graph import kcore
+
+    nodes = spark.createDataFrame([Row(node=n) for n in "abcxyz"])
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in
+         [("a", "b"), ("b", "c"), ("a", "c"),        # triangle
+          ("c", "x"), ("x", "y"), ("y", "z")]]       # pendant chain
+    )
+    out = kcore(nodes, edges, k=2, rounds=4).collect()
+    assert {(r.node, r.degree) for r in out} == {("a", 2), ("b", 2), ("c", 2)}
+    # under-rounded run: round 1 peels only z; the report's own >= k
+    # cut then drops y, leaving the documented superset {a,b,c,x}
+    # whose x degree still counts the not-yet-peeled y
+    one = {r.node: r.degree for r in kcore(nodes, edges, k=2, rounds=1).collect()}
+    assert set(one) == {"a", "b", "c", "x"} and one["x"] == 2
+    with pytest.raises(ValueError, match="kcore needs"):
+        kcore(nodes, edges, k=0)

@@ -859,3 +859,19 @@ def test_temperature_mixture_one_count_shuffle(spark):
     assert "ExistingRDD" in physical  # the materialize() boundary
     assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
     assert count_shuffles(plan) <= 2  # denominator agg + order-by range
+
+
+def test_kcore_truncates_every_round(spark):
+    """Alive sets truncate through materialize() per round (the
+    double-endpoint-reference plan rule), so the visible plan is the
+    final degree count over checkpointed frames: ExistingRDD leaves,
+    no cartesian, bounded exchanges."""
+    plan = plan_of(spark, "kcore")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical
+    assert "ExistingRDD" in physical
+    # the final report's two endpoint semi-joins shuffle both sides
+    # (checkpointed frames carry no size stats for the broadcast
+    # heuristic; at scale the alive set may legitimately be large),
+    # plus the degree count and the order-by
+    assert count_shuffles(plan) <= 6
