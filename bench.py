@@ -251,6 +251,8 @@ HEADLINE = [
     "label_propagation",
     "temperature_mixture",
     "kcore",
+    "skipgram_pairs",
+    "negative_sampling",
 ]
 
 

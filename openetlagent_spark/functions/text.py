@@ -1462,3 +1462,196 @@ QUALIFY n >= {min_count}
 ORDER BY score DESC, w1, w2
 LIMIT {k}
 """
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts — the word2vec /
+    embedding-training data-prep stage: for every token, every
+    neighbor within ``window`` positions becomes a context, counted
+    per (center, context, dist) so the distance stays an INTEGER
+    group key (folding a 1/d weight would be an order-sensitive FP
+    sum; downstream can weight the integer counts however it likes).
+    Both directions are emitted (center→context and context→center),
+    matching the symmetric window of the reference algorithm.
+
+    Scale shape (100 TB): pairs expand SCAN-LOCALLY as a JVM
+    zip_with over the token array shifted by d = 1..window (no
+    self-join of the corpus on position), then ONE map-side-combined
+    count shuffle bounded by vocabulary²·window rows.  ``min_count``
+    floors the hapax tail.  Ordered (n DESC, center, context, dist).
+    """
+    if window < 1:
+        raise ValueError(f"skipgram_pairs window must be >= 1, got {window}")
+    if min_count < 1:
+        raise ValueError(f"skipgram_pairs min_count must be >= 1, got {min_count}")
+    toks = _tokens(F.col(text_col))
+    # forward pairs (x at i, y at i+d, d) for d in 1..window; zip_with
+    # pads the shorter shifted slice with NULLs which the filter drops
+    fwd = F.expr(
+        f"flatten(transform(sequence(1, {window}), d -> "
+        f"zip_with(__sg_toks, slice(__sg_toks, 1 + d, size(__sg_toks)), "
+        f"(x, y) -> struct(x AS c, y AS o, d AS dist))))"
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(toks.alias("__sg_toks"))
+        .select(F.explode(fwd).alias("p"))
+        .filter(F.col("p.o").isNotNull())
+    )
+    both = base.select(
+        F.col("p.c").alias("center"),
+        F.col("p.o").alias("context"),
+        F.col("p.dist").alias("dist"),
+    ).unionAll(
+        base.select(
+            F.col("p.o").alias("center"),
+            F.col("p.c").alias("context"),
+            F.col("p.dist").alias("dist"),
+        )
+    )
+    return (
+        both.groupBy("center", "context", "dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("center"), F.asc("context"), F.asc("dist"))
+    )
+
+
+def skipgram_pairs_oracle_sql(
+    table: str,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`skipgram_pairs` — shared tokenizer,
+    same d = 1..window shifted pairing (position join over the
+    unnested array, identical pair set), same symmetric emission and
+    integer counts."""
+    toks = _toks_sql(text_col)
+    return f"""
+WITH __sg_t AS (
+  SELECT {toks} AS t FROM {table} WHERE {text_col} IS NOT NULL
+), __sg_p AS (
+  SELECT t[CAST(i AS INTEGER)] AS c, t[CAST(i AS INTEGER) + d] AS o,
+         CAST(d AS INTEGER) AS dist
+  FROM (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM __sg_t)
+  CROSS JOIN (SELECT unnest(range(1, {window} + 1)) AS d)
+  WHERE i + d <= len(t)
+), __sg_b AS (
+  SELECT c AS center, o AS context, dist FROM __sg_p
+  UNION ALL
+  SELECT o AS center, c AS context, dist FROM __sg_p
+)
+SELECT center, context, dist, CAST(COUNT(*) AS BIGINT) AS n
+FROM __sg_b GROUP BY center, context, dist
+HAVING COUNT(*) >= {min_count}
+ORDER BY n DESC, center ASC, context ASC, dist ASC
+"""
+
+
+def unigram_sampling_table(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha_num: int = 3,
+    alpha_log2_den: int = 2,
+    k: int = 200,
+) -> DataFrame:
+    """Negative-sampling unigram table — the word2vec noise
+    distribution: token probabilities proportional to
+    ``count^(alpha_num / 2^alpha_log2_den)`` (default 3/4, the
+    canonical smoothing that damps stopword dominance while keeping
+    rare words sampleable).
+
+    Exactness: the fractional power is ``alpha_num`` fixed-order
+    integer-exponent MULTIPLIES followed by ``alpha_log2_den``
+    REPEATED SQRTS — every step a single correctly-rounded IEEE op in
+    both engines, never libm ``pow`` (count^3 stays far inside double
+    range for any corpus: (2^63)^3 < 2^190 < DBL_MAX).  The
+    denominator is the temperature_mixture sorted-ascending fold;
+    probability is one division.  Top-``k`` by (count DESC, token) —
+    full tie-break, engine-exact cut.
+
+    Scale shape: one map-side-combined token count shuffle to
+    vocabulary rows; the fold total broadcasts."""
+    if alpha_num < 1 or alpha_log2_den < 0:
+        raise ValueError(
+            f"unigram_sampling_table needs alpha_num >= 1 and "
+            f"alpha_log2_den >= 0, got {alpha_num}/{alpha_log2_den}"
+        )
+    if k < 1:
+        raise ValueError(f"unigram_sampling_table k must be >= 1, got {k}")
+    from ..session import materialize
+
+    counts = materialize(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    scaled = F.col("n").cast("double")
+    base = scaled
+    for _ in range(alpha_num - 1):
+        scaled = scaled * base
+    for _ in range(alpha_log2_den):
+        scaled = F.sqrt(scaled)
+    counts = counts.withColumn("scaled", scaled)
+    total = counts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token", "scaled"))),
+                lambda s: s["scaled"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "token", "n", "scaled",
+            (F.col("scaled") / F.col("total")).alias("prob"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def unigram_sampling_oracle_sql(
+    table: str,
+    text_col: str = "text",
+    alpha_num: int = 3,
+    alpha_log2_den: int = 2,
+    k: int = 200,
+) -> str:
+    """DuckDB mirror of :func:`unigram_sampling_table` — shared
+    tokenizer, the same multiply-then-repeated-sqrt power, the same
+    sorted fold and tie-broken cut."""
+    toks = _toks_sql(text_col)
+    s = "CAST(n AS DOUBLE)"
+    expr = s
+    for _ in range(alpha_num - 1):
+        expr = f"({expr} * {s})"
+    for _ in range(alpha_log2_den):
+        expr = f"sqrt({expr})"
+    return f"""
+WITH __us_c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest({toks}) AS token FROM {table}
+    WHERE {text_col} IS NOT NULL)
+  GROUP BY token
+), __us_s AS (
+  SELECT token, n, {expr} AS scaled FROM __us_c
+), __us_t AS (
+  SELECT list_reduce(list(scaled ORDER BY token ASC), (a, b) -> a + b) AS total
+  FROM __us_s
+)
+SELECT token, n, scaled, scaled / total AS prob
+FROM __us_s CROSS JOIN __us_t
+ORDER BY n DESC, token ASC
+LIMIT {k}
+"""

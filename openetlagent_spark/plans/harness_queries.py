@@ -815,6 +815,32 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                           window_rows=5)
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, dist) pair counts over the corpus
+    (functions/text.py skipgram_pairs) — the word2vec data-prep
+    stage: window-2 symmetric pairs expand scan-locally as shifted
+    zip_withs (no position self-join), ONE map-side-combined count
+    shuffle bounded by vocab²·window; distance stays an integer group
+    key so no FP weighting order exists."""
+    from ..functions.text import skipgram_pairs
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return skipgram_pairs(docs, "text", window=2, min_count=2)
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling unigram table (functions/text.py
+    unigram_sampling_table): token probabilities ∝ count^(3/4), the
+    fractional power computed as two fixed multiplies + two
+    IEEE-exact sqrts (never libm pow), sorted-fold denominator, one
+    division, top-200 by (count, token)."""
+    from ..functions.text import unigram_sampling_table
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_sampling_table(docs, "text", alpha_num=3,
+                                  alpha_log2_den=2, k=200)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the distance-≤2 domain graph (functions/graph.py
     kcore): 4 fixed synchronous peel rounds drop every node whose
@@ -3219,6 +3245,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "temperature_mixture": q_temperature_mixture,
     "kcore": q_kcore,
+    "skipgram_pairs": q_skipgram_pairs,
+    "negative_sampling": q_negative_sampling,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -4314,6 +4342,18 @@ from ..functions.graph import kcore_oracle_sql as _kcore_oracle_sql  # noqa: E40
 
 HARNESS_ORACLES["kcore"] = _kcore_oracle_sql(
     _DOMAIN_NODES_SQL, _DOMAIN_EDGES2_SQL, k=2, rounds=4
+)
+
+from ..functions.text import (  # noqa: E402
+    skipgram_pairs_oracle_sql as _skipgram_oracle_sql,
+    unigram_sampling_oracle_sql as _unigram_sampling_oracle_sql,
+)
+
+HARNESS_ORACLES["skipgram_pairs"] = _skipgram_oracle_sql(
+    "documents", "text", window=2, min_count=2
+)
+HARNESS_ORACLES["negative_sampling"] = _unigram_sampling_oracle_sql(
+    "documents", "text", alpha_num=3, alpha_log2_den=2, k=200
 )
 
 from ..functions.profile import (  # noqa: E402

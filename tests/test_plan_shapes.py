@@ -875,3 +875,24 @@ def test_kcore_truncates_every_round(spark):
     # heuristic; at scale the alive set may legitimately be large),
     # plus the degree count and the order-by
     assert count_shuffles(plan) <= 6
+
+
+def test_skipgram_pairs_scan_local_expansion(spark):
+    """Pairs expand as shifted zip_withs inside the scan projection —
+    no self-join on position anywhere; one map-side-combined count
+    exchange plus the final order-by."""
+    plan = plan_of(spark, "skipgram_pairs")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert "partial_count" in physical
+    assert count_shuffles(plan) <= 2
+
+
+def test_negative_sampling_vocab_rows_only(spark):
+    """The corpus reduces to a materialized vocabulary-row count
+    table; the fold total broadcasts; TakeOrdered handles the cut."""
+    plan = plan_of(spark, "negative_sampling")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "ExistingRDD" in physical
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
+    assert "TakeOrderedAndProject" in physical

@@ -356,3 +356,52 @@ def test_collocations_topk_hand_computed(spark):
 
     with pytest.raises(ValueError, match="min_count"):
         collocations_topk(docs, min_count=0)
+
+
+def test_skipgram_pairs_window_and_symmetry(spark):
+    """Hand-checked window-2 pairs over 'a b c': forward (a,b,1),
+    (b,c,1), (a,c,2) plus mirrors; duplicate docs double the counts;
+    min_count floors."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.text import skipgram_pairs
+
+    df = spark.createDataFrame([Row(text="a b c"), Row(text="a b c"),
+                                Row(text=None)])
+    out = {(r.center, r.context, r.dist): r.n
+           for r in skipgram_pairs(df, "text", window=2, min_count=1).collect()}
+    assert out[("a", "b", 1)] == 2 and out[("b", "a", 1)] == 2
+    assert out[("a", "c", 2)] == 2 and out[("c", "a", 2)] == 2
+    assert out[("b", "c", 1)] == 2
+    assert len(out) == 6  # 3 forward pairs, both directions
+    # window=1 drops the distance-2 pair
+    out1 = {(r.center, r.context, r.dist)
+            for r in skipgram_pairs(df, "text", window=1, min_count=1).collect()}
+    assert ("a", "c", 2) not in out1 and ("a", "b", 1) in out1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        skipgram_pairs(df, "text", window=0)
+
+
+def test_unigram_sampling_table_three_quarter_power(spark):
+    """count^(3/4) computed as ((x*x)*x) then two sqrts: for counts
+    16 and 1 the scaled masses are 8 and 1 → probs 8/9 and 1/9."""
+    import math
+
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.text import unigram_sampling_table
+
+    df = spark.createDataFrame([Row(text="hot " * 15 + "hot"),
+                                Row(text="rare")])
+    out = {r.token: r for r in unigram_sampling_table(
+        df, "text", alpha_num=3, alpha_log2_den=2, k=10).collect()}
+    assert out["hot"].n == 16 and out["rare"].n == 1
+    assert out["hot"].scaled == 8.0 and out["rare"].scaled == 1.0
+    assert out["hot"].prob == 8.0 / 9.0
+    assert math.isclose(out["hot"].prob + out["rare"].prob, 1.0)
+    # alpha = 1/1 (num=1, den=2^0) reproduces raw proportions
+    raw = {r.token: r.prob for r in unigram_sampling_table(
+        df, "text", alpha_num=1, alpha_log2_den=0, k=10).collect()}
+    assert raw["hot"] == 16.0 / 17.0
