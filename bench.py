@@ -253,6 +253,7 @@ HEADLINE = [
     "kcore",
     "skipgram_pairs",
     "negative_sampling",
+    "layout_audit",
 ]
 
 

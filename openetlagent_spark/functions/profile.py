@@ -493,3 +493,102 @@ SELECT c.bin, c.n_a, c.n_b,
        AS drift_term
 FROM __dd_c c CROSS JOIN __dd_t t
 """
+
+
+def range_layout_audit(
+    df: DataFrame,
+    ts_col: str = "ts",
+    n_ranges: int = 8,
+    probe_lo: str = "",
+    probe_hi: str = "",
+) -> DataFrame:
+    """Data-skipping audit for a planned range-clustered layout: split
+    the observed time span into ``n_ranges`` equal-width slices (the
+    file ranges a ``write_sorted``-style rewrite would own), report
+    each slice's row count and observed min/max, and flag which slices
+    a ``[probe_lo, probe_hi)`` window scan would PRUNE via footer
+    min/max alone — the quantified before/after case for paying the
+    clustering rewrite.
+
+    Exactness: timestamps become BIGINT epoch micros; the slice width
+    is the INTEGER ``((max − min) DIV n_ranges) + 1`` (the +1 makes
+    the last point land inside slice n_ranges−1 and kills the
+    width=0 single-instant edge case), assignment is one integer DIV,
+    and the prune flag is two BIGINT comparisons against the probe's
+    epoch bounds — no FP anywhere.
+
+    Scale shape (100 TB): one 1-row min/max aggregate broadcasts, the
+    slice id is a map-side projection, and the per-slice stats are ONE
+    map-side-combined count shuffle bounded by ``n_ranges`` rows —
+    this is a metadata-scale audit, never a sort (the REWRITE sorts;
+    the plan does not).  NULL timestamps are excluded up front.
+
+    Returns (range_id, n_rows, min_epoch, max_epoch, pruned) ordered
+    by range_id.
+    """
+    if n_ranges < 1:
+        raise ValueError(f"range_layout_audit n_ranges must be >= 1, got {n_ranges}")
+    if not probe_lo or not probe_hi:
+        raise ValueError("range_layout_audit needs probe_lo and probe_hi (ISO timestamps)")
+    e = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.filter(F.col(ts_col).isNotNull()).select(e.alias("ep"))
+    bounds = base.agg(
+        F.min("ep").alias("lo"), F.max("ep").alias("hi")
+    )
+    lo_e = F.unix_micros(F.lit(probe_lo).cast("timestamp"))
+    hi_e = F.unix_micros(F.lit(probe_hi).cast("timestamp"))
+    with_w = base.crossJoin(F.broadcast(bounds)).select(
+        "ep",
+        F.expr("(hi - lo) DIV " + str(int(n_ranges)) + " + 1").alias("w"),
+        F.col("lo"),
+    )
+    sliced = with_w.select(
+        "ep", F.expr("(ep - lo) DIV w").cast("long").alias("range_id")
+    )
+    return (
+        sliced.groupBy("range_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("ep").alias("min_epoch"),
+            F.max("ep").alias("max_epoch"),
+        )
+        .select(
+            "range_id", "n_rows", "min_epoch", "max_epoch",
+            ((F.col("max_epoch") < lo_e) | (F.col("min_epoch") >= hi_e)).alias("pruned"),
+        )
+        .orderBy(F.asc("range_id"))
+    )
+
+
+def range_layout_audit_oracle_sql(
+    table: str,
+    ts_col: str = "ts",
+    n_ranges: int = 8,
+    probe_lo: str = "",
+    probe_hi: str = "",
+) -> str:
+    """DuckDB mirror of :func:`range_layout_audit` — same integer
+    width, same DIV assignment, same BIGINT prune comparisons."""
+    if n_ranges < 1:
+        raise ValueError(f"range_layout_audit n_ranges must be >= 1, got {n_ranges}")
+    if not probe_lo or not probe_hi:
+        raise ValueError("range_layout_audit needs probe_lo and probe_hi")
+    return f"""
+WITH __rl_b AS (
+  SELECT epoch_us({ts_col}) AS ep FROM {table} WHERE {ts_col} IS NOT NULL
+), __rl_m AS (
+  SELECT MIN(ep) AS lo, MAX(ep) AS hi,
+         (MAX(ep) - MIN(ep)) // {n_ranges} + 1 AS w
+  FROM __rl_b
+), __rl_s AS (
+  SELECT (b.ep - m.lo) // m.w AS range_id, b.ep
+  FROM __rl_b b CROSS JOIN __rl_m m
+)
+SELECT range_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(ep) AS min_epoch, MAX(ep) AS max_epoch,
+       (MAX(ep) < epoch_us(TIMESTAMP '{probe_lo}')
+        OR MIN(ep) >= epoch_us(TIMESTAMP '{probe_hi}')) AS pruned
+FROM __rl_s
+GROUP BY range_id
+ORDER BY range_id ASC
+"""

@@ -21,22 +21,23 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 # (a) all 5 r03-hashed rows (explode_tokens, set_except,
 #     set_intersect, topk_per_group, window_moving_avg — displaced
 #     from r08's front by that round's second-session additions);
-# (b) 24 of the 38 r04-hashed rows — every one except tpch_q1
+# (b) 23 of the 38 r04-hashed rows — every one except tpch_q1
 #     (implementing files UNCHANGED since its last driver hash;
 #     staleness: 'current'), dataset_split, exact_distinct, and the
-#     eleven repeatedly-green re-checks cube / tpch_q12 / tpch_q18 /
+#     twelve repeatedly-green re-checks cube / tpch_q12 / tpch_q18 /
 #     unicode_nfc / stats_skew / value_histogram / vocab_oov /
-#     text_scrub / stats_moments / quantile_bins / robust_scale
-#     (displaced by the mining + smoothing + community + mixture +
-#     embedding-prep waves; all FOURTEEN rotate back in r10);
-# (c) the round-9 additions (21): image_decode, sql_join,
+#     text_scrub / stats_moments / quantile_bins / robust_scale /
+#     diversity_sample (displaced by the mining + smoothing +
+#     community + mixture + embedding-prep + layout-audit waves; all
+#     FIFTEEN rotate back in r10);
+# (c) the round-9 additions (22): image_decode, sql_join,
 #     ann_store_append, pq_codebooks, ann_pq, ohlc_bars,
 #     triangle_count, knn_label, dataset_drift, collocations,
 #     association_rules, markov_transitions, changepoint, skyline,
 #     ewma, rolling_median, label_propagation, temperature_mixture,
-#     kcore, skipgram_pairs, negative_sampling — each swapped in
-#     (displacing the original 7 r05 backfill slots, then the
-#     fourteen re-checks above) only after a local driver-strength
+#     kcore, skipgram_pairs, negative_sampling, layout_audit — each
+#     swapped in (displacing the original 7 r05 backfill slots, then
+#     the fifteen re-checks above) only after a local driver-strength
 #     exact check, keeping never-driver-checked count at zero; the
 #     complete final front-50 re-verified green after the last swap.
 # Every carried-over name passed the full exact-mode sweep run in the
@@ -47,26 +48,26 @@ _ROUND9_FRONT = [
     # oldest driver hash: r03 (5)
     "explode_tokens", "set_except", "set_intersect", "topk_per_group",
     "window_moving_avg",
-    # r03-hashed wave 2 / r04 rows (24 — see (b) above),
+    # r03-hashed wave 2 / r04 rows (23 — see (b) above),
     # clearing every CHANGED query whose latest driver row predates r05
     "bigram_lm", "bpe_pairs", "chunk_docs", "cohort_retention",
     "compacted_layout", "cooccurrence_pairs",
     "curation_pipeline", "dataset_mixture",
     "dedup_clusters", "dedup_simhash", "dedup_substring",
-    "diversity_sample", "doc_lm_score", "fuzzy_join",
+    "doc_lm_score", "fuzzy_join",
     "kmeans_clusters", "merge_changes", "outlier_flags",
     "profile_table", "running_totals",
     "scd2_history", "sessionize",
     "stratified_sample", "tfidf_topk",
     "window_distinct_users",
-    # round-9 additions (21) — each swapped in after a local
+    # round-9 additions (22) — each swapped in after a local
     # driver-strength exact check; see (c) above for the displacement
     # accounting (the mining + smoothing + community waves displaced
     # the cube / tpch_q12 / tpch_q18 / unicode_nfc / stats_skew /
     # value_histogram / vocab_oov / text_scrub / stats_moments /
-    # quantile_bins / robust_scale re-checks — lowest-risk rows whose
-    # full exact sweeps stayed green all round; all fourteen
-    # displaced rows rotate back in r10)
+    # quantile_bins / robust_scale / diversity_sample re-checks —
+    # lowest-risk rows whose full exact sweeps stayed green all
+    # round; all fifteen displaced rows rotate back in r10)
     "image_decode", "sql_join", "ann_store_append",
     "pq_codebooks", "ann_pq",
     "ohlc_bars", "triangle_count", "knn_label", "dataset_drift",
@@ -74,7 +75,7 @@ _ROUND9_FRONT = [
     "association_rules", "markov_transitions", "changepoint", "skyline",
     "ewma", "rolling_median", "label_propagation",
     "temperature_mixture", "kcore",
-    "skipgram_pairs", "negative_sampling",
+    "skipgram_pairs", "negative_sampling", "layout_audit",
 ]
 
 

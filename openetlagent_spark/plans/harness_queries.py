@@ -815,6 +815,23 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                           window_rows=5)
 
 
+def q_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit for a planned 8-range time clustering
+    (functions/profile.py range_layout_audit): per-slice row counts,
+    observed min/max epochs, and the pruned flag a 1-day probe window
+    would achieve from footer min/max alone — the quantified case for
+    the sorted_layout rewrite.  Integer width/DIV/comparison math
+    throughout; one 1-row bounds broadcast + one n_ranges-row count
+    shuffle (metadata-scale, never a sort)."""
+    from ..functions.profile import range_layout_audit
+
+    ev = _t(spark, sf_dir, "events").select("ts")
+    return range_layout_audit(
+        ev, "ts", n_ranges=8,
+        probe_lo="2024-01-10 00:00:00", probe_hi="2024-01-11 00:00:00",
+    )
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context, dist) pair counts over the corpus
     (functions/text.py skipgram_pairs) — the word2vec data-prep
@@ -3247,6 +3264,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "skipgram_pairs": q_skipgram_pairs,
     "negative_sampling": q_negative_sampling,
+    "layout_audit": q_layout_audit,
     "ann_pq": q_ann_pq,
     "events_window": q_events_window,
     "trending_topk": q_trending_topk,
@@ -4354,6 +4372,15 @@ HARNESS_ORACLES["skipgram_pairs"] = _skipgram_oracle_sql(
 )
 HARNESS_ORACLES["negative_sampling"] = _unigram_sampling_oracle_sql(
     "documents", "text", alpha_num=3, alpha_log2_den=2, k=200
+)
+
+from ..functions.profile import (  # noqa: E402
+    range_layout_audit_oracle_sql as _layout_audit_oracle_sql,
+)
+
+HARNESS_ORACLES["layout_audit"] = _layout_audit_oracle_sql(
+    "events", "ts", n_ranges=8,
+    probe_lo="2024-01-10 00:00:00", probe_hi="2024-01-11 00:00:00",
 )
 
 from ..functions.profile import (  # noqa: E402

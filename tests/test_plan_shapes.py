@@ -896,3 +896,13 @@ def test_negative_sampling_vocab_rows_only(spark):
     assert "ExistingRDD" in physical
     assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
     assert "TakeOrderedAndProject" in physical
+
+
+def test_layout_audit_is_metadata_scale(spark):
+    """One 1-row bounds broadcast + one n_ranges-row count exchange —
+    no sort, no join beyond the broadcast."""
+    plan = plan_of(spark, "layout_audit")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
+    assert "SortMergeJoin" not in physical
+    assert count_shuffles(plan) <= 2  # slice count + final order-by

@@ -267,3 +267,33 @@ def test_dataset_drift_hand_computed(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         dataset_drift(df, "side", "v", "a", "b", n_bins=1)
+
+
+def test_range_layout_audit_slices_and_pruning(spark):
+    """6 hourly points over [00:00, 05:00] split into 3 slices of 2h
+    (integer width (5h DIV 3)+1); a probe over hour 2-4 prunes only
+    the first slice; NULL ts drops; validation is loud."""
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.profile import range_layout_audit
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = [Row(ts=base + datetime.timedelta(hours=h)) for h in range(6)]
+    rows.append(Row(ts=None))
+    out = range_layout_audit(
+        spark.createDataFrame(rows), "ts", n_ranges=3,
+        probe_lo="2024-06-01 02:00:00", probe_hi="2024-06-01 04:00:01",
+    ).collect()
+    assert [r.range_id for r in out] == [0, 1, 2]
+    assert [r.n_rows for r in out] == [2, 2, 2]
+    # slice 0 = hours 0-1 (entirely before the probe) -> pruned;
+    # slices 1 (hours 2-3) and 2 (hours 4-5) overlap the probe
+    assert [r.pruned for r in out] == [True, False, False]
+    with _pytest.raises(ValueError, match="n_ranges"):
+        range_layout_audit(spark.createDataFrame(rows), "ts", n_ranges=0,
+                           probe_lo="2024-06-01", probe_hi="2024-06-02")
+    with _pytest.raises(ValueError, match="probe"):
+        range_layout_audit(spark.createDataFrame(rows), "ts")
