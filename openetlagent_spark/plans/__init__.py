@@ -11,71 +11,54 @@ HARNESS_QUERIES.update(TPCH_MORE_QUERIES)
 HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# ``queries()`` per round.  Cumulative driver-hash coverage reached
-# 193/193 in round 8, so round 9's rotation is pure staleness
-# refresh: after r08's front cleared everything hashed before r03,
-# the oldest remaining rows are the 5 r03-hashed set/window ops, the
-# 38 r04-hashed rows, and the r05 block.  This round-9 ordering
-# (committed as the FIRST action of the round, per the standing
-# rotation discipline):
-# (a) all 5 r03-hashed rows (explode_tokens, set_except,
-#     set_intersect, topk_per_group, window_moving_avg — displaced
-#     from r08's front by that round's second-session additions);
-# (b) 23 of the 38 r04-hashed rows — every one except tpch_q1
-#     (implementing files UNCHANGED since its last driver hash;
-#     staleness: 'current'), dataset_split, exact_distinct, and the
-#     twelve repeatedly-green re-checks cube / tpch_q12 / tpch_q18 /
-#     unicode_nfc / stats_skew / value_histogram / vocab_oov /
-#     text_scrub / stats_moments / quantile_bins / robust_scale /
-#     diversity_sample (displaced by the mining + smoothing +
-#     community + mixture + embedding-prep + layout-audit waves; all
-#     FIFTEEN rotate back in r10);
-# (c) the round-9 additions (22): image_decode, sql_join,
-#     ann_store_append, pq_codebooks, ann_pq, ohlc_bars,
-#     triangle_count, knn_label, dataset_drift, collocations,
-#     association_rules, markov_transitions, changepoint, skyline,
-#     ewma, rolling_median, label_propagation, temperature_mixture,
-#     kcore, skipgram_pairs, negative_sampling, layout_audit — each
-#     swapped in (displacing the original 7 r05 backfill slots, then
-#     the fifteen re-checks above) only after a local driver-strength
-#     exact check, keeping never-driver-checked count at zero; the
-#     complete final front-50 re-verified green after the last swap.
-# Every carried-over name passed the full exact-mode sweep run in the
-# r08 judge session and again in this round's full sweeps; the
-# additions passed on landing.  Local `scripts/check_oracle.py` runs
-# the full set regardless of order.
-_ROUND9_FRONT = [
-    # oldest driver hash: r03 (5)
-    "explode_tokens", "set_except", "set_intersect", "topk_per_group",
-    "window_moving_avg",
-    # r03-hashed wave 2 / r04 rows (23 — see (b) above),
-    # clearing every CHANGED query whose latest driver row predates r05
-    "bigram_lm", "bpe_pairs", "chunk_docs", "cohort_retention",
-    "compacted_layout", "cooccurrence_pairs",
-    "curation_pipeline", "dataset_mixture",
-    "dedup_clusters", "dedup_simhash", "dedup_substring",
-    "doc_lm_score", "fuzzy_join",
-    "kmeans_clusters", "merge_changes", "outlier_flags",
-    "profile_table", "running_totals",
-    "scd2_history", "sessionize",
-    "stratified_sample", "tfidf_topk",
-    "window_distinct_users",
-    # round-9 additions (22) — each swapped in after a local
-    # driver-strength exact check; see (c) above for the displacement
-    # accounting (the mining + smoothing + community waves displaced
-    # the cube / tpch_q12 / tpch_q18 / unicode_nfc / stats_skew /
-    # value_histogram / vocab_oov / text_scrub / stats_moments /
-    # quantile_bins / robust_scale / diversity_sample re-checks —
-    # lowest-risk rows whose full exact sweeps stayed green all
-    # round; all fifteen displaced rows rotate back in r10)
-    "image_decode", "sql_join", "ann_store_append",
-    "pq_codebooks", "ann_pq",
-    "ohlc_bars", "triangle_count", "knn_label", "dataset_drift",
-    "collocations",
-    "association_rules", "markov_transitions", "changepoint", "skyline",
-    "ewma", "rolling_median", "label_propagation",
-    "temperature_mixture", "kcore",
-    "skipgram_pairs", "negative_sampling", "layout_audit",
+# ``queries()`` per round.  Cumulative driver-hash coverage has been
+# complete since r08, so round 10's rotation is pure staleness
+# refresh.  After r09's front cleared every r03 row and most r04
+# rows, the oldest remaining driver hashes are the 15 r04 rows
+# displaced by round-9's additions and the 50-row r05 block
+# (`scripts/staleness.py`).  This round-10 ordering (committed as the
+# FIRST action of the round, per the standing rotation discipline):
+# (a) ALL 15 r04-hashed rows (the VERDICT r09-named block: tpch_q1,
+#     dataset_split, exact_distinct, cube, tpch_q12, tpch_q18,
+#     unicode_nfc, stats_skew, value_histogram, vocab_oov,
+#     text_scrub, plus stats_moments, quantile_bins, robust_scale,
+#     diversity_sample) — clears every driver row older than r05;
+# (b) 35 of the 50 r05-hashed rows, the 7 original backfill rows
+#     (bind_salted, window_range_frame, window_distribution, funnel,
+#     event_paths, top_p_sources, tpch_q8) first, then 28 more,
+#     trailing with the lowest-risk rows (repeatedly green in every
+#     full sweep) as the swap-out candidates for round-10 additions.
+# Deferred to r11 (15 r05 rows that did not fit): tpch_q9 / q11 /
+# q13 / q15 / q16 / q17 / q20 / q21, sorted_layout,
+# partitioned_layout, zorder_layout, quantile_filter, events_sliding,
+# trending_topk, training_shards — all pure-SQL / layout rows whose
+# full exact sweeps have stayed green since r05.
+# Queries ADDED during round 10 swap into the trailing slots
+# (newest-first) once each passes a local driver-strength exact
+# check, keeping never-driver-checked count at zero.
+# Every name below passed the full 215-query exact-mode sweep run in
+# the r09 judge session.  Local `scripts/check_oracle.py` runs the
+# full set regardless of order.
+_ROUND10_FRONT = [
+    # oldest driver hash: r04 (15) — all of them
+    "tpch_q1", "dataset_split", "exact_distinct", "cube", "tpch_q12",
+    "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
+    "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
+    "robust_scale", "diversity_sample",
+    # r05 rows (35) — the 7 original backfill rows first
+    "bind_salted", "window_range_frame", "window_distribution",
+    "funnel", "event_paths", "top_p_sources", "tpch_q8",
+    # then the dedup / curation / text / embedding r05 block
+    "asof_tolerance", "bm25_topk", "bpe_encode", "bpe_train",
+    "ccnet_buckets", "contamination", "curriculum_order",
+    "dedup_embedding", "dedup_keep_best", "dedup_minhash",
+    "dedup_ngram", "dedup_store", "embedding_centroids",
+    "embedding_stats", "global_shuffle", "incremental_dedup",
+    "incremental_neardup", "inverted_index", "line_dedup",
+    "near_contamination", "neardup_store", "pack_sequences",
+    "semantic_dedup", "skew_report", "stats_corr", "stream_sink",
+    # trailing swap-out candidates for round-10 additions
+    "tokenize_ids", "gopher_rules",
 ]
 
 
@@ -96,7 +79,7 @@ def _reorder(front: list[str], mapping: dict) -> dict:
     return {**head, **tail}
 
 
-_reordered = _reorder(_ROUND9_FRONT, HARNESS_QUERIES)
+_reordered = _reorder(_ROUND10_FRONT, HARNESS_QUERIES)
 HARNESS_QUERIES.clear()
 HARNESS_QUERIES.update(_reordered)
 
