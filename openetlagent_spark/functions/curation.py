@@ -885,6 +885,95 @@ def _two_phase_global_rank(
     ).drop("_x_pid")
 
 
+def two_phase_group_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_cols: list[Column],
+    rank_column: str,
+    count_column: str | None = None,
+) -> DataFrame:
+    """Exact 1-based rank WITHIN each group by ``sort_cols`` — the
+    grouped sibling of :func:`_two_phase_global_rank`, for when the
+    grouping key has BOUNDED cardinality far below the partition count
+    (3-value flags, sources, shards).  A plain
+    ``Window.partitionBy(group)`` there is the classic skew trap: each
+    window partition is a corpus-sized single-task sort.  Instead:
+
+    1. range-repartition on (group_cols ++ sort_cols) — range splits
+       respect the group-major order, so each group occupies a
+       contiguous pid range and every partition sorts locally in
+       parallel;
+    2. per-(pid, group) row counts collect to the driver (bounded by
+       partitions × groups BIGINTs) and fold, in pid order within each
+       group, into exclusive base offsets;
+    3. a (pid, group)-partitioned window ranks locally; local rank +
+       broadcast base = exact within-group rank.
+
+    ``count_column`` optionally also emits the group's total row count
+    (summed from the same driver-side counts — no second pass), which
+    rank-based discretizers (NTILE semantics) need.
+
+    Range bounds come from sampling and may vary run to run — ranks do
+    NOT (offsets fold actual counts).  The repartitioned frame is
+    eagerly localCheckpoint-ed with require_truncation: phase 3 joins
+    driver-collected bases, so the sampled exchange must never re-run.
+    NULL group values take the '' map key (groups whose string forms
+    collide would share ranks — callers with NULLable groups must
+    pre-coalesce distinctly)."""
+    gcols = [F.col(g) for g in group_cols]
+    gkey = F.concat_ws(
+        "\x1f", *[F.coalesce(g.cast("string"), F.lit("")) for g in gcols]
+    )
+    parts = (
+        df.repartitionByRange(*gcols, *sort_cols)
+        .withColumn("_x_pid", F.spark_partition_id())
+        .withColumn("_x_gkey", gkey)
+        .transform(materialize, True, True)
+    )
+    psums = (
+        parts.groupBy("_x_pid", "_x_gkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    bases: dict[tuple[int, str], int] = {}
+    totals: dict[str, int] = {}
+    for row in sorted(psums, key=lambda r: (r["_x_gkey"], r["_x_pid"])):
+        bases[(row["_x_pid"], row["_x_gkey"])] = totals.get(row["_x_gkey"], 0)
+        totals[row["_x_gkey"]] = totals.get(row["_x_gkey"], 0) + row["n"]
+    base_map = (
+        F.create_map(
+            *[
+                x
+                for (pid, gk), base in sorted(bases.items())
+                for x in (F.lit(f"{pid}\x1f{gk}"), F.lit(base))
+            ]
+        )
+        if bases
+        else F.create_map()
+    )
+    local = Window.partitionBy("_x_pid", "_x_gkey").orderBy(*sort_cols)
+    out = parts.withColumn(
+        rank_column,
+        (
+            F.element_at(
+                base_map,
+                F.concat_ws("\x1f", F.col("_x_pid").cast("string"), F.col("_x_gkey")),
+            )
+            + F.row_number().over(local)
+        ).cast("long"),
+    )
+    if count_column is not None:
+        total_map = (
+            F.create_map(
+                *[x for gk, n in sorted(totals.items()) for x in (F.lit(gk), F.lit(n))]
+            )
+            if totals
+            else F.create_map()
+        )
+        out = out.withColumn(
+            count_column, F.element_at(total_map, F.col("_x_gkey")).cast("long")
+        )
+    return out.drop("_x_pid", "_x_gkey")
+
+
 def curriculum_order(
     df: DataFrame,
     score_col: str,

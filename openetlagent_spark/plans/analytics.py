@@ -896,22 +896,50 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based discretization: NTILE(10) decile buckets of
     l_extendedprice within each return flag, on the fully-determined
     order (value, orderkey, linenumber) so bucket assignment is
-    engine-exact (NTILE's ceil-division split is SQL-standard on both
-    engines).  One sort shuffle per group — exact rank binning
-    inherently sorts; the sketch alternative for truly global bins at
-    100 TB is approx_percentile range bucketing (value_histogram
-    pins that path)."""
+    engine-exact.
+
+    NOT ``F.ntile`` over ``Window.partitionBy(l_returnflag)``: the flag
+    has 3 values, so each window partition would be a third of the
+    corpus sorted on ONE task — the bounded-cardinality skew trap.
+    Instead the within-group rank comes from
+    :func:`~..functions.curation.two_phase_group_rank` (range exchange
+    on (flag, value, tiebreaks) → every partition sorts locally in
+    parallel; per-(pid, flag) counts fold driver-side into exclusive
+    base offsets), and NTILE's SQL-standard ceil-division split is
+    re-derived from (rank, group count) in pure integer math:
+
+        q = n DIV 10, rem = n MOD 10
+        rank ≤ rem·(q+1)  →  decile = (rank-1) DIV (q+1) + 1
+        else              →  decile = rem + (rank - rem·(q+1) - 1) DIV q + 1
+
+    (first ``rem`` buckets hold ⌈n/10⌉ rows, the rest ⌊n/10⌋ — exactly
+    NTILE, so the oracle keeps the plain-window formulation).  All
+    integer ops — bit-exact on both engines.  tests/test_plan_shapes.py
+    pins the range exchange (no 3-value hashpartitioning sort)."""
+    from ..functions.curation import two_phase_group_rank
+
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ranked = two_phase_group_rank(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "_x_rnk",
+        count_column="_x_n",
     )
-    return li.select(
+    # integer DIV spelled as expr so no float division sneaks in
+    decile = F.expr(
+        "CAST(CASE WHEN _x_rnk <= (_x_n % 10) * ((_x_n DIV 10) + 1) "
+        "THEN (_x_rnk - 1) DIV ((_x_n DIV 10) + 1) + 1 "
+        "ELSE (_x_n % 10) + (_x_rnk - (_x_n % 10) * ((_x_n DIV 10) + 1) - 1) "
+        "DIV (_x_n DIV 10) + 1 END AS INTEGER)"
+    )
+    return ranked.select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        F.ntile(10).over(w).alias("decile"),
+        decile.alias("decile"),
     )
 
 

@@ -700,3 +700,46 @@ def test_weighted_sample_validation_and_flow_op(spark):
             "operation_type": "weighted_sample", "group_columns": ["grp"],
             "key_column": "id", "weight_column": "w",
         })
+
+
+# --- two_phase_group_rank (round 10) -----------------------------------------
+
+
+def test_two_phase_group_rank_matches_single_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.curation import two_phase_group_rank
+
+    rows = [(i, ["A", "N", "R"][i % 3], (i * 37) % 101) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, flag string, v long")
+    got = {
+        r["id"]: (r["rnk"], r["n"])
+        for r in two_phase_group_rank(
+            df, ["flag"], [F.col("v"), F.col("id")], "rnk", count_column="n"
+        ).collect()
+    }
+    w = Window.partitionBy("flag").orderBy("v", "id")
+    ref = df.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("flag"))
+    )
+    want = {r["id"]: (r["rnk"], r["n"]) for r in ref.collect()}
+    assert got == want
+
+
+def test_two_phase_group_rank_partitioning_independent(spark):
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.curation import two_phase_group_rank
+
+    rows = [(i, "g" + str(i % 2), (i * 13) % 53) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    a = sorted(
+        two_phase_group_rank(df, ["g"], [F.col("v"), F.col("id")], "rnk").collect()
+    )
+    b = sorted(
+        two_phase_group_rank(
+            df.repartition(7), ["g"], [F.col("v"), F.col("id")], "rnk"
+        ).collect()
+    )
+    assert a == b

@@ -205,7 +205,7 @@ def test_incremental_dedup_broadcasts_both_sides(spark):
         ("fuzzy_join", 2),            # block-key gather (+ scan rebalance)
         ("bigram_lm", 3),             # bigram count + per-w1 window + TakeOrdered
         ("robust_scale", 1),          # percentile stats agg; join-back broadcasts
-        ("quantile_bins", 1),         # one per-group sort
+        ("quantile_bins", 1),         # pid-local rank window (range exchange is pre-boundary)
         ("cooccurrence_pairs", 4),    # distinct + per-user sets + pair counts
         ("window_distinct_users", 2), # day agg + distinct expand
         ("cohort_retention", 3),      # first-week agg + join + retained counts
@@ -906,3 +906,22 @@ def test_layout_audit_is_metadata_scale(spark):
     assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
     assert "SortMergeJoin" not in physical
     assert count_shuffles(plan) <= 2  # slice count + final order-by
+
+
+# --- round 10 ----------------------------------------------------------------
+
+
+def test_quantile_bins_rank_avoids_group_key_sort(spark):
+    """quantile_bins must never sort the corpus through a window
+    partitioned on the 3-value return flag (one task would own a third
+    of the data).  The two-phase rewrite ranks inside range partitions:
+    the only window partition key is the synthetic pid (balanced by the
+    range exchange), and the visible plan carries no l_returnflag
+    hash exchange or ntile at all."""
+    plan = plan_of(spark, "quantile_bins")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "ntile" not in physical.lower()
+    assert not re.search(r"hashpartitioning\(l_returnflag", physical)
+    assert re.search(r"hashpartitioning\(_x_pid", physical), physical[:2000]
+    # the range exchange runs inside the materialize boundary
+    assert "ExistingRDD" in physical
