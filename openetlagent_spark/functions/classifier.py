@@ -148,8 +148,12 @@ def save_classifier_weights(weights: list[float], path: str, *, spark=None) -> N
         return
     if spark is None:
         raise ValueError("save_classifier_weights: parquet artifacts need spark")
+    from ..session import local_df
+
     rows = [(i, float(v)) for i, v in enumerate(weights)]
-    spark.createDataFrame(rows, "bucket int, weight double").coalesce(1).write.mode(
+    # one slice, one worker — not createDataFrame().coalesce(1) (the
+    # tiny-layer sequential-slice storm, see session.local_df)
+    local_df(spark, rows, "bucket int, weight double").write.mode(
         "overwrite"
     ).parquet(path)
 

@@ -38,8 +38,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df
 from .similarity import (
     _array_literal,
+    _write_cid_partitioned,
     infer_dim,
     nearest_centroid_ids,
     norm_expr,
@@ -208,21 +210,29 @@ def build_pq_store(
         )
     _check_shapes()  # fitted constants obey the same contract
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(i, list(c)) for i, c in enumerate(centroids)], "cid int, cen array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    # local_df, not createDataFrame().coalesce(1): the default local
+    # parallelization splits 16 rows into 32 Python-RDD slices and
+    # coalesce computes them sequentially in one task — ~7s per tiny
+    # layer, ×3 layers per build (the r09 "index-build job storm")
+    local_df(
+        spark,
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "cid int, cen array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    local_df(
+        spark,
         [(int(scale_bits), int(n_centroids), int(m), int(k_codes))],
         "scale_bits int, n_centroids int, m int, k_codes int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    local_df(
+        spark,
         [
             (s, k, list(map(float, cw)))
             for s, book in enumerate(codebooks)
             for k, cw in enumerate(book)
         ],
         "sub int, code int, cw array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     cents_lit = _array_literal(centroids)
     # ONE corpus pass: write the refine layer (id, cv, cid) first, then
     # derive the codes layer FROM it — the second pass reads the
@@ -239,22 +249,21 @@ def build_pq_store(
         .withColumn("cid", nearest_centroid_ids(F.col("xq"), cents_lit, 1)[0])
         .drop("xq")
     )
-    base.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/refine")
+    _write_cid_partitioned(base, f"{path}/refine", "overwrite")
     # explicit schema: an all-NULL-vector corpus writes zero data
     # files, and a schema-less read would fail with an unrelated
     # inference error instead of building an (empty) store
     refine = spark.read.schema(base.schema).parquet(f"{path}/refine")
-    (
+    _write_cid_partitioned(
         refine.select(
             "neighbor_id",
             pq_codes_expr(
                 _quantize(F.col("cv"), scale_bits), codebooks
             ).alias("codes"),
             "cid",
-        )
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{path}/lists")
+        ),
+        f"{path}/lists",
+        "overwrite",
     )
 
 

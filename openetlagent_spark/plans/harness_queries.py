@@ -1377,9 +1377,9 @@ def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in range(16)
         for j in range(8)
     ]
-    return spark.createDataFrame(
-        rows, "sub int, code int, dim_pos int, coord double"
-    )
+    from ..session import local_df
+
+    return local_df(spark, rows, "sub int, code int, dim_pos int, coord double")
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

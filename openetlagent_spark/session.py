@@ -123,6 +123,26 @@ def materialize(df, eager: bool = True, require_truncation: bool = False):
     )
 
 
+def local_df(spark: SparkSession, rows: list, schema: str):
+    """Build a DataFrame from a SMALL driver-local list as ONE
+    partition.
+
+    ``spark.createDataFrame(rows)`` parallelizes local data into
+    ``defaultParallelism`` Python-RDD slices (32 here) even for a
+    16-row table; a subsequent ``coalesce(1)`` (the natural move before
+    writing a single-file store layer) then computes all 32 slices
+    SEQUENTIALLY in one task — each slice a Python-worker round trip.
+    Measured on this box: 7s to write 16 rows via
+    ``createDataFrame(..).coalesce(1)``, 0.4s via this helper (one
+    slice, one worker, no shuffle).  Store builders write 2–3 such
+    layers per index, so the storm multiplies.
+
+    Only for BOUNDED driver-side state (meta rows, centroid tables,
+    collected model weights): one partition is the point, not a
+    limitation."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def free_local_checkpoints(spark: SparkSession) -> int:
     """Deterministically release every ``localCheckpoint`` block held
     by the session; returns the number of RDDs unpersisted.
