@@ -7,10 +7,11 @@ The DECODE step comes in two flavors (clearly marked):
   batching, partitioning, UDF signatures) can be exercised without any
   pixel semantics.
 - ``decoder="real"`` (the production path): REAL pixel decode.  The
-  built-in pure-Python codecs handle the uncompressed formats — BMP
-  (24/32-bit BI_RGB) and PNM (P5 grayscale / P6 RGB) — with no
-  dependency at all; payloads in any other format (PNG, JPEG, …) fall
-  back to Pillow when it is importable.  Decode is TOTAL either way:
+  built-in pure-Python codecs handle BMP (24/32-bit BI_RGB), PNM (P5
+  grayscale / P6 RGB), and PNG (8-bit non-interlaced, all color types
+  and row filters, via stdlib zlib) — no dependency at all; payloads
+  in any other format (JPEG, …) fall back to Pillow when it is
+  importable.  Decode is TOTAL either way:
   corrupt, truncated, or unsupported-without-Pillow payloads yield the
   zero feature vector instead of failing the task — at 100 TB one bad
   crawl byte must never abort the job.  Frame sampling would need
@@ -225,16 +226,170 @@ def _decode_pnm(payload: bytes) -> np.ndarray | None:
         return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_gray_png(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → PNG (color type 0, bit depth 8,
+    non-interlaced, filter 0 on every row), IDAT as STORED zlib blocks.
+
+    Stored blocks make the encoding a pure function of the raster with
+    a CLOSED-FORM byte length — ``raw = h·(w+1)`` filter-prefixed
+    bytes, ``zlib = 2 + 5·⌈raw/65535⌉ + raw + 4``, total = 8 (sig) +
+    25 (IHDR) + 12 + zlib (IDAT) + 12 (IEND) — so SQL oracles can
+    derive ``n_bytes`` without modeling a compressor, while the file
+    stays a fully standard PNG any decoder reads.  Empty input → b''
+    (no media)."""
+    import struct
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError(f"encode_gray_png expects (h, w), got shape {arr.shape}")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        return b""
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    body = bytearray(b"\x78\x01")  # 32K window, fastest — ignored for stored
+    for off in range(0, len(raw), 65535):
+        block = raw[off : off + 65535]
+        final = 1 if off + 65535 >= len(raw) else 0
+        body += (
+            bytes([final])
+            + len(block).to_bytes(2, "little")
+            + (len(block) ^ 0xFFFF).to_bytes(2, "little")
+            + block
+        )
+    body += zlib.adler32(raw).to_bytes(4, "big")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bytes(body)) + chunk(b"IEND", b"")
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    """PNG → (h, w) uint8 grayscale via stdlib zlib, or None if not a
+    decodable PNG.  Covers the dominant web format in-sandbox: 8-bit
+    depth, non-interlaced, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), ALL five row filters (None/Sub/Up/
+    Average/Paeth).  16-bit depth and Adam7 interlacing return None
+    (Pillow fallback when importable).  Color converts through the
+    same ITU-R 601-2 integer luma as the BMP/PNM codecs; alpha is
+    ignored (features describe the raster, not compositing).  Sub/
+    Average/Paeth rows unfilter sequentially per byte — inherent to
+    the filter recurrence; our own encoder emits filter 0 rows, which
+    stay fully vectorized."""
+    import zlib
+
+    try:
+        if not payload.startswith(_PNG_SIG):
+            return None
+        ihdr: bytes | None = None
+        plte: bytes | None = None
+        idat: list[bytes] = []
+        i, n = 8, len(payload)
+        while i + 8 <= n:
+            ln = int.from_bytes(payload[i : i + 4], "big")
+            typ = payload[i + 4 : i + 8]
+            if i + 12 + ln > n:
+                return None  # truncated chunk
+            data = payload[i + 8 : i + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = data
+            elif typ == b"PLTE":
+                plte = data
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            i += 12 + ln
+        if ihdr is None or len(ihdr) != 13 or not idat:
+            return None
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        depth, ctype, comp, filt, interlace = ihdr[8:13]
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if nch is None or w <= 0 or h <= 0:
+            return None
+        if ctype == 3 and (plte is None or len(plte) == 0 or len(plte) % 3):
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * nch
+        if len(raw) != h * (1 + stride):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int64)
+        pos = 0
+        for y in range(h):
+            ftype = raw[pos]
+            pos += 1
+            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+                np.int64
+            )
+            pos += stride
+            if ftype == 0:
+                cur = line
+            elif ftype == 2:  # Up — vectorizes (depends only on prev row)
+                cur = (line + prev) % 256
+            elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential
+                cur = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = int(cur[x - nch]) if x >= nch else 0
+                    b = int(prev[x])
+                    if ftype == 1:
+                        pred = a
+                    elif ftype == 3:
+                        pred = (a + b) // 2
+                    else:
+                        c = int(prev[x - nch]) if x >= nch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) % 256
+            else:
+                return None
+            out[y] = cur.astype(np.uint8)
+            prev = cur
+        if ctype == 0:
+            return out.copy()
+        if ctype == 4:
+            return out.reshape(h, w, 2)[:, :, 0].copy()
+        if ctype == 3:
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+            idx = out
+            if int(idx.max(initial=0)) >= len(pal):
+                return None
+            rgb = pal[idx]
+        else:
+            rgb = out.reshape(h, w, nch)[:, :, :3].astype(np.int64)
+        return (
+            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+        ).astype(np.uint8)
+    except Exception:
+        return None
+
+
 def decode_image_builtin(payload: bytes | None) -> np.ndarray | None:
-    """Dependency-free image decode: BMP or PNM by magic bytes → (h, w)
-    uint8 grayscale; None for anything else (compressed formats go to
-    the Pillow fallback)."""
+    """Dependency-free image decode: BMP, PNM, or PNG by magic bytes →
+    (h, w) uint8 grayscale; None for anything else (JPEG and other
+    formats go to the Pillow fallback)."""
     if not payload:
         return None
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     return None
 
 
@@ -301,9 +456,9 @@ def extract_image_features(
     """Binary payload → fixed-dim feature vector, one mapInPandas stage.
 
     Batches stream through Arrow; nothing is collected.  The 'real'
-    decoder runs the built-in BMP/PNM codecs (pure Python, always
-    available) with Pillow as the optional fallback for compressed
-    formats; it shares every line of Spark plumbing with the fake one.
+    decoder runs the built-in BMP/PNM/PNG codecs (pure Python, always
+    available) with Pillow as the optional fallback for other
+    compressed formats (JPEG, …); it shares every line of Spark plumbing with the fake one.
     ``n_pixels`` is the decoded pixel count (real) or the payload byte
     count (fake — each byte IS the 'pixel' the stub histograms); 0 for
     undecodable payloads, so ``feature != zeros ⇔ n_pixels > 0``.
@@ -311,7 +466,7 @@ def extract_image_features(
     ``strict=True`` turns an undecodable NON-EMPTY payload into a loud
     task error instead of a zero vector — the per-payload totality
     default is right for dirty crawl data, but it also masks a
-    whole-environment misconfiguration (a PNG corpus in a container
+    whole-environment misconfiguration (a JPEG corpus in a container
     whose executors lack Pillow would silently featurize to 100%
     zeros); pipelines over trusted formats should run strict."""
     if strict and decoder != "real":
@@ -331,7 +486,7 @@ def extract_image_features(
                     raise ValueError(
                         f"extract_image_features(strict=True): undecodable "
                         f"{len(b)}-byte payload (magic {b[:4]!r}); built-in "
-                        "codecs cover BMP/PNM, Pillow "
+                        "codecs cover BMP/PNM/PNG, Pillow "
                         + ("is importable" if Image else "is NOT importable")
                         + " on this executor"
                     )
@@ -523,14 +678,23 @@ def synthesize_media_bmp(
     text_col: str = "text",
     id_col: str = "doc_id",
     width: int = 32,
+    codec: Literal["bmp", "png", "alternate"] = "bmp",
 ) -> DataFrame:
     """Build a REAL-pixel media table from any text table: each doc's
-    utf-8 bytes become the grayscale raster of a 24-bit BMP, ``width``
-    pixels per row, final row zero-padded.  decode(encode(text)) is an
-    exact round-trip through the built-in codec, so real-decoder
-    pipelines get pixel-true payloads with byte-derivable oracles (the
-    pixel stream IS text-bytes + pad zeros).  Empty/NULL text → empty
+    utf-8 bytes become the grayscale raster of a 24-bit BMP (or an
+    8-bit grayscale PNG), ``width`` pixels per row, final row
+    zero-padded.  decode(encode(text)) is an exact round-trip through
+    the built-in codecs, so real-decoder pipelines get pixel-true
+    payloads with byte-derivable oracles (the pixel stream IS
+    text-bytes + pad zeros; the PNG encoder's stored-block zlib keeps
+    even its byte LENGTH closed-form).  ``codec='alternate'`` encodes
+    even ids as BMP and odd ids as PNG — a mixed-format corpus on one
+    table, the shape real crawls have.  Empty/NULL text → empty
     payload (no media).  One mapInPandas pass, no shuffle."""
+    if codec not in ("bmp", "png", "alternate"):
+        raise ValueError(
+            f"synthesize_media_bmp: unknown codec {codec!r} (bmp|png|alternate)"
+        )
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -544,24 +708,29 @@ def synthesize_media_bmp(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads, heights = [], []
-            for text in pdf[text_col]:
+            payloads, heights, mimes = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                use_png = codec == "png" or (codec == "alternate" and int(mid) % 2 == 1)
                 data = (text or "").encode("utf-8")
                 rows = (len(data) + width - 1) // width
                 if rows == 0:
                     payloads.append(b"")
                     heights.append(0)
+                    mimes.append("image/png" if use_png else "image/bmp")
                     continue
                 arr = np.frombuffer(
                     data.ljust(rows * width, b"\0"), dtype=np.uint8
                 ).reshape(rows, width)
-                payloads.append(encode_gray_bmp(arr))
+                payloads.append(
+                    encode_gray_png(arr) if use_png else encode_gray_bmp(arr)
+                )
                 heights.append(rows)
+                mimes.append("image/png" if use_png else "image/bmp")
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
                     "payload": payloads,
-                    "mime": "image/bmp",
+                    "mime": mimes,
                     "width": np.int32(width),
                     "height": pd.Series(heights, dtype="int32"),
                     "duration_ms": np.int64(0),
@@ -572,7 +741,11 @@ def synthesize_media_bmp(
 
 
 def image_features_bmp_oracle_sql(
-    doc_pred: str = "TRUE", dim: int = 16, table: str = "documents", width: int = 32
+    doc_pred: str = "TRUE",
+    dim: int = 16,
+    table: str = "documents",
+    width: int = 32,
+    codec: Literal["bmp", "png", "alternate"] = "bmp",
 ) -> str:
     """DuckDB mirror of ``synthesize_media_bmp → extract_image_features
     (decoder='real')`` as a parenthesized subquery yielding
@@ -584,9 +757,35 @@ def image_features_bmp_oracle_sql(
     is the identity), so bin b counts chars with ``ascii // (256/dim)
     = b`` — plus the pad count in bin 0 — over ``n_pixels = rows·width``
     real pixels.  ``n_bytes`` is the encoded BMP size: 54-byte header +
-    rows · stride, stride = width·3 rounded up to 4."""
+    rows · stride, stride = width·3 rounded up to 4.
+
+    ``codec`` mirrors :func:`synthesize_media_bmp`'s: PNG payloads
+    (encode_gray_png's stored-block zlib) have the closed-form size
+    ``63 + 5·⌈raw/65535⌉ + raw`` with ``raw = rows·(width+1)``, so the
+    mixed-format ``alternate`` corpus (odd ids PNG, even BMP) stays
+    fully SQL-derivable — bins and n_pixels are codec-independent (both
+    encoders carry the identical raster)."""
     bin_width = 256 // dim
     stride = (width * 3 + 3) & ~3
+    bmp_bytes = f"54 + d.rows_ * {stride}"
+    png_raw = f"d.rows_ * {width + 1}"
+    png_bytes = f"63 + 5 * CAST(CEIL(({png_raw}) / 65535.0) AS BIGINT) + {png_raw}"
+    if codec == "bmp":
+        mime = "'image/bmp'"
+        nbytes = bmp_bytes
+    elif codec == "png":
+        mime = "'image/png'"
+        nbytes = png_bytes
+    elif codec == "alternate":
+        mime = "CASE WHEN doc_id % 2 = 1 THEN 'image/png' ELSE 'image/bmp' END"
+        nbytes = (
+            f"CASE WHEN d.media_id % 2 = 1 THEN {png_bytes} ELSE {bmp_bytes} END"
+        )
+    else:
+        raise ValueError(
+            f"image_features_bmp_oracle_sql: unknown codec {codec!r} "
+            "(bmp|png|alternate)"
+        )
     bins = ", ".join(
         f"SUM(CASE WHEN ascii(ch) // {bin_width} = {b} THEN 1 ELSE 0 END) AS c{b}"
         for b in range(dim)
@@ -602,14 +801,14 @@ def image_features_bmp_oracle_sql(
     feature = "[" + ", ".join(terms) + "]"
     return (
         f"(WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
-        f"'image/bmp' AS mime, COALESCE(length(text), 0) AS len, "
+        f"{mime} AS mime, COALESCE(length(text), 0) AS len, "
         f"CAST(CEIL(COALESCE(length(text), 0) / {width}.0) AS BIGINT) AS rows_, "
         f"text FROM {table} WHERE {doc_pred}), "
         f"chars AS (SELECT media_id, unnest(string_split_regex(text, '')) AS ch "
         f"FROM d WHERE len > 0), "
         f"cnt AS (SELECT media_id, {bins} FROM chars GROUP BY media_id) "
         f"SELECT d.media_id, d.mime, "
-        f"CASE WHEN d.len > 0 THEN 54 + d.rows_ * {stride} ELSE 0 END AS n_bytes, "
+        f"CASE WHEN d.len > 0 THEN {nbytes} ELSE 0 END AS n_bytes, "
         f"CASE WHEN d.len > 0 THEN d.rows_ * {width} ELSE 0 END AS n_pixels, "
         f"{feature} AS feature FROM d LEFT JOIN cnt c USING (media_id))"
     )

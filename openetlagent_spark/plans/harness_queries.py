@@ -1669,10 +1669,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end, no imaging library: documents →
-    BMP media (synthesize_media_bmp — each doc's utf-8 bytes become a
-    real 24-bit raster) → extract_image_features(decoder='real'),
-    which decodes the pixels back through the built-in pure-Python BMP
-    codec and histograms the decoded intensities.  The output
+    MIXED-FORMAT media (synthesize_media_bmp(codec='alternate') — each
+    doc's utf-8 bytes become a real raster, even ids as 24-bit BMP,
+    odd ids as zlib-compressed 8-bit PNG) →
+    extract_image_features(decoder='real'), which decodes the pixels
+    back through the built-in pure-Python BMP/PNG codecs (stdlib zlib
+    inflate for PNG — no Pillow anywhere) and histograms the decoded
+    intensities.  The output
     re-integerizes the per-bin mass (round(f_b · n_pixels) — exact for
     float32 at these magnitudes) so the driver hash checks the actual
     pixel counts: n_bytes is the ENCODED size (54-byte header +
@@ -1681,7 +1684,9 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     none of which the payload-free fake path could produce."""
     from ..functions.multimodal import extract_image_features, synthesize_media_bmp
 
-    media = synthesize_media_bmp(_ts(spark, sf_dir, "documents"))
+    media = synthesize_media_bmp(
+        _ts(spark, sf_dir, "documents"), codec="alternate"
+    )
     feats = extract_image_features(media, dim=16, decoder="real")
     return feats.select(
         "media_id",
@@ -4173,7 +4178,7 @@ _IMG_DECODE_HIST = " || ',' || ".join(
 )
 HARNESS_ORACLES["image_decode"] = (
     f"SELECT media_id, mime, n_bytes, n_pixels, {_IMG_DECODE_HIST} AS hist "
-    f"FROM {_image_features_bmp_oracle_sql('TRUE', dim=16)} sq"
+    f"FROM {_image_features_bmp_oracle_sql('TRUE', dim=16, codec='alternate')} sq"
 )
 _IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)
 HARNESS_ORACLES["image_neardup"] = _keep_best_oracle_sql(

@@ -1048,3 +1048,206 @@ def test_strict_requires_real_decoder(spark):
         extract_image_features(media, strict=True)
     with pytest.raises(ValueError, match="requires decoder='real'"):
         resize_images(media, strict=True)
+
+
+# --- PNG codec (round 10) ----------------------------------------------------
+
+
+def _png_luma(rgb):
+    import numpy as np
+
+    r = rgb[:, :, 0].astype(np.int64)
+    g = rgb[:, :, 1].astype(np.int64)
+    b = rgb[:, :, 2].astype(np.int64)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def _png_chunk(typ, data):
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + zlib.crc32(typ + data).to_bytes(4, "big")
+    )
+
+
+def test_png_gray_roundtrip_and_closed_form_length():
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import _decode_png, encode_gray_png
+
+    rng = np.random.RandomState(0)
+    for h, w in [(1, 1), (3, 5), (17, 32), (100, 7), (300, 300)]:
+        arr = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        p = encode_gray_png(arr)
+        back = _decode_png(p)
+        assert back is not None and (back == arr).all(), (h, w)
+        raw = h * (w + 1)
+        nblocks = (raw + 65534) // 65535
+        # the SQL-oracle closed form: stored-block zlib, fixed chunking
+        assert len(p) == 63 + 5 * nblocks + raw, (h, w)
+    assert encode_gray_png(np.zeros((0, 4), dtype=np.uint8)) == b""
+
+
+def test_png_all_filters_rgb():
+    """A hand-filtered RGB PNG using every row filter (None/Sub/Up/
+    Average/Paeth) decodes to the ITU-R 601-2 luma of the raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import _decode_png
+
+    rng = np.random.RandomState(7)
+    h, w, nch = 5, 4, 3
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    stride = w * nch
+    lines, prev = [], np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = rgb[y].reshape(-1).astype(np.int64)
+        f = y % 5
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = np.array(
+                [(cur[x] - (cur[x - nch] if x >= nch else 0)) % 256 for x in range(stride)]
+            )
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = np.array(
+                [
+                    (cur[x] - (((cur[x - nch] if x >= nch else 0) + prev[x]) // 2)) % 256
+                    for x in range(stride)
+                ]
+            )
+        else:
+            vals = []
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p_ = a + b - c
+                pa, pb, pc = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                vals.append((int(cur[x]) - pred) % 256)
+            enc = np.array(vals)
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = _decode_png(png)
+    assert got is not None and (got == _png_luma(rgb)).all()
+
+
+def test_png_palette_rgba_gray_alpha():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import _decode_png
+
+    rng = np.random.RandomState(3)
+    sig = b"\x89PNG\r\n\x1a\n"
+    # palette
+    pal = rng.randint(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.randint(0, 7, (4, 6)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    png = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (_decode_png(png) == _png_luma(pal[idx])).all()
+    # RGBA (alpha ignored)
+    rgba = rng.randint(0, 256, (3, 3, 4)).astype(np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    png = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (_decode_png(png) == _png_luma(rgba[:, :, :3])).all()
+    # gray+alpha (gray channel)
+    ga = rng.randint(0, 256, (3, 5, 2)).astype(np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(3))
+    png = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 4, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (_decode_png(png) == ga[:, :, 0]).all()
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import (
+        _decode_png,
+        decode_image_builtin,
+        encode_gray_png,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth → None (Pillow fallback territory)
+    png16 = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _decode_png(png16) is None
+    # Adam7 interlaced → None
+    pngi = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _decode_png(pngi) is None
+    # truncated / junk — total, never raises
+    good = encode_gray_png(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    assert _decode_png(good[:40]) is None
+    assert _decode_png(sig + b"junkjunk") is None
+    assert decode_image_builtin(b"\xff\xd8\xff\xe0") is None  # JPEG magic
+    # decode_image_builtin dispatches PNG by signature
+    assert (decode_image_builtin(good) == np.arange(64, dtype=np.uint8).reshape(8, 8)).all()
+
+
+def test_synthesize_media_alternate_codecs(spark):
+    """codec='alternate': odd ids PNG, even ids BMP — one mixed table,
+    identical rasters either way."""
+    from openetlagent_spark.functions.multimodal import (
+        decode_image_builtin,
+        synthesize_media_bmp,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="odd doc goes png"), Row(doc_id=2, text="even doc bmp")]
+    )
+    rows = {
+        r.media_id: r
+        for r in synthesize_media_bmp(docs, width=32, codec="alternate").collect()
+    }
+    assert rows[1].mime == "image/png" and bytes(rows[1].payload).startswith(b"\x89PNG")
+    assert rows[2].mime == "image/bmp" and bytes(rows[2].payload).startswith(b"BM")
+    a1 = decode_image_builtin(bytes(rows[1].payload))
+    assert bytes(a1[0, :16]) == b"odd doc goes png"
+    a2 = decode_image_builtin(bytes(rows[2].payload))
+    assert bytes(a2[0, :12]) == b"even doc bmp"
