@@ -14,8 +14,9 @@ The DECODE step comes in two flavors (clearly marked):
   importable.  Decode is TOTAL either way:
   corrupt, truncated, or unsupported-without-Pillow payloads yield the
   zero feature vector instead of failing the task — at 100 TB one bad
-  crawl byte must never abort the job.  Frame sampling would need
-  PyAV/ffmpeg and stays a named stub.
+  crawl byte must never abort the job.  VIDEO frame sampling is real
+  too: Y4M (the standard uncompressed container) parses built-in;
+  compressed containers fall back to PyAV when importable.
 
 Everything else — the media struct schema, batch iteration, partition
 sizing, feature schemas — is the production shape: at 100 TB these run
@@ -589,6 +590,121 @@ def resize_images(
     return df.mapInPandas(batches, out_schema)
 
 
+_Y4M_SIG = b"YUV4MPEG2 "
+
+
+def encode_y4m_gray(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(t, h, w) uint8 luma frames → Y4M (YUV4MPEG2, ``Cmono``) — the
+    standard UNCOMPRESSED video container (what ``ffmpeg -f yuv4mpegpipe``
+    emits).  Byte length is closed-form: header + t·(6 + h·w), so SQL
+    oracles can derive sizes.  Empty input → b''."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 3:
+        raise ValueError(f"encode_y4m_gray expects (t, h, w), got shape {arr.shape}")
+    t, h, w = arr.shape
+    if t == 0 or h == 0 or w == 0:
+        return b""
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode("ascii")
+    return header + b"".join(b"FRAME\n" + arr[i].tobytes() for i in range(t))
+
+
+def _parse_y4m(payload: bytes) -> tuple[int, int, int, list[int]] | None:
+    """Parse a Y4M container: returns (w, h, luma_size, [frame data
+    offsets]) or None if not decodable Y4M.  Handles Cmono / C420* /
+    C422 / C444 frame sizes (the luma plane leads every frame, so
+    grayscale extraction never needs the chroma)."""
+    try:
+        if not payload.startswith(_Y4M_SIG):
+            return None
+        nl = payload.find(b"\n")
+        if nl < 0:
+            return None
+        w = h = 0
+        cs = b"420"
+        for p in payload[len(_Y4M_SIG) : nl].split(b" "):
+            if p[:1] == b"W":
+                w = int(p[1:])
+            elif p[:1] == b"H":
+                h = int(p[1:])
+            elif p[:1] == b"C":
+                cs = p[1:]
+        if w <= 0 or h <= 0:
+            return None
+        luma = w * h
+        if cs.startswith(b"mono"):
+            fsize = luma
+        elif cs.startswith(b"420"):
+            if w % 2 or h % 2:
+                return None
+            fsize = luma + 2 * (w // 2) * (h // 2)
+        elif cs.startswith(b"422"):
+            if w % 2:
+                return None
+            fsize = luma + 2 * (w // 2) * h
+        elif cs.startswith(b"444"):
+            fsize = 3 * luma
+        else:
+            return None
+        offs: list[int] = []
+        i = nl + 1
+        while i < len(payload):
+            if payload[i : i + 5] != b"FRAME":
+                return None
+            j = payload.find(b"\n", i)
+            if j < 0:
+                return None
+            start = j + 1
+            if start + fsize > len(payload):
+                return None  # truncated frame
+            offs.append(start)
+            i = start + fsize
+        if not offs:
+            return None
+        return w, h, luma, offs
+    except Exception:
+        return None
+
+
+def _optional_av():
+    """Import PyAV if present, else None — the real frame-sampling path
+    uses it only for COMPRESSED containers (mp4/webm/mkv); Y4M decodes
+    built-in."""
+    try:
+        import av  # noqa: PLC0415
+    except ImportError:
+        return None
+    return av
+
+
+def _sample_indices(total: int, n_frames: int) -> list[int]:
+    """Deterministic even sampling: k = min(n_frames, total) source
+    indices ⌊j·total/k⌋ — strictly increasing (total/k ≥ 1), always
+    includes frame 0, engine-independent integer math (the contract the
+    SQL oracle mirrors)."""
+    k = min(n_frames, total)
+    return [(j * total) // k for j in range(k)]
+
+
+def _real_av_frames(av, payload: bytes, n_frames: int) -> list[tuple[int, bytes]]:
+    """PyAV path for compressed containers: two decode passes (count,
+    then pick) so memory stays one frame, never the clip.  Returns
+    (source_index, gray PNG payload) pairs."""
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:
+        total = sum(1 for _ in container.decode(video=0))
+    if total == 0:
+        return []
+    want = set(_sample_indices(total, n_frames))
+    out: list[tuple[int, bytes]] = []
+    with av.open(io.BytesIO(payload)) as container:
+        for idx, frame in enumerate(container.decode(video=0)):
+            if idx in want:
+                arr = frame.to_ndarray(format="gray")
+                out.append((idx, encode_gray_png(arr.astype(np.uint8))))
+    return out
+
+
 def sample_frames(
     df: DataFrame,
     *,
@@ -596,28 +712,151 @@ def sample_frames(
     id_col: str = "media_id",
     n_frames: int = 4,
     decoder: Literal["fake", "real"] = "fake",
+    strict: bool = False,
 ) -> DataFrame:
     """Video → frame rows (one output row per sampled frame): the
-    row-expanding mapInPandas shape.  Fake decode slices the payload into
-    n equal chunks as stand-in frames."""
-    if decoder == "real":
-        raise NotImplementedError("Real frame sampling requires PyAV/ffmpeg.")
+    row-expanding mapInPandas shape.
+
+    ``decoder='real'`` REALLY decodes: Y4M (YUV4MPEG2 — the standard
+    uncompressed container, ``ffmpeg -f yuv4mpegpipe`` output) parses
+    built-in with zero dependencies (header + fixed-size frames; the
+    luma plane leads each frame for every colorspace, so grayscale
+    extraction is a slice), and compressed containers (mp4/webm/…)
+    fall back to PyAV when importable.  Each sampled frame is emitted
+    as a standalone grayscale PNG payload (encode_gray_png), so the
+    frame rows compose directly with extract_image_features /
+    resize_images / image near-dup — video becomes images after ONE
+    stage.  Sampling is deterministic integer math: k = min(n_frames,
+    total) source indices ⌊j·total/k⌋; ``frame_index`` is the SOURCE
+    index.  Undecodable payloads yield zero rows (total, the crawl
+    default) unless ``strict=True`` raises.
+
+    ``decoder='fake'`` keeps the payload-chunking stand-in (n equal
+    byte slices, frame_index = ordinal) for plumbing tests.
+
+    Scale: embarrassingly parallel mapInPandas, no shuffle; memory per
+    task is one frame (Y4M slices by offset; the PyAV path decodes in
+    two passes — count, then pick — never holding the clip)."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"sample_frames: unknown decoder {decoder!r} (fake|real)")
+    if strict and decoder != "real":
+        raise ValueError(
+            "sample_frames: strict=True requires decoder='real' (the fake "
+            "chunking path never decodes, so it cannot detect undecodable "
+            "payloads)"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = _optional_av() if decoder == "real" else None
         for pdf in it:
             out_ids, out_idx, out_payload = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                payload = payload or b""
+                payload = bytes(payload) if payload else b""
+                if decoder == "real":
+                    parsed = _parse_y4m(payload)
+                    if parsed is not None:
+                        w, h, luma, offs = parsed
+                        for idx in _sample_indices(len(offs), n_frames):
+                            arr = np.frombuffer(
+                                payload, np.uint8, count=luma, offset=offs[idx]
+                            ).reshape(h, w)
+                            out_ids.append(mid)
+                            out_idx.append(idx)
+                            out_payload.append(encode_gray_png(arr))
+                        continue
+                    if av is not None and payload:
+                        try:
+                            frames = _real_av_frames(av, payload, n_frames)
+                        except Exception:
+                            frames = []
+                        if frames:
+                            for idx, fp in frames:
+                                out_ids.append(mid)
+                                out_idx.append(idx)
+                                out_payload.append(fp)
+                            continue
+                    if strict and payload:
+                        raise ValueError(
+                            f"sample_frames(strict=True): undecodable "
+                            f"{len(payload)}-byte payload (magic "
+                            f"{payload[:10]!r}); built-in decode covers Y4M, "
+                            "PyAV "
+                            + ("is importable" if av else "is NOT importable")
+                            + " on this executor"
+                        )
+                    continue  # total: zero rows for undecodable video
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     out_ids.append(mid)
                     out_idx.append(i)
                     out_payload.append(payload[i * step : (i + 1) * step])
             yield pd.DataFrame(
-                {"media_id": out_ids, "frame_index": out_idx, "frame_payload": out_payload}
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_index": pd.Series(out_idx, dtype="int32"),
+                    "frame_payload": out_payload,
+                }
             )
 
     return df.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def synthesize_media_y4m(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 4,
+) -> DataFrame:
+    """Build a REAL-video media table from any text table: each doc's
+    utf-8 bytes become consecutive ``height×width`` luma frames of a
+    Y4M (Cmono) clip, the final frame zero-padded — so frame ``i``'s
+    raster IS text bytes [i·h·w, (i+1)·h·w) and SQL oracles can derive
+    per-frame pixel statistics from substrings.  Empty/NULL text →
+    empty payload (no media).  One mapInPandas pass, no shuffle — the
+    video sibling of synthesize_media_bmp."""
+    frame_bytes = width * height
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, frames_n = [], []
+            for text in pdf[text_col]:
+                data = (text or "").encode("utf-8")
+                t = (len(data) + frame_bytes - 1) // frame_bytes
+                if t == 0:
+                    payloads.append(b"")
+                    frames_n.append(0)
+                    continue
+                arr = np.frombuffer(
+                    data.ljust(t * frame_bytes, b"\0"), dtype=np.uint8
+                ).reshape(t, height, width)
+                payloads.append(encode_y4m_gray(arr))
+                frames_n.append(t)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "video/x-yuv4mpeg",
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    # 25 fps → 40 ms per frame
+                    "duration_ms": pd.Series(
+                        [n * 40 for n in frames_n], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
 
 
 def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1701,6 +1701,51 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end, no media library
+    (functions/multimodal.py sample_frames + synthesize_media_y4m):
+    documents → Y4M clips (each doc's utf-8 bytes become consecutive
+    4×16 luma frames of a real YUV4MPEG2 container — the format
+    ``ffmpeg -f yuv4mpegpipe`` emits) → sample_frames(decoder='real')
+    parses the container built-in, picks k = min(4, t) evenly-spaced
+    source frames (⌊j·t/k⌋ — deterministic integer math), and emits
+    each as a standalone grayscale PNG → extract_image_features
+    (decoder='real') decodes those PNGs back and histograms the
+    intensities.  Video → frames → image features: the full
+    multimodal composition over two mapInPandas stages, zero shuffles,
+    nothing fake anywhere.  The frame_uid pack/unpack (media_id·2³² +
+    source index) threads the frame identity through the fixed
+    image-feature schema."""
+    from ..functions.multimodal import (
+        extract_image_features,
+        sample_frames,
+        synthesize_media_y4m,
+    )
+
+    docs = _ts(spark, sf_dir, "documents")
+    media = synthesize_media_y4m(docs, width=16, height=4)
+    frames = sample_frames(media, n_frames=4, decoder="real")
+    fr = frames.select(
+        (F.col("media_id") * F.lit(4294967296) + F.col("frame_index")).alias(
+            "frame_uid"
+        ),
+        F.col("frame_payload").alias("payload"),
+        F.lit("image/png").alias("mime"),
+    )
+    feats = extract_image_features(fr, id_col="frame_uid", dim=16, decoder="real")
+    return feats.select(
+        F.expr("media_id DIV 4294967296").alias("media_id"),
+        F.expr("CAST(media_id % 4294967296 AS INT)").alias("frame_index"),
+        "n_bytes",
+        "n_pixels",
+        F.expr(
+            "array_join(transform(feature, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * CAST(n_pixels AS DOUBLE)) AS BIGINT)"
+            "), ',')"
+        ).alias("hist"),
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join, batch form (identical lazy plan to
     what each micro-batch executes — streaming/events.enrich_stream):
@@ -3282,6 +3327,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_layout": q_zorder_layout,
     "multimodal_features": q_multimodal_features,
     "image_decode": q_image_decode,
+    "video_frames": q_video_frames,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
@@ -4180,6 +4226,47 @@ HARNESS_ORACLES["image_decode"] = (
     f"SELECT media_id, mime, n_bytes, n_pixels, {_IMG_DECODE_HIST} AS hist "
     f"FROM {_image_features_bmp_oracle_sql('TRUE', dim=16, codec='alternate')} sq"
 )
+# video_frames: Y4M synth → real frame sampling → per-frame PNG decode.
+# Frame i's raster IS text bytes [i·64, (i+1)·64) (+ pad zeros on the
+# last frame), the sampled set is the same ⌊j·t/k⌋ integer math, and
+# every sampled frame is a full 64-pixel raster — n_bytes is the PNG
+# stored-block closed form for a 4×16 gray image (63 + 5 + 4·17 = 136).
+_VF_BINS = ", ".join(
+    f"SUM(CASE WHEN bin = {b} THEN 1 ELSE 0 END) AS c{b}" for b in range(16)
+)
+_VF_HIST = " || ',' || ".join(
+    "CAST((COALESCE(c.c{b}, 0){pad}) AS VARCHAR)".format(
+        b=b,
+        pad=(
+            " + (CASE WHEN sf.fidx = sf.t - 1 THEN sf.t * 64 - sf.len ELSE 0 END)"
+            if b == 0
+            else ""
+        ),
+    )
+    for b in range(16)
+)
+HARNESS_ORACLES["video_frames"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         COALESCE(length(text),0) AS len, text,
+         CAST(CEIL(COALESCE(length(text),0) / 64.0) AS BIGINT) AS t
+  FROM documents),
+v AS (SELECT media_id, len, text, t, LEAST(4, t) AS k FROM d WHERE len > 0),
+s AS (SELECT media_id, len, t, k, unnest(generate_series(0, k-1)) AS j FROM v),
+sf AS (SELECT media_id, len, t, CAST((j * t) // k AS BIGINT) AS fidx FROM s),
+ch AS (
+  SELECT media_id, cs, unnest(generate_series(1, len)) AS pos
+  FROM (SELECT media_id, string_split_regex(text,'') AS cs, len FROM v) b),
+chars AS (
+  SELECT media_id, (pos-1) // 64 AS fidx,
+         ascii(list_extract(cs, pos)) // 16 AS bin FROM ch),
+cnt AS (SELECT media_id, fidx, {_VF_BINS} FROM chars GROUP BY media_id, fidx)
+SELECT sf.media_id, CAST(sf.fidx AS INTEGER) AS frame_index,
+       CAST(136 AS BIGINT) AS n_bytes, CAST(64 AS BIGINT) AS n_pixels,
+       {_VF_HIST} AS hist
+FROM sf LEFT JOIN cnt c ON sf.media_id = c.media_id AND sf.fidx = c.fidx
+"""
+
 _IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)
 HARNESS_ORACLES["image_neardup"] = _keep_best_oracle_sql(
     "SELECT id_a, id_b FROM ("

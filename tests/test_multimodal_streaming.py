@@ -1251,3 +1251,117 @@ def test_synthesize_media_alternate_codecs(spark):
     assert bytes(a1[0, :16]) == b"odd doc goes png"
     a2 = decode_image_builtin(bytes(rows[2].payload))
     assert bytes(a2[0, :12]) == b"even doc bmp"
+
+
+# --- real video frame sampling: Y4M (round 10) --------------------------------
+
+
+def test_y4m_roundtrip_and_chroma_sizes():
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import (
+        _parse_y4m,
+        _sample_indices,
+        encode_y4m_gray,
+    )
+
+    rng = np.random.RandomState(1)
+    fr = rng.randint(0, 256, (7, 4, 16)).astype(np.uint8)
+    p = encode_y4m_gray(fr)
+    w, h, luma, offs = _parse_y4m(p)
+    assert (w, h, luma, len(offs)) == (16, 4, 64, 7)
+    for i, o in enumerate(offs):
+        got = np.frombuffer(p, np.uint8, count=luma, offset=o).reshape(h, w)
+        assert (got == fr[i]).all()
+    # closed-form container length: header + t*(6 + h*w)
+    assert len(p) == (p.find(b"\n") + 1) + 7 * (6 + 64)
+    # chroma-bearing colorspaces: luma plane leads, sizes honored
+    for cs, extra in [(b"C420", 2 * 8 * 2), (b"C422", 2 * 8 * 4), (b"C444", 2 * 64)]:
+        head = b"YUV4MPEG2 W16 H4 F25:1 Ip A1:1 " + cs + b"\n"
+        body = b"FRAME\n" + bytes(range(64)) + b"\x80" * extra
+        parsed = _parse_y4m(head + body + body)
+        assert parsed is not None and len(parsed[3]) == 2, cs
+        assert bytes(
+            np.frombuffer(head + body + body, np.uint8, count=64, offset=parsed[3][0])
+        ) == bytes(range(64))
+    # rejects: zero dims, foreign magic, truncated frame
+    assert _parse_y4m(b"YUV4MPEG2 W0 H4 Cmono\nFRAME\n") is None
+    assert _parse_y4m(b"RIFFxxxx") is None
+    assert _parse_y4m(p[:-3]) is None
+    # deterministic even sampling, always includes frame 0
+    assert _sample_indices(10, 4) == [0, 2, 5, 7]
+    assert _sample_indices(3, 4) == [0, 1, 2]
+    assert _sample_indices(100, 4) == [0, 25, 50, 75]
+
+
+def test_sample_frames_real_y4m(spark):
+    """decoder='real' parses Y4M built-in and emits per-frame PNGs with
+    SOURCE frame indices; undecodable payloads yield zero rows."""
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import (
+        _decode_png,
+        encode_y4m_gray,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(5)
+    clip = rng.randint(0, 256, (10, 4, 8)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(encode_y4m_gray(clip))),
+            Row(media_id=2, payload=bytearray(b"not a video")),
+            Row(media_id=3, payload=bytearray(b"")),
+        ]
+    )
+    rows = sample_frames(media, n_frames=4, decoder="real").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert sorted(by_id) == [1]  # 2 and 3 undecodable/empty → zero rows
+    got = sorted(by_id[1], key=lambda r: r.frame_index)
+    assert [r.frame_index for r in got] == [0, 2, 5, 7]
+    for r in got:
+        arr = _decode_png(bytes(r.frame_payload))
+        assert (arr == clip[r.frame_index]).all()
+
+
+def test_sample_frames_strict_and_fake_unchanged(spark):
+    import pytest as _pytest
+
+    from openetlagent_spark.functions.multimodal import sample_frames
+
+    media = spark.createDataFrame([Row(media_id=9, payload=bytearray(b"junkpayload"))])
+    with _pytest.raises(Exception, match="undecodable"):
+        sample_frames(media, n_frames=2, decoder="real", strict=True).collect()
+    with _pytest.raises(ValueError, match="strict=True requires"):
+        sample_frames(media, decoder="fake", strict=True)
+    # the fake chunking stand-in is unchanged: ordinal indices, byte slices
+    rows = sorted(
+        sample_frames(media, n_frames=2, decoder="fake").collect(),
+        key=lambda r: r.frame_index,
+    )
+    assert [r.frame_index for r in rows] == [0, 1]
+    assert bytes(rows[0].frame_payload) == b"junkp"
+
+
+def test_synthesize_media_y4m_roundtrip(spark):
+    """Frame i's raster IS text bytes [i·64, (i+1)·64) + pad zeros."""
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import (
+        _parse_y4m,
+        synthesize_media_y4m,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x" * 70), Row(doc_id=2, text=""), Row(doc_id=3, text="ab")]
+    )
+    rows = {r.media_id: r for r in synthesize_media_y4m(docs).collect()}
+    w, h, luma, offs = _parse_y4m(bytes(rows[1].payload))
+    assert (w, h, len(offs)) == (16, 4, 2) and rows[1].duration_ms == 80
+    f0 = np.frombuffer(bytes(rows[1].payload), np.uint8, count=64, offset=offs[0])
+    f1 = np.frombuffer(bytes(rows[1].payload), np.uint8, count=64, offset=offs[1])
+    assert bytes(f0) == b"x" * 64 and bytes(f1) == b"x" * 6 + b"\0" * 58
+    assert rows[2].payload == bytearray(b"") and rows[2].duration_ms == 0
+    assert _parse_y4m(bytes(rows[3].payload))[3] is not None

@@ -925,3 +925,14 @@ def test_quantile_bins_rank_avoids_group_key_sort(spark):
     assert re.search(r"hashpartitioning\(_x_pid", physical), physical[:2000]
     # the range exchange runs inside the materialize boundary
     assert "ExistingRDD" in physical
+
+
+def test_video_frames_is_three_mapinpandas_no_shuffle(spark):
+    """Video → frames → image features is embarrassingly parallel:
+    three mapInPandas stages (Y4M synth, frame sampling, PNG decode),
+    zero shuffles, no joins."""
+    plan = plan_of(spark, "video_frames")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert count_shuffles(plan) == 0
+    assert "Join" not in physical
+    assert physical.count("MapInPandas") == 3
