@@ -220,3 +220,67 @@ def test_doc_lm_score_flow_dispatch(spark, corpus):
 
     with _pytest.raises(Exception):
         parse_operation({"operation_type": "doc_lm_score", "k": 0})
+
+
+# --- fuzzy_block_stats + bounded verifier (round 10) --------------------------
+
+
+def test_fuzzy_block_stats_counts_dropped_mass(spark):
+    """The one-row diagnostic reports exactly what the cap excludes:
+    an over-cap block contributes dropped_blocks/dropped_rows and NO
+    candidate pairs; surviving blocks contribute C(n,2)."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.fuzzy import fuzzy_block_stats, fuzzy_pairs
+
+    rows = [Row(doc_id=i, text=f"common prefix tail{i}") for i in range(6)]
+    rows += [Row(doc_id=100 + i, text=f"other block v{i}") for i in range(3)]
+    rows += [Row(doc_id=500 + i, text="qq") for i in range(4)]  # over-cap block
+    df = spark.createDataFrame(rows)
+    stats = fuzzy_block_stats(df, max_bucket=3).collect()[0]
+    assert stats.n_rows == 13
+    assert stats.max_block == 6
+    # blocks of 6 and 4 exceed max_bucket=3 -> dropped; block of 3 survives
+    assert stats.dropped_blocks == 2 and stats.dropped_rows == 10
+    assert stats.candidate_pairs == 3  # C(3,2)
+    # and fuzzy_pairs with the same cap generates pairs ONLY from the
+    # surviving block — the diagnostic predicts the verifier volume
+    pairs = fuzzy_pairs(df, max_bucket=3, max_dist=8).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} <= {(100, 101), (100, 102), (101, 102)}
+
+
+def test_fuzzy_bounded_verifier_matches_unbounded(spark):
+    """The threshold levenshtein changes cost, never results: same
+    surviving pairs, same exact distances as the full-matrix form."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.fuzzy import fuzzy_pairs
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps"),
+        Row(doc_id=2, text="the quick brown fox jumped"),
+        Row(doc_id=3, text="the quick brown cat sleeps"),
+        Row(doc_id=4, text="the quick XXXXXXXXXXXXXXXXXXXXXXXXXXXX"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {(r.id_a, r.id_b): r.dist for r in fuzzy_pairs(df, max_dist=8).collect()}
+    # unbounded reference over the same normalized prefixes
+    from openetlagent_spark.functions.fuzzy import _norm_prefix
+
+    base = df.select(F.col("doc_id").alias("id"), _norm_prefix(F.col("text"), 40).alias("s"))
+    ref = (
+        base.alias("a")
+        .join(base.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+    )
+    want = {(r.id_a, r.id_b): r.dist for r in ref.collect()}
+    # blocking may drop cross-block pairs; every emitted pair must match
+    # the unbounded distance exactly, and the in-block survivors agree
+    assert got == {k: v for k, v in want.items() if k in got}
+    assert (1, 2) in got and got[(1, 2)] == want[(1, 2)]
