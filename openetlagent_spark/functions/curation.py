@@ -933,6 +933,14 @@ def two_phase_group_rank(
     psums = (
         parts.groupBy("_x_pid", "_x_gkey").agg(F.count(F.lit(1)).alias("n")).collect()
     )
+    if len(psums) > 50_000:
+        raise ValueError(
+            f"two_phase_group_rank: {len(psums)} (partition, group) count "
+            "rows — the group key is not bounded-cardinality (the contract "
+            "above); a create_map literal this size would blow up the "
+            "analyzer. Use _two_phase_global_rank per group subset, or a "
+            "plain window when groups are numerous and small."
+        )
     bases: dict[tuple[int, str], int] = {}
     totals: dict[str, int] = {}
     for row in sorted(psums, key=lambda r: (r["_x_gkey"], r["_x_pid"])):

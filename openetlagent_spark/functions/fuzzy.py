@@ -50,6 +50,31 @@ def _norm_prefix(str_col: Column, prefix_chars: int) -> Column:
     return F.substring(cleaned, 1, prefix_chars)
 
 
+def _block_key_cols(
+    str_col: Column, prefix_chars: int, block_tokens: int, len_band: int
+) -> tuple[Column, Column, Column]:
+    """(normalized prefix, block key, length band) — THE blocking
+    definition, shared by fuzzy_pairs and fuzzy_block_stats so the
+    diagnostic can never report stats for a different blocking than
+    the pass it predicts (the single-expression drift rule)."""
+    s = _norm_prefix(str_col, prefix_chars)
+    toks = F.split(s, " ")
+    # leading-token block key, x01-joined so ('ab','c') and ('a','bc')
+    # stay distinct blocks; missing tokens contribute empty string on
+    # BOTH engines (oracle: coalesce(t[i], '') joined by chr(1))
+    # try_element_at: NULL (not an ANSI error) past the end, matching
+    # DuckDB's out-of-range list index — a one-token document must
+    # block, not blow up
+    blk = F.concat_ws(
+        "\x01",
+        *[
+            F.coalesce(F.try_element_at(toks, F.lit(i + 1)), F.lit(""))
+            for i in range(block_tokens)
+        ],
+    )
+    return s, blk, F.floor(F.length(s) / F.lit(len_band))
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -70,28 +95,14 @@ def fuzzy_pairs(
     """
     if max_dist < 0 or prefix_chars <= 0 or block_tokens <= 0 or len_band <= 0:
         raise ValueError("fuzzy_pairs parameters must be positive (max_dist >= 0)")
-    s = _norm_prefix(F.col(str_col), prefix_chars)
-    toks = F.split(s, " ")
-    # leading-token block key, x01-joined so ('ab','c') and ('a','bc')
-    # stay distinct blocks; missing tokens contribute empty string on
-    # BOTH engines (oracle: coalesce(t[i], '') joined by chr(1))
-    # try_element_at: NULL (not an ANSI error) past the end, matching
-    # DuckDB's out-of-range list index — a one-token document must
-    # block, not blow up
-    blk = F.concat_ws(
-        "\x01",
-        *[
-            F.coalesce(F.try_element_at(toks, F.lit(i + 1)), F.lit(""))
-            for i in range(block_tokens)
-        ],
-    )
+    s, blk, lb = _block_key_cols(F.col(str_col), prefix_chars, block_tokens, len_band)
     base = (
         df.filter(F.col(str_col).isNotNull())
         .select(
             F.col(id_col).alias("__id__"),
             s.alias("__s__"),
             blk.alias("__blk__"),
-            F.floor(F.length(s) / F.lit(len_band)).alias("__lb__"),
+            lb.alias("__lb__"),
         )
     )
     buckets = (
@@ -128,7 +139,6 @@ def fuzzy_pairs(
 
 def fuzzy_block_stats(
     df: DataFrame,
-    id_col: str = "doc_id",
     str_col: str = "text",
     prefix_chars: int = 40,
     block_tokens: int = 2,
@@ -154,30 +164,35 @@ def fuzzy_block_stats(
     alert on ``dropped_rows / n_rows``."""
     if prefix_chars <= 0 or block_tokens <= 0 or len_band <= 0:
         raise ValueError("fuzzy_block_stats parameters must be positive")
-    s = _norm_prefix(F.col(str_col), prefix_chars)
-    toks = F.split(s, " ")
-    blk = F.concat_ws(
-        "\x01",
-        *[
-            F.coalesce(F.try_element_at(toks, F.lit(i + 1)), F.lit(""))
-            for i in range(block_tokens)
-        ],
-    )
+    _s, blk, lb = _block_key_cols(F.col(str_col), prefix_chars, block_tokens, len_band)
     sizes = (
         df.filter(F.col(str_col).isNotNull())
-        .select(blk.alias("__blk__"), F.floor(F.length(s) / F.lit(len_band)).alias("__lb__"))
+        .select(blk.alias("__blk__"), lb.alias("__lb__"))
         .groupBy("__blk__", "__lb__")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     n = F.col("n")
+    # COALESCE every aggregate: an empty / all-NULL-text batch must
+    # report ZEROS, not a NULL row that silently disables the
+    # dropped_rows/n_rows alert this function exists for
+    z = F.lit(0)
     return sizes.agg(
-        F.sum(n).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(n), z).cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
-        F.max(n).cast("long").alias("max_block"),
-        F.sum(F.when(n > max_bucket, 1).otherwise(0)).cast("long").alias("dropped_blocks"),
-        F.sum(F.when(n > max_bucket, n).otherwise(0)).cast("long").alias("dropped_rows"),
-        F.sum(
-            F.when((n > 1) & (n <= max_bucket), F.expr("n * (n - 1) DIV 2")).otherwise(0)
+        F.coalesce(F.max(n), z).cast("long").alias("max_block"),
+        F.coalesce(F.sum(F.when(n > max_bucket, 1).otherwise(0)), z)
+        .cast("long")
+        .alias("dropped_blocks"),
+        F.coalesce(F.sum(F.when(n > max_bucket, n).otherwise(0)), z)
+        .cast("long")
+        .alias("dropped_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (n > 1) & (n <= max_bucket), F.expr("n * (n - 1) DIV 2")
+                ).otherwise(0)
+            ),
+            z,
         )
         .cast("long")
         .alias("candidate_pairs"),

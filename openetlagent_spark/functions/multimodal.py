@@ -323,9 +323,16 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
             return None
         if ctype == 3 and (plte is None or len(plte) == 0 or len(plte) % 3):
             return None
-        raw = zlib.decompress(b"".join(idat))
         stride = w * nch
-        if len(raw) != h * (1 + stride):
+        expect = h * (1 + stride)
+        # BOUNDED inflate: a decompression-bomb IDAT (tiny declared
+        # dims, huge inflation ratio) must fail the size check, not
+        # OOM the worker — totality means surviving hostile bytes too
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
+        if len(raw) != expect or d.decompress(b"", 1):
+            return None
+        if not d.eof and d.unconsumed_tail:
             return None
         out = np.zeros((h, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.int64)
@@ -739,6 +746,8 @@ def sample_frames(
     two passes — count, then pick — never holding the clip)."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"sample_frames: unknown decoder {decoder!r} (fake|real)")
+    if n_frames < 1:
+        raise ValueError(f"sample_frames: n_frames must be >= 1, got {n_frames}")
     if strict and decoder != "real":
         raise ValueError(
             "sample_frames: strict=True requires decoder='real' (the fake "
@@ -1016,9 +1025,11 @@ def image_features_bmp_oracle_sql(
         mime = "'image/png'"
         nbytes = png_bytes
     elif codec == "alternate":
-        mime = "CASE WHEN doc_id % 2 = 1 THEN 'image/png' ELSE 'image/bmp' END"
+        # % 2 <> 0, not = 1: DuckDB's -3 % 2 is -1 while Python's is 1 —
+        # the inequality makes "odd" agree across engines for any sign
+        mime = "CASE WHEN doc_id % 2 <> 0 THEN 'image/png' ELSE 'image/bmp' END"
         nbytes = (
-            f"CASE WHEN d.media_id % 2 = 1 THEN {png_bytes} ELSE {bmp_bytes} END"
+            f"CASE WHEN d.media_id % 2 <> 0 THEN {png_bytes} ELSE {bmp_bytes} END"
         )
     else:
         raise ValueError(

@@ -284,3 +284,20 @@ def test_fuzzy_bounded_verifier_matches_unbounded(spark):
     # the unbounded distance exactly, and the in-block survivors agree
     assert got == {k: v for k, v in want.items() if k in got}
     assert (1, 2) in got and got[(1, 2)] == want[(1, 2)]
+
+
+def test_fuzzy_block_stats_empty_corpus_reports_zeros(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.fuzzy import fuzzy_block_stats
+
+    df = spark.createDataFrame([Row(doc_id=1, text=None)], "doc_id long, text string")
+    stats = fuzzy_block_stats(df).collect()[0]
+    assert (
+        stats.n_rows,
+        stats.n_blocks,
+        stats.max_block,
+        stats.dropped_blocks,
+        stats.dropped_rows,
+        stats.candidate_pairs,
+    ) == (0, 0, 0, 0, 0, 0)

@@ -1365,3 +1365,33 @@ def test_synthesize_media_y4m_roundtrip(spark):
     assert bytes(f0) == b"x" * 64 and bytes(f1) == b"x" * 6 + b"\0" * 58
     assert rows[2].payload == bytearray(b"") and rows[2].duration_ms == 0
     assert _parse_y4m(bytes(rows[3].payload))[3] is not None
+
+
+def test_png_decompression_bomb_bounded():
+    """A tiny-declared-dims PNG carrying a huge IDAT must fail the size
+    check via BOUNDED inflate — never materialize the blown-up stream."""
+    import struct
+    import zlib
+
+    from openetlagent_spark.functions.multimodal import _decode_png
+
+    bomb_raw = b"\x00" * (20 * 1024 * 1024)  # 20 MB of zeros -> ~20 KB deflated
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bomb_raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _decode_png(png) is None
+
+
+def test_sample_frames_rejects_nonpositive_n_frames(spark):
+    import pytest as _pytest
+
+    from openetlagent_spark.functions.multimodal import sample_frames
+
+    media = spark.createDataFrame([("x",)], "payload string").selectExpr(
+        "CAST(1 AS BIGINT) AS media_id", "CAST(payload AS BINARY) AS payload"
+    )
+    with _pytest.raises(ValueError, match="n_frames"):
+        sample_frames(media, n_frames=0, decoder="real")
