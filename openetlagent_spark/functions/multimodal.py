@@ -451,6 +451,238 @@ def _fake_decode_features(payload: bytes, dim: int = 16) -> np.ndarray:
     return (hist / max(len(arr), 1)).astype(np.float32)
 
 
+# --- audio: WAV (RIFF PCM) --------------------------------------------
+#
+# The third modality, same design as images: a REAL standard container
+# decoded pure-Python (canonical RIFF/WAVE with PCM 8-bit unsigned or
+# 16-bit signed samples; unknown chunks skipped), total on hostile
+# bytes, featurized as an amplitude histogram whose bins are integer
+# counts — SQL-oracle-friendly by construction.
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+_WAV_HEADER_BYTES = 44  # canonical RIFF + fmt(16) + data headers
+
+
+def encode_wav_pcm8(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """1-D uint8 samples → canonical mono 8-bit-PCM WAV (44-byte
+    header + data — closed-form size for SQL oracles).  8-bit WAV is
+    UNSIGNED by spec (center 128).  Empty input → b'' (no media)."""
+    arr = np.asarray(samples, dtype=np.uint8)
+    if arr.ndim != 1:
+        raise ValueError(f"encode_wav_pcm8 expects 1-D samples, got shape {arr.shape}")
+    if arr.size == 0:
+        return b""
+    data = arr.tobytes()
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + sample_rate.to_bytes(4, "little")  # byte rate (1 B/sample)
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """RIFF/WAVE PCM → (sample_rate, n_channels, (n, ch) uint8
+    amplitude grid) or None if not decodable.  8-bit unsigned passes
+    through; 16-bit signed quantizes to the same uint8 amplitude scale
+    ((v + 32768) >> 8) so every downstream featurizer sees ONE domain.
+    Unknown chunks (LIST, fact, …) are skipped by declared size; a
+    truncated data chunk is rejected, never partially read."""
+    try:
+        if len(payload) < _WAV_HEADER_BYTES or payload[:4] != b"RIFF":
+            return None
+        if payload[8:12] != b"WAVE":
+            return None
+        i = 12
+        fmt = None
+        data: bytes | None = None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            ln = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body_end = i + 8 + ln
+            if body_end > len(payload):
+                return None  # truncated chunk
+            if cid == b"fmt ":
+                fmt = payload[i + 8 : body_end]
+            elif cid == b"data":
+                data = payload[i + 8 : body_end]
+            i = body_end + (ln & 1)  # chunks pad to even offsets
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        channels = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or channels < 1 or rate <= 0 or bits not in (8, 16):
+            return None
+        bytes_per_frame = channels * (bits // 8)
+        n = len(data) // bytes_per_frame
+        if n == 0:
+            return None
+        data = data[: n * bytes_per_frame]
+        if bits == 8:
+            grid = np.frombuffer(data, dtype=np.uint8).reshape(n, channels)
+        else:
+            s16 = np.frombuffer(data, dtype="<i2").reshape(n, channels)
+            grid = ((s16.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+        return rate, channels, grid
+    except Exception:
+        return None
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    dim: int = 16,
+    decoder: Literal["fake", "real"] = "fake",
+    strict: bool = False,
+) -> DataFrame:
+    """Binary audio payload → fixed-dim amplitude histogram, one
+    mapInPandas stage — the audio sibling of extract_image_features.
+
+    ``decoder='real'`` parses WAV (RIFF PCM 8/16-bit, any channel
+    count — channel 0 is featurized; the histogram describes the
+    waveform, not the mix), yielding ``n_samples`` per-channel frames,
+    ``duration_ms = n_samples·1000 // rate`` (integer), and an
+    L1-normalized ``dim``-bin amplitude histogram (float32).
+    Undecodable payloads: zero vector, n_samples = 0, duration 0 —
+    total, or ``strict=True`` raises.  ``decoder='fake'`` histograms
+    raw payload bytes (n_samples = byte count, duration 0) so the
+    plumbing is testable without any container."""
+    if strict and decoder != "real":
+        raise ValueError(
+            "extract_audio_features: strict=True requires decoder='real' "
+            "(the fake byte-histogram path never decodes)"
+        )
+    if dim <= 0 or 256 % dim != 0:
+        raise ValueError(
+            f"extract_audio_features: dim must divide 256, got {dim}"
+        )
+    bin_div = 256 // dim
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def real(b):
+            dec = _decode_wav(bytes(b)) if b else None
+            if dec is None:
+                if strict and b:
+                    raise ValueError(
+                        f"extract_audio_features(strict=True): undecodable "
+                        f"{len(b)}-byte payload (magic {bytes(b)[:4]!r}); "
+                        "built-in decode covers RIFF/WAVE PCM 8/16-bit"
+                    )
+                return 0, 0, np.zeros(dim, dtype=np.float32)
+            rate, _ch, grid = dec
+            wave = grid[:, 0]
+            hist = np.bincount(wave // bin_div, minlength=dim).astype(np.float64)
+            return (
+                len(wave),
+                len(wave) * 1000 // rate,
+                (hist / len(wave)).astype(np.float32),
+            )
+
+        def fake(b):
+            if not b:
+                return 0, 0, np.zeros(dim, dtype=np.float32)
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            hist = np.bincount(arr // bin_div, minlength=dim).astype(np.float64)
+            return len(arr), 0, (hist / len(arr)).astype(np.float32)
+
+        decode = real if decoder == "real" else fake
+        for pdf in it:
+            payloads = pdf[payload_col]
+            decoded = payloads.map(decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "mime": pdf[mime_col],
+                    "n_bytes": payloads.map(
+                        lambda b: 0 if b is None else len(b)
+                    ).astype("int64"),
+                    "n_samples": decoded.map(lambda t: t[0]).astype("int64"),
+                    "duration_ms": decoded.map(lambda t: t[1]).astype("int64"),
+                    "feature": decoded.map(lambda t: t[2].tolist()),
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+def synthesize_media_wav(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Build a REAL-audio media table from any text table: each doc's
+    utf-8 bytes become the unsigned 8-bit PCM samples of a mono WAV —
+    sample i IS text byte i, so SQL oracles derive amplitude
+    histograms, n_samples, and duration from the text alone (n_bytes =
+    44 + len, the canonical-header closed form; no padding anywhere).
+    Empty/NULL text → empty payload.  One mapInPandas pass, no
+    shuffle — the audio sibling of synthesize_media_bmp/_y4m."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, durs = [], []
+            for text in pdf[text_col]:
+                data = (text or "").encode("utf-8")
+                if not data:
+                    payloads.append(b"")
+                    durs.append(0)
+                    continue
+                payloads.append(
+                    encode_wav_pcm8(
+                        np.frombuffer(data, dtype=np.uint8), sample_rate
+                    )
+                )
+                durs.append(len(data) * 1000 // sample_rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "width": np.int32(0),
+                    "height": np.int32(0),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def extract_image_features(
     df: DataFrame,
     *,

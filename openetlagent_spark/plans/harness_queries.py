@@ -1746,6 +1746,37 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, no audio library
+    (functions/multimodal.py synthesize_media_wav +
+    extract_audio_features): documents → mono 8-bit-PCM WAV clips
+    (each doc's utf-8 bytes become the unsigned amplitude samples of a
+    canonical RIFF/WAVE container) → the built-in RIFF parser decodes
+    the waveform back and histograms the amplitudes.  Completes the
+    image/video/audio modality triple, all with real standard
+    containers and pure-Python decoders.  n_bytes is the canonical
+    44-byte-header closed form, n_samples the decoded frame count,
+    duration_ms the integer n_samples·1000 // rate, and hist the
+    re-integerized per-bin amplitude counts — every column
+    text-derivable, so the oracle needs no audio model."""
+    from ..functions.multimodal import extract_audio_features, synthesize_media_wav
+
+    media = synthesize_media_wav(_ts(spark, sf_dir, "documents"))
+    feats = extract_audio_features(media, dim=16, decoder="real")
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "n_samples",
+        "duration_ms",
+        F.expr(
+            "array_join(transform(feature, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * CAST(n_samples AS DOUBLE)) AS BIGINT)"
+            "), ',')"
+        ).alias("hist"),
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join, batch form (identical lazy plan to
     what each micro-batch executes — streaming/events.enrich_stream):
@@ -3328,6 +3359,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "image_decode": q_image_decode,
     "video_frames": q_video_frames,
+    "audio_features": q_audio_features,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
@@ -4265,6 +4297,31 @@ SELECT sf.media_id, CAST(sf.fidx AS INTEGER) AS frame_index,
        CAST(136 AS BIGINT) AS n_bytes, CAST(64 AS BIGINT) AS n_pixels,
        {_VF_HIST} AS hist
 FROM sf LEFT JOIN cnt c ON sf.media_id = c.media_id AND sf.fidx = c.fidx
+"""
+
+# audio_features: WAV synth → real RIFF/PCM decode.  Sample i IS text
+# byte i (no padding anywhere), so every column is text-derivable:
+# n_bytes = 44 + len (canonical header), n_samples = len,
+# duration_ms = len·1000 // 8000 = len // 8, bins = per-char counts.
+_AF_BINS = ", ".join(
+    f"SUM(CASE WHEN ascii(ch) // 16 = {b} THEN 1 ELSE 0 END) AS c{b}"
+    for b in range(16)
+)
+_AF_HIST = " || ',' || ".join(
+    f"CAST(COALESCE(c.c{b}, 0) AS VARCHAR)" for b in range(16)
+)
+HARNESS_ORACLES["audio_features"] = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  COALESCE(length(text),0) AS len, text FROM documents),
+chars AS (SELECT media_id, unnest(string_split_regex(text,'')) AS ch
+          FROM d WHERE len > 0),
+cnt AS (SELECT media_id, {_AF_BINS} FROM chars GROUP BY media_id)
+SELECT d.media_id, 'audio/wav' AS mime,
+       CAST(CASE WHEN d.len > 0 THEN 44 + d.len ELSE 0 END AS BIGINT) AS n_bytes,
+       CAST(d.len AS BIGINT) AS n_samples,
+       CAST(d.len // 8 AS BIGINT) AS duration_ms,
+       {_AF_HIST} AS hist
+FROM d LEFT JOIN cnt c USING (media_id)
 """
 
 _IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)

@@ -1395,3 +1395,80 @@ def test_sample_frames_rejects_nonpositive_n_frames(spark):
     )
     with _pytest.raises(ValueError, match="n_frames"):
         sample_frames(media, n_frames=0, decoder="real")
+
+
+# --- real audio: WAV / RIFF PCM (round 10) -------------------------------------
+
+
+def test_wav_roundtrip_and_16bit_stereo():
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import _decode_wav, encode_wav_pcm8
+
+    rng = np.random.RandomState(2)
+    s = rng.randint(0, 256, 1000).astype(np.uint8)
+    p = encode_wav_pcm8(s, 8000)
+    assert len(p) == 44 + 1000  # canonical-header closed form
+    rate, ch, grid = _decode_wav(p)
+    assert rate == 8000 and ch == 1 and (grid[:, 0] == s).all()
+    # 16-bit stereo: channel 0 quantizes to the shared uint8 domain
+    frames = rng.randint(-32768, 32768, (50, 2)).astype("<i2")
+    data = frames.tobytes()
+    wav16 = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (44100 * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    rate, ch, grid = _decode_wav(wav16)
+    want = ((frames[:, 0].astype(np.int32) + 32768) >> 8).astype(np.uint8)
+    assert rate == 44100 and ch == 2 and (grid[:, 0] == want).all()
+    # unknown odd-sized chunk skipped via pad byte
+    wav_list = (
+        b"RIFF" + (36 + 9 + 1 + 8 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"LIST" + (9).to_bytes(4, "little") + b"INFOxxxxx" + b"\x00"
+        + wav16[12:]
+    )
+    assert _decode_wav(wav_list) is not None
+    # rejects: foreign magic, truncated data chunk, header-only
+    assert _decode_wav(b"OggS" + b"\x00" * 100) is None
+    assert _decode_wav(p[:-5]) is None
+    assert _decode_wav(b"RIFFxxxxWAVE") is None
+
+
+def test_extract_audio_features_real_and_strict(spark):
+    import numpy as np
+
+    from openetlagent_spark.functions.multimodal import (
+        extract_audio_features,
+        synthesize_media_wav,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="audio sample text!"), Row(doc_id=2, text="")]
+    )
+    media = synthesize_media_wav(docs)
+    rows = {r.media_id: r for r in
+            extract_audio_features(media, dim=16, decoder="real").collect()}
+    t = "audio sample text!"
+    assert rows[1].n_bytes == 44 + len(t)
+    assert rows[1].n_samples == len(t)
+    assert rows[1].duration_ms == len(t) * 1000 // 8000
+    hist = np.round(np.array(rows[1].feature, dtype=np.float64) * len(t)).astype(int)
+    import collections
+
+    want = collections.Counter(ord(c) // 16 for c in t)
+    assert hist.tolist() == [want.get(b, 0) for b in range(16)]
+    assert rows[2].n_samples == 0 and not any(rows[2].feature)
+    # strict raises on undecodable non-empty payloads
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([Row(media_id=9, payload=bytearray(b"OggSxxxx"),
+                                     mime="audio/ogg")])
+    with _pytest.raises(Exception, match="undecodable"):
+        extract_audio_features(bad, decoder="real", strict=True).collect()
+    # total by default: zero row, not a task failure
+    r = extract_audio_features(bad, decoder="real").collect()[0]
+    assert r.n_samples == 0 and r.n_bytes == 8

@@ -936,3 +936,13 @@ def test_video_frames_is_three_mapinpandas_no_shuffle(spark):
     assert count_shuffles(plan) == 0
     assert "Join" not in physical
     assert physical.count("MapInPandas") == 3
+
+
+def test_audio_features_is_two_mapinpandas_no_shuffle(spark):
+    """Audio synth + decode/featurize: two mapInPandas stages, zero
+    shuffles, no joins — same embarrassingly-parallel shape as images."""
+    plan = plan_of(spark, "audio_features")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert count_shuffles(plan) == 0
+    assert "Join" not in physical
+    assert physical.count("MapInPandas") == 2
