@@ -69,6 +69,127 @@ def within_tolerance_pairs(
     )
 
 
+def _time_micros(df: DataFrame, col_name: str) -> Column:
+    """Epoch MICROSECONDS as BIGINT — the integer time axis the overlap
+    join computes on (integer bucket/compare/subtract math is bit-exact
+    across engines; Spark unix_micros == DuckDB epoch_us, the proven
+    unix_millis/epoch_ms pair at µs precision).  Numeric columns are
+    treated as seconds and scaled."""
+    dtype = dict(df.dtypes)[col_name]
+    col = F.col(col_name)
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp"))
+    return (col.cast("double") * F.lit(1_000_000.0)).cast("long")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_id: str,
+    right_id: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width_seconds: float = 3600.0,
+    max_interval_buckets: int = 10_000,
+) -> DataFrame:
+    """Interval × interval OVERLAP join — each same-``key`` pair whose
+    ranges intersect (``l_start ≤ r_end AND r_start ≤ l_end``), with the
+    exact overlap length: (key, left_id, right_id, overlap_us).  The
+    missing sibling of point_in_interval_join (sessions × incidents,
+    shipping windows × promotions, shifts × outages).
+
+    Plan shape — never a cross join, never a dedup shuffle:
+
+    1. both sides explode into every bucket their interval spans
+       (span-capped like point_in_interval_join — degenerate intervals
+       refuse loudly);
+    2. ONE equi-shuffle on (key, bucket);
+    3. exact overlap post-filter, PLUS the canonical-bucket condition
+       ``bucket == greatest(l_start, r_start) DIV width``: a true pair
+       shares every bucket between the later start and the earlier end,
+       but the later start lies inside BOTH intervals (that is what
+       overlap means), so exactly one joined copy survives — no
+       dropDuplicates pass, the result is distinct by construction.
+
+    All time math is integer microseconds (_time_micros), so bucket
+    ids, the overlap predicate, and ``overlap_us`` are bit-exact in any
+    engine.  NULL keys/bounds are excluded (SQL join semantics)."""
+    if bucket_width_seconds <= 0:
+        raise ValueError("interval_overlap_join: bucket_width_seconds must be positive")
+    width_us = int(bucket_width_seconds * 1_000_000)
+
+    def prep(df: DataFrame, id_col: str, s_col: str, e_col: str, tag: str) -> DataFrame:
+        s = _time_micros(df, s_col)
+        e = _time_micros(df, e_col)
+        out = df.select(
+            F.col(key).alias("__k__"),
+            F.col(id_col).alias(f"__id_{tag}__"),
+            s.alias(f"__s_{tag}__"),
+            e.alias(f"__e_{tag}__"),
+        ).filter(
+            F.col("__k__").isNotNull()
+            & F.col(f"__s_{tag}__").isNotNull()
+            & F.col(f"__e_{tag}__").isNotNull()
+            & (F.col(f"__s_{tag}__") <= F.col(f"__e_{tag}__"))
+        )
+        span = (
+            F.floor(F.col(f"__e_{tag}__") / F.lit(width_us))
+            - F.floor(F.col(f"__s_{tag}__") / F.lit(width_us))
+        ).cast("long")
+        out = out.withColumn("__span__", span)
+        out = out.withColumn(
+            "__span__",
+            F.when(
+                F.col("__span__") > max_interval_buckets,
+                F.raise_error(
+                    F.concat(
+                        F.lit("interval_overlap_join: interval spans more than "),
+                        F.lit(str(max_interval_buckets)),
+                        F.lit(" buckets; raise bucket_width_seconds"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("__span__")),
+        )
+        return out.withColumn(
+            "__b__",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__span__")),
+                    lambda i: F.floor(F.col(f"__s_{tag}__") / F.lit(width_us)).cast(
+                        "long"
+                    )
+                    + i,
+                )
+            ),
+        ).drop("__span__")
+
+    lf = prep(left, left_id, left_start, left_end, "l")
+    rf = prep(right, right_id, right_start, right_end, "r")
+    later_start = F.greatest(F.col("__s_l__"), F.col("__s_r__"))
+    return (
+        lf.join(rf, ["__k__", "__b__"])
+        .filter(
+            (F.col("__s_l__") <= F.col("__e_r__"))
+            & (F.col("__s_r__") <= F.col("__e_l__"))
+            # canonical bucket: the one containing the later start —
+            # spanned by both sides, so each true pair joins exactly once
+            & (F.col("__b__") == F.floor(later_start / F.lit(width_us)).cast("long"))
+        )
+        .select(
+            F.col("__k__").alias(key),
+            F.col("__id_l__").alias(left_id),
+            F.col("__id_r__").alias(right_id),
+            (
+                F.least(F.col("__e_l__"), F.col("__e_r__")) - later_start
+            ).alias("overlap_us"),
+        )
+    )
+
+
 def point_in_interval_join(
     points: DataFrame,
     intervals: DataFrame,

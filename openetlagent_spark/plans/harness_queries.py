@@ -1777,6 +1777,43 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (functions/range_join.py
+    interval_overlap_join — the missing sibling of the point-in-range
+    shape): each user's view windows [ts, ts+10min] overlapped against
+    the same user's purchase windows, with the exact overlap length in
+    integer microseconds.  Bucketed expansion + ONE equi-shuffle on
+    (user, bucket); each true pair survives exactly once via the
+    canonical-bucket condition (the bucket holding the later start lies
+    inside both intervals), so there is no dedup pass to pay for.  The
+    oracle states the same semantics as a plain inequality join —
+    feasible at sf, which is the point of checking the blocked plan
+    against it."""
+    from ..functions.range_join import interval_overlap_join
+    from ..streaming import read_event_table
+
+    events = read_event_table(spark, f"{sf_dir}/events.parquet")
+    win = F.expr("ts + INTERVAL 10 MINUTES")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts", win.alias("te")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", win.alias("te")
+    )
+    return interval_overlap_join(
+        views,
+        buys,
+        key="user_id",
+        left_id="view_id",
+        right_id="purchase_id",
+        left_start="ts",
+        left_end="te",
+        right_start="ts",
+        right_end="te",
+        bucket_width_seconds=600.0,
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join, batch form (identical lazy plan to
     what each micro-batch executes — streaming/events.enrich_stream):
@@ -3360,6 +3397,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_decode": q_image_decode,
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
+    "interval_join": q_interval_join,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
@@ -4322,6 +4360,23 @@ SELECT d.media_id, 'audio/wav' AS mime,
        CAST(d.len // 8 AS BIGINT) AS duration_ms,
        {_AF_HIST} AS hist
 FROM d LEFT JOIN cnt c USING (media_id)
+"""
+
+# interval_join: the oracle is the PLAIN inequality join over the same
+# integer-microsecond axis (epoch_us == Spark unix_micros) — feasible
+# at test SF, which is what certifies the bucket-blocked plan.
+HARNESS_ORACLES["interval_join"] = """
+WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + 600000000 AS e
+           FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL),
+p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT v.user_id, v.view_id, p.purchase_id,
+       CAST(LEAST(v.e, p.e) - GREATEST(v.s, p.s) AS BIGINT) AS overlap_us
+FROM v JOIN p ON v.user_id = p.user_id AND v.s <= p.e AND p.s <= v.e
 """
 
 _IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)

@@ -946,3 +946,14 @@ def test_audio_features_is_two_mapinpandas_no_shuffle(spark):
     assert count_shuffles(plan) == 0
     assert "Join" not in physical
     assert physical.count("MapInPandas") == 2
+
+
+def test_interval_join_single_equi_shuffle_no_cartesian(spark):
+    """The interval overlap join must plan as ONE (key, bucket)
+    equi-shuffle pair — never a nested-loop/cartesian on the
+    inequality predicate, never a dedup exchange."""
+    plan = plan_of(spark, "interval_join")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert count_shuffles(plan) <= 2  # one per side of the equi-join

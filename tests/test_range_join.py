@@ -79,3 +79,60 @@ def test_point_in_interval_rejects_pathological_span(spark):
     )
     with pytest.raises(Exception, match="spans more than"):
         out.collect()
+
+
+# --- interval_overlap_join (round 10) -----------------------------------------
+
+
+def test_interval_overlap_join_exact_and_distinct(spark):
+    """Pairs spanning MANY shared buckets still emit exactly once (the
+    canonical-bucket condition), with exact integer overlap lengths."""
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.range_join import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lid=10, s=0.0, e=10_000.0),     # spans many 600s buckets
+            Row(k=1, lid=11, s=500.0, e=600.0),
+            Row(k=2, lid=20, s=0.0, e=100.0),
+            Row(k=None, lid=30, s=0.0, e=100.0),     # NULL key excluded
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rid=100, s=9_500.0, e=12_000.0),  # overlaps lid=10 only
+            Row(k=1, rid=101, s=550.0, e=560.0),       # inside 10 AND 11
+            Row(k=2, rid=200, s=200.0, e=300.0),       # same key, no overlap
+        ]
+    )
+    out = interval_overlap_join(
+        left, right,
+        key="k", left_id="lid", right_id="rid",
+        left_start="s", left_end="e", right_start="s", right_end="e",
+        bucket_width_seconds=600.0,
+    ).collect()
+    got = {(r.k, r.lid, r.rid): r.overlap_us for r in out}
+    assert got == {
+        (1, 10, 100): 500_000_000,   # [9500, 10000] = 500 s
+        (1, 10, 101): 10_000_000,    # [550, 560]
+        (1, 11, 101): 10_000_000,
+    }
+    assert len(out) == len(got)  # distinct by construction, no dup rows
+
+
+def test_interval_overlap_join_refuses_degenerate_span(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.range_join import interval_overlap_join
+
+    left = spark.createDataFrame([Row(k=1, lid=1, s=0.0, e=1e12)])
+    right = spark.createDataFrame([Row(k=1, rid=2, s=0.0, e=1.0)])
+    with _pytest.raises(Exception, match="spans more than"):
+        interval_overlap_join(
+            left, right,
+            key="k", left_id="lid", right_id="rid",
+            left_start="s", left_end="e", right_start="s", right_end="e",
+            bucket_width_seconds=1.0, max_interval_buckets=100,
+        ).collect()
