@@ -1814,6 +1814,34 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION end-to-end — the record-linkage composition:
+    blocked bounded-Levenshtein pairs (same params as fuzzy_join) fed
+    through distributed connected components, then the keep-best
+    survivor policy over the documents table (longest n_chars wins,
+    min doc_id ties).  The edit-distance sibling of semantic_dedup:
+    where that one clusters by embedding similarity, this clusters the
+    near-identical STRINGS a crawl's URL/title/boilerplate variants
+    produce.  All three stages are existing exact-oracle operators
+    (fuzzy_join, dedup_clusters, dedup_keep_best); the oracle chains
+    the same generated pair SQL through the recursive-closure CTE and
+    the identical rank policy — stage composition, so none can drift.
+
+    Scale shape: pair mining is block-bucketed (never all-pairs, the
+    fuzzy_block_stats-audited candidate volume), components hold only
+    clustered nodes, and the corpus is touched by one score join and
+    one anti join."""
+    from ..functions.fuzzy import fuzzy_pairs
+    from ..functions.graph import dedup_keep_best
+
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    meta = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pairs = fuzzy_pairs(docs, "doc_id", "text", max_dist=8)
+    return dedup_keep_best(meta, pairs, "doc_id", "n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join, batch form (identical lazy plan to
     what each micro-batch executes — streaming/events.enrich_stream):
@@ -3398,6 +3426,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
     "interval_join": q_interval_join,
+    "fuzzy_dedup": q_fuzzy_dedup,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
@@ -4130,6 +4159,17 @@ HARNESS_ORACLES["semantic_dedup"] = _keep_best_oracle_sql(
     "SELECT id_a, id_b FROM ("
     + _embedding_pairs_oracle_sql(threshold=0.3)
     + ") ep",
+    "documents",
+    "doc_id",
+    "n_chars",
+    ["doc_id", "source", "n_chars"],
+)
+
+# fuzzy_dedup chains the fuzzy-pair oracle through the same closure CTE
+# + rank policy — the edit-distance sibling of semantic_dedup; stage
+# composition over generated SQL so no stage can drift
+HARNESS_ORACLES["fuzzy_dedup"] = _keep_best_oracle_sql(
+    "SELECT id_a, id_b FROM (" + _fuzzy_pairs_oracle_sql(max_dist=8) + ") fp",
     "documents",
     "doc_id",
     "n_chars",

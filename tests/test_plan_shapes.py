@@ -957,3 +957,13 @@ def test_interval_join_single_equi_shuffle_no_cartesian(spark):
     assert "CartesianProduct" not in physical
     assert "BroadcastNestedLoopJoin" not in physical
     assert count_shuffles(plan) <= 2  # one per side of the equi-join
+
+
+def test_fuzzy_dedup_no_cartesian_and_anti_join(spark):
+    """Entity resolution composes blocked pairs -> components ->
+    keep-best: never a cartesian, and the corpus leaves through one
+    broadcast anti join (losers are a bounded set at any SF)."""
+    plan = plan_of(spark, "fuzzy_dedup")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical
+    assert "LeftAnti" in physical
