@@ -592,3 +592,65 @@ FROM __rl_s
 GROUP BY range_id
 ORDER BY range_id ASC
 """
+
+
+# --- snapshot diff ------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two table versions — the audit primitive
+    behind every incremental-refresh validation ("what did this batch
+    actually change?"): each key labeled ``added`` (only in new),
+    ``removed`` (only in old), ``changed`` (present in both, any
+    compare column differs), or ``unchanged``.  Returns the key columns
+    plus ``diff_status``.
+
+    NULL-SAFE comparison (``<=>``): a column going NULL→value or
+    value→NULL counts as changed, NULL→NULL as unchanged — plain ``=``
+    would silently label both as changed-or-not-at-all depending on
+    engine NULL semantics.  Keys must be unique per side (a duplicated
+    key would fan the full-outer join; enforce upstream with
+    dedup_exact).
+
+    Scale: ONE full-outer equi-join on the key — co-partitioned both
+    sides, no broadcast assumption (both snapshots are corpus-scale);
+    Catalyst plans a sort-merge join, the right shape at 100 TB."""
+    if not key_cols or not compare_cols:
+        raise ValueError("snapshot_diff requires key_cols and compare_cols")
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__oc_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__nc_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__oc_{c}").eqNullSafe(F.col(f"__nc_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+            for k in key_cols
+        ],
+        status.alias("diff_status"),
+    )

@@ -951,6 +951,58 @@ FROM lineitem
 """
 
 
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (p25/p50/p75/p90 of l_extendedprice
+    within each return flag) — discrete quantiles: the value at rank
+    ⌈q·n⌉ in the fully-determined order (value, orderkey, linenumber).
+    Reuses quantile_bins' two-phase grouped prefix rank (range
+    exchange, pid-local sorts — never a 3-value window partition); the
+    quantile cut is then a rank-equality filter plus a 3-row pivot.
+    Exact and deterministic at any SF — the per-group companion of the
+    global quantile sketch, for when a curation gate needs true
+    per-source thresholds rather than approximations."""
+    from ..functions.curation import two_phase_group_rank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    ranked = two_phase_group_rank(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "_x_rnk",
+        count_column="_x_n",
+    )
+    qs = {"p25": 25, "p50": 50, "p75": 75, "p90": 90}
+    # rank ⌈q·n⌉ in pure integer math: (n·pct + 99) DIV 100
+    conds = [
+        F.max(
+            F.when(
+                F.expr(f"_x_rnk = (_x_n * {pct} + 99) DIV 100"),
+                F.col("l_extendedprice"),
+            )
+        ).alias(name)
+        for name, pct in qs.items()
+    ]
+    return ranked.groupBy("l_returnflag").agg(*conds)
+
+
+GROUPED_QUANTILES_SQL = """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rnk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       MAX(CASE WHEN rnk = (n * 25 + 99) // 100 THEN l_extendedprice END) AS p25,
+       MAX(CASE WHEN rnk = (n * 50 + 99) // 100 THEN l_extendedprice END) AS p50,
+       MAX(CASE WHEN rnk = (n * 75 + 99) // 100 THEN l_extendedprice END) AS p75,
+       MAX(CASE WHEN rnk = (n * 90 + 99) // 100 THEN l_extendedprice END) AS p90
+FROM r GROUP BY l_returnflag
+"""
+
+
 def q_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence over the event stream: for every
     unordered event-type pair (a < b), how many users performed both,
@@ -2173,6 +2225,7 @@ ANALYTICS_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "robust_scale": q_robust_scale,
     "quantile_bins": q_quantile_bins,
+    "grouped_quantiles": q_grouped_quantiles,
     "cooccurrence_pairs": q_cooccurrence_pairs,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
@@ -2223,6 +2276,7 @@ ANALYTICS_ORACLES = {
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "robust_scale": ROBUST_SCALE_SQL,
     "quantile_bins": QUANTILE_BINS_SQL,
+    "grouped_quantiles": GROUPED_QUANTILES_SQL,
     "cooccurrence_pairs": COOCCURRENCE_SQL,
     "set_intersect": SET_INTERSECT_SQL,
     "set_except": SET_EXCEPT_SQL,

@@ -1842,6 +1842,35 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff (functions/profile.py snapshot_diff): two
+    deterministic snapshots of orders — old drops keys ≡ 3 (mod 11),
+    new drops keys ≡ 5 (mod 13) and bumps o_totalprice on keys ≡ 0
+    (mod 9) — diffed into added/removed/changed/unchanged labels via
+    ONE co-partitioned full-outer join (sort-merge at scale, both
+    sides corpus-sized), then counted by status.  NULL-safe column
+    comparison.  The refresh-validation audit every incremental
+    pipeline runs."""
+    from ..functions.profile import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 11 != 3)
+    new = orders.filter(F.col("o_orderkey") % 13 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 9 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return diff.groupBy("diff_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join, batch form (identical lazy plan to
     what each micro-batch executes — streaming/events.enrich_stream):
@@ -3427,6 +3456,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "interval_join": q_interval_join,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "snapshot_diff": q_snapshot_diff,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
@@ -4417,6 +4447,26 @@ p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS s,
 SELECT v.user_id, v.view_id, p.purchase_id,
        CAST(LEAST(v.e, p.e) - GREATEST(v.s, p.s) AS BIGINT) AS overlap_us
 FROM v JOIN p ON v.user_id = p.user_id AND v.s <= p.e AND p.s <= v.e
+"""
+
+# snapshot_diff: plain FULL OUTER JOIN restatement of the same two
+# deterministic snapshots; o_totalprice+1.0 is exact in both engines
+# (DOUBLE + 1 at these magnitudes), so 'changed' sets agree bit-wise.
+HARNESS_ORACLES["snapshot_diff"] = """
+WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 11 <> 3),
+n AS (SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 5),
+d AS (SELECT CASE
+        WHEN o.o_orderkey IS NULL THEN 'added'
+        WHEN n.o_orderkey IS NULL THEN 'removed'
+        WHEN (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+         AND (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        THEN 'unchanged' ELSE 'changed' END AS diff_status
+      FROM o FULL OUTER JOIN n USING (o_orderkey))
+SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY diff_status
 """
 
 _IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)

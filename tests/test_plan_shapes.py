@@ -967,3 +967,12 @@ def test_fuzzy_dedup_no_cartesian_and_anti_join(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in physical
     assert "LeftAnti" in physical
+
+
+def test_snapshot_diff_sort_merge_full_outer(spark):
+    """Both snapshots are corpus-scale: the diff must plan as a
+    co-partitioned sort-merge FULL OUTER join, never a broadcast of
+    either side."""
+    plan = plan_of(spark, "snapshot_diff")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in physical and "FullOuter" in physical

@@ -297,3 +297,47 @@ def test_range_layout_audit_slices_and_pruning(spark):
                            probe_lo="2024-06-01", probe_hi="2024-06-02")
     with _pytest.raises(ValueError, match="probe"):
         range_layout_audit(spark.createDataFrame(rows), "ts")
+
+
+# --- snapshot_diff (round 10) --------------------------------------------------
+
+
+def test_snapshot_diff_labels_all_four_statuses(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a", w=1.0), Row(k=2, v="b", w=2.0), Row(k=3, v=None, w=3.0)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a", w=1.0),      # unchanged
+         Row(k=2, v="B", w=2.0),      # changed (v)
+         Row(k=4, v="d", w=4.0)]      # added; k=3 removed
+    )
+    got = {r.k: r.diff_status for r in
+           snapshot_diff(old, new, ["k"], ["v", "w"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.profile import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    got = {r.k: r.diff_status for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    # NULL == NULL -> unchanged; value -> NULL -> changed
+    assert got == {1: "unchanged", 2: "changed"}
+
+
+def test_snapshot_diff_requires_cols(spark):
+    import pytest as _pytest
+
+    from openetlagent_spark.functions.profile import snapshot_diff
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="requires"):
+        snapshot_diff(df, df, [], ["id"])
