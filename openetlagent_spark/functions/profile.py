@@ -654,3 +654,52 @@ def snapshot_diff(
         ],
         status.alias("diff_status"),
     )
+
+
+# --- join cardinality audit -----------------------------------------------------
+
+
+def join_explosion_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight audit for an equi-join: the EXACT output cardinality
+    each key would contribute (``n_left · n_right``) and its share of
+    the total — run it before a production join to catch the skewed /
+    exploding keys that turn a shuffle into one straggler task (the
+    companion of key_skew_report, which audits one table; this audits
+    the PAIR).  Returns the ``top_k`` keys by contribution:
+    (key, n_left, n_right, out_rows, share).
+
+    NULL keys are excluded (an inner equi-join drops them anyway).
+    Scale: each side collapses to its per-key count FIRST (map-side
+    partial aggregation), so the join here is count-table × count-table
+    — never the fact tables; the 1-row total broadcasts."""
+    if top_k <= 0:
+        raise ValueError(f"join_explosion_audit: top_k must be positive, got {top_k}")
+    lc = (
+        left.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    prod = lc.join(rc, key_col).withColumn(
+        "out_rows", (F.col("n_left") * F.col("n_right")).cast("long")
+    )
+    total = prod.agg(F.sum("out_rows").alias("__total"))
+    return (
+        prod.join(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.col("out_rows").cast("double") / F.col("__total").cast("double"),
+        )
+        .drop("__total")
+        .orderBy(F.desc("out_rows"), F.asc(key_col))
+        .limit(top_k)
+    )

@@ -1871,6 +1871,25 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join explosion audit (functions/profile.py
+    join_explosion_audit): before joining view events against click
+    events on user_id, compute the EXACT per-key output cardinality
+    (n_views · n_clicks), its share of the total, and rank the top 10
+    contributors — the skew pre-flight that tells you which keys to
+    salt BEFORE the shuffle straggles.  Each fact side collapses to a
+    per-key count first (map-side partials); the audit join is
+    count-table × count-table, never the facts; the total broadcasts
+    as one row.  share is ONE IEEE division — engine-exact."""
+    from ..functions.profile import join_explosion_audit
+    from ..streaming import read_event_table
+
+    events = read_event_table(spark, f"{sf_dir}/events.parquet")
+    views = events.filter(F.col("event_type") == "view")
+    clicks = events.filter(F.col("event_type") == "click")
+    return join_explosion_audit(views, clicks, "user_id", top_k=10)
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join, batch form (identical lazy plan to
     what each micro-batch executes — streaming/events.enrich_stream):
@@ -3457,6 +3476,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "fuzzy_dedup": q_fuzzy_dedup,
     "snapshot_diff": q_snapshot_diff,
+    "join_cardinality": q_join_cardinality,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
@@ -4467,6 +4487,24 @@ d AS (SELECT CASE
         THEN 'unchanged' ELSE 'changed' END AS diff_status
       FROM o FULL OUTER JOIN n USING (o_orderkey))
 SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY diff_status
+"""
+
+# join_cardinality: count-table x count-table restated in plain SQL;
+# the share is one IEEE division of exact BIGINTs.
+HARNESS_ORACLES["join_cardinality"] = """
+WITH l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_left FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id),
+r AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_right FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL GROUP BY user_id),
+p AS (SELECT l.user_id, n_left, n_right,
+             CAST(n_left * n_right AS BIGINT) AS out_rows
+      FROM l JOIN r ON l.user_id = r.user_id),
+t AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS total FROM p)
+SELECT p.user_id, p.n_left, p.n_right, p.out_rows,
+       CAST(p.out_rows AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM p, t
+ORDER BY p.out_rows DESC, p.user_id ASC
+LIMIT 10
 """
 
 _IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)

@@ -976,3 +976,14 @@ def test_snapshot_diff_sort_merge_full_outer(spark):
     plan = plan_of(spark, "snapshot_diff")
     physical = plan.split("== Physical Plan ==")[-1]
     assert "SortMergeJoin" in physical and "FullOuter" in physical
+
+
+def test_join_cardinality_joins_count_tables_only(spark):
+    """The audit join runs over per-key COUNT tables (partial
+    aggregation below the exchange), the 1-row total broadcasts, and
+    the top-k plans as TakeOrdered — never a global sort."""
+    plan = plan_of(spark, "join_cardinality")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in physical
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
+    assert physical.count("partial_count") >= 2

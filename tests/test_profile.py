@@ -341,3 +341,22 @@ def test_snapshot_diff_requires_cols(spark):
     df = spark.range(1)
     with _pytest.raises(ValueError, match="requires"):
         snapshot_diff(df, df, [], ["id"])
+
+
+def test_join_explosion_audit_products_and_share(spark):
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.profile import join_explosion_audit
+
+    left = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=1), Row(k=2), Row(k=None)]
+    )
+    right = spark.createDataFrame([Row(k=1), Row(k=1), Row(k=2), Row(k=3)])
+    rows = join_explosion_audit(left, right, "k").collect()
+    got = {r.k: (r.n_left, r.n_right, r.out_rows, r.share) for r in rows}
+    # k=1: 3*2=6, k=2: 1*1=1, total 7; k=3 and NULL never join
+    assert got[1][:3] == (3, 2, 6) and abs(got[1][3] - 6 / 7) < 1e-15
+    assert got[2][:3] == (1, 1, 1)
+    assert set(got) == {1, 2}
+    # ranked by contribution
+    assert [r.k for r in rows] == [1, 2]
