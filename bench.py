@@ -254,6 +254,14 @@ HEADLINE = [
     "skipgram_pairs",
     "negative_sampling",
     "layout_audit",
+    # round 10
+    "video_frames",
+    "audio_features",
+    "interval_join",
+    "fuzzy_dedup",
+    "grouped_quantiles",
+    "snapshot_diff",
+    "join_cardinality",
 ]
 
 

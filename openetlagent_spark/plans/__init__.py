@@ -23,19 +23,20 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     unicode_nfc, stats_skew, value_histogram, vocab_oov,
 #     text_scrub, plus stats_moments, quantile_bins, robust_scale,
 #     diversity_sample) — clears every driver row older than r05;
-# (b) 35 of the 50 r05-hashed rows, the 7 original backfill rows
+# (b) 28 of the 50 r05-hashed rows, the 7 original backfill rows
 #     (bind_salted, window_range_frame, window_distribution, funnel,
-#     event_paths, top_p_sources, tpch_q8) first, then 28 more,
-#     trailing with the lowest-risk rows (repeatedly green in every
-#     full sweep) as the swap-out candidates for round-10 additions.
-# Deferred to r11 (15 r05 rows that did not fit): tpch_q9 / q11 /
+#     event_paths, top_p_sources, tpch_q8) first;
+# (c) the 7 round-10 additions (video_frames, audio_features,
+#     interval_join, fuzzy_dedup, grouped_quantiles, snapshot_diff,
+#     join_cardinality) in the trailing slots — each swapped in only
+#     after a local driver-strength exact check, keeping
+#     never-driver-checked count at zero.
+# Deferred to r11 (22 r05 rows that did not fit): tpch_q9 / q11 /
 # q13 / q15 / q16 / q17 / q20 / q21, sorted_layout,
 # partitioned_layout, zorder_layout, quantile_filter, events_sliding,
-# trending_topk, training_shards — all pure-SQL / layout rows whose
-# full exact sweeps have stayed green since r05.
-# Queries ADDED during round 10 swap into the trailing slots
-# (newest-first) once each passes a local driver-strength exact
-# check, keeping never-driver-checked count at zero.
+# trending_topk, training_shards, tokenize_ids, gopher_rules,
+# stream_sink, stats_corr, skew_report, neardup_store,
+# near_contamination — all repeatedly green in every full sweep.
 # Every name below passed the full 215-query exact-mode sweep run in
 # the r09 judge session.  Local `scripts/check_oracle.py` runs the
 # full set regardless of order.
@@ -45,7 +46,7 @@ _ROUND10_FRONT = [
     "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
     "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
     "robust_scale", "diversity_sample",
-    # r05 rows (35) — the 7 original backfill rows first
+    # r05 rows (28) — the 7 original backfill rows first
     "bind_salted", "window_range_frame", "window_distribution",
     "funnel", "event_paths", "top_p_sources", "tpch_q8",
     # then the dedup / curation / text / embedding r05 block
@@ -55,10 +56,17 @@ _ROUND10_FRONT = [
     "dedup_ngram", "dedup_store", "embedding_centroids",
     "embedding_stats", "global_shuffle", "incremental_dedup",
     "incremental_neardup", "inverted_index", "line_dedup",
-    "near_contamination", "neardup_store", "pack_sequences",
-    "semantic_dedup", "skew_report", "stats_corr", "stream_sink",
-    # trailing swap-out candidates for round-10 additions
-    "tokenize_ids", "gopher_rules",
+    "pack_sequences", "semantic_dedup",
+    # round-10 additions (7) — each swapped in after a local
+    # driver-strength exact check, displacing the 7 lowest-risk
+    # trailing r05 rows (tokenize_ids, gopher_rules, stream_sink,
+    # stats_corr, skew_report, neardup_store, near_contamination —
+    # all repeatedly green; they join the r11 backlog).
+    # pack_sequences and semantic_dedup stay: their implementing
+    # modules (curation.py, dedup machinery) changed this round, so
+    # they double as changed-file sentinels.
+    "video_frames", "audio_features", "interval_join", "fuzzy_dedup",
+    "grouped_quantiles", "snapshot_diff", "join_cardinality",
 ]
 
 
