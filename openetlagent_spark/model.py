@@ -558,7 +558,13 @@ class RangeJoinOperation(Operation):
     kind='tolerance': SELF pair join — rows sharing ``key`` with
     |t_a - t_b| <= tolerance seconds (bucketed, one shuffle).
     kind='interval': point-in-interval join against a right side
-    resolved like bind's (start_column <= t <= end_column per key)."""
+    resolved like bind's (start_column <= t <= end_column per key).
+    kind='overlap': interval × interval overlap join — the current
+    frame's [left_start_column, left_end_column] ranges against the
+    right side's [start_column, end_column] ranges per ``key``,
+    emitting (key, left_id, right_id, overlap_us); dup-free by the
+    canonical-bucket condition (functions/range_join.py
+    interval_overlap_join)."""
 
     kind: str = "tolerance"
     # tolerance (self-join)
@@ -575,11 +581,31 @@ class RangeJoinOperation(Operation):
     end_column: str = ""
     value_columns: list[str] = field(default_factory=list)
     bucket_width: float = 3600.0
+    # overlap (two-sided interval × interval)
+    left_id_column: str = ""
+    right_id_column: str = ""
+    left_start_column: str = ""
+    left_end_column: str = ""
     operation_type: str = "range_join"
 
     def __post_init__(self) -> None:
-        if self.kind not in ("tolerance", "interval"):
-            raise SpecError(f"range_join kind must be tolerance/interval, got {self.kind!r}")
+        if self.kind not in ("tolerance", "interval", "overlap"):
+            raise SpecError(
+                f"range_join kind must be tolerance/interval/overlap, got {self.kind!r}"
+            )
+        if self.kind == "overlap":
+            for f_name in (
+                "right_file_path", "key", "left_id_column", "right_id_column",
+                "left_start_column", "left_end_column", "start_column",
+                "end_column",
+            ):
+                if not getattr(self, f_name):
+                    raise SpecError(f"range_join kind='overlap' requires {f_name}")
+            if self.bucket_width <= 0:
+                raise SpecError(
+                    f"range_join bucket_width must be positive, got {self.bucket_width!r}"
+                )
+            return
         if self.kind == "tolerance":
             if not self.key or not self.time_column or not self.id_column:
                 raise SpecError(
@@ -651,6 +677,32 @@ class ContaminationOperation(Operation):
                     "contamination num_perm must be a positive multiple of bands, "
                     f"got num_perm={self.num_perm!r} bands={self.bands!r}"
                 )
+
+
+@dataclass
+class SnapshotDiffOperation(Operation):
+    """Table-version diff as a flow op (functions/profile.py
+    snapshot_diff): the CURRENT frame is the NEW snapshot, the OLD
+    snapshot resolves like bind's right side.  mode ∈ labels (one row
+    per key: key columns + diff_status ∈ added/removed/changed/
+    unchanged) / counts ((diff_status, n) summary)."""
+
+    old_path: str = ""
+    old_schema_columns: dict[str, str] = field(default_factory=dict)
+    key_columns: list[str] = field(default_factory=list)
+    compare_columns: list[str] = field(default_factory=list)
+    mode: str = "labels"
+    operation_type: str = "snapshot_diff"
+
+    def __post_init__(self) -> None:
+        if not self.old_path:
+            raise SpecError("snapshot_diff requires old_path (named input or file path)")
+        if not self.key_columns or not self.compare_columns:
+            raise SpecError("snapshot_diff requires key_columns and compare_columns")
+        if self.mode not in ("labels", "counts"):
+            raise SpecError(
+                f"snapshot_diff mode must be labels/counts, got {self.mode!r}"
+            )
 
 
 @dataclass
@@ -2078,6 +2130,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "mixture": MixtureOperation,
     # incremental maintenance + curation (round 3)
     "merge": MergeOperation,
+    "snapshot_diff": SnapshotDiffOperation,
     "scd2": Scd2Operation,
     "stratified_sample": StratifiedSampleOperation,
     "weighted_sample": WeightedSampleOperation,

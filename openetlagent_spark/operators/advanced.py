@@ -38,6 +38,7 @@ from ..model import (
     Scd2Operation,
     ScrubOperation,
     SimilarityOperation,
+    SnapshotDiffOperation,
     SplitAssignOperation,
     StratifiedSampleOperation,
     VocabOovOperation,
@@ -286,6 +287,19 @@ def apply_range_join(
         )
     if right_df is None:
         right_df = resolve_side(spark, op.right_file_path, op.right_schema_columns, inputs)
+    if op.kind == "overlap":
+        return R.interval_overlap_join(
+            df,
+            right_df,
+            key=op.key,
+            left_id=op.left_id_column,
+            right_id=op.right_id_column,
+            left_start=op.left_start_column,
+            left_end=op.left_end_column,
+            right_start=op.start_column,
+            right_end=op.end_column,
+            bucket_width_seconds=op.bucket_width,
+        )
     return R.point_in_interval_join(
         df,
         right_df,
@@ -296,6 +310,27 @@ def apply_range_join(
         end_col=op.end_column,
         value_columns=op.value_columns,
         bucket_width=op.bucket_width,
+    )
+
+
+def apply_snapshot_diff(
+    df: DataFrame,
+    op: "SnapshotDiffOperation",
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    old_df: DataFrame | None = None,
+) -> DataFrame:
+    """Table-version diff: current frame = NEW snapshot, old snapshot
+    resolved like bind's right side."""
+    from ..functions.profile import snapshot_diff
+
+    if old_df is None:
+        old_df = resolve_side(spark, op.old_path, op.old_schema_columns, inputs)
+    labeled = snapshot_diff(old_df, df, op.key_columns, op.compare_columns)
+    if op.mode == "labels":
+        return labeled
+    return labeled.groupBy("diff_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
 
 

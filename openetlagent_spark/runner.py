@@ -39,6 +39,7 @@ from .model import (
     PipelineFlow,
     RangeJoinOperation,
     SimilarityOperation,
+    SnapshotDiffOperation,
     UnionOperation,
 )
 from .operators import (
@@ -53,6 +54,7 @@ from .operators import (
     apply_store_gate,
     apply_merge,
     apply_range_join,
+    apply_snapshot_diff,
     apply_similarity,
     apply_union,
 )
@@ -71,6 +73,7 @@ _TEMP_COLUMN = re.compile(r"^_.+_$")
 RUNNER_HANDLED_OPS = frozenset({
     "bind", "union", "asof_join", "range_join", "similarity",
     "contamination", "incremental_dedup", "merge", "store_gate",
+    "snapshot_diff",
     "bloom_gate", "cms_counts", "sql_transform",
 })
 
@@ -111,6 +114,8 @@ def apply_operations(
             current = apply_cms_counts(current, op, spark, inputs)
         elif isinstance(op, MergeOperation):
             current = apply_merge(current, op, spark, inputs)
+        elif isinstance(op, SnapshotDiffOperation):
+            current = apply_snapshot_diff(current, op, spark, inputs)
         elif isinstance(op, IncrementalDedupOperation):
             current = apply_incremental_dedup(current, op, spark, inputs)
         elif isinstance(op, StoreGateOperation):

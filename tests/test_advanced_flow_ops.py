@@ -1063,3 +1063,77 @@ def test_mining_and_smoothing_flow_ops(spark):
     with pytest.raises(SpecError, match="prune_buckets"):
         parse_operation({"operation_type": "skyline", "id_column": "a",
                          "x_column": "b", "y_column": "c", "prune_buckets": 0})
+
+
+# --- round-10 flow ops: snapshot_diff + range_join kind='overlap' --------------
+
+
+def test_yaml_snapshot_diff_counts_and_labels(spark, tmp_path):
+    from openetlagent_spark.functions.profile import snapshot_diff
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(orders.o_orderkey % 7 != 2)
+    new = orders.filter(orders.o_orderkey % 5 != 1)
+    old_path = str(tmp_path / "old.parquet")
+    old.write.mode("overwrite").parquet(old_path)
+
+    op = parse_operation(
+        {"operation_type": "snapshot_diff", "old_path": old_path,
+         "key_columns": ["o_orderkey"],
+         "compare_columns": ["o_orderstatus", "o_totalprice"],
+         "mode": "counts"}
+    )
+    got = {r.diff_status: r.n for r in apply_operations(new, [op], spark).collect()}
+    want_rows = snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+    want = {
+        r["diff_status"]: r["n"]
+        for r in want_rows.groupBy("diff_status").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got == want and set(got) >= {"added", "removed", "unchanged"}
+
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "snapshot_diff", "old_path": "p",
+                         "key_columns": [], "compare_columns": ["v"]})
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "snapshot_diff", "old_path": "p",
+                         "key_columns": ["k"], "compare_columns": ["v"],
+                         "mode": "bogus"})
+
+
+def test_yaml_range_join_overlap(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.range_join import interval_overlap_join
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    win = F.expr("ts + INTERVAL 10 MINUTES")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts", win.alias("te")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", win.alias("te")
+    )
+    right_path = str(tmp_path / "buys.parquet")
+    buys.write.mode("overwrite").parquet(right_path)
+
+    op = parse_operation(
+        {"operation_type": "range_join", "kind": "overlap",
+         "right_file_path": right_path, "key": "user_id",
+         "left_id_column": "view_id", "right_id_column": "purchase_id",
+         "left_start_column": "ts", "left_end_column": "te",
+         "start_column": "ts", "end_column": "te", "bucket_width": 600.0}
+    )
+    got = sorted(map(tuple, apply_operations(views, [op], spark).collect()))
+    want = sorted(map(tuple, interval_overlap_join(
+        views, buys, key="user_id", left_id="view_id", right_id="purchase_id",
+        left_start="ts", left_end="te", right_start="ts", right_end="te",
+        bucket_width_seconds=600.0,
+    ).collect()))
+    assert got == want and len(got) > 0
+
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "range_join", "kind": "overlap",
+                         "right_file_path": "r", "key": "u"})
