@@ -634,7 +634,11 @@ def snapshot_diff(
     )
     cond = None
     for k in key_cols:
-        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        # eqNullSafe, not ==: a NULL-keyed row present on both sides is
+        # the SAME row (matched, then compared), not a spurious
+        # added+removed pair — the advertised NULL-safe semantics cover
+        # the keys too
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
     same = None

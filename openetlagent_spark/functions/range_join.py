@@ -118,9 +118,15 @@ def interval_overlap_join(
     All time math is integer microseconds (_time_micros), so bucket
     ids, the overlap predicate, and ``overlap_us`` are bit-exact in any
     engine.  NULL keys/bounds are excluded (SQL join semantics)."""
-    if bucket_width_seconds <= 0:
-        raise ValueError("interval_overlap_join: bucket_width_seconds must be positive")
     width_us = int(bucket_width_seconds * 1_000_000)
+    if width_us <= 0:
+        # guard the TRUNCATED integer width, not the float input: a
+        # sub-microsecond width would truncate to 0 and silently empty
+        # the result (NULL division -> NULL span -> explode drops all)
+        raise ValueError(
+            "interval_overlap_join: bucket_width_seconds must be >= 1e-6 "
+            f"(one microsecond), got {bucket_width_seconds!r}"
+        )
 
     def prep(df: DataFrame, id_col: str, s_col: str, e_col: str, tag: str) -> DataFrame:
         s = _time_micros(df, s_col)

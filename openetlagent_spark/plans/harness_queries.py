@@ -4430,7 +4430,11 @@ FROM sf LEFT JOIN cnt c ON sf.media_id = c.media_id AND sf.fidx = c.fidx
 # audio_features: WAV synth → real RIFF/PCM decode.  Sample i IS text
 # byte i (no padding anywhere), so every column is text-derivable:
 # n_bytes = 44 + len (canonical header), n_samples = len,
-# duration_ms = len·1000 // 8000 = len // 8, bins = per-char counts.
+# duration_ms = len·1000 // 8000 = len // 8 — with len = utf-8 OCTET
+# length (what the Spark side encodes), not the char count.  The bins
+# remain per-CHAR ascii() counts: valid for ASCII corpora (the driver
+# test tables are — the same documented contract as every image
+# oracle), where bytes == chars.
 _AF_BINS = ", ".join(
     f"SUM(CASE WHEN ascii(ch) // 16 = {b} THEN 1 ELSE 0 END) AS c{b}"
     for b in range(16)
@@ -4440,7 +4444,8 @@ _AF_HIST = " || ',' || ".join(
 )
 HARNESS_ORACLES["audio_features"] = f"""
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
-                  COALESCE(length(text),0) AS len, text FROM documents),
+                  COALESCE(octet_length(encode(text)), 0) AS len, text
+           FROM documents),
 chars AS (SELECT media_id, unnest(string_split_regex(text,'')) AS ch
           FROM d WHERE len > 0),
 cnt AS (SELECT media_id, {_AF_BINS} FROM chars GROUP BY media_id)
