@@ -987,3 +987,17 @@ def test_join_cardinality_joins_count_tables_only(spark):
     assert "TakeOrderedAndProject" in physical
     assert "BroadcastNestedLoopJoin" in physical or "BroadcastExchange" in physical
     assert physical.count("partial_count") >= 2
+
+
+def test_grouped_quantiles_avoids_group_key_sort(spark):
+    """Same contract as quantile_bins: the per-group quantile cut must
+    rank inside range partitions (pid window), never sort a third of
+    the corpus under one 3-value window key."""
+    plan = plan_of(spark, "grouped_quantiles")
+    physical = plan.split("== Physical Plan ==")[-1]
+    # the only window runs per-pid; the flag appears in the final
+    # 3-row aggregation exchange, never as a window partition key
+    assert not re.search(r"windowspecdefinition\(l_returnflag", physical)
+    assert re.search(r"hashpartitioning\(_x_pid", physical), physical[:1500]
+    assert "ExistingRDD" in physical
+    assert "ntile" not in physical.lower()
