@@ -787,6 +787,40 @@ def classifier_gate_stream(
     return kept.drop("n_tokens", "score", "clf_pass")
 
 
+def media_feature_stream(
+    media: DataFrame,
+    *,
+    kind: str = "image",
+    dim: int = 16,
+    decoder: str = "real",
+    drop_undecodable: bool = True,
+) -> DataFrame:
+    """Streaming MULTIMODAL featurizer — the continuous form of
+    extract_image_features / extract_audio_features: decode each media
+    payload as it lands (built-in BMP/PNM/PNG or RIFF/WAVE codecs, no
+    imaging/audio library) and emit the feature row, optionally
+    dropping undecodable payloads (``n_pixels``/``n_samples`` = 0)
+    before anything stateful or stored sees them.
+
+    The decode is a stateless Arrow-batched mapInPandas stage — no
+    watermark, no state store, any output mode — so the SAME plan runs
+    on a stream and on a batch frame; the parity test pins stream ==
+    batch feature sets.  At 100 TB this is the landing-zone ingest
+    shape for crawled media: featurize + gate per micro-batch,
+    downstream dedup/ANN stores consume the feature stream."""
+    from ..functions.multimodal import extract_audio_features, extract_image_features
+
+    if kind == "image":
+        feats = extract_image_features(media, dim=dim, decoder=decoder)
+        gate = F.col("n_pixels") > 0
+    elif kind == "audio":
+        feats = extract_audio_features(media, dim=dim, decoder=decoder)
+        gate = F.col("n_samples") > 0
+    else:
+        raise ValueError(f"media_feature_stream: kind must be image/audio, got {kind!r}")
+    return feats.filter(gate) if drop_undecodable else feats
+
+
 def admit_stream_with_store(
     docs: DataFrame,
     store_path: str,

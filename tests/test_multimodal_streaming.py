@@ -1472,3 +1472,71 @@ def test_extract_audio_features_real_and_strict(spark):
     # total by default: zero row, not a task failure
     r = extract_audio_features(bad, decoder="real").collect()[0]
     assert r.n_samples == 0 and r.n_bytes == 8
+
+
+def test_media_feature_stream_matches_batch(spark, tmp_path):
+    """media_feature_stream on a real file stream (availableNow)
+    emits exactly the feature rows the batch form emits — the decode
+    is stateless mapInPandas, one plan for both — and drops
+    undecodable payloads before the sink."""
+    from openetlagent_spark.functions.multimodal import synthesize_media_bmp
+    from openetlagent_spark.streaming import media_feature_stream
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="stream me as a bmp"),
+         Row(doc_id=2, text="and me as a png payload"),
+         Row(doc_id=3, text="")]  # empty -> undecodable -> dropped
+    )
+    media = synthesize_media_bmp(docs, width=32, codec="alternate")
+    src = str(tmp_path / "media_src")
+    media.write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    expected = sorted(
+        (r.media_id, r.n_pixels, tuple(r.feature))
+        for r in media_feature_stream(batch, kind="image").collect()
+    )
+    assert [m for m, _, _ in expected] == [1, 2]
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = media_feature_stream(stream, kind="image")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("mfeat")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
+    got = sorted(
+        (r.media_id, r.n_pixels, tuple(r.feature))
+        for r in spark.sql("SELECT * FROM mfeat").collect()
+    )
+    assert got == expected
+
+
+def test_media_feature_stream_audio_and_validation(spark, tmp_path):
+    from openetlagent_spark.functions.multimodal import synthesize_media_wav
+    from openetlagent_spark.streaming import media_feature_stream
+
+    docs = spark.createDataFrame([Row(doc_id=7, text="wav bytes here")])
+    media = synthesize_media_wav(docs)
+    src = str(tmp_path / "wav_src")
+    media.write.parquet(src)
+    batch = spark.read.parquet(src)
+    expected = sorted(
+        (r.media_id, r.n_samples) for r in
+        media_feature_stream(batch, kind="audio").collect()
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        media_feature_stream(stream, kind="audio")
+        .writeStream.format("memory").queryName("afeat")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted((r.media_id, r.n_samples) for r in spark.sql("SELECT * FROM afeat").collect())
+    assert got == expected == [(7, 14)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kind"):
+        media_feature_stream(batch, kind="video")
