@@ -706,6 +706,32 @@ class SnapshotDiffOperation(Operation):
 
 
 @dataclass
+class ProvenanceOperation(Operation):
+    """Ingest-lineage columns from Spark's hidden file metadata
+    (``_metadata``): stamp every row with the physical file it was
+    scanned from (and optionally size / modification time) — the audit
+    columns a landing-zone pipeline carries so any downstream row can
+    be traced back to its source object.  Valid only on frames that
+    originate from a file scan (parquet/csv/json/orc/text); a derived
+    frame with no file lineage fails at analysis with a clear error.
+
+    ``fields``: subset of path / name / size / mtime (default
+    [name]) — ``name`` is the basename, ``path`` the full URI."""
+
+    column_prefix: str = "src_"
+    fields: list[str] = field(default_factory=lambda: ["name"])
+    operation_type: str = "provenance"
+
+    def __post_init__(self) -> None:
+        bad = [f for f in self.fields if f not in ("path", "name", "size", "mtime")]
+        if bad or not self.fields:
+            raise SpecError(
+                f"provenance fields must be a non-empty subset of "
+                f"path/name/size/mtime, got {self.fields!r}"
+            )
+
+
+@dataclass
 class ScrubOperation(Operation):
     """Text scrubbing / redaction as a flow op (functions/curation.py
     scrub_text): an ordered regexp_replace chain.  ``rules`` is a list
@@ -2125,6 +2151,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "range_join": RangeJoinOperation,
     "contamination": ContaminationOperation,
     "pack_sequences": PackSequencesOperation,
+    "provenance": ProvenanceOperation,
     "scrub": ScrubOperation,
     "repetition": RepetitionOperation,
     "mixture": MixtureOperation,

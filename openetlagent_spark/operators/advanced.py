@@ -33,6 +33,7 @@ from ..model import (
     OutlierOperation,
     PackSequencesOperation,
     ProfileOperation,
+    ProvenanceOperation,
     RangeJoinOperation,
     RepetitionOperation,
     Scd2Operation,
@@ -98,6 +99,31 @@ def apply_contamination(
         return ann
     bad = ann.filter(F.col("contaminated")).select(op.id_column)
     return df.join(bad, op.id_column, "left_anti")
+
+
+def apply_provenance(df: DataFrame, op: "ProvenanceOperation") -> DataFrame:
+    """Stamp rows with their source-file lineage from the hidden
+    ``_metadata`` struct (file-scan frames only)."""
+    exprs = {
+        "path": F.col("_metadata.file_path"),
+        "name": F.col("_metadata.file_name"),
+        "size": F.col("_metadata.file_size"),
+        "mtime": F.col("_metadata.file_modification_time"),
+    }
+    try:
+        out = df
+        for f_name in op.fields:
+            out = out.withColumn(f"{op.column_prefix}{f_name}", exprs[f_name])
+        out.schema  # force analysis so a missing _metadata fails HERE
+        return out
+    except Exception as exc:  # noqa: BLE001 — re-raise with an actionable message
+        if "_metadata" in str(exc) or "UNRESOLVED_COLUMN" in str(exc):
+            raise ValueError(
+                "provenance: this frame has no file lineage (_metadata is "
+                "only defined on frames read directly from files; apply "
+                "provenance BEFORE joins/aggregations that lose it)"
+            ) from exc
+        raise
 
 
 def apply_scrub(df: DataFrame, op: "ScrubOperation") -> DataFrame:

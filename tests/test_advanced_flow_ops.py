@@ -1137,3 +1137,23 @@ def test_yaml_range_join_overlap(spark, tmp_path):
     with pytest.raises(SpecError):
         parse_operation({"operation_type": "range_join", "kind": "overlap",
                          "right_file_path": "r", "key": "u"})
+
+
+def test_yaml_provenance_stamps_file_lineage(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    op = parse_operation(
+        {"operation_type": "provenance", "fields": ["name", "path", "size"]}
+    )
+    out = apply_operations(docs, [op], spark)
+    row = out.select("src_name", "src_path", "src_size").first()
+    assert row.src_name == "documents.parquet"
+    assert row.src_path.endswith("documents.parquet") and row.src_size > 0
+    # every row carries the lineage; single-file table -> one distinct name
+    assert out.select("src_name").distinct().count() == 1
+
+    # derived frames without file lineage fail with the actionable error
+    derived = docs.groupBy("source").count()
+    with pytest.raises(ValueError, match="no file lineage"):
+        apply_operations(derived, [op], spark)
+    with pytest.raises(SpecError):
+        parse_operation({"operation_type": "provenance", "fields": ["bogus"]})
