@@ -110,6 +110,14 @@ def apply_provenance(df: DataFrame, op: "ProvenanceOperation") -> DataFrame:
         "size": F.col("_metadata.file_size"),
         "mtime": F.col("_metadata.file_modification_time"),
     }
+    clash = [f"{op.column_prefix}{f}" for f in op.fields
+             if f"{op.column_prefix}{f}" in df.columns]
+    if clash:
+        raise ValueError(
+            f"provenance: output column(s) {clash} already exist in the frame "
+            "— withColumn would silently overwrite user data; pick another "
+            "column_prefix"
+        )
     try:
         out = df
         for f_name in op.fields:

@@ -265,3 +265,20 @@ def test_example_rate_shift_and_next_event(spark, tmp_path):
     for r in trans:
         per_src[r.src] += r.prob
     assert all(abs(v - 1.0) < 1e-9 for v in per_src.values())
+
+
+def test_example_refresh_audit_pipeline(spark, tmp_path):
+    """The refresh_audit example (snapshot_diff through the CLI config)
+    lands the exact status counts the simulated batch implies."""
+    config = load_pipeline_config(os.path.join(ROOT, "examples/config.yaml"))
+    flow = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/refresh_audit.yaml")
+    )
+    config.outputs["refresh_audit"].path = str(tmp_path / "refresh_audit")
+    result, ok, feedback = run_flow(
+        spark, config, flow, "refresh_audit", single_file=True
+    )
+    assert ok, feedback
+    got = {r.diff_status: r.n for r in result.collect()}
+    # the example drops order 103 and bumps order 105's quantity
+    assert got == {"removed": 1, "changed": 1, "unchanged": 8}

@@ -1463,11 +1463,9 @@ def test_extract_audio_features_real_and_strict(spark):
     assert hist.tolist() == [want.get(b, 0) for b in range(16)]
     assert rows[2].n_samples == 0 and not any(rows[2].feature)
     # strict raises on undecodable non-empty payloads
-    import pytest as _pytest
-
     bad = spark.createDataFrame([Row(media_id=9, payload=bytearray(b"OggSxxxx"),
                                      mime="audio/ogg")])
-    with _pytest.raises(Exception, match="undecodable"):
+    with pytest.raises(Exception, match="undecodable"):
         extract_audio_features(bad, decoder="real", strict=True).collect()
     # total by default: zero row, not a task failure
     r = extract_audio_features(bad, decoder="real").collect()[0]
