@@ -262,6 +262,7 @@ HEADLINE = [
     "grouped_quantiles",
     "snapshot_diff",
     "join_cardinality",
+    "ann_sq8",
 ]
 
 

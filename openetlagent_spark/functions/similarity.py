@@ -73,6 +73,154 @@ def cosine_topk(
     )
 
 
+def _sq8_dq_col(v_j: Column, m_j: Column, x_j: Column) -> Column:
+    """Dequantized coordinate after int8 scalar quantization against
+    the per-dimension [min, max] grid: code = clamp(⌊(v−m)·255/r⌋,
+    0..255), dq = m + code·r/255 — one fixed IEEE op tree, spelled
+    identically in sq8_topk_oracle_sql so both engines round the same
+    way at every step.  Degenerate dimensions (r = 0) dequantize to
+    the min."""
+    r = x_j - m_j
+    code = F.least(
+        F.lit(255.0),
+        F.greatest(F.lit(0.0), F.floor(((v_j - m_j) * F.lit(255.0)) / r).cast("double")),
+    )
+    return F.when(r > 0, m_j + (code * r) / F.lit(255.0)).otherwise(m_j)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over INT8 SCALAR-QUANTIZED vectors —
+    the memory-budget rung between full precision and IVF-PQ (what
+    most vector stores call SQ8): each dimension gets a [min, max]
+    grid from the corpus itself, every coordinate stores as one byte
+    (64 B per 64-dim vector instead of 512 B), candidates score
+    asymmetrically (raw query against dequantized codes), the top
+    ``k·refine_factor`` per query re-rank by the EXACT full-precision
+    cosine — so, like ann_pq, the emitted score is always exact and
+    approximation affects only which candidates reach the re-rank.
+
+    Engine-exact by construction: the per-dim min/max come from a
+    1-row broadcast aggregate (data-derived, never literals — double
+    literals round-trip differently through DuckDB's parser), and
+    quantize/dequantize/score are fixed left-to-right IEEE op trees
+    mirrored term-for-term by sq8_topk_oracle_sql.
+
+    Scale: one corpus scan; the stats row and query batch broadcast;
+    scoring is whole-stage-codegen JVM expressions.  This in-line form
+    re-derives codes from the raw vectors (proving the quantization
+    math end-to-end); a persisted deployment stores the codes layer
+    exactly like build_pq_store's lists."""
+    dim = infer_dim(corpus, vec_col)
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    stats = c.agg(
+        *[F.min(F.col("cv")[j]).alias(f"m{j}") for j in range(dim)],
+        *[F.max(F.col("cv")[j]).alias(f"x{j}") for j in range(dim)],
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    cand = (
+        c.join(F.broadcast(stats))
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    )
+    dot: Column = F.lit(0.0)
+    nq: Column = F.lit(0.0)
+    nd: Column = F.lit(0.0)
+    for j in range(dim):
+        dq = _sq8_dq_col(F.col("cv")[j], F.col(f"m{j}"), F.col(f"x{j}"))
+        qj = F.col("qv")[j]
+        dot = dot + qj * dq
+        nq = nq + qj * qj
+        nd = nd + dq * dq
+    scored = cand.withColumn("adc", F.try_divide(dot, F.sqrt(nq) * F.sqrt(nd)))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    sel = (
+        scored.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= k * refine_factor)
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sel.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def sq8_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    refine_factor: int = 4,
+    dim: int = 64,
+    query_pred: str = "vid < 20",
+) -> str:
+    """DuckDB mirror of :func:`sq8_topk` — the same data-derived
+    per-dim min/max (stats CTE, cross-joined), the same clamp/floor
+    quantize-dequantize tree per coordinate, the same left-to-right
+    ADC folds, the same cut, and the shared fold-order exact cosine
+    re-rank (_sql_cosine)."""
+
+    def dq(i: int) -> str:
+        m, x = f"s.m{i}", f"s.x{i}"
+        code = (
+            f"LEAST(255.0, GREATEST(0.0, "
+            f"FLOOR(((b.v[{i}] - {m}) * 255.0) / ({x} - {m}))))"
+        )
+        return (
+            f"(CASE WHEN ({x} - {m}) > 0 THEN {m} + ({code} * ({x} - {m})) / 255.0 "
+            f"ELSE {m} END)"
+        )
+
+    stats_cols = ", ".join(
+        f"MIN(v[{i}]) AS m{i}, MAX(v[{i}]) AS x{i}" for i in range(1, dim + 1)
+    )
+    dot = "0.0"
+    nq = "0.0"
+    nd = "0.0"
+    for i in range(1, dim + 1):
+        d = dq(i)
+        dot = f"({dot} + q.v[{i}] * {d})"
+        nq = f"({nq} + q.v[{i}] * q.v[{i}])"
+        nd = f"({nd} + {d} * {d})"
+    cosine = _sql_cosine("a.v", "b.v", dim)
+    return (
+        f"WITH base AS (SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v "
+        f"FROM {table} WHERE {vec_col} IS NOT NULL), "
+        f"stats AS (SELECT {stats_cols} FROM base), "
+        f"qs AS (SELECT vid, v FROM base WHERE {query_pred}), "
+        f"adc AS (SELECT q.vid AS query_id, b.vid AS neighbor_id, "
+        f"({dot}) / NULLIF(sqrt({nq}) * sqrt({nd}), 0.0) AS adc "
+        f"FROM qs q, base b, stats s WHERE q.vid != b.vid), "
+        f"cut AS (SELECT query_id, neighbor_id FROM ("
+        f"SELECT query_id, neighbor_id, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY adc DESC NULLS LAST, neighbor_id) AS arn "
+        f"FROM adc) WHERE arn <= {k * refine_factor}) "
+        f"SELECT query_id, neighbor_id, rank, cosine FROM ("
+        f"SELECT cd.query_id, cd.neighbor_id, {cosine} AS cosine, "
+        f"row_number() OVER (PARTITION BY cd.query_id "
+        f"ORDER BY {cosine} DESC, cd.neighbor_id) AS rank "
+        f"FROM cut cd JOIN base a ON a.vid = cd.query_id "
+        f"JOIN base b ON b.vid = cd.neighbor_id) WHERE rank <= {k}"
+    )
+
+
 def infer_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from one NON-NULL row (tiny probe job —
     NOT memoized: a cache keyed on the plan can go stale when the

@@ -1890,6 +1890,25 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_explosion_audit(views, clicks, "user_id", top_k=10)
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar-quantized ANN (functions/similarity.py sq8_topk —
+    the SQ8 mode vector stores ship as the rung between full precision
+    and IVF-PQ): per-dimension [min, max] grids from a 1-row broadcast
+    corpus aggregate, one byte per coordinate (8× smaller scans),
+    asymmetric scoring of the raw query against dequantized codes, the
+    top k·refine_factor cut, then the EXACT full-precision cosine
+    re-rank — emitted scores always exact, approximation only selects
+    candidates.  The oracle mirrors every stage: data-derived stats
+    CTE (no double literals cross the parser), identical clamp/floor
+    quantize-dequantize trees, identical left-assoc folds, the shared
+    _sql_cosine re-rank."""
+    from ..functions.similarity import sq8_topk
+
+    emb = _ts(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sq8_topk(emb, queries, k=10, refine_factor=4)
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join, batch form (identical lazy plan to
     what each micro-batch executes — streaming/events.enrich_stream):
@@ -3477,6 +3496,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup": q_fuzzy_dedup,
     "snapshot_diff": q_snapshot_diff,
     "join_cardinality": q_join_cardinality,
+    "ann_sq8": q_ann_sq8,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
@@ -4511,6 +4531,10 @@ FROM p, t
 ORDER BY p.out_rows DESC, p.user_id ASC
 LIMIT 10
 """
+
+from ..functions.similarity import sq8_topk_oracle_sql as _sq8_topk_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["ann_sq8"] = _sq8_topk_oracle_sql(k=10, refine_factor=4, dim=64)
 
 _IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)
 HARNESS_ORACLES["image_neardup"] = _keep_best_oracle_sql(

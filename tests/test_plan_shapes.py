@@ -1001,3 +1001,14 @@ def test_grouped_quantiles_avoids_group_key_sort(spark):
     assert re.search(r"hashpartitioning\(_x_pid", physical), physical[:1500]
     assert "ExistingRDD" in physical
     assert "ntile" not in physical.lower()
+
+
+def test_ann_sq8_broadcasts_stats_and_queries(spark):
+    """SQ8 scoring: the 1-row stats aggregate and the query batch both
+    broadcast; the corpus is scanned once and never shuffled at vector
+    width (the only exchanges carry the per-query candidate windows)."""
+    plan = plan_of(spark, "ann_sq8")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in physical
+    assert count_shuffles(plan) <= 2  # ADC cut window + re-rank window

@@ -397,3 +397,52 @@ def test_ann_store_centroid_coverage_validated(spark, tmp_path):
     # serving with a different grid than the build is refused
     with pytest.raises(ValueError, match="scale_bits"):
         ann_from_store(spark, store, emb.limit(1), scale_bits=16)
+
+
+# --- SQ8 scalar quantization (round 10) ----------------------------------------
+
+
+def test_sq8_full_refine_equals_exact_topk(spark):
+    """With refine_factor covering the whole corpus, every candidate
+    reaches the exact re-rank, so sq8_topk must equal cosine_topk
+    rank-for-rank — quantization then affects nothing but the cut."""
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.similarity import cosine_topk, sq8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.limit(80)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sq8_topk(corpus, queries, k=5, refine_factor=100).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    assert got == want and len(got) == 25
+
+
+def test_sq8_dequantization_error_bounded(spark):
+    """Every dequantized coordinate lies within one grid step
+    (range/255) of the original — the SQ8 accuracy contract."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.similarity import _sq8_dq_col
+
+    rng = np.random.RandomState(0)
+    vals = rng.uniform(-3, 7, 500)
+    lo, hi = float(vals.min()), float(vals.max())
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    out = df.select(
+        "v", _sq8_dq_col(F.col("v"), F.lit(lo), F.lit(hi)).alias("dq")
+    ).collect()
+    step = (hi - lo) / 255.0
+    assert all(abs(r.v - r.dq) <= step + 1e-12 for r in out)
+    # degenerate dimension: everything dequantizes to the min
+    const = spark.createDataFrame([(2.5,), (2.5,)], "v double").select(
+        _sq8_dq_col(F.col("v"), F.lit(2.5), F.lit(2.5)).alias("dq")
+    )
+    assert all(r.dq == 2.5 for r in const.collect())
