@@ -118,7 +118,13 @@ def sq8_topk(
     math end-to-end); a persisted deployment stores the codes layer
     exactly like build_pq_store's lists."""
     dim = infer_dim(corpus, vec_col)
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    # size filter, not just NULL: sq8 is the one similarity path with
+    # per-index extraction ([j] throws under ANSI on a ragged short
+    # vector, and a short FIRST row would silently shrink dim) — skip
+    # ragged rows like the oracle does (len(v) = dim)
+    c = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -126,7 +132,9 @@ def sq8_topk(
         *[F.min(F.col("cv")[j]).alias(f"m{j}") for j in range(dim)],
         *[F.max(F.col("cv")[j]).alias(f"x{j}") for j in range(dim)],
     )
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = queries.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
@@ -202,7 +210,7 @@ def sq8_topk_oracle_sql(
     cosine = _sql_cosine("a.v", "b.v", dim)
     return (
         f"WITH base AS (SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v "
-        f"FROM {table} WHERE {vec_col} IS NOT NULL), "
+        f"FROM {table} WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}), "
         f"stats AS (SELECT {stats_cols} FROM base), "
         f"qs AS (SELECT vid, v FROM base WHERE {query_pred}), "
         f"adc AS (SELECT q.vid AS query_id, b.vid AS neighbor_id, "

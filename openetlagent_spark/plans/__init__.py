@@ -58,14 +58,14 @@ _ROUND10_FRONT = [
     "embedding_stats", "global_shuffle", "incremental_dedup",
     "incremental_neardup", "line_dedup",
     "pack_sequences", "semantic_dedup",
-    # round-10 additions (7) — each swapped in after a local
-    # driver-strength exact check, displacing the 7 lowest-risk
+    # round-10 additions (8) — each swapped in after a local
+    # driver-strength exact check, displacing the 8 lowest-risk
     # trailing r05 rows (tokenize_ids, gopher_rules, stream_sink,
-    # stats_corr, skew_report, neardup_store, near_contamination —
-    # all repeatedly green; they join the r11 backlog).
-    # pack_sequences and semantic_dedup stay: their implementing
-    # modules (curation.py, dedup machinery) changed this round, so
-    # they double as changed-file sentinels.
+    # stats_corr, skew_report, neardup_store, near_contamination,
+    # inverted_index — all repeatedly green; they join the r11
+    # backlog).  pack_sequences and semantic_dedup stay: their
+    # implementing modules (curation.py, dedup machinery) changed
+    # this round, so they double as changed-file sentinels.
     "video_frames", "audio_features", "interval_join", "fuzzy_dedup",
     "grouped_quantiles", "snapshot_diff", "join_cardinality", "ann_sq8",
 ]

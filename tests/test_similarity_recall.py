@@ -446,3 +446,23 @@ def test_sq8_dequantization_error_bounded(spark):
         _sq8_dq_col(F.col("v"), F.lit(2.5), F.lit(2.5)).alias("dq")
     )
     assert all(r.dq == 2.5 for r in const.collect())
+
+
+def test_sq8_skips_ragged_vectors(spark):
+    """A ragged (short) vector must be skipped like the oracle's
+    len(v) = dim filter — not crash the ANSI [j] extraction and not
+    shrink the inferred dim."""
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.similarity import sq8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    ragged = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7, F.slice(F.col("embedding"), 1, 10)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    out = sq8_topk(ragged, ragged.filter(F.col("vec_id") < 3), k=5).collect()
+    assert len(out) == 10
+    assert all(r.neighbor_id != 7 for r in out)  # ragged row excluded
