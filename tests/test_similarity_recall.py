@@ -464,5 +464,5 @@ def test_sq8_skips_ragged_vectors(spark):
         ),
     )
     out = sq8_topk(ragged, ragged.filter(F.col("vec_id") < 3), k=5).collect()
-    assert len(out) == 10
+    assert len(out) == 15  # 3 queries x k=5
     assert all(r.neighbor_id != 7 for r in out)  # ragged row excluded
