@@ -263,6 +263,8 @@ HEADLINE = [
     "snapshot_diff",
     "join_cardinality",
     "ann_sq8",
+    "dataset_manifest",
+    "scd2_snapshot",
 ]
 
 

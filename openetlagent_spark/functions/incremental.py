@@ -24,7 +24,7 @@ driver hash-checks every row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from ..session import materialize
 from pyspark.sql import functions as F
 
@@ -737,3 +737,21 @@ def dedup_store_oracle_sql(
         f"SELECT * EXCLUDE (__fp__, is_known, is_batch_dup) FROM ({base}) t "
         f"WHERE NOT is_known AND NOT is_batch_dup"
     )
+
+
+def scd2_snapshot(history: DataFrame, as_of, ts_col_prefix: str = "valid") -> DataFrame:
+    """Point-in-time READ of an SCD2 history table — the consumer half
+    :func:`scd2_history` was missing: the dimension exactly as it stood
+    at ``as_of`` (each key's single interval with ``valid_from <=
+    as_of < valid_to``, open intervals unbounded).  ``as_of`` is any
+    Spark-castable timestamp (string / datetime / Column).
+
+    Half-open semantics match the writer: a version that CLOSED at
+    ``as_of`` is not visible (its successor, opening at the same tick,
+    is) — so snapshot(t) composed over consecutive t never double-reads
+    a key.  Scale: a partition-pruning-friendly pair of range
+    predicates; no join, no window."""
+    from_col = F.col(f"{ts_col_prefix}_from")
+    to_col = F.col(f"{ts_col_prefix}_to")
+    ts = as_of if isinstance(as_of, Column) else F.lit(as_of).cast("timestamp")
+    return history.filter((from_col <= ts) & (to_col.isNull() | (ts < to_col)))

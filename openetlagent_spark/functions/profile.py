@@ -707,3 +707,56 @@ def join_explosion_audit(
         .orderBy(F.desc("out_rows"), F.asc(key_col))
         .limit(top_k)
     )
+
+
+# --- dataset manifest -----------------------------------------------------------
+
+
+def dataset_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str | None = None,
+) -> DataFrame:
+    """Dataset-card summary in ONE aggregation pass — the manifest a
+    training-data release ships (and the first sanity check a consumer
+    runs): long-format (metric, value) rows covering corpus size,
+    NULL/empty text, character and whitespace-token totals, length
+    extremes, and (optionally) distinct sources.
+
+    All values are BIGINT (one column type — the long format is what
+    makes the manifest APPENDABLE across snapshots for drift tracking).
+    The token count mirrors functions.text.with_token_counts'
+    whitespace rule exactly (trim == '' → 0; NULL → skipped), so the
+    manifest agrees with every other token accounting in the repo.
+
+    Scale: one map-side-combined aggregation over the corpus; the
+    output is ~7 rows."""
+    col = F.col(text_col)
+    ws_count = F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias("n_null_text"),
+        F.sum(F.when(col.isNotNull() & (F.trim(col) == ""), 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty_text"),
+        F.coalesce(F.sum(F.length(col)), F.lit(0)).cast("long").alias("total_chars"),
+        F.coalesce(F.sum(ws_count), F.lit(0)).cast("long").alias("total_ws_tokens"),
+        F.coalesce(F.max(F.length(col)), F.lit(0)).cast("long").alias("max_chars"),
+        F.coalesce(F.min(F.length(col)), F.lit(0)).cast("long").alias("min_chars"),
+    ]
+    names = [
+        "n_docs", "n_null_text", "n_empty_text", "total_chars",
+        "total_ws_tokens", "max_chars", "min_chars",
+    ]
+    if source_col:
+        aggs.append(
+            F.count_distinct(F.col(source_col)).cast("long").alias("n_sources")
+        )
+        names.append("n_sources")
+    agg = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return agg.select(
+        F.expr(f"stack({len(names)}, {stack}) AS (metric, value)")
+    )

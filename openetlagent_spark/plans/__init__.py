@@ -23,16 +23,17 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 #     unicode_nfc, stats_skew, value_histogram, vocab_oov,
 #     text_scrub, plus stats_moments, quantile_bins, robust_scale,
 #     diversity_sample) — clears every driver row older than r05;
-# (b) 27 of the 50 r05-hashed rows, the 7 original backfill rows
+# (b) 25 of the 50 r05-hashed rows, the 7 original backfill rows
 #     (bind_salted, window_range_frame, window_distribution, funnel,
 #     event_paths, top_p_sources, tpch_q8) first;
-# (c) ALL 8 round-10 additions (video_frames, audio_features,
+# (c) ALL 10 round-10 additions (video_frames, audio_features,
 #     interval_join, fuzzy_dedup, grouped_quantiles, snapshot_diff,
-#     join_cardinality, ann_sq8) in the trailing slots — each swapped in only
+#     join_cardinality, ann_sq8, dataset_manifest, scd2_snapshot) in
+#     the trailing slots — each swapped in only
 #     after a local driver-strength exact check, keeping
 #     never-driver-checked count at zero.
-# Deferred to r11 (23 r05 rows that did not fit; inverted_index
-# joined them when ann_sq8 landed): tpch_q9 / q11 /
+# Deferred to r11 (25 r05 rows that did not fit; inverted_index,
+# line_dedup, embedding_stats joined them as later additions landed): tpch_q9 / q11 /
 # q13 / q15 / q16 / q17 / q20 / q21, sorted_layout,
 # partitioned_layout, zorder_layout, quantile_filter, events_sliding,
 # trending_topk, training_shards, tokenize_ids, gopher_rules,
@@ -47,7 +48,7 @@ _ROUND10_FRONT = [
     "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
     "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
     "robust_scale", "diversity_sample",
-    # r05 rows (27) — the 7 original backfill rows first
+    # r05 rows (25) — the 7 original backfill rows first
     "bind_salted", "window_range_frame", "window_distribution",
     "funnel", "event_paths", "top_p_sources", "tpch_q8",
     # then the dedup / curation / text / embedding r05 block
@@ -55,19 +56,20 @@ _ROUND10_FRONT = [
     "ccnet_buckets", "contamination", "curriculum_order",
     "dedup_embedding", "dedup_keep_best", "dedup_minhash",
     "dedup_ngram", "dedup_store", "embedding_centroids",
-    "embedding_stats", "global_shuffle", "incremental_dedup",
-    "incremental_neardup", "line_dedup",
+    "global_shuffle", "incremental_dedup",
+    "incremental_neardup",
     "pack_sequences", "semantic_dedup",
-    # round-10 additions (8) — each swapped in after a local
-    # driver-strength exact check, displacing the 8 lowest-risk
+    # round-10 additions (10) — each swapped in after a local
+    # driver-strength exact check, displacing the 10 lowest-risk
     # trailing r05 rows (tokenize_ids, gopher_rules, stream_sink,
     # stats_corr, skew_report, neardup_store, near_contamination,
-    # inverted_index — all repeatedly green; they join the r11
-    # backlog).  pack_sequences and semantic_dedup stay: their
+    # inverted_index, line_dedup, embedding_stats — all repeatedly
+    # green; they join the r11 backlog).  pack_sequences and semantic_dedup stay: their
     # implementing modules (curation.py, dedup machinery) changed
     # this round, so they double as changed-file sentinels.
     "video_frames", "audio_features", "interval_join", "fuzzy_dedup",
     "grouped_quantiles", "snapshot_diff", "join_cardinality", "ann_sq8",
+    "dataset_manifest", "scd2_snapshot",
 ]
 
 

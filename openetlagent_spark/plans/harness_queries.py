@@ -1909,6 +1909,44 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(emb, queries, k=10, refine_factor=4)
 
 
+def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest (functions/profile.py dataset_manifest):
+    the release summary a training-data consumer checks first — corpus
+    size, NULL/empty text, char + whitespace-token totals, length
+    extremes, distinct sources — as appendable long-format
+    (metric, BIGINT value) rows from ONE map-side-combined aggregation.
+    The token rule mirrors with_token_counts exactly, so the manifest
+    agrees with every other token accounting in the repo."""
+    from ..functions.profile import dataset_manifest
+
+    return dataset_manifest(
+        _t(spark, sf_dir, "documents"), text_col="text", source_col="source"
+    )
+
+
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (functions/incremental.py
+    scd2_snapshot — the consumer half of scd2_history): the per-user
+    event_type dimension exactly as it stood at 2024-01-02 00:00 UTC,
+    read from the SCD2 history with half-open interval semantics
+    (valid_from <= t < valid_to, open intervals unbounded).  Write +
+    read together close the slowly-changing-dimension loop; the oracle
+    composes the scd2 oracle with the same literal filter."""
+    from ..functions.incremental import scd2_history, scd2_snapshot
+    from ..streaming import read_event_table
+
+    ev = read_event_table(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = scd2_history(ev, ["user_id"], "ts", ["event_type"], order_col="event_id")
+    snap = scd2_snapshot(hist, "2024-01-02 00:00:00")
+    return snap.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("double").alias("valid_from_epoch"),
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join, batch form (identical lazy plan to
     what each micro-batch executes — streaming/events.enrich_stream):
@@ -3497,6 +3535,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "join_cardinality": q_join_cardinality,
     "ann_sq8": q_ann_sq8,
+    "dataset_manifest": q_dataset_manifest,
+    "scd2_snapshot": q_scd2_snapshot,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
     "sessionize": q_sessionize,
@@ -4124,6 +4164,47 @@ HARNESS_ORACLES["scd2_history"] = (
         order_col="event_id",
     )
     + ")"
+)
+
+# dataset_manifest: the same single-pass aggregates restated as a
+# UNION ALL over one agg CTE (DuckDB has no stack); the token rule is
+# the proven with_token_counts mirror (trim = spaces only).
+HARNESS_ORACLES["dataset_manifest"] = """
+WITH a AS (SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+  CAST(SUM(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars,
+  CAST(COALESCE(SUM(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END), 0) AS BIGINT) AS total_ws_tokens,
+  CAST(COALESCE(MAX(length(text)), 0) AS BIGINT) AS max_chars,
+  CAST(COALESCE(MIN(length(text)), 0) AS BIGINT) AS min_chars,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents)
+SELECT 'n_docs' AS metric, n_docs AS value FROM a
+UNION ALL SELECT 'n_null_text', n_null_text FROM a
+UNION ALL SELECT 'n_empty_text', n_empty_text FROM a
+UNION ALL SELECT 'total_chars', total_chars FROM a
+UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM a
+UNION ALL SELECT 'max_chars', max_chars FROM a
+UNION ALL SELECT 'min_chars', min_chars FROM a
+UNION ALL SELECT 'n_sources', n_sources FROM a
+"""
+
+# scd2_snapshot: the scd2 oracle composed with the same point-in-time
+# filter (half-open: from <= t < to, NULL to = open)
+HARNESS_ORACLES["scd2_snapshot"] = (
+    "SELECT user_id, event_type, "
+    "CAST(epoch(valid_from) AS DOUBLE) AS valid_from_epoch FROM ("
+    + _scd2_oracle_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events",
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        order_col="event_id",
+    )
+    + ") WHERE valid_from <= TIMESTAMP '2024-01-02 00:00:00' "
+    "AND (valid_to IS NULL OR TIMESTAMP '2024-01-02 00:00:00' < valid_to)"
 )
 
 HARNESS_ORACLES["stratified_sample"] = _stratified_sample_oracle_sql(

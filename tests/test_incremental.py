@@ -554,3 +554,31 @@ def test_neardup_store_gate_flags_within_batch_dups(spark, tmp_path):
     assert not out[3].is_batch_dup
     kept = neardup_gate_from_store(batch, spark, store, mode="filter")
     assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+
+# --- scd2_snapshot (round 10) ----------------------------------------------
+
+
+def test_scd2_snapshot_half_open_semantics(spark):
+    """A version that CLOSES at t is invisible at t; its successor
+    (opening at t) is visible; open intervals are unbounded."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.incremental import scd2_history, scd2_snapshot
+
+    rows = [
+        Row(k=1, ts="2024-01-01 00:00:00", oid=1, attr="a"),
+        Row(k=1, ts="2024-01-02 00:00:00", oid=2, attr="b"),  # closes 'a' AT t
+        Row(k=2, ts="2024-01-01 12:00:00", oid=3, attr="x"),  # stays open
+        Row(k=3, ts="2024-01-03 00:00:00", oid=4, attr="z"),  # opens after t
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    hist = scd2_history(df, ["k"], "ts", ["attr"], order_col="oid")
+    snap = {r.k: r.attr for r in
+            scd2_snapshot(hist, "2024-01-02 00:00:00").collect()}
+    assert snap == {1: "b", 2: "x"}  # 'a' closed at t -> invisible; k=3 not yet
+    # at t - 1s the old version is still current
+    before = {r.k: r.attr for r in
+              scd2_snapshot(hist, "2024-01-01 23:59:59").collect()}
+    assert before == {1: "a", 2: "x"}

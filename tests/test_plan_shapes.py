@@ -1012,3 +1012,20 @@ def test_ann_sq8_broadcasts_stats_and_queries(spark):
     assert physical.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in physical
     assert count_shuffles(plan) <= 2  # ADC cut window + re-rank window
+
+
+def test_dataset_manifest_single_pass(spark):
+    """The manifest is ONE map-side-combined aggregation: a single
+    1-row exchange carries every counter; no join, no sort."""
+    plan = plan_of(spark, "dataset_manifest")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert count_shuffles(plan) <= 1
+
+
+def test_scd2_snapshot_filter_no_join(spark):
+    """The point-in-time read is a pair of range predicates over the
+    history — no join, the one window is the history build itself."""
+    plan = plan_of(spark, "scd2_snapshot")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical

@@ -360,3 +360,20 @@ def test_join_explosion_audit_products_and_share(spark):
     assert set(got) == {1, 2}
     # ranked by contribution
     assert [r.k for r in rows] == [1, 2]
+
+
+def test_dataset_manifest_values(spark):
+    from openetlagent_spark.functions.profile import dataset_manifest
+
+    df = spark.createDataFrame(
+        [(1, "two words", "a"), (2, None, "a"), (3, "   ", "b"), (4, "one", None)],
+        "id long, text string, src string",
+    )
+    got = {r.metric: r.value for r in
+           dataset_manifest(df, "text", source_col="src").collect()}
+    assert got == {
+        "n_docs": 4, "n_null_text": 1, "n_empty_text": 1,
+        "total_chars": 9 + 3 + 3,     # 'two words' + '   ' + 'one'
+        "total_ws_tokens": 3,          # 2 + 0 (blank) + 1; NULL skipped
+        "max_chars": 9, "min_chars": 3, "n_sources": 2,
+    }
