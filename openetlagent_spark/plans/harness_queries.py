@@ -3432,6 +3432,73 @@ def q_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity release gate (functions/integrity.py
+    fk_orphans): audit all five star-schema foreign keys in one frame
+    — child rows, NULL keys, orphan rows, distinct orphan keys per
+    relationship.  Each check reduces the child to a key histogram
+    before the anti-join, so the exchanges carry |distinct keys|, not
+    |rows|; AQE broadcasts the small dimension keysets.  No reference
+    analog (validate.py is single-table types/presence only)."""
+    from ..functions.integrity import fk_orphans
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    return fk_orphans(
+        [
+            {"name": "lineitem.l_orderkey->orders", "child": li,
+             "child_key": "l_orderkey", "parent": od, "parent_key": "o_orderkey"},
+            {"name": "lineitem.l_partkey->part", "child": li,
+             "child_key": "l_partkey", "parent": _t(spark, sf_dir, "part"),
+             "parent_key": "p_partkey"},
+            {"name": "lineitem.l_suppkey->supplier", "child": li,
+             "child_key": "l_suppkey", "parent": _t(spark, sf_dir, "supplier"),
+             "parent_key": "s_suppkey"},
+            {"name": "orders.o_custkey->customer", "child": od,
+             "child_key": "o_custkey", "parent": _t(spark, sf_dir, "customer"),
+             "parent_key": "c_custkey"},
+            {"name": "customer.c_nationkey->nation",
+             "child": _t(spark, sf_dir, "customer"), "child_key": "c_nationkey",
+             "parent": _t(spark, sf_dir, "nation"), "parent_key": "n_nationkey"},
+        ]
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen (functions/integrity.py k_anonymity): the
+    quasi-identifier combinations (nation × market segment) whose
+    group is smaller than k=10 — the cells a privacy release must
+    suppress or generalize.  One group-by over the quasi tuple; the
+    violating-cell output is bounded by the quasi domain product
+    regardless of corpus size."""
+    from ..functions.integrity import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], 10
+    )
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit (functions/integrity.py
+    benford_audit) over extended price in exact cents: per digit 1..9
+    the observed count/fraction, Benford's expected fraction
+    (Python-computed log10 literal — no query-time transcendental),
+    and the χ² term.  cents = CAST(round(price·100) AS BIGINT): both
+    engines round half away from zero, and the digit comes from the
+    integer's decimal string — no float formatting anywhere."""
+    from ..functions.integrity import benford_audit
+
+    cents = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return benford_audit(cents, "cents")
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3536,6 +3603,9 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_cardinality": q_join_cardinality,
     "ann_sq8": q_ann_sq8,
     "dataset_manifest": q_dataset_manifest,
+    "fk_orphans": q_fk_orphans,
+    "k_anonymity": q_k_anonymity,
+    "benford_audit": q_benford_audit,
     "scd2_snapshot": q_scd2_snapshot,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
@@ -4980,4 +5050,40 @@ HARNESS_ORACLES["bloom_gate"] = _bloom_gate_oracle_sql(
     text_col="text",
     m=_BLOOM_M,
     k=_BLOOM_K,
+)
+
+# integrity audits: oracles generated from the SAME relationship /
+# constant lists as the Spark side (functions/integrity.py) so the two
+# cannot drift; Benford's expected fractions are the same Python
+# log10 literals on both sides.
+from ..functions.integrity import (  # noqa: E402
+    benford_audit_oracle_sql as _benford_oracle_sql,
+    fk_orphans_oracle_sql as _fk_orphans_oracle_sql,
+    k_anonymity_oracle_sql as _k_anonymity_oracle_sql,
+)
+
+HARNESS_ORACLES["fk_orphans"] = _fk_orphans_oracle_sql(
+    [
+        {"name": "lineitem.l_orderkey->orders", "child_table": "lineitem",
+         "child_key": "l_orderkey", "parent_table": "orders",
+         "parent_key": "o_orderkey"},
+        {"name": "lineitem.l_partkey->part", "child_table": "lineitem",
+         "child_key": "l_partkey", "parent_table": "part",
+         "parent_key": "p_partkey"},
+        {"name": "lineitem.l_suppkey->supplier", "child_table": "lineitem",
+         "child_key": "l_suppkey", "parent_table": "supplier",
+         "parent_key": "s_suppkey"},
+        {"name": "orders.o_custkey->customer", "child_table": "orders",
+         "child_key": "o_custkey", "parent_table": "customer",
+         "parent_key": "c_custkey"},
+        {"name": "customer.c_nationkey->nation", "child_table": "customer",
+         "child_key": "c_nationkey", "parent_table": "nation",
+         "parent_key": "n_nationkey"},
+    ]
+)
+HARNESS_ORACLES["k_anonymity"] = _k_anonymity_oracle_sql(
+    "customer", ["c_nationkey", "c_mktsegment"], 10
+)
+HARNESS_ORACLES["benford_audit"] = _benford_oracle_sql(
+    "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem"
 )

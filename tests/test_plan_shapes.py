@@ -1029,3 +1029,35 @@ def test_scd2_snapshot_filter_no_join(spark):
     plan = plan_of(spark, "scd2_snapshot")
     physical = plan.split("== Physical Plan ==")[-1]
     assert "Join" not in physical
+
+
+def test_fk_orphans_anti_join_on_aggregated_keys(spark):
+    """Every FK check is a LeftAnti equi-join against the DISTINCT
+    parent keyset (Catalyst's PushDownLeftSemiAntiJoin may inline the
+    anti-join below the histogram aggregate when the parent keyset
+    broadcasts — both shapes exchange each key once and never build a
+    row×row join).  Pin: exactly 5 joins, all LeftAnti — a regression
+    to inner/outer joins or a nested-loop would show here."""
+    plan = plan_of(spark, "fk_orphans")
+    physical = plan.split("== Physical Plan ==")[-1]
+    joins = re.findall(r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\n]*", physical)
+    assert len(joins) == 5, f"expected 5 FK joins, got: {joins}"
+    assert all("LeftAnti" in j for j in joins), joins
+
+
+def test_k_anonymity_single_groupby(spark):
+    plan = plan_of(spark, "k_anonymity")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert count_shuffles(plan) <= 1
+
+
+def test_benford_no_querytime_log(spark):
+    """Benford's expected fractions are plan literals — no LOG10 call
+    anywhere in the optimized plan; the single non-scalar exchange is
+    the 9-bucket digit group-by."""
+    plan = plan_of(spark, "benford_audit")
+    assert "LOG10" not in plan.upper().replace("CATALOG", "")
+    physical = plan.split("== Physical Plan ==")[-1]
+    # digit agg (1 exchange) + 1-row total agg (SinglePartition, not hash/range)
+    assert count_shuffles(plan) <= 1
