@@ -684,3 +684,168 @@ SELECT key, id AS {id_col}, v AS value,
 FROM __sw_w
 ORDER BY key ASC, ts ASC, id ASC
 """
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week seasonal profile per key: for each (key, dow) the
+    observation count, exact mean value, and the LIFT of that weekday
+    against the key's overall mean — the baseline an anomaly monitor
+    compares live traffic to ("is Tuesday 20% hotter than average for
+    this metric?").
+
+    dow is pure integer arithmetic — ``(days_since_epoch + 4) % 7``
+    with 0=Sunday (1970-01-01 was a Thursday=4) — identical on both
+    engines; no locale-dependent DAYOFWEEK anywhere.  Means come from
+    DECIMAL(18,6) sums (order-free) cast to double once; the key-level
+    totals are window sums over the (key × 7)-row AGGREGATE, never the
+    corpus, so the corpus is scanned once with full map-side combine.
+    One shuffle on (key, dow) at any scale."""
+    from pyspark.sql import Window
+
+    dow = F.pmod(
+        F.datediff(F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-01"))) + 4,
+        F.lit(7),
+    )
+    g = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), dow.alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_x_sd"),
+        )
+    )
+    w = Window.partitionBy("key")
+    g = g.withColumn("_x_sd_t", F.sum("_x_sd").over(w)).withColumn(
+        "_x_n_t", F.sum("n_events").over(w)
+    )
+    mean_dow = F.col("_x_sd").cast("double") / F.col("n_events").cast("double")
+    mean_key = F.col("_x_sd_t").cast("double") / F.col("_x_n_t").cast("double")
+    return g.select(
+        "key",
+        "dow",
+        "n_events",
+        mean_dow.alias("mean_value"),
+        (mean_dow / mean_key).alias("lift"),
+    )
+
+
+def seasonal_baseline_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB mirror of :func:`seasonal_baseline` — same integer dow,
+    same decimal sums (date subtraction yields integer days; decimal →
+    double goes through VARCHAR, the repo's exact-bridge idiom)."""
+    sd = "CAST(CAST(_x_sd AS VARCHAR) AS DOUBLE)"
+    sdt = "CAST(CAST(SUM(_x_sd) OVER (PARTITION BY key) AS VARCHAR) AS DOUBLE)"
+    nt = "CAST(SUM(n_events) OVER (PARTITION BY key) AS DOUBLE)"
+    return f"""
+WITH g AS (
+  SELECT {key_col} AS key,
+         ((CAST({ts_col} AS DATE) - DATE '1970-01-01') + 4) % 7 AS dow,
+         COUNT(*) AS n_events,
+         SUM(CAST({value_col} AS DECIMAL(18,6))) AS _x_sd
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+  GROUP BY 1, 2)
+SELECT key, CAST(dow AS INTEGER) AS dow, n_events,
+       {sd} / CAST(n_events AS DOUBLE) AS mean_value,
+       ({sd} / CAST(n_events AS DOUBLE))
+         / ({sdt} / {nt}) AS lift
+FROM g
+"""
+
+
+def autocorr_lags(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation of the DAILY EVENT-COUNT series for lags
+    1..max_lag — the periodicity detector (a weekly pattern shows as a
+    peak at lag 7) run before choosing seasonal features or alert
+    windows.
+
+    Shape: corpus → daily-count aggregate (ONE corpus shuffle; the
+    series is |days| rows — tiny at any corpus size), then the lag
+    pairing is a self-join of that aggregate against lags exploded
+    from a literal array (AQE broadcasts the day table), and Pearson r
+    per lag comes from exact DECIMAL power sums over BIGINT counts —
+    the stats_corr operation tree, order-independent and engine-exact.
+    Pairs exist where BOTH days are present (no gap imputation — use
+    gap_fill first for a zero-filled reading)."""
+    if max_lag < 1:
+        raise ValueError(f"autocorr_lags: max_lag must be >= 1, got {max_lag}")
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias("lag")
+    a = days.select(F.col("day").alias("day_a"), F.col("cnt").alias("x")).select(
+        "day_a", "x", lags
+    )
+    b = days.select(F.col("day").alias("day_b"), F.col("cnt").alias("y"))
+    pairs = a.join(b, F.expr("date_add(day_a, lag) = day_b"))
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("_sx2"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("_sy2"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    sy2 = F.col("_sy2").cast("double")
+    mx = sx / n
+    my = sy / n
+    cov = sxy / n - mx * my
+    sdx = F.sqrt(sx2 / n - mx * mx)
+    sdy = F.sqrt(sy2 / n - my * my)
+    return s.select("lag", "n_pairs", (cov / (sdx * sdy)).alias("autocorr"))
+
+
+def autocorr_lags_oracle_sql(table: str, ts_col: str = "ts", max_lag: int = 7) -> str:
+    """DuckDB mirror of :func:`autocorr_lags`: same daily aggregate,
+    same VALUES-list lag join, same decimal power sums and double
+    operation tree (sqrt is correctly-rounded IEEE on both)."""
+    values = ", ".join(f"({k})" for k in range(1, max_lag + 1))
+    v = "CAST(CAST({c} AS VARCHAR) AS DOUBLE)"
+    sx, sy = v.format(c="_sx"), v.format(c="_sy")
+    sxy, sx2, sy2 = v.format(c="_sxy"), v.format(c="_sx2"), v.format(c="_sy2")
+    n = "CAST(n_pairs AS DOUBLE)"
+    return f"""
+WITH d AS (
+  SELECT CAST({ts_col} AS DATE) AS day, COUNT(*) AS cnt
+  FROM {table} WHERE {ts_col} IS NOT NULL GROUP BY 1),
+l(lag) AS (VALUES {values}),
+p AS (
+  SELECT l.lag, a.cnt AS x, b.cnt AS y
+  FROM l CROSS JOIN d a JOIN d b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+s AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         SUM(CAST(x AS DECIMAL(18,0))) AS _sx,
+         SUM(CAST(y AS DECIMAL(18,0))) AS _sy,
+         SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS _sxy,
+         SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS _sx2,
+         SUM(CAST(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS _sy2
+  FROM p GROUP BY lag)
+SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+       ({sxy} / {n} - ({sx} / {n}) * ({sy} / {n}))
+         / (sqrt({sx2} / {n} - ({sx} / {n}) * ({sx} / {n}))
+            * sqrt({sy2} / {n} - ({sy} / {n}) * ({sy} / {n}))) AS autocorr
+FROM s
+"""

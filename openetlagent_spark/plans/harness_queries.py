@@ -3499,6 +3499,29 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(cents, "cents")
 
 
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile (functions/timeseries.py
+    seasonal_baseline): per (event_type, dow) count, exact decimal
+    mean, and lift vs the type's overall mean.  Integer dow arithmetic
+    (no locale DAYOFWEEK); key totals are window sums over the
+    (types × 7)-row aggregate — one corpus scan, one shuffle."""
+    from ..functions.timeseries import seasonal_baseline
+
+    return seasonal_baseline(
+        _t(spark, sf_dir, "events"), "event_type", ts_col="ts", value_col="value"
+    )
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag 1..7 autocorrelation of the daily event-count series
+    (functions/timeseries.py autocorr_lags): corpus → |days|-row
+    aggregate, lag pairing by self-join of that aggregate, Pearson r
+    from exact decimal power sums — the periodicity detector."""
+    from ..functions.timeseries import autocorr_lags
+
+    return autocorr_lags(_t(spark, sf_dir, "events"), ts_col="ts", max_lag=7)
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3606,6 +3629,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_orphans": q_fk_orphans,
     "k_anonymity": q_k_anonymity,
     "benford_audit": q_benford_audit,
+    "seasonal_baseline": q_seasonal_baseline,
+    "autocorr": q_autocorr,
     "scd2_snapshot": q_scd2_snapshot,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
@@ -5087,3 +5112,13 @@ HARNESS_ORACLES["k_anonymity"] = _k_anonymity_oracle_sql(
 HARNESS_ORACLES["benford_audit"] = _benford_oracle_sql(
     "SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem"
 )
+
+from ..functions.timeseries import (  # noqa: E402
+    autocorr_lags_oracle_sql as _autocorr_oracle_sql,
+    seasonal_baseline_oracle_sql as _seasonal_oracle_sql,
+)
+
+HARNESS_ORACLES["seasonal_baseline"] = _seasonal_oracle_sql(
+    "events", "event_type", ts_col="ts", value_col="value"
+)
+HARNESS_ORACLES["autocorr"] = _autocorr_oracle_sql("events", ts_col="ts", max_lag=7)

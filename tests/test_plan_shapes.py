@@ -1061,3 +1061,23 @@ def test_benford_no_querytime_log(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     # digit agg (1 exchange) + 1-row total agg (SinglePartition, not hash/range)
     assert count_shuffles(plan) <= 1
+
+
+def test_seasonal_baseline_one_corpus_shuffle(spark):
+    """The key totals are window sums over the (keys × 7)-row
+    aggregate — the corpus is scanned once and exchanged once on
+    (key, dow); the window's key exchange moves aggregate rows only."""
+    plan = plan_of(spark, "seasonal_baseline")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert plan.count("FileScan") == 1
+    assert count_shuffles(plan) <= 2  # (key,dow) agg + key window, both keyed
+
+
+def test_autocorr_joins_aggregates_not_corpus(spark):
+    """The lag self-join runs on the |days|-row aggregate: both join
+    inputs sit above HashAggregate, and the day table broadcasts."""
+    plan = plan_of(spark, "autocorr")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical

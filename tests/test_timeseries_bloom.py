@@ -315,3 +315,53 @@ def test_ohlc_bars_stream_matches_batch(spark, tmp_path):
     assert q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM ohlc_out").collect()))
     assert got == want and got
+
+
+# --- seasonal_baseline / autocorr_lags (round 10 additions) ---------------
+
+
+def test_seasonal_baseline_dow_and_lift(spark):
+    from openetlagent_spark.functions.timeseries import seasonal_baseline
+
+    # 1970-01-01 was a Thursday (dow 4); 1970-01-04 a Sunday (dow 0)
+    rows = [
+        ("m", "1970-01-01 10:00:00", 10.0),
+        ("m", "1970-01-01 11:00:00", 20.0),   # Thu mean 15
+        ("m", "1970-01-04 09:00:00", 30.0),   # Sun mean 30; overall 20
+        ("m", None, 99.0),                     # NULL ts excluded
+        ("m", "1970-01-05 09:00:00", None),    # NULL value excluded
+    ]
+    df = spark.createDataFrame(rows, "key string, ts string, value double").select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = {r.dow: r for r in seasonal_baseline(df, "key").collect()}
+    assert set(got) == {4, 0}
+    assert got[4].n_events == 2 and got[4].mean_value == 15.0
+    assert got[0].n_events == 1 and got[0].mean_value == 30.0
+    assert got[4].lift == 15.0 / 20.0 and got[0].lift == 30.0 / 20.0
+
+
+def test_autocorr_perfect_alternation(spark):
+    from openetlagent_spark.functions.timeseries import autocorr_lags
+
+    # daily counts alternate 1,2,1,2,... over 8 days: lag-1 r = -1, lag-2 r = +1
+    rows = []
+    for d in range(8):
+        n = 1 if d % 2 == 0 else 2
+        for i in range(n):
+            rows.append((f"1970-01-{d+1:02d} 0{i}:00:00",))
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r.lag: r for r in autocorr_lags(df, max_lag=2).collect()}
+    assert got[1].n_pairs == 7 and got[2].n_pairs == 6
+    assert got[1].autocorr == pytest.approx(-1.0, abs=1e-12)
+    assert got[2].autocorr == pytest.approx(1.0, abs=1e-12)
+
+
+def test_autocorr_rejects_bad_lag(spark):
+    from openetlagent_spark.functions.timeseries import autocorr_lags
+
+    df = spark.createDataFrame([("1970-01-01 00:00:00",)], "ts string")
+    with pytest.raises(ValueError):
+        autocorr_lags(df, max_lag=0)
