@@ -634,3 +634,94 @@ def kcore_oracle_sql(
         f"GROUP BY e.src HAVING COUNT(*) >= {k} "
         f"ORDER BY degree DESC, node ASC"
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    k: int = 100,
+) -> DataFrame:
+    """Common-neighbor link prediction over a bipartite co-occurrence
+    graph: for every unordered item pair sharing at least one group,
+    the shared-group count and the Jaccard score
+    ``co / (deg_a + deg_b - co)`` — ranked, top-k.  The classic
+    "customers who bought X also bought Y" / citation-recommendation
+    primitive (Liben-Nowell & Kleinberg 2003).
+
+    Shape: distinct (group, item) → per-group sorted item array →
+    pairs expand as a JVM array expression (pair volume is
+    Σ|group|²/2, bounded by group size — orders hold a handful of
+    items, so growth is LINEAR in groups; never an item×item
+    cartesian) → one (a, b) count exchange; degrees join back onto the
+    pair table (|items| rows — AQE broadcasts when small); the final
+    cut is TakeOrdered (never a global sort).  Deterministic: ties at
+    the boundary break on (item_a, item_b); the score is one integer
+    subtraction tree and one IEEE division, engine-exact.
+    """
+    if k < 1:
+        raise ValueError(f"link_prediction: k must be >= 1, got {k}")
+    e = (
+        edges.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(group_col).alias("_x_g"), F.col(item_col).alias("_x_i"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("_x_i")).agg(F.count(F.lit(1)).alias("deg"))
+    per_group = e.groupBy("_x_g").agg(F.array_sort(F.collect_set("_x_i")).alias("items"))
+    items = F.col("items")
+    pair_expr = F.flatten(
+        F.transform(
+            items,
+            lambda a: F.transform(
+                F.filter(items, lambda b: b > a),
+                lambda b: F.struct(a.alias("item_a"), b.alias("item_b")),
+            ),
+        )
+    )
+    co = (
+        per_group.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("co_groups"))
+    )
+    da = deg.select(F.col("_x_i").alias("item_a"), F.col("deg").alias("_x_da"))
+    db = deg.select(F.col("_x_i").alias("item_b"), F.col("deg").alias("_x_db"))
+    scored = (
+        co.join(da, "item_a")
+        .join(db, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co_groups",
+            (
+                F.col("co_groups").cast("double")
+                / (F.col("_x_da") + F.col("_x_db") - F.col("co_groups")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("item_a"), F.col("item_b")
+    ).limit(k)
+
+
+def link_prediction_oracle_sql(
+    table: str, group_col: str, item_col: str, *, k: int = 100
+) -> str:
+    """DuckDB mirror of :func:`link_prediction` — equi-self-join pair
+    generation (same multiset as the array expand), identical integer
+    denominator tree and division."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT {group_col} AS g, {item_col} AS i FROM {table}
+  WHERE {group_col} IS NOT NULL AND {item_col} IS NOT NULL),
+deg AS (SELECT i, COUNT(*) AS deg FROM e GROUP BY i),
+co AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS co_groups
+  FROM e a JOIN e b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2)
+SELECT item_a, item_b, co_groups,
+       CAST(co_groups AS DOUBLE)
+         / CAST(da.deg + db.deg - co_groups AS DOUBLE) AS jaccard
+FROM co JOIN deg da ON da.i = item_a JOIN deg db ON db.i = item_b
+ORDER BY jaccard DESC, item_a, item_b LIMIT {int(k)}
+"""

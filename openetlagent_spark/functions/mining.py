@@ -361,3 +361,80 @@ SELECT id, x, y FROM w
 WHERE y = gx AND (m IS NULL OR y > m)
 ORDER BY x DESC, y DESC, id ASC
 """
+
+
+def item_similarity(
+    events: DataFrame,
+    user_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Item–item cosine similarity over binary user–item incidence:
+    ``cos(a, b) = |U_a ∩ U_b| / sqrt(|U_a| · |U_b|)`` for every item
+    pair with at least one shared user — the memory-based
+    collaborative-filtering kernel (Sarwar et al. 2001), and the
+    normalized companion of the raw co-occurrence counts
+    (plans/analytics.py q_cooccurrence_pairs keeps support;
+    this keeps popularity-corrected similarity).
+
+    Shape mirrors the co-occurrence query: distinct (user, item) →
+    per-user sorted item array (bounded by the item vocabulary) →
+    pair expand → one vocabulary²-bounded count; per-item user counts
+    (|items| rows) join onto the pair table — AQE broadcasts.  The
+    cosine is sqrt of an exact integer product — correctly-rounded
+    IEEE on both engines."""
+    e = (
+        events.filter(F.col(user_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(user_col).alias("_x_u"), F.col(item_col).alias("_x_i"))
+        .distinct()
+    )
+    deg = e.groupBy("_x_i").agg(F.count(F.lit(1)).alias("n_users"))
+    per_user = e.groupBy("_x_u").agg(F.array_sort(F.collect_set("_x_i")).alias("items"))
+    items = F.col("items")
+    pair_expr = F.flatten(
+        F.transform(
+            items,
+            lambda a: F.transform(
+                F.filter(items, lambda b: b > a),
+                lambda b: F.struct(a.alias("item_a"), b.alias("item_b")),
+            ),
+        )
+    )
+    co = (
+        per_user.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("users_both"))
+    )
+    da = deg.select(F.col("_x_i").alias("item_a"), F.col("n_users").alias("_x_na"))
+    db = deg.select(F.col("_x_i").alias("item_b"), F.col("n_users").alias("_x_nb"))
+    return (
+        co.join(da, "item_a")
+        .join(db, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "users_both",
+            (
+                F.col("users_both").cast("double")
+                / F.sqrt((F.col("_x_na") * F.col("_x_nb")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+
+
+def item_similarity_oracle_sql(table: str, user_col: str, item_col: str) -> str:
+    """DuckDB mirror of :func:`item_similarity` — integer product under
+    one sqrt, one division, same tree."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT {user_col} AS u, {item_col} AS i FROM {table}
+  WHERE {user_col} IS NOT NULL AND {item_col} IS NOT NULL),
+deg AS (SELECT i, COUNT(*) AS n_users FROM e GROUP BY i),
+co AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS users_both
+  FROM e a JOIN e b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2)
+SELECT item_a, item_b, users_both,
+       CAST(users_both AS DOUBLE)
+         / sqrt(CAST(da.n_users * db.n_users AS DOUBLE)) AS cosine
+FROM co JOIN deg da ON da.i = item_a JOIN deg db ON db.i = item_b
+"""

@@ -3522,6 +3522,30 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorr_lags(_t(spark, sf_dir, "events"), ts_col="ts", max_lag=7)
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (functions/graph.py
+    link_prediction) over the order–part co-purchase graph: top-100
+    part pairs by Jaccard of their order sets — "bought together"
+    recommendations.  Pair volume is bounded by order size (linear in
+    orders); the cut is TakeOrdered with (jaccard, part_a, part_b)
+    total order."""
+    from ..functions.graph import link_prediction
+
+    return link_prediction(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", k=100
+    )
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item–item cosine similarity (functions/mining.py
+    item_similarity) over user × event-type incidence — the
+    collaborative-filtering kernel; popularity-normalized companion of
+    cooccurrence_pairs."""
+    from ..functions.mining import item_similarity
+
+    return item_similarity(_t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3631,6 +3655,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_audit": q_benford_audit,
     "seasonal_baseline": q_seasonal_baseline,
     "autocorr": q_autocorr,
+    "link_prediction": q_link_prediction,
+    "item_similarity": q_item_similarity,
     "scd2_snapshot": q_scd2_snapshot,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
@@ -5122,3 +5148,17 @@ HARNESS_ORACLES["seasonal_baseline"] = _seasonal_oracle_sql(
     "events", "event_type", ts_col="ts", value_col="value"
 )
 HARNESS_ORACLES["autocorr"] = _autocorr_oracle_sql("events", ts_col="ts", max_lag=7)
+
+from ..functions.graph import (  # noqa: E402
+    link_prediction_oracle_sql as _link_prediction_oracle_sql,
+)
+from ..functions.mining import (  # noqa: E402
+    item_similarity_oracle_sql as _item_similarity_oracle_sql,
+)
+
+HARNESS_ORACLES["link_prediction"] = _link_prediction_oracle_sql(
+    "lineitem", "l_orderkey", "l_partkey", k=100
+)
+HARNESS_ORACLES["item_similarity"] = _item_similarity_oracle_sql(
+    "events", "user_id", "event_type"
+)

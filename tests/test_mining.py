@@ -8,6 +8,7 @@ hand-built frames plus the loud-failure contracts."""
 from __future__ import annotations
 
 import datetime
+import math
 
 import pytest
 from pyspark.sql import Row
@@ -352,3 +353,40 @@ def test_temperature_mixture_empty_docs_count_zero(spark):
     ).collect()}
     assert out["empty"].n_tokens == 0 and out["empty"].weight == 0.0
     assert out["real"].weight == 1.0 and out["real"].alloc_tokens == 100.0
+
+
+# --- item_similarity / link_prediction (round 10 additions) ----------------
+
+
+def test_item_similarity_known_cosine(spark):
+    from openetlagent_spark.functions.mining import item_similarity
+
+    # users: u1 {a,b}, u2 {a,b}, u3 {a,c}; duplicates must collapse
+    rows = [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+            (None, "a"), (4, None)]
+    df = spark.createDataFrame(rows, "u bigint, i string")
+    got = {(r.item_a, r.item_b): r for r in item_similarity(df, "u", "i").collect()}
+    # |U_a|=3, |U_b|=2, |U_c|=1; a∩b=2, a∩c=1, b∩c=0 (no row)
+    assert set(got) == {("a", "b"), ("a", "c")}
+    assert got[("a", "b")].users_both == 2
+    assert got[("a", "b")].cosine == 2.0 / math.sqrt(6.0)
+    assert got[("a", "c")].cosine == 1.0 / math.sqrt(3.0)
+
+
+def test_link_prediction_jaccard_and_topk(spark):
+    from openetlagent_spark.functions.graph import link_prediction
+
+    # groups: g1 {x,y}, g2 {x,y}, g3 {x,z}
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")]
+    df = spark.createDataFrame(rows, "g bigint, i string")
+    out = link_prediction(df, "g", "i", k=10).collect()
+    got = {(r.item_a, r.item_b): r for r in out}
+    # deg x=3, y=2, z=1; co(x,y)=2 → j=2/(3+2-2)=2/3; co(x,z)=1 → j=1/3
+    assert got[("x", "y")].jaccard == 2.0 / 3.0
+    assert got[("x", "z")].jaccard == 1.0 / 3.0
+    # ranked: best pair first
+    assert (out[0].item_a, out[0].item_b) == ("x", "y")
+    # k cut applies
+    assert len(link_prediction(df, "g", "i", k=1).collect()) == 1
+    with pytest.raises(ValueError):
+        link_prediction(df, "g", "i", k=0)

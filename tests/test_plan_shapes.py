@@ -1081,3 +1081,19 @@ def test_autocorr_joins_aggregates_not_corpus(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in physical
     assert "SortMergeJoin" not in physical
+
+
+def test_link_prediction_takeordered_no_cartesian(spark):
+    """The top-k cut must be TakeOrdered (never a global sort) and the
+    pair generation an array expand — no item×item cartesian."""
+    df = HARNESS_QUERIES["link_prediction"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_item_similarity_no_cartesian(spark):
+    plan = plan_of(spark, "item_similarity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
