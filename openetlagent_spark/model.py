@@ -2120,6 +2120,128 @@ class SkylineOperation(Operation):
             )
 
 
+@dataclass
+class KAnonymityOperation(Operation):
+    """k-anonymity screen as a flow op (functions/integrity.py
+    k_anonymity): REPLACES the frame with the quasi-identifier
+    combinations whose group size is below ``k`` (quasi columns +
+    ``group_size``) — the cells a privacy release must suppress."""
+
+    quasi_columns: list[str] = field(default_factory=list)
+    k: int = 0
+    operation_type: str = "k_anonymity"
+
+    def __post_init__(self) -> None:
+        if not self.quasi_columns:
+            raise SpecError("k_anonymity requires quasi_columns")
+        if self.k < 1:
+            raise SpecError(f"k_anonymity k must be >= 1, got {self.k!r}")
+
+
+@dataclass
+class BenfordOperation(Operation):
+    """Benford first-digit audit as a flow op (functions/integrity.py
+    benford_audit): REPLACES the frame with one row per digit 1..9
+    (``digit, obs, obs_frac, expected_frac, chi2_term``).  The column
+    must be INTEGER-valued (cast monetary doubles to exact cents
+    upstream with arithmetic + casting ops)."""
+
+    input_column: str = ""
+    operation_type: str = "benford"
+
+    def __post_init__(self) -> None:
+        if not self.input_column:
+            raise SpecError("benford requires input_column")
+
+
+@dataclass
+class FkCheckOperation(Operation):
+    """Foreign-key orphan audit as a flow op (functions/integrity.py
+    fk_orphans): the CURRENT frame is the CHILD; the parent resolves
+    like bind's right side (named input or file path).  REPLACES the
+    frame with the 1-row audit (``relationship, child_rows, null_keys,
+    orphan_rows, orphan_keys``)."""
+
+    child_key: str = ""
+    parent_path: str = ""
+    parent_key: str = ""
+    parent_schema_columns: dict[str, str] = field(default_factory=dict)
+    name: str = ""
+    operation_type: str = "fk_check"
+
+    def __post_init__(self) -> None:
+        if not self.child_key or not self.parent_path or not self.parent_key:
+            raise SpecError("fk_check requires child_key, parent_path and parent_key")
+        if not self.name:
+            self.name = f"{self.child_key}->{self.parent_key}"
+
+
+@dataclass
+class SeasonalBaselineOperation(Operation):
+    """Day-of-week seasonal profile as a flow op
+    (functions/timeseries.py seasonal_baseline): REPLACES the frame
+    with one row per (key, dow): ``key, dow, n_events, mean_value,
+    lift``."""
+
+    key_column: str = ""
+    ts_column: str = "ts"
+    value_column: str = "value"
+    operation_type: str = "seasonal_baseline"
+
+    def __post_init__(self) -> None:
+        if not self.key_column:
+            raise SpecError("seasonal_baseline requires key_column")
+
+
+@dataclass
+class AutocorrOperation(Operation):
+    """Daily-count autocorrelation as a flow op
+    (functions/timeseries.py autocorr_lags): REPLACES the frame with
+    one row per lag 1..max_lag: ``lag, n_pairs, autocorr``."""
+
+    ts_column: str = "ts"
+    max_lag: int = 7
+    operation_type: str = "autocorr"
+
+    def __post_init__(self) -> None:
+        if self.max_lag < 1:
+            raise SpecError(f"autocorr max_lag must be >= 1, got {self.max_lag!r}")
+
+
+@dataclass
+class ItemSimilarityOperation(Operation):
+    """Item–item cosine similarity as a flow op (functions/mining.py
+    item_similarity): REPLACES the frame with one row per co-occurring
+    item pair: ``item_a, item_b, users_both, cosine``."""
+
+    user_column: str = ""
+    item_column: str = ""
+    operation_type: str = "item_similarity"
+
+    def __post_init__(self) -> None:
+        if not self.user_column or not self.item_column:
+            raise SpecError("item_similarity requires user_column and item_column")
+
+
+@dataclass
+class LinkPredictionOperation(Operation):
+    """Common-neighbor link prediction as a flow op
+    (functions/graph.py link_prediction): REPLACES the frame with the
+    top-k item pairs by Jaccard of their group sets: ``item_a, item_b,
+    co_groups, jaccard``."""
+
+    group_column: str = ""
+    item_column: str = ""
+    k: int = 100
+    operation_type: str = "link_prediction"
+
+    def __post_init__(self) -> None:
+        if not self.group_column or not self.item_column:
+            raise SpecError("link_prediction requires group_column and item_column")
+        if self.k < 1:
+            raise SpecError(f"link_prediction k must be >= 1, got {self.k!r}")
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -2209,6 +2331,14 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "association_rules": AssociationRulesOperation,
     "markov": MarkovOperation,
     "skyline": SkylineOperation,
+    # integrity / recommender / seasonal family (round 10)
+    "k_anonymity": KAnonymityOperation,
+    "benford": BenfordOperation,
+    "fk_check": FkCheckOperation,
+    "seasonal_baseline": SeasonalBaselineOperation,
+    "autocorr": AutocorrOperation,
+    "item_similarity": ItemSimilarityOperation,
+    "link_prediction": LinkPredictionOperation,
 }
 
 

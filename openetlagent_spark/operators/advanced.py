@@ -1114,3 +1114,73 @@ def apply_store_gate(
         n=op.shingle_size, bands=op.bands, rows_per_band=op.rows_per_band,
         seed=op.seed, mode=op.mode,
     )
+
+
+def apply_k_anonymity(df: DataFrame, op) -> DataFrame:
+    from ..functions.integrity import k_anonymity
+
+    require_columns(df, list(op.quasi_columns), "k_anonymity")
+    return k_anonymity(df, list(op.quasi_columns), op.k)
+
+
+def apply_benford(df: DataFrame, op) -> DataFrame:
+    from ..functions.integrity import benford_audit
+
+    require_columns(df, [op.input_column], "benford")
+    return benford_audit(df, op.input_column)
+
+
+def apply_fk_check(
+    df: DataFrame,
+    op,
+    spark: SparkSession,
+    inputs: dict[str, FileDefinition] | None = None,
+    parent_df: DataFrame | None = None,
+) -> DataFrame:
+    """FK orphan audit: current frame = CHILD, parent resolved like
+    bind's right side."""
+    from ..functions.integrity import fk_orphans
+
+    require_columns(df, [op.child_key], "fk_check")
+    if parent_df is None:
+        parent_df = resolve_side(spark, op.parent_path, op.parent_schema_columns, inputs)
+    require_columns(parent_df, [op.parent_key], "fk_check (parent)")
+    return fk_orphans(
+        [{
+            "name": op.name,
+            "child": df,
+            "child_key": op.child_key,
+            "parent": parent_df,
+            "parent_key": op.parent_key,
+        }]
+    )
+
+
+def apply_seasonal_baseline(df: DataFrame, op) -> DataFrame:
+    from ..functions.timeseries import seasonal_baseline
+
+    require_columns(
+        df, [op.key_column, op.ts_column, op.value_column], "seasonal_baseline"
+    )
+    return seasonal_baseline(df, op.key_column, op.ts_column, op.value_column)
+
+
+def apply_autocorr(df: DataFrame, op) -> DataFrame:
+    from ..functions.timeseries import autocorr_lags
+
+    require_columns(df, [op.ts_column], "autocorr")
+    return autocorr_lags(df, ts_col=op.ts_column, max_lag=op.max_lag)
+
+
+def apply_item_similarity(df: DataFrame, op) -> DataFrame:
+    from ..functions.mining import item_similarity
+
+    require_columns(df, [op.user_column, op.item_column], "item_similarity")
+    return item_similarity(df, op.user_column, op.item_column)
+
+
+def apply_link_prediction(df: DataFrame, op) -> DataFrame:
+    from ..functions.graph import link_prediction
+
+    require_columns(df, [op.group_column, op.item_column], "link_prediction")
+    return link_prediction(df, op.group_column, op.item_column, k=op.k)

@@ -40,6 +40,7 @@ from .model import (
     RangeJoinOperation,
     SimilarityOperation,
     SnapshotDiffOperation,
+    FkCheckOperation,
     UnionOperation,
 )
 from .operators import (
@@ -55,6 +56,7 @@ from .operators import (
     apply_merge,
     apply_range_join,
     apply_snapshot_diff,
+    apply_fk_check,
     apply_similarity,
     apply_union,
 )
@@ -73,7 +75,7 @@ _TEMP_COLUMN = re.compile(r"^_.+_$")
 RUNNER_HANDLED_OPS = frozenset({
     "bind", "union", "asof_join", "range_join", "similarity",
     "contamination", "incremental_dedup", "merge", "store_gate",
-    "snapshot_diff",
+    "snapshot_diff", "fk_check",
     "bloom_gate", "cms_counts", "sql_transform",
 })
 
@@ -116,6 +118,8 @@ def apply_operations(
             current = apply_merge(current, op, spark, inputs)
         elif isinstance(op, SnapshotDiffOperation):
             current = apply_snapshot_diff(current, op, spark, inputs)
+        elif isinstance(op, FkCheckOperation):
+            current = apply_fk_check(current, op, spark, inputs)
         elif isinstance(op, IncrementalDedupOperation):
             current = apply_incremental_dedup(current, op, spark, inputs)
         elif isinstance(op, StoreGateOperation):

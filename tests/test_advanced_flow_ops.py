@@ -1157,3 +1157,93 @@ def test_yaml_provenance_stamps_file_lineage(spark):
         apply_operations(derived, [op], spark)
     with pytest.raises(SpecError):
         parse_operation({"operation_type": "provenance", "fields": ["bogus"]})
+
+
+# --- round-10 flow ops: integrity / recommender / seasonal family ----------
+
+
+def test_integrity_and_recommender_flow_ops(spark):
+    """The integrity + recommender + seasonal functions are reachable
+    from YAML flows with the library functions' exact semantics."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+
+    ka = parse_operation({
+        "operation_type": "k_anonymity",
+        "quasi_columns": ["c_nationkey", "c_mktsegment"], "k": 5,
+    })
+    viol = apply_operations(cust, [ka], spark)
+    assert set(viol.columns) == {"c_nationkey", "c_mktsegment", "group_size"}
+    assert all(r.group_size < 5 for r in viol.collect())
+
+    bf = parse_operation({"operation_type": "benford", "input_column": "user_id"})
+    audit = apply_operations(ev, [bf], spark)
+    rows = audit.collect()
+    assert 0 < len(rows) <= 9
+    assert abs(sum(r.obs_frac for r in rows) - 1.0) < 1e-9
+
+    sb = parse_operation({
+        "operation_type": "seasonal_baseline", "key_column": "event_type",
+    })
+    prof = apply_operations(ev, [sb], spark)
+    assert set(prof.columns) == {"key", "dow", "n_events", "mean_value", "lift"}
+    assert prof.count() > 0
+
+    ac = parse_operation({"operation_type": "autocorr", "max_lag": 3})
+    lags = apply_operations(ev, [ac], spark)
+    assert sorted(r.lag for r in lags.collect()) == [1, 2, 3]
+
+    sim = parse_operation({
+        "operation_type": "item_similarity", "user_column": "user_id",
+        "item_column": "event_type",
+    })
+    sims = apply_operations(ev, [sim], spark).collect()
+    assert sims and all(0.0 < r.cosine <= 1.0 for r in sims)
+
+    lp = parse_operation({
+        "operation_type": "link_prediction", "group_column": "user_id",
+        "item_column": "event_type", "k": 5,
+    })
+    top = apply_operations(ev, [lp], spark).collect()
+    assert 0 < len(top) <= 5
+    assert all(0.0 < r.jaccard <= 1.0 for r in top)
+
+    # spec validation fails loudly at parse time
+    with pytest.raises(SpecError, match="quasi_columns"):
+        parse_operation({"operation_type": "k_anonymity", "k": 5})
+    with pytest.raises(SpecError, match="k must be"):
+        parse_operation({"operation_type": "k_anonymity",
+                         "quasi_columns": ["a"], "k": 0})
+    with pytest.raises(SpecError, match="input_column"):
+        parse_operation({"operation_type": "benford"})
+    with pytest.raises(SpecError, match="parent"):
+        parse_operation({"operation_type": "fk_check", "child_key": "x"})
+    with pytest.raises(SpecError, match="max_lag"):
+        parse_operation({"operation_type": "autocorr", "max_lag": 0})
+
+
+def test_yaml_fk_check_cross_input(spark):
+    """fk_check resolves the parent like bind's right side (named
+    input) and lands the 1-row audit."""
+    from openetlagent_spark.model import (
+        ColumnDefinition, FileDefinition, FileSchema,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    inputs = {
+        "orders": FileDefinition(
+            path=f"{SF}/orders.parquet", format="parquet",
+            file_schema=FileSchema(
+                name="orders",
+                columns={"o_orderkey": ColumnDefinition(type="integer")},
+            ),
+        )
+    }
+    fk = parse_operation({
+        "operation_type": "fk_check", "child_key": "l_orderkey",
+        "parent_path": "orders", "parent_key": "o_orderkey",
+    })
+    [row] = apply_operations(li, [fk], spark, inputs=inputs).collect()
+    assert row.relationship == "l_orderkey->o_orderkey"
+    assert row.child_rows == li.count()
+    assert row.orphan_rows == 0 and row.null_keys == 0
