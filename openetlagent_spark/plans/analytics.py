@@ -892,6 +892,151 @@ FROM s
 """
 
 
+def q_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (y = slope·x + intercept of
+    extended price on quantity per return flag) plus R² — the trend
+    estimator, completing the power-sum family (moments → corr → fit).
+    Same exactness contract as stats_corr: Σx, Σy, Σxy, Σx², Σy² in
+    DECIMAL (order-free), then ONE fixed double tree per statistic —
+    slope = cov/var_x, intercept = my − slope·mx, r² = cov²/(var_x·var_y).
+    Single pass, map-side combinable, mergeable across 1000 executors."""
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("xd", x)
+        .withColumn("yd", y)
+        .withColumn("xyd", (x * y).cast("decimal(38,4)"))
+        .withColumn("x2d", (x * x).cast("decimal(28,4)"))
+        .withColumn("y2d", (y * y).cast("decimal(38,4)"))
+    )
+    agg = apply_aggregation(
+        df,
+        AggregationOperation(
+            group_by=["l_returnflag"],
+            aggregations={
+                "sx": {"column": "xd", "agg": "sum"},
+                "sy": {"column": "yd", "agg": "sum"},
+                "sxy": {"column": "xyd", "agg": "sum"},
+                "sx2": {"column": "x2d", "agg": "sum"},
+                "sy2": {"column": "y2d", "agg": "sum"},
+                "n": {"column": "*", "agg": "count"},
+            },
+        ),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    mx = sx / n
+    my = sy / n
+    cov = sxy / n - mx * my
+    var_x = sx2 / n - mx * mx
+    var_y = sy2 / n - my * my
+    slope = cov / var_x
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        slope.alias("slope"),
+        (my - slope * mx).alias("intercept"),
+        ((cov * cov) / (var_x * var_y)).alias("r2"),
+    )
+
+
+OLS_FIT_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(yd) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(xyd) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(x2d) AS VARCHAR) AS DOUBLE) AS sx2,
+         CAST(CAST(SUM(y2d) AS VARCHAR) AS DOUBLE) AS sy2,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         COUNT(*) AS n_rows
+  FROM (SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(18,2)) AS xd,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS yd,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS xyd,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)) AS x2d,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS y2d
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n_rows,
+       (sxy / n - (sx / n) * (sy / n)) / (sx2 / n - (sx / n) * (sx / n)) AS slope,
+       (sy / n) - ((sxy / n - (sx / n) * (sy / n)) / (sx2 / n - (sx / n) * (sx / n))) * (sx / n) AS intercept,
+       ((sxy / n - (sx / n) * (sy / n)) * (sxy / n - (sx / n) * (sy / n)))
+         / ((sx2 / n - (sx / n) * (sx / n)) * (sy2 / n - (sy / n) * (sy / n))) AS r2
+FROM s
+"""
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categoricals (doc
+    language × source): per contingency CELL the observed count,
+    expected count under independence (row·col margins / n), and the
+    χ² term — including ZERO-observed cells, which still contribute
+    their full expected mass (the classic silent-undercount bug in
+    naive GROUP-BY-only implementations).
+
+    Shape: one (a, b) count exchange over the corpus; the full cell
+    lattice is the CROSS of the two margin AGGREGATES (|A|·|B| rows —
+    bounded by the category domain product, never corpus-sized), with
+    observed counts left-joined on.  n comes from a window over the
+    |A|-row margin.  All counts integer; expected and the term are one
+    fixed double tree (d·d, not pow)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("a"), F.col("source").alias("b")
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    obs = docs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ma = docs.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    mb = docs.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # total over the |A|-row margin aggregate — bounded global window
+    ma = ma.withColumn("n", F.sum("n_a").over(w))
+    cells = ma.crossJoin(mb).join(obs, ["a", "b"], "left").withColumn(
+        "n_ab", F.coalesce(F.col("n_ab"), F.lit(0).cast("bigint"))
+    )
+    e = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / F.col("n").cast("double")
+    )
+    diff = F.col("n_ab").cast("double") - e
+    return cells.select(
+        "a",
+        "b",
+        "n_ab",
+        e.alias("expected"),
+        ((diff * diff) / e).alias("chi2_term"),
+    )
+
+
+CHI2_INDEPENDENCE_SQL = """
+WITH d AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL),
+obs AS (SELECT a, b, COUNT(*) AS n_ab FROM d GROUP BY a, b),
+ma AS (SELECT a, COUNT(*) AS n_a FROM d GROUP BY a),
+mb AS (SELECT b, COUNT(*) AS n_b FROM d GROUP BY b),
+mat AS (SELECT a, n_a, SUM(n_a) OVER () AS n FROM ma)
+SELECT mat.a, mb.b,
+       COALESCE(obs.n_ab, CAST(0 AS BIGINT)) AS n_ab,
+       CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+       ((CAST(COALESCE(obs.n_ab, 0) AS DOUBLE)
+          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(COALESCE(obs.n_ab, 0) AS DOUBLE)
+          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)))
+       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_term
+FROM mat CROSS JOIN mb LEFT JOIN obs ON obs.a = mat.a AND obs.b = mb.b
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based discretization: NTILE(10) decile buckets of
     l_extendedprice within each return flag, on the fully-determined
@@ -2205,6 +2350,8 @@ ANALYTICS_QUERIES = {
     "stats_moments": q_stats_moments,
     "stats_skew": q_stats_skew,
     "stats_corr": q_stats_corr,
+    "ols_fit": q_ols_fit,
+    "chi2_independence": q_chi2_independence,
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
@@ -2257,6 +2404,8 @@ ANALYTICS_ORACLES = {
     "stats_moments": STATS_MOMENTS_SQL,
     "stats_skew": STATS_SKEW_SQL,
     "stats_corr": STATS_CORR_SQL,
+    "ols_fit": OLS_FIT_SQL,
+    "chi2_independence": CHI2_INDEPENDENCE_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,

@@ -1097,3 +1097,34 @@ def test_item_similarity_no_cartesian(spark):
     plan = plan_of(spark, "item_similarity")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ols_fit_single_pass(spark):
+    """Power-sum OLS: one corpus scan, one keyed exchange, no join."""
+    plan = plan_of(spark, "ols_fit")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert plan.count("FileScan") == 1
+    assert count_shuffles(plan) <= 1
+
+
+def test_chi2_cross_join_is_aggregate_level(spark):
+    """The cell lattice crosses the two MARGIN AGGREGATES (bounded by
+    the category domains) — the corpus itself is never crossed: every
+    FileScan feeds a HashAggregate before any join."""
+    plan = plan_of(spark, "chi2_independence")
+    physical = plan.split("== Physical Plan ==")[-1]
+    # margins and observed each scan once
+    assert physical.count("FileScan") <= 3
+    assert "CartesianProduct" not in physical
+    # every scan is aggregated before any join consumes it: the first
+    # join operator in the tree (printed above its children) must have
+    # only aggregate-fed subtrees — no raw-scan join input.  Textual
+    # proxy: each FileScan line sits below (after) a HashAggregate line.
+    lines = physical.splitlines()
+    agg_seen = False
+    for ln in lines:
+        if "HashAggregate" in ln:
+            agg_seen = True
+        if "FileScan" in ln:
+            assert agg_seen, "a FileScan feeds a join before any aggregation"
