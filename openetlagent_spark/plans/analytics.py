@@ -1037,6 +1037,165 @@ FROM mat CROSS JOIN mb LEFT JOIN obs ON obs.a = mat.a AND obs.b = mb.b
 """
 
 
+def q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration audit: the Lorenz curve and Gini
+    coefficient of corpus mass (total chars) across sources — the
+    "is 90% of my training data coming from 3 domains?" governance
+    check.  Corpus → per-source weight aggregate (ONE corpus
+    exchange); every rank/cumulative/total is a window over that
+    |sources|-row aggregate, bounded by the source domain at any
+    corpus size.  Gini = 2·Σ(i·wᵢ)/(n·Σw) − (n+1)/n over the
+    (weight, source)-sorted ranks; rank·weight products go through
+    DECIMAL(38,0) so a 10^14-char source at rank 10^6 cannot overflow
+    BIGINT.  Integer math until one fixed double tree at the end."""
+    from pyspark.sql import Window
+
+    w_src = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("weight"))
+    )
+    order = Window.partitionBy().orderBy("weight", "source")
+    full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = Window.partitionBy().orderBy("weight", "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        w_src.withColumn("rank", F.row_number().over(order))
+        .withColumn("cum_weight", F.sum("weight").over(cum))
+        .withColumn("total", F.sum("weight").over(full))
+        .withColumn("n_sources", F.count(F.lit(1)).over(full))
+        .withColumn(
+            "_x_iw",
+            F.sum(
+                (F.col("rank").cast("decimal(18,0)") * F.col("weight").cast("decimal(18,0)"))
+                .cast("decimal(38,0)")
+            ).over(full),
+        )
+    )
+    n_d = F.col("n_sources").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_x_iw").cast("double")
+        / (n_d * F.col("total").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    return ranked.select(
+        "source",
+        "weight",
+        "rank",
+        (F.col("cum_weight").cast("double") / F.col("total").cast("double")).alias(
+            "lorenz_share"
+        ),
+        gini.alias("gini"),
+    )
+
+
+GINI_SOURCES_SQL = """
+WITH w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight FROM documents GROUP BY source),
+r0 AS (
+  SELECT source, weight,
+         ROW_NUMBER() OVER (ORDER BY weight, source) AS rank,
+         SUM(weight) OVER (ORDER BY weight, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight,
+         SUM(weight) OVER () AS total,
+         COUNT(*) OVER () AS n_sources
+  FROM w),
+r AS (
+  SELECT *,
+         SUM(CAST(CAST(rank AS DECIMAL(18,0))
+             * CAST(weight AS DECIMAL(18,0)) AS DECIMAL(38,0))) OVER () AS iw
+  FROM r0)
+SELECT source, weight, CAST(rank AS INTEGER) AS rank,
+       CAST(cum_weight AS DOUBLE) / CAST(total AS DOUBLE) AS lorenz_share,
+       2.0 * CAST(CAST(iw AS VARCHAR) AS DOUBLE)
+         / (CAST(n_sources AS DOUBLE) * CAST(total AS DOUBLE))
+         - (CAST(n_sources AS DOUBLE) + 1.0) / CAST(n_sources AS DOUBLE) AS gini
+FROM r
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test between event cohorts (purchase vs
+    click values) — the experiment-readout primitive: per-cohort n /
+    mean / sample variance from exact DECIMAL sums in ONE conditional
+    single-pass aggregate (no second scan, no join), then
+    z = (mā − m̄b) / sqrt(va/na + vb/nb) as one fixed double tree.
+    Map-side combinable; mergeable across 1000 executors."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    )
+    vd = F.col("value").cast("decimal(18,6)")
+    v2 = (vd * vd).cast("decimal(38,6)")
+    is_a = F.col("event_type") == "purchase"
+    zero = F.lit(0).cast("decimal(18,6)")
+    zero2 = F.lit(0).cast("decimal(38,6)")
+    agg = ev.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_a, vd).otherwise(zero)).alias("_sa"),
+        F.sum(F.when(is_a, v2).otherwise(zero2)).alias("_s2a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~is_a, vd).otherwise(zero)).alias("_sb"),
+        F.sum(F.when(~is_a, v2).otherwise(zero2)).alias("_s2b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("_sa").cast("double")
+    sb = F.col("_sb").cast("double")
+    s2a = F.col("_s2a").cast("double")
+    s2b = F.col("_s2b").cast("double")
+    ma = sa / na
+    mb = sb / nb
+    va = (s2a - sa * sa / na) / (na - F.lit(1.0))
+    vb = (s2b - sb * sb / nb) / (nb - F.lit(1.0))
+    return agg.select(
+        "n_a",
+        ma.alias("mean_a"),
+        va.alias("var_a"),
+        "n_b",
+        mb.alias("mean_b"),
+        vb.alias("var_b"),
+        ((ma - mb) / F.sqrt(va / na + vb / nb)).alias("z_score"),
+    )
+
+
+AB_TEST_SQL = """
+WITH s AS (
+  SELECT
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6))
+        ELSE CAST(0 AS DECIMAL(18,6)) END) AS _sa,
+    SUM(CASE WHEN event_type = 'purchase'
+        THEN CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        ELSE CAST(0 AS DECIMAL(38,6)) END) AS _s2a,
+    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN event_type <> 'purchase' THEN CAST(value AS DECIMAL(18,6))
+        ELSE CAST(0 AS DECIMAL(18,6)) END) AS _sb,
+    SUM(CASE WHEN event_type <> 'purchase'
+        THEN CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        ELSE CAST(0 AS DECIMAL(38,6)) END) AS _s2b
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+d AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(CAST(_sa AS VARCHAR) AS DOUBLE) AS sa,
+         CAST(CAST(_sb AS VARCHAR) AS DOUBLE) AS sb,
+         CAST(CAST(_s2a AS VARCHAR) AS DOUBLE) AS s2a,
+         CAST(CAST(_s2b AS VARCHAR) AS DOUBLE) AS s2b
+  FROM s)
+SELECT n_a, sa / nad AS mean_a,
+       (s2a - sa * sa / nad) / (nad - 1.0) AS var_a,
+       n_b, sb / nbd AS mean_b,
+       (s2b - sb * sb / nbd) / (nbd - 1.0) AS var_b,
+       ((sa / nad) - (sb / nbd))
+         / sqrt(((s2a - sa * sa / nad) / (nad - 1.0)) / nad
+                + ((s2b - sb * sb / nbd) / (nbd - 1.0)) / nbd) AS z_score
+FROM d
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based discretization: NTILE(10) decile buckets of
     l_extendedprice within each return flag, on the fully-determined
@@ -2352,6 +2511,8 @@ ANALYTICS_QUERIES = {
     "stats_corr": q_stats_corr,
     "ols_fit": q_ols_fit,
     "chi2_independence": q_chi2_independence,
+    "gini_sources": q_gini_sources,
+    "ab_test": q_ab_test,
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
@@ -2406,6 +2567,8 @@ ANALYTICS_ORACLES = {
     "stats_corr": STATS_CORR_SQL,
     "ols_fit": OLS_FIT_SQL,
     "chi2_independence": CHI2_INDEPENDENCE_SQL,
+    "gini_sources": GINI_SOURCES_SQL,
+    "ab_test": AB_TEST_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,

@@ -1128,3 +1128,26 @@ def test_chi2_cross_join_is_aggregate_level(spark):
             agg_seen = True
         if "FileScan" in ln:
             assert agg_seen, "a FileScan feeds a join before any aggregation"
+
+
+def test_gini_windows_over_aggregate_only(spark):
+    """Lorenz/Gini windows run on the |sources|-row aggregate — one
+    corpus scan, one keyed exchange, no join; the global windows sit
+    ABOVE the HashAggregate (bounded frame, per the PLANS.md global-
+    window rule)."""
+    plan = plan_of(spark, "gini_sources")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert plan.count("FileScan") == 1
+    assert count_shuffles(plan) <= 1
+
+
+def test_ab_test_single_conditional_pass(spark):
+    """Both cohorts' power sums come from ONE conditional aggregate —
+    no join, no second scan, and the cohort filter reaches the scan."""
+    plan = plan_of(spark, "ab_test")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert plan.count("FileScan") == 1
+    pushed = [l for l in plan.splitlines() if "PushedFilters: [" in l]
+    assert any("event_type" in l for l in pushed)
