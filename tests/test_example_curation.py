@@ -282,3 +282,32 @@ def test_example_refresh_audit_pipeline(spark, tmp_path):
     got = {r.diff_status: r.n for r in result.collect()}
     # the example drops order 103 and bumps order 105's quantity
     assert got == {"removed": 1, "changed": 1, "unchanged": 8}
+
+
+def test_example_privacy_release_screen(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/privacy_release_screen.yaml")
+    )
+    config.outputs["privacy_cells"].path = str(tmp_path / "cells")
+    result, ok, feedback = run_flow(spark, config, flow, "privacy_cells", single_file=True)
+    assert ok, feedback
+    rows = result.collect()
+    assert rows and all(r.group_size < 10 for r in rows)
+    # sorted ascending by size per the flow's sort op
+    sizes = [r.group_size for r in rows]
+    assert sizes == sorted(sizes)
+
+
+def test_example_benford_fraud_screen(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/benford_fraud_screen.yaml")
+    )
+    config.outputs["benford_digits"].path = str(tmp_path / "digits")
+    result, ok, feedback = run_flow(spark, config, flow, "benford_digits", single_file=True)
+    assert ok, feedback
+    rows = result.collect()
+    assert [r.digit for r in rows] == sorted(r.digit for r in rows)
+    assert abs(sum(r.obs_frac for r in rows) - 1.0) < 1e-9
+    assert all(r.chi2_term >= 0.0 for r in rows)
