@@ -725,3 +725,83 @@ SELECT item_a, item_b, co_groups,
 FROM co JOIN deg da ON da.i = item_a JOIN deg db ON db.i = item_b
 ORDER BY jaccard DESC, item_a, item_b LIMIT {int(k)}
 """
+
+
+def bfs_hops(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Deterministic synchronous BFS from the LEXICOGRAPHICALLY
+    SMALLEST node: minimum hop distance (0..max_hops) for every node
+    reachable within ``max_hops`` over the UNDIRECTED graph —
+    the reachability / blast-radius primitive (which domains sit
+    within k links of a seed?).
+
+    Each round is one frontier-edge equi-join plus a min-hop
+    re-aggregate — |rounds| keyed exchanges total, no iteration-count
+    data dependence (fixed unrolling, like label_propagation's fixed
+    rounds), so lineage stays shallow and no checkpoint is needed.
+    Edges are symmetrized inside (union of both orientations,
+    distinct).  The seed choice (MIN(node)) is a 1-row aggregate
+    broadcast — swap in any literal seed frame for targeted runs.
+    Output: ``(node, hops)``, hops = the exact BFS level."""
+    if max_hops < 1:
+        raise ValueError(f"bfs_hops: max_hops must be >= 1, got {max_hops}")
+    sym = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .unionAll(edges.select(F.col("dst").alias("s"), F.col("src").alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    seed = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).alias("hops")
+    )
+    dist = seed
+    for k in range(1, max_hops + 1):
+        frontier = dist.where(F.col("hops") == k - 1)
+        step = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(F.col("d").alias("node"), F.lit(k).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist
+
+
+def bfs_hops_oracle_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    max_hops: int,
+) -> str:
+    """DuckDB mirror of :func:`bfs_hops`: the identical recurrence
+    unrolled as CTEs — seed = MIN(node), per round a frontier join and
+    a MIN(hops) regroup over the running distance table."""
+    parts = [
+        f"WITH __bfs_nodes AS ({nodes_sql})",
+        f"__bfs_e0 AS ({edges_sql})",
+        "__bfs_edges AS (SELECT DISTINCT s, d FROM ("
+        "SELECT src AS s, dst AS d FROM __bfs_e0 "
+        "UNION ALL SELECT dst AS s, src AS d FROM __bfs_e0) WHERE s <> d)",
+        "__bfs_d0 AS (SELECT MIN(node) AS node, 0 AS hops FROM __bfs_nodes)",
+    ]
+    prev = "__bfs_d0"
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f"__bfs_f{k} AS (SELECT e.d AS node, {k} AS hops "
+            f"FROM {prev} p JOIN __bfs_edges e ON e.s = p.node "
+            f"WHERE p.hops = {k - 1})"
+        )
+        parts.append(
+            f"__bfs_d{k} AS (SELECT node, MIN(hops) AS hops FROM "
+            f"(SELECT * FROM {prev} UNION ALL SELECT * FROM __bfs_f{k}) "
+            f"GROUP BY node)"
+        )
+        prev = f"__bfs_d{k}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(hops AS INTEGER) AS hops FROM {prev}"
+    )

@@ -1655,3 +1655,79 @@ FROM __us_s CROSS JOIN __us_t
 ORDER BY n DESC, token ASC
 LIMIT {k}
 """
+
+
+def text_readability(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document from deterministic regex
+    counting — the curation quality signal "is this text written for
+    humans?" (very low = legalese/jargon, ~100 = plain prose):
+
+    ``flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+
+    with sentences = ``[.!?]+`` runs (floored at 1 — a fragment is one
+    sentence), words = whitespace tokens (the with_token_counts rule,
+    trim = spaces only), and syllables = ``[aeiouy]+`` vowel-group
+    runs in the lowercased text — the standard library approximation;
+    both regexes sit in the Java/RE2 shared subset.  All counts are
+    integers; the score is one fixed double tree over them, so it is
+    engine-exact.  Zero-word documents get a NULL score (not a
+    division blow-up).  Pure projection: zero shuffles, scales as a
+    map-only pass at any corpus size."""
+    col = F.col(text_col)
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(col, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_words = F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    out = (
+        df.where(col.isNotNull())
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("n_words", n_words)
+        .withColumn("n_syllables", n_syllables)
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)
+    )
+    return out.select(
+        id_col,
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.when(F.col("n_words") > 0, flesch).alias("flesch"),
+    )
+
+
+def text_readability_oracle_sql(
+    table: str, id_col: str, text_col: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`text_readability` — identical regexes,
+    identical token rule (string_split_regex on trimmed text), same
+    literal constants and operation tree."""
+    t = text_col
+    n_sent = f"GREATEST(len(regexp_extract_all({t}, '[.!?]+')), 1)"
+    n_words = (
+        f"CASE WHEN trim({t}) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim({t}), '\\s+')) END"
+    )
+    n_syll = f"len(regexp_extract_all(lower({t}), '[aeiouy]+'))"
+    return f"""
+WITH c AS (
+  SELECT {id_col},
+         CAST({n_sent} AS INTEGER) AS n_sentences,
+         CAST({n_words} AS INTEGER) AS n_words,
+         CAST({n_syll} AS INTEGER) AS n_syllables
+  FROM {table} WHERE {text_col} IS NOT NULL)
+SELECT {id_col}, n_sentences, n_words, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM c
+"""

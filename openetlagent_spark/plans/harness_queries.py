@@ -3546,6 +3546,38 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_similarity(_t(spark, sf_dir, "events"), "user_id", "event_type")
 
 
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop reachability (functions/graph.py bfs_hops): exact BFS
+    levels 0..3 from the lexicographically smallest domain over the
+    same distance-≤2 co-citation graph triangle_count / kcore / LPA
+    use — the blast-radius primitive.  Fixed 3-round unrolling, one
+    keyed exchange per round."""
+    from ..functions.graph import bfs_hops
+    from ..functions.web import domain_extract
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SYNTH_URL_SQL).alias("url")
+    )
+    dom = domain_extract(docs, "url").select("doc_id", "domain")
+    nodes = dom.select(F.col("domain").alias("node")).distinct()
+    return bfs_hops(nodes, _domain_edges2(dom), max_hops=3)
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease readability per document
+    (functions/text.py text_readability): sentence / word / syllable
+    counts from cross-engine-safe regex counting (sentence = [.!?]+
+    runs, syllable = [aeiouy]+ runs — the deterministic approximation
+    every readability library uses), score as one fixed double tree
+    over integer counts.  Pure projection — zero shuffles; the
+    quality-signal companion of text_quality for curation gates."""
+    from ..functions.text import text_readability
+
+    return text_readability(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id", "text"
+    )
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3657,6 +3689,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "autocorr": q_autocorr,
     "link_prediction": q_link_prediction,
     "item_similarity": q_item_similarity,
+    "bfs_reach": q_bfs_reach,
+    "text_readability": q_text_readability,
     "scd2_snapshot": q_scd2_snapshot,
     "json_extract": q_json_extract,
     "sample_hash": q_sample_hash,
@@ -5161,4 +5195,19 @@ HARNESS_ORACLES["link_prediction"] = _link_prediction_oracle_sql(
 )
 HARNESS_ORACLES["item_similarity"] = _item_similarity_oracle_sql(
     "events", "user_id", "event_type"
+)
+
+# bfs_reach: the same distance<=2 domain graph, unrolled BFS rounds
+from ..functions.graph import bfs_hops_oracle_sql as _bfs_hops_oracle_sql  # noqa: E402
+
+HARNESS_ORACLES["bfs_reach"] = _bfs_hops_oracle_sql(
+    _DOMAIN_NODES_SQL, _DOMAIN_EDGES2_SQL, max_hops=3
+)
+
+from ..functions.text import (  # noqa: E402
+    text_readability_oracle_sql as _text_readability_oracle_sql,
+)
+
+HARNESS_ORACLES["text_readability"] = _text_readability_oracle_sql(
+    "documents", "doc_id", "text"
 )

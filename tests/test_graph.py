@@ -271,3 +271,28 @@ def test_kcore_peels_tendrils(spark):
     assert set(one) == {"a", "b", "c", "x"} and one["x"] == 2
     with pytest.raises(ValueError, match="kcore needs"):
         kcore(nodes, edges, k=0)
+
+
+def test_bfs_hops_levels_and_unreachable(spark):
+    from openetlagent_spark.functions.graph import bfs_hops
+
+    # path a-b-c-d plus isolated z: from seed 'a' (lexicographic min),
+    # hops: a=0, b=1, c=2, d=3 (max_hops=3); z absent
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("z",)], "node string"
+    )
+    got = {r.node: r.hops for r in bfs_hops(nodes, edges, max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # max_hops truncates
+    got2 = {r.node: r.hops for r in bfs_hops(nodes, edges, max_hops=1).collect()}
+    assert got2 == {"a": 0, "b": 1}
+    # symmetrization: reversed edge reaches the seed's parent
+    edges_rev = spark.createDataFrame([("b", "a")], "src string, dst string")
+    got3 = {r.node: r.hops for r in bfs_hops(nodes, edges_rev, 2).collect()}
+    assert got3 == {"a": 0, "b": 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bfs_hops(nodes, edges, 0)

@@ -1151,3 +1151,10 @@ def test_ab_test_single_conditional_pass(spark):
     assert plan.count("FileScan") == 1
     pushed = [l for l in plan.splitlines() if "PushedFilters: [" in l]
     assert any("event_type" in l for l in pushed)
+
+
+def test_text_readability_zero_shuffle_projection(spark):
+    plan = plan_of(spark, "text_readability")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical and "Exchange" not in physical
+    assert count_shuffles(plan) == 0

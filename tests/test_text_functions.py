@@ -405,3 +405,25 @@ def test_unigram_sampling_table_three_quarter_power(spark):
     raw = {r.token: r.prob for r in unigram_sampling_table(
         df, "text", alpha_num=1, alpha_log2_den=0, k=10).collect()}
     assert raw["hot"] == 16.0 / 17.0
+
+
+def test_text_readability_counts_and_score(spark):
+    from openetlagent_spark.functions.text import text_readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 2 sentences, 6 words
+        (2, "word"),                          # fragment -> 1 sentence
+        (3, "   "),                           # zero words -> NULL score
+        (4, None),                            # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in text_readability(df, "doc_id").collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert (r1.n_sentences, r1.n_words) == (2, 6)
+    # syllable runs: e-a-a-e-o-a  -> "the cat sat the dog ran" vowel
+    # groups = 6
+    assert r1.n_syllables == 6
+    assert r1.flesch == 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert got[2].n_sentences == 1
+    assert got[3].flesch is None and got[3].n_words == 0
