@@ -48,28 +48,32 @@ _ROUND10_FRONT = [
     "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
     "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
     "robust_scale", "diversity_sample",
-    # r05 rows (25) — the 7 original backfill rows first
+    # r05 rows (12) — the 7 original backfill rows first, then
+    # asof_tolerance / bm25_topk / contamination (family
+    # representatives) and the two changed-module sentinels
+    # (pack_sequences, semantic_dedup — curation.py / the dedup
+    # machinery changed this round).
     "bind_salted", "window_range_frame", "window_distribution",
     "funnel", "event_paths", "top_p_sources", "tpch_q8",
-    # then the dedup / curation / text / embedding r05 block
-    "asof_tolerance", "bm25_topk", "bpe_encode", "bpe_train",
-    "ccnet_buckets", "contamination", "curriculum_order",
-    "dedup_embedding", "dedup_keep_best", "dedup_minhash",
-    "dedup_ngram", "dedup_store", "embedding_centroids",
-    "global_shuffle", "incremental_dedup",
-    "incremental_neardup",
+    "asof_tolerance", "bm25_topk", "contamination",
     "pack_sequences", "semantic_dedup",
-    # round-10 additions (10) — each swapped in after a local
-    # driver-strength exact check, displacing the 10 lowest-risk
-    # trailing r05 rows (tokenize_ids, gopher_rules, stream_sink,
-    # stats_corr, skew_report, neardup_store, near_contamination,
-    # inverted_index, line_dedup, embedding_stats — all repeatedly
-    # green; they join the r11 backlog).  pack_sequences and semantic_dedup stay: their
-    # implementing modules (curation.py, dedup machinery) changed
-    # this round, so they double as changed-file sentinels.
+    # round-10 additions (23) — never-driver-checked count stays at
+    # ZERO: every addition enters the front the round it lands, each
+    # only after a local driver-strength exact check (the full
+    # 238-query sweep in this session's log is the evidence).  This
+    # displaced 13 more r05 rows (bpe_encode, bpe_train, ccnet_buckets,
+    # curriculum_order, dedup_embedding, dedup_keep_best, dedup_minhash,
+    # dedup_ngram, dedup_store, embedding_centroids, global_shuffle,
+    # incremental_dedup, incremental_neardup — all repeatedly green in
+    # every full sweep; they join the r11 staleness backlog alongside
+    # the 10 earlier deferrals listed above).
     "video_frames", "audio_features", "interval_join", "fuzzy_dedup",
     "grouped_quantiles", "snapshot_diff", "join_cardinality", "ann_sq8",
     "dataset_manifest", "scd2_snapshot",
+    "fk_orphans", "k_anonymity", "benford_audit", "seasonal_baseline",
+    "autocorr", "link_prediction", "item_similarity", "ols_fit",
+    "chi2_independence", "gini_sources", "ab_test", "bfs_reach",
+    "text_readability",
 ]
 
 
