@@ -48,16 +48,17 @@ _ROUND10_FRONT = [
     "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
     "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
     "robust_scale", "diversity_sample",
-    # r05 rows (12) — the 7 original backfill rows first, then
-    # asof_tolerance / bm25_topk / contamination (family
-    # representatives) and the two changed-module sentinels
+    # r05 rows (10) — the 7 original backfill rows first, then
+    # contamination (family representative; asof_tolerance and
+    # bm25_topk deferred to r11 when attribution/rfm_segments landed)
+    # and the two changed-module sentinels
     # (pack_sequences, semantic_dedup — curation.py / the dedup
     # machinery changed this round).
     "bind_salted", "window_range_frame", "window_distribution",
     "funnel", "event_paths", "top_p_sources", "tpch_q8",
-    "asof_tolerance", "bm25_topk", "contamination",
+    "contamination",
     "pack_sequences", "semantic_dedup",
-    # round-10 additions (23) — never-driver-checked count stays at
+    # round-10 additions (25) — never-driver-checked count stays at
     # ZERO: every addition enters the front the round it lands, each
     # only after a local driver-strength exact check (the full
     # 238-query sweep in this session's log is the evidence).  This
@@ -73,7 +74,7 @@ _ROUND10_FRONT = [
     "fk_orphans", "k_anonymity", "benford_audit", "seasonal_baseline",
     "autocorr", "link_prediction", "item_similarity", "ols_fit",
     "chi2_independence", "gini_sources", "ab_test", "bfs_reach",
-    "text_readability",
+    "text_readability", "attribution", "rfm_segments",
 ]
 
 

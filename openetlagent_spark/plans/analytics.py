@@ -1196,6 +1196,149 @@ FROM d
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for every purchase, the FIRST-touch and
+    LAST-touch non-purchase event types in the user's preceding
+    timeline — the conversion-credit primitive.  One window over
+    (user, (ts, event_id)) with a [unbounded, -1] row frame and
+    IGNORE-NULLS first/last over a purchase-masked CASE; the partition
+    key is user_id (corpus-cardinality — never a skew trap), and a
+    first-event purchase attributes to NULL on both engines.  Order is
+    fully determined by (epoch, event_id), so results are
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        # NTZ refuses a direct long cast; timestamp-first matches the
+        # oracle's floor(epoch(ts)) exactly (read_event_table rule)
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    masked = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    out = ev.withColumn("first_touch", F.first(masked, ignorenulls=True).over(w))
+    out = out.withColumn("last_touch", F.last(masked, ignorenulls=True).over(w))
+    return out.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_epoch", "first_touch", "last_touch"
+    )
+
+
+ATTRIBUTION_SQL = """
+SELECT event_id, user_id, ts_epoch, first_touch, last_touch
+FROM (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         event_type,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM events WHERE user_id IS NOT NULL)
+WHERE event_type = 'purchase'
+"""
+
+
+def _ntile_expr(rank_col: str, n_col: str, k: int):
+    """SQL-standard NTILE(k) re-derived from (rank, count) in pure
+    integer math (the quantile_bins formula generalized): the first
+    n%k buckets hold ceil(n/k) rows, the rest floor(n/k)."""
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= ({n_col} % {k}) * (({n_col} DIV {k}) + 1) "
+        f"THEN ({rank_col} - 1) DIV (({n_col} DIV {k}) + 1) + 1 "
+        f"ELSE ({n_col} % {k}) + ({rank_col} - ({n_col} % {k}) * (({n_col} DIV {k}) + 1) - 1) "
+        f"DIV ({n_col} DIV {k}) + 1 END AS INTEGER)"
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per user the recency (last event
+    day), frequency (event count), monetary (exact decimal purchase
+    sum), and the classic R/F/M quintile scores + combined RFM code —
+    the lifecycle-marketing workhorse.
+
+    Corpus → |users|-row aggregate (one keyed exchange), then THREE
+    exact quintile ranks over that aggregate via
+    :func:`~..functions.curation.two_phase_group_rank` under a
+    constant group (range exchange + pid-local sorts — at billions of
+    users a plain ORDER-BY window would be a single-task sort; the
+    oracle keeps the plain NTILE formulation).  Quintiles re-derive
+    NTILE's ceil-division split from (rank, n) in integer math — the
+    proven quantile_bins formula with k=5.  Ties break on user_id, so
+    scores are engine-exact."""
+    from ..functions.curation import two_phase_group_rank
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    vd = F.col("value").cast("decimal(18,6)")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+            ).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", vd).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).alias("_x_mon"),
+        )
+        .withColumn("_x_g", F.lit(1))
+    )
+    ranked = per_user
+    for rank_col, sort_col in (
+        ("_x_rr", "last_day"),
+        ("_x_rf", "frequency"),
+        ("_x_rm", "_x_mon"),
+    ):
+        ranked = two_phase_group_rank(
+            ranked,
+            ["_x_g"],
+            [F.col(sort_col), F.col("user_id")],
+            rank_col,
+            count_column="_x_n",
+        )
+    r = _ntile_expr("_x_rr", "_x_n", 5)
+    f5 = _ntile_expr("_x_rf", "_x_n", 5)
+    m = _ntile_expr("_x_rm", "_x_n", 5)
+    return ranked.select(
+        "user_id",
+        "last_day",
+        "frequency",
+        F.col("_x_mon").cast("double").alias("monetary"),
+        r.alias("r"),
+        f5.alias("f"),
+        m.alias("m"),
+        (r * 100 + f5 * 10 + m).alias("rfm"),
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CAST(ts AS DATE)) - DATE '1970-01-01' AS INTEGER) AS last_day,
+         COUNT(*) AS frequency,
+         SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS mon
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+q AS (
+  SELECT user_id, last_day, frequency, mon,
+         CAST(NTILE(5) OVER (ORDER BY last_day, user_id) AS INTEGER) AS r,
+         CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INTEGER) AS f,
+         CAST(NTILE(5) OVER (ORDER BY mon, user_id) AS INTEGER) AS m
+  FROM u)
+SELECT user_id, last_day, frequency,
+       CAST(CAST(mon AS VARCHAR) AS DOUBLE) AS monetary,
+       r, f, m, r * 100 + f * 10 + m AS rfm
+FROM q
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based discretization: NTILE(10) decile buckets of
     l_extendedprice within each return flag, on the fully-determined
@@ -2513,6 +2656,8 @@ ANALYTICS_QUERIES = {
     "chi2_independence": q_chi2_independence,
     "gini_sources": q_gini_sources,
     "ab_test": q_ab_test,
+    "attribution": q_attribution,
+    "rfm_segments": q_rfm_segments,
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
@@ -2569,6 +2714,8 @@ ANALYTICS_ORACLES = {
     "chi2_independence": CHI2_INDEPENDENCE_SQL,
     "gini_sources": GINI_SOURCES_SQL,
     "ab_test": AB_TEST_SQL,
+    "attribution": ATTRIBUTION_SQL,
+    "rfm_segments": RFM_SEGMENTS_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,

@@ -12,6 +12,7 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from openetlagent_spark.functions.mining import (
     association_rules,
@@ -411,3 +412,56 @@ def test_gini_known_distribution(spark):
     assert all(abs(r.gini - 1.0 / 6.0) < 1e-12 for r in rows)
     shares = {r.source: r.lorenz_share for r in rows}
     assert shares["s3"] == 1.0 and abs(shares["s2"] - 0.5) < 1e-12
+
+
+def test_attribution_first_last_touch(spark):
+    from openetlagent_spark.plans.analytics import q_attribution
+    import tempfile, os
+    rows = [
+        # user 1: view -> click -> purchase -> error -> purchase
+        (1, 1, "2024-01-01 10:00:00", "view", 1.0),
+        (2, 1, "2024-01-01 10:05:00", "click", 1.0),
+        (3, 1, "2024-01-01 10:10:00", "purchase", 9.0),
+        (4, 1, "2024-01-01 10:15:00", "error", 1.0),
+        (5, 1, "2024-01-01 10:20:00", "purchase", 9.0),
+        # user 2: purchase with no preceding events
+        (6, 2, "2024-01-01 11:00:00", "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string, value double"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.event_id: r for r in q_attribution(spark, d).collect()}
+    assert set(got) == {3, 5, 6}
+    assert (got[3].first_touch, got[3].last_touch) == ("view", "click")
+    # the second purchase skips the intermediate purchase, sees error last
+    assert (got[5].first_touch, got[5].last_touch) == ("view", "error")
+    assert got[6].first_touch is None and got[6].last_touch is None
+
+
+def test_rfm_quintiles_deterministic(spark):
+    from openetlagent_spark.plans.analytics import q_rfm_segments
+    import tempfile, os
+    # 10 users: user k has k events on day k with purchase value k
+    rows = []
+    eid = 0
+    for k in range(1, 11):
+        for j in range(k):
+            eid += 1
+            rows.append((eid, k, f"2024-01-{k:02d} 10:{j:02d}:00", "purchase", float(k)))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string, value double"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.user_id: r for r in q_rfm_segments(spark, d).collect()}
+    # 10 users into quintiles: users (1,2)->1 ... (9,10)->5 on ALL axes
+    # (recency, frequency, monetary all increase with k)
+    for k in range(1, 11):
+        expected = (k + 1) // 2
+        assert (got[k].r, got[k].f, got[k].m) == (expected,) * 3, (k, got[k])
+    assert got[10].rfm == 555 and got[1].rfm == 111
+    assert got[7].frequency == 7 and got[7].monetary == 49.0

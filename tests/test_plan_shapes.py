@@ -1158,3 +1158,28 @@ def test_text_readability_zero_shuffle_projection(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert "Join" not in physical and "Exchange" not in physical
     assert count_shuffles(plan) == 0
+
+
+def test_attribution_single_user_window(spark):
+    """One window over user_id (corpus-cardinality key), no join, one
+    keyed exchange."""
+    plan = plan_of(spark, "attribution")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in physical
+    assert count_shuffles(plan) <= 1
+
+
+def test_rfm_no_global_window_sort(spark):
+    """The three quintile ranks run on the two-phase grouped prefix
+    rank (range exchanges + pid-local windows) — never a plain
+    ORDER-BY window whose single partition would sort every user on
+    one task."""
+    plan = plan_of(spark, "rfm_segments")
+    physical = plan.split("== Physical Plan ==")[-1]
+    import re as _re
+    # every Window's partition spec must include a pid or group column
+    # (two-phase shape) — a global rank would print windowspecdefinition
+    # with an empty partition list
+    for m in _re.finditer(r"Window \[[^\n]*", physical):
+        frag = m.group(0)
+        assert "windowspecdefinition(_x_" in frag or "windowspecdefinition(pid" in frag or "_x_pid" in frag, frag
