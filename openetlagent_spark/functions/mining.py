@@ -438,3 +438,84 @@ SELECT item_a, item_b, users_both,
          / sqrt(CAST(da.n_users * db.n_users AS DOUBLE)) AS cosine
 FROM co JOIN deg da ON da.i = item_a JOIN deg db ON db.i = item_b
 """
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    *,
+    output_col: str = "te_loo",
+) -> DataFrame:
+    """Leave-one-out target encoding — the feature-engineering
+    primitive for high-cardinality categoricals: each row gets its
+    category's mean target EXCLUDING the row itself
+    (``(Σy − y) / (n − 1)``), which blocks the single-row leakage that
+    plain mean encoding trains on.  Rows in singleton categories fall
+    back to the GLOBAL mean computed over the other rows (the same
+    leave-one-out rule, so no row ever sees its own target).
+
+    One (category) aggregate joined back onto the corpus — AQE
+    broadcasts the category table when small, co-partitioned hash join
+    otherwise; sums are exact DECIMAL (order-free), the encode is one
+    fixed double tree per row.  Appends ``output_col``; NULL targets
+    are excluded from the sums and encode to NULL."""
+    yd = F.col(target_col).cast("decimal(18,6)")
+    stats = (
+        df.where(F.col(target_col).isNotNull())
+        .groupBy(F.col(category_col).alias("_x_cat"))
+        .agg(F.count(F.lit(1)).alias("_x_n"), F.sum(yd).alias("_x_s"))
+    )
+    g = (
+        df.where(F.col(target_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("_x_gn"), F.sum(yd).alias("_x_gs"))
+    )
+    joined = df.join(
+        stats, df[category_col] == stats["_x_cat"], "left"
+    ).drop("_x_cat").crossJoin(F.broadcast(g))
+    y = F.col(target_col).cast("double")
+    loo = (F.col("_x_s").cast("double") - y) / (F.col("_x_n") - F.lit(1)).cast(
+        "double"
+    )
+    g_loo = (F.col("_x_gs").cast("double") - y) / (F.col("_x_gn") - F.lit(1)).cast(
+        "double"
+    )
+    encoded = F.when(
+        F.col(target_col).isNull(), F.lit(None).cast("double")
+    ).when(F.col("_x_n") > 1, loo).otherwise(g_loo)
+    return joined.withColumn(output_col, encoded).drop(
+        "_x_n", "_x_s", "_x_gn", "_x_gs"
+    )
+
+
+def target_encode_loo_oracle_sql(
+    inner_sql: str,
+    category_col: str,
+    target_col: str,
+    *,
+    out_cols: list[str],
+    output_col: str = "te_loo",
+) -> str:
+    """DuckDB mirror of :func:`target_encode_loo` (decimal sums via
+    the VARCHAR bridge, identical guard order)."""
+    cols = ", ".join(f"t.{c}" for c in out_cols)
+    return f"""
+WITH base AS ({inner_sql}),
+s AS (
+  SELECT {category_col} AS cat, COUNT(*) AS n,
+         SUM(CAST({target_col} AS DECIMAL(18,6))) AS sm
+  FROM base WHERE {target_col} IS NOT NULL GROUP BY 1),
+g AS (
+  SELECT COUNT(*) AS gn, SUM(CAST({target_col} AS DECIMAL(18,6))) AS gs
+  FROM base WHERE {target_col} IS NOT NULL)
+SELECT {cols},
+       CASE WHEN t.{target_col} IS NULL THEN NULL
+            WHEN s.n > 1 THEN
+              (CAST(CAST(s.sm AS VARCHAR) AS DOUBLE) - CAST(t.{target_col} AS DOUBLE))
+                / CAST(s.n - 1 AS DOUBLE)
+            ELSE
+              (CAST(CAST(g.gs AS VARCHAR) AS DOUBLE) - CAST(t.{target_col} AS DOUBLE))
+                / CAST(g.gn - 1 AS DOUBLE)
+       END AS {output_col}
+FROM base t LEFT JOIN s ON s.cat = t.{category_col} CROSS JOIN g
+"""

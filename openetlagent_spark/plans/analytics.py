@@ -1339,6 +1339,101 @@ FROM q
 """
 
 
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the model-evaluation readout "how much of
+    the positive class do the top score deciles capture?": rows ranked
+    by a score, cut into 10 exact deciles (two-phase prefix rank under
+    a constant group — never a global ORDER-BY window), then per
+    decile the row count, positives, positive rate, cumulative capture
+    of all positives (top decile first), and lift vs the base rate.
+    The harness uses n_chars as the deterministic stand-in score and
+    lang='en' as the label — the operator is score-agnostic (swap in a
+    classifier score column).  All windows run over the 10-row decile
+    aggregate; counts integer, ratios one fixed double tree."""
+    from pyspark.sql import Window
+    from ..functions.curation import two_phase_group_rank
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    ).withColumn("_x_g", F.lit(1))
+    ranked = two_phase_group_rank(
+        docs,
+        ["_x_g"],
+        [F.col("score").desc(), F.col("doc_id")],
+        "_x_rnk",
+        count_column="_x_n",
+    )
+    decile = _ntile_expr("_x_rnk", "_x_n", 10)
+    agg = ranked.select(decile.alias("decile"), "label").groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+    full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = Window.partitionBy().orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    agg = (
+        agg.withColumn("_x_tp", F.sum("n_pos").over(full))
+        .withColumn("_x_tr", F.sum("n_rows").over(full))
+        .withColumn("_x_cp", F.sum("n_pos").over(cum))
+    )
+    pos_rate = F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+    base = F.col("_x_tp").cast("double") / F.col("_x_tr").cast("double")
+    return agg.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        pos_rate.alias("pos_rate"),
+        (F.col("_x_cp").cast("double") / F.col("_x_tp").cast("double")).alias(
+            "cum_capture"
+        ),
+        (pos_rate / base).alias("lift"),
+    )
+
+
+LIFT_TABLE_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         CAST(lang = 'en' AS INTEGER) AS label,
+         CAST(NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS INTEGER) AS decile
+  FROM documents),
+a AS (
+  SELECT decile, COUNT(*) AS n_rows, CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM r GROUP BY decile),
+w AS (
+  SELECT decile, n_rows, n_pos,
+         SUM(n_pos) OVER () AS tp,
+         SUM(n_rows) OVER () AS tr,
+         SUM(n_pos) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM a)
+SELECT decile, n_rows, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pos_rate,
+       CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) AS cum_capture,
+       (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+         / (CAST(tp AS DOUBLE) / CAST(tr AS DOUBLE)) AS lift
+FROM w
+"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (functions/mining.py
+    target_encode_loo) of event_type by event value — every row gets
+    its category mean EXCLUDING itself (no single-row leakage);
+    singleton categories fall back to the global leave-one-out mean.
+    One category aggregate broadcast back; exact decimal sums."""
+    from ..functions.mining import target_encode_loo
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return target_encode_loo(ev, "event_type", "value").select(
+        "event_id", "event_type", "value", "te_loo"
+    )
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based discretization: NTILE(10) decile buckets of
     l_extendedprice within each return flag, on the fully-determined
@@ -2658,6 +2753,8 @@ ANALYTICS_QUERIES = {
     "ab_test": q_ab_test,
     "attribution": q_attribution,
     "rfm_segments": q_rfm_segments,
+    "lift_table": q_lift_table,
+    "target_encode": q_target_encode,
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
@@ -2716,6 +2813,7 @@ ANALYTICS_ORACLES = {
     "ab_test": AB_TEST_SQL,
     "attribution": ATTRIBUTION_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
+    "lift_table": LIFT_TABLE_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,

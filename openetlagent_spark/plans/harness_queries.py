@@ -5211,3 +5211,14 @@ from ..functions.text import (  # noqa: E402
 HARNESS_ORACLES["text_readability"] = _text_readability_oracle_sql(
     "documents", "doc_id", "text"
 )
+
+from ..functions.mining import (  # noqa: E402
+    target_encode_loo_oracle_sql as _target_encode_oracle_sql,
+)
+
+HARNESS_ORACLES["target_encode"] = _target_encode_oracle_sql(
+    "SELECT event_id, event_type, value FROM events",
+    "event_type",
+    "value",
+    out_cols=["event_id", "event_type", "value"],
+)

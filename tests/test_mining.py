@@ -465,3 +465,30 @@ def test_rfm_quintiles_deterministic(spark):
         assert (got[k].r, got[k].f, got[k].m) == (expected,) * 3, (k, got[k])
     assert got[10].rfm == 555 and got[1].rfm == 111
     assert got[7].frequency == 7 and got[7].monetary == 49.0
+
+
+def test_target_encode_loo_values(spark):
+    from openetlagent_spark.functions.mining import target_encode_loo
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),  # a mean 20
+        (4, "b", 100.0),                                   # singleton
+        (5, "c", None),                                    # NULL target
+    ]
+    df = spark.createDataFrame(rows, "id bigint, cat string, y double")
+    got = {r.id: r.te_loo for r in target_encode_loo(df, "cat", "y").collect()}
+    assert got[1] == (20.0 + 30.0) / 2 and got[3] == (10.0 + 20.0) / 2
+    # singleton falls back to global LOO mean over the OTHER rows
+    assert got[4] == (10.0 + 20.0 + 30.0) / 3
+    assert got[5] is None
+
+
+def test_lift_table_sums_and_monotone_capture(spark):
+    from openetlagent_spark.plans.analytics import q_lift_table
+
+    rows = q_lift_table(spark, "/root/testdata/sf0.001").collect()
+    rows.sort(key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    caps = [r.cum_capture for r in rows]
+    assert all(b >= a for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-12

@@ -1183,3 +1183,13 @@ def test_rfm_no_global_window_sort(spark):
     for m in _re.finditer(r"Window \[[^\n]*", physical):
         frag = m.group(0)
         assert "windowspecdefinition(_x_" in frag or "windowspecdefinition(pid" in frag or "_x_pid" in frag, frag
+
+
+def test_target_encode_no_second_corpus_scan_shape(spark):
+    """The encode is category-aggregate JOIN corpus + a 1-row global
+    broadcast — at most the aggregate exchanges; never a corpus
+    self-join."""
+    plan = plan_of(spark, "target_encode")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in physical
+    assert physical.count("BroadcastNestedLoopJoin") <= 1  # the 1-row global
