@@ -265,6 +265,23 @@ HEADLINE = [
     "ann_sq8",
     "dataset_manifest",
     "scd2_snapshot",
+    "fk_orphans",
+    "k_anonymity",
+    "benford_audit",
+    "seasonal_baseline",
+    "autocorr",
+    "link_prediction",
+    "item_similarity",
+    "ols_fit",
+    "chi2_independence",
+    "gini_sources",
+    "ab_test",
+    "bfs_reach",
+    "text_readability",
+    "attribution",
+    "rfm_segments",
+    "lift_table",
+    "target_encode",
 ]
 
 
