@@ -282,6 +282,7 @@ HEADLINE = [
     "rfm_segments",
     "lift_table",
     "target_encode",
+    "ks_test",
 ]
 
 

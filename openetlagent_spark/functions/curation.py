@@ -1812,3 +1812,60 @@ SELECT grp AS {group_col}, n_tokens, scaled,
 FROM __tm_s CROSS JOIN __tm_t
 ORDER BY {group_col} ASC
 """
+
+
+def two_phase_prefix_sums(
+    df: DataFrame,
+    sort_cols: list[Column],
+    sum_cols: list[str],
+    *,
+    prefix: str = "_x_cum_",
+) -> DataFrame:
+    """Exact GLOBAL prefix (running) sums of ``sum_cols`` in
+    ``sort_cols`` order via the same two-phase distributed scan as
+    :func:`_two_phase_global_rank` — never a single-partition ORDER-BY
+    window: range-repartition on the sort columns, one row of
+    per-partition totals collects to the driver and folds into
+    exclusive base offsets, a pid-local cumulative window adds the
+    broadcast base.  Emits ``<prefix><col>`` (BIGINT) per sum column.
+    Sum columns must be integral (exactness contract — decimal/double
+    prefix sums would be order-dependent only in display, but BIGINT
+    keeps the driver fold trivially exact); totals are the last
+    partition's base + its local total, available to callers via a
+    1-row aggregate if needed."""
+    parts = (
+        df.repartitionByRange(*sort_cols)
+        .withColumn("_x_pid", F.spark_partition_id())
+        .transform(materialize, True, True)
+    )
+    psums = (
+        parts.groupBy("_x_pid")
+        .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+        .collect()
+    )
+    bases: dict[str, dict[int, int]] = {c: {} for c in sum_cols}
+    running = {c: 0 for c in sum_cols}
+    for row in sorted(psums, key=lambda r: r["_x_pid"]):
+        for c in sum_cols:
+            bases[c][row["_x_pid"]] = running[c]
+            running[c] += row[c] or 0
+    local = (
+        Window.partitionBy("_x_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = parts
+    for c in sum_cols:
+        base_map = (
+            F.create_map(*[F.lit(x) for kv in sorted(bases[c].items()) for x in kv])
+            if bases[c]
+            else F.create_map()
+        )
+        out = out.withColumn(
+            f"{prefix}{c}",
+            (
+                F.element_at(base_map, F.col("_x_pid"))
+                + F.sum(F.col(c)).over(local)
+            ).cast("long"),
+        )
+    return out.drop("_x_pid")

@@ -1434,6 +1434,89 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the purchase and
+    click value distributions — the distribution-shift detector that
+    sees shape changes a mean test (ab_test) misses:
+    ``D = max |ECDF_a(x) − ECDF_b(x)|`` over pooled observed values,
+    plus the scaled statistic ``D·sqrt(na·nb/(na+nb))``.
+
+    Shape: corpus → per-distinct-value cohort counts (ONE corpus
+    exchange), then the running cohort counts come from
+    :func:`~..functions.curation.two_phase_prefix_sums` (range
+    exchange + pid-local cumulative windows — at 100 TB the distinct
+    value set is still corpus-scale, so a plain ORDER-BY window would
+    single-task it; the oracle keeps that plain formulation), ECDFs
+    are one fixed double tree per row, and D is an order-free MAX.
+    Counts integer throughout — engine-exact."""
+    from ..functions.curation import two_phase_prefix_sums
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    )
+    v = (
+        ev.groupBy(F.col("value").alias("x"))
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("ca"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("cb"),
+        )
+    )
+    cum = two_phase_prefix_sums(v, [F.col("x")], ["ca", "cb"])
+    totals = v.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ecdf_gap = F.abs(
+        F.col("_x_cum_ca").cast("double") / na
+        - F.col("_x_cum_cb").cast("double") / nb
+    )
+    d = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(ecdf_gap).alias("ks_d"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "ks_d",
+        (
+            F.col("ks_d")
+            * F.sqrt(
+                F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+                / (F.col("n_a") + F.col("n_b")).cast("double")
+            )
+        ).alias("ks_stat"),
+    )
+
+
+KS_TEST_SQL = """
+WITH e AS (
+  SELECT value AS x, event_type FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+v AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM e GROUP BY x),
+c AS (
+  SELECT CAST(SUM(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+  FROM v),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM v),
+d AS (
+  SELECT n_a, n_b,
+         MAX(ABS(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks_d
+  FROM c, t GROUP BY n_a, n_b)
+SELECT n_a, n_b, ks_d,
+       ks_d * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE)) AS ks_stat
+FROM d
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based discretization: NTILE(10) decile buckets of
     l_extendedprice within each return flag, on the fully-determined
@@ -2755,6 +2838,7 @@ ANALYTICS_QUERIES = {
     "rfm_segments": q_rfm_segments,
     "lift_table": q_lift_table,
     "target_encode": q_target_encode,
+    "ks_test": q_ks_test,
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
@@ -2814,6 +2898,7 @@ ANALYTICS_ORACLES = {
     "attribution": ATTRIBUTION_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
     "lift_table": LIFT_TABLE_SQL,
+    "ks_test": KS_TEST_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,

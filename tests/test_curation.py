@@ -743,3 +743,52 @@ def test_two_phase_group_rank_partitioning_independent(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_two_phase_prefix_sums_matches_window(spark):
+    from pyspark.sql import Window, functions as F
+    from openetlagent_spark.functions.curation import two_phase_prefix_sums
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13, (i * 3) % 5) for i in range(200)], "k int, a int, b int"
+    )
+    got = two_phase_prefix_sums(df, [F.col("k")], ["a", "b"]).collect()
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.withColumn("_x_cum_a", F.sum("a").over(w)).withColumn(
+        "_x_cum_b", F.sum("b").over(w)
+    ).collect()
+    gm = {r.k: (r._x_cum_a, r._x_cum_b) for r in got}
+    rm = {r.k: (r._x_cum_a, r._x_cum_b) for r in ref}
+    assert gm == rm
+
+
+def test_ks_test_identical_and_disjoint(spark):
+    from pyspark.sql import functions as F
+    from openetlagent_spark.plans.analytics import q_ks_test
+    import tempfile, os
+    # identical distributions -> D = 0; disjoint supports -> D = 1
+    rows = []
+    eid = 0
+    for v in (1.0, 2.0, 3.0):
+        for t in ("purchase", "click"):
+            eid += 1
+            rows.append((eid, 1, "2024-01-01 00:00:00", t, v))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string, value double"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    [row] = q_ks_test(spark, d).collect()
+    assert (row.n_a, row.n_b, row.ks_d) == (3, 3, 0.0)
+
+    rows2 = [(1, 1, "2024-01-01 00:00:00", "purchase", 1.0),
+             (2, 1, "2024-01-01 00:00:00", "click", 9.0)]
+    df2 = spark.createDataFrame(
+        rows2, "event_id bigint, user_id bigint, ts string, event_type string, value double"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    d2 = tempfile.mkdtemp()
+    df2.write.mode("overwrite").parquet(os.path.join(d2, "events.parquet"))
+    [row2] = q_ks_test(spark, d2).collect()
+    assert row2.ks_d == 1.0

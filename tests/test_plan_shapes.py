@@ -1193,3 +1193,15 @@ def test_target_encode_no_second_corpus_scan_shape(spark):
     physical = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in physical
     assert physical.count("BroadcastNestedLoopJoin") <= 1  # the 1-row global
+
+
+def test_ks_cumsum_is_pid_local(spark):
+    """The ECDF running sums come from the two-phase prefix scan —
+    every cumulative window is partitioned by the range-partition id,
+    never an empty-spec global ORDER BY over the value set."""
+    plan = plan_of(spark, "ks_test")
+    physical = plan.split("== Physical Plan ==")[-1]
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", physical):
+        spec = m.group(1)
+        if "ASC" in spec or "DESC" in spec:
+            assert "_x_pid" in spec, f"global ordered window leaked: {spec}"
