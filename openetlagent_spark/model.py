@@ -2242,6 +2242,44 @@ class LinkPredictionOperation(Operation):
             raise SpecError(f"link_prediction k must be >= 1, got {self.k!r}")
 
 
+@dataclass
+class AbTestOperation(Operation):
+    """Welch two-sample z-test as a flow op (functions/stats.py
+    welch_z_test): REPLACES the frame with the 1-row readout
+    ``n_a, mean_a, var_a, n_b, mean_b, var_b, z_score``."""
+
+    cohort_column: str = ""
+    cohort_a: str = ""
+    cohort_b: str = ""
+    value_column: str = "value"
+    operation_type: str = "ab_test"
+
+    def __post_init__(self) -> None:
+        if not self.cohort_column or not self.cohort_a or not self.cohort_b:
+            raise SpecError("ab_test requires cohort_column, cohort_a and cohort_b")
+        if self.cohort_a == self.cohort_b:
+            raise SpecError("ab_test cohorts must differ")
+
+
+@dataclass
+class KsTestOperation(Operation):
+    """Two-sample Kolmogorov–Smirnov test as a flow op
+    (functions/stats.py ks_two_sample): REPLACES the frame with the
+    1-row readout ``n_a, n_b, ks_d, ks_stat``."""
+
+    cohort_column: str = ""
+    cohort_a: str = ""
+    cohort_b: str = ""
+    value_column: str = "value"
+    operation_type: str = "ks_test"
+
+    def __post_init__(self) -> None:
+        if not self.cohort_column or not self.cohort_a or not self.cohort_b:
+            raise SpecError("ks_test requires cohort_column, cohort_a and cohort_b")
+        if self.cohort_a == self.cohort_b:
+            raise SpecError("ks_test cohorts must differ")
+
+
 OPERATION_TYPES: dict[str, type[Operation]] = {
     "equality": EqualityOperation,
     "concatenation": ConcatenationOperation,
@@ -2339,6 +2377,8 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "autocorr": AutocorrOperation,
     "item_similarity": ItemSimilarityOperation,
     "link_prediction": LinkPredictionOperation,
+    "ab_test": AbTestOperation,
+    "ks_test": KsTestOperation,
 }
 
 

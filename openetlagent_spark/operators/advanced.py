@@ -1184,3 +1184,17 @@ def apply_link_prediction(df: DataFrame, op) -> DataFrame:
 
     require_columns(df, [op.group_column, op.item_column], "link_prediction")
     return link_prediction(df, op.group_column, op.item_column, k=op.k)
+
+
+def apply_ab_test(df: DataFrame, op) -> DataFrame:
+    from ..functions.stats import welch_z_test
+
+    require_columns(df, [op.cohort_column, op.value_column], "ab_test")
+    return welch_z_test(df, op.cohort_column, op.cohort_a, op.cohort_b, op.value_column)
+
+
+def apply_ks_test(df: DataFrame, op) -> DataFrame:
+    from ..functions.stats import ks_two_sample
+
+    require_columns(df, [op.cohort_column, op.value_column], "ks_test")
+    return ks_two_sample(df, op.cohort_column, op.cohort_a, op.cohort_b, op.value_column)

@@ -1117,46 +1117,17 @@ FROM r
 
 
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Welch z-test between event cohorts (purchase vs
-    click values) — the experiment-readout primitive: per-cohort n /
-    mean / sample variance from exact DECIMAL sums in ONE conditional
-    single-pass aggregate (no second scan, no join), then
+    """Two-sample Welch z-test between event cohorts (functions/
+    stats.py welch_z_test — generic cohort-parameterized operator;
+    this query pins the purchase-vs-click instantiation): per-cohort
+    n / mean / sample variance from exact DECIMAL sums in ONE
+    conditional single-pass aggregate (no second scan, no join), then
     z = (mā − m̄b) / sqrt(va/na + vb/nb) as one fixed double tree.
     Map-side combinable; mergeable across 1000 executors."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
-    )
-    vd = F.col("value").cast("decimal(18,6)")
-    v2 = (vd * vd).cast("decimal(38,6)")
-    is_a = F.col("event_type") == "purchase"
-    zero = F.lit(0).cast("decimal(18,6)")
-    zero2 = F.lit(0).cast("decimal(38,6)")
-    agg = ev.agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(is_a, vd).otherwise(zero)).alias("_sa"),
-        F.sum(F.when(is_a, v2).otherwise(zero2)).alias("_s2a"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
-        F.sum(F.when(~is_a, vd).otherwise(zero)).alias("_sb"),
-        F.sum(F.when(~is_a, v2).otherwise(zero2)).alias("_s2b"),
-    )
-    na = F.col("n_a").cast("double")
-    nb = F.col("n_b").cast("double")
-    sa = F.col("_sa").cast("double")
-    sb = F.col("_sb").cast("double")
-    s2a = F.col("_s2a").cast("double")
-    s2b = F.col("_s2b").cast("double")
-    ma = sa / na
-    mb = sb / nb
-    va = (s2a - sa * sa / na) / (na - F.lit(1.0))
-    vb = (s2b - sb * sb / nb) / (nb - F.lit(1.0))
-    return agg.select(
-        "n_a",
-        ma.alias("mean_a"),
-        va.alias("var_a"),
-        "n_b",
-        mb.alias("mean_b"),
-        vb.alias("var_b"),
-        ((ma - mb) / F.sqrt(va / na + vb / nb)).alias("z_score"),
+    from ..functions.stats import welch_z_test
+
+    return welch_z_test(
+        _t(spark, sf_dir, "events"), "event_type", "purchase", "click", "value"
     )
 
 
@@ -1436,58 +1407,21 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov test between the purchase and
-    click value distributions — the distribution-shift detector that
-    sees shape changes a mean test (ab_test) misses:
-    ``D = max |ECDF_a(x) − ECDF_b(x)|`` over pooled observed values,
-    plus the scaled statistic ``D·sqrt(na·nb/(na+nb))``.
+    click value distributions (functions/stats.py ks_two_sample — the
+    generic cohort-parameterized operator; this query pins the
+    purchase/click instantiation): ``D = max |ECDF_a − ECDF_b|`` over
+    pooled observed values plus ``D·sqrt(na·nb/(na+nb))`` — the
+    distribution-shift detector that sees shape changes the mean test
+    (ab_test) misses.  Corpus → per-distinct-value cohort counts (ONE
+    exchange), running counts via two_phase_prefix_sums (range
+    exchange + pid-local cumulative windows — never a single-task
+    global ORDER-BY; the oracle keeps that plain formulation), D an
+    order-free MAX of a fixed double tree.  Integer counts throughout
+    — engine-exact."""
+    from ..functions.stats import ks_two_sample
 
-    Shape: corpus → per-distinct-value cohort counts (ONE corpus
-    exchange), then the running cohort counts come from
-    :func:`~..functions.curation.two_phase_prefix_sums` (range
-    exchange + pid-local cumulative windows — at 100 TB the distinct
-    value set is still corpus-scale, so a plain ORDER-BY window would
-    single-task it; the oracle keeps that plain formulation), ECDFs
-    are one fixed double tree per row, and D is an order-free MAX.
-    Counts integer throughout — engine-exact."""
-    from ..functions.curation import two_phase_prefix_sums
-
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
-    )
-    v = (
-        ev.groupBy(F.col("value").alias("x"))
-        .agg(
-            F.sum((F.col("event_type") == "purchase").cast("long")).alias("ca"),
-            F.sum((F.col("event_type") == "click").cast("long")).alias("cb"),
-        )
-    )
-    cum = two_phase_prefix_sums(v, [F.col("x")], ["ca", "cb"])
-    totals = v.agg(
-        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
-    )
-    na = F.col("n_a").cast("double")
-    nb = F.col("n_b").cast("double")
-    ecdf_gap = F.abs(
-        F.col("_x_cum_ca").cast("double") / na
-        - F.col("_x_cum_cb").cast("double") / nb
-    )
-    d = cum.crossJoin(F.broadcast(totals)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.max(ecdf_gap).alias("ks_d"),
-    )
-    return d.select(
-        "n_a",
-        "n_b",
-        "ks_d",
-        (
-            F.col("ks_d")
-            * F.sqrt(
-                F.col("n_a").cast("double")
-                * F.col("n_b").cast("double")
-                / (F.col("n_a") + F.col("n_b")).cast("double")
-            )
-        ).alias("ks_stat"),
+    return ks_two_sample(
+        _t(spark, sf_dir, "events"), "event_type", "purchase", "click", "value"
     )
 
 

@@ -1247,3 +1247,30 @@ def test_yaml_fk_check_cross_input(spark):
     assert row.relationship == "l_orderkey->o_orderkey"
     assert row.child_rows == li.count()
     assert row.orphan_rows == 0 and row.null_keys == 0
+
+
+def test_experiment_stats_flow_ops(spark):
+    """ab_test / ks_test reach YAML flows with the library functions'
+    exact semantics."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+
+    ab = parse_operation({
+        "operation_type": "ab_test", "cohort_column": "event_type",
+        "cohort_a": "purchase", "cohort_b": "click",
+    })
+    [row] = apply_operations(ev, [ab], spark).collect()
+    assert row.n_a > 0 and row.n_b > 0 and row.var_a > 0.0
+
+    ks = parse_operation({
+        "operation_type": "ks_test", "cohort_column": "event_type",
+        "cohort_a": "purchase", "cohort_b": "click",
+    })
+    [krow] = apply_operations(ev, [ks], spark).collect()
+    assert 0.0 <= krow.ks_d <= 1.0 and krow.ks_stat >= 0.0
+
+    with pytest.raises(SpecError, match="cohort"):
+        parse_operation({"operation_type": "ab_test", "cohort_column": "c",
+                         "cohort_a": "x", "cohort_b": "x"})
+    with pytest.raises(SpecError, match="cohort"):
+        parse_operation({"operation_type": "ks_test", "cohort_column": "c",
+                         "cohort_a": "x"})
