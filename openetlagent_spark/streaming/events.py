@@ -787,6 +787,37 @@ def classifier_gate_stream(
     return kept.drop("n_tokens", "score", "clf_pass")
 
 
+def expectations_gate_stream(
+    df: DataFrame,
+    rules: list[dict],
+    *,
+    annotate: bool = False,
+) -> DataFrame:
+    """Streaming DATA-QUALITY gate — the continuous form of the
+    expectations rule battery (functions.expectations): quarantine
+    rows violating FAIL-severity per-row rules as they land, before
+    anything stateful or stored sees them.  Warn-severity rules
+    annotate without quarantining (the Great-Expectations warn
+    contract).  Aggregate-shaped rules (``unique``) have no per-row
+    meaning and are rejected loudly — run those against the LANDED
+    table with expectations_summary.
+
+    Like quality_gate_stream, every check is a stateless per-row JVM
+    expression, so the SAME plan runs on a stream (no watermark, no
+    state store, any output mode) and on a batch frame — the parity
+    test pins stream == batch surviving sets.  ``annotate=True`` keeps
+    the per-rule ``ok_*`` flags and ``expect_pass`` on survivors (the
+    audit-trail landing shape)."""
+    from ..functions.expectations import expectations_annotate
+
+    flagged = expectations_annotate(df, rules)
+    kept = flagged.filter(F.col("expect_pass"))
+    if annotate:
+        return kept
+    extra = [c for c in flagged.columns if c not in df.columns]
+    return kept.drop(*extra)
+
+
 def media_feature_stream(
     media: DataFrame,
     *,

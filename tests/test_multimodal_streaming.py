@@ -1538,3 +1538,52 @@ def test_media_feature_stream_audio_and_validation(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="kind"):
         media_feature_stream(batch, kind="video")
+
+
+def test_stream_expectations_gate_matches_batch(spark, tmp_path):
+    """expectations_gate_stream on a real file stream (availableNow)
+    quarantines exactly the rows the batch form quarantines; warn
+    rules annotate without dropping; aggregate-shaped rules are
+    rejected loudly."""
+    from openetlagent_spark.streaming import expectations_gate_stream
+
+    rows = [
+        Row(doc_id=1, lang="en", n=5),
+        Row(doc_id=2, lang=None, n=5),     # fails not_null
+        Row(doc_id=3, lang="en", n=-1),    # fails min (fail severity)
+        Row(doc_id=4, lang="xx", n=5),     # warn only: survives
+    ]
+    rules = [
+        {"column": "lang", "check": "not_null"},
+        {"column": "n", "check": "min", "value": 0},
+        {"column": "lang", "check": "in_set", "values": ["en", "de"],
+         "severity": "warn"},
+    ]
+    batch = spark.createDataFrame(rows)
+    expected = sorted(
+        r.doc_id for r in expectations_gate_stream(batch, rules).collect()
+    )
+    assert expected == [1, 4]
+
+    src = str(tmp_path / "exp_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    gated = expectations_gate_stream(stream, rules, annotate=True)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("expgate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow run did not finish in 120s"
+    landed = spark.sql("SELECT * FROM expgate").collect()
+    assert sorted(r.doc_id for r in landed) == expected
+    # warn flag annotated but not quarantining
+    warn_flags = {r.doc_id: r.ok_lang_in_set for r in landed}
+    assert warn_flags[4] is False and warn_flags[1] is True
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="aggregate-shaped"):
+        expectations_gate_stream(batch, [{"column": "doc_id", "check": "unique"}])
