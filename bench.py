@@ -283,6 +283,7 @@ HEADLINE = [
     "lift_table",
     "target_encode",
     "ks_test",
+    "mad_outliers",
 ]
 
 

@@ -760,3 +760,114 @@ def dataset_manifest(
     return agg.select(
         F.expr(f"stack({len(names)}, {stack}) AS (metric, value)")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    *,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust (median/MAD) outlier flagging — the heavy-tail companion
+    of :func:`outlier_flags`: z-scores break when the outliers
+    themselves inflate the stddev; the median absolute deviation does
+    not.  Adds ``robust_z = (x − median) / (1.4826022185056018 · MAD)``
+    and ``is_outlier = |robust_z| > k`` to every row (NULL input keeps
+    its row with NULL score, zero-MAD strata flag nothing — score 0,
+    matching outlier_flags' zero-variance rule).
+
+    Two tiny per-stratum aggregates broadcast back onto the scan:
+    exact interpolated medians (PERCENTILE_CONT — the proven
+    robust_scale primitive) of x, then of |x − median|.  The 1.4826
+    consistency constant (1/Φ⁻¹(3/4)) is a Python literal injected
+    into both engines — no query-time distribution function.  Two
+    corpus scans (the second pass needs the first's median), each with
+    full map-side aggregation; joins broadcast at any corpus size
+    because the build side is |strata| rows."""
+    if col not in df.columns:
+        raise ValueError(f"mad_outliers: unknown column {col!r}; available {df.columns}")
+    missing = [g for g in group_cols if g not in df.columns]
+    if missing:
+        raise ValueError(f"mad_outliers: unknown group columns {missing}")
+    def _nullsafe_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        # NULL group keys form their own stratum (the outlier_flags
+        # rule; oracle mirrors with IS NOT DISTINCT FROM)
+        cond = None
+        for gcol in group_cols:
+            c = left[gcol].eqNullSafe(right[f"_x_{gcol}"])
+            cond = c if cond is None else cond & c
+        j = left.join(F.broadcast(right), cond, "left")
+        return j.drop(*[f"_x_{gcol}" for gcol in group_cols])
+
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(col), F.lit(0.5)).alias("_x_med")
+    )
+    med = med.select(
+        *[F.col(gcol).alias(f"_x_{gcol}") for gcol in group_cols], "_x_med"
+    )
+    with_med = _nullsafe_join(df, med)
+    mad = (
+        with_med.where(F.col(col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.percentile(F.abs(F.col(col) - F.col("_x_med")), F.lit(0.5)).alias(
+                "_x_mad"
+            )
+        )
+    )
+    mad = mad.select(
+        *[F.col(gcol).alias(f"_x_{gcol}") for gcol in group_cols], "_x_mad"
+    )
+    out = _nullsafe_join(with_med, mad)
+    scale = F.lit(1.4826022185056018) * F.col("_x_mad")
+    rz = F.when(F.col(col).isNull(), F.lit(None).cast("double")).when(
+        F.col("_x_mad") == 0.0, F.lit(0.0)
+    ).otherwise((F.col(col) - F.col("_x_med")) / scale)
+    return (
+        out.withColumn("robust_z", rz)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(F.col("robust_z")) > F.lit(float(k)), F.lit(False)),
+        )
+        .drop("_x_med", "_x_mad")
+    )
+
+
+def mad_outliers_oracle_sql(
+    inner_sql: str,
+    col: str,
+    group_cols: list[str],
+    *,
+    k: float = 3.0,
+    out_cols: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`mad_outliers` — same PERCENTILE_CONT
+    medians, same literal constant and guard order."""
+    g = ", ".join(group_cols)
+    cols = ", ".join(f"t.{c}" for c in (out_cols or [col]))
+    on_med = " AND ".join(f"m.{c} IS NOT DISTINCT FROM t.{c}" for c in group_cols)
+    on_mad = " AND ".join(f"d.{c} IS NOT DISTINCT FROM t.{c}" for c in group_cols)
+    return f"""
+WITH base AS ({inner_sql}),
+med AS (
+  SELECT {g}, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY {col}) AS med
+  FROM base GROUP BY {g}),
+mad AS (
+  SELECT t.{group_cols[0]}{"".join(", t." + c for c in group_cols[1:])},
+         PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY ABS(t.{col} - m.med)) AS mad
+  FROM base t JOIN med m ON {on_med.replace('m.', 'm.').replace('t.', 't.')}
+  WHERE t.{col} IS NOT NULL
+  GROUP BY t.{group_cols[0]}{"".join(", t." + c for c in group_cols[1:])})
+SELECT {cols},
+       CASE WHEN t.{col} IS NULL THEN NULL
+            WHEN d.mad = 0.0 THEN 0.0
+            ELSE (t.{col} - m.med) / (1.4826022185056018 * d.mad)
+       END AS robust_z,
+       COALESCE(ABS(CASE WHEN t.{col} IS NULL THEN NULL
+            WHEN d.mad = 0.0 THEN 0.0
+            ELSE (t.{col} - m.med) / (1.4826022185056018 * d.mad)
+       END) > {float(k)!r}, FALSE) AS is_outlier
+FROM base t LEFT JOIN med m ON {on_med}
+            LEFT JOIN mad d ON {on_mad}
+"""

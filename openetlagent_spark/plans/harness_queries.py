@@ -3578,6 +3578,21 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier screen over order totals per priority
+    (functions/profile.py mad_outliers) — the heavy-tail companion of
+    the z-score screen `outlier_flags`: exact PERCENTILE_CONT medians
+    broadcast back, 1.4826 consistency constant as a shared literal."""
+    from ..functions.profile import mad_outliers
+
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return mad_outliers(
+        df, "o_totalprice", ["o_orderpriority"], k=2.0
+    ).select("o_orderkey", "o_orderpriority", "robust_z", "is_outlier")
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3685,6 +3700,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_orphans": q_fk_orphans,
     "k_anonymity": q_k_anonymity,
     "benford_audit": q_benford_audit,
+    "mad_outliers": q_mad_outliers,
     "seasonal_baseline": q_seasonal_baseline,
     "autocorr": q_autocorr,
     "link_prediction": q_link_prediction,
@@ -5221,4 +5237,17 @@ HARNESS_ORACLES["target_encode"] = _target_encode_oracle_sql(
     "event_type",
     "value",
     out_cols=["event_id", "event_type", "value"],
+)
+
+
+from ..functions.profile import (  # noqa: E402
+    mad_outliers_oracle_sql as _mad_outliers_oracle_sql,
+)
+
+HARNESS_ORACLES["mad_outliers"] = _mad_outliers_oracle_sql(
+    "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders",
+    "o_totalprice",
+    ["o_orderpriority"],
+    k=2.0,
+    out_cols=["o_orderkey", "o_orderpriority"],
 )

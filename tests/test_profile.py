@@ -377,3 +377,29 @@ def test_dataset_manifest_values(spark):
         "total_ws_tokens": 3,          # 2 + 0 (blank) + 1; NULL skipped
         "max_chars": 9, "min_chars": 3, "n_sources": 2,
     }
+
+
+def test_mad_outliers_known_values(spark):
+    from pyspark.sql import Row
+    from openetlagent_spark.functions.profile import mad_outliers
+
+    # group g: values 1..9 plus a wild 1000; median 5.5, MAD median of
+    # |x-5.5| over {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} = 2.5
+    rows = [Row(g="g", v=float(x)) for x in range(1, 10)] + [
+        Row(g="g", v=1000.0), Row(g="g", v=None),
+        Row(g=None, v=7.0),           # NULL group forms its own stratum
+        Row(g="z", v=3.0),            # singleton: MAD 0 -> score 0
+    ]
+    df = spark.createDataFrame(rows)
+    got = mad_outliers(df, "v", ["g"], k=3.0).collect()
+    by = {(r.g, r.v): r for r in got}
+    import math
+    scale = 1.4826022185056018 * 2.5
+    assert by[("g", 1000.0)].is_outlier is True
+    assert by[("g", 1000.0)].robust_z == (1000.0 - 5.5) / scale
+    assert by[("g", 5.0)].is_outlier is False
+    assert by[("g", None)].robust_z is None and by[("g", None)].is_outlier is False
+    assert by[(None, 7.0)].robust_z == 0.0   # own stratum, MAD 0
+    assert by[("z", 3.0)].robust_z == 0.0 and by[("z", 3.0)].is_outlier is False
+    with pytest.raises(ValueError):
+        mad_outliers(df, "nope", ["g"])
