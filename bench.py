@@ -284,6 +284,8 @@ HEADLINE = [
     "target_encode",
     "ks_test",
     "mad_outliers",
+    "crosscorr",
+    "user_streaks",
 ]
 
 

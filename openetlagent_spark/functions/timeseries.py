@@ -849,3 +849,167 @@ SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
             * sqrt({sy2} / {n} - ({sy} / {n}) * ({sy} / {n}))) AS autocorr
 FROM s
 """
+
+
+def crosscorr_lags(
+    df: DataFrame,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    ts_col: str = "ts",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged CROSS-correlation between two keys' daily-count series
+    for lags −max_lag..max_lag — the leading-indicator detector
+    (does key_a's volume today predict key_b's k days later?  A peak
+    at positive lag = a leads b).  Same shape as
+    :func:`autocorr_lags`: corpus → per-(key, day) counts (one
+    exchange; |days| rows per key), the lag pairing self-joins THE
+    AGGREGATE (a's day + lag = b's day), Pearson r per lag from exact
+    DECIMAL power sums.  Pairs exist where both days are present."""
+    if max_lag < 0:
+        raise ValueError(f"crosscorr_lags: max_lag must be >= 0, got {max_lag}")
+    days = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isin(key_a, key_b))
+        .groupBy(F.col(key_col).alias("k"), F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = days.where(F.col("k") == key_a).select(
+        F.col("day").alias("day_a"), F.col("cnt").alias("x")
+    )
+    b = days.where(F.col("k") == key_b).select(
+        F.col("day").alias("day_b"), F.col("cnt").alias("y")
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(-max_lag, max_lag + 1)])
+    ).alias("lag")
+    pairs = a.select("day_a", "x", lags).join(
+        b, F.expr("date_add(day_a, lag) = day_b")
+    )
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("_sx2"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("_sy2"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    sy2 = F.col("_sy2").cast("double")
+    mx = sx / n
+    my = sy / n
+    cov = sxy / n - mx * my
+    sdx = F.sqrt(sx2 / n - mx * mx)
+    sdy = F.sqrt(sy2 / n - my * my)
+    return s.select("lag", "n_pairs", (cov / (sdx * sdy)).alias("crosscorr"))
+
+
+def crosscorr_lags_oracle_sql(
+    table: str,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    ts_col: str = "ts",
+    max_lag: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`crosscorr_lags`."""
+    values = ", ".join(f"({k})" for k in range(-max_lag, max_lag + 1))
+    v = "CAST(CAST({c} AS VARCHAR) AS DOUBLE)"
+    sx, sy = v.format(c="_sx"), v.format(c="_sy")
+    sxy, sx2, sy2 = v.format(c="_sxy"), v.format(c="_sx2"), v.format(c="_sy2")
+    n = "CAST(n_pairs AS DOUBLE)"
+    ka = key_a.replace("'", "''")
+    kb = key_b.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT {key_col} AS k, CAST({ts_col} AS DATE) AS day, COUNT(*) AS cnt
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {key_col} IN ('{ka}', '{kb}')
+  GROUP BY 1, 2),
+l(lag) AS (VALUES {values}),
+p AS (
+  SELECT l.lag, a.cnt AS x, b.cnt AS y
+  FROM l CROSS JOIN (SELECT day, cnt FROM d WHERE k = '{ka}') a
+  JOIN (SELECT day, cnt FROM d WHERE k = '{kb}') b
+    ON b.day = a.day + CAST(l.lag AS INTEGER)),
+s AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         SUM(CAST(x AS DECIMAL(18,0))) AS _sx,
+         SUM(CAST(y AS DECIMAL(18,0))) AS _sy,
+         SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS _sxy,
+         SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS _sx2,
+         SUM(CAST(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS _sy2
+  FROM p GROUP BY lag)
+SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+       ({sxy} / {n} - ({sx} / {n}) * ({sy} / {n}))
+         / (sqrt({sx2} / {n} - ({sx} / {n}) * ({sx} / {n}))
+            * sqrt({sy2} / {n} - ({sy} / {n}) * ({sy} / {n}))) AS crosscorr
+FROM s
+"""
+
+
+def user_streaks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: per key, the LONGEST run of consecutive
+    active days plus total active days and distinct streaks — the
+    engagement/retention primitive (login streaks, sensor uptime).
+
+    The classic rank trick, fully distributed: distinct (key, day) →
+    ``day − ROW_NUMBER()`` within key is constant within each
+    consecutive island → per-(key, island) day counts → per-key max.
+    Both windows partition on the key (corpus-cardinality — never a
+    skew trap); day arithmetic is integer days-since-epoch on both
+    engines.  Output: ``(key, active_days, n_streaks,
+    longest_streak)``."""
+    from pyspark.sql import Window
+
+    days = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.datediff(
+                F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-01"))
+            ).alias("_x_day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("_x_day")
+    islands = days.withColumn(
+        "_x_isl", F.col("_x_day") - F.row_number().over(w)
+    )
+    per_island = islands.groupBy("key", "_x_isl").agg(
+        F.count(F.lit(1)).alias("_x_len")
+    )
+    return per_island.groupBy("key").agg(
+        F.sum("_x_len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("_x_len").alias("longest_streak"),
+    )
+
+
+def user_streaks_oracle_sql(table: str, key_col: str, ts_col: str = "ts") -> str:
+    """DuckDB mirror of :func:`user_streaks` — identical rank trick."""
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {key_col} AS key,
+         CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM {table} WHERE {ts_col} IS NOT NULL AND {key_col} IS NOT NULL),
+i AS (
+  SELECT key, day,
+         day - ROW_NUMBER() OVER (PARTITION BY key ORDER BY day) AS isl
+  FROM d),
+s AS (SELECT key, isl, COUNT(*) AS len FROM i GROUP BY key, isl)
+SELECT key, CAST(SUM(len) AS BIGINT) AS active_days,
+       COUNT(*) AS n_streaks,
+       MAX(len) AS longest_streak
+FROM s GROUP BY key
+"""

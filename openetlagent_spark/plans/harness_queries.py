@@ -3593,6 +3593,29 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderpriority", "robust_z", "is_outlier")
 
 
+def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between purchase and click daily
+    volumes, lags -3..3 (functions/timeseries.py crosscorr_lags) —
+    the leading-indicator detector; aggregate-level lag join, decimal
+    power sums."""
+    from ..functions.timeseries import crosscorr_lags
+
+    return crosscorr_lags(
+        _t(spark, sf_dir, "events"), "event_type", "purchase", "click",
+        ts_col="ts", max_lag=3,
+    )
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands engagement streaks per user
+    (functions/timeseries.py user_streaks): longest consecutive-day
+    run, total active days, streak count — both windows partition on
+    user_id (corpus-cardinality), integer day arithmetic."""
+    from ..functions.timeseries import user_streaks
+
+    return user_streaks(_t(spark, sf_dir, "events"), "user_id", ts_col="ts")
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3701,6 +3724,8 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "benford_audit": q_benford_audit,
     "mad_outliers": q_mad_outliers,
+    "crosscorr": q_crosscorr,
+    "user_streaks": q_user_streaks,
     "seasonal_baseline": q_seasonal_baseline,
     "autocorr": q_autocorr,
     "link_prediction": q_link_prediction,
@@ -5250,4 +5275,17 @@ HARNESS_ORACLES["mad_outliers"] = _mad_outliers_oracle_sql(
     ["o_orderpriority"],
     k=2.0,
     out_cols=["o_orderkey", "o_orderpriority"],
+)
+
+
+from ..functions.timeseries import (  # noqa: E402
+    crosscorr_lags_oracle_sql as _crosscorr_oracle_sql,
+    user_streaks_oracle_sql as _user_streaks_oracle_sql,
+)
+
+HARNESS_ORACLES["crosscorr"] = _crosscorr_oracle_sql(
+    "events", "event_type", "purchase", "click", ts_col="ts", max_lag=3
+)
+HARNESS_ORACLES["user_streaks"] = _user_streaks_oracle_sql(
+    "events", "user_id", ts_col="ts"
 )

@@ -365,3 +365,42 @@ def test_autocorr_rejects_bad_lag(spark):
     df = spark.createDataFrame([("1970-01-01 00:00:00",)], "ts string")
     with pytest.raises(ValueError):
         autocorr_lags(df, max_lag=0)
+
+
+def test_crosscorr_shifted_series(spark):
+    from openetlagent_spark.functions.timeseries import crosscorr_lags
+
+    # b's counts = a's counts shifted one day later -> peak r=1 at lag 1
+    rows = []
+    pattern = [1, 3, 2, 5, 4, 6, 2, 7]
+    for d, n in enumerate(pattern):
+        for i in range(n):
+            rows.append((f"1970-01-{d+1:02d} 0{i}:00:00", "a"))
+        for i in range(n):
+            rows.append((f"1970-01-{d+2:02d} 0{i}:00:00", "b"))
+    df = spark.createDataFrame(rows, "ts string, k string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "k"
+    )
+    got = {r.lag: r for r in crosscorr_lags(df, "k", "a", "b", max_lag=2).collect()}
+    assert got[1].crosscorr == pytest.approx(1.0, abs=1e-12)
+    assert got[1].n_pairs == 8
+    assert abs(got[0].crosscorr) < 1.0  # unshifted alignment is weaker
+    with pytest.raises(ValueError):
+        crosscorr_lags(df, "k", "a", "b", max_lag=-1)
+
+
+def test_user_streaks_islands(spark):
+    from openetlagent_spark.functions.timeseries import user_streaks
+
+    # u1 active days 1,2,3, 5,6, 9 -> streaks 3/2/1; u2 single day
+    rows = []
+    for d in (1, 2, 3, 5, 6, 9):
+        rows.append((1, f"1970-01-{d:02d} 10:00:00"))
+        rows.append((1, f"1970-01-{d:02d} 11:00:00"))  # dup same day
+    rows.append((2, "1970-01-04 09:00:00"))
+    df = spark.createDataFrame(rows, "user_id bigint, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r.key: r for r in user_streaks(df, "user_id").collect()}
+    assert (got[1].active_days, got[1].n_streaks, got[1].longest_streak) == (6, 3, 3)
+    assert (got[2].active_days, got[2].n_streaks, got[2].longest_streak) == (1, 1, 1)
