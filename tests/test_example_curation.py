@@ -311,3 +311,16 @@ def test_example_benford_fraud_screen(spark, tmp_path):
     assert [r.digit for r in rows] == sorted(r.digit for r in rows)
     assert abs(sum(r.obs_frac for r in rows) - 1.0) < 1e-9
     assert all(r.chi2_term >= 0.0 for r in rows)
+
+
+def test_example_experiment_readout(spark, tmp_path):
+    config = load_pipeline_config(os.path.join(ROOT, "examples/curation_config.yaml"))
+    flow = load_pipeline_flow(
+        os.path.join(ROOT, "examples/pipelines/experiment_readout.yaml")
+    )
+    config.outputs["ab_readout"].path = str(tmp_path / "ab")
+    result, ok, feedback = run_flow(spark, config, flow, "ab_readout", single_file=True)
+    assert ok, feedback
+    [row] = result.collect()
+    assert row.n_a > 0 and row.n_b > 0
+    assert row.var_a > 0.0 and row.var_b > 0.0
