@@ -286,6 +286,7 @@ HEADLINE = [
     "mad_outliers",
     "crosscorr",
     "user_streaks",
+    "dwell_stats",
 ]
 
 

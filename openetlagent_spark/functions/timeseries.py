@@ -1013,3 +1013,74 @@ SELECT key, CAST(SUM(len) AS BIGINT) AS active_days,
        MAX(len) AS longest_streak
 FROM s GROUP BY key
 """
+
+
+def interarrival_stats(
+    df: DataFrame,
+    partition_col: str,
+    group_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival (dwell-time) statistics: the gap in seconds
+    between each event and the SAME partition's previous event,
+    aggregated per group of the LATER event — the latency/engagement
+    profile ("how long do users sit before an error?", queue
+    inter-service times).  Output per group: ``n_gaps, mean_gap_s
+    (exact decimal mean), p50_gap_s (exact interpolated median),
+    max_gap_s``.
+
+    One window over the partition key (corpus-cardinality — never a
+    skew trap) ordered by (epoch, id), then one group aggregate with
+    full map-side combine.  Gaps are INTEGER seconds (epoch
+    subtraction), so the mean is a decimal-exact sum and the median is
+    the proven PERCENTILE_CONT primitive — engine-exact."""
+    from pyspark.sql import Window
+
+    ev = df.filter(
+        F.col(partition_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(partition_col).alias("_x_p"),
+        F.col(group_col).alias("grp"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_x_t"),
+        F.col(id_col).alias("_x_id"),
+    )
+    w = Window.partitionBy("_x_p").orderBy("_x_t", "_x_id")
+    gaps = ev.withColumn("_x_gap", F.col("_x_t") - F.lag("_x_t").over(w)).where(
+        F.col("_x_gap").isNotNull()
+    )
+    return gaps.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (
+            F.sum(F.col("_x_gap").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_gap_s"),
+        F.percentile(F.col("_x_gap"), F.lit(0.5)).alias("p50_gap_s"),
+        F.max("_x_gap").alias("max_gap_s"),
+    )
+
+
+def interarrival_stats_oracle_sql(
+    table: str,
+    partition_col: str,
+    group_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`interarrival_stats`."""
+    return f"""
+WITH e AS (
+  SELECT {partition_col} AS p, {group_col} AS grp,
+         CAST(floor(epoch({ts_col})) AS BIGINT) AS t, {id_col} AS id
+  FROM {table}
+  WHERE {partition_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+g AS (
+  SELECT grp, t - LAG(t) OVER (PARTITION BY p ORDER BY t, id) AS gap
+  FROM e)
+SELECT grp, COUNT(*) AS n_gaps,
+       CAST(CAST(SUM(CAST(gap AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_gap_s,
+       PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap) AS p50_gap_s,
+       MAX(gap) AS max_gap_s
+FROM g WHERE gap IS NOT NULL GROUP BY grp
+"""

@@ -48,17 +48,18 @@ _ROUND10_FRONT = [
     "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
     "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
     "robust_scale", "diversity_sample",
-    # r05 rows (4) — two original backfill rows (tpch_q8,
-    # top_p_sources, event_paths, funnel, window_distribution and
+    # r05 rows (3) — one original backfill row (tpch_q8,
+    # top_p_sources, event_paths, funnel, window_distribution,
+    # window_range_frame and
     # contamination deferred to r11 with asof_tolerance/bm25_topk as
     # later additions landed — the TPC-H family already has
     # q1/q12/q18 refreshed in this front) plus the two changed-module
     # sentinels
     # (pack_sequences, semantic_dedup — curation.py / the dedup
     # machinery changed this round).
-    "bind_salted", "window_range_frame",
+    "bind_salted",
     "pack_sequences", "semantic_dedup",
-    # round-10 additions (31) — never-driver-checked count stays at
+    # round-10 additions (32) — never-driver-checked count stays at
     # ZERO: every addition enters the front the round it lands, each
     # only after a local driver-strength exact check (the full
     # 238-query sweep in this session's log is the evidence).  This
@@ -76,7 +77,7 @@ _ROUND10_FRONT = [
     "chi2_independence", "gini_sources", "ab_test", "bfs_reach",
     "text_readability", "attribution", "rfm_segments", "lift_table",
     "target_encode", "ks_test", "mad_outliers", "crosscorr",
-    "user_streaks",
+    "user_streaks", "dwell_stats",
 ]
 
 

@@ -3616,6 +3616,20 @@ def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_streaks(_t(spark, sf_dir, "events"), "user_id", ts_col="ts")
 
 
+def q_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival dwell statistics per event type
+    (functions/timeseries.py interarrival_stats): seconds between a
+    user's consecutive events, aggregated on the LATER event's type —
+    exact decimal mean, exact interpolated median, max.  One
+    user-keyed window + one group aggregate."""
+    from ..functions.timeseries import interarrival_stats
+
+    return interarrival_stats(
+        _t(spark, sf_dir, "events"), "user_id", "event_type",
+        ts_col="ts", id_col="event_id",
+    )
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3726,6 +3740,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "crosscorr": q_crosscorr,
     "user_streaks": q_user_streaks,
+    "dwell_stats": q_dwell_stats,
     "seasonal_baseline": q_seasonal_baseline,
     "autocorr": q_autocorr,
     "link_prediction": q_link_prediction,
@@ -5288,4 +5303,13 @@ HARNESS_ORACLES["crosscorr"] = _crosscorr_oracle_sql(
 )
 HARNESS_ORACLES["user_streaks"] = _user_streaks_oracle_sql(
     "events", "user_id", ts_col="ts"
+)
+
+
+from ..functions.timeseries import (  # noqa: E402
+    interarrival_stats_oracle_sql as _interarrival_oracle_sql,
+)
+
+HARNESS_ORACLES["dwell_stats"] = _interarrival_oracle_sql(
+    "events", "user_id", "event_type", ts_col="ts", id_col="event_id"
 )

@@ -404,3 +404,25 @@ def test_user_streaks_islands(spark):
     got = {r.key: r for r in user_streaks(df, "user_id").collect()}
     assert (got[1].active_days, got[1].n_streaks, got[1].longest_streak) == (6, 3, 3)
     assert (got[2].active_days, got[2].n_streaks, got[2].longest_streak) == (1, 1, 1)
+
+
+def test_interarrival_stats_known_gaps(spark):
+    from openetlagent_spark.functions.timeseries import interarrival_stats
+
+    # user 1 timeline: t=0 (a), t=10 (b), t=40 (b), t=100 (a)
+    # gaps on later event: b:10, b:30, a:60; user 2 single event: none
+    rows = [
+        (1, 1, 0, "a"), (2, 1, 10, "b"), (3, 1, 40, "b"), (4, 1, 100, "a"),
+        (5, 2, 7, "a"),
+    ]
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(event_id=e, user_id=u, ts=base + dt.timedelta(seconds=t), event_type=g)
+         for e, u, t, g in rows]
+    )
+    got = {r.grp: r for r in
+           interarrival_stats(df, "user_id", "event_type").collect()}
+    assert got["b"].n_gaps == 2 and got["b"].mean_gap_s == 20.0
+    assert got["b"].p50_gap_s == 20.0 and got["b"].max_gap_s == 30
+    assert got["a"].n_gaps == 1 and got["a"].mean_gap_s == 60.0
