@@ -287,6 +287,7 @@ HEADLINE = [
     "crosscorr",
     "user_streaks",
     "dwell_stats",
+    "wow_growth",
 ]
 
 

@@ -48,7 +48,7 @@ _ROUND10_FRONT = [
     "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
     "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
     "robust_scale", "diversity_sample",
-    # r05 rows (3) — one original backfill row (tpch_q8,
+    # r05 rows (2) — the changed-module sentinels only (tpch_q8, bind_salted,
     # top_p_sources, event_paths, funnel, window_distribution,
     # window_range_frame and
     # contamination deferred to r11 with asof_tolerance/bm25_topk as
@@ -57,9 +57,8 @@ _ROUND10_FRONT = [
     # sentinels
     # (pack_sequences, semantic_dedup — curation.py / the dedup
     # machinery changed this round).
-    "bind_salted",
     "pack_sequences", "semantic_dedup",
-    # round-10 additions (32) — never-driver-checked count stays at
+    # round-10 additions (33) — never-driver-checked count stays at
     # ZERO: every addition enters the front the round it lands, each
     # only after a local driver-strength exact check (the full
     # 238-query sweep in this session's log is the evidence).  This
@@ -77,7 +76,7 @@ _ROUND10_FRONT = [
     "chi2_independence", "gini_sources", "ab_test", "bfs_reach",
     "text_readability", "attribution", "rfm_segments", "lift_table",
     "target_encode", "ks_test", "mad_outliers", "crosscorr",
-    "user_streaks", "dwell_stats",
+    "user_streaks", "dwell_stats", "wow_growth",
 ]
 
 

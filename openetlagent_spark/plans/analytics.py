@@ -1451,6 +1451,51 @@ FROM d
 """
 
 
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the trend dashboard
+    readout: weekly counts (integer week = days-since-epoch DIV 7, no
+    locale WEEKOFYEAR), previous week via LAG over the
+    (types × weeks)-row AGGREGATE (bounded window partitions), growth
+    as one guarded IEEE division.  Weeks with no prior observation get
+    NULL growth.  One corpus exchange."""
+    from pyspark.sql import Window
+
+    weekly = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.col("event_type"), F.floor(
+            F.datediff(F.to_date(F.col("ts")), F.to_date(F.lit("1970-01-01")))
+            / F.lit(7)
+        ).cast("int").alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.withColumn("prev_events", prev).withColumn(
+        "wow_growth",
+        F.when(
+            prev.isNotNull() & (prev > 0),
+            (F.col("n_events") - prev).cast("double") / prev.cast("double"),
+        ),
+    )
+
+
+WOW_GROWTH_SQL = """
+WITH w AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) / 7.0) AS INTEGER) AS week,
+         COUNT(*) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, week, n_events,
+       LAG(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_events,
+       CASE WHEN LAG(n_events) OVER (PARTITION BY event_type ORDER BY week) > 0
+            THEN CAST(n_events - LAG(n_events) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE)
+                 / CAST(LAG(n_events) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE)
+       END AS wow_growth
+FROM w
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based discretization: NTILE(10) decile buckets of
     l_extendedprice within each return flag, on the fully-determined
@@ -2773,6 +2818,7 @@ ANALYTICS_QUERIES = {
     "lift_table": q_lift_table,
     "target_encode": q_target_encode,
     "ks_test": q_ks_test,
+    "wow_growth": q_wow_growth,
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
@@ -2833,6 +2879,7 @@ ANALYTICS_ORACLES = {
     "rfm_segments": RFM_SEGMENTS_SQL,
     "lift_table": LIFT_TABLE_SQL,
     "ks_test": KS_TEST_SQL,
+    "wow_growth": WOW_GROWTH_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,

@@ -492,3 +492,26 @@ def test_lift_table_sums_and_monotone_capture(spark):
     caps = [r.cum_capture for r in rows]
     assert all(b >= a for a, b in zip(caps, caps[1:]))
     assert abs(caps[-1] - 1.0) < 1e-12
+
+
+def test_wow_growth_values(spark):
+    from openetlagent_spark.plans.analytics import q_wow_growth
+    import tempfile, os
+    # type a: weeks 0,1,2 with 2,4,3 events -> growth NULL, 1.0, -0.25
+    rows = []
+    eid = 0
+    for week, n in ((0, 2), (1, 4), (2, 3)):
+        for i in range(n):
+            eid += 1
+            day = week * 7 + 1
+            rows.append((eid, 1, f"1970-01-{day:02d} 0{i}:00:00", "a", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string, value double"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.week: r for r in q_wow_growth(spark, d).collect()}
+    assert got[0].wow_growth is None
+    assert got[1].wow_growth == 1.0
+    assert got[2].wow_growth == -0.25
