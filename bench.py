@@ -288,6 +288,7 @@ HEADLINE = [
     "user_streaks",
     "dwell_stats",
     "wow_growth",
+    "reconcile_totals",
 ]
 
 

@@ -274,3 +274,83 @@ SELECT digit, obs,
        / (CAST(n AS DOUBLE) * expected_frac) AS chi2_term
 FROM e, tot
 """
+
+
+def reconcile_totals(
+    parent: DataFrame,
+    parent_key: str,
+    declared_col: str,
+    child: DataFrame,
+    child_key: str,
+    amount_col: str,
+) -> DataFrame:
+    """Cross-table TOTAL reconciliation — the finance-closing audit
+    ("does every order header total equal the sum of its lines?"):
+    one summary row
+
+    ``(n_parents, n_with_children, n_exact_match, n_mismatch,
+    max_abs_diff, sum_declared, sum_computed)``
+
+    over INTEGER amounts (pass exact cents — the caller does the
+    ``round(x*100)`` casts, the benford_audit convention, so no float
+    comparison ever decides a match).  Parents without children count
+    in ``n_parents`` only; a NULL declared total is a mismatch (the
+    header is wrong by definition when lines exist).
+
+    Shape: child → per-key integer sums (ONE keyed exchange with full
+    map-side combine), join to the parent keyset (AQE broadcasts the
+    smaller side), then one global aggregate.  Never a row×row join;
+    survives 100 TB with the child reduced to |keys| rows first."""
+    p = parent.select(
+        F.col(parent_key).alias("_x_k"), F.col(declared_col).alias("_x_d")
+    )
+    c = (
+        child.where(F.col(child_key).isNotNull())
+        .groupBy(F.col(child_key).alias("_x_k"))
+        .agg(F.sum(F.col(amount_col)).cast("long").alias("_x_s"))
+    )
+    j = p.join(c, "_x_k", "left")
+    has = F.col("_x_s").isNotNull()
+    match = has & F.col("_x_d").isNotNull() & (F.col("_x_d") == F.col("_x_s"))
+    mismatch = has & (F.col("_x_d").isNull() | (F.col("_x_d") != F.col("_x_s")))
+    diff = F.abs(F.col("_x_d") - F.col("_x_s"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_parents"),
+        F.sum(has.cast("bigint")).alias("n_with_children"),
+        F.sum(match.cast("bigint")).alias("n_exact_match"),
+        F.sum(mismatch.cast("bigint")).alias("n_mismatch"),
+        F.coalesce(F.max(F.when(has, diff)), F.lit(0).cast("bigint")).alias(
+            "max_abs_diff"
+        ),
+        F.coalesce(F.sum(F.when(has, F.col("_x_d"))), F.lit(0).cast("bigint")).alias(
+            "sum_declared"
+        ),
+        F.coalesce(F.sum("_x_s"), F.lit(0).cast("bigint")).alias("sum_computed"),
+    )
+
+
+def reconcile_totals_oracle_sql(
+    parent_sql: str,
+    parent_key: str,
+    declared_col: str,
+    child_sql: str,
+    child_key: str,
+    amount_col: str,
+) -> str:
+    """DuckDB mirror of :func:`reconcile_totals` — identical guard
+    order; NULL declared with children = mismatch."""
+    return f"""
+WITH p AS (SELECT {parent_key} AS k, {declared_col} AS d FROM ({parent_sql})),
+c AS (
+  SELECT {child_key} AS k, CAST(SUM({amount_col}) AS BIGINT) AS s
+  FROM ({child_sql}) WHERE {child_key} IS NOT NULL GROUP BY 1),
+j AS (SELECT p.k, p.d, c.s FROM p LEFT JOIN c ON c.k = p.k)
+SELECT COUNT(*) AS n_parents,
+       CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_children,
+       CAST(SUM(CASE WHEN s IS NOT NULL AND d IS NOT NULL AND d = s THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
+       CAST(SUM(CASE WHEN s IS NOT NULL AND (d IS NULL OR d <> s) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(COALESCE(MAX(CASE WHEN s IS NOT NULL THEN ABS(d - s) END), 0) AS BIGINT) AS max_abs_diff,
+       CAST(COALESCE(SUM(CASE WHEN s IS NOT NULL THEN d END), 0) AS BIGINT) AS sum_declared,
+       CAST(COALESCE(SUM(s), 0) AS BIGINT) AS sum_computed
+FROM j
+"""

@@ -48,7 +48,8 @@ _ROUND10_FRONT = [
     "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
     "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
     "robust_scale", "diversity_sample",
-    # r05 rows (2) — the changed-module sentinels only (tpch_q8, bind_salted,
+    # r05 rows (1) — the changed-module sentinel semantic_dedup only
+    # (tpch_q8, bind_salted, pack_sequences,
     # top_p_sources, event_paths, funnel, window_distribution,
     # window_range_frame and
     # contamination deferred to r11 with asof_tolerance/bm25_topk as
@@ -57,8 +58,8 @@ _ROUND10_FRONT = [
     # sentinels
     # (pack_sequences, semantic_dedup — curation.py / the dedup
     # machinery changed this round).
-    "pack_sequences", "semantic_dedup",
-    # round-10 additions (33) — never-driver-checked count stays at
+    "semantic_dedup",
+    # round-10 additions (34) — never-driver-checked count stays at
     # ZERO: every addition enters the front the round it lands, each
     # only after a local driver-strength exact check (the full
     # 238-query sweep in this session's log is the evidence).  This
@@ -76,7 +77,7 @@ _ROUND10_FRONT = [
     "chi2_independence", "gini_sources", "ab_test", "bfs_reach",
     "text_readability", "attribution", "rfm_segments", "lift_table",
     "target_encode", "ks_test", "mad_outliers", "crosscorr",
-    "user_streaks", "dwell_stats", "wow_growth",
+    "user_streaks", "dwell_stats", "wow_growth", "reconcile_totals",
 ]
 
 

@@ -3630,6 +3630,29 @@ def q_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-header vs line-sum reconciliation in exact cents
+    (functions/integrity.py reconcile_totals): declared o_totalprice
+    against the sum of raw line extended prices — the finance-closing
+    audit shape (on this synthetic schema the header price includes
+    tax/discount so the summary quantifies the systematic gap; the
+    audit machinery — integer-cents match, child pre-aggregation,
+    NULL-header rule — is what this query pins)."""
+    from ..functions.integrity import reconcile_totals
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("declared_cents"),
+    )
+    lines = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("line_cents"),
+    )
+    return reconcile_totals(
+        orders, "o_orderkey", "declared_cents", lines, "l_orderkey", "line_cents"
+    )
+
+
 # --- registry --------------------------------------------------------------
 
 HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3738,6 +3761,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "benford_audit": q_benford_audit,
     "mad_outliers": q_mad_outliers,
+    "reconcile_totals": q_reconcile_totals,
     "crosscorr": q_crosscorr,
     "user_streaks": q_user_streaks,
     "dwell_stats": q_dwell_stats,
@@ -5312,4 +5336,18 @@ from ..functions.timeseries import (  # noqa: E402
 
 HARNESS_ORACLES["dwell_stats"] = _interarrival_oracle_sql(
     "events", "user_id", "event_type", ts_col="ts", id_col="event_id"
+)
+
+
+from ..functions.integrity import (  # noqa: E402
+    reconcile_totals_oracle_sql as _reconcile_oracle_sql,
+)
+
+HARNESS_ORACLES["reconcile_totals"] = _reconcile_oracle_sql(
+    "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS declared_cents FROM orders",
+    "o_orderkey",
+    "declared_cents",
+    "SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS line_cents FROM lineitem",
+    "l_orderkey",
+    "line_cents",
 )

@@ -100,3 +100,27 @@ def test_benford_digit_extraction_and_chi2(spark):
 
 def test_benford_expected_fractions_sum_to_one():
     assert sum(_BENFORD_EXPECTED.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_reconcile_totals_matching_and_mismatched(spark):
+    from openetlagent_spark.functions.integrity import reconcile_totals
+
+    parents = spark.createDataFrame(
+        [Row(k=1, d=300), Row(k=2, d=999), Row(k=3, d=None), Row(k=4, d=50)],
+        "k bigint, d bigint",
+    )
+    children = spark.createDataFrame(
+        [Row(k=1, a=100), Row(k=1, a=200),   # matches 300
+         Row(k=2, a=500),                     # mismatch (999 vs 500)
+         Row(k=3, a=10),                      # NULL declared -> mismatch
+         Row(k=None, a=7)],                   # NULL child key excluded
+        "k bigint, a bigint",
+    )
+    [r] = reconcile_totals(parents, "k", "d", children, "k", "a").collect()
+    assert r.n_parents == 4
+    assert r.n_with_children == 3     # parent 4 has no lines
+    assert r.n_exact_match == 1
+    assert r.n_mismatch == 2
+    assert r.max_abs_diff == 999 - 500
+    assert r.sum_declared == 300 + 999   # NULL declared excluded from sum
+    assert r.sum_computed == 300 + 500 + 10
