@@ -289,6 +289,7 @@ HEADLINE = [
     "dwell_stats",
     "wow_growth",
     "reconcile_totals",
+    "growth_accounting",
 ]
 
 

@@ -48,8 +48,8 @@ _ROUND10_FRONT = [
     "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
     "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
     "robust_scale", "diversity_sample",
-    # r05 rows (1) — the changed-module sentinel semantic_dedup only
-    # (tpch_q8, bind_salted, pack_sequences,
+    # r05 rows (0) — semantic_dedup and pack_sequences rotated out as
+    # the final additions landed (tpch_q8, bind_salted,
     # top_p_sources, event_paths, funnel, window_distribution,
     # window_range_frame and
     # contamination deferred to r11 with asof_tolerance/bm25_topk as
@@ -58,8 +58,7 @@ _ROUND10_FRONT = [
     # sentinels
     # (pack_sequences, semantic_dedup — curation.py / the dedup
     # machinery changed this round).
-    "semantic_dedup",
-    # round-10 additions (34) — never-driver-checked count stays at
+    # round-10 additions (35) — never-driver-checked count stays at
     # ZERO: every addition enters the front the round it lands, each
     # only after a local driver-strength exact check (the full
     # 238-query sweep in this session's log is the evidence).  This
@@ -78,6 +77,7 @@ _ROUND10_FRONT = [
     "text_readability", "attribution", "rfm_segments", "lift_table",
     "target_encode", "ks_test", "mad_outliers", "crosscorr",
     "user_streaks", "dwell_stats", "wow_growth", "reconcile_totals",
+    "growth_accounting",
 ]
 
 

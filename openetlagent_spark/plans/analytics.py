@@ -1496,6 +1496,47 @@ FROM w
 """
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — new vs returning active users per
+    week, the startup-metrics staple: a user is NEW in their first
+    active week (MIN over their weeks) and RETURNING in every later
+    active week.  Shape: distinct (user, week) → per-user first week
+    (one keyed aggregate) joined back onto the activity pairs
+    (co-partitioned on user — AQE co-locates the two aggregates of the
+    same exchange), then one bounded per-week count.  Integer week =
+    days-since-epoch DIV 7 (no locale WEEKOFYEAR); all counts
+    integer."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    week = F.floor(
+        F.datediff(F.to_date(F.col("ts")), F.to_date(F.lit("1970-01-01")))
+        / F.lit(7)
+    ).cast("int")
+    uw = ev.select(F.col("user_id").alias("u"), week.alias("week")).distinct()
+    first = uw.groupBy("u").agg(F.min("week").alias("_x_fw"))
+    joined = uw.join(first, "u")
+    return joined.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("week") == F.col("_x_fw")).cast("bigint")).alias("n_new"),
+        F.sum((F.col("week") != F.col("_x_fw")).cast("bigint")).alias("n_returning"),
+    )
+
+
+GROWTH_ACCOUNTING_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(FLOOR(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) / 7.0) AS INTEGER) AS week
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+f AS (SELECT u, MIN(week) AS fw FROM uw GROUP BY u)
+SELECT week, COUNT(*) AS n_active,
+       CAST(SUM(CASE WHEN week = fw THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN week <> fw THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+FROM uw JOIN f ON f.u = uw.u
+GROUP BY week
+"""
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based discretization: NTILE(10) decile buckets of
     l_extendedprice within each return flag, on the fully-determined
@@ -2819,6 +2860,7 @@ ANALYTICS_QUERIES = {
     "target_encode": q_target_encode,
     "ks_test": q_ks_test,
     "wow_growth": q_wow_growth,
+    "growth_accounting": q_growth_accounting,
     "window_moving_avg": q_window_moving_avg,
     "topk_per_group": q_topk_per_group,
     "approx_distinct": q_approx_distinct,
@@ -2880,6 +2922,7 @@ ANALYTICS_ORACLES = {
     "lift_table": LIFT_TABLE_SQL,
     "ks_test": KS_TEST_SQL,
     "wow_growth": WOW_GROWTH_SQL,
+    "growth_accounting": GROWTH_ACCOUNTING_SQL,
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "topk_per_group": TOPK_PER_GROUP_SQL,
     "exact_distinct": EXACT_DISTINCT_SQL,

@@ -515,3 +515,25 @@ def test_wow_growth_values(spark):
     assert got[0].wow_growth is None
     assert got[1].wow_growth == 1.0
     assert got[2].wow_growth == -0.25
+
+
+def test_growth_accounting_new_vs_returning(spark):
+    from openetlagent_spark.plans.analytics import q_growth_accounting
+    import tempfile, os
+    # week 0: users 1,2 (both new); week 1: users 1 (returning), 3 (new)
+    rows = []
+    eid = 0
+    for week, users in ((0, [1, 2]), (1, [1, 3])):
+        for u in users:
+            eid += 1
+            day = week * 7 + 1
+            rows.append((eid, u, f"1970-01-{day:02d} 10:00:00", "view", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string, value double"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.week: r for r in q_growth_accounting(spark, d).collect()}
+    assert (got[0].n_active, got[0].n_new, got[0].n_returning) == (2, 2, 0)
+    assert (got[1].n_active, got[1].n_new, got[1].n_returning) == (2, 1, 1)
