@@ -12,72 +12,56 @@ HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 
 # The driver's correctness harness checks the FIRST 50 entries of
 # ``queries()`` per round.  Cumulative driver-hash coverage has been
-# complete since r08, so round 10's rotation is pure staleness
-# refresh.  After r09's front cleared every r03 row and most r04
-# rows, the oldest remaining driver hashes are the 15 r04 rows
-# displaced by round-9's additions and the 50-row r05 block
-# (`scripts/staleness.py`).  This round-10 ordering (committed as the
-# FIRST action of the round, per the standing rotation discipline):
-# (a) ALL 15 r04-hashed rows (the VERDICT r09-named block: tpch_q1,
-#     dataset_split, exact_distinct, cube, tpch_q12, tpch_q18,
-#     unicode_nfc, stats_skew, value_histogram, vocab_oov,
-#     text_scrub, plus stats_moments, quantile_bins, robust_scale,
-#     diversity_sample) — clears every driver row older than r05;
-# (b) 25 of the 50 r05-hashed rows, the 7 original backfill rows
-#     (bind_salted, window_range_frame, window_distribution, funnel,
-#     event_paths, top_p_sources, tpch_q8) first;
-# (c) ALL 10 round-10 additions (video_frames, audio_features,
-#     interval_join, fuzzy_dedup, grouped_quantiles, snapshot_diff,
-#     join_cardinality, ann_sq8, dataset_manifest, scd2_snapshot) in
-#     the trailing slots — each swapped in only
-#     after a local driver-strength exact check, keeping
-#     never-driver-checked count at zero.
-# Deferred to r11 (25 r05 rows that did not fit; inverted_index,
-# line_dedup, embedding_stats joined them as later additions landed): tpch_q9 / q11 /
-# q13 / q15 / q16 / q17 / q20 / q21, sorted_layout,
-# partitioned_layout, zorder_layout, quantile_filter, events_sliding,
-# trending_topk, training_shards, tokenize_ids, gopher_rules,
-# stream_sink, stats_corr, skew_report, neardup_store,
-# near_contamination — all repeatedly green in every full sweep.
-# Every name below passed the full 215-query exact-mode sweep run in
-# the r09 judge session.  Local `scripts/check_oracle.py` runs the
-# full set regardless of order.
-_ROUND10_FRONT = [
-    # oldest driver hash: r04 (15) — all of them
-    "tpch_q1", "dataset_split", "exact_distinct", "cube", "tpch_q12",
-    "tpch_q18", "unicode_nfc", "stats_skew", "value_histogram",
-    "vocab_oov", "text_scrub", "stats_moments", "quantile_bins",
-    "robust_scale", "diversity_sample",
-    # r05 rows (0) — semantic_dedup and pack_sequences rotated out as
-    # the final additions landed (tpch_q8, bind_salted,
-    # top_p_sources, event_paths, funnel, window_distribution,
-    # window_range_frame and
-    # contamination deferred to r11 with asof_tolerance/bm25_topk as
-    # later additions landed — the TPC-H family already has
-    # q1/q12/q18 refreshed in this front) plus the two changed-module
-    # sentinels
-    # (pack_sequences, semantic_dedup — curation.py / the dedup
-    # machinery changed this round).
-    # round-10 additions (35) — never-driver-checked count stays at
-    # ZERO: every addition enters the front the round it lands, each
-    # only after a local driver-strength exact check (the full
-    # 238-query sweep in this session's log is the evidence).  This
-    # displaced 13 more r05 rows (bpe_encode, bpe_train, ccnet_buckets,
-    # curriculum_order, dedup_embedding, dedup_keep_best, dedup_minhash,
-    # dedup_ngram, dedup_store, embedding_centroids, global_shuffle,
-    # incremental_dedup, incremental_neardup — all repeatedly green in
-    # every full sweep; they join the r11 staleness backlog alongside
-    # the 10 earlier deferrals listed above).
-    "video_frames", "audio_features", "interval_join", "fuzzy_dedup",
-    "grouped_quantiles", "snapshot_diff", "join_cardinality", "ann_sq8",
-    "dataset_manifest", "scd2_snapshot",
-    "fk_orphans", "k_anonymity", "benford_audit", "seasonal_baseline",
-    "autocorr", "link_prediction", "item_similarity", "ols_fit",
-    "chi2_independence", "gini_sources", "ab_test", "bfs_reach",
-    "text_readability", "attribution", "rfm_segments", "lift_table",
-    "target_encode", "ks_test", "mad_outliers", "crosscorr",
-    "user_streaks", "dwell_stats", "wow_growth", "reconcile_totals",
-    "growth_accounting",
+# complete since r08, so round 11's rotation — like round 10's — is
+# pure staleness refresh, committed as the FIRST action of the round
+# per the standing rotation discipline.  After the r10 front cleared
+# every r04 row and half the r05 block, the oldest remaining driver
+# hashes are exactly the 50-row r05 block (`scripts/staleness.py`):
+# the 25 rows round 10 explicitly deferred (tpch_q9/q11/q13/q15/q16/
+# q17/q20/q21, sorted_layout, partitioned_layout, zorder_layout,
+# quantile_filter, events_sliding, trending_topk, training_shards,
+# tokenize_ids, gopher_rules, stream_sink, stats_corr, skew_report,
+# neardup_store, near_contamination, inverted_index, line_dedup,
+# embedding_stats) plus the 25 displaced mid-r10 by the 35 additions
+# (bpe_encode, bpe_train, ccnet_buckets, curriculum_order,
+# dedup_embedding, dedup_keep_best, dedup_minhash, dedup_ngram,
+# dedup_store, embedding_centroids, global_shuffle, incremental_dedup,
+# incremental_neardup, bm25_topk, asof_tolerance, contamination,
+# pack_sequences, semantic_dedup, bind_salted, window_range_frame,
+# window_distribution, funnel, top_p_sources, event_paths, tpch_q8).
+# That is the whole staleness tail: after this front lands no driver
+# hash is older than r07.  The r09 VERDICT asked for exactly this
+# rotation ("≥45 of the 50 r05 rows"); all 50 fit because round-11
+# additions (if any) displace from the tail only after their own
+# local driver-strength exact check, keeping never-driver-checked at
+# zero while staying ≥45 r05 rows.  Every name below passed a local
+# driver-strength exact check (scripts/check_oracle.py, sf0.01, exact
+# mode, type-sensitive full-precision hash) in this session before
+# this commit: 50/50 ALL PASS.
+_ROUND11_FRONT = [
+    # r05 block, grouped by family for auditability — text/tokenize
+    "gopher_rules", "tokenize_ids", "curriculum_order", "skew_report",
+    "bm25_topk", "inverted_index", "ccnet_buckets",
+    # dedup machinery
+    "dedup_minhash", "dedup_ngram", "dedup_embedding",
+    "dedup_keep_best", "semantic_dedup", "incremental_neardup",
+    "neardup_store", "dedup_store", "incremental_dedup",
+    "line_dedup", "contamination", "near_contamination",
+    # BPE + curation
+    "bpe_train", "bpe_encode", "pack_sequences", "global_shuffle",
+    "training_shards", "quantile_filter",
+    # embeddings
+    "embedding_centroids", "embedding_stats",
+    # streaming/events
+    "trending_topk", "stream_sink", "events_sliding", "funnel",
+    "event_paths", "top_p_sources",
+    # layouts + misc engine ops
+    "sorted_layout", "zorder_layout", "partitioned_layout",
+    "stats_corr", "bind_salted", "asof_tolerance",
+    "window_range_frame", "window_distribution",
+    # TPC-H r05 tail — the 9 remaining tpch_more rows + q8
+    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q21",
 ]
 
 
@@ -98,7 +82,7 @@ def _reorder(front: list[str], mapping: dict) -> dict:
     return {**head, **tail}
 
 
-_reordered = _reorder(_ROUND10_FRONT, HARNESS_QUERIES)
+_reordered = _reorder(_ROUND11_FRONT, HARNESS_QUERIES)
 HARNESS_QUERIES.clear()
 HARNESS_QUERIES.update(_reordered)
 
