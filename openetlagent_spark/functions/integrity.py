@@ -94,7 +94,10 @@ def fk_orphans(relationships: list[dict]) -> DataFrame:
         keys = rel["child"].select(F.col(child_key).alias("_x_k"))
         totals = keys.agg(
             F.count(F.lit(1)).alias("child_rows"),
-            F.sum(F.col("_x_k").isNull().cast("bigint")).alias("null_keys"),
+            F.coalesce(
+                F.sum(F.col("_x_k").isNull().cast("bigint")),
+                F.lit(0).cast("bigint"),
+            ).alias("null_keys"),
         )
         hist = (
             keys.where(F.col("_x_k").isNotNull())

@@ -480,9 +480,17 @@ def target_encode_loo(
     g_loo = (F.col("_x_gs").cast("double") - y) / (F.col("_x_gn") - F.lit(1)).cast(
         "double"
     )
-    encoded = F.when(
-        F.col(target_col).isNull(), F.lit(None).cast("double")
-    ).when(F.col("_x_n") > 1, loo).otherwise(g_loo)
+    # The global fallback needs gn > 1: with exactly one non-null target
+    # in the whole frame a singleton-category row would compute 0/0 (NaN)
+    # or x/0 (±Inf), and the cross-engine hash would then hinge on
+    # DuckDB's ieee_floating_point_ops setting — encode the degenerate
+    # case to NULL instead (mirrored in the oracle CASE below).
+    encoded = (
+        F.when(F.col(target_col).isNull(), F.lit(None).cast("double"))
+        .when(F.col("_x_n") > 1, loo)
+        .when(F.col("_x_gn") > 1, g_loo)
+        .otherwise(F.lit(None).cast("double"))
+    )
     return joined.withColumn(output_col, encoded).drop(
         "_x_n", "_x_s", "_x_gn", "_x_gs"
     )
@@ -513,9 +521,10 @@ SELECT {cols},
             WHEN s.n > 1 THEN
               (CAST(CAST(s.sm AS VARCHAR) AS DOUBLE) - CAST(t.{target_col} AS DOUBLE))
                 / CAST(s.n - 1 AS DOUBLE)
-            ELSE
+            WHEN g.gn > 1 THEN
               (CAST(CAST(g.gs AS VARCHAR) AS DOUBLE) - CAST(t.{target_col} AS DOUBLE))
                 / CAST(g.gn - 1 AS DOUBLE)
+            ELSE NULL
        END AS {output_col}
 FROM base t LEFT JOIN s ON s.cat = t.{category_col} CROSS JOIN g
 """

@@ -749,7 +749,7 @@ def seasonal_baseline_oracle_sql(
     return f"""
 WITH g AS (
   SELECT {key_col} AS key,
-         ((CAST({ts_col} AS DATE) - DATE '1970-01-01') + 4) % 7 AS dow,
+         ((((CAST({ts_col} AS DATE) - DATE '1970-01-01') + 4) % 7) + 7) % 7 AS dow,
          COUNT(*) AS n_events,
          SUM(CAST({value_col} AS DECIMAL(18,6))) AS _x_sd
   FROM {table}

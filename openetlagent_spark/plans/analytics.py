@@ -1095,9 +1095,12 @@ def q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 GINI_SOURCES_SQL = """
 WITH w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight FROM documents GROUP BY source),
 r0 AS (
+  -- NULLS FIRST pins DuckDB to Spark's ascending default (Spark sorts
+  -- NULLS FIRST, DuckDB NULLS LAST) — documents.source is not filtered,
+  -- so a NULL source/weight must rank identically in both engines.
   SELECT source, weight,
-         ROW_NUMBER() OVER (ORDER BY weight, source) AS rank,
-         SUM(weight) OVER (ORDER BY weight, source
+         ROW_NUMBER() OVER (ORDER BY weight NULLS FIRST, source NULLS FIRST) AS rank,
+         SUM(weight) OVER (ORDER BY weight NULLS FIRST, source NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight,
          SUM(weight) OVER () AS total,
          COUNT(*) OVER () AS n_sources
@@ -1440,10 +1443,15 @@ c AS (
   FROM v),
 t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM v),
 d AS (
+  -- t is a global aggregate (always exactly 1 row), so grouping by
+  -- (n_a, n_b) keeps the 1-row shape even when BOTH cohorts are empty:
+  -- the LEFT JOIN pads c with one all-NULL row and MAX(NULL) = NULL,
+  -- matching the Spark side's one-all-NULL-row global aggregate
+  -- (a plain `FROM c, t GROUP BY` would emit ZERO rows on empty input).
   SELECT n_a, n_b,
          MAX(ABS(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
                  - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks_d
-  FROM c, t GROUP BY n_a, n_b)
+  FROM t LEFT JOIN c ON TRUE GROUP BY n_a, n_b)
 SELECT n_a, n_b, ks_d,
        ks_d * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
                    / CAST(n_a + n_b AS DOUBLE)) AS ks_stat
