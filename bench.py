@@ -233,6 +233,7 @@ HEADLINE = [
     "stats_moments",
     "text_scrub",
     "image_decode",
+    "jpeg_decode",
     "sql_join",
     "ann_store_append",
     "pq_codebooks",

@@ -386,10 +386,567 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
         return None
 
 
+# --- JPEG: baseline JFIF, pure numpy + stdlib --------------------------
+#
+# The remaining dominant web image format, decoded in-sandbox: a GENERAL
+# baseline decoder (SOF0/SOF1, 8-bit, grayscale or interleaved
+# multi-component scans with arbitrary sampling factors, DRI/RSTn
+# restart intervals, FF00 byte unstuffing, canonical DHT huffman tables
+# read from the stream) — huffman entropy decode, dequantize, inverse
+# zigzag, separable float64 iDCT, +128 level shift.  The grayscale
+# output is the LUMA PLANE (the first SOF component) directly — JPEG
+# stores luma natively, so no chroma upsample/convert is needed for
+# intensity features; chroma blocks are still entropy-decoded (the
+# bitstream interleaves them) but skip the iDCT.  Progressive (SOF2),
+# arithmetic-coded, 12-bit, and hierarchical files return None (Pillow
+# fallback when importable).  Totality contract as the other codecs:
+# hostile/truncated bytes → None, never a raised task error.
+#
+# The matching encoder emits FLAT-BLOCK grayscale baseline JFIF: every
+# 8×8 block is a single constant value, i.e. DC-only coefficient blocks
+# (DC = 8·(v−128) with an all-ones quantization table, exact in the
+# huffman integer domain), so decode(encode(x)) is an EXACT round-trip
+# — the iDCT of a DC-only block is mathematically flat, and the ≤2⁻⁴⁶
+# float64 basis error vanishes under the final round().  That keeps
+# JPEG pipelines byte-derivable for SQL oracles exactly like the
+# BMP/PNG stored-block encoders, while the decoder exercises the full
+# standard path (the tests drive its AC/ZRL/EOB, restart, and
+# subsampled multi-component branches through _encode_jpeg_coeffs).
+
+# Zigzag scan: raster index of each of the 64 zigzag positions.
+_JPEG_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 typical huffman tables (luminance) — written into DHT by the
+# encoder; the decoder always builds its tables from the stream.
+_JPEG_DC_BITS = bytes(
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+)
+_JPEG_DC_VALS = bytes(range(12))
+_JPEG_AC_BITS = bytes(
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+)
+_JPEG_AC_VALS = bytes(
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+)
+
+
+def _jpeg_idct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT basis A with A[u, x] = ½·C(u)·cos((2x+1)uπ/16),
+    C(0)=1/√2 else 1 — iDCT of coefficient block F is Aᵀ·F·A."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+_JPEG_A = _jpeg_idct_basis()
+
+
+class _JpegErr(Exception):
+    pass
+
+
+def _jpeg_huff_lut(bits: bytes, vals: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical huffman table → 16-bit-prefix LUT: (symbol, code length)
+    per 16-bit window; symbol −1 marks an invalid prefix.  One numpy
+    slice-fill per code keeps construction O(codes), not O(65536)."""
+    sym = np.full(65536, -1, dtype=np.int16)
+    ln = np.zeros(65536, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals) or code >= (1 << length):
+                raise _JpegErr
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
+
+
+class _JpegBits:
+    """Bit reader over the scan's entropy segments (pre-split at RSTn
+    markers, FF00 already unstuffed, each segment unpacked to a bit
+    array).  Huffman decode peeks 16 bits against the prefix LUT —
+    one numpy dot per symbol instead of per bit."""
+
+    _POW16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
+
+    def __init__(self, segments: list[np.ndarray]) -> None:
+        if not segments:
+            raise _JpegErr
+        self.segments = segments
+        self.si = 0
+        self.bits = segments[0]
+        self.n = int(self.bits.shape[0])
+        self.i = 0
+
+    def peek16(self) -> int:
+        j = self.i
+        chunk = self.bits[j : j + 16]
+        if chunk.shape[0] < 16:
+            if j > self.n:
+                raise _JpegErr
+            # spec pads the final partial byte with 1-bits
+            chunk = np.concatenate(
+                [chunk, np.ones(16 - chunk.shape[0], dtype=np.uint8)]
+            )
+        return int(chunk @ self._POW16)
+
+    def huff(self, lut: tuple[np.ndarray, np.ndarray]) -> int:
+        v = self.peek16()
+        s = int(lut[0][v])
+        if s < 0:
+            raise _JpegErr
+        self.i += int(lut[1][v])
+        if self.i > self.n + 7:  # consumed into nonexistent padding
+            raise _JpegErr
+        return s
+
+    def receive(self, n_bits: int) -> int:
+        if n_bits == 0:
+            return 0
+        j = self.i
+        self.i = j + n_bits
+        if self.i > self.n:  # value bits are real data, never padding
+            raise _JpegErr
+        return int(self.bits[j : self.i] @ self._POW16[16 - n_bits :])
+
+    def restart(self) -> None:
+        self.si += 1
+        if self.si >= len(self.segments):
+            raise _JpegErr
+        self.bits = self.segments[self.si]
+        self.n = int(self.bits.shape[0])
+        self.i = 0
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """JPEG EXTEND: s-bit magnitude v → signed coefficient value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode_block(
+    br: _JpegBits,
+    dc_lut: tuple[np.ndarray, np.ndarray],
+    ac_lut: tuple[np.ndarray, np.ndarray],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """One entropy-coded block → (64 quantized coefficients in ZIGZAG
+    order, new DC predictor)."""
+    t = br.huff(dc_lut)
+    if t > 15:
+        raise _JpegErr
+    dc = pred + _jpeg_extend(br.receive(t), t)
+    coef = np.zeros(64, dtype=np.int64)
+    coef[0] = dc
+    k = 1
+    while k < 64:
+        rs = br.huff(ac_lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise _JpegErr
+        coef[k] = _jpeg_extend(br.receive(s), s)
+        k += 1
+    return coef, dc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Baseline JFIF → (h, w) uint8 grayscale (the luma plane), or None
+    if the payload is not a decodable baseline JPEG.  See the section
+    comment above for coverage and the totality contract."""
+    try:
+        n = len(payload)
+        if n < 4 or payload[0:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        comps: list[dict] = []
+        height = width = 0
+        ri = 0
+        scan: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
+        i = 2
+        scan_start = -1
+        while i + 1 < n:
+            if payload[i] != 0xFF:
+                return None
+            while i + 1 < n and payload[i + 1] == 0xFF:  # fill bytes
+                i += 1
+            m = payload[i + 1]
+            i += 2
+            if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                continue
+            if m == 0xD9:
+                return None  # EOI before any scan
+            if i + 2 > n:
+                return None
+            seg_len = int.from_bytes(payload[i : i + 2], "big")
+            if seg_len < 2 or i + seg_len > n:
+                return None
+            seg = payload[i + 2 : i + seg_len]
+            if m == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    if pq == 0:
+                        if p + 64 > len(seg):
+                            return None
+                        qt[tq] = np.frombuffer(
+                            seg[p : p + 64], dtype=np.uint8
+                        ).astype(np.int64)
+                        p += 64
+                    elif pq == 1:
+                        if p + 128 > len(seg):
+                            return None
+                        qt[tq] = np.frombuffer(
+                            seg[p : p + 128], dtype=">u2"
+                        ).astype(np.int64)
+                        p += 128
+                    else:
+                        return None
+            elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+                if len(seg) < 6 or seg[0] != 8:
+                    return None
+                height = int.from_bytes(seg[1:3], "big")
+                width = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if height <= 0 or width <= 0 or nc == 0 or len(seg) < 6 + 3 * nc:
+                    return None
+                comps = [
+                    {
+                        "id": seg[6 + 3 * c],
+                        "hs": seg[7 + 3 * c] >> 4,
+                        "vs": seg[7 + 3 * c] & 15,
+                        "tq": seg[8 + 3 * c],
+                    }
+                    for c in range(nc)
+                ]
+                if any(c["hs"] == 0 or c["vs"] == 0 for c in comps):
+                    return None
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / lossless / arithmetic / hierarchical
+            elif m == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    bits = seg[p + 1 : p + 17]
+                    cnt = sum(bits)
+                    if p + 17 + cnt > len(seg):
+                        return None
+                    huff[(tc, th)] = _jpeg_huff_lut(
+                        bits, seg[p + 17 : p + 17 + cnt]
+                    )
+                    p += 17 + cnt
+            elif m == 0xDD:  # DRI
+                if len(seg) < 2:
+                    return None
+                ri = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:  # SOS
+                if not comps:
+                    return None
+                ns = seg[0]
+                if ns != len(comps):  # multi-scan sequential: fall back
+                    return None
+                if len(seg) < 1 + 2 * ns + 3:
+                    return None
+                by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+                for s_ in range(ns):
+                    cs = seg[1 + 2 * s_]
+                    tdta = seg[2 + 2 * s_]
+                    if cs not in by_id:
+                        return None
+                    scan.append((by_id[cs], tdta >> 4, tdta & 15))
+                scan_start = i + seg_len
+                break
+            i += seg_len
+        if scan_start < 0 or not comps:
+            return None
+        hmax = max(c["hs"] for c in comps)
+        vmax = max(c["vs"] for c in comps)
+        luma = comps[scan[0][0]] if len(comps) == 1 else comps[0]
+        if len(comps) > 1 and (luma["hs"] != hmax or luma["vs"] != vmax):
+            return None  # luma must be full-resolution to BE the gray plane
+        for c in comps:
+            if c["tq"] not in qt:
+                return None
+        # split entropy data at RSTn, unstuff FF00, unpack to bits
+        segs: list[bytearray] = [bytearray()]
+        j = scan_start
+        while j < n:
+            b = payload[j]
+            if b == 0xFF:
+                nxt = payload[j + 1] if j + 1 < n else -1
+                if nxt == 0x00:
+                    segs[-1].append(0xFF)
+                    j += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytearray())
+                    j += 2
+                    continue
+                break  # EOI or any other marker ends the scan
+            segs[-1].append(b)
+            j += 1
+        br = _JpegBits(
+            [np.unpackbits(np.frombuffer(bytes(s), dtype=np.uint8)) for s in segs]
+        )
+        mcx = -(-width // (8 * hmax))
+        mcy = -(-height // (8 * vmax))
+        li = 0 if len(comps) > 1 else scan[0][0]
+        plane = np.zeros((mcy * luma["vs"] * 8, mcx * luma["hs"] * 8), dtype=np.uint8)
+        lq = qt[luma["tq"]]
+        preds = [0] * len(comps)
+        a = _JPEG_A
+        mcu = 0
+        for my in range(mcy):
+            for mx in range(mcx):
+                if ri and mcu and mcu % ri == 0:
+                    br.restart()
+                    preds = [0] * len(comps)
+                mcu += 1
+                for ci, dci, aci in scan:
+                    c = comps[ci]
+                    dl, al = huff.get((0, dci)), huff.get((1, aci))
+                    if dl is None or al is None:
+                        return None
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            coef, preds[ci] = _jpeg_decode_block(
+                                br, dl, al, preds[ci]
+                            )
+                            if ci != li:
+                                continue  # chroma: bitstream only
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[_JPEG_ZZ] = coef * lq
+                            f8 = blk.reshape(8, 8)
+                            pix = np.clip(
+                                np.round(a.T @ f8 @ a) + 128, 0, 255
+                            ).astype(np.uint8)
+                            y0 = (my * c["vs"] + by) * 8
+                            x0 = (mx * c["hs"] + bx) * 8
+                            plane[y0 : y0 + 8, x0 : x0 + 8] = pix
+        return plane[:height, :width].copy()
+    except Exception:
+        return None
+
+
+def _jpeg_enc_table(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
+    """Canonical huffman table → {symbol: (code, length)} for encoding."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with FF00 byte stuffing and 1-bit
+    final padding (the scan-data encoding rules of ISO/IEC 10918-1)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _jpeg_put_coef(wr: _JpegBitWriter, table: dict, sym_high: int, v: int) -> None:
+    """Emit huffman(sym_high<<4 | size(v)) + the size(v) magnitude bits."""
+    s = abs(v).bit_length()
+    code, length = table[(sym_high << 4) | s]
+    wr.put(code, length)
+    if s:
+        wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _encode_jpeg_coeffs(
+    comp_coeffs: list[np.ndarray],
+    height: int,
+    width: int,
+    *,
+    samplings: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Entropy-encode QUANTIZED coefficient blocks into a baseline JFIF
+    stream: all-ones quantization table, Annex K luminance huffman
+    tables for every component, interleaved single scan.  Each
+    ``comp_coeffs[c]`` is (blocks_y, blocks_x, 8, 8) int coefficients in
+    RASTER block layout, already padded to whole MCUs.  The test-facing
+    generality hook: arbitrary AC patterns, subsampled components, and
+    restart intervals all route through here; the public flat-block
+    encoder is the DC-only special case."""
+    nc = len(comp_coeffs)
+    if samplings is None:
+        samplings = [(1, 1)] * nc
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mcx = -(-width // (8 * hmax))
+    mcy = -(-height // (8 * vmax))
+    for c in range(nc):
+        hs, vs = samplings[c]
+        want = (mcy * vs, mcx * hs)
+        if comp_coeffs[c].shape[:2] != want:
+            raise ValueError(
+                f"_encode_jpeg_coeffs: component {c} needs {want} blocks, "
+                f"got {comp_coeffs[c].shape[:2]}"
+            )
+    dc_t = _jpeg_enc_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_t = _jpeg_enc_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    head = bytearray(b"\xff\xd8")  # SOI
+    head += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + b"\x01" * 64)  # DQT 0: all ones
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([nc])
+    for c in range(nc):
+        hs, vs = samplings[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0])
+    head += seg(0xC0, sof)
+    head += seg(0xC4, bytes([0x00]) + _JPEG_DC_BITS + _JPEG_DC_VALS)
+    head += seg(0xC4, bytes([0x10]) + _JPEG_AC_BITS + _JPEG_AC_VALS)
+    if restart_interval:
+        head += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    head += seg(0xDA, sos)
+
+    body = bytearray()
+    wr = _JpegBitWriter()
+    preds = [0] * nc
+    mcu = 0
+    rst = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                body += wr.flush()
+                body += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                wr = _JpegBitWriter()
+                preds = [0] * nc
+            mcu += 1
+            for c in range(nc):
+                hs, vs = samplings[c]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = np.asarray(
+                            comp_coeffs[c][my * vs + by, mx * hs + bx],
+                            dtype=np.int64,
+                        )
+                        zz = blk.reshape(64)[_JPEG_ZZ]
+                        dc = int(zz[0])
+                        _jpeg_put_coef(wr, dc_t, 0, dc - preds[c])
+                        preds[c] = dc
+                        nz = np.nonzero(zz[1:])[0]
+                        k = 1
+                        for pos in nz + 1:
+                            run = int(pos) - k
+                            while run >= 16:
+                                code, length = ac_t[0xF0]  # ZRL
+                                wr.put(code, length)
+                                run -= 16
+                            _jpeg_put_coef(wr, ac_t, run, int(zz[pos]))
+                            k = int(pos) + 1
+                        if k < 64:
+                            code, length = ac_t[0x00]  # EOB
+                            wr.put(code, length)
+    body += wr.flush()
+    return bytes(head) + bytes(body) + b"\xff\xd9"  # EOI
+
+
+def encode_gray_jpeg_flat(blocks: np.ndarray) -> bytes:
+    """(rows, cols) uint8 of FLAT BLOCK VALUES → baseline grayscale JFIF
+    where entry (r, c) is an entire constant 8×8 pixel block — a
+    (rows·8, cols·8) image.  DC-only coefficients with an all-ones
+    quantization table make decode(encode(x)) an exact round-trip (see
+    the JPEG section comment), which is what keeps JPEG corpora
+    SQL-oracle-derivable.  Empty input → b'' (no media)."""
+    arr = np.asarray(blocks, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError(
+            f"encode_gray_jpeg_flat expects (rows, cols), got shape {arr.shape}"
+        )
+    rows, cols = arr.shape
+    if rows == 0 or cols == 0:
+        return b""
+    coeffs = np.zeros((rows, cols, 8, 8), dtype=np.int64)
+    coeffs[:, :, 0, 0] = 8 * (arr.astype(np.int64) - 128)
+    return _encode_jpeg_coeffs([coeffs], rows * 8, cols * 8)
+
+
 def decode_image_builtin(payload: bytes | None) -> np.ndarray | None:
-    """Dependency-free image decode: BMP, PNM, or PNG by magic bytes →
-    (h, w) uint8 grayscale; None for anything else (JPEG and other
-    formats go to the Pillow fallback)."""
+    """Dependency-free image decode: BMP, PNM, PNG, or baseline JPEG by
+    magic bytes → (h, w) uint8 grayscale; None for anything else
+    (progressive JPEG and other formats go to the Pillow fallback)."""
     if not payload:
         return None
     if payload[:2] == b"BM":
@@ -398,6 +955,8 @@ def decode_image_builtin(payload: bytes | None) -> np.ndarray | None:
         return _decode_pnm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     return None
 
 
@@ -1218,6 +1777,111 @@ def synthesize_media_bmp(
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+def synthesize_media_jpeg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width_blocks: int = 4,
+) -> DataFrame:
+    """Build a REAL baseline-JPEG media table from any text table: each
+    doc's utf-8 bytes become the FLAT 8×8 BLOCKS of a grayscale JFIF —
+    byte value = block intensity, ``width_blocks`` blocks per row,
+    final row zero-padded — so the decoded raster is exactly
+    ``kron(bytes, ones(8,8))`` and decode(encode(text)) is an exact
+    round-trip through the built-in baseline decoder (DC-only blocks,
+    all-ones quant table; see the JPEG section comment).  The pixel
+    stream stays byte-derivable for SQL oracles: every text byte
+    contributes exactly 64 pixels of its own value, pad blocks 64
+    zeros.  Empty/NULL text → empty payload (no media).  One
+    mapInPandas pass, no shuffle — same plumbing as the BMP/PNG/WAV/Y4M
+    synths."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, heights = [], []
+            for text in pdf[text_col]:
+                data = (text or "").encode("utf-8")
+                rows = (len(data) + width_blocks - 1) // width_blocks
+                if rows == 0:
+                    payloads.append(b"")
+                    heights.append(0)
+                    continue
+                arr = np.frombuffer(
+                    data.ljust(rows * width_blocks, b"\0"), dtype=np.uint8
+                ).reshape(rows, width_blocks)
+                payloads.append(encode_gray_jpeg_flat(arr))
+                heights.append(rows * 8)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "width": np.int32(width_blocks * 8),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "duration_ms": np.int64(0),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def image_features_jpeg_oracle_sql(
+    doc_pred: str = "TRUE",
+    dim: int = 16,
+    table: str = "documents",
+    width_blocks: int = 4,
+) -> str:
+    """DuckDB mirror of ``synthesize_media_jpeg → extract_image_features
+    (decoder='real')`` as a parenthesized subquery yielding
+    (media_id, mime, n_pixels, feature REAL[]).
+
+    Valid for ASCII corpora (the driver's test tables are): the decoded
+    raster is each text byte repeated as a flat 8×8 block, so bin b
+    counts ``64 ×`` the chars with ``ascii // (256/dim) = b`` — plus
+    ``64 ×`` the pad-block count in bin 0 — over ``n_pixels =
+    rows · width_blocks · 64`` real pixels.  ``n_bytes`` is NOT emitted:
+    huffman scan length has no SQL closed form (the one column the
+    lossless-container oracles could derive that entropy coding
+    can't)."""
+    bin_width = 256 // dim
+    bins = ", ".join(
+        f"SUM(CASE WHEN ascii(ch) // {bin_width} = {b} THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(dim)
+    )
+    pad = f"(d.rows_ * {width_blocks} - d.len)"
+    terms = []
+    for b in range(dim):
+        c = f"COALESCE(c.c{b}, 0)" + (f" + {pad}" if b == 0 else "")
+        terms.append(
+            f"CASE WHEN d.len > 0 THEN CAST(CAST(({c}) * 64 AS DOUBLE) "
+            f"/ CAST(d.rows_ * {width_blocks} * 64 AS DOUBLE) AS REAL) "
+            f"ELSE CAST(0.0 AS REAL) END"
+        )
+    feature = "[" + ", ".join(terms) + "]"
+    return (
+        f"(WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        f"'image/jpeg' AS mime, COALESCE(length(text), 0) AS len, "
+        f"CAST(CEIL(COALESCE(length(text), 0) / {width_blocks}.0) AS BIGINT) AS rows_, "
+        f"text FROM {table} WHERE {doc_pred}), "
+        f"chars AS (SELECT media_id, unnest(string_split_regex(text, '')) AS ch "
+        f"FROM d WHERE len > 0), "
+        f"cnt AS (SELECT media_id, {bins} FROM chars GROUP BY media_id) "
+        f"SELECT d.media_id, d.mime, "
+        f"CASE WHEN d.len > 0 THEN d.rows_ * {width_blocks} * 64 ELSE 0 END AS n_pixels, "
+        f"{feature} AS feature FROM d LEFT JOIN cnt c USING (media_id))"
+    )
 
 
 def image_features_bmp_oracle_sql(

@@ -55,8 +55,14 @@ _ROUND11_FRONT = [
     # streaming/events
     "trending_topk", "stream_sink", "events_sliding", "funnel",
     "event_paths", "top_p_sources",
+    # round-11 additions (never-driver-checked stays ZERO: each enters
+    # the front the round it lands, after a local driver-strength exact
+    # check).  jpeg_decode displaced partitioned_layout — its io.py
+    # siblings sorted_layout/zorder_layout stay in the front, and it
+    # heads the r12 staleness backlog.
+    "jpeg_decode",
     # layouts + misc engine ops
-    "sorted_layout", "zorder_layout", "partitioned_layout",
+    "sorted_layout", "zorder_layout",
     "stats_corr", "bind_salted", "asof_tolerance",
     "window_range_frame", "window_distribution",
     # TPC-H r05 tail — the 9 remaining tpch_more rows + q8

@@ -1701,6 +1701,37 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end, no imaging library
+    (functions/multimodal.py synthesize_media_jpeg + _decode_jpeg):
+    documents → flat-block grayscale JFIF (each doc's utf-8 bytes
+    become constant 8×8 pixel blocks — DC-only coefficients, all-ones
+    quant table, Annex-K huffman tables) → extract_image_features
+    (decoder='real') runs the GENERAL baseline decoder (huffman entropy
+    decode, dequantize, inverse zigzag, float64 iDCT, level shift) and
+    histograms the decoded intensities.  Flat blocks make the lossy
+    format's round-trip exact, so the hist is byte-derivable: every
+    text byte is 64 pixels of its own value.  n_bytes is intentionally
+    NOT selected — huffman scan length has no SQL closed form.  Same
+    shape as image_decode: one mapInPandas synth + one mapInPandas
+    decode, zero shuffles, embarrassingly parallel at any corpus
+    size."""
+    from ..functions.multimodal import extract_image_features, synthesize_media_jpeg
+
+    media = synthesize_media_jpeg(_ts(spark, sf_dir, "documents"))
+    feats = extract_image_features(media, dim=16, decoder="real")
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_pixels",
+        F.expr(
+            "array_join(transform(feature, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * CAST(n_pixels AS DOUBLE)) AS BIGINT)"
+            "), ',')"
+        ).alias("hist"),
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling end-to-end, no media library
     (functions/multimodal.py sample_frames + synthesize_media_y4m):
@@ -3749,6 +3780,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_layout": q_zorder_layout,
     "multimodal_features": q_multimodal_features,
     "image_decode": q_image_decode,
+    "jpeg_decode": q_jpeg_decode,
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
     "interval_join": q_interval_join,
@@ -4721,6 +4753,19 @@ _IMG_DECODE_HIST = " || ',' || ".join(
 HARNESS_ORACLES["image_decode"] = (
     f"SELECT media_id, mime, n_bytes, n_pixels, {_IMG_DECODE_HIST} AS hist "
     f"FROM {_image_features_bmp_oracle_sql('TRUE', dim=16, codec='alternate')} sq"
+)
+# jpeg_decode: flat-block baseline JFIF → the GENERAL baseline decoder
+# (huffman + iDCT) → per-bin pixel counts.  Decoded pixels are exactly
+# text bytes × 64 (each byte one flat 8×8 block, pad blocks → bin 0),
+# so the hist re-integerization recovers exact counts; n_bytes is not
+# emitted (huffman scan length has no SQL closed form).
+from ..functions.multimodal import (  # noqa: E402
+    image_features_jpeg_oracle_sql as _image_features_jpeg_oracle_sql,
+)
+
+HARNESS_ORACLES["jpeg_decode"] = (
+    f"SELECT media_id, mime, n_pixels, {_IMG_DECODE_HIST} AS hist "
+    f"FROM {_image_features_jpeg_oracle_sql('TRUE', dim=16)} sq"
 )
 # video_frames: Y4M synth → real frame sampling → per-frame PNG decode.
 # Frame i's raster IS text bytes [i·64, (i+1)·64) (+ pad zeros on the

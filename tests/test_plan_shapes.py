@@ -927,6 +927,17 @@ def test_quantile_bins_rank_avoids_group_key_sort(spark):
     assert "ExistingRDD" in physical
 
 
+def test_jpeg_decode_is_scan_plus_mapinpandas_only(spark):
+    """Baseline-JPEG decode is embarrassingly parallel like the other
+    media paths: one documents scan, two mapInPandas stages (JFIF
+    synth, huffman+iDCT decode/featurize), zero shuffles, no joins."""
+    plan = plan_of(spark, "jpeg_decode")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert count_shuffles(plan) == 0
+    assert "Join" not in physical
+    assert physical.count("MapInPandas") == 2
+
+
 def test_video_frames_is_three_mapinpandas_no_shuffle(spark):
     """Video → frames → image features is embarrassingly parallel:
     three mapInPandas stages (Y4M synth, frame sampling, PNG decode),
