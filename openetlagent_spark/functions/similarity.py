@@ -43,6 +43,17 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
+def cosine_prenorm_expr(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine_expr with the two norm folds hoisted upstream: callers
+    compute ``norm_expr`` once per corpus/query ROW before the
+    candidate join, so the per-PAIR expression is only the dot fold —
+    the norms are reused across every pair the row participates in
+    (one corpus row typically scores against many queries).  Values
+    are bit-identical to cosine_expr: same folds, same doubles, just
+    evaluated earlier in the plan."""
+    return F.try_divide(dot_expr(a, b), na * nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,12 +67,13 @@ def cosine_topk(
     nested loop scanning the corpus once."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("_x_ncv", norm_expr(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("_x_nqv", norm_expr(F.col("qv")))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
-        "cosine", cosine_expr(F.col("qv"), F.col("cv"))
+        "cosine",
+        cosine_prenorm_expr(F.col("qv"), F.col("cv"), F.col("_x_nqv"), F.col("_x_ncv")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -511,21 +523,34 @@ def nearest_centroid_ids(vec: Column, cents_lit: Column, n: int) -> Column:
     query path, the ANN store build, and store serving: the store's
     correctness claim is bit-identity with the direct computation, so
     an independent copy here would be the drift vector classifier.py's
-    _bucket_expr docstring warns about."""
-    dists = F.transform(
-        cents_lit,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            i.alias("cid"),
-        ),
-    )
-    return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
+    _bucket_expr docstring warns about.
+
+    ``vec`` is hoisted through a single-element ``transform(array(vec),
+    x -> …)`` wrapper so it is evaluated ONCE per row.  Without the
+    hoist, CollapseProject inlines the caller's projection (typically
+    clustering._quantize — a 64-element transform with a strict-cast
+    guard) into the lambda body, where the per-centroid loop re-runs it
+    n_centroids times per row: measured 29s → 8s on the sf1
+    ann_ivf_topk corpus assignment.  The hoist changes no values — the
+    lambda computes the identical folds on the identical array."""
+
+    def body(x: Column) -> Column:
+        dists = F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        x.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                i.alias("cid"),
+            ),
+        )
+        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cid"]), 1, n)
+
+    return F.transform(F.array(vec), body)[0]
 
 
 def fit_ivf_centroids_exact(
@@ -580,15 +605,25 @@ def _hash_sample(
     codebook fit (build_pq_store collects it ONCE for both)."""
     from .clustering import _quantize
 
+    # Select the sample FIRST (TakeOrdered on (md5, id) — only the hash
+    # is computed corpus-wide), THEN quantize the sample_size winners:
+    # quantize is per-row deterministic, so the values are identical to
+    # quantizing the corpus up front, but the interpreted 64-element
+    # grid transform runs over 2048 rows instead of the whole corpus —
+    # corpus-size-independent fit cost at any scale.  The final orderBy
+    # re-pins the (h, id) order after the projection because Lloyd's
+    # init takes the FIRST n_centroids rows.
     rows = (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("__id__"),
-            _quantize(F.col(vec_col), scale_bits).alias("xq"),
+            F.col(vec_col).alias("__v__"),
             F.md5(F.col(id_col).cast("string")).alias("__h__"),
         )
         .orderBy("__h__", "__id__")
         .limit(sample_size)
+        .select("__id__", "__h__", _quantize(F.col("__v__"), scale_bits).alias("xq"))
+        .orderBy("__h__", "__id__")
         .collect()
     )
     return [list(r["xq"]) for r in rows]
@@ -777,18 +812,33 @@ def _ivf_topk_exact(
         F.col(vec_col).cast("array<double>").alias("cv"),
         _quantize(F.col(vec_col), scale_bits).alias("xq"),
     )
-    c = base_c.withColumn("cid", nearest_q(F.col("xq"), 1)[0]).drop("xq")
+    # norms precomputed per ROW (corpus / broadcast query), not per
+    # candidate pair — cosine_prenorm_expr keeps the doubles identical
+    c = (
+        base_c.withColumn("cid", nearest_q(F.col("xq"), 1)[0])
+        .drop("xq")
+        .withColumn("_x_ncv", norm_expr(F.col("cv")))
+    )
     base_q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
         _quantize(F.col(vec_col), scale_bits).alias("xq"),
     )
-    q = base_q.withColumn("cid", F.explode(nearest_q(F.col("xq"), nprobe))).drop("xq")
+    q = (
+        base_q.withColumn("cid", F.explode(nearest_q(F.col("xq"), nprobe)))
+        .drop("xq")
+        .withColumn("_x_nqv", norm_expr(F.col("qv")))
+    )
 
     cand = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_prenorm_expr(
+                F.col("qv"), F.col("cv"), F.col("_x_nqv"), F.col("_x_ncv")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -1383,11 +1433,20 @@ def ann_from_store(
     # bounded collect (≤ n_centroids ints): the probed-list filter must
     # be a LITERAL predicate for partition pruning to reach the scan
     probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
-    lists = spark.read.parquet(f"{store_path}/lists").where(F.col("cid").isin(probed))
+    lists = (
+        spark.read.parquet(f"{store_path}/lists")
+        .where(F.col("cid").isin(probed))
+        .withColumn("_x_ncv", norm_expr(F.col("cv")))
+    )
     cand = (
-        lists.join(F.broadcast(q), "cid")
+        lists.join(F.broadcast(q.withColumn("_x_nqv", norm_expr(F.col("qv")))), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_prenorm_expr(
+                F.col("qv"), F.col("cv"), F.col("_x_nqv"), F.col("_x_ncv")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
