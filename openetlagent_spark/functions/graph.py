@@ -741,14 +741,20 @@ def bfs_hops(
     Each round is one frontier-edge equi-join plus a min-hop
     re-aggregate — |rounds| keyed exchanges total, no iteration-count
     data dependence (fixed unrolling, like label_propagation's fixed
-    rounds), so lineage stays shallow and no checkpoint is needed.
-    Edges are symmetrized inside (union of both orientations,
-    distinct).  The seed choice (MIN(node)) is a 1-row aggregate
-    broadcast — swap in any literal seed frame for targeted runs.
-    Output: ``(node, hops)``, hops = the exact BFS level."""
+    rounds).  Edges are symmetrized inside (union of both
+    orientations, distinct) and the symmetrized frame goes through
+    materialize() ONCE — callers typically pass a DERIVED edge set
+    (the co-citation join in the harness graph queries), and without
+    the boundary every round would re-derive it from scratch.  The
+    running ``dist`` frame is referenced TWICE per round (the frontier
+    filter and the union), so it truncates through materialize() every
+    round — the label_propagation / kcore / connected_components
+    plan-doubling discipline.  The seed choice (MIN(node)) is a 1-row
+    aggregate broadcast — swap in any literal seed frame for targeted
+    runs.  Output: ``(node, hops)``, hops = the exact BFS level."""
     if max_hops < 1:
         raise ValueError(f"bfs_hops: max_hops must be >= 1, got {max_hops}")
-    sym = (
+    sym = materialize(
         edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
         .unionAll(edges.select(F.col("dst").alias("s"), F.col("src").alias("d")))
         .where(F.col("s") != F.col("d"))
@@ -764,10 +770,11 @@ def bfs_hops(
             frontier.join(sym, frontier["node"] == sym["s"])
             .select(F.col("d").alias("node"), F.lit(k).alias("hops"))
         )
-        dist = (
+        dist = materialize(
             dist.unionByName(step)
             .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
+            .agg(F.min("hops").alias("hops")),
+            require_truncation=True,
         )
     return dist
 
