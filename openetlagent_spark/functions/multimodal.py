@@ -1255,7 +1255,7 @@ def extract_image_features(
     """Binary payload → fixed-dim feature vector, one mapInPandas stage.
 
     Batches stream through Arrow; nothing is collected.  The 'real'
-    decoder runs the built-in BMP/PNM/PNG codecs (pure Python, always
+    decoder runs the built-in BMP/PNM/PNG/baseline-JPEG codecs (pure Python, always
     available) with Pillow as the optional fallback for other
     compressed formats (JPEG, …); it shares every line of Spark plumbing with the fake one.
     ``n_pixels`` is the decoded pixel count (real) or the payload byte
@@ -1285,7 +1285,7 @@ def extract_image_features(
                     raise ValueError(
                         f"extract_image_features(strict=True): undecodable "
                         f"{len(b)}-byte payload (magic {b[:4]!r}); built-in "
-                        "codecs cover BMP/PNM/PNG, Pillow "
+                        "codecs cover BMP/PNM/PNG/baseline-JPEG, Pillow "
                         + ("is importable" if Image else "is NOT importable")
                         + " on this executor"
                     )

@@ -320,23 +320,36 @@ def multi_table_signatures(
 
     ``rademacher``: draw ±1.0 planes (rademacher_planes) instead of
     Gaussian — engine-exact, enabling a full SQL oracle over the
-    blocking stage."""
+    blocking stage.
+
+    ``vec`` is hoisted through a single-element ``transform(array(vec),
+    v -> …)`` wrapper (dedup.bind_once's pattern, inlined here to keep
+    the import direction dedup → similarity): callers pass DERIVED
+    expressions (embedding_neardup_pairs' dim-guard WHEN, lsh_topk's
+    array cast), and without the hoist the innermost dot fold
+    re-evaluates them n_tables × n_planes times per row — Catalyst
+    does no CSE across lambda scopes (the nearest_centroid_ids
+    lesson)."""
     if rademacher:
         tables_lit = _array_literal(rademacher_planes(n_tables, n_planes, dim, seed))
     else:
         rng = np.random.RandomState(seed)
         tables_lit = _array_literal(rng.randn(n_tables, n_planes, dim))
-    return F.transform(
-        tables_lit,
-        lambda planes: F.aggregate(
-            F.transform(
-                planes,
-                lambda p: F.when(dot_expr(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+
+    def body(v: Column) -> Column:
+        return F.transform(
+            tables_lit,
+            lambda planes: F.aggregate(
+                F.transform(
+                    planes,
+                    lambda p: F.when(dot_expr(v, p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, bit: acc * F.lit(2).cast("long") + bit,
             ),
-            F.lit(0).cast("long"),
-            lambda acc, bit: acc * F.lit(2).cast("long") + bit,
-        ),
-    )
+        )
+
+    return F.element_at(F.transform(F.array(vec), body), 1)
 
 
 def lsh_topk(
