@@ -150,20 +150,38 @@ def sq8_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    cand = (
-        c.join(F.broadcast(stats))
-        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    # Dequantize once per corpus ROW, not once per candidate PAIR: dq
+    # depends only on (cv, stats), but inside the pair expression it
+    # would re-run the floor/clamp chain per query it meets.  The
+    # per-element op trees and fold orders are identical — only the
+    # evaluation point moves — so adc values (and the oracle) are
+    # unchanged.  Same move for the two norm folds (corpus-side nd,
+    # query-side nq); the per-pair expression is then just the dot.
+    cd = c.join(F.broadcast(stats)).select(
+        "neighbor_id",
+        "cv",
+        *[
+            _sq8_dq_col(F.col("cv")[j], F.col(f"m{j}"), F.col(f"x{j}")).alias(
+                f"_x_dq{j}"
+            )
+            for j in range(dim)
+        ],
     )
-    dot: Column = F.lit(0.0)
-    nq: Column = F.lit(0.0)
     nd: Column = F.lit(0.0)
     for j in range(dim):
-        dq = _sq8_dq_col(F.col("cv")[j], F.col(f"m{j}"), F.col(f"x{j}"))
-        qj = F.col("qv")[j]
-        dot = dot + qj * dq
-        nq = nq + qj * qj
-        nd = nd + dq * dq
-    scored = cand.withColumn("adc", F.try_divide(dot, F.sqrt(nq) * F.sqrt(nd)))
+        nd = nd + F.col(f"_x_dq{j}") * F.col(f"_x_dq{j}")
+    cd = cd.withColumn("_x_nd", nd)
+    nq: Column = F.lit(0.0)
+    for j in range(dim):
+        nq = nq + F.col("qv")[j] * F.col("qv")[j]
+    qn = q.withColumn("_x_nq", nq)
+    cand = cd.join(F.broadcast(qn), F.col("query_id") != F.col("neighbor_id"))
+    dot: Column = F.lit(0.0)
+    for j in range(dim):
+        dot = dot + F.col("qv")[j] * F.col(f"_x_dq{j}")
+    scored = cand.withColumn(
+        "adc", F.try_divide(dot, F.sqrt(F.col("_x_nq")) * F.sqrt(F.col("_x_nd")))
+    )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc_nulls_last(), F.col("neighbor_id").asc()
     )
