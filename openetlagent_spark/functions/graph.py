@@ -112,24 +112,51 @@ def dedup_by_components(
     return df.join(losers, id_col, "left_anti")
 
 
-def components_oracle_sql(pairs_sql: str, id_alias: str = "doc_id") -> str:
-    """DuckDB oracle for connected_components over a pair relation:
-    recursive transitive closure, then component = min reachable id.
+def components_oracle_sql(
+    pairs_sql: str, id_alias: str = "doc_id", rounds: int = 25
+) -> str:
+    """DuckDB oracle for connected_components over a pair relation —
+    the SAME min-label recurrence as the Spark side, unrolled as
+    ``rounds`` materialized CTEs (default 25 = connected_components'
+    max_iter): each round every node's label becomes the MIN of its
+    own and its neighbors' previous-round labels.  Rounds past
+    convergence are idempotent, so the unrolled chain equals Spark's
+    early-exit fixpoint exactly, for ANY component structure.
+
     ``pairs_sql`` is any SELECT producing (id_a, id_b) — e.g. the
     generated near-dup-pair oracle, so the WHOLE pipeline (LSH pair
-    mining → clustering) is checked end-to-end.  Closure size is
-    Σ |component|², fine for oracle-scale data (components are small
-    near-dup clusters); the Spark side never materializes it."""
-    return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
-edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-reach(a, b) AS (SELECT a, b FROM edges
-                UNION
-                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-SELECT a AS {id_alias}, LEAST(a, MIN(b)) AS component
-FROM reach GROUP BY a
-"""
+    mining → clustering) is checked end-to-end.
+
+    History: the original formulation here was a WITH RECURSIVE
+    transitive closure (Σ |component|² rows) — fine while near-dup
+    clusters were small, but the sf1 embedding graph has ONE
+    ~20k-node component, whose closure is ~4·10⁸ rows re-joined per
+    recursion round; it never finished.  The unrolled min-label chain
+    is Θ(rounds · (|V| + |E|)) with every CTE pinned AS MATERIALIZED
+    (DuckDB inlines multiply-referenced CTEs — pq.py's _materialize
+    rule; each round reads its predecessor twice)."""
+    parts = [
+        f"__cc_pairs AS MATERIALIZED ({pairs_sql})",
+        "__cc_edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM __cc_pairs "
+        "UNION SELECT id_b, id_a FROM __cc_pairs)",
+        "__cc_l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS component "
+        "FROM __cc_edges)",
+    ]
+    prev = "__cc_l0"
+    for i in range(1, rounds + 1):
+        nxt = f"__cc_l{i}"
+        parts.append(
+            f"{nxt} AS MATERIALIZED (SELECT node, MIN(component) AS component "
+            f"FROM (SELECT node, component FROM {prev} "
+            f"UNION ALL SELECT e.b AS node, l.component FROM {prev} l "
+            f"JOIN __cc_edges e ON e.a = l.node) GROUP BY node)"
+        )
+        prev = nxt
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS {id_alias}, component FROM {prev}"
+    )
 
 
 def dedup_keep_best(
