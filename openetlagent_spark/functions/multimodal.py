@@ -1239,7 +1239,10 @@ def synthesize_media_wav(
                 }
             )
 
-    return df.mapInPandas(batches, out_schema)
+    # project to the two consumed columns BEFORE the mapInPandas
+    # boundary: Python UDF stages are black boxes to Catalyst, so
+    # without this the parquet scan reads every documents column
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
 def extract_image_features(
@@ -1656,7 +1659,10 @@ def synthesize_media_y4m(
                 }
             )
 
-    return df.mapInPandas(batches, out_schema)
+    # project to the two consumed columns BEFORE the mapInPandas
+    # boundary: Python UDF stages are black boxes to Catalyst, so
+    # without this the parquet scan reads every documents column
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
 def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -1776,7 +1782,10 @@ def synthesize_media_bmp(
                 }
             )
 
-    return df.mapInPandas(batches, out_schema)
+    # project to the two consumed columns BEFORE the mapInPandas
+    # boundary: Python UDF stages are black boxes to Catalyst, so
+    # without this the parquet scan reads every documents column
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
 def synthesize_media_jpeg(
@@ -1834,7 +1843,10 @@ def synthesize_media_jpeg(
                 }
             )
 
-    return df.mapInPandas(batches, out_schema)
+    # project to the two consumed columns BEFORE the mapInPandas
+    # boundary: Python UDF stages are black boxes to Catalyst, so
+    # without this the parquet scan reads every documents column
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
 def image_features_jpeg_oracle_sql(
