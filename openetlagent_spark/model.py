@@ -2155,6 +2155,56 @@ class BenfordOperation(Operation):
 
 
 @dataclass
+class MediaFeaturesOperation(Operation):
+    """Media featurization as a flow op (functions/multimodal.py
+    extract_image_features / extract_audio_features): opaque binary
+    payloads → fixed-dim feature rows in one Arrow mapInPandas stage.
+    REPLACES the frame with the feature table (image: ``media_id,
+    mime, n_bytes, n_pixels, feature``; audio: ``media_id, mime,
+    n_bytes, n_samples, duration_ms, feature``).  Pair with a
+    ``binary``-format input (sources/io.py binaryFile scan) to run a
+    directory-of-media-files corpus through the YAML surface.
+
+    ``decoder='real'`` runs the built-in BMP/PNM/PNG/baseline-JPEG
+    codecs (audio: RIFF/WAVE PCM), Pillow/PyAV only as gated
+    fallbacks; ``'fake'`` is the deterministic byte-histogram stub for
+    plumbing tests.  ``strict=True`` (real only) fails loudly on an
+    undecodable NON-EMPTY payload instead of emitting the zero vector
+    — the trusted-format-corpus setting."""
+
+    modality: str = "image"
+    payload_column: str = "payload"
+    id_column: str = "media_id"
+    mime_column: str = "mime"
+    dim: int = 16
+    decoder: str = "fake"
+    strict: bool = False
+    operation_type: str = "media_features"
+
+    def __post_init__(self) -> None:
+        if self.modality not in ("image", "audio"):
+            raise SpecError(
+                f"media_features modality must be image/audio, got {self.modality!r}"
+            )
+        if self.decoder not in ("fake", "real"):
+            raise SpecError(
+                f"media_features decoder must be fake/real, got {self.decoder!r}"
+            )
+        if not isinstance(self.dim, int) or self.dim < 1:
+            raise SpecError(f"media_features dim must be a positive int, got {self.dim!r}")
+        if self.strict and self.decoder != "real":
+            raise SpecError(
+                "media_features strict=true requires decoder='real' (the fake "
+                "byte-histogram path never decodes, so it cannot detect "
+                "undecodable payloads)"
+            )
+        if not self.payload_column or not self.id_column or not self.mime_column:
+            raise SpecError(
+                "media_features requires payload_column, id_column, mime_column"
+            )
+
+
+@dataclass
 class FkCheckOperation(Operation):
     """Foreign-key orphan audit as a flow op (functions/integrity.py
     fk_orphans): the CURRENT frame is the CHILD; the parent resolves
@@ -2372,6 +2422,7 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     # integrity / recommender / seasonal family (round 10)
     "k_anonymity": KAnonymityOperation,
     "benford": BenfordOperation,
+    "media_features": MediaFeaturesOperation,
     "fk_check": FkCheckOperation,
     "seasonal_baseline": SeasonalBaselineOperation,
     "autocorr": AutocorrOperation,

@@ -1130,6 +1130,30 @@ def apply_benford(df: DataFrame, op) -> DataFrame:
     return benford_audit(df, op.input_column)
 
 
+def apply_media_features(df: DataFrame, op) -> DataFrame:
+    """Binary payloads → fixed-dim feature rows (model.py
+    MediaFeaturesOperation) — dispatches to the image or audio
+    extractor; one Arrow mapInPandas stage either way."""
+    from ..functions.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    require_columns(
+        df, [op.payload_column, op.id_column, op.mime_column], "media_features"
+    )
+    fn = extract_image_features if op.modality == "image" else extract_audio_features
+    return fn(
+        df,
+        payload_col=op.payload_column,
+        id_col=op.id_column,
+        mime_col=op.mime_column,
+        dim=op.dim,
+        decoder=op.decoder,
+        strict=op.strict,
+    )
+
+
 def apply_fk_check(
     df: DataFrame,
     op,

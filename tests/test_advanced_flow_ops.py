@@ -1274,3 +1274,48 @@ def test_experiment_stats_flow_ops(spark):
     with pytest.raises(SpecError, match="cohort"):
         parse_operation({"operation_type": "ks_test", "cohort_column": "c",
                          "cohort_a": "x"})
+
+
+def test_media_features_flow_op(spark):
+    """media_features reaches YAML flows: real decode of built-in
+    payloads (image BMP + audio WAV), the id/mime plumbing, and the
+    spec guards."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from openetlagent_spark.functions.multimodal import (
+        encode_gray_bmp,
+        encode_wav_pcm8,
+    )
+
+    img = encode_gray_bmp(np.full((2, 4), 32, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(img), mime="image/bmp"),
+            Row(media_id=2, payload=bytearray(b""), mime="image/bmp"),
+        ]
+    )
+    op = parse_operation({
+        "operation_type": "media_features", "modality": "image",
+        "decoder": "real", "dim": 16,
+    })
+    rows = {r.media_id: r for r in apply_operations(media, [op], spark).collect()}
+    assert rows[1].n_pixels == 8
+    assert rows[1].feature[2] == 1.0  # all pixels = 32 -> bin 2
+    assert rows[2].n_pixels == 0 and not any(rows[2].feature)
+
+    wav = encode_wav_pcm8(np.full(100, 200, dtype=np.uint8), 8000)
+    audio = spark.createDataFrame(
+        [Row(media_id=7, payload=bytearray(wav), mime="audio/wav")]
+    )
+    aop = parse_operation({
+        "operation_type": "media_features", "modality": "audio",
+        "decoder": "real",
+    })
+    [arow] = apply_operations(audio, [aop], spark).collect()
+    assert arow.n_samples == 100 and arow.feature[200 // 16] == 1.0
+
+    with pytest.raises(SpecError, match="modality"):
+        parse_operation({"operation_type": "media_features", "modality": "video"})
+    with pytest.raises(SpecError, match="strict"):
+        parse_operation({"operation_type": "media_features", "strict": True})
