@@ -11,63 +11,45 @@ HARNESS_QUERIES.update(TPCH_MORE_QUERIES)
 HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# ``queries()`` per round.  Cumulative driver-hash coverage has been
-# complete since r08, so round 11's rotation — like round 10's — is
-# pure staleness refresh, committed as the FIRST action of the round
-# per the standing rotation discipline.  After the r10 front cleared
-# every r04 row and half the r05 block, the oldest remaining driver
-# hashes are exactly the 50-row r05 block (`scripts/staleness.py`):
-# the 25 rows round 10 explicitly deferred (tpch_q9/q11/q13/q15/q16/
-# q17/q20/q21, sorted_layout, partitioned_layout, zorder_layout,
-# quantile_filter, events_sliding, trending_topk, training_shards,
-# tokenize_ids, gopher_rules, stream_sink, stats_corr, skew_report,
-# neardup_store, near_contamination, inverted_index, line_dedup,
-# embedding_stats) plus the 25 displaced mid-r10 by the 35 additions
-# (bpe_encode, bpe_train, ccnet_buckets, curriculum_order,
-# dedup_embedding, dedup_keep_best, dedup_minhash, dedup_ngram,
-# dedup_store, embedding_centroids, global_shuffle, incremental_dedup,
-# incremental_neardup, bm25_topk, asof_tolerance, contamination,
-# pack_sequences, semantic_dedup, bind_salted, window_range_frame,
-# window_distribution, funnel, top_p_sources, event_paths, tpch_q8).
-# That is the whole staleness tail: after this front lands no driver
-# hash is older than r07.  The r09 VERDICT asked for exactly this
-# rotation ("≥45 of the 50 r05 rows"); all 50 fit because round-11
-# additions (if any) displace from the tail only after their own
-# local driver-strength exact check, keeping never-driver-checked at
-# zero while staying ≥45 r05 rows.  Every name below passed a local
-# driver-strength exact check (scripts/check_oracle.py, sf0.01, exact
-# mode, type-sensitive full-precision hash) in this session before
-# this commit: 50/50 ALL PASS.
-_ROUND11_FRONT = [
-    # r05 block, grouped by family for auditability — text/tokenize
-    "gopher_rules", "tokenize_ids", "curriculum_order", "skew_report",
-    "bm25_topk", "inverted_index", "ccnet_buckets",
-    # dedup machinery
-    "dedup_minhash", "dedup_ngram", "dedup_embedding",
-    "dedup_keep_best", "semantic_dedup", "incremental_neardup",
-    "neardup_store", "dedup_store", "incremental_dedup",
-    "line_dedup", "contamination", "near_contamination",
-    # BPE + curation
-    "bpe_train", "bpe_encode", "pack_sequences", "global_shuffle",
-    "training_shards", "quantile_filter",
-    # embeddings
-    "embedding_centroids", "embedding_stats",
-    # streaming/events
-    "trending_topk", "stream_sink", "events_sliding", "funnel",
-    "event_paths", "top_p_sources",
-    # round-11 additions (never-driver-checked stays ZERO: each enters
-    # the front the round it lands, after a local driver-strength exact
-    # check).  jpeg_decode displaced partitioned_layout — its io.py
-    # siblings sorted_layout/zorder_layout stay in the front, and it
-    # heads the r12 staleness backlog.
-    "jpeg_decode",
-    # layouts + misc engine ops
-    "sorted_layout", "zorder_layout",
-    "stats_corr", "bind_salted", "asof_tolerance",
-    "window_range_frame", "window_distribution",
-    # TPC-H r05 tail — the 9 remaining tpch_more rows + q8
-    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q21",
+# ``queries()`` per round.  Round 12's rotation is pure staleness
+# refresh, committed as the FIRST action of the round per the standing
+# rotation discipline (r11 VERDICT task 2 asked for exactly this).
+# After the r11 front cleared the whole r05 block, the staleness tail
+# is 51 rows: `partitioned_layout` (r05 — displaced mid-r11 by
+# jpeg_decode) plus the 50-row r07 band (`scripts/staleness.py`).
+# 51 > 50, so one r07 row must wait: `cms_counts` (the last row in
+# staleness order; its sketch siblings hll_distinct and the rest of
+# analytics.py rotate now) heads the r13 backlog alongside whatever
+# round-12 additions displace from this front's tail.  After this
+# front lands, no driver hash is older than r07, and only cms_counts
+# plus mid-round displacements remain at r07.  Every name below passed
+# a local driver-strength exact check (scripts/check_oracle.py,
+# sf0.01, exact mode, type-sensitive full-precision hash) in this
+# session before this commit: 50/50 ALL PASS.
+_ROUND12_FRONT = [
+    # the lone r05 row — the round's explicit rotation target
+    "partitioned_layout",
+    # r07 band: reference-core operators
+    "switching", "arithmetic", "bind", "fold", "unfold", "filter",
+    "aggregation", "sort_limit", "distinct", "window", "union",
+    "bind_outer", "bind_cross", "bind_semi", "bind_anti",
+    "fold_mixed", "agg_stats", "window_lag", "window_first_last",
+    # r07 band: text / dedup / ANN
+    "text_stats", "text_quality", "fingerprint", "doc_repetition",
+    "dedup_exact", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    # r07 band: streaming parity forms
+    "events_window", "stream_dedup", "stream_enrich", "stream_join",
+    # r07 band: multimodal / engine ops
+    "multimodal_features", "json_extract", "sample_hash",
+    # r07 band: curation / web pipeline
+    "doc_novelty", "source_overlap", "url_normalize", "domain_quota",
+    "image_neardup", "line_dedup_lang", "classifier_score",
+    "domain_rank", "html_extract", "web_pipeline", "token_budget",
+    # r07 band: embeddings / timeseries / gates / sketches
+    "embedding_quantize", "gap_fill", "bloom_gate", "hll_distinct",
+    # round-12 additions enter here as they land (displacing from the
+    # tail above, each after its own local driver-strength check);
+    # every displaced name is documented in this comment when it moves.
 ]
 
 
@@ -88,7 +70,7 @@ def _reorder(front: list[str], mapping: dict) -> dict:
     return {**head, **tail}
 
 
-_reordered = _reorder(_ROUND11_FRONT, HARNESS_QUERIES)
+_reordered = _reorder(_ROUND12_FRONT, HARNESS_QUERIES)
 HARNESS_QUERIES.clear()
 HARNESS_QUERIES.update(_reordered)
 
