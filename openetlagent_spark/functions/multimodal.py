@@ -481,15 +481,18 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
-def _jpeg_huff_lut(bits: bytes, vals: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Canonical huffman table → 16-bit-prefix LUT: (symbol, code length)
-    per 16-bit window; symbol −1 marks an invalid prefix.  One numpy
-    slice-fill per code keeps construction O(codes), not O(65536).
-    Cached by table bytes (read-only consumers): a media corpus repeats
-    the same 2–4 tables across millions of payloads, and rebuilding two
-    64 KiB LUTs per payload was ~25% of a small image's decode cost."""
-    sym = np.full(65536, -1, dtype=np.int16)
-    ln = np.zeros(65536, dtype=np.uint8)
+def _jpeg_huff_lut(bits: bytes, vals: bytes) -> list[int]:
+    """Canonical huffman table → 16-bit-prefix LUT as a plain Python
+    list: entry v is ``(symbol << 5) | code_length`` for the code whose
+    bits prefix the 16-bit window v, or −1 for an invalid prefix.  One
+    numpy slice-fill per code keeps construction O(codes), then a
+    single ``tolist()``: the decode loop is pure-Python int arithmetic,
+    and CPython list indexing beats numpy scalar indexing ~3×.  Cached
+    by table bytes (read-only consumers): a media corpus repeats the
+    same 2–4 tables across millions of payloads, and rebuilding two
+    64 Ki LUTs per payload was ~25% of a small image's decode cost."""
+    sym = np.full(65536, -1, dtype=np.int32)
+    ln = np.zeros(65536, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
@@ -503,63 +506,46 @@ def _jpeg_huff_lut(bits: bytes, vals: bytes) -> tuple[np.ndarray, np.ndarray]:
             code += 1
             k += 1
         code <<= 1
-    return sym, ln
+    return np.where(sym < 0, -1, (sym << 5) | ln).tolist()
+
+
+def _jpeg_windows(data: bytes) -> tuple[list[int], int]:
+    """Entropy segment bytes → (win, n) where ``win[j]`` is the 16-bit
+    big-endian window starting at bit j, for every j in 0..n (n = bit
+    count; windows past the data are padded with 1-bits, mirroring the
+    spec's final-byte padding).  One vectorized unpackbits +
+    sliding-window + packbits pass per segment replaces the per-symbol
+    numpy slice-and-dot peek the r11 decoder did — the entropy decode's
+    inner loop becomes two Python list indexings per huffman symbol."""
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    n = int(bits.shape[0])
+    padded = np.concatenate([bits, np.ones(16, dtype=np.uint8)])
+    sw = np.lib.stride_tricks.sliding_window_view(padded, 16)[: n + 1]
+    win = np.packbits(sw, axis=1).view(">u2").ravel().astype(np.int64)
+    return win.tolist(), n
 
 
 class _JpegBits:
-    """Bit reader over the scan's entropy segments (pre-split at RSTn
-    markers, FF00 already unstuffed, each segment unpacked to a bit
-    array).  Huffman decode peeks 16 bits against the prefix LUT —
-    one numpy dot per symbol instead of per bit."""
+    """Bit cursor over the scan's entropy segments (pre-split at RSTn
+    markers, FF00 already unstuffed, each precomputed to a 16-bit
+    sliding-window list by :func:`_jpeg_windows`).  Block decoders pull
+    (win, n, i) into locals and write ``i`` back; indexing ``win``
+    past n raises IndexError, which the decode wrappers map to None —
+    identical totality to the r11 reader's explicit peek guard."""
 
-    _POW16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
-
-    def __init__(self, segments: list[np.ndarray]) -> None:
+    def __init__(self, segments: list[tuple[list[int], int]]) -> None:
         if not segments:
             raise _JpegErr
         self.segments = segments
         self.si = 0
-        self.bits = segments[0]
-        self.n = int(self.bits.shape[0])
+        self.win, self.n = segments[0]
         self.i = 0
-
-    def peek16(self) -> int:
-        j = self.i
-        chunk = self.bits[j : j + 16]
-        if chunk.shape[0] < 16:
-            if j > self.n:
-                raise _JpegErr
-            # spec pads the final partial byte with 1-bits
-            chunk = np.concatenate(
-                [chunk, np.ones(16 - chunk.shape[0], dtype=np.uint8)]
-            )
-        return int(chunk @ self._POW16)
-
-    def huff(self, lut: tuple[np.ndarray, np.ndarray]) -> int:
-        v = self.peek16()
-        s = int(lut[0][v])
-        if s < 0:
-            raise _JpegErr
-        self.i += int(lut[1][v])
-        if self.i > self.n + 7:  # consumed into nonexistent padding
-            raise _JpegErr
-        return s
-
-    def receive(self, n_bits: int) -> int:
-        if n_bits == 0:
-            return 0
-        j = self.i
-        self.i = j + n_bits
-        if self.i > self.n:  # value bits are real data, never padding
-            raise _JpegErr
-        return int(self.bits[j : self.i] @ self._POW16[16 - n_bits :])
 
     def restart(self) -> None:
         self.si += 1
         if self.si >= len(self.segments):
             raise _JpegErr
-        self.bits = self.segments[self.si]
-        self.n = int(self.bits.shape[0])
+        self.win, self.n = self.segments[self.si]
         self.i = 0
 
 
@@ -572,33 +558,65 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 def _jpeg_decode_block(
     br: _JpegBits,
-    dc_lut: tuple[np.ndarray, np.ndarray],
-    ac_lut: tuple[np.ndarray, np.ndarray],
+    dc_lut: list[int],
+    ac_lut: list[int],
     pred: int,
-) -> tuple[np.ndarray, int]:
-    """One entropy-coded block → (64 quantized coefficients in ZIGZAG
-    order, new DC predictor)."""
-    t = br.huff(dc_lut)
+    kbuf: list[int],
+    vbuf: list[int],
+) -> int:
+    """One entropy-coded block: appends (zigzag position, value) pairs
+    for the nonzero quantized coefficients — DC first, cumulative —
+    to ``kbuf``/``vbuf`` and returns the new DC predictor.  Bounds
+    semantics match the r11 per-symbol reader exactly: a huffman code
+    may consume up to 7 bits into the final byte's 1-padding
+    (``i > n + 7`` raises), value bits must be real data
+    (``i + s > n`` raises), and peeking past bit n raises (IndexError
+    from the window list, caught by the totality wrapper)."""
+    win, n, i = br.win, br.n, br.i
+    p = dc_lut[win[i]]
+    if p < 0:
+        raise _JpegErr
+    i += p & 31
+    if i > n + 7:  # consumed into nonexistent padding
+        raise _JpegErr
+    t = p >> 5
     if t > 15:
         raise _JpegErr
-    dc = pred + _jpeg_extend(br.receive(t), t)
-    coef = np.zeros(64, dtype=np.int64)
-    coef[0] = dc
+    if t:
+        if i + t > n:  # value bits are real data, never padding
+            raise _JpegErr
+        v = win[i] >> (16 - t)
+        i += t
+        pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+    kbuf.append(0)
+    vbuf.append(pred)
     k = 1
     while k < 64:
-        rs = br.huff(ac_lut)
-        r, s = rs >> 4, rs & 15
+        p = ac_lut[win[i]]
+        if p < 0:
+            raise _JpegErr
+        i += p & 31
+        if i > n + 7:
+            raise _JpegErr
+        rs = p >> 5
+        s = rs & 15
         if s == 0:
-            if r == 15:  # ZRL: 16 zeros
+            if rs == 0xF0:  # ZRL: 16 zeros
                 k += 16
                 continue
             break  # EOB
-        k += r
+        k += rs >> 4
         if k > 63:
             raise _JpegErr
-        coef[k] = _jpeg_extend(br.receive(s), s)
+        if i + s > n:
+            raise _JpegErr
+        v = win[i] >> (16 - s)
+        i += s
+        kbuf.append(k)
+        vbuf.append(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
         k += 1
-    return coef, dc
+    br.i = i
+    return pred
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray | None:
@@ -712,6 +730,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             i += seg_len
         if scan_start < 0 or not comps:
             return None
+        if len(comps) == 1:
+            # A single-component scan is NON-interleaved per the spec
+            # (ITU-T T.81 §A.2.2): one 8×8 data unit per MCU in raster
+            # order with ceil(w/8)×ceil(h/8) blocks, the declared
+            # sampling factors IGNORED — some transcoders emit
+            # grayscale with hs/vs=2 and the r11 decoder scrambled
+            # those by tiling hs×vs blocks per MCU.  Restart-interval
+            # counting follows the one-block MCUs.
+            comps[0]["hs"] = comps[0]["vs"] = 1
         hmax = max(c["hs"] for c in comps)
         vmax = max(c["vs"] for c in comps)
         luma = comps[scan[0][0]] if len(comps) == 1 else comps[0]
@@ -720,58 +747,88 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
         for c in comps:
             if c["tq"] not in qt:
                 return None
-        # split entropy data at RSTn, unstuff FF00, unpack to bits
-        segs: list[bytearray] = [bytearray()]
-        j = scan_start
-        while j < n:
-            b = payload[j]
-            if b == 0xFF:
-                nxt = payload[j + 1] if j + 1 < n else -1
-                if nxt == 0x00:
-                    segs[-1].append(0xFF)
-                    j += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segs.append(bytearray())
-                    j += 2
-                    continue
-                break  # EOI or any other marker ends the scan
-            segs[-1].append(b)
-            j += 1
-        br = _JpegBits(
-            [np.unpackbits(np.frombuffer(bytes(s), dtype=np.uint8)) for s in segs]
-        )
+        # Split entropy data at RSTn and unstuff FF00 — vectorized:
+        # classify every 0xFF by its successor in one numpy pass
+        # (stuffing / restart / scan-terminating marker, an FF as the
+        # final byte terminating like the r11 reader's nxt=-1), then
+        # slice segments between restarts and np.delete the stuffed
+        # zeros.  The r11 per-byte Python loop here was the single
+        # largest line in a small image's decode after the entropy
+        # stage itself.  Pairs never straddle a cut: a restart position
+        # is an FF byte, and the second byte of any pair is 00/D0-D7.
+        data = np.frombuffer(payload, dtype=np.uint8)[scan_start:]
+        nd = int(data.shape[0])
+        ff = np.flatnonzero(data == 0xFF)
+        if ff.size:
+            nxt = np.full(ff.shape, -1, dtype=np.int32)
+            has_next = ff + 1 < nd
+            nxt[has_next] = data[ff[has_next] + 1]
+            is_stuff = nxt == 0x00
+            is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+            term = np.flatnonzero(~(is_stuff | is_rst))
+            end = int(ff[term[0]]) if term.size else nd
+            rst_pos = ff[is_rst & (ff < end)]
+            stuff_pos = ff[is_stuff & (ff < end)]
+        else:
+            end = nd
+            rst_pos = stuff_pos = np.empty(0, dtype=np.int64)
+        seg_starts = np.concatenate([[0], rst_pos + 2]).tolist()
+        seg_ends = np.concatenate([rst_pos, [end]]).tolist()
+        segs: list[bytes] = []
+        for s0, e0 in zip(seg_starts, seg_ends):
+            chunk = data[s0:e0]
+            sp = stuff_pos[(stuff_pos >= s0) & (stuff_pos < e0)] - s0
+            if sp.size:
+                chunk = np.delete(chunk, sp + 1)
+            segs.append(chunk.tobytes())
+        br = _JpegBits([_jpeg_windows(s) for s in segs])
         mcx = -(-width // (8 * hmax))
         mcy = -(-height // (8 * vmax))
         li = 0 if len(comps) > 1 else scan[0][0]
-        plane = np.zeros((mcy * luma["vs"] * 8, mcx * luma["hs"] * 8), dtype=np.uint8)
+        lvs, lhs = luma["vs"], luma["hs"]
         lq = qt[luma["tq"]]
         preds = [0] * len(comps)
         a = _JPEG_A
-        lum_coefs: list[np.ndarray] = []
-        lum_pos: list[tuple[int, int]] = []
+        # LUTs are constant per scan — resolve once, not per MCU
+        scan_luts = []
+        for ci, dci, aci in scan:
+            dl, al = huff.get((0, dci)), huff.get((1, aci))
+            if dl is None or al is None:
+                return None
+            scan_luts.append((ci, comps[ci], dl, al))
+        # Sparse coefficient pairs (zigzag pos, value) gathered across
+        # the whole scan plus a nonzero-count per luma block, scattered
+        # in ONE fancy-index assignment afterwards — the per-block
+        # np.zeros(64) + stack the r11 decoder did was ~30% of the
+        # entropy stage.  Luma blocks land in deterministic
+        # (my, mx, by, bx) order, so pixel placement is a single
+        # 6-D reshape/transpose instead of an 8×8 slice store per block.
+        kbuf: list[int] = []
+        vbuf: list[int] = []
+        counts: list[int] = []
+        scratch_k: list[int] = []
+        scratch_v: list[int] = []
         mcu = 0
-        for my in range(mcy):
-            for mx in range(mcx):
+        for _my in range(mcy):
+            for _mx in range(mcx):
                 if ri and mcu and mcu % ri == 0:
                     br.restart()
                     preds = [0] * len(comps)
                 mcu += 1
-                for ci, dci, aci in scan:
-                    c = comps[ci]
-                    dl, al = huff.get((0, dci)), huff.get((1, aci))
-                    if dl is None or al is None:
-                        return None
-                    for by in range(c["vs"]):
-                        for bx in range(c["hs"]):
-                            coef, preds[ci] = _jpeg_decode_block(
-                                br, dl, al, preds[ci]
+                for ci, c, dl, al in scan_luts:
+                    if ci == li:
+                        for _ in range(lvs * lhs):
+                            m0 = len(kbuf)
+                            preds[ci] = _jpeg_decode_block(
+                                br, dl, al, preds[ci], kbuf, vbuf
                             )
-                            if ci != li:
-                                continue  # chroma: bitstream only
-                            lum_coefs.append(coef)
-                            lum_pos.append(
-                                ((my * c["vs"] + by) * 8, (mx * c["hs"] + bx) * 8)
+                            counts.append(len(kbuf) - m0)
+                    else:  # chroma: bitstream advance only
+                        scratch_k.clear()
+                        scratch_v.clear()
+                        for _ in range(c["vs"] * c["hs"]):
+                            preds[ci] = _jpeg_decode_block(
+                                br, dl, al, preds[ci], scratch_k, scratch_v
                             )
         # Batched dequant + inverse zigzag + iDCT over ALL luma blocks:
         # one stacked matmul chain instead of per-block zeros/matmul/
@@ -779,14 +836,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
         # broadcasts Aᵀ·F·A per slice with the same 8-dot kernels as the
         # per-block form, so pixels are bit-identical (the AC tests
         # assert exact equality against the per-block reference math).
-        if lum_coefs:
-            zz = np.stack(lum_coefs)  # (n, 64) zigzag-order quantized
-            blk = np.zeros((len(lum_coefs), 64), dtype=np.float64)
-            blk[:, _JPEG_ZZ] = zz * lq
-            pix = np.matmul(a.T, np.matmul(blk.reshape(-1, 8, 8), a))
-            out = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
-            for i, (y0, x0) in enumerate(lum_pos):
-                plane[y0 : y0 + 8, x0 : x0 + 8] = out[i]
+        nb = len(counts)  # == mcy * mcx * lvs * lhs
+        zz = np.zeros((nb, 64), dtype=np.int64)
+        zz[np.repeat(np.arange(nb), counts), kbuf] = vbuf  # zigzag order
+        blk = np.zeros((nb, 64), dtype=np.float64)
+        blk[:, _JPEG_ZZ] = zz * lq
+        pix = np.matmul(a.T, np.matmul(blk.reshape(-1, 8, 8), a))
+        out = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        plane = (
+            out.reshape(mcy, mcx, lvs, lhs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcy * lvs * 8, mcx * lhs * 8)
+        )
         return plane[:height, :width].copy()
     except Exception:
         return None
@@ -1884,7 +1945,14 @@ def image_features_jpeg_oracle_sql(
     rows · width_blocks · 64`` real pixels.  ``n_bytes`` is NOT emitted:
     huffman scan length has no SQL closed form (the one column the
     lossless-container oracles could derive that entropy coding
-    can't)."""
+    can't).
+
+    The ASCII restriction is GUARDED, not assumed: the synth encodes
+    UTF-8 BYTES while this oracle counts CHARACTERS, so the ``d`` CTE
+    raises a DuckDB ``error()`` on the first row where
+    ``octet_length(encode(text)) != length(text)`` — a future
+    non-ASCII corpus fails loudly with a named cause instead of
+    silently hash-mismatching (r11 ADVICE)."""
     bin_width = 256 // dim
     bins = ", ".join(
         f"SUM(CASE WHEN ascii(ch) // {bin_width} = {b} THEN 1 ELSE 0 END) AS c{b}"
@@ -1902,7 +1970,10 @@ def image_features_jpeg_oracle_sql(
     feature = "[" + ", ".join(terms) + "]"
     return (
         f"(WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
-        f"'image/jpeg' AS mime, COALESCE(length(text), 0) AS len, "
+        f"'image/jpeg' AS mime, "
+        f"CASE WHEN COALESCE(octet_length(encode(text)), 0) = COALESCE(length(text), 0) "
+        f"THEN COALESCE(length(text), 0) "
+        f"ELSE CAST(error('jpeg oracle requires ASCII text: synth encodes UTF-8 bytes, oracle counts chars') AS BIGINT) END AS len, "
         f"CAST(CEIL(COALESCE(length(text), 0) / {width_blocks}.0) AS BIGINT) AS rows_, "
         f"text FROM {table} WHERE {doc_pred}), "
         f"chars AS (SELECT media_id, unnest(string_split_regex(text, '')) AS ch "
