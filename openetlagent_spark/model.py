@@ -2205,6 +2205,117 @@ class MediaFeaturesOperation(Operation):
 
 
 @dataclass
+class AnnStoreBuildOperation(Operation):
+    """BUILD a persisted ANN index from the current frame as a flow op
+    (functions/similarity.py build_ann_store / functions/pq.py
+    build_pq_store): the CURRENT frame is the corpus; ``store_path``
+    receives the parquet store (centroids + meta + cid-partitioned
+    inverted lists; ``kind='pq'`` adds codebooks + a refine layer).
+    REPLACES the frame with the build manifest — one row per inverted
+    list, ``(cid, n_vectors)`` ordered by cid — read back from the
+    written store, so the sink records what actually landed on disk.
+    Rebuilding from the same corpus reproduces the same index
+    bit-for-bit (hash-sampled integer Lloyd's)."""
+
+    store_path: str = ""
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    kind: str = "ivf"
+    n_centroids: int = 16
+    iters: int = 2
+    sample_size: int = 2048
+    scale_bits: int = 20
+    m: int = 8
+    k_codes: int = 16
+    operation_type: str = "ann_store_build"
+
+    def __post_init__(self) -> None:
+        if not self.store_path:
+            raise SpecError("ann_store_build requires store_path")
+        if self.kind not in ("ivf", "pq"):
+            raise SpecError(
+                f"ann_store_build kind must be ivf/pq, got {self.kind!r}"
+            )
+        if not self.id_column or not self.vector_column:
+            raise SpecError("ann_store_build requires id_column and vector_column")
+        for fld in ("n_centroids", "iters", "sample_size", "scale_bits"):
+            if not isinstance(getattr(self, fld), int) or getattr(self, fld) < 1:
+                raise SpecError(
+                    f"ann_store_build {fld} must be a positive int, "
+                    f"got {getattr(self, fld)!r}"
+                )
+        if self.kind == "pq":
+            # m=0 would divide the vector into no subspaces (ZeroDivision
+            # deep in the codebook fit); k_codes<2 fits a degenerate
+            # single-word codebook that quantizes everything to one point
+            if not isinstance(self.m, int) or self.m < 1:
+                raise SpecError(f"ann_store_build m must be >= 1, got {self.m!r}")
+            if not isinstance(self.k_codes, int) or self.k_codes < 2:
+                raise SpecError(
+                    f"ann_store_build k_codes must be >= 2, got {self.k_codes!r}"
+                )
+
+
+@dataclass
+class AnnStoreAppendOperation(Operation):
+    """Incrementally ADD the current frame to a persisted ANN store as
+    a flow op (functions/similarity.py append_to_ann_store): each
+    vector is assigned to its nearest EXISTING centroid (the coarse
+    quantizer is immutable after build) and appended into that cid's
+    list directory — O(|batch|) regardless of index size; the existing
+    lists are never read or rewritten.  IVF-PQ stores are refused (the
+    shared header gate — their lists hold codes).  At-most-once:
+    appending the same batch twice duplicates rows.  REPLACES the
+    frame with the store manifest ``(cid, n_vectors)`` AFTER the
+    append — the same read-back shape as ann_store_build."""
+
+    store_path: str = ""
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    operation_type: str = "ann_store_append"
+
+    def __post_init__(self) -> None:
+        if not self.store_path:
+            raise SpecError("ann_store_append requires store_path")
+        if not self.id_column or not self.vector_column:
+            raise SpecError("ann_store_append requires id_column and vector_column")
+
+
+@dataclass
+class AnnStoreQueryOperation(Operation):
+    """SERVE a query batch against a persisted ANN store as a flow op
+    (functions/similarity.py ann_from_store / functions/pq.py
+    ann_pq_from_store — the store kind is auto-detected from its meta
+    table, so one op serves both layouts): the CURRENT frame is the
+    query batch; only the ``nprobe`` probed inverted-list DIRECTORIES
+    are read (partition pruning).  REPLACES the frame with
+    ``(query_id, neighbor_id, rank, cosine)`` — exact cosine of every
+    emitted neighbor, self-matches excluded.  ``refine_factor`` only
+    applies to PQ stores (exact re-rank width)."""
+
+    store_path: str = ""
+    id_column: str = "vec_id"
+    vector_column: str = "embedding"
+    k: int = 10
+    nprobe: int = 4
+    refine_factor: int = 4
+    scale_bits: int = 20
+    operation_type: str = "ann_store_query"
+
+    def __post_init__(self) -> None:
+        if not self.store_path:
+            raise SpecError("ann_store_query requires store_path")
+        if not self.id_column or not self.vector_column:
+            raise SpecError("ann_store_query requires id_column and vector_column")
+        for fld in ("k", "nprobe", "refine_factor", "scale_bits"):
+            if not isinstance(getattr(self, fld), int) or getattr(self, fld) < 1:
+                raise SpecError(
+                    f"ann_store_query {fld} must be a positive int, "
+                    f"got {getattr(self, fld)!r}"
+                )
+
+
+@dataclass
 class FkCheckOperation(Operation):
     """Foreign-key orphan audit as a flow op (functions/integrity.py
     fk_orphans): the CURRENT frame is the CHILD; the parent resolves
@@ -2401,6 +2512,9 @@ OPERATION_TYPES: dict[str, type[Operation]] = {
     "tokenize_ids": TokenizeIdsOperation,
     "curriculum_order": CurriculumOrderOperation,
     "store_gate": StoreGateOperation,
+    "ann_store_build": AnnStoreBuildOperation,
+    "ann_store_append": AnnStoreAppendOperation,
+    "ann_store_query": AnnStoreQueryOperation,
     "gap_fill": GapFillOperation,
     "bloom_gate": BloomGateOperation,
     "hll_distinct": HllDistinctOperation,

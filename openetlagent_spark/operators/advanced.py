@@ -1154,6 +1154,88 @@ def apply_media_features(df: DataFrame, op) -> DataFrame:
     )
 
 
+def _ann_store_manifest(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read back a store's inverted lists as the (cid, n_vectors)
+    manifest both write-side ANN flow ops return: a column-pruned
+    count-per-partition scan (parquet answers it from row-group
+    metadata), ordered by cid so the sink is deterministic."""
+    return (
+        spark.read.parquet(f"{store_path}/lists")
+        .groupBy(F.col("cid").cast("int").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cid")
+    )
+
+
+def apply_ann_store_build(
+    df: DataFrame, op, spark: SparkSession
+) -> DataFrame:
+    """Corpus frame → persisted ANN store at op.store_path → build
+    manifest (model.py AnnStoreBuildOperation)."""
+    require_columns(df, [op.id_column, op.vector_column], "ann_store_build")
+    if op.kind == "pq":
+        from ..functions.pq import build_pq_store
+
+        build_pq_store(
+            df, op.store_path, op.id_column, op.vector_column,
+            n_centroids=op.n_centroids, iters=op.iters,
+            sample_size=op.sample_size, scale_bits=op.scale_bits,
+            m=op.m, k_codes=op.k_codes,
+        )
+    else:
+        from ..functions.similarity import build_ann_store
+
+        build_ann_store(
+            df, op.store_path, op.id_column, op.vector_column,
+            n_centroids=op.n_centroids, iters=op.iters,
+            sample_size=op.sample_size, scale_bits=op.scale_bits,
+        )
+    return _ann_store_manifest(spark, op.store_path)
+
+
+def apply_ann_store_append(
+    df: DataFrame, op, spark: SparkSession
+) -> DataFrame:
+    """Batch frame → appended into the store's lists → post-append
+    manifest (model.py AnnStoreAppendOperation)."""
+    from ..functions.similarity import append_to_ann_store
+
+    require_columns(df, [op.id_column, op.vector_column], "ann_store_append")
+    append_to_ann_store(df, op.store_path, op.id_column, op.vector_column)
+    return _ann_store_manifest(spark, op.store_path)
+
+
+def apply_ann_store_query(
+    df: DataFrame, op, spark: SparkSession
+) -> DataFrame:
+    """Query frame → (query_id, neighbor_id, rank, cosine) served from
+    the persisted store (model.py AnnStoreQueryOperation).  Store kind
+    is detected from the meta table — PQ stores declare m/k_codes —
+    mirroring the serve functions' own refusal contracts."""
+    require_columns(df, [op.id_column, op.vector_column], "ann_store_query")
+    meta_rows = spark.read.parquet(f"{op.store_path}/meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"ann_store_query: {op.store_path} has a missing/ambiguous meta table"
+        )
+    meta = meta_rows[0].asDict()
+    if {"m", "k_codes"} & set(meta):
+        from ..functions.pq import ann_pq_from_store
+
+        return ann_pq_from_store(
+            spark, op.store_path, df, k=op.k, nprobe=op.nprobe,
+            refine_factor=op.refine_factor, id_col=op.id_column,
+            vec_col=op.vector_column, scale_bits=op.scale_bits,
+        )
+    from ..functions.similarity import ann_from_store
+
+    return ann_from_store(
+        spark, op.store_path, df, k=op.k, nprobe=op.nprobe,
+        id_col=op.id_column, vec_col=op.vector_column,
+        scale_bits=op.scale_bits,
+    )
+
+
 def apply_fk_check(
     df: DataFrame,
     op,

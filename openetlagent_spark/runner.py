@@ -27,6 +27,9 @@ from .model import (
     SqlTransformOperation,
     MergeOperation,
     AssignationOperation,
+    AnnStoreAppendOperation,
+    AnnStoreBuildOperation,
+    AnnStoreQueryOperation,
     BindOperation,
     FileDefinition,
     BloomGateOperation,
@@ -46,6 +49,9 @@ from .model import (
 from .operators import (
     OPERATION_DISPATCHER,
     apply_sql_transform,
+    apply_ann_store_append,
+    apply_ann_store_build,
+    apply_ann_store_query,
     apply_asof_join,
     apply_bind,
     apply_bloom_gate,
@@ -75,6 +81,7 @@ _TEMP_COLUMN = re.compile(r"^_.+_$")
 RUNNER_HANDLED_OPS = frozenset({
     "bind", "union", "asof_join", "range_join", "similarity",
     "contamination", "incremental_dedup", "merge", "store_gate",
+    "ann_store_build", "ann_store_append", "ann_store_query",
     "snapshot_diff", "fk_check",
     "bloom_gate", "cms_counts", "sql_transform",
 })
@@ -124,6 +131,12 @@ def apply_operations(
             current = apply_incremental_dedup(current, op, spark, inputs)
         elif isinstance(op, StoreGateOperation):
             current = apply_store_gate(current, op, spark)
+        elif isinstance(op, AnnStoreBuildOperation):
+            current = apply_ann_store_build(current, op, spark)
+        elif isinstance(op, AnnStoreAppendOperation):
+            current = apply_ann_store_append(current, op, spark)
+        elif isinstance(op, AnnStoreQueryOperation):
+            current = apply_ann_store_query(current, op, spark)
         elif isinstance(op, SqlTransformOperation):
             current = apply_sql_transform(current, op, spark, inputs)
         elif isinstance(op, UnionOperation):
