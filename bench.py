@@ -234,6 +234,7 @@ HEADLINE = [
     "text_scrub",
     "image_decode",
     "jpeg_decode",
+    "jpeg_progressive",
     "sql_join",
     "ann_store_append",
     "pq_codebooks",

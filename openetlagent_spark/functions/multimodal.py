@@ -397,10 +397,14 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
 # output is the LUMA PLANE (the first SOF component) directly — JPEG
 # stores luma natively, so no chroma upsample/convert is needed for
 # intensity features; chroma blocks are still entropy-decoded (the
-# bitstream interleaves them) but skip the iDCT.  Progressive (SOF2),
-# arithmetic-coded, 12-bit, and hierarchical files return None (Pillow
-# fallback when importable).  Totality contract as the other codecs:
-# hostile/truncated bytes → None, never a raised task error.
+# bitstream interleaves them) but skip the iDCT.  PROGRESSIVE (SOF2)
+# files — the dominant real-web variant — decode through the dedicated
+# multi-scan decoder (_decode_jpeg_progressive: full Annex G spectral
+# selection + successive approximation, EOBn run lengths, refinement
+# scans, restarts).  Arithmetic-coded, 12-bit, lossless, and
+# hierarchical files return None (Pillow fallback when importable).
+# Totality contract as the other codecs: hostile/truncated bytes →
+# None, never a raised task error.
 #
 # The matching encoder emits FLAT-BLOCK grayscale baseline JFIF: every
 # 8×8 block is a single constant value, i.e. DC-only coefficient blocks
@@ -619,6 +623,48 @@ def _jpeg_decode_block(
     return pred
 
 
+def _jpeg_entropy_segments(
+    payload: bytes, scan_start: int
+) -> tuple[list[bytes], int]:
+    """Split one scan's entropy data at RSTn and unstuff FF00 —
+    vectorized: classify every 0xFF by its successor in one numpy pass
+    (stuffing / restart / scan-terminating marker, an FF as the final
+    byte terminating like a reader's nxt=-1), then slice segments
+    between restarts and np.delete the stuffed zeros.  The r11 per-byte
+    Python loop here was the single largest line in a small image's
+    decode after the entropy stage itself.  Pairs never straddle a cut:
+    a restart position is an FF byte, and the second byte of any pair
+    is 00/D0-D7.  Returns (segments, absolute position of the
+    terminating 0xFF — or len(payload) if the data just ends), so the
+    progressive decoder can resume its marker walk after each scan."""
+    data = np.frombuffer(payload, dtype=np.uint8)[scan_start:]
+    nd = int(data.shape[0])
+    ff = np.flatnonzero(data == 0xFF)
+    if ff.size:
+        nxt = np.full(ff.shape, -1, dtype=np.int32)
+        has_next = ff + 1 < nd
+        nxt[has_next] = data[ff[has_next] + 1]
+        is_stuff = nxt == 0x00
+        is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+        term = np.flatnonzero(~(is_stuff | is_rst))
+        end = int(ff[term[0]]) if term.size else nd
+        rst_pos = ff[is_rst & (ff < end)]
+        stuff_pos = ff[is_stuff & (ff < end)]
+    else:
+        end = nd
+        rst_pos = stuff_pos = np.empty(0, dtype=np.int64)
+    seg_starts = np.concatenate([[0], rst_pos + 2]).tolist()
+    seg_ends = np.concatenate([rst_pos, [end]]).tolist()
+    segs: list[bytes] = []
+    for s0, e0 in zip(seg_starts, seg_ends):
+        chunk = data[s0:e0]
+        sp = stuff_pos[(stuff_pos >= s0) & (stuff_pos < e0)] - s0
+        if sp.size:
+            chunk = np.delete(chunk, sp + 1)
+        segs.append(chunk.tobytes())
+    return segs, scan_start + end
+
+
 def _decode_jpeg(payload: bytes) -> np.ndarray | None:
     """Baseline JFIF → (h, w) uint8 grayscale (the luma plane), or None
     if the payload is not a decodable baseline JPEG.  See the section
@@ -692,8 +738,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
                 ]
                 if any(c["hs"] == 0 or c["vs"] == 0 for c in comps):
                     return None
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / lossless / arithmetic / hierarchical
+            elif m == 0xC2:  # progressive DCT: the multi-scan decoder
+                return _decode_jpeg_progressive(payload)
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless / arithmetic / hierarchical
             elif m == 0xC4:  # DHT
                 p = 0
                 while p + 17 <= len(seg):
@@ -747,40 +795,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
         for c in comps:
             if c["tq"] not in qt:
                 return None
-        # Split entropy data at RSTn and unstuff FF00 — vectorized:
-        # classify every 0xFF by its successor in one numpy pass
-        # (stuffing / restart / scan-terminating marker, an FF as the
-        # final byte terminating like the r11 reader's nxt=-1), then
-        # slice segments between restarts and np.delete the stuffed
-        # zeros.  The r11 per-byte Python loop here was the single
-        # largest line in a small image's decode after the entropy
-        # stage itself.  Pairs never straddle a cut: a restart position
-        # is an FF byte, and the second byte of any pair is 00/D0-D7.
-        data = np.frombuffer(payload, dtype=np.uint8)[scan_start:]
-        nd = int(data.shape[0])
-        ff = np.flatnonzero(data == 0xFF)
-        if ff.size:
-            nxt = np.full(ff.shape, -1, dtype=np.int32)
-            has_next = ff + 1 < nd
-            nxt[has_next] = data[ff[has_next] + 1]
-            is_stuff = nxt == 0x00
-            is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-            term = np.flatnonzero(~(is_stuff | is_rst))
-            end = int(ff[term[0]]) if term.size else nd
-            rst_pos = ff[is_rst & (ff < end)]
-            stuff_pos = ff[is_stuff & (ff < end)]
-        else:
-            end = nd
-            rst_pos = stuff_pos = np.empty(0, dtype=np.int64)
-        seg_starts = np.concatenate([[0], rst_pos + 2]).tolist()
-        seg_ends = np.concatenate([rst_pos, [end]]).tolist()
-        segs: list[bytes] = []
-        for s0, e0 in zip(seg_starts, seg_ends):
-            chunk = data[s0:e0]
-            sp = stuff_pos[(stuff_pos >= s0) & (stuff_pos < e0)] - s0
-            if sp.size:
-                chunk = np.delete(chunk, sp + 1)
-            segs.append(chunk.tobytes())
+        segs, _scan_end = _jpeg_entropy_segments(payload, scan_start)
         br = _JpegBits([_jpeg_windows(s) for s in segs])
         mcx = -(-width // (8 * hmax))
         mcy = -(-height // (8 * vmax))
@@ -851,6 +866,402 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
         return plane[:height, :width].copy()
     except Exception:
         return None
+
+
+def _pg_huff(br: _JpegBits, lut: list[int]) -> int:
+    """One huffman symbol off the progressive scan cursor (same bounds
+    semantics as the baseline block decoder: a code may consume up to
+    7 bits into the final byte's 1-padding)."""
+    win, n, i = br.win, br.n, br.i
+    p = lut[win[i]]
+    if p < 0:
+        raise _JpegErr
+    i += p & 31
+    if i > n + 7:
+        raise _JpegErr
+    br.i = i
+    return p >> 5
+
+
+def _pg_bits(br: _JpegBits, t: int) -> int:
+    """t raw bits (t ≤ 16) — value bits are real data, never padding."""
+    if t == 0:
+        return 0
+    win, n, i = br.win, br.n, br.i
+    if i + t > n:
+        raise _JpegErr
+    br.i = i + t
+    return win[i] >> (16 - t)
+
+
+def _prog_scan_units(
+    scan_sel: list[tuple[int, int, int]],
+    comps: list[dict],
+    mcx: int,
+    mcy: int,
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+) -> list[list[tuple[int, int]]]:
+    """The (component index, block id) schedule for one progressive
+    scan, one inner list per MCU — interleaved scans tile hs×vs blocks
+    per component per MCU on the padded grid; a single-component scan
+    is non-interleaved (ITU-T T.81 §A.2.2): one data unit per MCU in
+    raster order over the component's ceil(comp_w/8) × ceil(comp_h/8)
+    UNPADDED grid, addressed with the padded stride so every scan type
+    shares one coefficient store layout."""
+    units: list[list[tuple[int, int]]] = []
+    if len(scan_sel) > 1:
+        for my in range(mcy):
+            for mx in range(mcx):
+                u = []
+                for ci, _dci, _aci in scan_sel:
+                    c = comps[ci]
+                    hs, vs = c["hs"], c["vs"]
+                    stride = mcx * hs
+                    for by in range(vs):
+                        for bx in range(hs):
+                            u.append(
+                                (ci, (my * vs + by) * stride + mx * hs + bx)
+                            )
+                units.append(u)
+    else:
+        ci = scan_sel[0][0]
+        c = comps[ci]
+        hs, vs = c["hs"], c["vs"]
+        stride = mcx * hs
+        cw = (-(-width * hs // hmax) + 7) // 8  # ceil(ceil(w·hs/hmax)/8)
+        ch = (-(-height * vs // vmax) + 7) // 8
+        for by in range(ch):
+            for bx in range(cw):
+                units.append([(ci, by * stride + bx)])
+    return units
+
+
+def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
+    """Progressive JFIF (SOF2) → (h, w) uint8 grayscale luma plane, or
+    None if undecodable.  Full ITU-T T.81 Annex G huffman progressive
+    support: spectral selection (per-band AC scans, EOBn run lengths)
+    AND successive approximation (DC/AC first + refinement scans),
+    interleaved or single-component DC scans, DRI/RSTn inside every
+    scan, tables redefinable between scans.  Coefficients accumulate
+    across scans in per-component zigzag-order stores; the luma store
+    then runs the same batched dequant + iDCT + reshape pipeline as
+    the baseline decoder, so a progressive re-encode of the same
+    quantized coefficients decodes to bit-identical pixels (the
+    property tests pin exactly that against `_decode_jpeg` on
+    `_encode_jpeg_coeffs` output).  Totality contract unchanged:
+    hostile/truncated bytes → None, never a raised task error."""
+    try:
+        n = len(payload)
+        if n < 4 or payload[0:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], list[int]] = {}
+        comps: list[dict] = []
+        stores: list[list[int]] = []
+        height = width = 0
+        mcx = mcy = hmax = vmax = 0
+        ri = 0
+        nscans = 0
+        i = 2
+        while i + 1 < n:
+            if payload[i] != 0xFF:
+                return None
+            while i + 1 < n and payload[i + 1] == 0xFF:  # fill bytes
+                i += 1
+            m = payload[i + 1]
+            i += 2
+            if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                continue
+            if m == 0xD9:  # EOI
+                break
+            if i + 2 > n:
+                return None
+            seg_len = int.from_bytes(payload[i : i + 2], "big")
+            if seg_len < 2 or i + seg_len > n:
+                return None
+            seg = payload[i + 2 : i + seg_len]
+            if m == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    if pq == 0:
+                        if p + 64 > len(seg):
+                            return None
+                        qt[tq] = np.frombuffer(
+                            seg[p : p + 64], dtype=np.uint8
+                        ).astype(np.int64)
+                        p += 64
+                    elif pq == 1:
+                        if p + 128 > len(seg):
+                            return None
+                        qt[tq] = np.frombuffer(
+                            seg[p : p + 128], dtype=">u2"
+                        ).astype(np.int64)
+                        p += 128
+                    else:
+                        return None
+            elif m == 0xC2:  # SOF2
+                if comps:
+                    return None  # second frame header
+                if len(seg) < 6 or seg[0] != 8:
+                    return None
+                height = int.from_bytes(seg[1:3], "big")
+                width = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if height <= 0 or width <= 0 or nc == 0 or len(seg) < 6 + 3 * nc:
+                    return None
+                comps = [
+                    {
+                        "id": seg[6 + 3 * c],
+                        "hs": seg[7 + 3 * c] >> 4,
+                        "vs": seg[7 + 3 * c] & 15,
+                        "tq": seg[8 + 3 * c],
+                    }
+                    for c in range(nc)
+                ]
+                if any(c["hs"] == 0 or c["vs"] == 0 for c in comps):
+                    return None
+                hmax = max(c["hs"] for c in comps)
+                vmax = max(c["vs"] for c in comps)
+                mcx = -(-width // (8 * hmax))
+                mcy = -(-height // (8 * vmax))
+                stores = [
+                    [0] * (mcy * c["vs"] * mcx * c["hs"] * 64) for c in comps
+                ]
+            elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # only SOF2 belongs in this decoder
+            elif m == 0xC4:  # DHT — redefinable between scans
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    bits = seg[p + 1 : p + 17]
+                    cnt = sum(bits)
+                    if p + 17 + cnt > len(seg):
+                        return None
+                    huff[(tc, th)] = _jpeg_huff_lut(
+                        bits, seg[p + 17 : p + 17 + cnt]
+                    )
+                    p += 17 + cnt
+            elif m == 0xDD:  # DRI — redefinable between scans
+                if len(seg) < 2:
+                    return None
+                ri = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:  # SOS: decode this scan in place
+                if not comps:
+                    return None
+                ns = seg[0]
+                if ns < 1 or ns > len(comps) or len(seg) < 1 + 2 * ns + 3:
+                    return None
+                by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+                scan_sel: list[tuple[int, int, int]] = []
+                for s_ in range(ns):
+                    cs = seg[1 + 2 * s_]
+                    tdta = seg[2 + 2 * s_]
+                    if cs not in by_id:
+                        return None
+                    scan_sel.append((by_id[cs], tdta >> 4, tdta & 15))
+                ss = seg[1 + 2 * ns]
+                se = seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 15
+                if ss > 63 or se > 63 or ah > 13 or al > 13:
+                    return None
+                if ss == 0:
+                    if se != 0:
+                        return None  # DC scans cover exactly [0, 0]
+                else:
+                    if se < ss or ns != 1:
+                        return None  # AC scans are single-component
+                segs, scan_end = _jpeg_entropy_segments(payload, i + seg_len)
+                br = _JpegBits([_jpeg_windows(s) for s in segs])
+                _decode_prog_scan(
+                    br, scan_sel, comps, stores, huff, ss, se, ah, al, ri,
+                    mcx, mcy, hmax, vmax, width, height,
+                )
+                nscans += 1
+                i = scan_end
+                continue
+            i += seg_len
+        if not comps or nscans == 0:
+            return None
+        luma = comps[0]
+        if len(comps) > 1 and (luma["hs"] != hmax or luma["vs"] != vmax):
+            return None  # luma must be full-resolution to BE the gray plane
+        if luma["tq"] not in qt:
+            return None
+        lq = qt[luma["tq"]]
+        lvs, lhs = luma["vs"], luma["hs"]
+        rows_b, cols_b = mcy * lvs, mcx * lhs
+        nb = rows_b * cols_b
+        zz = np.array(stores[0], dtype=np.int64).reshape(nb, 64)
+        a = _JPEG_A
+        blk = np.zeros((nb, 64), dtype=np.float64)
+        blk[:, _JPEG_ZZ] = zz * lq
+        pix = np.matmul(a.T, np.matmul(blk.reshape(-1, 8, 8), a))
+        out = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        # the store is in RASTER block order (bid = row·stride + col),
+        # unlike the baseline decoder's MCU-tile emission order — the
+        # assembly transpose differs accordingly
+        plane = (
+            out.reshape(rows_b, cols_b, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows_b * 8, cols_b * 8)
+        )
+        return plane[:height, :width].copy()
+    except Exception:
+        return None
+
+
+def _decode_prog_scan(
+    br: _JpegBits,
+    scan_sel: list[tuple[int, int, int]],
+    comps: list[dict],
+    stores: list[list[int]],
+    huff: dict[tuple[int, int], list[int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    ri: int,
+    mcx: int,
+    mcy: int,
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+) -> None:
+    """Apply ONE progressive scan to the coefficient stores.  The four
+    Annex G decode procedures, mirrored from the spec (and libjpeg's
+    jdphuff structure, reimplemented): DC first (G.2 — diffs of the
+    point-transformed value, << Al), DC refinement (one appended bit
+    per block, |= 1<<Al — two's-complement OR is sign-correct), AC
+    first (band [Ss..Se], EOBn run lengths, values << Al), AC
+    refinement (correction bits for history-nonzero coefficients
+    interleaved with newly-significant ±1<<Al placements, EOB runs
+    carrying correction bits).  Restart intervals reset DC predictors
+    AND the EOB run."""
+    units = _prog_scan_units(
+        scan_sel, comps, mcx, mcy, hmax, vmax, width, height
+    )
+    if ss == 0:  # DC scan
+        dlut = None
+        if ah == 0:
+            dlut = [huff.get((0, dci)) for _ci, dci, _aci in scan_sel]
+            if any(t is None for t in dlut):
+                raise _JpegErr
+        slot_of = {scj: sj for sj, (scj, _d, _a) in enumerate(scan_sel)}
+        preds = [0] * len(comps)
+        bit = 1 << al
+        mcu = 0
+        for u in units:
+            if ri and mcu and mcu % ri == 0:
+                br.restart()
+                preds = [0] * len(comps)
+            mcu += 1
+            for ci, bid in u:
+                st = stores[ci]
+                if ah == 0:
+                    t = _pg_huff(br, dlut[slot_of[ci]])
+                    if t > 15:
+                        raise _JpegErr
+                    preds[ci] += _jpeg_extend(_pg_bits(br, t), t)
+                    st[bid * 64] = preds[ci] << al
+                else:
+                    if _pg_bits(br, 1):
+                        st[bid * 64] |= bit
+        return
+    # AC scan: single component (validated by the caller)
+    ci, _dci, aci = scan_sel[0]
+    alut = huff.get((1, aci))
+    if alut is None:
+        raise _JpegErr
+    st = stores[ci]
+    eobrun = 0
+    if ah == 0:  # AC first scan
+        mcu = 0
+        for u in units:
+            if ri and mcu and mcu % ri == 0:
+                br.restart()
+                eobrun = 0
+            mcu += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            base = u[0][1] * 64
+            k = ss
+            while k <= se:
+                rs = _pg_huff(br, alut)
+                r, s = rs >> 4, rs & 15
+                if s:
+                    k += r
+                    if k > se:
+                        raise _JpegErr
+                    st[base + k] = _jpeg_extend(_pg_bits(br, s), s) << al
+                    k += 1
+                else:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += _pg_bits(br, r)
+                        break
+                    k += 16  # ZRL
+        return
+    # AC refinement scan
+    p1 = 1 << al
+    m1 = -1 << al
+    mcu = 0
+    for u in units:
+        if ri and mcu and mcu % ri == 0:
+            br.restart()
+            eobrun = 0
+        mcu += 1
+        base = u[0][1] * 64
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _pg_huff(br, alut)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += _pg_bits(br, r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise _JpegErr
+                    val = p1 if _pg_bits(br, 1) else m1
+                while k <= se:
+                    cval = st[base + k]
+                    if cval != 0:
+                        if _pg_bits(br, 1) and (cval & p1) == 0:
+                            st[base + k] = cval + (p1 if cval >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val:
+                    if k > se:
+                        raise _JpegErr  # newly-significant coef out of band
+                    st[base + k] = val
+                k += 1
+        if eobrun > 0:
+            # EOB run: remaining band positions still carry correction
+            # bits for history-nonzero coefficients
+            while k <= se:
+                cval = st[base + k]
+                if cval != 0:
+                    if _pg_bits(br, 1) and (cval & p1) == 0:
+                        st[base + k] = cval + (p1 if cval >= 0 else m1)
+                k += 1
+            eobrun -= 1
 
 
 def _jpeg_enc_table(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
@@ -1002,6 +1413,229 @@ def _encode_jpeg_coeffs(
     return bytes(head) + bytes(body) + b"\xff\xd9"  # EOI
 
 
+# Huffman AC table for PROGRESSIVE scans: every (run, size) symbol
+# 0x00..0xFF — Annex K's baseline table lacks the EOBn symbols
+# 0x10..0xE0 that encode EOB runs > 1.  Canonical lengths 255×9-bit +
+# 1×10-bit leave the all-ones 10-bit code unused, per the Annex C
+# reservation rule, so standard decoders accept the table.
+_JPEG_PROG_AC_BITS = bytes([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0])
+_JPEG_PROG_AC_VALS = bytes(list(range(255)) + [255])
+
+
+def encode_jpeg_progressive(
+    comp_coeffs: list[np.ndarray],
+    height: int,
+    width: int,
+    *,
+    samplings: list[tuple[int, int]] | None = None,
+    al_dc: int = 1,
+    al_ac: int = 1,
+    ac_bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    restart_interval: int = 0,
+) -> bytes:
+    """Entropy-encode QUANTIZED coefficient blocks into a PROGRESSIVE
+    (SOF2) JFIF stream — the multi-scan sibling of
+    :func:`_encode_jpeg_coeffs`, emitting the full Annex G scan script:
+    an interleaved DC first scan at point transform ``al_dc``, DC
+    refinement scans down to Al=0, then per component per spectral
+    band an AC first scan at ``al_ac`` plus AC refinement scans down
+    to Al=0 (EOB-run accumulation with buffered correction bits,
+    ZRL-fold-into-EOB, the spec's G.1.2.3 successive-approximation
+    encoder).  Same input contract as the baseline encoder: each
+    ``comp_coeffs[c]`` is (blocks_y, blocks_x, 8, 8) ints in RASTER
+    block layout padded to whole MCUs, all-ones quantization.  The
+    decoders must agree: decode(progressive_encode(C)) ==
+    decode(baseline_encode(C)) pixel-for-pixel, which the property
+    tests pin."""
+    nc = len(comp_coeffs)
+    if samplings is None:
+        samplings = [(1, 1)] * nc
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mcx = -(-width // (8 * hmax))
+    mcy = -(-height // (8 * vmax))
+    for c in range(nc):
+        hs, vs = samplings[c]
+        want = (mcy * vs, mcx * hs)
+        if comp_coeffs[c].shape[:2] != want:
+            raise ValueError(
+                f"encode_jpeg_progressive: component {c} needs {want} blocks, "
+                f"got {comp_coeffs[c].shape[:2]}"
+            )
+    for bs, be in ac_bands:
+        if not (1 <= bs <= be <= 63):
+            raise ValueError(f"encode_jpeg_progressive: bad AC band ({bs}, {be})")
+    dc_t = _jpeg_enc_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_t = _jpeg_enc_table(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    ri = restart_interval
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + b"\x01" * 64)
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([nc])
+    for c in range(nc):
+        hs, vs = samplings[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0])
+    head += seg(0xC2, sof)
+    head += seg(0xC4, bytes([0x00]) + _JPEG_DC_BITS + _JPEG_DC_VALS)
+    head += seg(0xC4, bytes([0x10]) + _JPEG_PROG_AC_BITS + _JPEG_PROG_AC_VALS)
+    if ri:
+        head += seg(0xDD, ri.to_bytes(2, "big"))
+
+    comps = [{"hs": h, "vs": v} for h, v in samplings]
+    zzs = [
+        np.asarray(cc, dtype=np.int64).reshape(-1, 64)[:, _JPEG_ZZ].tolist()
+        for cc in comp_coeffs
+    ]
+    out = bytearray(head)
+
+    def sos(sel: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        b = bytes([len(sel)])
+        for ci in sel:
+            b += bytes([ci + 1, 0x00])
+        return seg(0xDA, b + bytes([ss, se, (ah << 4) | al]))
+
+    # --- DC scans (interleaved over all components) ------------------
+    dc_units = _prog_scan_units(
+        [(ci, 0, 0) for ci in range(nc)], comps, mcx, mcy, hmax, vmax,
+        width, height,
+    ) if nc > 1 else _prog_scan_units(
+        [(0, 0, 0)], comps, mcx, mcy, hmax, vmax, width, height
+    )
+    for ah, al in [(0, al_dc)] + [(a + 1, a) for a in range(al_dc - 1, -1, -1)]:
+        out += sos(list(range(nc)), 0, 0, ah, al)
+        wr = _JpegBitWriter()
+        preds = [0] * nc
+        rst = 0
+        mcu = 0
+        for u in dc_units:
+            if ri and mcu and mcu % ri == 0:
+                out += wr.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                wr = _JpegBitWriter()
+                preds = [0] * nc
+            mcu += 1
+            for ci, bid in u:
+                dc = zzs[ci][bid][0]
+                if ah == 0:
+                    tv = dc >> al
+                    _jpeg_put_coef(wr, dc_t, 0, tv - preds[ci])
+                    preds[ci] = tv
+                else:
+                    wr.put((dc >> al) & 1, 1)
+        out += wr.flush()
+
+    # --- AC scans (single component, per spectral band) --------------
+    for ci in range(nc):
+        hs, vs = samplings[ci]
+        units = _prog_scan_units(
+            [(ci, 0, 0)], comps, mcx, mcy, hmax, vmax, width, height
+        )
+        for bs, be in ac_bands:
+            for ah, al in [(0, al_ac)] + [
+                (a + 1, a) for a in range(al_ac - 1, -1, -1)
+            ]:
+                out += sos([ci], bs, be, ah, al)
+                wr = _JpegBitWriter()
+                eobrun = 0
+                bebuf: list[int] = []
+
+                def flush_eob() -> None:
+                    nonlocal eobrun
+                    if eobrun:
+                        nb_ = eobrun.bit_length() - 1
+                        code, length = ac_t[nb_ << 4]
+                        wr.put(code, length)
+                        if nb_:
+                            wr.put(eobrun - (1 << nb_), nb_)
+                        eobrun = 0
+                    for b_ in bebuf:
+                        wr.put(b_, 1)
+                    bebuf.clear()
+
+                rst = 0
+                mcu = 0
+                for u in units:
+                    if ri and mcu and mcu % ri == 0:
+                        flush_eob()
+                        out += wr.flush()
+                        out += bytes([0xFF, 0xD0 + (rst & 7)])
+                        rst += 1
+                        wr = _JpegBitWriter()
+                    mcu += 1
+                    zz = zzs[u[0][0]][u[0][1]]
+                    if ah == 0:  # AC first scan at precision al
+                        r = 0
+                        any_nz = False
+                        for k in range(bs, be + 1):
+                            v = zz[k]
+                            t = (abs(v) >> al) if v >= 0 else -(abs(v) >> al)
+                            if t == 0:
+                                r += 1
+                                continue
+                            if not any_nz:
+                                flush_eob()
+                                any_nz = True
+                            while r > 15:
+                                code, length = ac_t[0xF0]
+                                wr.put(code, length)
+                                r -= 16
+                            s = abs(t).bit_length()
+                            code, length = ac_t[(r << 4) | s]
+                            wr.put(code, length)
+                            wr.put(t if t >= 0 else t + (1 << s) - 1, s)
+                            r = 0
+                        if not any_nz or r > 0:
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                flush_eob()
+                    else:  # AC refinement scan: Ah = al+1 -> Al = al
+                        p_bits: list[int] = []  # bits since last symbol
+                        ab = [abs(zz[k]) >> al for k in range(bs, be + 1)]
+                        eobpos = -1
+                        for j, t in enumerate(ab):
+                            if t == 1:
+                                eobpos = j
+                        r = 0
+                        for j, t in enumerate(ab):
+                            if t == 0:
+                                r += 1
+                                continue
+                            while r > 15 and j <= eobpos:
+                                flush_eob()
+                                code, length = ac_t[0xF0]
+                                wr.put(code, length)
+                                r -= 16
+                                for b_ in p_bits:
+                                    wr.put(b_, 1)
+                                p_bits = []
+                            if t > 1:
+                                p_bits.append(t & 1)
+                                continue
+                            flush_eob()
+                            code, length = ac_t[(r << 4) | 1]
+                            wr.put(code, length)
+                            wr.put(1 if zz[bs + j] > 0 else 0, 1)
+                            for b_ in p_bits:
+                                wr.put(b_, 1)
+                            p_bits = []
+                            r = 0
+                        if r > 0 or p_bits:
+                            eobrun += 1
+                            bebuf.extend(p_bits)
+                            if eobrun == 0x7FFF:
+                                flush_eob()
+                flush_eob()
+                out += wr.flush()
+
+    return bytes(out) + b"\xff\xd9"
+
+
 def encode_gray_jpeg_flat(blocks: np.ndarray) -> bytes:
     """(rows, cols) uint8 of FLAT BLOCK VALUES → baseline grayscale JFIF
     where entry (r, c) is an entire constant 8×8 pixel block — a
@@ -1023,9 +1657,9 @@ def encode_gray_jpeg_flat(blocks: np.ndarray) -> bytes:
 
 
 def decode_image_builtin(payload: bytes | None) -> np.ndarray | None:
-    """Dependency-free image decode: BMP, PNM, PNG, or baseline JPEG by
-    magic bytes → (h, w) uint8 grayscale; None for anything else
-    (progressive JPEG and other formats go to the Pillow fallback)."""
+    """Dependency-free image decode: BMP, PNM, PNG, or JPEG (baseline
+    AND progressive) by magic bytes → (h, w) uint8 grayscale; None for
+    anything else (other formats go to the Pillow fallback)."""
     if not payload:
         return None
     if payload[:2] == b"BM":
@@ -1867,11 +2501,36 @@ def synthesize_media_bmp(
     return df.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
+def encode_gray_jpeg_prog_flat(blocks: np.ndarray) -> bytes:
+    """PROGRESSIVE (SOF2) sibling of :func:`encode_gray_jpeg_flat`:
+    the same flat-block DC-only coefficients emitted as a ten-scan
+    successive-approximation stream (DC first at Al=2 + two DC
+    refinement scans, two spectral AC bands each with a first scan at
+    Al=1 plus a refinement scan — all-EOB-run since AC is zero — and
+    a restart interval through every scan), so decoding exercises the
+    full Annex G progressive path while the pixels stay bit-identical
+    to the baseline encoding of the same text.  Empty input → b''."""
+    arr = np.asarray(blocks, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError(
+            f"encode_gray_jpeg_prog_flat expects (rows, cols), got shape {arr.shape}"
+        )
+    rows, cols = arr.shape
+    if rows == 0 or cols == 0:
+        return b""
+    coeffs = np.zeros((rows, cols, 8, 8), dtype=np.int64)
+    coeffs[:, :, 0, 0] = 8 * (arr.astype(np.int64) - 128)
+    return encode_jpeg_progressive(
+        [coeffs], rows * 8, cols * 8, al_dc=2, al_ac=1, restart_interval=5
+    )
+
+
 def synthesize_media_jpeg(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     width_blocks: int = 4,
+    codec: Literal["baseline", "progressive"] = "baseline",
 ) -> DataFrame:
     """Build a REAL baseline-JPEG media table from any text table: each
     doc's utf-8 bytes become the FLAT 8×8 BLOCKS of a grayscale JFIF —
@@ -1884,7 +2543,12 @@ def synthesize_media_jpeg(
     contributes exactly 64 pixels of its own value, pad blocks 64
     zeros.  Empty/NULL text → empty payload (no media).  One
     mapInPandas pass, no shuffle — same plumbing as the BMP/PNG/WAV/Y4M
-    synths."""
+    synths.
+
+    ``codec='progressive'`` emits the SAME pixels as a multi-scan SOF2
+    successive-approximation stream (encode_gray_jpeg_prog_flat), so
+    the one oracle serves both codecs while the decode exercises the
+    progressive path."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -1894,6 +2558,14 @@ def synthesize_media_jpeg(
             T.StructField("height", T.IntegerType()),
             T.StructField("duration_ms", T.LongType()),
         ]
+    )
+
+    if codec not in ("baseline", "progressive"):
+        raise ValueError(
+            f"synthesize_media_jpeg codec must be baseline/progressive, got {codec!r}"
+        )
+    encode = (
+        encode_gray_jpeg_flat if codec == "baseline" else encode_gray_jpeg_prog_flat
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1909,7 +2581,7 @@ def synthesize_media_jpeg(
                 arr = np.frombuffer(
                     data.ljust(rows * width_blocks, b"\0"), dtype=np.uint8
                 ).reshape(rows, width_blocks)
-                payloads.append(encode_gray_jpeg_flat(arr))
+                payloads.append(encode(arr))
                 heights.append(rows * 8)
             yield pd.DataFrame(
                 {

@@ -45,11 +45,13 @@ _ROUND12_FRONT = [
     "doc_novelty", "source_overlap", "url_normalize", "domain_quota",
     "image_neardup", "line_dedup_lang", "classifier_score",
     "domain_rank", "html_extract", "web_pipeline", "token_budget",
-    # r07 band: embeddings / timeseries / gates / sketches
-    "embedding_quantize", "gap_fill", "bloom_gate", "hll_distinct",
-    # round-12 additions enter here as they land (displacing from the
-    # tail above, each after its own local driver-strength check);
-    # every displaced name is documented in this comment when it moves.
+    # r07 band: embeddings / timeseries / gates
+    "embedding_quantize", "gap_fill", "bloom_gate",
+    # round-12 additions (never-driver-checked stays ZERO: each enters
+    # the front the round it lands, after a local driver-strength exact
+    # check).  jpeg_progressive displaced hll_distinct, which joins
+    # cms_counts at the head of the r13 staleness backlog.
+    "jpeg_progressive",
 ]
 
 

@@ -1732,6 +1732,38 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode end-to-end, no imaging library
+    (functions/multimodal.py synthesize_media_jpeg(codec='progressive')
+    + _decode_jpeg_progressive): the same flat-block pixels as
+    jpeg_decode but emitted as a ten-scan SOF2 successive-approximation
+    stream — DC first at Al=2, two DC refinement scans, per-band AC
+    first + refinement scans (all EOBn run lengths, since flat blocks
+    have zero AC), restart intervals inside every scan — the dominant
+    real-web JPEG variant the r11 builtin codec rejected.  Decoded
+    pixels are bit-identical to the baseline stream by construction,
+    so the SAME byte-derivable oracle hash-checks this query; the
+    random-coefficient progressive↔baseline equivalences live in
+    tests/test_jpeg_progressive.py.  Same scale shape as jpeg_decode:
+    two mapInPandas stages, zero shuffles, embarrassingly parallel."""
+    from ..functions.multimodal import extract_image_features, synthesize_media_jpeg
+
+    media = synthesize_media_jpeg(
+        _ts(spark, sf_dir, "documents"), codec="progressive"
+    )
+    feats = extract_image_features(media, dim=16, decoder="real")
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_pixels",
+        F.expr(
+            "array_join(transform(feature, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * CAST(n_pixels AS DOUBLE)) AS BIGINT)"
+            "), ',')"
+        ).alias("hist"),
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling end-to-end, no media library
     (functions/multimodal.py sample_frames + synthesize_media_y4m):
@@ -3781,6 +3813,7 @@ HARNESS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "image_decode": q_image_decode,
     "jpeg_decode": q_jpeg_decode,
+    "jpeg_progressive": q_jpeg_progressive,
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
     "interval_join": q_interval_join,
@@ -4767,6 +4800,10 @@ HARNESS_ORACLES["jpeg_decode"] = (
     f"SELECT media_id, mime, n_pixels, {_IMG_DECODE_HIST} AS hist "
     f"FROM {_image_features_jpeg_oracle_sql('TRUE', dim=16)} sq"
 )
+# jpeg_progressive: the SOF2 successive-approximation stream decodes to
+# bit-identical pixels (flat-block DC-only content), so the SAME
+# byte-derivable oracle applies verbatim.
+HARNESS_ORACLES["jpeg_progressive"] = HARNESS_ORACLES["jpeg_decode"]
 # video_frames: Y4M synth → real frame sampling → per-frame PNG decode.
 # Frame i's raster IS text bytes [i·64, (i+1)·64) (+ pad zeros on the
 # last frame), the sampled set is the same ⌊j·t/k⌋ integer math, and

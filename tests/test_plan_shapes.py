@@ -938,6 +938,17 @@ def test_jpeg_decode_is_scan_plus_mapinpandas_only(spark):
     assert physical.count("MapInPandas") == 2
 
 
+def test_jpeg_progressive_is_scan_plus_mapinpandas_only(spark):
+    """Progressive-JPEG decode keeps the media plan shape: one
+    documents scan, two mapInPandas stages (multi-scan SOF2 synth,
+    progressive huffman+iDCT decode/featurize), zero shuffles."""
+    plan = plan_of(spark, "jpeg_progressive")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert count_shuffles(plan) == 0
+    assert "Join" not in physical
+    assert physical.count("MapInPandas") == 2
+
+
 def test_video_frames_is_three_mapinpandas_no_shuffle(spark):
     """Video → frames → image features is embarrassingly parallel:
     three mapInPandas stages (Y4M synth, frame sampling, PNG decode),
