@@ -304,9 +304,13 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    shingle_sets = base.select("__id__", "__shingles__")
+    shingle_sets = base.select("__id__", "__shingles__").hint("merge")
+    # merge hints: see embedding_neardup_pairs — neither the statically
+    # underestimated pair list nor the corpus-sized checkpoint frame
+    # may ever be the broadcast side
     candidates = (
-        candidates.join(
+        candidates.hint("merge")
+        .join(
             shingle_sets.select(F.col("__id__").alias("id_a"), F.col("__shingles__").alias("sh_a")),
             "id_a",
         )
@@ -729,8 +733,11 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    grams = base.select("__id__", "grams")
-    candidates = candidates.join(
+    grams = base.select("__id__", "grams").hint("merge")
+    # merge hints: see embedding_neardup_pairs — neither the statically
+    # underestimated pair list nor the corpus-sized checkpoint frame
+    # may ever be the broadcast side
+    candidates = candidates.hint("merge").join(
         grams.select(F.col("__id__").alias("id_a"), F.col("grams").alias("g_a")), "id_a"
     ).join(grams.select(F.col("__id__").alias("id_b"), F.col("grams").alias("g_b")), "id_b")
     return (
@@ -917,9 +924,23 @@ def embedding_neardup_pairs(
         # a pair can share a bucket in several tables
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = base.select("__id__", "__v__")
+    # merge hint on BOTH sides: Catalyst's plan-time size
+    # estimate shrinks through the groupBy→explode→dropDuplicates
+    # chain, so it statically BROADCASTS the pair list — fine at test
+    # scale, a >1 GiB driver collect at sf10 (caught by the r12 sf10
+    # sweep: BroadcastExchange exceeded spark.driver.maxResultSize).
+    # Candidate-pair volume is data-driven (worst case ~bucket_cap² per
+    # saturated bucket), so the verify join-backs must be sort-merge:
+    # both sides shuffle on the id, sort spills, no driver collect at
+    # any corpus size.  Values are join-strategy-independent — the
+    # exact-oracle hashes are unchanged.  The corpus side needs its
+    # own hint: the localCheckpoint-backed LogicalRDD ALSO carries a
+    # small static estimate, so join 2 broadcast the corpus vectors —
+    # the actual >1 GiB collect in the sf10 failure.
+    vecs = base.select("__id__", "__v__").hint("merge")
     return (
-        candidates.join(
+        candidates.hint("merge")
+        .join(
             vecs.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("v_a")), "id_a"
         )
         .join(vecs.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("v_b")), "id_b")

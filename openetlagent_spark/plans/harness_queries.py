@@ -1776,7 +1776,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decoder='real') decodes those PNGs back and histograms the
     intensities.  Video → frames → image features: the full
     multimodal composition over two mapInPandas stages, zero shuffles,
-    nothing fake anywhere.  The frame_uid pack/unpack (media_id·2³² +
+    nothing fake anywhere.  The frame_uid pack/unpack (media_id·16 +
     source index) threads the frame identity through the fixed
     image-feature schema."""
     from ..functions.multimodal import (
@@ -1789,7 +1789,10 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media_y4m(docs, width=16, height=4)
     frames = sample_frames(media, n_frames=4, decoder="real")
     fr = frames.select(
-        (F.col("media_id") * F.lit(4294967296) + F.col("frame_index")).alias(
+        # pack multiplier 16 (frame_index < n_frames=4), NOT 2^32: the
+        # sf10 key-shifted ids reach ~1e10 and media_id*2^32 overflows
+        # bigint under ANSI mode (caught by the r12 sf10 sweep)
+        (F.col("media_id") * F.lit(16) + F.col("frame_index")).alias(
             "frame_uid"
         ),
         F.col("frame_payload").alias("payload"),
@@ -1797,8 +1800,8 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_image_features(fr, id_col="frame_uid", dim=16, decoder="real")
     return feats.select(
-        F.expr("media_id DIV 4294967296").alias("media_id"),
-        F.expr("CAST(media_id % 4294967296 AS INT)").alias("frame_index"),
+        F.expr("media_id DIV 16").alias("media_id"),
+        F.expr("CAST(media_id % 16 AS INT)").alias("frame_index"),
         "n_bytes",
         "n_pixels",
         F.expr(

@@ -153,6 +153,21 @@ def test_no_accidental_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} must not nested-loop"
 
 
+def test_neardup_verify_joins_never_broadcast(spark):
+    """The near-dup verify join-backs (candidates → base frame) must be
+    sort-merge, never broadcast: Catalyst statically underestimates
+    BOTH sides (the pair list shrinks through groupBy→explode→
+    dropDuplicates; the localCheckpoint LogicalRDD carries a small
+    default), and each side is corpus- or pair-volume-sized.  At sf10
+    the un-hinted plan collected a >1 GiB BroadcastExchange and died on
+    spark.driver.maxResultSize — the r12 sf10 sweep's catch."""
+    for name in ("dedup_embedding", "dedup_minhash", "dedup_ngram"):
+        plan = plan_of(spark, name)
+        physical = plan.split("== Physical Plan ==")[-1]
+        assert "BroadcastExchange" not in physical, name
+        assert "SortMergeJoin" in physical, name
+
+
 def test_bm25_is_takeordered_with_one_row_broadcast(spark):
     """keyword search must rank via TakeOrdered (never a global sort)
     and get its corpus stats from a broadcast, with zero wide
