@@ -863,7 +863,14 @@ def embedding_neardup_pairs(
     of Gaussian — identical LSH family guarantees, but every projection
     becomes an exact-float add/subtract chain, so the WHOLE pipeline
     (bucket assignment included) hash-checks against the generated
-    DuckDB oracle (embedding_pairs_oracle_sql with the same seed)."""
+    DuckDB oracle (embedding_pairs_oracle_sql with the same seed).
+
+    SIZE ``n_planes`` TO THE CORPUS: each table has 2**n_planes
+    buckets, so once corpus >> 2**n_planes · max_bucket every bucket
+    nears the cap and candidate pairs approach corpus²/2**n_planes —
+    the r12 sf10 sweep measured ~5e8 candidates at 500k vectors with
+    the default n_planes=8, vs ~2e6 at n_planes=14.  Rule of thumb:
+    2**n_planes ≥ corpus / target_bucket_size."""
     from .similarity import cosine_expr, infer_dim, multi_table_signatures
 
     if dim is None:
