@@ -521,8 +521,17 @@ def _jpeg_windows(data: bytes) -> tuple[list[int], int]:
     sliding-window + packbits pass per segment replaces the per-symbol
     numpy slice-and-dot peek the r11 decoder did — the entropy decode's
     inner loop becomes two Python list indexings per huffman symbol."""
+    n = len(data) * 8
+    if n <= 2048:
+        # Small-segment fast path (restart-heavy progressive scans
+        # produce hundreds of tiny segments per image — the numpy
+        # setup cost below dominated the r12 progressive profile at
+        # 252 window builds per image): one big int, pure-Python
+        # shifts.  Identical output to the vectorized path.
+        val = int.from_bytes(data + b"\xff\xff", "big")
+        top = n + 16 - 16  # shift that leaves the first 16 bits
+        return [(val >> (top - j)) & 0xFFFF for j in range(n + 1)], n
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-    n = int(bits.shape[0])
     padded = np.concatenate([bits, np.ones(16, dtype=np.uint8)])
     sw = np.lib.stride_tricks.sliding_window_view(padded, 16)[: n + 1]
     win = np.packbits(sw, axis=1).view(">u2").ravel().astype(np.int64)
@@ -2507,9 +2516,12 @@ def encode_gray_jpeg_prog_flat(blocks: np.ndarray) -> bytes:
     successive-approximation stream (DC first at Al=2 + two DC
     refinement scans, two spectral AC bands each with a first scan at
     Al=1 plus a refinement scan — all-EOB-run since AC is zero — and
-    a restart interval through every scan), so decoding exercises the
-    full Annex G progressive path while the pixels stay bit-identical
-    to the baseline encoding of the same text.  Empty input → b''."""
+    a restart interval through every scan — 37 MCUs, so docs past ~148
+    chars carry multiple restart segments per scan without the
+    hundreds-of-tiny-segments pathology a very small interval caused),
+    so decoding exercises the full Annex G progressive path while the
+    pixels stay bit-identical to the baseline encoding of the same
+    text.  Empty input → b''."""
     arr = np.asarray(blocks, dtype=np.uint8)
     if arr.ndim != 2:
         raise ValueError(
@@ -2521,7 +2533,7 @@ def encode_gray_jpeg_prog_flat(blocks: np.ndarray) -> bytes:
     coeffs = np.zeros((rows, cols, 8, 8), dtype=np.int64)
     coeffs[:, :, 0, 0] = 8 * (arr.astype(np.int64) - 128)
     return encode_jpeg_progressive(
-        [coeffs], rows * 8, cols * 8, al_dc=2, al_ac=1, restart_interval=5
+        [coeffs], rows * 8, cols * 8, al_dc=2, al_ac=1, restart_interval=37
     )
 
 
