@@ -919,9 +919,14 @@ def _prog_scan_units(
     is non-interleaved (ITU-T T.81 §A.2.2): one data unit per MCU in
     raster order over the component's ceil(comp_w/8) × ceil(comp_h/8)
     UNPADDED grid, addressed with the padded stride so every scan type
-    shares one coefficient store layout."""
-    units: list[list[tuple[int, int]]] = []
+    shares one coefficient store layout.  Single-component scans return
+    a FLAT bid list (no per-block tuple allocation — at ten scans per
+    progressive image the tuple schedule was a measurable slice of the
+    decode); interleaved scans return the nested (ci, bid) form.
+    Callers cache results per scan_sel key: geometry repeats across a
+    frame's scans."""
     if len(scan_sel) > 1:
+        units: list[list[tuple[int, int]]] = []
         for my in range(mcy):
             for mx in range(mcx):
                 u = []
@@ -935,17 +940,14 @@ def _prog_scan_units(
                                 (ci, (my * vs + by) * stride + mx * hs + bx)
                             )
                 units.append(u)
-    else:
-        ci = scan_sel[0][0]
-        c = comps[ci]
-        hs, vs = c["hs"], c["vs"]
-        stride = mcx * hs
-        cw = (-(-width * hs // hmax) + 7) // 8  # ceil(ceil(w·hs/hmax)/8)
-        ch = (-(-height * vs // vmax) + 7) // 8
-        for by in range(ch):
-            for bx in range(cw):
-                units.append([(ci, by * stride + bx)])
-    return units
+        return units
+    ci = scan_sel[0][0]
+    c = comps[ci]
+    hs, vs = c["hs"], c["vs"]
+    stride = mcx * hs
+    cw = (-(-width * hs // hmax) + 7) // 8  # ceil(ceil(w·hs/hmax)/8)
+    ch = (-(-height * vs // vmax) + 7) // 8
+    return [by * stride + bx for by in range(ch) for bx in range(cw)]
 
 
 def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
@@ -970,10 +972,12 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
         huff: dict[tuple[int, int], list[int]] = {}
         comps: list[dict] = []
         stores: list[list[int]] = []
+        acnz: list[list[int]] = []
         height = width = 0
         mcx = mcy = hmax = vmax = 0
         ri = 0
         nscans = 0
+        geo_cache: dict = {}
         i = 2
         while i + 1 < n:
             if payload[i] != 0xFF:
@@ -1041,6 +1045,12 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
                 stores = [
                     [0] * (mcy * c["vs"] * mcx * c["hs"] * 64) for c in comps
                 ]
+                # per-block count of nonzero AC coefficients — lets
+                # refinement scans skip zero-history EOB-run blocks
+                # without walking their band (no bits live there)
+                acnz = [
+                    [0] * (mcy * c["vs"] * mcx * c["hs"]) for c in comps
+                ]
             elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # only SOF2 belongs in this decoder
@@ -1089,8 +1099,8 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
                 segs, scan_end = _jpeg_entropy_segments(payload, i + seg_len)
                 br = _JpegBits([_jpeg_windows(s) for s in segs])
                 _decode_prog_scan(
-                    br, scan_sel, comps, stores, huff, ss, se, ah, al, ri,
-                    mcx, mcy, hmax, vmax, width, height,
+                    br, scan_sel, comps, stores, acnz, huff, ss, se, ah, al,
+                    ri, mcx, mcy, hmax, vmax, width, height, geo_cache,
                 )
                 nscans += 1
                 i = scan_end
@@ -1131,6 +1141,7 @@ def _decode_prog_scan(
     scan_sel: list[tuple[int, int, int]],
     comps: list[dict],
     stores: list[list[int]],
+    acnz: list[list[int]],
     huff: dict[tuple[int, int], list[int]],
     ss: int,
     se: int,
@@ -1143,6 +1154,7 @@ def _decode_prog_scan(
     vmax: int,
     width: int,
     height: int,
+    geo_cache: dict | None = None,
 ) -> None:
     """Apply ONE progressive scan to the coefficient stores.  The four
     Annex G decode procedures, mirrored from the spec (and libjpeg's
@@ -1154,54 +1166,94 @@ def _decode_prog_scan(
     interleaved with newly-significant ±1<<Al placements, EOB runs
     carrying correction bits).  Restart intervals reset DC predictors
     AND the EOB run."""
-    units = _prog_scan_units(
-        scan_sel, comps, mcx, mcy, hmax, vmax, width, height
-    )
+    key = tuple(ci for ci, _d, _a in scan_sel)
+    units = geo_cache.get(key) if geo_cache is not None else None
+    if units is None:
+        units = _prog_scan_units(
+            scan_sel, comps, mcx, mcy, hmax, vmax, width, height
+        )
+        if geo_cache is not None:
+            geo_cache[key] = units
     if ss == 0:  # DC scan
         dlut = None
         if ah == 0:
             dlut = [huff.get((0, dci)) for _ci, dci, _aci in scan_sel]
             if any(t is None for t in dlut):
                 raise _JpegErr
-        slot_of = {scj: sj for sj, (scj, _d, _a) in enumerate(scan_sel)}
-        preds = [0] * len(comps)
         bit = 1 << al
         mcu = 0
-        for u in units:
+        if len(scan_sel) > 1:  # interleaved: nested (ci, bid) schedule
+            slot_of = {scj: sj for sj, (scj, _d, _a) in enumerate(scan_sel)}
+            preds = [0] * len(comps)
+            for u in units:
+                if ri and mcu and mcu % ri == 0:
+                    br.restart()
+                    preds = [0] * len(comps)
+                mcu += 1
+                for ci, bid in u:
+                    st = stores[ci]
+                    if ah == 0:
+                        t = _pg_huff(br, dlut[slot_of[ci]])
+                        if t > 15:
+                            raise _JpegErr
+                        preds[ci] += _jpeg_extend(_pg_bits(br, t), t)
+                        st[bid * 64] = preds[ci] << al
+                    else:
+                        if _pg_bits(br, 1):
+                            st[bid * 64] |= bit
+            return
+        # single-component DC scan: flat bid schedule
+        st = stores[scan_sel[0][0]]
+        dl = dlut[0] if ah == 0 else None
+        pred = 0
+        for bid in units:
             if ri and mcu and mcu % ri == 0:
                 br.restart()
-                preds = [0] * len(comps)
+                pred = 0
             mcu += 1
-            for ci, bid in u:
-                st = stores[ci]
-                if ah == 0:
-                    t = _pg_huff(br, dlut[slot_of[ci]])
-                    if t > 15:
-                        raise _JpegErr
-                    preds[ci] += _jpeg_extend(_pg_bits(br, t), t)
-                    st[bid * 64] = preds[ci] << al
-                else:
-                    if _pg_bits(br, 1):
-                        st[bid * 64] |= bit
+            if ah == 0:
+                t = _pg_huff(br, dl)
+                if t > 15:
+                    raise _JpegErr
+                pred += _jpeg_extend(_pg_bits(br, t), t)
+                st[bid * 64] = pred << al
+            else:
+                if _pg_bits(br, 1):
+                    st[bid * 64] |= bit
         return
-    # AC scan: single component (validated by the caller)
+    # AC scan: single component (validated by the caller).  Blocks
+    # inside an EOB run consume no bits at all in first scans, and no
+    # bits in refinement scans when the block has no nonzero AC history
+    # (tracked by the acnz sidecar) — so runs skip in O(1) chunks up to
+    # the next restart boundary instead of one Python iteration per
+    # block.  Flat-block corpora (the synth oracle shape) are almost
+    # entirely EOB runs, and this is what keeps the 10-scan progressive
+    # decode within ~2× of the single-scan baseline there.
     ci, _dci, aci = scan_sel[0]
     alut = huff.get((1, aci))
     if alut is None:
         raise _JpegErr
     st = stores[ci]
+    anz = acnz[ci]
+    bids = units  # single-component scans carry the flat bid schedule
+    nu = len(bids)
     eobrun = 0
+    nxt_rst = ri if ri else nu
     if ah == 0:  # AC first scan
-        mcu = 0
-        for u in units:
-            if ri and mcu and mcu % ri == 0:
+        i = 0
+        while i < nu:
+            if i == nxt_rst:
                 br.restart()
                 eobrun = 0
-            mcu += 1
+                nxt_rst += ri
             if eobrun:
-                eobrun -= 1
+                skip = min(eobrun, nxt_rst - i, nu - i)
+                eobrun -= skip
+                i += skip
                 continue
-            base = u[0][1] * 64
+            bid = bids[i]
+            base = bid * 64
+            i += 1
             k = ss
             while k <= se:
                 rs = _pg_huff(br, alut)
@@ -1211,6 +1263,7 @@ def _decode_prog_scan(
                     if k > se:
                         raise _JpegErr
                     st[base + k] = _jpeg_extend(_pg_bits(br, s), s) << al
+                    anz[bid] += 1
                     k += 1
                 else:
                     if r < 15:
@@ -1223,13 +1276,22 @@ def _decode_prog_scan(
     # AC refinement scan
     p1 = 1 << al
     m1 = -1 << al
-    mcu = 0
-    for u in units:
-        if ri and mcu and mcu % ri == 0:
+    i = 0
+    while i < nu:
+        if i == nxt_rst:
             br.restart()
             eobrun = 0
-        mcu += 1
-        base = u[0][1] * 64
+            nxt_rst += ri
+        if eobrun:
+            # blocks with zero AC history consume no correction bits —
+            # skip consecutive ones in bulk (one sidecar read each)
+            if anz[bids[i]] == 0:
+                eobrun -= 1
+                i += 1
+                continue
+        bid = bids[i]
+        base = bid * 64
+        i += 1
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -1260,6 +1322,7 @@ def _decode_prog_scan(
                     if k > se:
                         raise _JpegErr  # newly-significant coef out of band
                     st[base + k] = val
+                    anz[bid] += 1
                 k += 1
         if eobrun > 0:
             # EOB run: remaining band positions still carry correction
@@ -1508,13 +1571,20 @@ def encode_jpeg_progressive(
             b += bytes([ci + 1, 0x00])
         return seg(0xDA, b + bytes([ss, se, (ah << 4) | al]))
 
-    # --- DC scans (interleaved over all components) ------------------
-    dc_units = _prog_scan_units(
-        [(ci, 0, 0) for ci in range(nc)], comps, mcx, mcy, hmax, vmax,
-        width, height,
-    ) if nc > 1 else _prog_scan_units(
-        [(0, 0, 0)], comps, mcx, mcy, hmax, vmax, width, height
-    )
+    # --- DC scans (interleaved over all components; a one-component
+    # frame is non-interleaved and gets the flat bid schedule) --------
+    if nc > 1:
+        dc_units = _prog_scan_units(
+            [(ci, 0, 0) for ci in range(nc)], comps, mcx, mcy, hmax, vmax,
+            width, height,
+        )
+    else:
+        dc_units = [
+            [(0, bid)]
+            for bid in _prog_scan_units(
+                [(0, 0, 0)], comps, mcx, mcy, hmax, vmax, width, height
+            )
+        ]
     for ah, al in [(0, al_dc)] + [(a + 1, a) for a in range(al_dc - 1, -1, -1)]:
         out += sos(list(range(nc)), 0, 0, ah, al)
         wr = _JpegBitWriter()
@@ -1542,7 +1612,7 @@ def encode_jpeg_progressive(
     # --- AC scans (single component, per spectral band) --------------
     for ci in range(nc):
         hs, vs = samplings[ci]
-        units = _prog_scan_units(
+        comp_bids = _prog_scan_units(
             [(ci, 0, 0)], comps, mcx, mcy, hmax, vmax, width, height
         )
         for bs, be in ac_bands:
@@ -1569,7 +1639,7 @@ def encode_jpeg_progressive(
 
                 rst = 0
                 mcu = 0
-                for u in units:
+                for bid in comp_bids:
                     if ri and mcu and mcu % ri == 0:
                         flush_eob()
                         out += wr.flush()
@@ -1577,7 +1647,7 @@ def encode_jpeg_progressive(
                         rst += 1
                         wr = _JpegBitWriter()
                     mcu += 1
-                    zz = zzs[u[0][0]][u[0][1]]
+                    zz = zzs[ci][bid]
                     if ah == 0:  # AC first scan at precision al
                         r = 0
                         any_nz = False
