@@ -1461,3 +1461,29 @@ def test_ann_store_spec_guards():
     ):
         with pytest.raises(SpecError):
             parse_operation(bad)
+
+
+def test_ann_store_specs_roundtrip_yaml(tmp_path):
+    """The three ANN-store specs survive the save/load YAML round-trip
+    (the surface an agent-authored pipeline actually travels)."""
+    ops = [
+        {"operation_type": "ann_store_build", "store_path": "/data/ix",
+         "kind": "pq", "n_centroids": 8, "m": 4, "k_codes": 8},
+        {"operation_type": "ann_store_append", "store_path": "/data/ix",
+         "id_column": "vid", "vector_column": "emb"},
+        {"operation_type": "ann_store_query", "store_path": "/data/ix",
+         "k": 7, "nprobe": 3, "refine_factor": 2},
+    ]
+    flow = PipelineFlow(
+        source="embeddings", operations=[parse_operation(o) for o in ops]
+    )
+    path = str(tmp_path / "ann_flow.yaml")
+    save_pipeline_flow(flow, path)
+    back = load_pipeline_flow(path)
+    assert [op.operation_type for op in back.operations] == [
+        "ann_store_build", "ann_store_append", "ann_store_query"
+    ]
+    b, a, q = back.operations
+    assert (b.kind, b.m, b.k_codes, b.n_centroids) == ("pq", 4, 8, 8)
+    assert (a.id_column, a.vector_column) == ("vid", "emb")
+    assert (q.k, q.nprobe, q.refine_factor) == (7, 3, 2)
