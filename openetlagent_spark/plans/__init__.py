@@ -11,47 +11,43 @@ HARNESS_QUERIES.update(TPCH_MORE_QUERIES)
 HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# ``queries()`` per round.  Round 12's rotation is pure staleness
+# ``queries()`` per round.  Round 13's rotation is pure staleness
 # refresh, committed as the FIRST action of the round per the standing
-# rotation discipline (r11 VERDICT task 2 asked for exactly this).
-# After the r11 front cleared the whole r05 block, the staleness tail
-# is 51 rows: `partitioned_layout` (r05 — displaced mid-r11 by
-# jpeg_decode) plus the 50-row r07 band (`scripts/staleness.py`).
-# 51 > 50, so one r07 row must wait: `cms_counts` (the last row in
-# staleness order; its sketch siblings hll_distinct and the rest of
-# analytics.py rotate now) heads the r13 backlog alongside whatever
-# round-12 additions displace from this front's tail.  After this
-# front lands, no driver hash is older than r07, and only cms_counts
-# plus mid-round displacements remain at r07.  Every name below passed
-# a local driver-strength exact check (scripts/check_oracle.py,
+# rotation discipline (r12 VERDICT task 2 names exactly this front).
+# The staleness tail after r12 is 2 r07 rows (`cms_counts` +
+# `hll_distinct`, displaced from earlier fronts) followed by the
+# 50-row r08 band (`scripts/staleness.py`).  2 + 50 > 50, so the two
+# r08 rows last in staleness order — `heavy_hitters` and
+# `bind_multikey` — wait and head the r14 backlog alongside whatever
+# round-13 additions displace from this front's tail.  After this
+# front lands, no driver hash is older than r08, and only those two
+# rows plus mid-round displacements remain at r08.  Every name below
+# passed a local driver-strength exact check (scripts/check_oracle.py,
 # sf0.01, exact mode, type-sensitive full-precision hash) in this
 # session before this commit: 50/50 ALL PASS.
-_ROUND12_FRONT = [
-    # the lone r05 row — the round's explicit rotation target
-    "partitioned_layout",
-    # r07 band: reference-core operators
-    "switching", "arithmetic", "bind", "fold", "unfold", "filter",
-    "aggregation", "sort_limit", "distinct", "window", "union",
-    "bind_outer", "bind_cross", "bind_semi", "bind_anti",
-    "fold_mixed", "agg_stats", "window_lag", "window_first_last",
-    # r07 band: text / dedup / ANN
-    "text_stats", "text_quality", "fingerprint", "doc_repetition",
-    "dedup_exact", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    # r07 band: streaming parity forms
-    "events_window", "stream_dedup", "stream_enrich", "stream_join",
-    # r07 band: multimodal / engine ops
-    "multimodal_features", "json_extract", "sample_hash",
-    # r07 band: curation / web pipeline
-    "doc_novelty", "source_overlap", "url_normalize", "domain_quota",
-    "image_neardup", "line_dedup_lang", "classifier_score",
-    "domain_rank", "html_extract", "web_pipeline", "token_budget",
-    # r07 band: embeddings / timeseries / gates
-    "embedding_quantize", "gap_fill", "bloom_gate",
-    # round-12 additions (never-driver-checked stays ZERO: each enters
-    # the front the round it lands, after a local driver-strength exact
-    # check).  jpeg_progressive displaced hll_distinct, which joins
-    # cms_counts at the head of the r13 staleness backlog.
-    "jpeg_progressive",
+_ROUND13_FRONT = [
+    # the two r07 rows — the round's explicit rotation targets
+    "cms_counts", "hll_distinct",
+    # r08 band: reference-core operators + flagship
+    "equality", "concatenation", "application", "assignation",
+    "casting", "comparison", "flagship",
+    # r08 band: text / ANN / sessions / joins
+    "lang_id", "ann_store", "session_window", "asof_join",
+    "range_join", "rollup",
+    # r08 band: classifier family
+    "classifier_file", "classifier_train", "classifier_warm",
+    "distill_gate", "classifier_eval",
+    # r08 band: timeseries / joins / quality gates
+    "time_weighted_avg", "bucketed_join", "row_expectations",
+    "sql_transform", "weighted_sample", "embedding_gram",
+    # r08 band: TPC-H families
+    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q2", "tpch_q4", "tpch_q7",
+    "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q22",
+    # r08 band: grouping / percentiles / sketches + stores
+    "grouping_sets", "percentile", "approx_distinct", "hll_store",
+    "cms_store", "quantile_sketch", "qsketch_store",
+    "qsketch_prefilter", "kmv_distinct", "kmv_set_overlap",
+    "kmv_store", "rollup_store", "rollup_day", "spike_buckets",
 ]
 
 
@@ -72,7 +68,7 @@ def _reorder(front: list[str], mapping: dict) -> dict:
     return {**head, **tail}
 
 
-_reordered = _reorder(_ROUND12_FRONT, HARNESS_QUERIES)
+_reordered = _reorder(_ROUND13_FRONT, HARNESS_QUERIES)
 HARNESS_QUERIES.clear()
 HARNESS_QUERIES.update(_reordered)
 
