@@ -513,14 +513,30 @@ def _jpeg_huff_lut(bits: bytes, vals: bytes) -> list[int]:
     return np.where(sym < 0, -1, (sym << 5) | ln).tolist()
 
 
-def _jpeg_windows(data: bytes) -> tuple[list[int], int]:
+# Segments above this bit count keep their window table as an int64
+# numpy array (8 B/entry) instead of a Python int list (~36 B/entry
+# once CPython object + list-slot overhead is counted — measured ~300×
+# the segment size, vs ~64× for the array form).  List indexing is ~3×
+# faster per symbol, so small segments — the entire synthetic harness,
+# and most real-web thumbnails — keep the fast path; a multi-MB
+# real-web scan inside a mapInPandas batch must not OOM the executor
+# (r12 ADVICE, medium).  2M bits = 256 KB of entropy data ≈ 9 MB as a
+# list, ~2 MB as an array.
+_JPEG_WIN_LIST_MAX_BITS = 2_000_000
+
+
+def _jpeg_windows(data: bytes) -> "tuple[list[int] | np.ndarray, int]":
     """Entropy segment bytes → (win, n) where ``win[j]`` is the 16-bit
     big-endian window starting at bit j, for every j in 0..n (n = bit
     count; windows past the data are padded with 1-bits, mirroring the
     spec's final-byte padding).  One vectorized unpackbits +
     sliding-window + packbits pass per segment replaces the per-symbol
     numpy slice-and-dot peek the r11 decoder did — the entropy decode's
-    inner loop becomes two Python list indexings per huffman symbol."""
+    inner loop becomes two Python list indexings per huffman symbol.
+    Above ``_JPEG_WIN_LIST_MAX_BITS`` the table stays a numpy int64
+    array: consumers only do ``win[i]`` + shifts, and np.int64 indexes
+    the huffman LUT lists and raises IndexError past n exactly like the
+    list form, so the decode loops are representation-agnostic."""
     n = len(data) * 8
     if n <= 2048:
         # Small-segment fast path (restart-heavy progressive scans
@@ -535,6 +551,8 @@ def _jpeg_windows(data: bytes) -> tuple[list[int], int]:
     padded = np.concatenate([bits, np.ones(16, dtype=np.uint8)])
     sw = np.lib.stride_tricks.sliding_window_view(padded, 16)[: n + 1]
     win = np.packbits(sw, axis=1).view(">u2").ravel().astype(np.int64)
+    if n > _JPEG_WIN_LIST_MAX_BITS:
+        return win, n
     return win.tolist(), n
 
 

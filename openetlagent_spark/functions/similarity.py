@@ -1316,6 +1316,25 @@ def build_ann_store(
     )
 
 
+def ann_store_is_pq(meta: dict, store_path: str) -> bool:
+    """Store-kind detection shared by every meta consumer: True iff the
+    meta row declares BOTH PQ keys (``m`` + ``k_codes``).  Exactly one
+    present means a corrupt or partially-written store — raise a named
+    error at detection instead of letting the PQ serve path fail deep
+    inside ann_pq_from_store (r12 ADVICE: the old ``{'m','k_codes'} &
+    set(meta)`` intersection test silently routed half-written stores
+    to the PQ path)."""
+    present = {"m", "k_codes"} & set(meta)
+    if present and present != {"m", "k_codes"}:
+        missing = ({"m", "k_codes"} - present).pop()
+        raise ValueError(
+            f"ann store {store_path}: meta declares {sorted(present)} but "
+            f"not {missing!r} — a PQ store carries both m and k_codes; "
+            "this store is corrupt or partially written, rebuild it"
+        )
+    return bool(present)
+
+
 def _read_ann_store_header(
     spark, store_path: str, expect_scale_bits: int | None = None,
     forbid_pq: str | None = None,
@@ -1338,7 +1357,7 @@ def _read_ann_store_header(
             f"ann store {store_path}: meta table lacks scale_bits/n_centroids "
             f"(has {sorted(meta)})"
         )
-    if forbid_pq and {"m", "k_codes"} & set(meta):
+    if forbid_pq and ann_store_is_pq(meta, store_path):
         raise ValueError(
             f"{forbid_pq}: {store_path} is an IVF-PQ store (meta declares "
             "m/k_codes); its lists hold codes, not vectors — serve it with "

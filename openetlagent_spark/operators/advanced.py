@@ -1219,7 +1219,9 @@ def apply_ann_store_query(
             f"ann_store_query: {op.store_path} has a missing/ambiguous meta table"
         )
     meta = meta_rows[0].asDict()
-    if {"m", "k_codes"} & set(meta):
+    from ..functions.similarity import ann_store_is_pq
+
+    if ann_store_is_pq(meta, op.store_path):
         from ..functions.pq import ann_pq_from_store
 
         return ann_pq_from_store(
