@@ -295,6 +295,40 @@ HEADLINE = [
 ]
 
 
+# Drift canary (r12 VERDICT task 7): a fixed 10-query reference-plan
+# set timed 3× at the start of every full bench session, BEFORE the
+# headline loop.  Round-over-round, the canary medians separate host
+# drift from real regression: if the canaries moved together on plans
+# nobody touched, the window is hot/cold and the headline totals are
+# not comparable across rounds; if one headline query moved while the
+# canaries held, that's a regression.  Never change this list — its
+# value is that the plans stay frozen across rounds.
+CANARY = [
+    "flagship", "tpch_q1", "tpch_q6", "tpch_q21", "window",
+    "aggregation", "dedup_minhash", "ann_pq", "jpeg_decode",
+    "semantic_dedup",
+]
+CANARY_LEGS = 3
+
+
+def _run_canary(spark, sf_dir: str) -> dict:
+    legs: dict[str, list[float]] = {q: [] for q in CANARY}
+    for _ in range(CANARY_LEGS):
+        for name in CANARY:
+            fn = HARNESS_QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            legs[name].append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+            free_local_checkpoints(spark)
+    # median of 3 — robust to the one-leg blips that forced past rounds
+    # into re-measure archaeology
+    return {
+        "legs": legs,
+        "median": {q: sorted(ts)[len(ts) // 2] for q, ts in legs.items()},
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -309,6 +343,12 @@ def main() -> None:
     # Warm the JVM/codegen once so per-query numbers measure the plan,
     # not session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # Canary runs on full sessions only (subset runs are growth-study
+    # probes at other SFs); SPARK_GRAFT_CANARY=0 skips it explicitly.
+    canary = None
+    if only is None and os.environ.get("SPARK_GRAFT_CANARY", "1") != "0":
+        canary = _run_canary(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -333,6 +373,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if canary is not None:
+        payload["canary"] = canary
     # Sibling artifact with the COMPLETE per-query map: the driver
     # records only a truncated tail of stdout, which has forced past
     # rounds to reconstruct timings by regex.
