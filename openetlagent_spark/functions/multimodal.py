@@ -558,25 +558,36 @@ def _jpeg_windows(data: bytes) -> "tuple[list[int] | np.ndarray, int]":
 
 class _JpegBits:
     """Bit cursor over the scan's entropy segments (pre-split at RSTn
-    markers, FF00 already unstuffed, each precomputed to a 16-bit
-    sliding-window list by :func:`_jpeg_windows`).  Block decoders pull
-    (win, n, i) into locals and write ``i`` back; indexing ``win``
-    past n raises IndexError, which the decode wrappers map to None —
-    identical totality to the r11 reader's explicit peek guard."""
+    markers, FF00 already unstuffed).  Segments are raw bytes; each is
+    expanded to its 16-bit sliding-window table by :func:`_jpeg_windows`
+    LAZILY on first use, so bulk consumers that read whole segments
+    directly (the vectorized DC-refinement path) never pay the window
+    build at all.  Block decoders pull (win, n, i) into locals and
+    write ``i`` back; indexing ``win`` past n raises IndexError, which
+    the decode wrappers map to None — identical totality to the r11
+    reader's explicit peek guard."""
 
-    def __init__(self, segments: list[tuple[list[int], int]]) -> None:
-        if not segments:
+    def __init__(self, raw_segments: list[bytes]) -> None:
+        if not raw_segments:
             raise _JpegErr
-        self.segments = segments
+        self.raw = raw_segments
+        self._wins: list = [None] * len(raw_segments)
         self.si = 0
-        self.win, self.n = segments[0]
+        self.win, self.n = self._seg(0)
         self.i = 0
+
+    def _seg(self, j: int):
+        w = self._wins[j]
+        if w is None:
+            w = _jpeg_windows(self.raw[j])
+            self._wins[j] = w
+        return w
 
     def restart(self) -> None:
         self.si += 1
-        if self.si >= len(self.segments):
+        if self.si >= len(self.raw):
             raise _JpegErr
-        self.win, self.n = self.segments[self.si]
+        self.win, self.n = self._seg(self.si)
         self.i = 0
 
 
@@ -664,6 +675,40 @@ def _jpeg_entropy_segments(
     is 00/D0-D7.  Returns (segments, absolute position of the
     terminating 0xFF — or len(payload) if the data just ends), so the
     progressive decoder can resume its marker walk after each scan."""
+    if len(payload) - scan_start <= 65536:
+        # Small-payload fast path: a sequential bytes.find walk (C
+        # speed between FF bytes) beats the ~10 numpy array ops below
+        # by ~5× when the remaining data is a few KB — and progressive
+        # images call this once per SCAN, so the harness's ~1 KB
+        # ten-scan payloads paid the numpy setup seven times each.
+        # Identical classification: FF00 keeps the FF and drops the
+        # stuffed 00, FFD0–D7 cuts a segment, any other successor
+        # (or FF as the final byte, nxt = -1) terminates the scan.
+        segs_py: list[bytes] = []
+        cur = bytearray()
+        pos = scan_start
+        n_pay = len(payload)
+        end_abs = n_pay
+        while True:
+            j = payload.find(b"\xff", pos)
+            if j < 0:
+                cur += payload[pos:]
+                break
+            nxt = payload[j + 1] if j + 1 < n_pay else -1
+            if nxt == 0x00:
+                cur += payload[pos : j + 1]
+                pos = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                cur += payload[pos:j]
+                segs_py.append(bytes(cur))
+                cur = bytearray()
+                pos = j + 2
+            else:
+                cur += payload[pos:j]
+                end_abs = j
+                break
+        segs_py.append(bytes(cur))
+        return segs_py, end_abs
     data = np.frombuffer(payload, dtype=np.uint8)[scan_start:]
     nd = int(data.shape[0])
     ff = np.flatnonzero(data == 0xFF)
@@ -823,7 +868,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             if c["tq"] not in qt:
                 return None
         segs, _scan_end = _jpeg_entropy_segments(payload, scan_start)
-        br = _JpegBits([_jpeg_windows(s) for s in segs])
+        br = _JpegBits(segs)
         mcx = -(-width // (8 * hmax))
         mcy = -(-height // (8 * vmax))
         li = 0 if len(comps) > 1 else scan[0][0]
@@ -989,7 +1034,7 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], list[int]] = {}
         comps: list[dict] = []
-        stores: list[list[int]] = []
+        stores: list[np.ndarray] = []
         acnz: list[list[int]] = []
         height = width = 0
         mcx = mcy = hmax = vmax = 0
@@ -1060,8 +1105,14 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
                 vmax = max(c["vs"] for c in comps)
                 mcx = -(-width // (8 * hmax))
                 mcy = -(-height // (8 * vmax))
+                # int64 numpy stores: scalar reads/writes from the
+                # sequential scan loops work unchanged, the bulk DC
+                # refinement ORs via fancy indexing, and the final
+                # dequant pipeline reshapes in place with no
+                # list→array conversion (was ~0.5 ms per image)
                 stores = [
-                    [0] * (mcy * c["vs"] * mcx * c["hs"] * 64) for c in comps
+                    np.zeros(mcy * c["vs"] * mcx * c["hs"] * 64, np.int64)
+                    for c in comps
                 ]
                 # per-block count of nonzero AC coefficients — lets
                 # refinement scans skip zero-history EOB-run blocks
@@ -1115,7 +1166,7 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
                     if se < ss or ns != 1:
                         return None  # AC scans are single-component
                 segs, scan_end = _jpeg_entropy_segments(payload, i + seg_len)
-                br = _JpegBits([_jpeg_windows(s) for s in segs])
+                br = _JpegBits(segs)
                 _decode_prog_scan(
                     br, scan_sel, comps, stores, acnz, huff, ss, se, ah, al,
                     ri, mcx, mcy, hmax, vmax, width, height, geo_cache,
@@ -1135,7 +1186,7 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
         lvs, lhs = luma["vs"], luma["hs"]
         rows_b, cols_b = mcy * lvs, mcx * lhs
         nb = rows_b * cols_b
-        zz = np.array(stores[0], dtype=np.int64).reshape(nb, 64)
+        zz = stores[0].reshape(nb, 64)
         a = _JPEG_A
         blk = np.zeros((nb, 64), dtype=np.float64)
         blk[:, _JPEG_ZZ] = zz * lq
@@ -1154,11 +1205,59 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def _dc_refine_bulk(
+    br: _JpegBits,
+    store_or_stores,
+    cis: "np.ndarray | None",
+    bases: np.ndarray,
+    per_seg: int,
+    bit: int,
+) -> None:
+    """Vectorized DC refinement: the scan is exactly one raw bit per
+    block in schedule order, restart-segmented every ``per_seg`` blocks
+    (0 = no restarts).  Reads each segment's consumed prefix straight
+    from its raw bytes — the window table is never built.  Totality
+    matches the per-block cursor exactly: a missing restart segment or
+    a segment with fewer DATA bits than blocks raises _JpegErr (value
+    bits must be real data, never the final-byte padding).  ``cis`` is
+    None for single-component scans (``store_or_stores`` is the store);
+    interleaved scans pass the per-block component ids and the store
+    list."""
+    nu = len(bases)
+    per = per_seg if per_seg else nu
+    pos = 0
+    si = 0
+    raws = br.raw
+    while pos < nu:
+        if si >= len(raws):
+            raise _JpegErr  # more restart intervals than segments
+        raw = raws[si]
+        cnt = min(per, nu - pos)
+        if cnt > len(raw) * 8:
+            raise _JpegErr  # refinement bits are data, never padding
+        seg_bits = np.unpackbits(
+            np.frombuffer(raw, dtype=np.uint8), count=cnt
+        )
+        set_rel = np.flatnonzero(seg_bits)
+        if set_rel.size:
+            idx = pos + set_rel
+            if cis is None:
+                store_or_stores[bases[idx]] |= bit
+            else:
+                hit_cis = cis[idx]
+                for ci in np.unique(hit_cis):
+                    store_or_stores[int(ci)][
+                        bases[idx[hit_cis == ci]]
+                    ] |= bit
+        pos += cnt
+        si += 1
+
+
 def _decode_prog_scan(
     br: _JpegBits,
     scan_sel: list[tuple[int, int, int]],
     comps: list[dict],
-    stores: list[list[int]],
+    stores: list[np.ndarray],
     acnz: list[list[int]],
     huff: dict[tuple[int, int], list[int]],
     ss: int,
@@ -1193,12 +1292,35 @@ def _decode_prog_scan(
         if geo_cache is not None:
             geo_cache[key] = units
     if ss == 0:  # DC scan
-        dlut = None
-        if ah == 0:
-            dlut = [huff.get((0, dci)) for _ci, dci, _aci in scan_sel]
-            if any(t is None for t in dlut):
-                raise _JpegErr
         bit = 1 << al
+        if ah != 0:
+            # DC refinement consumes EXACTLY one raw bit per block (no
+            # huffman symbols), so the whole scan batches: per restart
+            # segment, unpack the consumed prefix of the segment's
+            # bytes in one numpy pass and OR 1<<Al into the blocks
+            # whose bit is set — no per-block cursor calls at all (the
+            # r12 profile's largest remaining per-scan Python loop).
+            if len(scan_sel) > 1:
+                cis = np.array(
+                    [ci for u in units for ci, _b in u], dtype=np.int64
+                )
+                bases = np.array(
+                    [bid * 64 for u in units for _c, bid in u],
+                    dtype=np.int64,
+                )
+                _dc_refine_bulk(
+                    br, stores, cis, bases, ri * len(units[0]) if ri else 0,
+                    bit,
+                )
+            else:
+                bases = np.asarray(units, dtype=np.int64) * 64
+                _dc_refine_bulk(
+                    br, stores[scan_sel[0][0]], None, bases, ri, bit
+                )
+            return
+        dlut = [huff.get((0, dci)) for _ci, dci, _aci in scan_sel]
+        if any(t is None for t in dlut):
+            raise _JpegErr
         mcu = 0
         if len(scan_sel) > 1:  # interleaved: nested (ci, bid) schedule
             slot_of = {scj: sj for sj, (scj, _d, _a) in enumerate(scan_sel)}
@@ -1210,34 +1332,26 @@ def _decode_prog_scan(
                 mcu += 1
                 for ci, bid in u:
                     st = stores[ci]
-                    if ah == 0:
-                        t = _pg_huff(br, dlut[slot_of[ci]])
-                        if t > 15:
-                            raise _JpegErr
-                        preds[ci] += _jpeg_extend(_pg_bits(br, t), t)
-                        st[bid * 64] = preds[ci] << al
-                    else:
-                        if _pg_bits(br, 1):
-                            st[bid * 64] |= bit
+                    t = _pg_huff(br, dlut[slot_of[ci]])
+                    if t > 15:
+                        raise _JpegErr
+                    preds[ci] += _jpeg_extend(_pg_bits(br, t), t)
+                    st[bid * 64] = preds[ci] << al
             return
-        # single-component DC scan: flat bid schedule
+        # single-component DC first scan: flat bid schedule
         st = stores[scan_sel[0][0]]
-        dl = dlut[0] if ah == 0 else None
+        dl = dlut[0]
         pred = 0
         for bid in units:
             if ri and mcu and mcu % ri == 0:
                 br.restart()
                 pred = 0
             mcu += 1
-            if ah == 0:
-                t = _pg_huff(br, dl)
-                if t > 15:
-                    raise _JpegErr
-                pred += _jpeg_extend(_pg_bits(br, t), t)
-                st[bid * 64] = pred << al
-            else:
-                if _pg_bits(br, 1):
-                    st[bid * 64] |= bit
+            t = _pg_huff(br, dl)
+            if t > 15:
+                raise _JpegErr
+            pred += _jpeg_extend(_pg_bits(br, t), t)
+            st[bid * 64] = pred << al
         return
     # AC scan: single component (validated by the caller).  Blocks
     # inside an EOB run consume no bits at all in first scans, and no
@@ -1291,9 +1405,20 @@ def _decode_prog_scan(
                         break
                     k += 16  # ZRL
         return
-    # AC refinement scan
+    # AC refinement scan.  Blocks with zero AC history consume no
+    # correction bits inside an EOB run, so runs skip straight to the
+    # next history-nonzero schedule position in one arithmetic step
+    # (the r12 code still paid one Python iteration + sidecar read per
+    # skipped block).  The pre-scan snapshot is exact: anz only
+    # changes for already-visited blocks, and each schedule position
+    # is visited at most once per scan.
     p1 = 1 << al
     m1 = -1 << al
+    nz_list = np.flatnonzero(
+        np.asarray(anz, dtype=np.int64)[np.asarray(bids, dtype=np.int64)]
+    ).tolist()
+    nnz = len(nz_list)
+    hp = 0
     i = 0
     while i < nu:
         if i == nxt_rst:
@@ -1301,11 +1426,13 @@ def _decode_prog_scan(
             eobrun = 0
             nxt_rst += ri
         if eobrun:
-            # blocks with zero AC history consume no correction bits —
-            # skip consecutive ones in bulk (one sidecar read each)
-            if anz[bids[i]] == 0:
-                eobrun -= 1
-                i += 1
+            while hp < nnz and nz_list[hp] < i:
+                hp += 1
+            next_nz = nz_list[hp] if hp < nnz else nu
+            if next_nz > i:
+                skip = min(eobrun, nxt_rst - i, nu - i, next_nz - i)
+                eobrun -= skip
+                i += skip
                 continue
         bid = bids[i]
         base = bid * 64
