@@ -841,6 +841,28 @@ def ngram_pairs_oracle_sql(
 # --- embedding near-dup ----------------------------------------------------
 
 
+def auto_n_planes(
+    n_rows: int,
+    target_bucket: int = 16,
+    tiers: tuple[int, ...] = (8, 11, 14),
+) -> int:
+    """The documented LSH sizing rule ``2**n_planes · target_bucket ≥
+    corpus`` (see :func:`embedding_neardup_pairs`), quantized to a
+    small tier ladder: the smallest tier satisfying the rule wins, the
+    largest catches everything beyond.  Quantization exists for the
+    exact-oracle story — a generated DuckDB oracle embeds one plane
+    literal set per tier, gated by the same corpus-count predicate, so
+    a continuous rule would need a plane set per integer.  The ladder
+    spans 4 096 → 32 768 → ∞ at the default target bucket of 16: a
+    saturated-bucket corpus (the r12 sf10 sweep measured candidate
+    pairs ≈ corpus²/2**n_planes once corpus ≫ 2**n_planes·max_bucket)
+    steps up before the quadratic regime starts."""
+    for p in tiers:
+        if (1 << p) * target_bucket >= n_rows:
+            return p
+    return tiers[-1]
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

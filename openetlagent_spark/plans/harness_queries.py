@@ -3172,13 +3172,20 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the LSH worst case (intrinsic dimension ~2), so candidate
     pairs grow ~quadratically in corpus size — real image embeddings
     spread far better; max_bucket caps the degenerate case either
-    way."""
-    from ..functions.dedup import embedding_neardup_pairs
+    way.  ``n_planes`` self-sizes from a cheap corpus count through
+    the engine's documented ladder (dedup.auto_n_planes: 8/11/14 at
+    ≤4 096 / ≤32 768 / beyond), so the benchmark measures LSH rather
+    than bucket saturation; the oracle embeds one gated plane-literal
+    tier per rung and stays exact at every sf."""
+    from ..functions.dedup import auto_n_planes, embedding_neardup_pairs
     from ..functions.graph import dedup_keep_best
     from ..functions.multimodal import extract_image_features, synthesize_media_bmp
     from ..functions.similarity import center_embeddings
 
     docs = _ts(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    # one narrow parquet count sizes the LSH; the oracle's tier gates
+    # run the IDENTICAL count, so query and oracle pick the same rung
+    n_planes = auto_n_planes(docs.count())
     media = synthesize_media_bmp(docs)
     feats = extract_image_features(media, dim=16, decoder="real").transform(
         materialize
@@ -3186,7 +3193,8 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centered = center_embeddings(feats, "feature", "centered", dim=16)
     pairs = embedding_neardup_pairs(
         centered, "media_id", "centered",
-        threshold=0.995, n_planes=8, n_tables=2, rademacher=True, dim=16,
+        threshold=0.995, n_planes=n_planes, n_tables=2, rademacher=True,
+        dim=16,
     )
     return dedup_keep_best(feats, pairs, "media_id", "n_bytes").select(
         "media_id", "mime", "n_bytes"
@@ -4938,20 +4946,42 @@ from ..functions.similarity import sq8_topk_oracle_sql as _sq8_topk_oracle_sql  
 HARNESS_ORACLES["ann_sq8"] = _sq8_topk_oracle_sql(k=10, refine_factor=4, dim=64)
 
 _IMG_CENTERED_SQL = _centered_oracle_sql(_IMG_FEATS_SQL, dim=16)
-HARNESS_ORACLES["image_neardup"] = _keep_best_oracle_sql(
+
+# n_planes self-sizes via dedup.auto_n_planes' tier ladder, so the
+# oracle carries one pair-mining block PER RUNG, each with that rung's
+# plane literals and the corpus-count gate pushed into the innermost
+# documents predicate — the dead rungs' feature derivation and pair
+# mining therefore run over ZERO rows, and exactly one rung (the one
+# the Spark query picked from the identical count) emits pairs.
+_IMG_SIZING = "(SELECT count(*) FROM documents WHERE doc_id % 5 = 0)"
+_IMG_TIER_GATES = [
+    (8, f"{_IMG_SIZING} <= {16 << 8}"),
+    (11, f"{_IMG_SIZING} > {16 << 8} AND {_IMG_SIZING} <= {16 << 11}"),
+    (14, f"{_IMG_SIZING} > {16 << 11}"),
+]
+_IMG_PAIRS_SQL = " UNION ALL ".join(
     "SELECT id_a, id_b FROM ("
     + _embedding_pairs_oracle_sql(
-        table=_IMG_CENTERED_SQL,
+        table=_centered_oracle_sql(
+            _image_features_bmp_oracle_sql(
+                f"doc_id % 5 = 0 AND ({gate})", dim=16
+            ),
+            dim=16,
+        ),
         id_col="media_id",
         vec_col="centered",
         threshold=0.995,
-        n_planes=8,
+        n_planes=p,
         n_tables=2,
         seed=42,
         max_bucket=2000,
         dim=16,
     )
-    + ") ep",
+    + f") ep{p}"
+    for p, gate in _IMG_TIER_GATES
+)
+HARNESS_ORACLES["image_neardup"] = _keep_best_oracle_sql(
+    _IMG_PAIRS_SQL,
     _IMG_FEATS_SQL,
     "media_id",
     "n_bytes",

@@ -195,6 +195,30 @@ def test_embedding_rademacher_matches_generated_oracle(spark):
     assert got == want and len(got) > 0
 
 
+def test_auto_n_planes_tier_ladder():
+    """The quantized LSH sizing rule image_neardup self-sizes with:
+    smallest rung satisfying 2**p · target_bucket ≥ corpus, largest
+    catches the rest.  The rung boundaries are load-bearing — the
+    generated oracle gates one plane-literal set per rung on the SAME
+    corpus-count thresholds, so moving a boundary without regenerating
+    the oracle would hash-mismatch (this pin makes that loud)."""
+    from openetlagent_spark.functions.dedup import auto_n_planes
+
+    assert auto_n_planes(0) == 8
+    assert auto_n_planes(100) == 8          # sf0.001/sf0.01 corpus
+    assert auto_n_planes(1_000) == 8        # sf0.1
+    assert auto_n_planes(16 << 8) == 8      # boundary: 4096 inclusive
+    assert auto_n_planes((16 << 8) + 1) == 11
+    assert auto_n_planes(10_000) == 11      # sf1
+    assert auto_n_planes(16 << 11) == 11    # boundary: 32768 inclusive
+    assert auto_n_planes((16 << 11) + 1) == 14
+    assert auto_n_planes(100_000) == 14     # sf10
+    assert auto_n_planes(10**9) == 14       # ladder top catches all
+    # the rule generalizes over its parameters
+    assert auto_n_planes(5_000, target_bucket=1, tiers=(10, 13)) == 13
+    assert auto_n_planes(1_000, target_bucket=1, tiers=(10, 13)) == 10
+
+
 def test_embedding_rademacher_finds_parallel_vectors(vectors):
     """±1 planes are a real LSH family: near-parallel vectors (cos
     ~0.995) agree with every ±1 plane whose dominant coordinate they
