@@ -1113,12 +1113,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fold-order cosine verify all hash-match the generated DuckDB
     oracle (functions/dedup.py embedding_pairs_oracle_sql, same seed).
     Gaussian planes remain the library default for callers that don't
-    need SQL checkability."""
-    from ..functions.dedup import embedding_neardup_pairs
+    need SQL checkability.  ``n_planes`` self-sizes from the corpus
+    count through dedup.auto_n_planes (8/11/14 ladder) — the r12 sf10
+    sweep proved the fixed default saturates every bucket at 200k
+    vectors (candidates ≈ corpus²/2**n_planes); the oracle carries one
+    count-gated plane-literal block per rung."""
+    from ..functions.dedup import auto_n_planes, embedding_neardup_pairs
 
     df = _ts(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
-        df, "vec_id", "embedding", threshold=0.3, rademacher=True
+        df, "vec_id", "embedding", threshold=0.3, rademacher=True,
+        n_planes=auto_n_planes(df.count()),
     )
 
 
@@ -3134,14 +3139,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pair mining is banded-bucket (no all-pairs), the
     component table holds only clustered nodes (a small fraction of
     the corpus), and the corpus is touched by exactly one score join
-    and one anti join — never shuffled at embedding width."""
-    from ..functions.dedup import embedding_neardup_pairs
+    and one anti join — never shuffled at embedding width.
+    ``n_planes`` self-sizes via the same auto_n_planes ladder as
+    dedup_embedding (and the oracle is tiered identically), so the
+    composition stays exact AND bucket-sane at every measured sf."""
+    from ..functions.dedup import auto_n_planes, embedding_neardup_pairs
     from ..functions.graph import dedup_keep_best
 
     emb = _ts(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     pairs = embedding_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.3, rademacher=True
+        emb, "vec_id", "embedding", threshold=0.3, rademacher=True,
+        n_planes=auto_n_planes(emb.count()),
     )
     return dedup_keep_best(docs, pairs, "doc_id", "n_chars").select(
         "doc_id", "source", "n_chars"
@@ -4267,7 +4276,27 @@ HARNESS_ORACLES["dedup_minhash"] = _ngram_pairs_oracle_sql(
 
 from ..functions.dedup import embedding_pairs_oracle_sql as _embedding_pairs_oracle_sql  # noqa: E402
 
-HARNESS_ORACLES["dedup_embedding"] = _embedding_pairs_oracle_sql(threshold=0.3)
+# dedup_embedding / semantic_dedup self-size n_planes via the
+# auto_n_planes ladder, so the oracle carries one pair-mining block per
+# rung with that rung's plane literals, gated on the SAME corpus-count
+# predicate pushed into the innermost embeddings scan (dead rungs
+# process zero rows; exactly one rung — the one the Spark query picked
+# from the identical count — emits pairs)
+_EMB_SIZING = "(SELECT count(*) FROM embeddings)"
+_EMB_TIER_GATES = [
+    (8, f"{_EMB_SIZING} <= {16 << 8}"),
+    (11, f"{_EMB_SIZING} > {16 << 8} AND {_EMB_SIZING} <= {16 << 11}"),
+    (14, f"{_EMB_SIZING} > {16 << 11}"),
+]
+_EMB_PAIRS_TIERED_SQL = " UNION ALL ".join(
+    "SELECT id_a, id_b, cosine FROM ("
+    + _embedding_pairs_oracle_sql(
+        table=f"embeddings WHERE ({gate})", threshold=0.3, n_planes=p
+    )
+    + f") ep{p}"
+    for p, gate in _EMB_TIER_GATES
+)
+HARNESS_ORACLES["dedup_embedding"] = _EMB_PAIRS_TIERED_SQL
 
 from ..functions.dedup import substring_pairs_oracle_sql as _substring_pairs_oracle_sql  # noqa: E402
 
@@ -4618,9 +4647,7 @@ HARNESS_ORACLES["dedup_keep_best"] = _keep_best_oracle_sql(
 # three composed stages share their per-stage generated SQL, so none
 # can drift from its standalone query
 HARNESS_ORACLES["semantic_dedup"] = _keep_best_oracle_sql(
-    "SELECT id_a, id_b FROM ("
-    + _embedding_pairs_oracle_sql(threshold=0.3)
-    + ") ep",
+    "SELECT id_a, id_b FROM (" + _EMB_PAIRS_TIERED_SQL + ") ep",
     "documents",
     "doc_id",
     "n_chars",
