@@ -46,11 +46,6 @@ def connected_components(
     callers treat absence as "its own singleton component" (see
     dedup_by_components)."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (
-        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist()  # re-joined every round
-    )
     # localCheckpoint (not persist): each round references the previous
     # labels TWICE (union + join), so the un-truncated logical plan
     # doubles per round — 20 rounds is a 2^20-node tree that OOMs the
@@ -59,10 +54,35 @@ def connected_components(
     # algorithm (GraphX, MLlib) does; on a cluster with a checkpoint
     # dir configured, swap for reliable checkpoint() for fault
     # tolerance beyond executor storage.
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    sym = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .transform(materialize, False, True)
+    )
+    # Init + round 1 FUSED (r13 optimization): the old identity init
+    # (distinct node list, component = node) followed by the first
+    # push round computes min(node, min(neighbors)) — but with
+    # identity labels that is a plain grouped aggregate over the edge
+    # list, no join needed.  One groupBy replaces the init action AND
+    # the first join+union+groupBy round: two fewer passes over the
+    # edge list per call, identical label state after round 1
+    # (symmetry guarantees every node appears as ``a``), so every
+    # subsequent round — and the fixpoint — is bit-identical.
+    #
+    # Rounds scale with graph DIAMETER (one hop per round).  An
+    # O(log²)-round large-star/small-star contraction variant (Kiveris
+    # et al.) was implemented and measured in r13: a contraction round
+    # costs ~10 Spark jobs against ~4 for a push round, so it loses on
+    # every shallow near-dup graph in the suite and only breaks even
+    # at diameter ≈ 17 (image_neardup's worst case: 68 push-round jobs
+    # vs 58 contraction jobs, inside the bench noise).  See
+    # OPTIMIZATION_r13.md — revisit when a real corpus produces
+    # diameters well beyond ~30, where the log-round shape wins on
+    # shuffled bytes as well as rounds.
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+        .select(F.col("a").alias("node"), "component")
         .transform(materialize, False, True)
     )
     # Convergence probe: propagation only ever DECREASES labels, so the
@@ -89,7 +109,6 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
     return labels
 
 
