@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..session import local_df
+from ..session import local_df, run_concurrent_writes
 from .similarity import (
     _array_literal,
     _write_cid_partitioned,
@@ -214,25 +214,6 @@ def build_pq_store(
     # parallelization splits 16 rows into 32 Python-RDD slices and
     # coalesce computes them sequentially in one task — ~7s per tiny
     # layer, ×3 layers per build (the r09 "index-build job storm")
-    local_df(
-        spark,
-        [(i, list(c)) for i, c in enumerate(centroids)],
-        "cid int, cen array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
-    local_df(
-        spark,
-        [(int(scale_bits), int(n_centroids), int(m), int(k_codes))],
-        "scale_bits int, n_centroids int, m int, k_codes int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    local_df(
-        spark,
-        [
-            (s, k, list(map(float, cw)))
-            for s, book in enumerate(codebooks)
-            for k, cw in enumerate(book)
-        ],
-        "sub int, code int, cw array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     cents_lit = _array_literal(centroids)
     # ONE corpus pass: write the refine layer (id, cv, cid) first, then
     # derive the codes layer FROM it — the second pass reads the
@@ -249,7 +230,42 @@ def build_pq_store(
         .withColumn("cid", nearest_centroid_ids(F.col("xq"), cents_lit, 1)[0])
         .drop("xq")
     )
-    _write_cid_partitioned(base, f"{path}/refine", "overwrite")
+    # The three tiny metadata layers and the refine layer are mutually
+    # independent writes to disjoint paths — submit them concurrently
+    # (guide §2.6: actions are only sequential because driver code
+    # calls them sequentially) so the three ~0.4s tiny-layer jobs ride
+    # along with the corpus pass instead of serializing ~1.3s of
+    # commit overhead per store build.  Only the codes layer below
+    # depends on refine.
+    def _w_centroids() -> None:
+        local_df(
+            spark,
+            [(i, list(c)) for i, c in enumerate(centroids)],
+            "cid int, cen array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    def _w_meta() -> None:
+        local_df(
+            spark,
+            [(int(scale_bits), int(n_centroids), int(m), int(k_codes))],
+            "scale_bits int, n_centroids int, m int, k_codes int",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    def _w_codebooks() -> None:
+        local_df(
+            spark,
+            [
+                (s, k, list(map(float, cw)))
+                for s, book in enumerate(codebooks)
+                for k, cw in enumerate(book)
+            ],
+            "sub int, code int, cw array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    def _w_refine() -> None:
+        _write_cid_partitioned(base, f"{path}/refine", "overwrite")
+
+    run_concurrent_writes([_w_centroids, _w_meta, _w_codebooks, _w_refine])
     # explicit schema: an all-NULL-vector corpus writes zero data
     # files, and a schema-less read would fail with an unrelated
     # inference error instead of building an (empty) store
@@ -330,10 +346,28 @@ def ann_pq_from_store(
     cand = lists.join(F.broadcast(q), "cid").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    code_words = [
-        F.element_at(_array_literal(codebooks[s]), F.col("codes")[s] + 1)
-        for s in range(m)
-    ]
+    # r13: materialize the selected codeword of each subspace ONCE as a
+    # column.  Referencing element_at(<128-double literal>, codes[s]+1)
+    # directly inside the ADC fold duplicates that subtree ~24× per
+    # subspace in the analyzed tree (dot + recon² references), which
+    # cost ~2s of driver-side analysis per serve call (measured,
+    # OPTIMIZATION_r13.md); as a non-cheap multi-consumer alias the
+    # projection survives CollapseProject, the fold sees 8 small
+    # attributes, and every per-row value — hence the oracle hash — is
+    # unchanged (element_at evaluated once per row either way).
+    cand = cand.select(
+        "query_id",
+        "neighbor_id",
+        "cid",
+        "qv",
+        *[
+            F.element_at(_array_literal(codebooks[s]), F.col("codes")[s] + 1).alias(
+                f"_x_cw{s}"
+            )
+            for s in range(m)
+        ],
+    )
+    code_words = [F.col(f"_x_cw{s}") for s in range(m)]
     scored = cand.withColumn("adc", _adc_expr(F.col("qv"), code_words, codebooks))
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc_nulls_last(), F.col("neighbor_id").asc()

@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..session import local_df
+from ..session import local_df, run_concurrent_writes
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -676,6 +676,66 @@ def _lloyd(
     embed the constants bit-identically."""
     if len(sample) < k:
         raise ValueError(f"{label}={k} exceeds the {len(sample)} sampled vectors")
+    # numpy fast path (r13: the interpreted triple loop cost ~1.5s per
+    # PQ/IVF store build at sample_size=2048 — ~4M Python float ops per
+    # fit).  Bit-identical to _lloyd_reference: distances accumulate
+    # per-dim in ascending-j order (acc = acc + d*d, one vectorized op
+    # per dim), argmin keeps the FIRST minimum exactly like the
+    # strict-< scan, cluster sums are exact int64, and the final s/cnt
+    # division converts int64→float64 exactly (both < 2^53) before the
+    # identical IEEE divide.  Guarded: coordinates beyond 2^52 (never
+    # produced by _quantize's grids) fall back to the arbitrary-
+    # precision reference loop.  Pinned by
+    # tests/test_optimization_r13.py::test_lloyd_numpy_matches_reference.
+    try:
+        X = np.asarray(sample, dtype=np.int64)
+    except (OverflowError, ValueError):
+        return _lloyd_reference(sample, k, iters, label)
+    if X.ndim != 2 or (X.size and np.abs(X).max() >= (1 << 52)):
+        return _lloyd_reference(sample, k, iters, label)
+    dim = X.shape[1] if X.size else 0
+    Xf = X.astype(np.float64)
+    cents_a = Xf[:k].copy()
+    rats: list[list[tuple[int, int]]] = [
+        [(int(v), 1) for v in sample[j]] for j in range(k)
+    ]
+    for _ in range(iters):
+        acc = np.zeros((X.shape[0], k), dtype=np.float64)
+        for j in range(dim):  # ascending j — the reference fold order
+            d = Xf[:, j, None] - cents_a[None, :, j]
+            acc += d * d
+        assign = np.argmin(acc, axis=1)  # first min == strict-< lower-cid ties
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, assign, X)
+        cnts = np.bincount(assign, minlength=k)
+        nonempty = cnts > 0
+        new_cents = cents_a.copy()
+        if dim:
+            new_cents[nonempty] = sums[nonempty].astype(np.float64) / cnts[
+                nonempty
+            ].astype(np.float64)[:, None]
+        cents_a = new_cents
+        rats = [
+            [(int(s), int(cnts[cid])) for s in sums[cid]]
+            if cnts[cid]
+            else rats[cid]
+            for cid in range(k)
+        ]
+    return [[float(v) for v in row] for row in cents_a], rats
+
+
+def _lloyd_reference(
+    sample: list[list[int]],
+    k: int,
+    iters: int,
+    label: str = "k",
+) -> tuple[list[list[float]], list[list[tuple[int, int]]]]:
+    """The original pure-Python integer-grid Lloyd loop — kept as the
+    semantic reference for :func:`_lloyd`'s numpy fast path (and the
+    fallback for out-of-int64-grid inputs).  Any change here must keep
+    the two bit-identical (test_lloyd_numpy_matches_reference)."""
+    if len(sample) < k:
+        raise ValueError(f"{label}={k} exceeds the {len(sample)} sampled vectors")
     dim = len(sample[0]) if sample else 0
     cents = [[float(v) for v in sample[j]] for j in range(k)]
     rats: list[list[tuple[int, int]]] = [
@@ -1290,30 +1350,43 @@ def build_ann_store(
             corpus, id_col, vec_col, n_centroids, iters, sample_size, scale_bits
         )
     spark = corpus.sparkSession
+    cents_lit = _array_literal(cents)
+
     # local_df, not createDataFrame().coalesce(1) — the tiny-layer
-    # sequential-slice storm, see session.local_df
-    local_df(
-        spark,
-        [(i, list(c)) for i, c in enumerate(cents)],
-        "cid int, cen array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # sequential-slice storm, see session.local_df.  All three layers
+    # are independent writes to disjoint paths: run them concurrently
+    # (session.run_concurrent_writes, guide §2.6) so the two tiny
+    # metadata jobs ride along with the corpus-pass lists write.
+    def _w_centroids() -> None:
+        local_df(
+            spark,
+            [(i, list(c)) for i, c in enumerate(cents)],
+            "cid int, cen array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+
     # build parameters the serve side must agree on: quantizing queries
     # on a different grid than the build silently breaks bit-identity
-    local_df(
-        spark, [(int(scale_bits), int(n_centroids))], "scale_bits int, n_centroids int"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    cents_lit = _array_literal(cents)
-    _write_cid_partitioned(
-        corpus.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-            nearest_centroid_ids(
-                _quantize(F.col(vec_col), scale_bits), cents_lit, 1
-            )[0].alias("cid"),
-        ),
-        f"{path}/lists",
-        "overwrite",
-    )
+    def _w_meta() -> None:
+        local_df(
+            spark,
+            [(int(scale_bits), int(n_centroids))],
+            "scale_bits int, n_centroids int",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    def _w_lists() -> None:
+        _write_cid_partitioned(
+            corpus.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+                nearest_centroid_ids(
+                    _quantize(F.col(vec_col), scale_bits), cents_lit, 1
+                )[0].alias("cid"),
+            ),
+            f"{path}/lists",
+            "overwrite",
+        )
+
+    run_concurrent_writes([_w_centroids, _w_meta, _w_lists])
 
 
 def ann_store_is_pq(meta: dict, store_path: str) -> bool:

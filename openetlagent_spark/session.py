@@ -31,7 +31,27 @@ def get_spark(app_name: str = "openetlagent-spark", master: str | None = None) -
         # (see tests/test_sorted_layout.py for the measured difference).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (headless bench/CI); SPARK_GRAFT_UI=1 turns it
+        # on for profiling sessions (scripts/profile_query.py reads the
+        # REST API for per-stage attribution — guide §7.1)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
+        # PySpark 4's DataFrame debugging captures the Python call site
+        # on EVERY Column/DataFrame op (a stack walk + py4j round-trip
+        # per op, pyspark/errors/utils.py _with_origin) purely to
+        # enrich error messages.  On expression-heavy plans this is the
+        # single largest DRIVER cost: sq8_topk's 64-dim quantize/fold
+        # construction measured 19.5s with it on vs 2.7s off (r13
+        # profiling, ~30k py4j round-trips removed).  The driver is
+        # serial at any cluster size, so this is a scale win, not a
+        # local[] tune.  SPARK_GRAFT_DF_DEBUG=1 restores the capture
+        # when debugging an actual error site.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_DF_DEBUG") == "1" else "false",
+        )
         # console progress bars interleave \r-terminated fragments into
         # harness stdout and corrupt line-oriented log parsing
         .config("spark.ui.showConsoleProgress", "false")
@@ -141,6 +161,33 @@ def local_df(spark: SparkSession, rows: list, schema: str):
     collected model weights): one partition is the point, not a
     limitation."""
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
+def run_concurrent_writes(thunks: list) -> None:
+    """Run independent write actions concurrently from driver threads
+    (guide §2.6: Spark happily schedules several jobs at once — actions
+    are only sequential because driver code calls them sequentially).
+
+    Store builders write 2–4 mutually-independent layers (meta,
+    centroids, codebooks, lists/refine) to DISJOINT paths; serializing
+    them stacks ~0.4s of job+commit overhead per tiny layer.  FIFO
+    scheduling back-fills the big layer's task tail with the tiny
+    jobs, so the wall cost of the tiny layers disappears.
+
+    Callers must pass thunks whose writes are independent (no thunk
+    reads a path another thunk writes).  Exceptions propagate: all
+    thunks are awaited, the first failure re-raises."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
 
 
 def free_local_checkpoints(spark: SparkSession) -> int:
