@@ -44,7 +44,21 @@ def connected_components(
 
     Isolated nodes never enter the edge list, so they are not emitted —
     callers treat absence as "its own singleton component" (see
-    dedup_by_components)."""
+    dedup_by_components).
+
+    STEP-BUDGET CONTRACT (load-bearing, r13): the result is defined as
+    the label state after EXACTLY ``max_iter`` min-label push steps
+    (early exit allowed only at the fixpoint, which later steps cannot
+    change).  components_oracle_sql unrolls the same ``rounds =
+    max_iter`` recurrence, and a graph whose diameter exceeds the
+    budget (the sf1 embedding graph's ~20k-node threshold-0.3
+    component does) is TRUNCATED identically on both sides — so any
+    restructuring here must conserve the total push count, not just
+    the fixpoint.  The r13 init+round-1 fusion initially violated this
+    (26 pushes vs the oracle's 25; caught by the sf1 oracle re-check,
+    OPTIMIZATION_r13.md) — the fused init now consumes push #1 of the
+    budget.  Pinned by test_optimization_r13.py's truncated-path-graph
+    oracle comparison."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # localCheckpoint (not persist): each round references the previous
     # labels TWICE (union + join), so the un-truncated logical plan
@@ -92,23 +106,52 @@ def connected_components(
     def label_sum(lbl: DataFrame):
         return lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev_sum = label_sum(labels)
-    for _ in range(max_iter):
+    # TWO push steps per materialize+probe cycle (r13 optimization):
+    # the expensive per-cycle items at any scale are the label-table
+    # checkpoint WRITE and the convergence-probe action, not the
+    # join+groupBy compute — so chain two propagation hops into one
+    # lazily-planned query and pay one checkpoint + one probe per TWO
+    # hops.  Composition is exact: the label state after N pushes is
+    # f^N regardless of where the materialization boundaries sit, so
+    # cycle grouping changes nothing — converged or truncated.  The
+    # probe stays sound: the decimal label sum strictly decreases
+    # whenever EITHER hop changed any label, so sum-unchanged ⟺ both
+    # hops were no-ops ⟺ fixpoint.  Plan depth per cycle is two
+    # join+groupBy levels — constant, not the exponential-doubling
+    # trap the checkpoint guards against.
+    #
+    # Budget accounting (see the step-budget contract above): the
+    # fused init consumed push #1, leaving max_iter - 1 pushes —
+    # (max_iter - 1) // 2 double cycles plus one final single push
+    # when max_iter is even.
+    def push(lbl: DataFrame) -> DataFrame:
         # each node's neighbors push their current label to it
-        pushed = sym.join(labels, sym["a"] == labels["node"]).select(
+        pushed = sym.join(lbl, sym["a"] == lbl["node"]).select(
             F.col("b").alias("node"), F.col("component")
         )
-        new_labels = (
-            labels.unionByName(pushed)
+        return (
+            lbl.unionByName(pushed)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .transform(materialize, False, True)
         )
+
+    prev_sum = label_sum(labels)
+    remaining = max_iter - 1
+    converged = False
+    for _ in range(remaining // 2):
+        new_labels = push(push(labels)).transform(materialize, False, True)
         new_sum = label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged and remaining % 2:
+        # odd remainder: one last single push lands exactly on the
+        # max_iter-push state the oracle unrolls
+        new_labels = push(labels).transform(materialize, False, True)
+        new_sum = label_sum(new_labels)
+        labels = new_labels
     return labels
 
 

@@ -81,3 +81,58 @@ def test_run_concurrent_writes_single_thunk_inline():
     out = []
     run_concurrent_writes([lambda: out.append(1)])
     assert out == [1]
+
+
+# --- connected_components step-budget contract ------------------------
+
+import duckdb
+from pyspark.sql import functions as F
+
+from openetlagent_spark.functions.graph import (
+    components_oracle_sql,
+    connected_components,
+)
+
+
+def _cc_vs_oracle(spark, edges_rows, max_iter):
+    """Engine CC at ``max_iter`` vs the DuckDB oracle unrolled at the
+    same round count — must match even when the graph is TRUNCATED
+    (diameter > budget), the contract the r13 fusion initially broke."""
+    df = spark.createDataFrame(edges_rows, "id_a bigint, id_b bigint")
+    got = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(df, max_iter=max_iter).collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in edges_rows)
+    pairs_sql = f"SELECT * FROM (VALUES {vals}) AS t(id_a, id_b)"
+    sql = components_oracle_sql(pairs_sql, rounds=max_iter)
+    want = sorted((int(r[0]), int(r[1])) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_cc_truncated_path_matches_oracle(spark):
+    # 40-node path: diameter 39 >> any small budget, so every budget
+    # below 39 exercises the TRUNCATED state, push for push
+    path = [(i, i + 1) for i in range(40)]
+    for budget in (1, 2, 3, 4, 5, 8, 25):
+        _cc_vs_oracle(spark, path, budget)
+
+
+def test_cc_converged_path_matches_oracle(spark):
+    # diameter 4 converges well inside 25 — early exit must land on
+    # the same fixpoint the unrolled oracle reaches
+    path = [(i, i + 1) for i in range(4)]
+    _cc_vs_oracle(spark, path, 25)
+
+
+def test_cc_multi_component_truncation(spark):
+    # two chains + a triangle, odd and even budgets (odd budgets take
+    # the final-single-push branch after the fused init)
+    edges = (
+        [(i, i + 1) for i in range(10)]
+        + [(100 + i, 101 + i) for i in range(7)]
+        + [(200, 201), (201, 202), (200, 202)]
+    )
+    for budget in (2, 3, 6, 7):
+        _cc_vs_oracle(spark, edges, budget)
