@@ -28,10 +28,18 @@ TOUCHED = [
     "image_neardup",
     "dedup_embedding",
     "semantic_dedup",
-    # connected-components init+round-1 fusion
+    # connected-components init+round-1 fusion + double-step cycles
     "dedup_clusters",
     "dedup_keep_best",
     "fuzzy_dedup",
+    # session-2 driver-overhead batch (numpy lloyd, concurrent layer
+    # writes, ADC codeword columns, call-site capture off)
+    "ann_pq",
+    "ann_sq8",
+    "ann_store",
+    "ann_store_append",
+    "ann_ivf_topk",
+    "knn_label",
 ]
 
 
