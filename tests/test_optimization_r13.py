@@ -136,3 +136,87 @@ def test_cc_multi_component_truncation(spark):
     )
     for budget in (2, 3, 6, 7):
         _cc_vs_oracle(spark, edges, budget)
+
+
+# --- r13 double-step cycles for the fixed-round iterative operators --------
+#
+# label_propagation / kcore / bfs_hops now materialize every TWO rounds
+# instead of every round.  The rounds are fixed deterministic recurrences
+# with no convergence probe, so cycle grouping must be value-identical at
+# EVERY round count — including odd counts (which exercise the final
+# single-round cycle) and counts where the graph has not yet converged
+# (the CC step-budget lesson: verify the truncated states, not just the
+# fixpoint).
+
+from openetlagent_spark.functions.graph import (  # noqa: E402
+    bfs_hops,
+    bfs_hops_oracle_sql,
+    kcore,
+    kcore_oracle_sql,
+    label_propagation,
+    label_propagation_oracle_sql,
+)
+
+
+def _values_sql(rows, cols):
+    vals = ", ".join("(" + ", ".join(str(v) for v in r) + ")" for r in rows)
+    return f"(SELECT * FROM (VALUES {vals}) AS t({', '.join(cols)}))"
+
+
+def _graph_frames(spark, n_nodes, edge_rows):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node bigint")
+    edges = spark.createDataFrame(edge_rows, "src bigint, dst bigint")
+    nodes_sql = _values_sql([(i,) for i in range(n_nodes)], ["node"])
+    edges_sql = _values_sql(edge_rows, ["src", "dst"])
+    return nodes, edges, nodes_sql, edges_sql
+
+
+# Two 4-cliques bridged by a long path: LP fronts keep moving for many
+# rounds, kcore peels the path one layer per round from each end, BFS
+# expands one hop per round — every round count below convergence yields
+# a DIFFERENT state, so each pin checks the exact intermediate.
+_CLIQUE_A = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+_CLIQUE_B = [(20 + a, 20 + b) for a in range(4) for b in range(a + 1, 4)]
+_PATH = [(3, 10), (10, 11), (11, 12), (12, 13), (13, 14), (14, 20)]
+_GRAPH = _CLIQUE_A + _CLIQUE_B + _PATH
+_N = 24  # nodes 0..23 (ids 4..9 and 15..19 are isolated — keep-own rows)
+
+
+def test_label_propagation_cycles_match_oracle(spark):
+    nodes, edges, nodes_sql, edges_sql = _graph_frames(spark, _N, _GRAPH)
+    con = duckdb.connect()
+    for iters in (1, 2, 3, 4, 5):
+        got = sorted(
+            (r["node"], r["community"], r["community_size"])
+            for r in label_propagation(nodes, edges, iters=iters).collect()
+        )
+        sql = label_propagation_oracle_sql(nodes_sql, edges_sql, iters=iters)
+        want = sorted(
+            (int(a), int(b), int(c)) for a, b, c in con.execute(sql).fetchall()
+        )
+        assert got == want, f"label_propagation iters={iters}"
+
+
+def test_kcore_cycles_match_oracle(spark):
+    nodes, edges, nodes_sql, edges_sql = _graph_frames(spark, _N, _GRAPH)
+    con = duckdb.connect()
+    for rounds in (1, 2, 3, 4, 5):
+        got = sorted(
+            (r["node"], r["degree"])
+            for r in kcore(nodes, edges, k=2, rounds=rounds).collect()
+        )
+        sql = kcore_oracle_sql(nodes_sql, edges_sql, k=2, rounds=rounds)
+        want = sorted((int(a), int(b)) for a, b in con.execute(sql).fetchall())
+        assert got == want, f"kcore rounds={rounds}"
+
+
+def test_bfs_hops_cycles_match_oracle(spark):
+    nodes, edges, nodes_sql, edges_sql = _graph_frames(spark, _N, _GRAPH)
+    con = duckdb.connect()
+    for hops in (1, 2, 3, 4):
+        got = sorted(
+            (r["node"], r["hops"]) for r in bfs_hops(nodes, edges, hops).collect()
+        )
+        sql = bfs_hops_oracle_sql(nodes_sql, edges_sql, hops)
+        want = sorted((int(a), int(b)) for a, b in con.execute(sql).fetchall())
+        assert got == want, f"bfs_hops max_hops={hops}"
