@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _array_literal, infer_dim
+from .similarity import infer_dim
 
 
 def _quantize(vec_col: Column, scale_bits: int) -> Column:
@@ -105,43 +105,44 @@ def kmeans_assign(
     def centroid_doubles() -> list[list[float]]:
         return [[s / cnt for s in sums] for sums, cnt in state]
 
-    def dist_to(cen_lit: Column, j: int) -> Column:
-        # ((0 + (x1-c1)^2) + (x2-c2)^2) + ... — fixed fold order, exact
-        # inputs, so bit-identical to the oracle's unrolled chain
-        cen_j = F.element_at(cen_lit, j + 1)
-
-        def step(acc: Column, pair: Column) -> Column:
-            return acc + pair
-
-        diffs = F.zip_with(
-            F.col("xq").cast("array<double>"),
-            cen_j,
-            lambda x, c: (x - c) * (x - c),
-        )
-        return F.aggregate(diffs, F.lit(0.0), step)
-
     def assigned() -> DataFrame:
-        cen_lit = _array_literal(centroid_doubles())
-        choice = F.array_min(
-            F.array(
-                *[
-                    F.struct(dist_to(cen_lit, j).alias("d"), F.lit(j).alias("cid"))
-                    for j in range(k)
-                ]
-            )
+        # One parsed SQL expression per assignment pass (r13): the
+        # Column-op construction of k zip_with/aggregate folds cost
+        # 0.7-1.4 s of serial DRIVER time per build (3 builds per call;
+        # the lambda machinery is py4j-chatty even with call-site
+        # capture off), vs ~0.1 s formatting+parsing the identical
+        # expression as SQL text with each centroid's 64 doubles
+        # inlined per struct.  The parsed tree is the same
+        # zip_with/aggregate fold — ((0 + (x1-c1)^2) + (x2-c2)^2) + …,
+        # fixed fold order, exact inputs — so values stay bit-identical
+        # to the oracle's unrolled chain (pinned:
+        # test_optimization_r13.py kmeans construction pin;
+        # repr(float) round-trips each coordinate exactly, the
+        # _array_literal convention).
+        cents = centroid_doubles()
+
+        def arr(c: list[float]) -> str:
+            return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+
+        structs = ",".join(
+            f"struct(aggregate(zip_with(cast(xq as array<double>), {arr(cents[j])}, "
+            f"(x, c) -> (x - c) * (x - c)), 0.0D, (acc, v) -> acc + v) AS d, "
+            f"{j} AS cid)"
+            for j in range(k)
         )
+        choice = F.expr(f"array_min(array({structs}))")
         return base.select(
             "__id__", "xq", choice["cid"].alias("cluster"), choice["d"].alias("dist")
         )
 
+    # sum terms as parsed SQL for the same driver-time reason (one
+    # py4j call per term instead of three)
+    sum_terms = [F.expr(f"sum(element_at(xq, {j + 1})) AS s{j}") for j in range(dim)]
     for _ in range(iters):
         sums_rows = (
             assigned()
             .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[F.sum(F.element_at("xq", j + 1)).alias(f"s{j}") for j in range(dim)],
-            )
+            .agg(F.count(F.lit(1)).alias("cnt"), *sum_terms)
             .collect()
         )
         by_cid = {r["cluster"]: r for r in sums_rows}

@@ -220,3 +220,61 @@ def test_bfs_hops_cycles_match_oracle(spark):
         sql = bfs_hops_oracle_sql(nodes_sql, edges_sql, hops)
         want = sorted((int(a), int(b)) for a, b in con.execute(sql).fetchall())
         assert got == want, f"bfs_hops max_hops={hops}"
+
+
+# --- r13 kmeans assignment as one parsed SQL expression ---------------------
+#
+# kmeans_assign builds its k-way distance argmin as formatted SQL text
+# (one F.expr parse) instead of nested Column-op zip_with/aggregate
+# lambdas — ~10× cheaper driver-side construction.  The parsed tree
+# must stay bit-identical to the Column-op formulation it replaced.
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_kmeans_sql_assignment_matches_column_ops(spark):
+    import random as _random
+
+    rng = _random.Random(7)
+    rows = [
+        (i, [rng.randint(-1000, 1000) for _ in range(8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, xq array<bigint>")
+    # centroids with non-terminating double reprs (exercise exact
+    # round-tripping through the SQL literal)
+    cents = [[(rng.randint(-3000, 3000)) / 7.0 for _ in range(8)] for _ in range(4)]
+
+    def column_op_choice():
+        def dist_to(j):
+            diffs = F.zip_with(
+                F.col("xq").cast("array<double>"),
+                F.lit(cents[j]),
+                lambda x, c: (x - c) * (x - c),
+            )
+            return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(dist_to(j).alias("d"), F.lit(j).alias("cid"))
+                    for j in range(len(cents))
+                ]
+            )
+        )
+
+    def sql_choice():
+        def arr(c):
+            return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+
+        structs = ",".join(
+            f"struct(aggregate(zip_with(cast(xq as array<double>), {arr(cents[j])}, "
+            f"(x, c) -> (x - c) * (x - c)), 0.0D, (acc, v) -> acc + v) AS d, "
+            f"{j} AS cid)"
+            for j in range(len(cents))
+        )
+        return F.expr(f"array_min(array({structs}))")
+
+    a = df.select("id", column_op_choice().alias("ch"))
+    b = df.select("id", sql_choice().alias("ch"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
