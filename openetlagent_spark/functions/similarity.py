@@ -100,6 +100,24 @@ def _sq8_dq_col(v_j: Column, m_j: Column, x_j: Column) -> Column:
     return F.when(r > 0, m_j + (code * r) / F.lit(255.0)).otherwise(m_j)
 
 
+def _sq8_dq_sql(v_j: str, m_j: str, x_j: str) -> str:
+    """_sq8_dq_col as formatted SQL text — the IDENTICAL op tree, one
+    F.expr parse instead of ~12 py4j Column calls per dimension (r13:
+    sq8's 64-dim construction cost ~1.6 s of serial driver time per
+    query; parsed-SQL construction is ~0.2 s — the kmeans_assign /
+    _array_literal precedent).  Bit-identity pinned by
+    test_optimization_r13.py against the Column-op builder."""
+    r = f"({x_j} - {m_j})"
+    code = (
+        f"LEAST(255.0D, GREATEST(0.0D, "
+        f"CAST(FLOOR((({v_j} - {m_j}) * 255.0D) / {r}) AS DOUBLE)))"
+    )
+    return (
+        f"CASE WHEN {r} > 0 THEN {m_j} + (({code} * {r}) / 255.0D) "
+        f"ELSE {m_j} END"
+    )
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -141,8 +159,8 @@ def sq8_topk(
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
     stats = c.agg(
-        *[F.min(F.col("cv")[j]).alias(f"m{j}") for j in range(dim)],
-        *[F.max(F.col("cv")[j]).alias(f"x{j}") for j in range(dim)],
+        *[F.expr(f"min(cv[{j}]) AS m{j}") for j in range(dim)],
+        *[F.expr(f"max(cv[{j}]) AS x{j}") for j in range(dim)],
     )
     q = queries.filter(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
@@ -161,26 +179,34 @@ def sq8_topk(
         "neighbor_id",
         "cv",
         *[
-            _sq8_dq_col(F.col("cv")[j], F.col(f"m{j}"), F.col(f"x{j}")).alias(
-                f"_x_dq{j}"
+            F.expr(
+                _sq8_dq_sql(f"cv[{j}]", f"m{j}", f"x{j}") + f" AS _x_dq{j}"
             )
             for j in range(dim)
         ],
     )
-    nd: Column = F.lit(0.0)
-    for j in range(dim):
-        nd = nd + F.col(f"_x_dq{j}") * F.col(f"_x_dq{j}")
-    cd = cd.withColumn("_x_nd", nd)
-    nq: Column = F.lit(0.0)
-    for j in range(dim):
-        nq = nq + F.col("qv")[j] * F.col("qv")[j]
-    qn = q.withColumn("_x_nq", nq)
+
+    def _fold_sql(term) -> str:
+        # ((0.0 + t0) + t1) + ... — same left-associated chain the
+        # Column-op loops built
+        acc = "0.0D"
+        for j in range(dim):
+            acc = f"({acc} + {term(j)})"
+        return acc
+
+    cd = cd.withColumn(
+        "_x_nd", F.expr(_fold_sql(lambda j: f"(_x_dq{j} * _x_dq{j})"))
+    )
+    qn = q.withColumn(
+        "_x_nq", F.expr(_fold_sql(lambda j: f"(qv[{j}] * qv[{j}])"))
+    )
     cand = cd.join(F.broadcast(qn), F.col("query_id") != F.col("neighbor_id"))
-    dot: Column = F.lit(0.0)
-    for j in range(dim):
-        dot = dot + F.col("qv")[j] * F.col(f"_x_dq{j}")
     scored = cand.withColumn(
-        "adc", F.try_divide(dot, F.sqrt(F.col("_x_nq")) * F.sqrt(F.col("_x_nd")))
+        "adc",
+        F.try_divide(
+            F.expr(_fold_sql(lambda j: f"(qv[{j}] * _x_dq{j})")),
+            F.sqrt(F.col("_x_nq")) * F.sqrt(F.col("_x_nd")),
+        ),
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc_nulls_last(), F.col("neighbor_id").asc()

@@ -278,3 +278,26 @@ def test_kmeans_sql_assignment_matches_column_ops(spark):
     b = df.select("id", sql_choice().alias("ch"))
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+# --- r13 sq8 expression trees as parsed SQL ---------------------------------
+
+
+def test_sq8_dq_sql_matches_column_ops(spark):
+    from openetlagent_spark.functions.similarity import _sq8_dq_col, _sq8_dq_sql
+
+    rows = [
+        (0, 1.37, -2.0, 5.0),     # interior
+        (1, -2.0, -2.0, 5.0),     # at min → code 0
+        (2, 5.0, -2.0, 5.0),      # at max → clamp 255
+        (3, 9.9, -2.0, 5.0),      # above max → clamp
+        (4, -7.7, -2.0, 5.0),     # below min → clamp 0
+        (5, 3.3, 2.5, 2.5),       # degenerate r=0 → min
+        (6, 0.1, 2.5, 2.0),       # r<0 (inverted grid) → min branch
+        (7, 1e-17, 0.0, 1e-16),   # tiny range rounding
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double, m double, x double")
+    a = df.select("id", _sq8_dq_col(F.col("v"), F.col("m"), F.col("x")).alias("dq"))
+    b = df.select("id", F.expr(_sq8_dq_sql("v", "m", "x")).alias("dq"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
