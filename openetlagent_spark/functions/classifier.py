@@ -492,13 +492,18 @@ def classifier_train(
         feats = materialize(feats)
     for it in range(start_round, start_round + iters):
         lr = 1 << (lr_bits + it)
-        w_lit = _array_literal(w)
-        margin = F.aggregate(
-            F.transform(
-                F.col("__bs__"), lambda b: F.element_at(w_lit, (b + 1).cast("int"))
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+        # margin as ONE parsed SQL expression per round (r13): the
+        # Column-op lambda construction cost ~0.1 s of serial driver
+        # time per round (×8 rounds ×4 classifier queries on the
+        # bench); the SQL text parses to the IDENTICAL
+        # transform/aggregate fold — same element_at indexing, same
+        # 0.0 double seed, same left-to-right add — so weights (and
+        # the driver-hashed oracles) are unchanged.  repr() round-trips
+        # each weight exactly (the _array_literal convention).
+        w_sql = "array(" + ",".join(f"{float(v)!r}D" for v in w) + ")"
+        margin = F.expr(
+            f"aggregate(transform(__bs__, b -> element_at({w_sql}, "
+            f"cast(b + 1 as int))), 0.0D, (a, x) -> a + x)"
         )
         grad_rows = (
             feats.where(F.col("__y__") * margin <= F.lit(0.0))
