@@ -1182,6 +1182,7 @@ def bpe_train(
     )
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     cur = vocab.select("n", F.split(F.col("w"), "").alias("sym")).persist()
+    prev = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for r in range(1, n_merges + 1):
@@ -1193,15 +1194,24 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # the argmax is a FULL scan of ``cur``, so it has just
+            # populated cur's cache — the previous round's cache can
+            # now be released without re-deriving anything (r13: this
+            # deferred unpersist replaces a per-round count() job whose
+            # only purpose was cache materialization — one job per
+            # merge round instead of two; values untouched)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             a, b, tot = top[0]["pair_left"], top[0]["pair_right"], int(top[0]["n_pairs"])
             merges.append((r, a, b, a + b, tot))
             nxt = cur.select("n", _bpe_merge_fold(F.col("sym"), a, b).alias("sym")).persist()
-            nxt.count()  # materialize before releasing the parent round
-            cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         cur.unpersist()
     return spark.createDataFrame(
         merges,
