@@ -11,43 +11,42 @@ HARNESS_QUERIES.update(TPCH_MORE_QUERIES)
 HARNESS_ORACLES.update(TPCH_MORE_ORACLES)
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# ``queries()`` per round.  Round 13's rotation is pure staleness
+# ``queries()`` per round.  Round 14's rotation is pure staleness
 # refresh, committed as the FIRST action of the round per the standing
-# rotation discipline (r12 VERDICT task 2 names exactly this front).
-# The staleness tail after r12 is 2 r07 rows (`cms_counts` +
-# `hll_distinct`, displaced from earlier fronts) followed by the
-# 50-row r08 band (`scripts/staleness.py`).  2 + 50 > 50, so the two
-# r08 rows last in staleness order — `heavy_hitters` and
-# `bind_multikey` — wait and head the r14 backlog alongside whatever
-# round-13 additions displace from this front's tail.  After this
-# front lands, no driver hash is older than r08, and only those two
-# rows plus mid-round displacements remain at r08.  Every name below
-# passed a local driver-strength exact check (scripts/check_oracle.py,
-# sf0.01, exact mode, type-sensitive full-precision hash) in this
-# session before this commit: 50/50 ALL PASS.
-_ROUND13_FRONT = [
-    # the two r07 rows — the round's explicit rotation targets
-    "cms_counts", "hll_distinct",
-    # r08 band: reference-core operators + flagship
-    "equality", "concatenation", "application", "assignation",
-    "casting", "comparison", "flagship",
-    # r08 band: text / ANN / sessions / joins
-    "lang_id", "ann_store", "session_window", "asof_join",
-    "range_join", "rollup",
-    # r08 band: classifier family
-    "classifier_file", "classifier_train", "classifier_warm",
-    "distill_gate", "classifier_eval",
-    # r08 band: timeseries / joins / quality gates
-    "time_weighted_avg", "bucketed_join", "row_expectations",
-    "sql_transform", "weighted_sample", "embedding_gram",
-    # r08 band: TPC-H families
-    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q2", "tpch_q4", "tpch_q7",
-    "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q22",
-    # r08 band: grouping / percentiles / sketches + stores
-    "grouping_sets", "percentile", "approx_distinct", "hll_store",
-    "cms_store", "quantile_sketch", "qsketch_store",
-    "qsketch_prefilter", "kmv_distinct", "kmv_set_overlap",
-    "kmv_store", "rollup_store", "rollup_day", "spike_buckets",
+# rotation discipline (r13 VERDICT task 6 names `heavy_hitters` +
+# `bind_multikey` explicitly).  The staleness tail after r13 is the 2
+# r08 stragglers followed by the 50-row r09 band
+# (`scripts/staleness.py`).  2 + 50 > 50, so the two r09 rows last in
+# staleness order — `window_distinct_users` and `cohort_retention` —
+# wait and head the r15 backlog alongside whatever this front's tail
+# displaces.  After this front lands, no driver hash is older than
+# r09.  Every name below passed a local driver-strength exact check
+# (scripts/check_oracle.py, sf0.01, exact mode, type-sensitive
+# full-precision hash) in this session before this commit: 50/50 ALL
+# PASS.
+_ROUND14_FRONT = [
+    # the two r08 rows — the round's explicit rotation targets
+    "heavy_hitters", "bind_multikey",
+    # r09 band, staleness order: text/search scoring
+    "fuzzy_join", "tfidf_topk", "bigram_lm", "doc_lm_score",
+    "running_totals", "curation_pipeline", "profile_table",
+    "outlier_flags", "bpe_pairs",
+    # r09 band: dedup / clustering / ANN stores
+    "dedup_simhash", "dedup_substring", "kmeans_clusters",
+    "ann_store_append", "pq_codebooks", "ann_pq", "knn_label",
+    # r09 band: timeseries / graph / mining
+    "ohlc_bars", "triangle_count", "dataset_drift", "collocations",
+    "association_rules", "markov_transitions", "changepoint",
+    "skyline", "ewma", "rolling_median", "label_propagation",
+    "temperature_mixture", "kcore", "skipgram_pairs",
+    "negative_sampling", "layout_audit",
+    # r09 band: layout / sessions / SCD
+    "compacted_layout", "image_decode", "sessionize",
+    "dataset_mixture", "dedup_clusters", "sql_join", "merge_changes",
+    "scd2_history", "stratified_sample", "chunk_docs",
+    # r09 band: windows / sets
+    "window_moving_avg", "topk_per_group", "cooccurrence_pairs",
+    "set_intersect", "set_except", "explode_tokens",
 ]
 
 
@@ -68,7 +67,7 @@ def _reorder(front: list[str], mapping: dict) -> dict:
     return {**head, **tail}
 
 
-_reordered = _reorder(_ROUND13_FRONT, HARNESS_QUERIES)
+_reordered = _reorder(_ROUND14_FRONT, HARNESS_QUERIES)
 HARNESS_QUERIES.clear()
 HARNESS_QUERIES.update(_reordered)
 
