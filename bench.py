@@ -296,13 +296,18 @@ HEADLINE = [
 
 
 # Drift canary (r12 VERDICT task 7): a fixed 10-query reference-plan
-# set timed 3× at the start of every full bench session, BEFORE the
-# headline loop.  Round-over-round, the canary medians separate host
-# drift from real regression: if the canaries moved together on plans
-# nobody touched, the window is hot/cold and the headline totals are
-# not comparable across rounds; if one headline query moved while the
-# canaries held, that's a regression.  Never change this list — its
-# value is that the plans stay frozen across rounds.
+# set timed 3× once per full bench session.  Round-over-round, the
+# canary medians separate host drift from real regression: if the
+# canaries moved together on plans nobody touched, the window is
+# hot/cold and the headline totals are not comparable across rounds;
+# if one headline query moved while the canaries held, that's a
+# regression.  Never change this list — its value is that the plans
+# stay frozen across rounds.  r14 (r13 VERDICT task 3): the canary now
+# runs AFTER the headline loop — running it first gave the headline's
+# early slots free JIT/code-cache warm-up that no pre-canary round
+# had, biasing cross-round sf0.1 totals.  The headline loop now starts
+# exactly as cold as r12's did; drift attribution does not care where
+# in the session the canary sits.
 CANARY = [
     "flagship", "tpch_q1", "tpch_q6", "tpch_q21", "window",
     "aggregation", "dedup_minhash", "ann_pq", "jpeg_decode",
@@ -344,12 +349,6 @@ def main() -> None:
     # not session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Canary runs on full sessions only (subset runs are growth-study
-    # probes at other SFs); SPARK_GRAFT_CANARY=0 skips it explicitly.
-    canary = None
-    if only is None and os.environ.get("SPARK_GRAFT_CANARY", "1") != "0":
-        canary = _run_canary(spark, sf_dir)
-
     timings: dict[str, float] = {}
     for name in headline:
         fn = HARNESS_QUERIES.get(name)
@@ -364,6 +363,14 @@ def main() -> None:
         # accumulate executor storage for the whole bench session
         spark.catalog.clearCache()
         free_local_checkpoints(spark)
+
+    # Canary runs on full sessions only (subset runs are growth-study
+    # probes at other SFs); SPARK_GRAFT_CANARY=0 skips it explicitly.
+    # Placed after the headline loop so it cannot warm it (r13 VERDICT
+    # task 3).
+    canary = None
+    if only is None and os.environ.get("SPARK_GRAFT_CANARY", "1") != "0":
+        canary = _run_canary(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     payload = {
