@@ -59,6 +59,12 @@ def connected_components(
     OPTIMIZATION_r13.md) — the fused init now consumes push #1 of the
     budget.  Pinned by test_optimization_r13.py's truncated-path-graph
     oracle comparison."""
+    if max_iter < 1:
+        # the fused init below IS push #1, so a 0-push budget cannot
+        # be honored by this shape (r14, ADVICE: the old identity-init
+        # code returned untouched labels at 0; no caller ever passes
+        # <1 — fail loudly rather than silently spend 2 pushes)
+        raise ValueError(f"connected_components: max_iter must be >= 1, got {max_iter}")
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # localCheckpoint (not persist): each round references the previous
     # labels TWICE (union + join), so the un-truncated logical plan
@@ -150,7 +156,9 @@ def connected_components(
         # odd remainder: one last single push lands exactly on the
         # max_iter-push state the oracle unrolls
         new_labels = push(labels).transform(materialize, False, True)
-        new_sum = label_sum(new_labels)
+        # label_sum is the action that materializes the lazy
+        # checkpoint; its value is not needed after the final push
+        label_sum(new_labels)
         labels = new_labels
     return labels
 

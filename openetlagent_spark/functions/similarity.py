@@ -714,11 +714,25 @@ def _lloyd(
     # precision reference loop.  Pinned by
     # tests/test_optimization_r13.py::test_lloyd_numpy_matches_reference.
     try:
-        X = np.asarray(sample, dtype=np.int64)
+        X = np.asarray(sample)
     except (OverflowError, ValueError):
         return _lloyd_reference(sample, k, iters, label)
-    if X.ndim != 2 or (X.size and np.abs(X).max() >= (1 << 52)):
+    # integral dtype only (r14, ADVICE): asarray(dtype=int64) would
+    # silently TRUNCATE float inputs (1.5 -> 1) instead of deferring —
+    # non-integer or object (big-int) samples take the reference loop
+    if X.ndim != 2 or X.dtype.kind not in "iu":
         return _lloyd_reference(sample, k, iters, label)
+    if X.size:
+        # int() of the numpy scalar is exact arbitrary-precision (no
+        # np.abs int64 wrap at -2^63).  Two bounds (r14, ADVICE): the
+        # per-element 2^52 grid bound, AND the worst-case CLUSTER SUM
+        # bound — np.add.at accumulates int64, and sums >= 2^53 would
+        # also round in .astype(float64), double-rounding the division
+        # vs _lloyd_reference's correctly-rounded big-int s/cnt
+        mx = max(int(X.max()), -int(X.min()))
+        if mx >= (1 << 52) or mx * X.shape[0] >= (1 << 53):
+            return _lloyd_reference(sample, k, iters, label)
+    X = X.astype(np.int64, copy=False)
     dim = X.shape[1] if X.size else 0
     Xf = X.astype(np.float64)
     cents_a = Xf[:k].copy()

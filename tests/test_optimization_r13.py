@@ -127,8 +127,10 @@ def test_cc_converged_path_matches_oracle(spark):
 
 
 def test_cc_multi_component_truncation(spark):
-    # two chains + a triangle, odd and even budgets (odd budgets take
-    # the final-single-push branch after the fused init)
+    # two chains + a triangle, odd and even budgets (EVEN budgets take
+    # the final-single-push branch: the fused init consumes push #1,
+    # leaving an odd remainder; budget 3 -> one double cycle, no
+    # final push)
     edges = (
         [(i, i + 1) for i in range(10)]
         + [(100 + i, 101 + i) for i in range(7)]
