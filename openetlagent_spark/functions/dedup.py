@@ -863,6 +863,12 @@ def auto_n_planes(
     return tiers[-1]
 
 
+_VEC_BROADCAST_MAX_BYTES = 64 << 20  # raw vector payload cap for the
+# count-gated broadcast verify (r14, guide §3.1): 64 MiB of doubles is
+# ~2× that framed as a HashedRelation — comfortable against the 8 GiB /
+# 512M-row broadcast cap and the driver heap at any core count
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -874,6 +880,7 @@ def embedding_neardup_pairs(
     max_bucket: int = 2000,
     rademacher: bool = False,
     dim: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Cosine-similar pairs (cos >= threshold) via sign-LSH blocking:
     ``n_tables`` independent sets of ``n_planes`` random hyperplanes;
@@ -966,9 +973,23 @@ def embedding_neardup_pairs(
     # own hint: the localCheckpoint-backed LogicalRDD ALSO carries a
     # small static estimate, so join 2 broadcast the corpus vectors —
     # the actual >1 GiB collect in the sf10 failure.
-    vecs = base.select("__id__", "__v__").hint("merge")
+    #
+    # r14 EXCEPTION (guide §3.1 — pick the strategy deliberately): when
+    # the CALLER supplies the corpus row count (the same count that
+    # sizes n_planes) and the whole vector table PROVABLY fits a
+    # broadcast (count·dim·8 B ≤ _VEC_BROADCAST_MAX_BYTES), broadcast
+    # the vector side of both join-backs: the candidate list — the
+    # unbounded side — is then never shuffled or sorted at all.  The
+    # gate keys on measured DATA size, never on core count, so an
+    # oversized corpus keeps the sort-merge shape above; an uncounted
+    # corpus (corpus_count=None) is treated as unbounded.
+    if corpus_count is not None and corpus_count * dim * 8 <= _VEC_BROADCAST_MAX_BYTES:
+        vecs = base.select("__id__", "__v__").hint("broadcast")
+    else:
+        vecs = base.select("__id__", "__v__").hint("merge")
+        candidates = candidates.hint("merge")
     return (
-        candidates.hint("merge")
+        candidates
         .join(
             vecs.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("v_a")), "id_a"
         )

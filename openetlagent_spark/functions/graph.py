@@ -38,6 +38,8 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    edges_deduped: bool = False,
+    steps_per_cycle: int | str = "auto",
 ) -> DataFrame:
     """Label every node that appears in ``edges`` with its component id
     (= the minimum node id in its component).  Returns (node, component).
@@ -74,11 +76,19 @@ def connected_components(
     # algorithm (GraphX, MLlib) does; on a cluster with a checkpoint
     # dir configured, swap for reliable checkpoint() for fault
     # tolerance beyond executor storage.
-    sym = (
-        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .transform(materialize, False, True)
-    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # ``edges_deduped``: callers whose pair lists are distinct with
+    # src < dst by construction (the LSH miners end in
+    # dropDuplicates(id_a, id_b) over b > a expansions) may skip the
+    # symmetric-table distinct — the union of the two orientations
+    # cannot collide, so distinct() is a pure pass-through there, and
+    # dropping it removes CC's only wide setup op (a full exchange +
+    # hash-dedup of the edge table; r14, guide §2.4).  Duplicate edges
+    # would not change any label (every consumer is a MIN), only the
+    # per-round join volume — hence opt-in, not automatic.
+    if not edges_deduped:
+        sym = sym.distinct()
+    sym = sym.transform(materialize, False, True)
     # Init + round 1 FUSED (r13 optimization): the old identity init
     # (distinct node list, component = node) followed by the first
     # push round computes min(node, min(neighbors)) — but with
@@ -141,21 +151,55 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
 
+    def push_n(lbl: DataFrame, n: int) -> DataFrame:
+        for _ in range(n):
+            lbl = push(lbl)
+        return lbl
+
+    # Cycle DEPTH SCHEDULE (r14): chaining k pushes per
+    # materialize+probe cycle trades plan depth for k× fewer label
+    # checkpoints and probe actions — sound because each push's
+    # groupBy exchange is SAME-KEYED (hashpartitioning(node)) in both
+    # of its downstream references (the next push's broadcast build
+    # and its union arm), so ReuseExchange computes it once; the r13
+    # LP/kcore rejection was about DIFFERENTLY-keyed rounds.  Measured
+    # on the sf1 truncated embedding graph (25-push budget): k=2
+    # 5.37s, k=3 4.60s, k=4 4.04s, k=6 5.97s (deeper plans stop
+    # paying) — and k=4 LOSES ~0.2s on shallow toy graphs that exit in
+    # 1–2 cycles (deeper no-op cycles).  The "auto" schedule takes the
+    # best of both: the first two cycles run 2 pushes (a shallow
+    # near-dup graph exits IDENTICALLY to the old fixed-2 code), then
+    # 4 pushes per cycle for graphs that are still moving — the
+    # diameter-25 budget goes 12 → 7 cycles.  Composition is exact for
+    # ANY schedule (label state after N pushes is f^N wherever the
+    # materialization boundaries sit), and the budget arithmetic below
+    # lands on exactly ``max_iter`` pushes when truncated; pinned by
+    # the truncated-path oracle tests at several budgets and depths.
+    if steps_per_cycle == "auto":
+        def step_len(i: int) -> int:
+            return 2 if i < 2 else 4
+    else:
+        def step_len(i: int) -> int:
+            return int(steps_per_cycle)
+
     prev_sum = label_sum(labels)
     remaining = max_iter - 1
     converged = False
-    for _ in range(remaining // 2):
-        new_labels = push(push(labels)).transform(materialize, False, True)
+    i = 0
+    while not converged and remaining >= step_len(i):
+        k = step_len(i)
+        new_labels = push_n(labels, k).transform(materialize, False, True)
         new_sum = label_sum(new_labels)
         labels = new_labels
+        remaining -= k
         if new_sum == prev_sum:
             converged = True
-            break
         prev_sum = new_sum
-    if not converged and remaining % 2:
-        # odd remainder: one last single push lands exactly on the
+        i += 1
+    if not converged and remaining:
+        # remainder pushes in one final lazy query land exactly on the
         # max_iter-push state the oracle unrolls
-        new_labels = push(labels).transform(materialize, False, True)
+        new_labels = push_n(labels, remaining).transform(materialize, False, True)
         # label_sum is the action that materializes the lazy
         # checkpoint; its value is not needed after the final push
         label_sum(new_labels)
@@ -169,13 +213,14 @@ def dedup_by_components(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Keep exactly one row (the minimum id) per duplicate cluster:
     connected components over the near-dup pairs, then an anti-join
     dropping every node that is NOT its component's minimum.  Rows
     never involved in any pair survive untouched (they are absent from
     the component table — singleton clusters by definition)."""
-    comps = connected_components(pairs, src=src, dst=dst)
+    comps = connected_components(pairs, src=src, dst=dst, edges_deduped=edges_deduped)
     losers = comps.filter(F.col("component") != F.col("node")).select(
         F.col("node").alias(id_col)
     )
@@ -236,6 +281,7 @@ def dedup_keep_best(
     score_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Keep the BEST-scoring row per duplicate cluster (highest
     ``score_col``, minimum id on ties) — the production dedup policy:
@@ -251,7 +297,7 @@ def dedup_keep_best(
     never shuffled wide."""
     from pyspark.sql import Window
 
-    comps = connected_components(pairs, src=src, dst=dst)
+    comps = connected_components(pairs, src=src, dst=dst, edges_deduped=edges_deduped)
     scored = comps.join(
         df.select(F.col(id_col).alias("node"), F.col(score_col)), "node"
     )

@@ -1121,9 +1121,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import auto_n_planes, embedding_neardup_pairs
 
     df = _ts(spark, sf_dir, "embeddings")
+    n = df.count()  # sizes n_planes AND gates the broadcast verify
     return embedding_neardup_pairs(
         df, "vec_id", "embedding", threshold=0.3, rademacher=True,
-        n_planes=auto_n_planes(df.count()),
+        n_planes=auto_n_planes(n), corpus_count=n,
     )
 
 
@@ -1908,9 +1909,9 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     meta = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     pairs = fuzzy_pairs(docs, "doc_id", "text", max_dist=8)
-    return dedup_keep_best(meta, pairs, "doc_id", "n_chars").select(
-        "doc_id", "source", "n_chars"
-    )
+    return dedup_keep_best(
+        meta, pairs, "doc_id", "n_chars", edges_deduped=True
+    ).select("doc_id", "source", "n_chars")
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3018,7 +3019,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = ngram_jaccard_pairs(df, "doc_id", "text")
-    return connected_components(pairs).select(
+    return connected_components(pairs, edges_deduped=True).select(
         F.col("node").alias("doc_id"), "component"
     )
 
@@ -3120,9 +3121,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _ts(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text")
-    return dedup_keep_best(docs, pairs, "doc_id", "n_chars").select(
-        "doc_id", "source", "n_chars"
-    )
+    return dedup_keep_best(
+        docs, pairs, "doc_id", "n_chars", edges_deduped=True
+    ).select("doc_id", "source", "n_chars")
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3148,13 +3149,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _ts(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    n = emb.count()  # sizes n_planes AND gates the broadcast verify
     pairs = embedding_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.3, rademacher=True,
-        n_planes=auto_n_planes(emb.count()),
+        n_planes=auto_n_planes(n), corpus_count=n,
     )
-    return dedup_keep_best(docs, pairs, "doc_id", "n_chars").select(
-        "doc_id", "source", "n_chars"
-    )
+    return dedup_keep_best(
+        docs, pairs, "doc_id", "n_chars", edges_deduped=True
+    ).select("doc_id", "source", "n_chars")
 
 
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3194,7 +3196,8 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _ts(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     # one narrow parquet count sizes the LSH; the oracle's tier gates
     # run the IDENTICAL count, so query and oracle pick the same rung
-    n_planes = auto_n_planes(docs.count())
+    n = docs.count()
+    n_planes = auto_n_planes(n)
     media = synthesize_media_bmp(docs)
     feats = extract_image_features(media, dim=16, decoder="real").transform(
         materialize
@@ -3203,11 +3206,11 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_neardup_pairs(
         centered, "media_id", "centered",
         threshold=0.995, n_planes=n_planes, n_tables=2, rademacher=True,
-        dim=16,
+        dim=16, corpus_count=n,
     )
-    return dedup_keep_best(feats, pairs, "media_id", "n_bytes").select(
-        "media_id", "mime", "n_bytes"
-    )
+    return dedup_keep_best(
+        feats, pairs, "media_id", "n_bytes", edges_deduped=True
+    ).select("media_id", "mime", "n_bytes")
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

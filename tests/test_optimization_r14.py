@@ -50,3 +50,57 @@ def test_cc_zero_budget_raises(spark):
     edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     with pytest.raises(ValueError, match="max_iter must be >= 1"):
         connected_components(edges, max_iter=0)
+
+
+# --- r14 CC cycle-depth schedule -------------------------------------------
+#
+# connected_components now chains a SCHEDULE of pushes per
+# materialize+probe cycle ("auto": 2, 2, then 4s) instead of a fixed 2.
+# The step-budget contract is unchanged: the result is the label state
+# after EXACTLY max_iter pushes on truncated graphs, so every depth and
+# budget must match the unrolled oracle push for push.
+
+import duckdb
+
+from openetlagent_spark.functions.graph import (
+    components_oracle_sql,
+    connected_components,
+)
+
+
+def _cc_depth_vs_oracle(spark, edges_rows, max_iter, steps_per_cycle):
+    df = spark.createDataFrame(edges_rows, "id_a bigint, id_b bigint")
+    got = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(
+            df, max_iter=max_iter, steps_per_cycle=steps_per_cycle
+        ).collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in edges_rows)
+    pairs_sql = f"SELECT * FROM (VALUES {vals}) AS t(id_a, id_b)"
+    sql = components_oracle_sql(pairs_sql, rounds=max_iter)
+    want = sorted((int(r[0]), int(r[1])) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_cc_depth_schedules_match_oracle_truncated(spark):
+    # 40-node path: diameter 39 >> every budget, so each (budget,
+    # depth) pair exercises the truncated state, including remainder
+    # pushes (e.g. budget 7 auto = init + 2 + 2 + remainder 2; budget
+    # 9 at depth 4 = init + 4 + 4)
+    path = [(i, i + 1) for i in range(40)]
+    for budget in (2, 3, 6, 7, 9, 12):
+        for depth in (1, 3, 4, "auto"):
+            _cc_depth_vs_oracle(spark, path, budget, depth)
+
+
+def test_cc_depth_schedules_match_on_converged(spark):
+    # shallow multi-component graph: every depth must land on the same
+    # fixpoint the oracle converges to
+    edges = (
+        [(i, i + 1) for i in range(4)]
+        + [(100, 101), (101, 102), (100, 102)]
+    )
+    for depth in (1, 2, 4, "auto"):
+        _cc_depth_vs_oracle(spark, edges, 25, depth)
