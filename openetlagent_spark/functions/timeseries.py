@@ -554,6 +554,66 @@ WITH __sw_b AS (
 )"""
 
 
+_ARROW_FOLD_MIN_BYTES = 64 << 20  # input-size gate for the Arrow ewma
+# fold (r14): below this the all-JVM HOF path wins (no Python node on
+# the hot path); above it the vectorized numpy fold amortizes the
+# Arrow transfer of the lookback windows (r13 measured the kernel
+# 1.3× at sf1's ~21 MB input and rejected it on posture; the fold is a
+# ~20 s line at sf10's ~211 MB, where the ratio holds).  The gate keys
+# on Catalyst's optimized-plan size estimate of the filtered input —
+# file bytes scaled by column pruning, a DATA-size signal derived with
+# zero extra jobs, never a core-count tune.
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes (no job runs)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _ewma_arrow_fold(a: float):
+    """mapInArrow kernel: the identical left-to-right bounded-lookback
+    EWMA fold, vectorized per window POSITION instead of per row.  Per
+    element the operation sequence is exactly the JVM HOF fold's —
+    ``acc <- a*x + (1-a)*acc`` with the same two float64 multiplies and
+    one add in the same order — so results are bit-identical (pinned by
+    test_optimization_r14.py against the JVM branch).  Zero-length
+    windows (impossible after _series_base, defensive) yield NULL like
+    the JVM path's empty-slice aggregate."""
+    one_minus_a = 1.0 - a
+
+    def fold(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            arr = batch.column(batch.schema.get_field_index("__arr__"))
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offsets = np.asarray(arr.offsets, dtype=np.int64)
+            values = np.asarray(arr.values, dtype=np.float64)
+            starts = offsets[:-1]
+            lengths = offsets[1:] - starts
+            n = len(lengths)
+            acc = np.full(n, np.nan, dtype=np.float64)
+            has = lengths > 0
+            acc[has] = values[starts[has]]
+            maxlen = int(lengths.max()) if n else 0
+            for p in range(1, maxlen):
+                active = lengths > p
+                x = values[starts[active] + p]
+                acc[active] = a * x + one_minus_a * acc[active]
+            keep = [
+                batch.column(i)
+                for i, f in enumerate(batch.schema)
+                if f.name != "__arr__"
+            ]
+            names = [f.name for f in batch.schema if f.name != "__arr__"]
+            ewma = pa.array(acc, type=pa.float64(), mask=~has)
+            yield pa.RecordBatch.from_arrays(keep + [ewma], names + ["ewma"])
+
+    return fold
+
+
 def ewma_smooth(
     df: DataFrame,
     key_col: str,
@@ -563,6 +623,7 @@ def ewma_smooth(
     alpha_num: int = 1,
     alpha_den: int = 4,
     lookback: int = 64,
+    engine: str = "auto",
 ) -> DataFrame:
     """Per-key exponentially-weighted moving average with a BOUNDED
     lookback: for every observation, fold the last ``lookback`` values
@@ -589,9 +650,46 @@ def ewma_smooth(
     Returns (key, ``id_col``, value, ewma) ordered (key, ts, id).
     """
     _check_ewma_params(alpha_num, alpha_den, lookback)
+    if engine not in ("auto", "jvm", "arrow"):
+        raise ValueError(f"ewma engine must be auto|jvm|arrow, got {engine!r}")
     a = alpha_num / alpha_den  # exact for binary dens; fixed either way
     base = _series_base(df, key_col, ts_col, id_col, value_col)
+    if engine == "auto":
+        size = _plan_size_bytes(base)
+        # sources without real statistics (parallelized local data,
+        # post-join unknowns) report spark.sql.defaultSizeInBytes
+        # (Long.MaxValue) — "unknown" is not "proven large", so only a
+        # CREDIBLE estimate below that sentinel may select the Arrow
+        # path; everything else keeps the all-JVM fold
+        unknown = int(
+            df.sparkSession.conf.get(
+                "spark.sql.defaultSizeInBytes", str(1 << 62)
+            )
+        )
+        engine = (
+            "arrow"
+            if _ARROW_FOLD_MIN_BYTES <= size < unknown
+            else "jvm"
+        )
     arr = F.collect_list("v").over(_series_window(ts_col, id_col, lookback))
+    if engine == "arrow":
+        # volume path (r14, guide §4.2): the window stage is unchanged
+        # (same shuffle, same collect_list arrays); only the per-row
+        # fold moves into one vectorized numpy pass per Arrow batch.
+        # Bit-identical to the JVM branch below — see _ewma_arrow_fold.
+        windowed = base.select(
+            "key", F.col(ts_col), F.col(id_col), F.col("v"),
+            arr.alias("__arr__"),
+        )
+        schema = (
+            windowed.drop("__arr__")
+            .withColumn("ewma", F.lit(0.0))
+            .schema
+        )
+        folded = windowed.mapInArrow(_ewma_arrow_fold(a), schema)
+        return folded.orderBy(
+            F.asc("key"), F.asc(ts_col), F.asc(id_col)
+        ).select("key", F.col(id_col), F.col("v").alias("value"), "ewma")
     # seed with the window's FIRST element, fold the rest — exactly
     # DuckDB list_reduce's natural first-element seeding
     ewma = F.aggregate(

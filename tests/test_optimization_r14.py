@@ -104,3 +104,50 @@ def test_cc_depth_schedules_match_on_converged(spark):
     )
     for depth in (1, 2, 4, "auto"):
         _cc_depth_vs_oracle(spark, edges, 25, depth)
+
+
+# --- r14 ewma Arrow fold (volume-gated) -------------------------------------
+
+
+def test_ewma_arrow_fold_bit_identical(spark):
+    # the Arrow kernel replays the JVM HOF fold's exact per-element op
+    # sequence (a*x + (1-a)*acc, float64), so full results must be
+    # BIT-identical — including ragged early windows (< lookback rows)
+    # and alpha values that are not exact binary fractions
+    from openetlagent_spark.functions.timeseries import ewma_smooth
+
+    rows = [
+        ("k%d" % (i % 7), i, i * 31 % 101, float(i % 13) / 7.0)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts bigint, event_id bigint, value double")
+    kwargs = dict(alpha_num=3, alpha_den=7, lookback=5)
+    jvm = ewma_smooth(df, "key", "ts", "event_id", "value", engine="jvm", **kwargs).collect()
+    arrow = ewma_smooth(df, "key", "ts", "event_id", "value", engine="arrow", **kwargs).collect()
+    assert len(jvm) == len(arrow) == 2000
+    for r_j, r_a in zip(jvm, arrow):
+        assert r_j == r_a  # == on float is exact equality
+
+
+def test_ewma_auto_gate_uses_jvm_below_threshold(spark):
+    # a tiny frame must stay all-JVM: no ArrowEvalPython / MapInArrow
+    # node below the volume gate (the r13 posture: Python only off the
+    # hot path at toy scale)
+    from openetlagent_spark.functions.timeseries import ewma_smooth
+
+    df = spark.createDataFrame(
+        [("a", 1, 1, 1.0), ("a", 2, 2, 2.0)],
+        "key string, ts bigint, event_id bigint, value double",
+    )
+    plan = ewma_smooth(df, "key", "ts", "event_id", "value")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def test_ewma_bad_engine_raises(spark):
+    from openetlagent_spark.functions.timeseries import ewma_smooth
+
+    df = spark.createDataFrame(
+        [("a", 1, 1, 1.0)], "key string, ts bigint, event_id bigint, value double"
+    )
+    with pytest.raises(ValueError, match="engine"):
+        ewma_smooth(df, "key", "ts", "event_id", "value", engine="numpy")
