@@ -556,6 +556,9 @@ def _jpeg_windows(data: bytes) -> "tuple[list[int] | np.ndarray, int]":
     return win.tolist(), n
 
 
+_JPEG_LAZY_CHUNK = 32  # initial windows built per lazy small segment
+
+
 class _JpegBits:
     """Bit cursor over the scan's entropy segments (pre-split at RSTn
     markers, FF00 already unstuffed).  Segments are raw bytes; each is
@@ -565,13 +568,25 @@ class _JpegBits:
     build at all.  Block decoders pull (win, n, i) into locals and
     write ``i`` back; indexing ``win`` past n raises IndexError, which
     the decode wrappers map to None — identical totality to the r11
-    reader's explicit peek guard."""
+    reader's explicit peek guard.
 
-    def __init__(self, raw_segments: list[bytes]) -> None:
+    ``lazy=True`` (the progressive reader): small segments build only
+    the first :data:`_JPEG_LAZY_CHUNK` windows up front and extend by
+    doubling via :meth:`_grow` — restart-heavy AC scans decode one
+    EOBn symbol (a handful of bits) per segment and then skip, so the
+    r13 eager build spent most of its window work on bits nobody reads
+    (profiled 16% of the progressive decode).  The baseline block
+    decoder keeps the eager full table: it indexes ``win`` directly in
+    a locals-cached loop where a short prefix would mis-signal
+    corruption."""
+
+    def __init__(self, raw_segments: list[bytes], lazy: bool = False) -> None:
         if not raw_segments:
             raise _JpegErr
         self.raw = raw_segments
         self._wins: list = [None] * len(raw_segments)
+        self._vals: list = [None] * len(raw_segments)
+        self.lazy = lazy
         self.si = 0
         self.win, self.n = self._seg(0)
         self.i = 0
@@ -579,9 +594,33 @@ class _JpegBits:
     def _seg(self, j: int):
         w = self._wins[j]
         if w is None:
-            w = _jpeg_windows(self.raw[j])
+            data = self.raw[j]
+            n = len(data) * 8
+            if self.lazy and n <= 2048:
+                # same big-int windows as _jpeg_windows' small path,
+                # built only up to the first chunk
+                val = int.from_bytes(data + b"\xff\xff", "big")
+                upto = min(n, _JPEG_LAZY_CHUNK)
+                w = ([(val >> (n - k)) & 0xFFFF for k in range(upto + 1)], n)
+                self._vals[j] = val
+            else:
+                w = _jpeg_windows(data)
             self._wins[j] = w
         return w
+
+    def _grow(self, i: int) -> int:
+        """Extend the current segment's lazy window list to cover bit
+        ``i`` (doubling), returning ``win[i]``; past-``n`` indexes
+        raise IndexError exactly like the full table."""
+        win, n = self._wins[self.si]
+        val = self._vals[self.si]
+        if val is None or i > n:
+            raise IndexError(i)
+        upto = min(n, max(i, 2 * len(win)))
+        win.extend(
+            (val >> (n - k)) & 0xFFFF for k in range(len(win), upto + 1)
+        )
+        return win[i]
 
     def restart(self) -> None:
         self.si += 1
@@ -943,9 +982,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
 def _pg_huff(br: _JpegBits, lut: list[int]) -> int:
     """One huffman symbol off the progressive scan cursor (same bounds
     semantics as the baseline block decoder: a code may consume up to
-    7 bits into the final byte's 1-padding)."""
+    7 bits into the final byte's 1-padding).  The IndexError branch
+    grows a lazy segment's window list (or propagates for a true
+    past-``n`` peek — identical totality either way)."""
     win, n, i = br.win, br.n, br.i
-    p = lut[win[i]]
+    try:
+        w16 = win[i]
+    except IndexError:
+        w16 = br._grow(i)
+    p = lut[w16]
     if p < 0:
         raise _JpegErr
     i += p & 31
@@ -962,8 +1007,12 @@ def _pg_bits(br: _JpegBits, t: int) -> int:
     win, n, i = br.win, br.n, br.i
     if i + t > n:
         raise _JpegErr
+    try:
+        w16 = win[i]
+    except IndexError:
+        w16 = br._grow(i)
     br.i = i + t
-    return win[i] >> (16 - t)
+    return w16 >> (16 - t)
 
 
 def _prog_scan_units(
@@ -1166,7 +1215,7 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray | None:
                     if se < ss or ns != 1:
                         return None  # AC scans are single-component
                 segs, scan_end = _jpeg_entropy_segments(payload, i + seg_len)
-                br = _JpegBits(segs)
+                br = _JpegBits(segs, lazy=True)
                 _decode_prog_scan(
                     br, scan_sel, comps, stores, acnz, huff, ss, se, ah, al,
                     ri, mcx, mcy, hmax, vmax, width, height, geo_cache,
@@ -1704,10 +1753,11 @@ def encode_jpeg_progressive(
         head += seg(0xDD, ri.to_bytes(2, "big"))
 
     comps = [{"hs": h, "vs": v} for h, v in samplings]
-    zzs = [
-        np.asarray(cc, dtype=np.int64).reshape(-1, 64)[:, _JPEG_ZZ].tolist()
+    zz_arrs = [
+        np.asarray(cc, dtype=np.int64).reshape(-1, 64)[:, _JPEG_ZZ]
         for cc in comp_coeffs
     ]
+    zzs = [a.tolist() for a in zz_arrs]
     out = bytearray(head)
 
     def sos(sel: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
@@ -1760,10 +1810,28 @@ def encode_jpeg_progressive(
         comp_bids = _prog_scan_units(
             [(ci, 0, 0)], comps, mcx, mcy, hmax, vmax, width, height
         )
+        bid_idx = np.asarray(comp_bids, dtype=np.int64)
+        band_abs = {
+            (bs, be): np.abs(zz_arrs[ci][bid_idx][:, bs : be + 1])
+            for bs, be in ac_bands
+        }
         for bs, be in ac_bands:
             for ah, al in [(0, al_ac)] + [
                 (a + 1, a) for a in range(al_ac - 1, -1, -1)
             ]:
+                # Bulk PURE-BLOCK detection (r14; the encoder mirror of
+                # the decoder's EOB-run batching): a block whose band
+                # coefficients all vanish at this point transform
+                # contributes exactly ``eobrun += 1`` in BOTH scan
+                # kinds — AC first: no nonzero, so any_nz stays False;
+                # AC refinement: every t == 0, so r > 0 with an empty
+                # correction buffer — so one vectorized max per scan
+                # replaces the 63-position Python loop for them.
+                # Flat-block corpora (the synth oracle shape) are pure
+                # almost everywhere; profiled 3.03 s -> see
+                # OPTIMIZATION_r14.md (11.6M abs() calls removed per
+                # 300 images).
+                pure = ((band_abs[(bs, be)] >> al).max(axis=1) == 0).tolist()
                 out += sos([ci], bs, be, ah, al)
                 wr = _JpegBitWriter()
                 eobrun = 0
@@ -1784,7 +1852,7 @@ def encode_jpeg_progressive(
 
                 rst = 0
                 mcu = 0
-                for bid in comp_bids:
+                for j, bid in enumerate(comp_bids):
                     if ri and mcu and mcu % ri == 0:
                         flush_eob()
                         out += wr.flush()
@@ -1792,6 +1860,11 @@ def encode_jpeg_progressive(
                         rst += 1
                         wr = _JpegBitWriter()
                     mcu += 1
+                    if pure[j]:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
                     zz = zzs[ci][bid]
                     if ah == 0:  # AC first scan at precision al
                         r = 0
