@@ -1636,11 +1636,25 @@ def _encode_jpeg_coeffs(
     sos += bytes([0, 63, 0])
     head += seg(0xDA, sos)
 
+    # Bulk per-component preprocessing (r14; the baseline mirror of the
+    # progressive encoder's pure-block pass): one vectorized zigzag +
+    # has-AC detection replaces the four per-block numpy calls
+    # (asarray/reshape/fancy-index/nonzero) the loop paid — on a
+    # DC-only flat corpus every block short-circuits to
+    # DC-diff + EOB with no numpy at all.
+    zz_arrs = [
+        np.asarray(cc, dtype=np.int64).reshape(-1, 64)[:, _JPEG_ZZ]
+        for cc in comp_coeffs
+    ]
+    dc_ls = [a[:, 0].tolist() for a in zz_arrs]
+    has_ac_ls = [(a[:, 1:] != 0).any(axis=1).tolist() for a in zz_arrs]
+
     body = bytearray()
     wr = _JpegBitWriter()
     preds = [0] * nc
     mcu = 0
     rst = 0
+    eob_code, eob_len = ac_t[0x00]
     for my in range(mcy):
         for mx in range(mcx):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -1652,16 +1666,32 @@ def _encode_jpeg_coeffs(
             mcu += 1
             for c in range(nc):
                 hs, vs = samplings[c]
+                stride = mcx * hs
                 for by in range(vs):
                     for bx in range(hs):
-                        blk = np.asarray(
-                            comp_coeffs[c][my * vs + by, mx * hs + bx],
-                            dtype=np.int64,
-                        )
-                        zz = blk.reshape(64)[_JPEG_ZZ]
-                        dc = int(zz[0])
-                        _jpeg_put_coef(wr, dc_t, 0, dc - preds[c])
+                        bid = (my * vs + by) * stride + mx * hs + bx
+                        dc = dc_ls[c][bid]
+                        d = dc - preds[c]
                         preds[c] = dc
+                        if not has_ac_ls[c][bid]:
+                            # DC-only block: huffman(size) + magnitude
+                            # + EOB concatenated MSB-first equals the
+                            # three separate puts bit-for-bit — one
+                            # accumulator call instead of three
+                            s = (d if d >= 0 else -d).bit_length()
+                            code, length = dc_t[s]
+                            if s:
+                                mag = d if d >= 0 else d + (1 << s) - 1
+                                packed = (
+                                    (code << s | (mag & ((1 << s) - 1)))
+                                    << eob_len
+                                ) | eob_code
+                            else:
+                                packed = (code << eob_len) | eob_code
+                            wr.put(packed, length + s + eob_len)
+                            continue
+                        _jpeg_put_coef(wr, dc_t, 0, d)
+                        zz = zz_arrs[c][bid]
                         nz = np.nonzero(zz[1:])[0]
                         k = 1
                         for pos in nz + 1:
@@ -1673,8 +1703,7 @@ def _encode_jpeg_coeffs(
                             _jpeg_put_coef(wr, ac_t, run, int(zz[pos]))
                             k = int(pos) + 1
                         if k < 64:
-                            code, length = ac_t[0x00]  # EOB
-                            wr.put(code, length)
+                            wr.put(eob_code, eob_len)  # EOB
     body += wr.flush()
     return bytes(head) + bytes(body) + b"\xff\xd9"  # EOI
 
