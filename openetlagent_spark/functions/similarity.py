@@ -43,6 +43,46 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
+def cosine_expr_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """cosine_expr with the three interpreted HOF folds UNROLLED into
+    flat element chains for fixed-``dim`` vectors — the r13-measured
+    recipe (2–4× per compiled stage past ~10⁶ rows; SLOWER below, where
+    planning + Janino compile of the ~4·dim-node tree dominates — so
+    callers must volume-gate, see dedup._UNROLL_MIN_CORPUS).
+
+    Bit-identical to :func:`cosine_expr` on every input by
+    construction: valid fixed-dim rows evaluate the identical
+    left-associated ``((0.0 + a0·b0) + a1·b1) + …`` chains (same IEEE
+    op sequence as the zip_with/aggregate folds), and rows the unroll
+    cannot represent (NULL or ragged arrays) take the HOF branch
+    itself via the WHEN guard.  NULL elements inside a valid-length
+    array null the accumulator in both forms; zero norms hit the same
+    try_divide.  Pinned element-for-element in
+    tests/test_optimization_r14.py."""
+    def dot_u(x: Column, y: Column) -> Column:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + F.get(x, i) * F.get(y, i)
+        return acc
+
+    def norm_u(x: Column) -> Column:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            v = F.get(x, i)
+            acc = acc + v * v
+        return F.sqrt(acc)
+
+    valid = (
+        a.isNotNull()
+        & b.isNotNull()
+        & (F.size(a) == F.lit(dim))
+        & (F.size(b) == F.lit(dim))
+    )
+    return F.when(valid, F.try_divide(dot_u(a, b), norm_u(a) * norm_u(b))).otherwise(
+        cosine_expr(a, b)
+    )
+
+
 def cosine_prenorm_expr(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """cosine_expr with the two norm folds hoisted upstream: callers
     compute ``norm_expr`` once per corpus/query ROW before the

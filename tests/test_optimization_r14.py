@@ -151,3 +151,76 @@ def test_ewma_bad_engine_raises(spark):
     )
     with pytest.raises(ValueError, match="engine"):
         ewma_smooth(df, "key", "ts", "event_id", "value", engine="numpy")
+
+
+# --- r14 corpus-gated unrolled verify cosine --------------------------------
+
+
+def test_cosine_unrolled_bit_identical(spark):
+    # the unrolled chain must equal the HOF fold BIT-for-bit on valid
+    # rows and route NULL/ragged rows through the HOF branch itself —
+    # including NULL elements inside valid-length arrays and zero norms
+    from pyspark.sql import functions as F
+
+    from openetlagent_spark.functions.similarity import (
+        cosine_expr,
+        cosine_expr_unrolled,
+    )
+
+    rows = [
+        ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),          # plain
+        ([0.1, -0.2, 0.3], [-0.4, 0.5, -0.6]),       # signs
+        ([1e-300, 2e150, -3.0], [5e-9, 1e308, 2.0]), # extreme magnitudes
+        ([0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),          # zero norm -> NULL
+        ([1.0, None, 3.0], [4.0, 5.0, 6.0]),         # NULL element
+        (None, [1.0, 2.0, 3.0]),                     # NULL vector
+        ([1.0, 2.0], [4.0, 5.0, 6.0]),               # ragged -> HOF branch
+        ([7.0, 8.0, 9.0, 10.0], [1.0, 2.0, 3.0, 4.0]),  # ragged both (len 4)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    out = df.select(
+        cosine_expr(F.col("a"), F.col("b")).alias("hof"),
+        cosine_expr_unrolled(F.col("a"), F.col("b"), 3).alias("unrolled"),
+    ).collect()
+    import math
+
+    for r in out:
+        h, u = r["hof"], r["unrolled"]
+        if h is None or u is None:
+            assert h is None and u is None
+        elif math.isnan(h) or math.isnan(u):
+            # inf/inf from the extreme-magnitude row: both folds must
+            # overflow identically
+            assert math.isnan(h) and math.isnan(u)
+        else:
+            assert h == u  # exact float equality
+
+
+def test_embedding_pairs_unroll_gate(spark):
+    # below the corpus gate the verify plan must contain no element_at
+    # unroll (the HOF aggregate only); the gate keys on corpus_count
+    from openetlagent_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.5]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    small = D.embedding_neardup_pairs(
+        df, "vec_id", "embedding", n_planes=4, rademacher=True, dim=4,
+        corpus_count=40,
+    )
+    plan_small = small._jdf.queryExecution().optimizedPlan().toString()
+    big = D.embedding_neardup_pairs(
+        df, "vec_id", "embedding", n_planes=4, rademacher=True, dim=4,
+        corpus_count=D._UNROLL_MIN_CORPUS,
+    )
+    plan_big = big._jdf.queryExecution().optimizedPlan().toString()
+    # the unrolled form adds the per-row validity CASE WHEN guard (the
+    # element chain prints as bracket indexing); the HOF-only form has
+    # one fewer
+    assert plan_big.count("CASE WHEN") > plan_small.count("CASE WHEN")
+    assert "aggregate(zip_with" in plan_small
+    # results identical regardless of the gate
+    a = sorted(map(tuple, small.collect()))
+    b = sorted(map(tuple, big.collect()))
+    assert a == b

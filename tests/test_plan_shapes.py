@@ -153,19 +153,53 @@ def test_no_accidental_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} must not nested-loop"
 
 
-def test_neardup_verify_joins_never_broadcast(spark):
+def test_neardup_verify_joins_never_broadcast_unproven(spark):
     """The near-dup verify join-backs (candidates → base frame) must be
-    sort-merge, never broadcast: Catalyst statically underestimates
-    BOTH sides (the pair list shrinks through groupBy→explode→
-    dropDuplicates; the localCheckpoint LogicalRDD carries a small
-    default), and each side is corpus- or pair-volume-sized.  At sf10
-    the un-hinted plan collected a >1 GiB BroadcastExchange and died on
-    spark.driver.maxResultSize — the r12 sf10 sweep's catch."""
-    for name in ("dedup_embedding", "dedup_minhash", "dedup_ngram"):
+    sort-merge whenever no measured bound proves a side fits: Catalyst
+    statically underestimates BOTH sides (the pair list shrinks through
+    groupBy→explode→dropDuplicates; the localCheckpoint LogicalRDD
+    carries a small default), and each side is corpus- or pair-volume-
+    sized.  At sf10 the un-hinted plan collected a >1 GiB
+    BroadcastExchange and died on spark.driver.maxResultSize — the r12
+    sf10 sweep's catch.
+
+    r14 refinement: a caller-supplied corpus COUNT may prove the vector
+    table fits (count·dim·8 ≤ 64 MiB) — then broadcasting that side is
+    the deliberate guide-§3.1 choice and the unbounded candidate list
+    is never shuffled.  The shingle/gram miners stay uncounted and must
+    keep the sort-merge shape; so must an embedding call without
+    corpus_count."""
+    for name in ("dedup_minhash", "dedup_ngram"):
         plan = plan_of(spark, name)
         physical = plan.split("== Physical Plan ==")[-1]
         assert "BroadcastExchange" not in physical, name
         assert "SortMergeJoin" in physical, name
+    # uncounted embedding call: the r12 safety shape, unchanged
+    from openetlagent_spark.functions.dedup import embedding_neardup_pairs
+    from openetlagent_spark.plans.harness_queries import _ts
+
+    emb = _ts(spark, SF_DIR, "embeddings")
+    unproven = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, rademacher=True
+    )
+    physical = (
+        unproven._jdf.queryExecution().explainString("formatted")
+        if False
+        else unproven._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" not in physical
+    assert "SortMergeJoin" in physical
+
+
+def test_neardup_verify_join_broadcasts_proven_vectors(spark):
+    """The declared dedup_embedding query COUNTS its corpus, so the
+    verify joins must broadcast the proven-small vector side and keep
+    the candidate list un-shuffled (no SortMergeJoin on the pair
+    ids)."""
+    plan = plan_of(spark, "dedup_embedding")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
 
 
 def test_bm25_is_takeordered_with_one_row_broadcast(spark):
